@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("agg_hash exact values on a literal 6-row lineitem") {
+    val li = Seq(
+      // (flag, status, qty, price, discount, shipdate)
+      ("A", "F", 10.0, 100.0, 0.10, "1998-01-01 00:00:00"),
+      ("A", "F", 20.0, 200.0, 0.20, "1998-01-02 00:00:00"),
+      ("N", "O", 5.0, 50.0, 0.00, "1998-01-03 00:00:00"),
+      ("N", "O", 15.0, 150.0, 0.10, "1998-01-04 00:00:00"),
+      ("R", "F", 30.0, 300.0, 0.05, "1998-01-05 00:00:00"),
+      ("R", "F", 1.0, 10.0, 0.00, "2002-01-01 00:00:00") // filtered out
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "ship")
+      .withColumn("l_shipdate", $"ship".cast("timestamp")).drop("ship")
+    li.write.mode("overwrite").parquet("/tmp/graft-test/lineitem.parquet")
+
+    val got = graft.operators.Aggregates.aggHash(spark, "/tmp/graft-test").collect()
+    assert(got.toSeq == Seq(
+      Row("A", "F", 30.0, 300.0, 250.0, 15.0, 0.15, 2L),
+      Row("N", "O", 20.0, 200.0, 185.0, 10.0, 0.05, 2L),
+      Row("R", "F", 30.0, 300.0, 285.0, 30.0, 0.05, 1L)))
+  }
+
+  test("agg_hash plans as partial+final HashAggregate") {
+    val df = graft.operators.Aggregates.aggHash(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case h: HashAggregateExec => h }.size >= 2)
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
