@@ -18,7 +18,7 @@ object SparkEntry {
     Aggregates.aggHash(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[OpModule] = Seq(
-    Aggregates
+    Scans, Filters, Joins, Aggregates, SortsSetOps
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

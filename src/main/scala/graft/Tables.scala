@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Fixture-table loaders (TESTDATA.md: TPC-H-ish star schema + `events`
   * stream table + `documents`/`embeddings` LLM tables).
@@ -22,7 +23,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
+    * nanosecond long (legacy conf) and truncate to a µs TimestampType
+    * column — the oracle side mirrors this with
+    * `make_timestamp(epoch_ns(ts) // 1000)`. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

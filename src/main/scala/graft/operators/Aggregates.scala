@@ -47,11 +47,164 @@ object Aggregates extends OpModule {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Keyless global aggregate — single partial-agg pass, 1-row shuffle. */
+  def aggGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      round(sum(col("l_quantity")), 4).as("sum_qty"),
+      round(min(col("l_extendedprice")), 4).as("min_price"),
+      round(max(col("l_extendedprice")), 4).as("max_price"),
+      count(lit(1)).as("n_rows"))
+
+  /** Multiple DISTINCT aggregates → Catalyst Expand-based rewrite. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_linestatus"))
+
+  /** HLL sketch cardinality — estimates differ across engines, so no
+    * oracle; the rows-only check plus AggregatesSpec's relative-error
+    * assertion cover it. At 100 TB this is THE cardinality operator:
+    * fixed-size sketch per partition, merged at the driver. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_nd_orders"))
+
+  /** ROLLUP with grouping() markers; null keys sorted via grouping flags
+    * (Spark NULLS FIRST vs DuckDB NULLS LAST would otherwise diverge). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        col("g_flag"), col("g_status"),
+        coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("g_flag"), col("g_status"), col("flag"), col("status"))
+
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+      .select(
+        col("g_status"), col("g_prio"),
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority"))
+
+  /** Explicit GROUPING SETS via the SQL path (SURVEY.md §3.2). */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT
+        |  grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        |  coalesce(l_returnflag, '<all>') AS flag,
+        |  coalesce(l_linestatus, '<all>') AS status,
+        |  count(*) AS n_rows
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin)
+      .selectExpr("cast(g_flag as int) as g_flag",
+        "cast(g_status as int) as g_status", "flag", "status", "n_rows")
+  }
+
+  /** Per-group arrays, order-stabilized (SURVEY.md §5.4.2). */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(array_sort(collect_set(col("l_quantity").cast("int")))
+        .as("qty_values"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact continuous percentiles (linear interpolation — same definition
+    * as DuckDB quantile_cont). approx_percentile is the 100 TB path but is
+    * sketch-based → test-only, not oracle-checked. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("raw_pcts"),
+        count(lit(1)).as("n_rows"))
+      .select(col("o_orderstatus"),
+        expr("transform(raw_pcts, x -> round(x, 4))").as("pcts"),
+        col("n_rows"))
+      .orderBy(col("o_orderstatus"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_hash" -> aggHash _
+    "agg_hash" -> aggHash _,
+    "agg_global" -> aggGlobal _,
+    "agg_distinct" -> aggDistinct _,
+    "agg_approx_distinct" -> aggApproxDistinct _,
+    "agg_rollup" -> aggRollup _,
+    "agg_cube" -> aggCube _,
+    "agg_grouping_sets" -> aggGroupingSets _,
+    "agg_collect" -> aggCollect _,
+    "agg_percentile" -> aggPercentile _
   )
 
   def oracle: Map[String, String] = Map(
-    "agg_hash" -> aggHashSql
+    "agg_hash" -> aggHashSql,
+    "agg_global" ->
+      """SELECT round(sum(l_quantity), 4) AS sum_qty,
+        | round(min(l_extendedprice), 4) AS min_price,
+        | round(max(l_extendedprice), 4) AS max_price,
+        | count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_linestatus,
+        | count(DISTINCT l_partkey) AS nd_parts,
+        | count(DISTINCT l_suppkey) AS nd_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // agg_approx_distinct: intentionally no oracle (different sketches)
+    "agg_rollup" ->
+      """SELECT CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |       coalesce(l_returnflag, '<all>') AS flag,
+        |       coalesce(l_linestatus, '<all>') AS status,
+        |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "agg_cube" ->
+      """SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       coalesce(o_orderstatus, '<all>') AS status,
+        |       coalesce(o_orderpriority, '<all>') AS priority,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, status, priority""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |       coalesce(l_returnflag, '<all>') AS flag,
+        |       coalesce(l_linestatus, '<all>') AS status,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "agg_collect" ->
+      """SELECT l_returnflag,
+        | list_sort(list(DISTINCT CAST(l_quantity AS INT))) AS qty_values
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        | list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+        |                x -> round(x, 4)) AS pcts,
+        | count(*) AS n_rows
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

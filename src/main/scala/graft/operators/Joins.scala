@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Join matrix (SURVEY.md §2.3).
+  *
+  * At-scale strategy per variant:
+  *  - equi joins (inner/outer/semi/anti) shuffle both sides on the key —
+  *    Catalyst picks SortMergeJoin or ShuffledHashJoin; AQE converts to
+  *    broadcast at runtime when a side turns out small, and splits skewed
+  *    partitions (skew-join handling is free with AQE on).
+  *  - dimension joins (`join_broadcast`) pin `broadcast()` explicitly: at
+  *    100 TB the fact side never shuffles, each executor hash-probes an
+  *    in-memory dim table (nation=25, region=5 rows — trivially small).
+  *  - `join_theta`'s equi conjunct keeps it a hash/merge join with a
+  *    residual filter — never a nested-loop; a pure theta join would be
+  *    BroadcastNestedLoopJoin and is only safe when one side is tiny
+  *    (`join_cross` is exactly that, 5×25 rows).
+  *  - `join_range` maps each probe row to a band via a broadcast interval
+  *    table; at scale the same shape works with interval bucketing (split
+  *    intervals into aligned buckets, equi-join on bucket id) — here bands
+  *    are few, broadcast suffices.
+  *
+  * Null-ordering discipline: outer-join sort keys are wrapped in
+  * `coalesce(k, -1)` in BOTH engines — Spark default is NULLS FIRST,
+  * DuckDB's is NULLS LAST, so raw null keys would silently reorder rows.
+  */
+object Joins extends OpModule {
+
+  def joinInnerHash(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("o_totalprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Star-schema dim enrichment: both dims broadcast (plan-shape tested). */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Large-large equi join forced to sort-merge via hint. */
+  def joinSortMerge(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d).hint("merge")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)))
+  }
+
+  def joinRight(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)))
+  }
+
+  /** Full outer over two derived key sets that each miss some keys. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val f = o.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("f_key")).distinct()
+    val op = o.where(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("o_key")).distinct()
+    f.join(op, col("f_key") === col("o_key"), "full")
+      .select(
+        coalesce(col("f_key"), col("o_key")).as("custkey"),
+        when(col("f_key").isNotNull, 1).otherwise(0).as("has_f"),
+        when(col("o_key").isNotNull, 1).otherwise(0).as("has_o"))
+      .orderBy(col("custkey"))
+  }
+
+  def joinLeftSemi(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def joinLeftAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Equi conjunct + non-equi residual: stays a hash/merge join. */
+  def joinTheta(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey")
+        && li("l_extendedprice") > o("o_totalprice") * 0.5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("o_totalprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  def joinCross(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Band/range join: events.value against a broadcast interval table. */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0, 0.0, 20.0), (1, 20.0, 40.0), (2, 40.0, 60.0),
+      (3, 60.0, 80.0), (4, 80.0, 1e9)
+    ).toDF("band_id", "lo", "hi")
+    Tables.events(s, d)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("band_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_hash" -> joinInnerHash _,
+    "join_broadcast" -> joinBroadcast _,
+    "join_sort_merge" -> joinSortMerge _,
+    "join_left" -> joinLeft _,
+    "join_right" -> joinRight _,
+    "join_full" -> joinFull _,
+    "join_left_semi" -> joinLeftSemi _,
+    "join_left_anti" -> joinLeftAnti _,
+    "join_theta" -> joinTheta _,
+    "join_cross" -> joinCross _,
+    "join_range" -> joinRange _
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_inner_hash" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_broadcast" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_sort_merge" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        | round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, coalesce(o_orderkey, -1)""".stripMargin,
+    "join_right" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey, coalesce(o_orderkey, -1)""".stripMargin,
+    "join_full" ->
+      """WITH f AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        |SELECT coalesce(f.k, o.k) AS custkey,
+        |       CASE WHEN f.k IS NOT NULL THEN 1 ELSE 0 END AS has_f,
+        |       CASE WHEN o.k IS NOT NULL THEN 1 ELSE 0 END AS has_o
+        |FROM f FULL JOIN o ON f.k = o.k
+        |ORDER BY custkey""".stripMargin,
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_theta" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice * 0.5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_range" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (0, 0.0, 20.0), (1, 20.0, 40.0), (2, 40.0, 60.0),
+        |  (3, 60.0, 80.0), (4, 80.0, 1e9))
+        |SELECT band_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin
+  )
+}

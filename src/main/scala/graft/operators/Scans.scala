@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Source / sink operators (SURVEY.md §2.1).
+  *
+  * At-scale notes: parquet scans go through Spark's vectorized columnar
+  * reader; projection and predicates are pushed into the footer/row-group
+  * level by Catalyst (`scan_projected` has a plan-shape test asserting the
+  * pushed filter). CSV/JSON demonstrate schema-explicit text ingestion —
+  * at 100 TB these formats are splittable per-file, so ingestion
+  * parallelism = file count; the roundtrip here keeps the data tiny but the
+  * code path identical. Sinks write through the Hadoop committer, which is
+  * the cluster-safe (task-retry-tolerant) commit protocol.
+  */
+object Scans extends OpModule {
+
+  private val ioDir = "/tmp/graft_io"
+
+  /** Full columnar scan, total-ordered for the oracle hash-match. */
+  def scanParquet(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).orderBy(col("o_orderkey"))
+
+  /** Scan with projection + predicate — both must reach the parquet reader
+    * (Catalyst ColumnPruning + PushDownPredicates; asserted in ScansSpec). */
+  def scanProjected(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** CSV roundtrip: write a projection of `part` as CSV, read it back with
+    * an explicit schema (no inference job at scale). Doubles excluded —
+    * text roundtrip of binary floats is not oracle-exact. */
+  def scanCsv(s: SparkSession, d: String): DataFrame = {
+    val path = s"$ioDir/part_csv"
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_size", IntegerType)))
+    s.read.option("header", "true").schema(schema).csv(path)
+      .orderBy(col("p_partkey"))
+  }
+
+  /** JSON-lines roundtrip on `nation` (ints + strings only). */
+  def scanJson(s: SparkSession, d: String): DataFrame = {
+    val path = s"$ioDir/nation_json"
+    Tables.nation(s, d).write.mode(SaveMode.Overwrite).json(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).json(path)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Materialize-then-rescan: the write path Verify itself exercises, made
+    * an explicit operator (write agg → parquet → read back). */
+  def sinkParquet(s: SparkSession, d: String): DataFrame = {
+    val path = s"$ioDir/sink_parquet"
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    s.read.parquet(path).orderBy(col("o_orderstatus"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> scanParquet _,
+    "scan_projected" -> scanProjected _,
+    "scan_csv" -> scanCsv _,
+    "scan_json" -> scanJson _,
+    "sink_parquet" -> sinkParquet _
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan_parquet" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "scan_projected" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_quantity < 10 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_csv" ->
+      "SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey",
+    "scan_json" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "sink_parquet" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}
