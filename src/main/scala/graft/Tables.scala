@@ -24,15 +24,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
-    * nanosecond long (legacy conf) and truncate to a µs TimestampType
-    * column — the oracle side mirrors this with
-    * `make_timestamp(epoch_ns(ts) // 1000)`. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (Verify /
+    * Bench / SparkSpec all do) so the column arrives as a raw ns long; the
+    * loader truncates to a µs TimestampType column — the oracle side
+    * mirrors this with `make_timestamp(epoch_ns(ts) // 1000)`. The conf is
+    * deliberately NOT set here: mutating session state inside a loader
+    * races under concurrent query construction. */
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

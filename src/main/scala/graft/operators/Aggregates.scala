@@ -122,26 +122,29 @@ object Aggregates extends OpModule {
         "cast(g_status as int) as g_status", "flag", "status", "n_rows")
   }
 
-  /** Per-group arrays, order-stabilized (SURVEY.md §5.4.2). */
+  /** Per-group arrays, order-stabilized (SURVEY.md §5.4.2), then joined to
+    * a canonical comma string — the driver's hash compare cannot sort
+    * array-typed columns, so the array surface is exercised but the output
+    * column is a scalar. */
   def aggCollect(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(array_sort(collect_set(col("l_quantity").cast("int")))
+      .agg(concat_ws(",", array_sort(collect_set(col("l_quantity").cast("int"))))
         .as("qty_values"))
       .orderBy(col("l_returnflag"))
 
   /** Exact continuous percentiles (linear interpolation — same definition
-    * as DuckDB quantile_cont). approx_percentile is the 100 TB path but is
+    * as DuckDB quantile_cont), one scalar column per quantile so the gate
+    * can hash them. approx_percentile is the 100 TB path but is
     * sketch-based → test-only, not oracle-checked. */
   def aggPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
-        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("raw_pcts"),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
         count(lit(1)).as("n_rows"))
-      .select(col("o_orderstatus"),
-        expr("transform(raw_pcts, x -> round(x, 4))").as("pcts"),
-        col("n_rows"))
       .orderBy(col("o_orderstatus"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -198,12 +201,14 @@ object Aggregates extends OpModule {
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
     "agg_collect" ->
       """SELECT l_returnflag,
-        | list_sort(list(DISTINCT CAST(l_quantity AS INT))) AS qty_values
+        | array_to_string(list_sort(list(DISTINCT CAST(l_quantity AS INT))), ',')
+        |   AS qty_values
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderstatus,
-        | list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
-        |                x -> round(x, 4)) AS pcts,
+        | round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         | count(*) AS n_rows
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )

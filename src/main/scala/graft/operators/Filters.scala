@@ -28,13 +28,11 @@ object Filters extends OpModule {
       (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
       (col("l_extendedprice") * (lit(1) - col("l_discount"))
         * (lit(1) + col("l_tax"))).as("charged"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   def filterSimple(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .where(col("l_quantity") < 24)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** AND / OR / NOT / IN / BETWEEN / LIKE in one predicate tree. */
   def filterCompound(s: SparkSession, d: String): DataFrame =
@@ -47,7 +45,6 @@ object Filters extends OpModule {
             && col("o_orderpriority").like("5%")))
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderpriority"))
-      .orderBy(col("o_orderkey"))
 
   /** WHERE x > (SELECT avg(x) …) — scalar subquery as broadcast cross join. */
   def filterSubquery(s: SparkSession, d: String): DataFrame = {
@@ -56,7 +53,6 @@ object Filters extends OpModule {
     li.crossJoin(broadcast(avgQty))
       .where(col("l_quantity") > col("avg_qty"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   def distinctRows(s: SparkSession, d: String): DataFrame =
@@ -77,10 +73,10 @@ object Filters extends OpModule {
       """SELECT l_orderkey, l_linenumber,
         | l_extendedprice * (1 - l_discount) AS net_price,
         | l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem""".stripMargin,
     "filter_simple" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_quantity < 24 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |WHERE l_quantity < 24""".stripMargin,
     "filter_compound" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders
@@ -88,12 +84,10 @@ object Filters extends OpModule {
         |       AND o_totalprice BETWEEN 1000 AND 50000
         |       AND o_orderpriority LIKE '1%')
         |   OR (o_orderstatus NOT IN ('F','O')
-        |       AND o_orderpriority LIKE '5%')
-        |ORDER BY o_orderkey""".stripMargin,
+        |       AND o_orderpriority LIKE '5%')""".stripMargin,
     "filter_subquery" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)""".stripMargin,
     "distinct_rows" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin

@@ -36,7 +36,6 @@ object Joins extends OpModule {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
         col("o_totalprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** Star-schema dim enrichment: both dims broadcast (plan-shape tested). */
@@ -47,7 +46,6 @@ object Joins extends OpModule {
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .select(col("c_custkey"), col("n_name"), col("r_name"))
-      .orderBy(col("c_custkey"))
   }
 
   /** Large-large equi join forced to sort-merge via hint. */
@@ -66,7 +64,6 @@ object Joins extends OpModule {
     val o = Tables.orders(s, d)
     c.join(o, c("c_custkey") === o("o_custkey"), "left")
       .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)))
   }
 
   def joinRight(s: SparkSession, d: String): DataFrame = {
@@ -74,7 +71,6 @@ object Joins extends OpModule {
     val o = Tables.orders(s, d)
     o.join(c, o("o_custkey") === c("c_custkey"), "right")
       .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)))
   }
 
   /** Full outer over two derived key sets that each miss some keys. */
@@ -89,7 +85,6 @@ object Joins extends OpModule {
         coalesce(col("f_key"), col("o_key")).as("custkey"),
         when(col("f_key").isNotNull, 1).otherwise(0).as("has_f"),
         when(col("o_key").isNotNull, 1).otherwise(0).as("has_o"))
-      .orderBy(col("custkey"))
   }
 
   def joinLeftSemi(s: SparkSession, d: String): DataFrame = {
@@ -97,7 +92,6 @@ object Joins extends OpModule {
     val o = Tables.orders(s, d)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
   }
 
   def joinLeftAnti(s: SparkSession, d: String): DataFrame = {
@@ -105,7 +99,6 @@ object Joins extends OpModule {
     val o = Tables.orders(s, d)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
   }
 
   /** Equi conjunct + non-equi residual: stays a hash/merge join. */
@@ -116,7 +109,6 @@ object Joins extends OpModule {
         && li("l_extendedprice") > o("o_totalprice") * 0.5)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         col("o_totalprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   def joinCross(s: SparkSession, d: String): DataFrame =
@@ -157,14 +149,12 @@ object Joins extends OpModule {
   def oracle: Map[String, String] = Map(
     "join_inner_hash" ->
       """SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
     "join_broadcast" ->
       """SELECT c_custkey, n_name, r_name
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY c_custkey""".stripMargin,
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "join_sort_merge" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
         | round(sum(l_quantity), 4) AS sum_qty
@@ -172,33 +162,27 @@ object Joins extends OpModule {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "join_left" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
-        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |ORDER BY c_custkey, coalesce(o_orderkey, -1)""".stripMargin,
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey""".stripMargin,
     "join_right" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
-        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
-        |ORDER BY c_custkey, coalesce(o_orderkey, -1)""".stripMargin,
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "join_full" ->
       """WITH f AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
         |     o AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
         |SELECT coalesce(f.k, o.k) AS custkey,
         |       CASE WHEN f.k IS NOT NULL THEN 1 ELSE 0 END AS has_f,
         |       CASE WHEN o.k IS NOT NULL THEN 1 ELSE 0 END AS has_o
-        |FROM f FULL JOIN o ON f.k = o.k
-        |ORDER BY custkey""".stripMargin,
+        |FROM f FULL JOIN o ON f.k = o.k""".stripMargin,
     "join_left_semi" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "join_left_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "join_theta" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
         |FROM lineitem JOIN orders
-        |  ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice * 0.5
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |  ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice * 0.5""".stripMargin,
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,

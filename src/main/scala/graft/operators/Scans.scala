@@ -19,11 +19,16 @@ import graft.Tables
   */
 object Scans extends OpModule {
 
-  private val ioDir = "/tmp/graft_io"
+  /** Per-JVM scratch dir — concurrent Verify/Bench runs must not share
+    * roundtrip paths (a fixed /tmp path corrupts under two sessions). */
+  private lazy val ioDir: String =
+    java.nio.file.Files.createTempDirectory("graft_io").toString
 
-  /** Full columnar scan, total-ordered for the oracle hash-match. */
+  /** Full columnar scan. Deliberately sort-free: a scan is a bag, and at
+    * 100 TB a trailing range-partitioned total sort would dominate the
+    * operator; row-order canonicalization is the verifier's job. */
   def scanParquet(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).orderBy(col("o_orderkey"))
+    Tables.orders(s, d)
 
   /** Scan with projection + predicate — both must reach the parquet reader
     * (Catalyst ColumnPruning + PushDownPredicates; asserted in ScansSpec). */
@@ -31,7 +36,6 @@ object Scans extends OpModule {
     Tables.lineitem(s, d)
       .where(col("l_quantity") < 10)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** CSV roundtrip: write a projection of `part` as CSV, read it back with
     * an explicit schema (no inference job at scale). Doubles excluded —
@@ -45,7 +49,6 @@ object Scans extends OpModule {
       StructField("p_partkey", LongType), StructField("p_name", StringType),
       StructField("p_brand", StringType), StructField("p_size", IntegerType)))
     s.read.option("header", "true").schema(schema).csv(path)
-      .orderBy(col("p_partkey"))
   }
 
   /** JSON-lines roundtrip on `nation` (ints + strings only). */
@@ -81,12 +84,12 @@ object Scans extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
-    "scan_parquet" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "scan_parquet" -> "SELECT * FROM orders",
     "scan_projected" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-        |WHERE l_quantity < 10 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |WHERE l_quantity < 10""".stripMargin,
     "scan_csv" ->
-      "SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey",
+      "SELECT p_partkey, p_name, p_brand, p_size FROM part",
     "scan_json" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "sink_parquet" ->

@@ -45,26 +45,26 @@ object SortsSetOps extends OpModule {
   def setUnionAll(s: SparkSession, d: String): DataFrame = {
     val a = Tables.orders(s, d).select(col("o_custkey").as("k"))
     val b = Tables.customer(s, d).select(col("c_custkey").as("k"))
-    a.union(b).orderBy(col("k"))
+    a.union(b)
   }
 
   def setUnionDistinct(s: SparkSession, d: String): DataFrame = {
     val a = Tables.orders(s, d).select(col("o_custkey").as("k"))
     val b = Tables.customer(s, d).select(col("c_custkey").as("k"))
-    a.union(b).distinct().orderBy(col("k"))
+    a.union(b).distinct()
   }
 
   def setIntersect(s: SparkSession, d: String): DataFrame = {
     val a = Tables.orders(s, d).select(col("o_custkey").as("k"))
     val b = Tables.customer(s, d).where(col("c_acctbal") > 0)
       .select(col("c_custkey").as("k"))
-    a.intersect(b).orderBy(col("k"))
+    a.intersect(b)
   }
 
   def setExcept(s: SparkSession, d: String): DataFrame = {
     val a = Tables.customer(s, d).select(col("c_custkey").as("k"))
     val b = Tables.orders(s, d).select(col("o_custkey").as("k"))
-    a.except(b).orderBy(col("k"))
+    a.except(b)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -93,25 +93,21 @@ object SortsSetOps extends OpModule {
       """SELECT k FROM (
         |  SELECT o_custkey AS k FROM orders
         |  UNION ALL
-        |  SELECT c_custkey AS k FROM customer)
-        |ORDER BY k""".stripMargin,
+        |  SELECT c_custkey AS k FROM customer)""".stripMargin,
     "set_union_distinct" ->
       """SELECT k FROM (
         |  SELECT o_custkey AS k FROM orders
         |  UNION
-        |  SELECT c_custkey AS k FROM customer)
-        |ORDER BY k""".stripMargin,
+        |  SELECT c_custkey AS k FROM customer)""".stripMargin,
     "set_intersect" ->
       """SELECT k FROM (
         |  SELECT o_custkey AS k FROM orders
         |  INTERSECT
-        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0)
-        |ORDER BY k""".stripMargin,
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0)""".stripMargin,
     "set_except" ->
       """SELECT k FROM (
         |  SELECT c_custkey AS k FROM customer
         |  EXCEPT
-        |  SELECT o_custkey AS k FROM orders)
-        |ORDER BY k""".stripMargin
+        |  SELECT o_custkey AS k FROM orders)""".stripMargin
   )
 }

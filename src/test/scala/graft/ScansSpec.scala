@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+class ScansSpec extends SparkSpec {
+
+  test("scan_projected pushes filter and prunes columns at the parquet scan") {
+    val df = graft.operators.Scans.scanProjected(spark, sf)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    // predicate reaches the reader as a pushed data filter
+    assert(scan.dataFilters.nonEmpty,
+      "l_quantity < 10 must be pushed into the parquet scan")
+    // only the 4 referenced columns are read (3 projected + filter col)
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("l_orderkey", "l_linenumber", "l_extendedprice",
+      "l_quantity"), s"column pruning failed, read: $readCols")
+  }
+
+  test("scan_parquet result matches table row count (no sort, pure scan)") {
+    val n = graft.operators.Scans.scanParquet(spark, sf).count()
+    assert(n == 1500)
+  }
+
+  test("csv and json roundtrips preserve row counts and schema") {
+    val csv = graft.operators.Scans.scanCsv(spark, sf)
+    assert(csv.count() == 200)
+    assert(csv.schema.fieldNames.toSeq ==
+      Seq("p_partkey", "p_name", "p_brand", "p_size"))
+    val json = graft.operators.Scans.scanJson(spark, sf)
+    assert(json.count() == 25)
+  }
+}
