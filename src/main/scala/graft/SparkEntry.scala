@@ -18,7 +18,7 @@ object SparkEntry {
     Aggregates.aggHash(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[OpModule] = Seq(
-    Scans, Filters, Joins, Aggregates, SortsSetOps
+    Scans, Filters, Joins, Aggregates, SortsSetOps, Windows, ScalarFns
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Scalar function families (SURVEY.md §2.8) — one representative query per
+  * family, exercising several functions.
+  *
+  * All functions here are builtin `org.apache.spark.sql.functions._`
+  * Column expressions: codegen'd, null-safe, and fully inside whole-stage
+  * codegen — the hot-path discipline that keeps per-row cost at nanoseconds
+  * across 100 TB. No UDFs.
+  *
+  * Cross-engine drift notes (the silent hash-match killers):
+  *  - day-of-week numbering differs (Spark dayofweek: 1=Sunday; DuckDB dow:
+  *    0=Sunday) → use Spark `weekday` (0=Monday) vs DuckDB `isodow - 1`.
+  *  - natural log: Spark `log` == DuckDB `ln` (DuckDB `log` is base 10).
+  *  - round() on raw doubles is HALF_UP vs banker's in edge cases — only
+  *    round values that are already exact or aggregate outputs (§5.4.3).
+  */
+object ScalarFns extends OpModule {
+
+  private val eventsCte =
+    """WITH ev AS (
+      |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |         user_id, event_type, value, props
+      |  FROM events)""".stripMargin
+
+  /** String family over part names/types/brands. */
+  def fnString(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      lower(col("p_brand")).as("brand_lower"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_type"), 1, 7).as("type_prefix"),
+      split(col("p_type"), " ").getItem(0).as("type_first_word"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devoweled"),
+      lpad(col("p_partkey").cast("string"), 10, "0").as("key_padded"),
+      instr(col("p_type"), "ED").as("ed_pos"))
+
+  /** Date/time family over order dates. */
+  def fnDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      weekday(col("o_orderdate")).as("wd_mon0"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .as("days_to_2002"),
+      unix_timestamp(col("o_orderdate")).as("epoch_s"))
+
+  /** Math family over lineitem numerics. */
+  def fnMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice"), 1).as("price_round"),
+      floor(col("l_extendedprice")).as("price_floor"),
+      ceil(col("l_extendedprice")).as("price_ceil"),
+      abs(col("l_discount") - 0.05).as("disc_dev"),
+      round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+      round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+      round(log(col("l_extendedprice") + 1), 4).as("price_ln"),
+      pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+      greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+      least(col("l_tax"), col("l_discount")).as("le"),
+      when(col("l_quantity") > 25, "bulk")
+        .when(col("l_quantity") > 10, "mid")
+        .otherwise("small").as("qty_band"))
+
+  /** Array family: higher-order functions over embedding vectors.
+    * Accumulation is forced to double *in order* on both engines so the
+    * fold is bit-identical (float32 order-sensitivity, SURVEY.md §5.4.3). */
+  def fnArray(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      round(expr(
+        "aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, x) -> a + x)"),
+        4).as("vec_sum"),
+      round(expr(
+        "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), 0D, (a, x) -> a + x)"),
+        4).as("vec_sq_sum"),
+      size(expr("filter(embedding, x -> x > 0)")).as("n_positive"),
+      round(expr("cast(array_max(embedding) as double)"), 4).as("vec_max"))
+
+  /** Map family: crack events.props JSON into a typed map. */
+  def fnMap(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("m", from_json(col("props"), lit("map<string,int>")))
+      .select(
+        col("event_id"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("prop_keys"),
+        element_at(col("m"), "k").as("k_value"),
+        size(col("m")).as("n_props"))
+
+  /** JSON family: path extraction without full parse. */
+  def fnJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_via_path"),
+      to_json(struct(col("event_type"), col("user_id"))).as("packed"))
+
+  /** Decimal money math under explicit precision/scale. Every output is
+    * cast to a pinned DECIMAL type — engines widen intermediate precision
+    * differently, so the declared result type must be forced on both
+    * sides for the schema gate. */
+  def fnCastDecimal(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("price_dec", col("o_totalprice").cast(DecimalType(12, 2)))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(col("price_dec")).cast(DecimalType(18, 2)).as("sum_dec"),
+        max(col("price_dec")).cast(DecimalType(12, 2)).as("max_dec"),
+        (sum(col("price_dec")) * expr("CAST(0.07 AS DECIMAL(3,2))"))
+          .cast(DecimalType(18, 4)).as("tax_dec"))
+      .orderBy(col("o_orderstatus"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> fnString _,
+    "fn_date" -> fnDate _,
+    "fn_math" -> fnMath _,
+    "fn_array" -> fnArray _,
+    "fn_map" -> fnMap _,
+    "fn_json" -> fnJson _,
+    "fn_cast_decimal" -> fnCastDecimal _
+  )
+
+  def oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS name_upper,
+        | lower(p_brand) AS brand_lower,
+        | length(p_name) AS name_len,
+        | substring(p_type, 1, 7) AS type_prefix,
+        | split_part(p_type, ' ', 1) AS type_first_word,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+        | lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+        | instr(p_type, 'ED') AS ed_pos
+        |FROM part""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS y,
+        | month(o_orderdate) AS m,
+        | dayofmonth(o_orderdate) AS dom,
+        | isodow(o_orderdate) - 1 AS wd_mon0,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(o_orderdate AS DATE) + 30 AS due_date,
+        | datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |   AS days_to_2002,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice, 1) AS price_round,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        | abs(l_discount - 0.05) AS disc_dev,
+        | round(pow(l_quantity, 2), 4) AS qty_sq,
+        | round(sqrt(l_extendedprice), 4) AS price_sqrt,
+        | round(ln(l_extendedprice + 1), 4) AS price_ln,
+        | l_orderkey % 7 AS key_mod7,
+        | greatest(l_quantity, l_discount * 100) AS gr,
+        | least(l_tax, l_discount) AS le,
+        | CASE WHEN l_quantity > 25 THEN 'bulk'
+        |      WHEN l_quantity > 10 THEN 'mid'
+        |      ELSE 'small' END AS qty_band
+        |FROM lineitem""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        | len(embedding) AS dim,
+        | round(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        |   (a, x) -> a + x), 4) AS vec_sum,
+        | round(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |   (a, x) -> a + x), 4) AS vec_sq_sum,
+        | len(list_filter(embedding, x -> x > 0)) AS n_positive,
+        | round(CAST(list_max(embedding) AS DOUBLE), 4) AS vec_max
+        |FROM embeddings""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        | array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+        | CAST(json_extract(props, '$.k') AS INT) AS k_value,
+        | len(json_keys(props)) AS n_props
+        |FROM events""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        | CAST(json_extract(props, '$.k') AS INT) AS k_via_path,
+        | json_object('event_type', event_type, 'user_id', user_id)::VARCHAR
+        |   AS packed
+        |FROM events""".stripMargin,
+    "fn_cast_decimal" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |   AS sum_dec,
+        | CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+        |   AS max_dec,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 0.07 AS DECIMAL(18,4))
+        |   AS tax_dec
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

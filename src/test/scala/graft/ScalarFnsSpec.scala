@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+
+class ScalarFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fn_string values on real parts") {
+    val r = graft.operators.ScalarFns.fnString(spark, sf)
+      .where($"p_partkey" === 1L).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("brand_num").matches("\\d+"))
+    assert(row.getAs[String]("key_padded") == "0000000001")
+  }
+
+  test("fn_math bands partition all rows") {
+    val df = graft.operators.ScalarFns.fnMath(spark, sf)
+    val bands = df.groupBy("qty_band").count().collect()
+      .map(r => r.getString(0)).toSet
+    assert(bands.subsetOf(Set("bulk", "mid", "small")))
+    assert(df.where($"key_mod7" >= 7 || $"key_mod7" < 0).count() == 0)
+  }
+
+  test("fn_array vector sums match manual fold") {
+    val df = graft.operators.ScalarFns.fnArray(spark, sf).limit(5).collect()
+    assert(df.forall(_.getAs[Int]("dim") == 64))
+  }
+
+  test("fn_map and fn_json agree on the extracted k value") {
+    val m = graft.operators.ScalarFns.fnMap(spark, sf)
+      .select($"event_id", $"k_value")
+    val j = graft.operators.ScalarFns.fnJson(spark, sf)
+      .select($"event_id", $"k_via_path")
+    val joined = m.join(j, "event_id")
+      .where($"k_value" =!= $"k_via_path" ||
+        ($"k_value".isNull =!= $"k_via_path".isNull))
+    assert(joined.count() == 0)
+  }
+
+  test("scalar families stay inside whole-stage codegen") {
+    val df = graft.operators.ScalarFns.fnMath(spark, sf)
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, "fn_math must be codegen'd end-to-end")
+  }
+}
