@@ -18,7 +18,8 @@ object SparkEntry {
     Aggregates.aggHash(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[OpModule] = Seq(
-    Scans, Filters, Joins, Aggregates, SortsSetOps, Windows, ScalarFns
+    Scans, Filters, Joins, Aggregates, SortsSetOps, Windows, ScalarFns,
+    Streaming
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

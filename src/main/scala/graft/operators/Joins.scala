@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -132,7 +133,45 @@ object Joins extends OpModule {
       .orderBy(col("band_id"))
   }
 
+  /** As-of join: for each click, the latest purchase by the same user at
+    * or before the click's timestamp (the canonical stream-enrichment
+    * join; DuckDB has it native as ASOF JOIN).
+    *
+    * Spark has no native as-of, and the naive composition — join on user
+    * with ts <= ts, then keep rank 1 — explodes quadratically per user.
+    * This implementation is the scalable one: union both sides tagged,
+    * single shuffle on user_id, one ordered window pass carrying the most
+    * recent purchase forward via last(ignoreNulls). O(n log n) per user,
+    * no intermediate blowup — the same merge-scan shape a native as-of
+    * operator would run. At equal timestamps the purchase sorts before
+    * the click (is_left ascending), so ts-equal matches are included. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(1).as("is_left"),
+      col("event_id"),
+      lit(null).cast("long").as("p_event"),
+      lit(null).cast("double").as("p_value"))
+    val purchases = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(0).as("is_left"),
+      col("event_id"),
+      col("event_id").as("p_event"),
+      col("value").as("p_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .select(
+        col("user_id"), col("ts"), col("is_left"), col("event_id"),
+        last(col("p_event"), ignoreNulls = true).over(w).as("matched_purchase"),
+        last(col("p_value"), ignoreNulls = true).over(w).as("purchase_value"))
+      .where(col("is_left") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("matched_purchase"), col("purchase_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof" -> joinAsof _,
     "join_inner_hash" -> joinInnerHash _,
     "join_broadcast" -> joinBroadcast _,
     "join_sort_merge" -> joinSortMerge _,
@@ -147,6 +186,18 @@ object Joins extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         user_id, event_type, value
+        |  FROM events),
+        |c AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, c.ts,
+        |       p.event_id AS matched_purchase,
+        |       p.value AS purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "join_inner_hash" ->
       """SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Event-time streaming operators (SURVEY.md §2.9), written as transforms
+  * over a DataFrame so the SAME function runs in batch (on the `events`
+  * fixture — DuckDB-checkable) and in Structured Streaming (MemoryStream
+  * replay in StreamingSpec asserts the incremental/watermark behavior the
+  * batch oracle cannot see). This is Structured Streaming's unified-model
+  * guarantee: a streaming query's final result equals the batch query over
+  * the stream's complete data.
+  *
+  * At-scale notes: every windowed aggregation here is keyed by
+  * (window, event_type) or (session, user_id) — state is hash-partitioned
+  * across executors by key, partial-aggregated map-side, and (in streaming
+  * mode) bounded by the watermark: state for windows older than
+  * watermark is evicted, so state size is O(active windows × keys), not
+  * O(stream length). user_id is high-cardinality and well-spread; no
+  * salting needed.
+  */
+object Streaming extends OpModule {
+
+  /** Event row for typed stateful ops; ts is µs (see Tables.events). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** Per-user running aggregate carried in the state store. */
+  case class UserAgg(n: Long, sum: Double, lastTs: Long)
+  case class UserSummary(user_id: Long, n_events: Long, sum_value: Double,
+                         last_epoch_s: Long)
+
+  // ── transforms (batch ≡ streaming) ────────────────────────────────────
+
+  /** 1-hour tumbling windows per event type. */
+  def tumbling(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** 1-hour windows sliding every 15 minutes (each event lands in 4). */
+  def sliding(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows: 30-minute inactivity gap per user. */
+  def session(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Exactly-once by key: duplicates (here: a replayed copy of the whole
+    * stream) collapse to one row per event_id. */
+  def dedup(ev: DataFrame): DataFrame =
+    ev.union(ev)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Watermarked daily counts. In batch the watermark is a no-op by
+    * design (complete data); StreamingSpec asserts the streaming side
+    * actually drops late rows and bounds state. */
+  def watermarked(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("n_events"))
+
+  /** Late-data policy boundary made observable: the rows a 10-minute
+    * watermark would still be holding open at end-of-stream (ts within
+    * 10 minutes of the stream's max). */
+  def lateData(ev: DataFrame): DataFrame = {
+    val cutoff = ev.agg((max(col("ts")).cast("long") - 600).as("cut"))
+    ev.crossJoin(broadcast(cutoff))
+      .where(col("ts").cast("long") > col("cut"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_tail_events"))
+  }
+
+  /** Arbitrary keyed state: per-user running (count, sum, last-seen),
+    * the ECS "system with Resource state" analog. flatMapGroupsWithState
+    * runs identically in batch (one invocation per key, empty init state)
+    * and streaming (state persisted per key in the state store,
+    * watermark-bounded via EventTimeTimeout). */
+  def statefulSummary(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fn = (uid: Long, rows: Iterator[Event], state: GroupState[UserAgg]) => {
+      var agg = state.getOption.getOrElse(UserAgg(0L, 0.0, Long.MinValue))
+      rows.foreach { e =>
+        agg = UserAgg(agg.n + 1, agg.sum + e.value,
+          math.max(agg.lastTs, e.ts.getTime / 1000))
+      }
+      state.update(agg)
+      Iterator(UserSummary(uid, agg.n, agg.sum, agg.lastTs))
+    }
+    ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+      // round outside the stateful fn so both engines use SQL round()
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"), col("last_epoch_s"))
+  }
+
+  // ── registry: batch twins on the events fixture ───────────────────────
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> ((s, d) => tumbling(ev(s, d))),
+    "stream_sliding" -> ((s, d) => sliding(ev(s, d))),
+    "stream_session" -> ((s, d) => session(ev(s, d))),
+    "stream_dedup" -> ((s, d) => dedup(ev(s, d))),
+    "stream_watermark" -> ((s, d) => watermarked(ev(s, d))),
+    "stream_late_data" -> ((s, d) => lateData(ev(s, d))),
+    "stream_stateful_map" -> ((s, d) => statefulSummary(s, ev(s, d)))
+  )
+
+  private val evCte =
+    """WITH ev AS (
+      |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |         user_id, event_type, value
+      |  FROM events)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "stream_tumbling" -> (evCte +
+      """
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM ev GROUP BY 1, 2""".stripMargin),
+    // each event belongs to the 4 hour-long windows starting at the
+    // 15-minute marks in (ts - 1h, ts]
+    "stream_sliding" -> (evCte +
+      """
+        |SELECT time_bucket(INTERVAL 15 MINUTES, ts)
+        |         - o * INTERVAL 15 MINUTES AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) offsets(o)
+        |GROUP BY 1, 2""".stripMargin),
+    // gaps-and-islands: new session when the gap from the previous event
+    // of the same user is >= 30 minutes (Spark merges only strictly
+    // closer events); session_end = last event + gap
+    "stream_session" -> (evCte +
+      """
+        |, flagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTES AS session_end,
+        |       user_id, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM numbered GROUP BY user_id, sid""".stripMargin),
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "stream_watermark" -> (evCte +
+      """
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+        |       count(*) AS n_events
+        |FROM ev GROUP BY 1, 2""".stripMargin),
+    "stream_late_data" -> (evCte +
+      """
+        |SELECT event_type, count(*) AS n_tail_events
+        |FROM ev
+        |WHERE epoch_ns(ts) // 1000000000 >
+        |      (SELECT max(epoch_ns(ts) // 1000000000) - 600 FROM ev)
+        |GROUP BY event_type""".stripMargin),
+    "stream_stateful_map" -> (evCte +
+      """
+        |SELECT user_id, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value,
+        |       max(epoch_ns(ts) // 1000000000) AS last_epoch_s
+        |FROM ev GROUP BY user_id""".stripMargin)
+  )
+}

@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Streaming
+import graft.operators.Streaming.Event
+
+/** Streaming twins of the §2.9 batch queries: the same transform functions
+  * driven through MemoryStream, asserting the incremental semantics the
+  * DuckDB oracle cannot see (watermark late-drop, session merge across
+  * batches, exactly-once dedup, keyed state across micro-batches).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  private def ev(id: Long, m: Long, uid: Long, typ: String, v: Double) =
+    Event(id, ts(m), uid, typ, v)
+
+  private def run(q: StreamingQuery, s: MemoryStream[Event],
+                  batches: Seq[Seq[Event]]): Unit = {
+    batches.foreach { b => s.addData(b); q.processAllAvailable() }
+  }
+
+  test("tumbling stream equals its batch twin on the same data") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val data = Seq(
+      ev(1, 10, 1, "click", 1.0), ev(2, 50, 1, "click", 2.0),
+      ev(3, 70, 2, "view", 3.0), ev(4, 130, 2, "view", 4.0))
+    val q = Streaming.tumbling(input.toDF())
+      .writeStream.format("memory").queryName("tum")
+      .outputMode("complete").start()
+    try {
+      run(q, input, Seq(data.take(2), data.drop(2)))
+      val streamed = spark.table("tum").collect().toSet
+      val batch = Streaming.tumbling(data.toDF()).collect().toSet
+      assert(streamed == batch)
+      assert(batch.size == 3) // hours 0, 1, 2
+    } finally q.stop()
+  }
+
+  test("session windows merge within gap and split across it") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1: events at 0, 20, 40 min (gaps < 30) → ONE session [0, 70)
+    // then 120 min (gap 80 >= 30)                 → second session
+    val q = Streaming.session(input.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      run(q, input, Seq(
+        Seq(ev(1, 0, 1, "click", 1.0), ev(2, 20, 1, "click", 1.0)),
+        Seq(ev(3, 40, 1, "click", 1.0), ev(4, 120, 1, "click", 1.0))))
+      val rows = spark.table("sess").orderBy($"session_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_events") == 3) // merged across batches
+      assert(rows(0).getAs[Timestamp]("session_end") == ts(70)) // 40 + 30 gap
+      assert(rows(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("dedup collapses replayed event_ids across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // dropDuplicates state spans micro-batches: replaying batch 1 in
+    // batch 2 must not double-count (the union in the batch twin plays
+    // the same role there)
+    val base = Seq(ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "view", 1.0))
+    val dd = input.toDF().dropDuplicates("event_id")
+      .groupBy($"event_type").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+    val q = dd.writeStream.format("memory").queryName("dd")
+      .outputMode("complete").start()
+    try {
+      run(q, input, Seq(base, base)) // exact replay
+      val n = spark.table("dd").agg(Map("n_events" -> "sum")).head.getLong(0)
+      assert(n == 2, s"replayed duplicates must collapse, got $n")
+    } finally q.stop()
+  }
+
+  test("watermark drops data later than the threshold") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.watermarked(input.toDF())
+      .writeStream.format("memory").queryName("wm")
+      .outputMode("append").start()
+    try {
+      run(q, input, Seq(
+        Seq(ev(1, 10, 1, "click", 1.0), ev(2, 20, 1, "click", 1.0)),
+        // jump 3 days ahead: watermark = day3 - 10min >> end of day 1,
+        // so day 1's window is finalized and emitted
+        Seq(ev(3, 3 * 1440, 1, "click", 1.0)),
+        // late arrival inside day 1 — behind the watermark → dropped
+        Seq(ev(4, 30, 1, "click", 99.0)),
+        // nudge another batch through so any (incorrect) update would show
+        Seq(ev(5, 3 * 1440 + 1, 1, "click", 1.0))))
+      val day1 = spark.table("wm")
+        .where($"day_start" === ts(0)).collect()
+      assert(day1.length == 1)
+      assert(day1.head.getAs[Long]("n_events") == 2,
+        "late event must NOT be counted into the finalized day-1 window")
+    } finally q.stop()
+  }
+
+  test("stateful per-user summary accumulates across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.statefulSummary(spark, input.toDF())
+      .writeStream.format("memory").queryName("st")
+      .outputMode("append").start()
+    try {
+      run(q, input, Seq(
+        Seq(ev(1, 1, 1, "click", 1.5), ev(2, 2, 1, "view", 2.5)),
+        Seq(ev(3, 3, 1, "click", 3.0), ev(4, 4, 2, "view", 4.0))))
+      // last emitted row per user reflects cumulative state
+      val rows = spark.table("st").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> rs.maxBy(_.getAs[Long]("n_events")) }
+      assert(rows(1L).getAs[Long]("n_events") == 3)
+      assert(math.abs(rows(1L).getAs[Double]("sum_value") - 7.0) < 1e-9)
+      assert(rows(2L).getAs[Long]("n_events") == 1)
+      assert(rows(1L).getAs[Long]("last_epoch_s") == ts(3).getTime / 1000)
+    } finally q.stop()
+  }
+
+  test("batch twin of stateful summary equals plain aggregation") {
+    val data = Seq(
+      ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "view", 2.0),
+      ev(3, 3, 2, "click", 3.0))
+    val got = Streaming.statefulSummary(spark, data.toDF())
+      .orderBy($"user_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 3.0), (2L, 1L, 3.0)))
+  }
+}
