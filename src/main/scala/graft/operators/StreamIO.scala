@@ -1,0 +1,294 @@
+package graft.operators
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+
+/** Streaming sources, sinks, and stream joins (SURVEY.md §2.1 streaming
+  * rows + §2.3 stream joins). The ECS reference's "topic" abstraction
+  * (/root/reference/README.md:2 — named streams connecting systems) maps
+  * to Structured Streaming sources/sinks; with zero egress there is no
+  * Kafka broker, so the topic surface is exercised through the file,
+  * memory, and rate connectors — the same DataSource V2 API a Kafka
+  * connector plugs into.
+  *
+  * Every query here RUNS a real streaming query (Trigger.AvailableNow →
+  * runs to completion, then returns the materialized result), so the
+  * driver's correctness gate checks actual micro-batch execution, not a
+  * batch stand-in. Checkpoint/output dirs are UUID-fresh per call;
+  * exactly-once recovery reuses one checkpoint deliberately.
+  *
+  * At-scale notes: the file source lists + splits files across executors
+  * (ingestion parallelism = file count × row groups); sinks commit via
+  * the streaming commit log, giving exactly-once with idempotent
+  * replays; stream-stream joins keep watermark-bounded state per key —
+  * O(join-window × rate), independent of stream length.
+  */
+object StreamIO extends OpModule {
+
+  private lazy val scratch: String =
+    java.nio.file.Files.createTempDirectory("graft_stream").toString
+
+  private def fresh(tag: String): String = s"$scratch/$tag-${UUID.randomUUID()}"
+
+  /** Bounded wait: AvailableNow terminates on its own; the timeout is a
+    * backstop so a misbehaving source can never wedge the Verify run. */
+  private def runToEnd(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    if (!q.awaitTermination(180000L)) q.stop()
+  }
+
+  /** The file-stream source watches a DIRECTORY (new files appear as the
+    * unbounded "topic"); the fixture is a single file, so stage it into a
+    * scratch dir once per (JVM, sfDir). */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsDir(d: String): String =
+    stagedDirs.computeIfAbsent(d, { dir =>
+      val target = java.nio.file.Paths.get(fresh("events_src"))
+      java.nio.file.Files.createDirectories(target)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        target.resolve("events.parquet"))
+      target.toString
+    })
+
+  /** events.parquet as an unbounded file-source table (ns→µs like
+    * Tables.events). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val path = eventsDir(d)
+    val schema = s.read.parquet(path).schema
+    s.readStream.schema(schema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Directory-watch ingestion: stream the events table through a real
+    * micro-batch file source into a memory sink, then aggregate. */
+  def sourceFileStream(s: SparkSession, d: String): DataFrame = {
+    val name = s"src_file_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = eventsStream(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name)
+  }
+
+  /** Deterministic replay source: a literal event sequence through
+    * MemoryStream (the unit-test topic), windowed per hour. The oracle is
+    * the same literal data as a VALUES table — the full gate applies even
+    * though no fixture table is read. */
+  def sourceMemory(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // epoch millis, NOT Timestamp.valueOf: that parses in the JVM-default
+    // zone and would shift the literal hours if the host isn't UTC
+    val base = 1717200000000L // 2024-06-01 00:00:00 UTC
+    def at(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val events = Seq(
+      Streaming.Event(1L, at(5), 1L, "click", 1.5),
+      Streaming.Event(2L, at(20), 1L, "view", 2.0),
+      Streaming.Event(3L, at(65), 2L, "click", 3.0),
+      Streaming.Event(4L, at(70), 2L, "click", 0.5),
+      Streaming.Event(5L, at(125), 1L, "view", 4.0))
+    val input = MemoryStream[Streaming.Event]
+    val name = s"src_mem_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = Streaming.tumbling(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    input.addData(events.take(3))
+    q.processAllAvailable()
+    input.addData(events.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  /** Synthetic unbounded source: deterministic rate-micro-batch (fixed
+    * rows per micro-batch, monotone timestamps). Rows-only check — the
+    * generated timestamps are configured but the batch count depends on
+    * when AvailableNow snapshots the clock is avoided by rowsPerBatch. */
+  def sourceRate(s: SparkSession, d: String): DataFrame = {
+    val name = s"src_rate_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 100)
+      .option("numPartitions", 4)
+      .option("startTimestamp", 0)
+      .load()
+      .select(col("value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name).agg(count(lit(1)).as("n_rows"),
+      min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+  }
+
+  /** Streaming parquet sink with checkpointed exactly-once commit:
+    * filter the event stream, write through the streaming committer,
+    * read the result back. */
+  def sinkStream(s: SparkSession, d: String): DataFrame = {
+    val out = fresh("sink_out")
+    val q = eventsStream(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.read.parquet(out)
+  }
+
+  /** Exactly-once resume: run a checkpointed job to completion, then
+    * restart it against the SAME checkpoint and source — the commit log
+    * must show nothing new to process, and the output must not double. */
+  def checkpointRecovery(s: SparkSession, d: String): DataFrame = {
+    val out = fresh("recov_out")
+    val ckpt = fresh("recov_ckpt")
+    def runOnce(): Unit = {
+      val q = eventsStream(s, d)
+        .where(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      runToEnd(q)
+    }
+    runOnce()
+    runOnce() // restart from checkpoint: no-op, output must not double
+    s.read.parquet(out)
+  }
+
+  /** Complete-output-mode demonstrator (append is exercised by the
+    * sinks above, update by StreamingSpec): running totals per type. */
+  def outputModes(s: SparkSession, d: String): DataFrame = {
+    val name = s"modes_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = eventsStream(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name)
+  }
+
+  /** Stream-stream join: purchases within 30 minutes before each click,
+    * per user, both sides watermarked (bounds the join state). */
+  def joinStreamStream(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d).where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = eventsStream(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val name = s"ss_join_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("c_ts"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("p_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name)
+  }
+
+  /** Stream enriched by a static (broadcast) dimension — the streaming
+    * side never shuffles; each micro-batch hash-probes the dim. */
+  def joinStreamStatic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 1e9)
+    ).toDF("band_id", "lo", "hi")
+    val name = s"st_join_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = eventsStream(s, d)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_file_stream" -> sourceFileStream _,
+    "source_memory" -> sourceMemory _,
+    "source_rate" -> sourceRate _,
+    "sink_stream" -> sinkStream _,
+    "stream_checkpoint_recovery" -> checkpointRecovery _,
+    "stream_output_modes" -> outputModes _,
+    "join_stream_stream" -> joinStreamStream _,
+    "join_stream_static" -> joinStreamStatic _
+  )
+
+  private val evCte =
+    """WITH ev AS (
+      |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |         user_id, event_type, value
+      |  FROM events)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "source_file_stream" -> (evCte +
+      """
+        |SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM ev GROUP BY event_type""".stripMargin),
+    // CAST value to DOUBLE — DuckDB infers DECIMAL for bare 1.5 literals
+    "source_memory" ->
+      """WITH lit_ev(event_id, ts, event_type, value) AS (VALUES
+        |  (1, TIMESTAMP '2024-06-01 00:05:00', 'click', CAST(1.5 AS DOUBLE)),
+        |  (2, TIMESTAMP '2024-06-01 00:20:00', 'view', CAST(2.0 AS DOUBLE)),
+        |  (3, TIMESTAMP '2024-06-01 01:05:00', 'click', CAST(3.0 AS DOUBLE)),
+        |  (4, TIMESTAMP '2024-06-01 01:10:00', 'click', CAST(0.5 AS DOUBLE)),
+        |  (5, TIMESTAMP '2024-06-01 02:05:00', 'view', CAST(4.0 AS DOUBLE)))
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM lit_ev GROUP BY 1, 2""".stripMargin,
+    // source_rate: rows-only by design (synthetic clock source)
+    "sink_stream" -> (evCte +
+      """
+        |SELECT event_id, user_id, value FROM ev
+        |WHERE event_type = 'purchase'""".stripMargin),
+    "stream_checkpoint_recovery" -> (evCte +
+      """
+        |SELECT event_id, user_id, value FROM ev
+        |WHERE event_type = 'signup'""".stripMargin),
+    "stream_output_modes" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "join_stream_stream" -> (evCte +
+      """
+        |SELECT c.user_id, c.event_id AS click_id,
+        |       p.event_id AS purchase_id, p.value AS p_value
+        |FROM ev c JOIN ev p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts - INTERVAL 30 MINUTES AND p.ts <= c.ts""".stripMargin),
+    "join_stream_static" -> (evCte +
+      """
+        |, bands(band_id, lo, hi) AS (VALUES
+        |  (0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 1e9))
+        |SELECT band_id, count(*) AS n_events
+        |FROM ev JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band_id""".stripMargin)
+  )
+}
