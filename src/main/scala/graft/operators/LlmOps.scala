@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.10) over the
+  * `documents` and `embeddings` fixtures: exact + near deduplication,
+  * similarity search, text statistics, and the multimodal envelope.
+  *
+  * At-scale design (the 100 TB story these must survive):
+  *  - exact dedup groups on sha2(text) — a fixed 32-byte shuffle key
+  *    instead of megabyte documents; the min-id winner rule makes the
+  *    survivor deterministic.
+  *  - near dedup is MinHash + LSH banding: signatures are O(k) per doc
+  *    regardless of length, banding shuffles each doc b times on small
+  *    band keys, and ONLY in-bucket candidates are exact-verified. The
+  *    all-pairs O(n²) comparison never happens; cost is O(collisions).
+  *  - similarity top-k broadcasts the (small) query set; candidate
+  *    embeddings stream through map-side cosine with an in-order double
+  *    fold (bit-reproducible), and the final top-k per query is a window
+  *    over qid — k·|queries| rows survive. The bucketed/IVF variant for
+  *    huge candidate sets is `llm_ann_ivf` (LlmExtended).
+  *  - text stats are per-row O(1)/O(len) column expressions, fully
+  *    codegen'd, no shuffle at all.
+  */
+object LlmOps extends OpModule {
+
+  // ── shared text machinery ─────────────────────────────────────────────
+
+  /** Distinct word 3-shingles of `text` (the near-dup unit). Guarded:
+    * Spark's sequence(1, n) DESCENDS when n < 1, so short docs must short
+    * circuit to an empty array. */
+  private val shinglesExpr =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(toks) - 2),
+      |    i -> concat_ws(' ', slice(toks, i, 3))))
+      |ELSE array() END""".stripMargin
+
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesExpr))
+
+  /** MinHash signature (k=32): per-shingle xxhash64 base hashes, then
+    * k seeded re-hashes, min per seed. */
+  private val K = 32
+  private val RowsPerBand = 2
+  private val Bands = K / RowsPerBand
+
+  private def withSignature(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until K).map(i =>
+      s"array_min(transform(base_h, x -> xxhash64(x, ${i}L)))")
+    docs.withColumn("base_h", expr("transform(shingles, s -> xxhash64(s))"))
+      .withColumn("sig", expr(s"array(${sigCols.mkString(", ")})"))
+  }
+
+  /** LSH bands: hash r consecutive signature entries per band; a pair of
+    * docs is a candidate iff some band hash collides. */
+  private val bandsExpr =
+    s"""transform(sequence(0, ${Bands - 1}),
+       |  j -> named_struct('band', j,
+       |    'bh', xxhash64(element_at(sig, 2*j + 1), element_at(sig, 2*j + 2))))""".stripMargin
+
+  // ── §2.10 operators ───────────────────────────────────────────────────
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id.
+    * 8 duplicate texts exist at sf0.1 (FIXTURES.md) — n_copies=2 rows. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  /** Near dedup: MinHash(32) → LSH(16 bands × 2 rows) candidates →
+    * exact shingle-Jaccard verification at τ=0.8. Output = verified
+    * near-duplicate pairs. Recall: a pair at J≥0.8 escapes all 16 bands
+    * with probability (1−0.8²)¹⁶ ≈ 8e-8 — the exact-verify step then
+    * makes precision 1, so the output equals the all-pairs oracle. */
+  def dedupNear(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.8
+    val docs = withSignature(withShingles(Tables.documents(s, d)))
+      .select(col("doc_id"), col("shingles"), col("sig"))
+    val bands = docs
+      .select(col("doc_id"), explode(expr(bandsExpr)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("i", size(array_intersect(col("sa.shingles"), col("sb.shingles"))))
+      .withColumn("u",
+        size(col("sa.shingles")) + size(col("sb.shingles")) - col("i"))
+      .where(col("i").cast("double") / col("u") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") / col("u"), 4).as("jaccard"))
+  }
+
+  /** Brute-force cosine top-k: 10 query vectors against all embeddings.
+    * Dot/norm folds are in-order double accumulation (bit-identical to
+    * the oracle's list_reduce); ranking is on the rounded score with a
+    * unique candidate tiebreaker. */
+  def similarityTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dot = expr(
+      """aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)),
+        |0D, (a, x) -> a + x)""".stripMargin)
+    val nq = expr(
+      """aggregate(transform(qe, x -> cast(x as double) * cast(x as double)),
+        |0D, (a, x) -> a + x)""".stripMargin)
+    val nc = expr(
+      """aggregate(transform(ce, x -> cast(x as double) * cast(x as double)),
+        |0D, (a, x) -> a + x)""".stripMargin)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cands.crossJoin(broadcast(queries))
+      .where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(dot / (sqrt(nq) * sqrt(nc)), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+  }
+
+  /** Per-document text statistics: token count, distinct tokens,
+    * type-token ratio, average token length — all O(len) arithmetic, no
+    * array fold needed for the average (total chars = len - spaces). */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        round(size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")), 4).as("ttr"),
+        round((length(col("text")) - (size(col("toks")) - 1)).cast("double")
+          / size(col("toks")), 4).as("avg_token_len"))
+
+  /** Multimodal envelope: kind + text + binary payload + typed metadata
+    * in one struct column — construct, filter by kind, project through.
+    * The blob here is the utf-8 encoding of the text (a real pipeline
+    * would carry image/audio bytes; the envelope and the operations on
+    * it are identical). */
+  def multimodal(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), struct(
+        lit("text").as("kind"),
+        col("text"),
+        encode(col("text"), "UTF-8").as("blob"),
+        map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta")
+      ).as("media"))
+      .where(col("media.kind") === "text")
+      .select(
+        col("doc_id"),
+        col("media.kind").as("kind"),
+        octet_length(col("media.blob")).as("n_bytes"),
+        element_at(col("media.meta"), "lang").as("lang"),
+        element_at(col("media.meta"), "source").as("source"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> dedupExact _,
+    "llm_dedup_near" -> dedupNear _,
+    "llm_similarity_topk" -> similarityTopk _,
+    "llm_text_stats" -> textStats _,
+    "llm_multimodal" -> multimodal _
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    // exact all-pairs Jaccard via shingle equi-join (the oracle is the
+    // exhaustive computation the LSH path approximates-with-verify)
+    "llm_dedup_near" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+        |SELECT da AS doc_a, db AS doc_b,
+        |       round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+    "llm_similarity_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS cid,
+        |    round(
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |        (a, x) -> a + x)
+        |      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |           list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |           (a, x) -> a + x))
+        |         * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |             list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |             (a, x) -> a + x))), 4) AS cos
+        |  FROM q CROSS JOIN embeddings e
+        |  WHERE e.vec_id != q.qid)
+        |SELECT qid, cid, cos,
+        |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |FROM scored
+        |QUALIFY rn <= 5""".stripMargin,
+    "llm_text_stats" ->
+      """SELECT doc_id, lang,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        | round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |       / len(string_split(text, ' ')), 4) AS ttr,
+        | round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |       / len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "llm_multimodal" ->
+      """SELECT doc_id, 'text' AS kind,
+        | octet_length(encode(text)) AS n_bytes,
+        | lang, source
+        |FROM documents""".stripMargin
+  )
+}

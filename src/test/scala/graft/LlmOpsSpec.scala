@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.LlmOps
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/tmp/graft-test-llm"
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): Unit =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("dedup_exact keeps the lowest doc_id per duplicate text") {
+    writeDocs(Seq(
+      (1L, "a b c", "en", "s0", 5L),
+      (2L, "a b c", "en", "s1", 5L),   // dup of 1
+      (3L, "x y z", "en", "s0", 5L)))
+    val got = LlmOps.dedupExact(spark, dir).orderBy($"doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("dedup_near finds a synthetic near-duplicate pair and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    writeDocs(Seq(
+      (1L, base, "en", "s0", base.length.toLong),
+      (2L, near, "en", "s0", near.length.toLong),  // J = 35/41 ≈ 0.85
+      (3L, other, "en", "s0", other.length.toLong)))
+    val got = LlmOps.dedupNear(spark, dir).collect()
+    assert(got.length == 1)
+    assert((got.head.getLong(0), got.head.getLong(1)) == (1L, 2L))
+    val j = got.head.getDouble(2)
+    assert(j > 0.8 && j < 1.0, s"jaccard $j")
+  }
+
+  test("dedup_near on real sf0.001 documents returns only exact-dup-free result") {
+    // sf0.001 has 500 distinct texts (FIXTURES.md) — no J>=0.8 pair may
+    // appear unless genuinely near-duplicate; spot-check symmetry/bounds
+    val got = LlmOps.dedupNear(spark, sf).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("similarity_topk returns 5 ranked neighbors per query") {
+    val df = LlmOps.similarityTopk(spark, sf)
+    val perQ = df.groupBy("qid").count().collect()
+    assert(perQ.length == 10)
+    assert(perQ.forall(_.getLong(1) == 5))
+    // ranks are 1..5 and cos is non-increasing within each query
+    val rows = df.orderBy($"qid", $"rn").collect()
+    rows.grouped(5).foreach { g =>
+      assert(g.map(_.getInt(3)).toSeq == Seq(1, 2, 3, 4, 5))
+      val cs = g.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("similarity_topk matches an exact brute-force reference") {
+    // independent reference: collect the raw vectors (test-only) and
+    // compute cosine top-5 per query in plain Scala
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 10L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, math.rint(cos(vecs(q), vecs(c)) * 1e4) / 1e4))
+        .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+    }.toMap
+    val got = LlmOps.similarityTopk(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(got == expected)
+  }
+
+  test("text_stats arithmetic on a literal doc") {
+    writeDocs(Seq((1L, "aa bb aa", "en", "s0", 8L)))
+    val r = LlmOps.textStats(spark, dir).collect().head
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Int]("n_distinct") == 2)
+    assert(math.abs(r.getAs[Double]("avg_token_len") - 2.0) < 1e-9)
+  }
+
+  test("multimodal envelope roundtrips bytes and metadata") {
+    val r = LlmOps.multimodal(spark, sf).limit(10).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[String]("kind") == "text")
+      assert(row.getAs[Int]("n_bytes") > 0)
+      assert(Set("de", "en", "es", "fr", "zh").contains(row.getAs[String]("lang")))
+    }
+  }
+}
