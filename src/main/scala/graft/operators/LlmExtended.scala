@@ -1,0 +1,443 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Extended LLM-training-data operators beyond SURVEY §2.10: SimHash and
+  * n-gram dedup variants, embedding near-dup, IVF-style ANN, language ID,
+  * quality scoring, token counting, fingerprinting, and the multimodal
+  * decode plumbing. Every op is oracle-checked — the algorithms are
+  * deterministic, so DuckDB runs the SAME algorithm, not a reference
+  * approximation.
+  *
+  * Cross-engine hashing: Spark's xxhash64 has no DuckDB twin, so ops
+  * whose ORACLE needs the hash values use a polynomial rolling hash
+  * (h·m + ascii(c)) mod 1e9+7 — wrap-free in 64-bit, identical in both
+  * engines. MinHash (LlmOps) keeps xxhash64 because its oracle checks
+  * the verified OUTPUT pairs, not the hashes.
+  */
+object LlmExtended extends OpModule {
+
+  // ── shared text/hash machinery ────────────────────────────────────────
+
+  /** Distinct word 3-shingles (same guard as LlmOps: sequence() descends
+    * for short docs). */
+  private val shingles3 =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(toks) - 2),
+      |    i -> concat_ws(' ', slice(toks, i, 3))))
+      |ELSE array() END""".stripMargin
+
+  /** Poly rolling hash of a string column/lambda var, cross-engine safe:
+    * stays < 1e9·m + 127 < 2^63, so no overflow under ANSI mode. */
+  private def polyHash(v: String, m: Int): String =
+    s"aggregate(split($v, ''), 0L, (h, c) -> (h * $m + ascii(c)) % 1000000007)"
+
+  /** 32-bit SimHash from two 16-bit halves (poly-31 and poly-37 hash
+    * families): bit b set iff the majority of shingle hashes have bit b
+    * set. */
+  private val simhashExpr = {
+    def half(col: String, shift: Int) =
+      s"""aggregate(transform(sequence(0, 15), b ->
+         |  IF(size(filter($col, x -> (shiftright(x, b) & 1) = 1)) * 2 > size($col),
+         |     shiftleft(1L, b + $shift), 0L)), 0L, (a, x) -> a + x)""".stripMargin
+    s"${half("h1", 0)} + ${half("h2", 16)}"
+  }
+
+  private def withSimhash(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(shingles3))
+      .withColumn("h1", expr(s"transform(sh, g -> ${polyHash("g", 31)})"))
+      .withColumn("h2", expr(s"transform(sh, g -> ${polyHash("g", 37)})"))
+      .withColumn("fp", expr(simhashExpr))
+
+  /** In-order double-fold cosine between two float-array columns —
+    * bit-identical to the oracle's list_reduce (see LlmOps). */
+  private def cosExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+       |0D, (p, x) -> p + x)
+       |/ (sqrt(aggregate(transform($a, x -> cast(x as double) * cast(x as double)),
+       |        0D, (p, x) -> p + x))
+       |   * sqrt(aggregate(transform($b, x -> cast(x as double) * cast(x as double)),
+       |          0D, (p, x) -> p + x)))""".stripMargin
+
+  // ── dedup variants ────────────────────────────────────────────────────
+
+  /** SimHash near-dup: 32-bit fingerprints, 4×8-bit block LSH (pigeonhole:
+    * any pair at hamming ≤ 3 shares at least one clean block), exact
+    * hamming verify ≤ 3. At 100 TB: fingerprints are 8 bytes/doc, blocks
+    * shuffle 4 small keys per doc, candidates ~1.6% of pairs. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val docs = withSimhash(Tables.documents(s, d)).select(col("doc_id"), col("fp"))
+    val blocks = docs.select(col("doc_id"), col("fp"),
+        explode(expr(
+          "transform(sequence(0, 3), j -> named_struct('blk', j, 'bv', shiftright(fp, 8 * j) & 255))"))
+          .as("b"))
+      .select(col("doc_id"), col("fp"), col("b.blk"), col("b.bv"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+  }
+
+  /** Exact n-gram (word 4-shingle) Jaccard similarity join at τ=0.5 via
+    * shingle equi-join — the exhaustive exact path (vs MinHash's
+    * approximate-then-verify). Cost is O(shingle collisions), never
+    * all-pairs: sparse 4-shingles keep the join skinny. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.5
+    val sh = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(
+        """CASE WHEN size(toks) >= 4 THEN
+          |  array_distinct(transform(sequence(1, size(toks) - 3),
+          |    i -> concat_ws(' ', slice(toks, i, 4))))
+          |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+    ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .where(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
+          .as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup at τ=0.5: exact all-pairs at fixture scale
+    * (a·b over id-ordered pairs); the 100 TB path is sign-bucket LSH —
+    * exactly what llm_ann_ivf demonstrates for search. */
+  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.embeddings(s, d).select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = Tables.embeddings(s, d).select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    a.crossJoin(b).where(col("ida") < col("idb"))
+      .withColumn("cos", expr(cosExpr("ea", "eb")))
+      .where(col("cos") >= 0.5)
+      .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** IVF-style approximate nearest neighbor: coarse cells from the sign
+    * bits of the first 8 dimensions (deterministic stand-in for k-means
+    * centroids), probe = own cell + its 8 hamming-1 neighbors, exact
+    * cosine top-3 within the probed cells only. The oracle runs the SAME
+    * algorithm — this checks the bucketing machinery, while the spec
+    * measures recall against exact top-k. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val cellExpr =
+      """aggregate(transform(sequence(0, 7),
+        |  i -> IF(element_at(embedding, i + 1) > 0, shiftleft(1, i), 0)),
+        |0, (a, x) -> a + x)""".stripMargin
+    val emb = Tables.embeddings(s, d).withColumn("cell", expr(cellExpr))
+    val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("cell"))
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(expr(
+          "array_union(array(cell), transform(sequence(0, 7), j -> int(cell ^ shiftleft(1, j))))"))
+          .as("probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cands.join(broadcast(queries), col("cell") === col("probe"))
+      .where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(expr(cosExpr("qe", "ce")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+  }
+
+  // ── text analysis ─────────────────────────────────────────────────────
+
+  /** Marker-token language ID (n-gram heuristic). The fixture corpus is a
+    * synthetic shared-vocabulary bag, so predictions mostly land on the
+    * marker defaults — the point is the deterministic classifier shape
+    * (per-language marker hits → argmax with fixed priority); the spec
+    * exercises it on real multilingual snippets. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "and", "a", "of", "to", "in"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "es" -> Seq("el", "los", "las", "que", "y"),
+      "fr" -> Seq("le", "les", "des", "et", "est"))
+    def hits(lang: String): String = {
+      val lits = markers(lang).map(m => s"'$m'").mkString(", ")
+      s"size(array_intersect(toks, array($lits)))"
+    }
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("h_en", expr(hits("en")))
+      .withColumn("h_de", expr(hits("de")))
+      .withColumn("h_es", expr(hits("es")))
+      .withColumn("h_fr", expr(hits("fr")))
+      .withColumn("pred", expr(
+        """CASE
+          |  WHEN text RLIKE '[\\u4e00-\\u9fff]' THEN 'zh'
+          |  WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+          |  WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+          |  WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+          |  WHEN h_fr > 0 THEN 'fr'
+          |  ELSE 'und' END""".stripMargin))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("pred").as("predicted_lang"),
+        (col("pred") === col("lang")).cast("int").as("agree"))
+  }
+
+  /** Composite quality score: length band, token-length band, type-token
+    * ratio, alphabetic ratio — equal weights, pure per-row arithmetic. */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("avg_len",
+        (length(col("text")) - (col("n_tok") - 1)).cast("double") / col("n_tok"))
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tok"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+          / length(col("text")))
+      .select(
+        col("doc_id"),
+        round(
+          (when(col("n_tok").between(20, 200), 0.25).otherwise(0.0)
+            + when(col("avg_len").between(3.0, 10.0), 0.25).otherwise(0.0)
+            + col("ttr") * 0.25
+            + col("alpha_ratio") * 0.25), 4).as("quality"),
+        col("n_tok"), round(col("ttr"), 4).as("ttr"),
+        round(col("alpha_ratio"), 4).as("alpha_ratio"))
+
+  /** Token counting three ways: whitespace split, regex word tokens, and
+    * a chars/4 subword estimate (the BPE rule of thumb). */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).as("re_tokens"),
+      ceil(length(col("text")).cast("double") / 4).cast("long")
+        .as("subword_est"))
+
+  /** Rolling-hash document fingerprint: min poly-hash over word
+    * 3-shingles (winnowing with window = whole doc). Identical docs share
+    * fingerprints; n_same_fp surfaces collision clusters. */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(shingles3))
+      .withColumn("fp", expr(s"array_min(transform(sh, g -> ${polyHash("g", 31)}))"))
+      .select(col("doc_id"), col("fp"),
+        count(lit(1)).over(w).as("n_same_fp"))
+  }
+
+  // ── multimodal decode plumbing ────────────────────────────────────────
+
+  /** Media decode over binary payloads via mapPartitions — the partition-
+    * parallel batch shape a real codec plugs into. STUB: no image/audio
+    * libraries exist in this environment, so the "decode" derives
+    * deterministic features from the bytes (frame count from length,
+    * head-byte mean as a stand-in for pixel stats); the Spark-side
+    * plumbing — binary column in, typed feature row out, executed inside
+    * the partition iterator — is the real thing. */
+  def mediaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decode: a real implementation would run the codec here.
+          val nBytes = bytes.length.toLong
+          val nFrames = nBytes / 40
+          val head = bytes.take(16)
+          val headMean =
+            if (head.isEmpty) 0.0
+            else head.map(_.toDouble).sum / head.length
+          (id, nBytes, nFrames, headMean)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_frames", "head_mean")
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        round(col("head_mean"), 4).as("head_mean"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_simhash" -> dedupSimhash _,
+    "llm_dedup_ngram" -> dedupNgram _,
+    "llm_dedup_embed" -> dedupEmbed _,
+    "llm_ann_ivf" -> annIvf _,
+    "llm_lang_id" -> langId _,
+    "llm_quality_score" -> qualityScore _,
+    "llm_token_count" -> tokenCount _,
+    "llm_fingerprint" -> fingerprint _,
+    "llm_media_decode" -> mediaDecode _
+  )
+
+  // DuckDB twins of the shared machinery
+  private val shCte =
+    """WITH toks AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, text,
+      |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                   for i in range(1, len(t) - 1)]) AS s
+      |  FROM toks)""".stripMargin
+
+  private def duckPoly(v: String, m: Int): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  [ascii(c)::BIGINT for c in string_split($v, '')]),
+       |  (h, c) -> (h * $m + c) % 1000000007)""".stripMargin
+
+  private def duckCos(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(1, len($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (p, x) -> p + x)
+       |/ (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |     list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |     (p, x) -> p + x))
+       |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |       list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |       (p, x) -> p + x))))""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "llm_dedup_simhash" -> (shCte +
+      s"""
+         |, hashes AS (
+         |  SELECT doc_id,
+         |    [${duckPoly("g", 31)} for g in s] AS h1,
+         |    [${duckPoly("g", 37)} for g in s] AS h2
+         |  FROM sh),
+         |fps AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [CASE WHEN len(list_filter(h1, x -> (x >> b) & 1 = 1)) * 2 > len(h1)
+         |            THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 16)]),
+         |      (a, x) -> a + x)
+         |    + list_reduce(list_prepend(0::BIGINT,
+         |      [CASE WHEN len(list_filter(h2, x -> (x >> b) & 1 = 1)) * 2 > len(h2)
+         |            THEN (1::BIGINT << (b + 16)) ELSE 0 END for b in range(0, 16)]),
+         |      (a, x) -> a + x) AS fp
+         |  FROM hashes)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.fp, b.fp)::BIT) AS hamming
+         |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)::BIT) <= 3""".stripMargin),
+    "llm_dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                   for i in range(1, len(t) - 2)]) AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |         count(*) AS i
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, round(i::DOUBLE / (na + nb - i), 4) AS jaccard
+        |FROM inter WHERE i::DOUBLE / (na + nb - i) >= 0.5""".stripMargin,
+    "llm_dedup_embed" ->
+      (s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
+          |  round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.5""".stripMargin),
+    "llm_ann_ivf" ->
+      (s"""WITH cells AS (
+          |  SELECT vec_id, embedding,
+          |    list_reduce(list_prepend(0::BIGINT,
+          |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+          |            ELSE 0 END for i in range(0, 8)]),
+          |      (a, x) -> a + x) AS cell
+          |  FROM embeddings),
+          |probes AS (
+          |  SELECT vec_id AS qid, embedding AS qe,
+          |    unnest(list_distinct(list_prepend(cell,
+          |      [xor(cell, 1::BIGINT << j) for j in range(0, 8)]))) AS probe
+          |  FROM cells WHERE vec_id < 10),
+          |scored AS (
+          |  SELECT p.qid, c.vec_id AS cid,
+          |    round(${duckCos("p.qe", "c.embedding")}, 4) AS cos
+          |  FROM probes p JOIN cells c ON c.cell = p.probe
+          |  WHERE c.vec_id != p.qid)
+          |SELECT qid, cid, cos,
+          |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          |FROM scored QUALIFY rn <= 3""".stripMargin),
+    "llm_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_intersect(toks, ['the','and','a','of','to','in'])) AS h_en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist'])) AS h_de,
+        |    len(list_intersect(toks, ['el','los','las','que','y'])) AS h_es,
+        |    len(list_intersect(toks, ['le','les','des','et','est'])) AS h_fr
+        |  FROM t)
+        |SELECT doc_id, lang AS labeled_lang,
+        |  CASE
+        |    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |    WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+        |    WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+        |    WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+        |    WHEN h_fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS predicted_lang,
+        |  CASE WHEN (CASE
+        |    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |    WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+        |    WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+        |    WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+        |    WHEN h_fr > 0 THEN 'fr'
+        |    ELSE 'und' END) = lang THEN 1 ELSE 0 END AS agree
+        |FROM h""".stripMargin,
+    "llm_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, len(toks) AS n_tok,
+        |    (length(text) - (len(toks) - 1))::DOUBLE / len(toks) AS avg_len,
+        |    len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        |      / length(text) AS alpha_ratio
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(
+        |    (CASE WHEN n_tok BETWEEN 20 AND 200 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN avg_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END)
+        |    + ttr * 0.25 + alpha_ratio * 0.25, 4) AS quality,
+        |  n_tok, round(ttr, 4) AS ttr,
+        |  round(alpha_ratio, 4) AS alpha_ratio
+        |FROM m""".stripMargin,
+    "llm_token_count" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+        | CAST(ceil(length(text)::DOUBLE / 4) AS BIGINT) AS subword_est
+        |FROM documents""".stripMargin,
+    "llm_fingerprint" -> (shCte +
+      s"""
+         |, fps AS (
+         |  SELECT doc_id,
+         |    list_min([${duckPoly("g", 31)} for g in s]) AS fp
+         |  FROM sh)
+         |SELECT doc_id, fp,
+         |       count(*) OVER (PARTITION BY fp) AS n_same_fp
+         |FROM fps""".stripMargin),
+    "llm_media_decode" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | octet_length(encode(text)) // 40 AS n_frames,
+        | round(
+        |   list_reduce(list_prepend(0.0::DOUBLE,
+        |     [ascii(c)::DOUBLE for c in string_split(substring(text, 1, 16), '')]),
+        |     (a, x) -> a + x)
+        |   / least(length(text), 16), 4) AS head_mean
+        |FROM documents""".stripMargin
+  )
+}

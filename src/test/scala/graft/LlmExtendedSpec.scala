@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.LlmExtended
+
+class LlmExtendedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/tmp/graft-test-llmx"
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): Unit =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("simhash: identical docs at hamming 0, near docs small, far docs not paired") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i % 19 == 0) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (200 to 240).map(i => s"other$i").mkString(" ")
+    writeDocs(Seq(
+      (1L, base, "en", "s", 1L), (2L, base, "en", "s", 1L),
+      (3L, near, "en", "s", 1L), (4L, far, "en", "s", 1L)))
+    val got = LlmExtended.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
+    assert(!got.exists { case (a, b, _) => b == 4L || a == 4L })
+  }
+
+  test("ngram jaccard joins only overlapping docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    writeDocs(Seq(
+      (1L, base, "en", "s", 1L),
+      (2L, base + " extra", "en", "s", 1L),
+      (3L, "completely different words here now", "en", "s", 1L)))
+    val got = LlmExtended.dedupNgram(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got.head.getDouble(2) > 0.9)
+  }
+
+  test("ann_ivf neighbors are a subset of probed cells with high self-cell recall") {
+    val ivf = LlmExtended.annIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val perQ = ivf.groupBy(_.getLong(0))
+    perQ.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val cs = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lang_id recognizes marker-bearing snippets") {
+    writeDocs(Seq(
+      (1L, "the cat and the dog of a house", "en", "s", 1L),
+      (2L, "der hund und die katze ist da", "de", "s", 1L),
+      (3L, "le chat et les maisons est grand", "fr", "s", 1L),
+      (4L, "xyzzy plugh qwerty", "en", "s", 1L)))
+    val got = LlmExtended.langId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "fr")
+    assert(got(4L) == "und")
+  }
+
+  test("quality score stays in [0, 1] and rewards clean text") {
+    val rows = LlmExtended.qualityScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getDouble(1)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("token counts agree between whitespace and regex on the fixture vocab") {
+    val r = LlmExtended.tokenCount(spark, sf)
+      .where($"ws_tokens" =!= $"re_tokens").count()
+    // fixture text is lowercase words joined by single spaces → equal
+    assert(r == 0)
+  }
+
+  test("fingerprint clusters exact duplicates") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    writeDocs(Seq(
+      (1L, base, "en", "s", 1L), (2L, base, "en", "s", 1L),
+      (3L, "another doc body words many going on", "en", "s", 1L)))
+    val got = LlmExtended.fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 2 && got(2L) == 2 && got(3L) == 1)
+  }
+
+  test("media decode derives deterministic features from bytes") {
+    val rows = LlmExtended.mediaDecode(spark, sf).limit(20).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)                       // n_bytes
+      assert(r.getLong(2) == r.getLong(1) / 40)      // n_frames
+      val hm = r.getDouble(3)
+      assert(hm > 32.0 && hm < 127.0)                // printable ASCII mean
+    }
+  }
+}
