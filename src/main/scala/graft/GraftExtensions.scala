@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** Engine extension wiring (SURVEY.md §4.3).
+  *
+  * Two registration paths for the custom Catalyst functions:
+  *  - `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `.withExtensions(new GraftExtensions)`) at session build — the
+  *    production path;
+  *  - `GraftExtensions.register(spark)` on a live session — used by the
+  *    harness queries so the driver's plain sessions see the functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+}
+
+object GraftExtensions {
+
+  private val cosineSimDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "cosine_sim expects 2 array<float> args")
+      CosineSimilarity(children.head, children(1))
+    }
+  )
+
+  /** Idempotent runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = cosineSimDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -147,7 +147,25 @@ object Aggregates extends OpModule {
         count(lit(1)).as("n_rows"))
       .orderBy(col("o_orderstatus"))
 
+  /** Typed UDAF surface (§2.11): per-label element-wise mean of the
+    * embedding vectors via a custom Aggregator, exploded to scalar rows
+    * (label, dim_idx, mean_val) so the gate can hash the result. The
+    * Aggregator's (sum-vector, count) buffer gives map-side partial
+    * aggregation — one 64-double buffer per partition crosses the wire
+    * per label, not the raw vectors. */
+  def aggCustomTyped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecMean = udaf(graft.functions.VectorMean)
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(vecMean(col("embedding")).as("mean_vec"))
+      .select(col("label"), posexplode(col("mean_vec")))
+      .select(col("label"), (col("pos") + 1).as("dim_idx"),
+        round(col("col"), 4).as("mean_val"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_custom_typed" -> aggCustomTyped _,
     "agg_hash" -> aggHash _,
     "agg_global" -> aggGlobal _,
     "agg_distinct" -> aggDistinct _,
@@ -160,6 +178,11 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_custom_typed" ->
+      """SELECT label, i AS dim_idx,
+        | round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) AS mean_val
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY label, i""".stripMargin,
     "agg_hash" -> aggHashSql,
     "agg_global" ->
       """SELECT round(sum(l_quantity), 4) AS sum_qty,

@@ -53,15 +53,9 @@ object LlmExtended extends OpModule {
       .withColumn("h2", expr(s"transform(sh, g -> ${polyHash("g", 37)})"))
       .withColumn("fp", expr(simhashExpr))
 
-  /** In-order double-fold cosine between two float-array columns —
-    * bit-identical to the oracle's list_reduce (see LlmOps). */
-  private def cosExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-       |0D, (p, x) -> p + x)
-       |/ (sqrt(aggregate(transform($a, x -> cast(x as double) * cast(x as double)),
-       |        0D, (p, x) -> p + x))
-       |   * sqrt(aggregate(transform($b, x -> cast(x as double) * cast(x as double)),
-       |          0D, (p, x) -> p + x)))""".stripMargin
+  // cosine similarity: graft.functions.CosineSimilarity (registered as
+  // cosine_sim via GraftExtensions) — in-order double accumulation,
+  // bit-identical to the oracles' list_reduce formulation
 
   // ── dedup variants ────────────────────────────────────────────────────
 
@@ -115,10 +109,11 @@ object LlmExtended extends OpModule {
     * (a·b over id-ordered pairs); the 100 TB path is sign-bucket LSH —
     * exactly what llm_ann_ivf demonstrates for search. */
   def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     val a = Tables.embeddings(s, d).select(col("vec_id").as("ida"), col("embedding").as("ea"))
     val b = Tables.embeddings(s, d).select(col("vec_id").as("idb"), col("embedding").as("eb"))
     a.crossJoin(b).where(col("ida") < col("idb"))
-      .withColumn("cos", expr(cosExpr("ea", "eb")))
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
       .where(col("cos") >= 0.5)
       .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))
   }
@@ -130,6 +125,7 @@ object LlmExtended extends OpModule {
     * algorithm — this checks the bucketing machinery, while the spec
     * measures recall against exact top-k. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     val cellExpr =
       """aggregate(transform(sequence(0, 7),
         |  i -> IF(element_at(embedding, i + 1) > 0, shiftleft(1, i), 0)),
@@ -147,7 +143,7 @@ object LlmExtended extends OpModule {
     cands.join(broadcast(queries), col("cell") === col("probe"))
       .where(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(expr(cosExpr("qe", "ce")), 4).as("cos"))
+        round(expr("cosine_sim(qe, ce)"), 4).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
   }

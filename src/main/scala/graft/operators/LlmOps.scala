@@ -106,25 +106,20 @@ object LlmOps extends OpModule {
     * the oracle's list_reduce); ranking is on the rounded score with a
     * unique candidate tiebreaker. */
   def similarityTopk(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     val emb = Tables.embeddings(s, d)
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val dot = expr(
-      """aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)),
-        |0D, (a, x) -> a + x)""".stripMargin)
-    val nq = expr(
-      """aggregate(transform(qe, x -> cast(x as double) * cast(x as double)),
-        |0D, (a, x) -> a + x)""".stripMargin)
-    val nc = expr(
-      """aggregate(transform(ce, x -> cast(x as double) * cast(x as double)),
-        |0D, (a, x) -> a + x)""".stripMargin)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     cands.crossJoin(broadcast(queries))
       .where(col("cid") =!= col("qid"))
+      // native codegen'd Expression (graft.functions.CosineSimilarity):
+      // same in-order double accumulation as the HOF formulation, ~10×
+      // less per-row overhead in the hot cross-join loop
       .select(col("qid"), col("cid"),
-        round(dot / (sqrt(nq) * sqrt(nc)), 4).as("cos"))
+        round(expr("cosine_sim(qe, ce)"), 4).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
   }

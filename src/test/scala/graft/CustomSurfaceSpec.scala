@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.functions._
+
+class CustomSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim: known values, symmetry, self-similarity") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),   // orthogonal → 0
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),   // identical → 1
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f))   // opposite → -1
+    ).toDF("a", "b")
+    val got = df.selectExpr("cosine_sim(a, b) AS c").as[Double].collect()
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+    // symmetry on real vectors
+    val emb = Tables.embeddings(spark, sf).limit(50)
+      .select($"vec_id", $"embedding")
+    val pairs = emb.as("x").crossJoin(emb.as("y"))
+      .selectExpr("cosine_sim(x.embedding, y.embedding) AS ab",
+        "cosine_sim(y.embedding, x.embedding) AS ba")
+      .where($"ab" =!= $"ba")
+    assert(pairs.count() == 0)
+  }
+
+  test("cosine_sim interpreted eval matches codegen") {
+    GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, sf).limit(20)
+      .select($"vec_id", $"embedding")
+    val df = emb.as("x").crossJoin(emb.as("y"))
+      .selectExpr("x.vec_id AS a", "y.vec_id AS b",
+        "cosine_sim(x.embedding, y.embedding) AS c")
+    val codegen = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(codegen == interp, "eval and doGenCode must agree bit-for-bit")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("cosine_sim stays inside whole-stage codegen") {
+    GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val df = emb.as("x").crossJoin(broadcast(emb.as("y").limit(5)))
+      .selectExpr("cosine_sim(x.embedding, y.embedding) AS c")
+    val wsc = collectFinal(df) { case w: WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, "custom expression must not break codegen")
+  }
+
+  test("VectorMean aggregator: exact mean on literal vectors") {
+    val vecMean = udaf(graft.functions.VectorMean)
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(10.0f, 20.0f))
+    ).toDF("label", "embedding")
+    val got = df.groupBy($"label").agg(vecMean($"embedding").as("m"))
+      .orderBy($"label").collect()
+    assert(got(0).getSeq[Double](1) == Seq(2.0, 3.0))
+    assert(got(1).getSeq[Double](1) == Seq(10.0, 20.0))
+  }
+
+  test("VectorMean is repartition-invariant (partial agg correctness)") {
+    val vecMean = udaf(graft.functions.VectorMean)
+    val base = Tables.embeddings(spark, sf)
+    def mean(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"label").agg(vecMean($"embedding").as("m"))
+        .select($"label", round(expr("aggregate(m, 0D, (a, x) -> a + x)"), 6).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(mean(base) == mean(base.repartition(13)))
+  }
+
+  test("extension class wires cosine_sim via withExtensions") {
+    // the production path: a fresh session built with the extension sees
+    // the function without runtime registration
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val r = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+        .selectExpr("cosine_sim(a, b) AS c").as[Double].head()
+      assert(math.abs(r - 1.0) < 1e-12)
+    } finally ()
+    // do not stop s2: it shares the SparkContext with the suite session
+  }
+}

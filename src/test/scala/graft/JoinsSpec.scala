@@ -1,29 +1,8 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
 
 class JoinsSpec extends SparkSpec {
-
-  /** AQE wraps the plan; execute first, then collect across the final plan
-    * including inside materialized query stages (stages are leaf nodes, so
-    * a plain collect stops at their boundary). */
-  private def collectFinal[T](df: DataFrame)(
-      pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-    df.collect()
-    def walk(p: SparkPlan): Seq[T] = {
-      val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case other                    => other.children
-      }
-      here ++ kids.flatMap(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-  }
 
   test("join_broadcast plans both dims as BroadcastHashJoin") {
     val bhj = collectFinal(graft.operators.Joins.joinBroadcast(spark, sf)) {

@@ -23,4 +23,24 @@ trait SparkSpec extends AnyFunSuite {
   }
   /** Smallest fixture dir — unit tests stay fast. */
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Execute, then collect over the FINAL adaptive plan — AQE wraps the
+    * executed plan and query stages are leaf nodes, so a plain collect
+    * stops at their boundary. */
+  def collectFinal[T](df: org.apache.spark.sql.DataFrame)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def walk(p: SparkPlan): Seq[T] = {
+      val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      here ++ kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }
