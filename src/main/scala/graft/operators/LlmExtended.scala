@@ -37,12 +37,27 @@ object LlmExtended extends OpModule {
 
   /** 32-bit SimHash from two 16-bit halves (poly-31 and poly-37 hash
     * families): bit b set iff the majority of shingle hashes have bit b
-    * set. */
+    * set.
+    *
+    * Plan-shape caution (the 25× bug this formulation avoids): a
+    * higher-order function evaluates its COLLECTION argument once, but
+    * anything referenced inside a LAMBDA BODY is re-evaluated on every
+    * lambda invocation once CollapseProject inlines it. The original
+    * per-bit `filter(h1, ...)` form put the whole char-fold hash tree
+    * inside 32 lambda bodies (measured 247 s at sf0.1). Here every
+    * expensive subtree appears only as a collection argument: one fold
+    * accumulates all 16 bit-majority counters per half, and the bit
+    * selection is a zip_with OVER the counter array. */
   private val simhashExpr = {
-    def half(col: String, shift: Int) =
-      s"""aggregate(transform(sequence(0, 15), b ->
-         |  IF(size(filter($col, x -> (shiftright(x, b) & 1) = 1)) * 2 > size($col),
-         |     shiftleft(1L, b + $shift), 0L)), 0L, (a, x) -> a + x)""".stripMargin
+    def half(hs: String, shift: Int) =
+      s"""aggregate(
+         |  zip_with(
+         |    aggregate($hs, array_repeat(0, 16),
+         |      (acc, x) -> zip_with(acc, sequence(0, 15),
+         |        (c, b) -> c + IF((shiftright(x, b) & 1) = 1, 1, -1))),
+         |    sequence(0, 15),
+         |    (c, b) -> IF(c > 0, shiftleft(1L, b + $shift), 0L)),
+         |  0L, (a, x) -> a + x)""".stripMargin
     s"${half("h1", 0)} + ${half("h2", 16)}"
   }
 
@@ -65,11 +80,15 @@ object LlmExtended extends OpModule {
     * shuffle 4 small keys per doc, candidates ~1.6% of pairs. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val docs = withSimhash(Tables.documents(s, d)).select(col("doc_id"), col("fp"))
-    val blocks = docs.select(col("doc_id"), col("fp"),
-        explode(expr(
-          "transform(sequence(0, 3), j -> named_struct('blk', j, 'bv', shiftright(fp, 8 * j) & 255))"))
-          .as("b"))
-      .select(col("doc_id"), col("fp"), col("b.blk"), col("b.bv"))
+    // posexplode over a plain array: fp is referenced from a projection,
+    // never inside a lambda, so the fingerprint is computed once per row;
+    // the repartition gives the self-join two IDENTICAL exchange subtrees
+    // → ReusedExchange computes the fingerprints once, not per side
+    val blocks = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), col("fp"), posexplode(array(
+        (0 until 4).map(j =>
+          shiftright(col("fp"), 8 * j).bitwiseAND(lit(255))): _*)))
+      .select(col("doc_id"), col("fp"), col("pos").as("blk"), col("col").as("bv"))
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv")
           && col("x.doc_id") < col("y.doc_id"))

@@ -81,21 +81,23 @@ object LlmOps extends OpModule {
     val tau = 0.8
     val docs = withSignature(withShingles(Tables.documents(s, d)))
       .select(col("doc_id"), col("shingles"), col("sig"))
-    val bands = docs
-      .select(col("doc_id"), explode(expr(bandsExpr)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
-    val candidates = bands.as("x").join(bands.as("y"),
+    // carry the shingle arrays through the band explode: the self-join's
+    // two sides are then IDENTICAL subtrees behind the repartition
+    // exchange (ReusedExchange → signatures hashed once), and the
+    // verified Jaccard needs no third join back to the arrays. At PB
+    // scale with much longer documents, re-joining arrays by doc_id
+    // trades that duplication for two cheap id-joins — same semantics.
+    val bands = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), col("shingles"), explode(expr(bandsExpr)).as("b"))
+      .select(col("doc_id"), col("shingles"), col("b.band"), col("b.bh"))
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val sh = docs.select(col("doc_id"), col("shingles"))
-    candidates
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("i", size(array_intersect(col("sa.shingles"), col("sb.shingles"))))
-      .withColumn("u",
-        size(col("sa.shingles")) + size(col("sb.shingles")) - col("i"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.shingles").as("sa"), col("y.shingles").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
       .where(col("i").cast("double") / col("u") >= tau)
       .select(col("doc_a"), col("doc_b"),
         round(col("i").cast("double") / col("u"), 4).as("jaccard"))
