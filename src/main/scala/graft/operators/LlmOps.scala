@@ -38,7 +38,7 @@ object LlmOps extends OpModule {
       |    i -> concat_ws(' ', slice(toks, i, 3))))
       |ELSE array() END""".stripMargin
 
-  private def withShingles(docs: DataFrame): DataFrame =
+  private[graft] def withShingles(docs: DataFrame): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesExpr))
 
@@ -48,7 +48,7 @@ object LlmOps extends OpModule {
   private val RowsPerBand = 2
   private val Bands = K / RowsPerBand
 
-  private def withSignature(docs: DataFrame): DataFrame = {
+  private[graft] def withSignature(docs: DataFrame): DataFrame = {
     val sigCols = (0 until K).map(i =>
       s"array_min(transform(base_h, x -> xxhash64(x, ${i}L)))")
     docs.withColumn("base_h", expr("transform(shingles, s -> xxhash64(s))"))

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style algebraic checks (SURVEY.md §5.3) on generated data.
+  * Data is generated once with fixed scalacheck seeds and pushed through
+  * Spark as single DataFrames — one job per property, not per sample.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    LazyList.iterate(Seed(seed))(_.next)
+      .flatMap(s => g.apply(Gen.Parameters.default, s))
+      .take(n).toList
+
+  test("partial+final aggregation ≡ single pass (repartition invariance)") {
+    val rows = sample(Gen.zip(Gen.choose(0, 5), Gen.choose(-1e6, 1e6)), 2000, 7L)
+      .toDF("k", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k")
+        .agg(count(lit(1)).as("n"), round(sum($"v"), 2).as("s"),
+          min($"v").as("mn"), max($"v").as("mx"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toMap
+    assert(agg(rows) == agg(rows.repartition(17)))
+    assert(agg(rows) == agg(rows.coalesce(1)))
+  }
+
+  test("union-distinct algebra: (A ∪ B)ᵈ == (Aᵈ ∪ Bᵈ)ᵈ") {
+    val a = sample(Gen.choose(0L, 300L), 500, 11L).toDF("k")
+    val b = sample(Gen.choose(200L, 500L), 500, 13L).toDF("k")
+    val lhs = a.union(b).distinct().as[Long].collect().toSet
+    val rhs = a.distinct().union(b.distinct()).distinct().as[Long].collect().toSet
+    assert(lhs == rhs)
+  }
+
+  test("cosine_sim: self≈1, symmetric, bounded, scale-invariant") {
+    GraftExtensions.register(spark)
+    val vecGen = Gen.listOfN(16, Gen.choose(-10.0f, 10.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    val vecs = sample(Gen.zip(vecGen, vecGen), 200, 17L)
+      .map { case (a, b) => (a, b) }.toDF("a", "b")
+    val checked = vecs.selectExpr(
+      "cosine_sim(a, a) AS self",
+      "cosine_sim(a, b) AS ab",
+      "cosine_sim(b, a) AS ba",
+      "cosine_sim(transform(a, x -> x * 3.0F), b) AS scaled")
+      .collect()
+    checked.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-6, s"self=${r.getDouble(0)}")
+      assert(r.getDouble(1) == r.getDouble(2), "symmetry must be exact")
+      assert(r.getDouble(1) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-6,
+        "cosine is scale-invariant")
+    }
+  }
+
+  test("MinHash signature agreement estimates Jaccard within ε") {
+    // construct doc pairs with known overlap: k shared tokens out of 60
+    val docs = (0 until 20).flatMap { p =>
+      val shared = (0 until p * 3).map(i => s"s${p}_$i")
+      val ua = (0 until 60 - p * 3).map(i => s"a${p}_$i")
+      val ub = (0 until 60 - p * 3).map(i => s"b${p}_$i")
+      Seq((p.toLong * 2, (shared ++ ua).mkString(" ")),
+        (p.toLong * 2 + 1, (shared ++ ub).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val sigs = graft.operators.LlmOps.withSignature(
+      graft.operators.LlmOps.withShingles(docs))
+      .select($"doc_id", $"shingles", $"sig")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1).toSet, r.getSeq[Long](2))).toMap
+    (0 until 20).foreach { p =>
+      val (sa, siga) = sigs(p.toLong * 2)
+      val (sb, sigb) = sigs(p.toLong * 2 + 1)
+      val trueJ =
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      val est = siga.zip(sigb).count { case (x, y) => x == y } / 32.0
+      // 32 hashes → σ = sqrt(J(1-J)/32) ≤ 0.09; allow 3.5σ
+      assert(math.abs(est - trueJ) < 0.32,
+        s"pair $p: trueJ=$trueJ est=$est")
+    }
+  }
+
+  test("window running sum telescopes: last running_total == group sum") {
+    val df = graft.operators.Windows.winFrameRows(spark, sf)
+    val lastPerGroup = df.groupBy($"o_custkey")
+      .agg(max(struct($"running_n", $"running_total")).as("m"))
+      .select($"o_custkey", $"m.running_total".as("rt"))
+    val direct = Tables.orders(spark, sf).groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 4).as("st"))
+    val joined = lastPerGroup.join(direct, "o_custkey")
+      .where(abs($"rt" - $"st") > 1e-6)
+    assert(joined.count() == 0)
+  }
+}
