@@ -112,7 +112,11 @@ object LlmExtended extends OpModule {
           |    i -> concat_ws(' ', slice(toks, i, 4))))
           |ELSE array() END""".stripMargin))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    // explicit shuffle on the join key: both self-join sides become the
+    // SAME exchange subtree → ReusedExchange computes the shingle
+    // explosion once instead of once per side
     val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+      .repartition(col("g"))
     ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{FileTopic, Pipeline}
+
+/** The declared-pipeline surface (graft.pipeline) exercised end-to-end
+  * through the correctness gate: a multi-stage pipeline — filter system,
+  * enrichment system, projection system — declared once, executed as a
+  * real checkpointed streaming query into a parquet sink topic, result
+  * read back and hash-checked against the oracle running the equivalent
+  * SQL over the batch image. The batch≡streaming identity itself is
+  * asserted in PipelineSpec. */
+object PipelineOps extends OpModule {
+
+  private lazy val scratch: String =
+    java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+
+  /** Stage the single-file fixture into a directory topic (file sources
+    * watch directories), once per (JVM, sfDir). */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsTopicDir(d: String): String =
+    staged.computeIfAbsent(d, { dir =>
+      val t = java.nio.file.Paths.get(s"$scratch/events-${UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(t)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        t.resolve("events.parquet"))
+      t.toString
+    })
+
+  /** The declared pipeline: three systems over the events topic. */
+  private[graft] def revenuePipeline(d: String): Pipeline =
+    Pipeline.from("purchase-revenue", FileTopic(eventsTopicDir(d)))
+      // system 1: decode topic payload (ns → µs event time)
+      .stage(_.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      // system 2: keep revenue-bearing events
+      .stage(_.where(col("event_type") === "purchase" && col("value") > 10))
+      // system 3: enrich with a value band + project the output record
+      .stage(_.select(col("event_id"), col("user_id"),
+        col("value"),
+        when(col("value") >= 75, "high")
+          .when(col("value") >= 40, "mid")
+          .otherwise("low").as("band")))
+
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/out-${UUID.randomUUID()}"
+    val q = revenuePipeline(d).start(s, out, s"$scratch/ckpt-${UUID.randomUUID()}")
+    if (!q.awaitTermination(180000L)) q.stop()
+    s.read.parquet(out)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_e2e" -> pipelineE2e _
+  )
+
+  def oracle: Map[String, String] = Map(
+    "pipeline_e2e" ->
+      """WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         user_id, event_type, value
+        |  FROM events)
+        |SELECT event_id, user_id, value,
+        |  CASE WHEN value >= 75 THEN 'high'
+        |       WHEN value >= 40 THEN 'mid'
+        |       ELSE 'low' END AS band
+        |FROM ev
+        |WHERE event_type = 'purchase' AND value > 10""".stripMargin
+  )
+}
