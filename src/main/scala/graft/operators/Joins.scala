@@ -170,7 +170,41 @@ object Joins extends OpModule {
         col("matched_purchase"), col("purchase_value"))
   }
 
+  /** Bucketed co-located join: both tables pre-bucketed on the join key
+    * into the same bucket count, so the join needs NO exchange on either
+    * side — each task reads matching buckets and merges. This is THE
+    * 100 TB pattern for repeated large-large joins: pay one bucketed
+    * write, then every subsequent join on that key is shuffle-free
+    * (asserted plan-shape in JoinsSpec). Bucket sort order is declared
+    * too, eliminating the sort before the merge join. */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val sfx = math.abs(d.hashCode).toString
+    val liTbl = s"graft_li_$sfx"
+    val oTbl = s"graft_o_$sfx"
+    val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    if (!s.catalog.tableExists(liTbl)) {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/$liTbl").saveAsTable(liTbl)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/$oTbl").saveAsTable(oTbl)
+    }
+    // merge hint: at fixture scale AQE would broadcast the small side,
+    // which bypasses buckets entirely — the point here is the
+    // co-located merge path a real large-large join takes
+    s.table(liTbl).hint("merge")
+      .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed" -> joinBucketed _,
     "join_asof" -> joinAsof _,
     "join_inner_hash" -> joinInnerHash _,
     "join_broadcast" -> joinBroadcast _,
@@ -186,6 +220,11 @@ object Joins extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | round(sum(l_extendedprice), 4) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_asof" ->
       """WITH ev AS (
         |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,

@@ -117,6 +117,47 @@ object Streaming extends OpModule {
         round(col("sum_value"), 4).as("sum_value"), col("last_epoch_s"))
   }
 
+  /** Spark 4's successor API for arbitrary state: transformWithState
+    * with a StatefulProcessor owning typed ValueState. Same batch ≡
+    * streaming contract as flatMapGroupsWithState, but state is
+    * schema-evolvable, TTL-able, and multiple state variables per key
+    * are first-class. Emits per-user (count, max value) summaries. */
+  class UserPeakProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserPeak] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("peak",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserPeak] = {
+      var (n, mx) = if (st.exists()) st.get() else (0L, Double.MinValue)
+      rows.foreach { e => n += 1; mx = math.max(mx, e.value) }
+      st.update((n, mx))
+      Iterator(UserPeak(key, n, mx))
+    }
+  }
+  case class UserPeak(user_id: Long, n_events: Long, max_value: Double)
+
+  def statefulPeak(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserPeakProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   // ── registry: batch twins on the events fixture ───────────────────────
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
@@ -128,7 +169,8 @@ object Streaming extends OpModule {
     "stream_dedup" -> ((s, d) => dedup(ev(s, d))),
     "stream_watermark" -> ((s, d) => watermarked(ev(s, d))),
     "stream_late_data" -> ((s, d) => lateData(ev(s, d))),
-    "stream_stateful_map" -> ((s, d) => statefulSummary(s, ev(s, d)))
+    "stream_stateful_map" -> ((s, d) => statefulSummary(s, ev(s, d))),
+    "stream_stateful_tws" -> ((s, d) => statefulPeak(s, ev(s, d)))
   )
 
   private val evCte =
@@ -195,6 +237,9 @@ object Streaming extends OpModule {
         |SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value,
         |       max(epoch_ns(ts) // 1000000000) AS last_epoch_s
-        |FROM ev GROUP BY user_id""".stripMargin)
+        |FROM ev GROUP BY user_id""".stripMargin),
+    "stream_stateful_tws" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }

@@ -18,6 +18,19 @@ class JoinsSpec extends SparkSpec {
     assert(smj.nonEmpty, "merge hint must yield SortMergeJoin")
   }
 
+  test("join_bucketed: the bucketed join itself has no shuffle exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = graft.operators.Joins.joinBucketed(spark, sf)
+    // exchanges above the join (for the groupBy/orderBy) are expected;
+    // the join inputs themselves must be exchange-free bucket scans
+    val smj = collectFinal(df) { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "bucketed equi join should be a merge join")
+    val shufflesUnderJoin = smj.head.collect { case e: ShuffleExchangeExec => e }
+    assert(shufflesUnderJoin.isEmpty,
+      s"bucketed join must not shuffle its inputs:\n${smj.head}")
+  }
+
   test("outer joins preserve unmatched sides") {
     val left = graft.operators.Joins.joinLeft(spark, sf)
     // every customer appears at least once

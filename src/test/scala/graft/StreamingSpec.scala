@@ -129,6 +129,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates ValueState across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.statefulPeak(spark, input.toDF())
+      .writeStream.format("memory").queryName("tws")
+      .outputMode("append").start()
+    try {
+      run(q, input, Seq(
+        Seq(ev(1, 1, 1, "click", 5.0), ev(2, 2, 1, "view", 9.0)),
+        Seq(ev(3, 3, 1, "click", 7.0))))
+      val last = spark.table("tws").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .maxBy(_.getAs[Long]("n_events"))
+      assert(last.getAs[Long]("n_events") == 3)   // state persisted
+      assert(last.getAs[Double]("max_value") == 9.0) // max from batch 1
+    } finally q.stop()
+  }
+
   test("batch twin of stateful summary equals plain aggregation") {
     val data = Seq(
       ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "view", 2.0),
