@@ -203,7 +203,67 @@ object Joins extends OpModule {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Dynamic partition pruning: the fact side is partitioned on the join
+    * key; the dim side's filter is only known at runtime, so Catalyst
+    * injects a dynamic pruning subquery into the fact scan (reusing the
+    * broadcast) — the fact reads only the partitions the filtered dim
+    * actually joins to. At 100 TB this is how a star-schema query avoids
+    * scanning the fact table for dimension-filtered slices. */
+  private val dppDim = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def joinDpp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val factPath = Scans.partitionedOrders(s, d)
+    // the dim must be a real datasource relation: a literal Seq folds to
+    // a LocalRelation at optimization time and its filter constant-folds
+    // away, so DPP sees no selective predicate and never fires
+    // predicate shape matters too: DPP's isLikelySelective matcher wants
+    // a comparison/IN/LIKE — a bare boolean attribute (or urgent = true,
+    // which BooleanSimplification reduces to one) does not qualify
+    val dimPath = dppDim.computeIfAbsent(d, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/dim"
+      Seq(
+        ("1-URGENT", "urgent"), ("2-HIGH", "urgent"), ("3-MEDIUM", "normal"),
+        ("4-NOT SPECIFIED", "normal"), ("5-LOW", "normal")
+      ).toDF("priority", "svc_class").write.parquet(p)
+      p
+    })
+    s.read.parquet(factPath)
+      .join(broadcast(s.read.parquet(dimPath)
+          .where(col("svc_class") === "urgent")),
+        col("o_orderpriority") === col("priority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+  }
+
+  /** Manual skew salting: the fact's hot low-cardinality key (5 event
+    * types over 100k+ rows) is joined through a composite (key, salt)
+    * with the dim exploded across all salts — each hot key spreads over
+    * 8 shuffle partitions instead of 1. AQE's skew-join split covers
+    * sort-merge joins automatically; explicit salting is the portable
+    * fallback (works for any keyed op, incl. streaming state). */
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val salts = 8
+    val dim = Seq(
+      ("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)
+    ).toDF("etype", "weight")
+      .withColumn("salt", explode(lit((0 until salts).toArray)))
+    val fact = Tables.events(s, d)
+      .withColumn("salt", (col("event_id") % salts).cast("int"))
+    fact.hint("shuffle_hash")
+      .join(dim, fact("event_type") === dim("etype")
+        && fact("salt") === dim("salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") * col("weight")), 4).as("weighted_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_dpp" -> joinDpp _,
+    "join_salted" -> joinSalted _,
     "join_bucketed" -> joinBucketed _,
     "join_asof" -> joinAsof _,
     "join_inner_hash" -> joinInnerHash _,
@@ -220,6 +280,24 @@ object Joins extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_dpp" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "join_salted" ->
+      """WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         user_id, event_type, value
+        |  FROM events),
+        |dim(etype, weight) AS (VALUES
+        |  ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+        |  ('signup', 5.0), ('error', 0.0))
+        |SELECT event_type, count(*) AS n_events,
+        |       round(sum(value * weight), 4) AS weighted_value
+        |FROM ev JOIN dim ON event_type = etype
+        |GROUP BY event_type""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         | round(sum(l_extendedprice), 4) AS sum_price

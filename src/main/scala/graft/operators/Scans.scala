@@ -75,7 +75,33 @@ object Scans extends OpModule {
     s.read.parquet(path).orderBy(col("o_orderstatus"))
   }
 
+  /** Hive-style partitioned dataset, staged once per (JVM, sfDir). At
+    * 100 TB, partitioning on a low-cardinality pruning column is the
+    * first line of defense: a predicate on it never touches excluded
+    * directories. */
+  private val partitionedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def partitionedOrders(s: SparkSession, d: String): String =
+    partitionedDirs.computeIfAbsent(d, { dir =>
+      val path = s"$ioDir/orders_part_${math.abs(dir.hashCode)}"
+      Tables.orders(s, dir).write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderpriority").parquet(path)
+      path
+    })
+
+  /** Static partition pruning: the literal predicate on the partition
+    * column must eliminate directories at planning time (PartitionFilters
+    * in the scan — asserted in ScansSpec), so only ~2/5 of the data is
+    * read. */
+  def scanPartitioned(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(partitionedOrders(s, d))
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_partitioned" -> scanPartitioned _,
     "scan_parquet" -> scanParquet _,
     "scan_projected" -> scanProjected _,
     "scan_csv" -> scanCsv _,
@@ -84,6 +110,12 @@ object Scans extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "scan_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority""".stripMargin,
     "scan_parquet" -> "SELECT * FROM orders",
     "scan_projected" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

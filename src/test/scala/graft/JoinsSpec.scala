@@ -31,6 +31,28 @@ class JoinsSpec extends SparkSpec {
       s"bucketed join must not shuffle its inputs:\n${smj.head}")
   }
 
+  test("join_dpp injects a dynamic partition pruning filter into the fact scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.operators.Joins.joinDpp(spark, sf)
+    val scans = collectFinal(df) { case s: FileSourceScanExec => s }
+    val dynamic = scans.exists(_.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning")))
+    assert(dynamic,
+      s"fact scan must carry a dynamicpruning partition filter:\n" +
+        scans.map(_.partitionFilters).mkString("\n"))
+  }
+
+  test("join_salted equals the unsalted join") {
+    import org.apache.spark.sql.functions._
+    val salted = graft.operators.Joins.joinSalted(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, (n, _)) => assert(n == plain(k)) }
+  }
+
   test("outer joins preserve unmatched sides") {
     val left = graft.operators.Joins.joinLeft(spark, sf)
     // every customer appears at least once

@@ -20,6 +20,19 @@ class ScansSpec extends SparkSpec {
       "l_quantity"), s"column pruning failed, read: $readCols")
   }
 
+  test("scan_partitioned prunes partitions statically") {
+    val df = graft.operators.Scans.scanPartitioned(spark, sf)
+    val scans = collectFinal(df) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "IN-list on the partition column must become a partition filter")
+    // the IN-list itself must be a PARTITION filter (not a data filter):
+    // planning-time directory elimination, no row-level evaluation
+    assert(scans.head.partitionFilters.mkString.contains("1-URGENT"))
+    assert(scans.head.dataFilters.isEmpty,
+      s"predicate leaked into data filters: ${scans.head.dataFilters}")
+  }
+
   test("scan_parquet result matches table row count (no sort, pure scan)") {
     val n = graft.operators.Scans.scanParquet(spark, sf).count()
     assert(n == 1500)
