@@ -164,7 +164,48 @@ object Aggregates extends OpModule {
         round(col("col"), 4).as("mean_val"))
   }
 
+  /** Pivot: long→wide on a bounded value set (values pinned explicitly —
+    * an unpinned pivot runs a distinct-collect job first, a silent extra
+    * pass at scale). */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Unpivot: wide→long (melt) of three lineitem measures, then a
+    * per-metric rollup — the inverse surface of pivot. */
+  def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .orderBy(col("metric"))
+
+  /** Column summary statistics (the describe() surface, made exact and
+    * oracle-checkable): count / mean / sample stddev / min / max. */
+  def aggSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      count(col("o_totalprice")).as("n"),
+      round(avg(col("o_totalprice")), 4).as("mean"),
+      round(stddev(col("o_totalprice")), 4).as("sd"),
+      round(min(col("o_totalprice")), 4).as("mn"),
+      round(max(col("o_totalprice")), 4).as("mx"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot" -> aggPivot _,
+    "agg_unpivot" -> aggUnpivot _,
+    "agg_summary" -> aggSummary _,
     "agg_custom_typed" -> aggCustomTyped _,
     "agg_hash" -> aggHash _,
     "agg_global" -> aggGlobal _,
@@ -178,6 +219,29 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_unpivot" ->
+      """SELECT metric, count(*) AS n, round(sum(value), 4) AS total
+        |FROM (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY metric ORDER BY metric""".stripMargin,
+    "agg_summary" ->
+      """SELECT count(o_totalprice) AS n,
+        | round(avg(o_totalprice), 4) AS mean,
+        | round(stddev(o_totalprice), 4) AS sd,
+        | round(min(o_totalprice), 4) AS mn,
+        | round(max(o_totalprice), 4) AS mx
+        |FROM orders""".stripMargin,
     "agg_custom_typed" ->
       """SELECT label, i AS dim_idx,
         | round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) AS mean_val

@@ -124,7 +124,23 @@ object ScalarFns extends OpModule {
           .cast(DecimalType(18, 4)).as("tax_dec"))
       .orderBy(col("o_orderstatus"))
 
+  /** Error-tolerant function family: try_cast / try_divide return null
+    * instead of failing the job — the at-scale ingestion posture, where
+    * one malformed record must not kill a 100 TB pass. (DuckDB's plain
+    * division already yields NULL on zero, matching try_divide.) */
+  def fnTry(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      expr("try_cast(p_brand AS INT)").as("bad_cast"),          // null
+      expr("try_cast(regexp_extract(p_brand, '(\\\\d+)', 1) AS INT)")
+        .as("good_cast"),
+      expr("try_divide(p_retailprice, p_size - p_size)").as("div_zero"), // null
+      expr("try_divide(p_retailprice, p_size)").as("unit_price_raw"))
+      .withColumn("unit_price", round(col("unit_price_raw"), 4))
+      .drop("unit_price_raw")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_try" -> fnTry _,
     "fn_string" -> fnString _,
     "fn_date" -> fnDate _,
     "fn_math" -> fnMath _,
@@ -135,6 +151,13 @@ object ScalarFns extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_try" ->
+      """SELECT p_partkey,
+        | TRY_CAST(p_brand AS INT) AS bad_cast,
+        | TRY_CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS good_cast,
+        | CAST(p_retailprice AS DOUBLE) / (p_size - p_size) AS div_zero,
+        | round(CAST(p_retailprice AS DOUBLE) / p_size, 4) AS unit_price
+        |FROM part""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         | upper(p_name) AS name_upper,
