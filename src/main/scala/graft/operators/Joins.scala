@@ -261,7 +261,38 @@ object Joins extends OpModule {
         round(sum(col("value") * col("weight")), 4).as("weighted_value"))
   }
 
+  /** Macro query (TPC-H Q5 shape): local-supplier revenue per nation —
+    * 6-table star join with selective filters, exercising the whole
+    * stack in one plan. Shape at scale: lineitem⋈orders⋈customer are the
+    * big shuffles (AQE-planned); supplier/nation/region are explicit
+    * broadcasts; the region + date filters push into the scans; the
+    * final aggregate is 25 rows. The c_nationkey = s_nationkey equality
+    * ("local supplier") is a residual condition on the supplier probe. */
+  def q5StarJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1998-01-01"))
+    val c = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).where(col("r_name").isin("ASIA", "EUROPE"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey")
+        && c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_star_join" -> q5StarJoin _,
     "join_dpp" -> joinDpp _,
     "join_salted" -> joinSalted _,
     "join_bucketed" -> joinBucketed _,
@@ -280,6 +311,21 @@ object Joins extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q5_star_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "join_dpp" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         | round(avg(o_totalprice), 4) AS avg_price
