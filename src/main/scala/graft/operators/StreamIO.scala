@@ -229,7 +229,28 @@ object StreamIO extends OpModule {
     s.table(name)
   }
 
+  /** foreachBatch: the arbitrary-sink escape hatch — per-micro-batch
+    * callback receives (batchDF, batchId); writing to a batchId-keyed
+    * directory makes the sink idempotent under replay (the exactly-once
+    * recipe for sinks without a transactional commit protocol). */
+  def sinkForeachBatch(s: SparkSession, d: String): DataFrame = {
+    val out = fresh("feb_out")
+    val q = eventsStream(s, d)
+      .where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent: a replayed batch overwrites its own directory
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+      }
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.read.parquet(out).select(col("event_id"), col("user_id"), col("value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_foreach_batch" -> sinkForeachBatch _,
     "source_file_stream" -> sourceFileStream _,
     "source_memory" -> sourceMemory _,
     "source_rate" -> sourceRate _,
@@ -247,6 +268,10 @@ object StreamIO extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "sink_foreach_batch" -> (evCte +
+      """
+        |SELECT event_id, user_id, value FROM ev
+        |WHERE event_type = 'error'""".stripMargin),
     "source_file_stream" -> (evCte +
       """
         |SELECT event_type, count(*) AS n_events,
