@@ -161,7 +161,9 @@ object Aggregates extends OpModule {
       .agg(vecMean(col("embedding")).as("mean_vec"))
       .select(col("label"), posexplode(col("mean_vec")))
       .select(col("label"), (col("pos") + 1).as("dim_idx"),
-        round(col("col"), 4).as("mean_val"))
+        // + 0.0 canonicalizes IEEE -0.0 (a tiny negative mean rounds to
+        // -0.0 in one engine and 0.0 in the other → hash mismatch)
+        (round(col("col"), 4) + lit(0.0)).as("mean_val"))
   }
 
   /** Pivot: long→wide on a bounded value set (values pinned explicitly —
@@ -244,7 +246,7 @@ object Aggregates extends OpModule {
         |FROM orders""".stripMargin,
     "agg_custom_typed" ->
       """SELECT label, i AS dim_idx,
-        | round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) AS mean_val
+        | round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 4) + 0.0 AS mean_val
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i""".stripMargin,
     "agg_hash" -> aggHashSql,

@@ -171,7 +171,7 @@ object LlmExtended extends OpModule {
     cands.join(broadcast(queries), col("cell") === col("probe"))
       .where(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(expr("cosine_sim(qe, ce)"), 4).as("cos"))
+        (round(expr("cosine_sim(qe, ce)"), 4) + lit(0.0)).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
   }
@@ -390,7 +390,7 @@ object LlmExtended extends OpModule {
           |  FROM cells WHERE vec_id < 10),
           |scored AS (
           |  SELECT p.qid, c.vec_id AS cid,
-          |    round(${duckCos("p.qe", "c.embedding")}, 4) AS cos
+          |    0.0 + round(${duckCos("p.qe", "c.embedding")}, 4) AS cos
           |  FROM probes p JOIN cells c ON c.cell = p.probe
           |  WHERE c.vec_id != p.qid)
           |SELECT qid, cid, cos,

@@ -121,7 +121,8 @@ object LlmOps extends OpModule {
       // same in-order double accumulation as the HOF formulation, ~10×
       // less per-row overhead in the hot cross-join loop
       .select(col("qid"), col("cid"),
-        round(expr("cosine_sim(qe, ce)"), 4).as("cos"))
+        // + 0.0 canonicalizes -0.0 for near-orthogonal pairs
+        (round(expr("cosine_sim(qe, ce)"), 4) + lit(0.0)).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
   }
@@ -202,7 +203,7 @@ object LlmOps extends OpModule {
         |  WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.qid, e.vec_id AS cid,
-        |    round(
+        |    0.0 + round(
         |      list_reduce(list_prepend(0.0::DOUBLE,
         |        list_transform(range(1, len(q.qe) + 1),
         |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),

@@ -83,14 +83,17 @@ object ScalarFns extends OpModule {
     Tables.embeddings(s, d).select(
       col("vec_id"),
       size(col("embedding")).as("dim"),
-      round(expr(
+      // + 0.0 kills IEEE -0.0 (sums/maxima near zero round to -0.0 vs
+      // 0.0 across engines otherwise)
+      (round(expr(
         "aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, x) -> a + x)"),
-        4).as("vec_sum"),
+        4) + lit(0.0)).as("vec_sum"),
       round(expr(
         "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), 0D, (a, x) -> a + x)"),
         4).as("vec_sq_sum"),
       size(expr("filter(embedding, x -> x > 0)")).as("n_positive"),
-      round(expr("cast(array_max(embedding) as double)"), 4).as("vec_max"))
+      (round(expr("cast(array_max(embedding) as double)"), 4) + lit(0.0))
+        .as("vec_max"))
 
   /** Map family: crack events.props JSON into a typed map. */
   def fnMap(s: SparkSession, d: String): DataFrame =
@@ -204,12 +207,12 @@ object ScalarFns extends OpModule {
         | len(embedding) AS dim,
         | round(list_reduce(list_prepend(0.0::DOUBLE,
         |   list_transform(embedding, x -> CAST(x AS DOUBLE))),
-        |   (a, x) -> a + x), 4) AS vec_sum,
+        |   (a, x) -> a + x), 4) + 0.0 AS vec_sum,
         | round(list_reduce(list_prepend(0.0::DOUBLE,
         |   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
         |   (a, x) -> a + x), 4) AS vec_sq_sum,
         | len(list_filter(embedding, x -> x > 0)) AS n_positive,
-        | round(CAST(list_max(embedding) AS DOUBLE), 4) AS vec_max
+        | round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS vec_max
         |FROM embeddings""".stripMargin,
     "fn_map" ->
       """SELECT event_id,
