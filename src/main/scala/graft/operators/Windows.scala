@@ -46,7 +46,9 @@ object Windows extends OpModule {
       row_number().over(wTie).as("rn"),
       rank().over(wVal).as("rnk"),
       dense_rank().over(wVal).as("drnk"),
-      ntile(4).over(wTie).as("quartile"))
+      ntile(4).over(wTie).as("quartile"),
+      round(percent_rank().over(wVal), 4).as("pct_rank"),
+      round(cume_dist().over(wVal), 4).as("cume"))
   }
 
   /** Analytic family: lag / lead / first / last per user over event time.
@@ -113,7 +115,9 @@ object Windows extends OpModule {
         | row_number() OVER wt AS rn,
         | rank() OVER wv AS rnk,
         | dense_rank() OVER wv AS drnk,
-        | ntile(4) OVER wt AS quartile
+        | ntile(4) OVER wt AS quartile,
+        | round(percent_rank() OVER wv, 4) AS pct_rank,
+        | round(cume_dist() OVER wv, 4) AS cume
         |FROM customer
         |WINDOW wt AS (PARTITION BY c_mktsegment
         |              ORDER BY c_acctbal DESC, c_custkey),
