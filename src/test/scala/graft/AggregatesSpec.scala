@@ -36,4 +36,15 @@ class AggregatesSpec extends SparkSpec {
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("approx_count_distinct stays within the configured 2% rsd (5% bound)") {
+    import org.apache.spark.sql.functions._
+    val approx = graft.operators.Aggregates.aggApproxDistinct(spark, sf).head
+    val exact = Tables.lineitem(spark, sf).agg(
+      countDistinct(col("l_partkey")).as("p"),
+      countDistinct(col("l_orderkey")).as("o")).head
+    def relErr(a: Long, e: Long): Double = math.abs(a - e).toDouble / e
+    assert(relErr(approx.getLong(0), exact.getLong(0)) < 0.05)
+    assert(relErr(approx.getLong(1), exact.getLong(1)) < 0.05)
+  }
 }
