@@ -14,10 +14,17 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
+  // Ragged inputs are tolerated, not truncated: buffers grow to the
+  // longest vector seen and absent trailing dims contribute 0 to the sum
+  // (they still divide by the full row count in finish). Growth only
+  // copies when a longer vector actually arrives, so the fixed-dim common
+  // case stays allocation-free per row.
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
-    val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    val sums =
+      if (b._1.length >= v.length) b._1
+      else java.util.Arrays.copyOf(b._1, v.length)
     var i = 0
-    while (i < v.length && i < sums.length) {
+    while (i < v.length) {
       sums(i) += v(i)
       i += 1
     }
@@ -25,14 +32,11 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
   }
 
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
-    if (a._1.isEmpty) b
-    else if (b._1.isEmpty) a
-    else {
-      val out = new Array[Double](a._1.length)
-      var i = 0
-      while (i < out.length) { out(i) = a._1(i) + b._1(i); i += 1 }
-      (out, a._2 + b._2)
-    }
+    val (longer, shorter) =
+      if (a._1.length >= b._1.length) (a._1, b._1) else (b._1, a._1)
+    var i = 0
+    while (i < shorter.length) { longer(i) += shorter(i); i += 1 }
+    (longer, a._2 + b._2)
   }
 
   override def finish(r: (Array[Double], Long)): Seq[Double] =

@@ -177,21 +177,30 @@ object Joins extends OpModule {
     * write, then every subsequent join on that key is shuffle-free
     * (asserted plan-shape in JoinsSpec). Bucket sort order is declared
     * too, eliminating the sort before the merge join. */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   def joinBucketed(s: SparkSession, d: String): DataFrame = {
-    val sfx = math.abs(d.hashCode).toString
-    val liTbl = s"graft_li_$sfx"
-    val oTbl = s"graft_o_$sfx"
-    val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
-    if (!s.catalog.tableExists(liTbl)) {
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$base/$liTbl").saveAsTable(liTbl)
-      Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderpriority"))
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/$oTbl").saveAsTable(oTbl)
-    }
+    // staged once per sfDir per JVM; the suffix is derived from the full
+    // path (not hashCode) so distinct sfDirs can never collide in the
+    // catalog, and the temp dir is only created when staging actually runs
+    val (liTbl, oTbl) = bucketedTables.computeIfAbsent(d, { _ =>
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val li = s"graft_li_$sfx"
+      val o = s"graft_o_$sfx"
+      if (!s.catalog.tableExists(li)) {
+        val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/$li").saveAsTable(li)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/$o").saveAsTable(o)
+      }
+      (li, o)
+    })
     // merge hint: at fixture scale AQE would broadcast the small side,
     // which bypasses buckets entirely — the point here is the
     // co-located merge path a real large-large join takes

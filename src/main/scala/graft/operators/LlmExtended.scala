@@ -277,10 +277,13 @@ object LlmExtended extends OpModule {
           // STUB decode: a real implementation would run the codec here.
           val nBytes = bytes.length.toLong
           val nFrames = nBytes / 40
+          // unsigned byte values: JVM bytes are signed, so & 0xFF keeps
+          // multilingual (>= 0x80) payloads consistent with the oracle's
+          // byte-level view
           val head = bytes.take(16)
           val headMean =
             if (head.isEmpty) 0.0
-            else head.map(_.toDouble).sum / head.length
+            else head.map(b => (b & 0xFF).toDouble).sum / head.length
           (id, nBytes, nFrames, headMean)
         }
       }
@@ -457,14 +460,21 @@ object LlmExtended extends OpModule {
          |       count(*) OVER (PARTITION BY fp) AS n_same_fp
          |FROM fps""".stripMargin),
     "llm_media_decode" ->
-      """SELECT doc_id,
-        | octet_length(encode(text)) AS n_bytes,
-        | octet_length(encode(text)) // 40 AS n_frames,
+      """WITH h AS (
+        | SELECT doc_id, octet_length(encode(text)) AS nb,
+        |   hex(encode(text)) AS hx,
+        |   least(octet_length(encode(text)), 16) AS nh
+        | FROM documents)
+        |SELECT doc_id,
+        | nb AS n_bytes,
+        | nb // 40 AS n_frames,
         | round(
         |   list_reduce(list_prepend(0.0::DOUBLE,
-        |     [ascii(c)::DOUBLE for c in string_split(substring(text, 1, 16), '')]),
+        |     [(strpos('0123456789ABCDEF', hx[2*i-1]) - 1) * 16.0
+        |        + (strpos('0123456789ABCDEF', hx[2*i]) - 1)
+        |      for i in range(1, nh + 1)]),
         |     (a, x) -> a + x)
-        |   / least(length(text), 16), 4) AS head_mean
-        |FROM documents""".stripMargin
+        |   / greatest(nh, 1), 4) AS head_mean
+        |FROM h""".stripMargin
   )
 }

@@ -115,10 +115,17 @@ object ScalarFns extends OpModule {
   /** Decimal money math under explicit precision/scale. Every output is
     * cast to a pinned DECIMAL type — engines widen intermediate precision
     * differently, so the declared result type must be forced on both
-    * sides for the schema gate. */
+    * sides for the schema gate. The double fixture column is converted to
+    * decimal via an exact integer-cents derivation (round(x*100) is never
+    * near a .5 edge because the source is 2-decimal money), because a
+    * direct double→DECIMAL(12,2) cast rounds .xx5 edge values HALF_UP in
+    * Spark but half-even in DuckDB and the sums drift by a cent. */
   def fnCastDecimal(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .withColumn("price_dec", col("o_totalprice").cast(DecimalType(12, 2)))
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("price_dec",
+        (col("cents").cast(DecimalType(20, 0)) * expr("CAST(0.01 AS DECIMAL(3,2))"))
+          .cast(DecimalType(12, 2)))
       .groupBy(col("o_orderstatus"))
       .agg(
         sum(col("price_dec")).cast(DecimalType(18, 2)).as("sum_dec"),
@@ -227,13 +234,16 @@ object ScalarFns extends OpModule {
         |   AS packed
         |FROM events""".stripMargin,
     "fn_cast_decimal" ->
-      """SELECT o_orderstatus,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-        |   AS sum_dec,
-        | CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
-        |   AS max_dec,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 0.07 AS DECIMAL(18,4))
+      """WITH p AS (
+        | SELECT o_orderstatus,
+        |   CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(20,0))
+        |     * CAST(0.01 AS DECIMAL(3,2)) AS price_dec
+        | FROM orders)
+        |SELECT o_orderstatus,
+        | CAST(sum(price_dec) AS DECIMAL(18,2)) AS sum_dec,
+        | CAST(max(CAST(price_dec AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_dec,
+        | CAST(sum(price_dec) * CAST(0.07 AS DECIMAL(3,2)) AS DECIMAL(18,4))
         |   AS tax_dec
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM p GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

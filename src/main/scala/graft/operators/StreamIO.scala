@@ -34,6 +34,21 @@ object StreamIO extends OpModule {
   private lazy val scratch: String =
     java.nio.file.Files.createTempDirectory("graft_stream").toString
 
+  /** Streaming queries run on a derived session whose shuffle-partition
+    * count is sized to STATE, not CPUs. The state-store layout is pinned
+    * by the first checkpoint write, and every state partition carries a
+    * RocksDB instance per store — a stream-stream join keeps FOUR stores
+    * per partition, so inheriting local[32]'s 32 shuffle partitions
+    * opens ~128 RocksDB instances per micro-batch for a handful of keys
+    * (~18 s of pure store-open overhead at fixture scale). A production
+    * job sizes this to key cardinality × executor count once, up front;
+    * the checkpoint then keeps it stable for the job's lifetime. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   private def fresh(tag: String): String = s"$scratch/$tag-${UUID.randomUUID()}"
 
   /** Bounded wait: AvailableNow terminates on its own; the timeout is a
@@ -68,7 +83,8 @@ object StreamIO extends OpModule {
 
   /** Directory-watch ingestion: stream the events table through a real
     * micro-batch file source into a memory sink, then aggregate. */
-  def sourceFileStream(s: SparkSession, d: String): DataFrame = {
+  def sourceFileStream(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val name = s"src_file_${UUID.randomUUID().toString.replace("-", "")}"
     val q = eventsStream(s, d)
       .groupBy(col("event_type"))
@@ -86,7 +102,8 @@ object StreamIO extends OpModule {
     * MemoryStream (the unit-test topic), windowed per hour. The oracle is
     * the same literal data as a VALUES table — the full gate applies even
     * though no fixture table is read. */
-  def sourceMemory(s: SparkSession, d: String): DataFrame = {
+  def sourceMemory(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     import s.implicits._
     implicit val ctx = s.sqlContext
     // epoch millis, NOT Timestamp.valueOf: that parses in the JVM-default
@@ -171,7 +188,8 @@ object StreamIO extends OpModule {
 
   /** Complete-output-mode demonstrator (append is exercised by the
     * sinks above, update by StreamingSpec): running totals per type. */
-  def outputModes(s: SparkSession, d: String): DataFrame = {
+  def outputModes(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val name = s"modes_${UUID.randomUUID().toString.replace("-", "")}"
     val q = eventsStream(s, d)
       .groupBy(col("event_type"))
@@ -185,7 +203,8 @@ object StreamIO extends OpModule {
 
   /** Stream-stream join: purchases within 30 minutes before each click,
     * per user, both sides watermarked (bounds the join state). */
-  def joinStreamStream(s: SparkSession, d: String): DataFrame = {
+  def joinStreamStream(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val clicks = eventsStream(s, d).where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
@@ -211,7 +230,8 @@ object StreamIO extends OpModule {
 
   /** Stream enriched by a static (broadcast) dimension — the streaming
     * side never shuffles; each micro-batch hash-probes the dim. */
-  def joinStreamStatic(s: SparkSession, d: String): DataFrame = {
+  def joinStreamStatic(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     import s.implicits._
     val bands = Seq(
       (0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 1e9)

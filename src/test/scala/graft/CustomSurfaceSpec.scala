@@ -66,6 +66,20 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(got(1).getSeq[Double](1) == Seq(10.0, 20.0))
   }
 
+  test("VectorMean tolerates ragged vector lengths (no truncation, no AIOOBE)") {
+    val vecMean = udaf(graft.functions.VectorMean)
+    // short vector first (buffer must grow), long vector first in the
+    // other group (merge must handle unequal buffer lengths both ways)
+    val df = Seq(
+      (0, Seq(1.0f)), (0, Seq(3.0f, 4.0f)),
+      (1, Seq(10.0f, 20.0f, 30.0f)), (1, Seq(2.0f))
+    ).toDF("label", "embedding").repartition(4)
+    val got = df.groupBy($"label").agg(vecMean($"embedding").as("m"))
+      .orderBy($"label").collect()
+    assert(got(0).getSeq[Double](1) == Seq(2.0, 2.0))
+    assert(got(1).getSeq[Double](1) == Seq(6.0, 10.0, 15.0))
+  }
+
   test("VectorMean is repartition-invariant (partial agg correctness)") {
     val vecMean = udaf(graft.functions.VectorMean)
     val base = Tables.embeddings(spark, sf)
