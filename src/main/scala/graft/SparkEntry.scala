@@ -19,7 +19,7 @@ object SparkEntry {
 
   private val modules: Seq[OpModule] = Seq(
     Scans, Filters, Joins, Aggregates, SortsSetOps, Windows, ScalarFns,
-    Streaming, StreamIO, LlmOps, LlmExtended, PipelineOps
+    Streaming, StreamIO, LlmOps, LlmExtended, LlmCuration, PipelineOps
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -204,7 +204,23 @@ object Aggregates extends OpModule {
       round(min(col("o_totalprice")), 4).as("mn"),
       round(max(col("o_totalprice")), 4).as("mx"))
 
+  /** Re-aggregatable sketch partials (Apache DataSketches HLL, built into
+    * Spark 4): per-group `hll_sketch_agg` partials merged by
+    * `hll_union_agg`, estimated once at the end. THE 100 TB pre-
+    * aggregation pattern: a daily job materializes one tiny sketch per
+    * (day, dimension) — re-aggregating a year of distinct counts then
+    * merges 365 sketches instead of rescanning 100 TB of raw keys, and
+    * sketches compose across any grouping rollup. No DuckDB twin
+    * (different HLL implementation), so this is a rows-only gate entry;
+    * the estimate-vs-exact bound is asserted in AggregatesSpec. */
+  def aggSketchPartial(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_custkeys"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_sketch_partial" -> aggSketchPartial _,
     "agg_pivot" -> aggPivot _,
     "agg_unpivot" -> aggUnpivot _,
     "agg_summary" -> aggSummary _,

@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators (round 3 of SURVEY.md §2.12): the steps a
+  * training-data pipeline runs AFTER near-dup detection and raw scoring —
+  * cluster the duplicate pairs and pick survivors, chunk documents to a
+  * context window, scrub PII, apply hard quality gates, hit a target
+  * language mix with deterministic sampling, and quantize embeddings.
+  *
+  * At-scale design notes per operator live on each method; the common
+  * thread is determinism without rand() (hash-gated sampling, exact
+  * integer math) so every run — and every engine — selects the same rows.
+  */
+object LlmCuration extends OpModule {
+
+  /** Connected components over the verified near-dup pairs, then survivor
+    * selection (min doc_id per component) — pairs alone don't dedup a
+    * corpus; transitive closure does (A~B, B~C must collapse to ONE
+    * survivor even though A~C was never compared).
+    *
+    * Implementation is iterative min-label propagation — the Pregel
+    * pattern: labels start as self, each round takes the min over the
+    * neighborhood, converged when no label changes. Driver-side loop with
+    * a per-round count() is how iterative graph algorithms on DataFrames
+    * work (GraphX does the same); rounds = component diameter, and
+    * near-dup components are shallow (duplicates of a common ancestor).
+    * At 100 TB you'd swap the body for the large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce") —
+    * O(log d) rounds — and checkpoint each round exactly as done here
+    * (localCheckpoint cuts the growing lineage; cluster jobs use
+    * reliable checkpoints so a lost executor doesn't recompute round 1).
+    */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = LlmOps.dedupNear(s, d).select(col("doc_a"), col("doc_b"))
+    // undirected: materialize both directions once — the LSH pair hunt is
+    // the expensive part and must not re-run per iteration
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("is_survivor"))
+  }
+
+  /** Context-window chunking: overlapping token windows (W=32, stride
+    * S=24 → 8-token overlap), the prep step before tokenization at a
+    * fixed model context. Pure per-row explode — no shuffle at all; at
+    * 100 TB this runs entirely map-side and the output partitioning
+    * inherits the input's. */
+  private val W = 32
+  private val S = 24
+  def chunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("starts", expr(
+        s"""transform(
+           |  sequence(0, CASE WHEN size(toks) <= $W THEN 0
+           |               ELSE cast(ceil((size(toks) - $W) / $S.0D) as int) END),
+           |  j -> j * $S)""".stripMargin))
+      .select(col("doc_id"), col("toks"), explode(col("starts")).as("start"))
+      .select(
+        col("doc_id"), col("start"),
+        size(expr(s"slice(toks, start + 1, $W)")).as("n_chunk_tokens"),
+        concat_ws(" ", expr(s"slice(toks, start + 1, $W)")).as("chunk_text"))
+
+  /** PII scrubbing: regex redaction of emails and phone numbers, with
+    * per-row match counts for audit. The fixture corpus carries no PII,
+    * so both engines first append a deterministic synthetic contact
+    * string — the redaction then provably bites. Per-row regex, fully
+    * codegen'd, no shuffle. */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+\\d-\\d{3}-\\d{4}"
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("txt", concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("txt"), lit(EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(PhonePat), lit(0))).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("txt"), EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>").as("scrubbed"))
+
+  /** Hard quality gate (Gopher/C4-style rejection rules): token count
+    * bounds, mean-word-length bounds, symbol ratio, stopword presence.
+    * Emits keep + the FIRST failed rule for funnel accounting. Per-row
+    * arithmetic, no shuffle; at 100 TB this is the cheapest pass in the
+    * pipeline and runs fused with the scan. */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("the", "and", "of", "der", "die", "und", "le", "la",
+      "et", "el", "y", "de", "的", "了", "是")
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nt", size(col("toks")))
+      .withColumn("mean_wl", round(
+        (length(col("text")) - (col("nt") - 1)).cast("double") / col("nt"), 4))
+      .withColumn("sym_ratio", round(
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+          / length(col("text")), 4))
+      .withColumn("has_stop",
+        arrays_overlap(col("toks"), array(stops.map(lit): _*)))
+      .withColumn("reason",
+        when(col("nt") < 10 || col("nt") > 5000, "n_tokens")
+          .when(col("mean_wl") < 2.0 || col("mean_wl") > 12.0, "mean_word_len")
+          .when(col("sym_ratio") >= 0.3, "symbol_ratio")
+          .when(!col("has_stop"), "no_stopword")
+          .otherwise(null))
+      .select(col("doc_id"), col("nt").as("n_tokens"), col("mean_wl"),
+        col("sym_ratio"), col("has_stop"), col("reason").isNull.as("keep"),
+        col("reason"))
+  }
+
+  /** Deterministic stratified sampling to a per-language cap (the target-
+    * mix step: downsample over-represented languages, keep the rest).
+    * The keep decision is a HASH GATE, not rand(): a row is kept iff
+    * (doc_id * knuth) mod 2^32 < floor(rate * 2^32) — reproducible across
+    * runs, engines, and retries, which is what makes the sample auditable
+    * at 100 TB (a re-run selects byte-identical training data). The
+    * per-stratum counts are a broadcast dim; the fact side never
+    * shuffles. At real scale the multiplicative hash becomes xxhash64 —
+    * same gate shape (DuckDB has no xxhash64 twin, hence Knuth here). */
+  private val Cap = 100
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    docs.join(broadcast(counts), "lang")
+      .withColumn("rate", least(lit(1.0), lit(Cap + 0.0) / col("cnt")))
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .where(col("h") < floor(col("rate") * lit(4294967296.0)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(max(col("cnt")).as("n_total"),
+        count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
+  /** int8 embedding quantization (min/max affine per vector) — 4× memory
+    * cut for ANN serving. Output is the quantization params + an exact
+    * integer checksum of the quantized codes (the gate can't hash array
+    * columns). Per-row HOFs over an attribute-bound min/max — cheap
+    * lambda bodies, the expensive tree (the embedding) is the collection
+    * argument. */
+  def embedQuantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("mn", expr("cast(array_min(embedding) as double)"))
+      .withColumn("mx", expr("cast(array_max(embedding) as double)"))
+      .select(
+        col("vec_id"),
+        (round(col("mn"), 4) + lit(0.0)).as("v_min"),
+        (round(col("mx"), 4) + lit(0.0)).as("v_max"),
+        size(col("embedding")).as("n_dims"),
+        expr(
+          """CASE WHEN mx > mn THEN
+            |  aggregate(
+            |    transform(embedding,
+            |      x -> cast(round((cast(x as double) - mn) * 255.0D / (mx - mn), 0) as bigint) - 128L),
+            |    0L, (a, q) -> a + q)
+            |ELSE 0L END""".stripMargin).as("q_checksum"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_cluster" -> dedupCluster _,
+    "llm_chunk" -> chunk _,
+    "llm_pii_scrub" -> piiScrub _,
+    "llm_quality_filter" -> qualityFilter _,
+    "llm_sample_stratified" -> sampleStratified _,
+    "llm_embed_quantize" -> embedQuantize _
+  )
+
+  def oracle: Map[String, String] = Map(
+    // transitive closure via recursive CTE over the SAME pair set the
+    // LSH path emits (llm_dedup_near's oracle, already hash-matched)
+    "llm_dedup_cluster" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${LlmOps.oracle("llm_dedup_near")}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id,
+         |       least(a, min(b)) AS cluster_id,
+         |       least(a, min(b)) = a AS is_survivor
+         |FROM reach GROUP BY a""".stripMargin,
+    "llm_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks,
+         |    unnest([j * $S for j in range(0,
+         |      CASE WHEN len(toks) <= $W THEN 1
+         |           ELSE ceil((len(toks) - $W) / $S.0)::INT + 1 END)]) AS start
+         |  FROM t)
+         |SELECT doc_id, start,
+         |  len(list_slice(toks, start + 1, start + $W)) AS n_chunk_tokens,
+         |  array_to_string(list_slice(toks, start + 1, start + $W), ' ')
+         |    AS chunk_text
+         |FROM st""".stripMargin,
+    "llm_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1-555-'
+        |      || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(txt, '\+\d-\d{3}-\d{4}')) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM p""".stripMargin,
+    "llm_quality_filter" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS nt
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, nt,
+        |    round((length(text) - (nt - 1))::DOUBLE / nt, 4) AS mean_wl,
+        |    round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+        |          / length(text), 4) AS sym_ratio,
+        |    len(list_intersect(toks, ['the','and','of','der','die','und','le',
+        |      'la','et','el','y','de','的','了','是'])) > 0 AS has_stop
+        |  FROM q),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN nt < 10 OR nt > 5000 THEN 'n_tokens'
+        |         WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 'mean_word_len'
+        |         WHEN sym_ratio >= 0.3 THEN 'symbol_ratio'
+        |         WHEN NOT has_stop THEN 'no_stopword'
+        |         ELSE NULL END AS reason
+        |  FROM m)
+        |SELECT doc_id, nt AS n_tokens, mean_wl, sym_ratio, has_stop,
+        |       reason IS NULL AS keep, reason
+        |FROM r""".stripMargin,
+    "llm_sample_stratified" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |g AS (
+        |  SELECT d.lang, d.doc_id, c.cnt,
+        |    least(1.0, 100.0 / c.cnt) AS rate,
+        |    (d.doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents d JOIN c ON d.lang = c.lang)
+        |SELECT lang, max(cnt) AS n_total, count(*) AS n_sampled,
+        |       sum(doc_id) AS id_sum
+        |FROM g
+        |WHERE h < floor(rate * 4294967296.0)::BIGINT
+        |GROUP BY lang""".stripMargin,
+    "llm_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_min(embedding)::DOUBLE AS mn,
+        |    list_max(embedding)::DOUBLE AS mx
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  0.0 + round(mn, 4) AS v_min,
+        |  0.0 + round(mx, 4) AS v_max,
+        |  len(embedding) AS n_dims,
+        |  CASE WHEN mx > mn THEN
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(embedding,
+        |        x -> round((x::DOUBLE - mn) * 255.0 / (mx - mn))::BIGINT - 128)),
+        |      (a, q) -> a + q)
+        |  ELSE 0 END AS q_checksum
+        |FROM e""".stripMargin
+  )
+}

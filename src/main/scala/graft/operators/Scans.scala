@@ -75,6 +75,20 @@ object Scans extends OpModule {
     s.read.parquet(path).orderBy(col("o_orderstatus"))
   }
 
+  /** ORC roundtrip on `supplier` — the second first-class columnar
+    * format. Unlike the CSV roundtrip, binary floating point survives
+    * exactly, so a double column is included deliberately. At scale ORC
+    * gets the same vectorized reader + predicate pushdown treatment as
+    * parquet. */
+  def scanOrc(s: SparkSession, d: String): DataFrame = {
+    val path = s"$ioDir/supplier_orc"
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .write.mode(SaveMode.Overwrite).orc(path)
+    s.read.orc(path)
+  }
+
   /** Hive-style partitioned dataset, staged once per (JVM, sfDir). At
     * 100 TB, partitioning on a low-cardinality pruning column is the
     * first line of defense: a predicate on it never touches excluded
@@ -105,6 +119,7 @@ object Scans extends OpModule {
     "scan_parquet" -> scanParquet _,
     "scan_projected" -> scanProjected _,
     "scan_csv" -> scanCsv _,
+    "scan_orc" -> scanOrc _,
     "scan_json" -> scanJson _,
     "sink_parquet" -> sinkParquet _
   )
@@ -122,6 +137,8 @@ object Scans extends OpModule {
         |WHERE l_quantity < 10""".stripMargin,
     "scan_csv" ->
       "SELECT p_partkey, p_name, p_brand, p_size FROM part",
+    "scan_orc" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "scan_json" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "sink_parquet" ->

@@ -47,4 +47,14 @@ class AggregatesSpec extends SparkSpec {
     assert(relErr(approx.getLong(0), exact.getLong(0)) < 0.05)
     assert(relErr(approx.getLong(1), exact.getLong(1)) < 0.05)
   }
+
+  test("hll sketch partials merge to a near-exact distinct estimate") {
+    import org.apache.spark.sql.functions._
+    val est = graft.operators.Aggregates.aggSketchPartial(spark, sf)
+      .head.getLong(0)
+    val exact = Tables.orders(spark, sf)
+      .agg(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"sketch estimate $est vs exact $exact")
+  }
 }

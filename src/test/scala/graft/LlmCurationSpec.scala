@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LlmCuration, LlmOps}
+
+class LlmCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup_cluster: transitive closure — both pair endpoints share a cluster, one survivor each") {
+    val clusters = LlmCuration.dedupCluster(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val pairs = LlmOps.dedupNear(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1,
+        s"pair ($a,$b) split across clusters")
+    }
+    // exactly one survivor per cluster, and it is the min doc_id
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      val survivors = members.filter(_._2._2).keys.toSeq
+      assert(survivors == Seq(cid) && cid == members.keys.min,
+        s"cluster $cid: survivor must be the min member, got $survivors")
+    }
+  }
+
+  test("chunk: windows cover every token, fixed width except the tail, no shuffle") {
+    val chunks = LlmCuration.chunk(spark, sf)
+    val byDoc = chunks.groupBy($"doc_id")
+      .agg(max($"start" + $"n_chunk_tokens").as("covered"),
+        count(lit(1)).as("n_chunks"),
+        sum(when($"n_chunk_tokens" =!= 32, 1).otherwise(0)).as("n_short"))
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).as("nt"))
+    val joined = byDoc.join(docs, "doc_id").collect()
+    joined.foreach { r =>
+      val (covered, nShort, nt) = (r.getAs[Int]("covered"),
+        r.getAs[Long]("n_short"), r.getAs[Int]("nt"))
+      assert(covered == nt, s"doc ${r.getLong(0)}: covered $covered of $nt tokens")
+      assert(nShort <= 1, "at most the tail chunk may be short")
+    }
+    // per-row explode only: the chunking itself must not shuffle
+    val shuffles = collectFinal(chunks) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, "chunking must be map-side only")
+  }
+
+  test("pii_scrub: no email/phone survives, counts are positive") {
+    val out = LlmCuration.piiScrub(spark, sf).collect()
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_emails") >= 1)
+      assert(r.getAs[Int]("n_phones") >= 1)
+      val scrubbed = r.getAs[String]("scrubbed")
+      assert(email.findFirstIn(scrubbed).isEmpty, "email survived scrubbing")
+      assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>"))
+    }
+  }
+
+  test("quality_filter: keep <=> no failed rule, reason names the first failure") {
+    val out = LlmCuration.qualityFilter(spark, sf).collect()
+    out.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      val reason = r.getAs[String]("reason")
+      assert(keep == (reason == null))
+      if (reason == "n_tokens")
+        assert(r.getAs[Int]("n_tokens") < 10 || r.getAs[Int]("n_tokens") > 5000)
+    }
+    assert(out.exists(_.getAs[Boolean]("keep")), "some docs must pass")
+  }
+
+  test("sample_stratified: hash gate respects rates and broadcasts the dim") {
+    val df = LlmCuration.sampleStratified(spark, sf)
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (total, sampled) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_sampled"))
+      assert(sampled <= total)
+      if (total <= 100) assert(sampled == total, "under-cap strata keep everything")
+      // the multiplicative-hash gate is uniform: expect sampled ≈ cap ± 40%
+      else assert(sampled >= 60 && sampled <= 140,
+        s"${r.getString(0)}: sampled $sampled of $total, expected ≈100")
+    }
+    val bhj = collectFinal(df) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "stratum counts must broadcast, not shuffle the corpus")
+  }
+
+  test("embed_quantize: checksums bounded by the int8 range, params ordered") {
+    val out = LlmCuration.embedQuantize(spark, sf).collect()
+    out.foreach { r =>
+      val n = r.getAs[Int]("n_dims")
+      val cs = r.getAs[Long]("q_checksum")
+      assert(r.getAs[Double]("v_min") <= r.getAs[Double]("v_max"))
+      assert(cs >= -128L * n && cs <= 127L * n)
+    }
+  }
+}
