@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, NGrams}
 
 /** Engine extension wiring (SURVEY.md §4.3).
   *
@@ -17,8 +17,10 @@ import graft.functions.CosineSimilarity
   *    harness queries so the driver's plain sessions see the functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.ngramsDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -33,9 +35,20 @@ object GraftExtensions {
     }
   )
 
+  private val ngramsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngrams"),
+    new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "ngrams expects (array<string>, const int)")
+      NGrams(children.head, children(1))
+    }
+  )
+
   /** Idempotent runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(cosineSimDescriptor, ngramsDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

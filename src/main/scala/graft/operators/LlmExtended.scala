@@ -22,19 +22,6 @@ object LlmExtended extends OpModule {
 
   // ── shared text/hash machinery ────────────────────────────────────────
 
-  /** Distinct word 3-shingles (same guard as LlmOps: sequence() descends
-    * for short docs). */
-  private val shingles3 =
-    """CASE WHEN size(toks) >= 3 THEN
-      |  array_distinct(transform(sequence(1, size(toks) - 2),
-      |    i -> concat_ws(' ', slice(toks, i, 3))))
-      |ELSE array() END""".stripMargin
-
-  /** Poly rolling hash of a string column/lambda var, cross-engine safe:
-    * stays < 1e9·m + 127 < 2^63, so no overflow under ANSI mode. */
-  private def polyHash(v: String, m: Int): String =
-    s"aggregate(split($v, ''), 0L, (h, c) -> (h * $m + ascii(c)) % 1000000007)"
-
   /** 32-bit SimHash from two 16-bit halves (poly-31 and poly-37 hash
     * families): bit b set iff the majority of shingle hashes have bit b
     * set.
@@ -61,10 +48,37 @@ object LlmExtended extends OpModule {
     s"${half("h1", 0)} + ${half("h2", 16)}"
   }
 
+  /** Rolling composition of the poly-31 hash over word 3-shingles:
+    * because poly hashes concatenate as h(a||b) = (h(a)·31^len(b) + h(b))
+    * mod M, each WORD is char-folded once — h(w) and 31^len(w) in a
+    * single pass — and every shingle hash is then four modular
+    * multiply-adds over the word summaries. The naive per-shingle char
+    * fold re-hashes each character ~3× (consecutive shingles overlap by
+    * two words); this is algebraically IDENTICAL (same values bit for
+    * bit — the oracle keeps the naive formulation) at ~1/3 the char
+    * work. All products stay < M² ≈ 1e18 < 2^63: overflow-free. */
+  private val wordHashExpr =
+    """transform(toks, w -> aggregate(split(w, ''),
+      |  named_struct('h', 0L, 'p', 1L),
+      |  (s, c) -> named_struct(
+      |    'h', (s.h * 31 + ascii(c)) % 1000000007,
+      |    'p', (s.p * 31) % 1000000007)))""".stripMargin
+
+  /** h1[i] = poly-31 hash of shingle i, composed from word summaries:
+    * start from h(w_i), append ' ' then w_{i+1}, then ' ' then w_{i+2}. */
+  private val shingleHashExpr =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(toks) - 2),
+      |    i -> (((((element_at(wh, i).h * 31 + 32) % 1000000007)
+      |            * element_at(wh, i + 1).p + element_at(wh, i + 1).h) % 1000000007
+      |            * 31 + 32) % 1000000007
+      |            * element_at(wh, i + 2).p + element_at(wh, i + 2).h) % 1000000007))
+      |ELSE array() END""".stripMargin
+
   private def withSimhash(docs: DataFrame): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(shingles3))
-      .withColumn("h1", expr(s"transform(sh, g -> ${polyHash("g", 31)})"))
+      .withColumn("wh", expr(wordHashExpr))
+      .withColumn("h1", expr(shingleHashExpr))
       // second family derived by multiplicative mixing instead of a
       // second char fold — halves the hashing cost; measured pair
       // quality is indistinguishable (221 vs 225 hamming≤3 pairs at
@@ -119,8 +133,13 @@ object LlmExtended extends OpModule {
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     // explicit shuffle on the join key: both self-join sides become the
     // SAME exchange subtree → ReusedExchange computes the shingle
-    // explosion once instead of once per side
-    val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+    // explosion once instead of once per side. The key is xxhash64 of
+    // the shingle, not the ~25-char string — an 8-byte shuffle/join key
+    // instead of a variable-length one (the intersection count is
+    // unchanged unless two distinct shingles collide in 64 bits,
+    // P < 1e-10 at this vocabulary). The oracle keeps string keys.
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("gs"))
+      .select(col("doc_id"), col("n"), xxhash64(col("gs")).as("g"))
       .repartition(col("g"))
     ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -252,8 +271,11 @@ object LlmExtended extends OpModule {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(shingles3))
-      .withColumn("fp", expr(s"array_min(transform(sh, g -> ${polyHash("g", 31)}))"))
+      // same rolling word-hash composition as SimHash (hash each word
+      // once, compose shingle hashes algebraically); min is unaffected
+      // by the distinct step so the shared expression is reused as-is
+      .withColumn("wh", expr(wordHashExpr))
+      .withColumn("fp", expr(s"array_min($shingleHashExpr)"))
       .select(col("doc_id"), col("fp"),
         count(lit(1)).over(w).as("n_same_fp"))
   }
@@ -292,7 +314,26 @@ object LlmExtended extends OpModule {
         round(col("head_mean"), 4).as("head_mean"))
   }
 
+  /** UDTF surface (§2.11): corpus bigram frequencies computed THROUGH
+    * the native `ngrams` Generator (graft.functions.NGrams) — the table-
+    * function extension path (injectFunction → generator planning →
+    * GenerateExec), not explode-over-transform. The trailing global
+    * window runs over the tiny aggregated vocabulary, not the corpus. */
+  def udtfNgrams(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("gram"))
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .selectExpr("doc_id", "ngrams(toks, 2) AS (pos, gram)")
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "udtf_ngrams" -> udtfNgrams _,
     "llm_dedup_simhash" -> dedupSimhash _,
     "llm_dedup_ngram" -> dedupNgram _,
     "llm_dedup_embed" -> dedupEmbed _,
@@ -459,6 +500,18 @@ object LlmExtended extends OpModule {
          |SELECT doc_id, fp,
          |       count(*) OVER (PARTITION BY fp) AS n_same_fp
          |FROM fps""".stripMargin),
+    "udtf_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+        |                         for i in range(1, len(toks))]) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT gram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+        |      FROM g GROUP BY gram)
+        |SELECT gram, cnt, n_docs,
+        |       row_number() OVER (ORDER BY cnt DESC, gram) AS rn
+        |FROM c QUALIFY rn <= 20""".stripMargin,
     "llm_media_decode" ->
       """WITH h AS (
         | SELECT doc_id, octet_length(encode(text)) AS nb,

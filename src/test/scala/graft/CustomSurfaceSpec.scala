@@ -66,6 +66,21 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(got(1).getSeq[Double](1) == Seq(10.0, 20.0))
   }
 
+  test("ngrams generator: plans as GenerateExec, matches explode-over-transform") {
+    import org.apache.spark.sql.execution.GenerateExec
+    graft.GraftExtensions.register(spark)
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo"))
+      .toDF("id", "text")
+      .withColumn("toks", split($"text", " "))
+    val viaGen = df.selectExpr("id", "ngrams(toks, 2) AS (pos, gram)")
+    assert(collectFinal(viaGen) { case g: GenerateExec => g }.nonEmpty,
+      "custom generator must plan as GenerateExec")
+    val got = viaGen.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val expected = Set(
+      (1L, 0, "a b"), (1L, 1, "b c"), (1L, 2, "c d"), (2L, 0, "x y"))
+    assert(got == expected)
+  }
+
   test("VectorMean tolerates ragged vector lengths (no truncation, no AIOOBE)") {
     val vecMean = udaf(graft.functions.VectorMean)
     // short vector first (buffer must grow), long vector first in the
