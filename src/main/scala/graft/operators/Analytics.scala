@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-analytics composites over the `events` stream table: time-series
+  * gap-filling and ordered funnel analysis — the queries a product-
+  * analytics user of the reference's stream domain runs against the
+  * materialized event log.
+  *
+  * At-scale notes: both operators aggregate FIRST (events → per-hour /
+  * per-user partials via map-side combine) and only then run the
+  * row-multiplying or window step on the collapsed result — the spine
+  * explode and the funnel joins touch thousands of rows where the raw
+  * log has billions. Neither ever windows over raw events.
+  */
+object Analytics extends OpModule {
+
+  /** Hourly resample with gap-filling: build the complete hour spine per
+    * event_type (sequence between that type's min/max hour), left-join
+    * the observed hourly aggregates, zero-fill counts, and forward-fill
+    * the running sum_value through gaps (last non-null over an ordered
+    * window). The window partitions by event_type over ~720 hour rows
+    * per type — never over raw events. */
+  def tsGapfill(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("value")), 4) + lit(0.0)).as("sum_v"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        col("n").isNull.as("is_gap"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sum_v"), ignoreNulls = true).over(w).as("sum_v_ff"))
+  }
+
+  /** Ordered funnel: signup → first click AFTER the signup → first
+    * purchase AFTER that click, per user; output is the classic
+    * reached-stage count + conversion rate + mean milliseconds from
+    * signup to purchase for full converters. Each stage is an
+    * aggregate-then-join on user_id (broadcastable partials), never a
+    * per-event window. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id").where(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val base = s1
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n1"),
+        count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"),
+        round(avg(unix_millis(col("t3")) - unix_millis(col("t1"))), 4)
+          .as("avg_ms"))
+    base.select(explode(array(
+      struct(lit(1).as("stage"), col("n1").as("n_users"),
+        lit(1.0).as("rate"), lit(null).cast("double").as("avg_ms_to_convert")),
+      struct(lit(2).as("stage"), col("n2").as("n_users"),
+        round(col("n2") / col("n1"), 4).as("rate"),
+        lit(null).cast("double").as("avg_ms_to_convert")),
+      struct(lit(3).as("stage"), col("n3").as("n_users"),
+        round(col("n3") / col("n1"), 4).as("rate"),
+        col("avg_ms").as("avg_ms_to_convert")))).as("f"))
+      .select(col("f.stage"), col("f.n_users"), col("f.rate"),
+        col("f.avg_ms_to_convert"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_gapfill" -> tsGapfill _,
+    "funnel" -> funnel _
+  )
+
+  private val evCte =
+    """WITH ev AS (
+      |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |         user_id, event_type, value
+      |  FROM events)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "ts_gapfill" -> (evCte +
+      """,
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+        |         count(*) AS n, 0.0 + round(sum(value), 4) AS sum_v
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds)
+        |SELECT s.event_type, s.h,
+        |       hy.n IS NULL AS is_gap,
+        |       coalesce(hy.n, 0) AS n,
+        |       last_value(hy.sum_v IGNORE NULLS) OVER (
+        |         PARTITION BY s.event_type ORDER BY s.h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v_ff
+        |FROM spine s
+        |LEFT JOIN hourly hy ON hy.event_type = s.event_type AND hy.h = s.h""".stripMargin),
+    "funnel" -> (evCte +
+      """,
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |       GROUP BY e.user_id),
+        |base AS (
+        |  SELECT count(*) AS n1, count(t2) AS n2, count(t3) AS n3,
+        |         round(avg(epoch_ms(t3) - epoch_ms(t1)), 4) AS avg_ms
+        |  FROM s1
+        |  LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT JOIN s3 ON s1.user_id = s3.user_id)
+        |SELECT 1 AS stage, n1 AS n_users, CAST(1.0 AS DOUBLE) AS rate,
+        |       CAST(NULL AS DOUBLE) AS avg_ms_to_convert FROM base
+        |UNION ALL
+        |SELECT 2, n2, round(n2::DOUBLE / n1, 4),
+        |       CAST(NULL AS DOUBLE) FROM base
+        |UNION ALL
+        |SELECT 3, n3, round(n3::DOUBLE / n1, 4), avg_ms FROM base""".stripMargin)
+  )
+}

@@ -65,19 +65,29 @@ object LlmExtended extends OpModule {
       |    'p', (s.p * 31) % 1000000007)))""".stripMargin
 
   /** h1[i] = poly-31 hash of shingle i, composed from word summaries:
-    * start from h(w_i), append ' ' then w_{i+1}, then ' ' then w_{i+2}. */
+    * start from h(w_i), append ' ' then w_{i+1}, then ' ' then w_{i+2}.
+    *
+    * CRITICAL plan shape: the word-summary array must NOT be a separate
+    * projection referenced inside the index lambda — CollapseProject
+    * inlines the whole char-fold tree into the lambda body and
+    * re-evaluates it for every element_at (measured 277 s at sf0.1, a
+    * 30× regression). Instead the word-hash tree is wrapped in a
+    * single-element array and bound as a LAMBDA VARIABLE (`wh`): a
+    * higher-order function evaluates its collection argument exactly
+    * once per row, and lambda-variable references are free. */
   private val shingleHashExpr =
-    """CASE WHEN size(toks) >= 3 THEN
-      |  array_distinct(transform(sequence(1, size(toks) - 2),
-      |    i -> (((((element_at(wh, i).h * 31 + 32) % 1000000007)
-      |            * element_at(wh, i + 1).p + element_at(wh, i + 1).h) % 1000000007
-      |            * 31 + 32) % 1000000007
-      |            * element_at(wh, i + 2).p + element_at(wh, i + 2).h) % 1000000007))
-      |ELSE array() END""".stripMargin
+    s"""CASE WHEN size(toks) >= 3 THEN
+       |  array_distinct(element_at(transform(array($wordHashExpr),
+       |    wh -> transform(sequence(1, size(toks) - 2),
+       |      i -> (((((element_at(wh, i).h * 31 + 32) % 1000000007)
+       |              * element_at(wh, i + 1).p + element_at(wh, i + 1).h) % 1000000007
+       |              * 31 + 32) % 1000000007
+       |              * element_at(wh, i + 2).p + element_at(wh, i + 2).h) % 1000000007)),
+       |    1))
+       |ELSE array() END""".stripMargin
 
   private def withSimhash(docs: DataFrame): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
-      .withColumn("wh", expr(wordHashExpr))
       .withColumn("h1", expr(shingleHashExpr))
       // second family derived by multiplicative mixing instead of a
       // second char fold — halves the hashing cost; measured pair
@@ -274,7 +284,6 @@ object LlmExtended extends OpModule {
       // same rolling word-hash composition as SimHash (hash each word
       // once, compose shingle hashes algebraically); min is unaffected
       // by the distinct step so the shared expression is reused as-is
-      .withColumn("wh", expr(wordHashExpr))
       .withColumn("fp", expr(s"array_min($shingleHashExpr)"))
       .select(col("doc_id"), col("fp"),
         count(lit(1)).over(w).as("n_same_fp"))
