@@ -81,9 +81,70 @@ object Analytics extends OpModule {
         col("f.avg_ms_to_convert"))
   }
 
+  /** SCD-1 MERGE (upsert) expressed as a full-outer join + coalesce: the
+    * update set wins where matched, inserts append, untouched base rows
+    * pass through — with a per-row action tag for audit. The update set
+    * here is derived deterministically from the base (every 10th order
+    * re-priced +5%, plus synthetic inserts above the key space); prices
+    * move through exact integer cents (round(x·100)·105/10000) so both
+    * engines compute bit-identical doubles with no .xx5 rounding edge.
+    * At 100 TB the merge shuffles both sides on the key once — or reuses
+    * a bucketed base layout (join_bucketed) to avoid shuffling the big
+    * side entirely; MERGE INTO on a table format is this exact plan. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val repriced = base.where(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (round(col("o_totalprice") * 100, 0).cast("long") * 105 / lit(10000.0))
+          .as("o_totalprice"))
+    val inserts = s.range(1, 6)
+      .select((col("id") + 2000000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), lit(42.0).as("o_totalprice"))
+    val updates = repriced.union(inserts)
+    base.as("b").join(updates.as("u"), Seq("o_orderkey"), "full_outer")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("u.o_orderstatus"), col("b.o_orderstatus")).as("status"),
+        coalesce(col("u.o_totalprice"), col("b.o_totalprice")).as("price"),
+        when(col("u.o_orderstatus").isNull, "kept")
+          .when(col("b.o_orderstatus").isNull, "inserted")
+          .otherwise("updated").as("action"))
+  }
+
+  /** Weekly retention cohorts: users grouped by signup week, activity
+    * counted per week offset; output is the cohort triangle (cohort,
+    * offset, active users, retention rate). Week arithmetic stays in
+    * exact integer seconds (ISO-Monday truncation on both engines, UTC —
+    * offsets are exact multiples of 604800). Both sides of the join are
+    * per-(user, week) DISTINCT aggregates, so the join input is already
+    * collapsed — at 100 TB the event log never joins raw. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cohorts = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+    val sizes = cohorts.groupBy(col("cw")).agg(count(lit(1)).as("cohort_n"))
+    cohorts.join(activity, "user_id")
+      .where(col("aw") >= col("cw"))
+      .withColumn("week_offset", expr(
+        "cast((unix_timestamp(aw) - unix_timestamp(cw)) / 604800 as bigint)"))
+      .groupBy(col("cw"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cw")
+      .select(col("cw").as("cohort_week"), col("week_offset"),
+        col("n_active"),
+        round(col("n_active") / col("cohort_n"), 4).as("retention"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gapfill" -> tsGapfill _,
-    "funnel" -> funnel _
+    "funnel" -> funnel _,
+    "merge_upsert" -> mergeUpsert _,
+    "retention" -> retention _
   )
 
   private val evCte =
@@ -114,6 +175,45 @@ object Analytics extends OpModule {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v_ff
         |FROM spine s
         |LEFT JOIN hourly hy ON hy.event_type = s.event_type AND hy.h = s.h""".stripMargin),
+    "merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) * 105 / 10000.0
+        |           AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 2000000000 + i, 'N', CAST(42.0 AS DOUBLE)
+        |  FROM range(1, 6) t(i)),
+        |m AS (
+        |  SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |         coalesce(u.o_orderstatus, b.o_orderstatus) AS status,
+        |         coalesce(u.o_totalprice, b.o_totalprice) AS price,
+        |         CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+        |              WHEN b.o_orderkey IS NULL THEN 'inserted'
+        |              ELSE 'updated' END AS action
+        |  FROM base b FULL OUTER JOIN updates u
+        |    ON b.o_orderkey = u.o_orderkey)
+        |SELECT * FROM m""".stripMargin,
+    "retention" -> (evCte +
+      """,
+        |cohorts AS (
+        |  SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cw
+        |  FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS aw
+        |  FROM ev),
+        |sizes AS (SELECT cw, count(*) AS cohort_n FROM cohorts GROUP BY cw),
+        |tri AS (
+        |  SELECT c.cw, date_diff('second', c.cw, a.aw) // 604800 AS week_offset,
+        |         count(*) AS n_active
+        |  FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+        |  WHERE a.aw >= c.cw
+        |  GROUP BY 1, 2)
+        |SELECT t.cw AS cohort_week, t.week_offset, t.n_active,
+        |       round(t.n_active::DOUBLE / s.cohort_n, 4) AS retention
+        |FROM tri t JOIN sizes s ON t.cw = s.cw""".stripMargin),
     "funnel" -> (evCte +
       """,
         |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev

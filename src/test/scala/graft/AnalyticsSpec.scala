@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ts_gapfill: spine is dense per type, gaps zero-filled, sums forward-filled") {
+    val out = Analytics.tsGapfill(spark, sf).cache()
+    try {
+      // dense: per type, row count == hours between min and max inclusive
+      val spans = out.groupBy($"event_type")
+        .agg(count(lit(1)).as("rows"),
+          ((unix_timestamp(max($"h")) - unix_timestamp(min($"h"))) / 3600 + 1)
+            .cast("long").as("hours"))
+        .collect()
+      spans.foreach(r => assert(r.getAs[Long]("rows") == r.getAs[Long]("hours"),
+        s"${r.getString(0)}: spine has holes"))
+      // sf0.001 is sparse enough to contain real gaps
+      val gaps = out.where($"is_gap").count()
+      assert(gaps > 0, "fixture at sf0.001 must contain hour gaps")
+      // gap rows have n=0 and a forward-filled (non-null after first obs) sum
+      assert(out.where($"is_gap" && $"n" =!= 0).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("funnel: stages are monotonically shrinking and rates consistent") {
+    val rows = Analytics.funnel(spark, sf).orderBy($"stage").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val ns = rows.map(_.getLong(1))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), "funnel must narrow")
+    assert(rows(0).getDouble(2) == 1.0)
+    assert(rows(2).getDouble(2) <= rows(1).getDouble(2))
+  }
+
+  test("merge_upsert: action accounting matches the update-set construction") {
+    val out = Analytics.mergeUpsert(spark, sf).cache()
+    try {
+      val byAction = out.groupBy($"action").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val base = Tables.orders(spark, sf)
+      val nBase = base.count()
+      val nDiv10 = base.where(pmod($"o_orderkey", lit(10)) === 0).count()
+      assert(byAction("inserted") == 5L)
+      assert(byAction("updated") == nDiv10)
+      assert(byAction.getOrElse("kept", 0L) == nBase - nDiv10)
+      // updated rows carry the exact-cents reprice and the U status
+      val u = out.where($"action" === "updated")
+      assert(u.where($"status" =!= "U").count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("retention: offset-0 retention is 1.0 and rates never exceed 1") {
+    val rows = Analytics.retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("retention")
+      assert(rate > 0.0 && rate <= 1.0)
+      if (r.getAs[Long]("week_offset") == 0L)
+        assert(rate == 1.0, "every cohort member is active in its signup week")
+    }
+  }
+}
