@@ -183,7 +183,55 @@ object LlmCuration extends OpModule {
             |    0L, (a, q) -> a + q)
             |ELSE 0L END""".stripMargin).as("q_checksum"))
 
+  /** Flagship macro: the whole curation pipeline as ONE dataflow —
+    * quality gate → exact dedup (min-id per text among kept) → near-dup
+    * pairwise drop (the non-minimal member of every verified pair) →
+    * per-language stratified sample → context-window chunk accounting.
+    * Output is the per-language funnel: doc counts surviving each stage
+    * plus the final chunk count. Everything stays declarative, so
+    * Catalyst fuses the stage flags into a handful of joins over the
+    * (small) survivor sets — the corpus is scanned, not re-shuffled,
+    * per stage. The chunk count is computed arithmetically (no explode):
+    * accounting needs sizes, not rows. */
+  def curationE2e(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val quality = qualityFilter(s, d).select(col("doc_id"), col("keep"))
+    val exactSurv = docs.join(quality.where(col("keep")), "doc_id")
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val dropSet = LlmOps.dedupNear(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val nearSurv = exactSurv.join(dropSet, Seq("doc_id"), "left_anti")
+    val flagged = docs
+      .join(quality, "doc_id")
+      .join(exactSurv.withColumn("s1", lit(1)), Seq("doc_id"), "left")
+      .join(nearSurv.withColumn("s2", lit(1)), Seq("doc_id"), "left")
+    val counts = flagged.where(col("s2") === 1)
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val sampled = flagged.where(col("s2") === 1)
+      .join(broadcast(counts), "lang")
+      .withColumn("rate", least(lit(1.0), lit(Cap + 0.0) / col("cnt")))
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .where(col("h") < floor(col("rate") * lit(4294967296.0)).cast("long"))
+      .withColumn("nt", size(split(col("text"), " ")))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN nt <= $W THEN 1L ELSE cast(ceil((nt - $W) / $S.0D) as long) + 1L END"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chunks")).as("n_chunks"))
+    flagged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_quality"),
+        count(col("s1")).as("n_exact_dedup"),
+        count(col("s2")).as("n_near_dedup"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_quality"),
+        col("n_exact_dedup"), col("n_near_dedup"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_e2e" -> curationE2e _,
     "llm_dedup_cluster" -> dedupCluster _,
     "llm_chunk" -> chunk _,
     "llm_pii_scrub" -> piiScrub _,
@@ -192,7 +240,78 @@ object LlmCuration extends OpModule {
     "llm_embed_quantize" -> embedQuantize _
   )
 
+  // shared by llm_quality_filter and the curation_e2e macro's CTE chain
+  private val qualityFilterSql =
+    """WITH q AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS nt
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, nt,
+      |    round((length(text) - (nt - 1))::DOUBLE / nt, 4) AS mean_wl,
+      |    round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+      |          / length(text), 4) AS sym_ratio,
+      |    len(list_intersect(toks, ['the','and','of','der','die','und','le',
+      |      'la','et','el','y','de','的','了','是'])) > 0 AS has_stop
+      |  FROM q),
+      |r AS (
+      |  SELECT *,
+      |    CASE WHEN nt < 10 OR nt > 5000 THEN 'n_tokens'
+      |         WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 'mean_word_len'
+      |         WHEN sym_ratio >= 0.3 THEN 'symbol_ratio'
+      |         WHEN NOT has_stop THEN 'no_stopword'
+      |         ELSE NULL END AS reason
+      |  FROM m)
+      |SELECT doc_id, nt AS n_tokens, mean_wl, sym_ratio, has_stop,
+      |       reason IS NULL AS keep, reason
+      |FROM r""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // the macro chains the already-hash-matched stage oracles as CTEs
+    "curation_e2e" ->
+      s"""WITH q AS (
+         |$qualityFilterSql
+         |),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id WHERE q.keep),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+         |pairs AS (
+         |${LlmOps.oracle("llm_dedup_near")}
+         |),
+         |dropset AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+         |near AS (SELECT doc_id FROM ex
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM dropset)),
+         |c AS (SELECT d.lang, count(*) AS cnt FROM near n
+         |      JOIN documents d ON d.doc_id = n.doc_id GROUP BY d.lang),
+         |samp AS (
+         |  SELECT d.lang, len(string_split(d.text, ' ')) AS nt
+         |  FROM near n
+         |  JOIN documents d ON d.doc_id = n.doc_id
+         |  JOIN c ON c.lang = d.lang
+         |  WHERE (d.doc_id * 2654435761) % 4294967296
+         |        < floor(least(CAST(1.0 AS DOUBLE), CAST(100.0 AS DOUBLE) / c.cnt)
+         |                * 4294967296.0)::BIGINT),
+         |sagg AS (
+         |  SELECT lang, count(*) AS n_sampled,
+         |    CAST(sum(CASE WHEN nt <= $W THEN 1
+         |                  ELSE ceil((nt - $W) / $S.0)::INT + 1 END) AS BIGINT)
+         |      AS n_chunks
+         |  FROM samp GROUP BY lang),
+         |base AS (
+         |  SELECT d.lang, count(*) AS n_docs,
+         |    count(*) FILTER (WHERE q.keep) AS n_quality,
+         |    count(*) FILTER (WHERE d.doc_id IN (SELECT doc_id FROM ex))
+         |      AS n_exact_dedup,
+         |    count(*) FILTER (WHERE d.doc_id IN (SELECT doc_id FROM near))
+         |      AS n_near_dedup
+         |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+         |  GROUP BY d.lang)
+         |SELECT b.lang, b.n_docs, b.n_quality, b.n_exact_dedup,
+         |       b.n_near_dedup,
+         |       coalesce(s.n_sampled, 0) AS n_sampled,
+         |       coalesce(s.n_chunks, 0) AS n_chunks
+         |FROM base b LEFT JOIN sagg s ON b.lang = s.lang""".stripMargin,
     // transitive closure via recursive CTE over the SAME pair set the
     // LSH path emits (llm_dedup_near's oracle, already hash-matched)
     "llm_dedup_cluster" ->
@@ -239,36 +358,13 @@ object LlmCuration extends OpModule {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+\d-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
         |FROM p""".stripMargin,
-    "llm_quality_filter" ->
-      """WITH q AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
-        |    len(string_split(text, ' ')) AS nt
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, nt,
-        |    round((length(text) - (nt - 1))::DOUBLE / nt, 4) AS mean_wl,
-        |    round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
-        |          / length(text), 4) AS sym_ratio,
-        |    len(list_intersect(toks, ['the','and','of','der','die','und','le',
-        |      'la','et','el','y','de','的','了','是'])) > 0 AS has_stop
-        |  FROM q),
-        |r AS (
-        |  SELECT *,
-        |    CASE WHEN nt < 10 OR nt > 5000 THEN 'n_tokens'
-        |         WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 'mean_word_len'
-        |         WHEN sym_ratio >= 0.3 THEN 'symbol_ratio'
-        |         WHEN NOT has_stop THEN 'no_stopword'
-        |         ELSE NULL END AS reason
-        |  FROM m)
-        |SELECT doc_id, nt AS n_tokens, mean_wl, sym_ratio, has_stop,
-        |       reason IS NULL AS keep, reason
-        |FROM r""".stripMargin,
+    "llm_quality_filter" -> qualityFilterSql,
     "llm_sample_stratified" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
         |g AS (
         |  SELECT d.lang, d.doc_id, c.cnt,
-        |    least(1.0, 100.0 / c.cnt) AS rate,
+        |    least(CAST(1.0 AS DOUBLE), CAST(100.0 AS DOUBLE) / c.cnt) AS rate,
         |    (d.doc_id * 2654435761) % 4294967296 AS h
         |  FROM documents d JOIN c ON d.lang = c.lang)
         |SELECT lang, max(cnt) AS n_total, count(*) AS n_sampled,

@@ -149,7 +149,22 @@ object ScalarFns extends OpModule {
       .withColumn("unit_price", round(col("unit_price_raw"), 4))
       .drop("unit_price_raw")
 
+  /** Bitwise family: and/or/xor/shifts/bit_count over the key space —
+    * the primitives behind bitmap indexes and bloom-style membership
+    * words. Spark's bit_count returns INT and DuckDB's BIGINT, so the
+    * Spark side casts to long (schema gate). */
+  def fnBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+      col("o_orderkey").bitwiseOR(lit(4096L)).as("k_or"),
+      col("o_orderkey").bitwiseXOR(col("o_custkey")).as("k_xor"),
+      shiftleft(col("o_orderkey"), 3).as("k_shl"),
+      shiftright(col("o_orderkey"), 2).as("k_shr"),
+      bit_count(col("o_orderkey")).cast("long").as("k_bits"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bitwise" -> fnBitwise _,
     "fn_try" -> fnTry _,
     "fn_string" -> fnString _,
     "fn_date" -> fnDate _,
@@ -161,6 +176,15 @@ object ScalarFns extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS k_and,
+        | o_orderkey | 4096 AS k_or,
+        | xor(o_orderkey, o_custkey) AS k_xor,
+        | o_orderkey << 3 AS k_shl,
+        | o_orderkey >> 2 AS k_shr,
+        | bit_count(o_orderkey) AS k_bits
+        |FROM orders""".stripMargin,
     "fn_try" ->
       """SELECT p_partkey,
         | TRY_CAST(p_brand AS INT) AS bad_cast,

@@ -86,6 +86,21 @@ class LlmCurationSpec extends SparkSpec {
     assert(bhj.nonEmpty, "stratum counts must broadcast, not shuffle the corpus")
   }
 
+  test("curation_e2e: every stage narrows, chunks cover samples") {
+    val rows = LlmCuration.curationE2e(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(docs, qual, ex, near, samp, chunks) = (1 to 6).map(r.getLong)
+      assert(docs >= qual && qual >= ex && ex >= near && near >= samp,
+        s"${r.getString(0)}: stages must narrow: $docs/$qual/$ex/$near/$samp")
+      assert(chunks >= samp, "every sampled doc yields at least one chunk")
+    }
+    // at least one stage must actually bite somewhere in the corpus
+    val total = rows.map(_.getLong(1)).sum
+    val sampled = rows.map(_.getLong(5)).sum
+    assert(sampled < total)
+  }
+
   test("embed_quantize: checksums bounded by the int8 range, params ordered") {
     val out = LlmCuration.embedQuantize(spark, sf).collect()
     out.foreach { r =>
