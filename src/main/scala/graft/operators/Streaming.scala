@@ -146,6 +146,70 @@ object Streaming extends OpModule {
   }
   case class UserPeak(user_id: Long, n_events: Long, max_value: Double)
 
+  /** Event-time TIMERS + state eviction: a session-close processor. Each
+    * key keeps (n_events, last_event_ms) and re-arms a timer at
+    * last + 30 min; when the WATERMARK passes that expiry the timer
+    * fires, the closed session is emitted, and the key's state is
+    * cleared — the state store never accumulates dead sessions. Stale
+    * timers from earlier batches are ignored by re-checking the live
+    * state's expiry. This is the idiomatic 100 TB session shape: state
+    * per ACTIVE key only, eviction driven by event time, not a scan. */
+  case class SessionClosed(user_id: Long, n_events: Long, last_ms: Long)
+
+  class SessionCloseProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionClosed] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    private val GapMs = 30L * 60 * 1000
+    @transient private var st: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionClosed] = {
+      var (n, last) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { e => n += 1; last = math.max(last, e.ts.getTime) }
+      st.update((n, last))
+      getHandle.registerTimer(last + GapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionClosed] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val (n, last) = st.get()
+        // a stale timer (re-armed since) fires early: ignore it
+        if (expired.getExpiryTimeInMs() < last + GapMs) Iterator.empty
+        else {
+          st.clear()
+          Iterator(SessionClosed(key, n, last))
+        }
+      }
+    }
+  }
+
+  def sessionClose(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   def statefulPeak(spark: SparkSession, ev: DataFrame): DataFrame = {
     import spark.implicits._
     ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),

@@ -147,6 +147,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timers close sessions and evict state at the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.sessionClose(spark, input.toDF())
+      .writeStream.format("memory").queryName("sess_close")
+      .outputMode("append").start()
+    try {
+      // user 1 active at t0 and t5; user 2's late activity pushes the
+      // watermark past t5+30min, firing user 1's session timer
+      run(q, input, Seq(
+        Seq(ev(1, 0, 1, "click", 1.0), ev(2, 5, 1, "view", 2.0)),
+        Seq(ev(3, 40, 2, "click", 3.0)),
+        Seq(ev(4, 80, 2, "view", 4.0))))
+      val closed = spark.table("sess_close").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(closed.get(1L).contains(2L),
+        s"user 1's 2-event session must close once the watermark passes, got $closed")
+      // user 2's last event (t80) needs watermark > t110 to close: still open
+      assert(!closed.contains(2L), "user 2's session must still be open")
+    } finally q.stop()
+  }
+
   test("batch twin of stateful summary equals plain aggregation") {
     val data = Seq(
       ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "view", 2.0),
