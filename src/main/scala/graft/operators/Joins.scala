@@ -270,6 +270,27 @@ object Joins extends OpModule {
         round(sum(col("value") * col("weight")), 4).as("weighted_value"))
   }
 
+  /** Blocked fuzzy join (entity resolution): probe records are
+    * deterministic 1-char mutations of every 200th part name; candidates
+    * pair ONLY within a blocking key (chars 2-11, invariant under the
+    * mutation), then an edit-distance verify keeps pairs at
+    * levenshtein ≤ 2. The 100 TB shape: blocking turns an all-pairs
+    * string comparison into an equi-join on a short key, and the O(n·m)
+    * distance computation runs only on in-block candidates — same
+    * block-then-verify discipline as the MinHash/SimHash dedup family,
+    * applied to string identity instead of set similarity. */
+  def joinFuzzy(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+    val probes = parts.where(pmod(col("p_partkey"), lit(200)) === 0)
+      .select((col("p_partkey") + 1000000L).as("probe_id"),
+        concat(lit("x"), expr("substring(p_name, 2)")).as("probe_name"))
+    parts.withColumn("bk", substring(col("p_name"), 2, 10))
+      .join(probes.withColumn("bk", substring(col("probe_name"), 2, 10)), "bk")
+      .where(levenshtein(col("p_name"), col("probe_name")) <= 2)
+      .select(col("probe_id"), col("p_partkey"), col("p_name"),
+        levenshtein(col("p_name"), col("probe_name")).cast("long").as("dist"))
+  }
+
   /** Macro query (TPC-H Q5 shape): local-supplier revenue per nation —
     * 6-table star join with selective filters, exercising the whole
     * stack in one plan. Shape at scale: lineitem⋈orders⋈customer are the
@@ -302,6 +323,7 @@ object Joins extends OpModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_star_join" -> q5StarJoin _,
+    "join_fuzzy" -> joinFuzzy _,
     "join_dpp" -> joinDpp _,
     "join_salted" -> joinSalted _,
     "join_bucketed" -> joinBucketed _,
@@ -320,6 +342,17 @@ object Joins extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_fuzzy" ->
+      """WITH parts AS (SELECT p_partkey, p_name FROM part),
+        |probes AS (
+        |  SELECT p_partkey + 1000000 AS probe_id,
+        |         'x' || substring(p_name, 2) AS probe_name
+        |  FROM parts WHERE p_partkey % 200 = 0)
+        |SELECT probe_id, p_partkey, p_name,
+        |       levenshtein(p_name, probe_name) AS dist
+        |FROM parts JOIN probes
+        |  ON substring(p_name, 2, 10) = substring(probe_name, 2, 10)
+        |WHERE levenshtein(p_name, probe_name) <= 2""".stripMargin,
     "q5_star_join" ->
       """SELECT n_name,
         | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
