@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe for the text/embedding operator family (the README's
+  * "would this survive a scale-up" evidence, reproducible per round).
+  *
+  * Synthesizes a corpus 10× the sf0.1 bench fixtures into a temp dir:
+  * each document is cloned 10 times (offset ids) with a clone-specific
+  * suffix token — clones of one source form a true near-dup cluster
+  * (3-shingle Jaccard ≈ (n-2)/(n+2) ≈ 0.93 ≥ τ=0.8), inflating the
+  * verified pair count ~450× (C(10,2)=45 per source doc) — and each
+  * embedding is cloned 10 times unchanged. Then times each probe op via
+  * the same `SparkEntry.queries` entries the gate runs. A probe op is
+  * healthy when its runtime scales with its OUTPUT/WORK (pairs verified,
+  * chunks produced), never with candidate pairs².
+  *
+  * Run: `sbt "runMain graft.ScaleProbe"` (env SPARK_GRAFT_CPUS).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    val copies = 10
+
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("k", explode(lit((0 until copies).toArray)))
+      .select(
+        (col("doc_id") * copies + col("k")).as("doc_id"),
+        when(col("k") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v"), col("k"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .withColumn("k", explode(lit((0 until copies).toArray)))
+      .select((col("vec_id") * copies + col("k")).as("vec_id"),
+        col("label"), col("embedding"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+
+    val probes = Seq(
+      "llm_dedup_exact", "llm_dedup_near", "llm_dedup_cluster",
+      "llm_dedup_simhash", "llm_dedup_ngram", "llm_fingerprint",
+      "llm_chunk", "llm_quality_filter", "llm_sample_stratified",
+      "llm_text_stats", "llm_token_count", "udtf_ngrams",
+      "llm_embed_quantize", "llm_similarity_topk", "llm_ann_ivf",
+      "curation_e2e")
+    println(f"${"op"}%-24s ${"sec"}%8s ${"rows"}%10s")
+    probes.foreach { name =>
+      val t0 = System.nanoTime()
+      // toRdd.count() executes the plan as written (df.count() would let
+      // Catalyst prune expensive branches that counting doesn't need)
+      val rows =
+        try SparkEntry.queries(name)(spark, out).queryExecution.toRdd.count()
+        catch { case e: Throwable => println(s"$name FAILED: $e"); -1L }
+      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f $rows%10d")
+    }
+    spark.stop()
+  }
+}

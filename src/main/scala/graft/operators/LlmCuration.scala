@@ -290,7 +290,7 @@ object LlmCuration extends OpModule {
          |  JOIN documents d ON d.doc_id = n.doc_id
          |  JOIN c ON c.lang = d.lang
          |  WHERE (d.doc_id * 2654435761) % 4294967296
-         |        < floor(least(CAST(1.0 AS DOUBLE), CAST(100.0 AS DOUBLE) / c.cnt)
+         |        < floor(least(CAST(1.0 AS DOUBLE), CAST($Cap.0 AS DOUBLE) / c.cnt)
          |                * 4294967296.0)::BIGINT),
          |sagg AS (
          |  SELECT lang, count(*) AS n_sampled,
@@ -360,11 +360,11 @@ object LlmCuration extends OpModule {
         |FROM p""".stripMargin,
     "llm_quality_filter" -> qualityFilterSql,
     "llm_sample_stratified" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
         |g AS (
         |  SELECT d.lang, d.doc_id, c.cnt,
-        |    least(CAST(1.0 AS DOUBLE), CAST(100.0 AS DOUBLE) / c.cnt) AS rate,
+        |    least(CAST(1.0 AS DOUBLE), CAST($Cap.0 AS DOUBLE) / c.cnt) AS rate,
         |    (d.doc_id * 2654435761) % 4294967296 AS h
         |  FROM documents d JOIN c ON d.lang = c.lang)
         |SELECT lang, max(cnt) AS n_total, count(*) AS n_sampled,

@@ -79,23 +79,28 @@ object LlmOps extends OpModule {
     * makes precision 1, so the output equals the all-pairs oracle. */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     val tau = 0.8
-    val docs = withSignature(withShingles(Tables.documents(s, d)))
-      .select(col("doc_id"), col("shingles"), col("sig"))
-    // carry the shingle arrays through the band explode: the self-join's
-    // two sides are then IDENTICAL subtrees behind the repartition
-    // exchange (ReusedExchange → signatures hashed once), and the
-    // verified Jaccard needs no third join back to the arrays. At PB
-    // scale with much longer documents, re-joining arrays by doc_id
-    // trades that duplication for two cheap id-joins — same semantics.
+    val base = withShingles(Tables.documents(s, d))
+    val docs = withSignature(base).select(col("doc_id"), col("sig"))
+    // The band join carries ONLY (doc_id, band, bh): each doc explodes
+    // into 16 8-byte band rows, so the candidate-hunt shuffle is O(16·id)
+    // per doc regardless of document size. The shingle ARRAYS re-join by
+    // doc_id afterwards — shuffled once per join side instead of 16× per
+    // doc through the band explode (measured 21.6 s → dominated by a
+    // ~3.6 GB array shuffle at the 10× probe when arrays rode the bands).
+    // The repartition makes both self-join sides the same exchange
+    // subtree (ReusedExchange → signatures hashed once).
     val bands = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), col("shingles"), explode(expr(bandsExpr)).as("b"))
-      .select(col("doc_id"), col("shingles"), col("b.band"), col("b.bh"))
-    bands.as("x").join(bands.as("y"),
+      .select(col("doc_id"), explode(expr(bandsExpr)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.shingles").as("sa"), col("y.shingles").as("sb"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val sh = base.select(col("doc_id"), col("shingles"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
       .where(col("i").cast("double") / col("u") >= tau)
