@@ -42,8 +42,11 @@ object LlmCuration extends OpModule {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // 1-hop initialization: label₀ = min(self, direct neighbors) — the
+    // first propagation round fused into the seed aggregate, so shallow
+    // (star-shaped) components converge one checkpointed round earlier
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("label"))
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {

@@ -151,8 +151,13 @@ object LlmExtended extends OpModule {
     val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("gs"))
       .select(col("doc_id"), col("n"), xxhash64(col("gs")).as("g"))
       .repartition(col("g"))
+    // size filter (output-invariant): J ≥ τ requires the set sizes to be
+    // within a factor 1/τ of each other — pruned inside the join
+    // condition, before the count-intersections aggregation
     ex.as("a").join(ex.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
+          && col("a.n").cast("double") >= lit(tau) * col("b.n")
+          && col("b.n").cast("double") >= lit(tau) * col("a.n"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))

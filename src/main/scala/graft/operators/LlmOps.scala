@@ -101,6 +101,11 @@ object LlmOps extends OpModule {
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      // size filter (output-invariant): J(A,B) ≤ min/max of the set
+      // sizes, so J ≥ τ requires |A| ≥ τ·|B| and |B| ≥ τ·|A| — prunes
+      // candidates BEFORE the O(|A|+|B|) intersection
+      .where(size(col("sa")).cast("double") >= lit(tau) * size(col("sb"))
+        && size(col("sb")).cast("double") >= lit(tau) * size(col("sa")))
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
       .where(col("i").cast("double") / col("u") >= tau)
