@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.ngramsDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
   }
 }
 
@@ -51,4 +52,14 @@ object GraftExtensions {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+
+  /** Install the custom optimizer rules on a live session (the runtime
+    * twin of `injectOptimizerRule`; the rules themselves are idempotent,
+    * and so is this — already-installed rules are not re-added). */
+  def installOptimizations(spark: SparkSession): Unit = {
+    val current = spark.experimental.extraOptimizations
+    if (!current.contains(graft.plans.LevenshteinGuard))
+      spark.experimental.extraOptimizations =
+        current :+ graft.plans.LevenshteinGuard
+  }
 }

@@ -226,7 +226,28 @@ object Aggregates extends OpModule {
       .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_custkeys"))
 
+  /** Bivariate statistics family: correlation, sample/population
+    * covariance, and least-squares slope — all single-pass partial-
+    * aggregatable moment sketches (Spark's CentralMomentAgg merges
+    * per-partition moments, so the shuffle carries a constant-size
+    * state per group at any scale). */
+  def aggStatsCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("covar_s"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("covar_p"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+          .as("slope_price_per_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats_corr" -> aggStatsCorr _,
     "agg_sketch_partial" -> aggSketchPartial _,
     "agg_pivot" -> aggPivot _,
     "agg_unpivot" -> aggUnpivot _,
@@ -244,6 +265,16 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_stats_corr" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+        | round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+        | round(regr_slope(l_extendedprice, l_quantity), 4)
+        |   AS slope_price_per_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_pivot" ->
       """SELECT o_orderpriority,
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

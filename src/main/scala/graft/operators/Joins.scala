@@ -280,6 +280,9 @@ object Joins extends OpModule {
     * block-then-verify discipline as the MinHash/SimHash dedup family,
     * applied to string identity instead of set similarity. */
   def joinFuzzy(s: SparkSession, d: String): DataFrame = {
+    // custom optimizer rule: levenshtein <= k predicates get an implied
+    // abs(length diff) <= k pre-filter (graft.plans.LevenshteinGuard)
+    graft.GraftExtensions.installOptimizations(s)
     val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
     val probes = parts.where(pmod(col("p_partkey"), lit(200)) === 0)
       .select((col("p_partkey") + 1000000L).as("probe_id"),

@@ -66,6 +66,31 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(got(1).getSeq[Double](1) == Seq(10.0, 20.0))
   }
 
+  test("LevenshteinGuard rule injects the length pre-filter, idempotently, same results") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    graft.GraftExtensions.installOptimizations(spark)
+    val df = Seq(("kitten", "sitting"), ("kitten", "kitten!"),
+      ("a", "abcdefgh"), ("same", "same"))
+      .toDF("a", "b")
+      .where(expr("levenshtein(a, b) <= 3"))
+    // apply to the ANALYZED plan: over a literal relation the optimizer
+    // folds the whole filter away (ConvertToLocalRelation — same trap as
+    // DPP's literal dims), so the rule's effect is asserted pre-folding
+    val once = graft.plans.LevenshteinGuard(df.queryExecution.analyzed)
+    assert(once.toString.contains("abs((length(a") ,
+      s"guard missing after rule application:\n$once")
+    val twice = graft.plans.LevenshteinGuard(once)
+    assert(once.fastEquals(twice), "rule must be a fixed point after one application")
+    // sound: exactly the rows a guard-free evaluation admits
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("kitten", "sitting"), ("kitten", "kitten!"), ("same", "same")))
+    // end-to-end: the gate query (parquet-backed, not foldable) carries
+    // the guard through to the executed plan
+    val fuzzy = graft.operators.Joins.joinFuzzy(spark, sf)
+    assert(fuzzy.queryExecution.executedPlan.toString.contains("abs((length("),
+      "join_fuzzy's physical plan must contain the length guard")
+  }
+
   test("ngrams generator: plans as GenerateExec, matches explode-over-transform") {
     import org.apache.spark.sql.execution.GenerateExec
     graft.GraftExtensions.register(spark)
