@@ -89,6 +89,60 @@ object Scans extends OpModule {
     s.read.orc(path)
   }
 
+  /** Small-file compaction — the 100 TB maintenance operator: streaming
+    * ingestion leaves thousands of tiny files per partition; listing and
+    * opening them dominates scan time, so a periodic compaction rewrites
+    * them at target file size. Staged once per (JVM, sfDir) as 64 tiny
+    * files; the operator coalesces (no shuffle — file-granularity bin
+    * packing) to 4 and re-reads. The gate checks data preservation
+    * (counts/bounds/sums vs the source table); the file-count drop is
+    * asserted in ScansSpec. */
+  private val compactState =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def compactDirs(s: SparkSession, d: String): (String, String) =
+    compactState.computeIfAbsent(d, { _ =>
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = s"$ioDir/compact_src_$sfx"
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .repartition(64).write.mode(SaveMode.Overwrite).parquet(src)
+      (src, s"$ioDir/compact_out_$sfx")
+    })
+
+  def maintenanceCompact(s: SparkSession, d: String): DataFrame = {
+    val (src, out) = compactDirs(s, d)
+    s.read.parquet(src).coalesce(4)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    s.read.parquet(out).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("event_id")).as("min_id"),
+      max(col("event_id")).as("max_id"),
+      round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  /** Schema evolution on read: two parquet batches with different
+    * schemas (a column added between ingestion generations) unified by
+    * mergeSchema — old rows surface the new column as NULL. Staged once
+    * per (JVM, sfDir). */
+  private val evolvingDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def scanEvolving(s: SparkSession, d: String): DataFrame = {
+    val p = evolvingDirs.computeIfAbsent(d, { _ =>
+      val path = s"$ioDir/evolving_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val n = Tables.nation(s, d)
+      n.select(lit(1).as("batch"), col("n_nationkey"), col("n_name"))
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      n.select(lit(2).as("batch"), col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        .write.mode(SaveMode.Append).parquet(path)
+      path
+    })
+    s.read.option("mergeSchema", "true").parquet(p)
+      .select(col("batch"), col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      .orderBy(col("batch"), col("n_nationkey"))
+  }
+
   /** Hive-style partitioned dataset, staged once per (JVM, sfDir). At
     * 100 TB, partitioning on a low-cardinality pruning column is the
     * first line of defense: a predicate on it never touches excluded
@@ -121,6 +175,8 @@ object Scans extends OpModule {
     "scan_csv" -> scanCsv _,
     "scan_orc" -> scanOrc _,
     "scan_json" -> scanJson _,
+    "scan_evolving" -> scanEvolving _,
+    "maintenance_compact" -> maintenanceCompact _,
     "sink_parquet" -> sinkParquet _
   )
 
@@ -139,6 +195,16 @@ object Scans extends OpModule {
       "SELECT p_partkey, p_name, p_brand, p_size FROM part",
     "scan_orc" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "scan_evolving" ->
+      """SELECT 1 AS batch, n_nationkey, n_name,
+        | CAST(NULL AS INT) AS n_regionkey FROM nation
+        |UNION ALL
+        |SELECT 2, n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY batch, n_nationkey""".stripMargin,
+    "maintenance_compact" ->
+      """SELECT count(*) AS n_rows, min(event_id) AS min_id,
+        | max(event_id) AS max_id, round(sum(value), 4) AS sum_value
+        |FROM events""".stripMargin,
     "scan_json" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "sink_parquet" ->

@@ -38,6 +38,29 @@ class ScansSpec extends SparkSpec {
     assert(n == 1500)
   }
 
+  test("compaction collapses the small-files layout without losing rows") {
+    import org.apache.spark.sql.functions._
+    val before = graft.operators.Scans
+      .maintenanceCompact(spark, sf).collect()(0)
+    val (src, out) = graft.operators.Scans.compactDirs(spark, sf)
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) == 64, "staging must create the small-files problem")
+    assert(parquetFiles(out) <= 4, "compaction must hit the target file count")
+    val exact = Tables.events(spark, sf)
+      .agg(count(lit(1)), round(sum(col("value")), 4)).collect()(0)
+    assert(before.getAs[Long]("n_rows") == exact.getLong(0))
+    assert(before.getAs[Double]("sum_value") == exact.getDouble(1))
+  }
+
+  test("schema-evolution read nulls the added column for old batches") {
+    val df = graft.operators.Scans.scanEvolving(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 50)
+    assert(rows.filter(_.getInt(0) == 1).forall(_.isNullAt(3)))
+    assert(rows.filter(_.getInt(0) == 2).forall(!_.isNullAt(3)))
+  }
+
   test("csv and json roundtrips preserve row counts and schema") {
     val csv = graft.operators.Scans.scanCsv(spark, sf)
     assert(csv.count() == 200)
