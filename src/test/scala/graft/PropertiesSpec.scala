@@ -85,6 +85,30 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("levenshtein length-guard is sound: lev(a,b) >= |len(a)-len(b)| always") {
+    val strGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    val pairs = sample(Gen.zip(strGen, strGen), 500, 23L).toDF("a", "b")
+    val violations = pairs
+      .where(levenshtein($"a", $"b") < abs(length($"a") - length($"b")))
+      .count()
+    assert(violations == 0, "guard would drop qualifying rows")
+  }
+
+  test("hash-gate sampling is deterministic and rate-proportional") {
+    val ids = sample(Gen.choose(1L, 1000000L), 3000, 29L).distinct.toDF("id")
+    def sampleAt(rate: Double) = ids
+      .where(pmod($"id" * 2654435761L, lit(4294967296L)) <
+        floor(lit(rate) * 4294967296.0).cast("long"))
+      .as[Long].collect().toSet
+    val s30a = sampleAt(0.30); val s30b = sampleAt(0.30)
+    assert(s30a == s30b, "same gate must select identical rows")
+    // nested: a higher rate strictly contains a lower one (auditable resampling)
+    assert(sampleAt(0.10).subsetOf(s30a))
+    // proportional within sampling noise
+    val n = ids.count().toDouble
+    assert(math.abs(s30a.size / n - 0.30) < 0.05)
+  }
+
   test("window running sum telescopes: last running_total == group sum") {
     val df = graft.operators.Windows.winFrameRows(spark, sf)
     val lastPerGroup = df.groupBy($"o_custkey")
