@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, NGrams}
+import graft.functions.{CosineSimilarity, NGrams, SimHash32}
 
 /** Engine extension wiring (SURVEY.md §4.3).
   *
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.ngramsDescriptor)
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
   }
 }
@@ -46,9 +47,19 @@ object GraftExtensions {
     }
   )
 
+  private val simhashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash32"),
+    new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "simhash32 expects 2 array<bigint> args")
+      SimHash32(children.head, children(1))
+    }
+  )
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSimDescriptor, ngramsDescriptor).foreach {
+    Seq(cosineSimDescriptor, ngramsDescriptor, simhashDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

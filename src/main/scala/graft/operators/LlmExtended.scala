@@ -35,7 +35,7 @@ object LlmExtended extends OpModule {
     * expensive subtree appears only as a collection argument: one fold
     * accumulates all 16 bit-majority counters per half, and the bit
     * selection is a zip_with OVER the counter array. */
-  private val simhashExpr = {
+  private[graft] val simhashExpr = {
     def half(hs: String, shift: Int) =
       s"""aggregate(
          |  zip_with(
@@ -95,7 +95,11 @@ object LlmExtended extends OpModule {
       // sf0.1). 2654435761 = Knuth's multiplicative constant; the
       // product stays < 2^63 (h1 < 1e9+7), so no ANSI overflow.
       .withColumn("h2", expr("transform(h1, x -> (x * 2654435761L) % 1000000007)"))
-      .withColumn("fp", expr(simhashExpr))
+      // native codegen'd fold (graft.functions.SimHash32) — bit-identical
+      // to simhashExpr above (spec-asserted); the HOF formulation
+      // allocates a counter array per shingle, the expression runs one
+      // primitive loop inside the stage
+      .withColumn("fp", expr("simhash32(h1, h2)"))
 
   // cosine similarity: graft.functions.CosineSimilarity (registered as
   // cosine_sim via GraftExtensions) — in-order double accumulation,
@@ -108,6 +112,7 @@ object LlmExtended extends OpModule {
     * hamming verify ≤ 3. At 100 TB: fingerprints are 8 bytes/doc, blocks
     * shuffle 4 small keys per doc, candidates ~1.6% of pairs. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     val docs = withSimhash(Tables.documents(s, d)).select(col("doc_id"), col("fp"))
     // posexplode over a plain array: fp is referenced from a projection,
     // never inside a lambda, so the fingerprint is computed once per row;

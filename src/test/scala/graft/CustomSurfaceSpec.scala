@@ -66,6 +66,28 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(got(1).getSeq[Double](1) == Seq(10.0, 20.0))
   }
 
+  test("simhash32 expression is bit-identical to the HOF formulation, stays in codegen") {
+    graft.GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("h1", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  array_distinct(transform(sequence(1, size(toks) - 2),
+          |    i -> aggregate(split(concat_ws(' ', slice(toks, i, 3)), ''), 0L,
+          |           (h, c) -> (h * 31 + ascii(c)) % 1000000007)))
+          |ELSE array() END""".stripMargin))
+      .withColumn("h2", expr("transform(h1, x -> (x * 2654435761L) % 1000000007)"))
+    val both = docs.select($"doc_id",
+      expr("simhash32(h1, h2)").as("native"),
+      expr(graft.operators.LlmExtended.simhashExpr).as("hof"))
+    assert(both.where($"native" =!= $"hof").count() == 0,
+      "native fold must equal the HOF formulation on every fixture doc")
+    val wsc = collectFinal(both.select($"native")) {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, "simhash32 must not break whole-stage codegen")
+  }
+
   test("LevenshteinGuard rule injects the length pre-filter, idempotently, same results") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     graft.GraftExtensions.installOptimizations(spark)
