@@ -138,34 +138,45 @@ object LlmExtended extends OpModule {
     * all-pairs: sparse 4-shingles keep the join skinny. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     val tau = 0.5
+    // shingles are carried as SORTED xxhash64 values: an 8-byte element
+    // instead of a ~25-char string (intersection counts unchanged unless
+    // two distinct shingles collide in 64 bits, P < 1e-10 at this
+    // vocabulary; the oracle keeps string keys), and the ascending sort
+    // IS the consistent global order prefix filtering needs.
     val sh = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(
+      .withColumn("hs", expr(
         """CASE WHEN size(toks) >= 4 THEN
-          |  array_distinct(transform(sequence(1, size(toks) - 3),
-          |    i -> concat_ws(' ', slice(toks, i, 4))))
+          |  sort_array(array_distinct(transform(sequence(1, size(toks) - 3),
+          |    i -> xxhash64(concat_ws(' ', slice(toks, i, 4))))))
           |ELSE array() END""".stripMargin))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-    // explicit shuffle on the join key: both self-join sides become the
-    // SAME exchange subtree → ReusedExchange computes the shingle
-    // explosion once instead of once per side. The key is xxhash64 of
-    // the shingle, not the ~25-char string — an 8-byte shuffle/join key
-    // instead of a variable-length one (the intersection count is
-    // unchanged unless two distinct shingles collide in 64 bits,
-    // P < 1e-10 at this vocabulary). The oracle keeps string keys.
-    val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("gs"))
-      .select(col("doc_id"), col("n"), xxhash64(col("gs")).as("g"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+    // prefix filter (SSJoin/PPJoin, output-invariant): if J(x,y) ≥ τ
+    // then |x∩y| ≥ τ·|x|, so the smallest intersection element must sit
+    // within x's first n − ⌈τ·n⌉ + 1 elements (else the non-members
+    // preceding it alone would cap the intersection below τ·n) — and
+    // symmetrically for y. Only PREFIXES explode and join; candidates
+    // verify on the full arrays afterwards. For τ=0.5 this halves the
+    // explode and quarters the candidate pairs.
+    val ex = sh
+      .withColumn("p", col("n") - expr(s"cast(ceil($tau * n) as int)") + 1)
+      .select(col("doc_id"), col("n"),
+        explode(expr("slice(hs, 1, p)")).as("g"))
       .repartition(col("g"))
-    // size filter (output-invariant): J ≥ τ requires the set sizes to be
-    // within a factor 1/τ of each other — pruned inside the join
-    // condition, before the count-intersections aggregation
-    ex.as("a").join(ex.as("b"),
+    // size filter (also output-invariant): J ≥ τ bounds the size ratio
+    val cands = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
           && col("a.n").cast("double") >= lit(tau) * col("b.n")
           && col("b.n").cast("double") >= lit(tau) * col("a.n"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("i"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val full = sh.select(col("doc_id"), col("hs"))
+    cands
+      .join(full.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(full.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ha")).as("na"), size(col("hb")).as("nb"),
+        size(array_intersect(col("ha"), col("hb"))).as("i"))
       .where(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= tau)
       .select(col("doc_a"), col("doc_b"),
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
