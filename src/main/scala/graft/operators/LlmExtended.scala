@@ -132,10 +132,12 @@ object LlmExtended extends OpModule {
       .where(col("hamming") <= 3)
   }
 
-  /** Exact n-gram (word 4-shingle) Jaccard similarity join at τ=0.5 via
-    * shingle equi-join — the exhaustive exact path (vs MinHash's
-    * approximate-then-verify). Cost is O(shingle collisions), never
-    * all-pairs: sparse 4-shingles keep the join skinny. */
+  /** Exact n-gram (word 4-shingle) Jaccard similarity join at τ=0.5 —
+    * the exhaustive exact path (vs MinHash's approximate-then-verify),
+    * implemented as an SSJoin-style prefix-filtered equi-join: only
+    * shingle-prefix collisions generate candidates (provably lossless),
+    * size-filtered, then verified on the full sorted hash arrays. Cost
+    * is O(prefix collisions), never all-pairs. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     val tau = 0.5
     // shingles are carried as SORTED xxhash64 values: an 8-byte element
