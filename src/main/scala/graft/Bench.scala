@@ -41,7 +41,10 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"" uses the JVM default locale — a comma decimal
+    // separator (e.g. de_DE) would make the JSON line unparseable.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // The harness records only the LAST ~2000 chars of stdout, and sbt
     // appends a "[success] ..." line after us — so the single JSON metric
     // line must stay well under that window or its head gets truncated

@@ -53,11 +53,21 @@ case class NGrams(child: Expression, n: Expression)
       val a = arr.asInstanceOf[ArrayData]
       val len = a.numElements()
       if (len < nv) Nil
-      else (0 to len - nv).iterator.map { i =>
+      else (0 to len - nv).iterator.flatMap { i =>
+        // a window containing a null element is skipped explicitly:
+        // getUTF8String on a null UnsafeArrayData slot is undefined
+        // behavior, and concatWs would otherwise silently shorten the
+        // gram. split() never produces nulls, but user arrays can.
         val words = new Array[UTF8String](nv)
         var j = 0
-        while (j < nv) { words(j) = a.getUTF8String(i + j); j += 1 }
-        InternalRow(i, UTF8String.concatWs(space, words: _*))
+        var hasNull = false
+        while (j < nv && !hasNull) {
+          if (a.isNullAt(i + j)) hasNull = true
+          else words(j) = a.getUTF8String(i + j)
+          j += 1
+        }
+        if (hasNull) None
+        else Some(InternalRow(i, UTF8String.concatWs(space, words: _*)))
       }
     }
   }

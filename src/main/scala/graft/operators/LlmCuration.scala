@@ -65,6 +65,11 @@ object LlmCuration extends OpModule {
       converged = changed == 0
       iter += 1
     }
+    // the iteration cap is a runaway guard, not a tolerance: exiting it
+    // while labels were still changing would silently emit wrong cluster
+    // ids for any component with diameter > the cap. Fail loudly instead.
+    require(converged,
+      s"dedupCluster: min-label propagation did not converge in $iter rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_survivor"))
   }
@@ -124,13 +129,19 @@ object LlmCuration extends OpModule {
       .withColumn("nt", size(col("toks")))
       .withColumn("mean_wl", round(
         (length(col("text")) - (col("nt") - 1)).cast("double") / col("nt"), 4))
-      .withColumn("sym_ratio", round(
-        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double")
-          / length(col("text")), 4))
+      // empty text would divide by zero: Spark yields NULL, DuckDB (with
+      // IEEE float ops) NaN — guard so both engines emit 0.0 and the doc
+      // is rejected by an explicit first rule rather than passing because
+      // every NULL comparison was skipped.
+      .withColumn("sym_ratio",
+        when(length(col("text")) === 0, lit(0.0)).otherwise(round(
+          length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+            / length(col("text")), 4)))
       .withColumn("has_stop",
         arrays_overlap(col("toks"), array(stops.map(lit): _*)))
       .withColumn("reason",
-        when(col("nt") < 10 || col("nt") > 5000, "n_tokens")
+        when(length(col("text")) === 0, "empty")
+          .when(col("nt") < 10 || col("nt") > 5000, "n_tokens")
           .when(col("mean_wl") < 2.0 || col("mean_wl") > 12.0, "mean_word_len")
           .when(col("sym_ratio") >= 0.3, "symbol_ratio")
           .when(!col("has_stop"), "no_stopword")
@@ -250,16 +261,18 @@ object LlmCuration extends OpModule {
       |    len(string_split(text, ' ')) AS nt
       |  FROM documents),
       |m AS (
-      |  SELECT doc_id, nt,
+      |  SELECT doc_id, text, nt,
       |    round((length(text) - (nt - 1))::DOUBLE / nt, 4) AS mean_wl,
-      |    round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
-      |          / length(text), 4) AS sym_ratio,
+      |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+      |            / length(text), 4) END AS sym_ratio,
       |    len(list_intersect(toks, ['the','and','of','der','die','und','le',
       |      'la','et','el','y','de','的','了','是'])) > 0 AS has_stop
       |  FROM q),
       |r AS (
       |  SELECT *,
-      |    CASE WHEN nt < 10 OR nt > 5000 THEN 'n_tokens'
+      |    CASE WHEN length(text) = 0 THEN 'empty'
+      |         WHEN nt < 10 OR nt > 5000 THEN 'n_tokens'
       |         WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 'mean_word_len'
       |         WHEN sym_ratio >= 0.3 THEN 'symbol_ratio'
       |         WHEN NOT has_stop THEN 'no_stopword'
@@ -371,7 +384,7 @@ object LlmCuration extends OpModule {
         |    (d.doc_id * 2654435761) % 4294967296 AS h
         |  FROM documents d JOIN c ON d.lang = c.lang)
         |SELECT lang, max(cnt) AS n_total, count(*) AS n_sampled,
-        |       sum(doc_id) AS id_sum
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM g
         |WHERE h < floor(rate * 4294967296.0)::BIGINT
         |GROUP BY lang""".stripMargin,

@@ -56,13 +56,18 @@ object LlmExtended extends OpModule {
     * fold re-hashes each character ~3× (consecutive shingles overlap by
     * two words); this is algebraically IDENTICAL (same values bit for
     * bit — the oracle keeps the naive formulation) at ~1/3 the char
-    * work. All products stay < M² ≈ 1e18 < 2^63: overflow-free. */
+    * work. All products stay < M² ≈ 1e18 < 2^63: overflow-free.
+    * An empty word (consecutive spaces in text) must compose as the
+    * IDENTITY (h=0, p=1): split('', '') yields [''] and one fold step
+    * over ascii('')=0 would give p=31 — an extra ×31 factor the
+    * oracle's direct char fold doesn't have. Guarded explicitly. */
   private val wordHashExpr =
-    """transform(toks, w -> aggregate(split(w, ''),
+    """transform(toks, w -> IF(w = '', named_struct('h', 0L, 'p', 1L),
+      |  aggregate(split(w, ''),
       |  named_struct('h', 0L, 'p', 1L),
       |  (s, c) -> named_struct(
       |    'h', (s.h * 31 + ascii(c)) % 1000000007,
-      |    'p', (s.p * 31) % 1000000007)))""".stripMargin
+      |    'p', (s.p * 31) % 1000000007))))""".stripMargin
 
   /** h1[i] = poly-31 hash of shingle i, composed from word summaries:
     * start from h(w_i), append ' ' then w_{i+1}, then ' ' then w_{i+2}.

@@ -128,10 +128,18 @@ object ScalarFns extends OpModule {
           .cast(DecimalType(12, 2)))
       .groupBy(col("o_orderstatus"))
       .agg(
-        sum(col("price_dec")).cast(DecimalType(18, 2)).as("sum_dec"),
-        max(col("price_dec")).cast(DecimalType(12, 2)).as("max_dec"),
+        // aggregation stays exact decimal; only the FINAL projection is
+        // cast to double. The gate's two readers disagree on decimal
+        // stringification (pyarrow keeps Decimal('x.x0'), DuckDB's pandas
+        // path floats it), so decimal-typed OUTPUT columns hash-mismatch
+        // even when values are identical — observed r2/r3. Scale ≤4
+        // decimals convert to the same nearest double on both engines.
+        sum(col("price_dec")).cast(DecimalType(18, 2))
+          .cast("double").as("sum_dec"),
+        max(col("price_dec")).cast(DecimalType(12, 2))
+          .cast("double").as("max_dec"),
         (sum(col("price_dec")) * expr("CAST(0.07 AS DECIMAL(3,2))"))
-          .cast(DecimalType(18, 4)).as("tax_dec"))
+          .cast(DecimalType(18, 4)).cast("double").as("tax_dec"))
       .orderBy(col("o_orderstatus"))
 
   /** Error-tolerant function family: try_cast / try_divide return null
@@ -264,10 +272,11 @@ object ScalarFns extends OpModule {
         |     * CAST(0.01 AS DECIMAL(3,2)) AS price_dec
         | FROM orders)
         |SELECT o_orderstatus,
-        | CAST(sum(price_dec) AS DECIMAL(18,2)) AS sum_dec,
-        | CAST(max(CAST(price_dec AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_dec,
-        | CAST(sum(price_dec) * CAST(0.07 AS DECIMAL(3,2)) AS DECIMAL(18,4))
-        |   AS tax_dec
+        | CAST(CAST(sum(price_dec) AS DECIMAL(18,2)) AS DOUBLE) AS sum_dec,
+        | CAST(CAST(max(CAST(price_dec AS DECIMAL(12,2))) AS DECIMAL(12,2))
+        |   AS DOUBLE) AS max_dec,
+        | CAST(CAST(sum(price_dec) * CAST(0.07 AS DECIMAL(3,2)) AS DECIMAL(18,4))
+        |   AS DOUBLE) AS tax_dec
         |FROM p GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
