@@ -19,8 +19,8 @@ object SparkEntry {
 
   private val modules: Seq[OpModule] = Seq(
     Scans, Filters, Joins, Aggregates, SortsSetOps, Windows, ScalarFns,
-    Streaming, StreamIO, LlmOps, LlmExtended, LlmCuration, Analytics,
-    PipelineOps
+    Streaming, StreamIO, LlmOps, LlmExtended, LlmCuration, LlmScale,
+    Analytics, PipelineOps
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

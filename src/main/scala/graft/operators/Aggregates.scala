@@ -246,7 +246,25 @@ object Aggregates extends OpModule {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Deterministic mode: most frequent value per group with an explicit
+    * lexicographic tie-break — built-in mode() breaks ties arbitrarily
+    * on BOTH engines, so the portable form is count + argmax window,
+    * which also partial-aggregates (count) before the tiny ranked set. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority").asc)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n").as("mode_n"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> aggMode _,
     "agg_stats_corr" -> aggStatsCorr _,
     "agg_sketch_partial" -> aggSketchPartial _,
     "agg_pivot" -> aggPivot _,
@@ -265,6 +283,15 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY count(*) DESC, o_orderpriority ASC)
+        |      AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rn = 1""".stripMargin,
     "agg_stats_corr" ->
       """SELECT l_returnflag,
         | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,

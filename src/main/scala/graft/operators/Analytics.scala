@@ -140,11 +140,35 @@ object Analytics extends OpModule {
         round(col("n_active") / col("cohort_n"), 4).as("retention"))
   }
 
+  /** SCD-2 dimension build: each customer's order history becomes a
+    * versioned dimension — one row per version with [valid_from,
+    * valid_to) effective range, derived purely from lead() over the
+    * change stream (no self-join). valid_to stays NULL on the open
+    * version rather than a 9999 sentinel: the flag is `is_current` and a
+    * NULL literal cannot drift between engines. Scale: one window pass
+    * partitioned by the dimension key — the 100 TB pattern is identical,
+    * and the output persists bucketed by o_custkey so as-of probes join
+    * shuffle-free. */
+  def dimScd2(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_custkey"),
+      row_number().over(w).as("version"),
+      col("o_orderkey"),
+      col("o_totalprice").as("attr_price"),
+      col("o_orderdate").as("valid_from"),
+      lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+      lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gapfill" -> tsGapfill _,
     "funnel" -> funnel _,
     "merge_upsert" -> mergeUpsert _,
-    "retention" -> retention _
+    "retention" -> retention _,
+    "dim_scd2" -> dimScd2 _
   )
 
   private val evCte =
@@ -154,6 +178,17 @@ object Analytics extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "dim_scd2" ->
+      """SELECT o_custkey,
+        | row_number() OVER w AS version,
+        | o_orderkey,
+        | o_totalprice AS attr_price,
+        | o_orderdate AS valid_from,
+        | lead(o_orderdate, 1) OVER w AS valid_to,
+        | lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "ts_gapfill" -> (evCte +
       """,
         |hourly AS (

@@ -53,15 +53,16 @@ object LlmCuration extends OpModule {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src")).agg(min(col("nl")).as("nbr_min"))
+      // carry the previous label through the update so the convergence
+      // count is a filter over the already-materialized checkpoint — not
+      // an extra join (and its two shuffles) per round
       val next = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.where(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }

@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 training-corpus operators (SURVEY.md §2.13): benchmark
+  * decontamination, context-window sequence packing, deterministic
+  * k-means over quantized embeddings, and per-language TF-IDF terms.
+  *
+  * Shared design rule with §2.12: NO rand(), no float accumulation across
+  * rows — every cross-row reduction is exact integer math (or a division
+  * of exact integers), so both engines select and rank identical rows.
+  */
+object LlmScale extends OpModule {
+
+  // ── llm_decontaminate ─────────────────────────────────────────────────
+
+  /** Benchmark decontamination: for every held-out "eval" document
+    * (doc_id ≡ 7 mod 20), the fraction of its distinct word 8-grams that
+    * appear anywhere in the training split (all other docs). An eval doc
+    * with containment ≥ 0.8 is flagged contaminated — the train/test
+    * overlap gate every LLM data pipeline runs before training.
+    *
+    * Scale shape: grams travel as 8-byte xxhash64 values (the oracle
+    * keeps strings — counts agree unless 64-bit collision); the
+    * membership probe is a LEFT SEMI join that shuffles on the gram
+    * hash, never materializing pairs. At 100 TB the train-gram set is
+    * built once per corpus snapshot and the probe side is tiny (eval
+    * sets are thousands of docs), so the semi join broadcasts the EVAL
+    * grams and streams the train grams past them map-side; a bloom
+    * filter over train grams (one bit per gram) is the lossy fast path
+    * when even one shuffle of the train side is too much.
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams8 =
+      """CASE WHEN size(toks) >= 8 THEN
+        |  array_distinct(transform(sequence(1, size(toks) - 7),
+        |    i -> xxhash64(concat_ws(' ', slice(toks, i, 8)))))
+        |ELSE array() END""".stripMargin
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("gs", expr(grams8))
+    val isEval = pmod(col("doc_id"), lit(20)) === 7
+    val evalDocs = docs.where(isEval)
+      .select(col("doc_id"), col("gs"), size(col("gs")).as("n_grams"))
+    val trainGrams = docs.where(!isEval)
+      .select(explode(col("gs")).as("g")).distinct()
+    val hits = evalDocs.select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(trainGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    evalDocs.select(col("doc_id"), col("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("containment",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_hit").cast("double") / col("n_grams"), 4)))
+      .withColumn("contaminated", col("containment") >= 0.8)
+  }
+
+  // ── llm_pack_sequences ────────────────────────────────────────────────
+
+  /** Sequence packing: fill fixed-capacity training windows (C=128
+    * tokens) with documents, per language, in deterministic doc_id order.
+    * Bin assignment is exclusive-cumsum div C — ONE window pass, no
+    * sequential fill loop, so it parallelizes per language partition at
+    * any scale (the recurrence-free approximation of first-fit used by
+    * streaming packers: a doc starting before a boundary may overflow its
+    * bin; overflow bins are truncated at training time and accounted
+    * here). Output is the per-language packing audit: bins, fill rate,
+    * overflow bins, wasted slack.
+    */
+  private val C = 128
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = Tables.documents(s, d)
+      .withColumn("nt", least(size(split(col("text"), " ")), lit(C)))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .withColumn("bin", floor((col("cum") - col("nt")).cast("double") / C).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(sum(col("nt")).as("tok"))
+    bins.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("tok")).as("total_tokens"),
+        count(when(col("tok") > C, 1)).as("n_overflow_bins"),
+        sum(when(col("tok") < C, lit(C) - col("tok")).otherwise(lit(0L)))
+          .as("total_waste"))
+      .withColumn("fill_rate",
+        round(col("total_tokens").cast("double") / (col("n_bins") * C), 4))
+  }
+
+  // ── llm_kmeans ────────────────────────────────────────────────────────
+
+  /** Deterministic k-means (K=4, 2 unrolled Lloyd iterations) over
+    * embeddings quantized to exact integers (q = round(x·10⁶)): distances
+    * are exact BIGINT sums of squares, centroid updates are
+    * floor(sum/count) — every assignment and tie-break (min cluster id)
+    * is engine-independent, so DuckDB runs the SAME algorithm to the same
+    * result, no float-accumulation drift. |x| < 0.6 and dim=64 keep
+    * q ≤ 6·10⁵, per-pair distance ≤ 64·(1.2·10⁶)² ≈ 9·10¹³ — long-safe.
+    *
+    * Shape per iteration: dims×centroids is a BROADCAST join (K·dim rows
+    * ≪ any cluster's memory) feeding one hash aggregate keyed by
+    * (vec_id, cid) then an argmin window per vec_id — at 100 TB the only
+    * shuffle is the (vec_id, cid) aggregate, and AQE coalesces it;
+    * iterations stay O(rounds), exactly how MLlib schedules Lloyd.
+    */
+  private val K = 4
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        round(col("col").cast("double") * 1e6, 0).cast("long").as("q"))
+    val c0 = dims.where(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("dim"), col("q").as("c"))
+
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cid").asc)
+      dims.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+    }
+    def recenter(asg: DataFrame): DataFrame =
+      dims.join(asg, "vec_id")
+        .groupBy(col("cluster"), col("dim"))
+        .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("c"))
+        .select(col("cluster").as("cid"), col("dim"), col("c"))
+
+    val a2 = assign(recenter(assign(c0)))
+    val c2 = recenter(a2)
+    a2.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_vec_id"))
+      .join(c2.groupBy(col("cid").as("cluster"))
+        .agg(sum(col("c")).as("centroid_sum")), "cluster")
+  }
+
+  // ── llm_tfidf ─────────────────────────────────────────────────────────
+
+  /** Per-language characteristic terms: top-5 tokens by TF-IDF where TF
+    * counts within the language slice and IDF = ln(N_docs/doc_freq) over
+    * the whole corpus. Ranking is on the ROUNDED score with the token as
+    * a unique tie-break — the one double in the pipeline (ln) is a
+    * per-row scalar both engines compute from identical exact inputs.
+    * Scale: two hash aggregates (token×doc distinct, token×lang counts)
+    * and a broadcast of the tiny doc-count; the explode is map-side. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val nDocs = docs.agg(count(lit(1)).as("n")) // 1 row → broadcast
+    val dfreq = toks.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("doc_freq"))
+    val tf = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n").cast("double") / col("doc_freq")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("tok"), col("tf"),
+        col("doc_freq"), col("score"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_decontaminate" -> decontaminate _,
+    "llm_pack_sequences" -> packSequences _,
+    "llm_kmeans" -> kmeans _,
+    "llm_tfidf" -> tfidf _
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 8 THEN
+        |      list_distinct([array_to_string(t[i:i+7], ' ')
+        |                     for i in range(1, len(t) - 6)])
+        |    ELSE [] END AS gs
+        |  FROM toks),
+        |ev AS (SELECT doc_id, gs, len(gs) AS n_grams FROM g
+        |       WHERE doc_id % 20 = 7),
+        |tr AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+        |       WHERE doc_id % 20 != 7),
+        |hit AS (
+        |  SELECT e.doc_id, count(*) AS n_hit
+        |  FROM (SELECT doc_id, unnest(gs) AS gram FROM ev) e
+        |  JOIN tr USING (gram) GROUP BY e.doc_id)
+        |SELECT ev.doc_id, ev.n_grams,
+        |  coalesce(hit.n_hit, 0) AS n_hit,
+        |  CASE WHEN ev.n_grams = 0 THEN 0.0
+        |       ELSE round(coalesce(hit.n_hit, 0)::DOUBLE / ev.n_grams, 4)
+        |  END AS containment,
+        |  (CASE WHEN ev.n_grams = 0 THEN 0.0
+        |        ELSE round(coalesce(hit.n_hit, 0)::DOUBLE / ev.n_grams, 4)
+        |   END) >= 0.8 AS contaminated
+        |FROM ev LEFT JOIN hit ON ev.doc_id = hit.doc_id""".stripMargin,
+    "llm_pack_sequences" ->
+      s"""WITH d AS (
+        |  SELECT lang, doc_id,
+        |    least(len(string_split(text, ' ')), $C) AS nt
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, nt,
+        |    CAST(floor((sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+        |                 ROWS UNBOUNDED PRECEDING) - nt)::DOUBLE / $C)
+        |         AS BIGINT) AS bin
+        |  FROM d),
+        |bins AS (
+        |  SELECT lang, bin, CAST(sum(nt) AS BIGINT) AS tok
+        |  FROM b GROUP BY lang, bin)
+        |SELECT lang,
+        |  count(*) AS n_bins,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |  count(*) FILTER (WHERE tok > $C) AS n_overflow_bins,
+        |  CAST(sum(CASE WHEN tok < $C THEN $C - tok ELSE 0 END) AS BIGINT)
+        |    AS total_waste,
+        |  round(sum(tok)::DOUBLE / (count(*) * $C), 4) AS fill_rate
+        |FROM bins GROUP BY lang""".stripMargin,
+    "llm_kmeans" ->
+      s"""WITH dims AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |c0 AS (
+        |  SELECT vec_id::INT AS cid, dim, q AS c FROM dims WHERE vec_id < $K),
+        |d1 AS (
+        |  SELECT dims.vec_id, c0.cid,
+        |    sum((dims.q - c0.c) * (dims.q - c0.c)) AS dist
+        |  FROM dims JOIN c0 USING (dim) GROUP BY dims.vec_id, c0.cid),
+        |a1 AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT a1.cluster AS cid, dims.dim,
+        |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
+        |  FROM dims JOIN a1 USING (vec_id) GROUP BY a1.cluster, dims.dim),
+        |d2 AS (
+        |  SELECT dims.vec_id, c1.cid,
+        |    sum((dims.q - c1.c) * (dims.q - c1.c)) AS dist
+        |  FROM dims JOIN c1 USING (dim) GROUP BY dims.vec_id, c1.cid),
+        |a2 AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT a2.cluster AS cid, dims.dim,
+        |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
+        |  FROM dims JOIN a2 USING (vec_id) GROUP BY a2.cluster, dims.dim),
+        |m AS (
+        |  SELECT cluster, count(*) AS n_members, min(vec_id) AS min_vec_id
+        |  FROM a2 GROUP BY cluster),
+        |cs AS (
+        |  SELECT cid AS cluster, CAST(sum(c) AS BIGINT) AS centroid_sum
+        |  FROM c2 GROUP BY cid)
+        |SELECT m.cluster, m.n_members, m.min_vec_id, cs.centroid_sum
+        |FROM m JOIN cs USING (cluster)""".stripMargin,
+    "llm_tfidf" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT * FROM toks WHERE tok != ''),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |dfreq AS (
+        |  SELECT tok, count(*) AS doc_freq FROM (
+        |    SELECT DISTINCT tok, doc_id FROM tk) GROUP BY tok),
+        |tf AS (
+        |  SELECT lang, tok, count(*) AS tf FROM tk GROUP BY lang, tok),
+        |scored AS (
+        |  SELECT tf.lang, tf.tok, tf.tf, dfreq.doc_freq,
+        |    round(tf.tf * ln(n.n::DOUBLE / dfreq.doc_freq), 4) AS score
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+        |SELECT lang, rank, tok, tf, doc_freq, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |             ORDER BY score DESC, tok ASC) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin
+  )
+}

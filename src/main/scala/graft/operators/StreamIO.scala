@@ -46,6 +46,13 @@ object StreamIO extends OpModule {
   private def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // None of these queries use transformWithState (the only operator
+    // needing RocksDB column families), and the per-store open cost of
+    // RocksDB dominates at fixture-sized state: the HDFS-backed provider
+    // keeps the windowed-agg / stream-join state in heap maps. A
+    // production job with state larger than heap flips this back.
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     ss
   }
 

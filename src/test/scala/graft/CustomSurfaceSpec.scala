@@ -128,6 +128,15 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("ngrams generator: windows containing null elements are skipped") {
+    graft.GraftExtensions.register(spark)
+    val df = Seq(1L).toDF("id")
+      .selectExpr("id", "array('a', cast(null as string), 'b', 'c') AS toks")
+    val got = df.selectExpr("ngrams(toks, 2) AS (pos, gram)")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((2, "b c")), s"null-straddling windows must drop, got $got")
+  }
+
   test("VectorMean tolerates ragged vector lengths (no truncation, no AIOOBE)") {
     val vecMean = udaf(graft.functions.VectorMean)
     // short vector first (buffer must grow), long vector first in the

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Aggregates, Analytics, LlmScale}
+
+/** Invariant tests for the round-4 corpus ops (+ dim_scd2 / agg_mode).
+  * The DuckDB gate proves value equality; these assert the semantic
+  * properties the gate can't see (coverage, monotonicity, determinism).
+  */
+class LlmScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate: eval split is ids ≡ 7 (mod 20), containment bounded") {
+    val out = LlmScale.decontaminate(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 20 == 7)
+      val (n, hit) = (r.getAs[Int]("n_grams"), r.getAs[Long]("n_hit"))
+      assert(hit >= 0 && hit <= n, s"hits $hit outside [0, $n]")
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Boolean]("contaminated") == (c >= 0.8))
+    }
+    // every eval doc appears exactly once, even gram-less short docs
+    val nEval = Tables.documents(spark, sf)
+      .where(pmod($"doc_id", lit(20)) === 7).count()
+    assert(out.length.toLong == nEval)
+  }
+
+  test("pack_sequences: token conservation and per-bin slack accounting") {
+    val out = LlmScale.packSequences(spark, sf).collect()
+    val expected = Tables.documents(spark, sf)
+      .groupBy($"lang")
+      .agg(sum(least(size(split($"text", " ")), lit(128))).as("tok"))
+      .as[(String, Long)].collect().toMap
+    assert(out.map(_.getAs[String]("lang")).toSet == expected.keySet)
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (bins, tok, waste) = (r.getAs[Long]("n_bins"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("total_waste"))
+      assert(tok == expected(lang), s"$lang: token count drifted")
+      // underfull bins account their slack; overflow bins carry excess,
+      // so tokens + waste covers at least the full bin capacity
+      assert(tok + waste >= bins * 128, s"$lang: slack accounting broken")
+      assert(r.getAs[Double]("fill_rate") ==
+        math.rint(tok.toDouble / (bins * 128) * 10000) / 10000)
+    }
+  }
+
+  test("kmeans: partition of all vectors, deterministic across runs") {
+    val run1 = LlmScale.kmeans(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("min_vec_id"), r.getAs[Long]("centroid_sum"))).sorted
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(run1.map(_._2).sum == nVec, "assignments must partition the corpus")
+    assert(run1.forall(c => c._1 >= 0 && c._1 < 4))
+    assert(run1.forall(_._2 > 0))
+    val run2 = LlmScale.kmeans(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("min_vec_id"), r.getAs[Long]("centroid_sum"))).sorted
+    assert(run1.toSeq == run2.toSeq, "exact integer k-means must be deterministic")
+  }
+
+  test("tfidf: exactly top-5 per language, ranked by (score desc, token)") {
+    val out = LlmScale.tfidf(spark, sf).collect()
+      .groupBy(_.getAs[String]("lang"))
+    out.foreach { case (lang, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length),
+        s"$lang: ranks must be contiguous from 1")
+      assert(rows.length <= 5)
+      val scores = byRank.map(r =>
+        (-r.getAs[Double]("score"), r.getAs[String]("tok"))).toSeq
+      assert(scores == scores.sorted,
+        s"$lang: rank order must follow (score desc, tok asc)")
+    }
+  }
+
+  test("dim_scd2: one open version per key, ranges chain without gaps") {
+    val out = Analytics.dimScd2(spark, sf).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    out.foreach { case (ck, rows) =>
+      val byV = rows.sortBy(_.getAs[Int]("version"))
+      assert(byV.map(_.getAs[Int]("version")).toSeq == (1 to rows.length),
+        s"cust $ck: versions must be contiguous")
+      assert(byV.count(_.getAs[Boolean]("is_current")) == 1,
+        s"cust $ck: exactly one current version")
+      assert(byV.last.getAs[Boolean]("is_current"))
+      byV.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Any]("valid_to") == b.getAs[Any]("valid_from"),
+            s"cust $ck: effective ranges must chain")
+        case _ => ()
+      }
+    }
+  }
+
+  test("agg_mode: reported mode frequency is the group maximum") {
+    val out = Aggregates.aggMode(spark, sf).collect()
+    val maxN = Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus", $"o_orderpriority").count()
+      .groupBy($"o_orderstatus").agg(max($"count").as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("mode_n") == maxN(r.getAs[String]("o_orderstatus")))
+    }
+  }
+}
