@@ -22,16 +22,45 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc sub-plan bisection: -parts <sfDir> times decontaminate stages
+    if (names == Seq("decon_parts")) {
+      import org.apache.spark.sql.functions._
+      val grams8 =
+        """CASE WHEN size(toks) >= 8 THEN
+          |  array_distinct(transform(sequence(1, size(toks) - 7),
+          |    i -> xxhash64(concat_ws(' ', slice(toks, i, 8)))))
+          |ELSE array() END""".stripMargin
+      def t(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = df.queryExecution.toRdd.count()
+          println(f"[part] $tag run$i: $n rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("gs", expr(grams8))
+        .select(col("doc_id"), col("gs"))
+      t("gs_only")(docs)
+      val isEval = pmod(col("doc_id"), lit(20)) === 7
+      t("train_distinct")(docs.where(!isEval).select(explode(col("gs")).as("g")).distinct())
+      t("eval_explode")(docs.where(isEval).select(col("doc_id"), explode(col("gs")).as("g")))
+      val trainGrams = docs.where(!isEval).select(explode(col("gs")).as("g")).distinct()
+      t("semi_join")(docs.where(isEval).select(col("doc_id"), explode(col("gs")).as("g"))
+        .join(trainGrams, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit")))
+      spark.stop(); return
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      // run twice: first run pays codegen+AQE warmup, second is steady
-      (1 to 2).foreach { i =>
+      // multiple runs: first pays codegen+AQE warmup, later ones are steady
+      (1 to 4).foreach { i =>
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val rows = df.queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[probe] $n run$i: $rows rows in $dt%.2f s")
-        if (i == 2) println(df.queryExecution.executedPlan.toString.take(8000))
+        if (i == 4) println(df.queryExecution.executedPlan.toString.take(8000))
       }
     }
     spark.stop()

@@ -150,6 +150,13 @@ object LlmExtended extends OpModule {
     // two distinct shingles collide in 64 bits, P < 1e-10 at this
     // vocabulary; the oracle keeps string keys), and the ascending sort
     // IS the consistent global order prefix filtering needs.
+    // localCheckpoint: the signature table is MATERIALIZED once — it has
+    // three readers (prefix explode, ha/hb verification joins) and the
+    // constraint `isnotnull(n)` inferred from the size-filter join
+    // otherwise pushes an interpreted re-evaluation of the whole hash
+    // tree into the scan Filter (measured: 3 full hash passes → 1). The
+    // production twin persists the signature table to storage (reliable,
+    // survives executor loss) — same one-pass economics.
     val sh = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("hs", expr(
@@ -158,6 +165,7 @@ object LlmExtended extends OpModule {
           |    i -> xxhash64(concat_ws(' ', slice(toks, i, 4))))))
           |ELSE array() END""".stripMargin))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+      .localCheckpoint()
     // prefix filter (SSJoin/PPJoin, output-invariant): if J(x,y) ≥ τ
     // then |x∩y| ≥ τ·|x|, so the smallest intersection element must sit
     // within x's first n − ⌈τ·n⌉ + 1 elements (else the non-members
@@ -165,10 +173,16 @@ object LlmExtended extends OpModule {
     // symmetrically for y. Only PREFIXES explode and join; candidates
     // verify on the full arrays afterwards. For τ=0.5 this halves the
     // explode and quarters the candidate pairs.
+    // explode_outer + null filter, NOT explode: the inferred
+    // `size(slice(hs,1,p)) > 0` pre-filter of a plain explode pushes to
+    // the scan and re-evaluates the whole shingle-hash tree per row in an
+    // interpreted Filter (same pathology measured 3.5× on
+    // llm_decontaminate; see LlmScale.decontaminate)
     val ex = sh
       .withColumn("p", col("n") - expr(s"cast(ceil($tau * n) as int)") + 1)
       .select(col("doc_id"), col("n"),
-        explode(expr("slice(hs, 1, p)")).as("g"))
+        explode_outer(expr("slice(hs, 1, p)")).as("g"))
+      .where(col("g").isNotNull)
       .repartition(col("g"))
     // size filter (also output-invariant): J ≥ τ bounds the size ratio
     val cands = ex.as("a").join(ex.as("b"),

@@ -79,7 +79,12 @@ object LlmOps extends OpModule {
     * makes precision 1, so the output equals the all-pairs oracle. */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     val tau = 0.8
+    // localCheckpoint: the shingle table has three readers (signature
+    // path + sa/sb verification joins) — materializing it once replaces
+    // three corpus-wide shingle passes with one (same move as
+    // dedupNgram's signature table; production persists it to storage)
     val base = withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("shingles")).localCheckpoint()
     val docs = withSignature(base).select(col("doc_id"), col("sig"))
     // The band join carries ONLY (doc_id, band, bh): each doc explodes
     // into 16 8-byte band rows, so the candidate-hunt shuffle is O(16·id)

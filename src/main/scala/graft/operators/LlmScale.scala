@@ -40,15 +40,30 @@ object LlmScale extends OpModule {
         |  array_distinct(transform(sequence(1, size(toks) - 7),
         |    i -> xxhash64(concat_ws(' ', slice(toks, i, 8)))))
         |ELSE array() END""".stripMargin
+    // the gram-hash tree is the expensive subtree and has THREE readers
+    // (train explode, eval explode, eval counts): the repartition pins it
+    // under one exchange, so ReusedExchange hashes the corpus once — the
+    // same barrier pattern as dedupNear/dedupNgram (2.3 GB/TB of array
+    // shuffle buys 2 fewer corpus-wide hash passes)
     val docs = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("gs", expr(grams8))
+      .select(col("doc_id"), col("gs"))
+      .repartition(col("doc_id"))
+    // explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    // explode into a `size(gs) > 0 AND isnotnull(gs)` pre-filter that
+    // Catalyst pushes to the scan — where it re-evaluates the whole gram
+    // tree twice per row in an interpreted Filter (measured 3.5 s → 1 s
+    // at sf0.1). The outer variant infers nothing; empty docs surface as
+    // one null gram dropped by a cheap post-explode filter.
     val isEval = pmod(col("doc_id"), lit(20)) === 7
     val evalDocs = docs.where(isEval)
       .select(col("doc_id"), col("gs"), size(col("gs")).as("n_grams"))
     val trainGrams = docs.where(!isEval)
-      .select(explode(col("gs")).as("g")).distinct()
-    val hits = evalDocs.select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(explode_outer(col("gs")).as("g"))
+      .where(col("g").isNotNull).distinct()
+    val hits = evalDocs.select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .where(col("g").isNotNull)
       .join(trainGrams, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     evalDocs.select(col("doc_id"), col("n_grams"))
