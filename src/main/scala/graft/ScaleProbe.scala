@@ -54,7 +54,8 @@ object ScaleProbe {
       "llm_chunk", "llm_quality_filter", "llm_sample_stratified",
       "llm_text_stats", "llm_token_count", "udtf_ngrams",
       "llm_embed_quantize", "llm_similarity_topk", "llm_ann_ivf",
-      "curation_e2e")
+      "curation_e2e",
+      "llm_decontaminate", "llm_pack_sequences", "llm_kmeans", "llm_tfidf")
     println(f"${"op"}%-24s ${"sec"}%8s ${"rows"}%10s")
     probes.foreach { name =>
       val t0 = System.nanoTime()

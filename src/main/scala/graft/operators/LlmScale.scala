@@ -126,12 +126,23 @@ object LlmScale extends OpModule {
     */
   private val K = 4
   def kmeans(s: SparkSession, d: String): DataFrame = {
-    val dims = Tables.embeddings(s, d)
+    val emb = Tables.embeddings(s, d)
+    val dims = emb
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("dim"),
         round(col("col").cast("double") * 1e6, 0).cast("long").as("q"))
-    val c0 = dims.where(col("vec_id") < K)
-      .select(col("vec_id").cast("int").as("cid"), col("dim"), col("q").as("c"))
+    // seed from the first K DISTINCT embeddings (min vec_id per distinct
+    // vector), not the first K ids: duplicate vectors — guaranteed in any
+    // deduplicating corpus — would otherwise collapse several seeds onto
+    // one point and every row would tie-break into cluster 0 (observed at
+    // the 10× clone probe). The seed set is ≤K rows; the global
+    // row_number is over that tiny set only.
+    val seeds = emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+      .orderBy(col("vec_id")).limit(K)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"))
+    val c0 = dims.join(broadcast(seeds), "vec_id")
+      .select(col("cid"), col("dim"), col("q").as("c"))
 
     def assign(cent: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
@@ -249,8 +260,13 @@ object LlmScale extends OpModule {
         |  SELECT vec_id, i - 1 AS dim,
         |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
         |  FROM embeddings, range(1, 65) r(i)),
+        |seeds AS (
+        |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid
+        |  FROM (SELECT min(vec_id) AS vec_id FROM embeddings
+        |        GROUP BY embedding ORDER BY 1 LIMIT $K)),
         |c0 AS (
-        |  SELECT vec_id::INT AS cid, dim, q AS c FROM dims WHERE vec_id < $K),
+        |  SELECT s.cid, d.dim, d.q AS c
+        |  FROM dims d JOIN seeds s USING (vec_id)),
         |d1 AS (
         |  SELECT dims.vec_id, c0.cid,
         |    sum((dims.q - c0.c) * (dims.q - c0.c)) AS dist
