@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, NGrams, SimHash32}
+import graft.functions.{CosineSimilarity, NGrams, SimHash32, SortedIntersectCount}
 
 /** Engine extension wiring (SURVEY.md §4.3).
   *
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.ngramsDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
+    ext.injectFunction(GraftExtensions.sortedIntersectDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
   }
 }
@@ -57,9 +58,22 @@ object GraftExtensions {
     }
   )
 
+  private val sortedIntersectDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName,
+      "sorted_intersect_count"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "sorted_intersect_count expects 2 array<bigint> args")
+      SortedIntersectCount(children.head, children(1))
+    }
+  )
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSimDescriptor, ngramsDescriptor, simhashDescriptor).foreach {
+    Seq(cosineSimDescriptor, ngramsDescriptor, simhashDescriptor,
+      sortedIntersectDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

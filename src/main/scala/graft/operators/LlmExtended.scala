@@ -192,12 +192,17 @@ object LlmExtended extends OpModule {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val full = sh.select(col("doc_id"), col("hs"))
+    // verification kernel: hs is sorted+distinct by construction, so the
+    // intersection size is the native two-pointer merge
+    // (graft.functions.SortedIntersectCount) — no per-pair hash-set or
+    // output-array allocation, stays in whole-stage codegen
+    graft.GraftExtensions.register(s)
     cands
       .join(full.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(full.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(col("ha")).as("na"), size(col("hb")).as("nb"),
-        size(array_intersect(col("ha"), col("hb"))).as("i"))
+        expr("sorted_intersect_count(ha, hb)").as("i"))
       .where(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= tau)
       .select(col("doc_a"), col("doc_b"),
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)

@@ -55,6 +55,30 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(wsc.nonEmpty, "custom expression must not break codegen")
   }
 
+  test("sorted_intersect_count matches size(array_intersect) on sorted sets, stays in codegen") {
+    GraftExtensions.register(spark)
+    // sorted+distinct arrays from the real signature builder shape,
+    // including empty and disjoint cases
+    val df = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        """CASE WHEN size(split(text, ' ')) >= 4 THEN
+          |  sort_array(array_distinct(transform(
+          |    sequence(1, size(split(text, ' ')) - 3),
+          |    i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 4))))))
+          |ELSE array() END AS hs""".stripMargin)
+      .localCheckpoint()
+    val pairs = df.as("a").crossJoin(df.as("b").limit(7))
+      .selectExpr(
+        "sorted_intersect_count(a.hs, b.hs) AS fast",
+        "size(array_intersect(a.hs, b.hs)) AS ref")
+    assert(pairs.where($"fast" =!= $"ref").count() == 0,
+      "merge-count must equal the hash-based intersection size")
+    assert(pairs.where($"fast" > 0).count() > 0,
+      "fixture must exercise non-empty intersections (self pairs)")
+    val wsc = collectFinal(pairs) { case w: WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, "custom expression must not break codegen")
+  }
+
   test("VectorMean aggregator: exact mean on literal vectors") {
     val vecMean = udaf(graft.functions.VectorMean)
     val df = Seq(
