@@ -79,13 +79,26 @@ object LlmOps extends OpModule {
     * makes precision 1, so the output equals the all-pairs oracle. */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     val tau = 0.8
+    graft.GraftExtensions.register(s)
     // localCheckpoint: the shingle table has three readers (signature
-    // path + sa/sb verification joins) — materializing it once replaces
-    // three corpus-wide shingle passes with one (same move as
-    // dedupNgram's signature table; production persists it to storage)
+    // path + verification joins) — materializing it once replaces three
+    // corpus-wide shingle passes with one (production persists it to
+    // storage). It carries SORTED xxhash64 values, not strings: 8 bytes
+    // per shingle instead of ~25 chars (3× smaller checkpoint+broadcast),
+    // the MinHash mins are order-invariant so the signature is unchanged,
+    // and the sorted order feeds the native merge-count verify kernel.
+    // Intersection counts equal the string-set counts unless two distinct
+    // shingles collide in 64 bits (P < 1e-10 at this vocabulary; the
+    // oracle keeps string keys — same precedent as dedupNgram).
     val base = withShingles(Tables.documents(s, d))
-      .select(col("doc_id"), col("shingles")).localCheckpoint()
-    val docs = withSignature(base).select(col("doc_id"), col("sig"))
+      .select(col("doc_id"),
+        sort_array(expr("transform(shingles, x -> xxhash64(x))")).as("hs"))
+      .localCheckpoint()
+    val sigCols = (0 until K).map(i =>
+      s"array_min(transform(hs, x -> xxhash64(x, ${i}L)))")
+    val docs = base
+      .withColumn("sig", expr(s"array(${sigCols.mkString(", ")})"))
+      .select(col("doc_id"), col("sig"))
     // The band join carries ONLY (doc_id, band, bh): each doc explodes
     // into 16 8-byte band rows, so the candidate-hunt shuffle is O(16·id)
     // per doc regardless of document size. The shingle ARRAYS re-join by
@@ -102,16 +115,18 @@ object LlmOps extends OpModule {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sh = base.select(col("doc_id"), col("shingles"))
+    val sh = base.select(col("doc_id"), col("hs"))
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("sb")), "doc_b")
       // size filter (output-invariant): J(A,B) ≤ min/max of the set
       // sizes, so J ≥ τ requires |A| ≥ τ·|B| and |B| ≥ τ·|A| — prunes
       // candidates BEFORE the O(|A|+|B|) intersection
       .where(size(col("sa")).cast("double") >= lit(tau) * size(col("sb"))
         && size(col("sb")).cast("double") >= lit(tau) * size(col("sa")))
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      // native two-pointer merge over the sorted hash arrays — no
+      // per-pair hash-set or output-array allocation
+      .withColumn("i", expr("sorted_intersect_count(sa, sb)"))
       .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
       .where(col("i").cast("double") / col("u") >= tau)
       .select(col("doc_a"), col("doc_b"),
