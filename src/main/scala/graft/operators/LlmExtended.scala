@@ -91,20 +91,43 @@ object LlmExtended extends OpModule {
        |    1))
        |ELSE array() END""".stripMargin
 
+  /** 64-bit fingerprint carried as TWO 32-bit halves (fp_lo, fp_hi):
+    * a single 64-bit value would put majority bits in the sign position,
+    * where `1 << 63` literals and arithmetic right shifts behave
+    * differently across engines — two non-negative halves sidestep that
+    * entirely. Bit width matters at scale: 8-bit LSH blocks over a
+    * 32-bit fingerprint give 256 bucket values, so candidate pairs grow
+    * O(N²/256) — measured 19M candidate pairs at the 10× probe. 16-bit
+    * blocks over 64 bits give 65 536 values per family (Manku et al.,
+    * "Detecting Near-Duplicates for Web Crawling": wider fingerprints +
+    * wider blocks are how simhash survives web scale).
+    *
+    * Hash families: h2/h3/h4 derive from h1 by multiplicative mixing
+    * instead of extra char folds (one fold total; products stay < 2^63:
+    * h1 < 1e9+7, constants < 3.3e9). 2654435761 = Knuth; the other two
+    * are the xxhash/Murmur-style odd primes. */
+  /** The whole fingerprint derives inside ONE lambda with the shingle
+    * hashes bound as a lambda variable (`h1`): naming h1 as a column and
+    * deriving h2/h3/h4 from it lets CollapseProject inline the full
+    * char-fold tree into every reference — 4 corpus-wide hash passes per
+    * row (lambda trees are excluded from codegen subexpression
+    * elimination, so CSE does not save you). As a lambda variable every
+    * h1 reference is free; the native simhash32 folds
+    * (graft.functions.SimHash32, bit-identical to simhashExpr,
+    * spec-asserted) then run as primitive loops. The consumer splits the
+    * struct ABOVE a repartition so the extraction cannot collapse back
+    * into two copies of the tree. */
   private def withSimhash(docs: DataFrame): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
-      .withColumn("h1", expr(shingleHashExpr))
-      // second family derived by multiplicative mixing instead of a
-      // second char fold — halves the hashing cost; measured pair
-      // quality is indistinguishable (221 vs 225 hamming≤3 pairs at
-      // sf0.1). 2654435761 = Knuth's multiplicative constant; the
-      // product stays < 2^63 (h1 < 1e9+7), so no ANSI overflow.
-      .withColumn("h2", expr("transform(h1, x -> (x * 2654435761L) % 1000000007)"))
-      // native codegen'd fold (graft.functions.SimHash32) — bit-identical
-      // to simhashExpr above (spec-asserted); the HOF formulation
-      // allocates a counter array per shingle, the expression runs one
-      // primitive loop inside the stage
-      .withColumn("fp", expr("simhash32(h1, h2)"))
+      .withColumn("fps", expr(
+        s"""element_at(transform(array($shingleHashExpr),
+           |  h1 -> named_struct(
+           |    'lo', simhash32(h1,
+           |            transform(h1, x -> (x * 2654435761L) % 1000000007)),
+           |    'hi', simhash32(
+           |            transform(h1, x -> (x * 2246822519L) % 1000000007),
+           |            transform(h1, x -> (x * 3266489917L) % 1000000007)))),
+           |1)""".stripMargin))
 
   // cosine similarity: graft.functions.CosineSimilarity (registered as
   // cosine_sim via GraftExtensions) — in-order double accumulation,
@@ -112,27 +135,40 @@ object LlmExtended extends OpModule {
 
   // ── dedup variants ────────────────────────────────────────────────────
 
-  /** SimHash near-dup: 32-bit fingerprints, 4×8-bit block LSH (pigeonhole:
-    * any pair at hamming ≤ 3 shares at least one clean block), exact
-    * hamming verify ≤ 3. At 100 TB: fingerprints are 8 bytes/doc, blocks
-    * shuffle 4 small keys per doc, candidates ~1.6% of pairs. */
+  /** SimHash near-dup: 64-bit fingerprints (two 32-bit halves), 4×16-bit
+    * block LSH (pigeonhole: any pair at hamming ≤ 3 shares at least one
+    * clean 16-bit block), exact hamming verify ≤ 3. At 100 TB:
+    * fingerprints are 8 bytes/doc, blocks shuffle 4 small keys per doc,
+    * and the 65 536-value bucket space keeps candidate pairs
+    * O(N²/65 536) — the 8-bit/32-bit variant measured 19M candidate
+    * pairs at the 10× probe, this one ~75k. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
-    val docs = withSimhash(Tables.documents(s, d)).select(col("doc_id"), col("fp"))
-    // posexplode over a plain array: fp is referenced from a projection,
-    // never inside a lambda, so the fingerprint is computed once per row;
-    // the repartition gives the self-join two IDENTICAL exchange subtrees
-    // → ReusedExchange computes the fingerprints once, not per side
-    val blocks = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), col("fp"), posexplode(array(
-        (0 until 4).map(j =>
-          shiftright(col("fp"), 8 * j).bitwiseAND(lit(255))): _*)))
-      .select(col("doc_id"), col("fp"), col("pos").as("blk"), col("col").as("bv"))
+    // the struct splits ABOVE the repartition: below it the fps tree is
+    // computed once, above it fp_lo/fp_hi are free field reads of the
+    // shuffled struct (CollapseProject does not merge across an
+    // exchange). The repartition also gives the self-join two IDENTICAL
+    // exchange subtrees → ReusedExchange computes fingerprints once.
+    val docs = withSimhash(Tables.documents(s, d))
+      .select(col("doc_id"), col("fps"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        col("fps.lo").as("fp_lo"), col("fps.hi").as("fp_hi"))
+    val blocks = docs
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"), posexplode(array(
+        (0 until 4).map { j =>
+          val half = if (j < 2) col("fp_lo") else col("fp_hi")
+          shiftright(half, 16 * (j % 2)).bitwiseAND(lit(65535))
+        }: _*)))
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+        col("pos").as("blk"), col("col").as("bv"))
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+        (bit_count(col("x.fp_lo").bitwiseXOR(col("y.fp_lo")))
+          + bit_count(col("x.fp_hi").bitwiseXOR(col("y.fp_hi"))))
+          .cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= 3)
   }
@@ -437,7 +473,9 @@ object LlmExtended extends OpModule {
          |  FROM sh),
          |hashes AS (
          |  SELECT doc_id, h1,
-         |    [(x * 2654435761) % 1000000007 for x in h1] AS h2
+         |    [(x * 2654435761) % 1000000007 for x in h1] AS h2,
+         |    [(x * 2246822519) % 1000000007 for x in h1] AS h3,
+         |    [(x * 3266489917) % 1000000007 for x in h1] AS h4
          |  FROM hashes0),
          |fps AS (
          |  SELECT doc_id,
@@ -448,12 +486,22 @@ object LlmExtended extends OpModule {
          |    + list_reduce(list_prepend(0::BIGINT,
          |      [CASE WHEN len(list_filter(h2, x -> (x >> b) & 1 = 1)) * 2 > len(h2)
          |            THEN (1::BIGINT << (b + 16)) ELSE 0 END for b in range(0, 16)]),
-         |      (a, x) -> a + x) AS fp
+         |      (a, x) -> a + x) AS fp_lo,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [CASE WHEN len(list_filter(h3, x -> (x >> b) & 1 = 1)) * 2 > len(h3)
+         |            THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 16)]),
+         |      (a, x) -> a + x)
+         |    + list_reduce(list_prepend(0::BIGINT,
+         |      [CASE WHEN len(list_filter(h4, x -> (x >> b) & 1 = 1)) * 2 > len(h4)
+         |            THEN (1::BIGINT << (b + 16)) ELSE 0 END for b in range(0, 16)]),
+         |      (a, x) -> a + x) AS fp_hi
          |  FROM hashes)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       bit_count(xor(a.fp, b.fp)::BIT) AS hamming
+         |       bit_count(xor(a.fp_lo, b.fp_lo)::BIT)
+         |         + bit_count(xor(a.fp_hi, b.fp_hi)::BIT) AS hamming
          |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.fp, b.fp)::BIT) <= 3""".stripMargin),
+         |WHERE bit_count(xor(a.fp_lo, b.fp_lo)::BIT)
+         |        + bit_count(xor(a.fp_hi, b.fp_hi)::BIT) <= 3""".stripMargin),
     "llm_dedup_ngram" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
