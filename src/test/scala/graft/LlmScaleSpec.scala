@@ -96,6 +96,26 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("no hash-tree recompute at the scan: similarity-join DataFilters stay cheap") {
+    // regression guard for the InferFiltersFromGenerate trap: a plain
+    // explode over a computed gram array pushes size(<tree>) > 0 to the
+    // FileScan, re-evaluating the whole hash tree per row, interpreted
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    Seq(
+      graft.operators.LlmScale.decontaminate(spark, sf),
+      graft.operators.LlmExtended.dedupNgram(spark, sf),
+      graft.operators.LlmOps.dedupNear(spark, sf)
+    ).foreach { df =>
+      val scanFilters = collectFinal(df) {
+        case sc: FileSourceScanExec => sc.dataFilters.map(_.sql).mkString(";")
+      }
+      scanFilters.foreach { f =>
+        assert(!f.contains("xxhash64") && !f.toLowerCase.contains("lambda"),
+          s"hash tree leaked into a scan filter: $f")
+      }
+    }
+  }
+
   test("agg_mode: reported mode frequency is the group maximum") {
     val out = Aggregates.aggMode(spark, sf).collect()
     val maxN = Tables.orders(spark, sf)
