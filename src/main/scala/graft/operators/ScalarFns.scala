@@ -171,7 +171,30 @@ object ScalarFns extends OpModule {
       shiftright(col("o_orderkey"), 2).as("k_shr"),
       bit_count(col("o_orderkey")).cast("long").as("k_bits"))
 
+  /** URL family: parse_url over deterministic synthetic URLs built from
+    * fixture columns (host from the market segment, path from the key,
+    * query from the account balance) — the log-ingestion prelude to any
+    * per-domain aggregation. DuckDB has no parse_url; the oracle
+    * re-derives the same parts from ITS copy of the constructed string
+    * with regexp_extract, which is exact because the inputs are
+    * well-formed by construction. */
+  def fnUrl(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("url", concat(
+        lit("https://"), lower(col("c_mktsegment")), lit(".example.com/cust/"),
+        col("c_custkey").cast("string"),
+        lit("?bal="), round(col("c_acctbal") * 100, 0).cast("long").cast("string"),
+        lit("&seg="), lower(col("c_mktsegment"))))
+      .select(
+        col("c_custkey"),
+        col("url"),
+        callUDF("parse_url", col("url"), lit("HOST")).as("host"),
+        callUDF("parse_url", col("url"), lit("PATH")).as("path"),
+        callUDF("parse_url", col("url"), lit("QUERY")).as("query"),
+        callUDF("parse_url", col("url"), lit("QUERY"), lit("seg")).as("seg"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_url" -> fnUrl _,
     "fn_bitwise" -> fnBitwise _,
     "fn_try" -> fnTry _,
     "fn_string" -> fnString _,
@@ -184,6 +207,20 @@ object ScalarFns extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT c_custkey,
+        |    'https://' || lower(c_mktsegment) || '.example.com/cust/' ||
+        |    c_custkey::VARCHAR || '?bal=' ||
+        |    CAST(round(c_acctbal * 100) AS BIGINT)::VARCHAR ||
+        |    '&seg=' || lower(c_mktsegment) AS url
+        |  FROM customer)
+        |SELECT c_custkey, url,
+        |  regexp_extract(url, '^https://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query,
+        |  regexp_extract(url, '[?&]seg=([^&]*)', 1) AS seg
+        |FROM u""".stripMargin,
     "fn_bitwise" ->
       """SELECT o_orderkey,
         | o_orderkey & 255 AS k_and,
