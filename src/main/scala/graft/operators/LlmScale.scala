@@ -198,7 +198,43 @@ object LlmScale extends OpModule {
         col("doc_freq"), col("score"))
   }
 
+  // ── llm_perplexity_proxy ──────────────────────────────────────────────
+
+  /** Unigram-LM perplexity proxy (the CCNet-style quality signal): score
+    * every document by the mean negative log-probability of its tokens
+    * under the corpus's own unigram distribution — fluent text made of
+    * common tokens scores low, token salad scores high.
+    *
+    * Determinism discipline: ln(p) is a per-row scalar from exact inputs
+    * (both engines see identical doubles), but SUMMING doubles across a
+    * document is accumulation-order-dependent — so each token's log-prob
+    * is quantized to fixed-point (round(ln·10⁶) as BIGINT) and the
+    * per-doc reduction is an EXACT integer sum; only the final mean
+    * returns to double. Same pattern as the k-means distances: floats
+    * decide nothing across rows.
+    *
+    * Scale shape: one token-count aggregate (the "model", reused across
+    * every scoring run), a broadcast of the tiny total, and one
+    * map-side explode + (doc_id) aggregate for scoring. */
+  def perplexityProxy(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val total = toks.agg(count(lit(1)).as("n_total")) // 1 row → broadcast
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    toks.join(lm, "tok").crossJoin(broadcast(total))
+      .withColumn("nlp_fp",
+        round(-log(col("cnt").cast("double") / col("n_total")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nlp_fp")).as("nlp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nlp_sum").cast("double") / col("n_tokens") / 1e6, 4)
+          .as("mean_nll"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_perplexity_proxy" -> perplexityProxy _,
     "llm_decontaminate" -> decontaminate _,
     "llm_pack_sequences" -> packSequences _,
     "llm_kmeans" -> kmeans _,
@@ -206,6 +242,22 @@ object LlmScale extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_perplexity_proxy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |toks AS (SELECT * FROM tk WHERE tok != ''),
+        |total AS (SELECT count(*) AS n_total FROM toks),
+        |lm AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(-ln(lm.cnt::DOUBLE / total.n_total) * 1000000)
+        |         AS BIGINT) AS nlp_fp
+        |  FROM toks t JOIN lm USING (tok) CROSS JOIN total)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(nlp_fp) AS BIGINT)::DOUBLE / count(*) / 1000000, 4)
+        |    AS mean_nll
+        |FROM scored GROUP BY doc_id""".stripMargin,
     "llm_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

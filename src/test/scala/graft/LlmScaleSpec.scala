@@ -96,6 +96,26 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("perplexity proxy: every doc scored, mean NLL inside the unigram bounds") {
+    val out = LlmScale.perplexityProxy(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf)
+      .where(size(split($"text", " ")) > 0).count()
+    assert(out.length.toLong == nDocs)
+    // a doc's mean NLL is bounded by the most/least frequent token's NLL
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok")).where($"tok" =!= "")
+    val total = toks.count().toDouble
+    val counts = toks.groupBy($"tok").count()
+      .agg(min($"count"), max($"count")).head()
+    val (lo, hi) = (-math.log(counts.getLong(1) / total),
+      -math.log(counts.getLong(0) / total))
+    out.foreach { r =>
+      val nll = r.getAs[Double]("mean_nll")
+      assert(nll >= lo - 1e-4 && nll <= hi + 1e-4,
+        s"doc ${r.getLong(0)}: mean_nll $nll outside [$lo, $hi]")
+    }
+  }
+
   test("no hash-tree recompute at the scan: similarity-join DataFilters stay cheap") {
     // regression guard for the InferFiltersFromGenerate trap: a plain
     // explode over a computed gram array pushes size(<tree>) > 0 to the
