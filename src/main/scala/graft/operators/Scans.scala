@@ -168,7 +168,39 @@ object Scans extends OpModule {
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 4).as("sum_price"))
 
+  /** Z-order clustering audit: interleave the bits of (customer key,
+    * order day) into one Morton value, bucket on its high bits, and emit
+    * per-bucket min/max of BOTH dimensions. Tight per-bucket ranges in
+    * both dims at once are exactly what multi-column data skipping buys:
+    * a point/range predicate on EITHER column eliminates most buckets by
+    * their min/max alone — the thing a single-column sort can only give
+    * one dimension. The production write is
+    * `repartitionByRange($"zval").sortWithinPartitions($"zval")` +
+    * parquet (file-level min/max then mirror these bucket stats); range
+    * boundaries are sampling-dependent, so the GATE checks the
+    * partition-independent bucket math, and ScansSpec asserts the
+    * locality claim (avg per-bucket span ≪ global span, both dims). */
+  def maintenanceZorder(s: SparkSession, d: String): DataFrame = {
+    val interleave =
+      """aggregate(sequence(0, 15), 0L, (acc, b) -> acc
+        |  + shiftleft((x >> b) & 1, 2 * b)
+        |  + shiftleft((y >> b) & 1, 2 * b + 1))""".stripMargin
+    Tables.orders(s, d)
+      .withColumn("x", col("o_custkey").bitwiseAND(lit(65535L)))
+      .withColumn("y",
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long")
+          .bitwiseAND(lit(65535L)))
+      .withColumn("zval", expr(interleave))
+      .withColumn("bucket", shiftright(col("zval"), 10))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
+        min(col("y")).as("day_min"), max(col("y")).as("day_max"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maintenance_zorder" -> maintenanceZorder _,
     "scan_partitioned" -> scanPartitioned _,
     "scan_parquet" -> scanParquet _,
     "scan_projected" -> scanProjected _,
@@ -181,6 +213,25 @@ object Scans extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "maintenance_zorder" ->
+      """WITH z AS (
+        |  SELECT o_custkey,
+        |    o_custkey & 65535 AS x,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE) & 65535
+        |      AS y
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_custkey, x, y,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [(((x >> b) & 1)::BIGINT << (2 * b))
+        |       + (((y >> b) & 1)::BIGINT << (2 * b + 1))
+        |       for b in range(0, 16)]),
+        |      (a, v) -> a + v) AS zval
+        |  FROM z)
+        |SELECT zval >> 10 AS bucket, count(*) AS n_rows,
+        |  min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+        |  CAST(min(y) AS BIGINT) AS day_min, CAST(max(y) AS BIGINT) AS day_max
+        |FROM m GROUP BY bucket""".stripMargin,
     "scan_partitioned" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         | round(sum(o_totalprice), 4) AS sum_price

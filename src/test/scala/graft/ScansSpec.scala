@@ -61,6 +61,26 @@ class ScansSpec extends SparkSpec {
     assert(rows.filter(_.getInt(0) == 2).forall(!_.isNullAt(3)))
   }
 
+  test("zorder buckets are tight in BOTH dimensions (the data-skipping claim)") {
+    import org.apache.spark.sql.functions._
+    val buckets = graft.operators.Scans.maintenanceZorder(spark, sf).collect()
+    assert(buckets.length > 4, "interleave must spread rows over many buckets")
+    val global = Tables.orders(spark, sf)
+      .agg(max(col("o_custkey")) - min(col("o_custkey")),
+        (max(col("o_orderdate").cast("date").cast("timestamp").cast("long"))
+          - min(col("o_orderdate").cast("date").cast("timestamp").cast("long")))
+          / 86400).head()
+    val (ckSpan, daySpan) = (global.getLong(0).toDouble, global.getDouble(1))
+    def avg(f: org.apache.spark.sql.Row => Double) =
+      buckets.map(f).sum / buckets.length
+    val avgCk = avg(r => (r.getAs[Long]("ck_max") - r.getAs[Long]("ck_min")).toDouble)
+    val avgDay = avg(r => (r.getAs[Long]("day_max") - r.getAs[Long]("day_min")).toDouble)
+    // a bucket fixes the high interleaved bits of BOTH keys, so each
+    // dimension's span inside a bucket must be far below its global span
+    assert(avgCk < ckSpan / 3, s"custkey span $avgCk vs global $ckSpan")
+    assert(avgDay < daySpan / 3, s"day span $avgDay vs global $daySpan")
+  }
+
   test("csv and json roundtrips preserve row counts and schema") {
     val csv = graft.operators.Scans.scanCsv(spark, sf)
     assert(csv.count() == 200)
