@@ -22,6 +22,15 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (names == Seq("bloom_debug")) {
+      val df = operators.Joins.joinRuntimeFilter(spark, sfDir)
+      println("=== optimized ===")
+      println(df.queryExecution.optimizedPlan.toString.take(4000))
+      df.collect()
+      println("=== executed ===")
+      println(df.queryExecution.executedPlan.toString.take(4000))
+      spark.stop(); return
+    }
     // ad-hoc sub-plan bisection: -parts <sfDir> times decontaminate stages
     if (names == Seq("decon_parts")) {
       import org.apache.spark.sql.functions._

@@ -324,7 +324,36 @@ object Joins extends OpModule {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Runtime bloom-filter injection (InjectRuntimeFilter): a selective
+    * dim-side predicate is turned into a bloom filter evaluated on the
+    * FACT side's scan, discarding non-joining fact rows before the
+    * shuffle — at 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the joining fraction. Spark only
+    * injects for shuffle joins over scans past a size threshold, so the
+    * query runs on a derived session with the application-side threshold
+    * dropped and auto-broadcast off (fixtures are MBs, production
+    * defaults are GBs — InjectRuntimeFilter only benefits joins it
+    * predicts will shuffle, and a fixture-sized dim is always
+    * broadcastable). Plan-asserted in JoinsSpec (`might_contain` on the
+    * fact scan's filter). */
+  def joinRuntimeFilter(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dim = Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Tables.lineitem(s, d)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_runtime_filter" -> joinRuntimeFilter _,
     "q5_star_join" -> q5StarJoin _,
     "join_fuzzy" -> joinFuzzy _,
     "join_dpp" -> joinDpp _,
@@ -356,6 +385,12 @@ object Joins extends OpModule {
         |FROM parts JOIN probes
         |  ON substring(p_name, 2, 10) = substring(probe_name, 2, 10)
         |WHERE levenshtein(p_name, probe_name) <= 2""".stripMargin,
+    "join_runtime_filter" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | round(sum(l_extendedprice), 4) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
     "q5_star_join" ->
       """SELECT n_name,
         | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

@@ -53,6 +53,14 @@ class JoinsSpec extends SparkSpec {
     salted.foreach { case (k, (n, _)) => assert(n == plain(k)) }
   }
 
+  test("runtime bloom filter is injected on the fact side") {
+    val df = graft.operators.Joins.joinRuntimeFilter(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "InjectRuntimeFilter must add a bloom probe to the fact scan side")
+  }
+
   test("outer joins preserve unmatched sides") {
     val left = graft.operators.Joins.joinLeft(spark, sf)
     // every customer appears at least once
