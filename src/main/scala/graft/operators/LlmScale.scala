@@ -135,9 +135,12 @@ object LlmScale extends OpModule {
     // vector), not the first K ids: duplicate vectors — guaranteed in any
     // deduplicating corpus — would otherwise collapse several seeds onto
     // one point and every row would tie-break into cluster 0 (observed at
-    // the 10× clone probe). The seed set is ≤K rows; the global
-    // row_number is over that tiny set only.
-    val seeds = emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+    // the 10× clone probe). The distinct-vector search is bounded to a
+    // deterministic id prefix — at 100 TB seeding never deduplicates the
+    // whole corpus by vector, it samples a bounded slice. The seed set
+    // is ≤K rows; the global row_number is over that tiny set only.
+    val seeds = emb.where(col("vec_id") < 256)
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
       .orderBy(col("vec_id")).limit(K)
       .select(col("vec_id"),
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cid"))
@@ -315,6 +318,7 @@ object LlmScale extends OpModule {
         |seeds AS (
         |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid
         |  FROM (SELECT min(vec_id) AS vec_id FROM embeddings
+        |        WHERE vec_id < 256
         |        GROUP BY embedding ORDER BY 1 LIMIT $K)),
         |c0 AS (
         |  SELECT s.cid, d.dim, d.q AS c
