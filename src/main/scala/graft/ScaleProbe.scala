@@ -55,7 +55,8 @@ object ScaleProbe {
       "llm_text_stats", "llm_token_count", "udtf_ngrams",
       "llm_embed_quantize", "llm_similarity_topk", "llm_ann_ivf",
       "curation_e2e",
-      "llm_decontaminate", "llm_pack_sequences", "llm_kmeans", "llm_tfidf")
+      "llm_decontaminate", "llm_pack_sequences", "llm_kmeans", "llm_tfidf",
+      "llm_perplexity_proxy")
     println(f"${"op"}%-24s ${"sec"}%8s ${"rows"}%10s")
     probes.foreach { name =>
       val t0 = System.nanoTime()

@@ -20,11 +20,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * hash build. Generates a tight primitive loop inside whole-stage
   * codegen (plan-asserted in CustomSurfaceSpec).
   *
-  * Both inputs MUST be sorted ascending and duplicate-free (as
-  * `sort_array(array_distinct(...))` produces); on unsorted input the
-  * count is undefined — this is a kernel for engine-built signatures,
-  * not a general-purpose function. Null input → null (BinaryExpression
-  * default); null elements unsupported (signature arrays are dense).
+  * Both inputs MUST be sorted ascending (as
+  * `sort_array(array_distinct(...))` produces). The function is also
+  * registered on the public SQL surface, so the precondition is
+  * ENFORCED, not assumed: the merge tracks the last value consumed from
+  * each side and throws on the first inversion — one extra comparison
+  * per advanced pointer, no extra pass, and a wrong-input call fails
+  * loudly instead of silently undercounting. Null input → null
+  * (BinaryExpression default); null elements unsupported (signature
+  * arrays are dense).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,17 +48,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def prettyName: String = "sorted_intersect_count"
 
+  private def unsorted(): Nothing =
+    throw new IllegalArgumentException(
+      "sorted_intersect_count: input arrays must be sorted ascending")
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (nx, ny) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0
+    var px = Long.MinValue; var py = Long.MinValue
     while (i < nx && j < ny) {
       val xi = x.getLong(i)
       val yj = y.getLong(j)
-      if (xi == yj) { c += 1; i += 1; j += 1 }
-      else if (xi < yj) i += 1
-      else j += 1
+      if (xi < px || yj < py) unsorted()
+      if (xi == yj) { c += 1; px = xi; py = yj; i += 1; j += 1 }
+      else if (xi < yj) { px = xi; i += 1 }
+      else { py = yj; j += 1 }
     }
     c
   }
@@ -68,16 +78,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yj = ctx.freshName("yj")
       val c = ctx.freshName("c")
+      val px = ctx.freshName("px")
+      val py = ctx.freshName("py")
       s"""
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
+         |long $px = Long.MIN_VALUE, $py = Long.MIN_VALUE;
          |while ($i < $nx && $j < $ny) {
          |  long $xi = $a.getLong($i);
          |  long $yj = $b.getLong($j);
-         |  if ($xi == $yj) { $c++; $i++; $j++; }
-         |  else if ($xi < $yj) { $i++; }
-         |  else { $j++; }
+         |  if ($xi < $px || $yj < $py) {
+         |    throw new IllegalArgumentException(
+         |      "sorted_intersect_count: input arrays must be sorted ascending");
+         |  }
+         |  if ($xi == $yj) { $c++; $px = $xi; $py = $yj; $i++; $j++; }
+         |  else if ($xi < $yj) { $px = $xi; $i++; }
+         |  else { $py = $yj; $j++; }
          |}
          |${ev.value} = $c;
        """.stripMargin

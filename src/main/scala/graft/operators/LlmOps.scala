@@ -48,12 +48,20 @@ object LlmOps extends OpModule {
   private val RowsPerBand = 2
   private val Bands = K / RowsPerBand
 
-  private[graft] def withSignature(docs: DataFrame): DataFrame = {
+  /** Adds `sig` from an existing column of per-shingle hashes — the ONE
+    * construction point for the signature (dedupNear feeds its sorted
+    * `hs` column; the string-shingle path below wraps this for specs). */
+  private[graft] def signatureFromHashes(
+      docs: DataFrame, hashCol: String): DataFrame = {
     val sigCols = (0 until K).map(i =>
-      s"array_min(transform(base_h, x -> xxhash64(x, ${i}L)))")
-    docs.withColumn("base_h", expr("transform(shingles, s -> xxhash64(s))"))
-      .withColumn("sig", expr(s"array(${sigCols.mkString(", ")})"))
+      s"array_min(transform($hashCol, x -> xxhash64(x, ${i}L)))")
+    docs.withColumn("sig", expr(s"array(${sigCols.mkString(", ")})"))
   }
+
+  private[graft] def withSignature(docs: DataFrame): DataFrame =
+    signatureFromHashes(
+      docs.withColumn("base_h", expr("transform(shingles, s -> xxhash64(s))")),
+      "base_h")
 
   /** LSH bands: hash r consecutive signature entries per band; a pair of
     * docs is a candidate iff some band hash collides. */
@@ -94,10 +102,7 @@ object LlmOps extends OpModule {
       .select(col("doc_id"),
         sort_array(expr("transform(shingles, x -> xxhash64(x))")).as("hs"))
       .localCheckpoint()
-    val sigCols = (0 until K).map(i =>
-      s"array_min(transform(hs, x -> xxhash64(x, ${i}L)))")
-    val docs = base
-      .withColumn("sig", expr(s"array(${sigCols.mkString(", ")})"))
+    val docs = signatureFromHashes(base, "hs")
       .select(col("doc_id"), col("sig"))
     // The band join carries ONLY (doc_id, band, bh): each doc explodes
     // into 16 8-byte band rows, so the candidate-hunt shuffle is O(16·id)

@@ -127,10 +127,16 @@ object LlmScale extends OpModule {
   private val K = 4
   def kmeans(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    // localCheckpoint: every unrolled Lloyd stage (seed join, two
+    // assigns, two recenters, final join) reads `dims` against a
+    // different centroid set, so without a lineage cut the corpus is
+    // re-scanned and re-exploded per stage — same multi-reader rule as
+    // the dedup signature tables (MLlib caches the equivalent RDD)
     val dims = emb
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("dim"),
         round(col("col").cast("double") * 1e6, 0).cast("long").as("q"))
+      .localCheckpoint()
     // seed from the first K DISTINCT embeddings (min vec_id per distinct
     // vector), not the first K ids: duplicate vectors — guaranteed in any
     // deduplicating corpus — would otherwise collapse several seeds onto
