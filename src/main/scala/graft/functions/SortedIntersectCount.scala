@@ -23,12 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * Both inputs MUST be sorted ascending (as
   * `sort_array(array_distinct(...))` produces). The function is also
   * registered on the public SQL surface, so the precondition is
-  * ENFORCED, not assumed: the merge tracks the last value consumed from
-  * each side and throws on the first inversion — one extra comparison
-  * per advanced pointer, no extra pass, and a wrong-input call fails
-  * loudly instead of silently undercounting. Null input → null
-  * (BinaryExpression default); null elements unsupported (signature
-  * arrays are dense).
+  * ENFORCED, not assumed: a full monotonicity sweep precedes the merge
+  * (in-merge checks alone miss inversions past the pointer where the
+  * shorter side runs out) — still branch-predictable long compares with
+  * zero allocation, and a wrong-input call fails loudly instead of
+  * silently undercounting. Null input → null (BinaryExpression
+  * default); null elements unsupported (signature arrays are dense).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -52,19 +52,27 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     throw new IllegalArgumentException(
       "sorted_intersect_count: input arrays must be sorted ascending")
 
+  private def checkAscending(a: ArrayData): Unit = {
+    val n = a.numElements()
+    var i = 1
+    while (i < n) {
+      if (a.getLong(i) < a.getLong(i - 1)) unsorted()
+      i += 1
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    checkAscending(x); checkAscending(y)
     val (nx, ny) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0
-    var px = Long.MinValue; var py = Long.MinValue
     while (i < nx && j < ny) {
       val xi = x.getLong(i)
       val yj = y.getLong(j)
-      if (xi < px || yj < py) unsorted()
-      if (xi == yj) { c += 1; px = xi; py = yj; i += 1; j += 1 }
-      else if (xi < yj) { px = xi; i += 1 }
-      else { py = yj; j += 1 }
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
     }
     c
   }
@@ -78,23 +86,29 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yj = ctx.freshName("yj")
       val c = ctx.freshName("c")
-      val px = ctx.freshName("px")
-      val py = ctx.freshName("py")
+      val k = ctx.freshName("k")
       s"""
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
-         |int $i = 0, $j = 0, $c = 0;
-         |long $px = Long.MIN_VALUE, $py = Long.MIN_VALUE;
-         |while ($i < $nx && $j < $ny) {
-         |  long $xi = $a.getLong($i);
-         |  long $yj = $b.getLong($j);
-         |  if ($xi < $px || $yj < $py) {
+         |for (int $k = 1; $k < $nx; $k++) {
+         |  if ($a.getLong($k) < $a.getLong($k - 1)) {
          |    throw new IllegalArgumentException(
          |      "sorted_intersect_count: input arrays must be sorted ascending");
          |  }
-         |  if ($xi == $yj) { $c++; $px = $xi; $py = $yj; $i++; $j++; }
-         |  else if ($xi < $yj) { $px = $xi; $i++; }
-         |  else { $py = $yj; $j++; }
+         |}
+         |for (int $k = 1; $k < $ny; $k++) {
+         |  if ($b.getLong($k) < $b.getLong($k - 1)) {
+         |    throw new IllegalArgumentException(
+         |      "sorted_intersect_count: input arrays must be sorted ascending");
+         |  }
+         |}
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xi = $a.getLong($i);
+         |  long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; }
+         |  else { $j++; }
          |}
          |${ev.value} = $c;
        """.stripMargin

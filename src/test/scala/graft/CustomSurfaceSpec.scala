@@ -79,6 +79,20 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(wsc.nonEmpty, "custom expression must not break codegen")
   }
 
+  test("sorted_intersect_count rejects unsorted input loudly") {
+    GraftExtensions.register(spark)
+    val err = intercept[Exception] {
+      Seq(1).toDF("x")
+        .selectExpr("sorted_intersect_count(array(3L,1L,2L), array(1L,2L,3L))")
+        .collect()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      Option(t.getMessage).toList ++
+        Option(t.getCause).toList.flatMap(rootMessages)
+    assert(rootMessages(err).exists(_.contains("sorted ascending")),
+      s"expected the precondition error, got $err")
+  }
+
   test("VectorMean aggregator: exact mean on literal vectors") {
     val vecMean = udaf(graft.functions.VectorMean)
     val df = Seq(
