@@ -163,12 +163,49 @@ object Analytics extends OpModule {
       lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
   }
 
+  /** Deterministic PageRank (3 unrolled power iterations, damping 0.85)
+    * over the co-supply graph: suppliers are linked when they serve the
+    * same order. EVERY arithmetic step is integer: ranks live at a 10¹²
+    * fixed-point scale, contributions are floor divisions (r div deg),
+    * damping is the exact rational 17/20 — so both engines walk the
+    * identical lattice and the gate hash-matches, where a float
+    * formulation would drift in the cross-row sums. The graph is
+    * symmetric (no dangling mass), edges are checkpointed once, and each
+    * round is one join + one (dst) aggregate — the standard distributed
+    * PageRank shape, iterations = O(rounds), like dedupCluster. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val Scale = 1000000000000L
+    val os = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val edges = os.as("a").join(os.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct().localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("id"), lit(Scale / n).as("r"))
+    (1 to 3).foreach { _ =>
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      ranks = contrib.select(col("dst").as("id"),
+        (lit(3L * Scale / (20L * n)) + expr("(17 * csum) div 20")).as("r"))
+    }
+    ranks.select(col("id").as("s_suppkey"), col("r").as("rank_fp"),
+      round(col("r").cast("double") / Scale, 6).as("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gapfill" -> tsGapfill _,
     "funnel" -> funnel _,
     "merge_upsert" -> mergeUpsert _,
     "retention" -> retention _,
-    "dim_scd2" -> dimScd2 _
+    "dim_scd2" -> dimScd2 _,
+    "graph_pagerank" -> graphPagerank _
   )
 
   private val evCte =
@@ -178,6 +215,36 @@ object Analytics extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS id, 1000000000000 // n.n AS r FROM deg, n),
+        |c1 AS (SELECT e.dst, sum(r0.r // deg.deg) AS csum
+        |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT dst AS id,
+        |         (3000000000000 // (20 * n.n)) + (17 * csum) // 20 AS r
+        |       FROM c1, n),
+        |c2 AS (SELECT e.dst, sum(r1.r // deg.deg) AS csum
+        |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT dst AS id,
+        |         (3000000000000 // (20 * n.n)) + (17 * csum) // 20 AS r
+        |       FROM c2, n),
+        |c3 AS (SELECT e.dst, sum(r2.r // deg.deg) AS csum
+        |       FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT dst AS id,
+        |         (3000000000000 // (20 * n.n)) + (17 * csum) // 20 AS r
+        |       FROM c3, n)
+        |SELECT id AS s_suppkey, CAST(r AS BIGINT) AS rank_fp,
+        |       round(CAST(r AS BIGINT)::DOUBLE / 1000000000000, 6) AS rank
+        |FROM r3""".stripMargin,
     "dim_scd2" ->
       """SELECT o_custkey,
         | row_number() OVER w AS version,

@@ -62,4 +62,26 @@ class AnalyticsSpec extends SparkSpec {
         assert(rate == 1.0, "every cohort member is active in its signup week")
     }
   }
+
+  test("pagerank: covers every connected supplier, conserves fixed-point mass") {
+    val Scale = 1000000000000L
+    val out = Analytics.graphPagerank(spark, sf).collect()
+    val os = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val nNodes = os.as("a").join(os.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" =!= $"b.l_suppkey")
+      .select($"a.l_suppkey").distinct().count()
+    assert(out.length.toLong == nNodes, "one rank per connected supplier")
+    assert(out.forall(_.getAs[Long]("rank_fp") > 0))
+    // every floor division loses < 1 unit per term; after 3 rounds the
+    // total stays within a small truncation envelope of the full mass
+    val mass = out.map(_.getAs[Long]("rank_fp")).sum
+    assert(mass <= Scale, s"mass $mass exceeds the fixed-point scale")
+    assert(mass >= Scale - 20L * nNodes * (out.length + 20), // loose envelope
+      s"mass $mass lost more than the truncation envelope")
+    val again = Analytics.graphPagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again == out.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "integer pagerank must be deterministic")
+  }
 }
