@@ -242,7 +242,34 @@ object LlmScale extends OpModule {
           .as("mean_nll"))
   }
 
+  // ── llm_domain_mix ────────────────────────────────────────────────────
+
+  /** Domain-mixture accounting: per-source token mass, corpus share, and
+    * the fixed-point repetition weight that rebalances every source to a
+    * uniform token target (the data-scheduler input: weight > 1 means
+    * upsample/repeat, < 1 means subsample — applied downstream with the
+    * same hash gate as llm_sample_stratified). Weights are integer
+    * fixed-point ((target·10⁴) div n_tokens), shares round once at the
+    * end — the mix table is tiny (one row per source) and exact. */
+  def domainMix(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("target", expr("total_tokens div n_sources"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 4)
+          .as("token_share"),
+        expr("(target * 10000) div n_tokens").as("weight_fp"),
+        (col("n_tokens") > col("target")).as("over_represented"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_domain_mix" -> domainMix _,
     "llm_perplexity_proxy" -> perplexityProxy _,
     "llm_decontaminate" -> decontaminate _,
     "llm_pack_sequences" -> packSequences _,
@@ -251,6 +278,19 @@ object LlmScale extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_domain_mix" ->
+      """WITH ps AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |             count(*) AS n_sources FROM ps)
+        |SELECT ps.source, ps.n_docs, ps.n_tokens,
+        |  round(ps.n_tokens::DOUBLE / t.total_tokens, 4) AS token_share,
+        |  ((t.total_tokens // t.n_sources) * 10000) // ps.n_tokens
+        |    AS weight_fp,
+        |  ps.n_tokens > (t.total_tokens // t.n_sources) AS over_represented
+        |FROM ps, t""".stripMargin,
     "llm_perplexity_proxy" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

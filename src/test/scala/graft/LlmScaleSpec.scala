@@ -120,6 +120,20 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("domain mix: shares sum to one, weights rebalance toward the target") {
+    val out = LlmScale.domainMix(spark, sf).collect()
+    val shareSum = out.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < out.length * 5e-5,
+      s"token shares must sum to ~1, got $shareSum")
+    out.foreach { r =>
+      val w = r.getAs[Long]("weight_fp")
+      assert(w > 0)
+      // over-represented sources must be downweighted and vice versa
+      assert(r.getAs[Boolean]("over_represented") == (w < 10000)
+        || w == 10000)
+    }
+  }
+
   test("no hash-tree recompute at the scan: similarity-join DataFilters stay cheap") {
     // regression guard for the InferFiltersFromGenerate trap: a plain
     // explode over a computed gram array pushes size(<tree>) > 0 to the
