@@ -263,7 +263,22 @@ object Aggregates extends OpModule {
         col("n").as("mode_n"))
   }
 
+  /** Exact equi-width histogram — the profiling primitive behind
+    * optimizer statistics and data-quality dashboards. The bucket is the
+    * same explicit floor-division on both engines (DuckDB has no
+    * width_bucket; identical doubles → identical floor), counts exact,
+    * out-of-range clamped to the edge buckets. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(expr(
+        "least(23, greatest(0, cast(floor(o_totalprice / 25000.0) as int)))")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 4).as("lo"),
+        round(max(col("o_totalprice")), 4).as("hi"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram" -> aggHistogram _,
     "agg_mode" -> aggMode _,
     "agg_stats_corr" -> aggStatsCorr _,
     "agg_sketch_partial" -> aggSketchPartial _,
@@ -283,6 +298,13 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT least(23, greatest(0,
+        |         CAST(floor(o_totalprice / 25000.0) AS INT))) AS bucket,
+        | count(*) AS n,
+        | round(min(o_totalprice), 4) AS lo,
+        | round(max(o_totalprice), 4) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
     "agg_mode" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
         |FROM (

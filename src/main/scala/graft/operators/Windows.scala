@@ -101,7 +101,26 @@ object Windows extends OpModule {
       .where(col("rn") <= 3)
   }
 
+  /** Gaps-and-islands: longest run of CONSECUTIVE active days per user —
+    * the canonical streak computation (daily-active streaks, SLA runs).
+    * day − row_number is constant within a consecutive run, so one
+    * window pass + two aggregates find every island without a self-join;
+    * day arithmetic stays in exact integer days. */
+  def winStreak(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables.events(s, d)
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak_len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(max(col("streak_len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_streak" -> winStreak _,
     "win_rank" -> winRank _,
     "win_analytic" -> winAnalytic _,
     "win_frame_rows" -> winFrameRows _,
@@ -110,6 +129,22 @@ object Windows extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS day
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        |islands AS (
+        |  SELECT user_id, grp, count(*) AS streak_len
+        |  FROM runs GROUP BY user_id, grp)
+        |SELECT user_id, max(streak_len) AS longest_streak,
+        |       count(*) AS n_streaks
+        |FROM islands GROUP BY user_id""".stripMargin,
     "win_rank" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         | row_number() OVER wt AS rn,
