@@ -170,7 +170,10 @@ object Analytics extends OpModule {
     * damping is the exact rational 17/20 — so both engines walk the
     * identical lattice and the gate hash-matches, where a float
     * formulation would drift in the cross-row sums. The graph is
-    * symmetric (no dangling mass), edges are checkpointed once, and each
+    * symmetric (no dangling mass), pruned to co-occurrence weight ≥ 2 —
+    * the standard noise filter for co-occurrence graphs, and at scale
+    * the thing that keeps the edge set O(real relationships) instead of
+    * O(every accidental pairing). Edges are checkpointed once; each
     * round is one join + one (dst) aggregate — the standard distributed
     * PageRank shape, iterations = O(rounds), like dedupCluster. */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
@@ -180,8 +183,11 @@ object Analytics extends OpModule {
     val edges = os.as("a").join(os.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey")
           && col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      .distinct().localCheckpoint()
+      .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val n = deg.count()
@@ -218,9 +224,10 @@ object Analytics extends OpModule {
     "graph_pagerank" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (
-        |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
         |  FROM os a JOIN os b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey),
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
         |n AS (SELECT count(*) AS n FROM deg),
         |r0 AS (SELECT src AS id, 1000000000000 // n.n AS r FROM deg, n),

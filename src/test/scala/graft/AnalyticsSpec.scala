@@ -70,6 +70,8 @@ class AnalyticsSpec extends SparkSpec {
       .select($"l_orderkey", $"l_suppkey").distinct()
     val nNodes = os.as("a").join(os.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" =!= $"b.l_suppkey")
+      .groupBy($"a.l_suppkey", $"b.l_suppkey").count()
+      .where($"count" >= 2) // mirror the operator's weight pruning
       .select($"a.l_suppkey").distinct().count()
     assert(out.length.toLong == nNodes, "one rank per connected supplier")
     assert(out.forall(_.getAs[Long]("rank_fp") > 0))
