@@ -205,7 +205,43 @@ object Analytics extends OpModule {
       round(col("r").cast("double") / Scale, 6).as("rank"))
   }
 
+  /** Declarative data-quality constraint suite (the Deequ pattern): each
+    * constraint is ONE aggregate over the table — completeness,
+    * uniqueness, range conformance, referential integrity — emitted as
+    * (constraint, metric, passed) rows. At 100 TB every metric here is a
+    * single-pass partial aggregate (the referential check is a broadcast
+    * anti-join count, not a row materialization), so the whole suite
+    * costs one scan per table and composes with ingestion. */
+  def dqConstraints(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val nRows = o.agg(count(lit(1)).as("n"),
+      count(col("o_custkey")).as("nonnull_cust"),
+      countDistinct(col("o_orderkey")).as("distinct_keys"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
+    val orphans = o.join(
+        broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    nRows.crossJoin(orphans).select(
+      expr("""stack(4,
+        |  'completeness_custkey',
+        |    round(nonnull_cust / cast(n as double), 4),
+        |    nonnull_cust = n,
+        |  'uniqueness_orderkey',
+        |    round(distinct_keys / cast(n as double), 4),
+        |    distinct_keys = n,
+        |  'range_totalprice',
+        |    round(max_price, 4),
+        |    min_price >= 0.0D AND max_price <= 600000.0D,
+        |  'referential_custkey',
+        |    cast(n_orphans as double),
+        |    n_orphans = 0
+        |) AS (constraint, metric, passed)""".stripMargin))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_constraints" -> dqConstraints _,
     "ts_gapfill" -> tsGapfill _,
     "funnel" -> funnel _,
     "merge_upsert" -> mergeUpsert _,
@@ -221,6 +257,30 @@ object Analytics extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "dq_constraints" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, count(o_custkey) AS nonnull_cust,
+        |         count(DISTINCT o_orderkey) AS distinct_keys,
+        |         min(o_totalprice) AS min_price,
+        |         max(o_totalprice) AS max_price
+        |  FROM orders),
+        |orph AS (
+        |  SELECT count(*) AS n_orphans FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey))
+        |SELECT u.* FROM m, orph, LATERAL (
+        |  SELECT 'completeness_custkey' AS constraint,
+        |         round(nonnull_cust::DOUBLE / n, 4) AS metric,
+        |         nonnull_cust = n AS passed
+        |  UNION ALL
+        |  SELECT 'uniqueness_orderkey',
+        |         round(distinct_keys::DOUBLE / n, 4), distinct_keys = n
+        |  UNION ALL
+        |  SELECT 'range_totalprice', round(max_price, 4),
+        |         min_price >= 0 AND max_price <= 600000
+        |  UNION ALL
+        |  SELECT 'referential_custkey', n_orphans::DOUBLE, n_orphans = 0
+        |) u""".stripMargin,
     "graph_pagerank" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (
