@@ -240,8 +240,122 @@ object Analytics extends OpModule {
         |) AS (constraint, metric, passed)""".stripMargin))
   }
 
+  /** Exact triangle counting + local clustering coefficient over the
+    * co-supply graph, via DEGREE ORIENTATION: every undirected edge is
+    * directed from its lower-(degree, id) endpoint to the higher one, so
+    * each triangle materializes exactly once as two out-edges of its
+    * lowest-rank corner plus the closing edge. This is the standard
+    * wedge-bounding trick that caps intermediate wedges at O(m^1.5)
+    * regardless of skew — a raw adjacency self-join would explode on the
+    * highest-degree hub at 100 TB, the oriented join cannot. All counts
+    * and the coefficient (2T·10⁶ div d(d−1)) are exact integers. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val os = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val sym = os.as("a").join(os.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val lower = col("ds") < col("dt") ||
+      (col("ds") === col("dt") && col("src") < col("dst"))
+    val dir = sym.where(col("src") < col("dst"))
+      .join(deg.select(col("id").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dt")), "dst")
+      .select(when(lower, col("src")).otherwise(col("dst")).as("u"),
+        when(lower, col("dst")).otherwise(col("src")).as("v"))
+      .localCheckpoint()
+    val tri = dir.as("e1")
+      .join(dir.as("e2"), col("e1.v") === col("e2.u"))
+      .join(dir.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id").as("s_suppkey"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          expr("(coalesce(triangles, 0L) * 2000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("coeff_fp"))
+  }
+
+  /** Hourly OHLC (open/high/low/close) bars per event type — the
+    * canonical time-series downsample. Open/close are selected by
+    * row_number over the total order (ts, event_id) — event_id is unique,
+    * so both engines pick the identical row even under timestamp ties;
+    * high/low/count are plain exact aggregates. One shuffle on
+    * (event_type, hour): both window sorts and the final aggregate share
+    * the same partitioning, and at 100 TB the bar grain bounds output
+    * rows at types × hours regardless of input volume. */
+  def tsOhlc(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.select(col("event_type"), col("h"), col("value"),
+        row_number().over(wAsc).as("ra"), row_number().over(wDesc).as("rd"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_trades"),
+        (round(sum(col("value")), 4) + lit(0.0)).as("volume"))
+  }
+
+  /** IQR-fence outlier detection per order priority on EXACT rank-based
+    * quartiles: prices move through integer cents, q1/q3 are the elements
+    * at rank ⌊(n−1)/4⌋+1 / ⌊3(n−1)/4⌋+1 of the (price, key)-sorted group
+    * (a total order — no interpolation, no float percentile drift), and
+    * the 1.5·IQR fences are compared through the ×2-scaled integer form
+    * 2·x ≷ 2·q ± 3·IQR so no division ever happens. Both engines select
+    * the identical outlier set. At 100 TB the exact in-group sort gives
+    * way to a t-digest/approx_percentile sketch for the quartiles — the
+    * fence logic is unchanged; here the demo is the exact semantics. */
+  def anomalyIqr(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
+      col("o_orderkey"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("pc"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("pc"), col("o_orderkey"))
+    val ranked = o.select(col("grp"), col("pc"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(Window.partitionBy(col("grp"))).as("n"))
+    val q = ranked.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("((n - 1) div 4) + 1"), col("pc")))
+          .as("q1c"),
+        max(when(col("rn") === expr("((3 * (n - 1)) div 4) + 1"), col("pc")))
+          .as("q3c"))
+    val isOut =
+      lit(2) * col("pc") > lit(2) * col("q3c") + lit(3) * (col("q3c") - col("q1c")) ||
+        lit(2) * col("pc") < lit(2) * col("q1c") - lit(3) * (col("q3c") - col("q1c"))
+    o.join(broadcast(q), "grp")
+      .select(col("grp"), col("pc"), col("n"), col("q1c"), col("q3c"),
+        isOut.as("is_out"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        (max(col("q1c")) / lit(100.0)).as("q1"),
+        (max(col("q3c")) / lit(100.0)).as("q3"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        (min(when(col("is_out"), col("pc"))) / lit(100.0)).as("min_outlier"),
+        (max(when(col("is_out"), col("pc"))) / lit(100.0)).as("max_outlier"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_constraints" -> dqConstraints _,
+    "graph_triangles" -> graphTriangles _,
+    "ts_ohlc" -> tsOhlc _,
+    "anomaly_iqr" -> anomalyIqr _,
     "ts_gapfill" -> tsGapfill _,
     "funnel" -> funnel _,
     "merge_upsert" -> mergeUpsert _,
@@ -257,6 +371,90 @@ object Analytics extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |sym AS (
+        |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+        |dir AS (
+        |  SELECT CASE WHEN du.deg < dv.deg
+        |                OR (du.deg = dv.deg AND e.src < e.dst)
+        |           THEN e.src ELSE e.dst END AS u,
+        |         CASE WHEN du.deg < dv.deg
+        |                OR (du.deg = dv.deg AND e.src < e.dst)
+        |           THEN e.dst ELSE e.src END AS v
+        |  FROM sym e JOIN deg du ON e.src = du.id JOIN deg dv ON e.dst = dv.id
+        |  WHERE e.src < e.dst),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM dir e1 JOIN dir e2 ON e1.v = e2.u
+        |  JOIN dir e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |pern AS (
+        |  SELECT id, count(*) AS triangles FROM (
+        |    SELECT x AS id FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY id)
+        |SELECT d.id AS s_suppkey, d.deg,
+        |       coalesce(p.triangles, 0) AS triangles,
+        |       CASE WHEN d.deg >= 2
+        |         THEN (coalesce(p.triangles, 0) * 2000000)
+        |                // (d.deg * (d.deg - 1))
+        |         ELSE 0 END AS coeff_fp
+        |FROM deg d LEFT JOIN pern p ON d.id = p.id""".stripMargin,
+    "ts_ohlc" ->
+      """WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         user_id, event_type, value
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h, value,
+        |         row_number() OVER (
+        |           PARTITION BY event_type, date_trunc('hour', ts)
+        |           ORDER BY ts, event_id) AS ra,
+        |         row_number() OVER (
+        |           PARTITION BY event_type, date_trunc('hour', ts)
+        |           ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM ev)
+        |SELECT event_type, h,
+        |       max(CASE WHEN ra = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rd = 1 THEN value END) AS close,
+        |       count(*) AS n_trades,
+        |       0.0 + round(sum(value), 4) AS volume
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "anomaly_iqr" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders),
+        |r AS (
+        |  SELECT grp, pc,
+        |         row_number() OVER (PARTITION BY grp
+        |                            ORDER BY pc, o_orderkey) AS rn,
+        |         count(*) OVER (PARTITION BY grp) AS n
+        |  FROM o),
+        |q AS (
+        |  SELECT grp, max(n) AS n,
+        |         max(CASE WHEN rn = ((n - 1) // 4) + 1 THEN pc END) AS q1c,
+        |         max(CASE WHEN rn = ((3 * (n - 1)) // 4) + 1 THEN pc END)
+        |           AS q3c
+        |  FROM r GROUP BY grp),
+        |f AS (
+        |  SELECT o.grp, o.pc, q.n, q.q1c, q.q3c,
+        |         (2 * o.pc > 2 * q.q3c + 3 * (q.q3c - q.q1c)
+        |          OR 2 * o.pc < 2 * q.q1c - 3 * (q.q3c - q.q1c)) AS is_out
+        |  FROM o JOIN q ON o.grp = q.grp)
+        |SELECT grp, max(n) AS n,
+        |       max(q1c) / 100.0 AS q1, max(q3c) / 100.0 AS q3,
+        |       CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       min(CASE WHEN is_out THEN pc END) / 100.0 AS min_outlier,
+        |       max(CASE WHEN is_out THEN pc END) / 100.0 AS max_outlier
+        |FROM f GROUP BY grp""".stripMargin,
     "dq_constraints" ->
       """WITH m AS (
         |  SELECT count(*) AS n, count(o_custkey) AS nonnull_cust,

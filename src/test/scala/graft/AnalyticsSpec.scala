@@ -63,6 +63,64 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("triangles: per-node counts sum to 3T and coefficient is bounded") {
+    val out = Analytics.graphTriangles(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      // each triangle contributes to exactly 3 nodes
+      val total = rows.map(_.getAs[Long]("triangles")).sum
+      assert(total % 3 == 0, s"per-node triangle sum $total not divisible by 3")
+      // clustering coefficient is a ratio in [0, 1] at fp scale 10^6
+      rows.foreach { r =>
+        val c = r.getAs[Long]("coeff_fp")
+        assert(c >= 0L && c <= 1000000L, s"coeff_fp $c out of [0, 10^6]")
+        // a node with triangles must have degree >= 2
+        if (r.getAs[Long]("triangles") > 0) assert(r.getAs[Long]("deg") >= 2)
+      }
+    } finally out.unpersist()
+  }
+
+  test("ts_ohlc: open/close from the (ts, event_id) total order, low <= high") {
+    val out = Analytics.tsOhlc(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"))
+        assert(l <= h)
+        assert(o >= l && o <= h, "open inside [low, high]")
+        assert(c >= l && c <= h, "close inside [low, high]")
+      }
+      // single-event bars have open == close == high == low
+      val single = rows.filter(_.getAs[Long]("n_trades") == 1L)
+      single.foreach { r =>
+        assert(r.getAs[Double]("open") == r.getAs[Double]("close"))
+        assert(r.getAs[Double]("high") == r.getAs[Double]("low"))
+      }
+    } finally out.unpersist()
+  }
+
+  test("anomaly_iqr: quartiles ordered, outliers outside the fences") {
+    val rows = Analytics.anomalyIqr(spark, sf).collect()
+    assert(rows.length == 5, "one row per order priority")
+    rows.foreach { r =>
+      val (q1, q3) = (r.getAs[Double]("q1"), r.getAs[Double]("q3"))
+      assert(q1 <= q3)
+      val nOut = r.getAs[Long]("n_outliers")
+      if (nOut > 0) {
+        val iqr = q3 - q1
+        val (lo, hi) = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+        // detected extremes must sit strictly outside the fences
+        val mx = r.getAs[Double]("max_outlier")
+        val mn = r.getAs[Double]("min_outlier")
+        assert(mx > hi || mn < lo - 1e-9,
+          s"outlier range [$mn, $mx] inside fences [$lo, $hi]")
+      }
+    }
+  }
+
   test("pagerank: covers every connected supplier, conserves fixed-point mass") {
     val Scale = 1000000000000L
     val out = Analytics.graphPagerank(spark, sf).collect()
