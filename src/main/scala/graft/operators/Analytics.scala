@@ -351,8 +351,35 @@ object Analytics extends OpModule {
         (max(when(col("is_out"), col("pc"))) / lit(100.0)).as("max_outlier"))
   }
 
+  /** Event-sequence pattern matching (MATCH_RECOGNIZE-lite): each user's
+    * history collapses to a journey string of event initials in the
+    * (ts, event_id) total order, and patterns are ordinary regexes over
+    * that string — conversion (signup…click…purchase), error rage
+    * (3 consecutive errors), and direct click→purchase counts. The regex
+    * runs once per USER on the collapsed string, never per event; the
+    * per-user state is bounded by that user's own event count, which is
+    * exactly the state a streaming flatMapGroupsWithState sessionizer
+    * would hold. Initials are unique across the fixture's event types. */
+  def winPattern(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("ini")))),
+          x => x.getField("ini")), "").as("journey"))
+      .select(col("user_id"), col("n_events"), col("journey"),
+        col("journey").rlike("s.*c.*p").as("converted"),
+        col("journey").rlike("eee").as("rage_errors"),
+        expr("cast(size(regexp_extract_all(journey, 'cp', 0)) as bigint)")
+          .as("n_quick_buys"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_constraints" -> dqConstraints _,
+    "win_pattern" -> winPattern _,
     "graph_triangles" -> graphTriangles _,
     "ts_ohlc" -> tsOhlc _,
     "anomaly_iqr" -> anomalyIqr _,
@@ -371,6 +398,22 @@ object Analytics extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "win_pattern" ->
+      """WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         user_id, event_type, value
+        |  FROM events),
+        |j AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |                    ORDER BY ts, event_id) AS journey
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, n_events, journey,
+        |       regexp_matches(journey, 's.*c.*p') AS converted,
+        |       regexp_matches(journey, 'eee') AS rage_errors,
+        |       CAST(len(regexp_extract_all(journey, 'cp')) AS BIGINT)
+        |         AS n_quick_buys
+        |FROM j""".stripMargin,
     "graph_triangles" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |sym AS (

@@ -268,7 +268,76 @@ object LlmScale extends OpModule {
         (col("n_tokens") > col("target")).as("over_represented"))
   }
 
+  // ── llm_cooccur ───────────────────────────────────────────────────────
+
+  /** Token co-occurrence PMI: the top-20 token pairs most over-represented
+    * in the same documents relative to independence. Presence sets are
+    * DISTINCT (doc, token); pairs materialize only per document with the
+    * a < b canonical order, so the pair space is bounded by the per-doc
+    * distinct-token count squared — never vocabulary². The association
+    * score travels as the exact fixed-point ratio c_ab·N·10⁶ div (c_a·c_b)
+    * (monotone with PMI, pure integer); the reported pmi is ln() of that
+    * same exact ratio — a per-row scalar, never accumulated. Scale: two
+    * hash aggregates plus one doc-keyed self-join of the collapsed
+    * presence sets; a frequency floor prunes the pair tail before ranking. */
+  def cooccur(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pres = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "").distinct()
+      .localCheckpoint()
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val cnt = pres.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pairs = pres.as("p1").join(pres.as("p2"),
+        col("p1.doc_id") === col("p2.doc_id")
+          && col("p1.tok") < col("p2.tok"))
+      .groupBy(col("p1.tok").as("a"), col("p2.tok").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(cnt.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(cnt.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(nDocs))
+      .where(col("c_ab") >= 3 && col("c_ab") * 20 >= col("n"))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(c_ab * n * 1000000) div (c_a * c_b)").as("score_fp"),
+        round(log(col("c_ab") * col("n") /
+          (col("c_a") * col("c_b")).cast("double")), 4).as("pmi"))
+      .orderBy(col("score_fp").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  // ── llm_inverted_index ────────────────────────────────────────────────
+
+  /** Inverted index build: token → document-frequency, total term count,
+    * and the top-5 postings "doc_id:tf" ranked by (tf desc, doc_id). The
+    * posting list is CAPPED per token before stringification — the full
+    * per-token explode-then-collect would concentrate the entire corpus
+    * on the hottest tokens (the classic inverted-index skew); rank-then-
+    * filter keeps every partition's state bounded at k. Output postings
+    * are a comma-joined scalar so the gate can hash them. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("tok"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    val stats = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    val top = tf.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .groupBy(col("tok"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rank"),
+          concat_ws(":", col("doc_id"), col("tf")).as("post")))),
+        x => x.getField("post")), ",").as("postings"))
+    stats.join(top, "tok")
+      .select(col("tok"), col("df"), col("total_tf"), col("postings"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_cooccur" -> cooccur _,
+    "llm_inverted_index" -> invertedIndex _,
     "llm_domain_mix" -> domainMix _,
     "llm_perplexity_proxy" -> perplexityProxy _,
     "llm_decontaminate" -> decontaminate _,
@@ -278,6 +347,47 @@ object LlmScale extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_cooccur" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok != ''),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM pres GROUP BY tok),
+        |pairs AS (
+        |  SELECT p1.tok AS a, p2.tok AS b, count(*) AS c_ab
+        |  FROM pres p1 JOIN pres p2
+        |    ON p1.doc_id = p2.doc_id AND p1.tok < p2.tok
+        |  GROUP BY 1, 2)
+        |SELECT a, b, c_ab, ca.c AS c_a, cb.c AS c_b,
+        |       (c_ab * n.n * 1000000) // (ca.c * cb.c) AS score_fp,
+        |       round(ln((c_ab * n.n) / (ca.c * cb.c)::DOUBLE), 4) AS pmi
+        |FROM pairs
+        |JOIN cnt ca ON pairs.a = ca.tok
+        |JOIN cnt cb ON pairs.b = cb.tok
+        |CROSS JOIN n
+        |WHERE c_ab >= 3 AND c_ab * 20 >= n.n
+        |ORDER BY score_fp DESC, a, b LIMIT 20""".stripMargin,
+    "llm_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT tok, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok != ''
+        |  GROUP BY tok, doc_id),
+        |stats AS (
+        |  SELECT tok, count(*) AS df,
+        |         CAST(sum(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY tok),
+        |ranked AS (
+        |  SELECT tok, doc_id, tf, row_number() OVER (
+        |    PARTITION BY tok ORDER BY tf DESC, doc_id ASC) AS rank
+        |  FROM tf),
+        |top AS (
+        |  SELECT tok, string_agg(doc_id || ':' || tf, ',' ORDER BY rank)
+        |    AS postings
+        |  FROM ranked WHERE rank <= 5 GROUP BY tok)
+        |SELECT s.tok, s.df, s.total_tf, t.postings
+        |FROM stats s JOIN top t ON s.tok = t.tok""".stripMargin,
     "llm_domain_mix" ->
       """WITH ps AS (
         |  SELECT source, count(*) AS n_docs,

@@ -63,6 +63,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("win_pattern: journey length matches event count, flags match regexes") {
+    val rows = Analytics.winPattern(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val journey = r.getAs[String]("journey")
+      assert(journey.length.toLong == r.getAs[Long]("n_events"),
+        "one initial per event")
+      assert(journey.forall("cepsv".contains(_)), "only known initials")
+      assert(r.getAs[Boolean]("converted") ==
+        "s.*c.*p".r.findFirstIn(journey).isDefined)
+      assert(r.getAs[Long]("n_quick_buys") ==
+        "cp".r.findAllIn(journey).length.toLong)
+    }
+  }
+
   test("triangles: per-node counts sum to 3T and coefficient is bounded") {
     val out = Analytics.graphTriangles(spark, sf).cache()
     try {

@@ -154,6 +154,34 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("cooccur: pairs canonical, counts consistent, ranked by exact ratio") {
+    val rows = operators.LlmScale.cooccur(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[String]("a") < r.getAs[String]("b"), "a < b canonical")
+      val (cab, ca, cb) = (r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"),
+        r.getAs[Long]("c_b"))
+      assert(cab <= ca && cab <= cb, "pair count bounded by marginals")
+    }
+    // descending by the fixed-point score (the PMI ranking key)
+    val scores = rows.map(_.getAs[Long]("score_fp")).toSeq
+    assert(scores == scores.sorted.reverse, "sorted by score_fp desc")
+  }
+
+  test("inverted index: postings capped at 5 and df bounds the posting count") {
+    val rows = operators.LlmScale.invertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val posts = r.getAs[String]("postings").split(",")
+      val df = r.getAs[Long]("df")
+      assert(posts.length <= 5 && posts.length == math.min(df, 5L).toInt)
+      assert(r.getAs[Long]("total_tf") >= df, "each posting doc has tf >= 1")
+      // postings are doc:tf with tf descending
+      val tfs = posts.map(_.split(":")(1).toLong).toSeq
+      assert(tfs == tfs.sorted.reverse, "postings ranked by tf desc")
+    }
+  }
+
   test("agg_mode: reported mode frequency is the group maximum") {
     val out = Aggregates.aggMode(spark, sf).collect()
     val maxN = Tables.orders(spark, sf)
