@@ -313,6 +313,49 @@ object Analytics extends OpModule {
         (round(sum(col("value")), 4) + lit(0.0)).as("volume"))
   }
 
+  /** Linear interpolation across time-series gaps — the complement of
+    * ts_gapfill's forward-fill. Hourly sums collapse to integer cents
+    * (one rounded quantity per anchor hour), the hour spine comes from
+    * the same bounded sequence explode, and each gap hour interpolates
+    * between its bracketing anchors: vp + (vn−vp)·k/m with k, m exact
+    * integer hour offsets. Every arithmetic step is the identical IEEE
+    * op sequence on both engines (int diffs, one double division), so
+    * results are bit-identical with no rounding fence. The four anchor
+    * lookups are two window passes (last/first non-null) over the spine,
+    * which is |types|·|hours| rows — never raw events. */
+  def tsInterpolate(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("vc"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val joined = spine.join(hourly, Seq("event_type", "h"), "left")
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val hp = last(when(col("vc").isNotNull, col("h")), ignoreNulls = true)
+      .over(wPrev)
+    val vp = last(col("vc"), ignoreNulls = true).over(wPrev)
+    val hn = first(when(col("vc").isNotNull, col("h")), ignoreNulls = true)
+      .over(wNext)
+    val vn = first(col("vc"), ignoreNulls = true).over(wNext)
+    joined
+      .select(col("event_type"), col("h"), col("vc").isNull.as("is_gap"),
+        col("vc"), hp.as("hp"), vp.as("vp"), hn.as("hn"), vn.as("vn"))
+      .select(col("event_type"), col("h"), col("is_gap"),
+        when(!col("is_gap"), col("vc").cast("double") / 100.0)
+          .otherwise(expr(
+            """(cast(vp as double) +
+              |  ((vn - vp) *
+              |    ((unix_timestamp(h) - unix_timestamp(hp)) div 3600)) /
+              |  cast((unix_timestamp(hn) - unix_timestamp(hp)) div 3600
+              |       as double)) / 100.0""".stripMargin))
+          .as("value"))
+  }
+
   /** IQR-fence outlier detection per order priority on EXACT rank-based
     * quartiles: prices move through integer cents, q1/q3 are the elements
     * at rank ⌊(n−1)/4⌋+1 / ⌊3(n−1)/4⌋+1 of the (price, key)-sorted group
@@ -382,6 +425,7 @@ object Analytics extends OpModule {
     "win_pattern" -> winPattern _,
     "graph_triangles" -> graphTriangles _,
     "ts_ohlc" -> tsOhlc _,
+    "ts_interpolate" -> tsInterpolate _,
     "anomaly_iqr" -> anomalyIqr _,
     "ts_gapfill" -> tsGapfill _,
     "funnel" -> funnel _,
@@ -413,6 +457,44 @@ object Analytics extends OpModule {
         |       regexp_matches(journey, 'eee') AS rage_errors,
         |       CAST(len(regexp_extract_all(journey, 'cp')) AS BIGINT)
         |         AS n_quick_buys
+        |FROM j""".stripMargin,
+    "ts_interpolate" ->
+      """WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         user_id, event_type, value
+        |  FROM events),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+        |         CAST(round(sum(value) * 100) AS BIGINT) AS vc
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |j AS (
+        |  SELECT s.event_type, s.h, hy.vc IS NULL AS is_gap, hy.vc,
+        |    last_value(CASE WHEN hy.vc IS NOT NULL THEN s.h END
+        |               IGNORE NULLS) OVER wp AS hp,
+        |    last_value(hy.vc IGNORE NULLS) OVER wp AS vp,
+        |    first_value(CASE WHEN hy.vc IS NOT NULL THEN s.h END
+        |                IGNORE NULLS) OVER wn AS hn,
+        |    first_value(hy.vc IGNORE NULLS) OVER wn AS vn
+        |  FROM spine s LEFT JOIN hourly hy
+        |    ON hy.event_type = s.event_type AND hy.h = s.h
+        |  WINDOW
+        |    wp AS (PARTITION BY s.event_type ORDER BY s.h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY s.event_type ORDER BY s.h
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, h, is_gap,
+        |  CASE WHEN NOT is_gap THEN vc::DOUBLE / 100.0
+        |  ELSE (CAST(vp AS DOUBLE) +
+        |    ((vn - vp) * (date_diff('second', hp, h) // 3600)) /
+        |    CAST(date_diff('second', hp, hn) // 3600 AS DOUBLE)) / 100.0
+        |  END AS value
         |FROM j""".stripMargin,
     "graph_triangles" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),

@@ -125,7 +125,11 @@ object LlmScale extends OpModule {
     * iterations stay O(rounds), exactly how MLlib schedules Lloyd.
     */
   private val K = 4
-  def kmeans(s: SparkSession, d: String): DataFrame = {
+
+  /** Shared Lloyd pipeline (quantized dims + round-2 assignment) for
+    * llm_kmeans and llm_semdedup — both must walk the identical lattice
+    * so their oracles replay one algorithm. Returns (dims, assignment). */
+  private def lloyd(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d)
     // localCheckpoint: every unrolled Lloyd stage (seed join, two
     // assigns, two recenters, final join) reads `dims` against a
@@ -170,11 +174,143 @@ object LlmScale extends OpModule {
         .select(col("cluster").as("cid"), col("dim"), col("c"))
 
     val a2 = assign(recenter(assign(c0)))
-    val c2 = recenter(a2)
+    (dims, a2)
+  }
+
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    val (dims, a2) = lloyd(s, d)
+    val c2 = dims.join(a2, "vec_id")
+      .groupBy(col("cluster"), col("dim"))
+      .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long")
+        .as("c"))
     a2.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_vec_id"))
-      .join(c2.groupBy(col("cid").as("cluster"))
+      .join(c2.groupBy(col("cluster"))
         .agg(sum(col("c")).as("centroid_sum")), "cluster")
+  }
+
+  // ── llm_semdedup ──────────────────────────────────────────────────────
+
+  /** SemDeDup-style semantic deduplication: k-means clusters bucket the
+    * corpus, then candidate pairs form ONLY within a cluster — the
+    * pairwise phase drops from O(N²) to Σ|cluster|², which is the entire
+    * point of the method at 100 TB (boundary pairs across clusters are
+    * the accepted miss, exactly as in the paper's formulation). The
+    * similarity test is division- and sqrt-free: embeddings re-quantize
+    * to 10³ integers and cos ≥ 0.7 becomes dot > 0 ∧ dot²·10⁴ ≥
+    * 4900·‖a‖²·‖b‖² — every product bounded < 2⁶³ (|q| ≤ 600, dim 64),
+    * so both engines select the identical pair set. A vector is dropped
+    * when a similar smaller-id neighbor exists in its cluster. */
+  def semdedup(s: SparkSession, d: String): DataFrame = {
+    val (_, a2) = lloyd(s, d)
+    // signature table read by both sides of the pair self-join →
+    // checkpoint once (the ≥2-reader rule; the quantize/norm HOFs would
+    // otherwise re-evaluate per alias)
+    val sig = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+          .as("q"))
+      .join(a2, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("q"),
+        expr("aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)")
+          .as("nn"))
+      .localCheckpoint()
+    val dups = sig.as("x").join(sig.as("y"),
+        col("x.cluster") === col("y.cluster")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"),
+        expr("aggregate(zip_with(x.q, y.q, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+          .as("dot"),
+        col("x.nn").as("na"), col("y.nn").as("nb"))
+      .where(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(10000L) >=
+          lit(4900L) * col("na") * col("nb"))
+      .select(col("vec_id")).distinct()
+    sig.select(col("vec_id"), col("cluster"))
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup").isNull.as("keep"))
+  }
+
+  // ── llm_url_normalize ─────────────────────────────────────────────────
+
+  /** URL canonicalization dedup — the CommonCrawl-style first pass that
+    * collapses scheme/host case, default ports, trailing slashes,
+    * tracking parameters, and query-parameter order before any content
+    * hashing. The fixture synthesizes four messy variants per logical
+    * URL (doc_id div 4) so the collapse is verifiable: canonicalization
+    * is pure per-row string work (regexp host/path/query split, lowercase
+    * host, strip :443 and trailing '/', drop utm_* params, sort the
+    * rest), then one hash aggregate on the canonical form. At 100 TB
+    * this is a map-side transform plus a single shuffle on the canonical
+    * key — the dedup group is the unit the crawler dedups on. */
+  def urlNormalize(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d)
+      .select(col("doc_id"), expr("doc_id div 4").as("g"),
+        expr("doc_id % 4").as("v"))
+      .select(col("doc_id"), concat(
+        when(col("v") === 0, lit("HTTPS://Example.COM"))
+          .otherwise(lit("https://example.com")),
+        when(col("v") === 1, lit(":443")).otherwise(lit("")),
+        lit("/site/"), (col("g") % 7).cast("string"),
+        lit("/page/"), col("g").cast("string"),
+        when(col("v") === 2, lit("/")).otherwise(lit("")),
+        when(col("v") === 0,
+          concat(lit("?b=2&a="), (col("g") % 9).cast("string")))
+          .when(col("v") === 1,
+            concat(lit("?a="), (col("g") % 9).cast("string"), lit("&b=2")))
+          .when(col("v") === 2,
+            concat(lit("?b=2&a="), (col("g") % 9).cast("string"),
+              lit("&utm_campaign=x")))
+          .otherwise(concat(lit("?utm_source=feed&b=2&a="),
+            (col("g") % 9).cast("string")))).as("url"))
+    val canon = raw.select(col("doc_id"), col("url"), concat(
+      lit("https://"),
+      regexp_replace(
+        lower(regexp_extract(col("url"), "^[hH][tT][tT][pP][sS]?://([^/]+)", 1)),
+        ":443$", ""),
+      regexp_replace(
+        regexp_extract(col("url"), "^[a-zA-Z]+://[^/]+([^?]*)", 1), "/$", ""),
+      lit("?"),
+      array_join(array_sort(filter(
+        split(regexp_extract(col("url"), "\\?(.*)$", 1), "&"),
+        x => substring(x, 1, 4) =!= "utm_")), "&")).as("curl"))
+    canon.groupBy(col("curl"))
+      .agg(count(lit(1)).as("n_variants"),
+        min(col("doc_id")).as("canonical_doc"),
+        countDistinct(col("url")).as("n_distinct_raw"))
+      .select(col("curl").as("canonical_url"), col("n_variants"),
+        col("canonical_doc"), col("n_distinct_raw"))
+  }
+
+  // ── llm_dataset_card ──────────────────────────────────────────────────
+
+  /** Dataset-card generator: the one-table corpus datasheet (docs,
+    * languages, sources, token mass, short-doc and exact-dup ratios,
+    * mean length) emitted as (metric, value) rows — the audit artifact a
+    * training-data release ships with. Two aggregates total: one over
+    * the table, one over text groups for the dup ratio; every metric is
+    * an exact integer before the final ratio division. */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+      sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("n_short"))
+    val dups = docs.groupBy(col("text")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_docs"),
+        count(lit(1)).as("n_unique_texts"))
+    base.crossJoin(dups).select(expr(
+      """stack(7,
+        |  'n_docs', cast(n_docs as double),
+        |  'n_langs', cast(n_langs as double),
+        |  'n_sources', cast(n_sources as double),
+        |  'n_tokens', cast(n_tokens as double),
+        |  'short_doc_ratio', round(n_short / cast(n_docs as double), 4),
+        |  'dup_doc_ratio', round(n_dup_docs / cast(n_docs as double), 4),
+        |  'mean_doc_tokens', round(n_tokens / cast(n_docs as double), 4)
+        |) AS (metric, value)""".stripMargin))
   }
 
   // ── llm_tfidf ─────────────────────────────────────────────────────────
@@ -343,10 +479,135 @@ object LlmScale extends OpModule {
     "llm_decontaminate" -> decontaminate _,
     "llm_pack_sequences" -> packSequences _,
     "llm_kmeans" -> kmeans _,
+    "llm_semdedup" -> semdedup _,
+    "llm_url_normalize" -> urlNormalize _,
+    "llm_dataset_card" -> datasetCard _,
     "llm_tfidf" -> tfidf _
   )
 
+  /** Shared oracle CTE chain replaying `lloyd` (dims → seeds → two
+    * assign/recenter rounds → a2), used by llm_kmeans and llm_semdedup. */
+  private val lloydCtes: String =
+    s"""WITH dims AS (
+      |  SELECT vec_id, i - 1 AS dim,
+      |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
+      |  FROM embeddings, range(1, 65) r(i)),
+      |seeds AS (
+      |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid
+      |  FROM (SELECT min(vec_id) AS vec_id FROM embeddings
+      |        WHERE vec_id < 256
+      |        GROUP BY embedding ORDER BY 1 LIMIT $K)),
+      |c0 AS (
+      |  SELECT s.cid, d.dim, d.q AS c
+      |  FROM dims d JOIN seeds s USING (vec_id)),
+      |d1 AS (
+      |  SELECT dims.vec_id, c0.cid,
+      |    sum((dims.q - c0.c) * (dims.q - c0.c)) AS dist
+      |  FROM dims JOIN c0 USING (dim) GROUP BY dims.vec_id, c0.cid),
+      |a1 AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id
+      |                         ORDER BY dist ASC, cid ASC) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT a1.cluster AS cid, dims.dim,
+      |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
+      |  FROM dims JOIN a1 USING (vec_id) GROUP BY a1.cluster, dims.dim),
+      |d2 AS (
+      |  SELECT dims.vec_id, c1.cid,
+      |    sum((dims.q - c1.c) * (dims.q - c1.c)) AS dist
+      |  FROM dims JOIN c1 USING (dim) GROUP BY dims.vec_id, c1.cid),
+      |a2 AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id
+      |                         ORDER BY dist ASC, cid ASC) AS rn
+      |    FROM d2) WHERE rn = 1)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "llm_semdedup" ->
+      (lloydCtes + """,
+        |q3 AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |nrm AS (
+        |  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nn
+        |  FROM q3 GROUP BY vec_id),
+        |prs AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |         CAST(sum(qa.q * qb.q) AS BIGINT) AS dot
+        |  FROM a2 a JOIN a2 b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN q3 qa ON qa.vec_id = a.vec_id
+        |  JOIN q3 qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT DISTINCT prs.idb AS vec_id
+        |  FROM prs
+        |  JOIN nrm na ON prs.ida = na.vec_id
+        |  JOIN nrm nb ON prs.idb = nb.vec_id
+        |  WHERE dot > 0
+        |    AND dot * dot * 10000 >= 4900 * na.nn * nb.nn)
+        |SELECT a2.vec_id, a2.cluster, sim.vec_id IS NULL AS keep
+        |FROM a2 LEFT JOIN sim ON a2.vec_id = sim.vec_id""".stripMargin),
+    "llm_url_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN v = 0 THEN 'HTTPS://Example.COM'
+        |          ELSE 'https://example.com' END)
+        |    || (CASE WHEN v = 1 THEN ':443' ELSE '' END)
+        |    || '/site/' || (g % 7) || '/page/' || g
+        |    || (CASE WHEN v = 2 THEN '/' ELSE '' END)
+        |    || (CASE WHEN v = 0 THEN '?b=2&a=' || (g % 9)
+        |             WHEN v = 1 THEN '?a=' || (g % 9) || '&b=2'
+        |             WHEN v = 2 THEN '?b=2&a=' || (g % 9) || '&utm_campaign=x'
+        |             ELSE '?utm_source=feed&b=2&a=' || (g % 9) END) AS url
+        |  FROM raw),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    'https://'
+        |    || regexp_replace(lower(regexp_extract(url,
+        |         '^[hH][tT][tT][pP][sS]?://([^/]+)', 1)), ':443$', '')
+        |    || regexp_replace(regexp_extract(url,
+        |         '^[a-zA-Z]+://[^/]+([^?]*)', 1), '/$', '')
+        |    || '?' || array_to_string(list_sort(list_filter(
+        |         string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+        |         x -> substr(x, 1, 4) != 'utm_')), '&') AS curl
+        |  FROM u)
+        |SELECT curl AS canonical_url, count(*) AS n_variants,
+        |       min(doc_id) AS canonical_doc,
+        |       count(DISTINCT url) AS n_distinct_raw
+        |FROM c GROUP BY curl""".stripMargin,
+    "llm_dataset_card" ->
+      """WITH b AS (
+        |  SELECT count(*) AS n_docs,
+        |         count(DISTINCT lang) AS n_langs,
+        |         count(DISTINCT source) AS n_sources,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |           AS n_tokens,
+        |         CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_short
+        |  FROM documents),
+        |dd AS (
+        |  SELECT CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |           AS n_dup_docs
+        |  FROM (SELECT text, count(*) AS c FROM documents GROUP BY text))
+        |SELECT u.* FROM b, dd, LATERAL (
+        |  SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value
+        |  UNION ALL SELECT 'n_langs', n_langs::DOUBLE
+        |  UNION ALL SELECT 'n_sources', n_sources::DOUBLE
+        |  UNION ALL SELECT 'n_tokens', n_tokens::DOUBLE
+        |  UNION ALL SELECT 'short_doc_ratio',
+        |    round(n_short / n_docs::DOUBLE, 4)
+        |  UNION ALL SELECT 'dup_doc_ratio',
+        |    round(n_dup_docs / n_docs::DOUBLE, 4)
+        |  UNION ALL SELECT 'mean_doc_tokens',
+        |    round(n_tokens / n_docs::DOUBLE, 4)
+        |) u""".stripMargin,
     "llm_cooccur" ->
       """WITH pres AS (
         |  SELECT DISTINCT doc_id, tok FROM (
@@ -467,42 +728,7 @@ object LlmScale extends OpModule {
         |  round(sum(tok)::DOUBLE / (count(*) * $C), 4) AS fill_rate
         |FROM bins GROUP BY lang""".stripMargin,
     "llm_kmeans" ->
-      s"""WITH dims AS (
-        |  SELECT vec_id, i - 1 AS dim,
-        |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
-        |  FROM embeddings, range(1, 65) r(i)),
-        |seeds AS (
-        |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid
-        |  FROM (SELECT min(vec_id) AS vec_id FROM embeddings
-        |        WHERE vec_id < 256
-        |        GROUP BY embedding ORDER BY 1 LIMIT $K)),
-        |c0 AS (
-        |  SELECT s.cid, d.dim, d.q AS c
-        |  FROM dims d JOIN seeds s USING (vec_id)),
-        |d1 AS (
-        |  SELECT dims.vec_id, c0.cid,
-        |    sum((dims.q - c0.c) * (dims.q - c0.c)) AS dist
-        |  FROM dims JOIN c0 USING (dim) GROUP BY dims.vec_id, c0.cid),
-        |a1 AS (
-        |  SELECT vec_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id
-        |                         ORDER BY dist ASC, cid ASC) AS rn
-        |    FROM d1) WHERE rn = 1),
-        |c1 AS (
-        |  SELECT a1.cluster AS cid, dims.dim,
-        |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
-        |  FROM dims JOIN a1 USING (vec_id) GROUP BY a1.cluster, dims.dim),
-        |d2 AS (
-        |  SELECT dims.vec_id, c1.cid,
-        |    sum((dims.q - c1.c) * (dims.q - c1.c)) AS dist
-        |  FROM dims JOIN c1 USING (dim) GROUP BY dims.vec_id, c1.cid),
-        |a2 AS (
-        |  SELECT vec_id, cid AS cluster FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id
-        |                         ORDER BY dist ASC, cid ASC) AS rn
-        |    FROM d2) WHERE rn = 1),
+      (lloydCtes + """,
         |c2 AS (
         |  SELECT a2.cluster AS cid, dims.dim,
         |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
@@ -514,7 +740,7 @@ object LlmScale extends OpModule {
         |  SELECT cid AS cluster, CAST(sum(c) AS BIGINT) AS centroid_sum
         |  FROM c2 GROUP BY cid)
         |SELECT m.cluster, m.n_members, m.min_vec_id, cs.centroid_sum
-        |FROM m JOIN cs USING (cluster)""".stripMargin,
+        |FROM m JOIN cs USING (cluster)""".stripMargin),
     "llm_tfidf" ->
       """WITH toks AS (
         |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok

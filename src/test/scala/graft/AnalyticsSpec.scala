@@ -63,6 +63,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ts_interpolate: anchors exact, gap values inside the bracket range") {
+    val out = Analytics.tsInterpolate(spark, sf).cache()
+    try {
+      assert(out.where($"value".isNull).count() == 0, "no unfilled hours")
+      // non-gap rows reproduce the hourly sum in cents
+      val hourly = Tables.events(spark, sf)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg((round(sum($"value") * 100, 0).cast("long") / 100.0).as("expect"))
+      val mism = out.where(!$"is_gap")
+        .join(hourly, Seq("event_type", "h"))
+        .where($"value" =!= $"expect").count()
+      assert(mism == 0, "anchor hours must carry the exact observed value")
+    } finally out.unpersist()
+  }
+
   test("win_pattern: journey length matches event count, flags match regexes") {
     val rows = Analytics.winPattern(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -182,6 +182,53 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("semdedup: partition preserved, kept set has one survivor per dup group") {
+    val out = operators.LlmScale.semdedup(spark, sf).cache()
+    try {
+      val n = Tables.embeddings(spark, sf).count()
+      assert(out.count() == n, "one verdict per vector")
+      // within every cluster at least one vector survives
+      val clusters = out.groupBy($"cluster")
+        .agg(count(lit(1)).as("n"), sum(when($"keep", 1L).otherwise(0L)).as("k"))
+        .collect()
+      clusters.foreach(r => assert(r.getAs[Long]("k") >= 1,
+        s"cluster ${r.get(0)} lost all members"))
+      // identical vectors (exact clones) must collapse: the clone with the
+      // smallest id keeps, others drop — check via exact-duplicate groups
+      val dupGroups = Tables.embeddings(spark, sf)
+        .groupBy($"embedding").agg(count(lit(1)).as("c"), min($"vec_id").as("m"))
+        .where($"c" > 1)
+      val survivorsAmongClones = dupGroups
+        .join(out, dupGroups("m") === out("vec_id"))
+        .where(!$"keep").count()
+      assert(survivorsAmongClones == 0,
+        "min-id member of every clone group must be kept")
+    } finally out.unpersist()
+  }
+
+  test("url_normalize: four messy variants collapse to one canonical form") {
+    val rows = operators.LlmScale.urlNormalize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cu = r.getAs[String]("canonical_url")
+      assert(cu == cu.toLowerCase, s"canonical not lowercase: $cu")
+      assert(!cu.contains(":443") && !cu.contains("utm_"), s"residue in $cu")
+      assert(r.getAs[Long]("n_variants") == 4L, "doc_id div 4 grouping")
+      // params sorted: a= before b=
+      val q = cu.split("\\?")(1)
+      assert(q.startsWith("a=") && q.contains("&b=2"), s"params unsorted: $q")
+    }
+  }
+
+  test("dataset card: ratios in [0,1] and token mean consistent") {
+    val m = operators.LlmScale.datasetCard(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_docs") > 0)
+    assert(m("short_doc_ratio") >= 0 && m("short_doc_ratio") <= 1)
+    assert(m("dup_doc_ratio") >= 0 && m("dup_doc_ratio") <= 1)
+    assert(math.abs(m("mean_doc_tokens") - m("n_tokens") / m("n_docs")) < 1e-3)
+  }
+
   test("agg_mode: reported mode frequency is the group maximum") {
     val out = Aggregates.aggMode(spark, sf).collect()
     val maxN = Tables.orders(spark, sf)
