@@ -180,22 +180,25 @@ object Analytics extends OpModule {
     val Scale = 1000000000000L
     val os = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    // out-degree rides WITH the checkpointed edges (one window count at
+    // build time) instead of re-joining a degree table every iteration —
+    // each power round is then exactly one broadcast-able join + one
+    // (dst) aggregate
     val edges = os.as("a").join(os.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey")
           && col("a.l_suppkey") =!= col("b.l_suppkey"))
       .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
       .localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val n = deg.count()
-    var ranks = deg.select(col("src").as("id"), lit(Scale / n).as("r"))
+    val nodes = edges.select(col("src")).distinct().localCheckpoint()
+    val n = nodes.count()
+    var ranks = nodes.select(col("src").as("id"), lit(Scale / n).as("r"))
     (1 to 3).foreach { _ =>
       val contrib = edges
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
       ranks = contrib.select(col("dst").as("id"),
