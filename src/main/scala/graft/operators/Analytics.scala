@@ -176,20 +176,29 @@ object Analytics extends OpModule {
     * O(every accidental pairing). Edges are checkpointed once; each
     * round is one join + one (dst) aggregate — the standard distributed
     * PageRank shape, iterations = O(rounds), like dedupCluster. */
-  def graphPagerank(s: SparkSession, d: String): DataFrame = {
-    val Scale = 1000000000000L
+  /** Symmetric co-supply edge set (suppliers linked by a shared order,
+    * co-occurrence weight ≥ 2), shared by graph_pagerank /
+    * graph_triangles / graph_jaccard. NOT checkpointed here — each
+    * caller decides its own lineage cut. */
+  private def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
     val os = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    // out-degree rides WITH the checkpointed edges (one window count at
-    // build time) instead of re-joining a degree table every iteration —
-    // each power round is then exactly one broadcast-able join + one
-    // (dst) aggregate
-    val edges = os.as("a").join(os.as("b"),
+    os.as("a").join(os.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey")
           && col("a.l_suppkey") =!= col("b.l_suppkey"))
       .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
+      .select(col("src"), col("dst"))
+  }
+
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val Scale = 1000000000000L
+    // out-degree rides WITH the checkpointed edges (one window count at
+    // build time) instead of re-joining a degree table every iteration —
+    // each power round is then exactly one broadcast-able join + one
+    // (dst) aggregate
+    val edges = coSupplyEdges(s, d)
       .select(col("src"), col("dst"),
         count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
       .localCheckpoint()
@@ -253,16 +262,7 @@ object Analytics extends OpModule {
     * highest-degree hub at 100 TB, the oriented join cannot. All counts
     * and the coefficient (2T·10⁶ div d(d−1)) are exact integers. */
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
-    val os = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val sym = os.as("a").join(os.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey")
-          && col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .where(col("w") >= 2)
-      .select(col("src"), col("dst"))
-      .localCheckpoint()
+    val sym = coSupplyEdges(s, d).localCheckpoint()
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val lower = col("ds") < col("dt") ||
       (col("ds") === col("dt") && col("src") < col("dst"))
@@ -286,6 +286,33 @@ object Analytics extends OpModule {
         when(col("deg") >= 2,
           expr("(coalesce(triangles, 0L) * 2000000) div (deg * (deg - 1))"))
           .otherwise(lit(0L)).as("coeff_fp"))
+  }
+
+  /** Neighbor-Jaccard link prediction over the co-supply graph: every
+    * candidate pair with ≥ 2 common neighbors scores
+    * J = |N(u)∩N(v)| / |N(u)∪N(v)| as an exact fixed-point ratio
+    * (common·10⁶ div (deg_u + deg_v − common)) — the union size is pure
+    * arithmetic, no set materialization. Common neighbors come from the
+    * same wedge join as graph_triangles (u < v canonical, shared
+    * endpoint), with degrees riding on the checkpointed edges; the
+    * weight-≥ 2 prune bounds wedge fan-out at scale. Top-50 by
+    * (jaccard, u, v) — a total order. */
+  def graphJaccard(s: SparkSession, d: String): DataFrame = {
+    val sym = coSupplyEdges(s, d)
+      .select(col("src"), col("dst"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+      .localCheckpoint()
+    sym.as("e1").join(sym.as("e2"),
+        col("e1.dst") === col("e2.dst") && col("e1.src") < col("e2.src"))
+      .groupBy(col("e1.src").as("u"), col("e2.src").as("v"))
+      .agg(count(lit(1)).as("common"),
+        max(col("e1.deg")).as("du"), max(col("e2.deg")).as("dv"))
+      .where(col("common") >= 2)
+      .select(col("u"), col("v"), col("common"),
+        (col("du") + col("dv") - col("common")).as("union_n"),
+        expr("(common * 1000000) div (du + dv - common)").as("jaccard_fp"))
+      .orderBy(col("jaccard_fp").desc, col("u"), col("v"))
+      .limit(50)
   }
 
   /** Hourly OHLC (open/high/low/close) bars per event type — the
@@ -427,6 +454,7 @@ object Analytics extends OpModule {
     "dq_constraints" -> dqConstraints _,
     "win_pattern" -> winPattern _,
     "graph_triangles" -> graphTriangles _,
+    "graph_jaccard" -> graphJaccard _,
     "ts_ohlc" -> tsOhlc _,
     "ts_interpolate" -> tsInterpolate _,
     "anomaly_iqr" -> anomalyIqr _,
@@ -461,6 +489,25 @@ object Analytics extends OpModule {
         |       CAST(len(regexp_extract_all(journey, 'cp')) AS BIGINT)
         |         AS n_quick_buys
         |FROM j""".stripMargin,
+    "graph_jaccard" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |sym AS (
+        |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+        |e AS (SELECT sym.src, sym.dst, deg.deg
+        |      FROM sym JOIN deg USING (src)),
+        |cm AS (
+        |  SELECT e1.src AS u, e2.src AS v, count(*) AS common,
+        |         max(e1.deg) AS du, max(e2.deg) AS dv
+        |  FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+        |  GROUP BY 1, 2)
+        |SELECT u, v, common, du + dv - common AS union_n,
+        |       (common * 1000000) // (du + dv - common) AS jaccard_fp
+        |FROM cm WHERE common >= 2
+        |ORDER BY jaccard_fp DESC, u, v LIMIT 50""".stripMargin,
     "ts_interpolate" ->
       """WITH ev AS (
         |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,

@@ -313,6 +313,71 @@ object LlmScale extends OpModule {
         |) AS (metric, value)""".stripMargin))
   }
 
+  // ── llm_bpe_stats ─────────────────────────────────────────────────────
+
+  /** Tokenizer-training statistics: the first BPE merge round — corpus
+    * frequency of every adjacent character pair, weighted by word
+    * frequency. Word counting collapses the corpus FIRST (the classic
+    * trick: pair counts explode word TYPES, not word occurrences — at
+    * 100 TB the type table is orders of magnitude smaller than the token
+    * stream), then each type of length L emits its L−1 pairs. Words of
+    * length 1 are guarded out: sequence(1, 0) DESCENDS in Spark and
+    * would emit phantom windows. Top-20 by (count desc, pair). */
+  def bpeStats(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .where(length(col("w")) >= 2)
+    wc.select(col("c"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("c")).as("cnt"), count(lit(1)).as("n_contexts"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
+  // ── llm_rlhf_pairs ────────────────────────────────────────────────────
+
+  /** Preference-pair construction (RLHF data prep): per (source, lang)
+    * slice, the best- and worst-scoring documents become a
+    * (chosen, rejected) pair with its score margin. The quality signal
+    * is mean token length at fixed-point 10⁴ — an exact integer ratio,
+    * so the argmax/argmin (row_number over score desc/asc with doc_id
+    * tie-break) selects identical rows on both engines. Slices where
+    * every document ties collapse to chosen = rejected and are dropped.
+    * Scale: one aggregate over tokens plus two window passes over the
+    * per-doc score table — the pair table is |slices| rows. */
+  def rlhfPairs(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("source"), col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(length(col("tok"))).as("sl"))
+      .select(col("source"), col("lang"), col("doc_id"),
+        expr("(sl * 10000) div n").as("score_fp"))
+    val wBest = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    val wWorst = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("score_fp").asc, col("doc_id").asc)
+    val best = scored.withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(col("source"), col("lang"), col("doc_id").as("chosen_doc"),
+        col("score_fp").as("chosen_score_fp"))
+    val worst = scored.withColumn("rn", row_number().over(wWorst))
+      .where(col("rn") === 1)
+      .select(col("source"), col("lang"), col("doc_id").as("rejected_doc"),
+        col("score_fp").as("rejected_score_fp"))
+    best.join(worst, Seq("source", "lang"))
+      .where(col("chosen_doc") =!= col("rejected_doc"))
+      .select(col("source"), col("lang"), col("chosen_doc"),
+        col("rejected_doc"), col("chosen_score_fp"),
+        col("rejected_score_fp"),
+        (col("chosen_score_fp") - col("rejected_score_fp")).as("margin_fp"))
+  }
+
   // ── llm_tfidf ─────────────────────────────────────────────────────────
 
   /** Per-language characteristic terms: top-5 tokens by TF-IDF where TF
@@ -480,6 +545,8 @@ object LlmScale extends OpModule {
     "llm_pack_sequences" -> packSequences _,
     "llm_kmeans" -> kmeans _,
     "llm_semdedup" -> semdedup _,
+    "llm_bpe_stats" -> bpeStats _,
+    "llm_rlhf_pairs" -> rlhfPairs _,
     "llm_url_normalize" -> urlNormalize _,
     "llm_dataset_card" -> datasetCard _,
     "llm_tfidf" -> tfidf _
@@ -552,6 +619,48 @@ object LlmScale extends OpModule {
         |    AND dot * dot * 10000 >= 4900 * na.nn * nb.nn)
         |SELECT a2.vec_id, a2.cluster, sim.vec_id IS NULL AS keep
         |FROM a2 LEFT JOIN sim ON a2.vec_id = sim.vec_id""".stripMargin),
+    "llm_bpe_stats" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w != '' GROUP BY w),
+        |p AS (
+        |  -- constant range + length filter: DuckDB's range() cannot take
+        |  -- lateral column parameters; 32 safely exceeds any fixture word
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, c
+        |  FROM wc, range(1, 32) r(i)
+        |  WHERE len(w) >= 2 AND i <= len(w) - 1)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt,
+        |       count(*) AS n_contexts
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "llm_rlhf_pairs" ->
+      """WITH toks AS (
+        |  SELECT source, lang, doc_id,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source, lang, doc_id,
+        |    CAST((CAST(sum(len(tok)) AS BIGINT) * 10000) // count(*)
+        |         AS BIGINT) AS score_fp
+        |  FROM toks WHERE tok != '' GROUP BY 1, 2, 3),
+        |b AS (
+        |  SELECT source, lang, doc_id AS chosen_doc,
+        |         score_fp AS chosen_score_fp
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source, lang
+        |          ORDER BY score_fp DESC, doc_id ASC) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |w AS (
+        |  SELECT source, lang, doc_id AS rejected_doc,
+        |         score_fp AS rejected_score_fp
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source, lang
+        |          ORDER BY score_fp ASC, doc_id ASC) AS rn FROM sc)
+        |  WHERE rn = 1)
+        |SELECT b.source, b.lang, chosen_doc, rejected_doc,
+        |       chosen_score_fp, rejected_score_fp,
+        |       chosen_score_fp - rejected_score_fp AS margin_fp
+        |FROM b JOIN w USING (source, lang)
+        |WHERE chosen_doc != rejected_doc""".stripMargin,
     "llm_url_normalize" ->
       """WITH raw AS (
         |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),

@@ -63,6 +63,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("graph_jaccard: scores bounded, common never exceeds either degree") {
+    val rows = Analytics.graphJaccard(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val (c, u) = (r.getAs[Long]("common"), r.getAs[Long]("union_n"))
+      assert(c >= 2 && c <= u, "intersection bounded by union")
+      val j = r.getAs[Long]("jaccard_fp")
+      assert(j >= 0L && j <= 1000000L, s"jaccard_fp $j out of [0, 10^6]")
+    }
+    val js = rows.map(_.getAs[Long]("jaccard_fp")).toSeq
+    assert(js == js.sorted.reverse, "ranked by jaccard desc")
+  }
+
   test("ts_interpolate: anchors exact, gap values inside the bracket range") {
     val out = Analytics.tsInterpolate(spark, sf).cache()
     try {

@@ -229,6 +229,37 @@ class LlmScaleSpec extends SparkSpec {
     assert(math.abs(m("mean_doc_tokens") - m("n_tokens") / m("n_docs")) < 1e-3)
   }
 
+  test("bpe_stats: pair mass bounded by corpus char mass, hand case agrees") {
+    val rows = operators.LlmScale.bpeStats(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[String]("pair").length == 2)
+      assert(r.getAs[Long]("cnt") >= r.getAs[Long]("n_contexts"),
+        "corpus count >= type-position count")
+    }
+    // cross-check the top pair against a direct substring recount
+    val top = rows.head.getString(0)
+    val recount = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w")).where($"w" =!= "")
+      .select(expr(
+        s"cast(size(regexp_extract_all(w, '(?=(${top}))', 1)) as bigint)")
+        .as("k"))
+      .agg(sum($"k")).head().getLong(0)
+    assert(rows.head.getAs[Long]("cnt") == recount,
+      s"top pair '$top' count mismatch: ${rows.head.getAs[Long]("cnt")} vs $recount")
+  }
+
+  test("rlhf_pairs: one pair per slice, positive margin, members from slice") {
+    val rows = operators.LlmScale.rlhfPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "at most one pair per slice")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("margin_fp") > 0, "chosen strictly beats rejected")
+      assert(r.getAs[Long]("chosen_doc") != r.getAs[Long]("rejected_doc"))
+    }
+  }
+
   test("agg_mode: reported mode frequency is the group maximum") {
     val out = Aggregates.aggMode(spark, sf).collect()
     val maxN = Tables.orders(spark, sf)
