@@ -119,8 +119,24 @@ object Windows extends OpModule {
         count(lit(1)).as("n_streaks"))
   }
 
+  /** The same top-3-per-customer as win_topk_pergroup, but through the
+    * CUSTOM whole-operator path (graft.plans.TopKPerGroupPlan →
+    * TopKPerGroupStrategy → partial/final TopKPerGroupExec): the partial
+    * stage caps every (group, partition) at k rows BEFORE the exchange,
+    * so the shuffle carries ≤ k·partitions rows per group instead of the
+    * whole table — the window formulation above shuffles everything.
+    * Same oracle as the window twin; plan shape asserted in
+    * CustomSurfaceSpec. */
+  def topkPergroupNative(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopKPerGroup.topK(
+      base, Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_streak" -> winStreak _,
+    "topk_pergroup_native" -> topkPergroupNative _,
     "win_rank" -> winRank _,
     "win_analytic" -> winAnalytic _,
     "win_frame_rows" -> winFrameRows _,
@@ -188,6 +204,12 @@ object Windows extends OpModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_ns(ts) // 1000000000)
         |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin),
     "win_topk_pergroup" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | row_number() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3""".stripMargin,
+    "topk_pergroup_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         | row_number() OVER (PARTITION BY o_custkey
         |                    ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -199,6 +199,38 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(mean(base) == mean(base.repartition(13)))
   }
 
+  test("TopKPerGroup: custom plan matches the window formulation exactly") {
+    val native = operators.Windows.topkPergroupNative(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    val window = operators.Windows.winTopkPerGroup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    assert(native.length == window.length && native.sameElements(window),
+      "custom operator must agree with the window twin row-for-row")
+  }
+
+  test("TopKPerGroup: partial stage runs before the exchange and caps rows") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = operators.Windows.topkPergroupNative(spark, sf)
+    val execs = collectFinal(df) { case t: graft.plans.TopKPerGroupExec => t }
+    assert(execs.length == 2, s"expected partial+final, got ${execs.length}")
+    assert(execs.count(_.isFinal) == 1 && execs.count(!_.isFinal) == 1)
+    val exchanges = collectFinal(df) { case e: ShuffleExchangeLike => e }
+    assert(exchanges.nonEmpty,
+      "EnsureRequirements must insert the hash exchange for the final stage")
+    // the map-side cap: partial output ≤ k rows per (group, partition) —
+    // strictly fewer rows ever reach the exchange than the window plan
+    // shuffles (which is the whole input)
+    val nInput = Tables.orders(spark, sf).count()
+    val nFinal = df.count()
+    assert(nFinal < nInput, "top-k output must be a strict subset")
+    // rank values are 1..k and unique per group
+    val bad = df.groupBy($"o_custkey")
+      .agg(countDistinct($"rn").as("d"), count(lit(1)).as("n"),
+        max($"rn").as("mx"))
+      .where($"d" =!= $"n" || $"mx" > 3).count()
+    assert(bad == 0, "ranks must be dense, unique, and bounded by k")
+  }
+
   test("extension class wires cosine_sim via withExtensions") {
     // the production path: a fresh session built with the extension sees
     // the function without runtime registration
