@@ -33,12 +33,35 @@ object Bench {
     // becomes a metadata-only count-star — so composites measured 40×
     // cheaper than the work their results require. toRdd executes the
     // plan exactly as written, materializing every output column.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    //
+    // min-of-N repeats: this VM's background load adds a ±2-3 s drift
+    // that round-over-round made real regressions indistinguishable from
+    // noise (r5: +2.3 s uniformly on unchanged streaming queries). The
+    // per-query MIN across passes within one session is the stable
+    // signal; a wall-clock budget caps total bench time if a pass runs
+    // long. The Lloyd memo resets between passes so every pass re-pays
+    // shared computation identically.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val budgetSec = 540.0
+    val benchT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
+    def onePass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val first = onePass()
+    val reruns = (2 to passes).iterator
+      .takeWhile(_ => elapsed + first.values.sum < budgetSec)
+      .map { _ =>
+        graft.operators.LlmScale.resetLloydMemo()
+        onePass()
+      }.toSeq
+    val all = first +: reruns
+    val results: Map[String, Double] =
+      first.keys.map(n => n -> all.map(_(n)).min).toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // Locale.ROOT: f"" uses the JVM default locale — a comma decimal

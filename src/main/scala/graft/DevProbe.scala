@@ -60,6 +60,41 @@ object DevProbe {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit")))
       spark.stop(); return
     }
+    if (names == Seq("jac_parts")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      GraftExtensions.register(spark)
+      def t(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = df.queryExecution.toRdd.count()
+          println(f"[part] $tag run$i: $n rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
+      val os = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = os.as("a").join(os.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_suppkey") =!= col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      t("edges")(edges)
+      val t0 = System.nanoTime()
+      val adj = edges
+        .groupBy(col("src").as("id"))
+        .agg(sort_array(collect_list(col("dst").cast("long"))).as("nbrs"),
+          count(lit(1)).as("deg"))
+        .localCheckpoint()
+      println(f"[part] adj+ckpt: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t("pairs")(adj.as("a").join(broadcast(adj.as("b")), col("a.id") < col("b.id"))
+        .select(col("a.id").as("u"), col("b.id").as("v"),
+          expr("cast(sorted_intersect_count(a.nbrs, b.nbrs) as bigint)").as("common"),
+          col("a.deg").as("du"), col("b.deg").as("dv"))
+        .where(col("common") >= 2))
+      spark.stop(); return
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       // multiple runs: first pays codegen+AQE warmup, later ones are steady

@@ -181,12 +181,19 @@ object Analytics extends OpModule {
     * graph_triangles / graph_jaccard. NOT checkpointed here — each
     * caller decides its own lineage cut. */
   private def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
-    val os = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    os.as("a").join(os.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey")
-          && col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+    // ONE shuffle to co-locate each order's suppliers, then the ordered
+    // pairs explode MAP-SIDE into the partial aggregate — the previous
+    // distinct + self-join form shuffled the (order, supplier) set three
+    // times (distinct, join re-key, pair count); this shuffles lineitem
+    // once and pairs once. Per-order supplier arrays are tiny (a handful
+    // of suppliers), so the generator carries no wide arrays.
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_distinct(collect_list(col("l_suppkey"))).as("sups"))
+      .select(explode(col("sups")).as("src"), col("sups"))
+      .select(col("src"), explode(col("sups")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
       .select(col("src"), col("dst"))
@@ -279,13 +286,27 @@ object Analytics extends OpModule {
     * standard production guard). All counts and the coefficient
     * (2T·10⁶ div d(d−1)) are exact integers. */
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     val adj = coSupplyAdjacency(s, d)
-    val twice = coSupplyEdges(s, d)
-      .join(broadcast(adj.select(col("id").as("src"), col("nbrs").as("na"))),
-        "src")
+    // probe edges derive from the checkpointed adjacency (explode(nbrs)),
+    // NOT a second coSupplyEdges call — the lineitem aggregation is the
+    // expensive subtree and must run exactly once per query. The explode
+    // also carries na for free, saving one of the two broadcast joins.
+    // The graph is symmetric, so |N(u)∩N(v)| is scored once per u < v
+    // edge and credited to BOTH endpoints — half the merge-kernel work.
+    val half = adj
+      .select(col("id").as("src"), col("nbrs").as("na"),
+        explode(col("nbrs")).as("dst"))
+      .where(col("src") < col("dst"))
       .join(broadcast(adj.select(col("id").as("dst"), col("nbrs").as("nb"))),
         "dst")
-      .select(col("src"), expr("sorted_intersect_count(na, nb)").as("c"))
+      .select(col("src"), col("dst"),
+        expr("sorted_intersect_count(na, nb)").as("c"))
+    val twice = half
+      .select(explode(array(
+        struct(col("src").as("n"), col("c")),
+        struct(col("dst").as("n"), col("c")))).as("x"))
+      .select(col("x.n").as("src"), col("x.c").as("c"))
       .groupBy(col("src")).agg(sum(col("c")).as("c2"))
     adj.select(col("id"), col("deg"))
       .join(twice, col("id") === col("src"), "left")
@@ -300,21 +321,45 @@ object Analytics extends OpModule {
     * candidate pair with ≥ 2 common neighbors scores
     * J = |N(u)∩N(v)| / |N(u)∪N(v)| as an exact fixed-point ratio
     * (common·10⁶ div (deg_u + deg_v − common)) — the union size is pure
-    * arithmetic, no set materialization. Common neighbors come from the
-    * same wedge join as graph_triangles (u < v canonical, shared
-    * endpoint), with degrees riding on the checkpointed edges; the
-    * weight-≥ 2 prune bounds wedge fan-out at scale. Top-50 by
+    * arithmetic, no set materialization.
+    *
+    * Common-neighbor counts come from the checkpointed SORTED ADJACENCY,
+    * not an edge×edge wedge self-join: active-node pairs (u < v) stream
+    * through the allocation-free two-pointer merge
+    * (graft.functions.SortedIntersectCount, whole-stage codegen) — the
+    * round-5 triangles pattern. The wedge join touched Σdeg² ≈ 152.7 M
+    * wedge mentions through a join + hash aggregate (13–16 s at sf0.1);
+    * here the weight-≥ 2 prune bounds the ADJACENCY to nodes with real
+    * co-supply relationships (≈1 k rows independent of raw data volume),
+    * so the pair space is |active|²/2 ≈ 500 k intersections of long
+    * COMPARES with nothing materialized — on a dense graph (Σdeg² ≫ N²)
+    * this is the strictly cheaper regime. On a sparse billion-node graph
+    * the balance flips and candidate pairs come from an inverted-index
+    * prefix join (the llm_dedup_ngram SSJoin shape) feeding the same
+    * intersection kernel. Pairs below 2 common neighbors drop; top-50 by
     * (jaccard, u, v) — a total order. */
+  /** Pre-barrier pair-scoring stage of graph_jaccard, exposed so the
+    * plan-shape spec can assert the merge kernel stays OUT of the join
+    * condition (the 2×-eval regression signature). */
+  private[graft] def graphJaccardScored(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val adj = coSupplyAdjacency(s, d)
+    adj.as("a")
+      .join(broadcast(adj.as("b")), col("a.id") < col("b.id"))
+      .select(col("a.id").as("u"), col("b.id").as("v"),
+        expr("cast(sorted_intersect_count(a.nbrs, b.nbrs) as bigint)")
+          .as("common"),
+        col("a.deg").as("du"), col("b.deg").as("dv"))
+  }
+
   def graphJaccard(s: SparkSession, d: String): DataFrame = {
-    val sym = coSupplyEdges(s, d)
-      .select(col("src"), col("dst"),
-        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
-      .localCheckpoint()
-    sym.as("e1").join(sym.as("e2"),
-        col("e1.dst") === col("e2.dst") && col("e1.src") < col("e2.src"))
-      .groupBy(col("e1.src").as("u"), col("e2.src").as("v"))
-      .agg(count(lit(1)).as("common"),
-        max(col("e1.deg")).as("du"), max(col("e2.deg")).as("dv"))
+    // the localCheckpoint is a predicate-pushdown BARRIER: without it
+    // Catalyst folds `common >= 2` into the nested-loop join condition
+    // and the merge kernel runs TWICE per pair (condition + projection)
+    // over the full unfiltered pair space — measured 8.6 s vs ~2.5 s at
+    // sf0.1. The checkpointed pair table is 5 small long columns.
+    val scored = graphJaccardScored(s, d).localCheckpoint()
+    scored
       .where(col("common") >= 2)
       .select(col("u"), col("v"), col("common"),
         (col("du") + col("dv") - col("common")).as("union_n"),

@@ -245,14 +245,34 @@ object LlmExtended extends OpModule {
           .as("jaccard"))
   }
 
-  /** Embedding-cosine near-dup at τ=0.5: exact all-pairs at fixture scale
-    * (a·b over id-ordered pairs); the 100 TB path is sign-bucket LSH —
-    * exactly what llm_ann_ivf demonstrates for search. */
+  /** Embedding-cosine near-dup at τ=0.5, LSH-BUCKETED: candidate pairs
+    * form only where the two vectors' 8-bit sign cells (signs of the
+    * first 8 dimensions) sit within hamming distance 1 — each vector
+    * probes its own cell plus the 8 one-bit flips, the join is an
+    * EQUI-JOIN on the cell key (never a crossJoin), and candidates
+    * verify with the exact codegen'd cosine. A pair (a, b), a < b,
+    * matches through exactly one probe of a, so the candidate set is
+    * duplicate-free by construction. Near-dups disagree only on dims
+    * near zero, so the 1-bit slack absorbs noise sign-flips; a pair
+    * differing in ≥ 2 of the first 8 signs is the accepted LSH miss —
+    * the same recall trade llm_dedup_near's band join makes for text.
+    * At 100 TB both sides shuffle once on the cell key and no pair
+    * space materializes beyond same-bucket candidates. The oracle
+    * replays the identical bucketing. */
   def dedupEmbed(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
-    val a = Tables.embeddings(s, d).select(col("vec_id").as("ida"), col("embedding").as("ea"))
-    val b = Tables.embeddings(s, d).select(col("vec_id").as("idb"), col("embedding").as("eb"))
-    a.crossJoin(b).where(col("ida") < col("idb"))
+    val cellExpr =
+      """aggregate(transform(sequence(0, 7),
+        |  i -> IF(element_at(embedding, i + 1) > 0, shiftleft(1, i), 0)),
+        |0, (a, x) -> a + x)""".stripMargin
+    val emb = Tables.embeddings(s, d).withColumn("cell", expr(cellExpr))
+    val probes = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+      explode(expr(
+        "array_union(array(cell), transform(sequence(0, 7), j -> int(cell ^ shiftleft(1, j))))"))
+        .as("probe"))
+    val cands = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+      col("cell"))
+    probes.join(cands, col("probe") === col("cell") && col("ida") < col("idb"))
       .withColumn("cos", expr("cosine_sim(ea, eb)"))
       .where(col("cos") >= 0.5)
       .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))
@@ -519,10 +539,22 @@ object LlmExtended extends OpModule {
         |SELECT doc_a, doc_b, round(i::DOUBLE / (na + nb - i), 4) AS jaccard
         |FROM inter WHERE i::DOUBLE / (na + nb - i) >= 0.5""".stripMargin,
     "llm_dedup_embed" ->
-      (s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
-          |  round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
-          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.5""".stripMargin),
+      (s"""WITH cells AS (
+          |  SELECT vec_id, embedding,
+          |    list_reduce(list_prepend(0::BIGINT,
+          |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+          |            ELSE 0 END for i in range(0, 8)]),
+          |      (a, x) -> a + x) AS cell
+          |  FROM embeddings),
+          |probes AS (
+          |  SELECT vec_id AS ida, embedding AS ea,
+          |    unnest(list_distinct(list_prepend(cell,
+          |      [xor(cell, 1::BIGINT << j) for j in range(0, 8)]))) AS probe
+          |  FROM cells)
+          |SELECT p.ida, c.vec_id AS idb,
+          |  round(${duckCos("p.ea", "c.embedding")}, 4) AS cos
+          |FROM probes p JOIN cells c ON c.cell = p.probe AND p.ida < c.vec_id
+          |WHERE ${duckCos("p.ea", "c.embedding")} >= 0.5""".stripMargin),
     "llm_ann_ivf" ->
       (s"""WITH cells AS (
           |  SELECT vec_id, embedding,

@@ -187,4 +187,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(again == out.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
       "integer pagerank must be deterministic")
   }
+
+  test("graph plan guard: wedge materialization cannot silently return") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{
+      CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // triangles: the merge kernel is in the plan, no shuffle-side join or
+    // cross join ever touches the edge set, and shuffles stay bounded at
+    // the two aggregates (never Σdeg² wedge rows through an exchange)
+    val tri = Analytics.graphTriangles(spark, sf)
+    assert(tri.queryExecution.executedPlan.toString
+        .contains("sorted_intersect_count"),
+      "graph_triangles lost the sorted-adjacency intersection kernel")
+    val triBad = collectFinal(tri) {
+      case p: SortMergeJoinExec    => p
+      case p: ShuffledHashJoinExec => p
+      case p: CartesianProductExec => p
+    }
+    assert(triBad.isEmpty,
+      s"graph_triangles must only broadcast-join the adjacency, found: $triBad")
+    val triShuffles = collectFinal(tri) { case p: ShuffleExchangeExec => p }
+    assert(triShuffles.size <= 3,
+      s"graph_triangles shuffle count grew to ${triShuffles.size}")
+    // jaccard pair scoring: the kernel must sit in the PROJECTION, never
+    // in the join condition — Catalyst folding `common >= 2` into the
+    // nested-loop condition re-runs the merge per candidate (the 2×-eval
+    // regression this guard pins)
+    val scored = Analytics.graphJaccardScored(spark, sf)
+    val lines = scored.queryExecution.executedPlan.toString.linesIterator.toSeq
+    assert(lines.exists(_.contains("sorted_intersect_count")),
+      "graph_jaccard lost the sorted-adjacency intersection kernel")
+    lines.filter(_.contains("NestedLoopJoin")).foreach { l =>
+      assert(!l.contains("sorted_intersect_count"),
+        s"merge kernel leaked into the join condition: $l")
+    }
+    // the public query runs the scoring behind a checkpoint barrier: its
+    // own plan is filter + top-k only, no joins at all
+    val jac = Analytics.graphJaccard(spark, sf)
+    val jacJoins = collectFinal(jac) {
+      case p: SortMergeJoinExec    => p
+      case p: ShuffledHashJoinExec => p
+      case p: CartesianProductExec => p
+    }
+    assert(jacJoins.isEmpty, "graph_jaccard tail must be filter + top-k only")
+  }
 }

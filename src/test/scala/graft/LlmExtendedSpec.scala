@@ -95,4 +95,29 @@ class LlmExtendedSpec extends SparkSpec {
       assert(hm > 32.0 && hm < 127.0)                // printable ASCII mean
     }
   }
+
+  test("dedup_embed: bucketed equi-join plan, equals brute force in-bucket") {
+    import org.apache.spark.sql.functions.expr
+    graft.GraftExtensions.register(spark)
+    val out = LlmExtended.dedupEmbed(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+      "dedup_embed must join on the cell key, never cross-join")
+    // semantic contract: exactly the cos ≥ 0.5 pairs whose sign cells sit
+    // within hamming distance 1 — the documented LSH recall trade
+    val cellExpr =
+      """aggregate(transform(sequence(0, 7),
+        |  i -> IF(element_at(embedding, i + 1) > 0, shiftleft(1, i), 0)),
+        |0, (a, x) -> a + x)""".stripMargin
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", expr(cellExpr).as("cell"))
+    val exact = e.as("a").crossJoin(e.as("b"))
+      .where($"a.vec_id" < $"b.vec_id")
+      .where(expr("bit_count(a.cell ^ b.cell) <= 1"))
+      .where(expr("cosine_sim(a.embedding, b.embedding) >= 0.5"))
+      .count()
+    assert(out.count() == exact,
+      "bucketed result must equal the in-bucket brute force")
+  }
 }

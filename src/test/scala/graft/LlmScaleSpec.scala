@@ -64,6 +64,27 @@ class LlmScaleSpec extends SparkSpec {
     assert(run1.toSeq == run2.toSeq, "exact integer k-means must be deterministic")
   }
 
+  test("K scales with the corpus: semdedup pair space is provably linear") {
+    // K = max(4, N div 128) caps expected cluster width near 128, so the
+    // within-cluster pair budget Σ|cluster|² ≈ N·128 grows LINEARLY with
+    // corpus size (a fixed K leaves it at N²/K — quadratic)
+    assert(LlmScale.kFor(500L) == 4L,   "fixture scale keeps the K=4 oracle")
+    assert(LlmScale.kFor(2000L) == 15L, "bench scale must exceed 4 clusters")
+    assert(LlmScale.kFor(1L << 30) == (1L << 30) / 128,
+      "K must keep tracking N")
+    Seq(1000L, 100000L, 10000000L, 1L << 30).foreach { n =>
+      assert(n.toDouble / LlmScale.kFor(n) <= 256.0,
+        s"expected cluster width for N=$n exceeds the 2·128 envelope")
+    }
+    // the shared assignment honors the bound: cluster ids live in [0, K)
+    val n = Tables.embeddings(spark, sf).count()
+    val k = LlmScale.kFor(n)
+    val ids = LlmScale.semdedup(spark, sf)
+      .select($"cluster").distinct().collect().map(_.getAs[Int]("cluster"))
+    assert(ids.forall(c => c >= 0 && c < k),
+      s"cluster ids ${ids.toSeq.sorted} escape [0, $k)")
+  }
+
   test("tfidf: exactly top-5 per language, ranked by (score desc, token)") {
     val out = LlmScale.tfidf(spark, sf).collect()
       .groupBy(_.getAs[String]("lang"))
