@@ -57,6 +57,7 @@ object Bench {
       .takeWhile(_ => elapsed + first.values.sum < budgetSec)
       .map { _ =>
         graft.operators.LlmScale.resetLloydMemo()
+        graft.operators.Analytics.resetGraphMemo()
         onePass()
       }.toSeq
     val all = first +: reruns

@@ -201,15 +201,15 @@ object Analytics extends OpModule {
 
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
     val Scale = 1000000000000L
-    // out-degree rides WITH the checkpointed edges (one window count at
-    // build time) instead of re-joining a degree table every iteration —
-    // each power round is then exactly one broadcast-able join + one
-    // (dst) aggregate
-    val edges = coSupplyEdges(s, d)
-      .select(col("src"), col("dst"),
-        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
-      .localCheckpoint()
-    val nodes = edges.select(col("src")).distinct().localCheckpoint()
+    // edges re-derive MAP-SIDE from the shared checkpointed adjacency on
+    // each iteration read (explode of ~1 k sorted arrays — no second
+    // edge build, no distinct for the node set, and the out-degree rides
+    // on the adjacency row instead of a window) — each power round is
+    // then exactly one broadcast-able join + one (dst) aggregate
+    val adj = coSupplyAdjacency(s, d)
+    val edges = adj.select(col("id").as("src"), col("deg"),
+      explode(col("nbrs")).as("dst"))
+    val nodes = adj.select(col("id").as("src"))
     val n = nodes.count()
     var ranks = nodes.select(col("src").as("id"), lit(Scale / n).as("r"))
     (1 to 3).foreach { _ =>
@@ -263,13 +263,26 @@ object Analytics extends OpModule {
     * node with its ascending neighbor array and degree. The weight-≥ 2
     * prune (coSupplyEdges) bounds array width by real co-supply
     * relationships, so a node's list is KBs even when the raw data is
-    * 100 TB; checkpointed because every consumer reads it ≥ 2 times. */
+    * 100 TB; checkpointed because every consumer reads it ≥ 2 times.
+    *
+    * Built ONCE per (session, sf-dir) and shared by graph_pagerank /
+    * graph_triangles / graph_jaccard — the staged-fixture pattern (cf.
+    * LlmScale.lloyd): the lineitem aggregation is the shared expensive
+    * subtree and whichever graph query runs first pays it. Bench resets
+    * the memo between repeat passes. */
+  private val adjMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Drop the memoized adjacency (Bench calls this between passes). */
+  def resetGraphMemo(): Unit = adjMemo.clear()
+
   private def coSupplyAdjacency(s: SparkSession, d: String): DataFrame =
-    coSupplyEdges(s, d)
-      .groupBy(col("src").as("id"))
-      .agg(sort_array(collect_list(col("dst").cast("long"))).as("nbrs"),
-        count(lit(1)).as("deg"))
-      .localCheckpoint()
+    adjMemo.getOrElseUpdate((s, d),
+      coSupplyEdges(s, d)
+        .groupBy(col("src").as("id"))
+        .agg(sort_array(collect_list(col("dst").cast("long"))).as("nbrs"),
+          count(lit(1)).as("deg"))
+        .localCheckpoint())
 
   /** Exact triangle counting + local clustering coefficient over the
     * co-supply graph, via SORTED-ADJACENCY INTERSECTION: for node n,
