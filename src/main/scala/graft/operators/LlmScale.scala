@@ -260,6 +260,63 @@ object LlmScale extends OpModule {
       .select(col("vec_id"), col("cluster"), col("dup").isNull.as("keep"))
   }
 
+  // ── llm_repetition_filter ─────────────────────────────────────────────
+
+  /** Gopher-style repetition gates (the MassiveText quality rules,
+    * adapted to the fixture's token stream): per document —
+    *   frac_top_2gram — share of tokens covered by the single most
+    *     frequent word 2-gram (count·2 / n_tokens);
+    *   frac_dup_5gram — share of tokens covered by 5-grams occurring
+    *     more than once (Σ_{c>1} c·5 / n_tokens; overlapping coverage
+    *     over-counts, exactly as in the paper's occurrence form);
+    *   keep — both under the Gopher thresholds (0.20 / 0.30), decided on
+    *     EXACT INTEGERS (top2·10 ≤ n, dup5·50 ≤ 3n) so no rounded
+    *     double ever gates a row; the reported fractions round once.
+    * Scale shape: both metrics are map-side n-gram explodes into
+    * (doc_id, gram) hash aggregates then a per-doc max/sum — the same
+    * two-aggregate profile as llm_inverted_index, no joins beyond the
+    * final per-doc assembly against the tiny metric tables. explode_outer
+    * + null filter keeps the n-gram build out of an inferred scan filter
+    * (see decontaminate). */
+  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("t"))
+    val base = toks.select(col("doc_id"), size(col("t")).as("n_tokens"))
+    val g2 = toks.select(col("doc_id"), explode_outer(expr(
+        """CASE WHEN size(t) >= 2 THEN
+          |  transform(sequence(1, size(t) - 1),
+          |    i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))
+          |ELSE array() END""".stripMargin)).as("g"))
+      .where(col("g").isNotNull)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+    val g5 = toks.select(col("doc_id"), explode_outer(expr(
+        """CASE WHEN size(t) >= 5 THEN
+          |  transform(sequence(1, size(t) - 4),
+          |    i -> concat_ws(' ', slice(t, i, 5)))
+          |ELSE array() END""".stripMargin)).as("g"))
+      .where(col("g").isNotNull)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup5"))
+    base
+      .join(g2, Seq("doc_id"), "left")
+      .join(g5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top2"), lit(0L)).as("top2"),
+        coalesce(col("dup5"), lit(0L)).as("dup5"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("top2") * 2 / col("n_tokens").cast("double"), 4))
+          .as("frac_top_2gram"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("dup5") * 5 / col("n_tokens").cast("double"), 4))
+          .as("frac_dup_5gram"),
+        (col("top2") * 10 <= col("n_tokens")
+          && col("dup5") * 50 <= col("n_tokens") * 3).as("keep"))
+  }
+
   // ── llm_url_normalize ─────────────────────────────────────────────────
 
   /** URL canonicalization dedup — the CommonCrawl-style first pass that
@@ -578,6 +635,7 @@ object LlmScale extends OpModule {
     "llm_rlhf_pairs" -> rlhfPairs _,
     "llm_url_normalize" -> urlNormalize _,
     "llm_dataset_card" -> datasetCard _,
+    "llm_repetition_filter" -> repetitionFilter _,
     "llm_tfidf" -> tfidf _
   )
 
@@ -628,6 +686,43 @@ object LlmScale extends OpModule {
       |    FROM d2) WHERE rn = 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')
+        |    AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_tokens FROM t),
+        |g2 AS (
+        |  SELECT doc_id, max(c) AS top2 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+        |      FROM t WHERE len(t) >= 2)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |g5 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup5
+        |  FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id,
+        |        unnest([array_to_string(t[i:i+4], ' ')
+        |                for i in range(1, len(t) - 3)]) AS g
+        |      FROM t WHERE len(t) >= 5)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  CASE WHEN b.n_tokens = 0 THEN 0.0
+        |       ELSE round(coalesce(g2.top2, 0) * 2 / b.n_tokens::DOUBLE, 4)
+        |  END AS frac_top_2gram,
+        |  CASE WHEN b.n_tokens = 0 THEN 0.0
+        |       ELSE round(coalesce(g5.dup5, 0) * 5 / b.n_tokens::DOUBLE, 4)
+        |  END AS frac_dup_5gram,
+        |  (coalesce(g2.top2, 0) * 10 <= b.n_tokens
+        |   AND coalesce(g5.dup5, 0) * 50 <= 3 * b.n_tokens) AS keep
+        |FROM base b
+        |LEFT JOIN g2 USING (doc_id)
+        |LEFT JOIN g5 USING (doc_id)""".stripMargin,
     "llm_semdedup" ->
       (lloydCtes + """,
         |q3 AS (

@@ -64,6 +64,38 @@ class LlmScaleSpec extends SparkSpec {
     assert(run1.toSeq == run2.toSeq, "exact integer k-means must be deterministic")
   }
 
+  test("repetition_filter: hand-checked metrics, exact integer gates") {
+    val dir = "/tmp/graft-test-llmscale-rep"
+    Seq(
+      (1L, "a b a b a b", "en", "web", 11L),
+      (2L, "a b c d e f g h i j k l", "en", "web", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmScale.repetitionFilter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "a b a b a b": top 2-gram "a b" occurs 3× → coverage 6/6 = 1.0
+    // (overlap over-counts by design); no repeated 5-gram; fails the gate
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_tokens") == 6)
+    assert(math.abs(r1.getAs[Double]("frac_top_2gram") - 1.0) < 1e-9)
+    assert(r1.getAs[Double]("frac_dup_5gram") == 0.0)
+    assert(!r1.getAs[Boolean]("keep"))
+    // 12 distinct tokens: top2 = 1 → 2/12 = 0.1667, passes both gates
+    val r2 = out(2L)
+    assert(math.abs(r2.getAs[Double]("frac_top_2gram") - 0.1667) < 1e-9)
+    assert(r2.getAs[Boolean]("keep"))
+    // fixture-wide: one verdict per doc; coverage fractions stay within
+    // the overlap-over-count envelopes (≤2 for 2-grams, ≤5 for 5-grams)
+    val rows = LlmScale.repetitionFilter(spark, sf).collect()
+    assert(rows.length.toLong == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val ft = r.getAs[Double]("frac_top_2gram")
+      val fd = r.getAs[Double]("frac_dup_5gram")
+      assert(ft >= 0.0 && ft <= 2.0 && fd >= 0.0 && fd <= 5.0,
+        s"coverage fractions out of envelope: $ft / $fd")
+    }
+  }
+
   test("K scales with the corpus: semdedup pair space is provably linear") {
     // K = max(4, N div 128) caps expected cluster width near 128, so the
     // within-cluster pair budget Σ|cluster|² ≈ N·128 grows LINEARLY with
