@@ -58,6 +58,7 @@ object Bench {
       .map { _ =>
         graft.operators.LlmScale.resetLloydMemo()
         graft.operators.Analytics.resetGraphMemo()
+        graft.operators.LlmOps.resetNearMemo()
         onePass()
       }.toSeq
     val all = first +: reruns

@@ -85,7 +85,22 @@ object LlmOps extends OpModule {
     * near-duplicate pairs. Recall: a pair at J≥0.8 escapes all 16 bands
     * with probability (1−0.8²)¹⁶ ≈ 8e-8 — the exact-verify step then
     * makes precision 1, so the output equals the all-pairs oracle. */
-  def dedupNear(s: SparkSession, d: String): DataFrame = {
+  /** Verified near-dup pairs are consumed by THREE registered queries
+    * (llm_dedup_near, llm_dedup_cluster's edge set, curation_e2e's drop
+    * set) — the LSH hunt runs once per (session, sf-dir) and the tiny
+    * pair table is checkpointed, the staged-computation pattern shared
+    * with LlmScale.lloyd and Analytics.coSupplyAdjacency. Bench resets
+    * the memo between repeat passes. */
+  private val nearMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Drop the memoized pair table (Bench calls this between passes). */
+  def resetNearMemo(): Unit = nearMemo.clear()
+
+  def dedupNear(s: SparkSession, d: String): DataFrame =
+    nearMemo.getOrElseUpdate((s, d), dedupNearBuild(s, d).localCheckpoint())
+
+  private def dedupNearBuild(s: SparkSession, d: String): DataFrame = {
     val tau = 0.8
     graft.GraftExtensions.register(s)
     // localCheckpoint: the shingle table has three readers (signature
