@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, NGrams, SimHash32, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, DotProductLong, NGrams, SimHash32,
+  SortedIntersectCount, SquaredDistanceLong}
 
 /** Engine extension wiring (SURVEY.md §4.3).
   *
@@ -22,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ngramsDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.sortedIntersectDescriptor)
+    ext.injectFunction(GraftExtensions.squaredDistanceDescriptor)
+    ext.injectFunction(GraftExtensions.dotLongDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
@@ -71,10 +74,33 @@ object GraftExtensions {
     }
   )
 
+  private val squaredDistanceDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("squared_distance"),
+    new ExpressionInfo(classOf[SquaredDistanceLong].getName,
+      "squared_distance"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "squared_distance expects 2 array<bigint> args")
+      SquaredDistanceLong(children.head, children(1))
+    }
+  )
+
+  private val dotLongDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_long"),
+    new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "dot_long expects 2 array<bigint> args")
+      DotProductLong(children.head, children(1))
+    }
+  )
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, ngramsDescriptor, simhashDescriptor,
-      sortedIntersectDescriptor).foreach {
+      sortedIntersectDescriptor, squaredDistanceDescriptor,
+      dotLongDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

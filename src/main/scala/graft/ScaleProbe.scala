@@ -56,7 +56,10 @@ object ScaleProbe {
       "llm_embed_quantize", "llm_similarity_topk", "llm_ann_ivf",
       "curation_e2e",
       "llm_decontaminate", "llm_pack_sequences", "llm_kmeans", "llm_tfidf",
-      "llm_perplexity_proxy")
+      "llm_perplexity_proxy",
+      // adaptive-K semdedup (20 k vectors → K=156, pair space stays
+      // ≈ N·128), sign-cell LSH embedding dedup, Gopher repetition gates
+      "llm_semdedup", "llm_dedup_embed", "llm_repetition_filter")
     println(f"${"op"}%-24s ${"sec"}%8s ${"rows"}%10s")
     probes.foreach { name =>
       val t0 = System.nanoTime()

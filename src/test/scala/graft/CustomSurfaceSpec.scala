@@ -79,6 +79,45 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(wsc.nonEmpty, "custom expression must not break codegen")
   }
 
+  test("squared_distance / dot_long match the HOF folds, stay in codegen") {
+    GraftExtensions.register(spark)
+    // quantized vectors from the real embeddings fixture (the k-means /
+    // semdedup input shape), plus hand-checked literals
+    val q = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint)) AS q")
+      .limit(50).localCheckpoint()
+    val pairs = q.as("a").crossJoin(q.as("b").limit(5))
+      .selectExpr(
+        "squared_distance(a.q, b.q) AS sdf",
+        "aggregate(zip_with(a.q, b.q, (x, y) -> (x - y) * (x - y)), 0L, (s, v) -> s + v) AS sdr",
+        "dot_long(a.q, b.q) AS dpf",
+        "aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L, (s, v) -> s + v) AS dpr")
+    assert(pairs.where($"sdf" =!= $"sdr" || $"dpf" =!= $"dpr").count() == 0,
+      "native kernels must equal the interpreted HOF folds exactly")
+    val lit = Seq(1).toDF("x")
+      .selectExpr("squared_distance(array(1L, 2L, 3L), array(4L, 0L, 3L)) AS s",
+        "dot_long(array(1L, 2L, 3L), array(4L, 0L, 3L)) AS d")
+      .head()
+    assert(lit.getLong(0) == 13L && lit.getLong(1) == 13L)
+    val wsc = collectFinal(pairs) { case w: WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, "long-vector kernels must not break codegen")
+  }
+
+  test("squared_distance rejects length-mismatched input loudly") {
+    GraftExtensions.register(spark)
+    val err = intercept[Exception] {
+      Seq(1).toDF("x")
+        .selectExpr("squared_distance(array(1L,2L), array(1L,2L,3L))")
+        .collect()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      Option(t.getMessage).toList ++
+        Option(t.getCause).toList.flatMap(rootMessages)
+    assert(rootMessages(err).exists(_.contains("lengths differ")),
+      s"expected the length precondition error, got $err")
+  }
+
   test("sorted_intersect_count rejects unsorted input loudly") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {
