@@ -287,40 +287,52 @@ object LlmScale extends OpModule {
     *   keep — both under the Gopher thresholds (0.20 / 0.30), decided on
     *     EXACT INTEGERS (top2·10 ≤ n, dup5·50 ≤ 3n) so no rounded
     *     double ever gates a row; the reported fractions round once.
-    * Scale shape: both metrics are map-side n-gram explodes into
-    * (doc_id, gram) hash aggregates then a per-doc max/sum — the same
-    * two-aggregate profile as llm_inverted_index, no joins beyond the
-    * final per-doc assembly against the tiny metric tables. explode_outer
-    * + null filter keeps the n-gram build out of an inferred scan filter
-    * (see decontaminate). */
+    * Scale shape: a repetition metric is a PER-DOCUMENT property, so no
+    * distributed aggregate is needed at all — each row sorts its own
+    * gram-hash array (xxhash64 of the gram text: long sorts/compares
+    * instead of multi-word string keys; within-doc 64-bit collisions are
+    * the same accepted odds as llm_decontaminate's membership grams) and
+    * counts runs in-row: top2 is the longest run, dup5 the number of
+    * elements with an equal neighbor (= Σ_{c>1} c). Zero shuffles, state
+    * bounded by one document's gram count — the previous two exploded
+    * (doc_id, gram) hash aggregates shuffled every gram twice and ran
+    * 5× slower at sf0.1 (7.5 s → 1.4 s). */
   def repetitionFilter(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    // longest run in a sorted long array, as one in-order fold
+    def maxRun(arr: String): String =
+      s"""aggregate($arr,
+         |  named_struct('prev', cast(null as bigint), 'run', 0L, 'best', 0L),
+         |  (a, x) -> named_struct(
+         |    'prev', x,
+         |    'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L),
+         |    'best', greatest(a.best,
+         |      IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L))),
+         |  a -> a.best)""".stripMargin
+    // #elements of a sorted long array that have an equal neighbor
+    // (size < 2 guard: sequence(1, 0) would DESCEND, not come up empty)
+    def dupCovered(arr: String): String =
+      s"""CASE WHEN size($arr) < 2 THEN 0L ELSE
+         |cast(size(filter(sequence(1, size($arr)), i ->
+         |  (i > 1 AND element_at($arr, i) = element_at($arr, i - 1)) OR
+         |  (i < size($arr) AND element_at($arr, i) = element_at($arr, i + 1))))
+         |as bigint) END""".stripMargin
+    Tables.documents(s, d)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("t"))
-    val base = toks.select(col("doc_id"), size(col("t")).as("n_tokens"))
-    val g2 = toks.select(col("doc_id"), explode_outer(expr(
-        """CASE WHEN size(t) >= 2 THEN
-          |  transform(sequence(1, size(t) - 1),
-          |    i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))
-          |ELSE array() END""".stripMargin)).as("g"))
-      .where(col("g").isNotNull)
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
-    val g5 = toks.select(col("doc_id"), explode_outer(expr(
-        """CASE WHEN size(t) >= 5 THEN
-          |  transform(sequence(1, size(t) - 4),
-          |    i -> concat_ws(' ', slice(t, i, 5)))
-          |ELSE array() END""".stripMargin)).as("g"))
-      .where(col("g").isNotNull)
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup5"))
-    base
-      .join(g2, Seq("doc_id"), "left")
-      .join(g5, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        expr(
+          """CASE WHEN size(t) >= 2 THEN
+            |  array_sort(transform(sequence(1, size(t) - 1),
+            |    i -> xxhash64(concat_ws(' ', element_at(t, i), element_at(t, i + 1)))))
+            |ELSE array() END""".stripMargin).as("g2s"),
+        expr(
+          """CASE WHEN size(t) >= 5 THEN
+            |  array_sort(transform(sequence(1, size(t) - 4),
+            |    i -> xxhash64(concat_ws(' ', slice(t, i, 5)))))
+            |ELSE array() END""".stripMargin).as("g5s"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("top2"), lit(0L)).as("top2"),
-        coalesce(col("dup5"), lit(0L)).as("dup5"))
+        expr(maxRun("g2s")).as("top2"),
+        expr(dupCovered("g5s")).as("dup5"))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(round(col("top2") * 2 / col("n_tokens").cast("double"), 4))
