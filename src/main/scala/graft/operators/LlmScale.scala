@@ -275,6 +275,62 @@ object LlmScale extends OpModule {
       .select(col("vec_id"), col("cluster"), col("dup").isNull.as("keep"))
   }
 
+  // ── llm_ann_ivf_kmeans ────────────────────────────────────────────────
+
+  /** IVF approximate nearest neighbor with a LEARNED coarse quantizer —
+    * the FAISS IVFFlat shape: the shared Lloyd assignment (see lloyd) IS
+    * the inverted file, its K = max(4, N div 128) round-2 centroids are
+    * the coarse cells, each query probes its nprobe=2 nearest centroids
+    * by exact integer distance, and candidates rank by exact squared
+    * distance WITHIN the probed cells only (self excluded, top-3, ties
+    * broken by candidate id — a total order both engines walk
+    * identically; llm_ann_ivf next door is the same machinery with
+    * data-independent sign-bit cells). Cost shape at 100 TB: centroids
+    * broadcast (K rows), the probe choice touches queries × K, and the
+    * candidate join is an EQUI-JOIN on cluster id against the inverted
+    * file — per-query work is nprobe·(N/K) ≈ nprobe·128 exact distances
+    * regardless of corpus size, the whole point of IVF. Distances stay
+    * long-safe (q ≤ 6·10⁵·1.2 ⇒ dist ≤ 64·(1.2·10⁶)² < 2⁶³). */
+  def annIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (dims, a2) = lloyd(s, d)
+    // round-2 centroids (recenter of the shared assignment — identical
+    // lattice to llm_kmeans' reported centroids), as sorted arrays for
+    // the native squared_distance kernel
+    val cent = dims.join(a2, "vec_id")
+      .groupBy(col("cluster"), col("dim"))
+      .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long")
+        .as("c"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    val qvec = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
+        .as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+    val probes = qvec.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      .crossJoin(broadcast(cent))
+      .select(col("qid"), col("qq"), col("cluster"),
+        expr("squared_distance(qq, cv)").as("cdist"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= 2)
+      .select(col("qid"), col("qq"), col("cluster"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    qvec.join(a2, "vec_id")
+      .join(broadcast(probes), "cluster")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"), col("cluster"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cand_id"), col("cluster"),
+        col("dist"))
+  }
+
   // ── llm_repetition_filter ─────────────────────────────────────────────
 
   /** Gopher-style repetition gates (the MassiveText quality rules,
@@ -663,7 +719,8 @@ object LlmScale extends OpModule {
     "llm_url_normalize" -> urlNormalize _,
     "llm_dataset_card" -> datasetCard _,
     "llm_repetition_filter" -> repetitionFilter _,
-    "llm_tfidf" -> tfidf _
+    "llm_tfidf" -> tfidf _,
+    "llm_ann_ivf_kmeans" -> annIvfKmeans _
   )
 
   /** Shared oracle CTE chain replaying `lloyd` (corpus-scaled K → dims →
@@ -713,6 +770,37 @@ object LlmScale extends OpModule {
       |    FROM d2) WHERE rn = 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_ann_ivf_kmeans" ->
+      (lloydCtes + """,
+        |c2 AS (
+        |  SELECT a2.cluster, dims.dim,
+        |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
+        |  FROM dims JOIN a2 USING (vec_id) GROUP BY a2.cluster, dims.dim),
+        |qd AS (
+        |  SELECT d.vec_id AS qid, c2.cluster,
+        |    sum((d.q - c2.c) * (d.q - c2.c)) AS cdist
+        |  FROM dims d JOIN c2 USING (dim)
+        |  WHERE d.vec_id < 10
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT qid, cluster FROM (
+        |    SELECT qid, cluster,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY cdist ASC, cluster ASC) AS rn
+        |    FROM qd) WHERE rn <= 2),
+        |cd AS (
+        |  SELECT pr.qid, a2.vec_id AS cand_id, pr.cluster,
+        |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+        |  FROM pr
+        |  JOIN a2 ON a2.cluster = pr.cluster AND a2.vec_id != pr.qid
+        |  JOIN dims dq ON dq.vec_id = pr.qid
+        |  JOIN dims dc ON dc.vec_id = a2.vec_id AND dc.dim = dq.dim
+        |  GROUP BY 1, 2, 3)
+        |SELECT qid, rank, cand_id, cluster, dist FROM (
+        |  SELECT qid, cand_id, cluster, dist,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY dist ASC, cand_id ASC) AS rank
+        |  FROM cd) WHERE rank <= 3""".stripMargin),
     "llm_repetition_filter" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')

@@ -259,6 +259,31 @@ class LlmScaleSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("ann_ivf_kmeans: per-query top-3 within probed cells, exact & ordered") {
+    val out = operators.LlmScale.annIvfKmeans(spark, sf).collect()
+    // every query with ≥3 reachable candidates reports exactly 3 ranks
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.nonEmpty && byQ.keySet.forall(_ < 10))
+    byQ.foreach { case (qid, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"q$qid ranks not contiguous")
+      // distances ascend with rank, never include the query itself
+      val ordered = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("dist")).toSeq
+      assert(ordered == ordered.sorted, s"q$qid distances out of order")
+      assert(rows.forall(_.getAs[Long]("cand_id") != qid))
+      // a probed list is the query's own cell ⇒ rank-1 distance is ≤ the
+      // distance to any same-cell neighbor; with exact clones in the
+      // fixture a zero distance must win rank 1 when present
+      if (ordered.contains(0L)) assert(ordered.head == 0L)
+    }
+    // candidates only come from ≤2 cells per query
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("cluster")).distinct.size <= 2,
+        s"q$qid probed more than nprobe=2 cells")
+    }
+  }
+
   test("url_normalize: four messy variants collapse to one canonical form") {
     val rows = operators.LlmScale.urlNormalize(spark, sf).collect()
     assert(rows.nonEmpty)
