@@ -59,7 +59,10 @@ object ScaleProbe {
       "llm_perplexity_proxy",
       // adaptive-K semdedup (20 k vectors → K=156, pair space stays
       // ≈ N·128), sign-cell LSH embedding dedup, Gopher repetition gates
-      "llm_semdedup", "llm_dedup_embed", "llm_repetition_filter")
+      "llm_semdedup", "llm_dedup_embed", "llm_repetition_filter",
+      // learned-quantizer IVF: per-query candidate work must stay
+      // ≈ nprobe·(N/K), i.e. flat, as N and K grow together
+      "llm_ann_ivf_kmeans")
     println(f"${"op"}%-24s ${"sec"}%8s ${"rows"}%10s")
     probes.foreach { name =>
       val t0 = System.nanoTime()

@@ -331,6 +331,40 @@ object LlmScale extends OpModule {
         col("dist"))
   }
 
+  // ── llm_gram_matrix ───────────────────────────────────────────────────
+
+  /** Exact integer Gram matrix + column sums over the embedding corpus —
+    * the one-pass sufficient statistics for covariance/PCA prep
+    * (cov_ij = (gram − s_i·s_j/n)/n, normalized downstream in whatever
+    * precision the consumer wants; the ENGINE output stays exact BIGINT
+    * so the gate never meets a rounded quotient). Embeddings quantize to
+    * 10³ (|q| ≤ 600 ⇒ products ≤ 3.6·10⁵ — the running sum is long-safe
+    * past 10¹² rows). The whole computation is ONE typed-Aggregator pass
+    * (graft.functions.GramMatrixLong): each partition folds its rows
+    * into a single flat D²+D+1 buffer map-side (tight j ≥ i JVM loop, no
+    * allocation) and the shuffle carries |partitions| 33 KB buffers —
+    * the per-dimension-pair explode alternative would shuffle N·D²/2
+    * rows (~41 G at sf0.1×10³). Output is the upper triangle as (i, j,
+    * s_i, s_j, gram, n) rows. */
+  def gramMatrix(s: SparkSession, d: String): DataFrame = {
+    val gram = udaf(graft.functions.GramMatrixLong)
+    Tables.embeddings(s, d)
+      .select(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+        .as("q"))
+      .agg(gram(col("q")).as("g"))
+      .select(col("g._3").as("n"), col("g._2").as("sums"),
+        posexplode(col("g._1")))
+      .select(col("n"), col("sums"),
+        expr("pos div 64").as("i"), expr("cast(pos % 64 as bigint)").as("j"),
+        col("col").as("gram"))
+      .where(col("j") >= col("i"))
+      .select(col("i"), col("j"),
+        expr("element_at(sums, cast(i + 1 as int))").as("s_i"),
+        expr("element_at(sums, cast(j + 1 as int))").as("s_j"),
+        col("gram"), col("n"))
+  }
+
   // ── llm_repetition_filter ─────────────────────────────────────────────
 
   /** Gopher-style repetition gates (the MassiveText quality rules,
@@ -720,7 +754,8 @@ object LlmScale extends OpModule {
     "llm_dataset_card" -> datasetCard _,
     "llm_repetition_filter" -> repetitionFilter _,
     "llm_tfidf" -> tfidf _,
-    "llm_ann_ivf_kmeans" -> annIvfKmeans _
+    "llm_ann_ivf_kmeans" -> annIvfKmeans _,
+    "llm_gram_matrix" -> gramMatrix _
   )
 
   /** Shared oracle CTE chain replaying `lloyd` (corpus-scaled K → dims →
@@ -770,6 +805,22 @@ object LlmScale extends OpModule {
       |    FROM d2) WHERE rn = 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_gram_matrix" ->
+      """WITH q AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |g AS (
+        |  SELECT a.dim AS i, b.dim AS j,
+        |    CAST(sum(a.q * b.q) AS BIGINT) AS gram
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+        |  GROUP BY 1, 2),
+        |s AS (SELECT dim, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY dim),
+        |n AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT g.i, g.j, si.s AS s_i, sj.s AS s_j, g.gram, n.n
+        |FROM g
+        |JOIN s si ON si.dim = g.i
+        |JOIN s sj ON sj.dim = g.j, n""".stripMargin,
     "llm_ann_ivf_kmeans" ->
       (lloydCtes + """,
         |c2 AS (

@@ -284,6 +284,31 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("gram_matrix: upper triangle complete, diagonal PSD, partition-invariant") {
+    val out = operators.LlmScale.gramMatrix(spark, sf).collect()
+    assert(out.length == 64 * 65 / 2, "upper triangle of a 64x64 matrix")
+    val n = Tables.embeddings(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("i") <= r.getAs[Long]("j"))
+    }
+    // diagonal entries are sums of squares — never negative
+    out.filter(r => r.getAs[Long]("i") == r.getAs[Long]("j"))
+      .foreach(r => assert(r.getAs[Long]("gram") >= 0L))
+    // the aggregation must commute with partitioning (map-side partials):
+    // recompute one cell from first principles
+    val q = Tables.embeddings(spark, sf).select(expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+      .as("q"))
+    val expected = q.select(
+        (expr("element_at(q, 1)") * expr("element_at(q, 2)")).as("p"),
+        expr("element_at(q, 1)").as("a"))
+      .agg(sum(col("p")).as("g01"), sum(col("a")).as("s0")).head()
+    val cell = out.find(r => r.getAs[Long]("i") == 0 && r.getAs[Long]("j") == 1).get
+    assert(cell.getAs[Long]("gram") == expected.getAs[Long]("g01"))
+    assert(cell.getAs[Long]("s_i") == expected.getAs[Long]("s0"))
+  }
+
   test("url_normalize: four messy variants collapse to one canonical form") {
     val rows = operators.LlmScale.urlNormalize(spark, sf).collect()
     assert(rows.nonEmpty)
