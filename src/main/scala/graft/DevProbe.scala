@@ -60,6 +60,29 @@ object DevProbe {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit")))
       spark.stop(); return
     }
+    // fingerprint stage bisection on a 10× synthetic corpus
+    if (names == Seq("fp_parts")) {
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_fp_probe"
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("k", explode(lit((0 until 10).toArray)))
+        .select((col("doc_id") * 10 + col("k")).as("doc_id"),
+          when(col("k") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v"), col("k"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      def t(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = df.queryExecution.toRdd.count()
+          println(f"[part] $tag run$i: $n rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
+      val fpOnly = operators.LlmExtended.fingerprintFpOnly(spark, out)
+      t("fp_only")(fpOnly)
+      t("full_window")(SparkEntry.queries("llm_fingerprint")(spark, out))
+      spark.stop(); return
+    }
     if (names == Seq("jac_parts")) {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window

@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProductLong, NGrams, SimHash32,
-  SortedIntersectCount, SquaredDistanceLong}
+import graft.functions.{CosineSimilarity, DotProductLong, NGrams, PolyShingles,
+  SimHash32, SortedIntersectCount, SquaredDistanceLong}
 
 /** Engine extension wiring (SURVEY.md §4.3).
   *
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sortedIntersectDescriptor)
     ext.injectFunction(GraftExtensions.squaredDistanceDescriptor)
     ext.injectFunction(GraftExtensions.dotLongDescriptor)
+    ext.injectFunction(GraftExtensions.polyShinglesDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
@@ -96,11 +97,21 @@ object GraftExtensions {
     }
   )
 
+  private val polyShinglesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("poly_shingles"),
+    new ExpressionInfo(classOf[PolyShingles].getName, "poly_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "poly_shingles expects array<string>")
+      PolyShingles(children.head)
+    }
+  )
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, ngramsDescriptor, simhashDescriptor,
       sortedIntersectDescriptor, squaredDistanceDescriptor,
-      dotLongDescriptor).foreach {
+      dotLongDescriptor, polyShinglesDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -80,7 +80,12 @@ object LlmExtended extends OpModule {
     * single-element array and bound as a LAMBDA VARIABLE (`wh`): a
     * higher-order function evaluates its collection argument exactly
     * once per row, and lambda-variable references are free. */
-  private val shingleHashExpr =
+  /** Reference HOF formulation, superseded in the query paths by the
+    * native `poly_shingles` expression (graft.functions.PolyShingles —
+    * one primitive pass per row instead of ~6 interpreted lambda evals
+    * per character); kept as the equivalence witness the spec asserts
+    * the native kernel against, bit for bit, on the real corpus. */
+  private[graft] val shingleHashExpr =
     s"""CASE WHEN size(toks) >= 3 THEN
        |  array_distinct(element_at(transform(array($wordHashExpr),
        |    wh -> transform(sequence(1, size(toks) - 2),
@@ -120,7 +125,7 @@ object LlmExtended extends OpModule {
   private def withSimhash(docs: DataFrame): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
       .withColumn("fps", expr(
-        s"""element_at(transform(array($shingleHashExpr),
+        s"""element_at(transform(array(poly_shingles(toks)),
            |  h1 -> named_struct(
            |    'lo', simhash32(h1,
            |            transform(h1, x -> (x * 2654435761L) % 1000000007)),
@@ -380,14 +385,21 @@ object LlmExtended extends OpModule {
   /** Rolling-hash document fingerprint: min poly-hash over word
     * 3-shingles (winnowing with window = whole doc). Identical docs share
     * fingerprints; n_same_fp surfaces collision clusters. */
-  def fingerprint(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+  /** fp-computation stage of llm_fingerprint (dev bisection hook). */
+  private[graft] def fingerprintFpOnly(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      // same rolling word-hash composition as SimHash (hash each word
-      // once, compose shingle hashes algebraically); min is unaffected
-      // by the distinct step so the shared expression is reused as-is
-      .withColumn("fp", expr(s"array_min($shingleHashExpr)"))
+      .withColumn("fp", expr("array_min(poly_shingles(toks))"))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    // same rolling word-hash composition as SimHash (hash each word
+    // once, compose shingle hashes algebraically); min is unaffected
+    // by the distinct step so the shared expression is reused as-is
+    fingerprintFpOnly(s, d)
       .select(col("doc_id"), col("fp"),
         count(lit(1)).over(w).as("n_same_fp"))
   }

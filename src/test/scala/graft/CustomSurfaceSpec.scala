@@ -165,6 +165,30 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(wsc.nonEmpty, "simhash32 must not break whole-stage codegen")
   }
 
+  test("poly_shingles expression is bit-identical to the HOF formulation, stays in codegen") {
+    graft.GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", split($"text", " "))
+    val both = docs.select($"doc_id",
+      expr("poly_shingles(toks)").as("native"),
+      expr(graft.operators.LlmExtended.shingleHashExpr).as("hof"))
+    assert(both.where(expr("native != hof")).count() == 0,
+      "native shingle hashes must equal the HOF formulation on every doc")
+    // edge cases the corpus may not cover: <3 tokens, empty words from
+    // double spaces, non-ASCII code points incl. a surrogate pair
+    val edge = Seq("", "one two", "a  b c", "π €𝄞 words here",
+      "x y z", "dup dup dup dup")
+      .toDF("text").withColumn("toks", split($"text", " "))
+    val e2 = edge.select(expr("poly_shingles(toks)").as("native"),
+      expr(graft.operators.LlmExtended.shingleHashExpr).as("hof"))
+    assert(e2.where(expr("native != hof")).count() == 0,
+      "native shingle hashes must match on edge-case texts")
+    val wsc = collectFinal(both.select($"native")) {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, "poly_shingles must not break whole-stage codegen")
+  }
+
   test("LevenshteinGuard rule injects the length pre-filter, idempotently, same results") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     graft.GraftExtensions.installOptimizations(spark)
