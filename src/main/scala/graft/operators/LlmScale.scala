@@ -134,6 +134,16 @@ object LlmScale extends OpModule {
     * with N), and no per-vector window sort. At 100 TB the only shuffle
     * is that aggregate; iterations stay O(rounds), exactly how MLlib
     * schedules Lloyd (which also ships centroid arrays to executors).
+    *
+    * HONEST SCALE LIMIT: with K ∝ N the brute-force assign is N·K ≈
+    * N²/128 distance evaluations per round — fine to ~10⁷ vectors on a
+    * cluster, quadratic beyond. The 100 TB path is a two-level coarse
+    * quantizer (√K supercells first, then √K cells within each — total
+    * assign work N·2√K, the FAISS IVF-HNSW/IMI recipe) or a fixed K per
+    * corpus shard; the within-cell phase and all downstream consumers
+    * (semdedup's pair bound, annIvfKmeans' inverted file) are unchanged
+    * by that substitution, so the demo keeps the single-level form the
+    * oracle can replay.
     */
   private[graft] def kFor(n: Long): Long = math.max(4L, n / 128L)
 
