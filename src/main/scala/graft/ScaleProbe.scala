@@ -62,7 +62,10 @@ object ScaleProbe {
       "llm_semdedup", "llm_dedup_embed", "llm_repetition_filter",
       // learned-quantizer IVF: per-query candidate work must stay
       // ≈ nprobe·(N/K), i.e. flat, as N and K grow together
-      "llm_ann_ivf_kmeans")
+      "llm_ann_ivf_kmeans",
+      // substring dedup: window pass only over duplicated positions —
+      // the clone corpus makes EVERY gram duplicated, the worst case
+      "llm_dedup_substring")
     println(f"${"op"}%-24s ${"sec"}%8s ${"rows"}%10s")
     probes.foreach { name =>
       val t0 = System.nanoTime()

@@ -341,6 +341,64 @@ object LlmScale extends OpModule {
         col("dist"))
   }
 
+  // ── llm_dedup_substring ───────────────────────────────────────────────
+
+  /** Substring-level duplicate detection (the Lee et al. 2022 /
+    * RefinedWeb pass that doc-level dedup misses): an 8-token gram is
+    * DUPLICATED when it occurs more than once across the whole corpus
+    * (within-doc repeats count); per document, duplicated gram positions
+    * merge into maximal duplicated SPANS (two grams at p₁ < p₂ overlap
+    * or touch iff p₂ ≤ p₁ + 8 — classic gaps-and-islands over the
+    * position order), and the output reports span count, duplicated
+    * token coverage, and the keep gate dup_tokens·2 ≤ n_tokens decided
+    * on exact integers. Scale shape: one gram explode into a global
+    * (gh, count) hash aggregate (map-side combined), a LEFT SEMI probe
+    * back, and one per-doc window pass over duplicated positions only —
+    * never over all grams. Grams carry xxhash64 longs, not strings
+    * (8 bytes vs ~50 chars through both shuffles; the oracle keeps
+    * string keys — collision odds are the dedup_near precedent). */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("t"))
+    val base = toks.select(col("doc_id"), size(col("t")).as("n_tokens"))
+    // (doc, position, gram-hash) — read twice (dup detection + probe) →
+    // checkpoint once, the ≥2-reader rule
+    val grams = toks.where(size(col("t")) >= K)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(t) - ${K - 1}),
+           |  i -> xxhash64(concat_ws(' ', slice(t, i, $K))))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("gh"))
+      .localCheckpoint()
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("gh"))
+    val dp = grams.join(dup, Seq("gh"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = dp
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(w) > K, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("p")) - min(col("p")) + K).as("covered"),
+        count(lit(1)).as("np"))
+    val per = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("np")).as("n_dup_grams"),
+        sum(col("covered")).as("dup_tokens"))
+    base.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(
+            coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens").cast("double"), 4))
+          .as("frac_dup"),
+        (coalesce(col("dup_tokens"), lit(0L)) * 2 <= col("n_tokens"))
+          .as("keep"))
+  }
+
   // ── llm_gram_matrix ───────────────────────────────────────────────────
 
   /** Exact integer Gram matrix + column sums over the embedding corpus —
@@ -765,7 +823,8 @@ object LlmScale extends OpModule {
     "llm_repetition_filter" -> repetitionFilter _,
     "llm_tfidf" -> tfidf _,
     "llm_ann_ivf_kmeans" -> annIvfKmeans _,
-    "llm_gram_matrix" -> gramMatrix _
+    "llm_gram_matrix" -> gramMatrix _,
+    "llm_dedup_substring" -> dedupSubstring _
   )
 
   /** Shared oracle CTE chain replaying `lloyd` (corpus-scaled K → dims →
@@ -815,6 +874,48 @@ object LlmScale extends OpModule {
       |    FROM d2) WHERE rn = 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')
+        |    AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_tokens FROM t),
+        |g AS (
+        |  SELECT doc_id, u.p, u.gs FROM (
+        |    SELECT doc_id,
+        |      unnest([{'p': i - 1, 'gs': array_to_string(t[i:i+7], ' ')}
+        |              for i in range(1, len(t) - 6)]) AS u
+        |    FROM t WHERE len(t) >= 8)),
+        |dup AS (SELECT gs FROM g GROUP BY gs HAVING count(*) > 1),
+        |dp AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gs)),
+        |isl0 AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dp),
+        |isl1 AS (
+        |  SELECT doc_id, p,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS isl
+        |  FROM isl0),
+        |spans AS (
+        |  SELECT doc_id, isl, max(p) - min(p) + 8 AS covered, count(*) AS np
+        |  FROM isl1 GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans,
+        |         CAST(sum(np) AS BIGINT) AS n_dup_grams,
+        |         CAST(sum(covered) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+        |  CASE WHEN b.n_tokens = 0 THEN 0.0
+        |       ELSE round(coalesce(p.dup_tokens, 0) / b.n_tokens::DOUBLE, 4)
+        |  END AS frac_dup,
+        |  (coalesce(p.dup_tokens, 0) * 2 <= b.n_tokens) AS keep
+        |FROM base b LEFT JOIN per p USING (doc_id)""".stripMargin,
     "llm_gram_matrix" ->
       """WITH q AS (
         |  SELECT vec_id, i - 1 AS dim,

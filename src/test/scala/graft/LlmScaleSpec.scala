@@ -309,6 +309,47 @@ class LlmScaleSpec extends SparkSpec {
     assert(cell.getAs[Long]("s_i") == expected.getAs[Long]("s0"))
   }
 
+  test("dedup_substring: every doc reported, exact-dup docs fully covered") {
+    val out = operators.LlmScale.dedupSubstring(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length.toLong == nDocs, "one row per document")
+    out.foreach { r =>
+      val (n, spans, grams, dup) = (r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_dup_grams"),
+        r.getAs[Long]("dup_tokens"))
+      assert(dup >= 0 && dup <= n, s"coverage $dup outside [0, $n]")
+      assert(grams >= spans, "each span holds >= 1 duplicated gram")
+      assert((spans == 0) == (dup == 0))
+      assert(r.getAs[Boolean]("keep") == (dup * 2 <= n))
+    }
+    // clone semantics on a controlled corpus (the tiny SFs carry no exact
+    // duplicates): a text occurring twice is duplicated END TO END (one
+    // span covering all tokens); a doc sharing only its 10-token prefix
+    // with another gets exactly that prefix as its single span; a
+    // fully-unique doc reports zero coverage
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    val words = (0 until 30).map(i => s"w$i")
+    val prefix = (0 until 10).map(i => s"p$i").mkString(" ")
+    Seq(
+      (0L, words.take(20).mkString(" ")),
+      (1L, words.take(20).mkString(" ")),                 // exact clone of 0
+      (2L, prefix + " " + (0 until 12).map(i => s"a$i").mkString(" ")),
+      (3L, prefix + " " + (0 until 12).map(i => s"b$i").mkString(" ")),
+      (4L, (0 until 15).map(i => s"u$i").mkString(" "))   // fully unique
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tiny = operators.LlmScale.dedupSubstring(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_tokens"))).toMap
+    assert(tiny(0L) == (1L, 20L) && tiny(1L) == (1L, 20L),
+      "exact clones must be covered end to end by one span")
+    assert(tiny(2L) == (1L, 10L) && tiny(3L) == (1L, 10L),
+      "shared 10-token prefix must be exactly the one duplicated span")
+    assert(tiny(4L) == (0L, 0L), "unique doc must report zero coverage")
+  }
+
   test("url_normalize: four messy variants collapse to one canonical form") {
     val rows = operators.LlmScale.urlNormalize(spark, sf).collect()
     assert(rows.nonEmpty)
