@@ -350,6 +350,36 @@ class LlmScaleSpec extends SparkSpec {
     assert(tiny(4L) == (0L, 0L), "unique doc must report zero coverage")
   }
 
+  test("ann_ivf_kmeans plan guard: corpus joins the probes by EQUI cluster key") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the only non-equi join allowed is the 10-query × K-centroid probe
+    // selection (a broadcast NLJ over rows bounded by queries·K); the
+    // CORPUS side must reach the probes through an equi join on the
+    // cluster id — an NLJ or cartesian against the inverted file is the
+    // all-pairs regression this guard pins
+    val df = operators.LlmScale.annIvfKmeans(spark, sf)
+    df.queryExecution.toRdd.count()
+    val nlj = collectFinal(df) {
+      case p: BroadcastNestedLoopJoinExec => p
+      case p: CartesianProductExec        => p
+    }
+    assert(nlj.size <= 1,
+      s"only the probe-selection NLJ is allowed, found ${nlj.size}")
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    val equiOnCluster = collectFinal(df) {
+      case p: BroadcastHashJoinExec
+        if p.leftKeys.exists(_.toString.contains("cluster")) => p
+      case p: ShuffledHashJoinExec
+        if p.leftKeys.exists(_.toString.contains("cluster")) => p
+      case p: SortMergeJoinExec
+        if p.leftKeys.exists(_.toString.contains("cluster")) => p
+    }
+    assert(equiOnCluster.nonEmpty,
+      "the corpus must reach the probes through an equi join on cluster id")
+  }
+
   test("url_normalize: four messy variants collapse to one canonical form") {
     val rows = operators.LlmScale.urlNormalize(spark, sf).collect()
     assert(rows.nonEmpty)
