@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineSimilarity, DotProductLong, NGrams, PolyShingles,
-  SimHash32, SortedIntersectCount, SquaredDistanceLong}
+  SimHash32, SortedIntersectCount, SquaredDistanceLong, XxNGramHashes}
 
 /** Engine extension wiring (SURVEY.md §4.3).
   *
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.squaredDistanceDescriptor)
     ext.injectFunction(GraftExtensions.dotLongDescriptor)
     ext.injectFunction(GraftExtensions.polyShinglesDescriptor)
+    ext.injectFunction(GraftExtensions.xxNGramDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
@@ -107,11 +108,22 @@ object GraftExtensions {
     }
   )
 
+  private val xxNGramDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("xx_ngram_hashes"),
+    new ExpressionInfo(classOf[XxNGramHashes].getName, "xx_ngram_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "xx_ngram_hashes expects (array<string>, const int)")
+      XxNGramHashes(children.head, children(1))
+    }
+  )
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, ngramsDescriptor, simhashDescriptor,
       sortedIntersectDescriptor, squaredDistanceDescriptor,
-      dotLongDescriptor, polyShinglesDescriptor).foreach {
+      dotLongDescriptor, polyShinglesDescriptor, xxNGramDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -200,11 +200,8 @@ object LlmExtended extends OpModule {
     // survives executor loss) — same one-pass economics.
     val sh = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("hs", expr(
-        """CASE WHEN size(toks) >= 4 THEN
-          |  sort_array(array_distinct(transform(sequence(1, size(toks) - 3),
-          |    i -> xxhash64(concat_ws(' ', slice(toks, i, 4))))))
-          |ELSE array() END""".stripMargin))
+      .withColumn("hs",
+        expr("sort_array(array_distinct(xx_ngram_hashes(toks, 4)))"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
       .localCheckpoint()
     // prefix filter (SSJoin/PPJoin, output-invariant): if J(x,y) ≥ τ

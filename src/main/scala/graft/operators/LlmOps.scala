@@ -113,9 +113,12 @@ object LlmOps extends OpModule {
     // Intersection counts equal the string-set counts unless two distinct
     // shingles collide in 64 bits (P < 1e-10 at this vocabulary; the
     // oracle keeps string keys — same precedent as dedupNgram).
-    val base = withShingles(Tables.documents(s, d))
+    // native kernel: hash-then-distinct equals the string-shingle
+    // distinct-then-hash (same 64-bit collision caveat as above)
+    val base = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
-        sort_array(expr("transform(shingles, x -> xxhash64(x))")).as("hs"))
+        sort_array(expr("array_distinct(xx_ngram_hashes(toks, 3))")).as("hs"))
       .localCheckpoint()
     val docs = signatureFromHashes(base, "hs")
       .select(col("doc_id"), col("sig"))

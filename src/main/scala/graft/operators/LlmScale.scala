@@ -35,11 +35,8 @@ object LlmScale extends OpModule {
     * when even one shuffle of the train side is too much.
     */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val grams8 =
-      """CASE WHEN size(toks) >= 8 THEN
-        |  array_distinct(transform(sequence(1, size(toks) - 7),
-        |    i -> xxhash64(concat_ws(' ', slice(toks, i, 8)))))
-        |ELSE array() END""".stripMargin
+    graft.GraftExtensions.register(s)
+    val grams8 = "array_distinct(xx_ngram_hashes(toks, 8))"
     // the gram-hash tree is the expensive subtree and has THREE readers
     // (train explode, eval explode, eval counts): the repartition pins it
     // under one exchange, so ReusedExchange hashes the corpus once — the
@@ -358,6 +355,7 @@ object LlmScale extends OpModule {
     * (8 bytes vs ~50 chars through both shuffles; the oracle keeps
     * string keys — collision odds are the dedup_near precedent). */
   def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     val K = 8
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -366,9 +364,8 @@ object LlmScale extends OpModule {
     // (doc, position, gram-hash) — read twice (dup detection + probe) →
     // checkpoint once, the ≥2-reader rule
     val grams = toks.where(size(col("t")) >= K)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, size(t) - ${K - 1}),
-           |  i -> xxhash64(concat_ws(' ', slice(t, i, $K))))""".stripMargin)))
+      .select(col("doc_id"),
+        posexplode(expr(s"xx_ngram_hashes(t, $K)")))
       .select(col("doc_id"), col("pos").as("p"), col("col").as("gh"))
       .localCheckpoint()
     val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
@@ -474,20 +471,13 @@ object LlmScale extends OpModule {
          |  (i > 1 AND element_at($arr, i) = element_at($arr, i - 1)) OR
          |  (i < size($arr) AND element_at($arr, i) = element_at($arr, i + 1))))
          |as bigint) END""".stripMargin
+    graft.GraftExtensions.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x != '')").as("t"))
       .select(col("doc_id"), size(col("t")).as("n_tokens"),
-        expr(
-          """CASE WHEN size(t) >= 2 THEN
-            |  array_sort(transform(sequence(1, size(t) - 1),
-            |    i -> xxhash64(concat_ws(' ', element_at(t, i), element_at(t, i + 1)))))
-            |ELSE array() END""".stripMargin).as("g2s"),
-        expr(
-          """CASE WHEN size(t) >= 5 THEN
-            |  array_sort(transform(sequence(1, size(t) - 4),
-            |    i -> xxhash64(concat_ws(' ', slice(t, i, 5)))))
-            |ELSE array() END""".stripMargin).as("g5s"))
+        expr("array_sort(xx_ngram_hashes(t, 2))").as("g2s"),
+        expr("array_sort(xx_ngram_hashes(t, 5))").as("g5s"))
       .select(col("doc_id"), col("n_tokens"),
         expr(maxRun("g2s")).as("top2"),
         expr(dupCovered("g5s")).as("dup5"))

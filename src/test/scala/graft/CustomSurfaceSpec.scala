@@ -189,6 +189,37 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(wsc.nonEmpty, "poly_shingles must not break whole-stage codegen")
   }
 
+  test("xx_ngram_hashes is bit-identical to the HOF xxhash64 form, stays in codegen") {
+    graft.GraftExtensions.register(spark)
+    def hof(k: Int) =
+      s"""CASE WHEN size(toks) >= $k THEN
+         |  transform(sequence(1, size(toks) - ${k - 1}),
+         |    i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))
+         |ELSE array() END""".stripMargin
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", split($"text", " "))
+    Seq(2, 3, 4, 8).foreach { k =>
+      val both = docs.select(
+        expr(s"xx_ngram_hashes(toks, $k)").as("native"),
+        expr(hof(k)).as("hof"))
+      assert(both.where(expr("native != hof")).count() == 0,
+        s"k=$k: native gram hashes must equal the HOF formulation")
+    }
+    // empty words from double spaces keep their concat_ws separator, and
+    // short/unicode inputs agree too
+    val edge = Seq("", "one", "a  b c d", "π €𝄞 x y", "w w w w w")
+      .toDF("text").withColumn("toks", split($"text", " "))
+    val e2 = edge.select(expr("xx_ngram_hashes(toks, 3)").as("native"),
+      expr(hof(3)).as("hof"))
+    assert(e2.where(expr("native != hof")).count() == 0,
+      "native gram hashes must match on edge-case texts")
+    val wsc = collectFinal(
+      docs.select(expr("xx_ngram_hashes(toks, 3)").as("native"))) {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, "xx_ngram_hashes must not break whole-stage codegen")
+  }
+
   test("LevenshteinGuard rule injects the length pre-filter, idempotently, same results") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     graft.GraftExtensions.installOptimizations(spark)
