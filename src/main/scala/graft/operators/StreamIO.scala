@@ -235,6 +235,45 @@ object StreamIO extends OpModule {
     s.table(name)
   }
 
+  /** LEFT-OUTER stream-stream join: same interval condition as
+    * join_stream_stream, but a click with no purchase emits a
+    * null-padded row once its state EXPIRES — i.e. once the global
+    * watermark (min over both streams of max-event-time − 10 min)
+    * passes the click's join-window upper bound (c_ts, since matching
+    * purchases satisfy p_ts ≤ c_ts). Clicks inside the final watermark
+    * horizon stay in state and emit NOTHING — that tail retention is the
+    * semantics of watermarked outer joins, and the oracle replays the
+    * same expiry rule (SURVEY §5.4 batch-twin discipline: the expiry
+    * cutoff is a deterministic function of the fixed fixture). At 100 TB
+    * the state bound is identical to the inner join's —
+    * O(join-window × rate) per side — plus the unmatched-left buffer the
+    * watermark drains continuously. */
+  def joinStreamOuter(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val clicks = eventsStream(s, d).where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = eventsStream(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val name = s"ss_louter_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("c_ts"),
+        "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("p_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name)
+  }
+
   /** Stream enriched by a static (broadcast) dimension — the streaming
     * side never shuffles; each micro-batch hash-probes the dim. */
   def joinStreamStatic(s0: SparkSession, d: String): DataFrame = {
@@ -285,6 +324,7 @@ object StreamIO extends OpModule {
     "stream_checkpoint_recovery" -> checkpointRecovery _,
     "stream_output_modes" -> outputModes _,
     "join_stream_stream" -> joinStreamStream _,
+    "join_stream_outer" -> joinStreamOuter _,
     "join_stream_static" -> joinStreamStatic _
   )
 
@@ -335,6 +375,28 @@ object StreamIO extends OpModule {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts - INTERVAL 30 MINUTES AND p.ts <= c.ts""".stripMargin),
+    "join_stream_outer" -> (evCte +
+      """,
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |      FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts,
+        |             value AS p_value
+        |      FROM ev WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(c_ts) FROM c),
+        |                    (SELECT max(p_ts) FROM p))
+        |         - INTERVAL 10 MINUTE AS wm),
+        |m AS (SELECT c.user_id, c.click_id, p.purchase_id, p.p_value
+        |      FROM c JOIN p ON c.user_id = p.user_id
+        |        AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
+        |        AND p.p_ts <= c.c_ts),
+        |u AS (SELECT c.user_id, c.click_id,
+        |             NULL::BIGINT AS purchase_id, NULL::DOUBLE AS p_value
+        |      FROM c, wm
+        |      WHERE c.c_ts < wm.wm AND NOT EXISTS (
+        |        SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |          AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
+        |          AND p.p_ts <= c.c_ts))
+        |SELECT * FROM m UNION ALL SELECT * FROM u""".stripMargin),
     "join_stream_static" -> (evCte +
       """
         |, bands(band_id, lo, hi) AS (VALUES

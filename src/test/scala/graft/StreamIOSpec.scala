@@ -28,6 +28,37 @@ class StreamIOSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == 5)
   }
 
+  test("left-outer stream-stream join: matches + watermark-expired null rows") {
+    import org.apache.spark.sql.functions._
+    val out = StreamIO.joinStreamOuter(spark, sf).cache()
+    try {
+      val ev = graft.Tables.events(spark, sf)
+      val c = ev.where($"event_type" === "click")
+        .select($"user_id".as("cu"), $"event_id".as("click_id"), $"ts".as("cts"))
+      val p = ev.where($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"event_id".as("purchase_id"), $"ts".as("pts"))
+      val joinCond = $"cu" === $"pu" &&
+        $"pts" >= $"cts" - expr("INTERVAL 30 MINUTES") && $"pts" <= $"cts"
+      // matched pairs identical to the inner join
+      val matched = out.where($"purchase_id".isNotNull)
+        .select("click_id", "purchase_id").collect().toSet
+      val batch = c.join(p, joinCond)
+        .select("click_id", "purchase_id").collect().toSet
+      assert(matched == batch, "matched pairs must equal the batch inner join")
+      // null rows are exactly the unmatched clicks whose state expired
+      // under the final watermark min(maxC, maxP) - 10min
+      val wm = c.agg(max($"cts")).head.getTimestamp(0).getTime
+        .min(p.agg(max($"pts")).head.getTimestamp(0).getTime) - 10 * 60 * 1000L
+      val expectedNull = c.join(p, joinCond, "left_anti")
+        .where($"cts" < lit(new java.sql.Timestamp(wm)))
+        .select("click_id").as[Long].collect().toSet
+      val gotNull = out.where($"purchase_id".isNull)
+        .select("click_id").as[Long].collect().toSet
+      assert(gotNull == expectedNull,
+        "null-padded rows must be exactly the watermark-expired unmatched clicks")
+    } finally out.unpersist()
+  }
+
   test("stream-stream join matches the batch interval join") {
     val streamed = StreamIO.joinStreamStream(spark, sf)
       .select("click_id", "purchase_id").collect().toSet
