@@ -65,7 +65,10 @@ object ScaleProbe {
       "llm_ann_ivf_kmeans",
       // substring dedup: window pass only over duplicated positions —
       // the clone corpus makes EVERY gram duplicated, the worst case
-      "llm_dedup_substring")
+      "llm_dedup_substring",
+      // one-pass Gram aggregator: cost is N·D²/2 multiply-adds map-side,
+      // shuffle stays |partitions| flat buffers at any N
+      "llm_gram_matrix")
     println(f"${"op"}%-24s ${"sec"}%8s ${"rows"}%10s")
     probes.foreach { name =>
       val t0 = System.nanoTime()

@@ -274,6 +274,38 @@ object StreamIO extends OpModule {
     s.table(name)
   }
 
+  /** FULL-OUTER stream-stream join: join_stream_outer's expiry rule on
+    * BOTH sides — an unmatched click null-pads when the watermark passes
+    * c_ts (its window's upper bound), an unmatched purchase when it
+    * passes p_ts + 30 min (the last click time that could still match
+    * it). Both cutoffs are deterministic functions of the fixture, so
+    * the oracle replays them exactly. */
+  def joinStreamFull(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val clicks = eventsStream(s, d).where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = eventsStream(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val name = s"ss_fouter_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("c_ts"),
+        "fullOuter")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"), col("p_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name)
+  }
+
   /** Stream enriched by a static (broadcast) dimension — the streaming
     * side never shuffles; each micro-batch hash-probes the dim. */
   def joinStreamStatic(s0: SparkSession, d: String): DataFrame = {
@@ -325,6 +357,7 @@ object StreamIO extends OpModule {
     "stream_output_modes" -> outputModes _,
     "join_stream_stream" -> joinStreamStream _,
     "join_stream_outer" -> joinStreamOuter _,
+    "join_stream_full" -> joinStreamFull _,
     "join_stream_static" -> joinStreamStatic _
   )
 
@@ -397,6 +430,36 @@ object StreamIO extends OpModule {
         |          AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
         |          AND p.p_ts <= c.c_ts))
         |SELECT * FROM m UNION ALL SELECT * FROM u""".stripMargin),
+    "join_stream_full" -> (evCte +
+      """,
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |      FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts,
+        |             value AS p_value
+        |      FROM ev WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(c_ts) FROM c),
+        |                    (SELECT max(p_ts) FROM p))
+        |         - INTERVAL 10 MINUTE AS wm),
+        |m AS (SELECT c.user_id, c.click_id, p.purchase_id, p.p_value
+        |      FROM c JOIN p ON c.user_id = p.user_id
+        |        AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
+        |        AND p.p_ts <= c.c_ts),
+        |uc AS (SELECT c.user_id, c.click_id,
+        |              NULL::BIGINT AS purchase_id, NULL::DOUBLE AS p_value
+        |       FROM c, wm
+        |       WHERE c.c_ts < wm.wm AND NOT EXISTS (
+        |         SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |           AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
+        |           AND p.p_ts <= c.c_ts)),
+        |up AS (SELECT p.user_id, NULL::BIGINT AS click_id,
+        |              p.purchase_id, p.p_value
+        |       FROM p, wm
+        |       WHERE p.p_ts + INTERVAL 30 MINUTE < wm.wm AND NOT EXISTS (
+        |         SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |           AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
+        |           AND p.p_ts <= c.c_ts))
+        |SELECT * FROM m UNION ALL SELECT * FROM uc
+        |UNION ALL SELECT * FROM up""".stripMargin),
     "join_stream_static" -> (evCte +
       """
         |, bands(band_id, lo, hi) AS (VALUES

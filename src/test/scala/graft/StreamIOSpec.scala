@@ -59,6 +59,38 @@ class StreamIOSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("full-outer stream-stream join: both sides null-pad on expiry") {
+    import org.apache.spark.sql.functions._
+    val out = StreamIO.joinStreamFull(spark, sf).cache()
+    try {
+      val ev = graft.Tables.events(spark, sf)
+      val c = ev.where($"event_type" === "click")
+        .select($"user_id".as("cu"), $"event_id".as("click_id"), $"ts".as("cts"))
+      val p = ev.where($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"event_id".as("purchase_id"), $"ts".as("pts"))
+      val joinCond = $"cu" === $"pu" &&
+        $"pts" >= $"cts" - expr("INTERVAL 30 MINUTES") && $"pts" <= $"cts"
+      val wm = c.agg(max($"cts")).head.getTimestamp(0).getTime
+        .min(p.agg(max($"pts")).head.getTimestamp(0).getTime) - 10 * 60 * 1000L
+      // unmatched purchases expire once wm passes p_ts + 30min
+      val expectedNullClick = p.join(c, joinCond, "left_anti")
+        .where($"pts" + expr("INTERVAL 30 MINUTES") <
+          lit(new java.sql.Timestamp(wm)))
+        .select("purchase_id").as[Long].collect().toSet
+      val gotNullClick = out.where($"click_id".isNull)
+        .select("purchase_id").as[Long].collect().toSet
+      assert(gotNullClick == expectedNullClick,
+        "null-click rows must be exactly the expired unmatched purchases")
+      // and the left-outer subset behaves as in join_stream_outer
+      val expectedNullPurchase = c.join(p, joinCond, "left_anti")
+        .where($"cts" < lit(new java.sql.Timestamp(wm)))
+        .select("click_id").as[Long].collect().toSet
+      val gotNullPurchase = out.where($"purchase_id".isNull)
+        .select("click_id").as[Long].collect().toSet
+      assert(gotNullPurchase == expectedNullPurchase)
+    } finally out.unpersist()
+  }
+
   test("stream-stream join matches the batch interval join") {
     val streamed = StreamIO.joinStreamStream(spark, sf)
       .select("click_id", "purchase_id").collect().toSet
