@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProductLong, NGrams, PolyShingles,
-  SimHash32, SortedIntersectCount, SquaredDistanceLong, XxNGramHashes}
+import graft.functions.{CosineSimilarity, DotProductLong, MinHashSig, NGrams,
+  PolyShingles, SimHash32, SortedIntersectCount, SquaredDistanceLong,
+  XxNGramHashes}
 
 /** Engine extension wiring (SURVEY.md §4.3).
   *
@@ -27,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotLongDescriptor)
     ext.injectFunction(GraftExtensions.polyShinglesDescriptor)
     ext.injectFunction(GraftExtensions.xxNGramDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
@@ -119,11 +121,23 @@ object GraftExtensions {
     }
   )
 
+  private val minhashSigDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "minhash_sig expects (array<bigint>, const int)")
+      MinHashSig(children.head, children(1))
+    }
+  )
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, ngramsDescriptor, simhashDescriptor,
       sortedIntersectDescriptor, squaredDistanceDescriptor,
-      dotLongDescriptor, polyShinglesDescriptor, xxNGramDescriptor).foreach {
+      dotLongDescriptor, polyShinglesDescriptor, xxNGramDescriptor,
+      minhashSigDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

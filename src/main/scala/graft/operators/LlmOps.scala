@@ -51,11 +51,18 @@ object LlmOps extends OpModule {
   /** Adds `sig` from an existing column of per-shingle hashes — the ONE
     * construction point for the signature (dedupNear feeds its sorted
     * `hs` column; the string-shingle path below wraps this for specs). */
-  private[graft] def signatureFromHashes(
-      docs: DataFrame, hashCol: String): DataFrame = {
+  /** Reference HOF formulation of the signature (the equivalence witness
+    * the spec asserts the native minhash_sig kernel against). */
+  private[graft] def sigHofExpr(hashCol: String): String = {
     val sigCols = (0 until K).map(i =>
       s"array_min(transform($hashCol, x -> xxhash64(x, ${i}L)))")
-    docs.withColumn("sig", expr(s"array(${sigCols.mkString(", ")})"))
+    s"array(${sigCols.mkString(", ")})"
+  }
+
+  private[graft] def signatureFromHashes(
+      docs: DataFrame, hashCol: String): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs.withColumn("sig", expr(s"minhash_sig($hashCol, $K)"))
   }
 
   private[graft] def withSignature(docs: DataFrame): DataFrame =

@@ -220,6 +220,20 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(wsc.nonEmpty, "xx_ngram_hashes must not break whole-stage codegen")
   }
 
+  test("minhash_sig is bit-identical to the 32 per-seed HOF minima") {
+    graft.GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("hs", expr("array_distinct(xx_ngram_hashes(toks, 3))"))
+    val both = docs.select(
+      expr("minhash_sig(hs, 32)").as("native"),
+      expr(graft.operators.LlmOps.sigHofExpr("hs")).as("hof"))
+    // null-safe array compare: empty hs yields 32 nulls on both paths
+    assert(both.where(expr(
+        "NOT (native <=> hof)")).count() == 0,
+      "native signature must equal the per-seed HOF minima on every doc")
+  }
+
   test("LevenshteinGuard rule injects the length pre-filter, idempotently, same results") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     graft.GraftExtensions.installOptimizations(spark)
