@@ -41,7 +41,8 @@ object Bench {
     // signal; a wall-clock budget caps total bench time if a pass runs
     // long. The Lloyd memo resets between passes so every pass re-pays
     // shared computation identically.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val budgetSec = 540.0
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9

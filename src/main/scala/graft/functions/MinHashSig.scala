@@ -65,9 +65,12 @@ object MinHashSig {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      // null elements cannot occur in the hash column (xx_ngram_hashes
-      // output is containsNull = false); getLong on it is safe
-      val h0 = XXH64.hashLong(hs.getLong(i), Seed)
+      // a null element mirrors the HOF form exactly: xxhash64 SKIPS null
+      // children, so the running hash stays at the initial seed and only
+      // the seed index folds in (the internal caller, xx_ngram_hashes,
+      // never produces nulls — this is the general-SQL-surface contract)
+      val h0 =
+        if (hs.isNullAt(i)) Seed else XXH64.hashLong(hs.getLong(i), Seed)
       var s = 0
       while (s < k) {
         val v = XXH64.hashLong(s.toLong, h0)

@@ -273,8 +273,12 @@ object Analytics extends OpModule {
   private val adjMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** Drop the memoized adjacency (Bench calls this between passes). */
-  def resetGraphMemo(): Unit = adjMemo.clear()
+  /** Drop the memoized adjacency (Bench calls this between passes); the
+    * checkpoint blocks are unpersisted, not just dereferenced. */
+  def resetGraphMemo(): Unit = {
+    adjMemo.values.foreach(MemoUtil.dropCheckpoint)
+    adjMemo.clear()
+  }
 
   private def coSupplyAdjacency(s: SparkSession, d: String): DataFrame =
     adjMemo.getOrElseUpdate((s, d),

@@ -185,6 +185,7 @@ object LlmExtended extends OpModule {
     * size-filtered, then verified on the full sorted hash arrays. Cost
     * is O(prefix collisions), never all-pairs. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     val tau = 0.5
     // shingles are carried as SORTED xxhash64 values: an 8-byte element
     // instead of a ~25-char string (intersection counts unchanged unless

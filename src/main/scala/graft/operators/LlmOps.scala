@@ -102,7 +102,10 @@ object LlmOps extends OpModule {
     .empty[(SparkSession, String), DataFrame]
 
   /** Drop the memoized pair table (Bench calls this between passes). */
-  def resetNearMemo(): Unit = nearMemo.clear()
+  def resetNearMemo(): Unit = {
+    nearMemo.values.foreach(MemoUtil.dropCheckpoint)
+    nearMemo.clear()
+  }
 
   def dedupNear(s: SparkSession, d: String): DataFrame =
     nearMemo.getOrElseUpdate((s, d), dedupNearBuild(s, d).localCheckpoint())

@@ -150,21 +150,28 @@ object LlmScale extends OpModule {
     * staged-fixture pattern (cf. the bucketed-join tables), applied to a
     * derived computation. */
   private val lloydMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
 
   /** Drop memoized Lloyd state (Bench calls this between repeat passes so
-    * every timed pass re-pays the shared computation exactly once). */
-  def resetLloydMemo(): Unit = lloydMemo.clear()
+    * every timed pass re-pays the shared computation exactly once). The
+    * checkpointed blocks are unpersisted explicitly — clearing the map
+    * alone would strand them in the block manager across passes. */
+  def resetLloydMemo(): Unit = {
+    lloydMemo.values.foreach { case (qv, _, a2) =>
+      MemoUtil.dropCheckpoint(qv); MemoUtil.dropCheckpoint(a2)
+    }
+    lloydMemo.clear()
+  }
 
-  /** Shared Lloyd pipeline (quantized dims + round-2 assignment) for
-    * llm_kmeans and llm_semdedup — both must walk the identical lattice
-    * so their oracles replay one algorithm. Returns (dims, assignment);
-    * both are checkpointed (the assignment chain otherwise re-executes
-    * per reader — kmeans reads it twice, semdedup once more). */
-  private def lloyd(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  /** Shared Lloyd pipeline (quantized vectors + per-dimension form +
+    * round-2 assignment) for llm_kmeans / llm_semdedup / llm_ann_ivf_
+    * kmeans — all must walk the identical lattice so their oracles
+    * replay one algorithm. Returns (qv, dims, a2); qv and a2 are
+    * checkpointed (the chains otherwise re-execute per reader). */
+  private def lloyd(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     lloydMemo.getOrElseUpdate((s, d), lloydBuild(s, d))
 
-  private def lloydBuild(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def lloydBuild(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     graft.GraftExtensions.register(s)
     val emb = Tables.embeddings(s, d)
     val k = kFor(emb.count())
@@ -201,14 +208,6 @@ object LlmScale extends OpModule {
     val c0 = dims.join(broadcast(seeds), "vec_id")
       .select(col("cid"), col("dim"), col("q").as("c"))
 
-    // centroids collapse to K array rows (sorted by dim) for the assign
-    // broadcast; distances are exact integer folds, and the argmin+
-    // min-cid tie-break is min(struct(dist, cid)) — identical lattice to
-    // the per-dimension formulation, 64× fewer rows
-    def centroidArrays(cent: DataFrame): DataFrame =
-      cent.groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as("cv"))
     def assign(cent: DataFrame): DataFrame =
       qv.crossJoin(broadcast(centroidArrays(cent)))
         .select(col("vec_id"), col("cid"),
@@ -223,11 +222,19 @@ object LlmScale extends OpModule {
         .select(col("cluster").as("cid"), col("dim"), col("c"))
 
     val a2 = assign(recenter(assign(c0))).localCheckpoint()
-    (dims, a2)
+    (qv, dims, a2)
   }
 
+  /** Centroids collapse to K array rows (ascending-dim order) for the
+    * assign broadcast — shared by the Lloyd rounds and annIvfKmeans so
+    * the array layout feeding squared_distance cannot diverge. */
+  private def centroidArrays(cent: DataFrame): DataFrame =
+    cent.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cv"))
+
   def kmeans(s: SparkSession, d: String): DataFrame = {
-    val (dims, a2) = lloyd(s, d)
+    val (_, dims, a2) = lloyd(s, d)
     val c2 = dims.join(a2, "vec_id")
       .groupBy(col("cluster"), col("dim"))
       .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long")
@@ -253,7 +260,8 @@ object LlmScale extends OpModule {
     * so both engines select the identical pair set. A vector is dropped
     * when a similar smaller-id neighbor exists in its cluster. */
   def semdedup(s: SparkSession, d: String): DataFrame = {
-    val (_, a2) = lloyd(s, d)
+    graft.GraftExtensions.register(s)
+    val (_, _, a2) = lloyd(s, d)
     // signature table read by both sides of the pair self-join →
     // checkpoint once (the ≥2-reader rule; the quantize tree would
     // otherwise re-evaluate per alias). Norms and pair dots run through
@@ -300,21 +308,20 @@ object LlmScale extends OpModule {
     * long-safe (q ≤ 6·10⁵·1.2 ⇒ dist ≤ 64·(1.2·10⁶)² < 2⁶³). */
   def annIvfKmeans(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
-    val (dims, a2) = lloyd(s, d)
+    // qvec is lloyd's CHECKPOINTED quantized corpus (identical 10⁶
+    // lattice) — both readers below hit the materialized blocks instead
+    // of re-scanning and re-quantizing the parquet per reader
+    val (qvec, dims, a2) = lloyd(s, d)
     // round-2 centroids (recenter of the shared assignment — identical
-    // lattice to llm_kmeans' reported centroids), as sorted arrays for
-    // the native squared_distance kernel
-    val cent = dims.join(a2, "vec_id")
-      .groupBy(col("cluster"), col("dim"))
-      .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long")
-        .as("c"))
-      .groupBy(col("cluster"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x.getField("c")).as("cv"))
-    val qvec = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
-        .as("qv"))
+    // lattice to llm_kmeans' reported centroids), collapsed to sorted
+    // arrays by the same helper the Lloyd rounds broadcast through
+    val cent = centroidArrays(
+      dims.join(a2, "vec_id")
+        .groupBy(col("cluster"), col("dim"))
+        .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long")
+          .as("c"))
+        .select(col("cluster").as("cid"), col("dim"), col("c")))
+      .select(col("cid").as("cluster"), col("cv"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("cdist").asc, col("cluster").asc)
     val probes = qvec.where(col("vec_id") < 10)
