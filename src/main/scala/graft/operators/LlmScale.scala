@@ -345,6 +345,43 @@ object LlmScale extends OpModule {
         col("dist"))
   }
 
+  // ── llm_ann_recall ────────────────────────────────────────────────────
+
+  /** ANN quality evaluation as a first-class operator: recall@3 of the
+    * learned-quantizer IVF (annIvfKmeans) against the exact brute-force
+    * top-3 — the measurement that justifies an approximate index before
+    * pointing it at a corpus. The exact side broadcasts the 10 query
+    * vectors over the checkpointed quantized corpus (N·10 integer
+    * distance folds — the documented brute-force baseline shape); the
+    * IVF side reuses the shared Lloyd memo, so the comparison adds one
+    * corpus pass. Distances, ranks, and hit counts are exact integers;
+    * recall is the only division and rounds once. At 100 TB this runs
+    * over a sampled query set exactly as written — the brute-force side
+    * is per-query linear, which is what makes spot-check evaluation
+    * affordable while the index serves the full load. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (qvec, _, _) = lloyd(s, d)
+    val q = qvec.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val exact3 = qvec.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wExact))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    val ivf3 = annIvfKmeans(s, d).select(col("qid"), col("cand_id"))
+    exact3
+      .join(ivf3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
   // ── llm_dedup_substring ───────────────────────────────────────────────
 
   /** Substring-level duplicate detection (the Lee et al. 2022 /
@@ -821,7 +858,8 @@ object LlmScale extends OpModule {
     "llm_tfidf" -> tfidf _,
     "llm_ann_ivf_kmeans" -> annIvfKmeans _,
     "llm_gram_matrix" -> gramMatrix _,
-    "llm_dedup_substring" -> dedupSubstring _
+    "llm_dedup_substring" -> dedupSubstring _,
+    "llm_ann_recall" -> annRecall _
   )
 
   /** Shared oracle CTE chain replaying `lloyd` (corpus-scaled K → dims →
@@ -869,6 +907,36 @@ object LlmScale extends OpModule {
       |      row_number() OVER (PARTITION BY vec_id
       |                         ORDER BY dist ASC, cid ASC) AS rn
       |    FROM d2) WHERE rn = 1)""".stripMargin
+
+  /** IVF probe/candidate CTE chain (round-2 centroids → nprobe=2 probes
+    * → in-cell candidate distances), shared by the llm_ann_ivf_kmeans
+    * and llm_ann_recall oracles. Appends to lloydCtes. */
+  private val annIvfCtes: String =
+    """,
+      |c2 AS (
+      |  SELECT a2.cluster, dims.dim,
+      |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
+      |  FROM dims JOIN a2 USING (vec_id) GROUP BY a2.cluster, dims.dim),
+      |qd AS (
+      |  SELECT d.vec_id AS qid, c2.cluster,
+      |    sum((d.q - c2.c) * (d.q - c2.c)) AS cdist
+      |  FROM dims d JOIN c2 USING (dim)
+      |  WHERE d.vec_id < 10
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT qid, cluster FROM (
+      |    SELECT qid, cluster,
+      |      row_number() OVER (PARTITION BY qid
+      |                         ORDER BY cdist ASC, cluster ASC) AS rn
+      |    FROM qd) WHERE rn <= 2),
+      |cd AS (
+      |  SELECT pr.qid, a2.vec_id AS cand_id, pr.cluster,
+      |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+      |  FROM pr
+      |  JOIN a2 ON a2.cluster = pr.cluster AND a2.vec_id != pr.qid
+      |  JOIN dims dq ON dq.vec_id = pr.qid
+      |  JOIN dims dc ON dc.vec_id = a2.vec_id AND dc.dim = dq.dim
+      |  GROUP BY 1, 2, 3)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "llm_dedup_substring" ->
@@ -930,36 +998,37 @@ object LlmScale extends OpModule {
         |JOIN s si ON si.dim = g.i
         |JOIN s sj ON sj.dim = g.j, n""".stripMargin,
     "llm_ann_ivf_kmeans" ->
-      (lloydCtes + """,
-        |c2 AS (
-        |  SELECT a2.cluster, dims.dim,
-        |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
-        |  FROM dims JOIN a2 USING (vec_id) GROUP BY a2.cluster, dims.dim),
-        |qd AS (
-        |  SELECT d.vec_id AS qid, c2.cluster,
-        |    sum((d.q - c2.c) * (d.q - c2.c)) AS cdist
-        |  FROM dims d JOIN c2 USING (dim)
-        |  WHERE d.vec_id < 10
-        |  GROUP BY 1, 2),
-        |pr AS (
-        |  SELECT qid, cluster FROM (
-        |    SELECT qid, cluster,
-        |      row_number() OVER (PARTITION BY qid
-        |                         ORDER BY cdist ASC, cluster ASC) AS rn
-        |    FROM qd) WHERE rn <= 2),
-        |cd AS (
-        |  SELECT pr.qid, a2.vec_id AS cand_id, pr.cluster,
-        |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
-        |  FROM pr
-        |  JOIN a2 ON a2.cluster = pr.cluster AND a2.vec_id != pr.qid
-        |  JOIN dims dq ON dq.vec_id = pr.qid
-        |  JOIN dims dc ON dc.vec_id = a2.vec_id AND dc.dim = dq.dim
-        |  GROUP BY 1, 2, 3)
+      (lloydCtes + annIvfCtes + """
         |SELECT qid, rank, cand_id, cluster, dist FROM (
         |  SELECT qid, cand_id, cluster, dist,
         |    row_number() OVER (PARTITION BY qid
         |                       ORDER BY dist ASC, cand_id ASC) AS rank
         |  FROM cd) WHERE rank <= 3""".stripMargin),
+    "llm_ann_recall" ->
+      (lloydCtes + annIvfCtes + """,
+        |iv AS (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY dist ASC, cand_id ASC) AS rank
+        |    FROM cd) WHERE rank <= 3),
+        |ex AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq
+        |  JOIN dims dc ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10
+        |  GROUP BY 1, 2),
+        |ex3 AS (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM ex) WHERE rn <= 3)
+        |SELECT e.qid, CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+        |       round(count(i.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+        |FROM ex3 e LEFT JOIN iv i USING (qid, cand_id)
+        |GROUP BY e.qid""".stripMargin),
     "llm_repetition_filter" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')

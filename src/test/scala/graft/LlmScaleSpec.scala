@@ -380,6 +380,18 @@ class LlmScaleSpec extends SparkSpec {
       "the corpus must reach the probes through an equi join on cluster id")
   }
 
+  test("ann_recall: one row per query, recall in [0,1], exact thirds") {
+    val out = operators.LlmScale.annRecall(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("qid")).toSet.forall(_ < 10))
+    out.foreach { r =>
+      val (hit, rec) = (r.getAs[Long]("n_hit"), r.getAs[Double]("recall_at_3"))
+      assert(hit >= 0 && hit <= 3)
+      assert(rec >= 0.0 && rec <= 1.0)
+      // recall is n_hit/k rounded once — re-derive to pin the division
+      assert(math.abs(rec - math.rint(hit / 3.0 * 10000) / 10000) < 5.1e-5)
+    }
+  }
+
   test("url_normalize: four messy variants collapse to one canonical form") {
     val rows = operators.LlmScale.urlNormalize(spark, sf).collect()
     assert(rows.nonEmpty)
