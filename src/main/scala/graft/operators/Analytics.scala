@@ -456,6 +456,33 @@ object Analytics extends OpModule {
           .as("value"))
   }
 
+  /** Seasonal-naive decomposition of the hourly event series: the
+    * seasonal component of an hour is its hour-of-day mean across days
+    * (per event_type), the residual is the de-seasonalized remainder —
+    * the first-cut anomaly baseline for any diurnal metric. Exactness:
+    * hourly sums collapse to integer cents, the seasonal mean is
+    * floor(sum/count) (one double division + floor, the lloyd recenter
+    * pattern — both engines produce the identical long), and the
+    * residual is an exact integer difference; each /100.0 happens once
+    * at the output. Shapes: one shuffle for the hourly aggregate, then
+    * a broadcast of the types×24 seasonal table back onto it — at
+    * 100 TB output stays bounded by types × hours and the raw log is
+    * touched once. */
+  def tsSeasonal(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("vc"))
+      .withColumn("hod", hour(col("h")))
+    val seas = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(floor(sum(col("vc")).cast("double") / count(lit(1)))
+        .cast("long").as("sc"))
+    hourly.join(broadcast(seas), Seq("event_type", "hod"))
+      .select(col("event_type"), col("h"),
+        (col("vc") / 100.0).as("value"),
+        (col("sc") / 100.0).as("seasonal"),
+        ((col("vc") - col("sc")) / 100.0).as("residual"))
+  }
+
   /** IQR-fence outlier detection per order priority on EXACT rank-based
     * quartiles: prices move through integer cents, q1/q3 are the elements
     * at rank ⌊(n−1)/4⌋+1 / ⌊3(n−1)/4⌋+1 of the (price, key)-sorted group
@@ -527,6 +554,7 @@ object Analytics extends OpModule {
     "graph_jaccard" -> graphJaccard _,
     "ts_ohlc" -> tsOhlc _,
     "ts_interpolate" -> tsInterpolate _,
+    "ts_seasonal" -> tsSeasonal _,
     "anomaly_iqr" -> anomalyIqr _,
     "ts_gapfill" -> tsGapfill _,
     "funnel" -> funnel _,
@@ -578,6 +606,23 @@ object Analytics extends OpModule {
         |       (common * 1000000) // (du + dv - common) AS jaccard_fp
         |FROM cm WHERE common >= 2
         |ORDER BY jaccard_fp DESC, u, v LIMIT 50""".stripMargin,
+    "ts_seasonal" -> (evCte +
+      """,
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+        |         CAST(round(sum(value) * 100) AS BIGINT) AS vc
+        |  FROM ev GROUP BY 1, 2),
+        |seas AS (
+        |  SELECT event_type, extract(hour FROM h) AS hod,
+        |         CAST(floor(sum(vc)::DOUBLE / count(*)) AS BIGINT) AS sc
+        |  FROM hourly GROUP BY 1, 2)
+        |SELECT h.event_type, h.h,
+        |       h.vc / 100.0 AS value,
+        |       s.sc / 100.0 AS seasonal,
+        |       (h.vc - s.sc) / 100.0 AS residual
+        |FROM hourly h JOIN seas s
+        |  ON h.event_type = s.event_type
+        | AND extract(hour FROM h.h) = s.hod""".stripMargin),
     "ts_interpolate" ->
       """WITH ev AS (
         |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,

@@ -91,6 +91,25 @@ class AnalyticsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("ts_seasonal: residual reconstructs value, seasonal constant per hour-of-day") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.tsSeasonal(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (v, s, res) = (r.getAs[Double]("value"),
+        r.getAs[Double]("seasonal"), r.getAs[Double]("residual"))
+      // exact: all three derive from the same integer cents
+      assert(math.abs((s + res) - v) < 1e-9, s"decomposition broke: $v != $s + $res")
+    }
+    // seasonal is a function of (event_type, hour-of-day) only
+    val perHod = out.groupBy(r => (r.getAs[String]("event_type"),
+      r.getAs[java.sql.Timestamp]("h").toLocalDateTime.getHour))
+    perHod.foreach { case (k, rows) =>
+      assert(rows.map(_.getAs[Double]("seasonal")).distinct.length == 1,
+        s"seasonal must be constant within $k")
+    }
+  }
+
   test("win_pattern: journey length matches event count, flags match regexes") {
     val rows = Analytics.winPattern(spark, sf).collect()
     assert(rows.nonEmpty)
