@@ -109,6 +109,58 @@ class PropertiesSpec extends SparkSpec {
     assert(math.abs(s30a.size / n - 0.30) < 0.05)
   }
 
+  test("native hash kernels ≡ HOF witnesses on random unicode token streams") {
+    GraftExtensions.register(spark)
+    // tokens mix ascii words, empties (double spaces), unicode incl.
+    // surrogate pairs — the byte-level edge set the corpus never covers
+    val tokGen = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(8)),
+      2 -> Gen.oneOf("π", "€", "𝄞", "日本", "côté"),
+      1 -> Gen.const(""))
+    val docGen = Gen.choose(0, 24)
+      .flatMap(n => Gen.listOfN(n, tokGen)).map(_.mkString(" "))
+    val docs = sample(docGen, 400, 23L).toDF("text")
+      .withColumn("toks", split($"text", " "))
+    val shingleHof =
+      """CASE WHEN size(toks) >= 3 THEN
+        |  array_distinct(element_at(transform(array(
+        |    transform(toks, w -> IF(w = '', named_struct('h', 0L, 'p', 1L),
+        |      aggregate(split(w, ''), named_struct('h', 0L, 'p', 1L),
+        |        (s, c) -> named_struct(
+        |          'h', (s.h * 31 + ascii(c)) % 1000000007,
+        |          'p', (s.p * 31) % 1000000007))))),
+        |    wh -> transform(sequence(1, size(toks) - 2),
+        |      i -> (((((element_at(wh, i).h * 31 + 32) % 1000000007)
+        |              * element_at(wh, i + 1).p + element_at(wh, i + 1).h) % 1000000007
+        |              * 31 + 32) % 1000000007
+        |              * element_at(wh, i + 2).p + element_at(wh, i + 2).h) % 1000000007)),
+        |    1))
+        |ELSE array() END""".stripMargin
+    val gramHof =
+      """CASE WHEN size(toks) >= 4 THEN
+        |  transform(sequence(1, size(toks) - 3),
+        |    i -> xxhash64(concat_ws(' ', slice(toks, i, 4))))
+        |ELSE array() END""".stripMargin
+    val bad = docs.select(
+      expr("poly_shingles(toks)").as("ps_n"), expr(shingleHof).as("ps_h"),
+      expr("xx_ngram_hashes(toks, 4)").as("xg_n"), expr(gramHof).as("xg_h"),
+      expr("minhash_sig(xx_ngram_hashes(toks, 4), 8)").as("ms_n"),
+      expr("""array(
+        |  array_min(transform(xx_ngram_hashes(toks, 4), x -> xxhash64(x, 0L))),
+        |  array_min(transform(xx_ngram_hashes(toks, 4), x -> xxhash64(x, 1L))),
+        |  array_min(transform(xx_ngram_hashes(toks, 4), x -> xxhash64(x, 2L))),
+        |  array_min(transform(xx_ngram_hashes(toks, 4), x -> xxhash64(x, 3L))),
+        |  array_min(transform(xx_ngram_hashes(toks, 4), x -> xxhash64(x, 4L))),
+        |  array_min(transform(xx_ngram_hashes(toks, 4), x -> xxhash64(x, 5L))),
+        |  array_min(transform(xx_ngram_hashes(toks, 4), x -> xxhash64(x, 6L))),
+        |  array_min(transform(xx_ngram_hashes(toks, 4), x -> xxhash64(x, 7L)))
+        |)""".stripMargin).as("ms_h"))
+      .where(expr(
+        "NOT (ps_n <=> ps_h) OR NOT (xg_n <=> xg_h) OR NOT (ms_n <=> ms_h)"))
+    assert(bad.count() == 0,
+      "native kernels must match their HOF witnesses on generated input")
+  }
+
   test("window running sum telescopes: last running_total == group sum") {
     val df = graft.operators.Windows.winFrameRows(spark, sf)
     val lastPerGroup = df.groupBy($"o_custkey")
