@@ -259,8 +259,43 @@ object LlmCuration extends OpModule {
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"))
   }
 
+  /** Corpus snapshot diff — the dataset-versioning audit every managed
+    * training corpus runs between releases: one full-outer join on
+    * doc_id classifies every document as added / removed / modified /
+    * unchanged. The v2 snapshot derives deterministically from v1 (every
+    * 20th doc dropped, every 7th surviving text revised, five synthetic
+    * additions) so both engines diff identical inputs. Change detection
+    * compares xxhash64 CONTENT DIGESTS, not text: at 100 TB the diff
+    * join carries 16-byte (id, digest) rows per side while the oracle
+    * compares the raw strings — digest-collision odds are the
+    * dedup_near precedent. One shuffle per side on the join key; a
+    * bucketed-by-doc_id snapshot layout makes the release-over-release
+    * diff shuffle-free (the join_bucketed pattern). */
+  def datasetDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val v2 = v1.where(pmod(col("doc_id"), lit(20)) =!= 3)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 2,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"),
+        col("lang"))
+      .union(s.range(1, 6)
+        .select((col("id") + 3000000000L).as("doc_id"),
+          lit("synthetic doc v2").as("text"), lit("en").as("lang")))
+    v1.as("a").join(v2.as("b"),
+        col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(
+        coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+        coalesce(col("a.lang"), col("b.lang")).as("lang"),
+        when(col("b.doc_id").isNull, "removed")
+          .when(col("a.doc_id").isNull, "added")
+          .when(expr("xxhash64(a.text) = xxhash64(b.text)"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_e2e" -> curationE2e _,
+    "llm_dataset_diff" -> datasetDiff _,
     "llm_dedup_cluster" -> dedupCluster _,
     "llm_chunk" -> chunk _,
     "llm_pii_scrub" -> piiScrub _,
@@ -298,6 +333,24 @@ object LlmCuration extends OpModule {
       |FROM r""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id, text, lang FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END
+        |      AS text,
+        |    lang
+        |  FROM v1 WHERE doc_id % 20 != 3
+        |  UNION ALL
+        |  SELECT 3000000000 + i, 'synthetic doc v2', 'en'
+        |  FROM range(1, 6) t(i))
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  coalesce(a.lang, b.lang) AS lang,
+        |  CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN a.text = b.text THEN 'unchanged'
+        |       ELSE 'modified' END AS status
+        |FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id""".stripMargin,
     // the macro chains the already-hash-matched stage oracles as CTEs
     "curation_e2e" ->
       s"""WITH q AS (

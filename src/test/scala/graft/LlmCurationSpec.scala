@@ -27,6 +27,19 @@ class LlmCurationSpec extends SparkSpec {
     }
   }
 
+  test("dataset_diff: status partition matches the v2 construction exactly") {
+    import org.apache.spark.sql.functions._
+    val out = operators.LlmCuration.datasetDiff(spark, sf).collect()
+    val byStatus = out.groupBy(_.getAs[String]("status")).view.mapValues(_.length)
+    val ids = Tables.documents(spark, sf).select($"doc_id").as[Long].collect()
+    assert(byStatus.getOrElse("added", 0) == 5)
+    assert(byStatus.getOrElse("removed", 0) == ids.count(_ % 20 == 3))
+    // every 7th SURVIVING doc gets ' rev2' appended — always a change
+    assert(byStatus.getOrElse("modified", 0) ==
+      ids.count(i => i % 20 != 3 && i % 7 == 2))
+    assert(out.length == ids.length + 5, "one verdict per union'd doc id")
+  }
+
   test("chunk: windows cover every token, fixed width except the tail, no shuffle") {
     val chunks = LlmCuration.chunk(spark, sf)
     val byDoc = chunks.groupBy($"doc_id")
