@@ -199,7 +199,21 @@ object Scans extends OpModule {
         min(col("y")).as("day_min"), max(col("y")).as("day_max"))
   }
 
+  /** Read through the custom DataSource V2 connector
+    * (graft.sources.SeqSource): id-range filters push into the source
+    * (the generated span narrows, Spark's own Filter node disappears)
+    * and column pruning drops `id` from the produced rows once the
+    * pushed filter fully subsumes it — the plan the spec asserts. The
+    * aggregate is the consumer proving the rows are real. */
+  def scanCustomSource(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-seq")
+      .option("rows", "100000").option("parts", "8").load()
+      .where(col("id") >= 1000 && col("id") < 50000)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_custom_source" -> scanCustomSource _,
     "maintenance_zorder" -> maintenanceZorder _,
     "scan_partitioned" -> scanPartitioned _,
     "scan_parquet" -> scanParquet _,
@@ -239,6 +253,12 @@ object Scans extends OpModule {
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
     "scan_parquet" -> "SELECT * FROM orders",
+    "scan_custom_source" ->
+      """SELECT 't' || (i % 10) AS tag, count(*) AS n,
+        |       CAST(sum((i * 2654435761) % 1000003) AS BIGINT) AS sum_val
+        |FROM range(0, 100000) t(i)
+        |WHERE i >= 1000 AND i < 50000
+        |GROUP BY 1""".stripMargin,
     "scan_projected" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_quantity < 10""".stripMargin,

@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal DataSource V2 connector (§2.11 extension surface): a
+  * deterministic generated table `graft-seq` with REAL pushdown — id
+  * range filters narrow the generated span at the SOURCE (pushed
+  * filters are fully handled, so Spark drops its own Filter node) and
+  * column pruning shrinks the produced rows to the requested schema.
+  * This is the exact API seam a Kafka/JDBC/Delta connector plugs into
+  * (the README documents the zero-egress stand-ins); the option-driven
+  * row count and partition split model a partitioned external system.
+  *
+  * Row model: id ∈ [0, rows); val = (id·2654435761) mod 1000003 (Knuth
+  * multiplicative hash — deterministic, oracle-replayable); tag =
+  * 't' ++ id mod 10. `parts` even ranges become InputPartitions — the
+  * unit Spark schedules, like Kafka topic-partitions.
+  */
+class SeqSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-seq"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeqSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SeqTable(new CaseInsensitiveStringMap(properties))
+}
+
+object SeqSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("val", LongType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+
+  def valOf(id: Long): Long = (id * 2654435761L) % 1000003L
+  def tagOf(id: Long): UTF8String = UTF8String.fromString("t" + (id % 10))
+}
+
+private class SeqTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val rows = options.getLong("rows", 100000L)
+  private val parts = options.getInt("parts", 8)
+
+  override def name(): String = s"graft_seq($rows)"
+  override def schema(): StructType = SeqSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new SeqScanBuilder(rows, parts)
+}
+
+private class SeqScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SeqSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("id", v: Long)           => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); true
+      case EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    pushed = accepted
+    // accepted filters are FULLY handled by the range narrowing — only
+    // the rejected remainder needs Spark-side evaluation
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = SeqScan(lo, math.max(lo, hi), parts, required)
+}
+
+private case class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SeqScan(lo=$lo, hi=$hi, parts=$parts, cols=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    (0 until parts).map { p =>
+      SeqPartition(lo + n * p / parts, lo + n * (p + 1) / parts)
+    }.filter(sp => sp.end > sp.start).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required.fieldNames)
+}
+
+private case class SeqPartition(start: Long, end: Long) extends InputPartition
+
+private class SeqReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqPartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.start - 1
+      override def next(): Boolean = { id += 1; id < p.end }
+      override def get(): InternalRow = {
+        val vals = cols.map {
+          case "id"  => java.lang.Long.valueOf(id)
+          case "val" => java.lang.Long.valueOf(SeqSource.valOf(id))
+          case "tag" => SeqSource.tagOf(id)
+        }
+        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -81,6 +81,30 @@ class ScansSpec extends SparkSpec {
     assert(avgDay < daySpan / 3, s"day span $avgDay vs global $daySpan")
   }
 
+  test("custom DSv2 source: id filter pushes into the source, id column pruned") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Scans.scanCustomSource(spark, sf)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan's own description carries the narrowed range — proof the
+    // filter reached the SOURCE, not just the scan node
+    assert(plan.contains("SeqScan(lo=1000, hi=50000"),
+      s"id range not pushed into the source:\n${plan.take(2000)}")
+    // with the filter fully handled, nothing downstream needs `id`:
+    // column pruning must drop it from the produced rows
+    assert(plan.contains("cols=val,tag") || plan.contains("cols=tag,val"),
+      s"id column not pruned from the source read:\n${plan.take(2000)}")
+    // and no Spark-side Filter on id survives
+    assert(!plan.contains("Filter (id"),
+      "source-handled filter must not be re-evaluated by Spark")
+    // rows are real: unfiltered count matches the option
+    val raw = spark.read.format("graft-seq")
+      .option("rows", "1000").option("parts", "3").load()
+    assert(raw.count() == 1000)
+    assert(raw.where(col("id") === 7).select(col("val")).head.getLong(0) ==
+      (7L * 2654435761L) % 1000003L)
+  }
+
   test("csv and json roundtrips preserve row counts and schema") {
     val csv = graft.operators.Scans.scanCsv(spark, sf)
     assert(csv.count() == 200)
