@@ -235,6 +235,27 @@ object StreamIO extends OpModule {
     s.table(name)
   }
 
+  /** Streaming read through the custom DataSource V2 connector
+    * (graft.sources.SeqSource as a MicroBatchStream): row-position
+    * offsets, paced admission (~4 real micro-batches per AvailableNow
+    * drain, offsets tracked between them), partition ranges as the
+    * schedulable unit — the Kafka-shaped "topic" seam exercised end to
+    * end through a custom source rather than a builtin. */
+  def sourceCustomStream(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val name = s"src_seq_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("graft-seq")
+      .option("rows", "20000").option("parts", "4").load()
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name)
+  }
+
   /** LEFT-OUTER stream-stream join: same interval condition as
     * join_stream_stream, but a click with no purchase emits a
     * null-padded row once its state EXPIRES — i.e. once the global
@@ -358,6 +379,7 @@ object StreamIO extends OpModule {
     "join_stream_stream" -> joinStreamStream _,
     "join_stream_outer" -> joinStreamOuter _,
     "join_stream_full" -> joinStreamFull _,
+    "source_custom_stream" -> sourceCustomStream _,
     "join_stream_static" -> joinStreamStatic _
   )
 
@@ -430,6 +452,11 @@ object StreamIO extends OpModule {
         |          AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
         |          AND p.p_ts <= c.c_ts))
         |SELECT * FROM m UNION ALL SELECT * FROM u""".stripMargin),
+    "source_custom_stream" ->
+      """SELECT 't' || (i % 10) AS tag, count(*) AS n,
+        |       CAST(sum((i * 2654435761) % 1000003) AS BIGINT) AS sum_val
+        |FROM range(0, 20000) t(i)
+        |GROUP BY 1""".stripMargin,
     "join_stream_full" -> (evCte +
       """,
         |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts

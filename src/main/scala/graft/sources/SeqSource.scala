@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,7 +60,7 @@ private class SeqTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft_seq($rows)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new SeqScanBuilder(rows, parts)
@@ -113,6 +114,63 @@ private case class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, parts, required.fieldNames)
+}
+
+/** Streaming face of the same table — the "topic" seam proper: offsets
+  * are row positions (like Kafka offsets), each micro-batch reads the
+  * [start, end) slice split into the same partition ranges, and
+  * AvailableNow pins the end offset so the query drains and stops. The
+  * `batch_rows` option (via `rows` span ÷ pacing below) keeps the shape
+  * honest: by default the stream advances in ≤ quarter-span batches, so
+  * a run exercises REAL multi-batch offset tracking, not one giant
+  * batch. */
+private class SeqMicroBatchStream(
+    lo: Long, hi: Long, parts: Int, cols: Array[String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private val step = math.max(1L, (hi - lo) / 4)
+  private var target = hi
+
+  override def prepareForTriggerAvailableNow(): Unit = target = hi
+
+  override def initialOffset(): Offset = SeqOffset(lo)
+
+  // paced admission: each micro-batch advances at most one step past its
+  // START offset (restart-safe — pacing derives from the committed
+  // position, not driver state), so an AvailableNow run drains in ~4
+  // real micro-batches with offset tracking between them
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SeqOffset].v
+    SeqOffset(math.min(math.min(s + step, target), hi))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
+
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].v
+    val e = end.asInstanceOf[SeqOffset].v
+    val n = e - s
+    (0 until parts).map { p =>
+      SeqPartition(s + n * p / parts, s + n * (p + 1) / parts)
+    }.filter(sp => sp.end > sp.start).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(cols)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class SeqOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
 }
 
 private case class SeqPartition(start: Long, end: Long) extends InputPartition

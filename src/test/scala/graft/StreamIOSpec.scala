@@ -28,6 +28,27 @@ class StreamIOSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == 5)
   }
 
+  test("custom DSv2 streaming source drains in paced micro-batches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seq_ck").toString
+    val name = "seq_stream_spec"
+    val q = spark.readStream.format("graft-seq")
+      .option("rows", "20000").option("parts", "4").load()
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // paced admission: the 20k rows arrive over >= 4 offset-tracked
+    // micro-batches, not one bulk read
+    val maxBatch = q.recentProgress.map(_.batchId).max
+    assert(maxBatch >= 3, s"expected >= 4 micro-batches, saw ${maxBatch + 1}")
+    assert(spark.table(name).agg(sum($"n")).head.getLong(0) == 20000L,
+      "every generated row must arrive exactly once across batches")
+  }
+
   test("left-outer stream-stream join: matches + watermark-expired null rows") {
     import org.apache.spark.sql.functions._
     val out = StreamIO.joinStreamOuter(spark, sf).cache()
