@@ -212,8 +212,33 @@ object Scans extends OpModule {
       .groupBy(col("tag"))
       .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
 
+  /** Write through the custom DSv2 sink (graft.sources.AuditSink) and
+    * read back THROUGH ITS COMMIT MANIFEST: the task writers stream part
+    * files, the driver's commit publishes the manifest, and the
+    * read-back resolves exactly the committed files — stray files from
+    * retries or aborts are invisible. The aggregate proves the rows
+    * round-tripped exactly (count, distinct keys, integer-cent sum). */
+  def sinkCustom(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .write.format("graft-audit").mode("append")
+      .option("path", out).save()
+    // manifest-resolved read-back (driver reads the tiny manifest, the
+    // DATA goes through a distributed csv scan of the committed files)
+    val files = scala.io.Source.fromFile(s"$out/_MANIFEST").getLines()
+      .map(_.split(",")(1)).toSeq
+    s.read.schema("o_orderkey long, status string, cents long")
+      .csv(files: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_custom_source" -> scanCustomSource _,
+    "sink_custom" -> sinkCustom _,
     "maintenance_zorder" -> maintenanceZorder _,
     "scan_partitioned" -> scanPartitioned _,
     "scan_parquet" -> scanParquet _,
@@ -253,6 +278,12 @@ object Scans extends OpModule {
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
     "scan_parquet" -> "SELECT * FROM orders",
+    "sink_custom" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT o_orderkey) AS n_keys,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders""".stripMargin,
     "scan_custom_source" ->
       """SELECT 't' || (i % 10) AS tag, count(*) AS n,
         |       CAST(sum((i * 2654435761) % 1000003) AS BIGINT) AS sum_val

@@ -105,6 +105,30 @@ class ScansSpec extends SparkSpec {
       (7L * 2654435761L) % 1000003L)
   }
 
+  test("custom DSv2 sink: only manifest-committed files visible, counts exact") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_audit_spec").toString
+    val src = Tables.orders(spark, sf).select(col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    src.write.format("graft-audit").mode("append")
+      .option("path", out).save()
+    // plant a stray part file — a crashed/retried task's leftover
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-99-999.csv"),
+      "999999999,Z,1\n".getBytes("UTF-8"))
+    val manifest = scala.io.Source.fromFile(s"$out/_MANIFEST")
+      .getLines().map(_.split(",")).toSeq
+    assert(manifest.map(_(2).toLong).sum == src.count(),
+      "manifest row counts must sum to the written total")
+    val back = spark.read
+      .schema("o_orderkey long, status string, cents long")
+      .csv(manifest.map(_(1)): _*)
+    assert(back.count() == src.count())
+    assert(back.where(col("o_orderkey") === 999999999L).count() == 0,
+      "uncommitted stray part must be invisible through the manifest")
+  }
+
   test("csv and json roundtrips preserve row counts and schema") {
     val csv = graft.operators.Scans.scanCsv(spark, sf)
     assert(csv.count() == 200)
