@@ -136,11 +136,12 @@ object LlmScale extends OpModule {
     * N²/128 distance evaluations per round — fine to ~10⁷ vectors on a
     * cluster, quadratic beyond. The 100 TB path is a two-level coarse
     * quantizer (√K supercells first, then √K cells within each — total
-    * assign work N·2√K, the FAISS IVF-HNSW/IMI recipe) or a fixed K per
-    * corpus shard; the within-cell phase and all downstream consumers
-    * (semdedup's pair bound, annIvfKmeans' inverted file) are unchanged
-    * by that substitution, so the demo keeps the single-level form the
-    * oracle can replay.
+    * assign work N·2√K, the FAISS IVF-HNSW/IMI recipe), IMPLEMENTED and
+    * agreement-scored as llm_kmeans_twolevel below; the within-cell
+    * phase and all downstream consumers (semdedup's pair bound,
+    * annIvfKmeans' inverted file) are unchanged by that substitution,
+    * so this op keeps the single-level form as the exact reference
+    * assignment both oracles replay.
     */
   private[graft] def kFor(n: Long): Long = math.max(4L, n / 128L)
 
@@ -380,6 +381,116 @@ object LlmScale extends OpModule {
       .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
       .select(col("qid"), col("n_hit"),
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
+  // ── llm_kmeans_twolevel ───────────────────────────────────────────────
+
+  /** Two-level coarse quantizer assignment — the documented 100 TB path
+    * for llm_kmeans's honest scale limit (K ∝ N makes the brute assign
+    * N·K ≈ N²/128), now implemented and MEASURED instead of only cited:
+    * the K round-2 fine centroids are themselves clustered into
+    * K₁ = max(2, ⌊√K⌋) supercells by a mini-Lloyd over just K rows
+    * (seed = first K₁ fine cells, one recenter, reassign — the identical
+    * integer lattice discipline as the corpus-level Lloyd), and each
+    * point then assigns hierarchically: nearest supercell first (K₁
+    * distance folds), exact argmin over only that supercell's fine cells
+    * second (≈K/K₁ folds). Per-point work drops from K to K₁ + |cell|
+    * ≈ 2√K — the FAISS IMI / IVF-HNSW recipe — while every distance,
+    * recenter, and tie-break stays exact BIGINT so DuckDB replays the
+    * identical hierarchy.
+    *
+    * The output is the evaluation that justifies the substitution: per
+    * supercell, how many points the hierarchical assignment routes
+    * identically to the brute-force argmin over all K fine cells
+    * (agreement is the quantizer-quality analogue of llm_ann_recall),
+    * plus the exact distance-evaluation counts both ways. Disagreements
+    * are points near supercell boundaries — the accepted IMI
+    * approximation, made visible as a number instead of a caveat.
+    *
+    * Scale shape: both centroid tables broadcast (K and K₁ rows); the
+    * per-point phases are map-side folds over broadcast arrays feeding
+    * one hash aggregate each — no shuffle grows with K. At 100 TB the
+    * brute comparison side runs on a sampled slice exactly like
+    * llm_ann_recall's exact side; here the fixture is small enough to
+    * score every point. */
+  def kmeansTwoLevel(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (qv, dims, a2) = lloyd(s, d)
+    val k = kFor(Tables.embeddings(s, d).count())
+    val k1 = math.max(2L, math.floor(math.sqrt(k.toDouble)).toLong)
+    // round-2 fine centroids (identical lattice to llm_kmeans's report
+    // and annIvfKmeans's inverted file), in both forms: per-dim rows for
+    // the mini-Lloyd recenter, sorted arrays for the distance folds.
+    // Checkpoint the K-row array table — it has four readers below
+    // (mini-Lloyd seed/assign ×2, point fine phase, brute phase).
+    val c2 = dims.join(a2, "vec_id")
+      .groupBy(col("cluster"), col("dim"))
+      .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long")
+        .as("c"))
+      .select(col("cluster").as("cid"), col("dim"), col("c"))
+    val fine = centroidArrays(c2).localCheckpoint()
+    // mini-Lloyd over the K fine-centroid vectors: seed supercells from
+    // the K₁ smallest fine cids, recenter once, reassign — K·K₁ integer
+    // folds total, trivial at any corpus size because K rows broadcast
+    val superSeeds = fine.select(col("cid"),
+        (row_number().over(Window.orderBy(col("cid"))) - 1).as("scid"))
+      .where(col("scid") < k1)
+    val sc0 = c2.join(broadcast(superSeeds), "cid")
+      .select(col("scid").as("cid"), col("dim"), col("c"))
+    def assignFine(superCent: DataFrame): DataFrame =
+      fine.crossJoin(broadcast(centroidArrays(superCent)
+          .select(col("cid").as("scid"), col("cv").as("sv"))))
+        .select(col("cid"), col("scid"),
+          expr("squared_distance(cv, sv)").as("dist"))
+        .groupBy(col("cid"))
+        .agg(min(struct(col("dist"), col("scid"))).as("m"))
+        .select(col("cid"), col("m.scid").as("scid"))
+    val f1 = assignFine(sc0)
+    val s1 = c2.join(broadcast(f1), "cid")
+      .groupBy(col("scid"), col("dim"))
+      .agg(floor(sum(col("c")).cast("double") / count(lit(1))).cast("long")
+        .as("c"))
+      .select(col("scid").as("cid"), col("dim"), col("c"))
+    val f2 = assignFine(s1).localCheckpoint() // fine cell → supercell map
+    val superArr = centroidArrays(s1)
+      .select(col("cid").as("scid"), col("cv").as("sv"))
+    // phase 1: nearest supercell per point (K₁ folds each)
+    val p1 = qv.crossJoin(broadcast(superArr))
+      .select(col("vec_id"), col("qv"), col("scid"),
+        expr("squared_distance(qv, sv)").as("dist"))
+      .groupBy(col("vec_id"), col("qv"))
+      .agg(min(struct(col("dist"), col("scid"))).as("m"))
+      .select(col("vec_id"), col("qv"), col("m.scid").as("scid"))
+    // phase 2: exact argmin over the chosen supercell's fine cells only
+    val cells = fine.join(broadcast(f2), "cid")
+    val tl = p1.join(broadcast(cells), "scid")
+      .select(col("vec_id"), col("scid"), col("cid"),
+        expr("squared_distance(qv, cv)").as("dist"))
+      .groupBy(col("vec_id"), col("scid"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"),
+        count(lit(1)).as("n_probed"))
+      .select(col("vec_id"), col("scid"), col("m.cid").as("tl_cluster"),
+        col("n_probed"))
+    // brute argmin over ALL K fine cells — the reference assignment the
+    // hierarchy is scored against (a round-3 assign in lloyd's terms)
+    val brute = qv.crossJoin(broadcast(fine))
+      .select(col("vec_id"),
+        expr("squared_distance(qv, cv)").as("dist"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("b_cluster"))
+    tl.join(brute, "vec_id")
+      .groupBy(col("scid"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("tl_cluster") === col("b_cluster"), 1L).otherwise(0L))
+          .as("n_agree"),
+        (sum(col("n_probed")) + count(lit(1)) * lit(k1)).as("tl_evals"),
+        (count(lit(1)) * lit(k)).as("brute_evals"))
+      .join(f2.groupBy(col("scid")).agg(count(lit(1)).as("n_cells")), "scid")
+      .select(col("scid"), col("n_cells"), col("n_points"), col("n_agree"),
+        col("tl_evals"), col("brute_evals"),
+        round(col("n_agree") / col("n_points").cast("double"), 4)
+          .as("agree_frac"))
   }
 
   // ── llm_dedup_substring ───────────────────────────────────────────────
@@ -849,6 +960,7 @@ object LlmScale extends OpModule {
     "llm_decontaminate" -> decontaminate _,
     "llm_pack_sequences" -> packSequences _,
     "llm_kmeans" -> kmeans _,
+    "llm_kmeans_twolevel" -> kmeansTwoLevel _,
     "llm_semdedup" -> semdedup _,
     "llm_bpe_stats" -> bpeStats _,
     "llm_rlhf_pairs" -> rlhfPairs _,
@@ -1066,6 +1178,83 @@ object LlmScale extends OpModule {
         |FROM base b
         |LEFT JOIN g2 USING (doc_id)
         |LEFT JOIN g5 USING (doc_id)""".stripMargin,
+    "llm_kmeans_twolevel" ->
+      (lloydCtes + """,
+        |c2 AS (
+        |  SELECT a2.cluster AS cid, dims.dim,
+        |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
+        |  FROM dims JOIN a2 USING (vec_id) GROUP BY 1, 2),
+        |nk1 AS (
+        |  SELECT greatest(2, CAST(floor(sqrt(k::DOUBLE)) AS BIGINT)) AS k1
+        |  FROM nk),
+        |sseed AS (
+        |  SELECT cid, scid FROM (
+        |    SELECT cid, (row_number() OVER (ORDER BY cid) - 1)::INT AS scid
+        |    FROM (SELECT DISTINCT cid FROM c2))
+        |  WHERE scid < (SELECT k1 FROM nk1)),
+        |sc0 AS (SELECT s.scid, c2.dim, c2.c FROM c2 JOIN sseed s USING (cid)),
+        |fd1 AS (
+        |  SELECT c2.cid, sc0.scid,
+        |    sum((c2.c - sc0.c) * (c2.c - sc0.c)) AS dist
+        |  FROM c2 JOIN sc0 USING (dim) GROUP BY 1, 2),
+        |fa1 AS (
+        |  SELECT cid, scid FROM (
+        |    SELECT cid, scid, row_number() OVER (PARTITION BY cid
+        |      ORDER BY dist ASC, scid ASC) AS rn FROM fd1) WHERE rn = 1),
+        |sc1 AS (
+        |  SELECT fa1.scid, c2.dim,
+        |    CAST(floor(sum(c2.c)::DOUBLE / count(*)) AS BIGINT) AS c
+        |  FROM c2 JOIN fa1 USING (cid) GROUP BY 1, 2),
+        |fd2 AS (
+        |  SELECT c2.cid, sc1.scid,
+        |    sum((c2.c - sc1.c) * (c2.c - sc1.c)) AS dist
+        |  FROM c2 JOIN sc1 USING (dim) GROUP BY 1, 2),
+        |fa2 AS (
+        |  SELECT cid, scid FROM (
+        |    SELECT cid, scid, row_number() OVER (PARTITION BY cid
+        |      ORDER BY dist ASC, scid ASC) AS rn FROM fd2) WHERE rn = 1),
+        |pd AS (
+        |  SELECT dims.vec_id, sc1.scid,
+        |    sum((dims.q - sc1.c) * (dims.q - sc1.c)) AS dist
+        |  FROM dims JOIN sc1 USING (dim) GROUP BY 1, 2),
+        |pa AS (
+        |  SELECT vec_id, scid FROM (
+        |    SELECT vec_id, scid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist ASC, scid ASC) AS rn FROM pd) WHERE rn = 1),
+        |pf AS (
+        |  SELECT pa.vec_id, pa.scid, fa2.cid,
+        |    sum((dims.q - c2.c) * (dims.q - c2.c)) AS dist
+        |  FROM pa JOIN fa2 USING (scid)
+        |  JOIN dims ON dims.vec_id = pa.vec_id
+        |  JOIN c2 ON c2.cid = fa2.cid AND c2.dim = dims.dim
+        |  GROUP BY 1, 2, 3),
+        |tl AS (
+        |  SELECT vec_id, scid, cid AS tl_cluster, cnt AS n_probed FROM (
+        |    SELECT vec_id, scid, cid,
+        |      count(*) OVER (PARTITION BY vec_id) AS cnt,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM pf) WHERE rn = 1),
+        |bd AS (
+        |  SELECT dims.vec_id, c2.cid,
+        |    sum((dims.q - c2.c) * (dims.q - c2.c)) AS dist
+        |  FROM dims JOIN c2 USING (dim) GROUP BY 1, 2),
+        |ba AS (
+        |  SELECT vec_id, cid AS b_cluster FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist ASC, cid ASC) AS rn FROM bd) WHERE rn = 1),
+        |cc AS (SELECT scid, count(*) AS n_cells FROM fa2 GROUP BY 1)
+        |SELECT tl.scid, cc.n_cells, count(*) AS n_points,
+        |  CAST(sum(CASE WHEN tl.tl_cluster = ba.b_cluster
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |  CAST(sum(tl.n_probed) + count(*) * (SELECT k1 FROM nk1)
+        |       AS BIGINT) AS tl_evals,
+        |  CAST(count(*) * (SELECT k FROM nk) AS BIGINT) AS brute_evals,
+        |  round(sum(CASE WHEN tl.tl_cluster = ba.b_cluster
+        |                THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4)
+        |    AS agree_frac
+        |FROM tl JOIN ba USING (vec_id) JOIN cc ON cc.scid = tl.scid
+        |GROUP BY 1, 2""".stripMargin),
     "llm_semdedup" ->
       (lloydCtes + """,
         |q3 AS (

@@ -64,6 +64,39 @@ class LlmScaleSpec extends SparkSpec {
     assert(run1.toSeq == run2.toSeq, "exact integer k-means must be deterministic")
   }
 
+  test("kmeans_twolevel: covers corpus, exact accounting, deterministic") {
+    val n = Tables.embeddings(spark, sf).count()
+    val k = LlmScale.kFor(n)
+    val k1 = math.max(2L, math.floor(math.sqrt(k.toDouble)).toLong)
+    val rows = LlmScale.kmeansTwoLevel(spark, sf).collect()
+    // every point routes through exactly one supercell
+    assert(rows.map(_.getAs[Long]("n_points")).sum == n)
+    // supercell ids come from the mini-Lloyd seed prefix: [0, K₁)
+    assert(rows.forall(r => {
+      val s = r.getAs[Int]("scid"); s >= 0 && s < k1
+    }))
+    rows.foreach { r =>
+      val (np, na) = (r.getAs[Long]("n_points"), r.getAs[Long]("n_agree"))
+      assert(na >= 0 && na <= np)
+      // brute side scores every point against all K fine cells
+      assert(r.getAs[Long]("brute_evals") == np * k)
+      // hierarchical side: K₁ supercell folds + the chosen cell's fine
+      // cells — bounded by K₁ + n_cells of that supercell per point
+      assert(r.getAs[Long]("tl_evals") ==
+        np * k1 + np * r.getAs[Long]("n_cells"))
+      assert(math.abs(r.getAs[Double]("agree_frac")
+        - na.toDouble / np) <= 5.1e-5)
+    }
+    // boundary disagreements are the accepted IMI loss; the hierarchy
+    // must still route the clear majority identically to brute force
+    val agree = rows.map(_.getAs[Long]("n_agree")).sum.toDouble / n
+    assert(agree >= 0.6, s"two-level agreement collapsed: $agree")
+    val again = LlmScale.kmeansTwoLevel(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(again.toSeq == rows.map(_.toSeq).sortBy(_.toString).toSeq,
+      "integer lattice must make the hierarchy deterministic")
+  }
+
   test("repetition_filter: hand-checked metrics, exact integer gates") {
     val dir = "/tmp/graft-test-llmscale-rep"
     Seq(
