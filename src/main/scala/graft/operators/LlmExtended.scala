@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -248,6 +249,71 @@ object LlmExtended extends OpModule {
           .as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT dedup — the doc-inside-doc case symmetric
+    * Jaccard misses entirely: a short document quoted whole inside a
+    * long one has |A∩B|/|A∪B| ≈ |A|/|B| (arbitrarily low) but
+    * C(A→B) = |G(A)∩G(B)| / |G(A)| ≈ 1. Grams are distinct word
+    * 8-shingles (the dedup_substring / decontaminate granularity),
+    * carried as xxhash64 longs; the oracle keeps strings.
+    *
+    * Scale shape — the postings self-join is bounded by a STOPGRAM cap:
+    * the gram universe drops grams appearing in more than T=64
+    * documents (boilerplate — navigation chrome, licenses — which is
+    * noise for containment anyway, exactly the stop-shingle rule of the
+    * near-dup literature), so each gram's pair fan-out is ≤ T and the
+    * whole join is Σ min(df,T)² ≤ T·Σdf — LINEAR in corpus gram mass,
+    * with the worst skew key structurally removed rather than salted.
+    * Both numerator and denominator range over the capped universe, so
+    * the decision gate shared·5 ≥ n_grams·4 (C ≥ 0.8) is exact integer
+    * math on identically-defined sets in both engines. Per doc the
+    * output keeps the best-matching container (max shared, min id) —
+    * N rows, not a pair table. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val T = 64
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // explode_outer + null filter (not explode): the inferred non-empty
+    // pre-filter of a plain explode re-evaluates the gram-hash tree in
+    // an interpreted scan Filter (see dedupNgram above)
+    val g = docs
+      .select(col("doc_id"),
+        explode_outer(expr("array_distinct(xx_ngram_hashes(toks, 8))"))
+          .as("gh"))
+      .where(col("gh").isNotNull)
+      .localCheckpoint() // hash tree has 2 readers: df build + universe
+    val dfreq = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    // capped universe, df carried so the pair join can also skip
+    // unshareable df=1 grams; 3 readers (base counts, both join sides)
+    val uni = g.join(dfreq.where(col("df") <= T), "gh")
+      .localCheckpoint()
+    val pairSide = uni.where(col("df") >= 2)
+    val shared = pairSide.as("a").join(pairSide.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("shared"))
+    val wBest = Window.partitionBy(col("ida"))
+      .orderBy(col("shared").desc, col("idb").asc)
+    val best = shared.withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(col("ida").as("doc_id"), col("idb").as("best_id"),
+        col("shared"))
+    docs.select(col("doc_id"))
+      .join(uni.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
+        Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("best_id"),
+        coalesce(col("shared"), lit(0L)).as("shared"))
+      .select(col("doc_id"), col("n_grams"), col("best_id"), col("shared"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("shared") / col("n_grams").cast("double"), 4))
+          .as("containment"),
+        (col("n_grams") > 0 && col("shared") * 5 >= col("n_grams") * 4)
+          .as("contained"))
+  }
+
   /** Embedding-cosine near-dup at τ=0.5, LSH-BUCKETED: candidate pairs
     * form only where the two vectors' 8-bit sign cells (signs of the
     * first 8 dimensions) sit within hamming distance 1 — each vector
@@ -458,6 +524,7 @@ object LlmExtended extends OpModule {
     "udtf_ngrams" -> udtfNgrams _,
     "llm_dedup_simhash" -> dedupSimhash _,
     "llm_dedup_ngram" -> dedupNgram _,
+    "llm_dedup_containment" -> dedupContainment _,
     "llm_dedup_embed" -> dedupEmbed _,
     "llm_ann_ivf" -> annIvf _,
     "llm_lang_id" -> langId _,
@@ -495,6 +562,44 @@ object LlmExtended extends OpModule {
        |       (p, x) -> p + x))))""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')
+        |    AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, u AS gs FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(t[i:i+7], ' ')
+        |              for i in range(1, len(t) - 6)]) AS u
+        |    FROM t WHERE len(t) >= 8)),
+        |df AS (SELECT gs, count(*) AS df FROM g GROUP BY gs),
+        |uni AS (
+        |  SELECT g.doc_id, g.gs, df.df
+        |  FROM g JOIN df USING (gs) WHERE df.df <= 64),
+        |pr AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |  FROM uni a JOIN uni b
+        |    ON a.gs = b.gs AND a.doc_id != b.doc_id
+        |  WHERE a.df >= 2
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT ida, idb, shared FROM (
+        |    SELECT ida, idb, shared, row_number() OVER (PARTITION BY ida
+        |      ORDER BY shared DESC, idb ASC) AS rn FROM pr) WHERE rn = 1),
+        |base AS (
+        |  SELECT t.doc_id, coalesce(u.n, 0)::BIGINT AS n_grams
+        |  FROM t LEFT JOIN (SELECT doc_id, count(*) AS n FROM uni
+        |                    GROUP BY 1) u USING (doc_id))
+        |SELECT base.doc_id, base.n_grams, best.idb AS best_id,
+        |  coalesce(best.shared, 0)::BIGINT AS shared,
+        |  CASE WHEN base.n_grams = 0 THEN 0.0
+        |       ELSE round(coalesce(best.shared, 0)
+        |                  / base.n_grams::DOUBLE, 4) END AS containment,
+        |  (base.n_grams > 0
+        |   AND coalesce(best.shared, 0) * 5 >= base.n_grams * 4)
+        |    AS contained
+        |FROM base LEFT JOIN best ON best.ida = base.doc_id""".stripMargin,
     "llm_dedup_simhash" -> (shCte +
       s"""
          |, hashes0 AS (

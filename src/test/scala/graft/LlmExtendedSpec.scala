@@ -35,6 +35,42 @@ class LlmExtendedSpec extends SparkSpec {
     assert(got.head.getDouble(2) > 0.9)
   }
 
+  test("containment catches doc-inside-doc that Jaccard misses, asymmetrically") {
+    // doc 1 is the exact 12-token prefix of the 60-token doc 2: Jaccard
+    // (5 shared grams / 58 union) ≈ 0.09 — far below dedup_ngram's τ=0.5
+    // — but C(1→2) = 1.0. The reverse direction must NOT flag doc 2.
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    writeDocs(Seq(
+      (1L, short, "en", "s", 1L), (2L, long, "en", "s", 1L),
+      (3L, other, "en", "s", 1L)))
+    val out = LlmExtended.dedupContainment(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_grams") == 5 && r1.getAs[Long]("shared") == 5)
+    assert(r1.getAs[Long]("best_id") == 2L)
+    assert(r1.getAs[Boolean]("contained"))
+    assert(r1.getAs[Double]("containment") == 1.0)
+    val r2 = out(2L)
+    assert(!r2.getAs[Boolean]("contained"),
+      "containment must stay asymmetric: the long doc is not contained")
+    assert(r2.getAs[Long]("n_grams") == 53 && r2.getAs[Long]("shared") == 5)
+    assert(!out(3L).getAs[Boolean]("contained"))
+    assert(out(3L).getAs[Long]("shared") == 0)
+    // fixture-wide invariants: exactly one row per doc, bounded stats,
+    // gate consistent with the exact integer rule
+    val rows = LlmExtended.dedupContainment(spark, sf).collect()
+    assert(rows.length.toLong == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (n, sh) = (r.getAs[Long]("n_grams"), r.getAs[Long]("shared"))
+      assert(sh >= 0 && sh <= n)
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Boolean]("contained") == (n > 0 && sh * 5 >= n * 4))
+    }
+  }
+
   test("ann_ivf neighbors are a subset of probed cells with high self-cell recall") {
     val ivf = LlmExtended.annIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
