@@ -324,6 +324,75 @@ object Joins extends OpModule {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Macro query (TPC-H Q3 shape): unshipped-order revenue priority —
+    * segment-filtered customers ⋈ open orders ⋈ late-shipping lineitems,
+    * top-10 orders by revenue. The ranking key is EXACT-INTEGER CENTS
+    * (round(price·100) · (100 − round(disc·100)) summed as BIGINT), so
+    * the top-10 cut is the same row set in both engines — ranking on a
+    * float sum is exactly where cross-engine accumulation drift flips
+    * adjacent ranks (SURVEY §5.4). Scale shape: both selective filters
+    * push to their scans; customer⋈orders shuffles on custkey, the
+    * result ⋈lineitem on orderkey (AQE picks broadcast at fixture sizes,
+    * shuffle at 100 TB where no side fits); the top-10 runs as
+    * TakeOrderedAndProject — per-partition heaps, K rows to the driver,
+    * never a global sort. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cents =
+      (expr("cast(round(l_extendedprice * 100) as bigint)")
+        * (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+    val c = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") > lit("1998-01-01"))
+      .select(col("l_orderkey"), cents.as("cents"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("revenue_cents"),
+        round(col("revenue_cents") / lit(10000.0), 4).as("revenue"))
+  }
+
+  /** Macro query (TPC-H Q10 shape): customers ranked by revenue lost to
+    * returned items in one order-year — lineitem(R) ⋈ orders(window) ⋈
+    * customer ⋈ nation, top-20 customers. Same exact-cents ranking rule
+    * as q3; nation broadcasts (25 rows at any scale), the fact joins
+    * shuffle on orderkey then custkey. The output carries the raw
+    * c_acctbal group key untouched — group keys never accumulate, so
+    * floats are safe there. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val cents =
+      (expr("cast(round(l_extendedprice * 100) as bigint)")
+        * (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+    val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), cents.as("cents"))
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1997-01-01")
+        && col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("revenue_cents"),
+        round(col("revenue_cents") / lit(10000.0), 4).as("revenue"))
+  }
+
   /** Runtime bloom-filter injection (InjectRuntimeFilter): a selective
     * dim-side predicate is turned into a bloom filter evaluated on the
     * FACT side's scan, discarding non-joining fact rows before the
@@ -355,6 +424,8 @@ object Joins extends OpModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_runtime_filter" -> joinRuntimeFilter _,
     "q5_star_join" -> q5StarJoin _,
+    "q3_shipping_priority" -> q3ShippingPriority _,
+    "q10_returned_items" -> q10ReturnedItems _,
     "join_fuzzy" -> joinFuzzy _,
     "join_dpp" -> joinDpp _,
     "join_salted" -> joinSalted _,
@@ -391,6 +462,41 @@ object Joins extends OpModule {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority""".stripMargin,
+    "q3_shipping_priority" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cents
+        |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01')
+        |SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  round(CAST(sum(cents) AS BIGINT) / 10000.0, 4) AS revenue
+        |FROM li
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q10_returned_items" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cents
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  round(CAST(sum(cents) AS BIGINT) / 10000.0, 4) AS revenue
+        |FROM li
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue_cents DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "q5_star_join" ->
       """SELECT n_name,
         | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

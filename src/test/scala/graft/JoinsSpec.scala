@@ -42,6 +42,35 @@ class JoinsSpec extends SparkSpec {
         scans.map(_.partitionFilters).mkString("\n"))
   }
 
+  test("q3/q10: top-k plans as TakeOrdered, filters pushed, exact rank key") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
+    val q3 = graft.operators.Joins.q3ShippingPriority(spark, sf)
+    // top-10 must be per-partition heaps + driver merge, never a global
+    // sort of the aggregate (the 100 TB shape)
+    assert(collectFinal(q3) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "q3 top-10 should plan as TakeOrderedAndProject")
+    // both selective predicates reach their parquet scans
+    val pushed = collectFinal(q3) { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "")
+    }.mkString(" ")
+    assert(pushed.contains("l_shipdate") && pushed.contains("c_mktsegment"),
+      s"q3 filters not pushed to scans: $pushed")
+    // the displayed revenue is exactly cents/10⁴ — rank key and display
+    // value cannot disagree
+    q3.collect().foreach { r =>
+      assert(r.getAs[Double]("revenue")
+        == math.round(r.getAs[Long]("revenue_cents") / 10000.0 * 10000) / 10000.0)
+    }
+    val q10 = graft.operators.Joins.q10ReturnedItems(spark, sf)
+    assert(collectFinal(q10) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "q10 top-20 should plan as TakeOrderedAndProject")
+    val rows = q10.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    // ranked output arrives ordered by the exact integer key
+    val cents = rows.map(_.getAs[Long]("revenue_cents"))
+    assert(cents.zip(cents.tail).forall { case (a, b) => a >= b })
+  }
+
   test("join_salted equals the unsalted join") {
     import org.apache.spark.sql.functions._
     val salted = graft.operators.Joins.joinSalted(spark, sf)
