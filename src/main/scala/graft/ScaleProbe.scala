@@ -68,7 +68,15 @@ object ScaleProbe {
       "llm_dedup_substring",
       // one-pass Gram aggregator: cost is N·D²/2 multiply-adds map-side,
       // shuffle stays |partitions| flat buffers at any N
-      "llm_gram_matrix")
+      "llm_gram_matrix",
+      // containment: the clone corpus is its worst case — every family
+      // shares nearly all 8-grams (df≈10 per gram, under the T=64 cap),
+      // so the postings join carries the full family pair fan-out;
+      // healthy = scales with verified family pairs, never corpus²
+      "llm_dedup_containment",
+      // two-level quantizer: assign work per point is K₁+|cell| ≈ 2√K —
+      // must grow ~√10 per decade, not the brute ×10 (K∝N)
+      "llm_kmeans_twolevel")
     println(f"${"op"}%-24s ${"sec"}%8s ${"rows"}%10s")
     probes.foreach { name =>
       val t0 = System.nanoTime()

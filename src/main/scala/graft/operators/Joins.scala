@@ -393,6 +393,30 @@ object Joins extends OpModule {
         round(col("revenue_cents") / lit(10000.0), 4).as("revenue"))
   }
 
+  /** Macro query (TPC-H Q18 shape): large-volume orders — the
+    * AGGREGATE-THEN-JOIN pattern q3/q5/q10 don't exercise: lineitem
+    * first collapses to per-order quantity totals (map-side partial
+    * aggregation does most of the work before the one shuffle), the
+    * selective HAVING (> 300) leaves a tiny key set, and AQE observes
+    * that at runtime and flips the orders/customer probes to broadcast
+    * joins — the plan adapts to the aggregate's selectivity, which no
+    * static planner knows in advance. Quantities are integer-valued
+    * doubles; their sum is exact in IEEE double at any accumulation
+    * order, and the BIGINT cast makes ranking engine-identical. */
+  def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .where(col("total_qty") > 300)
+    big.join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+  }
+
   /** Runtime bloom-filter injection (InjectRuntimeFilter): a selective
     * dim-side predicate is turned into a bloom filter evaluated on the
     * FACT side's scan, discarding non-joining fact rows before the
@@ -426,6 +450,7 @@ object Joins extends OpModule {
     "q5_star_join" -> q5StarJoin _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q10_returned_items" -> q10ReturnedItems _,
+    "q18_big_orders" -> q18BigOrders _,
     "join_fuzzy" -> joinFuzzy _,
     "join_dpp" -> joinDpp _,
     "join_salted" -> joinSalted _,
@@ -496,6 +521,17 @@ object Joins extends OpModule {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY c_custkey, c_name, n_name, c_acctbal
         |ORDER BY revenue_cents DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(l_quantity) AS BIGINT) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+        |FROM big
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC
         |LIMIT 20""".stripMargin,
     "q5_star_join" ->
       """SELECT n_name,

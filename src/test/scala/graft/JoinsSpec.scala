@@ -69,6 +69,13 @@ class JoinsSpec extends SparkSpec {
     // ranked output arrives ordered by the exact integer key
     val cents = rows.map(_.getAs[Long]("revenue_cents"))
     assert(cents.zip(cents.tail).forall { case (a, b) => a >= b })
+    // q18: the selective HAVING leaves a tiny key set — AQE must flip
+    // the orders/customer probes to broadcast joins at runtime
+    val q18 = graft.operators.Joins.q18BigOrders(spark, sf)
+    assert(collectFinal(q18) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "q18 post-aggregate joins should become broadcast under AQE")
+    assert(collectFinal(q18) { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+    q18.collect().foreach(r => assert(r.getAs[Long]("total_qty") > 300))
   }
 
   test("join_salted equals the unsalted join") {
