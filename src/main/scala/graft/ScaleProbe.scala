@@ -47,6 +47,18 @@ object ScaleProbe {
       .select((col("vec_id") * copies + col("k")).as("vec_id"),
         col("label"), col("embedding"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    // graph scale-up: 10 DISJOINT clones of the co-supply graph (orderkey
+    // and suppkey both offset per clone) — node and edge counts grow 10×
+    // while per-node degree stays fixed, so a healthy graph op grows
+    // ~linearly in edges; superlinear growth would expose a Σdeg²-shaped
+    // shuffle (the wedge materialization this family was rewritten away
+    // from)
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .withColumn("k", explode(lit((0 until copies).toArray)))
+      .withColumn("l_orderkey", col("l_orderkey") * copies + col("k"))
+      .withColumn("l_suppkey", col("l_suppkey") + col("k") * lit(1000000L))
+      .drop("k")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
 
     val probes = Seq(
       "llm_dedup_exact", "llm_dedup_near", "llm_dedup_cluster",
@@ -76,7 +88,10 @@ object ScaleProbe {
       "llm_dedup_containment",
       // two-level quantizer: assign work per point is K₁+|cell| ≈ 2√K —
       // must grow ~√10 per decade, not the brute ×10 (K∝N)
-      "llm_kmeans_twolevel")
+      "llm_kmeans_twolevel",
+      // graph family over 10 disjoint graph clones: healthy = ~linear in
+      // edges (sorted-adjacency merges), never Σdeg² shuffle rows
+      "graph_pagerank", "graph_triangles", "graph_jaccard")
     println(f"${"op"}%-24s ${"sec"}%8s ${"rows"}%10s")
     probes.foreach { name =>
       val t0 = System.nanoTime()

@@ -67,6 +67,25 @@ object SortsSetOps extends OpModule {
     a.except(b)
   }
 
+  /** Multiset (bag) semantics — the ALL variants SQL defines alongside
+    * the distinct forms: INTERSECT ALL keeps min(countA, countB) copies
+    * per value, EXCEPT ALL keeps max(0, countA − countB). Spark plans
+    * both as one aggregate producing per-value replication counts + a
+    * generator that re-expands them — counts shuffle, never row copies,
+    * the same collapse-then-expand shape a 100 TB multiset op needs. */
+  def setIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val b = Tables.customer(s, d).where(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("k"))
+    a.intersectAll(b)
+  }
+
+  def setExceptAll(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val b = Tables.customer(s, d).select(col("c_custkey").as("k"))
+    a.exceptAll(b)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sort_global" -> sortGlobal _,
     "limit" -> limitOp _,
@@ -75,7 +94,9 @@ object SortsSetOps extends OpModule {
     "set_union_all" -> setUnionAll _,
     "set_union_distinct" -> setUnionDistinct _,
     "set_intersect" -> setIntersect _,
-    "set_except" -> setExcept _
+    "set_except" -> setExcept _,
+    "set_intersect_all" -> setIntersectAll _,
+    "set_except_all" -> setExceptAll _
   )
 
   def oracle: Map[String, String] = Map(
@@ -108,6 +129,16 @@ object SortsSetOps extends OpModule {
       """SELECT k FROM (
         |  SELECT c_custkey AS k FROM customer
         |  EXCEPT
-        |  SELECT o_custkey AS k FROM orders)""".stripMargin
+        |  SELECT o_custkey AS k FROM orders)""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT k FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT ALL
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0)""".stripMargin,
+    "set_except_all" ->
+      """SELECT k FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS k FROM customer)""".stripMargin
   )
 }
