@@ -123,25 +123,25 @@ object LlmScale extends OpModule {
     * count() that sizes K is metadata-only on parquet and is what any
     * clustering library does to pick K.
     *
-    * Shape per iteration: the K centroid VECTORS broadcast as arrays and
-    * each embedding row computes all K exact distances in one in-order
-    * integer fold, then argmin's via min(struct(dist, cid)) in a single
-    * hash aggregate — N·K rows total, never the N·K·dim per-dimension
-    * explosion (measured 37.9 s → 3 s at the 10× probe once K scaled
-    * with N), and no per-vector window sort. At 100 TB the only shuffle
-    * is that aggregate; iterations stay O(rounds), exactly how MLlib
-    * schedules Lloyd (which also ships centroid arrays to executors).
+    * Shape per iteration: centroid tables broadcast as arrays and each
+    * embedding row computes its distances in in-order integer folds,
+    * then argmin's via min(struct(dist, cid)) in a single hash
+    * aggregate — never the N·K·dim per-dimension explosion (measured
+    * 37.9 s → 3 s at the 10× probe once K scaled with N), and no
+    * per-vector window sort. At 100 TB the only shuffle is that
+    * aggregate; iterations stay O(rounds), exactly how MLlib schedules
+    * Lloyd (which also ships centroid arrays to executors).
     *
-    * HONEST SCALE LIMIT: with K ∝ N the brute-force assign is N·K ≈
-    * N²/128 distance evaluations per round — fine to ~10⁷ vectors on a
-    * cluster, quadratic beyond. The 100 TB path is a two-level coarse
-    * quantizer (√K supercells first, then √K cells within each — total
-    * assign work N·2√K, the FAISS IVF-HNSW/IMI recipe), IMPLEMENTED and
-    * agreement-scored as llm_kmeans_twolevel below; the within-cell
-    * phase and all downstream consumers (semdedup's pair bound,
-    * annIvfKmeans' inverted file) are unchanged by that substitution,
-    * so this op keeps the single-level form as the exact reference
-    * assignment both oracles replay.
+    * ASSIGN IS HIERARCHICAL (round 7): with K ∝ N a brute argmin is
+    * N·K ≈ N²/128 distance evaluations per round — fine to ~10⁷
+    * vectors, quadratic beyond. So `assign` routes supercell-first
+    * (K₁ = ⌊√K⌋ mini-Lloyd'd supercells, then exact argmin within the
+    * chosen supercell's fine cells — N·2√K work, the FAISS IVF-HNSW/IMI
+    * recipe); see the block comment in lloydBuild. The brute evaluator
+    * survives only in the agreement/eval ops: llm_kmeans_twolevel
+    * scores hierarchy-vs-brute on the final lattice, llm_ann_recall the
+    * ANN analogue. All downstream consumers (semdedup's pair bound,
+    * annIvfKmeans' inverted file) read the same hierarchical a2.
     */
   private[graft] def kFor(n: Long): Long = math.max(4L, n / 128L)
 
@@ -214,13 +214,72 @@ object LlmScale extends OpModule {
     val c0 = dims.join(broadcast(seeds), "vec_id")
       .select(col("cid"), col("dim"), col("q").as("c"))
 
-    def assign(cent: DataFrame): DataFrame =
-      qv.crossJoin(broadcast(centroidArrays(cent)))
+    // HIERARCHICAL (supercell-first) assignment — since round 7 this IS
+    // the assign path, not a sibling demonstration: K ∝ N makes the
+    // brute argmin N·K ≈ N²/128 distance folds per round, quadratic at
+    // 100 TB. Instead the K centroids are themselves mini-Lloyd'd into
+    // K₁ = max(2, ⌊√K⌋) supercells (seed = K₁ smallest cids, one
+    // recenter, reassign — K·K₁ folds over broadcast-sized tables), and
+    // each point routes nearest-supercell-first (K₁ folds) then exact
+    // argmin over only that supercell's fine cells (≈K/K₁ folds) —
+    // N·2√K total, the FAISS IMI / IVF-HNSW recipe. Every distance,
+    // recenter, and (dist, id) tie-break stays exact BIGINT, so DuckDB
+    // replays the identical hierarchy (hierCtes below is this function
+    // transcribed). Phase 1 only considers supercells that still own at
+    // least one fine cell after the reassign — a cell-less supercell
+    // would otherwise orphan the points it attracts (assignment must
+    // stay TOTAL: semdedup/annIvf consume a2 as a partition).
+    // Boundary points may route to a different-but-close cluster than
+    // brute argmin would pick — the accepted IMI approximation; the
+    // brute evaluator survives only inside the agreement/eval ops
+    // (kmeansTwoLevel scores it at ~full agreement, annRecall the ANN
+    // analogue). Intermediate K-row checkpoints are freed once the
+    // round-2 lattice is materialized.
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def assign(cent: DataFrame): DataFrame = {
+      // K-row array form has 4 readers below (mini-Lloyd seed + 2 cell
+      // assigns, point fine phase) → checkpoint once (the ≥2-reader rule)
+      val fine = centroidArrays(cent).localCheckpoint()
+      scratch += fine
+      val k1 = math.max(2L, math.floor(math.sqrt(fine.count().toDouble)).toLong)
+      val sseed = fine.select(col("cid"),
+          (row_number().over(Window.orderBy(col("cid"))) - 1).as("scid"))
+        .where(col("scid") < k1)
+      val sc0 = cent.join(broadcast(sseed), "cid")
+        .select(col("scid"), col("dim"), col("c"))
+      // fine cell → nearest supercell (K·K₁ folds, all broadcast-sized)
+      def cellAssign(superCent: DataFrame): DataFrame =
+        fine.crossJoin(broadcast(
+            centroidArrays(superCent.withColumnRenamed("scid", "cid"))
+              .select(col("cid").as("scid"), col("cv").as("sv"))))
+          .select(col("cid"), col("scid"),
+            expr("squared_distance(cv, sv)").as("dist"))
+          .groupBy(col("cid"))
+          .agg(min(struct(col("dist"), col("scid"))).as("m"))
+          .select(col("cid"), col("m.scid").as("scid"))
+      val s1 = cent.join(broadcast(cellAssign(sc0)), "cid")
+        .groupBy(col("scid"), col("dim"))
+        .agg(floor(sum(col("c")).cast("double") / count(lit(1))).cast("long").as("c"))
+        .select(col("scid"), col("dim"), col("c"))
+      val f2 = cellAssign(s1) // final fine-cell → supercell map
+      val superArr = centroidArrays(s1.withColumnRenamed("scid", "cid"))
+        .select(col("cid").as("scid"), col("cv").as("sv"))
+        .join(f2.select(col("scid")).distinct(), "scid") // live supercells only
+      // phase 1: nearest live supercell per point (K₁ folds each)
+      val p1 = qv.crossJoin(broadcast(superArr))
+        .select(col("vec_id"), col("qv"), col("scid"),
+          expr("squared_distance(qv, sv)").as("dist"))
+        .groupBy(col("vec_id"), col("qv"))
+        .agg(min(struct(col("dist"), col("scid"))).as("m"))
+        .select(col("vec_id"), col("qv"), col("m.scid").as("scid"))
+      // phase 2: exact argmin over the chosen supercell's fine cells only
+      p1.join(broadcast(fine.join(broadcast(f2), "cid")), "scid")
         .select(col("vec_id"), col("cid"),
           expr("squared_distance(qv, cv)").as("dist"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("dist"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cluster"))
+    }
     def recenter(asg: DataFrame): DataFrame =
       dims.join(asg, "vec_id")
         .groupBy(col("cluster"), col("dim"))
@@ -233,6 +292,7 @@ object LlmScale extends OpModule {
     // file, twolevel fine cells); K·64 rows, checkpointed so no consumer
     // re-pays the dims⋈a2 corpus join
     val c2 = recenter(a2).localCheckpoint() // (cid, dim, c)
+    scratch.foreach(MemoUtil.dropCheckpoint) // intra-build K-row tables
     (qv, dims, a2, c2)
   }
 
@@ -385,9 +445,12 @@ object LlmScale extends OpModule {
 
   // ── llm_kmeans_twolevel ───────────────────────────────────────────────
 
-  /** Two-level coarse quantizer assignment — the documented 100 TB path
-    * for llm_kmeans's honest scale limit (K ∝ N makes the brute assign
-    * N·K ≈ N²/128), now implemented and MEASURED instead of only cited:
+  /** Two-level coarse quantizer AGREEMENT EVALUATION. Since round 7 the
+    * hierarchical assign is llm_kmeans's own path (lloydBuild), so this
+    * op's job is the measurement that justifies it: replay the
+    * hierarchy once more on the final round-2 lattice and score it
+    * against the brute argmin — the only place the brute evaluator
+    * still runs. Mechanics:
     * the K round-2 fine centroids are themselves clustered into
     * K₁ = max(2, ⌊√K⌋) supercells by a mini-Lloyd over just K rows
     * (seed = first K₁ fine cells, one recenter, reassign — the identical
@@ -970,13 +1033,71 @@ object LlmScale extends OpModule {
     "llm_ann_recall" -> annRecall _
   )
 
+  /** Hierarchical-assign CTE block, prefix `p`: per-dim centroid table
+    * `cent` (cid, dim, c) → `aOut` (vec_id, cluster). A line-for-line
+    * transcription of lloydBuild's `assign`: mini-Lloyd the K cells into
+    * K₁ = max(2, ⌊√K⌋) supercells (seed = K₁ smallest cids, one
+    * recenter, reassign), route each point nearest-LIVE-supercell-first,
+    * then exact argmin over that supercell's fine cells. All arithmetic
+    * BIGINT, all argmins (dist ASC, id ASC). */
+  private def hierCtes(p: String, cent: String, aOut: String): String =
+    s""",
+      |${p}k1 AS (
+      |  SELECT greatest(2, CAST(floor(sqrt(count(DISTINCT cid)::DOUBLE))
+      |    AS BIGINT)) AS k1 FROM $cent),
+      |${p}ss AS (
+      |  SELECT cid, scid FROM (
+      |    SELECT cid, (row_number() OVER (ORDER BY cid) - 1) AS scid
+      |    FROM (SELECT DISTINCT cid FROM $cent))
+      |  WHERE scid < (SELECT k1 FROM ${p}k1)),
+      |${p}s0 AS (
+      |  SELECT s.scid, c.dim, c.c FROM $cent c JOIN ${p}ss s USING (cid)),
+      |${p}fd1 AS (
+      |  SELECT c.cid, s.scid, sum((c.c - s.c) * (c.c - s.c)) AS dist
+      |  FROM $cent c JOIN ${p}s0 s USING (dim) GROUP BY 1, 2),
+      |${p}fa1 AS (
+      |  SELECT cid, scid FROM (
+      |    SELECT cid, scid, row_number() OVER (PARTITION BY cid
+      |      ORDER BY dist ASC, scid ASC) AS rn FROM ${p}fd1) WHERE rn = 1),
+      |${p}s1 AS MATERIALIZED (
+      |  SELECT f.scid, c.dim,
+      |    CAST(floor(sum(c.c)::DOUBLE / count(*)) AS BIGINT) AS c
+      |  FROM $cent c JOIN ${p}fa1 f USING (cid) GROUP BY 1, 2),
+      |${p}fd2 AS (
+      |  SELECT c.cid, s.scid, sum((c.c - s.c) * (c.c - s.c)) AS dist
+      |  FROM $cent c JOIN ${p}s1 s USING (dim) GROUP BY 1, 2),
+      |${p}fa2 AS MATERIALIZED (
+      |  SELECT cid, scid FROM (
+      |    SELECT cid, scid, row_number() OVER (PARTITION BY cid
+      |      ORDER BY dist ASC, scid ASC) AS rn FROM ${p}fd2) WHERE rn = 1),
+      |${p}pd AS (
+      |  SELECT d.vec_id, s.scid, sum((d.q - s.c) * (d.q - s.c)) AS dist
+      |  FROM dims d JOIN ${p}s1 s USING (dim)
+      |  WHERE s.scid IN (SELECT DISTINCT scid FROM ${p}fa2)
+      |  GROUP BY 1, 2),
+      |${p}pa AS (
+      |  SELECT vec_id, scid FROM (
+      |    SELECT vec_id, scid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist ASC, scid ASC) AS rn FROM ${p}pd) WHERE rn = 1),
+      |${p}pf AS (
+      |  SELECT p.vec_id, f.cid, sum((d.q - c.c) * (d.q - c.c)) AS dist
+      |  FROM ${p}pa p
+      |  JOIN ${p}fa2 f USING (scid)
+      |  JOIN dims d ON d.vec_id = p.vec_id
+      |  JOIN $cent c ON c.cid = f.cid AND c.dim = d.dim
+      |  GROUP BY 1, 2),
+      |$aOut AS MATERIALIZED (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist ASC, cid ASC) AS rn FROM ${p}pf) WHERE rn = 1)""".stripMargin
+
   /** Shared oracle CTE chain replaying `lloyd` (corpus-scaled K → dims →
-    * seeds → two assign/recenter rounds → a2), used by llm_kmeans and
-    * llm_semdedup. */
+    * seeds → two hierarchical assign/recenter rounds → a2), used by
+    * llm_kmeans / llm_semdedup / the ann/twolevel chains. */
   private val lloydCtes: String =
-    """WITH nk AS (
+    """WITH nk AS MATERIALIZED (
       |  SELECT greatest(4, count(*) // 128) AS k FROM embeddings),
-      |dims AS (
+      |dims AS MATERIALIZED (
       |  SELECT vec_id, i - 1 AS dim,
       |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
       |  FROM embeddings, range(1, 65) r(i)),
@@ -988,40 +1109,22 @@ object LlmScale extends OpModule {
       |          WHERE vec_id < 64 * (SELECT k FROM nk)
       |          GROUP BY embedding))
       |  WHERE cid < (SELECT k FROM nk)),
-      |c0 AS (
+      |c0 AS MATERIALIZED (
       |  SELECT s.cid, d.dim, d.q AS c
-      |  FROM dims d JOIN seeds s USING (vec_id)),
-      |d1 AS (
-      |  SELECT dims.vec_id, c0.cid,
-      |    sum((dims.q - c0.c) * (dims.q - c0.c)) AS dist
-      |  FROM dims JOIN c0 USING (dim) GROUP BY dims.vec_id, c0.cid),
-      |a1 AS (
-      |  SELECT vec_id, cid AS cluster FROM (
-      |    SELECT vec_id, cid,
-      |      row_number() OVER (PARTITION BY vec_id
-      |                         ORDER BY dist ASC, cid ASC) AS rn
-      |    FROM d1) WHERE rn = 1),
-      |c1 AS (
+      |  FROM dims d JOIN seeds s USING (vec_id))""".stripMargin +
+      hierCtes("r1", "c0", "a1") + """,
+      |c1 AS MATERIALIZED (
       |  SELECT a1.cluster AS cid, dims.dim,
       |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
-      |  FROM dims JOIN a1 USING (vec_id) GROUP BY a1.cluster, dims.dim),
-      |d2 AS (
-      |  SELECT dims.vec_id, c1.cid,
-      |    sum((dims.q - c1.c) * (dims.q - c1.c)) AS dist
-      |  FROM dims JOIN c1 USING (dim) GROUP BY dims.vec_id, c1.cid),
-      |a2 AS (
-      |  SELECT vec_id, cid AS cluster FROM (
-      |    SELECT vec_id, cid,
-      |      row_number() OVER (PARTITION BY vec_id
-      |                         ORDER BY dist ASC, cid ASC) AS rn
-      |    FROM d2) WHERE rn = 1)""".stripMargin
+      |  FROM dims JOIN a1 USING (vec_id) GROUP BY a1.cluster, dims.dim)""".stripMargin +
+      hierCtes("r2", "c1", "a2")
 
   /** IVF probe/candidate CTE chain (round-2 centroids → nprobe=2 probes
     * → in-cell candidate distances), shared by the llm_ann_ivf_kmeans
     * and llm_ann_recall oracles. Appends to lloydCtes. */
   private val annIvfCtes: String =
     """,
-      |c2 AS (
+      |c2 AS MATERIALIZED (
       |  SELECT a2.cluster, dims.dim,
       |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
       |  FROM dims JOIN a2 USING (vec_id) GROUP BY a2.cluster, dims.dim),
@@ -1176,7 +1279,7 @@ object LlmScale extends OpModule {
         |LEFT JOIN g5 USING (doc_id)""".stripMargin,
     "llm_kmeans_twolevel" ->
       (lloydCtes + """,
-        |c2 AS (
+        |c2 AS MATERIALIZED (
         |  SELECT a2.cluster AS cid, dims.dim,
         |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
         |  FROM dims JOIN a2 USING (vec_id) GROUP BY 1, 2),
@@ -1496,7 +1599,7 @@ object LlmScale extends OpModule {
         |FROM bins GROUP BY lang""".stripMargin,
     "llm_kmeans" ->
       (lloydCtes + """,
-        |c2 AS (
+        |c2 AS MATERIALIZED (
         |  SELECT a2.cluster AS cid, dims.dim,
         |    CAST(floor(sum(dims.q)::DOUBLE / count(*)) AS BIGINT) AS c
         |  FROM dims JOIN a2 USING (vec_id) GROUP BY a2.cluster, dims.dim),
