@@ -32,7 +32,9 @@ object ScaleProbe {
 
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = java.nio.file.Files.createTempDirectory("graft_probe").toString
-    val copies = 10
+    // scale tier: 10× default; 30× for the asymptotics table in SCALE.md
+    // (sub-quadratic claims need two growth measurements, not one)
+    val copies = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "10").toInt
 
     spark.read.parquet(s"$src/documents.parquet")
       .withColumn("k", explode(lit((0 until copies).toArray)))
@@ -92,16 +94,43 @@ object ScaleProbe {
       // graph family over 10 disjoint graph clones: healthy = ~linear in
       // edges (sorted-adjacency merges), never Σdeg² shuffle rows
       "graph_pagerank", "graph_triangles", "graph_jaccard")
+    // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
+    // clone k's node ids are s·copies+k, so every community's id range
+    // spans the whole keyspace — the dense path's range-overlap prune is
+    // structurally useless here (every pair of communities overlaps).
+    // This is the fixture that proves the sparse inverted-index regime:
+    // jaccard must stay ~flat on it, because candidates come from shared
+    // witness postings, which never cross disjoint clones.
+    val outI = java.nio.file.Files.createTempDirectory("graft_probe_i").toString
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .withColumn("k", explode(lit((0 until copies).toArray)))
+      .withColumn("l_orderkey", col("l_orderkey") * copies + col("k"))
+      .withColumn("l_suppkey", col("l_suppkey") * copies + col("k"))
+      .drop("k")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outI/lineitem.parquet")
+
+    // optional comma-separated op filter for targeted re-measurement
+    val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     println(f"${"op"}%-24s ${"sec"}%8s ${"rows"}%10s")
-    probes.foreach { name =>
-      val t0 = System.nanoTime()
-      // toRdd.count() executes the plan as written (df.count() would let
-      // Catalyst prune expensive branches that counting doesn't need)
-      val rows =
-        try SparkEntry.queries(name)(spark, out).queryExecution.toRdd.count()
-        catch { case e: Throwable => println(s"$name FAILED: $e"); -1L }
-      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f $rows%10d")
+    def probe(name: String, dir: String, label: String): Unit = {
+      if (only.forall(f => f.contains(name) || f.contains(label))) {
+        val t0 = System.nanoTime()
+        // toRdd.count() executes the plan as written (df.count() would
+        // let Catalyst prune branches that counting doesn't need)
+        val rows =
+          try SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+          catch { case e: Throwable => println(s"$label FAILED: $e"); -1L }
+        println(f"$label%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f $rows%10d")
+      }
     }
+    probes.foreach(n => probe(n, out, n))
+    // triangles first: it warms the interleaved dir's adjacency memo, so
+    // the jaccard row below is the MARGINAL candidate-generation cost
+    // (comparable to the clustered row, which reuses the main dir's
+    // memo) rather than adjacency-build + candidates
+    probe("graph_triangles", outI, "graph_tri_interleave")
+    probe("graph_jaccard", outI, "graph_jaccard_interleave")
     spark.stop()
   }
 }

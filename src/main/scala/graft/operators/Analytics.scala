@@ -273,12 +273,56 @@ object Analytics extends OpModule {
   private val adjMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** Drop the memoized adjacency (Bench calls this between passes); the
-    * checkpoint blocks are unpersisted, not just dereferenced. */
+  /** Drop the memoized adjacency + components (Bench calls this between
+    * passes); the checkpoint blocks are unpersisted, not just
+    * dereferenced. */
   def resetGraphMemo(): Unit = {
     adjMemo.values.foreach(MemoUtil.dropCheckpoint)
     adjMemo.clear()
+    ccMemo.values.foreach(MemoUtil.dropCheckpoint)
+    ccMemo.clear()
   }
+
+  /** Connected components of the co-supply graph — (id, cc) with cc =
+    * the component's minimum node id — by deterministic min-label
+    * propagation to a FIXED POINT: each round every node takes the min
+    * of its own label and its neighbors' (one equi-join on the exploded
+    * adjacency + one min aggregate), and the loop stops when the label
+    * sum is unchanged (labels only ever decrease, so the sum strictly
+    * decreases on any changing round — an O(1)-driver-read convergence
+    * signature, the dedupCluster discipline). Only the DENSE-BLOCKED
+    * jaccard regime computes this, and a graph in that regime has
+    * Σdeg² ≥ n²/2 — heavily connected communities whose diameter is
+    * small, so the fixed point lands in a few rounds (cliquish
+    * co-occurrence communities: 2–3). Checkpointed + memoized beside
+    * the adjacency; Bench resets both between passes. */
+  private val ccMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def coSupplyComponents(s: SparkSession, d: String): DataFrame =
+    ccMemo.getOrElseUpdate((s, d), {
+      val adj = coSupplyAdjacency(s, d)
+      val edges = adj.select(col("id"), explode(col("nbrs")).as("nbr"))
+      var lbl = adj
+        .select(col("id"), least(col("id"), array_min(col("nbrs"))).as("cc"))
+        .localCheckpoint()
+      var sig = lbl.agg(sum(col("cc"))).head().getLong(0)
+      var done = false
+      while (!done) {
+        val next = edges
+          .join(lbl.select(col("id").as("nbr"), col("cc").as("ncc")), "nbr")
+          .groupBy(col("id")).agg(min(col("ncc")).as("mcc"))
+          .join(lbl, "id")
+          .select(col("id"), least(col("cc"), col("mcc")).as("cc"))
+          .localCheckpoint()
+        val nsig = next.agg(sum(col("cc"))).head().getLong(0)
+        MemoUtil.dropCheckpoint(lbl)
+        lbl = next
+        done = nsig == sig
+        sig = nsig
+      }
+      lbl
+    })
 
   private def coSupplyAdjacency(s: SparkSession, d: String): DataFrame =
     adjMemo.getOrElseUpdate((s, d),
@@ -350,26 +394,85 @@ object Analytics extends OpModule {
     * co-supply relationships (≈1 k rows independent of raw data volume),
     * so the pair space is |active|²/2 ≈ 500 k intersections of long
     * COMPARES with nothing materialized — on a dense graph (Σdeg² ≫ N²)
-    * this is the strictly cheaper regime. On a sparse billion-node graph
-    * the balance flips and candidate pairs come from an inverted-index
-    * prefix join (the llm_dedup_ngram SSJoin shape) feeding the same
-    * intersection kernel. Pairs below 2 common neighbors drop; top-50 by
-    * (jaccard, u, v) — a total order. */
+    * this is the strictly cheaper regime. Past the JaccardDenseGate
+    * active-node count the candidate generator is chosen by MEASURED
+    * graph shape (see graphJaccardScoredGated): bounded-degree graphs
+    * take an inverted-index prefix join on witness neighbors (the
+    * llm_dedup_ngram SSJoin shape), heavy community graphs a
+    * connected-component-blocked equi-join — both feeding the same
+    * intersection kernel. Pairs below 2 common neighbors drop; top-50
+    * by (jaccard, u, v) — a total order. */
   /** Pre-barrier pair-scoring stage of graph_jaccard, exposed so the
     * plan-shape spec can assert the merge kernel stays OUT of the join
     * condition (the 2×-eval regression signature). */
-  private[graft] def graphJaccardScored(s: SparkSession, d: String): DataFrame = {
+  private[graft] def graphJaccardScored(s: SparkSession, d: String): DataFrame =
+    graphJaccardScoredGated(s, d, JaccardDenseGate)
+
+  /** THREE-regime selector, gated on two measured scalars (one tiny
+    * aggregate over the memoized checkpointed adjacency): n = active
+    * nodes, Σdeg² = the wedge space (witness-bucket pair mentions).
+    *
+    *  1. n ≤ 4096 — DENSE NLJ: |n|²/2 ≤ 8.4 M range-pruned kernel
+    *     probes through one broadcast, cheaper than building any index.
+    *  2. Σdeg² ≤ n²/2 — SPARSE inverted index: bounded-degree graphs
+    *     (the billion-node regime) where enumerating witness buckets is
+    *     strictly smaller than the pair space; an equi-join on the
+    *     witness, shuffle-partitioned, never a node-set broadcast.
+    *  3. otherwise — DENSE-BLOCKED: the graph is big AND heavy
+    *     (Σdeg² ≥ n²/2 only happens when communities are near-cliques),
+    *     so candidates require co-membership in a connected component
+    *     (a pair sharing a neighbor is 2 hops apart) — the NLJ becomes
+    *     an EQUI-join on the component label, whose fan-out Σ|cc|²/2 is
+    *     the true community-local pair space REGARDLESS of id layout
+    *     (the range prune alone dies on interleaved/hashed id spaces).
+    *     A single giant near-clique component degrades to regime 1's
+    *     pair space — which is then the real candidate set, not an
+    *     artifact (scoring a near-complete graph IS quadratic in it).
+    *
+    * All three generators feed the identical filter/score stage and
+    * enumerate a superset of the common ≥ 2 pairs, so the regime choice
+    * is invisible in the output — the oracle is shared. */
+  private[graft] val JaccardDenseGate = 4096L
+  private[graft] def graphJaccardScoredGated(
+      s: SparkSession, d: String, gate: Long): DataFrame = {
     graft.GraftExtensions.register(s)
-    // RANGE-OVERLAP PRUNE in the join condition (output-invariant): the
-    // neighbor lists are sorted, so a pair can share a neighbor only if
-    // [lo_a, hi_a] ∩ [lo_b, hi_b] ≠ ∅ — two long compares kill a
-    // non-overlapping pair before the merge kernel runs. On one dense
-    // graph this is a no-op; on a clustered/partitioned graph (the 10×
-    // probe's disjoint clones; any production graph with community-local
-    // ids) it deletes the cross-community pair space — measured 21.6 s →
-    // ~3 s at the 10-clone probe. Dead pairs have common = 0 < 2, so the
-    // output — and the oracle — are unchanged.
     val adj = coSupplyAdjacency(s, d)
+    val stats = adj
+      .agg(count(lit(1)).as("n"), sum(col("deg") * col("deg")).as("sd2"))
+      .head()
+    val (n, sumDeg2) = (stats.getLong(0), stats.getLong(1))
+    if (n <= gate) graphJaccardScoredDense(adj)
+    else if (sumDeg2 <= n * n / 2) graphJaccardScoredSparse(adj)
+    else graphJaccardScoredBlocked(adj, coSupplyComponents(s, d))
+  }
+
+  /** Force a specific candidate-generation regime — test/probe hook for
+    * the equivalence and plan-shape specs (the public op picks the
+    * regime from measured stats; the specs must exercise all three on
+    * one fixture). */
+  private[graft] def graphJaccardScoredVariant(
+      s: SparkSession, d: String, regime: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val adj = coSupplyAdjacency(s, d)
+    regime match {
+      case "dense"   => graphJaccardScoredDense(adj)
+      case "sparse"  => graphJaccardScoredSparse(adj)
+      case "blocked" => graphJaccardScoredBlocked(adj, coSupplyComponents(s, d))
+    }
+  }
+
+  /** Dense regime: all-pairs broadcast NLJ with the RANGE-OVERLAP PRUNE
+    * in the join condition (output-invariant): the neighbor lists are
+    * sorted, so a pair can share a neighbor only if [lo_a, hi_a] ∩
+    * [lo_b, hi_b] ≠ ∅ — two long compares kill a non-overlapping pair
+    * before the merge kernel runs. On one dense graph this is a no-op;
+    * on a clustered/partitioned graph (disjoint clones; any production
+    * graph with community-local ids) it deletes the cross-community pair
+    * space — measured 21.6 s → ~3 s at the 10-clone probe. Dead pairs
+    * have common = 0 < 2, so the output — and the oracle — are
+    * unchanged. */
+  private[graft] def graphJaccardScoredDense(adjIn: DataFrame): DataFrame = {
+    val adj = adjIn
       .withColumn("lo", element_at(col("nbrs"), 1))
       .withColumn("hi", element_at(col("nbrs"), -1))
     adj.as("a")
@@ -380,6 +483,62 @@ object Analytics extends OpModule {
         expr("cast(sorted_intersect_count(a.nbrs, b.nbrs) as bigint)")
           .as("common"),
         col("a.deg").as("du"), col("b.deg").as("dv"))
+  }
+
+  /** Sparse regime: INVERTED-INDEX candidate generation (the SSJoin
+    * prefix-filter shape llm_dedup_ngram uses, specialized to overlap
+    * threshold c = 2). A pair with |N(u)∩N(v)| ≥ 2 must share a witness
+    * neighbor among the first deg−1 elements of BOTH sorted lists (the
+    * prefix theorem: at most c−1 = 1 common element can hide in the
+    * suffix), so each node posts its deg−1 prefix neighbors, candidates
+    * are the distinct id pairs meeting in a posting bucket — an
+    * EQUI-join on the witness, Σ_w deg(w)² bucket pairs, never the
+    * |active|² cross space — and the exact kernel then scores each
+    * candidate once against the two adjacency rows (two more equi-joins
+    * on node id). Degree-1 nodes post nothing: they cannot reach
+    * common ≥ 2. At billion-node scale everything here is a shuffled
+    * equi-join keyed by witness/node id — no broadcast of the node set,
+    * and hub skew is bounded by the weight-≥2 prune (plus AQE skew
+    * handling) exactly as in the triangle count. */
+  /** Dense-blocked regime: the dense kernel probe join keyed by
+    * connected-component label — an equi-join whose fan-out is the
+    * community-local pair space Σ|cc|²/2, independent of how node ids
+    * are laid out (the 1-D range prune stays on as a secondary in-block
+    * filter; it is free and still helps id-sorted communities). Skew
+    * note for 100 TB: one giant component concentrates its block on one
+    * join key; that is the true work (near-clique scoring is quadratic
+    * in the clique), and AQE skew-join splits the straggler when the
+    * build side leaves broadcast range. */
+  private[graft] def graphJaccardScoredBlocked(
+      adjIn: DataFrame, cc: DataFrame): DataFrame = {
+    val adj = adjIn.join(cc, "id")
+      .withColumn("lo", element_at(col("nbrs"), 1))
+      .withColumn("hi", element_at(col("nbrs"), -1))
+    adj.as("a")
+      .join(adj.as("b"),
+        col("a.cc") === col("b.cc") && col("a.id") < col("b.id")
+          && col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .select(col("a.id").as("u"), col("b.id").as("v"),
+        expr("cast(sorted_intersect_count(a.nbrs, b.nbrs) as bigint)")
+          .as("common"),
+        col("a.deg").as("du"), col("b.deg").as("dv"))
+  }
+
+  private[graft] def graphJaccardScoredSparse(adj: DataFrame): DataFrame = {
+    val post = adj.select(col("id"),
+      explode(expr("slice(nbrs, 1, cast(deg - 1 as int))")).as("w"))
+    val cand = post.as("pa").join(post.as("pb"),
+        col("pa.w") === col("pb.w") && col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("u"), col("pb.id").as("v"))
+      .distinct()
+    cand
+      .join(adj.select(col("id").as("u"), col("nbrs").as("na"),
+        col("deg").as("du")), "u")
+      .join(adj.select(col("id").as("v"), col("nbrs").as("nb"),
+        col("deg").as("dv")), "v")
+      .select(col("u"), col("v"),
+        expr("cast(sorted_intersect_count(na, nb) as bigint)").as("common"),
+        col("du"), col("dv"))
   }
 
   def graphJaccard(s: SparkSession, d: String): DataFrame = {

@@ -185,7 +185,44 @@ object LlmExtended extends OpModule {
     * shingle-prefix collisions generate candidates (provably lossless),
     * size-filtered, then verified on the full sorted hash arrays. Cost
     * is O(prefix collisions), never all-pairs. */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    dedupNgramImpl(s, d, rarestFirst = false)
+
+  /** Rarest-first twin (PPJoin's canonical df-ascending prefix order) as
+    * its own registered op: the OUTPUT is provably identical (any
+    * consistent global order satisfies the prefix theorem — same oracle
+    * SQL), only the candidate space differs. Under a skewed vocabulary
+    * the rarest-first prefix postings collapse (boilerplate shingles
+    * never make a prefix); under the df-UNIFORM fixtures here the
+    * candidate set is already minimal and the inline df pass (one extra
+    * gram-mass aggregate + per-doc re-sort) is pure overhead — measured
+    * 4.8 s hash-prefix vs ~8 s inline-df at the 10× clone probe, which
+    * is why the flagship keeps hash order inline and a 100 TB
+    * deployment maintains the df index incrementally instead. */
+  def dedupNgramRarest(s: SparkSession, d: String): DataFrame =
+    dedupNgramImpl(s, d, rarestFirst = true)
+
+  /** Exhaustive ngram-Jaccard oracle (no prefix notion — replays both
+    * the hash-prefix flagship and the rarest-first twin). */
+  private val ngramOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |                   for i in range(1, len(t) - 2)]) AS s
+      |  FROM toks),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+      |         count(*) AS i
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, round(i::DOUBLE / (na + nb - i), 4) AS jaccard
+      |FROM inter WHERE i::DOUBLE / (na + nb - i) >= 0.5""".stripMargin
+
+  private def dedupNgramImpl(
+      s: SparkSession, d: String, rarestFirst: Boolean): DataFrame = {
     graft.GraftExtensions.register(s)
     val tau = 0.5
     // shingles are carried as SORTED xxhash64 values: an 8-byte element
@@ -207,23 +244,45 @@ object LlmExtended extends OpModule {
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
       .localCheckpoint()
     // prefix filter (SSJoin/PPJoin, output-invariant): if J(x,y) ≥ τ
-    // then |x∩y| ≥ τ·|x|, so the smallest intersection element must sit
-    // within x's first n − ⌈τ·n⌉ + 1 elements (else the non-members
-    // preceding it alone would cap the intersection below τ·n) — and
-    // symmetrically for y. Only PREFIXES explode and join; candidates
-    // verify on the full arrays afterwards. For τ=0.5 this halves the
-    // explode and quarters the candidate pairs.
-    // explode_outer + null filter, NOT explode: the inferred
-    // `size(slice(hs,1,p)) > 0` pre-filter of a plain explode pushes to
-    // the scan and re-evaluates the whole shingle-hash tree per row in an
-    // interpreted Filter (same pathology measured 3.5× on
-    // llm_decontaminate; see LlmScale.decontaminate)
-    val ex = sh
-      .withColumn("p", col("n") - expr(s"cast(ceil($tau * n) as int)") + 1)
-      .select(col("doc_id"), col("n"),
-        explode_outer(expr("slice(hs, 1, p)")).as("g"))
-      .where(col("g").isNotNull)
-      .repartition(col("g"))
+    // then |x∩y| ≥ τ·|x|, so under ANY global total order on grams the
+    // first n − ⌈τ·n⌉ + 1 elements of x must contain an intersection
+    // member (else the non-members preceding it alone would cap the
+    // intersection below τ·n) — and symmetrically for y. Only PREFIXES
+    // explode and join; candidates verify on the full arrays afterwards.
+    // For τ=0.5 this halves the explode and quarters the candidate pairs.
+    //
+    // Prefix ORDER: the flagship uses the hash-ascending order the
+    // arrays already carry (prefix = slice, zero extra passes); the
+    // rarest-first twin re-orders each doc's grams by (document
+    // frequency ASC, hash ASC) — PPJoin's canonical refinement — via
+    // one df aggregate over gram mass and a per-doc aggregate with a
+    // map-side array_sort of ≤n (df, g) structs (no window sort). Both
+    // are one consistent global total order, so both prefixes satisfy
+    // the theorem and the verified OUTPUT is identical; the VERIFY
+    // arrays stay hash-sorted for the two-pointer kernel either way.
+    val ex = (if (!rarestFirst) {
+      // explode_outer + null filter, NOT explode: the inferred
+      // `size(slice(hs,1,p)) > 0` pre-filter of a plain explode pushes
+      // to the scan and re-evaluates the whole shingle-hash tree per row
+      // in an interpreted Filter (same pathology measured 3.5× on
+      // llm_decontaminate; see LlmScale.decontaminate)
+      sh.withColumn("p", col("n") - expr(s"cast(ceil($tau * n) as int)") + 1)
+        .select(col("doc_id"), col("n"),
+          explode_outer(expr("slice(hs, 1, p)")).as("g"))
+        .where(col("g").isNotNull)
+    } else {
+      val allg = sh.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
+      val dfreq = allg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      allg.join(dfreq, "g")
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n"),
+          slice(array_sort(collect_list(struct(col("df"), col("g")))),
+            lit(1),
+            (max(col("n")) - ceil(lit(tau) * max(col("n"))) + 1).cast("int"))
+            .as("pre"))
+        .select(col("doc_id"), col("n"), explode(col("pre")).as("pg"))
+        .select(col("doc_id"), col("n"), col("pg.g").as("g"))
+    }).repartition(col("g"))
     // size filter (also output-invariant): J ≥ τ bounds the size ratio
     val cands = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
@@ -265,9 +324,12 @@ object LlmExtended extends OpModule {
     * with the worst skew key structurally removed rather than salted.
     * Both numerator and denominator range over the capped universe, so
     * the decision gate shared·5 ≥ n_grams·4 (C ≥ 0.8) is exact integer
-    * math on identically-defined sets in both engines. Per doc the
-    * output keeps the best-matching container (max shared, min id) —
-    * N rows, not a pair table. */
+    * math on identically-defined sets in both engines. Candidate
+    * containers additionally pass the SIZE GATE |G(B)| ≥ 0.8·|G(A)|
+    * (implied by C ≥ 0.8, so the contained verdict is invariant; pairs
+    * that could never pass die inside the join condition). Per doc the
+    * output keeps the best PLAUSIBLE container (max shared, min id,
+    * size-eligible) — N rows, not a pair table. */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     val T = 64
@@ -287,9 +349,21 @@ object LlmExtended extends OpModule {
     // unshareable df=1 grams; 3 readers (base counts, both join sides)
     val uni = g.join(dfreq.where(col("df") <= T), "gh")
       .localCheckpoint()
-    val pairSide = uni.where(col("df") >= 2)
+    val ng = uni.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    // SIZE GATE (round 7): shared ≤ |G(B)|, so C(A→B) ≥ 0.8 forces
+    // |G(B)| ≥ 0.8·|G(A)| — a container candidate smaller than that can
+    // never pass the contained gate. Pruning those pairs IN the join
+    // condition kills them before the pair aggregate shuffles, and the
+    // `contained` verdict is invariant under it; the report columns
+    // (best_id/shared/containment) now mean "best PLAUSIBLE container"
+    // — a candidate that could at least in principle contain the doc —
+    // which is the number a curation pipeline acts on. The oracle
+    // carries the identical gate. Posting rows pick up their own doc's
+    // gram count through a broadcast-sized join (N rows).
+    val pairSide = uni.where(col("df") >= 2).join(broadcast(ng), "doc_id")
     val shared = pairSide.as("a").join(pairSide.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id")
+          && col("b.ng") * 5 >= col("a.ng") * 4)
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .agg(count(lit(1)).as("shared"))
     val wBest = Window.partitionBy(col("ida"))
@@ -299,8 +373,7 @@ object LlmExtended extends OpModule {
       .select(col("ida").as("doc_id"), col("idb").as("best_id"),
         col("shared"))
     docs.select(col("doc_id"))
-      .join(uni.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
-        Seq("doc_id"), "left")
+      .join(ng.withColumnRenamed("ng", "n_grams"), Seq("doc_id"), "left")
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
@@ -524,6 +597,7 @@ object LlmExtended extends OpModule {
     "udtf_ngrams" -> udtfNgrams _,
     "llm_dedup_simhash" -> dedupSimhash _,
     "llm_dedup_ngram" -> dedupNgram _,
+    "llm_dedup_ngram_rarest" -> dedupNgramRarest _,
     "llm_dedup_containment" -> dedupContainment _,
     "llm_dedup_embed" -> dedupEmbed _,
     "llm_ann_ivf" -> annIvf _,
@@ -577,11 +651,14 @@ object LlmExtended extends OpModule {
         |uni AS (
         |  SELECT g.doc_id, g.gs, df.df
         |  FROM g JOIN df USING (gs) WHERE df.df <= 64),
+        |ng AS (SELECT doc_id, count(*) AS ng FROM uni GROUP BY 1),
         |pr AS (
         |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
         |  FROM uni a JOIN uni b
         |    ON a.gs = b.gs AND a.doc_id != b.doc_id
-        |  WHERE a.df >= 2
+        |  JOIN ng na ON na.doc_id = a.doc_id
+        |  JOIN ng nb ON nb.doc_id = b.doc_id
+        |  WHERE a.df >= 2 AND nb.ng * 5 >= na.ng * 4
         |  GROUP BY 1, 2),
         |best AS (
         |  SELECT ida, idb, shared FROM (
@@ -637,22 +714,10 @@ object LlmExtended extends OpModule {
          |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.fp_lo, b.fp_lo)::BIT)
          |        + bit_count(xor(a.fp_hi, b.fp_hi)::BIT) <= 3""".stripMargin),
-    "llm_dedup_ngram" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |                   for i in range(1, len(t) - 2)]) AS s
-        |  FROM toks),
-        |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-        |         count(*) AS i
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT doc_a, doc_b, round(i::DOUBLE / (na + nb - i), 4) AS jaccard
-        |FROM inter WHERE i::DOUBLE / (na + nb - i) >= 0.5""".stripMargin,
+    "llm_dedup_ngram" -> ngramOracleSql,
+    // the rarest-first twin is output-identical by the prefix theorem —
+    // ONE oracle replays both (the exhaustive join has no prefix notion)
+    "llm_dedup_ngram_rarest" -> ngramOracleSql,
     "llm_dedup_embed" ->
       (s"""WITH cells AS (
           |  SELECT vec_id, embedding,

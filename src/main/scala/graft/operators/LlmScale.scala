@@ -236,7 +236,14 @@ object LlmScale extends OpModule {
     // analogue). Intermediate K-row checkpoints are freed once the
     // round-2 lattice is materialized.
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def assign(cent: DataFrame): DataFrame = {
+    def assign(centIn: DataFrame): DataFrame = {
+      // the per-dim centroid table has THREE readers in this function
+      // (supercell seed join, mini-Lloyd recenter, array build) — without
+      // a lineage cut the round-2 call re-executes the ENTIRE round-1
+      // hierarchy once per reader (measured 14.2 s → ~5 s at the 10×
+      // probe). K·64 rows — the checkpoint is trivial.
+      val cent = centIn.localCheckpoint()
+      scratch += cent
       // K-row array form has 4 readers below (mini-Lloyd seed + 2 cell
       // assigns, point fine phase) → checkpoint once (the ≥2-reader rule)
       val fine = centroidArrays(cent).localCheckpoint()

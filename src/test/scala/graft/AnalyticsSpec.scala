@@ -250,4 +250,41 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(jacJoins.isEmpty, "graph_jaccard tail must be filter + top-k only")
   }
+
+  test("graph_jaccard regimes: sparse + blocked candidates match dense") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // force each candidate generator on the same fixture and compare the
+    // FILTERED pair sets: generation differs (prefix postings / cc-block
+    // equi-join / range-pruned NLJ) but every pair with common >= 2 must
+    // survive all three with identical exact counts — sparse by the
+    // overlap-2 prefix theorem, blocked because a pair sharing a witness
+    // is in one component
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .where($"common" >= 2)
+      .collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("common"), r.getAs[Long]("du"), r.getAs[Long]("dv")))
+      .sorted.toSeq
+    val dense = keyed(Analytics.graphJaccardScoredVariant(spark, sf, "dense"))
+    assert(dense.nonEmpty, "fixture must exercise the candidate space")
+    Seq("sparse", "blocked").foreach { regime =>
+      val df = Analytics.graphJaccardScoredVariant(spark, sf, regime)
+      assert(keyed(df) == dense,
+        s"$regime candidates must replay the dense pair set exactly")
+      // plan shape past the gate: the pair space comes from EQUI joins
+      // on witness / component / node keys — a broadcast NLJ here is
+      // the quadratic regime this guard pins out
+      val bnlj = collectFinal(df) { case p: BroadcastNestedLoopJoinExec => p }
+      assert(bnlj.isEmpty, s"$regime jaccard fell back to a nested loop")
+      assert(df.queryExecution.executedPlan.toString
+          .contains("sorted_intersect_count"),
+        s"$regime jaccard lost the exact intersection kernel")
+    }
+    // the public selector must route this heavy fixture (sumdeg2 >> n^2)
+    // to the BLOCKED generator once n exceeds the gate
+    val routed = Analytics.graphJaccardScoredGated(spark, sf, 0L)
+    val bnljR = collectFinal(routed) { case p: BroadcastNestedLoopJoinExec => p }
+    assert(bnljR.isEmpty,
+      "selector must not pick the NLJ once the active set exceeds the gate")
+  }
 }

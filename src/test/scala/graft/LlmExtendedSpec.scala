@@ -55,7 +55,12 @@ class LlmExtendedSpec extends SparkSpec {
     val r2 = out(2L)
     assert(!r2.getAs[Boolean]("contained"),
       "containment must stay asymmetric: the long doc is not contained")
-    assert(r2.getAs[Long]("n_grams") == 53 && r2.getAs[Long]("shared") == 5)
+    // the 5-gram doc is no PLAUSIBLE container for a 53-gram doc
+    // (|G(B)| ≥ 0.8·|G(A)| is implied by C ≥ 0.8): the size gate kills
+    // the pair before the aggregate, so the long doc reports no match
+    assert(r2.getAs[Long]("n_grams") == 53 && r2.getAs[Long]("shared") == 0)
+    assert(r2.isNullAt(r2.fieldIndex("best_id")),
+      "size-ineligible candidates must not surface as best container")
     assert(!out(3L).getAs[Boolean]("contained"))
     assert(out(3L).getAs[Long]("shared") == 0)
     // fixture-wide invariants: exactly one row per doc, bounded stats,
@@ -130,6 +135,18 @@ class LlmExtendedSpec extends SparkSpec {
       val hm = r.getDouble(3)
       assert(hm > 32.0 && hm < 127.0)                // printable ASCII mean
     }
+  }
+
+  test("dedup_ngram rarest-first twin replays the flagship exactly") {
+    // both prefixes satisfy the theorem under their respective global
+    // orders, so the verified pair sets must coincide pair-for-pair
+    def k(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).sorted.toSeq
+    val flag = k(LlmExtended.dedupNgram(spark, sf))
+    assert(flag.nonEmpty)
+    assert(k(LlmExtended.dedupNgramRarest(spark, sf)) == flag,
+      "rarest-first prefix must be candidate-lossless")
   }
 
   test("dedup_embed: bucketed equi-join plan, equals brute force in-bucket") {
