@@ -219,18 +219,26 @@ object Scans extends OpModule {
     * retries or aborts are invisible. The aggregate proves the rows
     * round-tripped exactly (count, distinct keys, integer-cent sum). */
   def sinkCustom(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    // deterministic scratch dir, cleared up front: repeated invocations
+    // (bench min-of-3, specs) reuse one directory instead of
+    // accumulating a fresh orders-sized CSV copy per run
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_audit_sink")
+    if (out.exists())
+      java.nio.file.Files.walk(out.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus").as("status"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
       .write.format("graft-audit").mode("append")
-      .option("path", out).save()
+      .option("path", out.toString).save()
     // manifest-resolved read-back (driver reads the tiny manifest, the
     // DATA goes through a distributed csv scan of the committed files)
-    val files = scala.io.Source.fromFile(s"$out/_MANIFEST").getLines()
-      .map(_.split(",")(1)).toSeq
+    val files = graft.sources.AuditManifest.files(
+      new java.io.File(out, "_MANIFEST"))
     s.read.schema("o_orderkey long, status string, cents long")
-      .csv(files: _*)
+      .option("escape", "\"").csv(files: _*)
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("o_orderkey")).as("n_keys"),
         sum(col("cents")).as("sum_cents"))

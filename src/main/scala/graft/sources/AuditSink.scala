@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -17,17 +17,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * protocol a real warehouse sink implements, made visible. Each task's
   * DataWriter streams its partition to an uncommitted part file and
   * returns a WriterCommitMessage (partition, file, row count); the
-  * DRIVER's BatchWrite.commit writes the `_MANIFEST` listing exactly the
-  * committed files — the atomic visibility point. Readers that resolve
-  * files through the manifest (as `sink_custom` does) never observe
-  * uncommitted or aborted parts: task retries leave stray files, the
-  * manifest ignores them — the exactly-once recipe every table format
-  * builds on (same idea as sink_foreach_batch's batchId-keyed dirs, one
-  * layer lower in the stack). Local-FS paths here; on a cluster the same
-  * code points at shared storage.
+  * DRIVER's BatchWrite.commit publishes the `_MANIFEST` listing exactly
+  * the committed files — the atomic visibility point. Readers that
+  * resolve files through the manifest (as `sink_custom` does) never
+  * observe uncommitted or aborted parts: task retries leave stray files,
+  * the manifest ignores them — the exactly-once recipe every table
+  * format builds on (same idea as sink_foreach_batch's batchId-keyed
+  * dirs, one layer lower in the stack). Local-FS paths here; on a
+  * cluster the same code points at shared storage.
   *
-  * Expected row schema: (bigint, string, bigint) — writes as 3-column
-  * CSV lines, the simplest deterministic round-trippable encoding.
+  * Save-mode semantics run THROUGH the manifest, the way table formats
+  * do it: append merges the new commit messages into the existing
+  * manifest (prior committed files stay visible), while
+  * `mode("overwrite")` arrives as SupportsTruncate.truncate() and
+  * publishes a manifest of only the new files — the old parts become
+  * unreferenced garbage an async vacuum would reclaim, and visibility
+  * flips atomically with the manifest replace.
+  *
+  * Expected row schema: (bigint, string, bigint) — written as 3-column
+  * CSV lines with RFC-4180 quoting for string cells containing the
+  * delimiter/quote/newline, so arbitrary string payloads round-trip
+  * through Spark's csv reader (read with `escape="` — and `multiLine`
+  * if values may embed newlines — since Spark's default escape is the
+  * backslash, not the doubled quote). Manifest lines are
+  * `part,rows,file` with the path LAST and parsed with a bounded split,
+  * so paths containing commas cannot shear the record.
   */
 class AuditSink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-audit"
@@ -46,6 +60,28 @@ class AuditSink extends TableProvider with DataSourceRegister {
       new CaseInsensitiveStringMap(properties).get("path"))
 }
 
+private[graft] object AuditManifest {
+  /** One committed file per line: `part,rows,file` (path last — parse
+    * with split(",", 3) so commas in the path survive). */
+  def encode(m: AuditCommit): String = s"${m.part},${m.rows},${m.file}"
+
+  def files(manifest: File): Seq[String] =
+    if (!manifest.exists()) Seq.empty
+    else {
+      val src = scala.io.Source.fromFile(manifest)
+      try src.getLines().filter(_.nonEmpty).map(_.split(",", 3)(2)).toList
+      finally src.close()
+    }
+
+  def lines(manifest: File): Seq[String] =
+    if (!manifest.exists()) Seq.empty
+    else {
+      val src = scala.io.Source.fromFile(manifest)
+      try src.getLines().filter(_.nonEmpty).toList
+      finally src.close()
+    }
+}
+
 private class AuditTable(writeSchema: StructType, path: String)
     extends Table with SupportsWrite {
   override def name(): String = s"graft_audit($path)"
@@ -54,26 +90,41 @@ private class AuditTable(writeSchema: StructType, path: String)
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new AuditBatchWrite(info.schema(), path)
+          new AuditBatchWrite(info.schema(), path, replace)
       }
     }
 }
 
-private class AuditBatchWrite(schema: StructType, path: String)
-    extends BatchWrite {
+private class AuditBatchWrite(schema: StructType, path: String,
+    truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new AuditWriterFactory(schema.fields.map(_.dataType.typeName), path)
 
-  // the atomic visibility point: only files named here are committed
+  // the atomic visibility point: only files named here are committed.
+  // Append merges into the prior manifest; truncate (mode=overwrite)
+  // replaces it, atomically via rename — readers see the old or the new
+  // file set, never a torn mix.
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     new File(path).mkdirs()
-    val w = new BufferedWriter(new FileWriter(new File(path, "_MANIFEST")))
-    try messages.foreach { case AuditCommit(part, file, rows) =>
-      w.write(s"$part,$file,$rows"); w.newLine()
+    val manifest = new File(path, "_MANIFEST")
+    val prior =
+      if (truncate) Seq.empty else AuditManifest.lines(manifest)
+    val tmp = new File(path, "_MANIFEST.tmp")
+    val w = new BufferedWriter(new FileWriter(tmp))
+    try {
+      prior.foreach { l => w.write(l); w.newLine() }
+      messages.foreach { case m: AuditCommit =>
+        w.write(AuditManifest.encode(m)); w.newLine()
+      }
     } finally w.close()
+    if (manifest.exists()) manifest.delete()
+    if (!tmp.renameTo(manifest))
+      throw new java.io.IOException(s"manifest publish failed: $manifest")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -92,10 +143,17 @@ private class AuditWriterFactory(types: Array[String], path: String)
       private val out = new BufferedWriter(new FileWriter(file))
       private var rows = 0L
 
+      // RFC-4180: quote a cell iff it contains delimiter/quote/newline;
+      // embedded quotes double — exactly what Spark's csv reader expects
+      private def csvCell(v: String): String =
+        if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + v.replace("\"", "\"\"") + "\""
+        else v
+
       override def write(r: InternalRow): Unit = {
         val cells = types.zipWithIndex.map {
           case ("long", i)   => r.getLong(i).toString
-          case ("string", i) => r.getUTF8String(i).toString
+          case ("string", i) => csvCell(r.getUTF8String(i).toString)
           case (t, i)        => throw new IllegalArgumentException(
             s"graft-audit supports bigint/string columns, got $t at $i")
         }

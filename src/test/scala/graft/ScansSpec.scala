@@ -117,16 +117,59 @@ class ScansSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out, "part-99-999.csv"),
       "999999999,Z,1\n".getBytes("UTF-8"))
-    val manifest = scala.io.Source.fromFile(s"$out/_MANIFEST")
-      .getLines().map(_.split(",")).toSeq
-    assert(manifest.map(_(2).toLong).sum == src.count(),
+    val manifest = new java.io.File(out, "_MANIFEST")
+    val rowsTotal = graft.sources.AuditManifest.lines(manifest)
+      .map(_.split(",", 3)(1).toLong).sum
+    assert(rowsTotal == src.count(),
       "manifest row counts must sum to the written total")
     val back = spark.read
       .schema("o_orderkey long, status string, cents long")
-      .csv(manifest.map(_(1)): _*)
+      .csv(graft.sources.AuditManifest.files(manifest): _*)
     assert(back.count() == src.count())
     assert(back.where(col("o_orderkey") === 999999999L).count() == 0,
       "uncommitted stray part must be invisible through the manifest")
+  }
+
+  test("DSv2 sink save modes run through the manifest: append merges, overwrite truncates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_audit_modes").toString
+    val manifest = new java.io.File(out, "_MANIFEST")
+    def readBack() = spark.read.schema("k long, v string, n long")
+      .csv(graft.sources.AuditManifest.files(manifest): _*)
+    def write(rows: Seq[(Long, String, Long)], mode: String): Unit =
+      rows.toDF("k", "v", "n").coalesce(1)
+        .write.format("graft-audit").mode(mode).option("path", out).save()
+    // two appends accumulate: the second commit merges, not replaces
+    write(Seq((1L, "a", 10L), (2L, "b", 20L)), "append")
+    write(Seq((3L, "c", 30L)), "append")
+    assert(readBack().count() == 3,
+      "second append must keep the first commit's files visible")
+    // overwrite truncates: manifest now references only the new files
+    write(Seq((9L, "z", 90L)), "overwrite")
+    val after = readBack().collect()
+    assert(after.length == 1 && after.head.getLong(0) == 9L,
+      "overwrite must atomically drop prior commits from visibility")
+  }
+
+  test("DSv2 sink quotes string cells so delimiters round-trip exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_audit_quote").toString
+    val tricky = Seq(
+      (1L, "plain", 1L),
+      (2L, "comma,inside", 2L),
+      (3L, "quote\"inside", 3L),
+      (4L, "line\nbreak", 4L))
+    tricky.toDF("k", "v", "n").coalesce(1)
+      .write.format("graft-audit").mode("append").option("path", out).save()
+    val back = spark.read.schema("k long, v string, n long")
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(graft.sources.AuditManifest.files(
+        new java.io.File(out, "_MANIFEST")): _*)
+      .orderBy(col("k")).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      == tricky, "quoted cells must round-trip bit-exactly")
   }
 
   test("csv and json roundtrips preserve row counts and schema") {
