@@ -60,6 +60,9 @@ object Bench {
         graft.operators.LlmScale.resetLloydMemo()
         graft.operators.Analytics.resetGraphMemo()
         graft.operators.LlmOps.resetNearMemo()
+        // intra-op lineage-cut checkpoints registered during the pass:
+        // nothing is in flight between passes, so their blocks free now
+        graft.operators.MemoUtil.dropScratch()
         onePass()
       }.toSeq
     val all = first +: reruns

@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.polyShinglesDescriptor)
     ext.injectFunction(GraftExtensions.xxNGramDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
+    ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
@@ -132,12 +134,53 @@ object GraftExtensions {
     }
   )
 
+  /** Spark's own bloom-filter sketch aggregate
+    * (catalyst BloomFilterAggregate — the engine half of injected
+    * runtime filters), surfaced as a named function: the lossy
+    * membership fast path for llm_decontaminate_bloom. Args:
+    * (bigint column[, estimated_items[, num_bits]]). */
+  private val bloomAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_agg"),
+    (children: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      children.size match {
+        case 1 => new BloomFilterAggregate(children.head)
+        case 2 => new BloomFilterAggregate(children.head, children(1))
+        case 3 => new BloomFilterAggregate(children.head, children(1), children(2))
+        case n => throw new IllegalArgumentException(
+          s"bloom_agg expects (bigint[, items[, bits]]), got $n args")
+      }
+    }
+  )
+
+  /** Probe half of the bloom pair (catalyst BloomFilterMightContain):
+    * bloom_might_contain(<scalar subquery or constant binary>, bigint).
+    * False positives possible, false negatives not. */
+  private val bloomMightContainDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "bloom_might_contain"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "bloom_might_contain expects (binary, bigint)")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1))
+    }
+  )
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, ngramsDescriptor, simhashDescriptor,
       sortedIntersectDescriptor, squaredDistanceDescriptor,
       dotLongDescriptor, polyShinglesDescriptor, xxNGramDescriptor,
-      minhashSigDescriptor).foreach {
+      minhashSigDescriptor, bloomAggDescriptor,
+      bloomMightContainDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -30,6 +30,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the query's parquet is fully written: free any intra-op
+      // lineage-cut checkpoints it registered (shared memos persist —
+      // they are dropped only by their own reset hooks)
+      graft.operators.MemoUtil.dropScratch()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

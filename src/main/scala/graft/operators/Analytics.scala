@@ -547,7 +547,7 @@ object Analytics extends OpModule {
     // and the merge kernel runs TWICE per pair (condition + projection)
     // over the full unfiltered pair space — measured 8.6 s vs ~2.5 s at
     // sf0.1. The checkpointed pair table is 5 small long columns.
-    val scored = graphJaccardScored(s, d).localCheckpoint()
+    val scored = MemoUtil.scratch(graphJaccardScored(s, d).localCheckpoint())
     scored
       .where(col("common") >= 2)
       .select(col("u"), col("v"), col("common"),

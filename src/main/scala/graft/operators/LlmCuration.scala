@@ -42,6 +42,7 @@ object LlmCuration extends OpModule {
     var edges = LlmOps.dedupNear(s, d)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .localCheckpoint()
+    var priorRound: DataFrame = null // superseded round, dropped in-loop
     def signature(df: DataFrame): (Long, Long) = {
       // bit_xor over row hashes: order-independent, cannot overflow
       // (sum() of hashes trips ANSI long overflow)
@@ -72,9 +73,19 @@ object LlmCuration extends OpModule {
       val nsig = signature(next)
       converged = nsig == sig
       sig = nsig
+      // `next` is materialized (checkpoint is eager), so the
+      // penultimate round's blocks free immediately instead of
+      // stranding ≤30 checkpoints until GC
+      if (priorRound != null) MemoUtil.dropCheckpoint(priorRound)
+      priorRound = edges
       edges = next
       iter += 1
     }
+    // final round is referenced by the result plan; its input round may
+    // be too on a 1-iteration fixture — both free at the harness's next
+    // safe point rather than here
+    if (priorRound != null) MemoUtil.scratch(priorRound)
+    MemoUtil.scratch(edges)
     // the iteration cap is a runaway guard, not a tolerance: exiting it
     // while edges were still changing would silently emit wrong cluster
     // ids. Fail loudly instead.

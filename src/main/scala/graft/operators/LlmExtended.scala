@@ -237,12 +237,12 @@ object LlmExtended extends OpModule {
     // tree into the scan Filter (measured: 3 full hash passes → 1). The
     // production twin persists the signature table to storage (reliable,
     // survives executor loss) — same one-pass economics.
-    val sh = Tables.documents(s, d)
+    val sh = MemoUtil.scratch(Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("hs",
         expr("sort_array(array_distinct(xx_ngram_hashes(toks, 4)))"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
-      .localCheckpoint()
+      .localCheckpoint())
     // prefix filter (SSJoin/PPJoin, output-invariant): if J(x,y) ≥ τ
     // then |x∩y| ≥ τ·|x|, so under ANY global total order on grams the
     // first n − ⌈τ·n⌉ + 1 elements of x must contain an intersection
@@ -338,17 +338,17 @@ object LlmExtended extends OpModule {
     // explode_outer + null filter (not explode): the inferred non-empty
     // pre-filter of a plain explode re-evaluates the gram-hash tree in
     // an interpreted scan Filter (see dedupNgram above)
-    val g = docs
+    val g = MemoUtil.scratch(docs
       .select(col("doc_id"),
         explode_outer(expr("array_distinct(xx_ngram_hashes(toks, 8))"))
           .as("gh"))
       .where(col("gh").isNotNull)
-      .localCheckpoint() // hash tree has 2 readers: df build + universe
+      .localCheckpoint()) // hash tree has 2 readers: df build + universe
     val dfreq = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     // capped universe, df carried so the pair join can also skip
     // unshareable df=1 grams; 3 readers (base counts, both join sides)
-    val uni = g.join(dfreq.where(col("df") <= T), "gh")
-      .localCheckpoint()
+    val uni = MemoUtil.scratch(g.join(dfreq.where(col("df") <= T), "gh")
+      .localCheckpoint())
     val ng = uni.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
     // SIZE GATE (round 7): shared ≤ |G(B)|, so C(A→B) ≥ 0.8 forces
     // |G(B)| ≥ 0.8·|G(A)| — a container candidate smaller than that can

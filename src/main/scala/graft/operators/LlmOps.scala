@@ -125,11 +125,11 @@ object LlmOps extends OpModule {
     // oracle keeps string keys — same precedent as dedupNgram).
     // native kernel: hash-then-distinct equals the string-shingle
     // distinct-then-hash (same 64-bit collision caveat as above)
-    val base = Tables.documents(s, d)
+    val base = MemoUtil.scratch(Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         sort_array(expr("array_distinct(xx_ngram_hashes(toks, 3))")).as("hs"))
-      .localCheckpoint()
+      .localCheckpoint())
     val docs = signatureFromHashes(base, "hs")
       .select(col("doc_id"), col("sig"))
     // The band join carries ONLY (doc_id, band, bh): each doc explodes

@@ -72,6 +72,67 @@ object LlmScale extends OpModule {
       .withColumn("contaminated", col("containment") >= 0.8)
   }
 
+  // ── llm_decontaminate_bloom ───────────────────────────────────────────
+
+  /** The bloom fast path llm_decontaminate's header promises: identical
+    * eval-side semantics, but train-gram membership goes through Spark's
+    * own bloom-filter sketch (BloomFilterAggregate / might_contain — the
+    * machinery behind injected runtime filters) instead of the exact
+    * LEFT SEMI join. The train side never shuffles a gram: each
+    * partition folds its grams into a local sketch and only the
+    * fixed-size bitmaps merge (no pre-distinct needed — inserts are
+    * idempotent), then the probe is a map-side `bloom_might_contain`
+    * over the eval grams — zero joins anywhere in the main plan, which
+    * the spec pins. One-sided error: false POSITIVES only, so bloom
+    * containment ≥ exact containment per doc and the contaminated set is
+    * a superset — the conservative direction for decontamination (never
+    * ship a contaminated eval doc as clean). The agreement spec
+    * quantifies the FP inflation against the exact op.
+    *
+    * Sketch sizing here is 2²³ bits (1 MiB) for ≤10⁶ expected grams
+    * (fpp ≈ 10⁻² at full load, far lower at fixture scale). At 100 TB
+    * train grams are ~10¹² — a single bloom wants ~1.2 TB at 10
+    * bits/key, so the production shape shards the sketch by gram-hash
+    * prefix (each executor holds one shard, probes route by the same
+    * prefix) or accepts higher fpp; every false positive only ever
+    * *removes* a suspect eval doc. The exact LEFT SEMI op remains the
+    * oracle-checked entry; this twin is gated rows-only by design. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val grams8 = "array_distinct(xx_ngram_hashes(toks, 8))"
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("gs", expr(grams8))
+      .select(col("doc_id"), col("gs"))
+    val isEval = pmod(col("doc_id"), lit(20)) === 7
+    val evalDocs = docs.where(isEval)
+      .select(col("doc_id"), col("gs"), size(col("gs")).as("n_grams"))
+    // raw gram stream, straight into the sketch — no distinct, no
+    // repartition: the one aggregate's partial phase IS the build
+    docs.where(!isEval)
+      .select(explode_outer(col("gs")).as("g"))
+      .where(col("g").isNotNull)
+      .createOrReplaceTempView("graft_decon_train_g")
+    evalDocs.select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .where(col("g").isNotNull)
+      .createOrReplaceTempView("graft_decon_eval_g")
+    // scalar subquery: the sketch builds once, broadcasts into the
+    // probe's filter (the same plan shape as an injected runtime filter)
+    val hits = s.sql(
+      """SELECT doc_id, count(*) AS n_hit FROM graft_decon_eval_g
+        |WHERE bloom_might_contain(
+        |  (SELECT bloom_agg(g, CAST(1000000 AS BIGINT))
+        |   FROM graft_decon_train_g), g)
+        |GROUP BY doc_id""".stripMargin)
+    evalDocs.select(col("doc_id"), col("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("containment",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_hit").cast("double") / col("n_grams"), 4)))
+      .withColumn("contaminated", col("containment") >= 0.8)
+  }
+
   // ── llm_pack_sequences ────────────────────────────────────────────────
 
   /** Sequence packing: fill fixed-capacity training windows (C=128
@@ -341,14 +402,14 @@ object LlmScale extends OpModule {
     // otherwise re-evaluate per alias). Norms and pair dots run through
     // the native dot_long kernel — the interpreted HOF fold cost ~3× the
     // pair phase at the 10× probe.
-    val sig = Tables.embeddings(s, d)
+    val sig = MemoUtil.scratch(Tables.embeddings(s, d)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
           .as("q"))
       .join(a2, "vec_id")
       .select(col("vec_id"), col("cluster"), col("q"),
         expr("dot_long(q, q)").as("nn"))
-      .localCheckpoint()
+      .localCheckpoint())
     val dups = sig.as("x").join(sig.as("y"),
         col("x.cluster") === col("y.cluster")
           && col("x.vec_id") < col("y.vec_id"))
@@ -494,7 +555,7 @@ object LlmScale extends OpModule {
     // sorted arrays for the distance folds. The K-row array table is
     // checkpointed — it has four readers below (mini-Lloyd seed/assign
     // ×2, point fine phase, brute phase).
-    val fine = centroidArrays(c2).localCheckpoint()
+    val fine = MemoUtil.scratch(centroidArrays(c2).localCheckpoint())
     // mini-Lloyd over the K fine-centroid vectors: seed supercells from
     // the K₁ smallest fine cids, recenter once, reassign — K·K₁ integer
     // folds total, trivial at any corpus size because K rows broadcast
@@ -517,7 +578,7 @@ object LlmScale extends OpModule {
       .agg(floor(sum(col("c")).cast("double") / count(lit(1))).cast("long")
         .as("c"))
       .select(col("scid").as("cid"), col("dim"), col("c"))
-    val f2 = assignFine(s1).localCheckpoint() // fine cell → supercell map
+    val f2 = MemoUtil.scratch(assignFine(s1).localCheckpoint()) // fine cell → supercell map
     val superArr = centroidArrays(s1)
       .select(col("cid").as("scid"), col("cv").as("sv"))
     // phase 1: nearest supercell per point (K₁ folds each)
@@ -584,11 +645,11 @@ object LlmScale extends OpModule {
     val base = toks.select(col("doc_id"), size(col("t")).as("n_tokens"))
     // (doc, position, gram-hash) — read twice (dup detection + probe) →
     // checkpoint once, the ≥2-reader rule
-    val grams = toks.where(size(col("t")) >= K)
+    val grams = MemoUtil.scratch(toks.where(size(col("t")) >= K)
       .select(col("doc_id"),
         posexplode(expr(s"xx_ngram_hashes(t, $K)")))
       .select(col("doc_id"), col("pos").as("p"), col("col").as("gh"))
-      .localCheckpoint()
+      .localCheckpoint())
     val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select(col("gh"))
     val dp = grams.join(dup, Seq("gh"), "left_semi")
@@ -965,10 +1026,10 @@ object LlmScale extends OpModule {
     * presence sets; a frequency floor prunes the pair tail before ranking. */
   def cooccur(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pres = docs
+    val pres = MemoUtil.scratch(docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .where(col("tok") =!= "").distinct()
-      .localCheckpoint()
+      .localCheckpoint())
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val cnt = pres.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val pairs = pres.as("p1").join(pres.as("p2"),
@@ -1024,6 +1085,7 @@ object LlmScale extends OpModule {
     "llm_domain_mix" -> domainMix _,
     "llm_perplexity_proxy" -> perplexityProxy _,
     "llm_decontaminate" -> decontaminate _,
+    "llm_decontaminate_bloom" -> decontaminateBloom _,
     "llm_pack_sequences" -> packSequences _,
     "llm_kmeans" -> kmeans _,
     "llm_kmeans_twolevel" -> kmeansTwoLevel _,

@@ -12,7 +12,7 @@ trait OpModule {
   def oracle: Map[String, String]
 }
 
-private[operators] object MemoUtil {
+private[graft] object MemoUtil {
   /** Free the block-manager storage behind a localCheckpoint'd DataFrame
     * (its analyzed plan is a LogicalRDD over the materialized blocks).
     * Memo resets must call this before dropping their references —
@@ -24,4 +24,23 @@ private[operators] object MemoUtil {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** INTRA-op checkpoints (multi-reader lineage cuts whose blocks the
+    * returned plan still references) can't unpersist inside the op — the
+    * caller hasn't executed the result yet, and a localCheckpoint'd RDD
+    * is unrecoverable once its blocks drop. They register here instead,
+    * and the harness frees them at the safe points: Verify after each
+    * query's parquet is written, Bench between timing passes. Without
+    * this they strand in the block manager until ContextCleaner GC —
+    * the one leak the r6 advice flagged. */
+  private val scratchRefs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  def scratch(df: DataFrame): DataFrame = synchronized {
+    scratchRefs += df; df
+  }
+
+  def dropScratch(): Unit = synchronized {
+    scratchRefs.foreach(dropCheckpoint)
+    scratchRefs.clear()
+  }
 }

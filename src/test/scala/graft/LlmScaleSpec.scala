@@ -28,6 +28,43 @@ class LlmScaleSpec extends SparkSpec {
     assert(out.length.toLong == nEval)
   }
 
+  test("decontaminate_bloom: one-sided vs exact, joinless probe plan") {
+    val exact = LlmScale.decontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Boolean]("contaminated"))).toMap
+    val bloomDf = LlmScale.decontaminateBloom(spark, sf)
+    val bloom = bloomDf.collect()
+    // same eval universe, one row per eval doc
+    assert(bloom.map(_.getAs[Long]("doc_id")).toSet == exact.keySet)
+    var fpHits = 0L; var totalGrams = 0L
+    bloom.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (exHit, exCont) = exact(id)
+      val bHit = r.getAs[Long]("n_hit")
+      // bloom errs one way only: false positives, never negatives
+      assert(bHit >= exHit, s"doc $id: bloom $bHit < exact $exHit")
+      assert(bHit <= r.getAs[Int]("n_grams").toLong)
+      if (exCont) assert(r.getAs[Boolean]("contaminated"),
+        s"doc $id: exact-contaminated doc must stay flagged under bloom")
+      fpHits += bHit - exHit
+      totalGrams += r.getAs[Int]("n_grams").toLong
+    }
+    // 2^23-bit sketch vs fixture-scale gram counts: fp inflation ≤ 1%
+    assert(fpHits <= math.max(1L, totalGrams / 100),
+      s"bloom false-positive hits $fpHits exceed 1% of $totalGrams probes")
+    // the scale claim: the probe is map-side — no join anywhere in the
+    // main plan (the sketch arrives via scalar subquery, not a join)
+    bloomDf.queryExecution.toRdd.count()
+    // the only join allowed is the report-assembly join on doc_id; gram
+    // membership itself must never become a join (that's the exact op)
+    val gramJoins = collectFinal(bloomDf) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if !(j.leftKeys ++ j.rightKeys).mkString.contains("doc_id") => j
+    }
+    assert(gramJoins.isEmpty,
+      s"bloom probe must not join on grams: ${gramJoins.map(_.nodeName)}")
+  }
+
   test("pack_sequences: token conservation and per-bin slack accounting") {
     val out = LlmScale.packSequences(spark, sf).collect()
     val expected = Tables.documents(spark, sf)
