@@ -118,6 +118,95 @@ object DevProbe {
         .where(col("common") >= 2))
       spark.stop(); return
     }
+    // streaming boot-floor bisection: minimal queries on the same
+    // derived session StreamIO uses, to localize the per-query cost
+    if (names == Seq("stream_floor")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      val src = java.nio.file.Files.createTempDirectory("floor_src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        src.resolve("events.parquet"))
+      val schema = ss.read.parquet(src.toString).schema
+      def run(tag: String)(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+          mode: String): Unit = (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val name = s"floor_${tag}_$i"
+        val in = ss.readStream.schema(schema).parquet(src.toString)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val q = build(in).writeStream.format("memory").queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("floor_ck").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000L)
+        val n = ss.table(name).count()
+        println(f"[floor] $tag run$i: $n rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      run("passthrough")(df => df.select(col("event_id")), "append")
+      run("stateless_filter")(df => df.where(col("event_type") === "click")
+        .select(col("event_id")), "append")
+      run("agg_complete")(df => df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")), "complete")
+      run("windowed_wm")(df => df.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n")), "append")
+      // full join with per-batch progress breakdown
+      val in1 = ss.readStream.schema(schema).parquet(src.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = in1.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      val purchases = in1.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"), col("value").as("p_value"))
+        .withWatermark("p_ts", "10 minutes")
+      def joinRun(tag: String, parts: String, noData: Boolean,
+          joinType: String): Unit = (1 to 2).foreach { i =>
+        ss.conf.set("spark.sql.shuffle.partitions", parts)
+        ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          noData.toString)
+        val in1 = ss.readStream.schema(schema).parquet(src.toString)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val clicks = in1.where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val purchases = in1.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
+          .withWatermark("p_ts", "10 minutes")
+        val t0 = System.nanoTime()
+        val name = s"floor_join_${tag}_$i"
+        val q = clicks.join(purchases,
+            col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+              col("p_ts") <= col("c_ts"), joinType)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("floor_ck").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000L)
+        val n = ss.table(name).count()
+        println(f"[floor] join[$tag] run$i: $n rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        q.recentProgress.foreach { p =>
+          println(s"[floor]   batch ${p.batchId}: rows=${p.numInputRows} " +
+            s"durations=${p.durationMs}")
+        }
+      }
+      joinRun("inner_p2", "2", noData = true, "inner")
+      joinRun("inner_p1", "1", noData = true, "inner")
+      joinRun("inner_p2_nodata_off", "2", noData = false, "inner")
+      joinRun("full_p1", "1", noData = true, "fullOuter")
+      joinRun("full_p2", "2", noData = true, "fullOuter")
+      spark.stop(); return
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       // multiple runs: first pays codegen+AQE warmup, later ones are steady

@@ -233,7 +233,7 @@ object LlmScale extends OpModule {
     * Returns (qv, dims, a2, c2); qv, a2, and c2 are checkpointed (the
     * chains otherwise re-execute per reader — c2 alone had FOUR readers
     * across the family, each re-paying a dims⋈a2 corpus pass). */
-  private def lloyd(s: SparkSession, d: String)
+  private[graft] def lloyd(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     lloydMemo.getOrElseUpdate((s, d), lloydBuild(s, d))
 
@@ -297,57 +297,8 @@ object LlmScale extends OpModule {
     // analogue). Intermediate K-row checkpoints are freed once the
     // round-2 lattice is materialized.
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def assign(centIn: DataFrame): DataFrame = {
-      // the per-dim centroid table has THREE readers in this function
-      // (supercell seed join, mini-Lloyd recenter, array build) — without
-      // a lineage cut the round-2 call re-executes the ENTIRE round-1
-      // hierarchy once per reader (measured 14.2 s → ~5 s at the 10×
-      // probe). K·64 rows — the checkpoint is trivial.
-      val cent = centIn.localCheckpoint()
-      scratch += cent
-      // K-row array form has 4 readers below (mini-Lloyd seed + 2 cell
-      // assigns, point fine phase) → checkpoint once (the ≥2-reader rule)
-      val fine = centroidArrays(cent).localCheckpoint()
-      scratch += fine
-      val k1 = math.max(2L, math.floor(math.sqrt(fine.count().toDouble)).toLong)
-      val sseed = fine.select(col("cid"),
-          (row_number().over(Window.orderBy(col("cid"))) - 1).as("scid"))
-        .where(col("scid") < k1)
-      val sc0 = cent.join(broadcast(sseed), "cid")
-        .select(col("scid"), col("dim"), col("c"))
-      // fine cell → nearest supercell (K·K₁ folds, all broadcast-sized)
-      def cellAssign(superCent: DataFrame): DataFrame =
-        fine.crossJoin(broadcast(
-            centroidArrays(superCent.withColumnRenamed("scid", "cid"))
-              .select(col("cid").as("scid"), col("cv").as("sv"))))
-          .select(col("cid"), col("scid"),
-            expr("squared_distance(cv, sv)").as("dist"))
-          .groupBy(col("cid"))
-          .agg(min(struct(col("dist"), col("scid"))).as("m"))
-          .select(col("cid"), col("m.scid").as("scid"))
-      val s1 = cent.join(broadcast(cellAssign(sc0)), "cid")
-        .groupBy(col("scid"), col("dim"))
-        .agg(floor(sum(col("c")).cast("double") / count(lit(1))).cast("long").as("c"))
-        .select(col("scid"), col("dim"), col("c"))
-      val f2 = cellAssign(s1) // final fine-cell → supercell map
-      val superArr = centroidArrays(s1.withColumnRenamed("scid", "cid"))
-        .select(col("cid").as("scid"), col("cv").as("sv"))
-        .join(f2.select(col("scid")).distinct(), "scid") // live supercells only
-      // phase 1: nearest live supercell per point (K₁ folds each)
-      val p1 = qv.crossJoin(broadcast(superArr))
-        .select(col("vec_id"), col("qv"), col("scid"),
-          expr("squared_distance(qv, sv)").as("dist"))
-        .groupBy(col("vec_id"), col("qv"))
-        .agg(min(struct(col("dist"), col("scid"))).as("m"))
-        .select(col("vec_id"), col("qv"), col("m.scid").as("scid"))
-      // phase 2: exact argmin over the chosen supercell's fine cells only
-      p1.join(broadcast(fine.join(broadcast(f2), "cid")), "scid")
-        .select(col("vec_id"), col("cid"),
-          expr("squared_distance(qv, cv)").as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cluster"))
-    }
+    def assign(centIn: DataFrame): DataFrame =
+      hierarchicalAssign(qv, centIn, scratch)
     def recenter(asg: DataFrame): DataFrame =
       dims.join(asg, "vec_id")
         .groupBy(col("cluster"), col("dim"))
@@ -362,6 +313,67 @@ object LlmScale extends OpModule {
     val c2 = recenter(a2).localCheckpoint() // (cid, dim, c)
     scratch.foreach(MemoUtil.dropCheckpoint) // intra-build K-row tables
     (qv, dims, a2, c2)
+  }
+
+  /** One hierarchical (supercell-first) assignment pass — THE assign
+    * path of the shared Lloyd (see lloydBuild's block comment for the
+    * full rationale). Exposed private[graft] so the plan-shape spec can
+    * pin the routing topology: the brute regression (qv × all-K-cells
+    * NLJ) has no `scid` anywhere, so the phase-2 equi join on scid is
+    * the structural witness that points route through supercells.
+    * `scratch` receives the intra-pass K-row checkpoints; the caller
+    * frees them once its downstream result is materialized. */
+  private[graft] def hierarchicalAssign(qv: DataFrame, centIn: DataFrame,
+      scratch: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+    // the per-dim centroid table has THREE readers in this function
+    // (supercell seed join, mini-Lloyd recenter, array build) — without
+    // a lineage cut the round-2 call re-executes the ENTIRE round-1
+    // hierarchy once per reader (measured 14.2 s → ~5 s at the 10×
+    // probe). K·64 rows — the checkpoint is trivial.
+    val cent = centIn.localCheckpoint()
+    scratch += cent
+    // K-row array form has 4 readers below (mini-Lloyd seed + 2 cell
+    // assigns, point fine phase) → checkpoint once (the ≥2-reader rule)
+    val fine = centroidArrays(cent).localCheckpoint()
+    scratch += fine
+    val k1 = math.max(2L, math.floor(math.sqrt(fine.count().toDouble)).toLong)
+    val sseed = fine.select(col("cid"),
+        (row_number().over(Window.orderBy(col("cid"))) - 1).as("scid"))
+      .where(col("scid") < k1)
+    val sc0 = cent.join(broadcast(sseed), "cid")
+      .select(col("scid"), col("dim"), col("c"))
+    // fine cell → nearest supercell (K·K₁ folds, all broadcast-sized)
+    def cellAssign(superCent: DataFrame): DataFrame =
+      fine.crossJoin(broadcast(
+          centroidArrays(superCent.withColumnRenamed("scid", "cid"))
+            .select(col("cid").as("scid"), col("cv").as("sv"))))
+        .select(col("cid"), col("scid"),
+          expr("squared_distance(cv, sv)").as("dist"))
+        .groupBy(col("cid"))
+        .agg(min(struct(col("dist"), col("scid"))).as("m"))
+        .select(col("cid"), col("m.scid").as("scid"))
+    val s1 = cent.join(broadcast(cellAssign(sc0)), "cid")
+      .groupBy(col("scid"), col("dim"))
+      .agg(floor(sum(col("c")).cast("double") / count(lit(1))).cast("long").as("c"))
+      .select(col("scid"), col("dim"), col("c"))
+    val f2 = cellAssign(s1) // final fine-cell → supercell map
+    val superArr = centroidArrays(s1.withColumnRenamed("scid", "cid"))
+      .select(col("cid").as("scid"), col("cv").as("sv"))
+      .join(f2.select(col("scid")).distinct(), "scid") // live supercells only
+    // phase 1: nearest live supercell per point (K₁ folds each)
+    val p1 = qv.crossJoin(broadcast(superArr))
+      .select(col("vec_id"), col("qv"), col("scid"),
+        expr("squared_distance(qv, sv)").as("dist"))
+      .groupBy(col("vec_id"), col("qv"))
+      .agg(min(struct(col("dist"), col("scid"))).as("m"))
+      .select(col("vec_id"), col("qv"), col("m.scid").as("scid"))
+    // phase 2: exact argmin over the chosen supercell's fine cells only
+    p1.join(broadcast(fine.join(broadcast(f2), "cid")), "scid")
+      .select(col("vec_id"), col("cid"),
+        expr("squared_distance(qv, cv)").as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster"))
   }
 
   /** Centroids collapse to K array rows (ascending-dim order) for the

@@ -37,15 +37,19 @@ object StreamIO extends OpModule {
   /** Streaming queries run on a derived session whose shuffle-partition
     * count is sized to STATE, not CPUs. The state-store layout is pinned
     * by the first checkpoint write, and every state partition carries a
-    * RocksDB instance per store — a stream-stream join keeps FOUR stores
-    * per partition, so inheriting local[32]'s 32 shuffle partitions
-    * opens ~128 RocksDB instances per micro-batch for a handful of keys
-    * (~18 s of pure store-open overhead at fixture scale). A production
-    * job sizes this to key cardinality × executor count once, up front;
-    * the checkpoint then keeps it stable for the job's lifetime. */
+    * store instance per stateful operator role — a stream-stream join
+    * keeps FOUR stores per partition, and every store pays a
+    * load/commit file cycle per micro-batch (data batches AND the
+    * no-data watermark-flush batches), so partition count multiplies
+    * straight into boot-floor file ops: 32 inherited partitions ≈ 128
+    * store opens/batch (~18 s measured), 8 → ~32, 2 → ~8 (r7: 2.9 s →
+    * ~1 s per join query at sf0.1 state, which is a few thousand keys).
+    * A production job sizes this to key cardinality × executor count
+    * once, up front; the checkpoint then keeps it stable for the job's
+    * lifetime. */
   private def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
     // None of these queries use transformWithState (the only operator
     // needing RocksDB column families), and the per-store open cost of
     // RocksDB dominates at fixture-sized state: the HDFS-backed provider
@@ -210,16 +214,37 @@ object StreamIO extends OpModule {
 
   /** Stream-stream join: purchases within 30 minutes before each click,
     * per user, both sides watermarked (bounds the join state). */
-  def joinStreamStream(s0: SparkSession, d: String): DataFrame = {
-    val s = streamSession(s0)
-    val clicks = eventsStream(s, d).where(col("event_type") === "click")
+  /** Both join sides derive from ONE file-stream source (a stream-stream
+    * SELF join): one source in the offset log instead of two, one
+    * listing/admission pass per micro-batch, and identical watermark
+    * semantics (the global watermark is the min over the two watermark
+    * nodes either way — same data, same cutoffs, oracle unchanged). */
+  private def clickPurchaseStreams(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val ev = eventsStream(s, d)
+    val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
-    val purchases = eventsStream(s, d).where(col("event_type") === "purchase")
+    val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"), col("value").as("p_value"))
       .withWatermark("p_ts", "10 minutes")
+    (clicks, purchases)
+  }
+
+  def joinStreamStream(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    // INNER stream-stream join: every output row is emitted by the data
+    // batch that completes the match — the trailing no-data micro-batch
+    // only evicts state (a resource action, not an output one), so
+    // skipping it is output-invariant HERE (measured: identical rows,
+    // 1.9 s → 1.35 s at sf0.1). The outer/full twins keep no-data
+    // batches: their null-padded rows are EMITTED by watermark expiry,
+    // which is exactly what those batches run. Eviction itself stays
+    // covered by the outer ops and the multi-batch MemoryStream specs.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val (clicks, purchases) = clickPurchaseStreams(s, d)
     val name = s"ss_join_${UUID.randomUUID().toString.replace("-", "")}"
     val q = clicks.join(purchases,
         col("c_user") === col("p_user") &&
@@ -271,14 +296,7 @@ object StreamIO extends OpModule {
     * watermark drains continuously. */
   def joinStreamOuter(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
-    val clicks = eventsStream(s, d).where(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", "10 minutes")
-    val purchases = eventsStream(s, d).where(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"), col("value").as("p_value"))
-      .withWatermark("p_ts", "10 minutes")
+    val (clicks, purchases) = clickPurchaseStreams(s, d)
     val name = s"ss_louter_${UUID.randomUUID().toString.replace("-", "")}"
     val q = clicks.join(purchases,
         col("c_user") === col("p_user") &&
@@ -303,14 +321,7 @@ object StreamIO extends OpModule {
     * the oracle replays them exactly. */
   def joinStreamFull(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
-    val clicks = eventsStream(s, d).where(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", "10 minutes")
-    val purchases = eventsStream(s, d).where(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"), col("value").as("p_value"))
-      .withWatermark("p_ts", "10 minutes")
+    val (clicks, purchases) = clickPurchaseStreams(s, d)
     val name = s"ss_fouter_${UUID.randomUUID().toString.replace("-", "")}"
     val q = clicks.join(purchases,
         col("c_user") === col("p_user") &&

@@ -450,6 +450,50 @@ class LlmScaleSpec extends SparkSpec {
       "the corpus must reach the probes through an equi join on cluster id")
   }
 
+  test("kmeans plan guard: assign routes supercell-first through an scid equi join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    // replay one hierarchical assign over the memoized round-2 lattice —
+    // the same code path lloydBuild runs (a2/c2 are checkpointed, so the
+    // assign topology is invisible in llm_kmeans' own executed plan)
+    val (qv, _, _, c2) = operators.LlmScale.lloyd(spark, sf)
+    val scratch =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val asg = operators.LlmScale.hierarchicalAssign(qv, c2, scratch)
+    try {
+      asg.queryExecution.toRdd.count()
+      // structural witness of the hierarchy: points reach fine cells
+      // through an equi join on the routed supercell id. The brute
+      // O(N·K) regression (qv × all-K-cells) has no scid anywhere.
+      val scidJoin = collectFinal(asg) {
+        case p: BroadcastHashJoinExec
+          if (p.leftKeys ++ p.rightKeys).mkString.contains("scid") => p
+        case p: ShuffledHashJoinExec
+          if (p.leftKeys ++ p.rightKeys).mkString.contains("scid") => p
+        case p: SortMergeJoinExec
+          if (p.leftKeys ++ p.rightKeys).mkString.contains("scid") => p
+      }
+      assert(scidJoin.nonEmpty,
+        "assign must route points to fine cells via an scid equi join " +
+          "(brute all-cells argmin reintroduced?)")
+      // and the assignment stays TOTAL — every vector lands in a cluster
+      assert(asg.count() == qv.count())
+    } finally scratch.foreach(operators.MemoUtil.dropCheckpoint)
+    // behavioral witness from the agreement op's exact accounting: the
+    // per-point hierarchical work is k1 + |chosen cell| ≤ k1 + K, and
+    // the asymptotic win (2√K ≪ K) is ScaleProbe's to measure — at
+    // fixture scale K=4, K₁=2 the hierarchy legitimately costs MORE
+    // (k1 + probed ≥ K), so only the accounting bound is pinned here
+    val n = Tables.embeddings(spark, sf).count()
+    val k = operators.LlmScale.kFor(n)
+    val k1 = math.max(2L, math.floor(math.sqrt(k.toDouble)).toLong)
+    val tl = operators.LlmScale.kmeansTwoLevel(spark, sf)
+      .agg(sum(col("tl_evals")), sum(col("brute_evals"))).head()
+    assert(tl.getLong(0) <= n * (k1 + k),
+      s"hierarchical evals ${tl.getLong(0)} exceed the N·(K₁+K) ceiling")
+    assert(tl.getLong(1) == n * k, "brute side must evaluate all K cells")
+  }
+
   test("ann_recall: one row per query, recall in [0,1], exact thirds") {
     val out = operators.LlmScale.annRecall(spark, sf).collect()
     assert(out.map(_.getAs[Long]("qid")).toSet.forall(_ < 10))
