@@ -32,9 +32,12 @@ object ScaleProbe {
 
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = java.nio.file.Files.createTempDirectory("graft_probe").toString
-    // scale tier: 10× default; 30× for the asymptotics table in SCALE.md
-    // (sub-quadratic claims need two growth measurements, not one)
-    val copies = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "10").toInt
+    // scale tier: 10× default; 1×/10×/30× build the asymptotics table in
+    // SCALE.md (sub-quadratic claims need two growth measurements, not
+    // one). args override env so tiers run from a warm sbt shell:
+    //   runMain graft.ScaleProbe [copies] [op,op,...]
+    val copies = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_PROBE_COPIES")).getOrElse("10").toInt
 
     spark.read.parquet(s"$src/documents.parquet")
       .withColumn("k", explode(lit((0 until copies).toArray)))
@@ -110,7 +113,8 @@ object ScaleProbe {
       .write.mode(SaveMode.Overwrite).parquet(s"$outI/lineitem.parquet")
 
     // optional comma-separated op filter for targeted re-measurement
-    val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+    val only = args.drop(1).headOption
+      .orElse(sys.env.get("SPARK_GRAFT_PROBE_OPS"))
       .map(_.split(",").map(_.trim).toSet)
     println(f"${"op"}%-24s ${"sec"}%8s ${"rows"}%10s")
     def probe(name: String, dir: String, label: String): Unit = {
@@ -125,6 +129,18 @@ object ScaleProbe {
       }
     }
     probes.foreach(n => probe(n, out, n))
+    // exact distance-eval accounting for the hierarchical assign claim:
+    // tl = N·K₁ + Σ|chosen cell| (must grow ~N·√K), brute = N·K (the
+    // retired quadratic). Printed per tier so SCALE.md's 1×/10×/30×
+    // table carries measured counts, not an argued asymptotic.
+    if (only.forall(f => f.contains("llm_kmeans_twolevel"))) {
+      val acc = SparkEntry.queries("llm_kmeans_twolevel")(spark, out)
+        .agg(sum(col("n_points")), sum(col("tl_evals")),
+          sum(col("brute_evals"))).head()
+      println(s"[evals] points=${acc.getLong(0)} " +
+        s"hierarchical=${acc.getLong(1)} brute=${acc.getLong(2)} " +
+        f"ratio=${acc.getLong(1).toDouble / acc.getLong(2)}%.3f")
+    }
     // triangles first: it warms the interleaved dir's adjacency memo, so
     // the jaccard row below is the MARGINAL candidate-generation cost
     // (comparable to the clustered row, which reuses the main dir's
