@@ -203,6 +203,17 @@ object LlmScale extends OpModule {
     * scores hierarchy-vs-brute on the final lattice, llm_ann_recall the
     * ANN analogue. All downstream consumers (semdedup's pair bound,
     * annIvfKmeans' inverted file) read the same hierarchical a2.
+    *
+    * Fixture-scale cost, stated honestly: at K=15 (sf0.1) the
+    * hierarchy's ~25 extra tiny-job barriers (mini-Lloyd seeds, cell
+    * assigns, counts) cost more than the brute argmin they replace —
+    * bench ~3.2 s vs the old 1.5 s. The crossover is around K≈30 and
+    * the asymptotics are what the operator is FOR: the 1×/10×/30× probe
+    * measures 9.6/11.4/13.1 s across 30× data with distance evals
+    * growing ×162 (N·2√K, within 3 % of model) vs brute's ×936
+    * (SCALE.md). A K-gated brute path would be faster on the fixture
+    * but would leave the hierarchical oracle unexercised at sf0.01 —
+    * the wrong trade for a correctness gate.
     */
   private[graft] def kFor(n: Long): Long = math.max(4L, n / 128L)
 
