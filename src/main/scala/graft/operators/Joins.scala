@@ -417,6 +417,53 @@ object Joins extends OpModule {
         col("o_orderdate"), col("total_qty"))
   }
 
+  /** Macro query (TPC-H Q7 shape): bilateral shipping volume between
+    * two nations by year — the SELF-JOINED DIMENSION pattern the other
+    * headliners don't exercise: nation joins the pipeline TWICE (once
+    * through supplier, once through customer), and the disjunctive
+    * nation-pair predicate can only be evaluated after both arms are
+    * bound. Plan shape that matters at 100 TB: the l_shipdate range is
+    * the only fact-side filter and must reach the parquet scan; both
+    * nation arms broadcast (25 rows each — the classic tiny-dim ×2);
+    * supplier broadcasts too; the real shuffle is lineitem⋈orders.
+    * Revenue stays exact BIGINT cents·(100−disc) like q3/q10, and the
+    * year bucket is integer year(l_shipdate) — both engines bucket and
+    * sum identically, no float crosses a row boundary. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val (na, nb) = ("NATION_3", "NATION_7")
+    val cents =
+      (expr("cast(round(l_extendedprice * 100) as bigint)")
+        * (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), cents.as("cents"))
+    // each arm pre-filters to the two nations (implied by the pair
+    // disjunction, so output-invariant): ~92% of suppliers drop before
+    // the fact join, so the lineitem⋈orders shuffle carries only
+    // candidate rows — the final disjunction then only rejects the
+    // same-nation combinations
+    val pair = Tables.nation(s, d).where(col("n_name").isin(na, nb))
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(pair), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cn = Tables.customer(s, d)
+      .join(broadcast(pair), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    li.join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === na && col("cust_nation") === nb)
+        || (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        col("n_lines"), col("revenue_cents"),
+        round(col("revenue_cents") / lit(10000.0), 4).as("revenue"))
+  }
+
   /** Runtime bloom-filter injection (InjectRuntimeFilter): a selective
     * dim-side predicate is turned into a bloom filter evaluated on the
     * FACT side's scan, discarding non-joining fact rows before the
@@ -449,6 +496,7 @@ object Joins extends OpModule {
     "join_runtime_filter" -> joinRuntimeFilter _,
     "q5_star_join" -> q5StarJoin _,
     "q3_shipping_priority" -> q3ShippingPriority _,
+    "q7_volume_shipping" -> q7VolumeShipping _,
     "q10_returned_items" -> q10ReturnedItems _,
     "q18_big_orders" -> q18BigOrders _,
     "join_fuzzy" -> joinFuzzy _,
@@ -487,6 +535,34 @@ object Joins extends OpModule {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority""".stripMargin,
+    "q7_volume_shipping" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7')),
+        |cn AS (
+        |  SELECT c_custkey, n_name AS cust_nation
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7'))
+        |SELECT supp_nation, cust_nation, l_year,
+        |  count(*) AS n_lines,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  round(CAST(sum(cents) AS BIGINT) / 10000.0, 4) AS revenue
+        |FROM li
+        |JOIN sn ON li.l_suppkey = sn.s_suppkey
+        |JOIN orders ON li.l_orderkey = o_orderkey
+        |JOIN cn ON o_custkey = cn.c_custkey
+        |WHERE (supp_nation = 'NATION_3' AND cust_nation = 'NATION_7')
+        |   OR (supp_nation = 'NATION_7' AND cust_nation = 'NATION_3')
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
     "q3_shipping_priority" ->
       """WITH li AS (
         |  SELECT l_orderkey,

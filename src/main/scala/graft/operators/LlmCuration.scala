@@ -304,7 +304,63 @@ object LlmCuration extends OpModule {
           .otherwise("modified").as("status"))
   }
 
+  /** Importance-sampling MATERIALIZATION: llm_domain_mix computes the
+    * data-scheduler weights (uniform token target, 10⁴ fixed point);
+    * this op turns them into the actual training-epoch multiset — each
+    * doc emits ⌊w⌋ copies plus one more iff its hash gate clears the
+    * fractional part. Over-represented sources downsample (w < 1 → a
+    * keep-gate, llm_sample_stratified's shape), under-represented ones
+    * UPSAMPLE (w > 1 → explode into ⌊w⌋(+1) repeats) — the repetition
+    * half no keep-gate can express. The gate is the same Knuth
+    * multiplicative hash as the stratified sampler (doc_id·2654435761
+    * mod 2³², compared in exact integers: h·10⁴ < frac_fp·2³²), so the
+    * emitted multiset is engine- and retry-identical, and the per-source
+    * audit pins it with an exact (doc_id·copy) checksum.
+    *
+    * Scale shape: weights are an S-row broadcast; the explode emits
+    * Σ n_s·w_s ≈ N rows total (the epoch is corpus-sized by
+    * construction — uniform target conserves token mass), map-side with
+    * no shuffle until the audit aggregate. At 100 TB the emitted rows
+    * stream straight into the pack_sequences writer; nothing here
+    * buffers a source in memory. */
+  def sampleImportance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("nt"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val totals = perSource.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val w = perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        expr("((total_tokens div n_sources) * 10000) div n_tokens")
+          .as("weight_fp"))
+    val emitted = docs.join(broadcast(w.drop("n_docs")), "source")
+      .withColumn("h",
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("copies",
+        expr("weight_fp div 10000")
+          + when(col("h") * lit(10000L)
+              < pmod(col("weight_fp"), lit(10000L)) * lit(4294967296L), 1L)
+            .otherwise(0L))
+      .where(col("copies") > 0)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(1L), col("copies"))).as("copy"))
+    val audit = emitted.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_emitted"),
+        count(lit(1)).as("n_emitted"),
+        sum(col("doc_id") * col("copy")).as("checksum"))
+    w.join(audit, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("weight_fp"),
+        coalesce(col("n_docs_emitted"), lit(0L)).as("n_docs_emitted"),
+        coalesce(col("n_emitted"), lit(0L)).as("n_emitted"),
+        expr("(coalesce(n_emitted, 0) * 10000) div n_docs")
+          .as("realized_fp"),
+        coalesce(col("checksum"), lit(0L)).as("checksum"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_importance" -> sampleImportance _,
     "curation_e2e" -> curationE2e _,
     "llm_dataset_diff" -> datasetDiff _,
     "llm_dedup_cluster" -> dedupCluster _,
@@ -344,6 +400,40 @@ object LlmCuration extends OpModule {
       |FROM r""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_sample_importance" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS nt
+        |  FROM documents),
+        |ps AS (
+        |  SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens
+        |  FROM docs GROUP BY source),
+        |t AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources
+        |      FROM ps),
+        |w AS (
+        |  SELECT source, n_docs,
+        |    CAST(((t.total_tokens // t.n_sources) * 10000) // n_tokens
+        |         AS BIGINT) AS weight_fp
+        |  FROM ps, t),
+        |em AS (
+        |  SELECT d.source, d.doc_id,
+        |    unnest(range(1, CAST(
+        |      weight_fp // 10000
+        |      + CASE WHEN ((d.doc_id * 2654435761) % 4294967296) * 10000
+        |                  < (weight_fp % 10000) * 4294967296
+        |             THEN 1 ELSE 0 END AS BIGINT) + 1)) AS copy
+        |  FROM docs d JOIN w USING (source)),
+        |agg AS (
+        |  SELECT source, count(DISTINCT doc_id) AS n_docs_emitted,
+        |    count(*) AS n_emitted,
+        |    CAST(sum(doc_id * copy) AS BIGINT) AS checksum
+        |  FROM em GROUP BY source)
+        |SELECT w.source, w.n_docs, w.weight_fp,
+        |  coalesce(agg.n_docs_emitted, 0) AS n_docs_emitted,
+        |  coalesce(agg.n_emitted, 0) AS n_emitted,
+        |  CAST((coalesce(agg.n_emitted, 0) * 10000) // w.n_docs AS BIGINT)
+        |    AS realized_fp,
+        |  coalesce(agg.checksum, 0) AS checksum
+        |FROM w LEFT JOIN agg USING (source)""".stripMargin,
     "llm_dataset_diff" ->
       """WITH v1 AS (SELECT doc_id, text, lang FROM documents),
         |v2 AS (

@@ -78,6 +78,37 @@ class JoinsSpec extends SparkSpec {
     q18.collect().foreach(r => assert(r.getAs[Long]("total_qty") > 300))
   }
 
+  test("q7: nation arms broadcast, shipdate pushed, bilateral volume exact") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q7 = graft.operators.Joins.q7VolumeShipping(spark, sf)
+    q7.queryExecution.toRdd.count()
+    val rows = q7.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sn, cn) = (r.getAs[String]("supp_nation"),
+        r.getAs[String]("cust_nation"))
+      assert(Set("NATION_3", "NATION_7")(sn) && Set("NATION_3", "NATION_7")(cn))
+      assert(sn != cn, "same-nation pairs must be rejected")
+      val y = r.getAs[Long]("l_year")
+      assert(y == 1996 || y == 1997, s"year $y outside the ship window")
+      assert(r.getAs[Long]("revenue_cents") > 0)
+      assert(r.getAs[Double]("revenue")
+        == math.round(r.getAs[Long]("revenue_cents") / 10000.0 * 10000) / 10000.0)
+    }
+    // the only fact-side predicate is the shipdate range — it must reach
+    // the lineitem parquet scan, not sit in a post-scan Filter
+    val pushed = collectFinal(q7) { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "")
+    }.mkString(" ")
+    assert(pushed.contains("l_shipdate"),
+      s"q7 shipdate range not pushed to the fact scan: $pushed")
+    // both nation-tagged dim arms (and supplier) reach the fact through
+    // broadcast joins — the tiny-dim ×2 self-joined-dimension shape
+    val bhj = collectFinal(q7) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3,
+      s"supplier/nation arms should broadcast, found ${bhj.size}")
+  }
+
   test("join_salted equals the unsalted join") {
     import org.apache.spark.sql.functions._
     val salted = graft.operators.Joins.joinSalted(spark, sf)

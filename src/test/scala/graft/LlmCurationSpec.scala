@@ -99,6 +99,38 @@ class LlmCurationSpec extends SparkSpec {
     assert(bhj.nonEmpty, "stratum counts must broadcast, not shuffle the corpus")
   }
 
+  test("sample_importance: per-doc copies bounded by floor(w)/floor(w)+1, deterministic") {
+    val out = LlmCuration.sampleImportance(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(out.length.toLong == nSources, "one audit row per source")
+    out.foreach { r =>
+      val nd = r.getAs[Long]("n_docs")
+      val w = r.getAs[Long]("weight_fp")
+      val nde = r.getAs[Long]("n_docs_emitted")
+      val ne = r.getAs[Long]("n_emitted")
+      val base = w / 10000
+      // every doc contributes floor(w) copies plus at most one gated extra
+      assert(ne >= nd * base && ne <= nd * (base + 1),
+        s"${r.getAs[String]("source")}: $ne outside [${nd * base}, ${nd * (base + 1)}]")
+      // an upsampled source (w ≥ 1) emits every one of its docs
+      if (base >= 1) assert(nde == nd)
+      assert(nde <= nd)
+      assert(r.getAs[Long]("realized_fp") == ne * 10000 / nd)
+    }
+    // uniform token target conserves epoch size to within one copy/doc
+    val total = out.map(_.getAs[Long]("n_emitted")).sum
+    val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total >= nDocs / 2 && total <= nDocs * 2,
+      s"epoch size $total implausible vs corpus $nDocs")
+    // hash-gated selection is retry/engine-deterministic: identical
+    // checksums on a re-run
+    val again = LlmCuration.sampleImportance(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("checksum")).toMap
+    out.foreach(r => assert(
+      again(r.getAs[String]("source")) == r.getAs[Long]("checksum")))
+  }
+
   test("curation_e2e: every stage narrows, chunks cover samples") {
     val rows = LlmCuration.curationE2e(spark, sf).collect()
     assert(rows.nonEmpty)
