@@ -324,6 +324,36 @@ object Analytics extends OpModule {
       lbl
     })
 
+  /** Connected components SURFACED as a registered op (round 7): the
+    * same memoized min-label-propagation fixpoint the jaccard
+    * dense-regime gate runs (coSupplyComponents above), reported as a
+    * per-component audit — component id (= min member), node count,
+    * undirected edge count, exact id checksum. The oracle replays the
+    * fixpoint as a recursive transitive-closure CTE and takes min over
+    * each node's reachable set — a different algorithm arriving at the
+    * same labeling, which is exactly what makes it a good oracle. Scale
+    * shape: the label loop is one equi-join + one min aggregate per
+    * round (O(log d) rounds on cliquish communities), the audit one
+    * hash aggregate; nothing materializes pairs. At 100 TB this is the
+    * large-star/small-star territory llm_dedup_cluster demonstrates —
+    * this op keeps the simpler propagation loop because its dense-regime
+    * caller guarantees small diameters. */
+  def graphComponents(s: SparkSession, d: String): DataFrame = {
+    val cc = coSupplyComponents(s, d) // (id, cc)
+    val stats = cc.groupBy(col("cc").cast("long").as("cc"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("id_sum"))
+    val eLab = coSupplyEdges(s, d)
+      .join(cc.select(col("id").as("src"), col("cc")), "src")
+      .groupBy(col("cc").cast("long").as("cc"))
+      .agg(expr("count(1) div 2").as("n_edges")) // symmetric pairs
+    stats.join(eLab, "cc")
+      .select(col("cc"), col("n_nodes"), col("n_edges"), col("id_sum"))
+  }
+
+  /** Spec hook: the raw (id, cc) labeling behind graph_components. */
+  private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =
+    coSupplyComponents(s, d)
+
   private def coSupplyAdjacency(s: SparkSession, d: String): DataFrame =
     adjMemo.getOrElseUpdate((s, d),
       coSupplyEdges(s, d)
@@ -724,6 +754,7 @@ object Analytics extends OpModule {
     "win_pattern" -> winPattern _,
     "graph_triangles" -> graphTriangles _,
     "graph_jaccard" -> graphJaccard _,
+    "graph_components" -> graphComponents _,
     "ts_ohlc" -> tsOhlc _,
     "ts_interpolate" -> tsInterpolate _,
     "ts_seasonal" -> tsSeasonal _,
@@ -833,6 +864,29 @@ object Analytics extends OpModule {
         |    CAST(date_diff('second', hp, hn) // 3600 AS DOUBLE)) / 100.0
         |  END AS value
         |FROM j""".stripMargin,
+    "graph_components" ->
+      """WITH RECURSIVE os AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |sym AS (
+        |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |walk(id, lbl) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+        |  UNION
+        |  SELECT e.src, w.lbl FROM sym e JOIN walk w ON w.id = e.dst),
+        |cc AS (SELECT id, min(lbl) AS cc FROM walk GROUP BY id),
+        |stats AS (
+        |  SELECT CAST(cc AS BIGINT) AS cc, count(*) AS n_nodes,
+        |    CAST(sum(id) AS BIGINT) AS id_sum
+        |  FROM cc GROUP BY cc),
+        |ecnt AS (
+        |  SELECT CAST(c.cc AS BIGINT) AS cc,
+        |    CAST(count(*) // 2 AS BIGINT) AS n_edges
+        |  FROM sym e JOIN cc c ON e.src = c.id GROUP BY 1)
+        |SELECT s.cc, s.n_nodes, e.n_edges, s.id_sum
+        |FROM stats s JOIN ecnt e USING (cc)""".stripMargin,
     "graph_triangles" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |sym AS (

@@ -287,4 +287,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(bnljR.isEmpty,
       "selector must not pick the NLJ once the active set exceeds the gate")
   }
+
+  test("graph_components: edges never cross labels, cc is the member minimum") {
+    // the fixture graph is one dense component — every edge endpoint
+    // shares the label and the audit reduces to one row
+    val labels = Analytics.componentLabels(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cc")).toMap
+    assert(labels.nonEmpty)
+    labels.groupBy(_._2).foreach { case (cc, members) =>
+      assert(cc == members.keys.min,
+        s"component label $cc must be its minimum member id")
+    }
+    val audit = Analytics.graphComponents(spark, sf).collect()
+    assert(audit.map(_.getAs[Long]("n_nodes")).sum == labels.size)
+    audit.foreach { r =>
+      // a connected component on n nodes carries at least n-1 edges
+      assert(r.getAs[Long]("n_edges") >= r.getAs[Long]("n_nodes") - 1)
+      assert(labels.values.count(_ == r.getAs[Long]("cc")).toLong
+        == r.getAs[Long]("n_nodes"))
+    }
+    // DISJOINT cliques must yield distinct labels: synthesize a lineitem
+    // dir with two 3-supplier cliques (each order pair-covers one clique
+    // twice so the w >= 2 co-occurrence gate keeps every edge)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_spec").toString
+    val rows = for {
+      (base, orders) <- Seq((100L, 1000L), (200L, 2000L))
+      o <- orders to (orders + 1) // two orders per clique => w = 2
+      sup <- base to (base + 2)
+      ln <- Seq(1, 2) // two lines per (order, supplier) — harmless dups
+    } yield (o, sup, ln)
+    rows.toDF("l_orderkey", "l_suppkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val two = Analytics.graphComponents(spark, dir).collect()
+      .map(r => r.getAs[Long]("cc") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))).toMap
+    assert(two == Map(100L -> ((3L, 3L)), 200L -> ((3L, 3L))),
+      s"two disjoint 3-cliques must yield two components: $two")
+  }
 }
