@@ -166,6 +166,71 @@ object LlmOps extends OpModule {
         round(col("i").cast("double") / col("u"), 4).as("jaccard"))
   }
 
+  /** INCREMENTAL near-dedup — the production shape dedupNear's
+    * full-corpus pass doesn't exercise: a NEW shard (doc_id ≡ 0 mod 10,
+    * the daily crawl delta) dedups against the EXISTING corpus index
+    * (everything else), and index×index pairs are never generated — the
+    * candidate join is new-bands × index-bands only, so a shard of size
+    * B against a corpus of size N costs O(B·collisions), not the
+    * O(N·collisions) a re-dedup of the whole corpus pays. At 100 TB the
+    * index band table is a PERSISTED artifact updated per ingest (here
+    * recomputed — same plan past the scan) and the new shard's bands
+    * broadcast: the corpus streams past the shard map-side, never
+    * shuffling itself. Same MinHash(32)/LSH(16×2) machinery and exact
+    * sorted-merge verification as dedupNear, so recall/precision carry
+    * over; the all-pairs new×index oracle is exhaustive. Per new doc:
+    * dup verdict, match count, best match (max jaccard, min index id). */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.8
+    graft.GraftExtensions.register(s)
+    val isNew = pmod(col("doc_id"), lit(10)) === 0
+    // shingle table read three times (signatures + both verify sides) —
+    // the dedupNearBuild lineage-cut rule, routed through the scratch
+    // registry
+    val base = MemoUtil.scratch(Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        sort_array(expr("array_distinct(xx_ngram_hashes(toks, 3))")).as("hs"))
+      .localCheckpoint())
+    val bands = signatureFromHashes(base, "hs")
+      .select(col("doc_id"), col("sig"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(expr(bandsExpr)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    val cands = bands.where(!isNew).as("x")
+      .join(broadcast(bands.where(isNew).as("y")),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("y.doc_id").as("doc_n"), col("x.doc_id").as("doc_i"))
+      .dropDuplicates("doc_n", "doc_i")
+    val sh = base.select(col("doc_id"), col("hs"))
+    val verified = cands
+      .join(sh.select(col("doc_id").as("doc_n"), col("hs").as("sa")), "doc_n")
+      .join(sh.select(col("doc_id").as("doc_i"), col("hs").as("sb")), "doc_i")
+      .where(size(col("sa")).cast("double") >= lit(tau) * size(col("sb"))
+        && size(col("sb")).cast("double") >= lit(tau) * size(col("sa")))
+      .withColumn("i", expr("sorted_intersect_count(sa, sb)"))
+      .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
+      .where(col("i").cast("double") / col("u") >= tau)
+      .select(col("doc_n"), col("doc_i"),
+        round(col("i").cast("double") / col("u"), 4).as("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_n"))
+      .orderBy(col("jaccard").desc, col("doc_i").asc)
+    val best = verified
+      .withColumn("n_matches", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_n"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_n"), col("doc_i"), col("jaccard"), col("n_matches"))
+    base.where(isNew).select(col("doc_id"))
+      .join(best, col("doc_id") === col("doc_n"), "left")
+      .select(col("doc_id"),
+        col("doc_n").isNotNull.as("is_dup"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("doc_i"), lit(-1L)).as("match_id"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+  }
+
   /** Brute-force cosine top-k: 10 query vectors against all embeddings.
     * Dot/norm folds are in-order double accumulation (bit-identical to
     * the oracle's list_reduce); ranking is on the rounded score with a
@@ -229,6 +294,7 @@ object LlmOps extends OpModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact _,
     "llm_dedup_near" -> dedupNear _,
+    "llm_dedup_incremental" -> dedupIncremental _,
     "llm_similarity_topk" -> similarityTopk _,
     "llm_text_stats" -> textStats _,
     "llm_multimodal" -> multimodal _
@@ -260,6 +326,46 @@ object LlmOps extends OpModule {
         |JOIN sizes sa ON sa.doc_id = da
         |JOIN sizes sb ON sb.doc_id = db
         |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+    // exhaustive new×index pairs — the incremental LSH path's oracle
+    // (same recall argument as llm_dedup_near's all-pairs oracle)
+    "llm_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in range(1, len(t) - 1)]) AS s
+        |  FROM toks),
+        |exn AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+        |        WHERE doc_id % 10 = 0),
+        |exi AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+        |        WHERE doc_id % 10 != 0),
+        |inter AS (
+        |  SELECT n.doc_id AS dn, i.doc_id AS di, count(*) AS i
+        |  FROM exn n JOIN exi i ON n.shingle = i.shingle
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |ver AS (
+        |  SELECT dn, di,
+        |    round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = dn
+        |  JOIN sizes sb ON sb.doc_id = di
+        |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+        |ranked AS (
+        |  SELECT dn, di, jaccard,
+        |    row_number() OVER (PARTITION BY dn
+        |      ORDER BY jaccard DESC, di ASC) AS rn,
+        |    count(*) OVER (PARTITION BY dn) AS nm
+        |  FROM ver)
+        |SELECT nd.doc_id,
+        |  (b.dn IS NOT NULL) AS is_dup,
+        |  coalesce(b.nm, 0) AS n_matches,
+        |  coalesce(b.di, -1) AS match_id,
+        |  coalesce(b.jaccard, 0.0) AS jaccard
+        |FROM (SELECT doc_id FROM sh WHERE doc_id % 10 = 0) nd
+        |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
+        |  ON nd.doc_id = b.dn""".stripMargin,
     "llm_similarity_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -46,6 +46,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental: new shard vs index, never index-vs-index") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    writeDocs(Seq(
+      // doc 10 is "new" (≡0 mod 10) and near-dups index doc 11
+      (10L, base + " tail0", "en", "s0", 100L),
+      (11L, base + " tail1", "en", "s0", 100L),
+      // docs 13/14 near-dup EACH OTHER but both sit in the index —
+      // incremental must NOT report that pair anywhere
+      (13L, "p q r " * 20 + "end13", "en", "s0", 100L),
+      (14L, "p q r " * 20 + "end14", "en", "s0", 100L),
+      // new doc 20 matches nothing
+      (20L, "altogether different words entirely", "en", "s1", 30L)))
+    val out = LlmOps.dedupIncremental(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_dup"), r.getAs[Long]("match_id"),
+          r.getAs[Long]("n_matches"))).toMap
+    // one row per NEW doc, exactly
+    assert(out.keySet == Set(10L, 20L))
+    assert(out(10L)._1 && out(10L)._2 == 11L && out(10L)._3 == 1L,
+      s"doc 10 must match index doc 11: ${out(10L)}")
+    assert(!out(20L)._1 && out(20L)._2 == -1L && out(20L)._3 == 0L)
+    // the index-internal 13~14 pair is invisible by construction —
+    // neither appears as a new-side row at all
+    assert(!out.contains(13L) && !out.contains(14L))
+  }
+
   test("similarity_topk returns 5 ranked neighbors per query") {
     val df = LlmOps.similarityTopk(spark, sf)
     val perQ = df.groupBy("qid").count().collect()
