@@ -66,6 +66,10 @@ object ScaleProbe {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
 
     val probes = Seq(
+      // incremental shard-vs-index dedup: cost must track the NEW side
+      // (B·collisions) — the clone corpus inflates index collisions per
+      // new doc ~10×, runtime must follow verified matches, not corpus²
+      "llm_dedup_incremental",
       "llm_dedup_exact", "llm_dedup_near", "llm_dedup_cluster",
       "llm_dedup_simhash", "llm_dedup_ngram", "llm_fingerprint",
       "llm_chunk", "llm_quality_filter", "llm_sample_stratified",
