@@ -207,6 +207,24 @@ object DevProbe {
       joinRun("full_p2", "2", noData = true, "fullOuter")
       spark.stop(); return
     }
+    // graph_components stage bisection with memo resets between runs —
+    // DevProbe's plain mode reuses the adjacency/cc memos, hiding where
+    // the bench-visible (memo-paying) time goes
+    if (names == Seq("cc_parts")) {
+      (1 to 3).foreach { i =>
+        operators.Analytics.resetGraphMemo()
+        operators.MemoUtil.dropScratch()
+        val t0 = System.nanoTime()
+        val lbl = operators.Analytics.componentLabels(spark, sfDir)
+        val t1 = System.nanoTime()
+        val n = SparkEntry.queries("graph_components")(spark, sfDir)
+          .queryExecution.toRdd.count()
+        val t2 = System.nanoTime()
+        println(f"[cc] run$i: labels ${(t1 - t0) / 1e9}%.2f s " +
+          f"(rows=${lbl.count()}) audit ${(t2 - t1) / 1e9}%.2f s n=$n")
+      }
+      spark.stop(); return
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       // multiple runs: first pays codegen+AQE warmup, later ones are steady

@@ -284,60 +284,49 @@ object Analytics extends OpModule {
   }
 
   /** Connected components of the co-supply graph — (id, cc) with cc =
-    * the component's minimum node id — by deterministic min-label
-    * propagation to a FIXED POINT: each round every node takes the min
-    * of its own label and its neighbors' (one equi-join on the exploded
-    * adjacency + one min aggregate), and the loop stops when the label
-    * sum is unchanged (labels only ever decrease, so the sum strictly
-    * decreases on any changing round — an O(1)-driver-read convergence
-    * signature, the dedupCluster discipline). Only the DENSE-BLOCKED
-    * jaccard regime computes this, and a graph in that regime has
-    * Σdeg² ≥ n²/2 — heavily connected communities whose diameter is
-    * small, so the fixed point lands in a few rounds (cliquish
-    * co-occurrence communities: 2–3). Checkpointed + memoized beside
-    * the adjacency; Bench resets both between passes. */
+    * the component's minimum node id — via the shared large-star/
+    * small-star contraction (StarContraction.scala). Round 7 ran a
+    * min-label propagation loop here, honest for the dense-regime
+    * jaccard caller (cliquish communities, diameter 2–3) but O(diameter)
+    * barriers as a FIRST-CLASS op: a planted path of length L took L
+    * rounds. Star contraction converges in O(log n) rounds on any
+    * topology, so the surfaced graph_components op no longer depends on
+    * its caller's topology for its round count. The (id, cc) labeling is
+    * re-checkpointed eagerly and the loop's round checkpoints dropped
+    * immediately — the memo holds exactly one checkpoint, as before.
+    * Memoized beside the adjacency; Bench resets both between passes. */
   private val ccMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
   private def coSupplyComponents(s: SparkSession, d: String): DataFrame =
     ccMemo.getOrElseUpdate((s, d), {
       val adj = coSupplyAdjacency(s, d)
+      // each undirected edge once, canonical u < v (the adjacency is
+      // symmetric, so keeping nbr > id loses nothing — and every node
+      // has deg ≥ 1, so the star labeling covers all of them)
       val edges = adj.select(col("id"), explode(col("nbrs")).as("nbr"))
-      var lbl = adj
-        .select(col("id"), least(col("id"), array_min(col("nbrs"))).as("cc"))
+        .where(col("nbr") > col("id"))
+        .select(col("id").cast("long").as("u"), col("nbr").as("v"))
         .localCheckpoint()
-      var sig = lbl.agg(sum(col("cc"))).head().getLong(0)
-      var done = false
-      while (!done) {
-        val next = edges
-          .join(lbl.select(col("id").as("nbr"), col("cc").as("ncc")), "nbr")
-          .groupBy(col("id")).agg(min(col("ncc")).as("mcc"))
-          .join(lbl, "id")
-          .select(col("id"), least(col("cc"), col("mcc")).as("cc"))
-          .localCheckpoint()
-        val nsig = next.agg(sum(col("cc"))).head().getLong(0)
-        MemoUtil.dropCheckpoint(lbl)
-        lbl = next
-        done = nsig == sig
-        sig = nsig
-      }
+      val res = StarContraction.contract(edges)
+      val lbl = StarContraction.labels(res.stars).localCheckpoint()
+      (edges +: res.live).foreach(MemoUtil.dropCheckpoint)
       lbl
     })
 
-  /** Connected components SURFACED as a registered op (round 7): the
-    * same memoized min-label-propagation fixpoint the jaccard
-    * dense-regime gate runs (coSupplyComponents above), reported as a
-    * per-component audit — component id (= min member), node count,
-    * undirected edge count, exact id checksum. The oracle replays the
-    * fixpoint as a recursive transitive-closure CTE and takes min over
-    * each node's reachable set — a different algorithm arriving at the
-    * same labeling, which is exactly what makes it a good oracle. Scale
-    * shape: the label loop is one equi-join + one min aggregate per
-    * round (O(log d) rounds on cliquish communities), the audit one
-    * hash aggregate; nothing materializes pairs. At 100 TB this is the
-    * large-star/small-star territory llm_dedup_cluster demonstrates —
-    * this op keeps the simpler propagation loop because its dense-regime
-    * caller guarantees small diameters. */
+  /** Connected components SURFACED as a registered op (round 7; round 8
+    * moved the fixpoint onto the shared large-star/small-star
+    * contraction): the same memoized labeling the jaccard dense-regime
+    * gate runs (coSupplyComponents above), reported as a per-component
+    * audit — component id (= min member), node count, undirected edge
+    * count, exact id checksum. The oracle replays the closure as a
+    * recursive transitive-closure CTE and takes min over each node's
+    * reachable set — a different algorithm arriving at the same
+    * labeling, which is exactly what makes it a good oracle. Scale
+    * shape: O(log n) contraction rounds on ANY topology (two join+agg
+    * stages per round, nothing materializes pairs — see
+    * StarContraction.scala), then the audit is one hash aggregate over
+    * the 1-row-per-node label and degree tables. */
   def graphComponents(s: SparkSession, d: String): DataFrame = {
     val cc = coSupplyComponents(s, d) // (id, cc)
     // the memoized adjacency already carries per-node degrees, and every

@@ -22,82 +22,28 @@ object LlmCuration extends OpModule {
     * corpus; transitive closure does (A~B, B~C must collapse to ONE
     * survivor even though A~C was never compared).
     *
-    * Implementation is alternating large-star/small-star (Kiveris et
-    * al., "Connected Components in MapReduce and Beyond"): each round
-    * rewires edges toward the per-neighborhood minimum —
-    *   large-star: for every center u, link each strictly-larger
-    *     neighbor to m = min(Γ(u) ∪ u);
-    *   small-star: on the resulting (big → small) edges, link the center
-    *     and every smaller neighbor to the center's minimum.
-    * The edge set converges to min-rooted stars in O(log d) rounds
-    * (min-label propagation needs O(d)) — the difference between 3 and
-    * 30 barriers on a web-scale dup graph. Each round is checkpointed
-    * (lineage cut; cluster jobs use reliable checkpoints so a lost
-    * executor doesn't recompute round 1), and convergence is detected on
-    * the materialized edge set via (count, hash-sum) — no extra join.
+    * Implementation is the shared alternating large-star/small-star
+    * contraction (StarContraction.scala — Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"; round 8 factored the loop out
+    * so graph_components runs the identical engine): min-rooted stars
+    * in O(log n) rounds where min-label propagation needs O(diameter) —
+    * the difference between 3 and 30 barriers on a web-scale dup graph.
     */
   def dedupCluster(s: SparkSession, d: String): DataFrame = {
     // the LSH pair hunt is the expensive part and must not re-run per
     // iteration; pairs arrive canonical (doc_a < doc_b)
-    var edges = LlmOps.dedupNear(s, d)
+    val edges0 = LlmOps.dedupNear(s, d)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .localCheckpoint()
-    var priorRound: DataFrame = null // superseded round, dropped in-loop
-    def signature(df: DataFrame): (Long, Long) = {
-      // bit_xor over row hashes: order-independent, cannot overflow
-      // (sum() of hashes trips ANSI long overflow)
-      val r = df.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var sig = signature(edges)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 30) {
-      // large-star over the undirected neighborhood
-      val dir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val minsL = dir.groupBy(col("u"))
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val afterLs = dir.join(minsL, "u")
-        .where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")) // (big, small): m ≤ u < v
-        .distinct()
-      // small-star on the big→small orientation
-      val minsS = afterLs.groupBy(col("u")).agg(min(col("v")).as("mv"))
-      val next = afterLs.join(minsS, "u")
-        .where(col("v") =!= col("mv"))
-        .select(col("v").as("u"), col("mv").as("v"))
-        .union(minsS.select(col("u"), col("mv").as("v")))
-        .distinct()
-        .localCheckpoint()
-      val nsig = signature(next)
-      converged = nsig == sig
-      sig = nsig
-      // `next` is materialized (checkpoint is eager), so the
-      // penultimate round's blocks free immediately instead of
-      // stranding ≤30 checkpoints until GC
-      if (priorRound != null) MemoUtil.dropCheckpoint(priorRound)
-      priorRound = edges
-      edges = next
-      iter += 1
-    }
-    // final round is referenced by the result plan; its input round may
-    // be too on a 1-iteration fixture — both free at the harness's next
-    // safe point rather than here
-    if (priorRound != null) MemoUtil.scratch(priorRound)
-    MemoUtil.scratch(edges)
-    // the iteration cap is a runaway guard, not a tolerance: exiting it
-    // while edges were still changing would silently emit wrong cluster
-    // ids. Fail loudly instead.
-    require(converged,
-      s"dedupCluster: star contraction did not converge in $iter rounds")
+    val res = StarContraction.contract(edges0)
+    // the result plan reads the fixpoint (and possibly the input, on a
+    // 1-round fixture) lazily — free at the harness's next safe point
+    MemoUtil.scratch(edges0)
+    res.live.foreach(MemoUtil.scratch)
     // fixpoint edges are (member, root) stars; roots get their self-row
-    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
-      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id"))
-        .distinct())
-      .distinct()
-      .select(col("doc_id"), col("cluster_id"),
-        (col("doc_id") === col("cluster_id")).as("is_survivor"))
+    StarContraction.labels(res.stars)
+      .select(col("id").as("doc_id"), col("cc").as("cluster_id"),
+        (col("id") === col("cc")).as("is_survivor"))
   }
 
   /** Context-window chunking: overlapping token windows (W=32, stride

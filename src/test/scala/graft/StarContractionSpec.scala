@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.StarContraction
+
+/** The claim that moved graph_components off min-label propagation:
+  * large-star/small-star converges in O(log n) rounds on ANY topology,
+  * including the propagation worst case — a long path, where label
+  * propagation needs exactly L rounds to carry the minimum end to end. */
+class StarContractionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pathEdges(n: Long) =
+    spark.range(n - 1).select($"id".as("u"), ($"id" + 1).as("v"))
+      .localCheckpoint()
+
+  test("planted 256-path: logarithmic rounds, single min-rooted component") {
+    val n = 256L
+    val res = StarContraction.contract(pathEdges(n))
+    // label propagation would take 255 rounds here; contraction must be
+    // within a small constant of log2(n) (+1 for convergence detection:
+    // the final round re-derives an unchanged edge set)
+    val bound = (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 3
+    assert(res.rounds <= bound,
+      s"took ${res.rounds} rounds on a $n-path; logarithmic bound is $bound")
+    val labels = StarContraction.labels(res.stars)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L until n).toSet, "every node labeled")
+    assert(labels.values.forall(_ == 0L), "one component rooted at the min")
+    res.live.foreach(operators.MemoUtil.dropCheckpoint)
+  }
+
+  test("two components + ring: labels are per-component minima") {
+    // component A: ring 0..9, component B: star centered at 100
+    val ring = spark.range(10)
+      .select($"id".as("u"), (($"id" + 1) % 10).as("v"))
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+    val star = spark.range(101, 106).select(lit(100L).as("u"), $"id".as("v"))
+    val res = StarContraction.contract(ring.union(star).localCheckpoint())
+    val labels = StarContraction.labels(res.stars)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach(id => assert(labels(id) == 0L))
+    (100L to 105L).foreach(id => assert(labels(id) == 100L))
+    res.live.foreach(operators.MemoUtil.dropCheckpoint)
+  }
+}
