@@ -332,54 +332,83 @@ object LlmScale extends OpModule {
     * pin the routing topology: the brute regression (qv × all-K-cells
     * NLJ) has no `scid` anywhere, so the phase-2 equi join on scid is
     * the structural witness that points route through supercells.
-    * `scratch` receives the intra-pass K-row checkpoints; the caller
-    * frees them once its downstream result is materialized. */
+    *
+    * The K-row mini-Lloyd (seed → recenter → reassign over the fine
+    * cells) runs DRIVER-SIDE on the collected per-dim centroid table:
+    * phase 2 must broadcast the full fine-cell array table anyway, so
+    * the driver already materializes this exact payload per assign —
+    * collecting it first adds no new scale constraint, and it collapses
+    * what round 7 ran as ~10 tiny barrier jobs per pass (2 checkpoints,
+    * a count, 2 cell-assign broadcast rounds, the supercell recenter)
+    * into ONE job that executes the centroid lineage. All arithmetic is
+    * the same exact BIGINT lattice (squared distances, (dist, id)
+    * argmin ties, floor(sum/count) recenters), so the DuckDB hierCtes
+    * transcription is unchanged. The N-scale phases stay distributed:
+    * nearest-live-supercell (K₁ folds/point) then exact argmin over the
+    * routed supercell's cells, both via broadcast joins against the
+    * driver-built local relations. `scratch` is kept for API
+    * compatibility (this pass no longer checkpoints anything). */
   private[graft] def hierarchicalAssign(qv: DataFrame, centIn: DataFrame,
       scratch: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
-    // the per-dim centroid table has THREE readers in this function
-    // (supercell seed join, mini-Lloyd recenter, array build) — without
-    // a lineage cut the round-2 call re-executes the ENTIRE round-1
-    // hierarchy once per reader (measured 14.2 s → ~5 s at the 10×
-    // probe). K·64 rows — the checkpoint is trivial.
-    val cent = centIn.localCheckpoint()
-    scratch += cent
-    // K-row array form has 4 readers below (mini-Lloyd seed + 2 cell
-    // assigns, point fine phase) → checkpoint once (the ≥2-reader rule)
-    val fine = centroidArrays(cent).localCheckpoint()
-    scratch += fine
-    val k1 = math.max(2L, math.floor(math.sqrt(fine.count().toDouble)).toLong)
-    val sseed = fine.select(col("cid"),
-        (row_number().over(Window.orderBy(col("cid"))) - 1).as("scid"))
-      .where(col("scid") < k1)
-    val sc0 = cent.join(broadcast(sseed), "cid")
-      .select(col("scid"), col("dim"), col("c"))
-    // fine cell → nearest supercell (K·K₁ folds, all broadcast-sized)
-    def cellAssign(superCent: DataFrame): DataFrame =
-      fine.crossJoin(broadcast(
-          centroidArrays(superCent.withColumnRenamed("scid", "cid"))
-            .select(col("cid").as("scid"), col("cv").as("sv"))))
-        .select(col("cid"), col("scid"),
-          expr("squared_distance(cv, sv)").as("dist"))
-        .groupBy(col("cid"))
-        .agg(min(struct(col("dist"), col("scid"))).as("m"))
-        .select(col("cid"), col("m.scid").as("scid"))
-    val s1 = cent.join(broadcast(cellAssign(sc0)), "cid")
-      .groupBy(col("scid"), col("dim"))
-      .agg(floor(sum(col("c")).cast("double") / count(lit(1))).cast("long").as("c"))
-      .select(col("scid"), col("dim"), col("c"))
+    val sess = qv.sparkSession
+    import sess.implicits._
+    // ONE job: executes centIn's lineage (round 2: the whole round-1
+    // assign) exactly once. K·64 (cid, dim, c) rows — broadcast-sized
+    // by the op's own contract.
+    val centRows = centIn.select(col("cid"), col("dim"), col("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val nd = centRows.iterator.map(_._2).max + 1
+    val byCell: Array[(Int, Array[Long])] = centRows.groupBy(_._1).iterator
+      .map { case (cid, rs) =>
+        val cv = new Array[Long](nd)
+        rs.foreach { case (_, d, c) => cv(d) = c }
+        (cid, cv)
+      }.toArray.sortBy(_._1)
+    def sq(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var acc = 0L
+      while (i < nd) { val dl = a(i) - b(i); acc += dl * dl; i += 1 }
+      acc
+    }
+    val k1 = math.max(2, math.floor(math.sqrt(byCell.length.toDouble)).toInt)
+    // seed supercells = the K₁ smallest cids (scid = rank), one recenter,
+    // one reassign — identical stages to the r7 DataFrame form
+    val sc0: Array[(Int, Array[Long])] =
+      byCell.take(k1).zipWithIndex.map { case ((_, cv), i) => (i, cv) }
+    // ascending-scid scan with strict < keeps the smaller scid on ties —
+    // the min(struct(dist, scid)) order
+    def cellAssign(sup: Array[(Int, Array[Long])]): Array[(Int, Int)] =
+      byCell.map { case (cid, cv) =>
+        var best = -1; var bd = Long.MaxValue
+        sup.foreach { case (scid, sv) =>
+          val d0 = sq(cv, sv); if (d0 < bd) { bd = d0; best = scid }
+        }
+        (cid, best)
+      }
+    val cellMap = byCell.toMap
+    val s1: Array[(Int, Array[Long])] = cellAssign(sc0)
+      .groupBy(_._2).iterator.map { case (scid, members) =>
+        val sums = new Array[Long](nd)
+        members.foreach { case (cid, _) =>
+          val cv = cellMap(cid); var i = 0
+          while (i < nd) { sums(i) += cv(i); i += 1 }
+        }
+        (scid, sums.map(x => math.floor(x.toDouble / members.length).toLong))
+      }.toArray.sortBy(_._1)
     val f2 = cellAssign(s1) // final fine-cell → supercell map
-    val superArr = centroidArrays(s1.withColumnRenamed("scid", "cid"))
-      .select(col("cid").as("scid"), col("cv").as("sv"))
-      .join(f2.select(col("scid")).distinct(), "scid") // live supercells only
+    val live = f2.iterator.map(_._2).toSet
+    val superArr = s1.filter(p => live(p._1)) // live supercells only
+    val superDf = superArr.toSeq.toDF("scid", "sv")
+    val fineDf = f2.toSeq.map { case (cid, scid) => (scid, cid, cellMap(cid)) }
+      .toDF("scid", "cid", "cv")
     // phase 1: nearest live supercell per point (K₁ folds each)
-    val p1 = qv.crossJoin(broadcast(superArr))
+    val p1 = qv.crossJoin(broadcast(superDf))
       .select(col("vec_id"), col("qv"), col("scid"),
         expr("squared_distance(qv, sv)").as("dist"))
       .groupBy(col("vec_id"), col("qv"))
       .agg(min(struct(col("dist"), col("scid"))).as("m"))
       .select(col("vec_id"), col("qv"), col("m.scid").as("scid"))
     // phase 2: exact argmin over the chosen supercell's fine cells only
-    p1.join(broadcast(fine.join(broadcast(f2), "cid")), "scid")
+    p1.join(broadcast(fineDf), "scid")
       .select(col("vec_id"), col("cid"),
         expr("squared_distance(qv, cv)").as("dist"))
       .groupBy(col("vec_id"))
