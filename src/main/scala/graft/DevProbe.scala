@@ -215,12 +215,15 @@ object DevProbe {
         operators.Analytics.resetGraphMemo()
         operators.MemoUtil.dropScratch()
         val t0 = System.nanoTime()
+        operators.Analytics.adjacencyProbe(spark, sfDir) // memoizes adj
+        val tA = System.nanoTime()
         val lbl = operators.Analytics.componentLabels(spark, sfDir)
         val t1 = System.nanoTime()
         val n = SparkEntry.queries("graph_components")(spark, sfDir)
           .queryExecution.toRdd.count()
         val t2 = System.nanoTime()
-        println(f"[cc] run$i: labels ${(t1 - t0) / 1e9}%.2f s " +
+        println(f"[cc] run$i: adj ${(tA - t0) / 1e9}%.2f s " +
+          f"contract ${(t1 - tA) / 1e9}%.2f s " +
           f"(rows=${lbl.count()}) audit ${(t2 - t1) / 1e9}%.2f s n=$n")
       }
       spark.stop(); return

@@ -348,6 +348,10 @@ object Analytics extends OpModule {
   private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =
     coSupplyComponents(s, d)
 
+  /** Probe hook: force the adjacency memo (DevProbe stage bisection). */
+  private[graft] def adjacencyProbe(s: SparkSession, d: String): DataFrame =
+    coSupplyAdjacency(s, d)
+
   private def coSupplyAdjacency(s: SparkSession, d: String): DataFrame =
     adjMemo.getOrElseUpdate((s, d),
       coSupplyEdges(s, d)

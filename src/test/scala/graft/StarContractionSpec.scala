@@ -17,7 +17,9 @@ class StarContractionSpec extends SparkSpec {
 
   test("planted 256-path: logarithmic rounds, single min-rooted component") {
     val n = 256L
-    val res = StarContraction.contract(pathEdges(n))
+    // localThreshold = 0 forces the distributed contraction loop — the
+    // round-count claim is about THAT path, not the small-regime gate
+    val res = StarContraction.contract(pathEdges(n), localThreshold = 0L)
     // label propagation would take 255 rounds here; contraction must be
     // within a small constant of log2(n) (+1 for convergence detection:
     // the final round re-derives an unchanged edge set)
@@ -38,10 +40,31 @@ class StarContractionSpec extends SparkSpec {
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
     val star = spark.range(101, 106).select(lit(100L).as("u"), $"id".as("v"))
     val res = StarContraction.contract(ring.union(star).localCheckpoint())
+    // 14 edges ≤ the gate — this took the union-find path, zero rounds
+    assert(res.rounds == 0, "small regime must take the local path")
     val labels = StarContraction.labels(res.stars)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L until 10L).foreach(id => assert(labels(id) == 0L))
     (100L to 105L).foreach(id => assert(labels(id) == 100L))
     res.live.foreach(operators.MemoUtil.dropCheckpoint)
+  }
+
+  test("local union-find ≡ distributed contraction on a mixed topology") {
+    // paths + a clique + cross-links: exercises rank/compression cases
+    val mixed = pathEdges(40)
+      .union(spark.range(50, 60).crossJoin(spark.range(50, 60).toDF("b"))
+        .where($"id" < $"b").select($"id".as("u"), $"b".as("v")))
+      .union(Seq((7L, 55L)).toDF("u", "v")) // bridge path↔clique
+      .union(spark.range(200, 230, 3)
+        .select($"id".as("u"), ($"id" + 2).as("v")))
+      .localCheckpoint()
+    val loc = StarContraction.labels(
+      StarContraction.contract(mixed).stars).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val dist = StarContraction.contract(mixed, localThreshold = 0L)
+    val dst = StarContraction.labels(dist.stars).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(loc == dst, "gate must not change the labeling")
+    dist.live.foreach(operators.MemoUtil.dropCheckpoint)
   }
 }
