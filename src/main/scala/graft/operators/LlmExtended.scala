@@ -184,23 +184,31 @@ object LlmExtended extends OpModule {
     * implemented as an SSJoin-style prefix-filtered equi-join: only
     * shingle-prefix collisions generate candidates (provably lossless),
     * size-filtered, then verified on the full sorted hash arrays. Cost
-    * is O(prefix collisions), never all-pairs. */
+    * is O(prefix collisions), never all-pairs.
+    *
+    * The CANONICAL prefix ordering is PPJoin's df-ascending
+    * (rarest-first) order (round 8; r7 carried it as a twin): at 100 TB
+    * vocabulary skew is the norm — boilerplate shingles shared by
+    * millions of docs would otherwise form hot prefix postings whose
+    * posting-list self-join is the quadratic term — and rarest-first
+    * provably keeps high-df grams out of prefixes. The fixture's
+    * df-uniform vocabulary makes the inline df pass look like pure
+    * overhead (~1.3 s here); that inversion is a fixture artifact the
+    * skewed-vocabulary ScaleProbe tier measures the other way. A
+    * production deployment amortizes the df pass by maintaining the
+    * gram-frequency index incrementally per ingest. */
   def dedupNgram(s: SparkSession, d: String): DataFrame =
-    dedupNgramImpl(s, d, rarestFirst = false)
-
-  /** Rarest-first twin (PPJoin's canonical df-ascending prefix order) as
-    * its own registered op: the OUTPUT is provably identical (any
-    * consistent global order satisfies the prefix theorem — same oracle
-    * SQL), only the candidate space differs. Under a skewed vocabulary
-    * the rarest-first prefix postings collapse (boilerplate shingles
-    * never make a prefix); under the df-UNIFORM fixtures here the
-    * candidate set is already minimal and the inline df pass (one extra
-    * gram-mass aggregate + per-doc re-sort) is pure overhead — measured
-    * 4.8 s hash-prefix vs ~8 s inline-df at the 10× clone probe, which
-    * is why the flagship keeps hash order inline and a 100 TB
-    * deployment maintains the df index incrementally instead. */
-  def dedupNgramRarest(s: SparkSession, d: String): DataFrame =
     dedupNgramImpl(s, d, rarestFirst = true)
+
+  /** Hash-order twin (the r7 flagship ordering, kept as the regime
+    * witness): prefix = plain slice of the hash-sorted array, zero
+    * extra passes. The OUTPUT is provably identical (any consistent
+    * global order satisfies the prefix theorem — same oracle SQL), only
+    * the candidate space differs; the equivalence spec pins the pair
+    * sets equal. Right when the vocabulary is measured df-uniform (no
+    * hot postings to dodge) and no df index is maintained. */
+  def dedupNgramHash(s: SparkSession, d: String): DataFrame =
+    dedupNgramImpl(s, d, rarestFirst = false)
 
   /** Exhaustive ngram-Jaccard oracle (no prefix notion — replays both
     * the hash-prefix flagship and the rarest-first twin). */
@@ -597,7 +605,7 @@ object LlmExtended extends OpModule {
     "udtf_ngrams" -> udtfNgrams _,
     "llm_dedup_simhash" -> dedupSimhash _,
     "llm_dedup_ngram" -> dedupNgram _,
-    "llm_dedup_ngram_rarest" -> dedupNgramRarest _,
+    "llm_dedup_ngram_hash" -> dedupNgramHash _,
     "llm_dedup_containment" -> dedupContainment _,
     "llm_dedup_embed" -> dedupEmbed _,
     "llm_ann_ivf" -> annIvf _,
@@ -715,9 +723,9 @@ object LlmExtended extends OpModule {
          |WHERE bit_count(xor(a.fp_lo, b.fp_lo)::BIT)
          |        + bit_count(xor(a.fp_hi, b.fp_hi)::BIT) <= 3""".stripMargin),
     "llm_dedup_ngram" -> ngramOracleSql,
-    // the rarest-first twin is output-identical by the prefix theorem —
+    // the hash-order twin is output-identical by the prefix theorem —
     // ONE oracle replays both (the exhaustive join has no prefix notion)
-    "llm_dedup_ngram_rarest" -> ngramOracleSql,
+    "llm_dedup_ngram_hash" -> ngramOracleSql,
     "llm_dedup_embed" ->
       (s"""WITH cells AS (
           |  SELECT vec_id, embedding,

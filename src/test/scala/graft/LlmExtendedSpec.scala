@@ -137,7 +137,7 @@ class LlmExtendedSpec extends SparkSpec {
     }
   }
 
-  test("dedup_ngram rarest-first twin replays the flagship exactly") {
+  test("dedup_ngram hash-order twin replays the rarest-first flagship") {
     // both prefixes satisfy the theorem under their respective global
     // orders, so the verified pair sets must coincide pair-for-pair
     def k(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -145,8 +145,8 @@ class LlmExtendedSpec extends SparkSpec {
         r.getAs[Double]("jaccard"))).sorted.toSeq
     val flag = k(LlmExtended.dedupNgram(spark, sf))
     assert(flag.nonEmpty)
-    assert(k(LlmExtended.dedupNgramRarest(spark, sf)) == flag,
-      "rarest-first prefix must be candidate-lossless")
+    assert(k(LlmExtended.dedupNgramHash(spark, sf)) == flag,
+      "prefix ordering must be candidate-lossless")
   }
 
   test("dedup_embed: bucketed equi-join plan, equals brute force in-bucket") {
