@@ -205,6 +205,7 @@ object DevProbe {
       joinRun("inner_p2_nodata_off", "2", noData = false, "inner")
       joinRun("full_p1", "1", noData = true, "fullOuter")
       joinRun("full_p2", "2", noData = true, "fullOuter")
+      joinRun("full_p4", "4", noData = true, "fullOuter")
       spark.stop(); return
     }
     // graph_components stage bisection with memo resets between runs —
