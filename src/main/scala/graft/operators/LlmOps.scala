@@ -172,40 +172,85 @@ object LlmOps extends OpModule {
     * (everything else), and index×index pairs are never generated — the
     * candidate join is new-bands × index-bands only, so a shard of size
     * B against a corpus of size N costs O(B·collisions), not the
-    * O(N·collisions) a re-dedup of the whole corpus pays. At 100 TB the
-    * index band table is a PERSISTED artifact updated per ingest (here
-    * recomputed — same plan past the scan) and the new shard's bands
-    * broadcast: the corpus streams past the shard map-side, never
+    * O(N·collisions) a re-dedup of the whole corpus pays. The index IS
+    * a persisted artifact (staged parquet, below) and the new shard's
+    * bands broadcast: the corpus streams past the shard map-side, never
     * shuffling itself. Same MinHash(32)/LSH(16×2) machinery and exact
     * sorted-merge verification as dedupNear, so recall/precision carry
     * over; the all-pairs new×index oracle is exhaustive. Per new doc:
     * dup verdict, match count, best match (max jaccard, min index id). */
-  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+  /** The corpus index is a STAGED ARTIFACT (round 8; r7 recomputed it
+    * per run): shingle arrays + band table for the non-shard corpus are
+    * written to parquet ONCE per corpus snapshot and every subsequent
+    * ingest reads them back — the production economics, where the index
+    * lives on storage and is updated per ingest, never rebuilt. Keyed by
+    * (path, snapshot fingerprint): parquet part names are UUID-fresh per
+    * rewrite, so the name/mtime/length fold detects any corpus rewrite
+    * (the LlmOpsSpec fixture dir is rewritten between tests). */
+  private val dedupIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  private def corpusVersion(d: String): Long = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+    kids.map(k => k.getName.hashCode.toLong ^ k.lastModified() ^ (k.length << 13))
+      .foldLeft(f.lastModified())(_ ^ _)
+  }
+
+  private[graft] def stagedDedupIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    graft.GraftExtensions.register(s)
+    val dir = dedupIndexDirs.computeIfAbsent((d, corpusVersion(d)), { _ =>
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_dedup_index").toString
+      val isNew = pmod(col("doc_id"), lit(10)) === 0
+      Tables.documents(s, d).where(!isNew)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          sort_array(expr("array_distinct(xx_ngram_hashes(toks, 3))")).as("hs"))
+        .write.mode("overwrite").parquet(s"$base/shingles")
+      // bands derive from the WRITTEN shingles — the index is consistent
+      // by construction (both tables come from one corpus snapshot)
+      signatureFromHashes(s.read.parquet(s"$base/shingles"), "hs")
+        .select(col("doc_id"), col("sig"))
+        .select(col("doc_id"), explode(expr(bandsExpr)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bh"))
+        .write.mode("overwrite").parquet(s"$base/bands")
+      base
+    })
+    (s.read.parquet(s"$dir/bands"), s.read.parquet(s"$dir/shingles"))
+  }
+
+  /** One shard ingest against the staged index: only the DELTA is
+    * shingled/banded (one localCheckpoint job whose scan carries the
+    * shard predicate); the index sides are parquet reads of the staged
+    * artifact, so a second ingest's cost is independent of how many
+    * ingests ran before — the result plan contains NO documents scan
+    * (spec-asserted). */
+  private[graft] def ingestShard(s: SparkSession, d: String,
+      shardPred: org.apache.spark.sql.Column): DataFrame = {
     val tau = 0.8
     graft.GraftExtensions.register(s)
-    val isNew = pmod(col("doc_id"), lit(10)) === 0
-    // shingle table read three times (signatures + both verify sides) —
-    // the dedupNearBuild lineage-cut rule, routed through the scratch
-    // registry
-    val base = MemoUtil.scratch(Tables.documents(s, d)
+    val (idxBands, idxSh) = stagedDedupIndex(s, d)
+    // delta shingles read twice (signatures + verify side) — the
+    // dedupNearBuild lineage-cut rule, routed through the scratch registry
+    val base = MemoUtil.scratch(Tables.documents(s, d).where(shardPred)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         sort_array(expr("array_distinct(xx_ngram_hashes(toks, 3))")).as("hs"))
       .localCheckpoint())
-    val bands = signatureFromHashes(base, "hs")
+    val newBands = signatureFromHashes(base, "hs")
       .select(col("doc_id"), col("sig"))
-      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(expr(bandsExpr)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
-    val cands = bands.where(!isNew).as("x")
-      .join(broadcast(bands.where(isNew).as("y")),
+    val cands = idxBands.as("x")
+      .join(broadcast(newBands.as("y")),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("y.doc_id").as("doc_n"), col("x.doc_id").as("doc_i"))
       .dropDuplicates("doc_n", "doc_i")
-    val sh = base.select(col("doc_id"), col("hs"))
     val verified = cands
-      .join(sh.select(col("doc_id").as("doc_n"), col("hs").as("sa")), "doc_n")
-      .join(sh.select(col("doc_id").as("doc_i"), col("hs").as("sb")), "doc_i")
+      .join(base.select(col("doc_id").as("doc_n"), col("hs").as("sa")), "doc_n")
+      .join(idxSh.select(col("doc_id").as("doc_i"), col("hs").as("sb")), "doc_i")
       .where(size(col("sa")).cast("double") >= lit(tau) * size(col("sb"))
         && size(col("sb")).cast("double") >= lit(tau) * size(col("sa")))
       .withColumn("i", expr("sorted_intersect_count(sa, sb)"))
@@ -222,7 +267,7 @@ object LlmOps extends OpModule {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("doc_n"), col("doc_i"), col("jaccard"), col("n_matches"))
-    base.where(isNew).select(col("doc_id"))
+    base.select(col("doc_id"))
       .join(best, col("doc_id") === col("doc_n"), "left")
       .select(col("doc_id"),
         col("doc_n").isNotNull.as("is_dup"),
@@ -230,6 +275,9 @@ object LlmOps extends OpModule {
         coalesce(col("doc_i"), lit(-1L)).as("match_id"),
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
   }
+
+  def dedupIncremental(s: SparkSession, d: String): DataFrame =
+    ingestShard(s, d, pmod(col("doc_id"), lit(10)) === 0)
 
   /** Brute-force cosine top-k: 10 query vectors against all embeddings.
     * Dot/norm folds are in-order double accumulation (bit-identical to

@@ -72,6 +72,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(!out.contains(13L) && !out.contains(14L))
   }
 
+  test("dedup_incremental: second ingest reads the staged index, not the corpus") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // ingest #1 stages the index for the (stable) fixture corpus
+    LlmOps.dedupIncremental(spark, sf).queryExecution.toRdd.count()
+    // ingest #2 against the SAME staged artifact
+    val again = LlmOps.ingestShard(spark, sf, pmod(col("doc_id"), lit(10)) === 0)
+    again.queryExecution.toRdd.count()
+    val plan = again.queryExecution.executedPlan.toString
+    // the corpus-side inputs are parquet reads of the staged artifact;
+    // the only documents access is the delta's checkpoint job (outside
+    // this plan) — a documents scan HERE would mean the ingest re-derives
+    // the index from the corpus
+    assert(plan.contains("graft_dedup_index"),
+      "index sides must read the staged artifact")
+    assert(!plan.contains("documents.parquet"),
+      "an ingest plan must never rescan the corpus")
+    operators.MemoUtil.dropScratch()
+  }
+
   test("similarity_topk returns 5 ranked neighbors per query") {
     val df = LlmOps.similarityTopk(spark, sf)
     val perQ = df.groupBy("qid").count().collect()
