@@ -89,16 +89,37 @@ object LlmScale extends OpModule {
     * ship a contaminated eval doc as clean). The agreement spec
     * quantifies the FP inflation against the exact op.
     *
-    * Sketch sizing here is 2²³ bits (1 MiB) for ≤10⁶ expected grams
-    * (fpp ≈ 10⁻² at full load, far lower at fixture scale). At 100 TB
-    * train grams are ~10¹² — a single bloom wants ~1.2 TB at 10
-    * bits/key, so the production shape shards the sketch by gram-hash
-    * prefix (each executor holds one shard, probes route by the same
-    * prefix) or accepts higher fpp; every false positive only ever
-    * *removes* a suspect eval doc. The exact LEFT SEMI op remains the
+    * Sketch sizing is MEASURED, not assumed (round 8; r7 hard-coded
+    * 10⁶): expected-items = Σ max(tokens−7, 0) over train docs — the
+    * raw 8-gram occurrence count, a one-split-only pre-pass that never
+    * hashes a gram and upper-bounds the distinct count (conservative
+    * direction: a bigger sketch only lowers fpp). The sketch allocates
+    * 16 bits/item from that estimate (fpp ≈ 5·10⁻⁴, comfortably inside
+    * the ≤1% inflation guarantee; the engine's default 8 bits/item
+    * measured 1.7% at sf0.001), capped by the engine's
+    * runtime.bloomFilter.maxNumBits (2²⁶) — so the sketch grows with
+    * the corpus instead of silently saturating. The r7 literal was
+    * correct at fixture scale and ~10⁶× undersized at 100 TB, exactly
+    * the failure the guarantee cannot survive. The chosen estimate
+    * rides every output row (`sketch_items`) as the audit.
+    * At 100 TB train grams are ~10¹² — a single bloom wants ~1 TB, so
+    * the production shape shards the sketch by gram-hash prefix (each
+    * executor holds one shard, probes route by the same prefix) or
+    * accepts higher fpp; every false positive only ever *removes* a
+    * suspect eval doc. The exact LEFT SEMI op remains the
     * oracle-checked entry; this twin is gated rows-only by design. */
+  private[graft] def bloomExpectedItems(s: SparkSession, d: String): Long = {
+    val isEval = pmod(col("doc_id"), lit(20)) === 7
+    val r = Tables.documents(s, d).where(!isEval)
+      .select(greatest(size(split(col("text"), " ")) - 7, lit(0))
+        .cast("long").as("ng"))
+      .agg(sum(col("ng"))).head()
+    math.max(1024L, if (r.isNullAt(0)) 0L else r.getLong(0))
+  }
+
   def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
+    val expectedItems = bloomExpectedItems(s, d)
     val grams8 = "array_distinct(xx_ngram_hashes(toks, 8))"
     val docs = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
@@ -119,9 +140,10 @@ object LlmScale extends OpModule {
     // scalar subquery: the sketch builds once, broadcasts into the
     // probe's filter (the same plan shape as an injected runtime filter)
     val hits = s.sql(
-      """SELECT doc_id, count(*) AS n_hit FROM graft_decon_eval_g
+      s"""SELECT doc_id, count(*) AS n_hit FROM graft_decon_eval_g
         |WHERE bloom_might_contain(
-        |  (SELECT bloom_agg(g, CAST(1000000 AS BIGINT))
+        |  (SELECT bloom_agg(g, CAST($expectedItems AS BIGINT),
+        |                    CAST(${math.min(16L * expectedItems, 1L << 26)} AS BIGINT))
         |   FROM graft_decon_train_g), g)
         |GROUP BY doc_id""".stripMargin)
     evalDocs.select(col("doc_id"), col("n_grams"))
@@ -131,6 +153,7 @@ object LlmScale extends OpModule {
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(round(col("n_hit").cast("double") / col("n_grams"), 4)))
       .withColumn("contaminated", col("containment") >= 0.8)
+      .withColumn("sketch_items", lit(expectedItems))
   }
 
   // ── llm_pack_sequences ────────────────────────────────────────────────

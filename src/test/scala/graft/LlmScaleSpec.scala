@@ -49,9 +49,12 @@ class LlmScaleSpec extends SparkSpec {
       fpHits += bHit - exHit
       totalGrams += r.getAs[Int]("n_grams").toLong
     }
-    // 2^23-bit sketch vs fixture-scale gram counts: fp inflation ≤ 1%
+    // measured-size sketch vs fixture-scale gram counts: fp inflation ≤ 1%
     assert(fpHits <= math.max(1L, totalGrams / 100),
       s"bloom false-positive hits $fpHits exceed 1% of $totalGrams probes")
+    // the audit column carries the measured estimate on every row
+    val est = bloom.head.getAs[Long]("sketch_items")
+    assert(est >= 1024L && bloom.forall(_.getAs[Long]("sketch_items") == est))
     // the scale claim: the probe is map-side — no join anywhere in the
     // main plan (the sketch arrives via scalar subquery, not a join)
     bloomDf.queryExecution.toRdd.count()
@@ -63,6 +66,24 @@ class LlmScaleSpec extends SparkSpec {
     }
     assert(gramJoins.isEmpty,
       s"bloom probe must not join on grams: ${gramJoins.map(_.nodeName)}")
+  }
+
+  test("decontaminate_bloom: sketch estimate scales with the corpus") {
+    // 10 disjoint-id clones of the fixture corpus → the measured
+    // expected-items estimate must scale ~10×, where the r7 literal
+    // stayed flat and silently saturated
+    val dir = "/tmp/graft-test-bloomsize"
+    val base = Tables.documents(spark, sf)
+    val top = base.agg(max($"doc_id")).head().getLong(0) + 1
+    (0 until 10).map(i => base.withColumn("doc_id", $"doc_id" + lit(i * top)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val one = LlmScale.bloomExpectedItems(spark, sf)
+    val ten = LlmScale.bloomExpectedItems(spark, dir)
+    // clone ids shift the eval split (id mod 20), so tolerate slack well
+    // inside an order of magnitude while refuting flatness
+    assert(ten > 5 * one && ten < 20 * one,
+      s"estimate must track corpus size: 1x=$one 10x=$ten")
   }
 
   test("pack_sequences: token conservation and per-bin slack accounting") {
