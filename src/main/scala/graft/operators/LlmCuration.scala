@@ -138,7 +138,8 @@ object LlmCuration extends OpModule {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     docs.join(broadcast(counts), "lang")
       .withColumn("rate", least(lit(1.0), lit(Cap + 0.0) / col("cnt")))
-      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("h", pmod(col("doc_id").bitwiseAND(lit(4294967295L)) * lit(2654435761L),
+          lit(4294967296L)))
       .where(col("h") < floor(col("rate") * lit(4294967296.0)).cast("long"))
       .groupBy(col("lang"))
       .agg(max(col("cnt")).as("n_total"),
@@ -197,7 +198,8 @@ object LlmCuration extends OpModule {
     val sampled = flagged.where(col("s2") === 1)
       .join(broadcast(counts), "lang")
       .withColumn("rate", least(lit(1.0), lit(Cap + 0.0) / col("cnt")))
-      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("h", pmod(col("doc_id").bitwiseAND(lit(4294967295L)) * lit(2654435761L),
+          lit(4294967296L)))
       .where(col("h") < floor(col("rate") * lit(4294967296.0)).cast("long"))
       .withColumn("nt", size(split(col("text"), " ")))
       .withColumn("n_chunks", expr(
@@ -283,7 +285,8 @@ object LlmCuration extends OpModule {
           .as("weight_fp"))
     val emitted = docs.join(broadcast(w.drop("n_docs")), "source")
       .withColumn("h",
-        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+        pmod(col("doc_id").bitwiseAND(lit(4294967295L)) * lit(2654435761L),
+          lit(4294967296L)))
       .withColumn("copies",
         expr("weight_fp div 10000")
           + when(col("h") * lit(10000L)
@@ -364,7 +367,7 @@ object LlmCuration extends OpModule {
         |  SELECT d.source, d.doc_id,
         |    unnest(range(1, CAST(
         |      weight_fp // 10000
-        |      + CASE WHEN ((d.doc_id * 2654435761) % 4294967296) * 10000
+        |      + CASE WHEN (((d.doc_id & 4294967295) * 2654435761) % 4294967296) * 10000
         |                  < (weight_fp % 10000) * 4294967296
         |             THEN 1 ELSE 0 END AS BIGINT) + 1)) AS copy
         |  FROM docs d JOIN w USING (source)),
@@ -420,7 +423,7 @@ object LlmCuration extends OpModule {
          |  FROM near n
          |  JOIN documents d ON d.doc_id = n.doc_id
          |  JOIN c ON c.lang = d.lang
-         |  WHERE (d.doc_id * 2654435761) % 4294967296
+         |  WHERE ((d.doc_id & 4294967295) * 2654435761) % 4294967296
          |        < floor(least(CAST(1.0 AS DOUBLE), CAST($Cap.0 AS DOUBLE) / c.cnt)
          |                * 4294967296.0)::BIGINT),
          |sagg AS (
@@ -496,7 +499,7 @@ object LlmCuration extends OpModule {
         |g AS (
         |  SELECT d.lang, d.doc_id, c.cnt,
         |    least(CAST(1.0 AS DOUBLE), CAST($Cap.0 AS DOUBLE) / c.cnt) AS rate,
-        |    (d.doc_id * 2654435761) % 4294967296 AS h
+        |    ((d.doc_id & 4294967295) * 2654435761) % 4294967296 AS h
         |  FROM documents d JOIN c ON d.lang = c.lang)
         |SELECT lang, max(cnt) AS n_total, count(*) AS n_sampled,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
