@@ -219,11 +219,14 @@ object Scans extends OpModule {
     * retries or aborts are invisible. The aggregate proves the rows
     * round-tripped exactly (count, distinct keys, integer-cent sum). */
   def sinkCustom(s: SparkSession, d: String): DataFrame = {
-    // deterministic scratch dir, cleared up front: repeated invocations
+    // per-PROCESS scratch dir, cleared up front: repeated invocations
     // (bench min-of-3, specs) reuse one directory instead of
-    // accumulating a fresh orders-sized CSV copy per run
+    // accumulating a fresh orders-sized CSV copy per run, while the pid
+    // suffix keeps two concurrent JVMs (a Bench pass + a Verify dev
+    // loop) from deleting each other's committed parts mid-read-back
     val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_audit_sink")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_audit_sink_${java.lang.ProcessHandle.current().pid()}")
     if (out.exists())
       java.nio.file.Files.walk(out.toPath)
         .sorted(java.util.Comparator.reverseOrder())

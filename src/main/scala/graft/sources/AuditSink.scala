@@ -122,9 +122,12 @@ private class AuditBatchWrite(schema: StructType, path: String,
         w.write(AuditManifest.encode(m)); w.newLine()
       }
     } finally w.close()
-    if (manifest.exists()) manifest.delete()
-    if (!tmp.renameTo(manifest))
-      throw new java.io.IOException(s"manifest publish failed: $manifest")
+    // ATOMIC_MOVE replaces the target in one rename (POSIX semantics) —
+    // the prior delete-then-rename opened a window where a concurrent
+    // reader found no _MANIFEST and saw a false-empty table
+    java.nio.file.Files.move(tmp.toPath, manifest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
