@@ -98,9 +98,15 @@ object ScaleProbe {
       // two-level quantizer: assign work per point is K₁+|cell| ≈ 2√K —
       // must grow ~√10 per decade, not the brute ×10 (K∝N)
       "llm_kmeans_twolevel",
+      // importance sampling: emitted multiset ≈ corpus-sized (token mass
+      // conserved), growth must track emitted rows
+      "llm_sample_importance",
       // graph family over 10 disjoint graph clones: healthy = ~linear in
-      // edges (sorted-adjacency merges), never Σdeg² shuffle rows
-      "graph_pagerank", "graph_triangles", "graph_jaccard")
+      // edges (sorted-adjacency merges), never Σdeg² shuffle rows;
+      // components crosses the union-find gate (2^20 edges) between the
+      // 1× and 10× tiers — the tier table shows both regimes
+      "graph_pagerank", "graph_triangles", "graph_jaccard",
+      "graph_components")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
@@ -151,6 +157,50 @@ object ScaleProbe {
     // memo) rather than adjacency-build + candidates
     probe("graph_triangles", outI, "graph_tri_interleave")
     probe("graph_jaccard", outI, "graph_jaccard_interleave")
+    // SKEWED-vocabulary ngram tier: every clone carries the same 12-token
+    // boilerplate suffix, so its 4-gram shingles have df = N — the regime
+    // the rarest-first flagship exists for. Reported per ordering WITHOUT
+    // running the candidate join: max prefix posting length and
+    // Σ C(df,2) candidate-pair mass (the cost the ordering controls —
+    // under hash order the boilerplate grams land in ~half the prefixes,
+    // a quadratic mass no one should execute to prove).
+    // UPSAMPLE-heavy importance mix: keep one source whole, thin every
+    // other source to ~1 doc in 12 — the uniform-token target then hands
+    // the thinned sources weights ≫ 1, so the op exercises its
+    // explode-into-repeats half (the shape no keep-gate expresses), and
+    // emitted rows ≈ corpus-sized stay the linear-growth witness.
+    if (only.forall(_.contains("importance_upsample"))) {
+      val outU =
+        java.nio.file.Files.createTempDirectory("graft_probe_u").toString
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      val first = docs.select(min(col("source"))).head().getString(0)
+      docs.where(col("source") === first || col("doc_id") % 12 === 0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outU/documents.parquet")
+      probe("llm_sample_importance", outU, "importance_upsample")
+    }
+    if (only.forall(_.exists(_.startsWith("ngram_skew")))) {
+      val outS =
+        java.nio.file.Files.createTempDirectory("graft_probe_s").toString
+      val boiler = " this document is provided as is without warranty of " +
+        "any kind either express or implied"
+      spark.read.parquet(s"$src/documents.parquet")
+        .withColumn("k", explode(lit((0 until copies).toArray)))
+        .select(
+          (col("doc_id") * copies + col("k")).as("doc_id"),
+          when(col("k") === 0, concat(col("text"), lit(boiler)))
+            .otherwise(concat(col("text"), lit(" v"), col("k"), lit(boiler)))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outS/documents.parquet")
+      Seq(true, false).foreach { rarest =>
+        val t0 = System.nanoTime()
+        val (maxPost, pairMass) =
+          operators.LlmExtended.ngramPrefixStats(spark, outS, rarest)
+        val tag = if (rarest) "ngram_skew_rarest" else "ngram_skew_hash"
+        println(f"$tag%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f " +
+          f"max_posting=$maxPost%d pair_mass=$pairMass%d")
+      }
+    }
     spark.stop()
   }
 }

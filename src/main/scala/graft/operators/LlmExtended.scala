@@ -229,46 +229,20 @@ object LlmExtended extends OpModule {
       |SELECT doc_a, doc_b, round(i::DOUBLE / (na + nb - i), 4) AS jaccard
       |FROM inter WHERE i::DOUBLE / (na + nb - i) >= 0.5""".stripMargin
 
-  private def dedupNgramImpl(
-      s: SparkSession, d: String, rarestFirst: Boolean): DataFrame = {
+  private val ngramTau = 0.5
+
+  private def ngramSignatures(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
-    val tau = 0.5
-    // shingles are carried as SORTED xxhash64 values: an 8-byte element
-    // instead of a ~25-char string (intersection counts unchanged unless
-    // two distinct shingles collide in 64 bits, P < 1e-10 at this
-    // vocabulary; the oracle keeps string keys), and the ascending sort
-    // IS the consistent global order prefix filtering needs.
-    // localCheckpoint: the signature table is MATERIALIZED once — it has
-    // three readers (prefix explode, ha/hb verification joins) and the
-    // constraint `isnotnull(n)` inferred from the size-filter join
-    // otherwise pushes an interpreted re-evaluation of the whole hash
-    // tree into the scan Filter (measured: 3 full hash passes → 1). The
-    // production twin persists the signature table to storage (reliable,
-    // survives executor loss) — same one-pass economics.
-    val sh = MemoUtil.scratch(Tables.documents(s, d)
+    Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("hs",
         expr("sort_array(array_distinct(xx_ngram_hashes(toks, 4)))"))
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
-      .localCheckpoint())
-    // prefix filter (SSJoin/PPJoin, output-invariant): if J(x,y) ≥ τ
-    // then |x∩y| ≥ τ·|x|, so under ANY global total order on grams the
-    // first n − ⌈τ·n⌉ + 1 elements of x must contain an intersection
-    // member (else the non-members preceding it alone would cap the
-    // intersection below τ·n) — and symmetrically for y. Only PREFIXES
-    // explode and join; candidates verify on the full arrays afterwards.
-    // For τ=0.5 this halves the explode and quarters the candidate pairs.
-    //
-    // Prefix ORDER: the flagship uses the hash-ascending order the
-    // arrays already carry (prefix = slice, zero extra passes); the
-    // rarest-first twin re-orders each doc's grams by (document
-    // frequency ASC, hash ASC) — PPJoin's canonical refinement — via
-    // one df aggregate over gram mass and a per-doc aggregate with a
-    // map-side array_sort of ≤n (df, g) structs (no window sort). Both
-    // are one consistent global total order, so both prefixes satisfy
-    // the theorem and the verified OUTPUT is identical; the VERIFY
-    // arrays stay hash-sorted for the two-pointer kernel either way.
-    val ex = (if (!rarestFirst) {
+  }
+
+  private def prefixTable(sh: DataFrame, rarestFirst: Boolean): DataFrame = {
+    val tau = ngramTau
+    if (!rarestFirst) {
       // explode_outer + null filter, NOT explode: the inferred
       // `size(slice(hs,1,p)) > 0` pre-filter of a plain explode pushes
       // to the scan and re-evaluates the whole shingle-hash tree per row
@@ -290,7 +264,60 @@ object LlmExtended extends OpModule {
             .as("pre"))
         .select(col("doc_id"), col("n"), explode(col("pre")).as("pg"))
         .select(col("doc_id"), col("n"), col("pg.g").as("g"))
-    }).repartition(col("g"))
+    }
+  }
+
+  /** Probe hook (ScaleProbe's skewed-vocabulary tier): prefix posting
+    * statistics under an ordering WITHOUT running the candidate join —
+    * (max posting length, Σ C(df,2) candidate-pair mass). The pair mass
+    * IS the cost the ordering controls: under a skewed vocabulary the
+    * hash order lets boilerplate grams into prefixes (hot postings →
+    * quadratic mass) while df-ascending provably excludes them. */
+  private[graft] def ngramPrefixStats(
+      s: SparkSession, d: String, rarestFirst: Boolean): (Long, Long) = {
+    val sh = ngramSignatures(s, d).localCheckpoint()
+    val r = prefixTable(sh, rarestFirst)
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")), sum(expr("c * (c - 1) div 2"))).head()
+    MemoUtil.dropCheckpoint(sh)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def dedupNgramImpl(
+      s: SparkSession, d: String, rarestFirst: Boolean): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val tau = 0.5
+    // shingles are carried as SORTED xxhash64 values: an 8-byte element
+    // instead of a ~25-char string (intersection counts unchanged unless
+    // two distinct shingles collide in 64 bits, P < 1e-10 at this
+    // vocabulary; the oracle keeps string keys), and the ascending sort
+    // IS the consistent global order prefix filtering needs.
+    // localCheckpoint: the signature table is MATERIALIZED once — it has
+    // three readers (prefix explode, ha/hb verification joins) and the
+    // constraint `isnotnull(n)` inferred from the size-filter join
+    // otherwise pushes an interpreted re-evaluation of the whole hash
+    // tree into the scan Filter (measured: 3 full hash passes → 1). The
+    // production twin persists the signature table to storage (reliable,
+    // survives executor loss) — same one-pass economics.
+    val sh = MemoUtil.scratch(ngramSignatures(s, d).localCheckpoint())
+    // prefix filter (SSJoin/PPJoin, output-invariant): if J(x,y) ≥ τ
+    // then |x∩y| ≥ τ·|x|, so under ANY global total order on grams the
+    // first n − ⌈τ·n⌉ + 1 elements of x must contain an intersection
+    // member (else the non-members preceding it alone would cap the
+    // intersection below τ·n) — and symmetrically for y. Only PREFIXES
+    // explode and join; candidates verify on the full arrays afterwards.
+    // For τ=0.5 this halves the explode and quarters the candidate pairs.
+    //
+    // Prefix ORDER: the flagship uses the hash-ascending order the
+    // arrays already carry (prefix = slice, zero extra passes); the
+    // rarest-first twin re-orders each doc's grams by (document
+    // frequency ASC, hash ASC) — PPJoin's canonical refinement — via
+    // one df aggregate over gram mass and a per-doc aggregate with a
+    // map-side array_sort of ≤n (df, g) structs (no window sort). Both
+    // are one consistent global total order, so both prefixes satisfy
+    // the theorem and the verified OUTPUT is identical; the VERIFY
+    // arrays stay hash-sorted for the two-pointer kernel either way.
+    val ex = prefixTable(sh, rarestFirst).repartition(col("g"))
     // size filter (also output-invariant): J ≥ τ bounds the size ratio
     val cands = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
