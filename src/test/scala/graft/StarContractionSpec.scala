@@ -49,6 +49,19 @@ class StarContractionSpec extends SparkSpec {
     res.live.foreach(operators.MemoUtil.dropCheckpoint)
   }
 
+  test("degenerate inputs: empty edge set and a single edge") {
+    // an empty dup-pair table is the COMMON case for a clean corpus —
+    // the engine must return an empty star set, not throw
+    val empty = spark.range(0).select($"id".as("u"), $"id".as("v"))
+      .localCheckpoint()
+    val er = StarContraction.contract(empty)
+    assert(StarContraction.labels(er.stars).count() == 0L)
+    val one = Seq((5L, 9L)).toDF("u", "v").localCheckpoint()
+    val labels = StarContraction.labels(StarContraction.contract(one).stars)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(5L -> 5L, 9L -> 5L))
+  }
+
   test("local union-find ≡ distributed contraction on a mixed topology") {
     // paths + a clique + cross-links: exercises rank/compression cases
     val mixed = pathEdges(40)
