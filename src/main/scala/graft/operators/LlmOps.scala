@@ -226,9 +226,11 @@ object LlmOps extends OpModule {
     * shard predicate); the index sides are parquet reads of the staged
     * artifact, so a second ingest's cost is independent of how many
     * ingests ran before — the result plan contains NO documents scan
-    * (spec-asserted). */
-  private[graft] def ingestShard(s: SparkSession, d: String,
-      shardPred: org.apache.spark.sql.Column): DataFrame = {
+    * (spec-asserted). Returns (delta shingle table, verified matches) —
+    * dedupIncremental reports per-doc best matches from it,
+    * clusterIncremental assigns cluster labels. */
+  private def ingestVerified(s: SparkSession, d: String,
+      shardPred: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val tau = 0.8
     graft.GraftExtensions.register(s)
     val (idxBands, idxSh) = stagedDedupIndex(s, d)
@@ -258,6 +260,12 @@ object LlmOps extends OpModule {
       .where(col("i").cast("double") / col("u") >= tau)
       .select(col("doc_n"), col("doc_i"),
         round(col("i").cast("double") / col("u"), 4).as("jaccard"))
+    (base, verified)
+  }
+
+  private[graft] def ingestShard(s: SparkSession, d: String,
+      shardPred: org.apache.spark.sql.Column): DataFrame = {
+    val (base, verified) = ingestVerified(s, d, shardPred)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_n"))
       .orderBy(col("jaccard").desc, col("doc_i").asc)
@@ -278,6 +286,84 @@ object LlmOps extends OpModule {
 
   def dedupIncremental(s: SparkSession, d: String): DataFrame =
     ingestShard(s, d, pmod(col("doc_id"), lit(10)) === 0)
+
+  /** Index CLUSTER LABELS as the third staged artifact beside the band
+    * and shingle tables: the index-internal near-dup closure (candidate
+    * self-join over the staged bands, exact verify over the staged
+    * shingles, then the shared star contraction — the same engine as
+    * llm_dedup_cluster) is computed once per corpus snapshot and written
+    * to parquet; docs in no verified pair label themselves. This is the
+    * production layout — cluster membership lives WITH the index and is
+    * updated per ingest, never re-derived from the corpus. */
+  private val indexLabelDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  private[graft] def stagedIndexLabels(s: SparkSession, d: String): DataFrame = {
+    val (idxBands, idxSh) = stagedDedupIndex(s, d)
+    val dir = indexLabelDirs.computeIfAbsent((d, corpusVersion(d)), { _ =>
+      val tau = 0.8
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_dedup_labels").toString
+      val cands = idxBands.as("x").join(idxBands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val edges = cands
+        .join(idxSh.select(col("doc_id").as("doc_a"), col("hs").as("sa")), "doc_a")
+        .join(idxSh.select(col("doc_id").as("doc_b"), col("hs").as("sb")), "doc_b")
+        .where(size(col("sa")).cast("double") >= lit(tau) * size(col("sb"))
+          && size(col("sb")).cast("double") >= lit(tau) * size(col("sa")))
+        .withColumn("i", expr("sorted_intersect_count(sa, sb)"))
+        .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
+        .where(col("i").cast("double") / col("u") >= tau)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .localCheckpoint()
+      val res = StarContraction.contract(edges)
+      idxSh.select(col("doc_id"))
+        .join(StarContraction.labels(res.stars)
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cc"), col("doc_id")).as("cluster_id"))
+        .write.mode("overwrite").parquet(s"$base/labels")
+      (edges +: res.live).foreach(MemoUtil.dropCheckpoint)
+      base
+    })
+    s.read.parquet(s"$dir/labels")
+  }
+
+  /** INCREMENTAL cluster maintenance — the step after dedupIncremental
+    * in a production ingest: each new-shard doc is ASSIGNED a cluster
+    * from its verified index matches (min matched cluster id — the
+    * survivor-selection order dedupCluster uses), unmatched docs open
+    * their own cluster, and docs whose matches span ≥2 existing
+    * clusters are flagged `is_merge` — the evidence that those index
+    * clusters are transitively one, which a production pipeline applies
+    * at the next index compaction rather than rewriting labels inline
+    * (the audit, not the rewrite, is the ingest-time product). Cost per
+    * ingest is O(matches): both the label table and the band index are
+    * staged artifacts, the delta never touches the corpus. The oracle
+    * replays the whole construction from the exhaustive pair set: an
+    * index-restricted recursive closure labels the index, then new docs
+    * aggregate over their new×index pairs. */
+  def clusterIncremental(s: SparkSession, d: String): DataFrame = {
+    val (base, matches) =
+      ingestVerified(s, d, pmod(col("doc_id"), lit(10)) === 0)
+    val labels = stagedIndexLabels(s, d)
+    val asg = matches
+      .join(labels.withColumnRenamed("doc_id", "doc_i"), "doc_i")
+      .groupBy(col("doc_n"))
+      .agg(min(col("cluster_id")).as("cluster_id"),
+        countDistinct(col("cluster_id")).as("n_clusters_touched"),
+        count(lit(1)).as("n_matches"))
+    base.select(col("doc_id"))
+      .join(asg, col("doc_id") === col("doc_n"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_clusters_touched"), lit(0L)).as("n_clusters_touched"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_clusters_touched"), lit(0L)) >= 2).as("is_merge"))
+  }
 
   /** Brute-force cosine top-k: 10 query vectors against all embeddings.
     * Dot/norm folds are in-order double accumulation (bit-identical to
@@ -343,10 +429,34 @@ object LlmOps extends OpModule {
     "llm_dedup_exact" -> dedupExact _,
     "llm_dedup_near" -> dedupNear _,
     "llm_dedup_incremental" -> dedupIncremental _,
+    "llm_cluster_incremental" -> clusterIncremental _,
     "llm_similarity_topk" -> similarityTopk _,
     "llm_text_stats" -> textStats _,
     "llm_multimodal" -> multimodal _
   )
+
+  // the exhaustive all-pairs near-dup SELECT — its own oracle entry,
+  // and the pair CTE the cluster_incremental closure composes over
+  private val oracleNearPairs: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                   for i in range(1, len(t) - 1)]) AS s
+      |  FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+      |SELECT da AS doc_a, db AS doc_b,
+      |       round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = da
+      |JOIN sizes sb ON sb.doc_id = db
+      |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "llm_dedup_exact" ->
@@ -354,26 +464,48 @@ object LlmOps extends OpModule {
         |FROM documents GROUP BY text""".stripMargin,
     // exact all-pairs Jaccard via shingle equi-join (the oracle is the
     // exhaustive computation the LSH path approximates-with-verify)
-    "llm_dedup_near" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                   for i in range(1, len(t) - 1)]) AS s
-        |  FROM toks),
-        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        |inter AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
-        |SELECT da AS doc_a, db AS doc_b,
-        |       round(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = da
-        |JOIN sizes sb ON sb.doc_id = db
-        |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+    "llm_dedup_near" -> oracleNearPairs,
+    // index-restricted recursive closure labels the index, then new
+    // docs aggregate over their exhaustive new×index pairs — replays
+    // the staged-labels + assignment construction end to end
+    "llm_cluster_incremental" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${oracleNearPairs}
+         |),
+         |idx_edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  WHERE doc_a % 10 != 0 AND doc_b % 10 != 0
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |  WHERE doc_a % 10 != 0 AND doc_b % 10 != 0),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM idx_edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN idx_edges e ON r.b = e.a),
+         |idx_labels AS (
+         |  SELECT d.doc_id,
+         |    coalesce(least(d.doc_id, m.mn), d.doc_id) AS cluster_id
+         |  FROM documents d
+         |  LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+         |    ON d.doc_id = m.a
+         |  WHERE d.doc_id % 10 != 0),
+         |new_matches AS (
+         |  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_n,
+         |         CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_i
+         |  FROM pairs
+         |  WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
+         |asg AS (
+         |  SELECT n.doc_n, min(l.cluster_id) AS cluster_id,
+         |         count(DISTINCT l.cluster_id) AS n_clusters_touched,
+         |         count(*) AS n_matches
+         |  FROM new_matches n JOIN idx_labels l ON l.doc_id = n.doc_i
+         |  GROUP BY n.doc_n)
+         |SELECT d.doc_id,
+         |       coalesce(a.cluster_id, d.doc_id) AS cluster_id,
+         |       coalesce(a.n_clusters_touched, 0) AS n_clusters_touched,
+         |       coalesce(a.n_matches, 0) AS n_matches,
+         |       coalesce(a.n_clusters_touched, 0) >= 2 AS is_merge
+         |FROM documents d LEFT JOIN asg a ON a.doc_n = d.doc_id
+         |WHERE d.doc_id % 10 = 0""".stripMargin,
     // exhaustive new×index pairs — the incremental LSH path's oracle
     // (same recall argument as llm_dedup_near's all-pairs oracle)
     "llm_dedup_incremental" ->

@@ -72,6 +72,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(!out.contains(13L) && !out.contains(14L))
   }
 
+  test("cluster_incremental: assignment, own-cluster docs, and merge audit") {
+    // P is a large shared core; Q/R are small distinct tails sized so
+    // J(PQ, PR) < 0.8 (separate index clusters) while J(PQR, PQ) and
+    // J(PQR, PR) ≥ 0.8 — the new doc BRIDGES two index clusters
+    val p = (1 to 80).map(i => s"p$i").mkString(" ")
+    val q = (1 to 15).map(i => s"q$i").mkString(" ")
+    val r = (1 to 15).map(i => s"r$i").mkString(" ")
+    writeDocs(Seq(
+      (11L, s"$p $q", "en", "s0", 100L),          // index cluster A
+      (21L, s"$p $r", "en", "s0", 100L),          // index cluster B
+      (10L, s"$p $q $r", "en", "s0", 100L),       // new: bridges A and B
+      (31L, "completely unrelated index words here repeated " * 4,
+        "en", "s1", 100L),                        // index, no pairs
+      (20L, "a new document about nothing shared at all",
+        "en", "s1", 100L)))                       // new, no matches
+    // dedupNear memoizes per (session, dir) and earlier tests in this
+    // suite rewrote the same dir — drop the stale pair table
+    LlmOps.resetNearMemo()
+    // sanity: the index clusters really are distinct (no 11~21 pair)
+    val idxPairs = LlmOps.dedupNear(spark, dir).collect()
+      .map(re => (re.getLong(0), re.getLong(1))).toSet
+    assert(!idxPairs.contains((11L, 21L)),
+      s"fixture broken: 11~21 verified as near-dups ($idxPairs)")
+    assert(idxPairs.contains((10L, 11L)) && idxPairs.contains((10L, 21L)),
+      s"fixture broken: bridge pairs missing ($idxPairs)")
+    val out = LlmOps.clusterIncremental(spark, dir).collect()
+      .map(re => re.getAs[Long]("doc_id") ->
+        (re.getAs[Long]("cluster_id"), re.getAs[Long]("n_clusters_touched"),
+          re.getAs[Long]("n_matches"), re.getAs[Boolean]("is_merge"))).toMap
+    assert(out.keySet == Set(10L, 20L), "one row per NEW doc")
+    // doc 10 joins the min matched cluster and flags the A/B merge
+    assert(out(10L) == ((11L, 2L, 2L, true)), s"bridge doc: ${out(10L)}")
+    // doc 20 opens its own cluster
+    assert(out(20L) == ((20L, 0L, 0L, false)), s"unmatched doc: ${out(20L)}")
+    operators.MemoUtil.dropScratch()
+  }
+
   test("dedup_incremental: second ingest reads the staged index, not the corpus") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     // ingest #1 stages the index for the (stable) fixture corpus
