@@ -70,6 +70,9 @@ object ScaleProbe {
       // (B·collisions) — the clone corpus inflates index collisions per
       // new doc ~10×, runtime must follow verified matches, not corpus²
       "llm_dedup_incremental",
+      // cluster maintenance: staged labels + O(matches) assignment —
+      // growth must track the new shard's matches, like the pair op
+      "llm_cluster_incremental",
       "llm_dedup_exact", "llm_dedup_near", "llm_dedup_cluster",
       "llm_dedup_simhash", "llm_dedup_ngram", "llm_fingerprint",
       "llm_chunk", "llm_quality_filter", "llm_sample_stratified",
