@@ -230,7 +230,8 @@ object LlmOps extends OpModule {
     * dedupIncremental reports per-doc best matches from it,
     * clusterIncremental assigns cluster labels. */
   private def ingestVerified(s: SparkSession, d: String,
-      shardPred: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+      shardPred: org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame, DataFrame) = {
     val tau = 0.8
     graft.GraftExtensions.register(s)
     val (idxBands, idxSh) = stagedDedupIndex(s, d)
@@ -260,12 +261,12 @@ object LlmOps extends OpModule {
       .where(col("i").cast("double") / col("u") >= tau)
       .select(col("doc_n"), col("doc_i"),
         round(col("i").cast("double") / col("u"), 4).as("jaccard"))
-    (base, verified)
+    (base, newBands, verified)
   }
 
   private[graft] def ingestShard(s: SparkSession, d: String,
       shardPred: org.apache.spark.sql.Column): DataFrame = {
-    val (base, verified) = ingestVerified(s, d, shardPred)
+    val (base, _, verified) = ingestVerified(s, d, shardPred)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_n"))
       .orderBy(col("jaccard").desc, col("doc_i").asc)
@@ -347,7 +348,7 @@ object LlmOps extends OpModule {
     * index-restricted recursive closure labels the index, then new docs
     * aggregate over their new×index pairs. */
   def clusterIncremental(s: SparkSession, d: String): DataFrame = {
-    val (base, matches) =
+    val (base, _, matches) =
       ingestVerified(s, d, pmod(col("doc_id"), lit(10)) === 0)
     val labels = stagedIndexLabels(s, d)
     val asg = matches
@@ -363,6 +364,85 @@ object LlmOps extends OpModule {
         coalesce(col("n_clusters_touched"), lit(0L)).as("n_clusters_touched"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         (coalesce(col("n_clusters_touched"), lit(0L)) >= 2).as("is_merge"))
+  }
+
+  /** INDEX COMPACTION — applies what clusterIncremental only audits:
+    * the post-ingest labeling of the WHOLE corpus (index + new shard),
+    * composed incrementally and provably equal to a batch re-closure.
+    * Construction: staged index labels + per-new-doc provisional labels
+    * (min matched cluster, else self) define a quotient; every pair
+    * that crosses two provisional labels (new×index matches, plus the
+    * delta's broadcast-sized new×new self-join — the only pair space
+    * clusterIncremental doesn't need) becomes a CLUSTER-graph edge, and
+    * the shared star contraction collapses that tiny quotient graph.
+    * Quotient connectivity equals document connectivity (every pair
+    * either stays inside one provisional label or contributes its edge)
+    * and labels are min-member ids, so min-composition over merged
+    * clusters is the global min member — which is why the ORACLE can be
+    * the full batch closure over ALL pairs, every doc output: the
+    * incremental state and the batch recompute must hash-match. At
+    * 100 TB the contraction input is cluster-level (bounded by merge
+    * evidence, not corpus size); nothing rescans the corpus beyond the
+    * delta. */
+  def clusterCompact(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.8
+    val shardPred = pmod(col("doc_id"), lit(10)) === 0
+    val (base, newBands, matches) = ingestVerified(s, d, shardPred)
+    val labels = stagedIndexLabels(s, d) // (doc_id, cluster_id)
+    // new×new pairs: delta-only band self-join + exact verify
+    val nnCands = newBands.as("x").join(broadcast(newBands.as("y")),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val nnPairs = nnCands
+      .join(base.select(col("doc_id").as("doc_a"), col("hs").as("sa")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("hs").as("sb")), "doc_b")
+      .where(size(col("sa")).cast("double") >= lit(tau) * size(col("sb"))
+        && size(col("sb")).cast("double") >= lit(tau) * size(col("sa")))
+      .withColumn("i", expr("sorted_intersect_count(sa, sb)"))
+      .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
+      .where(col("i").cast("double") / col("u") >= tau)
+      .select(col("doc_a"), col("doc_b"))
+    // provisional labels: index docs carry staged labels, new docs the
+    // min matched cluster (or themselves)
+    val matchLbl = matches
+      .join(labels.withColumnRenamed("doc_id", "doc_i"), "doc_i")
+      .groupBy(col("doc_n")).agg(min(col("cluster_id")).as("mcl"))
+    // least(own, matched): a new doc with a smaller id than everything
+    // it matches IS the merged cluster's minimum — labels are min-member
+    // ids, so the quotient must let the new doc win (Spark's least
+    // skips nulls, covering the unmatched case)
+    val newLbl = base.select(col("doc_id"))
+      .join(matchLbl, col("doc_id") === col("doc_n"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), col("mcl")).as("plabel"))
+    val all = labels.select(col("doc_id"), col("cluster_id").as("plabel"))
+      .union(newLbl)
+    // cluster-graph edges: one per pair whose endpoints sit in different
+    // provisional labels
+    val e1 = matches
+      .join(labels.withColumnRenamed("doc_id", "doc_i"), "doc_i")
+      .join(newLbl.withColumnRenamed("doc_id", "doc_n")
+        .withColumnRenamed("plabel", "np"), "doc_n")
+      .select(col("np").as("a"), col("cluster_id").as("b"))
+    val e2 = nnPairs
+      .join(newLbl.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("plabel", "pa"), "doc_a")
+      .join(newLbl.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("plabel", "pb"), "doc_b")
+      .select(col("pa").as("a"), col("pb").as("b"))
+    val cedges = e1.union(e2).where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val cres = StarContraction.contract(cedges)
+    val clbl = StarContraction.labels(cres.stars) // (id = plabel, cc)
+    (cedges +: cres.live).foreach(MemoUtil.scratch)
+    all.join(clbl.withColumnRenamed("id", "plabel"), Seq("plabel"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cc"), col("plabel")).as("cluster_id"))
   }
 
   /** Brute-force cosine top-k: 10 query vectors against all embeddings.
@@ -430,6 +510,7 @@ object LlmOps extends OpModule {
     "llm_dedup_near" -> dedupNear _,
     "llm_dedup_incremental" -> dedupIncremental _,
     "llm_cluster_incremental" -> clusterIncremental _,
+    "llm_cluster_compact" -> clusterCompact _,
     "llm_similarity_topk" -> similarityTopk _,
     "llm_text_stats" -> textStats _,
     "llm_multimodal" -> multimodal _
@@ -465,6 +546,26 @@ object LlmOps extends OpModule {
     // exact all-pairs Jaccard via shingle equi-join (the oracle is the
     // exhaustive computation the LSH path approximates-with-verify)
     "llm_dedup_near" -> oracleNearPairs,
+    // the FULL batch closure over all pairs, every doc output — the
+    // strongest statement an incremental construction can make: the
+    // composed (staged labels + delta + quotient contraction) state
+    // must equal a from-scratch recompute
+    "llm_cluster_compact" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${oracleNearPairs}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT d.doc_id,
+         |       coalesce(least(d.doc_id, m.mn), d.doc_id) AS cluster_id
+         |FROM documents d
+         |LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+         |  ON d.doc_id = m.a""".stripMargin,
     // index-restricted recursive closure labels the index, then new
     // docs aggregate over their exhaustive new×index pairs — replays
     // the staged-labels + assignment construction end to end

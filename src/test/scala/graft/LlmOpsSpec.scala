@@ -106,6 +106,13 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(10L) == ((11L, 2L, 2L, true)), s"bridge doc: ${out(10L)}")
     // doc 20 opens its own cluster
     assert(out(20L) == ((20L, 0L, 0L, false)), s"unmatched doc: ${out(20L)}")
+    // compaction APPLIES the merge: the whole corpus relabels so the
+    // bridged clusters collapse — and equals a batch re-closure, whose
+    // min member here is the NEW doc itself (10 < 11 < 21)
+    val compact = LlmOps.clusterCompact(spark, dir).collect()
+      .map(re => re.getLong(0) -> re.getLong(1)).toMap
+    assert(compact == Map(10L -> 10L, 11L -> 10L, 21L -> 10L,
+      31L -> 31L, 20L -> 20L), s"compacted labels: $compact")
     operators.MemoUtil.dropScratch()
   }
 
