@@ -747,7 +747,85 @@ object Analytics extends OpModule {
           .as("n_quick_buys"))
   }
 
+  /** Incremental materialized-view maintenance — the engine capability
+    * behind every "keep this rollup fresh without re-scanning the lake"
+    * pipeline. The view (per event_type × user-segment: event count +
+    * value total) is maintained from two inputs: a STAGED snapshot of
+    * per-group partials covering everything before the high-water mark
+    * (written to parquet once per corpus snapshot, the stagedDedupIndex
+    * economics) and a delta aggregate over only the rows at/after it.
+    * Because count/sum partials form a commutative monoid, merging the
+    * two partial sets (union → re-aggregate) is provably equal to a
+    * from-scratch recompute — the spec asserts the equality, and the
+    * oracle IS the full recompute. Each group also reports provenance
+    * (snapshot / delta / both): the audit column a refresh job uses to
+    * count how much of the view the delta actually touched.
+    *
+    * At-scale: the registered query scans ONLY the delta slice of the
+    * events log (plan-asserted: exactly one events scan, carrying the
+    * high-water-mark predicate) plus the view-sized staged partials —
+    * refresh cost is O(delta + |view|), never O(log). On a
+    * date-partitioned production log the cutoff predicate is a partition
+    * prune. Exactness: per-event values collapse to integer cents before
+    * any cross-row sum; one /100.0 at the output. The high-water mark
+    * (last observed day − 4 days, so the delta is the trailing 5-day
+    * reprocess window) lives in the staged meta table and reaches the
+    * scan via a broadcast 1-row cross join — never a driver-side read in
+    * the query path. */
+  private val mvDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  private def eventsVersion(d: String): Long = {
+    val f = new java.io.File(s"$d/events.parquet")
+    val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+    kids.map(k => k.getName.hashCode.toLong ^ k.lastModified() ^ (k.length << 13))
+      .foldLeft(f.lastModified())(_ ^ _)
+  }
+
+  private def mvPartials(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), pmod(col("user_id"), lit(64)).as("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("vc"))
+
+  private[graft] def stagedMv(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val dir = mvDirs.computeIfAbsent((d, eventsVersion(d)), { _ =>
+      val base = java.nio.file.Files.createTempDirectory("graft_mv").toString
+      val ev = Tables.events(s, d)
+      ev.agg(expr("date_trunc('day', max(ts)) - interval 4 days").as("cutoff"))
+        .write.mode("overwrite").parquet(s"$base/meta")
+      // snapshot partials derive from the WRITTEN meta — view and
+      // high-water mark are consistent by construction
+      val meta = s.read.parquet(s"$base/meta")
+      ev.crossJoin(broadcast(meta)).where(col("ts") < col("cutoff"))
+        .transform(mvPartials)
+        .write.mode("overwrite").parquet(s"$base/view")
+      base
+    })
+    (s.read.parquet(s"$dir/view"), s.read.parquet(s"$dir/meta"))
+  }
+
+  def mvIncremental(s: SparkSession, d: String): DataFrame = {
+    val (view, meta) = stagedMv(s, d)
+    val delta = Tables.events(s, d)
+      .crossJoin(broadcast(meta)).where(col("ts") >= col("cutoff"))
+      .transform(mvPartials)
+    view.select(col("event_type"), col("seg"), col("n"), col("vc"),
+        lit(1).as("snap"), lit(0).as("del"))
+      .unionByName(delta.select(col("event_type"), col("seg"), col("n"),
+        col("vc"), lit(0).as("snap"), lit(1).as("del")))
+      .groupBy(col("event_type"), col("seg"))
+      .agg(sum(col("n")).as("n_events"),
+        (sum(col("vc")) / 100.0).as("total"),
+        max(col("snap")).as("hs"), max(col("del")).as("hd"))
+      .select(col("event_type"), col("seg"), col("n_events"), col("total"),
+        when(col("hs") === 1 && col("hd") === 1, "both")
+          .when(col("hs") === 1, "snapshot").otherwise("delta")
+          .as("provenance"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_incremental" -> mvIncremental _,
     "dq_constraints" -> dqConstraints _,
     "win_pattern" -> winPattern _,
     "graph_triangles" -> graphTriangles _,
@@ -772,6 +850,31 @@ object Analytics extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // full recompute + provenance derivation — the equality the
+    // partial-merge construction must reproduce
+    "mv_incremental" -> (evCte +
+      """,
+        |cut AS (
+        |  SELECT date_trunc('day', max(ts)) - INTERVAL 4 DAY AS cutoff
+        |  FROM ev),
+        |base AS (
+        |  SELECT event_type, user_id % 64 AS seg,
+        |         CAST(round(value * 100) AS BIGINT) AS vc, ts
+        |  FROM ev),
+        |agg AS (
+        |  SELECT event_type, seg, count(*) AS n_events, sum(vc) AS svc
+        |  FROM base GROUP BY 1, 2),
+        |prov AS (
+        |  SELECT event_type, seg,
+        |         max(CASE WHEN b.ts <  c.cutoff THEN 1 ELSE 0 END) AS hs,
+        |         max(CASE WHEN b.ts >= c.cutoff THEN 1 ELSE 0 END) AS hd
+        |  FROM base b, cut c GROUP BY 1, 2)
+        |SELECT a.event_type, a.seg, a.n_events, a.svc / 100.0 AS total,
+        |       CASE WHEN p.hs = 1 AND p.hd = 1 THEN 'both'
+        |            WHEN p.hs = 1 THEN 'snapshot' ELSE 'delta' END
+        |         AS provenance
+        |FROM agg a JOIN prov p
+        |  ON a.event_type = p.event_type AND a.seg = p.seg""".stripMargin),
     "win_pattern" ->
       """WITH ev AS (
         |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,

@@ -26,6 +26,35 @@ class AnalyticsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("mv_incremental: partial merge equals full recompute, delta-only events scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Analytics.mvIncremental(spark, sf)
+    // monoid equality: snapshot partials + delta partials re-aggregated
+    // must equal a from-scratch recompute of the view
+    val full = graft.Tables.events(spark, sf)
+      .groupBy($"event_type", pmod($"user_id", lit(64)).as("seg"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round($"value" * 100, 0).cast("long")) / 100.0).as("total"))
+    val got = out.select($"event_type", $"seg", $"n_events", $"total")
+      .collect().map(_.toSeq).toSet
+    val want = full.collect().map(_.toSeq).toSet
+    assert(got == want, "merged view diverges from full recompute")
+    // refresh cost is O(delta): the merged plan reads the events log
+    // exactly once (the delta side, carrying the cutoff predicate); the
+    // snapshot side reads only the staged view partials
+    val scans = collectFinal(out) { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.count(_.contains("events.parquet")) == 1,
+      s"expected exactly one events scan, got:\n${scans.mkString("\n")}")
+    // groups spanning the cutoff exist and are flagged
+    assert(out.where($"provenance" === "both").count() > 0)
+    // staging is per-(dir, version): a second call reuses the artifact
+    val (v1, _) = Analytics.stagedMv(spark, sf)
+    val (v2, _) = Analytics.stagedMv(spark, sf)
+    assert(v1.inputFiles.sorted.sameElements(v2.inputFiles.sorted))
+  }
+
   test("funnel: stages are monotonically shrinking and rates consistent") {
     val rows = Analytics.funnel(spark, sf).orderBy($"stage").collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
