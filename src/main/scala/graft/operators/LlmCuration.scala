@@ -308,7 +308,45 @@ object LlmCuration extends OpModule {
         coalesce(col("checksum"), lit(0L)).as("checksum"))
   }
 
+  /** Training-shard LAYOUT audit — the last stage of a curation
+    * pipeline, where the surviving corpus is written as S balanced
+    * shards for dataloader workers. Assignment is the masked Knuth
+    * multiplicative hash's TOP 4 bits (multiplicative hashing's
+    * uniformity lives in the high bits; the low bits cycle), so shard
+    * membership is deterministic, engine-identical, and stable across
+    * re-runs — the property that makes a resumed training job read the
+    * same shard contents. Per shard: doc count, token mass, id range,
+    * exact id checksum (the cheap cross-run shard-integrity check), and
+    * fill in basis points of the ideal S-way split (tok·S·10⁴ div
+    * total — exact integer; headroom to ~10¹⁴ tokens, widen to decimal
+    * beyond).
+    *
+    * Scale shape: one map-side pass computes (shard, token count) per
+    * doc, one S×-row aggregate, and the 16-row totals cross-join back
+    * broadcast — the physical write this audits is a single
+    * repartition(S, shard) + per-shard streaming write, the one
+    * unavoidable full shuffle of a corpus export, paid exactly once. */
+  def shardLayout(s: SparkSession, d: String): DataFrame = {
+    val S = 16
+    val per = Tables.documents(s, d)
+      .withColumn("h",
+        pmod(col("doc_id").bitwiseAND(lit(4294967295L)) * lit(2654435761L),
+          lit(4294967296L)))
+      .withColumn("shard", expr("cast(h div 268435456 as int)"))
+      .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok_mass"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(col("doc_id")).as("id_sum"))
+    val tot = per.agg(sum(col("tok_mass")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("tok_mass"),
+        col("min_id"), col("max_id"), col("id_sum"),
+        expr(s"(tok_mass * $S * 10000) div tot").as("fill_bp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_shard_layout" -> shardLayout _,
     "llm_sample_importance" -> sampleImportance _,
     "curation_e2e" -> curationE2e _,
     "llm_dataset_diff" -> datasetDiff _,
@@ -349,6 +387,22 @@ object LlmCuration extends OpModule {
       |FROM r""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_shard_layout" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CAST((((doc_id & 4294967295) * 2654435761) % 4294967296)
+        |         // 268435456 AS INTEGER) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |per AS (
+        |  SELECT shard, count(*) AS n_docs, sum(nt) AS tok_mass,
+        |         min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |         sum(doc_id) AS id_sum
+        |  FROM sh GROUP BY shard),
+        |t AS (SELECT sum(tok_mass) AS tot FROM per)
+        |SELECT p.shard, p.n_docs, p.tok_mass, p.min_id, p.max_id, p.id_sum,
+        |       (p.tok_mass * 16 * 10000) // t.tot AS fill_bp
+        |FROM per p, t""".stripMargin,
     "llm_sample_importance" ->
       """WITH docs AS (
         |  SELECT doc_id, source, len(string_split(text, ' ')) AS nt

@@ -27,6 +27,23 @@ class LlmCurationSpec extends SparkSpec {
     }
   }
 
+  test("shard_layout: partition of the corpus, high-bit balance, deterministic") {
+    val out = LlmCuration.shardLayout(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // a partition: every doc lands in exactly one shard
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(out.map(_.getAs[Int]("shard")).toSet.subsetOf((0 until 16).toSet))
+    // top-4-bit assignment of the Knuth hash is uniform enough that no
+    // shard is empty and fill stays within 2x of ideal at 500 docs
+    assert(out.length == 16, "all 16 shards populated at sf0.001")
+    val fills = out.map(_.getAs[Long]("fill_bp"))
+    assert(fills.min > 3000 && fills.max < 20000,
+      s"shard fill out of balance: ${fills.sorted.mkString(",")}")
+    // deterministic: a second evaluation produces the identical layout
+    val again = LlmCuration.shardLayout(spark, sf).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("dataset_diff: status partition matches the v2 construction exactly") {
     import org.apache.spark.sql.functions._
     val out = operators.LlmCuration.datasetDiff(spark, sf).collect()
