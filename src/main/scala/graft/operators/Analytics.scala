@@ -824,7 +824,80 @@ object Analytics extends OpModule {
           .as("provenance"))
   }
 
+  /** Distribution-drift monitor (PSI) between two snapshots of a metric
+    * — the data-quality gate a production pipeline runs before letting a
+    * new ingest reach training: has the VALUE DISTRIBUTION moved, not
+    * just the row counts (dq_constraints' job)? Windows are the first
+    * vs last half of the event log (split at min-day + 15 days via a
+    * broadcast 1-row cutoff, the mv_incremental pattern); per
+    * event_type the value-cents range is cut into 16 shared equi-width
+    * buckets (exact integer edges over BOTH windows, so the two
+    * histograms are comparable by construction) and the population
+    * stability index is Σ (p−q)·ln(p/q) over Laplace-smoothed bucket
+    * proportions.
+    *
+    * Determinism discipline: proportions are exact integer ppm
+    * ((cnt+1)·10⁶ div (tot+B)); each bucket's ln factor is a per-row
+    * scalar from identical integer inputs quantized to fixed-point
+    * (round(ln·10⁶) as BIGINT — the perplexity_proxy rule), so the
+    * cross-bucket reduction is an EXACT integer sum and the drift flag
+    * compares integers (Σterm > 10¹¹ ⇔ PSI > 0.1). Floats decide
+    * nothing across rows.
+    *
+    * Scale shape: one pass histograms the log (map-side combine into
+    * |types|·B·2 cells), bounds/totals are broadcast-sized, and the PSI
+    * fold runs over |types|·B rows — the raw log is scanned once
+    * regardless of corpus size. */
+  private val DriftB = 16
+
+  /** PSI core over rows (event_type, win ∈ {ref,cur}, vc). Factored so
+    * specs can feed synthetic drifted inputs; dq_drift wires the event
+    * log in. */
+  private[graft] def psiDrift(tagged: DataFrame): DataFrame = {
+    val B = DriftB
+    val bounds = tagged.groupBy(col("event_type"))
+      .agg(min(col("vc")).as("lo"), max(col("vc")).as("hi"))
+    val hist = tagged.join(broadcast(bounds), "event_type")
+      .withColumn("bucket",
+        expr(s"cast(least($B - 1, ((vc - lo) * $B) div (hi - lo + 1)) as int)"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("win") === "ref", 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(col("win") === "cur", 1L).otherwise(0L)).as("cur_cnt"))
+    val spine = bounds.select(col("event_type"),
+      explode(expr(s"sequence(0, ${B - 1})")).as("bucket"))
+    val dense = spine.join(hist, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    val tots = dense.groupBy(col("event_type"))
+      .agg(sum(col("ref_cnt")).as("ref_n"), sum(col("cur_cnt")).as("cur_n"))
+    dense.join(broadcast(tots), "event_type")
+      .withColumn("p_pm", expr(s"((ref_cnt + 1) * 1000000) div (ref_n + $B)"))
+      .withColumn("q_pm", expr(s"((cur_cnt + 1) * 1000000) div (cur_n + $B)"))
+      .withColumn("term_fp", (col("p_pm") - col("q_pm")) *
+        round(log(col("p_pm").cast("double") / col("q_pm")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("ref_n")).as("ref_n"), max(col("cur_n")).as("cur_n"),
+        sum(col("term_fp")).as("psi_fp"))
+      .select(col("event_type"), col("ref_n"), col("cur_n"),
+        round(col("psi_fp").cast("double") / 1e12, 6).as("psi"),
+        (col("psi_fp") > 100000000000L).as("is_drift"))
+  }
+
+  def dqDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("ts"),
+      round(col("value") * 100, 0).cast("long").as("vc"))
+    val cut = ev.agg(
+      expr("date_trunc('day', min(ts)) + interval 15 days").as("cutoff"))
+    psiDrift(ev.crossJoin(broadcast(cut))
+      .withColumn("win",
+        when(col("ts") < col("cutoff"), "ref").otherwise("cur"))
+      .select(col("event_type"), col("win"), col("vc")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_drift" -> dqDrift _,
     "mv_incremental" -> mvIncremental _,
     "dq_constraints" -> dqConstraints _,
     "win_pattern" -> winPattern _,
@@ -850,6 +923,57 @@ object Analytics extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "dq_drift" -> (evCte +
+      """,
+        |v AS (
+        |  SELECT event_type, ts,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM ev),
+        |cut AS (
+        |  SELECT date_trunc('day', min(ts)) + INTERVAL 15 DAY AS cutoff
+        |  FROM v),
+        |tagged AS (
+        |  SELECT event_type,
+        |         CASE WHEN ts < c.cutoff THEN 'ref' ELSE 'cur' END AS win,
+        |         vc
+        |  FROM v, cut c),
+        |bounds AS (
+        |  SELECT event_type, min(vc) AS lo, max(vc) AS hi
+        |  FROM tagged GROUP BY 1),
+        |hist AS (
+        |  SELECT t.event_type,
+        |         CAST(least(15, ((t.vc - b.lo) * 16) // (b.hi - b.lo + 1))
+        |              AS INTEGER) AS bucket,
+        |         sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS ref_cnt,
+        |         sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS cur_cnt
+        |  FROM tagged t JOIN bounds b ON t.event_type = b.event_type
+        |  GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT b.event_type, s.bucket,
+        |         coalesce(h.ref_cnt, 0) AS ref_cnt,
+        |         coalesce(h.cur_cnt, 0) AS cur_cnt
+        |  FROM bounds b
+        |  CROSS JOIN range(0, 16) s(bucket)
+        |  LEFT JOIN hist h
+        |    ON h.event_type = b.event_type AND h.bucket = s.bucket),
+        |tots AS (
+        |  SELECT event_type, sum(ref_cnt) AS ref_n, sum(cur_cnt) AS cur_n
+        |  FROM dense GROUP BY 1),
+        |terms AS (
+        |  SELECT d.event_type, t.ref_n, t.cur_n,
+        |         ((d.ref_cnt + 1) * 1000000) // (t.ref_n + 16) AS p_pm,
+        |         ((d.cur_cnt + 1) * 1000000) // (t.cur_n + 16) AS q_pm
+        |  FROM dense d JOIN tots t ON d.event_type = t.event_type),
+        |psi AS (
+        |  SELECT event_type, max(ref_n) AS ref_n, max(cur_n) AS cur_n,
+        |         sum((p_pm - q_pm) *
+        |             CAST(round(ln(p_pm::DOUBLE / q_pm) * 1e6) AS BIGINT))
+        |           AS psi_fp
+        |  FROM terms GROUP BY 1)
+        |SELECT event_type, ref_n, cur_n,
+        |       round(psi_fp::DOUBLE / 1e12, 6) AS psi,
+        |       psi_fp > 100000000000 AS is_drift
+        |FROM psi""".stripMargin),
     // full recompute + provenance derivation — the equality the
     // partial-merge construction must reproduce
     "mv_incremental" -> (evCte +

@@ -55,6 +55,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(v1.inputFiles.sorted.sameElements(v2.inputFiles.sorted))
   }
 
+  test("dq_drift: PSI exactly zero on identical windows, flags a shifted one") {
+    // identical distributions → p_pm == q_pm in every bucket → the
+    // integer PSI sum is exactly 0, not epsilon
+    val same = Seq.tabulate(200)(i => ("a", "ref", (i % 50).toLong)) ++
+      Seq.tabulate(200)(i => ("a", "cur", (i % 50).toLong))
+    val r0 = Analytics.psiDrift(same.toDF("event_type", "win", "vc"))
+      .collect().head
+    assert(r0.getAs[Double]("psi") == 0.0 && !r0.getAs[Boolean]("is_drift"))
+    // a hard location shift concentrates the windows in disjoint buckets
+    val shifted = Seq.tabulate(200)(i => ("a", "ref", (i % 50).toLong)) ++
+      Seq.tabulate(200)(i => ("a", "cur", 900L + (i % 50)))
+    val r1 = Analytics.psiDrift(shifted.toDF("event_type", "win", "vc"))
+      .collect().head
+    assert(r1.getAs[Boolean]("is_drift") && r1.getAs[Double]("psi") > 1.0,
+      s"shifted distribution must flag, psi=${r1.getAs[Double]("psi")}")
+    // fixture wiring: the two windows partition the event log
+    val out = Analytics.dqDrift(spark, sf).collect()
+    val n = graft.Tables.events(spark, sf).count()
+    assert(out.map(r => r.getAs[Long]("ref_n") + r.getAs[Long]("cur_n")).sum == n)
+    assert(out.forall(r => r.getAs[Long]("ref_n") > 0 && r.getAs[Long]("cur_n") > 0),
+      "both windows must be populated per type")
+  }
+
   test("funnel: stages are monotonically shrinking and rates consistent") {
     val rows = Analytics.funnel(spark, sf).orderBy($"stage").collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
