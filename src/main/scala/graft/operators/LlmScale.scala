@@ -1154,7 +1154,108 @@ object LlmScale extends OpModule {
       .select(col("tok"), col("df"), col("total_tf"), col("postings"))
   }
 
+  // ── llm_ann_pq ────────────────────────────────────────────────────────
+
+  /** Product-quantization ANN with asymmetric distance computation — the
+    * FAISS IVFPQ memory half, beside llm_ann_ivf_kmeans' routing half.
+    * The 64-dim vectors split into M=8 subspaces of 8 dims; each
+    * subspace learns its own K=16-codeword codebook (seed = the first
+    * ≤16 vectors' subvectors, one exact-integer Lloyd round: assign →
+    * floor recenter → re-assign-to-encode), and every corpus vector is
+    * thereafter M one-byte codes — 8 bytes instead of 256, the 32×
+    * compression that lets a 100 TB corpus's index live in executor
+    * memory. Queries never decompress: per query a K·M distance TABLE
+    * to the codewords is computed once (exact BIGINT on the 10⁶
+    * lattice), and each candidate's approximate distance is Σ_m
+    * table[m, code_m] — M integer lookups, no vector arithmetic. Top-3
+    * per query ranks by (adist, cand_id), a total order both engines
+    * walk identically; the output carries the exact 64-dim distance
+    * beside the ADC estimate so the approximation error is visible
+    * per row (llm_ann_recall's honesty rule).
+    *
+    * Determinism: every distance, recenter, and argmin tie-break
+    * ((dist, j) min-struct) is exact BIGINT — DuckDB replays the whole
+    * construction (seeding included) to the identical codes and ranks.
+    * Clone-probe caveat: duplicate vectors among the first 16 ids would
+    * collapse seeds onto one point; tie-breaks keep the result
+    * deterministic (production seeds sample distinct codes — the lloyd
+    * seeding note applies).
+    *
+    * Scale shape: codebooks are M·K=128 broadcast rows; training and
+    * encoding are map-side folds over the broadcast codebook feeding one
+    * hash aggregate each (N·M·K 8-dim folds); the ADC join is codes ×
+    * broadcast distance tables (N·M·|queries| rows, map-side). Nothing
+    * shuffles with N except the final per-query aggregates. At 100 TB
+    * the candidate set first prunes through IVF cells (the op next
+    * door) and ADC re-ranks inside the probed cells. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val M = 8; val Kc = 16
+    val emb = Tables.embeddings(s, d)
+    // quantized vector form; readers: subvector derivation + exact rerank
+    val qvec = MemoUtil.scratch(emb
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
+        .as("qv"))
+      .localCheckpoint())
+    // subvector form (vec_id, m, sv[8]); readers: seeds, assign, recenter,
+    // encode, distance tables — the multi-reader lineage-cut rule
+    val sub = MemoUtil.scratch(qvec
+      .select(col("vec_id"), posexplode(
+        expr(s"transform(sequence(0, ${M - 1}), m -> slice(qv, m * 8 + 1, 8))")))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+      .localCheckpoint())
+    val seeds = emb.where(col("vec_id") < Kc)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("j"))
+    val c0 = sub.join(broadcast(seeds), "vec_id")
+      .select(col("m"), col("j"), col("sv").as("cv"))
+    // argmin codeword per (vector, subspace) over a broadcast codebook
+    def encodeWith(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("j"),
+          expr("squared_distance(sv, cv)").as("dist"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist"), col("j"))).as("mm"))
+        .select(col("vec_id"), col("m"), col("mm.j").as("code"))
+    val a1 = encodeWith(c0)
+    // floor(sum/count) recenter per (m, j, local-dim), back to arrays
+    val c1 = sub.join(a1.withColumnRenamed("code", "j"), Seq("vec_id", "m"))
+      .select(col("m"), col("j"), posexplode(col("sv")))
+      .groupBy(col("m"), col("j"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1)))
+        .cast("long").as("c"))
+      .groupBy(col("m"), col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    val codes = encodeWith(c1)
+    // per-query distance tables to the trained codewords (Q·M·K rows)
+    val dtab = sub.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(c1), "m")
+      .select(col("qid"), col("m"), col("j"),
+        expr("squared_distance(qsv, cv)").as("dt"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("cand_id").asc)
+    val top3 = codes
+      .join(broadcast(dtab),
+        codes("m") === dtab("m") && codes("code") === dtab("j"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("cand_id"))
+      .agg(sum(col("dt")).as("adist"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+    // exact 64-dim distance beside the estimate (30-row probe side)
+    top3
+      .join(qvec.select(col("vec_id").as("qid"), col("qv").as("qq")), "qid")
+      .join(qvec.select(col("vec_id").as("cand_id"), col("qv").as("cq")),
+        "cand_id")
+      .select(col("qid"), col("rank"), col("cand_id"), col("adist"),
+        expr("squared_distance(qq, cq)").as("exact_dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ann_pq" -> annPq _,
     "llm_cooccur" -> cooccur _,
     "llm_inverted_index" -> invertedIndex _,
     "llm_domain_mix" -> domainMix _,
@@ -1352,6 +1453,68 @@ object LlmScale extends OpModule {
         |FROM g
         |JOIN s si ON si.dim = g.i
         |JOIN s sj ON sj.dim = g.j, n""".stripMargin,
+    // replays the full PQ construction: 10⁶ quantization → per-subspace
+    // seeding from the first ≤16 ids → one exact-integer Lloyd round →
+    // encode → per-query codeword distance tables → ADC top-3 → exact
+    // re-rank column. All argmins (dist ASC, id ASC).
+    "llm_ann_pq" ->
+      """WITH dims AS MATERIALIZED (
+        |  SELECT vec_id, i - 1 AS dim, (i - 1) // 8 AS m,
+        |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |seeds AS (
+        |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS j
+        |  FROM (SELECT DISTINCT vec_id FROM dims WHERE vec_id < 16)),
+        |c0 AS MATERIALIZED (
+        |  SELECT s.j, d.m, d.dim, d.q AS c
+        |  FROM dims d JOIN seeds s USING (vec_id)),
+        |d1 AS (
+        |  SELECT d.vec_id, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dist
+        |  FROM dims d JOIN c0 c ON c.m = d.m AND c.dim = d.dim
+        |  GROUP BY 1, 2, 3),
+        |a1 AS MATERIALIZED (
+        |  SELECT vec_id, m, j FROM (
+        |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist ASC, j ASC) AS rn FROM d1) WHERE rn = 1),
+        |c1 AS MATERIALIZED (
+        |  SELECT a.m, a.j, d.dim,
+        |    CAST(floor(sum(d.q)::DOUBLE / count(*)) AS BIGINT) AS c
+        |  FROM dims d JOIN a1 a ON a.vec_id = d.vec_id AND a.m = d.m
+        |  GROUP BY 1, 2, 3),
+        |d2 AS (
+        |  SELECT d.vec_id, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dist
+        |  FROM dims d JOIN c1 c ON c.m = d.m AND c.dim = d.dim
+        |  GROUP BY 1, 2, 3),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist ASC, j ASC) AS rn FROM d2) WHERE rn = 1),
+        |dtab AS (
+        |  SELECT d.vec_id AS qid, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dt
+        |  FROM dims d JOIN c1 c ON c.m = d.m AND c.dim = d.dim
+        |  WHERE d.vec_id < 10
+        |  GROUP BY 1, 2, 3),
+        |ad AS (
+        |  SELECT t.qid, k.vec_id AS cand_id, sum(t.dt) AS adist
+        |  FROM codes k JOIN dtab t ON t.m = k.m AND t.j = k.code
+        |  WHERE k.vec_id != t.qid
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT qid, cand_id, adist,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY adist ASC, cand_id ASC) AS rank
+        |  FROM ad),
+        |t3 AS (SELECT * FROM top WHERE rank <= 3),
+        |ex AS (
+        |  SELECT t.qid, t.cand_id, sum((dq.q - dc.q) * (dq.q - dc.q))
+        |    AS exact_dist
+        |  FROM t3 t
+        |  JOIN dims dq ON dq.vec_id = t.qid
+        |  JOIN dims dc ON dc.vec_id = t.cand_id AND dc.dim = dq.dim
+        |  GROUP BY 1, 2)
+        |SELECT t.qid, t.rank, t.cand_id, t.adist, e.exact_dist
+        |FROM t3 t JOIN ex e
+        |  ON e.qid = t.qid AND e.cand_id = t.cand_id""".stripMargin,
     "llm_ann_ivf_kmeans" ->
       (lloydCtes + annIvfCtes + """
         |SELECT qid, rank, cand_id, cluster, dist FROM (

@@ -375,6 +375,27 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("ann_pq: ADC top-3 ordered per query, estimate bounded, deterministic") {
+    val out = operators.LlmScale.annPq(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.nonEmpty && byQ.keySet.forall(_ < 10))
+    byQ.foreach { case (qid, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"q$qid ranks not contiguous")
+      // approximate distances ascend with rank; the query never ranks
+      val ordered = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("adist")).toSeq
+      assert(ordered == ordered.sorted, s"q$qid adist out of order")
+      assert(rows.forall(_.getAs[Long]("cand_id") != qid))
+      // both distance columns are squared metrics — non-negative
+      assert(rows.forall(r => r.getAs[Long]("adist") >= 0L &&
+        r.getAs[Long]("exact_dist") >= 0L))
+    }
+    // deterministic end to end (codebooks, codes, tables, ranks)
+    val again = operators.LlmScale.annPq(spark, sf).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("gram_matrix: upper triangle complete, diagonal PSD, partition-invariant") {
     val out = operators.LlmScale.gramMatrix(spark, sf).collect()
     assert(out.length == 64 * 65 / 2, "upper triangle of a 64x64 matrix")
