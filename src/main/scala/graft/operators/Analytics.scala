@@ -896,7 +896,56 @@ object Analytics extends OpModule {
       .select(col("event_type"), col("win"), col("vc")))
   }
 
+  /** Exponentially weighted moving average over the hourly event series
+    * — the classic smoothing recurrence, re-expressed without the
+    * recurrence: s_t = α·x_t + (1−α)·s_{t−1} truncated at T=8 taps is
+    * the window dot product Σ_j w_j·x_{t−j} with EXACT INTEGER weights
+    * w_j = 3^j·4^(7−j) (α = 1/4 ⇒ α(1−α)^j = 3^j/4^(j+1), cleared to
+    * the common denominator 4^8). A literal recurrence would chain every
+    * row to its predecessor — unvectorizable, unpartitionable; the
+    * bounded-tap form is one window pass with 8 row-frame lags, ragged
+    * at each series head by renormalizing the denominator over the taps
+    * actually present (truncation error vs the infinite tail is
+    * (3/4)^8 ≈ 10%, the standard windowed-EWMA trade, swept into the
+    * renormalization). All numerators/denominators are exact BIGINT —
+    * ewma cents are an integer division both engines floor identically;
+    * /100.0 once at the output.
+    *
+    * Scale shape: the raw log collapses to the hourly (type, hour)
+    * series FIRST (one shuffle, map-side combine); the window runs over
+    * |types|·|hours| rows, never raw events — the ts_gapfill rule. */
+  def tsEwma(s: SparkSession, d: String): DataFrame = {
+    val T = 8
+    val wts = Array.tabulate(T)(j =>
+      math.pow(3, j).toLong * math.pow(4, T - 1 - j).toLong)
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 100, 0).cast("long").as("vc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val lagged = (0 until T).foldLeft(hourly) { (df, j) =>
+      df.withColumn(s"x$j", lag(col("vc"), j).over(w))
+    }
+    val num = (0 until T).map(j =>
+      when(col(s"x$j").isNotNull, lit(wts(j)) * col(s"x$j")).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val den = (0 until T).map(j =>
+      when(col(s"x$j").isNotNull, lit(wts(j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    lagged
+      .withColumn("num", num).withColumn("den", den)
+      // floor(double-div) rather than `div`: Spark div truncates toward
+      // zero, DuckDB // floors — floor-on-double is the one form both
+      // engines share at any sign (the lloyd recenter idiom; num stays
+      // ≪ 2⁵³ so the double is exact)
+      .withColumn("ec",
+        floor(col("num").cast("double") / col("den")).cast("long"))
+      .select(col("event_type"), col("h"), col("n"),
+        (col("vc") / 100.0).as("value"), (col("ec") / 100.0).as("ewma"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ewma" -> tsEwma _,
     "dq_drift" -> dqDrift _,
     "mv_incremental" -> mvIncremental _,
     "dq_constraints" -> dqConstraints _,
@@ -923,6 +972,41 @@ object Analytics extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // weights 3^j·4^(7-j) cleared to the 4^8 denominator; ragged heads
+    // renormalize over present taps; floor(num/den) on exact integers
+    "ts_ewma" -> (evCte +
+      """,
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+        |         count(*) AS n,
+        |         CAST(round(sum(value) * 100) AS BIGINT) AS vc
+        |  FROM ev GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, h, n, vc,
+        |    lag(vc, 0) OVER w AS x0, lag(vc, 1) OVER w AS x1,
+        |    lag(vc, 2) OVER w AS x2, lag(vc, 3) OVER w AS x3,
+        |    lag(vc, 4) OVER w AS x4, lag(vc, 5) OVER w AS x5,
+        |    lag(vc, 6) OVER w AS x6, lag(vc, 7) OVER w AS x7
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |folded AS (
+        |  SELECT event_type, h, n, vc,
+        |    coalesce(16384 * x0, 0) + coalesce(12288 * x1, 0)
+        |      + coalesce(9216 * x2, 0) + coalesce(6912 * x3, 0)
+        |      + coalesce(5184 * x4, 0) + coalesce(3888 * x5, 0)
+        |      + coalesce(2916 * x6, 0) + coalesce(2187 * x7, 0) AS num,
+        |    (CASE WHEN x0 IS NULL THEN 0 ELSE 16384 END)
+        |      + (CASE WHEN x1 IS NULL THEN 0 ELSE 12288 END)
+        |      + (CASE WHEN x2 IS NULL THEN 0 ELSE 9216 END)
+        |      + (CASE WHEN x3 IS NULL THEN 0 ELSE 6912 END)
+        |      + (CASE WHEN x4 IS NULL THEN 0 ELSE 5184 END)
+        |      + (CASE WHEN x5 IS NULL THEN 0 ELSE 3888 END)
+        |      + (CASE WHEN x6 IS NULL THEN 0 ELSE 2916 END)
+        |      + (CASE WHEN x7 IS NULL THEN 0 ELSE 2187 END) AS den
+        |  FROM lagged)
+        |SELECT event_type, h, n, vc / 100.0 AS value,
+        |       CAST(floor(num::DOUBLE / den) AS BIGINT) / 100.0 AS ewma
+        |FROM folded""".stripMargin),
     "dq_drift" -> (evCte +
       """,
         |v AS (

@@ -78,6 +78,28 @@ class AnalyticsSpec extends SparkSpec {
       "both windows must be populated per type")
   }
 
+  test("ts_ewma: window dot product matches a reference recurrence fold") {
+    val out = Analytics.tsEwma(spark, sf)
+      .orderBy($"event_type", $"h").collect()
+    assert(out.nonEmpty)
+    val wts = Array.tabulate(8)(j =>
+      math.pow(3, j).toLong * math.pow(4, 7 - j).toLong)
+    // recompute every row's ewma from the collected series in plain Scala
+    out.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      val vcs = rows.map(r => math.round(r.getAs[Double]("value") * 100))
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val taps = (0 until 8).filter(j => i - j >= 0)
+        val num = taps.map(j => wts(j) * vcs(i - j)).sum
+        val den = taps.map(wts).sum
+        val want = math.floor(num.toDouble / den).toLong / 100.0
+        assert(r.getAs[Double]("ewma") == want,
+          s"$tpe row $i: ewma ${r.getAs[Double]("ewma")} != $want")
+      }
+      // series head: a single tap means ewma == value exactly
+      assert(rows.head.getAs[Double]("ewma") == rows.head.getAs[Double]("value"))
+    }
+  }
+
   test("funnel: stages are monotonically shrinking and rates consistent") {
     val rows = Analytics.funnel(spark, sf).orderBy($"stage").collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
