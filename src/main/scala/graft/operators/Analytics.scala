@@ -944,7 +944,64 @@ object Analytics extends OpModule {
         (col("vc") / 100.0).as("value"), (col("ec") / 100.0).as("ewma"))
   }
 
+  /** Multi-source BFS hop distances over the co-supply graph — the
+    * frontier-expansion primitive the graph family lacked (components =
+    * undirected closure, pagerank = fixed power rounds, triangles/
+    * jaccard = neighborhood intersection; none answers "how FAR is
+    * every node from a seed set"). Seeds are the 5 smallest node ids;
+    * each round joins the frontier against the memoized adjacency,
+    * explodes neighbors, and anti-joins the settled set — the Pregel
+    * BFS step. Unreachable nodes report hop −1, so the output is a
+    * total audit (per hop: node count + exact id checksum).
+    *
+    * Round count is the seed set's eccentricity — INHERENT to BFS
+    * (distances don't compose the way component labels do, so the
+    * star-contraction O(log n) trick does not apply); co-supply graphs
+    * are cliquish with tiny diameters, and the loop hard-caps at 64
+    * hops (mirrored in the oracle's recursion bound — distances beyond
+    * the cap would report unreachable on both engines). Driver reads
+    * are one O(1) isEmpty per round (the convergence-read rule); every
+    * round's checkpoint is freed as soon as the next supersedes it. At
+    * 100 TB each round is one shuffle join on node id against the
+    * 1-row-per-node adjacency — frontier-sized, not graph-sized, work
+    * per round. */
+  def graphBfs(s: SparkSession, d: String): DataFrame = {
+    val adj = coSupplyAdjacency(s, d) // (id, nbrs, deg)
+    val nodes = adj.select(col("id"))
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var settled = nodes.orderBy(col("id")).limit(5)
+      .withColumn("hop", lit(0)).localCheckpoint()
+    cps += settled
+    var frontier = settled
+    var hop = 0
+    var done = false
+    while (!done && hop < 64) {
+      hop += 1
+      val next = frontier.join(adj, "id")
+        .select(explode(col("nbrs")).as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint()
+      cps += next
+      if (next.isEmpty) done = true
+      else {
+        val ns = settled.unionByName(next).localCheckpoint()
+        cps += ns
+        settled = ns
+        frontier = next
+      }
+    }
+    val keep = settled
+    cps.filter(_ ne keep).foreach(MemoUtil.dropCheckpoint)
+    MemoUtil.scratch(keep)
+    nodes.join(keep, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hop"), lit(-1)).as("hop"))
+      .groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("id")).cast("long").as("id_sum"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs" -> graphBfs _,
     "ts_ewma" -> tsEwma _,
     "dq_drift" -> dqDrift _,
     "mv_incremental" -> mvIncremental _,
@@ -1173,6 +1230,30 @@ object Analytics extends OpModule {
         |    CAST(date_diff('second', hp, hn) // 3600 AS DOUBLE)) / 100.0
         |  END AS value
         |FROM j""".stripMargin,
+    // UNION-recursive walk over (id, hop) pairs, bounded at 64 hops (the
+    // Spark loop's cap) — min(hop) per node is the BFS distance; nodes
+    // outside the walk report -1
+    "graph_bfs" ->
+      """WITH RECURSIVE os AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |sym AS (
+        |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 5),
+        |walk(id, hop) AS (
+        |  SELECT id, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.hop + 1
+        |  FROM walk w JOIN sym e ON e.src = w.id
+        |  WHERE w.hop < 64),
+        |dist AS (SELECT id, min(hop) AS hop FROM walk GROUP BY id)
+        |SELECT CAST(coalesce(d.hop, -1) AS INTEGER) AS hop,
+        |       count(*) AS n_nodes, CAST(sum(n.id) AS BIGINT) AS id_sum
+        |FROM nodes n LEFT JOIN dist d ON d.id = n.id
+        |GROUP BY 1""".stripMargin,
     "graph_components" ->
       """WITH RECURSIVE os AS (
         |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),

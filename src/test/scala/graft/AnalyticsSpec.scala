@@ -100,6 +100,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("graph_bfs: seeds at hop 0, contiguous hops, reachability = components") {
+    val out = Analytics.graphBfs(spark, sf).collect()
+    val hops = out.map(_.getAs[Int]("hop"))
+    // seeds: the 5 smallest node ids sit at hop 0
+    val nodeIds = Analytics.adjacencyProbe(spark, sf)
+      .select($"id").as[Long].collect().sorted
+    val h0 = out.find(_.getAs[Int]("hop") == 0).get
+    assert(h0.getAs[Long]("n_nodes") == 5L)
+    assert(h0.getAs[Long]("id_sum") == nodeIds.take(5).sum)
+    // a total audit: hop rows partition the node set
+    assert(out.map(_.getAs[Long]("n_nodes")).sum == nodeIds.length)
+    // frontier expansion leaves no hop gaps
+    val pos = hops.filter(_ >= 0).sorted
+    assert(pos.toSeq == (0 to pos.max).toSeq, s"hop gaps: ${pos.mkString(",")}")
+    // reachable ⇔ same component as a seed (BFS agrees with the closure)
+    val cc = Analytics.componentLabels(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seedCcs = nodeIds.take(5).map(cc).toSet
+    val nReachable = nodeIds.count(id => seedCcs.contains(cc(id)))
+    assert(out.filter(_.getAs[Int]("hop") >= 0)
+      .map(_.getAs[Long]("n_nodes")).sum == nReachable)
+  }
+
   test("funnel: stages are monotonically shrinking and rates consistent") {
     val rows = Analytics.funnel(spark, sf).orderBy($"stage").collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
