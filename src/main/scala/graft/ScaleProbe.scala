@@ -104,12 +104,22 @@ object ScaleProbe {
       // importance sampling: emitted multiset ≈ corpus-sized (token mass
       // conserved), growth must track emitted rows
       "llm_sample_importance",
+      // product quantization: training/encode are N·M·K broadcast folds,
+      // ADC is N·M·|queries| lookups — growth must stay ~linear in N
+      // (codebook size is fixed, unlike the K∝N kmeans family)
+      "llm_ann_pq",
+      // shard layout: one map-side pass + a 16-row aggregate — linear
+      "llm_shard_layout",
       // graph family over 10 disjoint graph clones: healthy = ~linear in
       // edges (sorted-adjacency merges), never Σdeg² shuffle rows;
       // components crosses the union-find gate (2^20 edges) between the
       // 1× and 10× tiers — the tier table shows both regimes
       "graph_pagerank", "graph_triangles", "graph_jaccard",
-      "graph_components")
+      "graph_components",
+      // BFS: rounds = seed eccentricity (flat across disjoint clones —
+      // the seeds' component doesn't grow); per-round cost is
+      // frontier-sized joins, so growth tracks the adjacency build
+      "graph_bfs")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
