@@ -46,26 +46,52 @@ object Bench {
     val budgetSec = 540.0
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
+    def fmt0(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     def onePass(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }
+        // free the op's intra-query lineage-cut checkpoints NOW: the
+        // result is consumed, nothing references them (memos have their
+        // own lifecycle, reset between passes). Letting ~170 queries'
+        // scratch pile up in the block manager inflated the whole pass
+        // ~2x via heap pressure once the suite grew past ~160 ops.
+        graft.operators.MemoUtil.dropScratch()
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val first = onePass()
-    val reruns = (2 to passes).iterator
-      .takeWhile(_ => elapsed + first.values.sum < budgetSec)
-      .map { _ =>
-        graft.operators.LlmScale.resetLloydMemo()
-        graft.operators.Analytics.resetGraphMemo()
-        graft.operators.LlmOps.resetNearMemo()
-        // intra-op lineage-cut checkpoints registered during the pass:
-        // nothing is in flight between passes, so their blocks free now
-        graft.operators.MemoUtil.dropScratch()
-        onePass()
-      }.toSeq
-    val all = first +: reruns
+    def timedPass(): (Map[String, Double], Double) = {
+      val t0 = System.nanoTime()
+      val r = onePass()
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (first, firstWall) = timedPass()
+    System.err.println(
+      s"[bench] pass 1 (cold): ${fmt0(firstWall)} s wall, elapsed ${fmt0(elapsed)} s")
+    // Estimate the NEXT pass from the most recent pass's measured wall
+    // time, not the cold pass's: pass 1 pays one-time staging (bucketed
+    // tables, persisted index artifacts) and first-touch codegen, so warm
+    // passes run ~3x cheaper. Gating every rerun on the cold cost (the
+    // r7 logic) silently collapsed min-of-3 to a single cold pass the
+    // moment the suite's cold time crossed budget/2 — tripling the
+    // reported total without any query actually regressing. For the
+    // cold->warm transition specifically, expect at least a 2x drop.
+    val all = scala.collection.mutable.ArrayBuffer(first)
+    var nextEstimate = firstWall / 2.0
+    while (all.size < passes && elapsed + nextEstimate < budgetSec) {
+      graft.operators.LlmScale.resetLloydMemo()
+      graft.operators.Analytics.resetGraphMemo()
+      graft.operators.LlmOps.resetNearMemo()
+      // intra-op lineage-cut checkpoints registered during the pass:
+      // nothing is in flight between passes, so their blocks free now
+      graft.operators.MemoUtil.dropScratch()
+      val (r, wall) = timedPass()
+      all += r
+      nextEstimate = wall
+      System.err.println(
+        s"[bench] pass ${all.size}: ${fmt0(wall)} s wall, elapsed ${fmt0(elapsed)} s")
+    }
     val results: Map[String, Double] =
       first.keys.map(n => n -> all.map(_(n)).min).toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0

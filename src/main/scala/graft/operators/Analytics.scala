@@ -149,11 +149,18 @@ object Analytics extends OpModule {
     * partitioned by the dimension key — the 100 TB pattern is identical,
     * and the output persists bucketed by o_custkey so as-of probes join
     * shuffle-free. */
-  def dimScd2(s: SparkSession, d: String): DataFrame = {
+  def dimScd2(s: SparkSession, d: String): DataFrame =
+    scd2Build(Tables.orders(s, d))
+
+  /** The SCD-2 window build over a change stream carrying (o_custkey,
+    * o_orderkey, o_totalprice, o_orderdate) — shared by the from-scratch
+    * dim_scd2 and the incremental path, so their equality is equality of
+    * INPUTS, not of two window implementations. */
+  private def scd2Build(rows: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    Tables.orders(s, d).select(
+    rows.select(
       col("o_custkey"),
       row_number().over(w).as("version"),
       col("o_orderkey"),
@@ -161,6 +168,67 @@ object Analytics extends OpModule {
       col("o_orderdate").as("valid_from"),
       lead(col("o_orderdate"), 1).over(w).as("valid_to"),
       lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+  }
+
+  /** Incremental SCD-2 maintenance — the production shape of dim_scd2.
+    * A STAGED snapshot of the built dimension covers every change row
+    * before a high-water mark (last observed day − 90 days, written once
+    * per orders-table version, the stagedMv economics); the registered
+    * query ingests only the delta slice. Customers untouched by the
+    * delta CARRY their snapshot rows through unchanged; touched
+    * customers REBUILD from (replayed snapshot rows ∪ delta rows) —
+    * replay is exact because every SCD-2 version preserves its
+    * originating change row (o_orderkey, attr_price, valid_from), so
+    * the rebuild input is bijective with the original change stream.
+    * Both paths run the SAME scd2Build window, so equality with a
+    * from-scratch build is equality of inputs, not of two window
+    * implementations; the oracle IS the from-scratch build plus the
+    * touched-key provenance flag.
+    *
+    * At-scale: refresh cost is O(delta + touched-customers' history) —
+    * the orders log is scanned only through the cutoff predicate (a
+    * partition prune on a date-partitioned production log), the carried
+    * path reads staged parquet, and the touched-key semi/anti joins
+    * broadcast the delta's key set (delta-sized, tiny by construction).
+    * The O(all customers) window of dim_scd2 never re-runs. */
+  private val scd2Dirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  private[graft] def stagedScd2(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val dir = scd2Dirs.computeIfAbsent((d, tableVersion(d, "orders")), { _ =>
+      val base = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+      val od = Tables.orders(s, d)
+      od.agg(expr("date_trunc('day', max(o_orderdate)) - interval 90 days")
+          .as("cutoff"))
+        .write.mode("overwrite").parquet(s"$base/meta")
+      // the snapshot derives from the WRITTEN meta — dimension and
+      // high-water mark are consistent by construction
+      val meta = s.read.parquet(s"$base/meta")
+      scd2Build(od.crossJoin(broadcast(meta))
+          .where(col("o_orderdate") < col("cutoff")))
+        .write.mode("overwrite").parquet(s"$base/dim")
+      base
+    })
+    (s.read.parquet(s"$dir/dim"), s.read.parquet(s"$dir/meta"))
+  }
+
+  def dimScd2Incremental(s: SparkSession, d: String): DataFrame = {
+    val (dim, meta) = stagedScd2(s, d)
+    val delta = Tables.orders(s, d)
+      .crossJoin(broadcast(meta)).where(col("o_orderdate") >= col("cutoff"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"))
+    val touched = delta.select(col("o_custkey")).distinct()
+    val replay = dim.join(broadcast(touched), Seq("o_custkey"), "left_semi")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("attr_price").as("o_totalprice"),
+        col("valid_from").as("o_orderdate"))
+    val rebuilt = scd2Build(replay.unionByName(delta))
+      .withColumn("provenance", lit("rebuilt"))
+    val carried = dim.join(broadcast(touched), Seq("o_custkey"), "left_anti")
+      .withColumn("provenance", lit("carried"))
+    carried.unionByName(rebuilt)
   }
 
   /** Deterministic PageRank (3 unrolled power iterations, damping 0.85)
@@ -775,12 +843,14 @@ object Analytics extends OpModule {
   private val mvDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
 
-  private def eventsVersion(d: String): Long = {
-    val f = new java.io.File(s"$d/events.parquet")
+  private def tableVersion(d: String, name: String): Long = {
+    val f = new java.io.File(s"$d/$name.parquet")
     val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
     kids.map(k => k.getName.hashCode.toLong ^ k.lastModified() ^ (k.length << 13))
       .foldLeft(f.lastModified())(_ ^ _)
   }
+
+  private def eventsVersion(d: String): Long = tableVersion(d, "events")
 
   private def mvPartials(ev: DataFrame): DataFrame =
     ev.groupBy(col("event_type"), pmod(col("user_id"), lit(64)).as("seg"))
@@ -944,6 +1014,50 @@ object Analytics extends OpModule {
         (col("vc") / 100.0).as("value"), (col("ec") / 100.0).as("ewma"))
   }
 
+  /** Batch sessionization of the event log — the gap-based session cut
+    * every clickstream/telemetry pipeline needs in BATCH form
+    * (stream_session is the streaming twin; this is the backfill/
+    * reprocess shape). Per user, a new session starts at the first
+    * event or whenever the gap to the previous event exceeds 30
+    * minutes; the session id is the running sum of break flags, and
+    * each session reports start/end, event count, duration, and value
+    * total. Time stays in exact integer MICROSECONDS end-to-end
+    * (unix_micros ↔ epoch_us are bijective with the stored
+    * timestamps), values collapse to integer cents before the cross-row
+    * sum — floats decide nothing. The (ts, event_id) tiebreak makes
+    * the lag/running-sum ordering total, though the session ASSIGNMENT
+    * is already tie-insensitive (equal timestamps ⇒ gap 0 < threshold).
+    *
+    * Scale shape: ONE shuffle — the window's hash partition by
+    * user_id; the session aggregate's (user_id, session_id) grouping
+    * is satisfied by the same partitioning (subset rule), so Spark
+    * chains window → sort-free hash-agg with no second exchange. At
+    * 100 TB this is the canonical one-pass sessionizer: no self-join,
+    * no per-session explode, state bounded by a user's own history. */
+  def tsSessionize(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .withColumn("brk",
+        when(lag(col("tus"), 1).over(w).isNull
+          || col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        timestamp_micros(min(col("tus"))).as("session_start"),
+        timestamp_micros(max(col("tus"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        ((max(col("tus")) - min(col("tus"))) / lit(1000000L)).cast("long")
+          .as("duration_sec"),
+        (sum(col("vc")) / 100.0).as("sum_value"))
+  }
+
   /** Multi-source BFS hop distances over the co-supply graph — the
     * frontier-expansion primitive the graph family lacked (components =
     * undirected closure, pagerank = fixed power rounds, triangles/
@@ -1003,6 +1117,8 @@ object Analytics extends OpModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs" -> graphBfs _,
     "ts_ewma" -> tsEwma _,
+    "ts_sessionize" -> tsSessionize _,
+    "dim_scd2_incremental" -> dimScd2Incremental _,
     "dq_drift" -> dqDrift _,
     "mv_incremental" -> mvIncremental _,
     "dq_constraints" -> dqConstraints _,
@@ -1064,6 +1180,32 @@ object Analytics extends OpModule {
         |SELECT event_type, h, n, vc / 100.0 AS value,
         |       CAST(floor(num::DOUBLE / den) AS BIGINT) / 100.0 AS ewma
         |FROM folded""".stripMargin),
+    // exact-microsecond gaps, 30 min threshold; session id = running sum
+    // of break flags; values in integer cents before the cross-row sum
+    "ts_sessionize" -> (evCte +
+      """,
+        |se AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |         CAST(round(value * 100) AS BIGINT) AS vc,
+        |         CASE WHEN lag(tus0) OVER w IS NULL
+        |                OR tus0 - lag(tus0) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM (SELECT *, epoch_us(ts) AS tus0 FROM ev)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sid AS (
+        |  SELECT user_id, tus, vc,
+        |         sum(brk) OVER (PARTITION BY user_id
+        |                        ORDER BY tus, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND CURRENT ROW) AS session_id
+        |  FROM se)
+        |SELECT user_id, session_id,
+        |       make_timestamp(min(tus)) AS session_start,
+        |       make_timestamp(max(tus)) AS session_end,
+        |       count(*) AS n_events,
+        |       (max(tus) - min(tus)) // 1000000 AS duration_sec,
+        |       sum(vc) / 100.0 AS sum_value
+        |FROM sid GROUP BY 1, 2""".stripMargin),
     "dq_drift" -> (evCte +
       """,
         |v AS (
@@ -1427,6 +1569,32 @@ object Analytics extends OpModule {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    // the oracle IS the from-scratch build: carried ∪ rebuilt must equal
+    // the full window over all orders, plus the touched-key provenance
+    "dim_scd2_incremental" ->
+      """WITH cut AS (
+        |  SELECT date_trunc('day', max(o_orderdate)) - INTERVAL 90 DAY
+        |           AS cutoff
+        |  FROM orders),
+        |touched AS (
+        |  SELECT DISTINCT o_custkey FROM orders, cut
+        |  WHERE o_orderdate >= cutoff),
+        |dim AS (
+        |  SELECT o_custkey,
+        |         row_number() OVER w AS version,
+        |         o_orderkey,
+        |         o_totalprice AS attr_price,
+        |         o_orderdate AS valid_from,
+        |         lead(o_orderdate, 1) OVER w AS valid_to,
+        |         lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey))
+        |SELECT d.o_custkey, d.version, d.o_orderkey, d.attr_price,
+        |       d.valid_from, d.valid_to, d.is_current,
+        |       CASE WHEN t.o_custkey IS NOT NULL THEN 'rebuilt'
+        |            ELSE 'carried' END AS provenance
+        |FROM dim d LEFT JOIN touched t ON d.o_custkey = t.o_custkey""".stripMargin,
     "ts_gapfill" -> (evCte +
       """,
         |hourly AS (

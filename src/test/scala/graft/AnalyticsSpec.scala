@@ -55,6 +55,70 @@ class AnalyticsSpec extends SparkSpec {
     assert(v1.inputFiles.sorted.sameElements(v2.inputFiles.sorted))
   }
 
+  test("ts_sessionize: partitions the log, dense ids, one shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the scale claim first, against the UNCACHED plan: ONE shuffle —
+    // the (user_id, session_id) group-by is satisfied by the window's
+    // user_id hash partitioning
+    val shuffles = collectFinal(Analytics.tsSessionize(spark, sf)
+      .select($"user_id", $"n_events")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1,
+      s"sessionize must be a one-shuffle pipeline, got ${shuffles.size}")
+    val out = Analytics.tsSessionize(spark, sf).cache()
+    try {
+      // sessions PARTITION the event log: every event lands in exactly
+      // one session
+      val nEvents = graft.Tables.events(spark, sf).count()
+      assert(out.agg(sum($"n_events")).head.getLong(0) == nEvents)
+      // per user, session ids are dense 1..k (running sum of breaks
+      // starting from a forced first-row break)
+      val ragged = out.groupBy($"user_id")
+        .agg(min($"session_id").as("lo"), max($"session_id").as("hi"),
+          count(lit(1)).as("k"))
+        .where($"lo" =!= 1 || $"hi" =!= $"k")
+      assert(ragged.isEmpty, "session ids must be dense per user")
+      // fixture is non-degenerate in both directions
+      assert(out.where($"n_events" > 1).count() > 0, "no multi-event session")
+      assert(out.groupBy($"user_id").count().where($"count" > 1).count() > 0,
+        "no user with a session break")
+      // within a session the bounding gap can't exceed (n-1) full gaps
+      assert(out.where($"duration_sec" > ($"n_events" - 1) * 1800).count() == 0,
+        "a session spans longer than its events could allow")
+    } finally out.unpersist()
+  }
+
+  test("dim_scd2_incremental: carried ∪ rebuilt equals the from-scratch build") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // refresh cost is O(delta + touched), asserted on the UNCACHED plan:
+    // every orders scan sits under the cutoff filter (2 delta-sized
+    // reads); the carried/replay paths read the STAGED dimension parquet,
+    // never the orders log
+    val scans = collectFinal(Analytics.dimScd2Incremental(spark, sf)) {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.count(_.contains("orders.parquet")) == 2,
+      s"expected two delta-slice orders scans, got:\n${scans.mkString("\n")}")
+    assert(scans.exists(_.contains("graft_scd2")),
+      "carried path must read the staged dimension")
+    val out = Analytics.dimScd2Incremental(spark, sf).cache()
+    try {
+      // equality with the full window over all orders, column for column
+      val want = Analytics.dimScd2(spark, sf).collect().map(_.toSeq).toSet
+      val got = out.drop("provenance").collect().map(_.toSeq).toSet
+      assert(got == want, "incremental dimension diverges from recompute")
+      // provenance marks exactly the delta-touched customers
+      val byProv = out.groupBy($"provenance").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byProv.getOrElse("carried", 0L) > 0 &&
+        byProv.getOrElse("rebuilt", 0L) > 0, s"degenerate split: $byProv")
+      // staging is per-(dir, version): a second call reuses the artifact
+      val (d1, _) = Analytics.stagedScd2(spark, sf)
+      val (d2, _) = Analytics.stagedScd2(spark, sf)
+      assert(d1.inputFiles.sorted.sameElements(d2.inputFiles.sorted))
+    } finally out.unpersist()
+  }
+
   test("dq_drift: PSI exactly zero on identical windows, flags a shifted one") {
     // identical distributions → p_pm == q_pm in every bucket → the
     // integer PSI sum is exactly 0, not epsilon
