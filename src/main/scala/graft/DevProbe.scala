@@ -137,7 +137,7 @@ object DevProbe {
         val t0 = System.nanoTime()
         val name = s"floor_${tag}_$i"
         val in = ss.readStream.schema(schema).parquet(src.toString)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(graft.Tables.normalizeTs)
         val q = build(in).writeStream.format("memory").queryName(name)
           .outputMode(mode)
           .option("checkpointLocation",
@@ -156,7 +156,7 @@ object DevProbe {
         .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n")), "append")
       // full join with per-batch progress breakdown
       val in1 = ss.readStream.schema(schema).parquet(src.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.normalizeTs)
       val clicks = in1.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("c_ts"))
@@ -171,7 +171,7 @@ object DevProbe {
         ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
           noData.toString)
         val in1 = ss.readStream.schema(schema).parquet(src.toString)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(graft.Tables.normalizeTs)
         val clicks = in1.where(col("event_type") === "click")
           .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
             col("ts").as("c_ts"))

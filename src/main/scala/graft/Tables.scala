@@ -13,8 +13,23 @@ import org.apache.spark.sql.functions._
   * reaching the scan at 100 TB.
   */
 object Tables {
+  /** Cast any TIMESTAMP_NTZ column to TimestampType. The regenerated
+    * driver fixtures store naive timestamp[us] (no UTC flag), which Spark
+    * reads as TIMESTAMP_NTZ; every session here runs with
+    * `spark.sql.session.timeZone=UTC`, so the cast is the identity on the
+    * underlying µs value and merely restores the instant-typed schema the
+    * round-7 correctness gate already proved out against the DuckDB
+    * oracle (which reads the same naive values as-is). */
+  private def instantTyped(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn(f.name,
+          col(f.name).cast(org.apache.spark.sql.types.TimestampType))
+      else d
+    }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    instantTyped(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -23,17 +38,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (Verify /
-    * Bench / SparkSpec all do) so the column arrives as a raw ns long; the
-    * loader truncates to a µs TimestampType column — the oracle side
-    * mirrors this with `make_timestamp(epoch_ns(ts) // 1000)`. The conf is
-    * deliberately NOT set here: mutating session state inside a loader
-    * races under concurrent query construction. */
+  /** Normalize `events.ts` to a µs TimestampType column regardless of
+    * fixture generation. Early driver fixtures stored TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL])
+    * unless `spark.sql.legacy.parquet.nanosAsLong=true` (Verify / Bench /
+    * SparkSpec all set it) — the column then arrives as a raw ns LONG and
+    * is truncated here. Current fixtures store timestamp[us] without the
+    * UTC flag, which Spark reads as TIMESTAMP_NTZ; all sessions run with
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→TZ cast is the identity
+    * on the underlying µs value. Either way the oracle side sees the same
+    * instants: DuckDB's `make_timestamp(epoch_ns(ts) // 1000)` reads the
+    * naive timestamp as-is. Dispatch on the OBSERVED dtype (not a conf)
+    * so the loader keeps working across fixture regenerations. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
+  }
+
   def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

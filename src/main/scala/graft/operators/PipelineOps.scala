@@ -35,8 +35,8 @@ object PipelineOps extends OpModule {
   /** The declared pipeline: three systems over the events topic. */
   private[graft] def revenuePipeline(d: String): Pipeline =
     Pipeline.from("purchase-revenue", FileTopic(eventsTopicDir(d)))
-      // system 1: decode topic payload (ns → µs event time)
-      .stage(_.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      // system 1: decode topic payload (raw event time → µs TimestampType)
+      .stage(graft.Tables.normalizeTs)
       // system 2: keep revenue-bearing events
       .stage(_.where(col("event_type") === "purchase" && col("value") > 10))
       // system 3: enrich with a value band + project the output record

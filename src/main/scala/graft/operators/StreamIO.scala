@@ -94,8 +94,7 @@ object StreamIO extends OpModule {
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     val path = eventsDir(d)
     val schema = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
-    s.readStream.schema(schema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(s.readStream.schema(schema).parquet(path))
   }
 
   /** Directory-watch ingestion: stream the events table through a real
