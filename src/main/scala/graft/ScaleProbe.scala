@@ -26,6 +26,7 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -64,6 +65,30 @@ object ScaleProbe {
       .withColumn("l_suppkey", col("l_suppkey") + col("k") * lit(1000000L))
       .drop("k")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+
+    // events/orders clones: DISJOINT per-clone user and customer spaces
+    // (entity ids offset by k·10⁷) with timestamps unchanged — entity
+    // count grows ×copies while per-entity history stays fixed, so the
+    // windowed/stateful family (sessionize, SCD-2) must grow ~linearly in
+    // rows with flat per-entity state, and the snapshot+delta ops
+    // (mv_incremental, dim_scd2_incremental) must keep their delta
+    // economics: the probe's first call pays the one-time snapshot
+    // staging, the registered query itself touches delta + staged rows
+    spark.read.parquet(s"$src/events.parquet")
+      .transform(Tables.normalizeTs)
+      .withColumn("k", explode(lit((0 until copies).toArray)))
+      .select((col("event_id") * copies + col("k")).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * lit(10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    spark.read.parquet(s"$src/orders.parquet")
+      .withColumn("k", explode(lit((0 until copies).toArray)))
+      .select((col("o_orderkey") * copies + col("k")).as("o_orderkey"),
+        (col("o_custkey") + col("k") * lit(10000000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
 
     val probes = Seq(
       // incremental shard-vs-index dedup: cost must track the NEW side
@@ -119,7 +144,15 @@ object ScaleProbe {
       // BFS: rounds = seed eccentricity (flat across disjoint clones —
       // the seeds' component doesn't grow); per-round cost is
       // frontier-sized joins, so growth tracks the adjacency build
-      "graph_bfs")
+      "graph_bfs",
+      // events/orders family over the disjoint-entity clones: sessionize
+      // is the one-shuffle window+agg chain (linear in rows, state per
+      // user fixed); ewma/drift collapse to the hourly/bucket series
+      // first (aggregate growth is bounded by the series, not the rows);
+      // the two snapshot+delta ops must track delta + touched entities,
+      // never the full re-window/re-aggregate
+      "ts_sessionize", "ts_ewma", "dq_drift", "mv_incremental",
+      "dim_scd2_incremental")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

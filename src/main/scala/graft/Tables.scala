@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   /** Cast any TIMESTAMP_NTZ column to TimestampType. The regenerated
-    * driver fixtures store naive timestamp[us] (no UTC flag), which Spark
-    * reads as TIMESTAMP_NTZ; every session here runs with
-    * `spark.sql.session.timeZone=UTC`, so the cast is the identity on the
-    * underlying µs value and merely restores the instant-typed schema the
-    * round-7 correctness gate already proved out against the DuckDB
-    * oracle (which reads the same naive values as-is). */
+    * driver fixtures store naive timestamp[us] (no UTC flag); sessions set
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false` so the scan emits
+    * TimestampType NATIVELY (no cast above the scan — a cast would block
+    * parquet predicate pushdown on every date filter), making this fold a
+    * no-op. It stays as a dispatch fallback for sessions without the conf:
+    * all sessions run `spark.sql.session.timeZone=UTC`, so the cast is the
+    * identity on the underlying µs value, and the DuckDB oracle reads the
+    * same naive values as-is either way. */
   private def instantTyped(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)

@@ -347,6 +347,7 @@ class CustomSurfaceSpec extends SparkSpec {
       .appName("graft-ext-test")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     try {
       import s2.implicits._

@@ -11,6 +11,7 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // RocksDB state store: supports transformWithState's column families
     // and is the at-scale choice (incremental checkpoints, off-heap state)
     .config("spark.sql.streaming.stateStore.providerClass",
