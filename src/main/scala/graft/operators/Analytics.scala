@@ -1014,6 +1014,62 @@ object Analytics extends OpModule {
         (col("vc") / 100.0).as("value"), (col("ec") / 100.0).as("ewma"))
   }
 
+  /** Two-sided CUSUM change-point detection over the hourly value
+    * series — the sequential mean-shift detector (Page's cumulative
+    * sum) every telemetry / data-quality pipeline runs beside
+    * distribution drift (dq_drift is two fixed windows; CUSUM localizes
+    * WHEN the shift happened). The clamped recurrence
+    * S_t = max(0, S_{t−1} + d_t) chains every row to its predecessor
+    * through the clamp — unvectorizable as written; it is re-expressed
+    * through the exact identity S_t = P_t − min(0, min_{j≤t} P_j) with
+    * P the plain prefix sum (induction: the running min absorbs the
+    * clamp), which is one running sum + one running min — both plain
+    * window passes. Arithmetic stays in exact BIGINT at the ×n scale:
+    * deviations clear the mean division (D_t = n·x_t − Σx ∓ n·κ with
+    * n·κ = Σx div 20 — slack κ = 5% of the hourly mean), the alarm
+    * S > H at H = 25% of the mean becomes 4·S_scaled > Σx, and the
+    * reported cusum magnitude is S_scaled div n cents — every operand
+    * nonnegative, so Spark's truncating div and DuckDB's flooring //
+    * agree, and the gate hash-matches on the identical lattice.
+    *
+    * Scale shape: the raw log collapses to the (type, hour) series
+    * FIRST — ONE shuffle over raw events, with map-side combine, keyed
+    * (type, hour) so the exchange keeps full parallelism (keying raw
+    * events by type alone would collapse to |types| partitions).
+    * Everything after runs over |types|·|hours| rows, never raw events
+    * (the ts_gapfill rule): the per-type totals broadcast back, the
+    * series re-exchanges by type for the prefix/min windows, and the
+    * final per-type aggregate reuses the window partitioning (subset
+    * rule — no fourth exchange). Magnitudes bound by |hours|·Σcents —
+    * at 100 TB (Σcents ~10¹⁵, |hours| ~10⁴) still inside 2⁶³. */
+  def tsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("vc"))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sx"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    hourly.join(broadcast(tot), "event_type")
+      .withColumn("dup", col("n") * col("vc") - col("sx") - expr("sx div 20"))
+      .withColumn("ddn", col("sx") - col("n") * col("vc") - expr("sx div 20"))
+      .withColumn("pup", sum(col("dup")).over(run))
+      .withColumn("pdn", sum(col("ddn")).over(run))
+      .withColumn("cup", col("pup") - least(lit(0L), min(col("pup")).over(run)))
+      .withColumn("cdn", col("pdn") - least(lit(0L), min(col("pdn")).over(run)))
+      .withColumn("alarm_up", col("cup") * 4 > col("sx"))
+      .withColumn("alarm_dn", col("cdn") * 4 > col("sx"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_hours"),
+        sum(when(col("alarm_up"), 1L).otherwise(0L)).as("n_alarm_up"),
+        sum(when(col("alarm_dn"), 1L).otherwise(0L)).as("n_alarm_dn"),
+        min(when(col("alarm_up"), col("h"))).as("first_alarm_up"),
+        min(when(col("alarm_dn"), col("h"))).as("first_alarm_dn"),
+        (max(expr("cup div n")) / 100.0).as("max_cusum_up"),
+        (max(expr("cdn div n")) / 100.0).as("max_cusum_dn"))
+  }
+
   /** Batch sessionization of the event log — the gap-based session cut
     * every clickstream/telemetry pipeline needs in BATCH form
     * (stream_session is the streaming twin; this is the backfill/
@@ -1117,6 +1173,7 @@ object Analytics extends OpModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs" -> graphBfs _,
     "ts_ewma" -> tsEwma _,
+    "ts_changepoint" -> tsChangepoint _,
     "ts_sessionize" -> tsSessionize _,
     "dim_scd2_incremental" -> dimScd2Incremental _,
     "dq_drift" -> dqDrift _,
@@ -1180,6 +1237,47 @@ object Analytics extends OpModule {
         |SELECT event_type, h, n, vc / 100.0 AS value,
         |       CAST(floor(num::DOUBLE / den) AS BIGINT) / 100.0 AS ewma
         |FROM folded""".stripMargin),
+    // clamped CUSUM via the prefix − min(0, running-min(prefix))
+    // identity; deviations at the ×n scale so no mean division; every
+    // operand nonnegative where divided, so // ≡ div
+    "ts_changepoint" -> (evCte +
+      """,
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+        |         CAST(round(sum(value) * 100) AS BIGINT) AS vc
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(vc) AS BIGINT) AS sx
+        |  FROM hourly GROUP BY 1),
+        |dev AS (
+        |  SELECT h.event_type, h.h, t.n, t.sx,
+        |         t.n * h.vc - t.sx - (t.sx // 20) AS dup,
+        |         t.sx - t.n * h.vc - (t.sx // 20) AS ddn
+        |  FROM hourly h JOIN tot t USING (event_type)),
+        |pre AS (
+        |  SELECT *, CAST(sum(dup) OVER w AS BIGINT) AS pup,
+        |            CAST(sum(ddn) OVER w AS BIGINT) AS pdn
+        |  FROM dev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cus AS (
+        |  SELECT *, pup - least(0, min(pup) OVER w) AS cup,
+        |            pdn - least(0, min(pdn) OVER w) AS cdn
+        |  FROM pre
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type,
+        |       max(n) AS n_hours,
+        |       CAST(sum(CASE WHEN cup * 4 > sx THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_alarm_up,
+        |       CAST(sum(CASE WHEN cdn * 4 > sx THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_alarm_dn,
+        |       min(CASE WHEN cup * 4 > sx THEN h END) AS first_alarm_up,
+        |       min(CASE WHEN cdn * 4 > sx THEN h END) AS first_alarm_dn,
+        |       CAST(max(cup // n) AS BIGINT) / 100.0 AS max_cusum_up,
+        |       CAST(max(cdn // n) AS BIGINT) / 100.0 AS max_cusum_dn
+        |FROM cus GROUP BY 1""".stripMargin),
     // exact-microsecond gaps, 30 min threshold; session id = running sum
     // of break flags; values in integer cents before the cross-row sum
     "ts_sessionize" -> (evCte +

@@ -170,6 +170,56 @@ object LlmCuration extends OpModule {
             |    0L, (a, q) -> a + q)
             |ELSE 0L END""".stripMargin).as("q_checksum"))
 
+  /** Embedding-space dataset drift between two corpus snapshots — the
+    * vector-side companion to dq_drift's scalar PSI: a retrain decision
+    * needs "did the representation of label k MOVE", which value
+    * histograms can't see. Snapshots are the deterministic vec_id
+    * parity split (stand-in for two ingest dates); per (label, side)
+    * the centroid is computed in exact fixed point: each component
+    * quantizes to round(x·10⁴) + 10⁵ BEFORE any cross-row sum (the
+    * shift keeps every summand, sum, and the per-dim mean NONNEGATIVE,
+    * so Spark's truncating div and DuckDB's flooring // agree; the
+    * shift cancels in the centroid difference), and the reported
+    * L2 shift is sqrt of an exact BIGINT sum of squared per-dim
+    * centroid deltas — sqrt is correctly rounded IEEE on both engines,
+    * then round(·,6) absorbs nothing but the display.
+    *
+    * At-scale: the per-dim explode is map-side combinable — the
+    * shuffle after partial aggregation carries |labels|·|sides|·D
+    * rows, never N·D; the pivot and the final per-label fold run on
+    * that tiny grid. Magnitude bound: per-(label,side,dim) sums are
+    * n·2·10⁵ ≤ 2⁶³ past n = 10¹³ vectors. The parity split
+    * generalizes to any snapshot predicate (ingest date, shard range)
+    * without changing the plan shape. */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val S = 10000L
+    val OFF = 100000L
+    val cent = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        (round(col("x").cast("double") * S, 0).cast("long") + OFF).as("qx"),
+        (col("vec_id") % 2 === 0).as("ref"))
+      .groupBy(col("label"), col("ref"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qx")).as("sq"))
+      .withColumn("c", expr("sq div n") - OFF)
+    cent.groupBy(col("label"), col("dim"))
+      .agg(
+        max(when(col("ref"), col("c"))).as("c_ref"),
+        max(when(!col("ref"), col("c"))).as("c_cur"),
+        max(when(col("ref"), col("n"))).as("n_ref"),
+        max(when(!col("ref"), col("n"))).as("n_cur"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n_ref")).as("n_ref"),
+        max(col("n_cur")).as("n_cur"),
+        sum((col("c_ref") - col("c_cur")) * (col("c_ref") - col("c_cur")))
+          .as("shift_fp"))
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        col("shift_fp").cast("long").as("shift_fp"),
+        round(sqrt(col("shift_fp").cast("double")) / S, 6).as("l2_shift"))
+  }
+
   /** Flagship macro: the whole curation pipeline as ONE dataflow —
     * quality gate → exact dedup (min-id per text among kept) → near-dup
     * pairwise drop (the non-minimal member of every verified pair) →
@@ -355,7 +405,8 @@ object LlmCuration extends OpModule {
     "llm_pii_scrub" -> piiScrub _,
     "llm_quality_filter" -> qualityFilter _,
     "llm_sample_stratified" -> sampleStratified _,
-    "llm_embed_quantize" -> embedQuantize _
+    "llm_embed_quantize" -> embedQuantize _,
+    "llm_embedding_drift" -> embeddingDrift _
   )
 
   // shared by llm_quality_filter and the curation_e2e macro's CTE chain
@@ -560,6 +611,34 @@ object LlmCuration extends OpModule {
         |FROM g
         |WHERE h < floor(rate * 4294967296.0)::BIGINT
         |GROUP BY lang""".stripMargin,
+    // fixed-point centroids with a nonneg shift (div ≡ //), exact BIGINT
+    // squared-delta sum, IEEE sqrt; dims enumerated 0..63 (fixture dim
+    // is 64 on every row — FIXTURES.md)
+    "llm_embedding_drift" ->
+      """WITH q AS (
+        |  SELECT label, d.d AS dim,
+        |    CAST(round(embedding[d.d + 1]::DOUBLE * 10000) AS BIGINT)
+        |      + 100000 AS qx,
+        |    vec_id % 2 = 0 AS ref
+        |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+        |cent AS (
+        |  SELECT label, ref, dim, CAST(count(*) AS BIGINT) AS n,
+        |         (CAST(sum(qx) AS BIGINT) // CAST(count(*) AS BIGINT))
+        |           - 100000 AS c
+        |  FROM q GROUP BY 1, 2, 3),
+        |sides AS (
+        |  SELECT label, dim,
+        |         max(CASE WHEN ref THEN c END) AS c_ref,
+        |         max(CASE WHEN NOT ref THEN c END) AS c_cur,
+        |         max(CASE WHEN ref THEN n END) AS n_ref,
+        |         max(CASE WHEN NOT ref THEN n END) AS n_cur
+        |  FROM cent GROUP BY 1, 2)
+        |SELECT label, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+        |       CAST(sum((c_ref - c_cur) * (c_ref - c_cur)) AS BIGINT)
+        |         AS shift_fp,
+        |       round(sqrt(CAST(sum((c_ref - c_cur) * (c_ref - c_cur))
+        |         AS BIGINT)::DOUBLE) / 10000, 6) AS l2_shift
+        |FROM sides GROUP BY 1""".stripMargin,
     "llm_embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

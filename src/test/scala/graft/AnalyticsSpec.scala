@@ -164,6 +164,82 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ts_changepoint: window identity equals the literal clamped recurrence") {
+    val out = Analytics.tsChangepoint(spark, sf).collect()
+    assert(out.nonEmpty)
+    // re-derive the hourly series exactly as the op does, then walk the
+    // literal recurrence S_t = max(0, S_{t-1} + d_t) in plain Scala —
+    // the spec pins the prefix-minus-running-min identity to the
+    // textbook definition it claims to equal
+    val hourly = graft.Tables.events(spark, sf)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(round(sum($"value") * 100, 0).cast("long").as("vc"))
+      .orderBy($"event_type", $"h")
+      .collect()
+    val byType = hourly.groupBy(_.getString(0))
+    out.foreach { r =>
+      val tpe = r.getString(0)
+      val vcs = byType(tpe).map(_.getAs[Long]("vc"))
+      val n = vcs.length.toLong
+      val sx = vcs.sum
+      val slack = sx / 20 // nonneg, so / == div == //
+      var sup = 0L; var sdn = 0L
+      var nUp = 0L; var nDn = 0L
+      var maxUp = 0L; var maxDn = 0L
+      var firstUp = -1; var firstDn = -1
+      vcs.zipWithIndex.foreach { case (vc, i) =>
+        sup = math.max(0L, sup + (n * vc - sx - slack))
+        sdn = math.max(0L, sdn + (sx - n * vc - slack))
+        maxUp = math.max(maxUp, sup); maxDn = math.max(maxDn, sdn)
+        if (sup * 4 > sx) { nUp += 1; if (firstUp < 0) firstUp = i }
+        if (sdn * 4 > sx) { nDn += 1; if (firstDn < 0) firstDn = i }
+      }
+      assert(r.getAs[Long]("n_hours") == n, s"$tpe n_hours")
+      assert(r.getAs[Long]("n_alarm_up") == nUp, s"$tpe n_alarm_up")
+      assert(r.getAs[Long]("n_alarm_dn") == nDn, s"$tpe n_alarm_dn")
+      assert(r.getAs[Double]("max_cusum_up") == (maxUp / n) / 100.0, s"$tpe up")
+      assert(r.getAs[Double]("max_cusum_dn") == (maxDn / n) / 100.0, s"$tpe dn")
+      val hs = byType(tpe).map(_.getAs[java.sql.Timestamp]("h"))
+      def at(i: Int): java.sql.Timestamp = if (i < 0) null else hs(i)
+      assert(r.getAs[java.sql.Timestamp]("first_alarm_up") == at(firstUp))
+      assert(r.getAs[java.sql.Timestamp]("first_alarm_dn") == at(firstDn))
+    }
+  }
+
+  test("ts_changepoint: planted step shift alarms after the shift, flat series never") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    val hours = 200
+    val shiftAt = 100
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val rows = (0 until hours).flatMap { i =>
+      val ts = java.sql.Timestamp.from(base.plusSeconds(i * 3600L))
+      Seq(
+        (i.toLong * 2, ts, 1L, "step",
+          if (i < shiftAt) 10.0 else 20.0, "{}"),
+        (i.toLong * 2 + 1, ts, 2L, "flat", 15.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.tsChangepoint(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val shiftTs = java.sql.Timestamp.from(base.plusSeconds(shiftAt * 3600L))
+    val step = out("step")
+    // up-shift detected at or after the planted change point, never before
+    assert(step.getAs[Long]("n_alarm_up") > 0)
+    assert(!step.getAs[java.sql.Timestamp]("first_alarm_up").before(shiftTs))
+    // the retrospective down side (pre-shift mean below the global mean)
+    // alarms strictly before the shift — CUSUM localizes both directions
+    assert(step.getAs[Long]("n_alarm_dn") > 0)
+    assert(step.getAs[java.sql.Timestamp]("first_alarm_dn").before(shiftTs))
+    // a flat series accumulates nothing: slack alone keeps S at zero
+    val flat = out("flat")
+    assert(flat.getAs[Long]("n_alarm_up") == 0 &&
+      flat.getAs[Long]("n_alarm_dn") == 0)
+    assert(flat.getAs[Double]("max_cusum_up") == 0.0 &&
+      flat.getAs[Double]("max_cusum_dn") == 0.0)
+    assert(flat.getAs[java.sql.Timestamp]("first_alarm_up") == null)
+  }
+
   test("graph_bfs: seeds at hop 0, contiguous hops, reachability = components") {
     val out = Analytics.graphBfs(spark, sf).collect()
     val hops = out.map(_.getAs[Int]("hop"))

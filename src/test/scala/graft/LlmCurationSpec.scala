@@ -172,4 +172,34 @@ class LlmCurationSpec extends SparkSpec {
       assert(cs >= -128L * n && cs <= 127L * n)
     }
   }
+
+  test("embedding_drift: parity split is near-still, a planted shift is loud") {
+    // fixture: the two parity halves draw from the same distribution, so
+    // every label's centroid shift is small (≪ the component scale 0.15)
+    val out = LlmCuration.embeddingDrift(spark, sf).collect()
+    assert(out.length == 10, "one row per label")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur") > 0)
+      val shift = r.getAs[Double]("l2_shift")
+      assert(shift >= 0.0 && shift < 0.5, s"parity shift implausible: $shift")
+    }
+    // planted drift: label 0's odd (cur) half moves +0.5 in dim 0 only —
+    // the reported L2 shift must land on ~0.5 for label 0 and ~0 for
+    // label 1, recovering magnitude AND locality from the centroid delta
+    val dir = java.nio.file.Files.createTempDirectory("graft_edrift").toString
+    val vecs = (0 until 200).map { i =>
+      val label = (i / 2) % 2 // both parities inside every label
+      val base = Array.tabulate(8)(d => (d + 1) * 0.01f)
+      if (label == 0 && i % 2 == 1) base(0) += 0.5f // odd vec_ids of label 0
+      (i.toLong, base.toSeq, label)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>"), $"label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = LlmCuration.embeddingDrift(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(math.abs(planted(0).getAs[Double]("l2_shift") - 0.5) < 0.01,
+      s"planted shift not recovered: ${planted(0)}")
+    assert(planted(1).getAs[Double]("l2_shift") < 0.01)
+  }
 }
