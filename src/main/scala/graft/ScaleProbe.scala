@@ -152,7 +152,12 @@ object ScaleProbe {
       // the two snapshot+delta ops must track delta + touched entities,
       // never the full re-window/re-aggregate
       "ts_sessionize", "ts_ewma", "dq_drift", "mv_incremental",
-      "dim_scd2_incremental")
+      "dim_scd2_incremental",
+      // CUSUM windows run over the collapsed hourly series — row growth
+      // lands entirely in the collapse's map-side combine, so growth
+      // must be scan-bound; embedding drift's explode partial-aggregates
+      // to |labels|·2·D rows before the shuffle at any N
+      "ts_changepoint", "llm_embedding_drift")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
