@@ -327,6 +327,38 @@ object Analytics extends OpModule {
         |) AS (constraint, metric, passed)""".stripMargin))
   }
 
+  /** Pipeline-embedded observability through Spark's `Observation` /
+    * CollectMetrics surface — the at-scale answer to "what did this
+    * pipeline actually process": dq_constraints SCANS the table to
+    * measure it, but a production job must not pay a second corpus pass
+    * for its metrics, so they ride the SAME pass as the pipeline.
+    * `observe` attaches metric aggregates at two points — the raw scan
+    * (rows in, null quantities) and the filtered projection (rows out,
+    * exact-cent revenue) — the pipeline runs ONCE into a noop sink
+    * (a real action, no output cost), and the metrics arrive on the
+    * driver as accumulator-style side channels: zero extra scans, zero
+    * extra shuffles, O(1) driver values. The returned row is the
+    * funnel audit a DQ system would alert on; the oracle replays both
+    * observation points declaratively. */
+  def dqObserve(s: SparkSession, d: String): DataFrame = {
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsOut = org.apache.spark.sql.Observation()
+    Tables.lineitem(s, d)
+      .observe(obsIn, count(lit(1)).as("n_in"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"))
+      .where(col("l_discount") > 0.05)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .observe(obsOut, count(lit(1)).as("n_out"), sum(col("cents")).as("sc"))
+      .write.format("noop").mode("overwrite").save()
+    val in = obsIn.get; val out = obsOut.get
+    import s.implicits._
+    Seq((in("n_in").asInstanceOf[Long], in("null_qty").asInstanceOf[Long],
+      out("n_out").asInstanceOf[Long],
+      out("sc").asInstanceOf[Long] / 100.0))
+      .toDF("n_in", "null_qty", "n_out", "revenue")
+  }
+
   /** Sorted neighbor lists for the co-supply graph: one row per active
     * node with its ascending neighbor array and degree. The weight-≥ 2
     * prune (coSupplyEdges) bounds array width by real co-supply
@@ -1179,6 +1211,7 @@ object Analytics extends OpModule {
     "dq_drift" -> dqDrift _,
     "mv_incremental" -> mvIncremental _,
     "dq_constraints" -> dqConstraints _,
+    "dq_observe" -> dqObserve _,
     "win_pattern" -> winPattern _,
     "graph_triangles" -> graphTriangles _,
     "graph_jaccard" -> graphJaccard _,
@@ -1601,6 +1634,20 @@ object Analytics extends OpModule {
         |       min(CASE WHEN is_out THEN pc END) / 100.0 AS min_outlier,
         |       max(CASE WHEN is_out THEN pc END) / 100.0 AS max_outlier
         |FROM f GROUP BY grp""".stripMargin,
+    // both observation points replayed declaratively: raw-scan metrics
+    // and post-filter metrics over the same predicate and cent rounding
+    "dq_observe" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_in,
+        |         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS null_qty
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_out,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |           AS BIGINT) AS sc
+        |  FROM lineitem WHERE l_discount > 0.05)
+        |SELECT n_in, null_qty, n_out, sc / 100.0 AS revenue FROM a, b""".stripMargin,
     "dq_constraints" ->
       """WITH m AS (
         |  SELECT count(*) AS n, count(o_custkey) AS nonnull_cust,

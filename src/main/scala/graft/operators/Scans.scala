@@ -23,6 +23,7 @@ object Scans extends OpModule {
     * roundtrip paths (a fixed /tmp path corrupts under two sessions). */
   private lazy val ioDir: String =
     java.nio.file.Files.createTempDirectory("graft_io").toString
+  private val ioLock = new Object
 
   /** Full columnar scan. Deliberately sort-free: a scan is a bag, and at
     * 100 TB a trailing range-partitioned total sort would dominate the
@@ -49,6 +50,51 @@ object Scans extends OpModule {
       StructField("p_partkey", LongType), StructField("p_name", StringType),
       StructField("p_brand", StringType), StructField("p_size", IntegerType)))
     s.read.option("header", "true").schema(schema).csv(path)
+  }
+
+  /** Binary-file ingestion — the multimodal seam's FRONT door: images /
+    * audio / video land as one opaque file each, and `binaryFile` is
+    * Spark's distributed reader for exactly that shape (path, length,
+    * modification time, content bytes; one row per file, splittable by
+    * FILE across executors — at 100 TB the listing parallelizes and
+    * each task decodes its own files, which is why this beats a
+    * driver-side loop at any scale). The fixture corpus has no media
+    * blobs, so a deterministic 50-doc slice of `documents` is staged as
+    * individual .txt files (bytes = UTF-8 text; staged once per JVM in
+    * the per-process scratch dir) and read back through the REAL
+    * binaryFile source; the op emits doc_id parsed from the file name,
+    * the byte length, and the decoded content. The oracle never sees
+    * the staged files: it replays the round trip from `documents`
+    * itself (length = octet_length(encode(text))), so the check spans
+    * stage → distributed scan → decode end-to-end. llm_media_decode
+    * picks up from here (struct envelope, mapPartitions codec). */
+  def scanBinaryFile(s: SparkSession, d: String): DataFrame = {
+    // fixture construction ONLY (bounded 50-row collect): production
+    // media files already exist on storage — there is no staging step at
+    // scale, just the binaryFile scan below. Synchronized: suites share
+    // the JVM and may race the check-then-create.
+    val dir = new java.io.File(s"$ioDir/bin_docs")
+    ioLock.synchronized {
+      if (!dir.exists()) {
+        dir.mkdirs()
+        Tables.documents(s, d).where(col("doc_id") < 50)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              dir.toPath.resolve(s"doc_${r.getLong(0)}.txt"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+      }
+    }
+    // pathGlobFilter, not a glob-in-path: the sink-metadata probe warns
+    // (with a full stack) on a glob path that matches nothing yet
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        col("length"),
+        expr("decode(content, 'UTF-8')").as("text"))
   }
 
   /** JSON-lines roundtrip on `nation` (ints + strings only). */
@@ -255,6 +301,7 @@ object Scans extends OpModule {
     "scan_parquet" -> scanParquet _,
     "scan_projected" -> scanProjected _,
     "scan_csv" -> scanCsv _,
+    "scan_binaryfile" -> scanBinaryFile _,
     "scan_orc" -> scanOrc _,
     "scan_json" -> scanJson _,
     "scan_evolving" -> scanEvolving _,
@@ -263,6 +310,14 @@ object Scans extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // replays the stage → binaryFile scan → decode round trip from the
+    // source table itself: file length must equal the UTF-8 byte length
+    // of the text that was staged (no staged-path coupling, no race)
+    "scan_binaryfile" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS length,
+        |       text
+        |FROM documents WHERE doc_id < 50""".stripMargin,
     "maintenance_zorder" ->
       """WITH z AS (
         |  SELECT o_custkey,

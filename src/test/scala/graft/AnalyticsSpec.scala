@@ -164,6 +164,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("dq_observe: metrics ride the pipeline pass and equal direct aggregation") {
+    val out = Analytics.dqObserve(spark, sf).collect().head
+    val li = graft.Tables.lineitem(spark, sf)
+    assert(out.getAs[Long]("n_in") == li.count())
+    assert(out.getAs[Long]("null_qty") ==
+      li.where($"l_quantity".isNull).count())
+    val filtered = li.where($"l_discount" > 0.05)
+    assert(out.getAs[Long]("n_out") == filtered.count())
+    val cents = filtered
+      .select(round($"l_extendedprice" * 100, 0).cast("long").as("c"))
+      .agg(sum($"c")).head().getLong(0)
+    assert(out.getAs[Double]("revenue") == cents / 100.0)
+  }
+
   test("ts_changepoint: window identity equals the literal clamped recurrence") {
     val out = Analytics.tsChangepoint(spark, sf).collect()
     assert(out.nonEmpty)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.col
 
 class ScansSpec extends SparkSpec {
 
@@ -179,5 +180,19 @@ class ScansSpec extends SparkSpec {
       Seq("p_partkey", "p_name", "p_brand", "p_size"))
     val json = graft.operators.Scans.scanJson(spark, sf)
     assert(json.count() == 25)
+  }
+
+  test("binaryFile ingest round-trips bytes: length and decoded text match the source") {
+    val out = graft.operators.Scans.scanBinaryFile(spark, sf)
+    val src = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), col("text").as("src_text"))
+    val joined = out.join(src, "doc_id").collect()
+    assert(joined.length == 50, s"expected 50 staged files, got ${joined.length}")
+    joined.foreach { r =>
+      val txt = r.getAs[String]("text")
+      assert(txt == r.getAs[String]("src_text"), "decoded bytes differ")
+      assert(r.getAs[Long]("length") == txt.getBytes("UTF-8").length.toLong)
+    }
   }
 }
