@@ -1254,8 +1254,43 @@ object LlmScale extends OpModule {
         expr("squared_distance(qq, cq)").as("exact_dist"))
   }
 
+  /** PQ recall@3 — the eval harness that justifies llm_ann_pq's 32×
+    * compression, mirroring llm_ann_recall's role for the IVF index (an
+    * approximate structure ships with its measured recall or it doesn't
+    * ship). The ADC top-3 comes from the full PQ construction (annPq);
+    * the exact side broadcasts the 10 query vectors over the quantized
+    * corpus — per-query linear brute force, the affordable spot-check
+    * shape at any corpus size. Hit counting and ranks are exact
+    * integers; recall divides once and rounds once. */
+  def annPqRecall(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val pq3 = annPq(s, d).select(col("qid"), col("cand_id"))
+    val qvec = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
+        .as("qv"))
+    val q = qvec.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val exact3 = qvec.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wExact))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    exact3
+      .join(pq3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_pq" -> annPq _,
+    "llm_ann_pq_recall" -> annPqRecall _,
     "llm_cooccur" -> cooccur _,
     "llm_inverted_index" -> invertedIndex _,
     "llm_domain_mix" -> domainMix _,
@@ -1394,6 +1429,58 @@ object LlmScale extends OpModule {
       |  JOIN dims dc ON dc.vec_id = a2.vec_id AND dc.dim = dq.dim
       |  GROUP BY 1, 2, 3)""".stripMargin
 
+  /** The PQ construction CTE chain (shared by llm_ann_pq and
+    * llm_ann_pq_recall): quantize → subspace split → seed → one Lloyd
+    * round → encode → distance tables → ADC top-3 (`t3`). */
+  private val pqCtes: String =
+    """WITH dims AS MATERIALIZED (
+      |  SELECT vec_id, i - 1 AS dim, (i - 1) // 8 AS m,
+      |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
+      |  FROM embeddings, range(1, 65) r(i)),
+      |seeds AS (
+      |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS j
+      |  FROM (SELECT DISTINCT vec_id FROM dims WHERE vec_id < 16)),
+      |c0 AS MATERIALIZED (
+      |  SELECT s.j, d.m, d.dim, d.q AS c
+      |  FROM dims d JOIN seeds s USING (vec_id)),
+      |d1 AS (
+      |  SELECT d.vec_id, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dist
+      |  FROM dims d JOIN c0 c ON c.m = d.m AND c.dim = d.dim
+      |  GROUP BY 1, 2, 3),
+      |a1 AS MATERIALIZED (
+      |  SELECT vec_id, m, j FROM (
+      |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY dist ASC, j ASC) AS rn FROM d1) WHERE rn = 1),
+      |c1 AS MATERIALIZED (
+      |  SELECT a.m, a.j, d.dim,
+      |    CAST(floor(sum(d.q)::DOUBLE / count(*)) AS BIGINT) AS c
+      |  FROM dims d JOIN a1 a ON a.vec_id = d.vec_id AND a.m = d.m
+      |  GROUP BY 1, 2, 3),
+      |d2 AS (
+      |  SELECT d.vec_id, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dist
+      |  FROM dims d JOIN c1 c ON c.m = d.m AND c.dim = d.dim
+      |  GROUP BY 1, 2, 3),
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id, m, j AS code FROM (
+      |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY dist ASC, j ASC) AS rn FROM d2) WHERE rn = 1),
+      |dtab AS (
+      |  SELECT d.vec_id AS qid, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dt
+      |  FROM dims d JOIN c1 c ON c.m = d.m AND c.dim = d.dim
+      |  WHERE d.vec_id < 10
+      |  GROUP BY 1, 2, 3),
+      |ad AS (
+      |  SELECT t.qid, k.vec_id AS cand_id, sum(t.dt) AS adist
+      |  FROM codes k JOIN dtab t ON t.m = k.m AND t.j = k.code
+      |  WHERE k.vec_id != t.qid
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT qid, cand_id, adist,
+      |    row_number() OVER (PARTITION BY qid
+      |                       ORDER BY adist ASC, cand_id ASC) AS rank
+      |  FROM ad),
+      |t3 AS (SELECT * FROM top WHERE rank <= 3)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "llm_dedup_substring" ->
       """WITH t AS (
@@ -1458,53 +1545,7 @@ object LlmScale extends OpModule {
     // encode → per-query codeword distance tables → ADC top-3 → exact
     // re-rank column. All argmins (dist ASC, id ASC).
     "llm_ann_pq" ->
-      """WITH dims AS MATERIALIZED (
-        |  SELECT vec_id, i - 1 AS dim, (i - 1) // 8 AS m,
-        |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
-        |  FROM embeddings, range(1, 65) r(i)),
-        |seeds AS (
-        |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS j
-        |  FROM (SELECT DISTINCT vec_id FROM dims WHERE vec_id < 16)),
-        |c0 AS MATERIALIZED (
-        |  SELECT s.j, d.m, d.dim, d.q AS c
-        |  FROM dims d JOIN seeds s USING (vec_id)),
-        |d1 AS (
-        |  SELECT d.vec_id, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dist
-        |  FROM dims d JOIN c0 c ON c.m = d.m AND c.dim = d.dim
-        |  GROUP BY 1, 2, 3),
-        |a1 AS MATERIALIZED (
-        |  SELECT vec_id, m, j FROM (
-        |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
-        |      ORDER BY dist ASC, j ASC) AS rn FROM d1) WHERE rn = 1),
-        |c1 AS MATERIALIZED (
-        |  SELECT a.m, a.j, d.dim,
-        |    CAST(floor(sum(d.q)::DOUBLE / count(*)) AS BIGINT) AS c
-        |  FROM dims d JOIN a1 a ON a.vec_id = d.vec_id AND a.m = d.m
-        |  GROUP BY 1, 2, 3),
-        |d2 AS (
-        |  SELECT d.vec_id, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dist
-        |  FROM dims d JOIN c1 c ON c.m = d.m AND c.dim = d.dim
-        |  GROUP BY 1, 2, 3),
-        |codes AS MATERIALIZED (
-        |  SELECT vec_id, m, j AS code FROM (
-        |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
-        |      ORDER BY dist ASC, j ASC) AS rn FROM d2) WHERE rn = 1),
-        |dtab AS (
-        |  SELECT d.vec_id AS qid, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dt
-        |  FROM dims d JOIN c1 c ON c.m = d.m AND c.dim = d.dim
-        |  WHERE d.vec_id < 10
-        |  GROUP BY 1, 2, 3),
-        |ad AS (
-        |  SELECT t.qid, k.vec_id AS cand_id, sum(t.dt) AS adist
-        |  FROM codes k JOIN dtab t ON t.m = k.m AND t.j = k.code
-        |  WHERE k.vec_id != t.qid
-        |  GROUP BY 1, 2),
-        |top AS (
-        |  SELECT qid, cand_id, adist,
-        |    row_number() OVER (PARTITION BY qid
-        |                       ORDER BY adist ASC, cand_id ASC) AS rank
-        |  FROM ad),
-        |t3 AS (SELECT * FROM top WHERE rank <= 3),
+      (pqCtes + """,
         |ex AS (
         |  SELECT t.qid, t.cand_id, sum((dq.q - dc.q) * (dq.q - dc.q))
         |    AS exact_dist
@@ -1514,7 +1555,28 @@ object LlmScale extends OpModule {
         |  GROUP BY 1, 2)
         |SELECT t.qid, t.rank, t.cand_id, t.adist, e.exact_dist
         |FROM t3 t JOIN ex e
-        |  ON e.qid = t.qid AND e.cand_id = t.cand_id""".stripMargin,
+        |  ON e.qid = t.qid AND e.cand_id = t.cand_id""".stripMargin),
+    // PQ recall@3 vs the exact brute top-3 — same PQ CTE chain, same
+    // brute shape as llm_ann_recall's IVF side
+    "llm_ann_pq_recall" ->
+      (pqCtes + """,
+        |ex AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq
+        |  JOIN dims dc ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10
+        |  GROUP BY 1, 2),
+        |ex3 AS (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM ex) WHERE rn <= 3)
+        |SELECT e.qid, CAST(count(t.cand_id) AS BIGINT) AS n_hit,
+        |       round(count(t.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+        |FROM ex3 e LEFT JOIN t3 t USING (qid, cand_id)
+        |GROUP BY e.qid""".stripMargin),
     "llm_ann_ivf_kmeans" ->
       (lloydCtes + annIvfCtes + """
         |SELECT qid, rank, cand_id, cluster, dist FROM (

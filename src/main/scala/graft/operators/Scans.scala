@@ -97,6 +97,25 @@ object Scans extends OpModule {
         expr("decode(content, 'UTF-8')").as("text"))
   }
 
+  /** Line-oriented text roundtrip — the log-file ingestion shape
+    * (`spark.read.text`: one row per line, splittable per file, the
+    * rawest distributed source Spark has). Documents serialize as
+    * `id<TAB>text` lines through the text WRITER and parse back with one
+    * split — fixture texts are space-separated word bags (no tabs or
+    * newlines; a production log pipeline escapes or uses JSON-lines,
+    * scan_json). The oracle is the source table: the check spans
+    * serialize → distributed line scan → parse. */
+  def scanText(s: SparkSession, d: String): DataFrame = {
+    val path = s"$ioDir/docs_text"
+    Tables.documents(s, d)
+      .select(concat(col("doc_id"), lit("\t"), col("text")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    s.read.text(path)
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        expr("substring(value, instr(value, '\t') + 1)").as("text"))
+  }
+
   /** JSON-lines roundtrip on `nation` (ints + strings only). */
   def scanJson(s: SparkSession, d: String): DataFrame = {
     val path = s"$ioDir/nation_json"
@@ -302,6 +321,7 @@ object Scans extends OpModule {
     "scan_projected" -> scanProjected _,
     "scan_csv" -> scanCsv _,
     "scan_binaryfile" -> scanBinaryFile _,
+    "scan_text" -> scanText _,
     "scan_orc" -> scanOrc _,
     "scan_json" -> scanJson _,
     "scan_evolving" -> scanEvolving _,
@@ -313,6 +333,8 @@ object Scans extends OpModule {
     // replays the stage → binaryFile scan → decode round trip from the
     // source table itself: file length must equal the UTF-8 byte length
     // of the text that was staged (no staged-path coupling, no race)
+    "scan_text" ->
+      "SELECT doc_id, text FROM documents",
     "scan_binaryfile" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS length,

@@ -548,6 +548,21 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("ann_pq_recall: one row per query, recall in [0,1], exact thirds") {
+    val out = operators.LlmScale.annPqRecall(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (hit, rec) = (r.getAs[Long]("n_hit"), r.getAs[Double]("recall_at_3"))
+      assert(hit >= 0 && hit <= 3)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - math.rint(hit / 3.0 * 10000) / 10000) < 5.1e-5)
+    }
+    // no recall floor asserted (mirrors the IVF recall spec): unit-scale
+    // gaussian noise is ANN's adversarial case — at sf0.001 the 32×
+    // compression measurably recovers only a fraction of exact
+    // neighbors, and REPORTING that honestly is this op's entire job
+  }
+
   test("url_normalize: four messy variants collapse to one canonical form") {
     val rows = operators.LlmScale.urlNormalize(spark, sf).collect()
     assert(rows.nonEmpty)

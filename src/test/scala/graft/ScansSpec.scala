@@ -182,6 +182,15 @@ class ScansSpec extends SparkSpec {
     assert(json.count() == 25)
   }
 
+  test("text source round-trips id<TAB>text lines losslessly") {
+    val out = graft.operators.Scans.scanText(spark, sf)
+    val src = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").as("src_text"))
+    val joined = out.join(src, "doc_id")
+    assert(joined.count() == src.count())
+    assert(joined.where(col("text") =!= col("src_text")).count() == 0)
+  }
+
   test("binaryFile ingest round-trips bytes: length and decoded text match the source") {
     val out = graft.operators.Scans.scanBinaryFile(spark, sf)
     val src = graft.Tables.documents(spark, sf)
