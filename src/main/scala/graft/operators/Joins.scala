@@ -492,7 +492,46 @@ object Joins extends OpModule {
         round(sum(col("l_extendedprice")), 4).as("sum_price"))
   }
 
+  /** Point-in-time (SCD-2 lookup) join — the warehouse temporal macro
+    * shape: each fact row joins the dimension VERSION that was valid at
+    * the fact's own timestamp (equi-key + half-open validity-interval
+    * residual). Here orders probe the SCD-2 dimension built from the
+    * same change stream (Analytics.dimScd2's window build), which gives
+    * the audit sharp invariants: intervals per customer partition the
+    * timeline from the first change (half-open [from, to), zero-width
+    * for same-date duplicates, NULL-open current), so EVERY fact matches
+    * exactly one version, and a fact whose matched version is its own
+    * change row is detectable by key equality. All audit columns are
+    * exact integers (cents before the sum).
+    *
+    * Scale shape: a plain hash/sort-merge join on the dimension KEY with
+    * the interval predicate as a residual filter — never a range-only
+    * BNLJ; at 100 TB the dimension persists bucketed by key (dim_scd2's
+    * documented layout) so probes are shuffle-free on the fact side's
+    * co-partitioning, and hot keys are the same skew the salted-join
+    * pattern handles. The window build is one pass (no self-join). */
+  def joinPit(s: SparkSession, d: String): DataFrame = {
+    val dim = Analytics.dimScd2(s, d)
+      .select(col("o_custkey"), col("version"),
+        col("o_orderkey").as("ver_key"), col("attr_price"),
+        col("valid_from"), col("valid_to"))
+    val facts = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    facts.join(dim, Seq("o_custkey"))
+      .where(col("o_orderdate") >= col("valid_from") &&
+        (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        countDistinct(col("o_orderkey")).as("n_facts_matched"),
+        sum(when(col("ver_key") === col("o_orderkey"), 1L).otherwise(0L))
+          .as("n_self_version"),
+        countDistinct(col("o_custkey"), col("version"))
+          .as("n_versions_used"),
+        sum(round(col("attr_price") * 100, 0).cast("long")).as("attr_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_pit" -> joinPit _,
     "join_runtime_filter" -> joinRuntimeFilter _,
     "q5_star_join" -> q5StarJoin _,
     "q3_shipping_priority" -> q3ShippingPriority _,
@@ -518,6 +557,33 @@ object Joins extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // same window build as dim_scd2, then the equi+interval join and an
+    // exact-integer audit
+    "join_pit" ->
+      """WITH dim AS (
+        |  SELECT o_custkey, row_number() OVER w AS version,
+        |         o_orderkey AS ver_key, o_totalprice AS attr_price,
+        |         o_orderdate AS valid_from,
+        |         lead(o_orderdate, 1) OVER w AS valid_to
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |j AS (
+        |  SELECT f.o_orderkey, f.o_custkey, d.version, d.ver_key,
+        |         d.attr_price
+        |  FROM orders f JOIN dim d
+        |    ON d.o_custkey = f.o_custkey
+        |   AND f.o_orderdate >= d.valid_from
+        |   AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to))
+        |SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_facts_matched,
+        |  CAST(sum(CASE WHEN ver_key = o_orderkey THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_self_version,
+        |  CAST(count(DISTINCT (o_custkey, version)) AS BIGINT)
+        |    AS n_versions_used,
+        |  CAST(sum(CAST(round(attr_price * 100) AS BIGINT)) AS BIGINT)
+        |    AS attr_cents
+        |FROM j""".stripMargin,
     "join_fuzzy" ->
       """WITH parts AS (SELECT p_partkey, p_name FROM part),
         |probes AS (

@@ -136,4 +136,21 @@ class JoinsSpec extends SparkSpec {
     val anti = graft.operators.Joins.joinLeftAnti(spark, sf).count()
     assert(semi + anti == 150) // semi ⊎ anti partitions customers
   }
+
+  test("join_pit: every fact matches exactly one version, keyed join (no BNLJ)") {
+    val df = graft.operators.Joins.joinPit(spark, sf)
+    val r = df.collect().head
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    // the half-open interval partition ⇒ exactly one version per fact
+    assert(r.getAs[Long]("n_matched") == nOrders)
+    assert(r.getAs[Long]("n_facts_matched") == nOrders)
+    assert(r.getAs[Long]("n_self_version") <= nOrders)
+    assert(r.getAs[Long]("n_versions_used") <= nOrders)
+    // the interval predicate must ride a KEYED join as a residual, never
+    // a nested-loop over the cross space
+    val bnlj = collectFinal(df) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnlj.isEmpty, "point-in-time join degenerated to BNLJ")
+  }
 }
