@@ -157,7 +157,12 @@ object ScaleProbe {
       // lands entirely in the collapse's map-side combine, so growth
       // must be scan-bound; embedding drift's explode partial-aggregates
       // to |labels|·2·D rows before the shuffle at any N
-      "ts_changepoint", "llm_embedding_drift")
+      "ts_changepoint", "llm_embedding_drift",
+      // PIT join over the cloned orders: the window build and the keyed
+      // probe must both grow ~linearly in rows (per-customer history
+      // fixed); PQ recall must stay query-bound (10 broadcast queries ×
+      // linear corpus pass) as N grows
+      "join_pit", "llm_ann_pq_recall")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
