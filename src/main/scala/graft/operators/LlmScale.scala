@@ -258,7 +258,17 @@ object LlmScale extends OpModule {
       MemoUtil.dropCheckpoint(c2)
     }
     lloydMemo.clear()
+    pqMemo.values.foreach(MemoUtil.dropCheckpoint)
+    pqMemo.clear()
   }
+
+  /** Memoized PQ ADC top-3 (qid, rank, cand_id, adist) — the shared
+    * expensive subtree of llm_ann_pq and llm_ann_pq_recall (the
+    * staged-fixture pattern, cf. lloyd): whichever runs first pays the
+    * codebook train + encode + ADC ranking once per (session, sf-dir);
+    * Bench resets this with the Lloyd memo between timing passes. */
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
 
   /** Shared Lloyd pipeline (quantized vectors + per-dimension form +
     * round-2 assignment + round-2 centroids) for llm_kmeans /
@@ -1187,17 +1197,24 @@ object LlmScale extends OpModule {
     * broadcast distance tables (N·M·|queries| rows, map-side). Nothing
     * shuffles with N except the final per-query aggregates. At 100 TB
     * the candidate set first prunes through IVF cells (the op next
-    * door) and ADC re-ranks inside the probed cells. */
-  def annPq(s: SparkSession, d: String): DataFrame = {
-    graft.GraftExtensions.register(s)
+    * door) and ADC re-ranks inside the probed cells.
+    *
+    * The construction through the ADC top-3 is memoized per (session,
+    * sf-dir) and eagerly checkpointed: llm_ann_pq (exact re-rank) and
+    * llm_ann_pq_recall (recall eval) both consume exactly this ranking,
+    * and re-training the codebooks per query would waste a full
+    * construction. Bench resets the memo with the Lloyd memo between
+    * timing passes. */
+  private def pqTop3(s: SparkSession, d: String): DataFrame =
+    pqMemo.getOrElseUpdate((s, d), {
     val M = 8; val Kc = 16
     val emb = Tables.embeddings(s, d)
-    // quantized vector form; readers: subvector derivation + exact rerank
-    val qvec = MemoUtil.scratch(emb
+    // quantized vector form — single reader (the subvector derivation;
+    // the exact re-rank lives in annPq now), so no lineage cut needed
+    val qvec = emb
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
         .as("qv"))
-      .localCheckpoint())
     // subvector form (vec_id, m, sv[8]); readers: seeds, assign, recenter,
     // encode, distance tables — the multi-reader lineage-cut rule
     val sub = MemoUtil.scratch(qvec
@@ -1237,7 +1254,7 @@ object LlmScale extends OpModule {
         expr("squared_distance(qsv, cv)").as("dt"))
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("adist").asc, col("cand_id").asc)
-    val top3 = codes
+    codes
       .join(broadcast(dtab),
         codes("m") === dtab("m") && codes("code") === dtab("j"))
       .where(col("vec_id") =!= col("qid"))
@@ -1245,8 +1262,17 @@ object LlmScale extends OpModule {
       .agg(sum(col("dt")).as("adist"))
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= 3)
+      .localCheckpoint()
+    })
+
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val qvec = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
+        .as("qv"))
     // exact 64-dim distance beside the estimate (30-row probe side)
-    top3
+    pqTop3(s, d)
       .join(qvec.select(col("vec_id").as("qid"), col("qv").as("qq")), "qid")
       .join(qvec.select(col("vec_id").as("cand_id"), col("qv").as("cq")),
         "cand_id")
@@ -1264,7 +1290,7 @@ object LlmScale extends OpModule {
     * integers; recall divides once and rounds once. */
   def annPqRecall(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
-    val pq3 = annPq(s, d).select(col("qid"), col("cand_id"))
+    val pq3 = pqTop3(s, d).select(col("qid"), col("cand_id"))
     val qvec = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
