@@ -170,6 +170,35 @@ object LlmCuration extends OpModule {
             |    0L, (a, q) -> a + q)
             |ELSE 0L END""".stripMargin).as("q_checksum"))
 
+  /** Deterministic holdout split — the train/val/test partition every
+    * training pipeline cuts FIRST, made leakage-free by construction:
+    * the split is a pure function of doc_id (masked Knuth hash, the
+    * sampling-gate idiom), so re-runs, retries, engines, and future
+    * ingests of the same id land in the same split — no rand(), no
+    * state to persist, no way for one document to appear in two splits.
+    * Bucket = (h·20) div 2³² ∈ [0,20): 18 buckets train / 1 val / 1
+    * test = a 90/5/5 cut on exact integer thresholds (no float rate ×
+    * 2³² rounding). Output per split: doc count, exact id checksum,
+    * char mass — the audit a data card records; buckets partition the
+    * hash range, so the three rows partition the corpus structurally.
+    *
+    * At-scale: one map-side hash + a 3-group aggregate — no shuffle
+    * until the 3-row result; the same gate shape extends to per-source
+    * stratified holdouts by adding the stratum to the group key. */
+  def splitHoldout(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h",
+        pmod(col("doc_id").bitwiseAND(lit(4294967295L)) * lit(2654435761L),
+          lit(4294967296L)))
+      .withColumn("b", expr("(h * 20) div 4294967296"))
+      .withColumn("split",
+        when(col("b") < 18, "train")
+          .when(col("b") === 18, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("char_mass"))
+
   /** Embedding-space dataset drift between two corpus snapshots — the
     * vector-side companion to dq_drift's scalar PSI: a retrain decision
     * needs "did the representation of label k MOVE", which value
@@ -406,7 +435,8 @@ object LlmCuration extends OpModule {
     "llm_quality_filter" -> qualityFilter _,
     "llm_sample_stratified" -> sampleStratified _,
     "llm_embed_quantize" -> embedQuantize _,
-    "llm_embedding_drift" -> embeddingDrift _
+    "llm_embedding_drift" -> embeddingDrift _,
+    "llm_split_holdout" -> splitHoldout _
   )
 
   // shared by llm_quality_filter and the curation_e2e macro's CTE chain
@@ -611,6 +641,19 @@ object LlmCuration extends OpModule {
         |FROM g
         |WHERE h < floor(rate * 4294967296.0)::BIGINT
         |GROUP BY lang""".stripMargin,
+    "llm_split_holdout" ->
+      """WITH g AS (
+        |  SELECT doc_id, n_chars,
+        |    (((doc_id & 4294967295) * 2654435761) % 4294967296) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_chars, (h * 20) // 4294967296 AS b FROM g)
+        |SELECT CASE WHEN b < 18 THEN 'train'
+        |            WHEN b = 18 THEN 'val' ELSE 'test' END AS split,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS char_mass
+        |FROM b GROUP BY 1""".stripMargin,
     // fixed-point centroids with a nonneg shift (div ≡ //), exact BIGINT
     // squared-delta sum, IEEE sqrt; dims enumerated 0..63 (fixture dim
     // is 64 on every row — FIXTURES.md)

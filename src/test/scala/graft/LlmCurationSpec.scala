@@ -173,6 +173,25 @@ class LlmCurationSpec extends SparkSpec {
     }
   }
 
+  test("split_holdout: splits partition the corpus, ratios near 90/5/5, deterministic") {
+    val out = LlmCuration.splitHoldout(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = graft.Tables.documents(spark, sf)
+    val total = docs.count()
+    val idSum = docs.agg(sum($"doc_id")).head().getLong(0)
+    // the three splits partition the corpus: counts and checksums add up
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(out.values.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(out.values.map(_.getAs[Long]("id_sum")).sum == idSum)
+    // hash-uniform 90/5/5 within generous tolerance on 500 docs
+    val train = out("train").getAs[Long]("n_docs").toDouble / total
+    assert(train > 0.8 && train < 0.97, s"train ratio $train")
+    // pure function of doc_id: a second run is byte-identical
+    val again = LlmCuration.splitHoldout(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("id_sum")).toMap
+    out.foreach { case (k, r) => assert(again(k) == r.getAs[Long]("id_sum")) }
+  }
+
   test("embedding_drift: parity split is near-still, a planted shift is loud") {
     // fixture: the two parity halves draw from the same distribution, so
     // every label's centroid shift is small (≪ the component scale 0.15)
