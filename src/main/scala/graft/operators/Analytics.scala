@@ -327,6 +327,37 @@ object Analytics extends OpModule {
         |) AS (constraint, metric, passed)""".stripMargin))
   }
 
+  /** Join-key skew audit — the DIAGNOSIS behind the salted-join pattern
+    * (join_salted treats the skew; this op is how a pipeline decides a
+    * key needs treatment before the hot partition OOMs an executor at
+    * 100 TB). One pass builds the per-key frequency table (map-side
+    * combine, key-sized not row-sized), then a single global fold
+    * reports: row/key counts, the max frequency and its key (smallest
+    * key among ties — deterministic), exact p50/p99 of the frequency
+    * distribution (one array-percentile, the agg_percentile discipline),
+    * and the max/mean skew ratio the salting heuristic thresholds on.
+    * The frequency table is the only shuffle; the audit is a 1-row
+    * fold over |keys| rows. */
+  def dqSkew(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("f"))
+    val hot = freq
+      .crossJoin(broadcast(freq.agg(max(col("f")).as("mf"))))
+      .where(col("f") === col("mf"))
+      .agg(min(col("l_suppkey")).as("hot_key"))
+    freq.agg(
+        sum(col("f")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("f")).as("max_freq"),
+        expr("percentile(f, array(0.5D, 0.99D))").as("ps"))
+      .crossJoin(broadcast(hot))
+      .select(col("n_rows"), col("n_keys"), col("max_freq"), col("hot_key"),
+        round(element_at(col("ps"), 1), 4).as("p50_freq"),
+        round(element_at(col("ps"), 2), 4).as("p99_freq"),
+        round(col("max_freq") /
+          (col("n_rows").cast("double") / col("n_keys")), 4).as("skew_ratio"))
+  }
+
   /** Pipeline-embedded observability through Spark's `Observation` /
     * CollectMetrics surface — the at-scale answer to "what did this
     * pipeline actually process": dq_constraints SCANS the table to
@@ -1212,6 +1243,7 @@ object Analytics extends OpModule {
     "mv_incremental" -> mvIncremental _,
     "dq_constraints" -> dqConstraints _,
     "dq_observe" -> dqObserve _,
+    "dq_skew" -> dqSkew _,
     "win_pattern" -> winPattern _,
     "graph_triangles" -> graphTriangles _,
     "graph_jaccard" -> graphJaccard _,
@@ -1634,6 +1666,22 @@ object Analytics extends OpModule {
         |       min(CASE WHEN is_out THEN pc END) / 100.0 AS min_outlier,
         |       max(CASE WHEN is_out THEN pc END) / 100.0 AS max_outlier
         |FROM f GROUP BY grp""".stripMargin,
+    // per-key frequency table, deterministic hottest key (min among max
+    // ties), quantile_cont ≡ Spark's interpolating percentile()
+    "dq_skew" ->
+      """WITH f AS (
+        |  SELECT l_suppkey, count(*) AS f FROM lineitem GROUP BY 1),
+        |hot AS (
+        |  SELECT CAST(min(l_suppkey) AS BIGINT) AS hot_key FROM f
+        |  WHERE f = (SELECT max(f) FROM f))
+        |SELECT CAST(sum(f) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(f) AS BIGINT) AS max_freq,
+        |  (SELECT hot_key FROM hot) AS hot_key,
+        |  round(quantile_cont(f, 0.5), 4) AS p50_freq,
+        |  round(quantile_cont(f, 0.99), 4) AS p99_freq,
+        |  round(max(f) / (sum(f)::DOUBLE / count(*)), 4) AS skew_ratio
+        |FROM f""".stripMargin,
     // both observation points replayed declaratively: raw-scan metrics
     // and post-filter metrics over the same predicate and cent rounding
     "dq_observe" ->

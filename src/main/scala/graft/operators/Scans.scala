@@ -52,6 +52,43 @@ object Scans extends OpModule {
     s.read.option("header", "true").schema(schema).csv(path)
   }
 
+  /** ANALYZE-style table statistics — the cost-based-optimizer input
+    * every warehouse maintains beside its data (join reorder, broadcast
+    * thresholds, and skew heuristics all read these): per column the
+    * exact NDV and null count, plus the table row count on every row so
+    * each stat is self-describing. One scan, one aggregate — the
+    * multi-distinct expands map-side (Spark's grouping-id expansion) so
+    * the shuffle carries partial states, not rows. At 100 TB the exact
+    * countDistinct becomes the HLL sketch (agg_approx_distinct /
+    * agg_sketch_partial next door) with the identical query shape —
+    * exact here because the oracle can then replay it exactly. */
+  def maintenanceStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("ndv_ok"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn_ok"),
+        countDistinct(col("o_custkey")).as("ndv_ck"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_ck"),
+        countDistinct(col("o_orderstatus")).as("ndv_st"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_st"),
+        countDistinct(col("o_orderpriority")).as("ndv_pr"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn_pr"),
+        countDistinct(col("o_totalprice")).as("ndv_tp"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_tp"),
+        countDistinct(col("o_orderdate")).as("ndv_od"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("nn_od"))
+      .select(expr(
+        """stack(6,
+          |  'o_orderkey', ndv_ok, nn_ok,
+          |  'o_custkey', ndv_ck, nn_ck,
+          |  'o_orderstatus', ndv_st, nn_st,
+          |  'o_orderpriority', ndv_pr, nn_pr,
+          |  'o_totalprice', ndv_tp, nn_tp,
+          |  'o_orderdate', ndv_od, nn_od
+          |) AS (col_name, ndv, n_null)""".stripMargin),
+        col("n").as("n_rows"))
+
   /** Binary-file ingestion — the multimodal seam's FRONT door: images /
     * audio / video land as one opaque file each, and `binaryFile` is
     * Spark's distributed reader for exactly that shape (path, length,
@@ -322,6 +359,7 @@ object Scans extends OpModule {
     "scan_csv" -> scanCsv _,
     "scan_binaryfile" -> scanBinaryFile _,
     "scan_text" -> scanText _,
+    "maintenance_stats" -> maintenanceStats _,
     "scan_orc" -> scanOrc _,
     "scan_json" -> scanJson _,
     "scan_evolving" -> scanEvolving _,
@@ -335,6 +373,35 @@ object Scans extends OpModule {
     // of the text that was staged (no staged-path coupling, no race)
     "scan_text" ->
       "SELECT doc_id, text FROM documents",
+    "maintenance_stats" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_ok,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_ok,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_ck,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_ck,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_st,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_st,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv_pr,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_pr,
+        |    CAST(count(DISTINCT o_totalprice) AS BIGINT) AS ndv_tp,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_tp,
+        |    CAST(count(DISTINCT o_orderdate) AS BIGINT) AS ndv_od,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_od
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, ndv_ok AS ndv, nn_ok AS n_null,
+        |       n AS n_rows FROM m
+        |UNION ALL SELECT 'o_custkey', ndv_ck, nn_ck, n FROM m
+        |UNION ALL SELECT 'o_orderstatus', ndv_st, nn_st, n FROM m
+        |UNION ALL SELECT 'o_orderpriority', ndv_pr, nn_pr, n FROM m
+        |UNION ALL SELECT 'o_totalprice', ndv_tp, nn_tp, n FROM m
+        |UNION ALL SELECT 'o_orderdate', ndv_od, nn_od, n FROM m""".stripMargin,
     "scan_binaryfile" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS length,

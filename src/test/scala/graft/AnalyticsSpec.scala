@@ -178,6 +178,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.getAs[Double]("revenue") == cents / 100.0)
   }
 
+  test("dq_skew: audit equals a direct frequency-table fold") {
+    val r = Analytics.dqSkew(spark, sf).collect().head
+    val freqs = graft.Tables.lineitem(spark, sf)
+      .groupBy($"l_suppkey").count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1))
+    assert(r.getAs[Long]("n_rows") == freqs.map(_._2).sum)
+    assert(r.getAs[Long]("n_keys") == freqs.length)
+    val mx = freqs.map(_._2).max
+    assert(r.getAs[Long]("max_freq") == mx)
+    assert(r.getAs[Long]("hot_key") ==
+      freqs.filter(_._2 == mx).map(_._1).min)
+    val mean = freqs.map(_._2).sum.toDouble / freqs.length
+    assert(r.getAs[Double]("skew_ratio") ==
+      math.rint(mx / mean * 10000) / 10000)
+  }
+
   test("ts_changepoint: window identity equals the literal clamped recurrence") {
     val out = Analytics.tsChangepoint(spark, sf).collect()
     assert(out.nonEmpty)

@@ -182,6 +182,24 @@ class ScansSpec extends SparkSpec {
     assert(json.count() == 25)
   }
 
+  test("maintenance_stats: exact NDV and null counts per column") {
+    val out = graft.operators.Scans.maintenanceStats(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 6)
+    val o = graft.Tables.orders(spark, sf)
+    val n = o.count()
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_null") == 0L) // fixture has no nulls
+      assert(r.getAs[Long]("ndv") > 0 && r.getAs[Long]("ndv") <= n)
+    }
+    // spot-check two columns against direct distinct counts
+    assert(out("o_orderkey").getAs[Long]("ndv") ==
+      o.select("o_orderkey").distinct().count())
+    assert(out("o_orderstatus").getAs[Long]("ndv") ==
+      o.select("o_orderstatus").distinct().count())
+  }
+
   test("text source round-trips id<TAB>text lines losslessly") {
     val out = graft.operators.Scans.scanText(spark, sf)
     val src = graft.Tables.documents(spark, sf)
