@@ -97,6 +97,60 @@ object StreamIO extends OpModule {
     graft.Tables.normalizeTs(s.readStream.schema(schema).parquet(path))
   }
 
+  /** Staged dir holding TWO copies of events.parquet — a topic where
+    * every event is delivered twice (the at-least-once upstream the
+    * dedup operators exist for). */
+  private val dupDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dupEventsDir(d: String): String =
+    dupDirs.computeIfAbsent(d, { dir =>
+      val target = java.nio.file.Paths.get(fresh("events_dup"))
+      java.nio.file.Files.createDirectories(target)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        target.resolve("events_a.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        target.resolve("events_b.parquet"))
+      target.toString
+    })
+
+  /** Watermark-bounded exactly-once dedup through a real micro-batch
+    * run — the PRODUCTION form of Streaming.dedup: plain dropDuplicates
+    * keeps every key it has ever seen (state grows with the stream);
+    * dropDuplicatesWithinWatermark evicts a key once the watermark
+    * passes its event time + delay, so state is bounded by the delay
+    * window × arrival rate — the only dedup a 100 TB/day topic can
+    * afford, bought with a one-sided guarantee (a duplicate arriving
+    * after eviction re-emits; StreamingSpec proves both sides with a
+    * MemoryStream). Spark REJECTS this operator in batch queries, so
+    * unlike the other streaming ops there is no batch twin: the
+    * registered query IS the streaming run, over a staged topic
+    * delivering every event twice. Both copies admit in the single
+    * AvailableNow file batch (two files, no maxFilesPerTrigger split),
+    * and a duplicate pair shares one event time — always inside the
+    * delay — so the dedup here is exact and the oracle is the plain
+    * distinct count. */
+  def streamDedupWithinWm(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val name = s"ddw_${UUID.randomUUID().toString.replace("-", "")}"
+    val src = dupEventsDir(d)
+    val schema = schemaCache.computeIfAbsent(src,
+      p => s.read.parquet(p).schema)
+    val q = graft.Tables.normalizeTs(
+        s.readStream.schema(schema).parquet(src))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Directory-watch ingestion: stream the events table through a real
     * micro-batch file source into a memory sink, then aggregate. */
   def sourceFileStream(s0: SparkSession, d: String): DataFrame = {
@@ -396,7 +450,8 @@ object StreamIO extends OpModule {
     "join_stream_outer" -> joinStreamOuter _,
     "join_stream_full" -> joinStreamFull _,
     "source_custom_stream" -> sourceCustomStream _,
-    "join_stream_static" -> joinStreamStatic _
+    "join_stream_static" -> joinStreamStatic _,
+    "stream_dedup_within_wm" -> streamDedupWithinWm _
   )
 
   private val evCte =
@@ -406,6 +461,12 @@ object StreamIO extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the staged topic delivers every event twice with one shared event
+    // time — always inside the delay — so within-watermark dedup is
+    // exact here and the oracle is the plain distinct count
+    "stream_dedup_within_wm" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     "sink_foreach_batch" -> (evCte +
       """
         |SELECT event_id, user_id, value FROM ev

@@ -84,6 +84,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: in-window dup drops, post-eviction replay re-emits") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dd = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dd.writeStream.format("memory").queryName("ddw")
+      .outputMode("append").start()
+    try {
+      run(q, input, Seq(
+        // in-batch duplicate of id 1: state is live → one emission
+        Seq(ev(1, 0, 1, "click", 1.0), ev(1, 0, 1, "click", 1.0),
+          ev(2, 5, 1, "view", 1.0)),
+        // advance the watermark far past id 1's (ts + delay): its state
+        // is evicted — BOUNDED state, the reason this op exists
+        Seq(ev(9, 120, 2, "click", 1.0)),
+        // redeliver id 1 after eviction with a fresh event time (an
+        // at-least-once redelivery; its ORIGINAL time would be late data
+        // and watermark-filtered before dedup): the one-sided guarantee
+        // — it re-emits, where plain dropDuplicates would still hold the
+        // key
+        Seq(ev(1, 125, 1, "click", 1.0))))
+      val byId = spark.table("ddw").groupBy($"event_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byId(2L) == 1L && byId(9L) == 1L)
+      assert(byId(1L) == 2L,
+        s"post-eviction replay must re-emit (state bounded), got ${byId(1L)}")
+    } finally q.stop()
+  }
+
   test("watermark drops data later than the threshold") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]
