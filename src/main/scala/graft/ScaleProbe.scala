@@ -162,7 +162,11 @@ object ScaleProbe {
       // probe must both grow ~linearly in rows (per-customer history
       // fixed); PQ recall must stay query-bound (10 broadcast queries ×
       // linear corpus pass) as N grows
-      "join_pit", "llm_ann_pq_recall")
+      "join_pit", "llm_ann_pq_recall",
+      // single-aggregate audits: growth must be the scan, nothing else
+      // (skew's frequency table is key-sized; stats' multi-distinct
+      // expands map-side; the split is one map-side hash)
+      "dq_skew", "maintenance_stats", "llm_split_holdout")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
