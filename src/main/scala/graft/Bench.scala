@@ -2,7 +2,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Foreign java JVMs running beside the bench — anything that is not
+    * this process or an ancestor (the sbt shell that forked us is an
+    * ancestor and doesn't count). A concurrent sbt test JVM adds a flat
+    * ~+0.16 s to EVERY query (measured r8, two mid-round runs read
+    * ~105 s vs the real 77 s), so a contended run must never be compared
+    * round-over-round as if it were clean. Sampled at start and end;
+    * the max is tagged into the output JSON as "contended". */
+  private def foreignJvms(): Int = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val ancestors = scala.collection.mutable.Set.empty[Long]
+      var cur = java.util.Optional.of(ProcessHandle.current())
+      while (cur.isPresent) { ancestors += cur.get.pid; cur = cur.get.parent() }
+      ProcessHandle.allProcesses().iterator().asScala.count { p =>
+        !ancestors.contains(p.pid) &&
+          p.info().command().orElse("").split('/').lastOption.contains("java")
+      }
+    } catch { case _: Throwable => -1 } // count unavailable, not fatal
+  }
+
   def main(args: Array[String]): Unit = {
+    val contendedAtStart = foreignJvms()
+    if (contendedAtStart > 0)
+      System.err.println(
+        s"[bench] WARNING: $contendedAtStart foreign java JVM(s) live — " +
+          "timings will read ~+0.16 s/query high; rerun uncontended")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -120,13 +145,14 @@ object Bench {
       shown.map { case (k, v) => s""""$k":${fmt(v)}""" } ++
         (if (shown.size < results.size) Seq(s""""other":${fmt(otherSum)}""") else Nil)
     val qs = qEntries.mkString("{", ",", "}")
+    val contended = math.max(contendedAtStart, foreignJvms())
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"contended":$contended,"queries":$qs,"sf":"$sfDir"}"""
 
     val fullQs = sorted.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
       full.getBytes("UTF-8"))

@@ -1357,10 +1357,10 @@ object Analytics extends OpModule {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |sid AS (
         |  SELECT user_id, tus, vc,
-        |         sum(brk) OVER (PARTITION BY user_id
+        |         CAST(sum(brk) OVER (PARTITION BY user_id
         |                        ORDER BY tus, event_id
         |                        ROWS BETWEEN UNBOUNDED PRECEDING
-        |                          AND CURRENT ROW) AS session_id
+        |                          AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM se)
         |SELECT user_id, session_id,
         |       make_timestamp(min(tus)) AS session_start,
@@ -1403,7 +1403,8 @@ object Analytics extends OpModule {
         |  LEFT JOIN hist h
         |    ON h.event_type = b.event_type AND h.bucket = s.bucket),
         |tots AS (
-        |  SELECT event_type, sum(ref_cnt) AS ref_n, sum(cur_cnt) AS cur_n
+        |  SELECT event_type, CAST(sum(ref_cnt) AS BIGINT) AS ref_n,
+        |         CAST(sum(cur_cnt) AS BIGINT) AS cur_n
         |  FROM dense GROUP BY 1),
         |terms AS (
         |  SELECT d.event_type, t.ref_n, t.cur_n,

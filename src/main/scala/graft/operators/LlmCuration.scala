@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -132,14 +132,31 @@ object LlmCuration extends OpModule {
     * per-stratum counts are a broadcast dim; the fact side never
     * shuffles. At real scale the multiplicative hash becomes xxhash64 —
     * same gate shape (DuckDB has no xxhash64 twin, hence Knuth here). */
+  /** (id·2654435761) mod 2³² — the shared sampling/split/shard gate —
+    * computed WITHOUT 64-bit overflow for any long id: the naive
+    * (id & 0xFFFFFFFF)·K product exceeds 2⁶³ once id ≥ ~3.47e9 (≈2³¹·⁷;
+    * Spark wraps, still correct mod 2³², but an ANSI engine — the DuckDB
+    * oracle included — raises Out of Range, so the two sides would
+    * diverge exactly where a 100 TB id space lives). Split the masked id
+    * into 16-bit halves: a·K ≡ lo16·K + (hi16·K mod 2¹⁶)·2¹⁶ (mod 2³²),
+    * and every intermediate stays < 2⁴⁸. The oracle SQLs use the same
+    * split form, so both engines are total over the full long range. */
+  private[operators] def knuth32(id: Column): Column = {
+    val K = 2654435761L
+    pmod(
+      id.bitwiseAND(lit(65535L)) * lit(K) +
+        pmod(shiftright(id, 16).bitwiseAND(lit(65535L)) * lit(K),
+          lit(65536L)) * lit(65536L),
+      lit(4294967296L))
+  }
+
   private val Cap = 100
   def sampleStratified(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     docs.join(broadcast(counts), "lang")
       .withColumn("rate", least(lit(1.0), lit(Cap + 0.0) / col("cnt")))
-      .withColumn("h", pmod(col("doc_id").bitwiseAND(lit(4294967295L)) * lit(2654435761L),
-          lit(4294967296L)))
+      .withColumn("h", knuth32(col("doc_id")))
       .where(col("h") < floor(col("rate") * lit(4294967296.0)).cast("long"))
       .groupBy(col("lang"))
       .agg(max(col("cnt")).as("n_total"),
@@ -187,9 +204,7 @@ object LlmCuration extends OpModule {
     * stratified holdouts by adding the stratum to the group key. */
   def splitHoldout(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("h",
-        pmod(col("doc_id").bitwiseAND(lit(4294967295L)) * lit(2654435761L),
-          lit(4294967296L)))
+      .withColumn("h", knuth32(col("doc_id")))
       .withColumn("b", expr("(h * 20) div 4294967296"))
       .withColumn("split",
         when(col("b") < 18, "train")
@@ -277,8 +292,7 @@ object LlmCuration extends OpModule {
     val sampled = flagged.where(col("s2") === 1)
       .join(broadcast(counts), "lang")
       .withColumn("rate", least(lit(1.0), lit(Cap + 0.0) / col("cnt")))
-      .withColumn("h", pmod(col("doc_id").bitwiseAND(lit(4294967295L)) * lit(2654435761L),
-          lit(4294967296L)))
+      .withColumn("h", knuth32(col("doc_id")))
       .where(col("h") < floor(col("rate") * lit(4294967296.0)).cast("long"))
       .withColumn("nt", size(split(col("text"), " ")))
       .withColumn("n_chunks", expr(
@@ -363,9 +377,7 @@ object LlmCuration extends OpModule {
         expr("((total_tokens div n_sources) * 10000) div n_tokens")
           .as("weight_fp"))
     val emitted = docs.join(broadcast(w.drop("n_docs")), "source")
-      .withColumn("h",
-        pmod(col("doc_id").bitwiseAND(lit(4294967295L)) * lit(2654435761L),
-          lit(4294967296L)))
+      .withColumn("h", knuth32(col("doc_id")))
       .withColumn("copies",
         expr("weight_fp div 10000")
           + when(col("h") * lit(10000L)
@@ -408,9 +420,7 @@ object LlmCuration extends OpModule {
   def shardLayout(s: SparkSession, d: String): DataFrame = {
     val S = 16
     val per = Tables.documents(s, d)
-      .withColumn("h",
-        pmod(col("doc_id").bitwiseAND(lit(4294967295L)) * lit(2654435761L),
-          lit(4294967296L)))
+      .withColumn("h", knuth32(col("doc_id")))
       .withColumn("shard", expr("cast(h div 268435456 as int)"))
       .withColumn("nt", size(split(col("text"), " ")).cast("long"))
       .groupBy(col("shard"))
@@ -424,7 +434,83 @@ object LlmCuration extends OpModule {
         expr(s"(tok_mass * $S * 10000) div tot").as("fill_bp"))
   }
 
+  /** Dataset-release LINEAGE audit — the governance rollup a managed
+    * training corpus publishes per snapshot: "what changed since the
+    * last release, and is this version safe to train on". One row per
+    * holdout split of the NEW version, joining the three audit surfaces
+    * this module already maintains: the diff classification
+    * (llm_dataset_diff's digest full-outer join), the deterministic
+    * split gate (llm_split_holdout's knuth32 buckets), and card-style
+    * integrity columns (doc count, exact id checksum, char mass — the
+    * cross-run shard-integrity idiom of llm_shard_layout). Derived
+    * verdict columns are exact integers: split_bp (split's share of the
+    * release, basis points) and churn_bp ((added+removed+modified)·10⁴
+    * div the split's PREVIOUS size) feed a releasable flag
+    * (churn < 20%, split nonempty) — the automated gate a retrain
+    * pipeline reads before pointing at the new snapshot. Because the
+    * split is a pure function of doc_id, no document can change split
+    * between versions (leakage-freedom is structural, not audited-after
+    * -the-fact); the id_sum column is what a downstream consumer
+    * re-computes to prove it read the exact released membership.
+    *
+    * Scale shape: ONE full-outer join on doc_id carrying (id, digest)
+    * rows per side — identical to llm_dataset_diff's 100 TB shape
+    * (bucketed snapshot layouts make it shuffle-free) — then a map-side
+    * split assign and a 3-row aggregate; totals broadcast back. Nothing
+    * here is wider than the diff itself. */
+  def lineageAudit(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // v2 derives deterministically from v1 exactly as llm_dataset_diff
+    // (drop every 20th, revise every 7th survivor, add five synthetic)
+    val v2 = v1.where(pmod(col("doc_id"), lit(20)) =!= 3)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 2,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+      .union(s.range(1, 6)
+        .select((col("id") + 3000000000L).as("doc_id"),
+          lit("synthetic doc v2").as("text")))
+    val diff = v1.as("a").join(v2.as("b"),
+        col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(
+        coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+        col("b.text").as("text2"),
+        when(col("b.doc_id").isNull, "removed")
+          .when(col("a.doc_id").isNull, "added")
+          .when(expr("xxhash64(a.text) = xxhash64(b.text)"), "unchanged")
+          .otherwise("modified").as("status"))
+    val per = diff
+      .withColumn("h", knuth32(col("doc_id")))
+      .withColumn("b", expr("(h * 20) div 4294967296"))
+      .withColumn("split",
+        when(col("b") < 18, "train")
+          .when(col("b") === 18, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(when(col("status") =!= "removed", 1)).as("n_docs"),
+        sum(when(col("status") =!= "removed", col("doc_id"))).as("id_sum"),
+        sum(when(col("status") =!= "removed", length(col("text2"))))
+          .cast("long").as("char_mass"),
+        count(when(col("status") === "added", 1)).as("n_added"),
+        count(when(col("status") === "removed", 1)).as("n_removed"),
+        count(when(col("status") === "modified", 1)).as("n_modified"),
+        count(when(col("status") === "unchanged", 1)).as("n_unchanged"))
+    val tot = per.agg(sum(col("n_docs")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(lit("v2").as("version"), col("split"),
+        col("n_docs"), col("id_sum"), col("char_mass"),
+        col("n_added"), col("n_removed"), col("n_modified"),
+        col("n_unchanged"),
+        expr("(n_docs * 10000) div tot").as("split_bp"),
+        expr("""((n_added + n_removed + n_modified) * 10000)
+                 div nullif(n_removed + n_modified + n_unchanged, 0)""")
+          .as("churn_bp"))
+      .withColumn("releasable",
+        col("churn_bp").isNotNull && col("churn_bp") < 2000 &&
+          col("n_docs") > 0)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_lineage_audit" -> lineageAudit _,
     "llm_shard_layout" -> shardLayout _,
     "llm_sample_importance" -> sampleImportance _,
     "curation_e2e" -> curationE2e _,
@@ -468,21 +554,81 @@ object LlmCuration extends OpModule {
       |FROM r""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // replays the v2 derivation + raw-text diff (vs the engine's digest
+    // compare — the dedup_near collision precedent), split-form knuth
+    // gate, and exact-integer verdict columns
+    "llm_lineage_audit" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END
+        |      AS text
+        |  FROM v1 WHERE doc_id % 20 != 3
+        |  UNION ALL
+        |  SELECT 3000000000 + i AS doc_id, 'synthetic doc v2' AS text
+        |  FROM range(1, 6) r(i)),
+        |d AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, b.text AS text2,
+        |    CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN a.text = b.text THEN 'unchanged'
+        |         ELSE 'modified' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+        |sp AS (
+        |  SELECT *, CASE WHEN bkt < 18 THEN 'train'
+        |                 WHEN bkt = 18 THEN 'val'
+        |                 ELSE 'test' END AS split
+        |  FROM (SELECT *, (h * 20) // 4294967296 AS bkt FROM (
+        |    SELECT *, (((doc_id & 65535) * 2654435761)
+        |               + ((((doc_id >> 16) & 65535) * 2654435761) % 65536)
+        |                 * 65536) % 4294967296 AS h FROM d))),
+        |per AS (
+        |  SELECT split,
+        |    CAST(count(CASE WHEN status != 'removed' THEN 1 END) AS BIGINT)
+        |      AS n_docs,
+        |    CAST(sum(CASE WHEN status != 'removed' THEN doc_id END)
+        |      AS BIGINT) AS id_sum,
+        |    CAST(sum(CASE WHEN status != 'removed' THEN length(text2) END)
+        |      AS BIGINT) AS char_mass,
+        |    CAST(count(CASE WHEN status = 'added' THEN 1 END) AS BIGINT)
+        |      AS n_added,
+        |    CAST(count(CASE WHEN status = 'removed' THEN 1 END) AS BIGINT)
+        |      AS n_removed,
+        |    CAST(count(CASE WHEN status = 'modified' THEN 1 END) AS BIGINT)
+        |      AS n_modified,
+        |    CAST(count(CASE WHEN status = 'unchanged' THEN 1 END) AS BIGINT)
+        |      AS n_unchanged
+        |  FROM sp GROUP BY split),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM per),
+        |sel AS (
+        |  SELECT 'v2' AS version, p.split, p.n_docs, p.id_sum, p.char_mass,
+        |    p.n_added, p.n_removed, p.n_modified, p.n_unchanged,
+        |    CAST((p.n_docs * 10000) // t.tot AS BIGINT) AS split_bp,
+        |    CAST(((p.n_added + p.n_removed + p.n_modified) * 10000)
+        |         // nullif(p.n_removed + p.n_modified + p.n_unchanged, 0)
+        |      AS BIGINT) AS churn_bp
+        |  FROM per p, t)
+        |SELECT *, (churn_bp IS NOT NULL AND churn_bp < 2000 AND n_docs > 0)
+        |         AS releasable
+        |FROM sel""".stripMargin,
     "llm_shard_layout" ->
       """WITH sh AS (
         |  SELECT doc_id,
-        |    CAST((((doc_id & 4294967295) * 2654435761) % 4294967296)
+        |    CAST(((((doc_id & 65535) * 2654435761)
+        |           + ((((doc_id >> 16) & 65535) * 2654435761) % 65536)
+        |             * 65536) % 4294967296)
         |         // 268435456 AS INTEGER) AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
         |  FROM documents),
         |per AS (
-        |  SELECT shard, count(*) AS n_docs, sum(nt) AS tok_mass,
+        |  SELECT shard, count(*) AS n_docs,
+        |         CAST(sum(nt) AS BIGINT) AS tok_mass,
         |         min(doc_id) AS min_id, max(doc_id) AS max_id,
-        |         sum(doc_id) AS id_sum
+        |         CAST(sum(doc_id) AS BIGINT) AS id_sum
         |  FROM sh GROUP BY shard),
-        |t AS (SELECT sum(tok_mass) AS tot FROM per)
+        |t AS (SELECT CAST(sum(tok_mass) AS BIGINT) AS tot FROM per)
         |SELECT p.shard, p.n_docs, p.tok_mass, p.min_id, p.max_id, p.id_sum,
-        |       (p.tok_mass * 16 * 10000) // t.tot AS fill_bp
+        |       CAST((p.tok_mass * 16 * 10000) // t.tot AS BIGINT) AS fill_bp
         |FROM per p, t""".stripMargin,
     "llm_sample_importance" ->
       """WITH docs AS (
@@ -502,7 +648,9 @@ object LlmCuration extends OpModule {
         |  SELECT d.source, d.doc_id,
         |    unnest(range(1, CAST(
         |      weight_fp // 10000
-        |      + CASE WHEN (((d.doc_id & 4294967295) * 2654435761) % 4294967296) * 10000
+        |      + CASE WHEN ((((d.doc_id & 65535) * 2654435761)
+        |                    + ((((d.doc_id >> 16) & 65535) * 2654435761)
+        |                       % 65536) * 65536) % 4294967296) * 10000
         |                  < (weight_fp % 10000) * 4294967296
         |             THEN 1 ELSE 0 END AS BIGINT) + 1)) AS copy
         |  FROM docs d JOIN w USING (source)),
@@ -558,7 +706,9 @@ object LlmCuration extends OpModule {
          |  FROM near n
          |  JOIN documents d ON d.doc_id = n.doc_id
          |  JOIN c ON c.lang = d.lang
-         |  WHERE ((d.doc_id & 4294967295) * 2654435761) % 4294967296
+         |  WHERE (((d.doc_id & 65535) * 2654435761)
+         |         + ((((d.doc_id >> 16) & 65535) * 2654435761) % 65536)
+         |           * 65536) % 4294967296
          |        < floor(least(CAST(1.0 AS DOUBLE), CAST($Cap.0 AS DOUBLE) / c.cnt)
          |                * 4294967296.0)::BIGINT),
          |sagg AS (
@@ -634,7 +784,9 @@ object LlmCuration extends OpModule {
         |g AS (
         |  SELECT d.lang, d.doc_id, c.cnt,
         |    least(CAST(1.0 AS DOUBLE), CAST($Cap.0 AS DOUBLE) / c.cnt) AS rate,
-        |    ((d.doc_id & 4294967295) * 2654435761) % 4294967296 AS h
+        |    (((d.doc_id & 65535) * 2654435761)
+        |     + ((((d.doc_id >> 16) & 65535) * 2654435761) % 65536)
+        |       * 65536) % 4294967296 AS h
         |  FROM documents d JOIN c ON d.lang = c.lang)
         |SELECT lang, max(cnt) AS n_total, count(*) AS n_sampled,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -644,7 +796,9 @@ object LlmCuration extends OpModule {
     "llm_split_holdout" ->
       """WITH g AS (
         |  SELECT doc_id, n_chars,
-        |    (((doc_id & 4294967295) * 2654435761) % 4294967296) AS h
+        |    ((((doc_id & 65535) * 2654435761)
+        |      + ((((doc_id >> 16) & 65535) * 2654435761) % 65536)
+        |        * 65536) % 4294967296) AS h
         |  FROM documents),
         |b AS (
         |  SELECT doc_id, n_chars, (h * 20) // 4294967296 AS b FROM g)

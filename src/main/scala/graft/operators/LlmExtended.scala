@@ -200,13 +200,13 @@ object LlmExtended extends OpModule {
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     dedupNgramImpl(s, d, rarestFirst = true)
 
-  /** Hash-order twin (the r7 flagship ordering, kept as the regime
-    * witness): prefix = plain slice of the hash-sorted array, zero
-    * extra passes. The OUTPUT is provably identical (any consistent
-    * global order satisfies the prefix theorem — same oracle SQL), only
-    * the candidate space differs; the equivalence spec pins the pair
-    * sets equal. Right when the vocabulary is measured df-uniform (no
-    * hot postings to dodge) and no df index is maintained. */
+  /** Hash-order twin (the r7 flagship ordering), spec-only since r9 —
+    * not a registered query: prefix = plain slice of the hash-sorted
+    * array, zero extra passes. The OUTPUT is provably identical (any
+    * consistent global order satisfies the prefix theorem), only the
+    * candidate space differs; LlmExtendedSpec's equivalence test pins
+    * the pair sets equal, which is the whole job — re-benching an
+    * output-identical twin bought nothing for 0.66 s/round. */
   def dedupNgramHash(s: SparkSession, d: String): DataFrame =
     dedupNgramImpl(s, d, rarestFirst = false)
 
@@ -632,7 +632,13 @@ object LlmExtended extends OpModule {
     "udtf_ngrams" -> udtfNgrams _,
     "llm_dedup_simhash" -> dedupSimhash _,
     "llm_dedup_ngram" -> dedupNgram _,
-    "llm_dedup_ngram_hash" -> dedupNgramHash _,
+    // dedupNgramHash is NOT registered (r9): rarest-first is the one
+    // canonical ordering (measured: 159 vs 5,000 max posting, 23k vs 75M
+    // candidate mass on the skewed-vocabulary tier — SCALE.md); the
+    // hash-order twin survives as the candidate-losslessness WITNESS in
+    // LlmExtendedSpec ("hash-order twin replays the rarest-first
+    // flagship") rather than as a second registered op re-benching the
+    // same output 0.66 s/round.
     "llm_dedup_containment" -> dedupContainment _,
     "llm_dedup_embed" -> dedupEmbed _,
     "llm_ann_ivf" -> annIvf _,
@@ -750,9 +756,6 @@ object LlmExtended extends OpModule {
          |WHERE bit_count(xor(a.fp_lo, b.fp_lo)::BIT)
          |        + bit_count(xor(a.fp_hi, b.fp_hi)::BIT) <= 3""".stripMargin),
     "llm_dedup_ngram" -> ngramOracleSql,
-    // the hash-order twin is output-identical by the prefix theorem —
-    // ONE oracle replays both (the exhaustive join has no prefix notion)
-    "llm_dedup_ngram_hash" -> ngramOracleSql,
     "llm_dedup_embed" ->
       (s"""WITH cells AS (
           |  SELECT vec_id, embedding,

@@ -1496,14 +1496,16 @@ object LlmScale extends OpModule {
       |  WHERE d.vec_id < 10
       |  GROUP BY 1, 2, 3),
       |ad AS (
-      |  SELECT t.qid, k.vec_id AS cand_id, sum(t.dt) AS adist
+      |  SELECT t.qid, k.vec_id AS cand_id,
+      |         CAST(sum(t.dt) AS BIGINT) AS adist
       |  FROM codes k JOIN dtab t ON t.m = k.m AND t.j = k.code
       |  WHERE k.vec_id != t.qid
       |  GROUP BY 1, 2),
       |top AS (
       |  SELECT qid, cand_id, adist,
-      |    row_number() OVER (PARTITION BY qid
-      |                       ORDER BY adist ASC, cand_id ASC) AS rank
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |                       ORDER BY adist ASC, cand_id ASC) AS INTEGER)
+      |      AS rank
       |  FROM ad),
       |t3 AS (SELECT * FROM top WHERE rank <= 3)""".stripMargin
 
@@ -1573,8 +1575,8 @@ object LlmScale extends OpModule {
     "llm_ann_pq" ->
       (pqCtes + """,
         |ex AS (
-        |  SELECT t.qid, t.cand_id, sum((dq.q - dc.q) * (dq.q - dc.q))
-        |    AS exact_dist
+        |  SELECT t.qid, t.cand_id,
+        |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS exact_dist
         |  FROM t3 t
         |  JOIN dims dq ON dq.vec_id = t.qid
         |  JOIN dims dc ON dc.vec_id = t.cand_id AND dc.dim = dq.dim

@@ -109,8 +109,12 @@ object Scans extends OpModule {
     // fixture construction ONLY (bounded 50-row collect): production
     // media files already exist on storage — there is no staging step at
     // scale, just the binaryFile scan below. Synchronized: suites share
-    // the JVM and may race the check-then-create.
-    val dir = new java.io.File(s"$ioDir/bin_docs")
+    // the JVM and may race the check-then-create. Keyed by the data dir
+    // (like scan_evolving / scan_partitioned): a second call with a
+    // different d (ScaleProbe tier clone, planted-fixture spec) must
+    // stage ITS documents, not silently reuse the first dir's files.
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = new java.io.File(s"$ioDir/bin_docs_$sfx")
     ioLock.synchronized {
       if (!dir.exists()) {
         dir.mkdirs()
@@ -368,9 +372,6 @@ object Scans extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
-    // replays the stage → binaryFile scan → decode round trip from the
-    // source table itself: file length must equal the UTF-8 byte length
-    // of the text that was staged (no staged-path coupling, no race)
     "scan_text" ->
       "SELECT doc_id, text FROM documents",
     "maintenance_stats" ->
@@ -402,6 +403,9 @@ object Scans extends OpModule {
         |UNION ALL SELECT 'o_orderpriority', ndv_pr, nn_pr, n FROM m
         |UNION ALL SELECT 'o_totalprice', ndv_tp, nn_tp, n FROM m
         |UNION ALL SELECT 'o_orderdate', ndv_od, nn_od, n FROM m""".stripMargin,
+    // replays the stage → binaryFile scan → decode round trip from the
+    // source table itself: file length must equal the UTF-8 byte length
+    // of the text that was staged (no staged-path coupling, no race)
     "scan_binaryfile" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS length,

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -106,12 +108,21 @@ object StreamIO extends OpModule {
     dupDirs.computeIfAbsent(d, { dir =>
       val target = java.nio.file.Paths.get(fresh("events_dup"))
       java.nio.file.Files.createDirectories(target)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        target.resolve("events_a.parquet"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        target.resolve("events_b.parquet"))
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      // a directory-shaped dataset (ScaleProbe clone) must contribute its
+      // PART files — Files.copy on the dir itself would create an empty
+      // directory and a silently empty topic
+      val parts: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val ps = java.nio.file.Files.list(src).iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          require(ps.nonEmpty, s"no parquet part files under $src")
+          ps
+        } else Seq(src)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.copy(p, target.resolve(f"events_a_$i%03d.parquet"))
+        java.nio.file.Files.copy(p, target.resolve(f"events_b_$i%03d.parquet"))
+      }
       target.toString
     })
 

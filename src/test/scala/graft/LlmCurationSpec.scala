@@ -57,6 +57,38 @@ class LlmCurationSpec extends SparkSpec {
     assert(out.length == ids.length + 5, "one verdict per union'd doc id")
   }
 
+  test("lineage_audit: splits partition the release, counts reconcile with the diff, verdict is exact") {
+    val out = LlmCuration.lineageAudit(spark, sf).collect()
+    assert(out.length == 3 && out.map(_.getAs[String]("split")).toSet ==
+      Set("train", "val", "test"))
+    // per-split diff counts must reconcile with the dataset_diff op
+    val diffByStatus = LlmCuration.datasetDiff(spark, sf).collect()
+      .groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    def tot(c: String) = out.map(_.getAs[Long](c)).sum
+    assert(tot("n_added") == diffByStatus.getOrElse("added", 0))
+    assert(tot("n_removed") == diffByStatus.getOrElse("removed", 0))
+    assert(tot("n_modified") == diffByStatus.getOrElse("modified", 0))
+    assert(tot("n_unchanged") == diffByStatus.getOrElse("unchanged", 0))
+    // membership identity: v2 docs per split = added + modified + unchanged
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == r.getAs[Long]("n_added")
+        + r.getAs[Long]("n_modified") + r.getAs[Long]("n_unchanged"))
+    }
+    // split_bp sums to ~10000 (integer floor can undershoot by < 3)
+    val bp = out.map(_.getAs[Long]("split_bp")).sum
+    assert(bp > 9997 && bp <= 10000, s"split_bp sum $bp")
+    // verdict replays its own definition (null churn → not releasable)
+    out.foreach { r =>
+      val i = r.fieldIndex("churn_bp")
+      val expected = !r.isNullAt(i) && r.getLong(i) < 2000 &&
+        r.getAs[Long]("n_docs") > 0
+      assert(r.getAs[Boolean]("releasable") == expected)
+    }
+    // deterministic: identical rows on re-evaluation
+    val again = LlmCuration.lineageAudit(spark, sf).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("chunk: windows cover every token, fixed width except the tail, no shuffle") {
     val chunks = LlmCuration.chunk(spark, sf)
     val byDoc = chunks.groupBy($"doc_id")

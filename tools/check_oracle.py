@@ -9,6 +9,16 @@ the Spark result parquet at <verifyOutDir>/<name>/ — columns sorted by name,
 rows sorted, values stringified (floats repr'd to 10 sig digits to absorb
 binary noise the driver's hash would not absorb; so treat PASS here as
 necessary, not sufficient — keep SURVEY §5.4 rounding discipline in queries).
+
+Type-strict since r9: the driver's hash is TYPE-sensitive in exactly one
+measured way — integer WIDTH drift (TINYINT/SMALLINT/INTEGER/BIGINT) passes
+the driver gate (28 registered queries carry it and hash-match), but HUGEINT
+does NOT (the r8 four: un-cast sum() typed HUGEINT, values identical, hash
+split — int128 has no integral pandas/arrow representation downstream). So
+alongside values we DESCRIBE both sides, collapse the int family, and fail
+on any remaining column-type drift (HUGEINT vs int, int vs DOUBLE, ...).
+Fix at the source: CAST(sum(..) AS BIGINT) on every oracle integer
+reduction, windowed sums included.
 """
 import json, sys, glob, os
 import duckdb
@@ -28,6 +38,18 @@ def norm_rows(cols, rows):
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     return sorted(cols), sorted(out)
 
+INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+
+def norm_type(t):
+    # int widths collapse in the driver's canonicalization (measured r9:
+    # INTEGER-vs-BIGINT drift hash-matches); HUGEINT intentionally does NOT
+    return "INT" if t in INT_FAMILY else t
+
+def col_types(con, sql):
+    """name -> DuckDB column_type string, via DESCRIBE (exact, not DB-API)."""
+    return {r[0]: norm_type(r[1])
+            for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
 def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
@@ -43,17 +65,24 @@ def main(sf_dir, out_dir, only=()):
         if not spark_glob:
             print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
         try:
-            sq = con.execute(
-                f"SELECT * FROM read_parquet({spark_glob!r})")
+            spark_sql = f"SELECT * FROM read_parquet({spark_glob!r})"
+            sq = con.execute(spark_sql)
             scols = [d[0] for d in sq.description]; srows = sq.fetchall()
+            stypes = col_types(con, spark_sql)
             oq = con.execute(oracle[name])
             ocols = [d[0] for d in oq.description]; orows = oq.fetchall()
+            otypes = col_types(con, oracle[name])
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         sc, sr = norm_rows(scols, srows)
         oc, orr = norm_rows(ocols, orows)
+        tdrift = [(c, stypes.get(c), otypes.get(c))
+                  for c in sc if c in oc and stypes.get(c) != otypes.get(c)]
         if sc != oc:
             print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
+            n_fail += 1
+        elif tdrift:
+            print(f"FAIL {name}: type drift (col, spark, oracle): {tdrift}")
             n_fail += 1
         elif sr != orr:
             diff = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
