@@ -209,6 +209,70 @@ object DevProbe {
       joinRun("full_p4", "4", noData = true, "fullOuter")
       spark.stop(); return
     }
+    // round-9 follow-up on the outer/full expiry floor: the batch
+    // schedule is already minimal (1 data + 1 expiry batch — r8), so the
+    // remaining levers are per-batch fixed costs: state-store
+    // maintenance, format validation, per-batch metrics, skip-nulls
+    // storage. Each variant times the FULL outer join end to end.
+    if (names == Seq("stream_floor2")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val src = java.nio.file.Files.createTempDirectory("floor2_src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        src.resolve("events.parquet"))
+      def run(tag: String, confs: Map[String, String]): Unit = {
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "2")
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+        confs.foreach { case (k, v) => ss.conf.set(k, v) }
+        val schema = ss.read.parquet(src.toString).schema
+        (1 to 3).foreach { i =>
+          val in = ss.readStream.schema(schema).parquet(src.toString)
+            .transform(graft.Tables.normalizeTs)
+          val clicks = in.where(col("event_type") === "click")
+            .select(col("user_id").as("c_user"),
+              col("event_id").as("click_id"), col("ts").as("c_ts"))
+            .withWatermark("c_ts", "10 minutes")
+          val purchases = in.where(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"),
+              col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"), col("value").as("p_value"))
+            .withWatermark("p_ts", "10 minutes")
+          val t0 = System.nanoTime()
+          val name = s"floor2_${tag}_$i"
+          val q = clicks.join(purchases,
+              col("c_user") === col("p_user") &&
+                col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+                col("p_ts") <= col("c_ts"), "fullOuter")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory("floor2_ck").toString)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination(120000L)
+          val n = ss.table(name).count()
+          println(f"[floor2] $tag run$i: $n rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
+      run("baseline", Map.empty)
+      run("no_maint", Map(
+        "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s"))
+      run("no_validate", Map(
+        "spark.sql.streaming.stateStore.formatValidation.enabled" -> "false"))
+      run("skip_nulls", Map(
+        "spark.sql.streaming.stateStore.skipNullsForStreamStreamJoins.enabled"
+          -> "true"))
+      run("no_metrics", Map("spark.sql.streaming.metricsEnabled" -> "false"))
+      run("all", Map(
+        "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s",
+        "spark.sql.streaming.stateStore.formatValidation.enabled" -> "false",
+        "spark.sql.streaming.stateStore.skipNullsForStreamStreamJoins.enabled"
+          -> "true",
+        "spark.sql.streaming.metricsEnabled" -> "false"))
+      spark.stop(); return
+    }
     // graph_components stage bisection with memo resets between runs —
     // DevProbe's plain mode reuses the adjacency/cc memos, hiding where
     // the bench-visible (memo-paying) time goes

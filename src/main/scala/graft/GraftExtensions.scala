@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineSimilarity, DotProductLong, MinHashSig, NGrams,
-  PolyShingles, SimHash32, SortedIntersectCount, SquaredDistanceLong,
-  XxNGramHashes}
+  PolyShingles, PolyShinglesSeq, SimHash32, SortedIntersectCount,
+  SquaredDistanceLong, XxNGramHashes}
 
 /** Engine extension wiring (SURVEY.md §4.3).
   *
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.squaredDistanceDescriptor)
     ext.injectFunction(GraftExtensions.dotLongDescriptor)
     ext.injectFunction(GraftExtensions.polyShinglesDescriptor)
+    ext.injectFunction(GraftExtensions.polyShinglesSeqDescriptor)
     ext.injectFunction(GraftExtensions.xxNGramDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
@@ -112,6 +113,16 @@ object GraftExtensions {
     }
   )
 
+  private val polyShinglesSeqDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("poly_shingles_seq"),
+    new ExpressionInfo(classOf[PolyShinglesSeq].getName, "poly_shingles_seq"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "poly_shingles_seq expects array<string>")
+      PolyShinglesSeq(children.head)
+    }
+  )
+
   private val xxNGramDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("xx_ngram_hashes"),
@@ -178,7 +189,8 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, ngramsDescriptor, simhashDescriptor,
       sortedIntersectDescriptor, squaredDistanceDescriptor,
-      dotLongDescriptor, polyShinglesDescriptor, xxNGramDescriptor,
+      dotLongDescriptor, polyShinglesDescriptor, polyShinglesSeqDescriptor,
+      xxNGramDescriptor,
       minhashSigDescriptor, bloomAggDescriptor,
       bloomMightContainDescriptor).foreach {
       case (id, info, builder) =>

@@ -166,7 +166,24 @@ object ScaleProbe {
       // single-aggregate audits: growth must be the scan, nothing else
       // (skew's frequency table is key-sized; stats' multi-distinct
       // expands map-side; the split is one map-side hash)
-      "dq_skew", "maintenance_stats", "llm_split_holdout")
+      "dq_skew", "maintenance_stats", "llm_split_holdout",
+      // round-9 retrieval/curriculum family over the clone corpus: bm25
+      // is two token aggregates + a broadcast 5-term query (scan-bound);
+      // vocab coverage is one (lang, tok) aggregate + a 500-row
+      // broadcast; curriculum's ntile replication shuffles the per-doc
+      // rows once by rare_bp; winnow postings are df≤50-capped, so pair
+      // fan-out tracks the engineered clone families, never corpus²
+      "llm_bm25", "llm_vocab_coverage", "llm_curriculum",
+      "llm_dedup_winnow",
+      // robust-stats pair: both collapse raw events to the hourly series
+      // first (the ts_gapfill rule) — growth must be scan-bound; the
+      // completeness profile is one expand-based aggregate (×5 partial
+      // rows map-side, 1 output row per column)
+      "ts_anomaly_mad", "ts_rolling_corr", "dq_completeness",
+      // degree histogram reads the memoized adjacency (1 row/node);
+      // 2hop is seed-bounded (10 seeds × local Σdeg) — must stay ~flat
+      // in graph size beyond the shared adjacency build
+      "graph_degree_dist", "graph_2hop")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

