@@ -180,10 +180,16 @@ object ScaleProbe {
       // completeness profile is one expand-based aggregate (×5 partial
       // rows map-side, 1 output row per column)
       "ts_anomaly_mad", "ts_rolling_corr", "dq_completeness",
+      // blocklist screening is per-row HOF work (scan-bound); freshness
+      // is two map-side aggregate passes + a 1-row broadcast
+      "llm_safety_filter", "dq_freshness",
       // degree histogram reads the memoized adjacency (1 row/node);
       // 2hop is seed-bounded (10 seeds × local Σdeg) — must stay ~flat
       // in graph size beyond the shared adjacency build
-      "graph_degree_dist", "graph_2hop")
+      "graph_degree_dist", "graph_2hop",
+      // assortativity: one explode + equi-join on node id + one global
+      // aggregate — must track the edge count
+      "graph_assortativity")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

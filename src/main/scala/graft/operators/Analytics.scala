@@ -1389,7 +1389,64 @@ object Analytics extends OpModule {
       |AS (column_name, n_nonnull, n_distinct, completeness_bp)
       |""".stripMargin))
 
+  /** Per-stream freshness audit: how far each event type's newest data
+    * lags the newest data ANYWHERE in the log, with last-24 h volume —
+    * the "is this source still alive" gate every ingestion dashboard
+    * leads with. Time stays in exact integer microseconds (lag floored
+    * to whole seconds); the staleness threshold is 6 h. Two scans by
+    * necessity (the global high-water mark must exist before per-row
+    * recency compares); both are plain map-side aggregates, and the
+    * 1-row watermark broadcasts. */
+  def dqFreshness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+    val g = ev.agg(max(col("tus")).as("gmax")) // 1 row → broadcast
+    ev.crossJoin(broadcast(g))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        timestamp_micros(max(col("tus"))).as("last_ts"),
+        expr("(max(gmax) - max(tus)) div 1000000").as("lag_sec"),
+        sum(when(col("tus") > col("gmax") - lit(86400000000L), 1L)
+          .otherwise(0L)).as("n_last24h"))
+      .withColumn("stale", col("lag_sec") > 21600L)
+  }
+
+  /** Degree assortativity of the co-supply graph (Newman's r): the
+    * Pearson correlation of endpoint degrees over the symmetric
+    * directed edge set — positive r means hubs prefer hubs (resilient
+    * core), negative means hub-and-spoke (delete a hub, strand the
+    * spokes). By symmetry Σdu = Σdv and Σdu² = Σdv², so
+    * r = (m·Σdudv − (Σdu)²) / (m·Σdu² − (Σdu)²) — every sum an exact
+    * BIGINT (m·Σdu² ≤ m²·maxdeg² ~ 10¹⁷ at sf0.1-shape graphs; a
+    * billion-edge graph needs the same sums in 128-bit or per-partition
+    * scaled form, noted), one double at the end. Degenerate (regular)
+    * graphs report NULL — the sf0.01 fixture is a clique, so the
+    * NULL branch is exercised by the gate itself. One explode + one
+    * equi-join on node id against the memoized adjacency, one global
+    * aggregate. */
+  def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val adj = coSupplyAdjacency(s, d)
+    val e = adj
+      .select(col("id").as("u"), col("deg").as("du"),
+        explode(col("nbrs")).as("v"))
+      .join(adj.select(col("id").as("v"), col("deg").as("dv")), "v")
+    e.agg(
+        count(lit(1)).as("m"),
+        sum(col("du")).as("sx"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"))
+      .select(
+        expr("m div 2").as("n_edges"),
+        when(col("m") * col("sxx") - col("sx") * col("sx") > 0,
+          round((col("m") * col("sxy") - col("sx") * col("sx"))
+            / (col("m") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("assortativity"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness" -> dqFreshness _,
+    "graph_assortativity" -> graphAssortativity _,
     "ts_anomaly_mad" -> tsAnomalyMad _,
     "ts_rolling_corr" -> tsRollingCorr _,
     "graph_degree_dist" -> graphDegreeDist _,
@@ -1438,6 +1495,38 @@ object Analytics extends OpModule {
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "dq_freshness" -> (evCte +
+      """,
+        |t AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM ev),
+        |g AS (SELECT max(tus) AS gmax FROM t)
+        |SELECT event_type,
+        |  count(*) AS n_events,
+        |  make_timestamp(max(tus)) AS last_ts,
+        |  CAST((max(gmax) - max(tus)) // 1000000 AS BIGINT) AS lag_sec,
+        |  CAST(sum(CASE WHEN tus > gmax - 86400000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_last24h,
+        |  (max(gmax) - max(tus)) // 1000000 > 21600 AS stale
+        |FROM t CROSS JOIN g
+        |GROUP BY event_type""".stripMargin),
+    "graph_assortativity" -> (symCte +
+      """,
+        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+        |e AS (
+        |  SELECT da.deg AS du, db.deg AS dv
+        |  FROM sym
+        |  JOIN deg da ON da.src = sym.src
+        |  JOIN deg db ON db.src = sym.dst),
+        |sums AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(du) AS BIGINT) AS sx,
+        |    CAST(sum(du * dv) AS BIGINT) AS sxy,
+        |    CAST(sum(du * du) AS BIGINT) AS sxx
+        |  FROM e)
+        |SELECT m // 2 AS n_edges,
+        |  CASE WHEN m * sxx - sx * sx > 0
+        |    THEN round((m * sxy - sx * sx) / (m * sxx - sx * sx), 6)
+        |  END AS assortativity
+        |FROM sums""".stripMargin),
     "ts_anomaly_mad" -> (evCte +
       """,
         |hourly AS (

@@ -229,11 +229,38 @@ object Retrieval extends OpModule {
         sum(col("n_tok")).as("token_mass"))
   }
 
+  /** Blocklist-based safety screening: per document, the occurrence
+    * rate of flagged lexicon terms in basis points, tiered into
+    * keep / flag / drop actions — the wordlist prefilter every curation
+    * pipeline runs before (much costlier) model-based safety scoring.
+    * The lexicon is a FIXED literal list (like llm_pii_scrub's
+    * patterns); on the synthetic corpus only "slow" occurs, which
+    * exercises all three action tiers. Zero-shuffle per-row HOFs (the
+    * llm_repetition_filter shape): each doc filters its own token
+    * array; thresholds are exact integer basis points. */
+  def safetyFilter(s: SparkSession, d: String): DataFrame = {
+    val lexicon = "array('slow','crash','leak','unsafe','broken')"
+    Tables.documents(s, d)
+      .withColumn("toks",
+        expr("filter(split(text, ' '), t -> t != '')"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(expr(s"filter(toks, t -> array_contains($lexicon, t))"))
+          .cast("long").as("n_flagged"))
+      .withColumn("rate_bp", expr("n_flagged * 10000 div n_tok"))
+      .withColumn("action",
+        when(col("rate_bp") >= 400, "drop")
+          .when(col("rate_bp") >= 150, "flag")
+          .otherwise("keep"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bm25" -> bm25 _,
     "llm_vocab_coverage" -> vocabCoverage _,
     "llm_dedup_winnow" -> dedupWinnow _,
-    "llm_curriculum" -> curriculum _
+    "llm_curriculum" -> curriculum _,
+    "llm_safety_filter" -> safetyFilter _
   )
 
   /** Shared oracle preamble: exploded non-empty tokens. */
@@ -350,6 +377,24 @@ object Retrieval extends OpModule {
         |  CAST(min(rare_bp) AS BIGINT) AS min_bp,
         |  CAST(max(rare_bp) AS BIGINT) AS max_bp,
         |  CAST(sum(n_tok) AS BIGINT) AS token_mass
-        |FROM staged GROUP BY stage""".stripMargin)
+        |FROM staged GROUP BY stage""".stripMargin),
+    "llm_safety_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['slow','crash','leak','unsafe','broken'], x)))
+        |      AS BIGINT) AS n_flagged
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, lang, n_tok, n_flagged,
+        |  n_flagged * 10000 // n_tok AS rate_bp,
+        |  CASE WHEN n_flagged * 10000 // n_tok >= 400 THEN 'drop'
+        |       WHEN n_flagged * 10000 // n_tok >= 150 THEN 'flag'
+        |       ELSE 'keep' END AS action
+        |FROM m""".stripMargin
   )
 }

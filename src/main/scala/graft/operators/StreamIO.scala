@@ -59,6 +59,22 @@ object StreamIO extends OpModule {
     // production job with state larger than heap flips this back.
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    // Per-batch fixed-cost levers (r9, DevProbe stream_floor2: the full
+    // outer join's 3.3 s probe floor → 2.2 s with all four, ~equal
+    // contributions). These AvailableNow queries live 1-3 s, so the
+    // 60 s-interval maintenance thread only ever fires its startup pass
+    // — pure overhead here (a long-lived job keeps the default);
+    // format validation re-checks our own just-written fixture state
+    // every batch; the skip-nulls storage shape is the upstream default
+    // for new stream-stream join checkpoints; per-query Codahale
+    // metrics registration costs more than these micro-runs return.
+    ss.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.formatValidation.enabled", "false")
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.skipNullsForStreamStreamJoins.enabled",
+      "true")
+    ss.conf.set("spark.sql.streaming.metricsEnabled", "false")
     ss
   }
 

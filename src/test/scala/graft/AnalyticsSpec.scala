@@ -668,6 +668,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("dq_freshness: zero-lag type is the global maximum, volumes reconcile") {
+    import spark.implicits._
+    val out = Analytics.dqFreshness(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum
+      == Tables.events(spark, sf).count())
+    // exactly the type carrying the global max has lag 0, and stale
+    // is the documented 6 h threshold everywhere
+    assert(out.count(_.getAs[Long]("lag_sec") == 0L) >= 1)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("stale") == (r.getAs[Long]("lag_sec") > 21600L))
+      assert(r.getAs[Long]("n_last24h") <= r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("graph_assortativity: NULL on regular graphs, in [-1,1] otherwise") {
+    val r = Analytics.graphAssortativity(spark, sf).head()
+    assert(r.getAs[Long]("n_edges") > 0)
+    if (!r.isNullAt(r.fieldIndex("assortativity"))) {
+      val a = r.getAs[Double]("assortativity")
+      assert(a >= -1.0000001 && a <= 1.0000001)
+    }
+    // independent recompute from the adjacency
+    import spark.implicits._
+    val adj = Analytics.adjacencyProbe(spark, sf)
+      .select($"id", $"nbrs", $"deg").as[(Long, Seq[Long], Long)].collect()
+    val degOf = adj.map(a => a._1 -> a._3).toMap
+    val es = adj.flatMap(a => a._2.map(v => (a._3, degOf(v))))
+    val m = es.length.toLong
+    val sx = es.map(_._1).sum
+    val sxy = es.map(e => e._1 * e._2).sum
+    val sxx = es.map(e => e._1 * e._1).sum
+    assert(r.getAs[Long]("n_edges") == m / 2)
+    val den = m * sxx - sx * sx
+    if (den > 0) {
+      val want = BigDecimal((m * sxy - sx * sx).toDouble / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("assortativity") - want) < 1e-9)
+    } else assert(r.isNullAt(r.fieldIndex("assortativity")))
+  }
+
   test("dq_completeness: profile reconciles with direct counts") {
     import spark.implicits._
     val out = Analytics.dqCompleteness(spark, sf).collect()

@@ -78,6 +78,21 @@ class RetrievalSpec extends SparkSpec {
     assert(out.nonEmpty, "no winnow candidates on a corpus with known near-dups")
   }
 
+  test("llm_safety_filter: tiers agree with the rate, all actions reachable") {
+    val out = Retrieval.safetyFilter(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val (n, f, bp) = (r.getAs[Long]("n_tok"), r.getAs[Long]("n_flagged"),
+        r.getAs[Long]("rate_bp"))
+      assert(f <= n && bp == f * 10000 / n)
+      val want = if (bp >= 400) "drop" else if (bp >= 150) "flag" else "keep"
+      assert(r.getAs[String]("action") == want)
+    }
+    // the synthetic corpus's "slow" frequency spans all three tiers
+    assert(out.map(_.getAs[String]("action")).toSet
+      == Set("keep", "flag", "drop"))
+  }
+
   test("llm_curriculum: exact ntile split — balanced stages, ordered difficulty") {
     val out = Retrieval.curriculum(spark, sf).orderBy($"stage").collect()
     assert(out.map(_.getAs[Int]("stage")).toSeq == (1 to out.length))
