@@ -61,6 +61,43 @@ object DevProbe {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit")))
       spark.stop(); return
     }
+    // co-supply adjacency build bisection on an N× disjoint clone —
+    // localizes the r9 probe finding (graph_degree_dist 188.9 s at 30×
+    // is the shared adjacency build, not the 1-row-per-node audit)
+    if (names.headOption.contains("adj_parts")) {
+      import org.apache.spark.sql.functions._
+      val copies = names.drop(1).headOption.map(_.toInt).getOrElse(30)
+      val out = "/tmp/graft_adj_probe"
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .withColumn("k", explode(lit((0 until copies).toArray)))
+        .select((col("l_orderkey") * copies + col("k")).as("l_orderkey"),
+          (col("l_suppkey") * copies + col("k")).as("l_suppkey"))
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      def t(tag: String)(df: DataFrame): Unit = {
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = df.queryExecution.toRdd.count()
+          println(f"[part] $tag run$i: $n rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
+      val li = spark.read.parquet(s"$out/lineitem.parquet")
+      t("scan")(li)
+      val sups = li.groupBy(col("l_orderkey"))
+        .agg(array_distinct(collect_list(col("l_suppkey"))).as("sups"))
+      t("collect_sups")(sups)
+      val pairs = sups.select(explode(col("sups")).as("src"), col("sups"))
+        .select(col("src"), explode(col("sups")).as("dst"))
+        .where(col("src") =!= col("dst"))
+      t("pairs")(pairs)
+      val edges = pairs.groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+      t("edges")(edges)
+      val adj = edges.groupBy(col("src").as("id"))
+        .agg(sort_array(collect_list(col("dst").cast("long"))).as("nbrs"),
+          count(lit(1)).as("deg"))
+      t("adjacency")(adj)
+      spark.stop(); return
+    }
     // fingerprint stage bisection on a 10× synthetic corpus
     if (names == Seq("fp_parts")) {
       import org.apache.spark.sql.functions._

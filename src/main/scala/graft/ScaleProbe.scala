@@ -47,11 +47,13 @@ object ScaleProbe {
         when(col("k") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" v"), col("k"))).as("text"),
         col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     spark.read.parquet(s"$src/embeddings.parquet")
       .withColumn("k", explode(lit((0 until copies).toArray)))
       .select((col("vec_id") * copies + col("k")).as("vec_id"),
         col("label"), col("embedding"))
+      .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
     // graph scale-up: 10 DISJOINT clones of the co-supply graph (orderkey
     // and suppkey both offset per clone) — node and edge counts grow 10×
@@ -64,6 +66,7 @@ object ScaleProbe {
       .withColumn("l_orderkey", col("l_orderkey") * copies + col("k"))
       .withColumn("l_suppkey", col("l_suppkey") + col("k") * lit(1000000L))
       .drop("k")
+      .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
 
     // events/orders clones: DISJOINT per-clone user and customer spaces
@@ -81,6 +84,7 @@ object ScaleProbe {
         col("ts"),
         (col("user_id") + col("k") * lit(10000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
+      .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
     spark.read.parquet(s"$src/orders.parquet")
       .withColumn("k", explode(lit((0 until copies).toArray)))
@@ -88,6 +92,7 @@ object ScaleProbe {
         (col("o_custkey") + col("k") * lit(10000000L)).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
+      .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
 
     val probes = Seq(
@@ -189,7 +194,23 @@ object ScaleProbe {
       "graph_degree_dist", "graph_2hop",
       // assortativity: one explode + equi-join on node id + one global
       // aggregate — must track the edge count
-      "graph_assortativity")
+      "graph_assortativity",
+      // release audit: one full-outer diff join on doc_id + a 3-row
+      // split aggregate — must track the snapshot size like dataset_diff
+      "llm_lineage_audit",
+      // progressive peel: rounds × (degree agg + two semi-joins) with a
+      // shrinking frontier — growth must track the adjacency build
+      "graph_kcore",
+      // both collapse to the hourly series first (the ts_gapfill rule) /
+      // one user-keyed window + |types|² aggregate — scan-bound
+      "ts_acf", "ts_transitions",
+      // one map-side token count into a |sources|-row aggregate — scan
+      "llm_epoch_plan",
+      // 10 broadcast anchors × one cosine pass — query-bound linear
+      "llm_hard_negatives",
+      // three vocab-sized census+fold rounds — growth tracks the word-
+      // TYPE table (clone suffix tokens widen it ~linearly), not corpus
+      "llm_bpe_train")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
@@ -203,6 +224,7 @@ object ScaleProbe {
       .withColumn("l_orderkey", col("l_orderkey") * copies + col("k"))
       .withColumn("l_suppkey", col("l_suppkey") * copies + col("k"))
       .drop("k")
+      .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$outI/lineitem.parquet")
 
     // optional comma-separated op filter for targeted re-measurement

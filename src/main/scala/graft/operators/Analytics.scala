@@ -1417,10 +1417,10 @@ object Analytics extends OpModule {
     * directed edge set — positive r means hubs prefer hubs (resilient
     * core), negative means hub-and-spoke (delete a hub, strand the
     * spokes). By symmetry Σdu = Σdv and Σdu² = Σdv², so
-    * r = (m·Σdudv − (Σdu)²) / (m·Σdu² − (Σdu)²) — every sum an exact
-    * BIGINT (m·Σdu² ≤ m²·maxdeg² ~ 10¹⁷ at sf0.1-shape graphs; a
-    * billion-edge graph needs the same sums in 128-bit or per-partition
-    * scaled form, noted), one double at the end. Degenerate (regular)
+    * r = (m·Σdudv − (Σdu)²) / (m·Σdu² − (Σdu)²) — every SUM an exact
+    * BIGINT, while the final m·Σ cross-products run in doubles (the
+    * BIGINT product form overflowed the 10× clone probe, r9: m²·maxdeg²
+    * passes 2⁶³ long before the sums themselves do). Degenerate (regular)
     * graphs report NULL — the sf0.01 fixture is a clique, so the
     * NULL branch is exercised by the gate itself. One explode + one
     * equi-join on node id against the memoized adjacency, one global
@@ -1431,6 +1431,10 @@ object Analytics extends OpModule {
       .select(col("id").as("u"), col("deg").as("du"),
         explode(col("nbrs")).as("v"))
       .join(adj.select(col("id").as("v"), col("deg").as("dv")), "v")
+    // sums stay exact BIGINT; the FINAL cross-multiplication m·Σ — the
+    // one place products reach m²·maxdeg² and overflowed the 10× clone
+    // probe (r9) — runs in doubles, literal-for-literal identical in
+    // the oracle, feeding a 6-dp round
     e.agg(
         count(lit(1)).as("m"),
         sum(col("du")).as("sx"),
@@ -1438,13 +1442,157 @@ object Analytics extends OpModule {
         sum(col("du") * col("du")).as("sxx"))
       .select(
         expr("m div 2").as("n_edges"),
-        when(col("m") * col("sxx") - col("sx") * col("sx") > 0,
-          round((col("m") * col("sxy") - col("sx") * col("sx"))
-            / (col("m") * col("sxx") - col("sx") * col("sx")), 6))
+        when(col("m").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double") > 0,
+          round((col("m").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("m").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 6))
           .as("assortativity"))
   }
 
+  /** k-core decomposition of the co-supply graph (k = 2, 3, 4): the
+    * maximal subgraph where every node keeps ≥ k neighbors, by the
+    * classic peel — repeatedly delete nodes whose CURRENT degree is
+    * below k until fixpoint. Coreness is the standard "how embedded is
+    * this node" grade (spam/bot subgraphs and boilerplate hubs live in
+    * shallow cores; dense supplier communities survive deep ones).
+    *
+    * The (k+1)-core is a subgraph of the k-core, so the peel runs
+    * PROGRESSIVELY — each k starts from the previous survivor edges,
+    * never from the full graph. Each round is one degree aggregate +
+    * two semi-joins (edges whose BOTH endpoints survive), checkpointed
+    * to cut the iterative lineage; the loop stops when the edge count
+    * is stable. Fixture peels converge in ≤ {maxRounds} rounds (spec-
+    * asserted), which is what lets the oracle replay the peel as a
+    * fixed unrolled CTE chain — extra rounds past fixpoint are no-ops,
+    * so fixpoint-vs-unrolled agree exactly. At 100 TB the loop shape
+    * is rounds × (one shuffle keyed by node) with the frontier only
+    * shrinking — same discipline as graph_bfs / star contraction; the
+    * pathological long-peel topology (a long chain of degree-k nodes)
+    * costs rounds ∝ its length, the known worst case of distributed
+    * peeling (noted, not hidden). */
+  private[graft] val kcoreMaxRounds = 6
+
+  def graphKcore(s: SparkSession, d: String): DataFrame = {
+    val sym = coSupplyAdjacency(s, d)
+      .select(col("id").cast("long").as("src"),
+        explode(col("nbrs")).as("dst"))
+    var edges = MemoUtil.scratch(sym.localCheckpoint())
+    var n = edges.count()
+    val audits = (2 to 4).map { k =>
+      var rounds = 0
+      var stable = false
+      while (!stable && rounds < kcoreMaxRounds) {
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k).select(col("src"))
+        val next = MemoUtil.scratch(
+          edges.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select(col("src"), col("dst"))
+            .localCheckpoint())
+        val m = next.count()
+        stable = m == n
+        edges = next; n = m; rounds += 1
+      }
+      require(stable, s"k-core peel (k=$k) did not converge within " +
+        s"$kcoreMaxRounds rounds — raise kcoreMaxRounds AND the oracle unroll")
+      edges.agg(
+        count_distinct(col("src")).as("n_nodes"),
+        expr("count(1) div 2").as("n_edges"),
+        sum_distinct(col("src")).as("id_sum"))
+        .select(lit(k).as("k"), col("n_nodes"), col("n_edges"),
+          col("id_sum"))
+    }
+    audits.reduce(_ union _)
+  }
+
+  /** Autocorrelation function of the hourly value series at lags 1..6
+    * — the "does this telemetry have memory / periodicity" diagnostic
+    * that sits beside ts_seasonal (which ASSUMES the 24 h period; ACF
+    * measures which lags actually correlate). Series = the hourly
+    * cents collapse (the ts_gapfill rule: one shuffle over raw events,
+    * everything after runs on |types|·|hours| rows); lag-l pairs come
+    * from 6 row-frame lags in ONE window pass (the ts_ewma tap idiom),
+    * exploded to (lag, x, y) rows that partial-aggregate map-side.
+    *
+    * Pearson r over each (x, y) pair set entirely in exact BIGINT sums
+    * (n·Σxy − Σx·Σy etc.); the only doubles are the two final sqrts +
+    * one division, identical IEEE on both engines, rounded to 6 dp.
+    * Magnitude bound: n·Σx² ≤ |hours|²·max_cents² ~ 10¹⁸ at cents
+    * ≤ 10⁶ and |hours| ≤ 10³ — at a longer retention the sums need the
+    * ts_changepoint per-type rescale (noted). Constant series (zero
+    * variance) report NULL, not NaN. */
+  def tsAcf(s: SparkSession, d: String): DataFrame = {
+    val maxLag = 6
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("vc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val lagged = (1 to maxLag).foldLeft(hourly) { (df, l) =>
+      df.withColumn(s"y$l", lag(col("vc"), l).over(w))
+    }
+    val pairs = lagged.select(col("event_type"),
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag_h"), col("vc").as("x"), col(s"y$l").as("y"))): _*))
+        .as("p"))
+      .select(col("event_type"), col("p.lag_h").as("lag_h"),
+        col("p.x").as("x"), col("p.y").as("y"))
+      .where(col("y").isNotNull)
+    pairs.groupBy(col("event_type"), col("lag_h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag_h"), col("n"),
+        // sums stay exact BIGINT; the n·Σ cross-products run in doubles
+        // (identical IEEE in the oracle) — in BIGINT they overflow once
+        // hourly cents reach the 30×-clone magnitude (the r9
+        // assortativity lesson, applied here preemptively)
+        when((col("n").cast("double") * col("sxx").cast("double")
+             - col("sx").cast("double") * col("sx").cast("double") > 0) &&
+             (col("n").cast("double") * col("syy").cast("double")
+             - col("sy").cast("double") * col("sy").cast("double") > 0),
+          round((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6))
+          .as("acf"))
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): per
+    * user, order events by (ts, event_id) and count consecutive
+    * (from → to) type pairs, with the transition probability in exact
+    * basis points of the from-type's outgoing mass — the
+    * behavioral-flow summary product analytics runs beside funnel
+    * (funnel fixes ONE path; this reports every observed step). Scale
+    * shape: one shuffle keyed by user (the lead window), then the
+    * (from, to) hash aggregate partial-aggregates map-side into
+    * |types|² rows; the from-totals re-aggregate THOSE (never the raw
+    * pairs) and broadcast back. */
+  def tsTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(fromTot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 10000 div tot").as("p_bp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> graphKcore _,
+    "ts_acf" -> tsAcf _,
+    "ts_transitions" -> tsTransitions _,
     "dq_freshness" -> dqFreshness _,
     "graph_assortativity" -> graphAssortativity _,
     "ts_anomaly_mad" -> tsAnomalyMad _,
@@ -1494,7 +1642,91 @@ object Analytics extends OpModule {
       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
+  /** Unrolled k-core peel rounds for the graph_kcore oracle: the Spark
+    * side loops to fixpoint and spec-asserts convergence within
+    * kcoreMaxRounds, so a fixed unroll of that many rounds is exact
+    * (post-fixpoint rounds are no-ops). */
+  private def kcorePeel(k: Int, from: String): String =
+    (1 to kcoreMaxRounds).map { r =>
+      val prev = if (r == 1) from else s"k${k}_r${r - 1}"
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // each round references its predecessor 3× — un-materialized,
+      // the 18-round chain expands 3¹⁸ scans of the base table
+      s"""k${k}_r$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  JOIN (SELECT src FROM $prev GROUP BY src
+         |        HAVING count(*) >= $k) a ON e.src = a.src
+         |  JOIN (SELECT src FROM $prev GROUP BY src
+         |        HAVING count(*) >= $k) b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+
+  private def kcoreAudit(k: Int): String =
+    s"""SELECT $k AS k, count(DISTINCT src) AS n_nodes,
+       |  count(*) // 2 AS n_edges,
+       |  CAST(sum(DISTINCT src) AS BIGINT) AS id_sum
+       |FROM k${k}_r$kcoreMaxRounds""".stripMargin
+
+  private val acfPairs = (1 to 6).map(l =>
+    s"SELECT event_type, $l AS lag_h, vc AS x, y$l AS y FROM lg " +
+      s"WHERE y$l IS NOT NULL").mkString("\n  UNION ALL ")
+
   def oracle: Map[String, String] = Map(
+    "graph_kcore" -> (symCte + ",\n" +
+      "kb AS MATERIALIZED (SELECT src, dst FROM sym),\n" +
+      kcorePeel(2, "kb") + ",\n" +
+      kcorePeel(3, s"k2_r$kcoreMaxRounds") + ",\n" +
+      kcorePeel(4, s"k3_r$kcoreMaxRounds") + "\n" +
+      kcoreAudit(2) + "\nUNION ALL\n" + kcoreAudit(3) +
+      "\nUNION ALL\n" + kcoreAudit(4)),
+    "ts_acf" -> (evCte +
+      s""",
+         |hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h,
+         |    CAST(round(sum(value) * 100, 0) AS BIGINT) AS vc
+         |  FROM ev GROUP BY 1, 2),
+         |lg AS (
+         |  SELECT event_type, vc,
+         |    ${(1 to 6).map(l =>
+               s"lag(vc, $l) OVER (PARTITION BY event_type ORDER BY h) AS y$l")
+               .mkString(",\n    ")}
+         |  FROM hourly),
+         |pairs AS (
+         |  $acfPairs),
+         |agg AS (
+         |  SELECT event_type, lag_h, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT event_type, lag_h, n,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         |       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+         |    THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |  END AS acf
+         |FROM agg""".stripMargin),
+    "ts_transitions" -> (evCte +
+      """,
+        |pr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM ev),
+        |counts AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM counts GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, c.n * 10000 // t.tot AS p_bp
+        |FROM counts c JOIN tot t USING (from_type)""".stripMargin),
     "dq_freshness" -> (evCte +
       """,
         |t AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM ev),
@@ -1523,8 +1755,12 @@ object Analytics extends OpModule {
         |    CAST(sum(du * du) AS BIGINT) AS sxx
         |  FROM e)
         |SELECT m // 2 AS n_edges,
-        |  CASE WHEN m * sxx - sx * sx > 0
-        |    THEN round((m * sxy - sx * sx) / (m * sxx - sx * sx), 6)
+        |  CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
         |  END AS assortativity
         |FROM sums""".stripMargin),
     "ts_anomaly_mad" -> (evCte +

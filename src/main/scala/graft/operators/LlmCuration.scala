@@ -509,7 +509,54 @@ object LlmCuration extends OpModule {
           col("n_docs") > 0)
   }
 
+  /** Token-budget epoch planning under temperature-scaled source mixing
+    * (α = ½): given a training budget B = 2× the corpus token mass,
+    * allocate per-source token quotas ∝ √(tokens) — the standard
+    * temperature upweighting of small sources (uniform at α = 0, raw
+    * proportions at α = 1) — capped at 2 epochs per source (the
+    * data-constrained repeat ceiling), with the realized epochs and
+    * budget utilization as exact-integer audit columns. This is the
+    * "how many passes over each source does the run actually make"
+    * sheet that sits between llm_domain_mix (target proportions) and
+    * llm_sample_importance (row-level resampling).
+    *
+    * Numeric discipline: √tokens is a per-row scalar from an exact
+    * BIGINT, quantized to round(√c·10⁶) BIGINT BEFORE the cross-row
+    * sum (SURVEY §5.4 — floats decide nothing across rows); weights
+    * land in basis points, so alloc = B·w_bp div 10⁴ bounds every
+    * product by B·10⁴ ~ 5·10¹⁷ even at a 2.5·10¹³-token (100 TB)
+    * corpus. Scale shape: one map-side token count into a |sources|-row
+    * aggregate; the two 1-row totals broadcast back — nothing after
+    * the first aggregate touches corpus-sized data. */
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"),
+        size(expr("filter(split(text, ' '), t -> t != '')"))
+          .cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+      .withColumn("q",
+        round(sqrt(col("tokens").cast("double")) * 1e6, 0).cast("long"))
+    val tot = per.agg(sum(col("q")).as("qsum"),
+      sum(col("tokens")).as("ctot")) // 1 row → broadcast
+    val planned = per.crossJoin(broadcast(tot))
+      .withColumn("weight_bp", expr("q * 10000 div qsum"))
+      .withColumn("budget", col("ctot") * 2)
+      .withColumn("alloc_tokens", expr("budget * weight_bp div 10000"))
+      .withColumn("final_tokens",
+        least(col("alloc_tokens"), col("tokens") * 2))
+      .withColumn("capped", col("alloc_tokens") > col("tokens") * 2)
+    val used = planned.agg(sum(col("final_tokens")).as("used")) // 1 row
+    planned.crossJoin(broadcast(used))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("weight_bp"), col("alloc_tokens"), col("final_tokens"),
+        expr("final_tokens * 10000 div tokens").as("epochs_bp"),
+        col("capped"),
+        expr("used * 10000 div budget").as("util_bp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_epoch_plan" -> epochPlan _,
     "llm_lineage_audit" -> lineageAudit _,
     "llm_shard_layout" -> shardLayout _,
     "llm_sample_importance" -> sampleImportance _,
@@ -554,6 +601,34 @@ object LlmCuration extends OpModule {
       |FROM r""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_epoch_plan" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      x -> x != ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |q AS (
+        |  SELECT *, CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1e6, 0)
+        |    AS BIGINT) AS q
+        |  FROM per),
+        |tot AS (
+        |  SELECT CAST(sum(q) AS BIGINT) AS qsum,
+        |         CAST(sum(tokens) AS BIGINT) AS ctot FROM q),
+        |p AS (
+        |  SELECT source, n_docs, tokens,
+        |    q * 10000 // qsum AS weight_bp,
+        |    ctot * 2 AS budget,
+        |    (ctot * 2) * (q * 10000 // qsum) // 10000 AS alloc_tokens
+        |  FROM q, tot),
+        |f AS (
+        |  SELECT *, least(alloc_tokens, tokens * 2) AS final_tokens,
+        |    alloc_tokens > tokens * 2 AS capped
+        |  FROM p),
+        |u AS (SELECT CAST(sum(final_tokens) AS BIGINT) AS used FROM f)
+        |SELECT source, n_docs, tokens, weight_bp, alloc_tokens,
+        |  final_tokens, final_tokens * 10000 // tokens AS epochs_bp,
+        |  capped, used * 10000 // budget AS util_bp
+        |FROM f, u""".stripMargin,
     // replays the v2 derivation + raw-text diff (vs the engine's digest
     // compare — the dedup_near collision precedent), split-form knuth
     // gate, and exact-integer verdict columns

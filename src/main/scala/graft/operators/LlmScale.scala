@@ -941,6 +941,73 @@ object LlmScale extends OpModule {
         |) AS (metric, value)""".stripMargin))
   }
 
+  // ── llm_bpe_train ─────────────────────────────────────────────────────
+
+  /** Three ITERATIONS of BPE tokenizer training — the real merge loop,
+    * not just the first pair census (llm_bpe_stats): each round counts
+    * every adjacent symbol pair over the weighted word-TYPE table,
+    * elects the global argmax under the (count desc, pair) total order,
+    * and APPLIES the merge greedily left-to-right in every word before
+    * the next round recounts — so round 2 can elect a pair containing a
+    * round-1 merged symbol, which is the whole point of BPE. Output:
+    * one row per merge (iteration, lhs, rhs, merged, pair_count).
+    *
+    * Words are symbol STRINGS joined by '|' (words containing a literal
+    * '|' are excluded, documented); the greedy merge is a left fold —
+    * if the accumulated string's last token equals lhs and the incoming
+    * symbol equals rhs, appending rhs WITHOUT a separator forms the
+    * merged token in place. The identical fold runs in the oracle
+    * (list_reduce over a prepended '' accumulator), so both engines
+    * compute the same non-overlapping greedy semantics even on
+    * self-adjacent pairs ("aaaa" under (a,a) → "aa|aa").
+    *
+    * Scale shape: the corpus collapses to word types ONCE (the
+    * bpe_stats trick — pair work explodes types, never the token
+    * stream); each round is one vocab-sized aggregate + a 1-row
+    * broadcast into a per-row fold, checkpointed so round r never
+    * replays round r−1's fold. At a 100 TB corpus the type table is
+    * ~10⁷ rows — the loop is a driver-paced sequence of small shuffles,
+    * exactly how distributed BPE/WordPiece trainers run. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "" && !col("w").contains("|"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .where(length(col("w")) >= 2)
+    var syms = MemoUtil.scratch(
+      wc.select(col("c"), expr("concat_ws('|', split(w, ''))").as("s"))
+        .localCheckpoint())
+    val merges = (1 to 3).map { it =>
+      val pairs = syms
+        .select(col("c"), expr("split(s, '\\\\|')").as("a"))
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  j -> struct(element_at(a, j) AS pa,
+            |              element_at(a, j + 1) AS pb))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("c")).as("cnt"))
+      // global argmax over the |pairs| aggregate (vocab-sized, never
+      // corpus-sized — the bm25 qterms precedent for a keyless window)
+      val w = Window.orderBy(col("cnt").desc, col("pa"), col("pb"))
+      val top = pairs.withColumn("r", row_number().over(w))
+        .where(col("r") === 1).select(col("pa"), col("pb"), col("cnt"))
+      syms = MemoUtil.scratch(
+        syms.crossJoin(broadcast(top))
+          .select(col("c"), expr(
+            """aggregate(split(s, '\\|'), '', (acc, x) ->
+              |  CASE WHEN acc = '' THEN x
+              |       WHEN regexp_extract(acc, '([^|]*)$', 1) = pa
+              |            AND x = pb THEN concat(acc, pb)
+              |       ELSE concat(acc, '|', x) END)""".stripMargin).as("s"))
+          .localCheckpoint())
+      top.select(lit(it).as("iteration"), col("pa").as("lhs"),
+        col("pb").as("rhs"), concat(col("pa"), col("pb")).as("merged"),
+        col("cnt").as("pair_count"))
+    }
+    merges.reduce(_ union _)
+  }
+
   // ── llm_bpe_stats ─────────────────────────────────────────────────────
 
   /** Tokenizer-training statistics: the first BPE merge round — corpus
@@ -1328,6 +1395,7 @@ object LlmScale extends OpModule {
     "llm_kmeans_twolevel" -> kmeansTwoLevel _,
     "llm_semdedup" -> semdedup _,
     "llm_bpe_stats" -> bpeStats _,
+    "llm_bpe_train" -> bpeTrain _,
     "llm_rlhf_pairs" -> rlhfPairs _,
     "llm_url_normalize" -> urlNormalize _,
     "llm_dataset_card" -> datasetCard _,
@@ -1509,7 +1577,47 @@ object LlmScale extends OpModule {
       |  FROM ad),
       |t3 AS (SELECT * FROM top WHERE rank <= 3)""".stripMargin
 
+  /** One BPE oracle round: pair census + argmax + greedy fold. All
+    * round CTEs are MATERIALIZED — DuckDB inlines plain CTEs and each
+    * round references its predecessor twice (the graph_kcore lesson). */
+  private def bpeRound(i: Int): String = {
+    val prev = s"sy${i - 1}"
+    s"""p$i AS MATERIALIZED (
+       |  SELECT s.pa AS pa, s.pb AS pb, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT c, unnest([{'pa': a[j], 'pb': a[j+1]}
+       |                      for j in range(1, len(a))]) AS s
+       |    FROM (SELECT c, string_split(s, '|') AS a FROM $prev))
+       |  GROUP BY 1, 2),
+       |t$i AS MATERIALIZED (
+       |  SELECT pa, pb, cnt FROM p$i ORDER BY cnt DESC, pa, pb LIMIT 1),
+       |sy$i AS MATERIALIZED (
+       |  SELECT c, list_reduce(list_prepend('', string_split(y.s, '|')),
+       |    (acc, x) -> CASE WHEN acc = '' THEN x
+       |      WHEN regexp_extract(acc, '([^|]*)$$', 1) = t.pa AND x = t.pb
+       |        THEN acc || t.pb
+       |      ELSE acc || '|' || x END) AS s
+       |  FROM $prev y, t$i t)""".stripMargin
+  }
+
+  private val bpeTrainSql =
+    """WITH wc AS (
+      |  SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w != '' AND NOT contains(w, '|')
+      |  GROUP BY w HAVING length(w) >= 2),
+      |sy0 AS MATERIALIZED (
+      |  SELECT c, array_to_string(string_split(w, ''), '|') AS s FROM wc),
+      |""".stripMargin +
+      (1 to 3).map(bpeRound).mkString(",\n") +
+      """
+        |SELECT 1 AS iteration, pa AS lhs, pb AS rhs, pa || pb AS merged,
+        |       cnt AS pair_count FROM t1
+        |UNION ALL SELECT 2, pa, pb, pa || pb, cnt FROM t2
+        |UNION ALL SELECT 3, pa, pb, pa || pb, cnt FROM t3""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "llm_bpe_train" -> bpeTrainSql,
     "llm_dedup_substring" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')

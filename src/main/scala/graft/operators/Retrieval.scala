@@ -255,7 +255,44 @@ object Retrieval extends OpModule {
           .otherwise("keep"))
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for
+    * each anchor vector (the vec_id < 10 query set the similarity
+    * family shares), the top-5 most-similar vectors of a DIFFERENT
+    * label — maximally confusable non-matches, the negatives that
+    * actually move a contrastive loss (random negatives are too easy).
+    * Same-label candidates are excluded BEFORE scoring (they are
+    * positives, not negatives), so the op is llm_similarity_topk with
+    * the label-disagreement gate pushed into the scan.
+    *
+    * Scale shape: the 10-anchor query table broadcasts; candidates
+    * stream through one codegen'd cosine per (anchor, candidate) with
+    * the label filter applied in the same stage (no shuffle before the
+    * per-anchor top-5 window over ≤ N·10 scored rows — and the window
+    * input is pre-reduced by TopKPerGroup-style partial sort at scale
+    * via the rank filter). At 100 TB the brute pass upgrades to the
+    * IVF-bucketed candidate generation (llm_ann_ivf) with the label
+    * gate unchanged — the mining semantics stay identical. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+        col("embedding").as("ce"))
+      .crossJoin(broadcast(anchors))
+      .where(col("clabel") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        // + 0.0 canonicalizes -0.0 for near-orthogonal pairs
+        (round(expr("cosine_sim(qe, ce)"), 4) + lit(0.0)).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_hard_negatives" -> hardNegatives _,
     "llm_bm25" -> bm25 _,
     "llm_vocab_coverage" -> vocabCoverage _,
     "llm_dedup_winnow" -> dedupWinnow _,
@@ -278,6 +315,29 @@ object Retrieval extends OpModule {
        |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, q.qlabel, e.vec_id AS cid, e.label AS clabel,
+        |    0.0 + round(
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |        (a, x) -> a + x)
+        |      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |           list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |           (a, x) -> a + x))
+        |         * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |             list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |             (a, x) -> a + x))), 4) AS cos
+        |  FROM q CROSS JOIN embeddings e
+        |  WHERE e.label != q.qlabel)
+        |SELECT qid, qlabel, cid, clabel, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |FROM scored
+        |QUALIFY rn <= 5""".stripMargin,
     "llm_bm25" -> (tokCte +
       """,
         |nd AS (SELECT count(*) AS n_docs FROM documents),

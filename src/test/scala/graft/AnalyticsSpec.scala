@@ -725,4 +725,85 @@ class AnalyticsSpec extends SparkSpec {
       assert(nd <= nn && bp == nn * 10000 / n)
     }
   }
+
+  test("graph_kcore: cores nest, and every core node keeps >= k in-core neighbors") {
+    import spark.implicits._
+    val out = Analytics.graphKcore(spark, sf).collect()
+      .map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))).toMap
+    assert(out.keySet == Set(2, 3, 4))
+    // nesting: the (k+1)-core is a subgraph of the k-core
+    assert(out(3)._1 <= out(2)._1 && out(4)._1 <= out(3)._1)
+    assert(out(3)._2 <= out(2)._2 && out(4)._2 <= out(3)._2)
+    // independent local peel from the collected adjacency
+    val adj = Analytics.adjacencyProbe(spark, sf)
+      .select($"id", $"nbrs").as[(Long, Seq[Long])].collect()
+      .map(a => a._1 -> a._2.toSet).toMap
+    def peel(k: Int): Map[Long, Set[Long]] = {
+      var g = adj
+      var changed = true
+      while (changed) {
+        val keep = g.filter(_._2.size >= k).keySet
+        val next = g.collect { case (n, nb) if keep(n) =>
+          n -> nb.intersect(keep) }.filter(_._2.size >= k)
+        changed = next.keySet != g.keySet
+        g = next.toMap
+      }
+      g
+    }
+    (2 to 4).foreach { k =>
+      val core = peel(k)
+      assert(out(k)._1 == core.size, s"k=$k node count")
+      assert(out(k)._2 == core.values.map(_.size).sum / 2, s"k=$k edge count")
+      core.foreach { case (n, nb) => assert(nb.size >= k) }
+    }
+  }
+
+  test("ts_acf: bounded, lag-complete, and matches a local recompute") {
+    import spark.implicits._
+    val out = Analytics.tsAcf(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("lag_h") >= 1 && r.getAs[Int]("lag_h") <= 6)
+      if (!r.isNullAt(r.fieldIndex("acf"))) {
+        val a = r.getAs[Double]("acf")
+        assert(a >= -1.0000001 && a <= 1.0000001)
+      }
+    }
+    // local recompute at lag 1 for one type
+    val et = out.head.getAs[String]("event_type")
+    val series = Tables.events(spark, sf)
+      .where($"event_type" === et)
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(round(sum($"value") * 100, 0).cast("long").as("vc"))
+      .orderBy($"h").select($"vc").as[Long].collect()
+    val xs = series.dropRight(1).map(_.toDouble)
+    val ys = series.drop(1).map(_.toDouble)
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - sx * sy
+    val den = math.sqrt(n * xs.map(x => x * x).sum - sx * sx) *
+      math.sqrt(n * ys.map(y => y * y).sum - sy * sy)
+    val want = BigDecimal(num / den)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = out.find(r => r.getAs[String]("event_type") == et &&
+      r.getAs[Int]("lag_h") == 1).get.getAs[Double]("acf")
+    assert(math.abs(got - want) < 2e-6)
+  }
+
+  test("ts_transitions: per-source probabilities floor-sum to 10000 and mass conserves") {
+    import spark.implicits._
+    val out = Analytics.tsTransitions(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byFrom = out.groupBy(_.getAs[String]("from_type"))
+    byFrom.foreach { case (_, rows) =>
+      val bpSum = rows.map(_.getAs[Long]("p_bp")).sum
+      // each p_bp floors, so the sum sits within n_buckets of 10000
+      assert(bpSum <= 10000 && bpSum > 10000 - rows.length)
+    }
+    // total transitions = sum over users of (events - 1)
+    val want = Tables.events(spark, sf).groupBy($"user_id")
+      .agg((count(lit(1)) - 1).as("t")).agg(sum($"t")).as[Long].head()
+    assert(out.map(_.getAs[Long]("n")).sum == want)
+  }
 }

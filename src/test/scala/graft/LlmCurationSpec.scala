@@ -253,4 +253,25 @@ class LlmCurationSpec extends SparkSpec {
       s"planted shift not recovered: ${planted(0)}")
     assert(planted(1).getAs[Double]("l2_shift") < 0.01)
   }
+
+  test("llm_epoch_plan: budget accounting is exact and the cap binds") {
+    import spark.implicits._
+    val out = LlmCuration.epochPlan(spark, sf).collect()
+    assert(out.nonEmpty)
+    val wSum = out.map(_.getAs[Long]("weight_bp")).sum
+    assert(wSum <= 10000 && wSum > 10000 - out.length)
+    val ctot = out.map(_.getAs[Long]("tokens")).sum
+    out.foreach { r =>
+      val tokens = r.getAs[Long]("tokens")
+      val alloc = r.getAs[Long]("alloc_tokens")
+      val fin = r.getAs[Long]("final_tokens")
+      assert(fin == math.min(alloc, 2 * tokens))
+      assert(r.getAs[Boolean]("capped") == (alloc > 2 * tokens))
+      assert(r.getAs[Long]("epochs_bp") == fin * 10000 / tokens)
+      assert(alloc == 2L * ctot * r.getAs[Long]("weight_bp") / 10000)
+    }
+    val used = out.map(_.getAs[Long]("final_tokens")).sum
+    out.foreach(r =>
+      assert(r.getAs[Long]("util_bp") == used * 10000 / (2L * ctot)))
+  }
 }

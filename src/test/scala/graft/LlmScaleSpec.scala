@@ -628,4 +628,42 @@ class LlmScaleSpec extends SparkSpec {
       assert(r.getAs[Long]("mode_n") == maxN(r.getAs[String]("o_orderstatus")))
     }
   }
+
+  test("llm_bpe_train: three merges match an independent in-memory BPE") {
+    import spark.implicits._
+    val out = LlmScale.bpeTrain(spark, sf).collect()
+      .map(r => (r.getAs[Int]("iteration"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).sortBy(_._1)
+    assert(out.map(_._1).sameElements(Array(1, 2, 3)))
+    out.foreach { case (_, l, r, m, c) => assert(m == l + r && c > 0) }
+    // reference BPE on the collected word-count table
+    var vocab: Seq[(Vector[String], Long)] = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w"))
+      .where($"w" =!= "" && !$"w".contains("|") && length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toSeq
+      .map { case (w, c) => (w.split("").toVector, c) }
+    val want = (1 to 3).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      val ((pa, pb), cnt) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.map { case (syms, c) =>
+        val merged = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == pa && x == pb)
+            acc.init :+ (pa + pb)
+          else acc :+ x
+        }
+        (merged, c)
+      }
+      (pa, pb, cnt)
+    }
+    out.zip(want).foreach { case ((_, l, r, _, c), (pa, pb, cnt)) =>
+      assert(l == pa && r == pb && c == cnt)
+    }
+  }
 }

@@ -109,4 +109,40 @@ class RetrievalSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("llm_hard_negatives: label-disjoint, top-5 per anchor, best negative is optimal") {
+    import spark.implicits._
+    val out = Retrieval.hardNegatives(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getAs[Int]("rn")).sorted.sameElements(1 to 5))
+      rows.foreach(r =>
+        assert(r.getAs[Int]("clabel") != r.getAs[Int]("qlabel")))
+      // ranks descend by (cos, cid asc) total order
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+        .map(r => (-r.getAs[Double]("cos"), r.getAs[Long]("cid")))
+      assert(sorted.sameElements(sorted.sorted))
+    }
+    // the rank-1 negative for one anchor beats every other
+    // different-label candidate (local brute force)
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    val (qid, qlabel, qe) = emb.find(_._1 == 0L).get
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val best = emb.filter(_._2 != qlabel)
+      .map(e => (cos(qe, e._3), e._1)).max(Ordering.Tuple2(
+        Ordering.Double.TotalOrdering, Ordering.Long.reverse))
+    val got = out.find(r => r.getAs[Long]("qid") == qid &&
+      r.getAs[Int]("rn") == 1).get
+    assert(got.getAs[Double]("cos") == best._1 ||
+      math.abs(got.getAs[Double]("cos") - best._1) < 1.1e-4)
+  }
 }
