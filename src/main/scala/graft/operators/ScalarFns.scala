@@ -193,6 +193,33 @@ object ScalarFns extends OpModule {
         callUDF("parse_url", col("url"), lit("QUERY")).as("query"),
         callUDF("parse_url", col("url"), lit("QUERY"), lit("seg")).as("seg"))
 
+  /** Struct family: build (named fields), nested build, dotted field
+    * access through two levels, struct→JSON serialization, and whole-
+    * struct equality (positional in both engines). Fields stay
+    * BIGINT/VARCHAR so the JSON rendering is byte-identical cross-engine
+    * (a DOUBLE field would format differently). Per-row, zero-shuffle,
+    * fully codegen'd — the envelope-manipulation surface every typed
+    * event pipeline leans on. */
+  def fnStruct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        struct(col("o_custkey").as("ck"),
+          col("o_orderstatus").as("st")).as("info"),
+        struct(struct(col("o_custkey").as("k")).as("o"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+          .as("nested"))
+      .select(
+        col("o_orderkey"),
+        col("info.ck").as("ck"),
+        col("info.st").as("st"),
+        col("nested.o.k").as("nested_k"),
+        col("nested.c").as("cents"),
+        to_json(col("info")).as("info_json"),
+        (col("info") === struct(col("nested.o.k"),
+          col("info.st"))).as("eq_rebuild"),
+        (col("info") === struct(col("info.ck") + 1,
+          col("info.st"))).as("eq_shifted"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_url" -> fnUrl _,
     "fn_bitwise" -> fnBitwise _,
@@ -202,11 +229,30 @@ object ScalarFns extends OpModule {
     "fn_math" -> fnMath _,
     "fn_array" -> fnArray _,
     "fn_map" -> fnMap _,
+    "fn_struct" -> fnStruct _,
     "fn_json" -> fnJson _,
     "fn_cast_decimal" -> fnCastDecimal _
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_struct" ->
+      """WITH st AS (
+        |  SELECT o_orderkey,
+        |    struct_pack(ck := o_custkey, st := o_orderstatus) AS info,
+        |    struct_pack(o := struct_pack(k := o_custkey),
+        |      c := CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS nested
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  (info).ck AS ck,
+        |  (info).st AS st,
+        |  (nested).o.k AS nested_k,
+        |  (nested).c AS cents,
+        |  to_json(info)::VARCHAR AS info_json,
+        |  info = struct_pack(ck := (nested).o.k, st := (info).st)
+        |    AS eq_rebuild,
+        |  info = struct_pack(ck := (info).ck + 1, st := (info).st)
+        |    AS eq_shifted
+        |FROM st""".stripMargin,
     "fn_url" ->
       """WITH u AS (
         |  SELECT c_custkey,

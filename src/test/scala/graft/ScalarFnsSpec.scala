@@ -45,4 +45,17 @@ class ScalarFnsSpec extends SparkSpec {
     }
     assert(wsc.nonEmpty, "fn_math must be codegen'd end-to-end")
   }
+
+  test("fn_struct: field access round-trips, equality is value-based, JSON is canonical") {
+    import spark.implicits._
+    val out = graft.operators.ScalarFns.fnStruct(spark, sf).cache()
+    try {
+      assert(out.where($"eq_rebuild" =!= true).count() == 0)
+      assert(out.where($"eq_shifted" =!= false).count() == 0)
+      assert(out.where($"nested_k" =!= $"ck").count() == 0)
+      val r = out.orderBy($"o_orderkey").head()
+      assert(r.getAs[String]("info_json") ==
+        s"""{"ck":${r.getAs[Long]("ck")},"st":"${r.getAs[String]("st")}"}""")
+    } finally out.unpersist()
+  }
 }
