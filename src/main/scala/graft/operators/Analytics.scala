@@ -1589,7 +1589,167 @@ object Analytics extends OpModule {
         expr("n * 10000 div tot").as("p_bp"))
   }
 
+  /** Referential-integrity audit: one row per foreign-key edge of the
+    * star schema with total child rows, orphan rows (no parent key),
+    * distinct orphan keys, and the smallest orphan key as the repro
+    * pointer. The first three audits check the real FK edges (expected
+    * clean — the audit's value is PROVING that); the fourth replays
+    * orders→customer against a simulated partial dimension load (keys
+    * ≡ 3 mod 10 not yet arrived — the late-arriving-dim scenario) so
+    * the op's firing path is exercised, not just its green path.
+    *
+    * Scale shape: each audit is ONE left-anti join keyed on the FK —
+    * the child never shuffles twice (total row counts ride the same
+    * pass via a parent-presence flag from a left join, not a separate
+    * aggregate), parent key sets are pre-projected/distinct so the
+    * build side is keys-only, and small dims broadcast. At 100 TB the
+    * orders×customer edge is a shuffle join on the key — the partition
+    * strategy every FK validator (dbt tests, Deequ) runs. */
+  def dqReferential(s: SparkSession, d: String): DataFrame = {
+    def audit(fk: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+      val pk0 = parent.select(col(pkey).as("__pk")).distinct()
+      val pk = if (bcast) broadcast(pk0) else pk0
+      child.select(col(key).as("__fk"))
+        .join(pk, col("__fk") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"),
+          count_distinct(when(col("__pk").isNull, col("__fk")))
+            .as("n_orphan_keys"),
+          min(when(col("__pk").isNull, col("__fk"))).as("orphan_key_min"))
+        .select(lit(fk).as("fk"), col("n_child"), col("n_orphans"),
+          col("n_orphan_keys"), col("orphan_key_min"))
+    }
+    val li = Tables.lineitem(s, d)
+    val od = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    Seq(
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+        od, "o_orderkey", bcast = false),
+      audit("orders.o_custkey->customer", od, "o_custkey",
+        cust, "c_custkey", bcast = true),
+      audit("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey", bcast = true),
+      audit("orders.o_custkey->customer@partial_load", od, "o_custkey",
+        cust.where(col("c_custkey") % 10 =!= 3), "c_custkey", bcast = true)
+    ).reduce(_ unionByName _)
+  }
+
+  /** Hour-of-day activity profile per event type: Shannon entropy of
+    * the 24-bucket histogram (how spread the traffic is), the peak
+    * hour and its share — the "is this telemetry diurnal or flat"
+    * audit that decides batch-window placement and staleness SLAs.
+    *
+    * Numeric discipline: bucket counts are exact; each bucket's
+    * entropy term c·ln(c/n) quantizes to round(·10⁶) BIGINT per ROW
+    * (ln of an exact integer ratio — identical IEEE both engines) and
+    * the cross-row reduction is an exact integer sum; the final
+    * H = ent_fp/(n·10⁶) is one division, rounded. Peak selection is a
+    * (count, hour) total order (max count, earliest hour on ties).
+    * Scale: ONE shuffle — the (type, hour) hash aggregate
+    * partial-aggregates map-side; everything after runs on
+    * |types|·24 rows with the per-type totals re-aggregated from
+    * those and broadcast back (the tsTransitions shape). */
+  def tsEntropy(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hourly.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"))
+    hourly.join(broadcast(totals), "event_type")
+      .withColumn("term_fp",
+        round(col("c") * log(col("c").cast("double") / col("n")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        count(lit(1)).as("active_hours"),
+        max(struct(col("c").as("c"), (-col("hod")).cast("long").as("nh")))
+          .as("pk"),
+        (-sum(col("term_fp"))).as("ent_fp"))
+      .select(col("event_type"), col("n"), col("active_hours"),
+        (-col("pk.nh")).as("peak_hour"),
+        expr("pk.c * 10000 div n").as("peak_bp"),
+        col("ent_fp"),
+        round(col("ent_fp") / (col("n") * 1e6), 6).as("entropy"))
+  }
+
+  /** Synchronous label propagation (community detection) over the
+    * co-supply graph, with a modularity audit per community — the
+    * cheap-and-standard community pass (Raghavan et al. 2007) that
+    * sits between graph_components (pure connectivity) and anything
+    * model-based. 4 synchronous rounds from label(v) = v; each round
+    * every node adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label — max(struct(cnt, -lbl))
+    * replicates the oracle's ORDER BY cnt DESC, lbl total order, so
+    * both engines walk the identical deterministic lattice (async/
+    * random-order LPA variants are not reproducible; synchronous
+    * min-tie LPA is).
+    *
+    * Output: one row per surviving community with size, id checksum,
+    * degree mass d_c, intra-community edge count e_c, and its
+    * modularity contribution q_c = e_c/m − (d_c/2m)² (exact BIGINT
+    * inputs; the final combination runs in doubles literal-for-literal
+    * — at clone-probe magnitudes d_c² overflows BIGINT, the
+    * assortativity lesson).
+    *
+    * Scale shape: edges re-derive map-side from the shared
+    * checkpointed adjacency (the pagerank idiom — no second edge
+    * build); each round is one join keyed src + one (dst, lbl) hash
+    * aggregate + one per-dst argmax that rides THE SAME dst
+    * partitioning — rounds = O(4), data per round = O(edges). The
+    * modularity joins key on the final labels (node-sized, broadcast
+    * at fixture scale; a shuffle join keyed by node id at 100 TB). */
+  /** The synchronous min-tie LPA core over a symmetric (src, dst) edge
+    * set — exposed for the planted-structure spec (the fixture's
+    * co-supply graph is ONE dense quasi-clique, so the registered query
+    * correctly converges to a single community; the spec proves the
+    * rounds separate a planted barbell into its two cliques). */
+  private[graft] def lpaRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    (1 to rounds).foreach { _ =>
+      labels = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.nl")).as("lbl"))
+    }
+    labels
+  }
+
+  def graphLabelProp(s: SparkSession, d: String): DataFrame = {
+    val adj = coSupplyAdjacency(s, d)
+    val edges = adj.select(col("id").as("src"), explode(col("nbrs")).as("dst"))
+    val labels = lpaRounds(edges, 4)
+    val m = adj.agg((sum(col("deg")) / 2).cast("long").as("m")) // 1 row
+    val byNode = adj.select(col("id"), col("deg"))
+      .join(labels, "id")
+    val dMass = byNode.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("id_sum"),
+        sum(col("deg")).as("d_c"))
+    val intra = edges
+      .join(labels.withColumnRenamed("id", "src")
+        .withColumnRenamed("lbl", "sl"), "src")
+      .join(labels.withColumnRenamed("id", "dst")
+        .withColumnRenamed("lbl", "dl"), "dst")
+      .where(col("sl") === col("dl"))
+      .groupBy(col("sl").as("lbl"))
+      .agg((count(lit(1)) / 2).cast("long").as("e_c"))
+    dMass.join(intra, Seq("lbl"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("lbl").as("community"), col("n_nodes"), col("id_sum"),
+        col("d_c"), coalesce(col("e_c"), lit(0L)).as("e_c"),
+        round(coalesce(col("e_c"), lit(0L)).cast("double") / col("m")
+          - (col("d_c").cast("double") / (lit(2.0) * col("m")))
+            * (col("d_c").cast("double") / (lit(2.0) * col("m"))), 6)
+          .as("q_c"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_propagation" -> graphLabelProp _,
+    "dq_referential" -> dqReferential _,
+    "ts_entropy" -> tsEntropy _,
     "graph_kcore" -> graphKcore _,
     "ts_acf" -> tsAcf _,
     "ts_transitions" -> tsTransitions _,
@@ -1670,7 +1830,128 @@ object Analytics extends OpModule {
     s"SELECT event_type, $l AS lag_h, vc AS x, y$l AS y FROM lg " +
       s"WHERE y$l IS NOT NULL").mkString("\n  UNION ALL ")
 
+  /** One unrolled synchronous LPA round: label counts from the prior
+    * labeling, then the (cnt desc, lbl) argmax per node. MATERIALIZED
+    * for the kcorePeel reason (each round references its predecessor). */
+  private def lpaRound(r: Int): String = {
+    val prev = if (r == 1) "l0" else s"l${r - 1}"
+    s"""r${r}cnt AS MATERIALIZED (
+       |  SELECT e.dst AS id, l.lbl, count(*) AS cnt
+       |  FROM sym e JOIN $prev l ON e.src = l.id GROUP BY 1, 2),
+       |l$r AS MATERIALIZED (
+       |  SELECT id, lbl FROM (
+       |    SELECT id, lbl,
+       |      row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl)
+       |        AS rn
+       |    FROM r${r}cnt) WHERE rn = 1)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "graph_label_propagation" -> (symCte + ",\n" +
+      """dg AS MATERIALIZED (
+        |  SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+        |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM dg),
+        |""".stripMargin +
+      (1 to 4).map(lpaRound).mkString(",\n") + ",\n" +
+      """mm AS (SELECT CAST(sum(deg) / 2 AS BIGINT) AS m FROM dg),
+        |bynode AS (
+        |  SELECT d.id, d.deg, l.lbl FROM dg d JOIN l4 l USING (id)),
+        |dm AS (
+        |  SELECT lbl, count(*) AS n_nodes,
+        |    CAST(sum(id) AS BIGINT) AS id_sum,
+        |    CAST(sum(deg) AS BIGINT) AS d_c
+        |  FROM bynode GROUP BY 1),
+        |intra AS (
+        |  SELECT ls.lbl AS lbl, CAST(count(*) / 2 AS BIGINT) AS e_c
+        |  FROM sym e
+        |  JOIN l4 ls ON e.src = ls.id
+        |  JOIN l4 ld ON e.dst = ld.id
+        |  WHERE ls.lbl = ld.lbl GROUP BY 1)
+        |SELECT dm.lbl AS community, dm.n_nodes, dm.id_sum, dm.d_c,
+        |  CAST(coalesce(i.e_c, 0) AS BIGINT) AS e_c,
+        |  round(coalesce(i.e_c, 0) / m
+        |    - (d_c / (2.0 * m)) * (d_c / (2.0 * m)), 6) AS q_c
+        |FROM dm LEFT JOIN intra i USING (lbl) CROSS JOIN mm""".stripMargin),
+    "dq_referential" ->
+      """WITH
+        |a1 AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |    count(*) AS n_child,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans,
+        |    count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+        |      THEN l.l_orderkey END) AS n_orphan_keys,
+        |    min(CASE WHEN o.o_orderkey IS NULL THEN l.l_orderkey END)
+        |      AS orphan_key_min
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |a2 AS (
+        |  SELECT 'orders.o_custkey->customer' AS fk,
+        |    count(*) AS n_child,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans,
+        |    count(DISTINCT CASE WHEN c.c_custkey IS NULL
+        |      THEN o.o_custkey END) AS n_orphan_keys,
+        |    min(CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END)
+        |      AS orphan_key_min
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey),
+        |a3 AS (
+        |  SELECT 'lineitem.l_partkey->part' AS fk,
+        |    count(*) AS n_child,
+        |    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans,
+        |    count(DISTINCT CASE WHEN p.p_partkey IS NULL
+        |      THEN l.l_partkey END) AS n_orphan_keys,
+        |    min(CASE WHEN p.p_partkey IS NULL THEN l.l_partkey END)
+        |      AS orphan_key_min
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        |    ON l.l_partkey = p.p_partkey),
+        |a4 AS (
+        |  SELECT 'orders.o_custkey->customer@partial_load' AS fk,
+        |    count(*) AS n_child,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans,
+        |    count(DISTINCT CASE WHEN c.c_custkey IS NULL
+        |      THEN o.o_custkey END) AS n_orphan_keys,
+        |    min(CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END)
+        |      AS orphan_key_min
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+        |             WHERE c_custkey % 10 != 3) c
+        |    ON o.o_custkey = c.c_custkey)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4""".stripMargin,
+    "ts_entropy" -> (evCte +
+      """,
+        |hourly AS (
+        |  SELECT event_type, hour(ts) AS hod, count(*) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |  FROM hourly GROUP BY 1),
+        |terms AS (
+        |  SELECT h.event_type, h.hod, h.c, t.n,
+        |    CAST(round(h.c * ln(h.c / t.n) * 1e6) AS BIGINT) AS term_fp
+        |  FROM hourly h JOIN tot t USING (event_type)),
+        |pk AS (
+        |  SELECT event_type, hod AS peak_hour, c AS peak_c,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY c DESC, hod) AS rn
+        |  FROM terms),
+        |agg AS (
+        |  SELECT event_type, max(n) AS n, count(*) AS active_hours,
+        |    CAST(-sum(term_fp) AS BIGINT) AS ent_fp
+        |  FROM terms GROUP BY 1)
+        |SELECT a.event_type, a.n, a.active_hours,
+        |  CAST(p.peak_hour AS BIGINT) AS peak_hour,
+        |  p.peak_c * 10000 // a.n AS peak_bp, a.ent_fp,
+        |  round(a.ent_fp / (a.n * 1e6), 6) AS entropy
+        |FROM agg a JOIN (SELECT * FROM pk WHERE rn = 1) p
+        |  USING (event_type)""".stripMargin),
     "graph_kcore" -> (symCte + ",\n" +
       "kb AS MATERIALIZED (SELECT src, dst FROM sym),\n" +
       kcorePeel(2, "kb") + ",\n" +

@@ -291,7 +291,107 @@ object Retrieval extends OpModule {
       .where(col("rn") <= 5)
   }
 
+  /** Per-document keyword extraction: the top-3 tokens by TF·IDF within
+    * each document — the tag/metadata generator behind faceted corpus
+    * browsing and the cheap doc-level topic proxy retrieval pipelines
+    * attach before embedding. Differs from llm_tfidf (corpus-level
+    * per-LANGUAGE characteristic terms): this ranks WITHIN each doc.
+    *
+    * idf quantizes per token to round(ln(N/df)·10⁶) BIGINT (ln of an
+    * exact integer ratio — identical IEEE both engines); score = tf·idf_fp
+    * is then exact, and the per-doc ranking is the (score_fp desc, tok)
+    * total order. Corpus-wide tokens (df = N, idf 0) never rank.
+    *
+    * Scale shape: one (doc, tok) hash aggregate for tf (map-side
+    * partial), the df table is vocabulary-bounded so the idf join keys
+    * on tok (broadcastable in production), and the per-doc top-3 window
+    * partitions on doc_id — per-partition heaps, no global sort. */
+  def keywordExtract(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(s, d)
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        round(log(col("n_docs").cast("double") / col("df")) * 1e6, 0)
+          .cast("long").as("idf_fp"))
+      .where(col("idf_fp") > 0)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("tok"))
+    tf.join(idf, "tok")
+      .withColumn("score_fp", col("tf") * col("idf_fp"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        col("score_fp"))
+  }
+
+  /** Held-out bigram language-model scoring with stupid backoff (the
+    * CCNet/KenLM-style quality signal): train bigram + unigram counts
+    * on the even-doc_id half of the corpus, score every held-out doc's
+    * bigrams with P = c₂(a,b)/c₁(a), backing off to 0.4·c₁(b)/T for
+    * unseen bigrams and 0.2/T for OOV continuations. Reports per-doc
+    * bigram count, backoff/OOV rates, and the negative log-likelihood
+    * — the "how surprising is this document to a model of the rest of
+    * the corpus" filter (high NLL = junk or gold, both worth routing).
+    * Differs from llm_perplexity_proxy (within-corpus unigram proxy):
+    * real train/held-out split, order-sensitive bigram statistics, and
+    * an explicit backoff chain.
+    *
+    * Numeric discipline: every ln runs on an exact integer ratio and
+    * quantizes per ROW to round(·10⁶) BIGINT; per-doc reductions are
+    * exact integer sums, and nll_fp divides the POSITIVE sum (Spark
+    * `div` truncates toward zero, DuckDB `//` floors — they only agree
+    * on non-negatives, so the negation happens before the division).
+    *
+    * Scale shape: the count tables are vocabulary-bounded (c₂ ≤ |V|²
+    * observed, c₁ ≤ |V|) — the scoring join keys on the bigram and
+    * partial-aggregates per doc map-side; at production vocabulary
+    * sizes c₁ broadcasts and c₂ is the one shuffled build side. */
+  def ngramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("t", expr("filter(split(text, ' '), x -> x != '')"))
+      .where(size(col("t")) >= 2)
+    val bg = docs.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 1)," +
+          " i -> named_struct('a', element_at(t, i)," +
+          " 'b', element_at(t, i + 1)))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val trainToks = docs.where(col("doc_id") % 2 === 0)
+      .select(explode(col("t")).as("tok"))
+    val c2 = bg.where(col("doc_id") % 2 === 0)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = trainToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val tot = trainToks.agg(count(lit(1)).as("t_total")) // 1 row → broadcast
+    bg.where(col("doc_id") % 2 === 1)
+      .join(c2, Seq("a", "b"), "left")
+      .join(c1.withColumnRenamed("tok", "a").withColumnRenamed("c1", "ca"),
+        Seq("a"), "left")
+      .join(c1.withColumnRenamed("tok", "b").withColumnRenamed("c1", "cb"),
+        Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("term_fp",
+        round(when(col("c2").isNotNull, log(col("c2") / col("ca")))
+          .when(col("cb").isNotNull,
+            log(lit(0.4) * col("cb") / col("t_total")))
+          .otherwise(log(lit(0.2) / col("t_total"))) * 1e6, 0)
+          .cast("long"))
+      .withColumn("bo",
+        when(col("c2").isNull && col("cb").isNotNull, 1L).otherwise(0L))
+      .withColumn("oov", when(col("cb").isNull, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bo")).as("n_backoff"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("term_fp")).as("ll_fp"))
+      .withColumn("nll_fp", expr("(0 - ll_fp) div n_bigrams"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ngram_lm" -> ngramLm _,
+    "llm_keyword_extract" -> keywordExtract _,
     "llm_hard_negatives" -> hardNegatives _,
     "llm_bm25" -> bm25 _,
     "llm_vocab_coverage" -> vocabCoverage _,
@@ -315,6 +415,62 @@ object Retrieval extends OpModule {
        |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_ngram_lm" ->
+      """WITH tr AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents),
+        |tt AS (SELECT doc_id, t FROM tr WHERE len(t) >= 2),
+        |bg AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        |  FROM tt),
+        |c2 AS (
+        |  SELECT a, b, count(*) AS c2 FROM bg
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |tk AS (SELECT unnest(t) AS tok FROM tt WHERE doc_id % 2 = 0),
+        |c1 AS (SELECT tok, count(*) AS c1 FROM tk GROUP BY 1),
+        |tot AS (SELECT count(*) AS t_total FROM tk),
+        |terms AS (
+        |  SELECT g.doc_id,
+        |    CAST(round(CASE
+        |      WHEN c2.c2 IS NOT NULL THEN ln(c2.c2 / ca.c1)
+        |      WHEN cb.c1 IS NOT NULL THEN ln(0.4 * cb.c1 / t_total)
+        |      ELSE ln(0.2 / t_total) END * 1e6) AS BIGINT) AS term_fp,
+        |    CASE WHEN c2.c2 IS NULL AND cb.c1 IS NOT NULL
+        |      THEN 1 ELSE 0 END AS bo,
+        |    CASE WHEN cb.c1 IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM bg g
+        |  LEFT JOIN c2 ON g.a = c2.a AND g.b = c2.b
+        |  LEFT JOIN c1 ca ON g.a = ca.tok
+        |  LEFT JOIN c1 cb ON g.b = cb.tok
+        |  CROSS JOIN tot
+        |  WHERE g.doc_id % 2 = 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(bo) AS BIGINT) AS n_backoff,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST(sum(term_fp) AS BIGINT) AS ll_fp,
+        |  CAST((0 - sum(term_fp)) // count(*) AS BIGINT) AS nll_fp
+        |FROM terms GROUP BY doc_id""".stripMargin,
+    "llm_keyword_extract" -> (tokCte +
+      """,
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |idf AS (
+        |  SELECT tok,
+        |    CAST(round(ln(n_docs / df) * 1e6) AS BIGINT) AS idf_fp
+        |  FROM dfreq, nd
+        |  WHERE CAST(round(ln(n_docs / df) * 1e6) AS BIGINT) > 0),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, tf.tf * i.idf_fp AS score_fp,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |                       ORDER BY tf.tf * i.idf_fp DESC, tf.tok)
+        |      AS rank
+        |  FROM tf JOIN idf i USING (tok))
+        |SELECT doc_id, rank, tok, tf, score_fp
+        |FROM scored WHERE rank <= 3""".stripMargin),
     "llm_hard_negatives" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, label AS qlabel, embedding AS qe

@@ -7,6 +7,105 @@ import graft.operators.Analytics
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("graph_label_propagation: communities partition the graph, modularity reconciles") {
+    val out = Analytics.graphLabelProp(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      // the communities partition the node set: sizes sum to |V|,
+      // id checksums sum to the total id mass
+      val adjNodes = graft.Tables.lineitem(spark, sf)
+        .groupBy($"l_orderkey")
+        .agg(array_distinct(collect_list($"l_suppkey")).as("sups"))
+        .select(explode($"sups").as("src"), $"sups")
+        .select($"src", explode($"sups").as("dst"))
+        .where($"src" =!= $"dst")
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+        .where($"w" >= 2)
+        .select($"src").distinct().collect().map(_.getLong(0))
+      assert(rows.map(_.getAs[Long]("n_nodes")).sum == adjNodes.length)
+      assert(rows.map(_.getAs[Long]("id_sum")).sum == adjNodes.sum)
+      // intra-community edges never exceed the community's degree mass / 2
+      rows.foreach { r =>
+        assert(r.getAs[Long]("e_c") * 2 <= r.getAs[Long]("d_c"))
+        assert(r.getAs[Double]("q_c") <= 1.0 + 1e-9)
+      }
+      // modularity is bounded: Q = Σ q_c ∈ [-0.5, 1]
+      val q = rows.map(_.getAs[Double]("q_c")).sum
+      assert(q >= -0.5 - 1e-9 && q <= 1.0 + 1e-9, s"Q out of range: $q")
+    } finally out.unpersist()
+  }
+
+  test("lpa core separates a planted barbell into its two cliques") {
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4: deterministic
+    // synchronous min-tie LPA converges to communities led by 1 and 3
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val labels = Analytics.lpaRounds(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == labels(2L) && labels(2L) == labels(3L))
+    assert(labels(4L) == labels(5L) && labels(5L) == labels(6L))
+    assert(labels(1L) != labels(4L), "bridge merged the cliques")
+  }
+
+  test("dq_referential: real FK edges are clean, the partial-load audit fires") {
+    val out = Analytics.dqReferential(spark, sf).collect()
+    assert(out.length == 4)
+    val byFk = out.map(r => r.getAs[String]("fk") -> r).toMap
+    // the three real FK edges of the star schema hold
+    Seq("lineitem.l_orderkey->orders", "orders.o_custkey->customer",
+      "lineitem.l_partkey->part").foreach { fk =>
+      val r = byFk(fk)
+      assert(r.getAs[Long]("n_orphans") == 0L, s"$fk has orphans")
+      assert(r.isNullAt(r.fieldIndex("orphan_key_min")), s"$fk repro not null")
+    }
+    // the planted partial dim load produces orphans whose keys all end in 3
+    val p = byFk("orders.o_custkey->customer@partial_load")
+    assert(p.getAs[Long]("n_orphans") > 0L, "planted audit did not fire")
+    assert(p.getAs[Long]("orphan_key_min") % 10 == 3)
+    // orphan rows never exceed child rows; key count never exceeds rows
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") <= r.getAs[Long]("n_child"))
+      assert(r.getAs[Long]("n_orphan_keys") <= r.getAs[Long]("n_orphans"))
+    }
+  }
+
+  test("ts_entropy: bounded by ln(active hours), peak share consistent, exact terms") {
+    val out = Analytics.tsEntropy(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val active = r.getAs[Long]("active_hours")
+      assert(h >= -1e-6, s"entropy negative: $h")
+      assert(h <= math.log(active.toDouble) + 1e-6,
+        s"entropy $h exceeds ln($active)")
+      val peakBp = r.getAs[Long]("peak_bp")
+      // peak share is at least the uniform share and at most 100 %
+      assert(peakBp >= 10000 / active && peakBp <= 10000)
+      assert(r.getAs[Long]("peak_hour") >= 0 && r.getAs[Long]("peak_hour") <= 23)
+    }
+    // a type active in exactly one hour would have entropy 0; uniform
+    // activity maximizes it — cross-check one row against a direct fold
+    val ev = graft.Tables.events(spark, sf)
+      .groupBy($"event_type", hour($"ts").as("hod"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"event_type")
+      .agg(collect_list($"c").as("cs"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[scala.collection.Seq[Long]]("cs")).toMap
+    out.foreach { r =>
+      val cs = ev(r.getAs[String]("event_type"))
+      val n = cs.sum.toDouble
+      // HALF_UP like Spark's round (math.round half-to-+inf differs on
+      // negative halves — measure-zero here, but match exactly anyway)
+      val want = -cs.map(c => BigDecimal(c * math.log(c / n) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      assert(r.getAs[Long]("ent_fp") == want,
+        s"${r.getAs[String]("event_type")}: ent_fp drifted from direct fold")
+    }
+  }
+
   test("ts_gapfill: spine is dense per type, gaps zero-filled, sums forward-filled") {
     val out = Analytics.tsGapfill(spark, sf).cache()
     try {

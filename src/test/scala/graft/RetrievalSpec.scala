@@ -23,6 +23,73 @@ class RetrievalSpec extends SparkSpec {
     assert(docs.where(size($"seq") =!= size($"dedup")).count() >= 0)
   }
 
+  test("llm_ngram_lm: held-out docs only, backoff chain accounted, NLL positive") {
+    val out = Retrieval.ngramLm(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        // only held-out (odd) docs are scored
+        assert(r.getAs[Long]("doc_id") % 2 == 1)
+        val n = r.getAs[Long]("n_bigrams")
+        val bo = r.getAs[Long]("n_backoff")
+        val oov = r.getAs[Long]("n_oov")
+        assert(n > 0 && bo + oov <= n, "backoff/OOV exceed bigram count")
+        // every bigram term is ln(P<=1) <= 0, so the sum is non-positive
+        assert(r.getAs[Long]("ll_fp") <= 0L)
+        assert(r.getAs[Long]("nll_fp") >= 0L)
+        assert(r.getAs[Long]("nll_fp") <= -r.getAs[Long]("ll_fp"))
+      }
+      // the backoff path actually fires somewhere on the fixture — an
+      // LM trained on half the corpus must meet unseen bigrams
+      assert(rows.map(_.getAs[Long]("n_backoff")).sum
+        + rows.map(_.getAs[Long]("n_oov")).sum > 0,
+        "no unseen bigrams — the split is not exercising backoff")
+      // row count == held-out docs with >= 2 tokens
+      val held = Tables.documents(spark, sf)
+        .where($"doc_id" % 2 === 1)
+        .where(size(expr("filter(split(text, ' '), x -> x != '')")) >= 2)
+        .count()
+      assert(rows.length == held)
+    } finally out.unpersist()
+  }
+
+  test("llm_keyword_extract: per-doc dense top-3, scores exact tf·idf, no df=N terms") {
+    val out = Retrieval.keywordExtract(spark, sf).cache()
+    try {
+      // ranks are dense 1..k per doc with k <= 3, scores non-increasing
+      val perDoc = out.groupBy($"doc_id")
+        .agg(collect_list(struct($"rank", $"score_fp")).as("rs"))
+        .collect()
+      perDoc.foreach { r =>
+        val rs = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("rs")
+          .map(x => (x.getInt(0), x.getLong(1))).sortBy(_._1).toSeq
+        assert(rs.map(_._1) == (1 to rs.length), "ranks not dense")
+        assert(rs.length <= 3)
+        assert(rs.sliding(2).forall {
+          case Seq(a, b) => a._2 >= b._2; case _ => true
+        }, "scores increase with rank")
+      }
+      // corpus-universal tokens (df == N, idf == 0) never appear
+      val docs = Tables.documents(spark, sf)
+      val n = docs.count()
+      val universal = docs
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .where($"tok" =!= "").distinct()
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+        .where($"df" === n).select($"tok")
+      assert(out.join(universal, "tok").count() == 0,
+        "a zero-idf token ranked as a keyword")
+      // spot-check one doc's top score against a direct recompute
+      val top = out.where($"rank" === 1).orderBy($"doc_id").limit(1).collect()(0)
+      val did = top.getAs[Long]("doc_id")
+      val tf = docs.where($"doc_id" === did)
+        .select(explode(split($"text", " ")).as("tok"))
+        .where($"tok" === top.getAs[String]("tok")).count()
+      assert(tf == top.getAs[Long]("tf"), "tf drifted from direct count")
+    } finally out.unpersist()
+  }
+
   test("llm_bm25: dense ranks, descending total order, positive RSJ scores") {
     val out = Retrieval.bm25(spark, sf).orderBy($"rank").collect()
     assert(out.nonEmpty && out.length <= 20)
