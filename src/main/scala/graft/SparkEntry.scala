@@ -20,7 +20,7 @@ object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
     Scans, Filters, Joins, Aggregates, SortsSetOps, Windows, ScalarFns,
     Streaming, StreamIO, LlmOps, LlmExtended, LlmCuration, LlmScale,
-    Analytics, PipelineOps, Retrieval
+    Analytics, PipelineOps, Retrieval, Preference
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
