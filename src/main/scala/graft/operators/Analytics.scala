@@ -358,6 +358,43 @@ object Analytics extends OpModule {
           (col("n_rows").cast("double") / col("n_keys")), 4).as("skew_ratio"))
   }
 
+  /** k-anonymity audit over a quasi-identifier tuple — the privacy
+    * gate a dataset release (or a training corpus carrying user
+    * attributes) must pass before export: a row is k-anonymous when at
+    * least k−1 other rows share its quasi-identifier combination, so
+    * the audit is the equivalence-class size distribution of the QI
+    * projection (here (c_mktsegment, c_nationkey) — the classic
+    * demographic pair). Output is ONE row: class count, effective k
+    * (the min class size — the dataset's actual anonymity level), and
+    * the re-identification exposure at the standard thresholds k ∈
+    * {2, 5, 10} as exact row counts plus basis points of the table.
+    * All integers — no float touches a decision.
+    *
+    * At-scale: one hash aggregate on the QI key (map-side combinable)
+    * collapses N rows to |QI classes| ≪ N, then a 1-row fold —
+    * the same two-phase shape at 100 TB. Extensions keep the shape:
+    * l-diversity adds count(DISTINCT sensitive) to the first
+    * aggregate; generalization search re-runs the same audit per
+    * candidate QI coarsening. */
+  def dqKAnonymity(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("gsz"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("gsz")).as("n_rows"),
+        min(col("gsz")).as("k_effective"),
+        sum(when(col("gsz") < 2, col("gsz")).otherwise(lit(0L)))
+          .as("rows_below_k2"),
+        sum(when(col("gsz") < 5, col("gsz")).otherwise(lit(0L)))
+          .as("rows_below_k5"),
+        sum(when(col("gsz") < 10, col("gsz")).otherwise(lit(0L)))
+          .as("rows_below_k10"))
+      .select(col("n_classes"), col("n_rows"), col("k_effective"),
+        col("rows_below_k2"), col("rows_below_k5"), col("rows_below_k10"),
+        expr("(rows_below_k5 * 10000) div n_rows").as("exposure_k5_bp"),
+        expr("(rows_below_k10 * 10000) div n_rows").as("exposure_k10_bp"))
+
   /** Pipeline-embedded observability through Spark's `Observation` /
     * CollectMetrics surface — the at-scale answer to "what did this
     * pipeline actually process": dq_constraints SCANS the table to
@@ -1770,6 +1807,7 @@ object Analytics extends OpModule {
     "dq_constraints" -> dqConstraints _,
     "dq_observe" -> dqObserve _,
     "dq_skew" -> dqSkew _,
+    "dq_k_anonymity" -> dqKAnonymity _,
     "win_pattern" -> winPattern _,
     "graph_triangles" -> graphTriangles _,
     "graph_jaccard" -> graphJaccard _,
@@ -2558,6 +2596,28 @@ object Analytics extends OpModule {
         |  round(quantile_cont(f, 0.99), 4) AS p99_freq,
         |  round(max(f) / (sum(f)::DOUBLE / count(*)), 4) AS skew_ratio
         |FROM f""".stripMargin,
+    // equivalence-class sizes of the QI projection, 1-row fold; every
+    // reduction CAST to BIGINT (the HUGEINT discipline)
+    "dq_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS gsz
+        |  FROM customer GROUP BY 1, 2),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(gsz) AS BIGINT) AS n_rows,
+        |    CAST(min(gsz) AS BIGINT) AS k_effective,
+        |    CAST(sum(CASE WHEN gsz < 2 THEN gsz ELSE 0 END) AS BIGINT)
+        |      AS rows_below_k2,
+        |    CAST(sum(CASE WHEN gsz < 5 THEN gsz ELSE 0 END) AS BIGINT)
+        |      AS rows_below_k5,
+        |    CAST(sum(CASE WHEN gsz < 10 THEN gsz ELSE 0 END) AS BIGINT)
+        |      AS rows_below_k10
+        |  FROM g)
+        |SELECT n_classes, n_rows, k_effective,
+        |  rows_below_k2, rows_below_k5, rows_below_k10,
+        |  (rows_below_k5 * 10000) // n_rows AS exposure_k5_bp,
+        |  (rows_below_k10 * 10000) // n_rows AS exposure_k10_bp
+        |FROM a""".stripMargin,
     // both observation points replayed declaratively: raw-scan metrics
     // and post-filter metrics over the same predicate and cent rounding
     "dq_observe" ->

@@ -464,6 +464,46 @@ object Joins extends OpModule {
         round(col("revenue_cents") / lit(10000.0), 4).as("revenue"))
   }
 
+  /** Macro query (TPC-H Q19 shape): discounted revenue under a
+    * DISJUNCTION OF CONJUNCTIONS spanning both join sides — the
+    * predicate shape the other headliners don't exercise: each OR arm
+    * constrains part attributes (brand, size) AND a lineitem attribute
+    * (quantity), so no single-table filter implies the whole predicate
+    * and the residual OR can only evaluate after the join binds both
+    * sides. The plan move that matters at 100 TB: the per-arm ranges
+    * have a computable HULL (brand ∈ {1,2,3}, size ≤ 15, qty ≤ 30 —
+    * each implied by the disjunction, so output-invariant), and pushing
+    * those hulls to the scans manually shrinks both join inputs ~20×
+    * before a single row crosses the shuffle — Catalyst's CNF
+    * conversion extracts single-side conjuncts but not cross-column
+    * range hulls, so the hull is written explicitly (the same move a
+    * CBO makes from column stats). The filtered part side is dim-sized
+    * and broadcasts; revenue stays exact BIGINT cents·(100−disc). */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val cents =
+      (expr("cast(round(l_extendedprice * 100) as bigint)")
+        * (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+    val li = Tables.lineitem(s, d)
+      .where(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"), cents.as("cents"))
+    val p = Tables.part(s, d)
+      .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        && col("p_size").between(1, 15))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11))
+        || (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20))
+        || (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+      .select(col("p_brand"), col("n_lines"), col("revenue_cents"),
+        round(col("revenue_cents") / lit(10000.0), 4).as("revenue"))
+  }
+
   /** Runtime bloom-filter injection (InjectRuntimeFilter): a selective
     * dim-side predicate is turned into a bloom filter evaluated on the
     * FACT side's scan, discarding non-joining fact rows before the
@@ -536,6 +576,7 @@ object Joins extends OpModule {
     "q5_star_join" -> q5StarJoin _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q7_volume_shipping" -> q7VolumeShipping _,
+    "q19_disjunctive" -> q19Disjunctive _,
     "q10_returned_items" -> q10ReturnedItems _,
     "q18_big_orders" -> q18BigOrders _,
     "join_fuzzy" -> joinFuzzy _,
@@ -629,6 +670,23 @@ object Joins extends OpModule {
         |WHERE (supp_nation = 'NATION_3' AND cust_nation = 'NATION_7')
         |   OR (supp_nation = 'NATION_7' AND cust_nation = 'NATION_3')
         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT p_brand,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue_cents,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) / 10000.0, 4) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand""".stripMargin,
     "q3_shipping_priority" ->
       """WITH li AS (
         |  SELECT l_orderkey,

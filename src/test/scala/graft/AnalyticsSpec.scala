@@ -825,6 +825,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("dq_k_anonymity: reconciles with the QI class-size distribution") {
+    import spark.implicits._
+    val r = Analytics.dqKAnonymity(spark, sf).collect().head
+    val sizes = Tables.customer(spark, sf)
+      .groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("g")).collect().map(_.getAs[Long]("g"))
+    assert(r.getAs[Long]("n_classes") == sizes.length)
+    assert(r.getAs[Long]("n_rows") == sizes.sum)
+    assert(r.getAs[Long]("k_effective") == sizes.min)
+    assert(r.getAs[Long]("rows_below_k2") == sizes.filter(_ < 2).sum)
+    assert(r.getAs[Long]("rows_below_k5") == sizes.filter(_ < 5).sum)
+    assert(r.getAs[Long]("rows_below_k10") == sizes.filter(_ < 10).sum)
+    // thresholds nest, and exposure is the exact floor-div basis points
+    assert(r.getAs[Long]("rows_below_k2") <= r.getAs[Long]("rows_below_k5")
+      && r.getAs[Long]("rows_below_k5") <= r.getAs[Long]("rows_below_k10"))
+    assert(r.getAs[Long]("exposure_k10_bp")
+      == r.getAs[Long]("rows_below_k10") * 10000 / sizes.sum)
+  }
+
   test("graph_kcore: cores nest, and every core node keeps >= k in-core neighbors") {
     import spark.implicits._
     val out = Analytics.graphKcore(spark, sf).collect()

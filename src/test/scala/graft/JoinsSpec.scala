@@ -109,6 +109,43 @@ class JoinsSpec extends SparkSpec {
       s"supplier/nation arms should broadcast, found ${bhj.size}")
   }
 
+  test("q19: hull pushdown is output-invariant, part side broadcasts") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val q19 = graft.operators.Joins.q19Disjunctive(spark, sf)
+    q19.queryExecution.toRdd.count()
+    val got = q19.collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("revenue_cents"))).toMap
+    // the manually-pushed hull ranges are implied by the disjunction:
+    // recompute WITHOUT any hull pre-filter and require identity
+    val cents = expr("cast(round(l_extendedprice * 100) as bigint)") *
+      (lit(100L) - expr("cast(round(l_discount * 100) as bigint)"))
+    val plain = Tables.lineitem(spark, sf).select(col("l_partkey"),
+        col("l_quantity"), cents.as("cents"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11))
+        || (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20))
+        || (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("rc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == plain, s"hull pushdown changed the result: $got vs $plain")
+    // the quantity hull must reach the lineitem parquet scan
+    val pushed = collectFinal(q19) { case s: FileSourceScanExec =>
+      s.metadata.getOrElse("PushedFilters", "")
+    }.mkString(" ")
+    assert(pushed.contains("l_quantity"),
+      s"q19 quantity hull not pushed to the fact scan: $pushed")
+    // the hull-filtered part side is dim-sized and must broadcast
+    val bhj = collectFinal(q19) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "filtered part side should broadcast")
+  }
+
   test("join_salted equals the unsalted join") {
     import org.apache.spark.sql.functions._
     val salted = graft.operators.Joins.joinSalted(spark, sf)
