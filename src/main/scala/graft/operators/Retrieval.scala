@@ -291,6 +291,85 @@ object Retrieval extends OpModule {
       .where(col("rn") <= 5)
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.) —
+    * the standard two-tower RAG/search shape: a LEXICAL arm
+    * (idf-weighted distinct-token overlap, the BM25 family) and a
+    * SEMANTIC arm (embedding cosine, the ANN family) each rank the
+    * candidate universe per query, and the fused score is
+    * Σ 1/(60 + rank) over the lists a candidate appears in — rank
+    * fusion needs no score calibration between arms, which is why
+    * production hybrid search fuses ranks, not scores. Queries are the
+    * 10 probe docs that carry BOTH text and an embedding; the universe
+    * is the text∩embedding id join. Each arm contributes its top-50
+    * list; fusion is exact integer (10⁹ div (60+r), floor-div on
+    * nonnegatives agrees across engines), missing-list membership
+    * contributes 0, and the fused top-5 ranks on (rrf_fp desc, id) — a
+    * total order. Per-arm determinism: cosine rounds to 4 decimals
+    * (+0.0 canonicalizes −0.0) and idf quantizes to 10⁶ BIGINT per
+    * token BEFORE the per-(query, doc) sum — no float crosses a row
+    * boundary unquantized.
+    *
+    * Scale shape: both arms broadcast the 10-query side and stream the
+    * corpus once — the semantic arm is one codegen'd cosine per
+    * (query, candidate) with a per-query top-50 window, the lexical arm
+    * one (query, doc) hash aggregate over the token equi-join; the
+    * fusion join carries ≤ 2·50 rows per query regardless of corpus
+    * size. At 100 TB each arm swaps in its index-accelerated twin
+    * (llm_ann_ivf candidates; df-capped postings) with the fusion
+    * stage — the part this op owns — unchanged. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val uni = Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("id"), col("text"), col("embedding"))
+    val qs = uni.where(col("id") < 10)
+      .select(col("id").as("qid"), col("text").as("qtext"),
+        col("embedding").as("qe"))
+    val sw = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    val sem = uni.select(col("id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(qs.select(col("qid"), col("qe"))))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (round(expr("cosine_sim(qe, ce)"), 4) + lit(0.0)).as("cos"))
+      .withColumn("r_sem", row_number().over(sw))
+      .where(col("r_sem") <= 50)
+    val toks = uni.select(col("id"),
+      explode(array_distinct(
+        expr("filter(split(text, ' '), x -> x != '')"))).as("tok"))
+    val nd = uni.agg(count(lit(1)).as("n_docs"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(nd))
+      .select(col("tok"),
+        round(log(col("n_docs").cast("double") / col("df")) * 1e6, 0)
+          .cast("long").as("idf_fp"))
+      .where(col("idf_fp") > 0)
+    val qtoks = qs.select(col("qid"),
+        explode(array_distinct(
+          expr("filter(split(qtext, ' '), x -> x != '')"))).as("tok"))
+      .join(idf, "tok")
+    val lw = Window.partitionBy(col("qid"))
+      .orderBy(col("lex_fp").desc, col("id"))
+    val lex = toks.join(broadcast(qtoks), "tok")
+      .where(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("idf_fp")).as("lex_fp"))
+      .withColumn("r_lex", row_number().over(lw))
+      .where(col("r_lex") <= 50)
+    val fw = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_fp").desc, col("id"))
+    sem.join(lex, Seq("qid", "id"), "full")
+      .withColumn("rrf_fp",
+        coalesce(expr("cast(1000000000 as bigint) div (60 + r_sem)"),
+          lit(0L))
+          + coalesce(expr("cast(1000000000 as bigint) div (60 + r_lex)"),
+            lit(0L)))
+      .withColumn("rank", row_number().over(fw))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("id"), col("rrf_fp"),
+        col("r_sem"), col("r_lex"), col("cos"), col("lex_fp"))
+  }
+
   /** Per-document keyword extraction: the top-3 tokens by TF·IDF within
     * each document — the tag/metadata generator behind faceted corpus
     * browsing and the cheap doc-level topic proxy retrieval pipelines
@@ -393,6 +472,7 @@ object Retrieval extends OpModule {
     "llm_ngram_lm" -> ngramLm _,
     "llm_keyword_extract" -> keywordExtract _,
     "llm_hard_negatives" -> hardNegatives _,
+    "llm_hybrid_rrf" -> hybridRrf _,
     "llm_bm25" -> bm25 _,
     "llm_vocab_coverage" -> vocabCoverage _,
     "llm_dedup_winnow" -> dedupWinnow _,
@@ -414,7 +494,73 @@ object Retrieval extends OpModule {
        |  [ascii(c)::BIGINT for c in string_split($v, '')]),
        |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
 
+  /** Exact-double cosine between two float lists — the DuckDB twin of
+    * the codegen'd cosine_sim (same form as the hard_negatives oracle). */
+  private def duckCos(a: String, b: String): String =
+    s"""round(
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |    (x, y) -> x + y)
+       |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |       list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |       (x, y) -> x + y))
+       |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |         list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |         (x, y) -> x + y))), 4)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "llm_hybrid_rrf" ->
+      s"""WITH uni AS (
+         |  SELECT doc_id AS id, text, embedding
+         |  FROM documents JOIN embeddings ON doc_id = vec_id),
+         |q AS (SELECT id AS qid, text AS qtext, embedding AS qe
+         |      FROM uni WHERE id < 10),
+         |sem AS (
+         |  SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY cos DESC, id) AS r_sem
+         |  FROM (
+         |    SELECT q.qid, u.id,
+         |      0.0 + ${duckCos("q.qe", "u.embedding")} AS cos
+         |    FROM q CROSS JOIN uni u WHERE u.id != q.qid)
+         |  QUALIFY r_sem <= 50),
+         |tk AS (
+         |  SELECT id, unnest(list_distinct(
+         |    list_filter(string_split(text, ' '), x -> x != ''))) AS tok
+         |  FROM uni),
+         |nd AS (SELECT count(*) AS n_docs FROM uni),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+         |idf AS (
+         |  SELECT tok, CAST(round(ln(n_docs / df) * 1e6) AS BIGINT) AS idf_fp
+         |  FROM dfreq, nd
+         |  WHERE CAST(round(ln(n_docs / df) * 1e6) AS BIGINT) > 0),
+         |qt AS (
+         |  SELECT t.id AS qid, t.tok, i.idf_fp
+         |  FROM tk t JOIN idf i USING (tok) WHERE t.id < 10),
+         |lex AS (
+         |  SELECT qid, id, lex_fp,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY lex_fp DESC, id) AS r_lex
+         |  FROM (
+         |    SELECT qt.qid, t.id, CAST(sum(qt.idf_fp) AS BIGINT) AS lex_fp
+         |    FROM tk t JOIN qt ON t.tok = qt.tok
+         |    WHERE t.id != qt.qid
+         |    GROUP BY 1, 2)
+         |  QUALIFY r_lex <= 50),
+         |fused AS (
+         |  SELECT coalesce(s.qid, l.qid) AS qid, coalesce(s.id, l.id) AS id,
+         |    s.cos, s.r_sem, l.lex_fp, l.r_lex,
+         |    coalesce(1000000000::BIGINT // (60 + s.r_sem), 0)
+         |      + coalesce(1000000000::BIGINT // (60 + l.r_lex), 0) AS rrf_fp
+         |  FROM sem s FULL JOIN lex l ON s.qid = l.qid AND s.id = l.id)
+         |SELECT qid,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |                          ORDER BY rrf_fp DESC, id) AS INTEGER)
+         |    AS rank,
+         |  id, rrf_fp, r_sem, r_lex, cos, lex_fp
+         |FROM fused
+         |QUALIFY rank <= 5""".stripMargin,
     "llm_ngram_lm" ->
       """WITH tr AS (
         |  SELECT doc_id,

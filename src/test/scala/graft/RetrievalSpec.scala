@@ -177,6 +177,37 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("llm_hybrid_rrf: fused top-5 per query, rrf reconstructs from the arm ranks") {
+    val out = Retrieval.hybridRrf(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == (0L to 9L).toSet, s"queries: ${byQ.keySet}")
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+      rows.foreach { r =>
+        assert(r.getAs[Long]("id") != qid, "query doc must not retrieve itself")
+        // the fused score is exactly the sum of available arm contributions
+        val cs = Option(r.getAs[Integer]("r_sem"))
+          .map(rs => 1000000000L / (60 + rs)).getOrElse(0L)
+        val cl = Option(r.getAs[Integer]("r_lex"))
+          .map(rl => 1000000000L / (60 + rl)).getOrElse(0L)
+        assert(r.getAs[Long]("rrf_fp") == cs + cl)
+        Option(r.getAs[Integer]("r_sem")).foreach(rs =>
+          assert(rs >= 1 && rs <= 50))
+        Option(r.getAs[Integer]("r_lex")).foreach(rl =>
+          assert(rl >= 1 && rl <= 50))
+      }
+      // fused order descends on (rrf_fp, id asc)
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+        .map(r => (-r.getAs[Long]("rrf_fp"), r.getAs[Long]("id")))
+      assert(sorted.sameElements(sorted.sorted))
+      // a doc ranked #1 by BOTH arms must fuse at #1 (dominance)
+      rows.find(r => r.getAs[Integer]("r_sem") == Integer.valueOf(1)
+          && r.getAs[Integer]("r_lex") == Integer.valueOf(1))
+        .foreach(r => assert(r.getAs[Int]("rank") == 1))
+    }
+  }
+
   test("llm_hard_negatives: label-disjoint, top-5 per anchor, best negative is optimal") {
     import spark.implicits._
     val out = Retrieval.hardNegatives(spark, sf).collect()
