@@ -1008,6 +1008,82 @@ object LlmScale extends OpModule {
     merges.reduce(_ union _)
   }
 
+  // ── llm_bpe_apply ─────────────────────────────────────────────────────
+
+  /** ENCODE the corpus under the llm_bpe_train tokenizer — the apply
+    * half every trained merge table exists for: re-derive the same 3
+    * merges over the same weighted word-type table (identical election
+    * and greedy fold, so the tokenizer is byte-identical to the train
+    * op's), then encode every word occurrence and report the
+    * per-language compression audit — word/char/token masses, words
+    * that actually compressed, and tokens-per-char in basis points
+    * (char-split count is the pre-merge token baseline). This is the
+    * acceptance dashboard for a tokenizer build: a language whose
+    * ratio_bp stays ~10000 is not served by the learned merges (the
+    * vocabulary was trained past it).
+    *
+    * All reductions are exact integers; the symbol counts come from the
+    * same split primitive on both engines (never length(), which
+    * disagrees cross-engine on grapheme vs code-unit counting for CJK).
+    *
+    * Scale shape: identical to bpe_train (corpus collapses to word
+    * types once; each round is a vocab-sized aggregate + a broadcast
+    * 1-row merge into a per-type fold) plus ONE (lang, word) aggregate
+    * over the corpus and a type-keyed join — encoding cost lives on the
+    * type table, the corpus pays only its own collapse, exactly how a
+    * production tokenizer applies (type-level memo, stream lookup). */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "" && !col("w").contains("|"))
+    val lw = words.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .where(length(col("w")) >= 2)
+    var syms = MemoUtil.scratch(
+      wc.select(col("w"), col("c"),
+          expr("concat_ws('|', split(w, ''))").as("s"))
+        .localCheckpoint())
+    (1 to 3).foreach { _ =>
+      val pairs = syms
+        .select(col("c"), expr("split(s, '\\\\|')").as("a"))
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  j -> struct(element_at(a, j) AS pa,
+            |              element_at(a, j + 1) AS pb))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("c")).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("pa"), col("pb"))
+      val top = pairs.withColumn("r", row_number().over(w))
+        .where(col("r") === 1).select(col("pa"), col("pb"))
+      syms = MemoUtil.scratch(
+        syms.crossJoin(broadcast(top))
+          .select(col("w"), col("c"), expr(
+            """aggregate(split(s, '\\|'), '', (acc, x) ->
+              |  CASE WHEN acc = '' THEN x
+              |       WHEN regexp_extract(acc, '([^|]*)$', 1) = pa
+              |            AND x = pb THEN concat(acc, pb)
+              |       ELSE concat(acc, '|', x) END)""".stripMargin).as("s"))
+          .localCheckpoint())
+    }
+    val enc = syms.select(col("w"),
+      expr("cast(size(split(s, '\\\\|')) as bigint)").as("n_syms"))
+    lw.join(enc, Seq("w"), "left")
+      .select(col("lang"), col("n"),
+        coalesce(col("n_syms"), lit(1L)).as("n_syms"),
+        expr("cast(size(split(w, '')) as bigint)").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_chars")).as("chars_before"),
+        sum(col("n") * col("n_syms")).as("toks_after"),
+        sum(when(col("n_syms") < col("n_chars"), col("n"))
+          .otherwise(lit(0L))).as("words_compressed"))
+      .select(col("lang"), col("n_words"), col("chars_before"),
+        col("toks_after"), col("words_compressed"),
+        expr("(toks_after * 10000) div chars_before").as("ratio_bp"))
+  }
+
   // ── llm_bpe_stats ─────────────────────────────────────────────────────
 
   /** Tokenizer-training statistics: the first BPE merge round — corpus
@@ -1396,6 +1472,7 @@ object LlmScale extends OpModule {
     "llm_semdedup" -> semdedup _,
     "llm_bpe_stats" -> bpeStats _,
     "llm_bpe_train" -> bpeTrain _,
+    "llm_bpe_apply" -> bpeApply _,
     "llm_rlhf_pairs" -> rlhfPairs _,
     "llm_url_normalize" -> urlNormalize _,
     "llm_dataset_card" -> datasetCard _,
@@ -1616,8 +1693,62 @@ object LlmScale extends OpModule {
         |UNION ALL SELECT 2, pa, pb, pa || pb, cnt FROM t2
         |UNION ALL SELECT 3, pa, pb, pa || pb, cnt FROM t3""".stripMargin
 
+  /** bpeRound twin that CARRIES the word key through the fold (the
+    * apply op needs word → final symbols; election is identical). */
+  private def bpeApplyRound(i: Int): String = {
+    val prev = s"ay${i - 1}"
+    s"""q$i AS MATERIALIZED (
+       |  SELECT s.pa AS pa, s.pb AS pb, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT c, unnest([{'pa': a[j], 'pb': a[j+1]}
+       |                      for j in range(1, len(a))]) AS s
+       |    FROM (SELECT c, string_split(s, '|') AS a FROM $prev))
+       |  GROUP BY 1, 2),
+       |u$i AS MATERIALIZED (
+       |  SELECT pa, pb FROM q$i ORDER BY cnt DESC, pa, pb LIMIT 1),
+       |ay$i AS MATERIALIZED (
+       |  SELECT w, c, list_reduce(list_prepend('', string_split(y.s, '|')),
+       |    (acc, x) -> CASE WHEN acc = '' THEN x
+       |      WHEN regexp_extract(acc, '([^|]*)$$', 1) = t.pa AND x = t.pb
+       |        THEN acc || t.pb
+       |      ELSE acc || '|' || x END) AS s
+       |  FROM $prev y, u$i t)""".stripMargin
+  }
+
+  private val bpeApplySql =
+    """WITH wr AS (
+      |  SELECT lang, w FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w != '' AND NOT contains(w, '|')),
+      |lw AS (SELECT lang, w, count(*) AS n FROM wr GROUP BY 1, 2),
+      |wc AS (
+      |  SELECT w, count(*) AS c FROM wr
+      |  GROUP BY w HAVING length(w) >= 2),
+      |ay0 AS MATERIALIZED (
+      |  SELECT w, c, array_to_string(string_split(w, ''), '|') AS s
+      |  FROM wc),
+      |""".stripMargin +
+      (1 to 3).map(bpeApplyRound).mkString(",\n") +
+      """,
+        |enc AS (
+        |  SELECT w, CAST(len(string_split(s, '|')) AS BIGINT) AS n_syms
+        |  FROM ay3),
+        |per AS (
+        |  SELECT lang, n, coalesce(e.n_syms, 1) AS n_syms,
+        |    CAST(len(string_split(lw.w, '')) AS BIGINT) AS n_chars
+        |  FROM lw LEFT JOIN enc e ON lw.w = e.w)
+        |SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+        |  CAST(sum(n * n_chars) AS BIGINT) AS chars_before,
+        |  CAST(sum(n * n_syms) AS BIGINT) AS toks_after,
+        |  CAST(sum(CASE WHEN n_syms < n_chars THEN n ELSE 0 END) AS BIGINT)
+        |    AS words_compressed,
+        |  (CAST(sum(n * n_syms) AS BIGINT) * 10000)
+        |    // CAST(sum(n * n_chars) AS BIGINT) AS ratio_bp
+        |FROM per GROUP BY lang""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "llm_bpe_train" -> bpeTrainSql,
+    "llm_bpe_apply" -> bpeApplySql,
     "llm_dedup_substring" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')

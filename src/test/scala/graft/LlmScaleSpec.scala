@@ -666,4 +666,48 @@ class LlmScaleSpec extends SparkSpec {
       assert(l == pa && r == pb && c == cnt)
     }
   }
+
+  test("llm_bpe_apply: per-language masses match an independent in-memory encode") {
+    import spark.implicits._
+    val out = LlmScale.bpeApply(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("chars_before"),
+          r.getAs[Long]("toks_after"), r.getAs[Long]("words_compressed"),
+          r.getAs[Long]("ratio_bp"))).toMap
+    val occurrences = Tables.documents(spark, sf)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .where($"w" =!= "" && !$"w".contains("|"))
+      .as[(String, String)].collect()
+    // reference tokenizer: 3 BPE rounds on the len>=2 word-type table
+    var types: Map[String, Vector[String]] = occurrences.map(_._2).distinct
+      .filter(_.length >= 2).map(w => w -> w.split("").toVector).toMap
+    val typeCounts = occurrences.groupBy(_._2).view.mapValues(_.length.toLong)
+    (1 to 3).foreach { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      types.foreach { case (w, syms) =>
+        syms.zip(syms.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + typeCounts(w))
+      }
+      val ((pa, pb), _) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, a, b) }
+      types = types.map { case (w, syms) =>
+        w -> syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == pa && x == pb)
+            acc.init :+ (pa + pb)
+          else acc :+ x
+        }
+      }
+    }
+    val want = occurrences.groupBy(_._1).map { case (lang, ws) =>
+      val chars = ws.map(_._2.split("").length.toLong).sum
+      val toks = ws.map { case (_, w) =>
+        types.get(w).map(_.size.toLong).getOrElse(1L) }.sum
+      val comp = ws.count { case (_, w) =>
+        types.get(w).exists(_.size < w.split("").length) }.toLong
+      lang -> ((ws.length.toLong, chars, toks, comp, toks * 10000 / chars))
+    }
+    assert(out == want, s"got $out\nwant $want")
+    // the merges actually compress: total token mass strictly shrinks
+    assert(out.values.map(_._3).sum < out.values.map(_._2).sum)
+  }
 }
