@@ -214,6 +214,51 @@ object LlmCuration extends OpModule {
         sum(col("doc_id")).as("id_sum"),
         sum(col("n_chars")).as("char_mass"))
 
+  /** Cross-split near-duplicate leakage audit — the check
+    * llm_split_holdout's structural guarantee does NOT give: the split
+    * is leakage-free at the document level (no doc in two splits), but
+    * a near-duplicate of a test document sitting in train leaks the
+    * test set anyway (Lee et al. 2022's eval-contamination finding at
+    * the near-dup level; llm_decontaminate covers a designated
+    * EXTERNAL benchmark — this audits the corpus's own holdout). Every
+    * verified near-dup pair (the memoized MinHash/LSH + exact-verify
+    * table, shared with llm_dedup_near/cluster) is tagged with both
+    * endpoints' splits (the same masked-Knuth gate as the split op);
+    * the audit rolls up per (split_a, split_b): pair count, leakage
+    * flag (splits differ), strongest pair, example doc, and the
+    * combination's share of all near-dup pairs in exact basis points.
+    * A release gate reads the is_leakage rows — those documents must be
+    * quarantined from train before the split ships.
+    *
+    * Scale shape: the pair table is LSH-bounded (never all-pairs) and
+    * tiny relative to the corpus; the split tag is one map-side hash on
+    * the corpus, the two tag joins key on doc_id (pair side broadcasts
+    * at scale), and everything after is |splits|² rows. */
+  def crossSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val pairs = LlmOps.dedupNear(s, d)
+    val sp = Tables.documents(s, d)
+      .withColumn("h", knuth32(col("doc_id")))
+      .withColumn("b", expr("(h * 20) div 4294967296"))
+      .select(col("doc_id"),
+        when(col("b") < 18, "train").when(col("b") === 18, "val")
+          .otherwise("test").as("split"))
+    val tagged = pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+    val tot = tagged.agg(count(lit(1)).as("n_total"))
+    tagged.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("jaccard")).as("max_jaccard"),
+        min(col("doc_a")).as("example_a"))
+      .crossJoin(broadcast(tot))
+      .select(col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("is_leakage"),
+        col("n_pairs"), col("max_jaccard"), col("example_a"),
+        expr("(n_pairs * 10000) div n_total").as("share_bp"))
+  }
+
   /** Embedding-space dataset drift between two corpus snapshots — the
     * vector-side companion to dq_drift's scalar PSI: a retrain decision
     * needs "did the representation of label k MOVE", which value
@@ -569,7 +614,8 @@ object LlmCuration extends OpModule {
     "llm_sample_stratified" -> sampleStratified _,
     "llm_embed_quantize" -> embedQuantize _,
     "llm_embedding_drift" -> embeddingDrift _,
-    "llm_split_holdout" -> splitHoldout _
+    "llm_split_holdout" -> splitHoldout _,
+    "llm_cross_split_leakage" -> crossSplitLeakage _
   )
 
   // shared by llm_quality_filter and the curation_e2e macro's CTE chain
@@ -868,6 +914,36 @@ object LlmCuration extends OpModule {
         |FROM g
         |WHERE h < floor(rate * 4294967296.0)::BIGINT
         |GROUP BY lang""".stripMargin,
+    // the pair CTE is the exhaustive all-pairs near-dup oracle (shared
+    // with llm_dedup_near); the split gate is llm_split_holdout's
+    "llm_cross_split_leakage" ->
+      (s"""WITH pairs AS MATERIALIZED (
+         |${LlmOps.oracleNearPairs}
+         |),
+         |""".stripMargin +
+       """sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 18 THEN 'train'
+         |         WHEN b = 18 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      (((((doc_id & 65535) * 2654435761)
+         |         + ((((doc_id >> 16) & 65535) * 2654435761) % 65536)
+         |           * 65536) % 4294967296) * 20) // 4294967296 AS b
+         |    FROM documents)),
+         |tagged AS (
+         |  SELECT p.*, a.split AS split_a, b.split AS split_b
+         |  FROM pairs p
+         |  JOIN sp a ON p.doc_a = a.doc_id
+         |  JOIN sp b ON p.doc_b = b.doc_id),
+         |tot AS (SELECT count(*) AS n_total FROM tagged)
+         |SELECT split_a, split_b, split_a != split_b AS is_leakage,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  max(jaccard) AS max_jaccard,
+         |  CAST(min(doc_a) AS BIGINT) AS example_a,
+         |  (CAST(count(*) AS BIGINT) * 10000) // (SELECT n_total FROM tot)
+         |    AS share_bp
+         |FROM tagged GROUP BY 1, 2""".stripMargin),
     "llm_split_holdout" ->
       """WITH g AS (
         |  SELECT doc_id, n_chars,

@@ -518,7 +518,7 @@ object LlmOps extends OpModule {
 
   // the exhaustive all-pairs near-dup SELECT — its own oracle entry,
   // and the pair CTE the cluster_incremental closure composes over
-  private val oracleNearPairs: String =
+  private[operators] val oracleNearPairs: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (

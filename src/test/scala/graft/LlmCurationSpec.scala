@@ -44,6 +44,32 @@ class LlmCurationSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("cross_split_leakage: reconciles with a local re-tag of the verified pairs") {
+    import spark.implicits._
+    val out = LlmCuration.crossSplitLeakage(spark, sf).collect()
+      .map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b")) ->
+        (r.getAs[Boolean]("is_leakage"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("example_a"), r.getAs[Long]("share_bp"))).toMap
+    // local re-derivation: the memoized pair table + the split gate
+    val pairs = LlmOps.dedupNear(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    def split(id: Long): String = {
+      val k = 2654435761L
+      val h = ((id & 65535L) * k + ((id >> 16 & 65535L) * k % 65536L)
+        * 65536L) % 4294967296L
+      val b = h * 20 / 4294967296L
+      if (b < 18) "train" else if (b == 18) "val" else "test"
+    }
+    val want = pairs.map { case (a, b) => ((split(a), split(b)), a) }
+      .groupBy(_._1).map { case (k, v) =>
+        k -> ((k._1 != k._2, v.length.toLong, v.map(_._2).min,
+          v.length.toLong * 10000 / pairs.length)) }
+    assert(out == want, s"got $out\nwant $want")
+    // shares partition the pair set
+    assert(out.values.map(_._2).sum == pairs.length)
+  }
+
   test("dataset_diff: status partition matches the v2 construction exactly") {
     import org.apache.spark.sql.functions._
     val out = operators.LlmCuration.datasetDiff(spark, sf).collect()
