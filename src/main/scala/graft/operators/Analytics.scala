@@ -851,6 +851,46 @@ object Analytics extends OpModule {
         ((col("vc") - col("sc")) / 100.0).as("residual"))
   }
 
+  /** Seasonal-naive forecast BACKTEST — the evaluation loop that turns
+    * ts_seasonal's decomposition into a shippable forecaster: predict
+    * each hour's cent mass by the same type's value 24 h earlier
+    * (wall-clock join, not a row lag — missing hours must not slide the
+    * season), then score per event type with exact-integer error
+    * statistics: MAE in cents, signed bias, and MAPE in basis points
+    * (per-row (ae·10⁴) div |actual| BEFORE the cross-row mean, zero
+    * actuals excluded and counted). This is the "is last-day-same-hour
+    * good enough" baseline every anomaly/capacity model must beat, and
+    * the same join-shape backtests any stored forecast table.
+    *
+    * Scale shape: the corpus collapses to the hourly series first (one
+    * aggregate); the forecast join is an equi-join of the series with
+    * its own 24 h shift — series-sized, not event-sized — and the audit
+    * is a |types|-row aggregate. No window over raw events, no float
+    * crosses a row boundary. */
+  def tsBacktest(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("vc"))
+    val fc = hourly.select(col("event_type"),
+      (col("h") + expr("INTERVAL 24 HOURS")).as("h"), col("vc").as("fc"))
+    hourly.join(fc, Seq("event_type", "h"))
+      .withColumn("ae", abs(col("vc") - col("fc")))
+      .withColumn("pe_bp",
+        when(col("vc") =!= 0, expr("(ae * 10000) div abs(vc)")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_forecasts"),
+        sum(col("ae")).as("ae_mass"),
+        sum(col("vc") - col("fc")).as("bias_cents"),
+        sum(when(col("vc") === 0, 1L).otherwise(0L)).as("n_zero_actual"),
+        sum(col("pe_bp")).as("pe_mass"))
+      .select(col("event_type"), col("n_forecasts"),
+        expr("ae_mass div n_forecasts").as("mae_cents"),
+        col("bias_cents"),
+        when(col("n_forecasts") > col("n_zero_actual"),
+          expr("pe_mass div (n_forecasts - n_zero_actual)")).as("mape_bp"),
+        col("n_zero_actual"))
+  }
+
   /** IQR-fence outlier detection per order priority on EXACT rank-based
     * quartiles: prices move through integer cents, q1/q3 are the elements
     * at rank ⌊(n−1)/4⌋+1 / ⌊3(n−1)/4⌋+1 of the (price, key)-sorted group
@@ -1815,6 +1855,7 @@ object Analytics extends OpModule {
     "ts_ohlc" -> tsOhlc _,
     "ts_interpolate" -> tsInterpolate _,
     "ts_seasonal" -> tsSeasonal _,
+    "ts_backtest" -> tsBacktest _,
     "anomaly_iqr" -> anomalyIqr _,
     "ts_gapfill" -> tsGapfill _,
     "funnel" -> funnel _,
@@ -2394,6 +2435,33 @@ object Analytics extends OpModule {
         |       (common * 1000000) // (du + dv - common) AS jaccard_fp
         |FROM cm WHERE common >= 2
         |ORDER BY jaccard_fp DESC, u, v LIMIT 50""".stripMargin,
+    "ts_backtest" -> (evCte +
+      """,
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+        |         CAST(round(sum(value) * 100) AS BIGINT) AS vc
+        |  FROM ev GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.vc, b.vc AS fc, abs(a.vc - b.vc) AS ae
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type
+        |   AND b.h + INTERVAL 24 HOUR = a.h),
+        |p AS (
+        |  SELECT *, CASE WHEN vc != 0 THEN (ae * 10000) // abs(vc) END
+        |    AS pe_bp
+        |  FROM j)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_forecasts,
+        |  CAST(sum(ae) AS BIGINT) // count(*) AS mae_cents,
+        |  CAST(sum(vc - fc) AS BIGINT) AS bias_cents,
+        |  CASE WHEN count(*) > sum(CASE WHEN vc = 0 THEN 1 ELSE 0 END)
+        |       THEN CAST(sum(pe_bp) AS BIGINT)
+        |            // (count(*)
+        |               - CAST(sum(CASE WHEN vc = 0 THEN 1 ELSE 0 END)
+        |                      AS BIGINT))
+        |  END AS mape_bp,
+        |  CAST(sum(CASE WHEN vc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_actual
+        |FROM p GROUP BY event_type""".stripMargin),
     "ts_seasonal" -> (evCte +
       """,
         |hourly AS (

@@ -187,6 +187,63 @@ object LlmCuration extends OpModule {
             |    0L, (a, q) -> a + q)
             |ELSE 0L END""".stripMargin).as("q_checksum"))
 
+  /** Embedding-table health audit — the vector-side dq_constraints: a
+    * similarity/ANN pipeline silently degrades on dimension drift, NaN
+    * components, zero/near-zero vectors (cosine undefined), and dead
+    * components, none of which the scalar DQ suite sees. ONE pass over
+    * the table folds each vector to a flat stat row (dim, exact norm²
+    * on the 10³ quantization grid — the gram_matrix grid — NaN and
+    * zero-component counts) and a 1-row aggregate reports: vector
+    * count, distinct dims + min/max (schema conformance), NaN/zero
+    * component mass, zero and near-zero (‖v‖ < 0.1 ⇔ norm² < 10⁴)
+    * vector counts, and min/max/mean norm² — the gate a vector-index
+    * build reads before accepting a new embedding snapshot.
+    *
+    * All reductions exact integers. At 100 TB: per-row fold is
+    * map-side, the shuffle carries |partitions| partial rows. */
+  def dqEmbeddingHealth(s: SparkSession, d: String): DataFrame =
+    embeddingHealthOf(Tables.embeddings(s, d))
+
+  /** Audit body over any (.. embedding: array<float> ..) frame — split
+    * out so the spec can plant dirty vectors (NaN / zero / tiny /
+    * ragged) that the clean fixture never produces. */
+  private[graft] def embeddingHealthOf(emb: DataFrame): DataFrame =
+    emb
+      .select(
+        size(col("embedding")).as("dim"),
+        // NaN components contribute 0 to the norm (they report under
+        // nan_components; an ANSI cast of NaN would throw)
+        expr("""aggregate(
+          |  transform(embedding,
+          |    x -> if(isnan(cast(x as double)), 0L,
+          |            cast(round(cast(x as double) * 1000) as bigint))),
+          |  0L, (a, q) -> a + q * q)""".stripMargin).as("norm2"),
+        expr("""cast(size(filter(embedding,
+          |  x -> isnan(cast(x as double)))) as bigint)""".stripMargin)
+          .as("n_nan"),
+        // NaN guard: non-ANSI cast sends NaN -> 0, which must count as
+        // a NaN component (reported above), never as a zero component
+        expr("""cast(size(filter(embedding,
+          |  x -> (not isnan(cast(x as double)))
+          |    and cast(round(cast(x as double) * 1000) as bigint) = 0))
+          |  as bigint)""".stripMargin).as("n_zero_comp"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("dim")).as("n_dims_distinct"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        sum(col("n_nan")).as("nan_components"),
+        sum(col("n_zero_comp")).as("zero_components"),
+        sum(when(col("norm2") === 0, 1L).otherwise(0L)).as("n_zero_vecs"),
+        sum(when(col("norm2") < 10000L, 1L).otherwise(0L))
+          .as("n_tiny_vecs"),
+        min(col("norm2")).as("norm2_min"),
+        max(col("norm2")).as("norm2_max"),
+        sum(col("norm2")).as("norm2_mass"))
+      .select(col("n_vecs"), col("n_dims_distinct"), col("dim_min"),
+        col("dim_max"), col("nan_components"), col("zero_components"),
+        col("n_zero_vecs"), col("n_tiny_vecs"), col("norm2_min"),
+        col("norm2_max"), expr("norm2_mass div n_vecs").as("norm2_mean"))
+
   /** Deterministic holdout split — the train/val/test partition every
     * training pipeline cuts FIRST, made leakage-free by construction:
     * the split is a pure function of doc_id (masked Knuth hash, the
@@ -615,7 +672,8 @@ object LlmCuration extends OpModule {
     "llm_embed_quantize" -> embedQuantize _,
     "llm_embedding_drift" -> embeddingDrift _,
     "llm_split_holdout" -> splitHoldout _,
-    "llm_cross_split_leakage" -> crossSplitLeakage _
+    "llm_cross_split_leakage" -> crossSplitLeakage _,
+    "dq_embedding_health" -> dqEmbeddingHealth _
   )
 
   // shared by llm_quality_filter and the curation_e2e macro's CTE chain
@@ -914,6 +972,34 @@ object LlmCuration extends OpModule {
         |FROM g
         |WHERE h < floor(rate * 4294967296.0)::BIGINT
         |GROUP BY lang""".stripMargin,
+    "dq_embedding_health" ->
+      """WITH per AS (
+        |  SELECT len(embedding) AS dim,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [CAST(round(x::DOUBLE * 1000) AS BIGINT)
+        |       * CAST(round(x::DOUBLE * 1000) AS BIGINT)
+        |       for x in embedding]),
+        |      (a, b) -> a + b) AS norm2,
+        |    CAST(len(list_filter(embedding, x -> isnan(x::DOUBLE)))
+        |      AS BIGINT) AS n_nan,
+        |    CAST(len(list_filter(embedding,
+        |      x -> (NOT isnan(x::DOUBLE))
+        |        AND CAST(round(x::DOUBLE * 1000) AS BIGINT) = 0))
+        |      AS BIGINT) AS n_zero_comp
+        |  FROM embeddings)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+        |  min(dim) AS dim_min, max(dim) AS dim_max,
+        |  CAST(sum(n_nan) AS BIGINT) AS nan_components,
+        |  CAST(sum(n_zero_comp) AS BIGINT) AS zero_components,
+        |  CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_vecs,
+        |  CAST(sum(CASE WHEN norm2 < 10000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tiny_vecs,
+        |  CAST(min(norm2) AS BIGINT) AS norm2_min,
+        |  CAST(max(norm2) AS BIGINT) AS norm2_max,
+        |  CAST(sum(norm2) AS BIGINT) // count(*) AS norm2_mean
+        |FROM per""".stripMargin,
     // the pair CTE is the exhaustive all-pairs near-dup oracle (shared
     // with llm_dedup_near); the split gate is llm_split_holdout's
     "llm_cross_split_leakage" ->

@@ -825,6 +825,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ts_backtest: matches a local 24h-shift replay of the hourly series") {
+    import spark.implicits._
+    val out = Analytics.tsBacktest(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_forecasts"), r.getAs[Long]("mae_cents"),
+          r.getAs[Long]("bias_cents"))).toMap
+    val hourly = Tables.events(spark, sf)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(round(sum($"value") * 100, 0).cast("long").as("vc"))
+      .as[(String, java.sql.Timestamp, Long)].collect()
+    val byKey = hourly.map { case (t, h, v) => (t, h.getTime) -> v }.toMap
+    val want = hourly.flatMap { case (t, h, v) =>
+      byKey.get((t, h.getTime - 24L * 3600 * 1000)).map(fc => t -> (v, fc))
+    }.groupBy(_._1).map { case (t, rows) =>
+      val aes = rows.map { case (_, (v, fc)) => math.abs(v - fc) }
+      t -> ((rows.length.toLong, aes.sum / rows.length,
+        rows.map { case (_, (v, fc)) => v - fc }.sum))
+    }
+    assert(out == want, s"got $out\nwant $want")
+    assert(out.values.map(_._1).sum > 0, "series must overlap at 24h lag")
+  }
+
   test("dq_k_anonymity: reconciles with the QI class-size distribution") {
     import spark.implicits._
     val r = Analytics.dqKAnonymity(spark, sf).collect().head

@@ -44,6 +44,42 @@ class LlmCurationSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("dq_embedding_health: planted dirty vectors fire every gate; fixture is clean") {
+    import spark.implicits._
+    // planted: one clean, one NaN component, one zero vector, one tiny
+    // vector, one ragged (dim 3) vector
+    val dirty = Seq(
+      (1L, Array(1.0f, 0.5f, -0.25f, 2.0f)),
+      (2L, Array(Float.NaN, 0.5f, 0.25f, 1.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.05f, 0.0f, 0.0f, 0.0f)),
+      (5L, Array(1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = LlmCuration.embeddingHealthOf(dirty).collect().head
+    assert(r.getAs[Long]("n_vecs") == 5)
+    assert(r.getAs[Long]("n_dims_distinct") == 2
+      && r.getAs[Int]("dim_min") == 3 && r.getAs[Int]("dim_max") == 4)
+    assert(r.getAs[Long]("nan_components") == 1)
+    // zeros: v3 contributes 4, v4 contributes 3; v2's NaN is guarded
+    // out of the zero count (it reports under nan_components)
+    assert(r.getAs[Long]("zero_components") == 7)
+    assert(r.getAs[Long]("n_zero_vecs") == 1)
+    // v3 (norm2=0) and v4 (norm2=2500 < 10^4) are both tiny
+    assert(r.getAs[Long]("n_tiny_vecs") == 2)
+    assert(r.getAs[Long]("norm2_min") == 0)
+    // fixture corpus: fixed dim, no NaN, no zero/tiny vectors
+    val f = LlmCuration.dqEmbeddingHealth(spark, sf).collect().head
+    assert(f.getAs[Long]("n_vecs") == Tables.embeddings(spark, sf).count())
+    assert(f.getAs[Long]("n_dims_distinct") == 1
+      && f.getAs[Int]("dim_min") == 64)
+    assert(f.getAs[Long]("nan_components") == 0
+      && f.getAs[Long]("n_zero_vecs") == 0
+      && f.getAs[Long]("n_tiny_vecs") == 0)
+    assert(f.getAs[Long]("norm2_min") > 0
+      && f.getAs[Long]("norm2_mean") >= f.getAs[Long]("norm2_min")
+      && f.getAs[Long]("norm2_mean") <= f.getAs[Long]("norm2_max"))
+  }
+
   test("cross_split_leakage: reconciles with a local re-tag of the verified pairs") {
     import spark.implicits._
     val out = LlmCuration.crossSplitLeakage(spark, sf).collect()
