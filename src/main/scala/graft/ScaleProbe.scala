@@ -210,7 +210,22 @@ object ScaleProbe {
       "llm_hard_negatives",
       // three vocab-sized census+fold rounds — growth tracks the word-
       // TYPE table (clone suffix tokens widen it ~linearly), not corpus
-      "llm_bpe_train")
+      "llm_bpe_train",
+      // bpe encode: same rounds + one (lang, word) corpus collapse and
+      // a type-keyed join — must stay scan-bound like the trainer
+      "llm_bpe_apply",
+      // hybrid fusion: both arms broadcast the 10-query side and stream
+      // the candidate universe once; the fusion join is ≤ 100 rows per
+      // query at any N — growth must be the two corpus passes
+      "llm_hybrid_rrf",
+      // leakage audit rides the memoized LSH pair table (~450× pairs on
+      // the clone corpus) + one map-side split tag — growth must track
+      // the verified pairs, like llm_dedup_near itself
+      "llm_cross_split_leakage",
+      // backtest: collapse to the hourly series, then a series-sized
+      // 24h self-join — clone rows land in the collapse's map-side
+      // combine, the join stays |series| at any N
+      "ts_backtest")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
