@@ -169,6 +169,26 @@ object Scans extends OpModule {
       .orderBy(col("n_nationkey"))
   }
 
+  /** XML roundtrip on `nation` through Spark 4's BUILT-IN xml source
+    * (the spark-xml package merged upstream): write with a row tag,
+    * read back with an explicit schema + the same row tag — the
+    * B2B/legacy-feed ingestion shape. Ints + strings only (text
+    * roundtrip of binary floats is not oracle-exact, the scan_csv
+    * rule). Like all text sources the read is splittable per file and
+    * schema-explicit, so no inference job runs at scale. */
+  def scanXml(s: SparkSession, d: String): DataFrame = {
+    val path = s"$ioDir/nation_xml"
+    Tables.nation(s, d)
+      .write.mode(SaveMode.Overwrite).format("xml")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .save(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.format("xml").option("rowTag", "nation").schema(schema).load(path)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
   /** Materialize-then-rescan: the write path Verify itself exercises, made
     * an explicit operator (write agg → parquet → read back). */
   def sinkParquet(s: SparkSession, d: String): DataFrame = {
@@ -366,6 +386,7 @@ object Scans extends OpModule {
     "maintenance_stats" -> maintenanceStats _,
     "scan_orc" -> scanOrc _,
     "scan_json" -> scanJson _,
+    "scan_xml" -> scanXml _,
     "scan_evolving" -> scanEvolving _,
     "maintenance_compact" -> maintenanceCompact _,
     "sink_parquet" -> sinkParquet _
@@ -468,6 +489,8 @@ object Scans extends OpModule {
         |FROM events""".stripMargin,
     "scan_json" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_xml" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "sink_parquet" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         | round(sum(o_totalprice), 4) AS sum_price

@@ -34,6 +34,15 @@ class ScansSpec extends SparkSpec {
       s"predicate leaked into data filters: ${scans.head.dataFilters}")
   }
 
+  test("scan_xml roundtrips nation exactly through the built-in xml source") {
+    val got = graft.operators.Scans.scanXml(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    val want = Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    assert(got.sameElements(want))
+  }
+
   test("scan_parquet result matches table row count (no sort, pure scan)") {
     val n = graft.operators.Scans.scanParquet(spark, sf).count()
     assert(n == 1500)
