@@ -137,7 +137,13 @@ object Preference extends OpModule {
         lit(1L).as("win"))
       .unionByName(decided.select(col("l").as("i"), col("w").as("j"),
         lit(0L).as("win")))
-    val (wins, ratings) = btIterations(longForm, 3)
+    // lineage cut: round r references round r−1's ratings TWICE (pi and
+    // pj), so an uncut plan re-derives the corpus token aggregate 2³
+    // times by round 3 (measured ~2.0 s warm). The match table is
+    // |langs|·C(|sources|,2)·2 rows — checkpoint it once and the rounds
+    // run over tiny in-memory tables (~0.6 s total).
+    val lf = MemoUtil.scratch(longForm.localCheckpoint())
+    val (wins, ratings) = btIterations(lf, 3)
     val rw = Window.orderBy(col("rating_fp").desc, col("source"))
     wins.join(ratings, "i")
       .select(col("i").as("source"), col("n_matches"), col("w").as("wins"),
