@@ -109,6 +109,7 @@ object Bench {
       graft.operators.LlmScale.resetLloydMemo()
       graft.operators.Analytics.resetGraphMemo()
       graft.operators.LlmOps.resetNearMemo()
+      graft.operators.Retrieval.resetFusedMemo()
       // intra-op lineage-cut checkpoints registered during the pass:
       // nothing is in flight between passes, so their blocks free now
       graft.operators.MemoUtil.dropScratch()

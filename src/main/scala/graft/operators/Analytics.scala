@@ -1798,6 +1798,11 @@ object Analytics extends OpModule {
   def graphLabelProp(s: SparkSession, d: String): DataFrame = {
     val adj = coSupplyAdjacency(s, d)
     val edges = adj.select(col("id").as("src"), explode(col("nbrs")).as("dst"))
+    // labels has three downstream readers, but the three chains are
+    // plan-identical and ReusedExchange dedups them (a localCheckpoint
+    // here measured NEUTRAL-to-worse — the blocking job costs what the
+    // reuse already saves; contrast llm_winrate_bt, whose round-over-
+    // round self-reference defeats reuse and needs the cut)
     val labels = lpaRounds(edges, 4)
     val m = adj.agg((sum(col("deg")) / 2).cast("long").as("m")) // 1 row
     val byNode = adj.select(col("id"), col("deg"))

@@ -317,7 +317,22 @@ object Retrieval extends OpModule {
     * size. At 100 TB each arm swaps in its index-accelerated twin
     * (llm_ann_ivf candidates; df-capped postings) with the fusion
     * stage — the part this op owns — unchanged. */
-  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+  /** The fused top-5 table is consumed by TWO registered queries
+    * (llm_hybrid_rrf returns it; llm_rag_pack packs it) — built once
+    * per (session, sf-dir), 50 rows checkpointed; Bench resets the memo
+    * between passes (the dedupNear staged-computation pattern). */
+  private val fusedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def resetFusedMemo(): Unit = {
+    fusedMemo.values.foreach(MemoUtil.dropCheckpoint)
+    fusedMemo.clear()
+  }
+
+  def hybridRrf(s: SparkSession, d: String): DataFrame =
+    fusedMemo.getOrElseUpdate((s, d), hybridBuild(s, d).localCheckpoint())
+
+  private def hybridBuild(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     val uni = Tables.documents(s, d)
       .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
@@ -368,6 +383,44 @@ object Retrieval extends OpModule {
       .where(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("id"), col("rrf_fp"),
         col("r_sem"), col("r_lex"), col("cos"), col("lex_fp"))
+  }
+
+  /** Budgeted context packing over the fused retrieval — the last step
+    * of a RAG pipeline: given each query's fused ranking
+    * (llm_hybrid_rrf's memoized top-5), admit documents in rank order
+    * while the cumulative token count stays within the context budget
+    * (B = 256; prefix-greedy — cumulative sums are monotone, so the
+    * admit set is exactly the ranks whose running total fits, the
+    * deterministic packing an inference server reproduces). Per query:
+    * candidates, packed count, tokens used, fill in exact basis points
+    * of the budget, and the first rank dropped — the audit that decides
+    * whether the budget or the retrieval depth is the binding
+    * constraint.
+    *
+    * Scale shape: the fused table is k-bounded per query at any corpus
+    * size; token counts join from the document metadata (broadcast the
+    * tiny candidate side), and the pack is one ordered window over
+    * ≤ k rows per query. */
+  def ragPack(s: SparkSession, d: String): DataFrame = {
+    val B = 256L
+    val fused = hybridRrf(s, d)
+    val nt = Tables.documents(s, d).select(col("doc_id").as("id"),
+      expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)")
+        .as("nt"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fused.join(nt, "id")
+      .withColumn("cum", sum(col("nt")).over(w))
+      .withColumn("packed", col("cum") <= B)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("packed"), 1L).otherwise(0L)).as("n_packed"),
+        sum(when(col("packed"), col("nt")).otherwise(0L)).as("tokens_used"),
+        min(when(!col("packed"), col("rank"))).as("first_dropped_rank"))
+      .select(col("qid"), col("n_candidates"), col("n_packed"),
+        col("tokens_used"),
+        expr(s"(tokens_used * 10000) div $B").as("fill_bp"),
+        col("first_dropped_rank"))
   }
 
   /** Per-document keyword extraction: the top-3 tokens by TF·IDF within
@@ -473,6 +526,7 @@ object Retrieval extends OpModule {
     "llm_keyword_extract" -> keywordExtract _,
     "llm_hard_negatives" -> hardNegatives _,
     "llm_hybrid_rrf" -> hybridRrf _,
+    "llm_rag_pack" -> ragPack _,
     "llm_bm25" -> bm25 _,
     "llm_vocab_coverage" -> vocabCoverage _,
     "llm_dedup_winnow" -> dedupWinnow _,
@@ -509,8 +563,9 @@ object Retrieval extends OpModule {
        |         list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |         (x, y) -> x + y))), 4)""".stripMargin
 
-  def oracle: Map[String, String] = Map(
-    "llm_hybrid_rrf" ->
+  /** Full fused-retrieval replay — shared by the llm_hybrid_rrf oracle
+    * and (as a CTE) llm_rag_pack's. */
+  private lazy val hybridSql: String =
       s"""WITH uni AS (
          |  SELECT doc_id AS id, text, embedding
          |  FROM documents JOIN embeddings ON doc_id = vec_id),
@@ -560,7 +615,35 @@ object Retrieval extends OpModule {
          |    AS rank,
          |  id, rrf_fp, r_sem, r_lex, cos, lex_fp
          |FROM fused
-         |QUALIFY rank <= 5""".stripMargin,
+         |QUALIFY rank <= 5""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "llm_hybrid_rrf" -> hybridSql,
+    "llm_rag_pack" ->
+      (s"""WITH fused5 AS MATERIALIZED (
+         |${hybridSql}
+         |),
+         |""".stripMargin +
+       """nt AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+         |      AS BIGINT) AS nt
+         |  FROM documents),
+         |c AS (
+         |  SELECT f.qid, f.rank, f.id, nt.nt,
+         |    sum(nt.nt) OVER (PARTITION BY f.qid ORDER BY f.rank) AS cum
+         |  FROM fused5 f JOIN nt USING (id)),
+         |p AS (SELECT *, cum <= 256 AS packed FROM c)
+         |SELECT qid, CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN packed THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_packed,
+         |  CAST(sum(CASE WHEN packed THEN nt ELSE 0 END) AS BIGINT)
+         |    AS tokens_used,
+         |  (CAST(sum(CASE WHEN packed THEN nt ELSE 0 END) AS BIGINT)
+         |    * 10000) // 256 AS fill_bp,
+         |  CAST(min(CASE WHEN NOT packed THEN rank END) AS INTEGER)
+         |    AS first_dropped_rank
+         |FROM p GROUP BY qid""".stripMargin),
     "llm_ngram_lm" ->
       """WITH tr AS (
         |  SELECT doc_id,

@@ -208,6 +208,30 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("llm_rag_pack: prefix-greedy packing reconciles with the fused list") {
+    import spark.implicits._
+    val fused = Retrieval.hybridRrf(spark, sf)
+      .select($"qid", $"rank", $"id").as[(Long, Int, Long)].collect()
+    val nt = Tables.documents(spark, sf)
+      .select($"doc_id", expr(
+        "cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+      .as[(Long, Long)].collect().toMap
+    val out = Retrieval.ragPack(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("n_packed"), r.getAs[Long]("tokens_used"),
+          r.getAs[Long]("fill_bp"))).toMap
+    val want = fused.groupBy(_._1).map { case (q, rows) =>
+      val cums = rows.sortBy(_._2).map(r => nt(r._3)).scanLeft(0L)(_ + _).tail
+      val packedToks = cums.takeWhile(_ <= 256L)
+      q -> ((packedToks.length.toLong,
+        packedToks.lastOption.getOrElse(0L),
+        packedToks.lastOption.getOrElse(0L) * 10000 / 256))
+    }
+    assert(out == want, s"got $out\nwant $want")
+    // the budget binds somewhere: at least one query drops a candidate
+    assert(out.values.exists(_._1 < 5), "budget should bind on some query")
+  }
+
   test("llm_hard_negatives: label-disjoint, top-5 per anchor, best negative is optimal") {
     import spark.implicits._
     val out = Retrieval.hardNegatives(spark, sf).collect()
