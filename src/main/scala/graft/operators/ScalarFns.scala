@@ -112,6 +112,26 @@ object ScalarFns extends OpModule {
       get_json_object(col("props"), "$.k").cast("int").as("k_via_path"),
       to_json(struct(col("event_type"), col("user_id"))).as("packed"))
 
+  /** Spark 4's VARIANT surface — the open-schema semi-structured type
+    * the engine parses ONCE into a binary-encoded value and then path-
+    * extracts without re-parsing (vs fn_json's per-call string walk):
+    * parse_json → variant_get with a target type, a missing-path probe
+    * (NULL, not error), try_parse_json's null-on-garbage posture, and
+    * is_variant_null. Outputs are extracted PLAIN columns (the variant
+    * itself stays inside the plan — parquet-portable and oracle-
+    * comparable; DuckDB replays via json_extract). At 100 TB variant
+    * columns shred into parquet typed subcolumns, so the same
+    * variant_get paths prune and push down like real columns. */
+  def fnVariant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_long"),
+      expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+      expr("variant_get(parse_json(props), '$.missing', 'bigint')")
+        .as("missing_path"),
+      expr("try_parse_json('not json') is null").as("garbage_is_null"),
+      expr("is_variant_null(parse_json('null'))").as("json_null_detected"))
+
   /** Decimal money math under explicit precision/scale. Every output is
     * cast to a pinned DECIMAL type — engines widen intermediate precision
     * differently, so the declared result type must be forced on both
@@ -231,6 +251,7 @@ object ScalarFns extends OpModule {
     "fn_map" -> fnMap _,
     "fn_struct" -> fnStruct _,
     "fn_json" -> fnJson _,
+    "fn_variant" -> fnVariant _,
     "fn_cast_decimal" -> fnCastDecimal _
   )
 
@@ -347,6 +368,14 @@ object ScalarFns extends OpModule {
         | CAST(json_extract(props, '$.k') AS INT) AS k_via_path,
         | json_object('event_type', event_type, 'user_id', user_id)::VARCHAR
         |   AS packed
+        |FROM events""".stripMargin,
+    "fn_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_path,
+        | TRUE AS garbage_is_null,
+        | TRUE AS json_null_detected
         |FROM events""".stripMargin,
     "fn_cast_decimal" ->
       """WITH p AS (

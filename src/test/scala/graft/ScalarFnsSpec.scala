@@ -46,6 +46,29 @@ class ScalarFnsSpec extends SparkSpec {
     assert(wsc.nonEmpty, "fn_math must be codegen'd end-to-end")
   }
 
+  test("fn_variant: typed extraction, missing-path null, nested paths") {
+    import spark.implicits._
+    val out = graft.operators.ScalarFns.fnVariant(spark, sf)
+    val r = out.limit(1).collect().head
+    assert(r.getAs[String]("k_str") == r.getAs[Long]("k_long").toString)
+    assert(r.isNullAt(r.fieldIndex("missing_path")))
+    assert(r.getAs[Boolean]("garbage_is_null")
+      && r.getAs[Boolean]("json_null_detected"))
+    // the k extraction agrees with fn_json's string-walk path on every row
+    val viaVariant = out.select($"event_id", $"k_long").as[(Long, Long)]
+      .collect().toMap
+    val viaJson = graft.operators.ScalarFns.fnJson(spark, sf)
+      .select($"event_id", $"k_via_path".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(viaVariant == viaJson)
+    // nested object/array paths extract through one parse
+    val n = spark.sql("""SELECT
+      variant_get(parse_json('{"a":{"b":[1,2,3]}}'), '$.a.b[1]', 'int') AS x,
+      variant_get(parse_json('{"a":{"b":[1,2,3]}}'), '$.a.b', 'string') AS arr
+      """).collect().head
+    assert(n.getAs[Int]("x") == 2 && n.getAs[String]("arr") == "[1,2,3]")
+  }
+
   test("fn_struct: field access round-trips, equality is value-based, JSON is canonical") {
     import spark.implicits._
     val out = graft.operators.ScalarFns.fnStruct(spark, sf).cache()
