@@ -141,7 +141,7 @@ object LlmCuration extends OpModule {
     * into 16-bit halves: a·K ≡ lo16·K + (hi16·K mod 2¹⁶)·2¹⁶ (mod 2³²),
     * and every intermediate stays < 2⁴⁸. The oracle SQLs use the same
     * split form, so both engines are total over the full long range. */
-  private[operators] def knuth32(id: Column): Column = {
+  private[graft] def knuth32(id: Column): Column = {
     val K = 2654435761L
     pmod(
       id.bitwiseAND(lit(65535L)) * lit(K) +

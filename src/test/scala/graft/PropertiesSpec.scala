@@ -109,6 +109,26 @@ class PropertiesSpec extends SparkSpec {
     assert(math.abs(s30a.size / n - 0.30) < 0.05)
   }
 
+  test("knuth32 split gate is total over the full long range and matches BigInt") {
+    // the naive (id & 0xFFFFFFFF)·K product overflows 2^63 for
+    // id ≥ ~3.47e9; the split-halves form must evaluate (not throw,
+    // even under ANSI) and agree with exact BigInt arithmetic at the
+    // extremes a 100 TB id space reaches
+    val ids = (sample(Gen.choose(0L, Long.MaxValue), 500, 31L)
+      ++ Seq(0L, 1L, 3470000000L, Int.MaxValue.toLong,
+        Long.MaxValue - 1, Long.MaxValue)).distinct
+    val got = ids.toDF("doc_id")
+      .select($"doc_id",
+        graft.operators.LlmCuration.knuth32($"doc_id").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val K = BigInt(2654435761L)
+    ids.foreach { id =>
+      val want = ((BigInt(id & 0xFFFFFFFFL) * K) mod BigInt(4294967296L))
+      assert(BigInt(got(id)) == want, s"id $id: got ${got(id)}, want $want")
+      assert(got(id) >= 0 && got(id) < 4294967296L)
+    }
+  }
+
   test("native hash kernels ≡ HOF witnesses on random unicode token streams") {
     GraftExtensions.register(spark)
     // tokens mix ascii words, empties (double spaces), unicode incl.
