@@ -504,6 +504,51 @@ object Joins extends OpModule {
         round(col("revenue_cents") / lit(10000.0), 4).as("revenue"))
   }
 
+  /** INTERVAL-OVERLAP join — the two-interval-set pattern the matrix
+    * still lacked (join_range probes a POINT into intervals, join_pit a
+    * point into versioned history; here BOTH sides are intervals):
+    * user activity sessions (the ts_sessionize build) against daily
+    * 08:00–12:00 maintenance windows derived from the event span,
+    * overlapping when ws ≤ se AND ss < we, scored by exact overlap
+    * seconds. The naive plan is a BNLJ over sessions × windows; the
+    * scale plan — used here and plan-asserted — is DAY BUCKETING: each
+    * session explodes into the calendar days it spans (sessions are
+    * gap-bounded, so the fan-out is 1–2 rows), windows key by their
+    * day, and the join is an EQUI-join on the day bucket with the
+    * overlap predicate as a residual filter. Each true pair is found
+    * exactly once (a window lives in one bucket). Per day: overlap
+    * count, distinct users, exact overlap-second mass.
+    *
+    * At 100 TB the bucket key keeps the shuffle keyed and skew-safe
+    * (day buckets ≈ uniform under steady traffic); wider intervals
+    * bucket at coarser granularity with the identical shape. */
+  def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val sessions = Analytics.tsSessionize(s, d)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("ss"),
+        unix_micros(col("session_end")).as("se"))
+    val span = Tables.events(s, d).agg(
+      date_trunc("DAY", min(col("ts"))).as("d0"),
+      date_trunc("DAY", max(col("ts"))).as("d1"))
+    val wins = span
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .select(col("day"),
+        (unix_micros(col("day")) + lit(8L * 3600 * 1000000L)).as("ws"),
+        (unix_micros(col("day")) + lit(12L * 3600 * 1000000L)).as("we"))
+    val sd = sessions.withColumn("day", explode(expr(
+      """sequence(date_trunc('DAY', timestamp_micros(ss)),
+        |         date_trunc('DAY', timestamp_micros(se)),
+        |         interval 1 day)""".stripMargin)))
+    sd.join(wins, "day")
+      .where(col("ws") <= col("se") && col("ss") < col("we"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(expr("(least(se, we) - greatest(ss, ws)) div 1000000"))
+          .as("overlap_sec_mass"),
+        min(col("user_id")).as("example_user"))
+  }
+
   /** Runtime bloom-filter injection (InjectRuntimeFilter): a selective
     * dim-side predicate is turned into a bloom filter evaluated on the
     * FACT side's scan, discarding non-joining fact rows before the
@@ -577,6 +622,7 @@ object Joins extends OpModule {
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q7_volume_shipping" -> q7VolumeShipping _,
     "q19_disjunctive" -> q19Disjunctive _,
+    "join_interval_overlap" -> joinIntervalOverlap _,
     "q10_returned_items" -> q10ReturnedItems _,
     "q18_big_orders" -> q18BigOrders _,
     "join_fuzzy" -> joinFuzzy _,
@@ -670,6 +716,59 @@ object Joins extends OpModule {
         |WHERE (supp_nation = 'NATION_3' AND cust_nation = 'NATION_7')
         |   OR (supp_nation = 'NATION_7' AND cust_nation = 'NATION_3')
         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    // sessionize build shared with the ts_sessionize oracle; day
+    // buckets replayed declaratively; date_trunc pinned ::TIMESTAMP
+    // (DuckDB's day-trunc yields DATE, Spark's TIMESTAMP)
+    "join_interval_overlap" ->
+      """WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         user_id, event_type, value
+        |  FROM events),
+        |se AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |         CASE WHEN lag(tus0) OVER w IS NULL
+        |                OR tus0 - lag(tus0) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM (SELECT *, epoch_us(ts) AS tus0 FROM ev)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sid AS (
+        |  SELECT user_id, tus,
+        |         sum(brk) OVER (PARTITION BY user_id
+        |                        ORDER BY tus, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND CURRENT ROW) AS session_id
+        |  FROM se),
+        |sess AS (
+        |  SELECT user_id, min(tus) AS ss, max(tus) AS se
+        |  FROM sid GROUP BY user_id, session_id),
+        |span AS (
+        |  SELECT date_trunc('day', min(ts))::TIMESTAMP AS d0,
+        |         date_trunc('day', max(ts))::TIMESTAMP AS d1
+        |  FROM ev),
+        |wins AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM span),
+        |wb AS (
+        |  SELECT day, epoch_us(day) + 28800000000 AS ws,
+        |         epoch_us(day) + 43200000000 AS we
+        |  FROM wins),
+        |sd AS (
+        |  SELECT user_id, ss, se,
+        |    unnest(generate_series(
+        |      date_trunc('day', make_timestamp(ss))::TIMESTAMP,
+        |      date_trunc('day', make_timestamp(se))::TIMESTAMP,
+        |      INTERVAL 1 DAY)) AS day
+        |  FROM sess),
+        |j AS (
+        |  SELECT wb.day, sd.user_id,
+        |    (least(se, we) - greatest(ss, ws)) // 1000000 AS osec
+        |  FROM sd JOIN wb ON sd.day = wb.day
+        |  WHERE ws <= se AND ss < we)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(osec) AS BIGINT) AS overlap_sec_mass,
+        |  CAST(min(user_id) AS BIGINT) AS example_user
+        |FROM j GROUP BY day""".stripMargin,
     "q19_disjunctive" ->
       """SELECT p_brand,
         |  count(*) AS n_lines,

@@ -146,6 +146,40 @@ class JoinsSpec extends SparkSpec {
     assert(bhj.nonEmpty, "filtered part side should broadcast")
   }
 
+  test("join_interval_overlap: day bucketing finds each true pair once, no BNLJ") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = graft.operators.Joins.joinIntervalOverlap(spark, sf)
+    df.queryExecution.toRdd.count()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the overlap join must be an equi-join on the day bucket with the
+    // interval predicate as residual — never a nested-loop over pairs
+    val bnlj = collectFinal(df) { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.isEmpty, "interval overlap must not plan a BNLJ")
+    // reconcile against a local brute-force pair scan
+    val sess = graft.operators.Analytics.tsSessionize(spark, sf)
+      .select($"user_id", unix_micros($"session_start"),
+        unix_micros($"session_end"))
+      .as[(Long, Long, Long)].collect()
+    val dayUs = 86400L * 1000000L
+    val d0 = sess.map(_._2).min / dayUs * dayUs
+    val d1 = sess.map(_._3).max / dayUs * dayUs
+    val brute = (d0 to d1 by dayUs).flatMap { day =>
+      val (ws, we) = (day + 8L * 3600 * 1000000L, day + 12L * 3600 * 1000000L)
+      val hits = sess.filter { case (_, ss, se) => ws <= se && ss < we }
+      if (hits.isEmpty) None
+      else Some(day -> (hits.length.toLong,
+        hits.map { case (_, ss, se) =>
+          (math.min(se, we) - math.max(ss, ws)) / 1000000L }.sum))
+    }.toMap
+    val got = rows.map(r =>
+      (r.getTimestamp(0).getTime * 1000L) ->
+        (r.getAs[Long]("n_overlaps"), r.getAs[Long]("overlap_sec_mass"))).toMap
+    assert(got == brute, s"got $got\nbrute $brute")
+  }
+
   test("join_salted equals the unsalted join") {
     import org.apache.spark.sql.functions._
     val salted = graft.operators.Joins.joinSalted(spark, sf)
