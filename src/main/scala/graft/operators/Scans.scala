@@ -169,6 +169,54 @@ object Scans extends OpModule {
       .orderBy(col("n_nationkey"))
   }
 
+  /** PERMISSIVE ingestion of a corrupted CSV feed — the robustness
+    * posture a production ingest runs under (FAILFAST kills the job on
+    * one bad upstream line; DROPMALFORMED silently loses data; the
+    * right default is PERMISSIVE + a corrupt-record column, quarantine
+    * the bad rows, alert on the count): nation stages as CSV plus one
+    * planted part file with three type-failure lines (two unparseable
+    * ints, one int overflow), and the read captures each raw bad record in
+    * `_bad` while good rows parse normally. The 1-row audit — total /
+    * good / corrupt counts, the lexicographically-first raw bad record
+    * as the repro pointer, and the good-row key mass proving no good
+    * row was dropped or corrupted — is what the ingest gate alerts on.
+    * The planted lines are deterministic constants, so the oracle
+    * replays the audit from the source table + the plant. */
+  def scanMalformed(s: SparkSession, d: String): DataFrame = {
+    val path = s"$ioDir/nation_badcsv"
+    ioLock.synchronized {
+      Tables.nation(s, d)
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      // header=true read skips the FIRST line of every file, so the
+      // planted part carries its own header. All three planted lines
+      // are TYPE failures in a SELECTED column — measured Spark CSV
+      // semantics (spec-pinned): arity drift flags on a full-width
+      // parse but ESCAPES a column-pruned scan (univocity's selective
+      // mode never sees the missing/extra tokens), and this audit's
+      // aggregate prunes; an arity audit must read full width
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "part-planted-bad.csv"),
+        ("n_nationkey,n_name,n_regionkey\n"
+          + "not_an_int,BROKEN_1,xx\n"
+          + "abc,BROKEN_2,def\n"
+          + "9999999999999999999999,BROKEN_3,5\n").getBytes("UTF-8"))
+    }
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType),
+      StructField("_bad", StringType)))
+    s.read.option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .schema(schema).csv(path)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        min(col("_bad")).as("corrupt_example"),
+        // good rows only: a malformed row may still carry parsed fields
+        sum(when(col("_bad").isNull, col("n_nationkey"))).as("key_mass"))
+  }
+
   /** XML roundtrip on `nation` through Spark 4's BUILT-IN xml source
     * (the spark-xml package merged upstream): write with a row tag,
     * read back with an explicit schema + the same row tag — the
@@ -387,6 +435,7 @@ object Scans extends OpModule {
     "scan_orc" -> scanOrc _,
     "scan_json" -> scanJson _,
     "scan_xml" -> scanXml _,
+    "scan_malformed" -> scanMalformed _,
     "scan_evolving" -> scanEvolving _,
     "maintenance_compact" -> maintenanceCompact _,
     "sink_parquet" -> sinkParquet _
@@ -491,6 +540,17 @@ object Scans extends OpModule {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_xml" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // the three planted bad lines are deterministic constants; min of
+    // the raw records is the '9999…' overflow line ('9' sorts below
+    // 'a' and 'n')
+    "scan_malformed" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM nation) + 3 AS BIGINT) AS n_total,
+        |  CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_good,
+        |  CAST(3 AS BIGINT) AS n_corrupt,
+        |  '9999999999999999999999,BROKEN_3,5' AS corrupt_example,
+        |  CAST((SELECT sum(n_nationkey) FROM nation) AS BIGINT)
+        |    AS key_mass""".stripMargin,
     "sink_parquet" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         | round(sum(o_totalprice), 4) AS sum_price

@@ -34,6 +34,42 @@ class ScansSpec extends SparkSpec {
       s"predicate leaked into data filters: ${scans.head.dataFilters}")
   }
 
+  test("scan_malformed: type failures flag; arity flags full-width but escapes pruned scans") {
+    val r = graft.operators.Scans.scanMalformed(spark, sf).collect().head
+    assert(r.getAs[Long]("n_corrupt") == 3 && r.getAs[Long]("n_good") == 25
+      && r.getAs[Long]("n_total") == 28)
+    assert(r.getAs[String]("corrupt_example").startsWith("9999"))
+    assert(r.getAs[Long]("key_mass") == 300L)
+    val dir = java.nio.file.Files.createTempDirectory("arity").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.csv"),
+      "a,b\n1\n2,x,zz\n3,ok\n".getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_bad",
+        org.apache.spark.sql.types.StringType)))
+    def read() = spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .schema(schema).csv(dir)
+    // FULL-WIDTH parse: both arity drifts flag (parsed prefixes kept)
+    val rows = read().collect()
+    assert(rows.count(r0 => !r0.isNullAt(2)) == 2)
+    assert(rows.exists(r0 => !r0.isNullAt(2)
+      && r0.getInt(0) == 1 && r0.isNullAt(1)))
+    assert(rows.exists(r0 => r0.isNullAt(2)
+      && r0.getInt(0) == 3 && r0.getString(1) == "ok"))
+    // COLUMN-PRUNED scan over the same file: arity drift escapes —
+    // univocity in selective mode never sees the missing/extra tokens.
+    // This is why the op plants TYPE failures in a column its pruned
+    // aggregate selects; an arity audit must read full width.
+    val pruned = read().select("a", "_bad").collect()
+    assert(pruned.count(r0 => !r0.isNullAt(1)) == 0,
+      s"pruned scan flagged ${pruned.count(r0 => !r0.isNullAt(1))}")
+  }
+
   test("scan_xml roundtrips nation exactly through the built-in xml source") {
     val got = graft.operators.Scans.scanXml(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
