@@ -851,6 +851,54 @@ object Analytics extends OpModule {
         ((col("vc") - col("sc")) / 100.0).as("residual"))
   }
 
+  /** Largest-triangle downsampling of the hourly series (the LTTB
+    * family, Steinarsson 2013 — what every dashboard runs before
+    * plotting a month of points): keep the points that matter visually
+    * by scoring each interior point with the TRIANGLE AREA it forms
+    * with its immediate neighbors and keeping the per-bucket argmax.
+    * This is the parallel one-bucket variant (LTOB): classic LTTB
+    * chains each choice to the previous bucket's pick — a sequential
+    * recurrence — while fixed-neighbor scoring is embarrassingly
+    * parallel with near-identical output, the right trade at scale.
+    * Determinism: x is the hour's RANK (small int), y exact cents, so
+    * 2·area = |(x₋−x₊)(y−y₋) − (x₋−x)(y₊−y₋)| is an exact BIGINT
+    * (epoch-µs x would overflow the cross product); argmax on
+    * (area2 desc, hour) — a total order. First/last points always
+    * keep (bucket −1 / B). Output per (type, bucket): kept hour,
+    * cents, area2.
+    *
+    * Scale shape: collapse to the hourly series first (the ts_gapfill
+    * rule), one lag/lead window pass over the series, one per-bucket
+    * argmax — all series-sized, shuffled once by type. */
+  def tsLttb(s: SparkSession, d: String): DataFrame = {
+    val B = 20
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("vc"))
+      .withColumn("x", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val scored = hourly
+      .withColumn("xp", lag(col("x"), 1).over(w))
+      .withColumn("yp", lag(col("vc"), 1).over(w))
+      .withColumn("xn", lead(col("x"), 1).over(w))
+      .withColumn("yn", lead(col("vc"), 1).over(w))
+      .withColumn("bucket",
+        when(col("x") === 1, lit(-1L))
+          .when(col("x") === col("n"), lit(B.toLong))
+          .otherwise(expr(s"((x - 2) * $B) div greatest(n - 2, 1)")))
+      .withColumn("area2",
+        when(col("xp").isNull || col("xn").isNull, lit(0L))
+          .otherwise(abs((col("xp") - col("xn")) * (col("vc") - col("yp"))
+            - (col("xp") - col("x")) * (col("yn") - col("yp")))))
+    val aw = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("area2").desc, col("h"))
+    scored.withColumn("rn", row_number().over(aw))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("bucket"), col("h").as("kept_hour"),
+        col("vc").as("cents"), col("area2"))
+  }
+
   /** Seasonal-naive forecast BACKTEST — the evaluation loop that turns
     * ts_seasonal's decomposition into a shippable forecaster: predict
     * each hour's cent mass by the same type's value 24 h earlier
@@ -1861,6 +1909,7 @@ object Analytics extends OpModule {
     "ts_interpolate" -> tsInterpolate _,
     "ts_seasonal" -> tsSeasonal _,
     "ts_backtest" -> tsBacktest _,
+    "ts_lttb" -> tsLttb _,
     "anomaly_iqr" -> anomalyIqr _,
     "ts_gapfill" -> tsGapfill _,
     "funnel" -> funnel _,
@@ -2440,6 +2489,36 @@ object Analytics extends OpModule {
         |       (common * 1000000) // (du + dv - common) AS jaccard_fp
         |FROM cm WHERE common >= 2
         |ORDER BY jaccard_fp DESC, u, v LIMIT 50""".stripMargin,
+    "ts_lttb" -> (evCte +
+      """,
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+        |         CAST(round(sum(value) * 100) AS BIGINT) AS vc
+        |  FROM ev GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER w AS BIGINT) AS x,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    lag(vc) OVER w AS yp, lead(vc) OVER w AS yn,
+        |    lag(h) OVER w AS hp, lead(h) OVER w AS hn
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |scored AS (
+        |  SELECT event_type, h, vc,
+        |    CASE WHEN x = 1 THEN -1
+        |         WHEN x = n THEN 20
+        |         ELSE ((x - 2) * 20) // greatest(n - 2, 1) END AS bucket,
+        |    CASE WHEN hp IS NULL OR hn IS NULL THEN 0
+        |         ELSE abs((x - 1 - (x + 1)) * (vc - yp)
+        |                  - (x - 1 - x) * (yn - yp)) END AS area2
+        |  FROM idx)
+        |SELECT event_type, bucket, h AS kept_hour, vc AS cents,
+        |       CAST(area2 AS BIGINT) AS area2
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+        |                               ORDER BY area2 DESC, h) AS rn
+        |  FROM scored)
+        |WHERE rn = 1""".stripMargin),
     "ts_backtest" -> (evCte +
       """,
         |hourly AS (

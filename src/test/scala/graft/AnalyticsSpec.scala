@@ -825,6 +825,38 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ts_lttb: endpoints kept, per-bucket argmax matches a local replay") {
+    import spark.implicits._
+    val out = Analytics.tsLttb(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket")) ->
+        (r.getTimestamp(2), r.getAs[Long]("cents"), r.getAs[Long]("area2")))
+      .toMap
+    val hourly = Tables.events(spark, sf)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(round(sum($"value") * 100, 0).cast("long").as("vc"))
+      .as[(String, java.sql.Timestamp, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+    hourly.foreach { case (t, pts) =>
+      val n = pts.length
+      // endpoints always kept
+      assert(out((t, -1L))._1 == pts.head._2)
+      assert(out((t, 20L))._1 == pts.last._2)
+      // interior: per-bucket argmax of the fixed-neighbor triangle area
+      val scored = pts.zipWithIndex.drop(1).dropRight(1).map {
+        case ((_, h, y), i) =>
+          val (yp, yn) = (pts(i - 1)._3, pts(i + 1)._3)
+          val area2 = math.abs(-2 * (y - yp) + (yn - yp))
+          val bucket = (i.toLong - 1) * 20 / math.max(n - 2, 1)
+          (bucket, h, y, area2)
+      }
+      scored.groupBy(_._1).foreach { case (b, cand) =>
+        val best = cand.minBy(c => (-c._4, c._2.getTime))
+        assert(out((t, b)) == ((best._2, best._3, best._4)),
+          s"type $t bucket $b")
+      }
+    }
+  }
+
   test("ts_backtest: matches a local 24h-shift replay of the hourly series") {
     import spark.implicits._
     val out = Analytics.tsBacktest(spark, sf).collect()
