@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{
+  BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Repo-wide physical-plan lint — the continuously-enforced version of
+  * the per-round "no scale-killers" audit: every registered BATCH query
+  * is planned (not executed) at sf0.001 and checked for the two join
+  * shapes that melt at 100 TB. A CartesianProduct (non-broadcast
+  * pair-explosion) is banned everywhere except the op that exists to
+  * demonstrate it. BroadcastNestedLoopJoin is legitimate ONLY when the
+  * broadcast side is bounded (a 1-row global aggregate, a LIMIT, a
+  * ≤16-row literal, a 10-id probe set …) — every op that plans one is
+  * pinned in the census below, so a NEW op that accidentally drifts
+  * into a nested loop fails this spec until its author consciously
+  * justifies the bound and adds it here.
+  *
+  * Streaming/pipeline modules are excluded: their registered functions
+  * EXECUTE micro-batches during construction, and their stateful plans
+  * are asserted in their own suites.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val streamingOps: Set[String] =
+    (graft.operators.Streaming.queries.keySet
+      ++ graft.operators.StreamIO.queries.keySet
+      ++ graft.operators.PipelineOps.queries.keySet)
+
+  // ops whose BNLJ broadcast side is bounded by construction; the
+  // comment is the justification the lint demands
+  private val bnljAllowed: Set[String] = Set(
+    // join-matrix demonstrators: the non-equi shapes BNLJ exists for
+    // (range/theta upgrade to bucketed equi-joins at scale, documented)
+    "join_cross", "join_theta", "join_range",
+    // 1-ROW global-aggregate broadcast (crossJoin(broadcast(df.agg(…)))
+    // — corpus statistics, cutoffs, high-water marks, totals): the
+    // build side is exactly one row at any data size
+    "filter_subquery", "dim_scd2_incremental", "mv_incremental",
+    "dq_constraints", "dq_drift", "dq_freshness", "dq_skew",
+    "graph_label_propagation", "llm_bm25", "llm_cooccur",
+    "llm_curriculum", "llm_dataset_card", "llm_domain_mix",
+    "llm_epoch_plan", "llm_keyword_extract", "llm_lineage_audit",
+    "llm_ngram_lm", "llm_perplexity_proxy", "llm_sample_importance",
+    "llm_shard_layout", "llm_tfidf", "llm_cross_split_leakage",
+    // BOUNDED probe/codebook sets (10 broadcast queries, K-row
+    // centroid/supercell tables — constant in corpus size)
+    "llm_similarity_topk", "llm_hard_negatives", "llm_ann_recall",
+    "llm_ann_pq_recall", "llm_ann_ivf_kmeans", "llm_kmeans_twolevel"
+  )
+
+  test("no registered batch query plans a CartesianProduct; BNLJ census is pinned") {
+    val cartesian = scala.collection.mutable.ArrayBuffer.empty[String]
+    val bnlj = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!streamingOps(name)) {
+        val df = fn(spark, sf)
+        val plan = df.queryExecution.sparkPlan
+        if (plan.collect { case c: CartesianProductExec => c }.nonEmpty)
+          cartesian += name
+        if (plan.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty)
+          bnlj += name
+      }
+    }
+    assert(cartesian.toSet.subsetOf(Set("join_cross")),
+      s"unexpected CartesianProduct in: ${cartesian.filterNot(_ == "join_cross")}")
+    val unexpected = bnlj.toSet -- bnljAllowed
+    assert(unexpected.isEmpty,
+      s"NEW BroadcastNestedLoopJoin (justify its bound or fix the plan): $unexpected; full census: ${bnlj.sorted}")
+  }
+}
