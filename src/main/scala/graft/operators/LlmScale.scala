@@ -797,6 +797,55 @@ object LlmScale extends OpModule {
         col("gram"), col("n"))
   }
 
+  // ── llm_pca_power ─────────────────────────────────────────────────────
+
+  /** Deterministic power iteration on the EXACT covariance sufficient
+    * statistics — the PCA step llm_gram_matrix's one-pass aggregator
+    * exists to feed: M = n·G − s·sᵀ (the n²-scaled covariance, exact
+    * BIGINT from the distributed gram/sum/count statistics), then 3
+    * power rounds toward the dominant eigenvector — the top principal
+    * direction of the embedding cloud (whitening, drift axes, and
+    * low-rank compression all start here). The iteration runs
+    * DRIVER-SIDE on the D×D matrix (D² = 4096 values, bounded by
+    * construction, independent of corpus size — the llm_kmeans K-row
+    * mini-Lloyd precedent); the corpus-sized work is the one gram
+    * pass. Integer lattice: v normalizes to L∞ = 10³ per round with a
+    * SIGN-PRESERVING truncating division (sign(w)·(|w|·10³ div max|w|)
+    * — floor and truncation disagree on negatives, so both engines use
+    * the same nonnegative-operand form), every M·v entry stays under
+    * 2⁶³ by construction (|M| ≤ n·Σq², |v| ≤ 10³, D = 64). Output per
+    * dim: eigenvector component (10³ fixed point) and its absolute
+    * loading share in exact basis points. */
+  def pcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gram = udaf(graft.functions.GramMatrixLong)
+    val g = Tables.embeddings(s, d)
+      .select(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+        .as("q"))
+      .agg(gram(col("q")).as("g"))
+      .select(col("g._1").as("flat"), col("g._2").as("sums"),
+        col("g._3").as("n"))
+      .collect().head
+    val flat = g.getSeq[Long](0); val sums = g.getSeq[Long](1)
+    val n = g.getLong(2); val D = sums.length
+    // the aggregator fills the upper triangle only — symmetrize
+    val m = Array.tabulate(D, D)((i, j) =>
+      n * flat(math.min(i, j) * D + math.max(i, j)) - sums(i) * sums(j))
+    var v = Array.fill(D)(1000L)
+    (1 to 3).foreach { _ =>
+      val w = Array.tabulate(D)(i =>
+        (0 until D).foldLeft(0L)((a, j) => a + m(i)(j) * v(j)))
+      val mx = w.map(math.abs).max
+      v = w.map(x =>
+        if (mx == 0L) 0L else math.signum(x) * (math.abs(x) * 1000L / mx))
+    }
+    val sumAbs = v.map(math.abs).sum
+    v.zipWithIndex.map { case (vf, i) =>
+      (i.toLong, vf, math.abs(vf) * 10000L / sumAbs)
+    }.toSeq.toDF("dim", "v_fp", "share_bp")
+  }
+
   // ── llm_repetition_filter ─────────────────────────────────────────────
 
   /** Gopher-style repetition gates (the MassiveText quality rules,
@@ -1473,6 +1522,7 @@ object LlmScale extends OpModule {
     "llm_bpe_stats" -> bpeStats _,
     "llm_bpe_train" -> bpeTrain _,
     "llm_bpe_apply" -> bpeApply _,
+    "llm_pca_power" -> pcaPower _,
     "llm_rlhf_pairs" -> rlhfPairs _,
     "llm_url_normalize" -> urlNormalize _,
     "llm_dataset_card" -> datasetCard _,
@@ -1746,9 +1796,46 @@ object LlmScale extends OpModule {
         |    // CAST(sum(n * n_chars) AS BIGINT) AS ratio_bp
         |FROM per GROUP BY lang""".stripMargin
 
+  /** One power round over the exact n²-covariance m: matvec, L∞ max,
+    * sign-preserving truncating renormalization to 10³. */
+  private def pcaRound(k: Int): String = {
+    val prev = if (k == 1) "pv0" else s"pv${k - 1}"
+    s"""pw$k AS MATERIALIZED (
+       |  SELECT m.i, CAST(sum(m.mv * v.v) AS BIGINT) AS w
+       |  FROM m JOIN $prev v ON v.i = m.j GROUP BY m.i),
+       |pmx$k AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM pw$k),
+       |pv$k AS MATERIALIZED (
+       |  SELECT i, CASE WHEN mx = 0 THEN 0
+       |    ELSE (CASE WHEN w < 0 THEN -1 WHEN w > 0 THEN 1 ELSE 0 END)
+       |         * ((abs(w) * 1000) // mx) END AS v
+       |  FROM pw$k, pmx$k)""".stripMargin
+  }
+
+  private val pcaPowerSql =
+    """WITH q AS (
+      |  SELECT vec_id, i - 1 AS dim,
+      |    CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT) AS q
+      |  FROM embeddings, range(1, 65) r(i)),
+      |g AS (
+      |  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS gram
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |s AS (SELECT dim, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY dim),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |m AS MATERIALIZED (
+      |  SELECT g.i, g.j, n * gram - si.s * sj.s AS mv
+      |  FROM g JOIN s si ON si.dim = g.i JOIN s sj ON sj.dim = g.j, nn),
+      |pv0 AS (SELECT dim AS i, 1000::BIGINT AS v FROM s),
+      |""".stripMargin +
+      (1 to 3).map(pcaRound).mkString(",\n") +
+      """,
+        |tot AS (SELECT CAST(sum(abs(v)) AS BIGINT) AS t FROM pv3)
+        |SELECT i AS dim, v AS v_fp, (abs(v) * 10000) // t AS share_bp
+        |FROM pv3, tot""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_apply" -> bpeApplySql,
+    "llm_pca_power" -> pcaPowerSql,
     "llm_dedup_substring" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')

@@ -667,6 +667,54 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("llm_pca_power: matches a dense local replay, rayleigh climbs per round") {
+    import spark.implicits._
+    val out = LlmScale.pcaPower(spark, sf).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("v_fp"), r.getAs[Long]("share_bp"))).toMap
+    assert(out.size == 64)
+    // dense replay from the raw embeddings on the identical lattice
+    val emb = Tables.embeddings(spark, sf).select($"embedding")
+      .as[Seq[Float]].collect()
+      .map(_.map(x => math.round(x.toDouble * 1000)).toArray)
+    val n = emb.length.toLong; val D = 64
+    val g = Array.ofDim[Long](D, D); val s = new Array[Long](D)
+    emb.foreach { q =>
+      var i = 0
+      while (i < D) {
+        var j = i
+        while (j < D) { g(i)(j) += q(i) * q(j); j += 1 }
+        s(i) += q(i); i += 1
+      }
+    }
+    def mAt(i: Int, j: Int) =
+      n * g(math.min(i, j))(math.max(i, j)) - s(i) * s(j)
+    var v = Array.fill(D)(1000L)
+    val rayleighs = (1 to 3).map { _ =>
+      val w = Array.tabulate(D)(i =>
+        (0 until D).foldLeft(0L)((a, j) => a + mAt(i, j) * v(j)))
+      val mx = w.map(math.abs).max
+      v = w.map(x =>
+        if (mx == 0L) 0L else math.signum(x) * (math.abs(x) * 1000L / mx))
+      // rayleigh on the NORMALIZED iterate, doubles from exact ints
+      val w2 = Array.tabulate(D)(i =>
+        (0 until D).foldLeft(0L)((a, j) => a + mAt(i, j) * v(j)))
+      val num = (0 until D).map(i => v(i).toDouble * w2(i)).sum
+      val den = (0 until D).map(i => v(i).toDouble * v(i)).sum
+      num / den
+    }
+    val sumAbs = v.map(math.abs).sum
+    (0 until D).foreach { i =>
+      assert(out(i.toLong) == ((v(i), math.abs(v(i)) * 10000L / sumAbs)),
+        s"dim $i")
+    }
+    // power iteration climbs the quotient (strictly until convergence)
+    assert(rayleighs(0) <= rayleighs(1) + math.abs(rayleighs(1)) * 1e-12
+      && rayleighs(1) <= rayleighs(2) + math.abs(rayleighs(2)) * 1e-12,
+      s"rayleigh not monotone: $rayleighs")
+    assert(rayleighs(2) > 0, "dominant eigenvalue of a covariance is positive")
+  }
+
   test("llm_bpe_apply: per-language masses match an independent in-memory encode") {
     import spark.implicits._
     val out = LlmScale.bpeApply(spark, sf).collect()
