@@ -225,7 +225,17 @@ object ScaleProbe {
       // backtest: collapse to the hourly series, then a series-sized
       // 24h self-join — clone rows land in the collapse's map-side
       // combine, the join stays |series| at any N
-      "ts_backtest")
+      "ts_backtest",
+      // downsampler: collapse-first + one series-sized window — scan
+      "ts_lttb",
+      // PCA: corpus cost is the one gram pass (flat partial buffers);
+      // the D×D power rounds are constant work at any N
+      "llm_pca_power",
+      // variant path extraction is per-row scan work
+      "fn_variant",
+      // packing rides the memoized fused table (k-bounded per query)
+      // after the hybrid arms' corpus passes
+      "llm_rag_pack")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
