@@ -132,6 +132,47 @@ object ScalarFns extends OpModule {
       expr("try_parse_json('not json') is null").as("garbage_is_null"),
       expr("is_variant_null(parse_json('null'))").as("json_null_detected"))
 
+  /** Spark 4 COLLATION surface — string comparison semantics as a TYPE
+    * property (`collate(s, 'UTF8_LCASE')`), so case-insensitive
+    * grouping/joins/comparisons run inside codegen instead of wrapping
+    * every reference in lower() (and, at scale, collation-aware
+    * ordering feeds sort-merge joins and range partitioning directly).
+    * A deterministic mixed-case column (odd keys keep the fixture's
+    * upper case, even keys lower) groups under UTF8_LCASE: the case
+    * variants MERGE, counted per merged class. Output keys normalize
+    * through lower() so the group representative (engine-arbitrary
+    * under a case-insensitive collation) never reaches the gate; the
+    * oracle replays with lower()-grouping, which coincides for ASCII. */
+  def fnCollation(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("seg_mixed",
+        when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")))
+      .groupBy(expr("collate(seg_mixed, 'UTF8_LCASE')").as("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("seg_mixed")).as("n_case_variants"),
+        min(col("c_custkey")).as("min_key"))
+      .select(expr("cast(lower(k) as string)").as("segment"),
+        col("n_rows"), col("n_case_variants"), col("min_key"))
+
+  /** Spark 4 SQL PIPE syntax (`|>`) — the linear query form where each
+    * stage reads top-down like the DataFrame API (FROM → WHERE →
+    * EXTEND → AGGREGATE), compiled to the identical Catalyst plan as
+    * the nested-SELECT equivalent; this registers a real multi-stage
+    * pipe query so the surface stays covered. Exact BIGINT cents. */
+  def sqlPipe(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_pipe_li")
+    s.sql(
+      """FROM graft_pipe_li
+        ||> WHERE l_quantity >= 30
+        ||> EXTEND cast(round(l_extendedprice * 100) as bigint)
+        |     * (100 - cast(round(l_discount * 100) as bigint)) AS cents
+        ||> AGGREGATE count(*) AS n_lines,
+        |     cast(sum(cents) as bigint) AS revenue_cents
+        |   GROUP BY l_returnflag
+        ||> SELECT l_returnflag, n_lines, revenue_cents""".stripMargin)
+  }
+
   /** Decimal money math under explicit precision/scale. Every output is
     * cast to a pinned DECIMAL type — engines widen intermediate precision
     * differently, so the declared result type must be forced on both
@@ -252,6 +293,8 @@ object ScalarFns extends OpModule {
     "fn_struct" -> fnStruct _,
     "fn_json" -> fnJson _,
     "fn_variant" -> fnVariant _,
+    "fn_collation" -> fnCollation _,
+    "sql_pipe" -> sqlPipe _,
     "fn_cast_decimal" -> fnCastDecimal _
   )
 
@@ -369,6 +412,24 @@ object ScalarFns extends OpModule {
         | json_object('event_type', event_type, 'user_id', user_id)::VARCHAR
         |   AS packed
         |FROM events""".stripMargin,
+    "fn_collation" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |              ELSE c_mktsegment END AS seg_mixed, c_custkey
+        |  FROM customer)
+        |SELECT lower(seg_mixed) AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT seg_mixed) AS BIGINT) AS n_case_variants,
+        |  CAST(min(c_custkey) AS BIGINT) AS min_key
+        |FROM m GROUP BY lower(seg_mixed)""".stripMargin,
+    "sql_pipe" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_quantity >= 30
+        |GROUP BY l_returnflag""".stripMargin,
     "fn_variant" ->
       """SELECT event_id,
         | CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,

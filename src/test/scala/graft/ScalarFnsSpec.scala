@@ -46,6 +46,33 @@ class ScalarFnsSpec extends SparkSpec {
     assert(wsc.nonEmpty, "fn_math must be codegen'd end-to-end")
   }
 
+  test("fn_collation merges case variants; sql_pipe equals the classic form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.ScalarFns.fnCollation(spark, sf).collect()
+      .map(r => r.getAs[String]("segment") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_case_variants"))).toMap
+    val plain = Tables.customer(spark, sf)
+      .groupBy(lower($"c_mktsegment").as("s")).count()
+      .as[(String, Long)].collect().toMap
+    // one merged class per segment, counts preserved, both cases seen
+    assert(out.keySet == plain.keySet)
+    out.foreach { case (k, (n, variants)) =>
+      assert(n == plain(k))
+      assert(variants == 2, s"$k should carry both case variants")
+    }
+    val pipe = graft.operators.ScalarFns.sqlPipe(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val classic = Tables.lineitem(spark, sf)
+      .where($"l_quantity" >= 30)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)),
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)")
+          * (lit(100L) - expr("cast(round(l_discount * 100) as bigint)"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pipe == classic)
+  }
+
   test("fn_variant: typed extraction, missing-path null, nested paths") {
     import spark.implicits._
     val out = graft.operators.ScalarFns.fnVariant(spark, sf)
