@@ -423,6 +423,64 @@ object Retrieval extends OpModule {
         col("first_dropped_rank"))
   }
 
+  /** Content-defined chunking dedup audit (the FastCDC/rsync family —
+    * the storage-dedup standard, and the chunk-granularity twin of
+    * llm_dedup_substring's fixed 8-gram spans): chunk boundaries are
+    * CONTENT-defined — cut where the positional rolling shingle hash
+    * ≡ 0 (mod 16) — so an insertion early in a document shifts only
+    * the chunk it lands in, and every repeated passage re-produces the
+    * SAME chunks wherever it appears (fixed-width chunking would
+    * re-align every boundary after the edit). Chunks key by
+    * (length, hash sum, first hash, last hash) — order-sensitive
+    * endpoints + mass, collision-safe in practice and identical on
+    * both engines. The 1-row audit is the storage economics: total vs
+    * distinct chunks, duplicated classes, the hottest chunk, gram
+    * mass vs stored mass, and stored_bp — the fraction a chunk store
+    * actually persists.
+    *
+    * Scale shape: one positional-shingle pass (codegen'd kernel), one
+    * per-doc window for the cut cumsum, one (chunk-key) hash aggregate
+    * — the corpus shuffles once keyed by chunk signature, exactly the
+    * production chunk-store ingest. Avg chunk ≈ 16 grams by the mask
+    * width; widen the mask for bigger chunks, same shape. */
+  /** Per-doc content-defined chunks over any (doc_id, text) frame —
+    * split out so the spec can plant a shifted duplicate passage. */
+  private[graft] def cdcChunksOf(s: SparkSession, docs: DataFrame)
+      : DataFrame = {
+    graft.GraftExtensions.register(s)
+    val pos = docs
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr("poly_shingles_seq(toks)")).as(Seq("p", "h")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    pos
+      .withColumn("cut", when(pmod(col("h"), lit(16L)) === 0, 1L)
+        .otherwise(0L))
+      .withColumn("cid", sum(col("cut"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("sh"),
+        expr("min_by(h, p)").as("hfirst"), expr("max_by(h, p)").as("hlast"))
+  }
+
+  def dedupCdc(s: SparkSession, d: String): DataFrame = {
+    val classes = cdcChunksOf(s, Tables.documents(s, d))
+      .groupBy(col("n"), col("sh"), col("hfirst"), col("hlast"))
+      .agg(count(lit(1)).as("copies"))
+    classes.agg(
+        sum(col("copies")).as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_classes"),
+        max(col("copies")).as("max_copies"),
+        sum(col("n") * col("copies")).as("gram_mass"),
+        sum(col("n")).as("stored_gram_mass"))
+      .select(col("total_chunks"), col("distinct_chunks"),
+        col("dup_classes"), col("max_copies"), col("gram_mass"),
+        col("stored_gram_mass"),
+        expr("(stored_gram_mass * 10000) div gram_mass").as("stored_bp"))
+  }
+
   /** Per-document keyword extraction: the top-3 tokens by TF·IDF within
     * each document — the tag/metadata generator behind faceted corpus
     * browsing and the cheap doc-level topic proxy retrieval pipelines
@@ -527,6 +585,7 @@ object Retrieval extends OpModule {
     "llm_hard_negatives" -> hardNegatives _,
     "llm_hybrid_rrf" -> hybridRrf _,
     "llm_rag_pack" -> ragPack _,
+    "llm_dedup_cdc" -> dedupCdc _,
     "llm_bm25" -> bm25 _,
     "llm_vocab_coverage" -> vocabCoverage _,
     "llm_dedup_winnow" -> dedupWinnow _,
@@ -644,6 +703,46 @@ object Retrieval extends OpModule {
          |  CAST(min(CASE WHEN NOT packed THEN rank END) AS INTEGER)
          |    AS first_dropped_rank
          |FROM p GROUP BY qid""".stripMargin),
+    "llm_dedup_cdc" ->
+      (s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sq AS (
+         |  SELECT doc_id,
+         |    [${duckPoly("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")}
+         |     for i in range(1, len(t) - 1)] AS hs
+         |  FROM t WHERE len(t) >= 3),
+         |""".stripMargin +
+       """pos AS (
+         |  SELECT doc_id, u.p, u.h FROM (
+         |    SELECT doc_id,
+         |      unnest([{'p': i - 1, 'h': hs[i]}
+         |              for i in range(1, len(hs) + 1)]) AS u
+         |    FROM sq)),
+         |ch AS (
+         |  SELECT doc_id, p, h,
+         |    sum(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY p
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cid
+         |  FROM pos),
+         |chunks AS (
+         |  SELECT doc_id, cid, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(h) AS BIGINT) AS sh,
+         |    min_by(h, p) AS hfirst, max_by(h, p) AS hlast
+         |  FROM ch GROUP BY 1, 2),
+         |cls AS (
+         |  SELECT n, sh, hfirst, hlast, count(*) AS copies
+         |  FROM chunks GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(sum(copies) AS BIGINT) AS total_chunks,
+         |  CAST(count(*) AS BIGINT) AS distinct_chunks,
+         |  CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_classes,
+         |  CAST(max(copies) AS BIGINT) AS max_copies,
+         |  CAST(sum(n * copies) AS BIGINT) AS gram_mass,
+         |  CAST(sum(n) AS BIGINT) AS stored_gram_mass,
+         |  (CAST(sum(n) AS BIGINT) * 10000)
+         |    // CAST(sum(n * copies) AS BIGINT) AS stored_bp
+         |FROM cls""".stripMargin),
     "llm_ngram_lm" ->
       """WITH tr AS (
         |  SELECT doc_id,

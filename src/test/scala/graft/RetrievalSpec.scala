@@ -208,6 +208,35 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("llm_dedup_cdc: a shifted duplicate passage re-produces the same chunks") {
+    import spark.implicits._
+    // doc 2 = 7-token prefix + doc 1's full text: content-defined cuts
+    // must re-synchronize, so every interior chunk of doc 1 reappears
+    // verbatim in doc 2 (only the passage-head chunk may differ —
+    // fixed-width chunking would misalign every boundary instead)
+    val base = (1 to 400).map(i => s"w${i % 37}tok${(i * 7) % 23}")
+    val shifted = (1 to 7).map(i => s"pre$i") ++ base
+    val docs = Seq((1L, base.mkString(" ")), (2L, shifted.mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = Retrieval.cdcChunksOf(spark, docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n"), r.getAs[Long]("sh"),
+          r.getAs[Long]("hfirst"), r.getAs[Long]("hlast"))))
+    val c1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val c2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    assert(c1.size > 5, s"expected several chunks, got ${c1.size}")
+    val missing = c1 -- c2
+    assert(missing.size <= 1,
+      s"content-defined cuts must re-sync: ${missing.size} of ${c1.size} lost")
+    // fixture audit: the accounting identities hold and dedup fires
+    val r = Retrieval.dedupCdc(spark, sf).collect().head
+    assert(r.getAs[Long]("total_chunks") >= r.getAs[Long]("distinct_chunks"))
+    assert(r.getAs[Long]("gram_mass") >= r.getAs[Long]("stored_gram_mass"))
+    assert(r.getAs[Long]("stored_bp") <= 10000L
+      && r.getAs[Long]("stored_bp") > 0L)
+    assert(r.getAs[Long]("dup_classes") > 0, "near-dup corpus must share chunks")
+  }
+
   test("llm_rag_pack: prefix-greedy packing reconciles with the fused list") {
     import spark.implicits._
     val fused = Retrieval.hybridRrf(spark, sf)
