@@ -235,7 +235,11 @@ object ScaleProbe {
       "fn_variant",
       // packing rides the memoized fused table (k-bounded per query)
       // after the hybrid arms' corpus passes
-      "llm_rag_pack")
+      "llm_rag_pack",
+      // CDC chunking: the clone corpus is its best case (every chunk
+      // ×copies duplicated) — one shingle pass + one chunk-key
+      // aggregate, growth must be scan-bound with stored_bp collapsing
+      "llm_dedup_cdc")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
