@@ -133,6 +133,26 @@ object Aggregates extends OpModule {
         .as("qty_values"))
       .orderBy(col("l_returnflag"))
 
+  /** Spark 4's `listagg … WITHIN GROUP (ORDER BY …)` — the ANSI ordered
+    * string aggregation (vs agg_collect's collect+sort composition):
+    * the ORDER BY rides INSIDE the aggregate, so the engine sorts each
+    * group's values during aggregation instead of materializing an
+    * array to post-sort — and the explicit order key is what makes a
+    * string fold deterministic at all (an unordered listagg is
+    * partition-order-dependent, useless under a hash gate). Order key
+    * (c_acctbal desc, c_custkey) is total, so both engines emit the
+    * identical byte string. */
+  def aggListagg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_la_cust")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |  listagg(cast(c_custkey as string), ',')
+        |    WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey) AS top_keys,
+        |  count(*) AS n
+        |FROM (SELECT * FROM graft_la_cust WHERE c_acctbal > 9000)
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
   /** Exact continuous percentiles (linear interpolation — same definition
     * as DuckDB quantile_cont), one scalar column per quantile so the gate
     * can hash them. approx_percentile is the 100 TB path but is
@@ -282,6 +302,7 @@ object Aggregates extends OpModule {
     "agg_mode" -> aggMode _,
     "agg_stats_corr" -> aggStatsCorr _,
     "agg_sketch_partial" -> aggSketchPartial _,
+    "agg_listagg" -> aggListagg _,
     "agg_pivot" -> aggPivot _,
     "agg_unpivot" -> aggUnpivot _,
     "agg_summary" -> aggSummary _,
@@ -391,6 +412,13 @@ object Aggregates extends OpModule {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "agg_listagg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ','
+        |    ORDER BY c_acctbal DESC, c_custkey) AS top_keys,
+        |  count(*) AS n
+        |FROM customer WHERE c_acctbal > 9000
+        |GROUP BY c_mktsegment""".stripMargin,
     "agg_collect" ->
       """SELECT l_returnflag,
         | array_to_string(list_sort(list(DISTINCT CAST(l_quantity AS INT))), ',')
