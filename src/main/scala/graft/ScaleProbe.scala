@@ -239,7 +239,11 @@ object ScaleProbe {
       // CDC chunking: the clone corpus is its best case (every chunk
       // ×copies duplicated) — one shingle pass + one chunk-key
       // aggregate, growth must be scan-bound with stored_bp collapsing
-      "llm_dedup_cdc")
+      "llm_dedup_cdc",
+      // interval overlap: sessions grow with the entity clones, the
+      // window table stays |days| — the day-bucket equi-join must
+      // track the sessionize build, never sessions × windows
+      "join_interval_overlap")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
