@@ -358,6 +358,40 @@ object Analytics extends OpModule {
           (col("n_rows").cast("double") / col("n_keys")), 4).as("skew_ratio"))
   }
 
+  /** Differentially-private count release (the Laplace mechanism —
+    * dq_k_anonymity's partner: k-anonymity audits what a RELEASED
+    * table exposes, DP bounds what a released STATISTIC exposes):
+    * per-type event counts (sensitivity 1) plus Laplace(1/ε) noise at
+    * ε = 0.5 via the inverse CDF, X = −b·sgn(U−½)·ln(1−2|U−½|). The
+    * uniform U here derives from a poly hash of the group key —
+    * DETERMINISTIC so the release is replayable and cross-engine
+    * checkable (the mechanism's plan shape is the deliverable; a
+    * production release swaps the hash for a sealed random seed drawn
+    * once per release, same plan, and publishes only released_fp).
+    * The ln runs on an exact dyadic-rational argument and quantizes to
+    * 10⁶ fixed point per row before any use — no float crosses rows.
+    *
+    * At-scale: one map-side-combinable count aggregate to |types|
+    * rows; the noise is per-group scalar math. */
+  def dqDpRelease(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_true"))
+      .withColumn("h", expr(
+        """aggregate(split(event_type, ''), 0L,
+          |  (h, c) -> (h * 31 + ascii(c)) % 1000000007)""".stripMargin))
+      .withColumn("u", (col("h") + lit(0.5)) / lit(1000000007.0))
+      .withColumn("noise_fp",
+        // round-then-cast: a bare double→long cast truncates in Spark
+        // but ROUNDS in DuckDB (the catalogued drift pitfall)
+        round(when(col("u") >= 0.5,
+          expr("(0.0 - 2.0) * ln(2.0 - 2.0 * u)"))
+          .otherwise(expr("2.0 * ln(2.0 * u)"))
+          * lit(1000000.0), 0).cast("long"))
+      .select(col("event_type"), col("n_true"), col("h"), col("noise_fp"),
+        (col("n_true") * lit(1000000L) + col("noise_fp")).as("released_fp"),
+        round((col("n_true") * lit(1000000L) + col("noise_fp")) / 1e6, 4)
+          .as("released"))
+
   /** k-anonymity audit over a quasi-identifier tuple — the privacy
     * gate a dataset release (or a training corpus carrying user
     * attributes) must pass before export: a row is k-anonymous when at
@@ -1901,6 +1935,7 @@ object Analytics extends OpModule {
     "dq_observe" -> dqObserve _,
     "dq_skew" -> dqSkew _,
     "dq_k_anonymity" -> dqKAnonymity _,
+    "dq_dp_release" -> dqDpRelease _,
     "win_pattern" -> winPattern _,
     "graph_triangles" -> graphTriangles _,
     "graph_jaccard" -> graphJaccard _,
@@ -2748,6 +2783,27 @@ object Analytics extends OpModule {
         |  round(quantile_cont(f, 0.99), 4) AS p99_freq,
         |  round(max(f) / (sum(f)::DOUBLE / count(*)), 4) AS skew_ratio
         |FROM f""".stripMargin,
+    "dq_dp_release" -> (evCte +
+      """,
+        |c AS (SELECT event_type, count(*) AS n_true FROM ev GROUP BY 1),
+        |hh AS (
+        |  SELECT *, list_reduce(list_prepend(0::BIGINT,
+        |    [ascii(x)::BIGINT for x in string_split(event_type, '')]),
+        |    (h, ch) -> (h * 31 + ch) % 1000000007) AS h
+        |  FROM c),
+        |uu AS (SELECT *, (h + 0.5) / 1000000007.0 AS u FROM hh),
+        |nz AS (
+        |  SELECT *, CAST(round((CASE WHEN u >= 0.5
+        |      THEN (0.0 - 2.0) * ln(2.0 - 2.0 * u)
+        |      ELSE 2.0 * ln(2.0 * u) END) * 1000000.0) AS BIGINT)
+        |    AS noise_fp
+        |  FROM uu)
+        |SELECT event_type, CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(h AS BIGINT) AS h, noise_fp,
+        |  CAST(n_true AS BIGINT) * 1000000 + noise_fp AS released_fp,
+        |  round((CAST(n_true AS BIGINT) * 1000000 + noise_fp) / 1e6, 4)
+        |    AS released
+        |FROM nz""".stripMargin),
     // equivalence-class sizes of the QI projection, 1-row fold; every
     // reduction CAST to BIGINT (the HUGEINT discipline)
     "dq_k_anonymity" ->
