@@ -132,6 +132,22 @@ object ScalarFns extends OpModule {
       expr("try_parse_json('not json') is null").as("garbage_is_null"),
       expr("is_variant_null(parse_json('null'))").as("json_null_detected"))
 
+  /** Built-in data masking (`mask()` — the column-level PII redaction
+    * primitive beside llm_pii_scrub's regex scrubbing: scrubbing
+    * REMOVES matched spans, masking preserves FORMAT — upper → X,
+    * lower → x, digit → n — so masked data still joins, sorts, and
+    * length-validates downstream): default mask, custom replacement
+    * chars, digit-only masking with letters kept, and a format-survival
+    * length check. Oracle replays via character-class translation. */
+  def fnMask(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      expr("mask(c_name)").as("masked_default"),
+      expr("mask(c_name, '#', '*', '9', 'o')").as("masked_custom"),
+      expr("mask(c_name, NULL, NULL, '0')").as("digits_zeroed"),
+      (length(expr("mask(c_name)")) === length(col("c_name")))
+        .as("format_survives"))
+
   /** Spark 4 COLLATION surface — string comparison semantics as a TYPE
     * property (`collate(s, 'UTF8_LCASE')`), so case-insensitive
     * grouping/joins/comparisons run inside codegen instead of wrapping
@@ -294,6 +310,7 @@ object ScalarFns extends OpModule {
     "fn_json" -> fnJson _,
     "fn_variant" -> fnVariant _,
     "fn_collation" -> fnCollation _,
+    "fn_mask" -> fnMask _,
     "sql_pipe" -> sqlPipe _,
     "fn_cast_decimal" -> fnCastDecimal _
   )
@@ -412,6 +429,28 @@ object ScalarFns extends OpModule {
         | json_object('event_type', event_type, 'user_id', user_id)::VARCHAR
         |   AS packed
         |FROM events""".stripMargin,
+    // per-char CASE translation replays mask()'s class rules exactly
+    // (regexp chains would re-hit replacement chars)
+    "fn_mask" ->
+      """WITH ch AS (
+        |  SELECT c_custkey, c_name, string_split(c_name, '') AS cs
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  array_to_string([CASE
+        |    WHEN x BETWEEN 'A' AND 'Z' THEN 'X'
+        |    WHEN x BETWEEN 'a' AND 'z' THEN 'x'
+        |    WHEN x BETWEEN '0' AND '9' THEN 'n'
+        |    ELSE x END for x in cs], '') AS masked_default,
+        |  array_to_string([CASE
+        |    WHEN x BETWEEN 'A' AND 'Z' THEN '#'
+        |    WHEN x BETWEEN 'a' AND 'z' THEN '*'
+        |    WHEN x BETWEEN '0' AND '9' THEN '9'
+        |    ELSE 'o' END for x in cs], '') AS masked_custom,
+        |  array_to_string([CASE
+        |    WHEN x BETWEEN '0' AND '9' THEN '0'
+        |    ELSE x END for x in cs], '') AS digits_zeroed,
+        |  TRUE AS format_survives
+        |FROM ch""".stripMargin,
     "fn_collation" ->
       """WITH m AS (
         |  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
