@@ -297,7 +297,29 @@ object Aggregates extends OpModule {
         round(min(col("o_totalprice")), 4).as("lo"),
         round(max(col("o_totalprice")), 4).as("hi"))
 
+  /** Boolean aggregate family — every/any/some + count_if (the SQL-
+    * standard data-quality fold: "do ALL rows satisfy the invariant,
+    * does ANY row violate it, how many"): per order-status, universal
+    * and existential quantifiers over line-level predicates plus the
+    * matching exact counts to reconcile them. All four are plain
+    * map-side-combinable aggregates (a boolean AND/OR partial per
+    * partition — 1 byte of state), so the fold costs the same one
+    * shuffle as a count at any scale. */
+  def aggEveryAny(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        expr("every(l_quantity <= 50)").as("all_qty_bounded"),
+        expr("any(l_discount >= 0.1)").as("some_deep_discount"),
+        expr("some(l_returnflag = 'R')").as("some_returned"),
+        expr("count_if(l_discount >= 0.1)").as("n_deep_discount"),
+        expr("count_if(l_returnflag = 'R')").as("n_returned"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_every_any" -> aggEveryAny _,
     "agg_histogram" -> aggHistogram _,
     "agg_mode" -> aggMode _,
     "agg_stats_corr" -> aggStatsCorr _,
@@ -319,6 +341,19 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // DuckDB's quantifier spellings: bool_and / bool_or; count(*) FILTER
+    "agg_every_any" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n_lines,
+        |  bool_and(l_quantity <= 50) AS all_qty_bounded,
+        |  bool_or(l_discount >= 0.1) AS some_deep_discount,
+        |  bool_or(l_returnflag = 'R') AS some_returned,
+        |  CAST(count(*) FILTER (WHERE l_discount >= 0.1) AS BIGINT)
+        |    AS n_deep_discount,
+        |  CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+        |    AS n_returned
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "agg_histogram" ->
       """SELECT least(23, greatest(0,
         |         CAST(floor(o_totalprice / 25000.0) AS INT))) AS bucket,

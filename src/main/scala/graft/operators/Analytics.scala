@@ -365,9 +365,13 @@ object Analytics extends OpModule {
     * ε = 0.5 via the inverse CDF, X = −b·sgn(U−½)·ln(1−2|U−½|). The
     * uniform U here derives from a poly hash of the group key —
     * DETERMINISTIC so the release is replayable and cross-engine
-    * checkable (the mechanism's plan shape is the deliverable; a
-    * production release swaps the hash for a sealed random seed drawn
-    * once per release, same plan, and publishes only released_fp).
+    * checkable. THIS REGISTERED OP IS A MECHANISM-SHAPE DEMONSTRATOR,
+    * NOT A USABLE DP RELEASE: the noise is a pure function of the
+    * group key, so it provides zero actual privacy, and the debug_*
+    * columns deliberately disclose the true count and noise for the
+    * oracle check. A production release swaps the hash for a sealed
+    * random seed drawn once per release (same plan) and publishes
+    * ONLY released/released_fp — never the debug_* columns.
     * The ln runs on an exact dyadic-rational argument and quantizes to
     * 10⁶ fixed point per row before any use — no float crosses rows.
     *
@@ -387,7 +391,9 @@ object Analytics extends OpModule {
           expr("(0.0 - 2.0) * ln(2.0 - 2.0 * u)"))
           .otherwise(expr("2.0 * ln(2.0 * u)"))
           * lit(1000000.0), 0).cast("long"))
-      .select(col("event_type"), col("n_true"), col("h"), col("noise_fp"),
+      .select(col("event_type"),
+        col("n_true").as("debug_n_true"), col("h").as("debug_h"),
+        col("noise_fp").as("debug_noise_fp"),
         (col("n_true") * lit(1000000L) + col("noise_fp")).as("released_fp"),
         round((col("n_true") * lit(1000000L) + col("noise_fp")) / 1e6, 4)
           .as("released"))
@@ -501,7 +507,7 @@ object Analytics extends OpModule {
     .empty[(SparkSession, String), DataFrame]
 
   private def coSupplyComponents(s: SparkSession, d: String): DataFrame =
-    ccMemo.getOrElseUpdate((s, d), {
+    MemoUtil.memoize(ccMemo, (s, d)) {
       val adj = coSupplyAdjacency(s, d)
       // each undirected edge once, canonical u < v (the adjacency is
       // symmetric, so keeping nbr > id loses nothing — and every node
@@ -514,7 +520,7 @@ object Analytics extends OpModule {
       val lbl = StarContraction.labels(res.stars).localCheckpoint()
       (edges +: res.live).foreach(MemoUtil.dropCheckpoint)
       lbl
-    })
+    }
 
   /** Connected components SURFACED as a registered op (round 7; round 8
     * moved the fixpoint onto the shared large-star/small-star
@@ -555,7 +561,7 @@ object Analytics extends OpModule {
     coSupplyAdjacency(s, d)
 
   private def coSupplyAdjacency(s: SparkSession, d: String): DataFrame =
-    adjMemo.getOrElseUpdate((s, d),
+    MemoUtil.memoize(adjMemo, (s, d))(
       coSupplyEdges(s, d)
         .groupBy(col("src").as("id"))
         .agg(sort_array(collect_list(col("dst").cast("long"))).as("nbrs"),
@@ -2798,8 +2804,8 @@ object Analytics extends OpModule {
         |      ELSE 2.0 * ln(2.0 * u) END) * 1000000.0) AS BIGINT)
         |    AS noise_fp
         |  FROM uu)
-        |SELECT event_type, CAST(n_true AS BIGINT) AS n_true,
-        |  CAST(h AS BIGINT) AS h, noise_fp,
+        |SELECT event_type, CAST(n_true AS BIGINT) AS debug_n_true,
+        |  CAST(h AS BIGINT) AS debug_h, noise_fp AS debug_noise_fp,
         |  CAST(n_true AS BIGINT) * 1000000 + noise_fp AS released_fp,
         |  round((CAST(n_true AS BIGINT) * 1000000 + noise_fp) / 1e6, 4)
         |    AS released

@@ -112,6 +112,58 @@ object Joins extends OpModule {
         col("o_totalprice"))
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the join you
+    * need when the key itself is nullable and NULL means a real
+    * category ("unassigned") that must MATCH its counterpart rather
+    * than silently drop (plain `=` evaluates NULL=NULL to NULL and the
+    * row vanishes — the classic missing-rows bug in dimension joins).
+    * Keys are staged nullable with nullif, each side pre-aggregates to
+    * one row per key (the null class would otherwise cross-multiply),
+    * and the output proves the semantics: the NULL key row survives
+    * with both sides' counts and is flagged nullsafe_only.
+    *
+    * At-scale: EqualNullSafe keys still plan as a shuffled hash join
+    * (nulls hash like any value — one bucket, no BNLJ fallback), so the
+    * null-safe form costs the same as `=`. A skewed giant null class is
+    * the same salting problem as any hot key (join_salted). */
+  def joinNullSafe(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .withColumn("k", nullif(col("c_nationkey"), lit(13)))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, d)
+      .withColumn("k2", nullif(col("s_nationkey"), lit(13)))
+      .groupBy(col("k2")).agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("k") <=> col("k2"))
+      .select(
+        coalesce(col("k"), lit(-1L)).as("key_or_sentinel"),
+        col("k").isNull.as("nullsafe_only"),
+        col("n_cust"), col("n_supp"),
+        (col("n_cust") * col("n_supp")).as("pair_mass"))
+  }
+
+  /** LATERAL correlated subquery join (Spark 4 SQL surface): for each
+    * qualifying customer, the per-customer "top 2 orders by price" —
+    * the correlated ORDER BY … LIMIT shape that LATERAL exists for.
+    * Catalyst DECORRELATES it: the plan is one window-ranked orders
+    * scan equi-joined back to customers (verify with explain — no
+    * per-customer re-execution, no nested loop), so the lateral form
+    * is exactly as scalable as the hand-written win_topk_pergroup
+    * composition while reading as the intent. */
+  def joinLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_lat_cust")
+    Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM graft_lat_cust c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM graft_lat_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+  }
+
   def joinCross(s: SparkSession, d: String): DataFrame =
     Tables.region(s, d).crossJoin(Tables.nation(s, d))
       .select(col("r_name"), col("n_name"))
@@ -639,6 +691,8 @@ object Joins extends OpModule {
     "join_left_semi" -> joinLeftSemi _,
     "join_left_anti" -> joinLeftAnti _,
     "join_theta" -> joinTheta _,
+    "join_nullsafe" -> joinNullSafe _,
+    "join_lateral" -> joinLateral _,
     "join_cross" -> joinCross _,
     "join_range" -> joinRange _
   )
@@ -921,6 +975,29 @@ object Joins extends OpModule {
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "join_nullsafe" ->
+      """WITH c AS (
+        |  SELECT nullif(c_nationkey, 13) AS k, count(*) AS n_cust
+        |  FROM customer GROUP BY 1),
+        |s AS (
+        |  SELECT nullif(s_nationkey, 13) AS k2, count(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT CAST(coalesce(k, -1) AS BIGINT) AS key_or_sentinel,
+        |  k IS NULL AS nullsafe_only,
+        |  CAST(n_cust AS BIGINT) AS n_cust,
+        |  CAST(n_supp AS BIGINT) AS n_supp,
+        |  CAST(n_cust * n_supp AS BIGINT) AS pair_mass
+        |FROM c JOIN s ON k IS NOT DISTINCT FROM k2""".stripMargin,
+    "join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin,
     "join_range" ->
       """WITH bands(band_id, lo, hi) AS (VALUES
         |  (0, 0.0, 20.0), (1, 20.0, 40.0), (2, 40.0, 60.0),

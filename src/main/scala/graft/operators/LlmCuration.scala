@@ -657,7 +657,102 @@ object LlmCuration extends OpModule {
         expr("used * 10000 div budget").as("util_bp"))
   }
 
+  /** HTML → clean-text extraction (the C4/trafilatura stage that sits
+    * BEFORE every text-quality op when the corpus arrives as crawled
+    * pages): per document a deterministic HTML page is staged inline —
+    * title, nav bar, cookie banner, the doc text as 10-word <p>
+    * paragraphs, a copyright footer (the fixture documents are plain
+    * text, so the page is synthesized from them; on a real crawl the
+    * html column IS the input and only the extractor half runs) — and
+    * the EXTRACTOR then recovers the content: block-close tags become
+    * line breaks, all remaining tags strip to nothing, and each line
+    * passes the C4 boilerplate gates (non-empty; no cookie/copyright/
+    * nav-separator markers; ≥ 5 words). Kept lines rejoin in document
+    * order. Output per doc: raw/kept/dropped line counts and the clean
+    * text with its length.
+    *
+    * At-scale: pure per-row HOF + regex work — zero shuffle, fully
+    * parallel over pages; the regexes are RE2-safe (no backtracking
+    * blowup on adversarial pages). The only content loss vs the source
+    * text is the final sub-5-word paragraph, by design (C4 drops short
+    * lines; the spec test pins exactly that delta). */
+  def htmlExtract(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nch", expr("cast(ceil(size(ws) / 10.0) as int)"))
+      .withColumn("html", concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav>Home | About | Contact</nav>" +
+          "<div class=\"cookie\">This site uses cookie consent tracking. Accept?</div>"),
+        expr("array_join(transform(sequence(0, nch - 1), " +
+          "i -> concat('<p>', array_join(slice(ws, i * 10 + 1, 10), ' '), '</p>')), '')"),
+        lit("<footer>© 2024 Example Corp. All rights reserved.</footer>" +
+          "</body></html>")))
+      // extractor: block closes → newline, strip every other tag
+      .withColumn("lines", split(
+        regexp_replace(
+          regexp_replace(col("html"), "</(p|div|nav|footer|title)>", "\n"),
+          "<[^>]*>", ""),
+        "\n"))
+      .withColumn("kept", expr(
+        """filter(lines, l -> length(trim(l)) > 0
+          |  AND NOT contains(l, '©')
+          |  AND NOT contains(lower(l), 'cookie')
+          |  AND NOT contains(l, ' | ')
+          |  AND size(split(trim(l), ' ')) >= 5)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("lines")).as("n_lines_raw"),
+        size(col("kept")).as("n_kept"),
+        (size(col("lines")) - size(col("kept"))).as("n_dropped"),
+        expr("array_join(transform(kept, l -> trim(l)), ' ')").as("clean_text"),
+        length(expr("array_join(transform(kept, l -> trim(l)), ' ')"))
+          .as("clean_nchars"))
+
+  /** Corpus-wide EXACT LINE dedup (C4's line-level pass — the cheap
+    * hash stage that runs before MinHash/substring dedup and removes
+    * verbatim repeated lines like navigation text or license blocks
+    * that appear across thousands of pages): every "line" keeps its
+    * FIRST occurrence (ordered by doc_id, then position) and every
+    * later verbatim copy anywhere in the corpus is dropped; surviving
+    * lines rejoin per document in original order. The fixture documents
+    * are single-line, so a "line" here is a fixed 8-word segment —
+    * documented stand-in, same plan shape as newline splitting.
+    *
+    * At-scale: the segment explode is per-row; the first-occurrence
+    * choice is ONE row_number window partitioned by the segment text —
+    * i.e. a single shuffle hash-partitioned on content, exactly how a
+    * 100 TB line-dedup shards (content-addressed, no skew: identical
+    * lines colocate, and a pathological mega-dup line caps at one
+    * partition's row list which AQE would split). Reassembly is one
+    * shuffle back on doc_id. No all-pairs anything. */
+  def dedupLine(s: SparkSession, d: String): DataFrame = {
+    val segs = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nch", expr("cast(ceil(size(ws) / 8.0) as int)"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, nch - 1), " +
+          "i -> array_join(slice(ws, i * 8 + 1, 8), ' '))")))
+      .withColumnRenamed("pos", "seg_idx")
+      .withColumnRenamed("col", "seg")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+    segs
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(CASE WHEN rk = 1 THEN struct(seg_idx, seg) END))," +
+          " x -> x.seg), ' ')").as("clean_text"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_dropped"),
+        col("clean_text"), length(col("clean_text")).as("clean_nchars"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_html_extract" -> htmlExtract _,
+    "llm_dedup_line" -> dedupLine _,
     "llm_epoch_plan" -> epochPlan _,
     "llm_lineage_audit" -> lineageAudit _,
     "llm_shard_layout" -> shardLayout _,
@@ -705,6 +800,79 @@ object LlmCuration extends OpModule {
       |FROM r""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // synthesis half mirrors the op exactly (same page template), then
+    // the extractor replays: block-close tags -> newline, tag strip,
+    // per-line boilerplate gates, trim + rejoin
+    "llm_html_extract" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT) AS nch
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title></head><body><nav>Home | About | Contact</nav>' ||
+        |    '<div class="cookie">This site uses cookie consent tracking. Accept?</div>' ||
+        |    list_aggregate(list_transform(range(0, nch), i ->
+        |      '<p>' || array_to_string(ws[i*10+1 : i*10+10], ' ') || '</p>'),
+        |      'string_agg', '') ||
+        |    '<footer>\u00a9 2024 Example Corp. All rights reserved.</footer></body></html>'
+        |      AS html
+        |  FROM w),
+        |l AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(
+        |      regexp_replace(html, '</(p|div|nav|footer|title)>', chr(10), 'g'),
+        |      '<[^>]*>', '', 'g'), chr(10)) AS lines
+        |  FROM h),
+        |k AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, x -> length(trim(x)) > 0
+        |      AND NOT contains(x, '\u00a9')
+        |      AND NOT contains(lower(x), 'cookie')
+        |      AND NOT contains(x, ' | ')
+        |      AND len(string_split(trim(x), ' ')) >= 5) AS kept
+        |  FROM l)
+        |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines_raw,
+        |  CAST(len(kept) AS INT) AS n_kept,
+        |  CAST(len(lines) - len(kept) AS INT) AS n_dropped,
+        |  array_to_string(list_transform(kept, x -> trim(x)), ' ')
+        |    AS clean_text,
+        |  CAST(length(array_to_string(list_transform(kept, x -> trim(x)), ' '))
+        |    AS INT) AS clean_nchars
+        |FROM k""".stripMargin,
+    // first-occurrence choice replayed with the identical window; the
+    // COALESCEs ([] list + '' text: DuckDB's array_to_string([]) is NULL)
+    // match Spark's empty collect_list for docs whose
+    // every segment is a verbatim copy of an earlier doc
+    "llm_dedup_line" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS nch
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg
+        |  FROM w, LATERAL (SELECT unnest(range(0, nch)) AS i) r),
+        |rk AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rk
+        |  FROM s),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |    CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    COALESCE(list({'seg_idx': seg_idx, 'seg': seg})
+        |      FILTER (WHERE rk = 1), []) AS keeps
+        |  FROM rk GROUP BY doc_id)
+        |, txt AS (
+        |  SELECT doc_id, n_segs, n_kept,
+        |    COALESCE(array_to_string(
+        |      list_transform(list_sort(keeps), x -> x.seg), ' '), '')
+        |      AS clean_text
+        |  FROM agg)
+        |SELECT doc_id, n_segs, n_kept, n_segs - n_kept AS n_dropped,
+        |  clean_text, CAST(length(clean_text) AS INT) AS clean_nchars
+        |FROM txt""".stripMargin,
     "llm_epoch_plan" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

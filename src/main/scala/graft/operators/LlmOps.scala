@@ -108,7 +108,7 @@ object LlmOps extends OpModule {
   }
 
   def dedupNear(s: SparkSession, d: String): DataFrame =
-    nearMemo.getOrElseUpdate((s, d), dedupNearBuild(s, d).localCheckpoint())
+    MemoUtil.memoize(nearMemo, (s, d))(dedupNearBuild(s, d).localCheckpoint())
 
   private def dedupNearBuild(s: SparkSession, d: String): DataFrame = {
     val tau = 0.8

@@ -279,7 +279,7 @@ object LlmScale extends OpModule {
     * across the family, each re-paying a dims⋈a2 corpus pass). */
   private[graft] def lloyd(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    lloydMemo.getOrElseUpdate((s, d), lloydBuild(s, d))
+    MemoUtil.memoize(lloydMemo, (s, d))(lloydBuild(s, d))
 
   private def lloydBuild(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -1398,7 +1398,7 @@ object LlmScale extends OpModule {
     * construction. Bench resets the memo with the Lloyd memo between
     * timing passes. */
   private def pqTop3(s: SparkSession, d: String): DataFrame =
-    pqMemo.getOrElseUpdate((s, d), {
+    MemoUtil.memoize(pqMemo, (s, d)) {
     val M = 8; val Kc = 16
     val emb = Tables.embeddings(s, d)
     // quantized vector form — single reader (the subvector derivation;
@@ -1455,7 +1455,7 @@ object LlmScale extends OpModule {
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= 3)
       .localCheckpoint()
-    })
+    }
 
   def annPq(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)

@@ -25,6 +25,17 @@ private[graft] object MemoUtil {
       case _ => ()
     }
 
+  /** Atomic memoized build. TrieMap.getOrElseUpdate is NOT atomic: two
+    * concurrent first callers can both run the builder, and the loser's
+    * localCheckpoint blocks strand in the block manager (nothing ever
+    * calls dropCheckpoint on a value the map discarded). Serializing
+    * the build on the map costs nothing — builds are once-per-(session,
+    * dir) and the harness is single-threaded — and makes the leak
+    * impossible rather than latent. */
+  def memoize[K, V](m: scala.collection.concurrent.TrieMap[K, V], k: K)(
+      build: => V): V =
+    m.synchronized { m.getOrElseUpdate(k, build) }
+
   /** INTRA-op checkpoints (multi-reader lineage cuts whose blocks the
     * returned plan still references) can't unpersist inside the op — the
     * caller hasn't executed the result yet, and a localCheckpoint'd RDD

@@ -330,7 +330,7 @@ object Retrieval extends OpModule {
   }
 
   def hybridRrf(s: SparkSession, d: String): DataFrame =
-    fusedMemo.getOrElseUpdate((s, d), hybridBuild(s, d).localCheckpoint())
+    MemoUtil.memoize(fusedMemo, (s, d))(hybridBuild(s, d).localCheckpoint())
 
   private def hybridBuild(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)

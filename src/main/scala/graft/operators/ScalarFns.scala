@@ -189,6 +189,42 @@ object ScalarFns extends OpModule {
         ||> SELECT l_returnflag, n_lines, revenue_cents""".stripMargin)
   }
 
+  /** WITH RECURSIVE (Spark 4's recursive CTE — the last §2.8 SQL-surface
+    * gap after VARIANT/collation/pipe/listagg): an ancestor-chain walk,
+    * parent(k) = k div 2, from every nation key down to the root 0,
+    * reduced per key to chain length, step count, and the exact sum of
+    * visited ids. Same WITH RECURSIVE shape on both engines (only the
+    * integer-division operator differs: Spark `div`, DuckDB `//`).
+    *
+    * At-scale: Spark executes a recursive CTE as a driver-coordinated
+    * UnionLoop — one distributed step per recursion level, each a plain
+    * join/project over the previous level's output, so the scale knob is
+    * DEPTH, not width: halving chains are log₂(maxkey) levels, and each
+    * level's frontier shuffles on its own keys like any batch query. For
+    * unbounded-depth fixpoints (connected components at 100 TB) the
+    * checkpointed O(log n) contraction loop in StarContraction.scala is
+    * the production shape; a recursive CTE is right when depth is small
+    * and known (org charts, BOM explosions, path unrolling). The default
+    * spark.sql.cteRecursionLevelLimit=100 guards runaway recursion. */
+  def sqlRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_rec_nation")
+    s.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |         CAST(n_nationkey AS BIGINT) AS cur,
+        |         CAST(0 AS BIGINT) AS depth
+        |  FROM graft_rec_nation
+        |  UNION ALL
+        |  SELECT nk, cur div 2 AS cur, depth + 1
+        |  FROM chain WHERE cur > 0)
+        |SELECT nk AS n_nationkey,
+        |  CAST(max(depth) AS BIGINT) AS chain_len,
+        |  CAST(count(*) AS BIGINT) AS n_steps,
+        |  CAST(sum(cur) AS BIGINT) AS sum_ids
+        |FROM chain
+        |GROUP BY nk""".stripMargin)
+  }
+
   /** Decimal money math under explicit precision/scale. Every output is
     * cast to a pinned DECIMAL type — engines widen intermediate precision
     * differently, so the declared result type must be forced on both
@@ -312,10 +348,26 @@ object ScalarFns extends OpModule {
     "fn_collation" -> fnCollation _,
     "fn_mask" -> fnMask _,
     "sql_pipe" -> sqlPipe _,
+    "sql_recursive_cte" -> sqlRecursiveCte _,
     "fn_cast_decimal" -> fnCastDecimal _
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |         CAST(n_nationkey AS BIGINT) AS cur,
+        |         CAST(0 AS BIGINT) AS depth
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT nk, cur // 2 AS cur, depth + 1
+        |  FROM chain WHERE cur > 0)
+        |SELECT nk AS n_nationkey,
+        |  CAST(max(depth) AS BIGINT) AS chain_len,
+        |  CAST(count(*) AS BIGINT) AS n_steps,
+        |  CAST(sum(cur) AS BIGINT) AS sum_ids
+        |FROM chain
+        |GROUP BY nk""".stripMargin,
     "fn_struct" ->
       """WITH st AS (
         |  SELECT o_orderkey,

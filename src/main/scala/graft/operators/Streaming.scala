@@ -33,6 +33,21 @@ object Streaming extends OpModule {
   case class UserSummary(user_id: Long, n_events: Long, sum_value: Double,
                          last_epoch_s: Long)
 
+  /** Boot the driver-side StateStoreCoordinator RPC endpoint before a
+    * BATCH transformWithState runs. A streaming query creates it as part
+    * of query startup, but batch TWS does not — RocksDB's async
+    * snapshot-upload report then dies on
+    * `RpcEndpointNotFoundException(StateStoreCoordinator)` and fails the
+    * load (CANNOT_LOAD_STATE_STORE) in any session where no streaming
+    * query happened to run first. forDriver is idempotent: it registers
+    * the endpoint or returns a ref to the existing one. Every batch TWS
+    * entry point calls this — correctness must not depend on registry
+    * iteration order having scheduled a streaming op earlier. */
+  private def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get,
+        spark.sessionState.conf)
+
   // ── transforms (batch ≡ streaming) ────────────────────────────────────
 
   /** 1-hour tumbling windows per event type. */
@@ -197,7 +212,168 @@ object Streaming extends OpModule {
     }
   }
 
+  /** ListState with BOUNDED contents — the production discipline for
+    * list-shaped state: the per-user top-3 event values are kept as a
+    * ≤3-element ListState (merge new values, truncate, put back), NOT
+    * an append-only log of the whole stream, so state is O(keys·3) at
+    * any stream length. A second state variable (ValueState count)
+    * demonstrates multiple named state vars per key — the
+    * transformWithState surface flatMapGroupsWithState lacks. Emits the
+    * current (user_id, n_events, top1..top3) snapshot per batch; the
+    * batch twin is a per-user ordered-prefix aggregate. */
+  case class UserTop3(user_id: Long, n_events: Long,
+                      top1: Double, top2: Double, top3: Double)
+
+  class TopValuesProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserTop3] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var top: ListState[Double] = _
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[Double]("top3",
+        Encoders.scalaDouble, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("n",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTop3] = {
+      val prev = if (top.exists()) top.get().toArray else Array.empty[Double]
+      var n = if (cnt.exists()) cnt.get() else 0L
+      val buf = scala.collection.mutable.ArrayBuffer.from(prev)
+      rows.foreach { e => n += 1; buf += e.value }
+      val best = buf.sorted(Ordering[Double].reverse).take(3).toArray
+      top.put(best)
+      cnt.update(n)
+      // pad with -inf sentinel; the caller projects NULLs via nullif
+      def at(i: Int): Double =
+        if (i < best.length) best(i) else Double.NegativeInfinity
+      Iterator(UserTop3(key, n, at(0), at(1), at(2)))
+    }
+  }
+
+  def statefulTop3(spark: SparkSession, ev: DataFrame): DataFrame = {
+    ensureStateStoreCoordinator(spark)
+    import spark.implicits._
+    ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new TopValuesProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+      // sentinel → NULL, and round OUTSIDE the processor so both engines
+      // apply SQL round() to the identical selected doubles
+      .select(col("user_id"), col("n_events"),
+        round(nullif(col("top1"), lit(Double.NegativeInfinity)), 4).as("top1"),
+        round(nullif(col("top2"), lit(Double.NegativeInfinity)), 4).as("top2"),
+        round(nullif(col("top3"), lit(Double.NegativeInfinity)), 4).as("top3"))
+  }
+
+  /** MapState — keyed sub-maps in the state store: per user, a
+    * (event_type → count) map updated point-wise (containsKey/getValue/
+    * updateValue — no full-map rewrite per row), emitted as one row per
+    * map entry. State is O(keys · |types|); at 100 TB the map iterator
+    * only walks each user's own types, and updates are per-entry store
+    * puts, which is exactly why MapState exists instead of a ValueState
+    * holding a serialized Map (which would rewrite the whole map every
+    * row). Batch twin: count(*) grouped by (user_id, event_type). */
+  case class UserTypeCount(user_id: Long, event_type: String, n_events: Long)
+
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserTypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var m: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      m = getHandle.getMapState[String, Long]("bytype",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTypeCount] = {
+      rows.foreach { e =>
+        val cur = if (m.containsKey(e.event_type)) m.getValue(e.event_type) else 0L
+        m.updateValue(e.event_type, cur + 1)
+      }
+      m.iterator().map { case (t, n) => UserTypeCount(key, t, n) }
+    }
+  }
+
+  def statefulTypeCounts(spark: SparkSession, ev: DataFrame): DataFrame = {
+    ensureStateStoreCoordinator(spark)
+    import spark.implicits._
+    ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
+  /** State TTL — the knob that bounds state for keys that just stop
+    * arriving (abandoned users, dead sessions the watermark can't see
+    * because no event-time contract exists): ValueState with a
+    * processing-time TTL of 1 hour. Values written more than TTL ago
+    * read as absent and their store entries are vacuumed by the
+    * maintenance pass — at 100 TB this is what keeps the RocksDB state
+    * store sized to ACTIVE keys rather than all keys ever seen. Within
+    * one batch (and in the fixture replay) nothing expires, so the
+    * batch twin is the plain per-user (count, min) aggregate; the
+    * streaming suite asserts the expiry behavior clock-wise. */
+  case class UserFloor(user_id: Long, n_events: Long, min_value: Double)
+
+  class TtlFloorProcessor(ttl: java.time.Duration = java.time.Duration.ofHours(1))
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserFloor] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("floor",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig(ttl))
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserFloor] = {
+      var (n, mn) = if (st.exists()) st.get() else (0L, Double.MaxValue)
+      rows.foreach { e => n += 1; mn = math.min(mn, e.value) }
+      st.update((n, mn))
+      Iterator(UserFloor(key, n, mn))
+    }
+  }
+
+  def statefulTtlFloor(spark: SparkSession, ev: DataFrame): DataFrame = {
+    ensureStateStoreCoordinator(spark)
+    import spark.implicits._
+    ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new TtlFloorProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+      .toDF()
+      .select(col("user_id"), col("n_events"),
+        round(col("min_value"), 4).as("min_value"))
+  }
+
   def sessionClose(spark: SparkSession, ev: DataFrame): DataFrame = {
+    ensureStateStoreCoordinator(spark)
     import spark.implicits._
     ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
@@ -211,6 +387,7 @@ object Streaming extends OpModule {
   }
 
   def statefulPeak(spark: SparkSession, ev: DataFrame): DataFrame = {
+    ensureStateStoreCoordinator(spark)
     import spark.implicits._
     ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
@@ -234,7 +411,10 @@ object Streaming extends OpModule {
     "stream_watermark" -> ((s, d) => watermarked(ev(s, d))),
     "stream_late_data" -> ((s, d) => lateData(ev(s, d))),
     "stream_stateful_map" -> ((s, d) => statefulSummary(s, ev(s, d))),
-    "stream_stateful_tws" -> ((s, d) => statefulPeak(s, ev(s, d)))
+    "stream_stateful_tws" -> ((s, d) => statefulPeak(s, ev(s, d))),
+    "stream_tws_list" -> ((s, d) => statefulTop3(s, ev(s, d))),
+    "stream_tws_map" -> ((s, d) => statefulTypeCounts(s, ev(s, d))),
+    "stream_tws_ttl" -> ((s, d) => statefulTtlFloor(s, ev(s, d)))
   )
 
   private val evCte =
@@ -304,6 +484,24 @@ object Streaming extends OpModule {
         |FROM ev GROUP BY user_id""".stripMargin),
     "stream_stateful_tws" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    // list indexing past length is NULL in DuckDB, matching the
+    // sentinel->nullif padding on the Spark side
+    "stream_tws_list" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         list_sort(list(value), 'DESC') AS vs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |       round(vs[1], 4) AS top1, round(vs[2], 4) AS top2,
+        |       round(vs[3], 4) AS top3
+        |FROM s""".stripMargin,
+    "stream_tws_map" ->
+      """SELECT user_id, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_tws_ttl" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(min(value), 4) AS min_value
         |FROM events GROUP BY user_id""".stripMargin
   )
 }

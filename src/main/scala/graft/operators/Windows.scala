@@ -134,7 +134,36 @@ object Windows extends OpModule {
       base, Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
   }
 
+  /** IGNORE NULLS window navigation — the sparse-series forward-fill
+    * idiom (sensor feeds, slowly-changing attributes, tick data: most
+    * rows carry no observation and each row needs "the latest value
+    * that existed"): `view` events' values are masked to NULL to stage
+    * sparsity, then one ordered window per user computes the
+    * forward-fill (last non-null so far), the previous distinct
+    * observation (lag IGNORE NULLS), and the series' first observation
+    * (first_value IGNORE NULLS over the full frame). This is the
+    * O(1)-state streaming-friendly alternative to a self-join against
+    * "the most recent non-null row" — at 100 TB the window runs inside
+    * one per-user sort partition, no join, no second scan. */
+  def winIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("obs",
+        when(col("event_type") =!= "view", round(col("value"), 4)))
+      .select(
+        col("event_id"), col("user_id"),
+        col("obs"),
+        last(col("obs"), ignoreNulls = true).over(run).as("filled"),
+        lag(col("obs"), 1, null, ignoreNulls = true).over(w).as("prev_obs"),
+        first(col("obs"), ignoreNulls = true).over(full).as("first_obs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ignore_nulls" -> winIgnoreNulls _,
     "win_streak" -> winStreak _,
     "topk_pergroup_native" -> topkPergroupNative _,
     "win_rank" -> winRank _,
@@ -145,6 +174,28 @@ object Windows extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // DuckDB spells the modifier inside the window function call
+    // (lag(x, 1 IGNORE NULLS)); same fill/prev/first semantics
+    "win_ignore_nulls" -> (
+      """WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         user_id, event_type, value
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type <> 'view' THEN round(value, 4) END AS obs
+        |  FROM ev)
+        |SELECT event_id, user_id, obs,
+        |  last_value(obs IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  lag(obs, 1 IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_obs,
+        |  first_value(obs IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS first_obs
+        |FROM m""".stripMargin),
     "win_streak" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

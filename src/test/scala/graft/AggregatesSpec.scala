@@ -57,4 +57,18 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(est - exact).toDouble / exact < 0.05,
       s"sketch estimate $est vs exact $exact")
   }
+
+  test("agg_every_any: quantifiers reconcile with their exact counts") {
+    val rows = graft.operators.Aggregates.aggEveryAny(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("some_deep_discount")
+        == (r.getAs[Long]("n_deep_discount") > 0))
+      assert(r.getAs[Boolean]("some_returned")
+        == (r.getAs[Long]("n_returned") > 0))
+      assert(r.getAs[Long]("n_deep_discount") <= r.getAs[Long]("n_lines"))
+    }
+    // the fixture's l_quantity is bounded at 50 -> every() must hold
+    assert(rows.forall(_.getAs[Boolean]("all_qty_bounded")))
+  }
 }

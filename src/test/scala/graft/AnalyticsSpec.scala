@@ -887,17 +887,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.length == trueCounts.size)
     out.foreach { r =>
       val t = r.getAs[String]("event_type")
-      assert(r.getAs[Long]("n_true") == trueCounts(t))
+      assert(r.getAs[Long]("debug_n_true") == trueCounts(t))
       // replay the hash → uniform → inverse-CDF chain locally
       val h = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
-      assert(r.getAs[Long]("h") == h)
+      assert(r.getAs[Long]("debug_h") == h)
       val u = (h + 0.5) / 1000000007.0
       val noise =
         if (u >= 0.5) -2.0 * math.log(2.0 - 2.0 * u)
         else 2.0 * math.log(2.0 * u)
-      assert(r.getAs[Long]("noise_fp") == math.round(noise * 1e6).toLong)
+      assert(r.getAs[Long]("debug_noise_fp") == math.round(noise * 1e6).toLong)
       assert(r.getAs[Long]("released_fp")
-        == r.getAs[Long]("n_true") * 1000000L + r.getAs[Long]("noise_fp"))
+        == r.getAs[Long]("debug_n_true") * 1000000L + r.getAs[Long]("debug_noise_fp"))
     }
   }
 

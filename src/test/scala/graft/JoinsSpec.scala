@@ -224,4 +224,48 @@ class JoinsSpec extends SparkSpec {
     }
     assert(bnlj.isEmpty, "point-in-time join degenerated to BNLJ")
   }
+
+  test("join_nullsafe: NULL keys match each other and stay a hash join") {
+    val rows = graft.operators.Joins.joinNullSafe(spark, sf).collect()
+      .map(r => r.getAs[Long]("key_or_sentinel") -> r).toMap
+    // the nullif'd class (nationkey 13) must SURVIVE the join as the
+    // sentinel row — a plain = join would drop it
+    assert(rows.contains(-1L), "null-safe join must keep the NULL key row")
+    assert(rows(-1L).getAs[Boolean]("nullsafe_only"))
+    assert(rows(-1L).getAs[Long]("n_cust") > 0 &&
+      rows(-1L).getAs[Long]("n_supp") > 0)
+    assert(rows.keySet.filter(_ >= 0).forall(k =>
+      !rows(k).getAs[Boolean]("nullsafe_only")))
+    // plan: EqualNullSafe keys must NOT fall back to a nested loop
+    val bnlj = collectFinal(graft.operators.Joins.joinNullSafe(spark, sf)) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnlj.isEmpty, "null-safe equi-join degenerated to BNLJ")
+  }
+
+  test("join_lateral: decorrelated to a ranked join; equals the window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Joins.joinLateral(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[Double]("o_totalprice"))).toSet
+    // the hand-written top-2-per-group composition the lateral must equal
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = graft.Tables.orders(spark, sf)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 2)
+      .join(graft.Tables.customer(spark, sf)
+          .where(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[Double]("o_totalprice"))).toSet
+    assert(out == want)
+    // decorrelation: no nested loop in the final plan
+    val bnlj = collectFinal(graft.operators.Joins.joinLateral(spark, sf)) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnlj.isEmpty, "lateral subquery must decorrelate, not nested-loop")
+  }
 }

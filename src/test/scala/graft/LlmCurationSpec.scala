@@ -336,4 +336,66 @@ class LlmCurationSpec extends SparkSpec {
     out.foreach(r =>
       assert(r.getAs[Long]("util_bp") == used * 10000 / (2L * ctot)))
   }
+
+  test("html_extract: boilerplate dropped, content round-trips minus short tail") {
+    val out = LlmCuration.htmlExtract(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val r = out(id)
+      val words = text.split(" ")
+      // the synthesized page: title + nav + cookie + footer + one line
+      // per 10-word paragraph, plus the trailing empty line after the
+      // final block-close newline
+      val nch = math.ceil(words.length / 10.0).toInt
+      assert(r.getAs[Int]("n_lines_raw") == 4 + nch + 1)
+      // kept = every full >=5-word paragraph; content loss is exactly
+      // the final sub-5-word chunk (if any) — C4 short-line semantics
+      val chunks = words.grouped(10).toSeq
+      val keptChunks = chunks.filter(_.length >= 5)
+      assert(r.getAs[Int]("n_kept") == keptChunks.length)
+      assert(r.getAs[String]("clean_text") == keptChunks.map(_.mkString(" ")).mkString(" "))
+    }
+    // the gates themselves, pinned on literal lines the fixture can't carry
+    val gate = (l: String) => l.trim.nonEmpty &&
+      !l.contains("\u00a9") && !l.toLowerCase.contains("cookie") &&
+      !l.contains(" | ") && l.trim.split(" ").length >= 5
+    assert(!gate("Home | About | Contact"))
+    assert(!gate("This site uses cookie consent tracking. Accept?"))
+    assert(!gate("\u00a9 2024 Example Corp. All rights reserved."))
+    assert(!gate("Doc 42"))
+    assert(gate("five plain content words here"))
+  }
+
+  test("dedup_line: first occurrence survives, verbatim copies drop corpus-wide") {
+    val out = LlmCuration.dedupLine(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // reference dedup computed independently: global first-occurrence
+    // by (doc_id, seg_idx) over 8-word segments
+    val segs = docs.toSeq.sortBy(_._1).flatMap { case (id, text) =>
+      text.split(" ").grouped(8).zipWithIndex
+        .map { case (ws, i) => (id, i, ws.mkString(" ")) }.toSeq
+    }
+    val firstOwner = segs.groupBy(_._3).map { case (seg, occ) =>
+      seg -> occ.minBy(o => (o._1, o._2))
+    }
+    var dropped = 0
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      val kept = ss.sortBy(_._2).filter(o => firstOwner(o._3) == o)
+      val r = out(id)
+      assert(r.getAs[Long]("n_segs") == ss.length)
+      assert(r.getAs[Long]("n_kept") == kept.length)
+      assert(r.getAs[String]("clean_text") == kept.map(_._3).mkString(" "))
+      dropped += ss.length - kept.length
+    }
+    assert(dropped > 0, "fixture must contain cross-doc verbatim segments")
+    // an exact-duplicate document must collapse to nothing
+    val emptied = out.values.filter(_.getAs[Long]("n_kept") == 0)
+    assert(emptied.nonEmpty, "exact-dup docs should lose every segment")
+    emptied.foreach(r => assert(r.getAs[String]("clean_text") == ""))
+  }
 }

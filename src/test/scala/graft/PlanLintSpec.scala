@@ -5,8 +5,12 @@ import org.apache.spark.sql.execution.joins.{
 
 /** Repo-wide physical-plan lint — the continuously-enforced version of
   * the per-round "no scale-killers" audit: every registered BATCH query
-  * is planned (not executed) at sf0.001 and checked for the two join
-  * shapes that melt at 100 TB. A CartesianProduct (non-broadcast
+  * is planned at sf0.001 and checked for the two join shapes that melt
+  * at 100 TB. "Planned" means the final DataFrame's job never runs,
+  * but CONSTRUCTING some ops executes staged sub-jobs (llm_pca_power
+  * collects its gram matrix, llm_bpe_apply/llm_hybrid_rrf run
+  * localCheckpoint rounds, scan_malformed/scan_xml stage files) — the
+  * lint tolerates that cost; only the returned plan is inspected. A CartesianProduct (non-broadcast
   * pair-explosion) is banned everywhere except the op that exists to
   * demonstrate it. BroadcastNestedLoopJoin is legitimate ONLY when the
   * broadcast side is bounded (a 1-row global aggregate, a LIMIT, a

@@ -108,4 +108,22 @@ class ScalarFnsSpec extends SparkSpec {
         s"""{"ck":${r.getAs[Long]("ck")},"st":"${r.getAs[String]("st")}"}""")
     } finally out.unpersist()
   }
+
+  test("sql_recursive_cte: chain depth/steps/sum match the arithmetic closed form") {
+    val out = graft.operators.ScalarFns.sqlRecursiveCte(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_nationkey") ->
+        (r.getAs[Long]("chain_len"), r.getAs[Long]("n_steps"),
+          r.getAs[Long]("sum_ids"))).toMap
+    assert(out.keySet == (0L until 25L).toSet)
+    out.foreach { case (k, (len, steps, sum)) =>
+      // replay the halving walk locally
+      var cur = k; var d = 0L; var tot = k
+      while (cur > 0) { cur /= 2; d += 1; tot += cur }
+      assert(len == d, s"key $k depth")
+      assert(steps == d + 1, s"key $k steps")
+      assert(sum == tot, s"key $k visited-id sum")
+    }
+    assert(out(24L)._1 == 5L) // 24 -> 12 -> 6 -> 3 -> 1 -> 0
+    assert(out(0L)._1 == 0L)  // root: base row only
+  }
 }

@@ -199,6 +199,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ListState keeps a bounded top-3 across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.statefulTop3(spark, input.toDF())
+      .writeStream.format("memory").queryName("tws_list")
+      .outputMode("append").start()
+    try {
+      // batch 1 writes 4 values (list truncates to 3); batch 2's 8.0
+      // must displace the persisted 3rd-best without batch 1's rows
+      run(q, input, Seq(
+        Seq(ev(1, 1, 1, "c", 5.0), ev(2, 2, 1, "c", 9.0),
+          ev(3, 3, 1, "c", 1.0), ev(4, 4, 1, "c", 7.0)),
+        Seq(ev(5, 5, 1, "c", 8.0))))
+      val last = spark.table("tws_list").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .maxBy(_.getAs[Long]("n_events"))
+      assert(last.getAs[Long]("n_events") == 5)
+      assert((last.getAs[Double]("top1"), last.getAs[Double]("top2"),
+        last.getAs[Double]("top3")) == ((9.0, 8.0, 7.0)))
+    } finally q.stop()
+  }
+
+  test("MapState accumulates per-type counts across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.statefulTypeCounts(spark, input.toDF())
+      .writeStream.format("memory").queryName("tws_map")
+      .outputMode("append").start()
+    try {
+      run(q, input, Seq(
+        Seq(ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "view", 1.0)),
+        Seq(ev(3, 3, 1, "click", 1.0))))
+      val byType = spark.table("tws_map").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .groupBy(_.getAs[String]("event_type"))
+        .map { case (t, rs) => t -> rs.map(_.getAs[Long]("n_events")).max }
+      assert(byType == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("state TTL expires values in a live ProcessingTime-mode query") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx = spark.sqlContext
+    // A ProcessingTime-mode query never "settles": TTL/maintenance keeps
+    // scheduling micro-batches, so processAllAvailable would hang and
+    // AvailableNow never terminates (measured). The expiry is asserted
+    // by POLLING the memory sink with a deadline instead: the processor
+    // only emits on data batches, so each addData produces exactly one
+    // observable row per key.
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new Streaming.TtlFloorProcessor(java.time.Duration.ofMillis(50)),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+      .toDF()
+      .writeStream.format("memory").queryName("tws_ttl_live")
+      .outputMode("append").start()
+    def counts(): Seq[Long] = spark.table("tws_ttl_live").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+      .map(_.getAs[Long]("n_events")).toSeq.sorted
+    def awaitRows(n: Int): Seq[Long] = {
+      val deadline = System.currentTimeMillis + 60000L
+      while (counts().size < n && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      counts()
+    }
+    try {
+      input.addData(Seq(ev(1, 1, 1, "c", 5.0), ev(2, 2, 1, "c", 3.0)))
+      assert(awaitRows(1) == Seq(2L), "first batch counts its 2 events")
+      Thread.sleep(400) // > 50 ms TTL
+      input.addData(Seq(ev(3, 3, 1, "c", 9.0)))
+      val got = awaitRows(2)
+      assert(got == Seq(1L, 2L),
+        s"batch-1 state must read as expired so batch 2 recounts from 1; got $got")
+    } finally q.stop()
+  }
+
   test("batch twin of stateful summary equals plain aggregation") {
     val data = Seq(
       ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "view", 2.0),

@@ -43,4 +43,33 @@ class WindowsSpec extends SparkSpec {
     val df = graft.operators.Windows.winFrameRange(spark, sf)
     assert(df.where($"n_7d" < 1).count() == 0)
   }
+
+  test("win_ignore_nulls: forward-fill and prev-observation replay locally") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Windows.winIgnoreNulls(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    val events = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long"),
+        col("event_type"), round(col("value"), 4))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    events.groupBy(_._2).foreach { case (_, evs) =>
+      var lastObs: Option[Double] = None
+      val firstObs = evs.sortBy(e => (e._3, e._1))
+        .find(_._4 != "view").map(_._5)
+      evs.sortBy(e => (e._3, e._1)).foreach { e =>
+        val r = rows(e._1)
+        val obs = if (e._4 != "view") Some(e._5) else None
+        assert(Option(r.getAs[java.lang.Double]("obs")).map(_.toDouble) == obs)
+        assert(Option(r.getAs[java.lang.Double]("prev_obs")).map(_.toDouble)
+          == lastObs, s"prev_obs at event ${e._1}")
+        lastObs = obs.orElse(lastObs)
+        assert(Option(r.getAs[java.lang.Double]("filled")).map(_.toDouble)
+          == lastObs, s"filled at event ${e._1}")
+        assert(Option(r.getAs[java.lang.Double]("first_obs")).map(_.toDouble)
+          == firstObs)
+      }
+    }
+  }
 }
