@@ -243,7 +243,18 @@ object ScaleProbe {
       // interval overlap: sessions grow with the entity clones, the
       // window table stays |days| — the day-bucket equi-join must
       // track the sessionize build, never sessions × windows
-      "join_interval_overlap")
+      "join_interval_overlap",
+      // line dedup (r10): one content-partitioned row_number window over
+      // the exploded segments + one doc-keyed reassembly — growth must
+      // track segment rows; the clone corpus makes EVERY segment a
+      // ×copies duplicate class (hot content keys), the worst case
+      "llm_dedup_line",
+      // boilerplate extraction (r10): pure per-row regex+HOF work —
+      // must be scan-bound at any N
+      "llm_html_extract",
+      // ignore-nulls fill (r10): one per-user sort partition over the
+      // disjoint-entity event clones — linear rows, flat per-user state
+      "win_ignore_nulls")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
