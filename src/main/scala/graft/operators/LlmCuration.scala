@@ -750,7 +750,113 @@ object LlmCuration extends OpModule {
         col("clean_text"), length(col("clean_text")).as("clean_nchars"))
   }
 
+  /** T5-style span corruption (the denoising-objective data prep:
+    * replace ~15% of tokens with numbered sentinel tokens, emit the
+    * masked spans as the target sequence): the corpus is blocked into
+    * 8-word windows; a block is masked iff the HIGH bits of the shared
+    * knuth32 gate over (doc_id·64 + block) land in the top quarter
+    * (high bits, not h mod 4 — K is ≡1 mod 4, so h mod 4 ≡ id mod 4
+    * and the low bits are NOT mixed), and a masked block loses its
+    * first ≤3 words to `<extra_id_k>` with k numbered in document
+    * order. Deterministic across runs/engines — a re-run regenerates
+    * byte-identical training pairs, which is what makes the objective
+    * auditable. All per-row HOF work: zero shuffle, scan-bound at any
+    * corpus size. */
+  def spanCorruption(s: SparkSession, d: String): DataFrame = {
+    val K = 2654435761L
+    // h(x) in HOF-lambda form (16-bit split so it is overflow-total;
+    // x ≥ 0 here so plain % matches both engines)
+    def h(x: String) =
+      s"((($x & 65535) * $K + ((($x >> 16) & 65535) * $K) % 65536 * 65536)" +
+        " % 4294967296)"
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nw", size(col("ws")))
+      .withColumn("nb", expr("cast(ceil(nw / 8.0) as int)"))
+      .withColumn("flags", expr(
+        s"transform(sequence(0, nb - 1), b -> ${h("(doc_id * 64 + b)")} * 4 div 4294967296 = 0)"))
+      .withColumn("corrupted", expr(
+        """array_join(flatten(transform(sequence(0, nb - 1), b ->
+          |  IF(element_at(flags, b + 1),
+          |    concat(
+          |      array(concat('<extra_id_',
+          |        cast(size(filter(slice(flags, 1, b), f -> f)) as string),
+          |        '>')),
+          |      slice(ws, b * 8 + 4, 5)),
+          |    slice(ws, b * 8 + 1, 8)))), ' ')""".stripMargin))
+      .withColumn("targets", expr(
+        """array_join(flatten(transform(sequence(0, nb - 1), b ->
+          |  IF(element_at(flags, b + 1),
+          |    concat(
+          |      array(concat('<extra_id_',
+          |        cast(size(filter(slice(flags, 1, b), f -> f)) as string),
+          |        '>')),
+          |      slice(ws, b * 8 + 1, 3)),
+          |    slice(ws, 1, 0)))), ' ')""".stripMargin))
+      .withColumn("n_masked", expr(
+        """size(flatten(transform(sequence(0, nb - 1), b ->
+          |  IF(element_at(flags, b + 1), slice(ws, b * 8 + 1, 3),
+          |    slice(ws, 1, 0)))))""".stripMargin))
+      .select(col("doc_id"), col("nw").as("n_words"),
+        expr("size(filter(flags, f -> f))").as("n_spans"),
+        col("n_masked"),
+        expr("n_masked * 10000L div nw").as("mask_bp"),
+        col("corrupted"), col("targets"))
+  }
+
+  /** SFT conversation assembly (the chat-format prep stage: normalize a
+    * raw interaction log into alternating-role conversations and gate
+    * which ones are usable training dialogues): each user's events in
+    * time order map to chat roles (click/signup/purchase → user,
+    * view/error → assistant), CONSECUTIVE same-role messages merge into
+    * one turn (the standard chat normalization — alternation holds by
+    * construction afterwards), and the per-conversation audit reports
+    * the gates an SFT pipeline filters on: starts with a user turn,
+    * ends with an assistant turn, ≥ 2 turns. Merged-turn content is the
+    * comma-joined event types (position-ordered — deterministic).
+    *
+    * At-scale: one per-user window pass (runs via lag + running sum —
+    * gaps-and-islands) and one per-turn aggregate, both keyed on the
+    * high-cardinality user id; no joins, no driver work. */
+  def chatFormat(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val msgs = Tables.events(s, d)
+      .withColumn("role",
+        when(col("event_type").isin("click", "signup", "purchase"), "user")
+          .otherwise("assistant"))
+      .withColumn("new_run",
+        when(lag(col("role"), 1).over(w).isNull
+          || lag(col("role"), 1).over(w) =!= col("role"), 1L).otherwise(0L))
+      .withColumn("turn_id", sum(col("new_run")).over(wRun))
+    val turns = msgs
+      .groupBy(col("user_id"), col("turn_id"))
+      .agg(first(col("role")).as("role"), count(lit(1)).as("n_msgs"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(struct(ts, event_id, event_type))), " +
+          "x -> x.event_type), ',')").as("content"))
+    turns
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("n_msgs")).as("n_msgs"),
+        count(lit(1)).as("n_turns"),
+        min(when(col("turn_id") === 1, col("role"))).as("first_role"),
+        max(when(col("turn_id") === 1, col("content"))).as("first_turn"),
+        // the max-turn_id row's role, as an argmax over (-turn_id, role)
+        expr("min(struct(-turn_id, role)).role").as("last_role"))
+      .select(col("user_id"), col("n_msgs"), col("n_turns"),
+        col("first_role"), col("last_role"), col("first_turn"),
+        (col("first_role") === "user" && col("last_role") === "assistant"
+          && col("n_turns") >= 2).as("usable"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_span_corruption" -> spanCorruption _,
+    "llm_chat_format" -> chatFormat _,
     "llm_html_extract" -> htmlExtract _,
     "llm_dedup_line" -> dedupLine _,
     "llm_epoch_plan" -> epochPlan _,
@@ -800,6 +906,83 @@ object LlmCuration extends OpModule {
       |FROM r""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // same blocked knuth32-high-bit gate, slices, and sentinel
+    // numbering; COALESCE('') because array_to_string over an empty
+    // flatten is NULL in DuckDB where Spark's array_join gives ''
+    "llm_span_corruption" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS nw,
+        |    CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS nb
+        |  FROM documents),
+        |f AS (
+        |  SELECT *, list_transform(range(0, nb), b ->
+        |    ((((doc_id * 64 + b) & 65535) * 2654435761
+        |      + ((((doc_id * 64 + b) >> 16) & 65535) * 2654435761)
+        |        % 65536 * 65536)
+        |     % 4294967296) * 4 // 4294967296 = 0) AS flags
+        |  FROM w),
+        |c AS (
+        |  SELECT *,
+        |    array_to_string(flatten(list_transform(range(0, nb), b ->
+        |      CASE WHEN flags[b + 1] THEN
+        |        list_concat(
+        |          ['<extra_id_' ||
+        |            CAST(len(list_filter(flags[1:b], x -> x)) AS VARCHAR)
+        |            || '>'],
+        |          ws[b*8+4 : b*8+8])
+        |      ELSE ws[b*8+1 : b*8+8] END)), ' ') AS corrupted,
+        |    COALESCE(array_to_string(flatten(list_transform(range(0, nb),
+        |      b -> CASE WHEN flags[b + 1] THEN
+        |        list_concat(
+        |          ['<extra_id_' ||
+        |            CAST(len(list_filter(flags[1:b], x -> x)) AS VARCHAR)
+        |            || '>'],
+        |          ws[b*8+1 : b*8+3])
+        |      ELSE [] END)), ' '), '') AS targets,
+        |    len(flatten(list_transform(range(0, nb), b ->
+        |      CASE WHEN flags[b + 1] THEN ws[b*8+1 : b*8+3]
+        |      ELSE [] END))) AS n_masked
+        |  FROM f)
+        |SELECT doc_id, CAST(nw AS INT) AS n_words,
+        |  CAST(len(list_filter(flags, x -> x)) AS INT) AS n_spans,
+        |  CAST(n_masked AS INT) AS n_masked,
+        |  CAST(n_masked * 10000 // nw AS BIGINT) AS mask_bp,
+        |  corrupted, targets
+        |FROM c""".stripMargin,
+    // same role map, gaps-and-islands run merge, and per-turn ordered
+    // string fold; arg_max replays Spark's (-turn_id, role) argmax
+    "llm_chat_format" ->
+      """WITH m AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    CASE WHEN event_type IN ('click', 'signup', 'purchase')
+        |         THEN 'user' ELSE 'assistant' END AS role
+        |  FROM events),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(role) OVER w IS NULL
+        |      OR lag(role) OVER w <> role THEN 1 ELSE 0 END AS new_run
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |n AS (
+        |  SELECT *, sum(new_run) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS turn_id
+        |  FROM r),
+        |t AS (
+        |  SELECT user_id, turn_id, min(role) AS role,
+        |    CAST(count(*) AS BIGINT) AS n_msgs,
+        |    string_agg(event_type, ',' ORDER BY ts, event_id) AS content
+        |  FROM n GROUP BY 1, 2),
+        |a AS (
+        |  SELECT user_id, CAST(sum(n_msgs) AS BIGINT) AS n_msgs,
+        |    CAST(count(*) AS BIGINT) AS n_turns,
+        |    min(CASE WHEN turn_id = 1 THEN role END) AS first_role,
+        |    arg_max(role, turn_id) AS last_role,
+        |    max(CASE WHEN turn_id = 1 THEN content END) AS first_turn
+        |  FROM t GROUP BY 1)
+        |SELECT user_id, n_msgs, n_turns, first_role, last_role, first_turn,
+        |  (first_role = 'user' AND last_role = 'assistant'
+        |    AND n_turns >= 2) AS usable
+        |FROM a""".stripMargin,
     // synthesis half mirrors the op exactly (same page template), then
     // the extractor replays: block-close tags -> newline, tag strip,
     // per-line boilerplate gates, trim + rejoin

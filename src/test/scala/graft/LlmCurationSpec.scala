@@ -398,4 +398,66 @@ class LlmCurationSpec extends SparkSpec {
     assert(emptied.nonEmpty, "exact-dup docs should lose every segment")
     emptied.foreach(r => assert(r.getAs[String]("clean_text") == ""))
   }
+
+  test("span_corruption: splicing targets back into corrupted reconstructs the doc") {
+    val out = LlmCuration.spanCorruption(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out.map(_.getAs[Int]("n_spans")).sum > 0, "fixture must mask spans")
+    out.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      // parse targets into span_k -> words
+      val tgt = r.getAs[String]("targets")
+      val spans: Map[Int, Seq[String]] =
+        if (tgt.isEmpty) Map.empty
+        else tgt.split("<extra_id_").filter(_.nonEmpty).map { seg =>
+          val k = seg.takeWhile(_ != '>').toInt
+          k -> seg.dropWhile(_ != '>').drop(1).trim
+            .split(" ").filter(_.nonEmpty).toSeq
+        }.toMap
+      assert(spans.size == r.getAs[Int]("n_spans"))
+      assert(spans.values.map(_.length).sum == r.getAs[Int]("n_masked"))
+      // splice: every sentinel in corrupted expands to its span
+      val rebuilt = r.getAs[String]("corrupted").split(" ").flatMap { w =>
+        if (w.startsWith("<extra_id_"))
+          spans(w.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Seq(w)
+      }.mkString(" ")
+      assert(rebuilt == text, s"doc ${r.getAs[Long]("doc_id")} round-trip")
+      assert(r.getAs[Long]("mask_bp")
+        == r.getAs[Int]("n_masked") * 10000L / r.getAs[Int]("n_words"))
+    }
+  }
+
+  test("chat_format: run merge and gates replay locally") {
+    import org.apache.spark.sql.functions.col
+    val out = LlmCuration.chatFormat(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val userSide = Set("click", "signup", "purchase")
+    val events = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    events.groupBy(_._1).foreach { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      val roles = ordered.map(t => if (userSide(t)) "user" else "assistant")
+      // merge consecutive same-role runs
+      val runs = roles.zip(ordered).foldLeft(Vector.empty[(String, Vector[String])]) {
+        case (acc, (role, t)) =>
+          if (acc.nonEmpty && acc.last._1 == role)
+            acc.init :+ (role, acc.last._2 :+ t)
+          else acc :+ (role, Vector(t))
+      }
+      val r = out(uid)
+      assert(r.getAs[Long]("n_msgs") == evs.length)
+      assert(r.getAs[Long]("n_turns") == runs.length)
+      assert(r.getAs[String]("first_role") == runs.head._1)
+      assert(r.getAs[String]("last_role") == runs.last._1)
+      assert(r.getAs[String]("first_turn") == runs.head._2.mkString(","))
+      assert(r.getAs[Boolean]("usable") ==
+        (runs.head._1 == "user" && runs.last._1 == "assistant"
+          && runs.length >= 2))
+    }
+  }
 }
