@@ -1506,6 +1506,55 @@ object LlmScale extends OpModule {
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
   }
 
+
+  /** Per-cluster topic labeling over the shared Lloyd clustering (the
+    * "what IS each embedding cluster" readout every corpus-exploration
+    * pipeline runs after k-means — cluster ids alone are useless to a
+    * curator): documents join their round-2 cluster assignment, and
+    * each cluster's top-3 terms rank by DOCUMENT-FREQUENCY LIFT —
+    * (df_in_cluster / docs_in_cluster) / (df_total / docs_total) in
+    * 10⁶ fixed point, computed as one exact integer expression (a
+    * PMI-style concentration score; ln-idf degenerates to all-zero on
+    * a small shared vocabulary, measured, while lift stays ordered).
+    * Ties break (tf desc, tok asc) — a total order. df ≥ 2 inside the
+    * cluster gates singleton noise.
+    *
+    * At-scale: rides the memoized Lloyd assignment (no second
+    * clustering pass); the (cluster, tok, doc) distinct and the two
+    * df aggregates partial map-side; the per-term global df table
+    * joins term-keyed; ranking is one window over K·|vocab| rows —
+    * corpus size enters only through the one token scan. */
+  def clusterTopics(s: SparkSession, d: String): DataFrame = {
+    val (_, _, a2, _) = lloyd(s, d)
+    val docTok = Tables.documents(s, d)
+      .join(a2, col("doc_id") === col("vec_id"))
+      .select(col("cluster"), col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+    val perDoc = docTok.select(col("cluster"), col("doc_id"), col("tok"))
+      .distinct()
+    val dfc = perDoc.groupBy(col("cluster"), col("tok"))
+      .agg(count(lit(1)).as("df_c"))
+    val dft = perDoc.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df_tot"))
+    val sizes = a2.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs_c"))
+    val tot = a2.agg(count(lit(1)).as("n_docs"))
+    val tf = docTok.groupBy(col("cluster"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("lift_fp").desc, col("tf").desc, col("tok"))
+    dfc.where(col("df_c") >= 2)
+      .join(dft, "tok")
+      .join(broadcast(sizes), "cluster")
+      .crossJoin(broadcast(tot))
+      .join(tf, Seq("cluster", "tok"))
+      .withColumn("lift_fp",
+        expr("df_c * n_docs * 1000000L div (n_docs_c * df_tot)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("cluster"), col("rank"), col("tok"), col("tf"),
+        col("df_c"), col("lift_fp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_pq" -> annPq _,
     "llm_ann_pq_recall" -> annPqRecall _,
@@ -1517,6 +1566,7 @@ object LlmScale extends OpModule {
     "llm_decontaminate_bloom" -> decontaminateBloom _,
     "llm_pack_sequences" -> packSequences _,
     "llm_kmeans" -> kmeans _,
+    "llm_cluster_topics" -> clusterTopics _,
     "llm_kmeans_twolevel" -> kmeansTwoLevel _,
     "llm_semdedup" -> semdedup _,
     "llm_bpe_stats" -> bpeStats _,
@@ -1833,6 +1883,42 @@ object LlmScale extends OpModule {
         |FROM pv3, tot""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_cluster_topics" ->
+      (lloydCtes + """,
+        |dt AS (
+        |  SELECT a2.cluster AS cluster, d.doc_id,
+        |    unnest(string_split(d.text, ' ')) AS tok
+        |  FROM documents d JOIN a2 ON d.doc_id = a2.vec_id),
+        |pd AS (SELECT DISTINCT cluster, doc_id, tok FROM dt),
+        |dfc AS (
+        |  SELECT cluster, tok, CAST(count(*) AS BIGINT) AS df_c
+        |  FROM pd GROUP BY 1, 2),
+        |dft AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df_tot
+        |  FROM (SELECT DISTINCT doc_id, tok FROM pd) GROUP BY 1),
+        |sz AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs_c
+        |  FROM a2 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM a2),
+        |tfx AS (
+        |  SELECT cluster, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM dt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dfc.cluster, dfc.tok, tfx.tf, dfc.df_c,
+        |    (dfc.df_c * (SELECT n_docs FROM tot) * 1000000)
+        |      // (sz.n_docs_c * dft.df_tot) AS lift_fp
+        |  FROM dfc
+        |  JOIN dft ON dfc.tok = dft.tok
+        |  JOIN sz ON dfc.cluster = sz.cluster
+        |  JOIN tfx ON dfc.cluster = tfx.cluster AND dfc.tok = tfx.tok
+        |  WHERE dfc.df_c >= 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY lift_fp DESC, tf DESC, tok) AS rank
+        |  FROM sc)
+        |SELECT cluster, CAST(rank AS INT) AS rank, tok, tf, df_c,
+        |  CAST(lift_fp AS BIGINT) AS lift_fp
+        |FROM r WHERE rank <= 3""".stripMargin),
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_apply" -> bpeApplySql,
     "llm_pca_power" -> pcaPowerSql,

@@ -225,6 +225,47 @@ object ScalarFns extends OpModule {
         |GROUP BY nk""".stripMargin)
   }
 
+  /** Regex family beyond the single extract/replace in fn_string:
+    * rlike predicate, group-2 extraction, extract-ALL (every match,
+    * array-joined in match order), match counting, backreference
+    * replace (Spark spells groups $1, DuckDB \\1 — each engine its own
+    * dialect, same semantics), and regex-delimiter splitting. Patterns
+    * stay in the RE2-compatible subset both engines agree on (no
+    * lookaround, no lazy quantifiers) — the portability discipline that
+    * also keeps them linear-time safe on adversarial 100 TB input. */
+  def fnRegex(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      col("p_name").rlike("^[a-z]+ ").as("starts_word"),
+      regexp_extract(col("p_type"), "^(\\w+) (\\w+)", 2).as("second_word"),
+      expr("array_join(regexp_extract_all(p_name, '([a-z]{5,})', 1), ',')")
+        .as("long_words"),
+      expr("regexp_count(p_name, '[aeiou]')").as("n_vowels"),
+      regexp_replace(col("p_type"), "(\\w+)ED", "$1_ed").as("ed_rewritten"),
+      size(split(col("p_name"), "[ -]")).as("n_fields"))
+
+  /** Binary/codec family — the byte-level surface every export path
+    * touches (content hashing for dedup manifests, base64/hex
+    * transport encodings, multibyte-aware lengths): utf-8 encode →
+    * base64/hex, the decode round-trip as a checked boolean, md5 +
+    * sha2-256 content digests, and octet_length vs char_length on a
+    * multibyte-augmented string (™ is 3 UTF-8 bytes — byte budgets and
+    * character budgets diverge exactly here). Per-row, codegen'd,
+    * zero-shuffle. */
+  def fnBinaryCodec(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("uni", concat(col("c_name"), lit("™")))
+      .select(
+        col("c_custkey"),
+        base64(encode(col("c_name"), "utf-8")).as("b64"),
+        lower(hex(encode(col("c_name"), "utf-8"))).as("hexed"),
+        (decode(unbase64(base64(encode(col("c_name"), "utf-8"))), "utf-8")
+          === col("c_name")).as("b64_roundtrip"),
+        md5(encode(col("c_name"), "utf-8")).as("md5_hex"),
+        sha2(encode(col("c_name"), "utf-8"), 256).as("sha256_hex"),
+        length(col("uni")).as("n_chars"),
+        octet_length(col("uni")).as("n_bytes"))
+
   /** Decimal money math under explicit precision/scale. Every output is
     * cast to a pinned DECIMAL type — engines widen intermediate precision
     * differently, so the declared result type must be forced on both
@@ -349,10 +390,34 @@ object ScalarFns extends OpModule {
     "fn_mask" -> fnMask _,
     "sql_pipe" -> sqlPipe _,
     "sql_recursive_cte" -> sqlRecursiveCte _,
+    "fn_regex" -> fnRegex _,
+    "fn_binary_codec" -> fnBinaryCodec _,
     "fn_cast_decimal" -> fnCastDecimal _
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_regex" ->
+      """SELECT p_partkey,
+        |  regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+        |  regexp_extract(p_type, '^(\w+) (\w+)', 2) AS second_word,
+        |  COALESCE(array_to_string(
+        |    regexp_extract_all(p_name, '([a-z]{5,})', 1), ','), '')
+        |    AS long_words,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+        |  regexp_replace(p_type, '(\w+)ED', '\1_ed', 'g') AS ed_rewritten,
+        |  CAST(len(regexp_split_to_array(p_name, '[ -]')) AS INT) AS n_fields
+        |FROM part""".stripMargin,
+    "fn_binary_codec" ->
+      """SELECT c_custkey,
+        |  to_base64(encode(c_name)) AS b64,
+        |  lower(hex(encode(c_name))) AS hexed,
+        |  decode(from_base64(to_base64(encode(c_name)))) = c_name
+        |    AS b64_roundtrip,
+        |  md5(c_name) AS md5_hex,
+        |  sha256(c_name) AS sha256_hex,
+        |  CAST(length(c_name || chr(8482)) AS INT) AS n_chars,
+        |  CAST(octet_length(encode(c_name || chr(8482))) AS INT) AS n_bytes
+        |FROM customer""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE chain AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS nk,

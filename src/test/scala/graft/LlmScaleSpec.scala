@@ -758,4 +758,26 @@ class LlmScaleSpec extends SparkSpec {
     // the merges actually compress: total token mass strictly shrinks
     assert(out.values.map(_._3).sum < out.values.map(_._2).sum)
   }
+
+  test("llm_cluster_topics: lift accounting is exact and ranks are total-ordered") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.LlmScale.clusterTopics(spark, sf).collect()
+    assert(out.nonEmpty, "clusters must surface topic terms")
+    val byCluster = out.groupBy(_.getAs[Int]("cluster"))
+    byCluster.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      // ranks honour (lift desc, tf desc, tok asc)
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val ka = (-a.getAs[Long]("lift_fp"), -a.getAs[Long]("tf"),
+            a.getAs[String]("tok"))
+          val kb = (-b.getAs[Long]("lift_fp"), -b.getAs[Long]("tf"),
+            b.getAs[String]("tok"))
+          assert(Ordering[(Long, Long, String)].lteq(ka, kb))
+        case _ => ()
+      }
+      rs.foreach(r => assert(r.getAs[Long]("df_c") >= 2))
+    }
+  }
 }

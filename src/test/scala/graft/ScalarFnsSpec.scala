@@ -126,4 +126,40 @@ class ScalarFnsSpec extends SparkSpec {
     assert(out(24L)._1 == 5L) // 24 -> 12 -> 6 -> 3 -> 1 -> 0
     assert(out(0L)._1 == 0L)  // root: base row only
   }
+
+  test("fn_regex: extraction/count/backref semantics on known literals") {
+    val rows = graft.operators.ScalarFns.fnRegex(spark, sf).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r).toMap
+    val parts = graft.Tables.part(spark, sf)
+      .selectExpr("p_partkey", "p_name", "p_type").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    parts.foreach { case (k, (name, typ)) =>
+      val r = rows(k)
+      assert(r.getAs[Boolean]("starts_word") == name.matches("^[a-z]+ .*"))
+      assert(r.getAs[Int]("n_vowels") == name.count("aeiou".contains(_)))
+      val words = typ.split(" ")
+      if (words.length >= 2)
+        assert(r.getAs[String]("second_word") == words(1))
+      assert(r.getAs[Int]("n_fields") == name.split("[ -]").length)
+    }
+  }
+
+  test("fn_binary_codec: digests and multibyte lengths replay locally") {
+    val rows = graft.operators.ScalarFns.fnBinaryCodec(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("b64_roundtrip"))
+      assert(r.getAs[String]("md5_hex").length == 32)
+      assert(r.getAs[String]("sha256_hex").length == 64)
+      // ™ adds 1 char but 3 utf-8 bytes
+      assert(r.getAs[Int]("n_bytes") == r.getAs[Int]("n_chars") + 2)
+    }
+    // one literal pinned end-to-end
+    import spark.implicits._
+    val one = Seq((1L, "Ab9")).toDF("c_custkey", "c_name")
+    val enc = one.selectExpr("base64(encode(c_name, 'utf-8')) AS b64",
+      "lower(hex(encode(c_name, 'utf-8'))) AS hx").head()
+    assert(enc.getString(0) == "QWI5")
+    assert(enc.getString(1) == "416239")
+  }
 }
