@@ -53,8 +53,55 @@ object PipelineOps extends OpModule {
     s.read.parquet(out)
   }
 
+  private def documentsTopicDir(d: String): String =
+    staged.computeIfAbsent(s"docs:$d", { _ =>
+      val t = java.nio.file.Paths.get(s"$scratch/docs-${UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(t)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/documents.parquet"),
+        t.resolve("documents.parquet"))
+      t.toString
+    })
+
+  /** The CURATION pipeline as a declared streaming job — the C4-style
+    * ingest path run incrementally instead of as a batch sweep: token
+    * gate → exact content dedup (`dropDuplicates` on the sha-256 of the
+    * text — stateful, append-compatible; which physical copy survives
+    * is racy, so the projected record carries ONLY content-derived
+    * fields, making the result set deterministic regardless) →
+    * content-record projection into the parquet sink topic.
+    *
+    * At-scale: the dedup state is one hash per distinct document —
+    * unbounded over an infinite stream, which is why the production
+    * twin is dropDuplicatesWithinWatermark (stream_dedup_within_wm)
+    * once documents carry event time; the gate and projection are
+    * stateless per-row systems. */
+  private[graft] def curationPipeline(d: String): Pipeline =
+    Pipeline.from("doc-curation", FileTopic(documentsTopicDir(d)))
+      // system 1: token-count quality gate (the llm_quality_filter bound)
+      .stage(_.withColumn("n_tokens", size(split(col("text"), " ")))
+        .where(col("n_tokens") >= 10 && col("n_tokens") <= 5000))
+      // system 2: content-hash the text, drop verbatim duplicates
+      .stage(_.withColumn("content_hash",
+          sha2(col("text").cast("binary"), 256))
+        .dropDuplicates("content_hash"))
+      // system 3: content-only training record (deterministic under
+      // whichever duplicate copy won)
+      // (lang is NOT projected: at sf0.1 seven duplicate texts carry
+      // conflicting lang values, so any doc-attribute column would make
+      // the surviving row racy — content-derived fields only)
+      .stage(_.select(col("content_hash"), col("n_tokens")))
+
+  def pipelineCuration(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/cur-${UUID.randomUUID()}"
+    val q = curationPipeline(d).start(s, out, s"$scratch/cur-ckpt-${UUID.randomUUID()}")
+    if (!q.awaitTermination(180000L)) q.stop()
+    s.read.parquet(out)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_e2e" -> pipelineE2e _
+    "pipeline_e2e" -> pipelineE2e _,
+    "pipeline_curation" -> pipelineCuration _
   )
 
   def oracle: Map[String, String] = Map(
@@ -68,6 +115,13 @@ object PipelineOps extends OpModule {
         |       WHEN value >= 40 THEN 'mid'
         |       ELSE 'low' END AS band
         |FROM ev
-        |WHERE event_type = 'purchase' AND value > 10""".stripMargin
+        |WHERE event_type = 'purchase' AND value > 10""".stripMargin,
+    // content-derived fields only, so DISTINCT replays the stream's
+    // racy-survivor dedup deterministically
+    "pipeline_curation" ->
+      """SELECT DISTINCT sha256(text) AS content_hash,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |FROM documents
+        |WHERE len(string_split(text, ' ')) BETWEEN 10 AND 5000""".stripMargin
   )
 }

@@ -45,4 +45,22 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == Seq((2L, 100.0), (3L, 1000.0)))
   }
+
+  test("curation pipeline: stream equals batch, duplicates collapse") {
+    val batch = PipelineOps.curationPipeline(sf).runBatch(spark)
+      .collect().map(_.toSeq).toSet
+    val streamed = PipelineOps.pipelineCuration(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // exact-dup fixture docs must have collapsed: distinct hashes only
+    val hashes = streamed.toSeq.map(_.head)
+    assert(hashes.distinct.size == hashes.size)
+    // survivor count == distinct gated texts, computed independently
+    val want = graft.Tables.documents(spark, sf)
+      .selectExpr("text", "size(split(text, ' ')) AS nt")
+      .where("nt BETWEEN 10 AND 5000")
+      .select("text").distinct().count()
+    assert(hashes.size.toLong == want)
+  }
 }
