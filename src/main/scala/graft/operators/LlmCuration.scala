@@ -854,8 +854,47 @@ object LlmCuration extends OpModule {
           && col("n_turns") >= 2).as("usable"))
   }
 
+
+  /** N-gram novelty of the test split vs the training split (the
+    * memorization/contamination readout the Gopher/PaLM analyses run:
+    * what fraction of a held-out document's word 4-grams never occur
+    * anywhere in train — low novelty means the "held-out" text is
+    * effectively memorizable from train even when no document leaked):
+    * train = the same masked-Knuth split gate as llm_split_holdout
+    * (b < 18), test = b = 19; the train side collapses to the DISTINCT
+    * gram set, each test gram OCCURRENCE probes it with one left join,
+    * and the per-doc audit reports total/novel gram counts and exact
+    * novelty basis points.
+    *
+    * At-scale: identical economics to llm_decontaminate — the train
+    * side is one distinct-aggregate (map-side combined) keyed by gram,
+    * the probe is a gram-keyed equi-join (semi-join shape), and
+    * nothing ever shuffles raw documents; output is 1 row per test
+    * doc. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("h", knuth32(col("doc_id")))
+      .withColumn("b", expr("(h * 20) div 4294967296"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nw", size(col("ws")))
+      .where(col("nw") >= 4)
+    def grams(df: DataFrame) = df.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, nw - 4), i -> array_join(slice(ws, i + 1, 4), ' '))"))
+      .as("gram"))
+    val train = grams(docs.where(col("b") < 18))
+      .select(col("gram")).distinct().withColumn("seen", lit(1))
+    grams(docs.where(col("b") === 19))
+      .join(train, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 10000 div n_grams").as("novelty_bp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_span_corruption" -> spanCorruption _,
+    "llm_ngram_novelty" -> ngramNovelty _,
     "llm_chat_format" -> chatFormat _,
     "llm_html_extract" -> htmlExtract _,
     "llm_dedup_line" -> dedupLine _,
@@ -906,6 +945,30 @@ object LlmCuration extends OpModule {
       |FROM r""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "llm_ngram_novelty" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    ((((doc_id & 65535) * 2654435761)
+        |      + ((((doc_id >> 16) & 65535) * 2654435761) % 65536)
+        |        * 65536) % 4294967296 * 20) // 4294967296 AS b,
+        |    string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS nw
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |gr AS (
+        |  SELECT doc_id, b,
+        |    unnest(list_transform(range(0, nw - 3), i ->
+        |      array_to_string(ws[i + 1 : i + 4], ' '))) AS gram
+        |  FROM g),
+        |train AS (SELECT DISTINCT gram FROM gr WHERE b < 18),
+        |test AS (SELECT doc_id, gram FROM gr WHERE b = 19)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN tr.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  (CAST(sum(CASE WHEN tr.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 10000) // CAST(count(*) AS BIGINT) AS novelty_bp
+        |FROM test t LEFT JOIN train tr ON t.gram = tr.gram
+        |GROUP BY t.doc_id""".stripMargin,
     // same blocked knuth32-high-bit gate, slices, and sentinel
     // numbering; COALESCE('') because array_to_string over an empty
     // flatten is NULL in DuckDB where Spark's array_join gives ''

@@ -225,6 +225,31 @@ object ScalarFns extends OpModule {
         |GROUP BY nk""".stripMargin)
   }
 
+  /** Calendar arithmetic beyond fn_date's field extraction — the
+    * billing/retention/reporting date algebra: month-clamped shifts
+    * (`add_months` on Jan 31 lands on Feb 28/29 — both engines clamp),
+    * month-end, next-weekday (no DuckDB builtin: the oracle replays it
+    * as isodow modular arithmetic), quarter/ISO-week labels, a
+    * formatted year-month bucket, day-of-year, and the quarter start.
+    * Deliberately EXCLUDED as cross-engine traps: `months_between`
+    * (fractional, engine-specific day weighting) and
+    * `timestampdiff(MONTH/WEEK)` (Spark counts full elapsed periods,
+    * DuckDB's date_diff counts boundary crossings — same name, different
+    * number). Per-row, codegen'd, zero-shuffle. */
+  def fnDatetimeAdvanced(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("od", col("o_orderdate").cast("date"))
+      .select(
+        col("o_orderkey"),
+        add_months(col("od"), 3).as("plus_3mo"),
+        last_day(col("od")).as("month_end"),
+        next_day(col("od"), "Monday").as("next_monday"),
+        quarter(col("od")).as("qtr"),
+        weekofyear(col("od")).as("iso_week"),
+        date_format(col("od"), "yyyy-MM").as("ym"),
+        dayofyear(col("od")).as("doy"),
+        date_trunc("quarter", col("od")).cast("date").as("quarter_start"))
+
   /** Regex family beyond the single extract/replace in fn_string:
     * rlike predicate, group-2 extraction, extract-ALL (every match,
     * array-joined in match order), match counting, backreference
@@ -391,11 +416,26 @@ object ScalarFns extends OpModule {
     "sql_pipe" -> sqlPipe _,
     "sql_recursive_cte" -> sqlRecursiveCte _,
     "fn_regex" -> fnRegex _,
+    "fn_datetime_advanced" -> fnDatetimeAdvanced _,
     "fn_binary_codec" -> fnBinaryCodec _,
     "fn_cast_decimal" -> fnCastDecimal _
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_datetime_advanced" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(od + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+        |  last_day(od) AS month_end,
+        |  CAST(od + CAST(((7 - isodow(od)) % 7 + 1) || ' days' AS INTERVAL)
+        |    AS DATE) AS next_monday,
+        |  CAST(quarter(od) AS INT) AS qtr,
+        |  CAST(weekofyear(od) AS INT) AS iso_week,
+        |  strftime(od, '%Y-%m') AS ym,
+        |  CAST(dayofyear(od) AS INT) AS doy,
+        |  CAST(date_trunc('quarter', od) AS DATE) AS quarter_start
+        |FROM o""".stripMargin,
     "fn_regex" ->
       """SELECT p_partkey,
         |  regexp_matches(p_name, '^[a-z]+ ') AS starts_word,

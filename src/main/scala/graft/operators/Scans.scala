@@ -331,6 +331,29 @@ object Scans extends OpModule {
       path
     })
 
+  /** Hidden `_metadata` file-metadata columns (the lineage surface a
+    * lakehouse audit leans on — "which file did this row come from"
+    * without a separate manifest): reads the partitioned staging and
+    * proves the path→value contract per partition — the
+    * `o_orderpriority=…` segment regex-extracted from
+    * `_metadata.file_path` must equal the column Spark restored from
+    * the directory, for EVERY row (an `every()` fold beside exact row
+    * counts). File NAMES are write-parallelism-dependent, so only
+    * path-derived, deterministic facts are emitted.
+    *
+    * At-scale: `_metadata` is populated from the file index the scan
+    * already holds — zero extra I/O; the audit is one map-side-combined
+    * aggregate per partition value. */
+  def scanMetadataCols(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(partitionedOrders(s, d))
+      .select(col("o_orderpriority"),
+        regexp_extract(col("_metadata.file_path"),
+          "o_orderpriority=([^/]+)/", 1).as("from_path"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        // partition dirs percent-encode specials ('4-NOT%20SPECIFIED')
+        expr("every(url_decode(from_path) = o_orderpriority)").as("path_matches"))
+
   /** Static partition pruning: the literal predicate on the partition
     * column must eliminate directories at planning time (PartitionFilters
     * in the scan — asserted in ScansSpec), so only ~2/5 of the data is
@@ -426,6 +449,7 @@ object Scans extends OpModule {
     "sink_custom" -> sinkCustom _,
     "maintenance_zorder" -> maintenanceZorder _,
     "scan_partitioned" -> scanPartitioned _,
+    "scan_metadata_cols" -> scanMetadataCols _,
     "scan_parquet" -> scanParquet _,
     "scan_projected" -> scanProjected _,
     "scan_csv" -> scanCsv _,
@@ -442,6 +466,10 @@ object Scans extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "scan_metadata_cols" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  TRUE AS path_matches
+        |FROM orders GROUP BY 1""".stripMargin,
     "scan_text" ->
       "SELECT doc_id, text FROM documents",
     "maintenance_stats" ->

@@ -460,4 +460,34 @@ class LlmCurationSpec extends SparkSpec {
           && runs.length >= 2))
     }
   }
+
+  test("ngram_novelty: per-doc novelty replays against a local train-gram set") {
+    import org.apache.spark.sql.functions.col
+    val out = LlmCuration.ngramNovelty(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def knuth(id: Long): Long = {
+      val K = 2654435761L
+      ((id & 65535L) * K + (((id >> 16) & 65535L) * K) % 65536L * 65536L) % 4294967296L
+    }
+    def bucket(id: Long): Long = knuth(id) * 20L / 4294967296L
+    def grams(t: String): Seq[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 4) Seq.empty
+      else (0 to ws.length - 4).map(i => ws.slice(i, i + 4).mkString(" "))
+    }
+    val train = docs.filter(d => bucket(d._1) < 18).flatMap(d => grams(d._2)).toSet
+    val tests = docs.filter(d => bucket(d._1) == 19)
+      .filter(_._2.split(" ").length >= 4)
+    assert(out.keySet == tests.map(_._1).toSet)
+    tests.foreach { case (id, text) =>
+      val gs = grams(text)
+      val novel = gs.count(!train.contains(_))
+      val r = out(id)
+      assert(r.getAs[Long]("n_grams") == gs.length)
+      assert(r.getAs[Long]("n_novel") == novel)
+      assert(r.getAs[Long]("novelty_bp") == novel.toLong * 10000 / gs.length)
+    }
+  }
 }

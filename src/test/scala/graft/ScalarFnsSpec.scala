@@ -162,4 +162,24 @@ class ScalarFnsSpec extends SparkSpec {
     assert(enc.getString(0) == "QWI5")
     assert(enc.getString(1) == "416239")
   }
+
+  test("fn_datetime_advanced: calendar algebra replays on java.time") {
+    val rows = graft.operators.ScalarFns.fnDatetimeAdvanced(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    val dates = graft.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "cast(o_orderdate as date)").collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+    dates.foreach { case (k, d) =>
+      val r = rows(k)
+      assert(r.getAs[java.sql.Date]("plus_3mo").toLocalDate == d.plusMonths(3))
+      assert(r.getAs[java.sql.Date]("month_end").toLocalDate
+        == d.withDayOfMonth(d.lengthOfMonth))
+      val nm = r.getAs[java.sql.Date]("next_monday").toLocalDate
+      assert(nm.getDayOfWeek == java.time.DayOfWeek.MONDAY
+        && nm.isAfter(d) && !nm.isAfter(d.plusDays(7)))
+      assert(r.getAs[Int]("qtr") == (d.getMonthValue + 2) / 3)
+      assert(r.getAs[Int]("doy") == d.getDayOfYear)
+      assert(r.getAs[String]("ym") == f"${d.getYear}%04d-${d.getMonthValue}%02d")
+    }
+  }
 }

@@ -267,4 +267,12 @@ class ScansSpec extends SparkSpec {
       assert(r.getAs[Long]("length") == txt.getBytes("UTF-8").length.toLong)
     }
   }
+
+  test("scan_metadata_cols: path-derived partition values match restored columns") {
+    val rows = graft.operators.Scans.scanMetadataCols(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("o_orderpriority")).distinct.length == rows.length)
+    assert(rows.forall(_.getAs[Boolean]("path_matches")))
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == graft.Tables.orders(spark, sf).count())
+  }
 }
