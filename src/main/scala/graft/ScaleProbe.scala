@@ -254,7 +254,11 @@ object ScaleProbe {
       "llm_html_extract",
       // ignore-nulls fill (r10): one per-user sort partition over the
       // disjoint-entity event clones — linear rows, flat per-user state
-      "win_ignore_nulls")
+      "win_ignore_nulls",
+      // novelty probe (r10): train collapses to the distinct gram set,
+      // probe is one gram-keyed join — must track gram mass like
+      // llm_decontaminate, never train x test
+      "llm_ngram_novelty")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
