@@ -318,7 +318,43 @@ object Aggregates extends OpModule {
         expr("count_if(l_discount >= 0.1)").as("n_deep_discount"),
         expr("count_if(l_returnflag = 'R')").as("n_returned"))
 
+  /** Spark 4 bitmap aggregates — EXACT distinct counting that stays
+    * mergeable (the re-aggregatable rollup problem: a stored
+    * count(DISTINCT) per partition cannot be summed, a stored BITMAP
+    * can be OR-merged): per order status, keys bucket via
+    * bitmap_bucket_number, each bucket folds its bit positions with
+    * bitmap_construct_agg, and the distinct count is Σ bitmap_count —
+    * reconciled in the same row against plain count(DISTINCT). The
+    * bitmap column itself is the materializable artifact: a daily
+    * rollup stores (status, bucket, bitmap) and answers any date-range
+    * distinct query with bitmap_or_agg + bitmap_count, no re-scan.
+    *
+    * At-scale: the bucket fold is a map-side-combinable fixed 4 KB
+    * buffer per (group, bucket); cardinality cost is O(buckets
+    * touched), not O(values), and exactness survives merging — the
+    * property approx sketches (agg_approx_distinct) trade away. */
+  def aggBitmap(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_bm_orders")
+    spark.sql(
+      """WITH b AS (
+        |  SELECT o_orderstatus,
+        |    bitmap_bucket_number(o_custkey) AS bkt,
+        |    bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+        |  FROM graft_bm_orders
+        |  GROUP BY o_orderstatus, bitmap_bucket_number(o_custkey)),
+        |e AS (
+        |  SELECT o_orderstatus, count(DISTINCT o_custkey) AS nd
+        |  FROM graft_bm_orders GROUP BY o_orderstatus)
+        |SELECT b.o_orderstatus,
+        |  CAST(sum(bitmap_count(bm)) AS BIGINT) AS ndv_bitmap,
+        |  CAST(max(nd) AS BIGINT) AS ndv_exact,
+        |  CAST(count(*) AS BIGINT) AS n_buckets
+        |FROM b JOIN e USING (o_orderstatus)
+        |GROUP BY b.o_orderstatus""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap" -> aggBitmap _,
     "agg_every_any" -> aggEveryAny _,
     "agg_histogram" -> aggHistogram _,
     "agg_mode" -> aggMode _,
@@ -341,6 +377,18 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // bitmap distinct == exact distinct by construction; bucket count =
+    // Spark buckets
+    // positives as (k-1) div 32768 + 1 and non-positives as k div 32768
+    // (key 0 gets its own bucket 0 — the fixture has custkey 0)
+    "agg_bitmap" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_bitmap,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_exact,
+        |  CAST(count(DISTINCT CASE WHEN o_custkey > 0
+        |    THEN (o_custkey - 1) // 32768 + 1
+        |    ELSE o_custkey // 32768 END) AS BIGINT) AS n_buckets
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // DuckDB's quantifier spellings: bool_and / bool_or; count(*) FILTER
     "agg_every_any" ->
       """SELECT o_orderstatus,

@@ -291,6 +291,82 @@ object ScalarFns extends OpModule {
         length(col("uni")).as("n_chars"),
         octet_length(col("uni")).as("n_bytes"))
 
+
+  /** EXECUTE IMMEDIATE (Spark 4 dynamic SQL): a query held as a STRING
+    * executes with positional USING parameters — the stored-procedure /
+    * query-template surface (a governed platform keeps vetted SQL
+    * templates as data and binds runtime arguments without string
+    * splicing, which is also the injection-safe form). The inner
+    * statement plans exactly like the static query — Catalyst sees the
+    * final SQL, so pushdown/pruning are unaffected. */
+  def sqlExecImmediate(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_ei_li")
+    s.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT l_returnflag, count(*) AS n_lines,
+        |     CAST(round(sum(l_quantity)) AS BIGINT) AS qty
+        |   FROM graft_ei_li WHERE l_quantity >= ? GROUP BY l_returnflag'
+        |  USING 30""".stripMargin)
+  }
+
+  /** Named-parameter SQL (spark.sql(text, args) — the :param marker
+    * API): the safe bind-variable path for programmatic SQL. Markers
+    * are typed literals at plan time, so constant folding and filter
+    * pushdown see the bound values exactly as if inlined. */
+  def sqlParameterized(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_pp_orders")
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(o_totalprice)) AS BIGINT) AS gross
+        |FROM graft_pp_orders
+        |WHERE o_totalprice BETWEEN :lo AND :hi
+        |GROUP BY o_orderstatus""".stripMargin,
+      Map("lo" -> 1000.0, "hi" -> 200000.0))
+  }
+
+  /** SQL SCRIPTING (Spark 4 BEGIN…END with session variables): a
+    * multi-statement block DECLAREs a variable, derives the cutoff with
+    * arithmetic SET statements, and the final SELECT — the block's
+    * result — filters on it. This is the procedural-warehouse surface
+    * (parameter staging, guarded maintenance scripts) executing on the
+    * same engine as the declarative plan; each statement inside is a
+    * normal Catalyst plan over the session state. */
+  def sqlScripting(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_sc_orders")
+    s.sql(
+      """BEGIN
+        |  DECLARE cutoff DOUBLE DEFAULT 100000.0;
+        |  SET cutoff = cutoff * 3;
+        |  SELECT o_orderpriority, count(*) AS n_big,
+        |    CAST(round(max(o_totalprice)) AS BIGINT) AS top_price
+        |  FROM graft_sc_orders
+        |  WHERE o_totalprice > cutoff
+        |  GROUP BY o_orderpriority;
+        |END
+        |""".stripMargin)
+  }
+
+  /** AES column encryption (aes_encrypt/aes_decrypt — the at-rest
+    * field-level protection path for exported datasets): ECB keeps the
+    * demo deterministic (same plaintext+key → same ciphertext; a real
+    * deployment uses the default GCM with a random IV and accepts
+    * nondeterminism). DuckDB has no AES twin, so the oracle checks the
+    * derivable facts: the decrypt∘encrypt round-trip, ciphertext size =
+    * PKCS#7 block count × 16, and ECB's determinism (two independent
+    * encryptions byte-equal) — the property that also makes ECB leak
+    * equality patterns, which is WHY production prefers GCM. */
+  def fnAes(s: SparkSession, d: String): DataFrame = {
+    val k = "'graftkey01234567'"
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      expr(s"cast(aes_decrypt(aes_encrypt(c_name, $k, 'ECB'), $k, 'ECB') as string) = c_name")
+        .as("roundtrip_ok"),
+      expr(s"octet_length(aes_encrypt(c_name, $k, 'ECB'))").as("ct_bytes"),
+      expr(s"aes_encrypt(c_name, $k, 'ECB') = aes_encrypt(c_name, $k, 'ECB')")
+        .as("ecb_deterministic"),
+      octet_length(col("c_name")).as("pt_bytes"))
+  }
+
   /** Decimal money math under explicit precision/scale. Every output is
     * cast to a pinned DECIMAL type — engines widen intermediate precision
     * differently, so the declared result type must be forced on both
@@ -418,10 +494,37 @@ object ScalarFns extends OpModule {
     "fn_regex" -> fnRegex _,
     "fn_datetime_advanced" -> fnDatetimeAdvanced _,
     "fn_binary_codec" -> fnBinaryCodec _,
+    "sql_exec_immediate" -> sqlExecImmediate _,
+    "sql_parameterized" -> sqlParameterized _,
+    "sql_scripting" -> sqlScripting _,
+    "fn_aes" -> fnAes _,
     "fn_cast_decimal" -> fnCastDecimal _
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_exec_immediate" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS qty
+        |FROM lineitem WHERE l_quantity >= 30 GROUP BY l_returnflag""".stripMargin,
+    "sql_parameterized" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(round(sum(o_totalprice)) AS BIGINT) AS gross
+        |FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 200000.0
+        |GROUP BY o_orderstatus""".stripMargin,
+    "sql_scripting" ->
+      """SELECT o_orderpriority, count(*) AS n_big,
+        |  CAST(round(max(o_totalprice)) AS BIGINT) AS top_price
+        |FROM orders WHERE o_totalprice > 300000.0
+        |GROUP BY o_orderpriority""".stripMargin,
+    // AES has no DuckDB twin; the oracle checks the derivable facts
+    // (round-trip TRUE, PKCS#7 padded size, ECB determinism TRUE)
+    "fn_aes" ->
+      """SELECT c_custkey, TRUE AS roundtrip_ok,
+        |  CAST((octet_length(encode(c_name)) // 16 + 1) * 16 AS INT)
+        |    AS ct_bytes,
+        |  TRUE AS ecb_deterministic,
+        |  CAST(octet_length(encode(c_name)) AS INT) AS pt_bytes
+        |FROM customer""".stripMargin,
     "fn_datetime_advanced" ->
       """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
         |  FROM orders)

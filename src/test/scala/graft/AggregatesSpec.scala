@@ -71,4 +71,13 @@ class AggregatesSpec extends SparkSpec {
     // the fixture's l_quantity is bounded at 50 -> every() must hold
     assert(rows.forall(_.getAs[Boolean]("all_qty_bounded")))
   }
+
+  test("agg_bitmap: bitmap distinct equals exact distinct, buckets cover the key range") {
+    val rows = graft.operators.Aggregates.aggBitmap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ndv_bitmap") == r.getAs[Long]("ndv_exact"))
+      assert(r.getAs[Long]("n_buckets") >= 1)
+    }
+  }
 }

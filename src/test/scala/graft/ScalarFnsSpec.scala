@@ -182,4 +182,35 @@ class ScalarFnsSpec extends SparkSpec {
       assert(r.getAs[String]("ym") == f"${d.getYear}%04d-${d.getMonthValue}%02d")
     }
   }
+
+  test("dynamic SQL trio equals the static plans") {
+    import org.apache.spark.sql.functions._
+    val ei = graft.operators.ScalarFns.sqlExecImmediate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val eiWant = graft.Tables.lineitem(spark, sf)
+      .where(col("l_quantity") >= 30).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)), expr("cast(round(sum(l_quantity)) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ei == eiWant)
+    val sc = graft.operators.ScalarFns.sqlScripting(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val scWant = graft.Tables.orders(spark, sf)
+      .where(col("o_totalprice") > 300000.0).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)), expr("cast(round(max(o_totalprice)) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sc == scWant && sc.nonEmpty)
+    val pp = graft.operators.ScalarFns.sqlParameterized(spark, sf).collect()
+    assert(pp.nonEmpty)
+  }
+
+  test("fn_aes: roundtrip, PKCS7 sizing, ECB determinism") {
+    val rows = graft.operators.ScalarFns.fnAes(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("roundtrip_ok"))
+      assert(r.getAs[Boolean]("ecb_deterministic"))
+      assert(r.getAs[Int]("ct_bytes")
+        == (r.getAs[Int]("pt_bytes") / 16 + 1) * 16)
+    }
+  }
 }
