@@ -35,6 +35,43 @@ object SortsSetOps extends OpModule {
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
       .limit(10)
 
+
+  /** OFFSET pagination (ORDER BY … LIMIT k OFFSET n — the page-2+
+    * query): Spark plans a GlobalLimit(offset+k) over the ordered
+    * stream and drops the first n at the driver, so the cost is the
+    * same top-(n+k) heap as `topk`, NOT a full sort — but cost grows
+    * with the offset (page 10 000 pays a 100 030-row heap), which is
+    * why production pagination keysets ("WHERE key > last_seen ORDER BY
+    * key LIMIT k", the limit plan at ANY page depth). The total order
+    * key makes the page deterministic. */
+  def sortOffset(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(30)
+      .limit(20)
+
+  /** Spark 4 SQL sugar — GROUP BY ALL (group on every non-aggregate
+    * select item), ORDER BY ALL (total order over the full select
+    * list), and `SELECT * EXCEPT (…)` (schema-evolution-safe wide
+    * projection: name what you DROP, inherit everything else). All
+    * three compile to the identical Catalyst plan as their explicit
+    * spellings — the test is that the sugar round-trips the semantics,
+    * and DuckDB shares all three spellings. */
+  def sqlSugar(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_sugar_orders")
+    s.sql(
+      """SELECT * EXCEPT (gross) FROM (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    count(*) AS n_orders,
+        |    CAST(round(sum(o_totalprice)) AS BIGINT) AS gross,
+        |    CAST(round(max(o_totalprice)) AS BIGINT) AS top_price
+        |  FROM graft_sugar_orders
+        |  GROUP BY ALL)
+        |ORDER BY ALL""".stripMargin)
+  }
+
+
   /** Per-partition sort (sink prep; partition-dependent → rows-only check). */
   def sortPartition(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -89,6 +126,8 @@ object SortsSetOps extends OpModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sort_global" -> sortGlobal _,
     "limit" -> limitOp _,
+    "sort_offset" -> sortOffset _,
+    "sql_sugar" -> sqlSugar _,
     "topk" -> topk _,
     "sort_partition" -> sortPartition _,
     "set_union_all" -> setUnionAll _,
@@ -100,6 +139,19 @@ object SortsSetOps extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "sort_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 30""".stripMargin,
+    "sql_sugar" ->
+      """SELECT * EXCLUDE (gross) FROM (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(round(sum(o_totalprice)) AS BIGINT) AS gross,
+        |    CAST(round(max(o_totalprice)) AS BIGINT) AS top_price
+        |  FROM orders
+        |  GROUP BY ALL)
+        |ORDER BY ALL""".stripMargin,
     "sort_global" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,

@@ -32,4 +32,30 @@ class SortsSetOpsSpec extends SparkSpec {
     assert(inter.subsetOf(unionD))
     assert(except.intersect(inter).isEmpty)
   }
+
+  test("sort_offset: page 2 equals rows 31-50 of the total order") {
+    import org.apache.spark.sql.functions.col
+    val page = graft.operators.SortsSetOps.sortOffset(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val all = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(page.toSeq == all.drop(30).toSeq)
+  }
+
+  test("sql_sugar: GROUP BY ALL / ORDER BY ALL / star-EXCEPT equal the explicit forms") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.SortsSetOps.sqlSugar(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val want = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("cast(round(max(o_totalprice)) as bigint)").as("top_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"),
+        col("n_orders"), col("top_price"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
