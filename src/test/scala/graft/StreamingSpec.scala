@@ -288,4 +288,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
       Seq((1L, 2L, 3.0), (2L, 1L, 3.0)))
   }
+
+  test("ListState + ValueState survive a checkpointed restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tws_recov").toString
+    val input = MemoryStream[Event]
+    def runOnce(): Unit = {
+      val q = Streaming.statefulTop3(spark, input.toDF())
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000L))
+    }
+    input.addData(Seq(ev(1, 1, 1, "c", 5.0), ev(2, 2, 1, "c", 9.0),
+      ev(3, 3, 1, "c", 1.0), ev(4, 4, 1, "c", 7.0)))
+    runOnce()
+    // restart from the checkpoint: the ≤3-element ListState and the
+    // count ValueState must restore, so 8.0 displaces the stored 3rd
+    input.addData(Seq(ev(5, 5, 1, "c", 8.0)))
+    runOnce()
+    val last = spark.read.parquet(s"$dir/out").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+      .maxBy(_.getAs[Long]("n_events"))
+    assert(last.getAs[Long]("n_events") == 5)
+    assert((last.getAs[Double]("top1"), last.getAs[Double]("top2"),
+      last.getAs[Double]("top3")) == ((9.0, 8.0, 7.0)))
+  }
 }
