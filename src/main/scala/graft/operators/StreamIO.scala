@@ -367,6 +367,32 @@ object StreamIO extends OpModule {
     s.table(name)
   }
 
+
+  /** LEFT-SEMI stream-stream join — the streaming EXISTS: each click
+    * emits (once) as soon as ANY purchase lands in its look-back
+    * window; extra matches emit nothing and unmatched clicks emit
+    * nothing, so there is no expiry-emission subtlety (the outer twins
+    * own that) — state economics are the inner join's. The batch twin
+    * is the EXISTS semi join over the complete data. */
+  def joinStreamSemi(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val (clicks, purchases) = clickPurchaseStreams(s, d)
+    val name = s"ss_semi_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("c_ts"),
+        "leftSemi")
+      .select(col("c_user").as("user_id"), col("click_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name)
+  }
+
   /** LEFT-OUTER stream-stream join: same interval condition as
     * join_stream_stream, but a click with no purchase emits a
     * null-padded row once its state EXPIRES — i.e. once the global
@@ -474,6 +500,7 @@ object StreamIO extends OpModule {
     "stream_checkpoint_recovery" -> checkpointRecovery _,
     "stream_output_modes" -> outputModes _,
     "join_stream_stream" -> joinStreamStream _,
+    "join_stream_semi" -> joinStreamSemi _,
     "join_stream_outer" -> joinStreamOuter _,
     "join_stream_full" -> joinStreamFull _,
     "source_custom_stream" -> sourceCustomStream _,
@@ -526,6 +553,15 @@ object StreamIO extends OpModule {
     "stream_output_modes" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+    "join_stream_semi" -> (evCte +
+      """
+        |SELECT c.user_id, c.event_id AS click_id
+        |FROM ev c
+        |WHERE c.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM ev p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND p.ts >= c.ts - INTERVAL 30 MINUTES
+        |    AND p.ts <= c.ts)""".stripMargin),
     "join_stream_stream" -> (evCte +
       """
         |SELECT c.user_id, c.event_id AS click_id,

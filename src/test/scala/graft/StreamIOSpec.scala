@@ -126,4 +126,49 @@ class StreamIOSpec extends SparkSpec {
       .select("click_id", "purchase_id").collect().toSet
     assert(streamed == batch)
   }
+
+  test("stream-stream semi join emits each matched click exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[graft.operators.Streaming.Event]
+    val ev = input.toDF()
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("c_ts"),
+        "leftSemi")
+      .select(col("c_user"), col("click_id"))
+      .writeStream.format("memory").queryName("ss_semi_t")
+      .outputMode("append").start()
+    def e(id: Long, m: Long, uid: Long, t: String) =
+      graft.operators.Streaming.Event(id,
+        new java.sql.Timestamp(1704067200000L + m * 60000L), uid, t, 1.0)
+    try {
+      // the join looks BACK 30 minutes: purchases land first, then the
+      // click arrives and probes right-side state — TWO in-window
+      // purchases must yield ONE emission; a click with no purchase
+      // in-window emits nothing
+      input.addData(Seq(e(3, 15, 1, "purchase"), e(4, 20, 1, "purchase")))
+      q.processAllAvailable()
+      input.addData(Seq(e(1, 40, 1, "click"), e(2, 42, 2, "click")))
+      q.processAllAvailable()
+      // nudge the watermark past both clicks' windows so any deferred
+      // expiry-time emission (and any incorrect duplicate) surfaces
+      input.addData(Seq(e(9, 300, 3, "purchase")))
+      q.processAllAvailable()
+      val rows = spark.table("ss_semi_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 1L)),
+        s"matched click must emit once, unmatched never: ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
