@@ -490,4 +490,21 @@ class LlmCurationSpec extends SparkSpec {
       assert(r.getAs[Long]("novelty_bp") == novel.toLong * 10000 / gs.length)
     }
   }
+
+  test("r10 curation plans: dedup_line two shuffles, html_extract zero") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // line dedup: ONE content-keyed window shuffle + ONE doc-keyed
+    // reassembly shuffle — nothing else may creep in at any scale
+    val ddl = collectFinal(LlmCuration.dedupLine(spark, sf)) {
+      case e: ShuffleExchangeExec => e }
+    assert(ddl.size == 2, s"dedup_line must shuffle exactly twice, got ${ddl.size}")
+    // boilerplate extraction is pure per-row work: zero exchanges
+    val he = collectFinal(LlmCuration.htmlExtract(spark, sf)) {
+      case e: ShuffleExchangeExec => e }
+    assert(he.isEmpty, s"html_extract must be shuffle-free, got ${he.size}")
+    // span corruption likewise per-row only
+    val sc = collectFinal(LlmCuration.spanCorruption(spark, sf)) {
+      case e: ShuffleExchangeExec => e }
+    assert(sc.isEmpty, s"span_corruption must be shuffle-free, got ${sc.size}")
+  }
 }
