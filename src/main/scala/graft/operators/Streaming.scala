@@ -243,17 +243,21 @@ object Streaming extends OpModule {
     override def handleInputRows(
         key: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTop3] = {
-      val prev = if (top.exists()) top.get().toArray else Array.empty[Double]
       var n = if (cnt.exists()) cnt.get() else 0L
-      val buf = scala.collection.mutable.ArrayBuffer.from(prev)
-      rows.foreach { e => n += 1; buf += e.value }
-      val best = buf.sorted(Ordering[Double].reverse).take(3).toArray
-      top.put(best)
+      // bounded FOLD, not a batch sort: a hot key's micro-batch may carry
+      // millions of rows — each offers into the 3-slot array in O(1)
+      val best = Array.fill(3)(Double.NegativeInfinity)
+      def offer(v: Double): Unit = if (v > best(2)) {
+        best(2) = v
+        if (best(2) > best(1)) { val t = best(1); best(1) = best(2); best(2) = t }
+        if (best(1) > best(0)) { val t = best(0); best(0) = best(1); best(1) = t }
+      }
+      if (top.exists()) top.get().foreach(offer)
+      rows.foreach { e => n += 1; offer(e.value) }
+      top.put(best.filter(_ > Double.NegativeInfinity))
       cnt.update(n)
-      // pad with -inf sentinel; the caller projects NULLs via nullif
-      def at(i: Int): Double =
-        if (i < best.length) best(i) else Double.NegativeInfinity
-      Iterator(UserTop3(key, n, at(0), at(1), at(2)))
+      // -inf sentinel pads missing slots; the caller projects NULLs via nullif
+      Iterator(UserTop3(key, n, best(0), best(1), best(2)))
     }
   }
 
