@@ -258,7 +258,11 @@ object ScaleProbe {
       // novelty probe (r10): train collapses to the distinct gram set,
       // probe is one gram-keyed join — must track gram mass like
       // llm_decontaminate, never train x test
-      "llm_ngram_novelty")
+      "llm_ngram_novelty",
+      // batch transformWithState over the disjoint-entity event clones:
+      // RocksDB keyed state at 10x/30x the keys — growth must be ~linear
+      // in rows with per-key state fixed (3-slot list / |types| map)
+      "stream_tws_list", "stream_tws_map")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
