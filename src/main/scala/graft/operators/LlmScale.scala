@@ -596,6 +596,73 @@ object LlmScale extends OpModule {
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
   }
 
+
+  /** Recall-vs-nprobe SWEEP — the tuning curve behind llm_ann_recall's
+    * single point (an IVF deployment picks nprobe by exactly this
+    * measurement: recall@3 and candidate-evaluation cost at nprobe ∈
+    * {1, 2, 4}): probe ranks are computed ONCE over all K centroids,
+    * the candidate distances once over the nprobe=4 superset (then
+    * checkpointed — each sweep level filters and re-ranks the
+    * materialized rows instead of re-joining the corpus), and each
+    * level reports exact hit counts against the exact top-3 plus its
+    * exact candidate count — the cost the extra recall buys, made a
+    * number. Monotonicity (recall and cost both non-decreasing in
+    * nprobe) is spec-asserted.
+    *
+    * At-scale: identical economics to llm_ann_ivf_kmeans with nprobe=4
+    * — per-query work ≈ 4·(N/K) — plus the brute exact side that every
+    * recall evaluation pays on its sampled query set. */
+  def annRecallSweep(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (qvec, _, a2, c2) = lloyd(s, d)
+    val cent = centroidArrays(c2).select(col("cid").as("cluster"), col("cv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+    val pranks = qvec.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      .crossJoin(broadcast(cent))
+      .select(col("qid"), col("qq"), col("cluster"),
+        expr("squared_distance(qq, cv)").as("cdist"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= 4)
+      .select(col("qid"), col("qq"), col("cluster"), col("pr"))
+    val cands = MemoUtil.scratch(qvec.join(a2, "vec_id")
+      .join(broadcast(pranks), "cluster")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"), col("pr"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .localCheckpoint())
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val exact3 = MemoUtil.scratch(qvec
+      .crossJoin(broadcast(qvec.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wExact))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+      .localCheckpoint())
+    Seq(1, 2, 4).map { np =>
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dist").asc, col("cand_id").asc)
+      val ivf3 = cands.where(col("pr") <= np)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("cand_id"))
+      val nCand = cands.where(col("pr") <= np)
+        .agg(count(lit(1)).as("n_candidates"))
+      exact3
+        .join(ivf3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+        .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(nCand))
+        .select(lit(np).as("nprobe"), col("n_hits"), col("n_truth"),
+          expr("n_hits * 10000L div n_truth").as("recall_bp"),
+          col("n_candidates"))
+    }.reduce(_.union(_))
+  }
+
   // ── llm_kmeans_twolevel ───────────────────────────────────────────────
 
   /** Two-level coarse quantizer AGREEMENT EVALUATION. Since round 7 the
@@ -1581,7 +1648,8 @@ object LlmScale extends OpModule {
     "llm_ann_ivf_kmeans" -> annIvfKmeans _,
     "llm_gram_matrix" -> gramMatrix _,
     "llm_dedup_substring" -> dedupSubstring _,
-    "llm_ann_recall" -> annRecall _
+    "llm_ann_recall" -> annRecall _,
+    "llm_ann_recall_sweep" -> annRecallSweep _
   )
 
   /** Hierarchical-assign CTE block, prefix `p`: per-dim centroid table
@@ -2024,6 +2092,55 @@ object LlmScale extends OpModule {
         |    row_number() OVER (PARTITION BY qid
         |                       ORDER BY dist ASC, cand_id ASC) AS rank
         |  FROM cd) WHERE rank <= 3""".stripMargin),
+    "llm_ann_recall_sweep" ->
+      (lloydCtes + annIvfCtes + """,
+        |prk AS (
+        |  SELECT qid, cluster, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cdist ASC, cluster ASC) AS pr
+        |  FROM qd),
+        |cand AS MATERIALIZED (
+        |  SELECT p.qid, a2.vec_id AS cand_id, p.pr,
+        |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+        |  FROM prk p
+        |  JOIN a2 ON a2.cluster = p.cluster AND a2.vec_id != p.qid
+        |  JOIN dims dq ON dq.vec_id = p.qid
+        |  JOIN dims dc ON dc.vec_id = a2.vec_id AND dc.dim = dq.dim
+        |  WHERE p.pr <= 4
+        |  GROUP BY 1, 2, 3),
+        |exd AS MATERIALIZED (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq
+        |  JOIN dims dc ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10
+        |  GROUP BY 1, 2),
+        |ex3 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM exd) WHERE rn <= 3),
+        |iv AS (
+        |  SELECT np, qid, cand_id FROM (
+        |    SELECT n.np, c.qid, c.cand_id,
+        |      row_number() OVER (PARTITION BY n.np, c.qid
+        |        ORDER BY c.dist ASC, c.cand_id ASC) AS rank
+        |    FROM cand c CROSS JOIN (VALUES (1), (2), (4)) n(np)
+        |    WHERE c.pr <= n.np) WHERE rank <= 3),
+        |nc AS (
+        |  SELECT n.np, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM cand c CROSS JOIN (VALUES (1), (2), (4)) n(np)
+        |  WHERE c.pr <= n.np GROUP BY 1),
+        |hits AS (
+        |  SELECT n.np, CAST(count(i.cand_id) AS BIGINT) AS n_hits,
+        |    CAST(count(*) AS BIGINT) AS n_truth
+        |  FROM (VALUES (1), (2), (4)) n(np)
+        |  CROSS JOIN ex3 e
+        |  LEFT JOIN iv i ON i.np = n.np AND i.qid = e.qid
+        |    AND i.cand_id = e.cand_id
+        |  GROUP BY 1)
+        |SELECT h.np AS nprobe, h.n_hits, h.n_truth,
+        |  h.n_hits * 10000 // h.n_truth AS recall_bp, nc.n_candidates
+        |FROM hits h JOIN nc USING (np)""".stripMargin),
     "llm_ann_recall" ->
       (lloydCtes + annIvfCtes + """,
         |iv AS (

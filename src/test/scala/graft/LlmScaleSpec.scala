@@ -780,4 +780,24 @@ class LlmScaleSpec extends SparkSpec {
       rs.foreach(r => assert(r.getAs[Long]("df_c") >= 2))
     }
   }
+
+  test("ann_recall_sweep: recall and cost are monotone in nprobe, nprobe=2 matches llm_ann_recall") {
+    val rows = graft.operators.LlmScale.annRecallSweep(spark, sf).collect()
+      .map(r => r.getAs[Int]("nprobe") -> r).toMap
+    assert(rows.keySet == Set(1, 2, 4))
+    val byNp = Seq(1, 2, 4).map(rows)
+    byNp.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.getAs[Long]("recall_bp") <= b.getAs[Long]("recall_bp"))
+      assert(a.getAs[Long]("n_candidates") <= b.getAs[Long]("n_candidates"))
+    }
+    byNp.foreach { r =>
+      assert(r.getAs[Long]("n_truth") == 30L) // 10 queries x top-3
+      assert(r.getAs[Long]("recall_bp")
+        == r.getAs[Long]("n_hits") * 10000 / 30)
+    }
+    // the sweep's nprobe=2 level IS llm_ann_recall's total
+    val single = graft.operators.LlmScale.annRecall(spark, sf).collect()
+      .map(_.getAs[Long]("n_hit")).sum
+    assert(rows(2).getAs[Long]("n_hits") == single)
+  }
 }

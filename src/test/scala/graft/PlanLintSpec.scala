@@ -50,7 +50,7 @@ class PlanLintSpec extends SparkSpec {
     // BOUNDED probe/codebook sets (10 broadcast queries, K-row
     // centroid/supercell tables — constant in corpus size)
     "llm_similarity_topk", "llm_hard_negatives", "llm_ann_recall",
-    "llm_ann_pq_recall", "llm_ann_ivf_kmeans", "llm_kmeans_twolevel"
+    "llm_ann_pq_recall", "llm_ann_ivf_kmeans", "llm_kmeans_twolevel", "llm_ann_recall_sweep"
   )
 
   test("no registered batch query plans a CartesianProduct; BNLJ census is pinned") {
