@@ -262,7 +262,11 @@ object ScaleProbe {
       // batch transformWithState over the disjoint-entity event clones:
       // RocksDB keyed state at 10x/30x the keys — growth must be ~linear
       // in rows with per-key state fixed (3-slot list / |types| map)
-      "stream_tws_list", "stream_tws_map")
+      "stream_tws_list", "stream_tws_map",
+      // watermarked stream-stream joins over the cloned topic (real
+      // micro-batches): state is O(join-window x rate) per side — growth
+      // must track rows through the batch schedule, never pairs
+      "join_stream_stream", "join_stream_semi")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

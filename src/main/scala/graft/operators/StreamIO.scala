@@ -95,9 +95,21 @@ object StreamIO extends OpModule {
     stagedDirs.computeIfAbsent(d, { dir =>
       val target = java.nio.file.Paths.get(fresh("events_src"))
       java.nio.file.Files.createDirectories(target)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        target.resolve("events.parquet"))
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      // directory-shaped datasets (ScaleProbe clones) contribute their
+      // PART files — Files.copy on the dir itself stages an empty topic
+      // (the dupEventsDir r8 fix, applied here when the stream joins
+      // joined the probe list)
+      val parts: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val ps = java.nio.file.Files.list(src).iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          require(ps.nonEmpty, s"no parquet part files under $src")
+          ps
+        } else Seq(src)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.copy(p, target.resolve(f"events_$i%03d.parquet"))
+      }
       target.toString
     })
 
