@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
+    // inert unless spark.graft.lsh.rewrite.enabled=true (approximation
+    // opt-in — see CosineLshRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -201,9 +204,9 @@ object GraftExtensions {
     * twin of `injectOptimizerRule`; the rules themselves are idempotent,
     * and so is this — already-installed rules are not re-added). */
   def installOptimizations(spark: SparkSession): Unit = {
+    val rules = Seq(graft.plans.LevenshteinGuard, graft.plans.CosineLshRewrite)
     val current = spark.experimental.extraOptimizations
-    if (!current.contains(graft.plans.LevenshteinGuard))
-      spark.experimental.extraOptimizations =
-        current :+ graft.plans.LevenshteinGuard
+    spark.experimental.extraOptimizations =
+      current ++ rules.filterNot(current.contains)
   }
 }

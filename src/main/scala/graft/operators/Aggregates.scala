@@ -380,14 +380,19 @@ object Aggregates extends OpModule {
     // bitmap distinct == exact distinct by construction; bucket count =
     // Spark buckets
     // positives as (k-1) div 32768 + 1 and non-positives as k div 32768
-    // (key 0 gets its own bucket 0 — the fixture has custkey 0)
+    // (key 0 gets its own bucket 0 — the fixture has custkey 0).
+    // Non-positive branch spelled -((-k) // 32768): Spark's
+    // bitmap_bucket_number uses Java long division (trunc toward zero)
+    // while DuckDB '//' FLOORS — they diverge for negative keys (-5:
+    // Spark 0, floor -1); negating into the non-negative domain makes
+    // floor ≡ trunc, so the replay holds for any key sign (ADVICE r10)
     "agg_bitmap" ->
       """SELECT o_orderstatus,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_bitmap,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_exact,
         |  CAST(count(DISTINCT CASE WHEN o_custkey > 0
         |    THEN (o_custkey - 1) // 32768 + 1
-        |    ELSE o_custkey // 32768 END) AS BIGINT) AS n_buckets
+        |    ELSE -((-o_custkey) // 32768) END) AS BIGINT) AS n_buckets
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // DuckDB's quantifier spellings: bool_and / bool_or; count(*) FILTER
     "agg_every_any" ->

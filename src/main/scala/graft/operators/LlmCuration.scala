@@ -753,10 +753,11 @@ object LlmCuration extends OpModule {
   /** T5-style span corruption (the denoising-objective data prep:
     * replace ~15% of tokens with numbered sentinel tokens, emit the
     * masked spans as the target sequence): the corpus is blocked into
-    * 8-word windows; a block is masked iff the HIGH bits of the shared
-    * knuth32 gate over (doc_id·64 + block) land in the top quarter
-    * (high bits, not h mod 4 — K is ≡1 mod 4, so h mod 4 ≡ id mod 4
-    * and the low bits are NOT mixed), and a masked block loses its
+    * 8-word windows; a block is masked iff the shared knuth32 gate over
+    * (doc_id·64 + block) lands in the BOTTOM quarter of the 32-bit
+    * range (h < 2³⁰, i.e. the high two bits are 00 — judged on high
+    * bits, not h mod 4: K is ≡1 mod 4, so h mod 4 ≡ id mod 4 and the
+    * low bits are NOT mixed), and a masked block loses its
     * first ≤3 words to `<extra_id_k>` with k numbered in document
     * order. Deterministic across runs/engines — a re-run regenerates
     * byte-identical training pairs, which is what makes the objective

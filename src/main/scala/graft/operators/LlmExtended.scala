@@ -455,6 +455,35 @@ object LlmExtended extends OpModule {
       .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))
   }
 
+  /** llm_dedup_embed written the way a USER writes it — a brute-force
+    * cosine-threshold self-join with no join key — and rescued by the
+    * CosineLshRewrite optimizer rule (plans/CosineLshRewrite.scala, the
+    * SURVEY §4.3 `Rule[LogicalPlan]` row): with
+    * `spark.graft.lsh.rewrite.enabled=true` the optimizer rewrites the
+    * would-be BroadcastNestedLoopJoin into the sign-cell-bucketed
+    * equi-join dedupEmbed hand-writes, so the registered plan shuffles
+    * once on the cell key instead of materializing N² pairs. Runs on a
+    * derived session: the opt-in flag and the extra optimizer rule must
+    * not leak into sibling queries that legitimately plan bounded
+    * nested loops over cosine scores. Oracle: the identical bucketed
+    * replay as llm_dedup_embed — the rewrite IS that algorithm, and
+    * CustomSurfaceSpec asserts the plan shape both with and without the
+    * flag. */
+  def lshAutoRewrite(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    graft.GraftExtensions.register(s)
+    graft.GraftExtensions.installOptimizations(s)
+    s.conf.set(graft.plans.CosineLshRewrite.Flag, "true")
+    val emb = Tables.embeddings(s, d)
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    a.join(b, col("ida") < col("idb") && expr("cosine_sim(ea, eb)") >= 0.5)
+      .select(col("ida"), col("idb"),
+        round(expr("cosine_sim(ea, eb)"), 4).as("cos"))
+  }
+
   /** IVF-style approximate nearest neighbor: coarse cells from the sign
     * bits of the first 8 dimensions (deterministic stand-in for k-means
     * centroids), probe = own cell + its 8 hamming-1 neighbors, exact
@@ -628,6 +657,24 @@ object LlmExtended extends OpModule {
       .where(col("rn") <= 20)
   }
 
+  private lazy val dedupEmbedOracleSql: String =
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+       |            ELSE 0 END for i in range(0, 8)]),
+       |      (a, x) -> a + x) AS cell
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS ida, embedding AS ea,
+       |    unnest(list_distinct(list_prepend(cell,
+       |      [xor(cell, 1::BIGINT << j) for j in range(0, 8)]))) AS probe
+       |  FROM cells)
+       |SELECT p.ida, c.vec_id AS idb,
+       |  round(${duckCos("p.ea", "c.embedding")}, 4) AS cos
+       |FROM probes p JOIN cells c ON c.cell = p.probe AND p.ida < c.vec_id
+       |WHERE ${duckCos("p.ea", "c.embedding")} >= 0.5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udtf_ngrams" -> udtfNgrams _,
     "llm_dedup_simhash" -> dedupSimhash _,
@@ -641,6 +688,7 @@ object LlmExtended extends OpModule {
     // same output 0.66 s/round.
     "llm_dedup_containment" -> dedupContainment _,
     "llm_dedup_embed" -> dedupEmbed _,
+    "llm_lsh_autorewrite" -> lshAutoRewrite _,
     "llm_ann_ivf" -> annIvf _,
     "llm_lang_id" -> langId _,
     "llm_quality_score" -> qualityScore _,
@@ -756,23 +804,10 @@ object LlmExtended extends OpModule {
          |WHERE bit_count(xor(a.fp_lo, b.fp_lo)::BIT)
          |        + bit_count(xor(a.fp_hi, b.fp_hi)::BIT) <= 3""".stripMargin),
     "llm_dedup_ngram" -> ngramOracleSql,
-    "llm_dedup_embed" ->
-      (s"""WITH cells AS (
-          |  SELECT vec_id, embedding,
-          |    list_reduce(list_prepend(0::BIGINT,
-          |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
-          |            ELSE 0 END for i in range(0, 8)]),
-          |      (a, x) -> a + x) AS cell
-          |  FROM embeddings),
-          |probes AS (
-          |  SELECT vec_id AS ida, embedding AS ea,
-          |    unnest(list_distinct(list_prepend(cell,
-          |      [xor(cell, 1::BIGINT << j) for j in range(0, 8)]))) AS probe
-          |  FROM cells)
-          |SELECT p.ida, c.vec_id AS idb,
-          |  round(${duckCos("p.ea", "c.embedding")}, 4) AS cos
-          |FROM probes p JOIN cells c ON c.cell = p.probe AND p.ida < c.vec_id
-          |WHERE ${duckCos("p.ea", "c.embedding")} >= 0.5""".stripMargin),
+    "llm_dedup_embed" -> dedupEmbedOracleSql,
+    // the rewrite rule PRODUCES the bucketed algorithm, so the rewritten
+    // brute-force spelling shares llm_dedup_embed's oracle verbatim
+    "llm_lsh_autorewrite" -> dedupEmbedOracleSql,
     "llm_ann_ivf" ->
       (s"""WITH cells AS (
           |  SELECT vec_id, embedding,

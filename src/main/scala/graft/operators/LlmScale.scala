@@ -1103,11 +1103,16 @@ object LlmScale extends OpModule {
           .as("p"))
         .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .agg(sum(col("c")).as("cnt"))
-      // global argmax over the |pairs| aggregate (vocab-sized, never
-      // corpus-sized — the bm25 qterms precedent for a keyless window)
-      val w = Window.orderBy(col("cnt").desc, col("pa"), col("pb"))
-      val top = pairs.withColumn("r", row_number().over(w))
-        .where(col("r") === 1).select(col("pa"), col("pb"), col("cnt"))
+      // global argmax as a 1-ROW AGGREGATE: min over struct(-cnt, pa,
+      // pb) — lexicographic struct order reproduces (cnt desc, pa, pb)
+      // with the same binary string comparator the window used, but
+      // map-side partials replace the keyless-window single-task sort
+      // over the (web-scale-large) pair census (VERDICT r10 watch item)
+      val top = pairs
+        .agg(min(struct((-col("cnt")).as("nc"), col("pa"), col("pb")))
+          .as("m"))
+        .select(col("m.pa").as("pa"), col("m.pb").as("pb"),
+          (-col("m.nc")).as("cnt"))
       syms = MemoUtil.scratch(
         syms.crossJoin(broadcast(top))
           .select(col("c"), expr(
@@ -1170,9 +1175,12 @@ object LlmScale extends OpModule {
           .as("p"))
         .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .agg(sum(col("c")).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("pa"), col("pb"))
-      val top = pairs.withColumn("r", row_number().over(w))
-        .where(col("r") === 1).select(col("pa"), col("pb"))
+      // same 1-row min(struct) argmax as bpeTrain's election (identical
+      // comparator, so the tokenizer stays byte-identical to train's)
+      val top = pairs
+        .agg(min(struct((-col("cnt")).as("nc"), col("pa"), col("pb")))
+          .as("m"))
+        .select(col("m.pa").as("pa"), col("m.pb").as("pb"))
       syms = MemoUtil.scratch(
         syms.crossJoin(broadcast(top))
           .select(col("w"), col("c"), expr(

@@ -19,16 +19,17 @@ object PipelineOps extends OpModule {
   private lazy val scratch: String =
     java.nio.file.Files.createTempDirectory("graft_pipeline").toString
 
-  /** Stage the single-file fixture into a directory topic (file sources
-    * watch directories), once per (JVM, sfDir). */
+  /** Stage the fixture (single file or part-file directory — ScaleProbe
+    * clone tiers are directory-shaped) into a directory topic (file
+    * sources watch directories), once per (JVM, sfDir). Shared
+    * part-aware copy: StageUtil (ADVICE r10 — a bare Files.copy on a
+    * directory-shaped dataset stages a silently EMPTY topic). */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def eventsTopicDir(d: String): String =
     staged.computeIfAbsent(d, { dir =>
       val t = java.nio.file.Paths.get(s"$scratch/events-${UUID.randomUUID()}")
-      java.nio.file.Files.createDirectories(t)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        t.resolve("events.parquet"))
+      StageUtil.stageTopic(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), t, "events")
       t.toString
     })
 
@@ -56,10 +57,8 @@ object PipelineOps extends OpModule {
   private def documentsTopicDir(d: String): String =
     staged.computeIfAbsent(s"docs:$d", { _ =>
       val t = java.nio.file.Paths.get(s"$scratch/docs-${UUID.randomUUID()}")
-      java.nio.file.Files.createDirectories(t)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/documents.parquet"),
-        t.resolve("documents.parquet"))
+      StageUtil.stageTopic(
+        java.nio.file.Paths.get(s"$d/documents.parquet"), t, "documents")
       t.toString
     })
 

@@ -46,8 +46,13 @@ object Retrieval extends OpModule {
     * build", shared shape with llm_tfidf), the 5-term query table
     * broadcasts, tf is one (doc, term) hash aggregate over the
     * semi-joined explode — the corpus shuffles once, keyed (doc, term).
-    * The final top-20 is a window over ≤ N·5 scored rows reduced to one
-    * tiny ordered pass (rows already collapsed per doc). */
+    * Both rankings (the 5-term query election over the vocabulary and
+    * the final top-20 over the per-doc scores) are orderBy().limit(k)
+    * — TakeOrderedAndProject keeps a k-row heap PER PARTITION and
+    * merges k·partitions rows on one task, vs a keyless row_number
+    * window that sorts the whole input through one task (VERDICT r10's
+    * only scale finding; PlanLintSpec now gates the class). `rank`
+    * derives from a window over the ALREADY-LIMITED k rows. */
   def bm25(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(s, d)
     val docs = Tables.documents(s, d)
@@ -56,12 +61,10 @@ object Retrieval extends OpModule {
     val total = toks.agg(count(lit(1)).as("total")) // 1 row → broadcast
     val dfreq = toks.select(col("tok"), col("doc_id")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val qw = Window.orderBy(col("df").desc, col("tok"))
     val qterms = dfreq.crossJoin(broadcast(nDocs))
       .where(col("df") * 4 <= col("n_docs"))
-      .select(col("tok"), col("df"),
-        row_number().over(qw).as("qrank"))
-      .where(col("qrank") <= 5)
+      .select(col("tok"), col("df"))
+      .orderBy(col("df").desc, col("tok")).limit(5)
     val tf = toks.join(broadcast(qterms.select(col("tok"))), "tok")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val scored = tf
@@ -83,10 +86,12 @@ object Retrieval extends OpModule {
           .cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("c_fp")).as("score_fp"))
+    // distributed top-20 (TakeOrderedAndProject); the rank window runs
+    // over the 20-row result only — bounded by the limit beneath it
+    val top = scored.orderBy(col("score_fp").desc, col("doc_id")).limit(20)
     val w = Window.orderBy(col("score_fp").desc, col("doc_id"))
-    scored
+    top
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 20)
       .select(col("rank"), col("doc_id"), col("n_terms"), col("score_fp"),
         round(col("score_fp") / 1e6, 6).as("score"))
   }
@@ -106,10 +111,11 @@ object Retrieval extends OpModule {
   def vocabCoverage(s: SparkSession, d: String): DataFrame = {
     val lt = tokens(s, d)
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
-    val vw = Window.orderBy(col("gcnt").desc, col("tok"))
+    // top-500 via orderBy().limit() (TakeOrderedAndProject): |V| is
+    // web-scale large, so even the aggregated-domain ranking avoids the
+    // single-task keyless-window sort (VERDICT r10 watch item)
     val vocab = lt.groupBy(col("tok")).agg(sum(col("cnt")).as("gcnt"))
-      .withColumn("vrank", row_number().over(vw))
-      .where(col("vrank") <= 500)
+      .orderBy(col("gcnt").desc, col("tok")).limit(500)
       .select(col("tok"))
     lt.join(broadcast(vocab.withColumn("in_vocab", lit(true))),
         Seq("tok"), "left")
@@ -167,8 +173,13 @@ object Retrieval extends OpModule {
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= 2)
+    // distributed top-25 (TakeOrderedAndProject, not a keyless window:
+    // the surviving pair set grows with the corpus even under the df
+    // cap — VERDICT r10); rank windows over the 25-row result only
+    val top = pairs.orderBy(col("n_shared").desc, col("a"), col("b"))
+      .limit(25)
     val w = Window.orderBy(col("n_shared").desc, col("a"), col("b"))
-    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= 25)
+    top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("a"), col("b"), col("n_shared"))
   }
 

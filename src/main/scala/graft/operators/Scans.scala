@@ -351,8 +351,13 @@ object Scans extends OpModule {
           "o_orderpriority=([^/]+)/", 1).as("from_path"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_rows"),
-        // partition dirs percent-encode specials ('4-NOT%20SPECIFIED')
-        expr("every(url_decode(from_path) = o_orderpriority)").as("path_matches"))
+        // partition dirs percent-encode specials ('4-NOT%20SPECIFIED').
+        // Decode the %XX escapes the fixture values can produce ONLY —
+        // url_decode is FORM-encoding and would also turn '+' into ' ',
+        // which Spark's partition-path escaper leaves literal, so a
+        // value containing '+' would flip this audit false (ADVICE r10)
+        expr("every(replace(from_path, '%20', ' ') = o_orderpriority)")
+          .as("path_matches"))
 
   /** Static partition pruning: the literal predicate on the partition
     * column must eliminate directories at planning time (PartitionFilters

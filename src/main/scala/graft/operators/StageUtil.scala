@@ -1,0 +1,35 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+/** Shared fixture→topic staging (ADVICE r10): every file-source "topic"
+  * dir is fed by copying a parquet dataset that is EITHER a single file
+  * (the driver fixture) OR a directory of part files (ScaleProbe clone
+  * tiers, planted spec fixtures). A bare `Files.copy` on the directory
+  * shape silently creates an EMPTY topic — the bug class StreamIO fixed
+  * twice (r8 dupEventsDir, r10 eventsDir) before PipelineOps copied the
+  * broken form. One helper, used by every topic-staging site.
+  */
+private[operators] object StageUtil {
+
+  /** The parquet payload files of `src`: itself if a plain file, else
+    * its `*.parquet` children (part files). Fails loudly on an empty
+    * directory — the silent-empty-topic failure mode this exists for. */
+  def parquetParts(src: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (java.nio.file.Files.isDirectory(src)) {
+      val ps = java.nio.file.Files.list(src).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      require(ps.nonEmpty, s"no parquet part files under $src")
+      ps
+    } else Seq(src)
+
+  /** Copy every payload file of `src` into the (created) `target` topic
+    * dir as `<prefix>_NNN.parquet`. */
+  def stageTopic(src: java.nio.file.Path, target: java.nio.file.Path,
+                 prefix: String): Unit = {
+    java.nio.file.Files.createDirectories(target)
+    parquetParts(src).zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p, target.resolve(f"${prefix}_$i%03d.parquet"))
+    }
+  }
+}

@@ -94,22 +94,12 @@ object StreamIO extends OpModule {
   private def eventsDir(d: String): String =
     stagedDirs.computeIfAbsent(d, { dir =>
       val target = java.nio.file.Paths.get(fresh("events_src"))
-      java.nio.file.Files.createDirectories(target)
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      // directory-shaped datasets (ScaleProbe clones) contribute their
-      // PART files — Files.copy on the dir itself stages an empty topic
-      // (the dupEventsDir r8 fix, applied here when the stream joins
-      // joined the probe list)
-      val parts: Seq[java.nio.file.Path] =
-        if (java.nio.file.Files.isDirectory(src)) {
-          val ps = java.nio.file.Files.list(src).iterator.asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          require(ps.nonEmpty, s"no parquet part files under $src")
-          ps
-        } else Seq(src)
-      parts.zipWithIndex.foreach { case (p, i) =>
-        java.nio.file.Files.copy(p, target.resolve(f"events_$i%03d.parquet"))
-      }
+      // part-aware copy (StageUtil): directory-shaped datasets
+      // (ScaleProbe clones) contribute their PART files — Files.copy on
+      // the dir itself stages an empty topic (the dupEventsDir r8 fix,
+      // shared with PipelineOps since r11)
+      StageUtil.stageTopic(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), target, "events")
       target.toString
     })
 
@@ -135,24 +125,96 @@ object StreamIO extends OpModule {
   private def dupEventsDir(d: String): String =
     dupDirs.computeIfAbsent(d, { dir =>
       val target = java.nio.file.Paths.get(fresh("events_dup"))
-      java.nio.file.Files.createDirectories(target)
+      // two part-aware copies of the same dataset (StageUtil — the r8
+      // directory-shape fix, shared): every event delivered twice
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      // a directory-shaped dataset (ScaleProbe clone) must contribute its
-      // PART files — Files.copy on the dir itself would create an empty
-      // directory and a silently empty topic
-      val parts: Seq[java.nio.file.Path] =
-        if (java.nio.file.Files.isDirectory(src)) {
-          val ps = java.nio.file.Files.list(src).iterator.asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          require(ps.nonEmpty, s"no parquet part files under $src")
-          ps
-        } else Seq(src)
-      parts.zipWithIndex.foreach { case (p, i) =>
-        java.nio.file.Files.copy(p, target.resolve(f"events_a_$i%03d.parquet"))
-        java.nio.file.Files.copy(p, target.resolve(f"events_b_$i%03d.parquet"))
-      }
+      StageUtil.stageTopic(src, target, "events_a")
+      StageUtil.stageTopic(src, target, "events_b")
       target.toString
     })
+
+  /** Staged TWO-BATCH topic for the event-time-timer surface: all event
+    * part files carry one (older) modification time and a single
+    * far-future sentinel row (user_id −1) a strictly newer one, so with
+    * maxFilesPerTrigger = #event-parts the file source serves exactly
+    * batch1 = the whole events fixture, batch2 = the sentinel. The
+    * value is the deterministic watermark schedule: batch2's eviction
+    * watermark is max(event time of batch1), so exactly the sessions
+    * whose close time (last + gap) is ≤ that watermark fire their
+    * timers — an oracle-expressible condition. Returns (dir, nParts). */
+  private val timerDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private def timerEventsDir(s: SparkSession, d: String): (String, Int) =
+    timerDirs.computeIfAbsent(d, { dir =>
+      val target = java.nio.file.Paths.get(fresh("events_timer"))
+      StageUtil.stageTopic(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), target, "events")
+      // sentinel: one row, event time far beyond the fixture era — its
+      // only job is to BE batch2 (its own timer never fires)
+      val sentinelSrc = java.nio.file.Paths.get(fresh("sentinel_build"))
+      import s.implicits._
+      Seq((-1L, new java.sql.Timestamp(4102444800000L), // 2100-01-01 UTC
+          -1L, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(sentinelSrc.toString)
+      val part = java.nio.file.Files.list(sentinelSrc).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dst = target.resolve("zz_sentinel.parquet")
+      java.nio.file.Files.copy(part, dst)
+      // mtime split: event parts old, sentinel new (source orders by
+      // modification time, oldest first)
+      val t0 = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
+      val t1 = java.nio.file.attribute.FileTime.fromMillis(1000000060000L)
+      var n = 0
+      java.nio.file.Files.list(target).iterator.asScala.foreach { p =>
+        if (p.getFileName.toString.startsWith("events")) {
+          java.nio.file.Files.setLastModifiedTime(p, t0); n += 1
+        } else java.nio.file.Files.setLastModifiedTime(p, t1)
+      }
+      (target.toString, n)
+    })
+
+  /** Event-time TIMER surface through a real micro-batch run (VERDICT
+    * r10 task 3 — the one built transformWithState feature without a
+    * CORRECTNESS row): Streaming.SessionCloseProcessor over the staged
+    * two-batch topic. Batch1 delivers the whole fixture (every user's
+    * events collapse into ONE open session: n = count, last = max event
+    * time, timer armed at last + 30 min); batch2 (the sentinel) runs
+    * with eviction watermark = max event time of batch1, so exactly the
+    * users with last + 30 min ≤ that watermark close and evict — Spark
+    * fires timers with expiry ≤ watermarkForEviction (TimerStateImpl
+    * iterates `ts <= expiryTimestampMs`). The oracle replays that
+    * condition in SQL over the batch image. Sessions still open at
+    * shutdown (the tail of the stream, incl. the sentinel user) are
+    * correctly ABSENT — that is the timer semantics, not a loss. */
+  def streamSessionClose(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    // transformWithState keeps per-key state + timers in column
+    // families — RocksDB provider, not the HDFS heap-map provider the
+    // other (join/agg) stream queries prefer at fixture-sized state
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // no-data micro-batches OFF: after the sentinel batch the watermark
+    // jumps to the sentinel era, and a trailing no-data batch would fire
+    // EVERY timer — the deterministic schedule is exactly two data
+    // batches, timers checked once against batch1's max event time
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val (src, nParts) = timerEventsDir(s, d)
+    val schema = schemaCache.computeIfAbsent(src,
+      p => s.read.parquet(p).schema)
+    val name = s"sclose_${UUID.randomUUID().toString.replace("-", "")}"
+    val stream = graft.Tables.normalizeTs(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", nParts.toString)
+        .parquet(src))
+    val q = Streaming.sessionClose(s, stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name).select(col("user_id"), col("n_events"), col("last_ms"))
+  }
 
   /** Watermark-bounded exactly-once dedup through a real micro-batch
     * run — the PRODUCTION form of Streaming.dedup: plain dropDuplicates
@@ -517,7 +579,8 @@ object StreamIO extends OpModule {
     "join_stream_full" -> joinStreamFull _,
     "source_custom_stream" -> sourceCustomStream _,
     "join_stream_static" -> joinStreamStatic _,
-    "stream_dedup_within_wm" -> streamDedupWithinWm _
+    "stream_dedup_within_wm" -> streamDedupWithinWm _,
+    "stream_session_close" -> streamSessionClose _
   )
 
   private val evCte =
@@ -533,6 +596,22 @@ object StreamIO extends OpModule {
     "stream_dedup_within_wm" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+    // the two-batch timer schedule in SQL: batch2's eviction watermark
+    // is the fixture's max event time (ms, µs-floored — Spark's
+    // EventTimeStats accumulates milliseconds); a session closes iff
+    // last_ms + 30 min ≤ that watermark (timers fire on expiry ≤ wm)
+    "stream_session_close" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(make_timestamp(epoch_ns(ts) // 1000))
+        |           AS ts_ms
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(max(ts_ms) AS BIGINT) AS last_ms
+        |  FROM ev GROUP BY user_id),
+        |wm AS (SELECT max(last_ms) AS w FROM agg)
+        |SELECT a.user_id, a.n_events, a.last_ms
+        |FROM agg a, wm WHERE a.last_ms + 1800000 <= wm.w""".stripMargin,
     "sink_foreach_batch" -> (evCte +
       """
         |SELECT event_id, user_id, value FROM ev

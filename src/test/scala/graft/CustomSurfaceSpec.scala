@@ -339,6 +339,76 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(bad == 0, "ranks must be dense, unique, and bounded by k")
   }
 
+  test("CosineLshRewrite: brute cosine join becomes bucketed equi-join, matches llm_dedup_embed") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec,
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // flag OFF (plain suite session): the brute spelling plans the
+    // quadratic shape the rule exists to rescue
+    GraftExtensions.register(spark)
+    GraftExtensions.installOptimizations(spark)
+    def brute(s: org.apache.spark.sql.SparkSession, tau: Double) = {
+      val e = Tables.embeddings(s, sf)
+      val a = e.select($"vec_id".as("ida"), $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("idb"), $"embedding".as("eb"))
+      a.join(b, $"ida" < $"idb" && expr("cosine_sim(ea, eb)") >= tau)
+        .select($"ida", $"idb", round(expr("cosine_sim(ea, eb)"), 4).as("cos"))
+    }
+    val off = brute(spark, 0.5).queryExecution.sparkPlan
+    assert(off.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.nonEmpty, s"flag off must keep the quadratic join:\n$off")
+    // flag ON (the registered op's derived session): equi-join + no
+    // quadratic node anywhere
+    val on = operators.LlmExtended.lshAutoRewrite(spark, sf)
+    val plan = on.queryExecution.sparkPlan
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, s"rewrite must remove the quadratic join:\n$plan")
+    assert(plan.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }.nonEmpty, s"rewrite must plan an equi-join on the cell key:\n$plan")
+    // the rewrite IS the hand-bucketed algorithm: row-identical output
+    val want = operators.LlmExtended.dedupEmbed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = on.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"rewritten result must equal llm_dedup_embed (got ${got.size} vs ${want.size} pairs)")
+    // τ=0.5 may admit zero pairs at this SF; prove the rewritten plan
+    // RUNS and is exactly the hamming≤1 candidate set at τ=-1 (every
+    // candidate passes cos ≥ -1, so the bucketed result IS the blocks)
+    spark.conf.set(graft.plans.CosineLshRewrite.Flag, "true")
+    val rewritten = try {
+      // idempotent: one application rewrites the analyzed join; a second
+      // is a fixed point (injected probe=cell reads as an equi-key)
+      val analyzed = brute(spark, 0.5).queryExecution.analyzed
+      val once = graft.plans.CosineLshRewrite(analyzed)
+      assert(!once.fastEquals(analyzed), "rule must fire on the brute join")
+      val twice = graft.plans.CosineLshRewrite(once)
+      assert(once.fastEquals(twice), "rule must be a fixed point")
+      brute(spark, -1.0).select($"ida", $"idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally spark.conf.unset(graft.plans.CosineLshRewrite.Flag)
+    val cellE =
+      """aggregate(transform(sequence(0, 7),
+        |  i -> IF(element_at(embedding, i + 1) > 0, shiftleft(1, i), 0)),
+        |0, (a, x) -> a + x)""".stripMargin
+    val cells = Tables.embeddings(spark, sf)
+      .select($"vec_id", expr(cellE).as("cell"))
+    val expect = cells.as("x").join(cells.as("y"),
+        $"x.vec_id" < $"y.vec_id" && expr("bit_count(x.cell ^ y.cell)") <= 1)
+      .select($"x.vec_id", $"y.vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rewritten.nonEmpty, "hamming≤1 blocks must be nonempty")
+    assert(rewritten == expect,
+      s"rewritten τ=-1 result must be the hamming≤1 pair set (${rewritten.size} vs ${expect.size})")
+  }
+
   test("extension class wires cosine_sim via withExtensions") {
     // the production path: a fresh session built with the extension sees
     // the function without runtime registration

@@ -53,6 +53,59 @@ class PlanLintSpec extends SparkSpec {
     "llm_ann_pq_recall", "llm_ann_ivf_kmeans", "llm_kmeans_twolevel", "llm_ann_recall_sweep"
   )
 
+  // ops whose KEYLESS window (empty partition spec → ONE task sorts the
+  // whole input) is bounded by construction — the input domain is an
+  // aggregate of constant/plan-bounded cardinality, never corpus-
+  // proportional. Every other keyless window must either sit above a
+  // limit (orderBy().limit(k) + rank over k rows — the bm25 discipline)
+  // or be rewritten. This gate exists because the class survived two
+  // rounds un-linted (VERDICT r10: llm_bm25/llm_dedup_winnow top-k).
+  private val keylessWindowAllowed: Set[String] = Set(
+    // ≤10⁴-row rare_bp histogram → cumulative offsets (llm_curriculum's
+    // ntile replay — the window input is the bp DOMAIN, not the corpus)
+    "llm_curriculum",
+    // K-row supercell/centroid numbering (K = n/128 driver-bounded)
+    "llm_kmeans_twolevel",
+    // |sources|-row Bradley–Terry rating table (bounded label domain)
+    "llm_winrate_bt"
+  )
+
+  test("no keyless WindowExec over unbounded input (single-task sort gate)") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+      TakeOrderedAndProjectExec}
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val census = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!streamingOps(name)) {
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val keyless = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+        }
+        // a keyless window is structurally bounded when a limit sits
+        // beneath it (TakeOrderedAndProject / GlobalLimit): the window
+        // then ranks ≤ k rows, not the corpus
+        val unbounded = keyless.filterNot(_.children.exists(_.collectFirst {
+          case _: TakeOrderedAndProjectExec => ()
+          case _: GlobalLimitExec => ()
+          case _: LocalLimitExec => ()
+        }.isDefined))
+        if (unbounded.nonEmpty) {
+          census += name
+          if (!keylessWindowAllowed(name)) offenders += name
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"NEW keyless window over unbounded input (rewrite as orderBy().limit(k) " +
+        s"or justify the bounded domain here): $offenders; full census: ${census.sorted}")
+    // the allowlist must not rot: every pinned op still plans its
+    // (audited, bounded) keyless window
+    val stale = keylessWindowAllowed -- census.toSet -- streamingOps
+    assert(stale.isEmpty, s"allowlisted ops no longer plan a keyless window: $stale")
+  }
+
   test("no registered batch query plans a CartesianProduct; BNLJ census is pinned") {
     val cartesian = scala.collection.mutable.ArrayBuffer.empty[String]
     val bnlj = scala.collection.mutable.ArrayBuffer.empty[String]
