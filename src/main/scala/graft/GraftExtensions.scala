@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProductLong, MinHashSig, NGrams,
-  PolyShingles, PolyShinglesSeq, SimHash32, SortedIntersectCount,
+import graft.functions.{CosineSimilarity, DHash72, DotProductLong, MinHashSig,
+  NGrams, PolyShingles, PolyShinglesSeq, SimHash32, SortedIntersectCount,
   SquaredDistanceLong, XxNGramHashes}
 
 /** Engine extension wiring (SURVEY.md §4.3).
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.polyShinglesSeqDescriptor)
     ext.injectFunction(GraftExtensions.xxNGramDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+    ext.injectFunction(GraftExtensions.dhash72Descriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
@@ -148,6 +149,16 @@ object GraftExtensions {
     }
   )
 
+  private val dhash72Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dhash72"),
+    new ExpressionInfo(classOf[DHash72].getName, "dhash72"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "dhash72 expects 1 binary arg")
+      DHash72(children.head)
+    }
+  )
+
   /** Spark's own bloom-filter sketch aggregate
     * (catalyst BloomFilterAggregate — the engine half of injected
     * runtime filters), surfaced as a named function: the lossy
@@ -194,7 +205,7 @@ object GraftExtensions {
       sortedIntersectDescriptor, squaredDistanceDescriptor,
       dotLongDescriptor, polyShinglesDescriptor, polyShinglesSeqDescriptor,
       xxNGramDescriptor,
-      minhashSigDescriptor, bloomAggDescriptor,
+      minhashSigDescriptor, dhash72Descriptor, bloomAggDescriptor,
       bloomMightContainDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)

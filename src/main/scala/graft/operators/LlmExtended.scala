@@ -179,6 +179,80 @@ object LlmExtended extends OpModule {
       .where(col("hamming") <= 3)
   }
 
+  /** Perceptual-hash (dHash) near-dup over the BINARY modality — the
+    * image twin of llm_dedup_simhash, completing the multimodal family
+    * beyond decode plumbing (VERDICT r10 task 4): each blob is
+    * "resized" to a 9×8 grid by integer downsampling (72 equal byte
+    * segments, pixel = segment mean at 10⁴ fixed point — the
+    * deterministic stand-in for a grayscale resize; a production
+    * pipeline decodes real image bytes in llm_media_decode's
+    * mapPartitions seat and feeds the SAME hash kernel), then the
+    * classic difference hash: bit (r,c) set iff pixel(r,c+1) >
+    * pixel(r,c) — 8 comparisons × 8 rows = 64 bits in two 32-bit
+    * halves. Blobs are the utf-8 envelope bytes (the llm_multimodal
+    * contract: byte operations are identical whatever the codec).
+    *
+    * Candidate generation is 4×16-bit block LSH exactly like simhash:
+    * hamming ≤ 3 over 4 blocks pigeonholes one exact block, so the
+    * equi-join on (block, value) is LOSSLESS for the accepted radius
+    * and the oracle may replay all-pairs-with-hamming directly. All
+    * arithmetic is exact-integer and engine-identical: the codegen'd
+    * DHash72 kernel on the Spark side, the same formula from hex
+    * digits in the DuckDB replay (no float resize anywhere).
+    *
+    * Scale shape: one primitive O(len) codegen pass per row (DHash72 —
+    * the HOF formulation is a CollapseProject trap: every bit
+    * comparison re-inlines the pixel array, measured minutes at
+    * sf0.01), one (block, value) shuffle for candidates, never
+    * all-pairs; docs shorter than 72 bytes have no 9×8 downsample and
+    * are excluded by contract (a real image decode always yields ≥ 9×8
+    * pixels). */
+  def dedupPhash(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    // the halves split ABOVE the repartition (the dedupSimhash layout):
+    // below it dhash72 runs once per row; above it ph_hi/ph_lo are free
+    // field reads of the shuffled array, and the self-join's two
+    // identical exchange subtrees collapse to one ReusedExchange
+    // the fixture corpus has no binary near-dups below sf0.1 (exact
+    // text dups only appear there), so a bounded slice derives a
+    // deterministic RE-ENCODED RENDITION per doc — every byte +1 (a
+    // brightness shift; fixture text is such that each pixel mean moves
+    // by exactly 10⁴, so every dHash comparison — and the hash — is
+    // UNCHANGED): the invariance that makes a perceptual hash a dedup
+    // key where an exact hash fails. The oracle replays the derivation.
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val variants = base.where(col("doc_id") < 500)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        expr("""concat_ws('', transform(
+          |  filter(split(text, ''), c -> c != ''),
+          |  c -> chr(ascii(c) + 1)))""".stripMargin).as("text"))
+    val docs = base.unionByName(variants)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .where(octet_length(col("blob")) >= 72)
+      .select(col("doc_id"), expr("dhash72(blob)").as("ph"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        element_at(col("ph"), 1).as("ph_hi"),
+        element_at(col("ph"), 2).as("ph_lo"))
+    val blocks = docs
+      .select(col("doc_id"), col("ph_hi"), col("ph_lo"), posexplode(array(
+        (0 until 4).map { j =>
+          val half = if (j < 2) col("ph_hi") else col("ph_lo")
+          shiftright(half, 16 * (j % 2)).bitwiseAND(lit(65535))
+        }: _*)))
+      .select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+        col("pos").as("blk"), col("col").as("bv"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (bit_count(col("x.ph_hi").bitwiseXOR(col("y.ph_hi")))
+          + bit_count(col("x.ph_lo").bitwiseXOR(col("y.ph_lo"))))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+  }
+
   /** Exact n-gram (word 4-shingle) Jaccard similarity join at τ=0.5 —
     * the exhaustive exact path (vs MinHash's approximate-then-verify),
     * implemented as an SSJoin-style prefix-filtered equi-join: only
@@ -678,6 +752,7 @@ object LlmExtended extends OpModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udtf_ngrams" -> udtfNgrams _,
     "llm_dedup_simhash" -> dedupSimhash _,
+    "llm_dedup_phash" -> dedupPhash _,
     "llm_dedup_ngram" -> dedupNgram _,
     // dedupNgramHash is NOT registered (r9): rarest-first is the one
     // canonical ordering (measured: 159 vs 5,000 max posting, 23k vs 75M
@@ -804,6 +879,63 @@ object LlmExtended extends OpModule {
          |WHERE bit_count(xor(a.fp_lo, b.fp_lo)::BIT)
          |        + bit_count(xor(a.fp_hi, b.fp_hi)::BIT) <= 3""".stripMargin),
     "llm_dedup_ngram" -> ngramOracleSql,
+    // all-pairs replay is exact: hamming ≤ 3 over 4 16-bit blocks
+    // pigeonholes one identical block, so the LSH block join is
+    // lossless for the accepted radius (the simhash argument)
+    "llm_dedup_phash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    array_to_string([chr(ord(c) + 1)
+        |                     for c in string_split(text, '')], '')
+        |  FROM documents WHERE doc_id < 500),
+        |base AS (
+        |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM corpus WHERE octet_length(encode(text)) >= 72),
+        |bt AS (
+        |  SELECT doc_id, len,
+        |    [strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) * 16
+        |     + strpos('0123456789ABCDEF', substring(hx, 2 * i, 1)) - 17
+        |     for i in range(1, len + 1)] AS bytes
+        |  FROM base),
+        |pxt AS (
+        |  SELECT doc_id,
+        |    [list_reduce(list_prepend(0::BIGINT,
+        |        list_slice(bytes, (g * len) // 72 + 1, ((g + 1) * len) // 72)),
+        |      (a, x) -> a + x) * 10000
+        |     // (((g + 1) * len) // 72 - (g * len) // 72)
+        |     for g in range(0, 72)] AS px
+        |  FROM bt),
+        |ph AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [CASE WHEN px[(b // 8) * 9 + (b % 8) + 2] >
+        |                 px[(b // 8) * 9 + (b % 8) + 1]
+        |            THEN (1::BIGINT << b) ELSE 0::BIGINT END
+        |       for b in range(0, 32)]), (a, x) -> a + x) AS ph_hi,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [CASE WHEN px[(b // 8 + 4) * 9 + (b % 8) + 2] >
+        |                 px[(b // 8 + 4) * 9 + (b % 8) + 1]
+        |            THEN (1::BIGINT << b) ELSE 0::BIGINT END
+        |       for b in range(0, 32)]), (a, x) -> a + x) AS ph_lo
+        |  FROM pxt),
+        |blk AS (
+        |  SELECT doc_id, ph_hi, ph_lo, unnest([0, 1, 2, 3]) AS b
+        |  FROM ph),
+        |blkv AS (
+        |  SELECT doc_id, ph_hi, ph_lo, b,
+        |    CASE b WHEN 0 THEN ph_hi % 65536 WHEN 1 THEN ph_hi // 65536
+        |           WHEN 2 THEN ph_lo % 65536 ELSE ph_lo // 65536 END AS bv
+        |  FROM blk)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(bit_count(xor(x.ph_hi, y.ph_hi)::BIT)
+        |     + bit_count(xor(x.ph_lo, y.ph_lo)::BIT) AS BIGINT) AS hamming
+        |FROM blkv x JOIN blkv y
+        |  ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.ph_hi, y.ph_hi)::BIT)
+        |    + bit_count(xor(x.ph_lo, y.ph_lo)::BIT) <= 3""".stripMargin,
     "llm_dedup_embed" -> dedupEmbedOracleSql,
     // the rewrite rule PRODUCES the bucketed algorithm, so the rewritten
     // brute-force spelling shares llm_dedup_embed's oracle verbatim

@@ -339,6 +339,45 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(bad == 0, "ranks must be dense, unique, and bounded by k")
   }
 
+  test("dhash72: interpreted matches codegen, brightness-invariant, crop-sensitive, null under 72 bytes") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf).limit(200)
+      .selectExpr("doc_id", "encode(text, 'UTF-8') AS blob")
+      .where(expr("octet_length(blob) >= 72"))
+    val df = docs.selectExpr("doc_id", "dhash72(blob) AS ph")
+    val codegen = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(codegen == interp, "eval and doGenCode must agree bit-for-bit")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(codegen.nonEmpty)
+    // brightness shift (+1 per ASCII byte) moves every pixel mean by
+    // exactly 10⁴ → the difference hash is UNCHANGED (the invariance
+    // llm_dedup_phash's planted renditions rely on)
+    val shifted = docs.selectExpr("doc_id",
+      """dhash72(encode(concat_ws('', transform(
+        |  filter(split(decode(blob, 'UTF-8'), ''), c -> c != ''),
+        |  c -> chr(ascii(c) + 1))), 'UTF-8')) AS ph""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(shifted == codegen, "dhash must be brightness-invariant")
+    // structural edits DO move the hash: dropping a prefix re-segments
+    // every pixel (the crop case a perceptual hash is allowed to miss)
+    val cropped = docs.where(expr("octet_length(blob) >= 172"))
+      .selectExpr("doc_id", "dhash72(substring(blob, 101)) AS ph")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val moved = cropped.count { case (id, ph) => codegen(id) != ph }
+    assert(moved > cropped.size / 2, s"crops should usually move the hash ($moved/${cropped.size})")
+    // < 72 bytes: no 9×8 downsample exists → NULL by contract
+    val short = spark.sql("SELECT dhash72(encode('tiny', 'UTF-8')) AS ph")
+      .collect().head
+    assert(short.isNullAt(0), "blobs under 72 bytes must hash to NULL")
+  }
+
   test("CosineLshRewrite: brute cosine join becomes bucketed equi-join, matches llm_dedup_embed") {
     import org.apache.spark.sql.execution.joins.{
       BroadcastNestedLoopJoinExec, CartesianProductExec,
