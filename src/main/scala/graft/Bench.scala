@@ -133,8 +133,41 @@ object Bench {
     // and never parses. List the slowest queries until the budget fills
     // and roll the remainder into "other"; the complete per-query map
     // goes to a local file instead.
+    // Round-of-record floors (bench_records.json, committed): the
+    // per-query MINs of the best clean run recorded so far. SCALE.md
+    // names the comparable figure in prose each round; carrying the
+    // floors IN the artifact lets env inflation be machine-flagged —
+    // a query > 1.5x its floor (+0.1 s slack) on unchanged code is VM
+    // noise/contention, not a regression (r9/r10 advice, now closed).
+    val records: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("bench_records.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // floors are per-SF: comparing a sf0.01 dev run against the
+        // sf0.1 round-of-record would flag everything
+        val sfOk = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else {
+          val body = txt.substring(txt.indexOf("\"queries\""))
+          """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } else Map.empty
+    }
+    val recordMeta: String = if (records.nonEmpty) {
+      val shared = results.keySet & records.keySet
+      val recTotal = shared.toSeq.map(records).sum
+      val curTotal = shared.toSeq.map(results).sum
+      val inflated = shared.filter(n =>
+        results(n) > records(n) * 1.5 + 0.1).toSeq.sortBy(n => -results(n))
+      val names = inflated.take(5).map(n => s""""$n"""").mkString("[", ",", "]")
+      s""","record":{"round":"r10","shared":${shared.size},"record_total":${fmt(recTotal)},"shared_total":${fmt(curTotal)},"ratio":${fmt(if (recTotal > 0) curTotal / recTotal else 0.0)},"inflated_n":${inflated.size},"inflated_top":$names}"""
+    } else ""
     val sorted = results.toSeq.sortBy(-_._2)
-    val budget = 1500
+    // 1300, not 1500: the record block spends ~250 chars of the ~2000-
+    // char stdout tail window the harness keeps
+    val budget = 1300
     val shown = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
     sorted.foreach { case (k, v) =>
@@ -148,12 +181,12 @@ object Bench {
     val qs = qEntries.mkString("{", ",", "}")
     val contended = math.max(contendedAtStart, foreignJvms())
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"contended":$contended,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"contended":$contended$recordMeta,"queries":$qs,"sf":"$sfDir"}"""
 
     val fullQs = sorted.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended$recordMeta,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
       full.getBytes("UTF-8"))

@@ -23,6 +23,39 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // recursive-CTE depth probe (r11, VERDICT r10 task 8): a synthetic
+    // countdown chain at fixed frontier WIDTH and growing DEPTH — each
+    // UnionLoop level is one driver-coordinated distributed step, so
+    // wall time should grow ~linearly in depth with a per-level barrier
+    // cost; that per-level constant is the number that decides when the
+    // O(log n) checkpointed StarContraction loop must replace a
+    // recursive CTE as the fixpoint engine.
+    if (names == Seq("cte_depth")) {
+      val width = 20000
+      spark.range(width).createOrReplaceTempView("graft_cte_seeds")
+      Seq(8, 16, 64, 128, 256).foreach { depth =>
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", depth + 10)
+        // default row guard is 1e6 accumulated rows; the deep tiers
+        // legitimately carry width·depth rows
+        spark.conf.set("spark.sql.cteRecursionRowLimit", 20000000)
+        (1 to 2).foreach { run =>
+          val t0 = System.nanoTime()
+          val r = spark.sql(
+            s"""WITH RECURSIVE walk AS (
+               |  SELECT id AS nk, CAST($depth AS BIGINT) AS cur
+               |  FROM graft_cte_seeds
+               |  UNION ALL
+               |  SELECT nk, cur - 1 FROM walk WHERE cur > 0)
+               |SELECT CAST(count(*) AS BIGINT) AS n,
+               |       CAST(sum(cur) AS BIGINT) AS s
+               |FROM walk""".stripMargin).collect().head
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[cte] depth=$depth%4d run$run rows=${r.getLong(0)}%10d " +
+            f"${sec}%6.2f s  per-level=${sec / depth}%.4f s")
+        }
+      }
+      spark.stop(); return
+    }
     if (names == Seq("bloom_debug")) {
       val df = operators.Joins.joinRuntimeFilter(spark, sfDir)
       println("=== optimized ===")

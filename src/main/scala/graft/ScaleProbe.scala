@@ -94,6 +94,23 @@ object ScaleProbe {
         col("o_orderpriority"))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+    // customer/supplier clones (r11, for the r10-closing cohort):
+    // custkey offsets match the orders clone (k·10⁷ — lateral joins stay
+    // consistent), suppkey offsets match lineitem (k·10⁶); nationkey is
+    // UNCHANGED, so the nullsafe |nations|-keyed join keeps its constant
+    // output shape while per-key counts grow ×copies
+    spark.read.parquet(s"$src/customer.parquet")
+      .withColumn("k", explode(lit((0 until copies).toArray)))
+      .withColumn("c_custkey", col("c_custkey") + col("k") * lit(10000000L))
+      .drop("k")
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/customer.parquet")
+    spark.read.parquet(s"$src/supplier.parquet")
+      .withColumn("k", explode(lit((0 until copies).toArray)))
+      .withColumn("s_suppkey", col("s_suppkey") + col("k") * lit(1000000L))
+      .drop("k")
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/supplier.parquet")
 
     val probes = Seq(
       // incremental shard-vs-index dedup: cost must track the NEW side
@@ -266,7 +283,26 @@ object ScaleProbe {
       // watermarked stream-stream joins over the cloned topic (real
       // micro-batches): state is O(join-window x rate) per side — growth
       // must track rows through the batch schedule, never pairs
-      "join_stream_stream", "join_stream_semi")
+      "join_stream_stream", "join_stream_semi",
+      // r10-closing cohort (r11 tier rows): every one must be scan-bound
+      // — a bitmap agg, three SQL-surface demos over orders/lineitem,
+      // per-row AES, TakeOrdered-with-offset, two join-matrix rows
+      "agg_bitmap", "sql_exec_immediate", "sql_parameterized",
+      "sql_scripting", "sql_sugar", "fn_aes", "sort_offset",
+      "join_nullsafe", "join_lateral",
+      // r11 newcomers: phash rides one codegen'd scan + the 16-bit
+      // block join (clone suffixes shift segment boundaries, so clone
+      // pairs mostly DON'T collide — growth must track rows + planted
+      // renditions); session close is a real two-batch micro-batch run
+      // whose state is one (n, last) pair per user clone
+      "llm_dedup_phash", "stream_session_close",
+      // lsh_autorewrite over clones: every vector is duplicated
+      // ×copies UNCHANGED, so same-cell output pairs grow ×copies² BY
+      // CONSTRUCTION (they are all true cos=1 dups) — the probe checks
+      // runtime tracks that output mass, like llm_dedup_near's clone
+      // families; skip at 30× (the 45×-pair tier is the documented
+      // regime)
+      "llm_lsh_autorewrite")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -205,7 +205,11 @@ object ScalarFns extends OpModule {
     * checkpointed O(log n) contraction loop in StarContraction.scala is
     * the production shape; a recursive CTE is right when depth is small
     * and known (org charts, BOM explosions, path unrolling). The default
-    * spark.sql.cteRecursionLevelLimit=100 guards runaway recursion. */
+    * spark.sql.cteRecursionLevelLimit=100 guards runaway recursion.
+    * Measured (SCALE.md r11 depth probe, 20 k-row frontier, depth
+    * 8→256): wall time linear in depth with a converged ~0.095-0.10 s
+    * per-level barrier floor — the number that decides CTE vs
+    * contraction for a given depth. */
   def sqlRecursiveCte(s: SparkSession, d: String): DataFrame = {
     Tables.nation(s, d).createOrReplaceTempView("graft_rec_nation")
     s.sql(
