@@ -105,14 +105,17 @@ object Scans extends OpModule {
     * itself (length = octet_length(encode(text))), so the check spans
     * stage → distributed scan → decode end-to-end. llm_media_decode
     * picks up from here (struct envelope, mapPartitions codec). */
-  def scanBinaryFile(s: SparkSession, d: String): DataFrame = {
-    // fixture construction ONLY (bounded 50-row collect): production
-    // media files already exist on storage — there is no staging step at
-    // scale, just the binaryFile scan below. Synchronized: suites share
-    // the JVM and may race the check-then-create. Keyed by the data dir
-    // (like scan_evolving / scan_partitioned): a second call with a
-    // different d (ScaleProbe tier clone, planted-fixture spec) must
-    // stage ITS documents, not silently reuse the first dir's files.
+
+  /** Staged 50-doc binary fixture dir — fixture construction ONLY
+    * (bounded 50-row collect): production media files already exist on
+    * storage; there is no staging step at scale, just the binaryFile
+    * scan. Synchronized: suites share the JVM and may race the
+    * check-then-create. Keyed by the data dir (like scan_evolving /
+    * scan_partitioned): a second call with a different d (ScaleProbe
+    * tier clone, planted-fixture spec) must stage ITS documents, not
+    * silently reuse the first dir's files. Exposed package-private so
+    * the dhash front-door spec can scan the same staged blobs. */
+  private[graft] def stagedBinDir(s: SparkSession, d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
     val dir = new java.io.File(s"$ioDir/bin_docs_$sfx")
     ioLock.synchronized {
@@ -127,10 +130,14 @@ object Scans extends OpModule {
           }
       }
     }
+    dir.toString
+  }
+
+  def scanBinaryFile(s: SparkSession, d: String): DataFrame = {
     // pathGlobFilter, not a glob-in-path: the sink-metadata probe warns
     // (with a full stack) on a glob path that matches nothing yet
     s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
-      .load(dir.toString)
+      .load(stagedBinDir(s, d))
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1)
           .cast("long").as("doc_id"),

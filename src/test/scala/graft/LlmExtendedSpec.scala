@@ -149,6 +149,30 @@ class LlmExtendedSpec extends SparkSpec {
       "prefix ordering must be candidate-lossless")
   }
 
+  test("dhash72 through the binaryFile front door equals the in-plane envelope hash") {
+    // the registered llm_dedup_phash hashes the utf-8 envelope blob
+    // in-plane; a production media corpus arrives as FILES — prove the
+    // same kernel over scan_binaryfile's staged blobs (the real
+    // distributed binary scan) yields byte-identical fingerprints
+    GraftExtensions.register(spark)
+    def phMap(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Seq[Long]]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1).toSeq))).toMap
+    val binDir = graft.operators.Scans.stagedBinDir(spark, sf)
+    val fromFiles = phMap(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt").load(binDir)
+      .selectExpr(
+        "CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.txt$', 1) AS BIGINT) AS doc_id",
+        "dhash72(content) AS ph"))
+    val inPlane = phMap(graft.Tables.documents(spark, sf)
+      .where($"doc_id" < 50)
+      .selectExpr("doc_id", "dhash72(encode(text, 'UTF-8')) AS ph"))
+    assert(fromFiles.keySet == inPlane.keySet)
+    assert(fromFiles == inPlane,
+      "file-scanned blobs must fingerprint identically to envelope blobs")
+    assert(fromFiles.values.flatten.nonEmpty)
+  }
+
   test("dedup_embed: bucketed equi-join plan, equals brute force in-bucket") {
     import org.apache.spark.sql.functions.expr
     graft.GraftExtensions.register(spark)
