@@ -302,7 +302,16 @@ object ScaleProbe {
       // runtime tracks that output mass, like llm_dedup_near's clone
       // families; skip at 30× (the 45×-pair tier is the documented
       // regime)
-      "llm_lsh_autorewrite")
+      "llm_lsh_autorewrite",
+      // residual IVFPQ: training is two corpus passes over residual
+      // subvectors + broadcast codebooks; search is 10 queries ×
+      // nprobe·(N/cells) candidates — growth must track the corpus
+      // passes like llm_ann_pq, never a pair space
+      "llm_ann_pq_residual",
+      // rendition closure over the phash pairs: StarContraction rounds
+      // over pair edges — growth must track the pair mass (the clone
+      // families), like llm_dedup_cluster over the LSH pairs
+      "llm_dedup_phash_cluster")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

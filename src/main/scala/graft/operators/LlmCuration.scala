@@ -46,6 +46,28 @@ object LlmCuration extends OpModule {
         (col("id") === col("cc")).as("is_survivor"))
   }
 
+  /** Rendition grouping over the BINARY modality (r11): connected
+    * components over llm_dedup_phash's perceptual near-dup pairs, then
+    * survivor selection — the multimodal twin of llm_dedup_cluster.
+    * Pairs alone don't dedup an image corpus: the same photo saved
+    * thrice (original, brightness-shifted, re-encoded) forms a chain
+    * whose transitive closure must collapse to ONE kept rendition.
+    * Same shared StarContraction engine (O(log n) rounds), same
+    * min-id survivor policy; the oracle chains the phash pair replay
+    * into the recursive-reach closure (pairs/edges MATERIALIZED —
+    * DuckDB inlines plain CTEs per reference). */
+  def dedupPhashCluster(s: SparkSession, d: String): DataFrame = {
+    val edges0 = LlmExtended.dedupPhash(s, d)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint()
+    val res = StarContraction.contract(edges0)
+    MemoUtil.scratch(edges0)
+    res.live.foreach(MemoUtil.scratch)
+    StarContraction.labels(res.stars)
+      .select(col("id").as("doc_id"), col("cc").as("cluster_id"),
+        (col("id") === col("cc")).as("is_survivor"))
+  }
+
   /** Context-window chunking: overlapping token windows (W=32, stride
     * S=24 → 8-token overlap), the prep step before tokenization at a
     * fixed model context. Pure per-row explode — no shuffle at all; at
@@ -906,6 +928,7 @@ object LlmCuration extends OpModule {
     "curation_e2e" -> curationE2e _,
     "llm_dataset_diff" -> datasetDiff _,
     "llm_dedup_cluster" -> dedupCluster _,
+    "llm_dedup_phash_cluster" -> dedupPhashCluster _,
     "llm_chunk" -> chunk _,
     "llm_pii_scrub" -> piiScrub _,
     "llm_quality_filter" -> qualityFilter _,
@@ -1332,6 +1355,21 @@ object LlmCuration extends OpModule {
          |${LlmOps.oracle("llm_dedup_near")}
          |),
          |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id,
+         |       least(a, min(b)) AS cluster_id,
+         |       least(a, min(b)) = a AS is_survivor
+         |FROM reach GROUP BY a""".stripMargin,
+    "llm_dedup_phash_cluster" ->
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
+         |${LlmExtended.oracle("llm_dedup_phash")}
+         |),
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
          |reach(a, b) AS (

@@ -1581,6 +1581,116 @@ object LlmScale extends OpModule {
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
   }
 
+  /** RESIDUAL IVFPQ (the full FAISS IVFADC shape, r11 — closing the ANN
+    * family after flat PQ): a coarse quantizer (the deterministic 8-bit
+    * sign cells, llm_ann_ivf's stand-in for trained coarse centroids)
+    * partitions the corpus; every vector is re-expressed as the
+    * RESIDUAL against its cell's integer centroid; PQ trains on the
+    * residuals (residuals are tighter than raw vectors around zero, so
+    * the same 16-codeword budget quantizes finer — the reason every
+    * production IVFPQ encodes residuals); search probes the query's own
+    * cell plus its 8 hamming-1 neighbors, computes the query's residual
+    * AGAINST EACH PROBED CELL's centroid (IVFADC: the distance table is
+    * per (query, cell)), and ADC-ranks only candidates living in probed
+    * cells — per-query work is nprobe·(N/cells), never a corpus pass.
+    * A candidate matches through exactly one probed cell (its own), so
+    * no dedup step exists. All arithmetic exact integers; every argmin
+    * is (dist ASC, id ASC); centroid means floor like the PQ recenter.
+    * The oracle replays coarse cells → residuals → the SHARED
+    * pqTrainCtes → per-cell distance tables → ADC top-3. */
+  def annPqResidual(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val M = 8
+    val cellE =
+      """aggregate(transform(sequence(0, 7),
+        |  i -> IF(element_at(embedding, i + 1) > 0, shiftleft(1, i), 0)),
+        |0, (a, x) -> a + x)""".stripMargin
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
+        .as("qv"),
+      expr(cellE).as("cell"))
+    // per-cell integer centroid (floor mean per dim, the PQ recenter
+    // discipline) — |cells| ≤ 256 rows of 64 longs → broadcast
+    val cent = base.select(col("cell"), posexplode(col("qv")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1)))
+        .cast("long").as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    // residual subvectors (vec_id, cell, m, sv[8]) — multi-reader
+    // (train, encode), so one lineage cut
+    val rsub = MemoUtil.scratch(base.join(broadcast(cent), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(qv, cv, (a, b) -> a - b)").as("rv"))
+      .select(col("vec_id"), col("cell"), posexplode(
+        expr(s"transform(sequence(0, ${M - 1}), m -> slice(rv, m * 8 + 1, 8))")))
+      .select(col("vec_id"), col("cell"), col("pos").as("m"), col("col").as("sv"))
+      .localCheckpoint())
+    // seed numbering: orderBy().limit(16) plans TakeOrderedAndProject
+    // (distributed top-k), so the row_number window ranks ≤16 rows —
+    // the bm25 limit-beneath-the-window discipline, not a keyless
+    // window over the scan (PlanLintSpec gates that class)
+    val seeds = base.where(col("vec_id") < 16)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("j"))
+    val c0 = rsub.join(broadcast(seeds), "vec_id")
+      .select(col("m"), col("j"), col("sv").as("cv"))
+    def encodeWith(cb: DataFrame): DataFrame =
+      rsub.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("j"),
+          expr("squared_distance(sv, cv)").as("dist"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist"), col("j"))).as("mm"))
+        .select(col("vec_id"), col("m"), col("mm.j").as("code"))
+    val a1 = encodeWith(c0)
+    val c1 = rsub.join(a1.withColumnRenamed("code", "j"), Seq("vec_id", "m"))
+      .select(col("m"), col("j"), posexplode(col("sv")))
+      .groupBy(col("m"), col("j"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1)))
+        .cast("long").as("c"))
+      .groupBy(col("m"), col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    val codes = encodeWith(c1)
+    // probes: own cell + 8 flips; query residual PER PROBED CELL (inner
+    // join cent: an empty probed cell has no candidates either)
+    val probes = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"), explode(expr(
+        "array_union(array(cell), transform(sequence(0, 7), j -> int(cell ^ shiftleft(1, j))))"))
+        .as("pcell"))
+    val qres = probes
+      .join(broadcast(cent.withColumnRenamed("cell", "pcell")), "pcell")
+      .select(col("qid"), col("pcell"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> slice(zip_with(qq, cv, (a, b) -> a - b), m * 8 + 1, 8))")))
+      .select(col("qid"), col("pcell"), col("pos").as("m"), col("col").as("rq"))
+    // per-(query, cell) codeword distance tables: ≤ 10·9·8·16 rows
+    val dtab = qres.join(broadcast(c1), "m")
+      .select(col("qid"), col("pcell"), col("m").as("tm"), col("j"),
+        expr("squared_distance(rq, cv)").as("dt"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("cand_id").asc)
+    val top = codes.select(col("vec_id").as("cand_id"), col("m"), col("code"))
+      .join(base.select(col("vec_id").as("cand_id"), col("cell").as("ccell")),
+        "cand_id")
+      .join(broadcast(dtab),
+        col("m") === col("tm") && col("code") === col("j")
+          && col("ccell") === col("pcell"))
+      .where(col("cand_id") =!= col("qid"))
+      .groupBy(col("qid"), col("cand_id"))
+      .agg(sum(col("dt")).as("adist"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+    // exact original-space distance beside the estimate (30-row side)
+    top.join(base.select(col("vec_id").as("qid"), col("qv").as("qq2")), "qid")
+      .join(base.select(col("vec_id").as("cand_id"), col("qv").as("cq2")),
+        "cand_id")
+      .select(col("qid"), col("rank"), col("cand_id"),
+        col("adist").cast("long").as("adist"),
+        expr("squared_distance(qq2, cq2)").as("exact_dist"))
+  }
+
 
   /** Per-cluster topic labeling over the shared Lloyd clustering (the
     * "what IS each embedding cluster" readout every corpus-exploration
@@ -1633,6 +1743,7 @@ object LlmScale extends OpModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_pq" -> annPq _,
     "llm_ann_pq_recall" -> annPqRecall _,
+    "llm_ann_pq_residual" -> annPqResidual _,
     "llm_cooccur" -> cooccur _,
     "llm_inverted_index" -> invertedIndex _,
     "llm_domain_mix" -> domainMix _,
@@ -1779,12 +1890,14 @@ object LlmScale extends OpModule {
   /** The PQ construction CTE chain (shared by llm_ann_pq and
     * llm_ann_pq_recall): quantize → subspace split → seed → one Lloyd
     * round → encode → distance tables → ADC top-3 (`t3`). */
-  private val pqCtes: String =
-    """WITH dims AS MATERIALIZED (
-      |  SELECT vec_id, i - 1 AS dim, (i - 1) // 8 AS m,
-      |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
-      |  FROM embeddings, range(1, 65) r(i)),
-      |seeds AS (
+  /** PQ training replay (seeds → one Lloyd round → codes), referencing
+    * a `dims` CTE of (vec_id, dim, m, q) — shared verbatim between the
+    * raw-vector pipeline (llm_ann_pq, dims = quantized embeddings) and
+    * the residual pipeline (llm_ann_pq_residual, dims = coarse-cell
+    * residuals): the training math is identical, only the vector space
+    * differs. */
+  private val pqTrainCtes: String =
+    """seeds AS (
       |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS j
       |  FROM (SELECT DISTINCT vec_id FROM dims WHERE vec_id < 16)),
       |c0 AS MATERIALIZED (
@@ -1810,7 +1923,14 @@ object LlmScale extends OpModule {
       |codes AS MATERIALIZED (
       |  SELECT vec_id, m, j AS code FROM (
       |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
-      |      ORDER BY dist ASC, j ASC) AS rn FROM d2) WHERE rn = 1),
+      |      ORDER BY dist ASC, j ASC) AS rn FROM d2) WHERE rn = 1)""".stripMargin
+
+  private val pqCtes: String =
+    """WITH dims AS MATERIALIZED (
+      |  SELECT vec_id, i - 1 AS dim, (i - 1) // 8 AS m,
+      |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
+      |  FROM embeddings, range(1, 65) r(i)),
+      |""".stripMargin + pqTrainCtes + """,
       |dtab AS (
       |  SELECT d.vec_id AS qid, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dt
       |  FROM dims d JOIN c1 c ON c.m = d.m AND c.dim = d.dim
@@ -2072,6 +2192,69 @@ object LlmScale extends OpModule {
         |SELECT t.qid, t.rank, t.cand_id, t.adist, e.exact_dist
         |FROM t3 t JOIN ex e
         |  ON e.qid = t.qid AND e.cand_id = t.cand_id""".stripMargin),
+    // residual IVFPQ: coarse sign cells → per-cell floor-mean centroid
+    // → residual dims → the SHARED pqTrainCtes (identical training
+    // text) → per-(query, probed-cell) distance tables → ADC top-3
+    // over candidates in probed cells only → exact-space re-rank col
+    "llm_ann_pq_residual" ->
+      ("""WITH cells AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+         |            ELSE 0 END for i in range(0, 8)]),
+         |      (a, x) -> a + x) AS cell
+         |  FROM embeddings),
+         |dims0 AS MATERIALIZED (
+         |  SELECT e.vec_id, i - 1 AS dim, (i - 1) // 8 AS m,
+         |    CAST(round(e.embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q,
+         |    c.cell
+         |  FROM embeddings e JOIN cells c USING (vec_id), range(1, 65) r(i)),
+         |cent AS MATERIALIZED (
+         |  SELECT cell, dim,
+         |    CAST(floor(sum(q)::DOUBLE / count(*)) AS BIGINT) AS c
+         |  FROM dims0 GROUP BY 1, 2),
+         |dims AS MATERIALIZED (
+         |  SELECT d.vec_id, d.dim, d.m, d.q - ct.c AS q
+         |  FROM dims0 d JOIN cent ct ON ct.cell = d.cell AND ct.dim = d.dim),
+         |""".stripMargin + pqTrainCtes + """,
+         |probes AS (
+         |  SELECT vec_id AS qid,
+         |    unnest(list_distinct(list_prepend(cell,
+         |      [xor(cell, 1::BIGINT << jj) for jj in range(0, 8)]))) AS pcell
+         |  FROM cells WHERE vec_id < 10),
+         |qres AS MATERIALIZED (
+         |  SELECT p.qid, p.pcell, d.dim, d.m, d.q - ct.c AS rq
+         |  FROM probes p
+         |  JOIN dims0 d ON d.vec_id = p.qid
+         |  JOIN cent ct ON ct.cell = p.pcell AND ct.dim = d.dim),
+         |rdtab AS MATERIALIZED (
+         |  SELECT q.qid, q.pcell, q.m, c.j,
+         |    sum((q.rq - c.c) * (q.rq - c.c)) AS dt
+         |  FROM qres q JOIN c1 c ON c.m = q.m AND c.dim = q.dim
+         |  GROUP BY 1, 2, 3, 4),
+         |rad AS (
+         |  SELECT t.qid, k.vec_id AS cand_id, CAST(sum(t.dt) AS BIGINT) AS adist
+         |  FROM codes k
+         |  JOIN cells kc ON kc.vec_id = k.vec_id
+         |  JOIN rdtab t ON t.m = k.m AND t.j = k.code AND t.pcell = kc.cell
+         |  WHERE k.vec_id != t.qid
+         |  GROUP BY 1, 2),
+         |rt3 AS (
+         |  SELECT qid, cand_id, adist, rank FROM (
+         |    SELECT qid, cand_id, adist,
+         |      CAST(row_number() OVER (PARTITION BY qid
+         |        ORDER BY adist ASC, cand_id ASC) AS INTEGER) AS rank
+         |    FROM rad) WHERE rank <= 3),
+         |rex AS (
+         |  SELECT t.qid, t.cand_id,
+         |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS exact_dist
+         |  FROM rt3 t
+         |  JOIN dims0 dq ON dq.vec_id = t.qid
+         |  JOIN dims0 dc ON dc.vec_id = t.cand_id AND dc.dim = dq.dim
+         |  GROUP BY 1, 2)
+         |SELECT t.qid, t.rank, t.cand_id, t.adist, e.exact_dist
+         |FROM rt3 t JOIN rex e
+         |  ON e.qid = t.qid AND e.cand_id = t.cand_id""".stripMargin),
     // PQ recall@3 vs the exact brute top-3 — same PQ CTE chain, same
     // brute shape as llm_ann_recall's IVF side
     "llm_ann_pq_recall" ->

@@ -800,4 +800,53 @@ class LlmScaleSpec extends SparkSpec {
       .map(_.getAs[Long]("n_hit")).sum
     assert(rows(2).getAs[Long]("n_hits") == single)
   }
+
+  test("residual IVFPQ: candidates only from probed cells, ranks dense, residual codes reconstruct tighter than raw") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val out = operators.LlmScale.annPqResidual(spark, sf).collect()
+    assert(out.nonEmpty)
+    // dense ranks 1..k per query, adist non-negative and non-decreasing
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to rs.length))
+      val ad = byRank.map(_.getLong(3))
+      assert(ad.forall(_ >= 0L) && (ad, ad.tail).zipped.forall(_ <= _))
+    }
+    // IVF restriction: every (query, candidate) pair shares a probed
+    // cell, i.e. their sign cells are within hamming distance 1
+    val cellE =
+      """aggregate(transform(sequence(0, 7),
+        |  i -> IF(element_at(embedding, i + 1) > 0, shiftleft(1, i), 0)),
+        |0, (a, x) -> a + x)""".stripMargin
+    val cells = Tables.embeddings(spark, sf)
+      .select($"vec_id", expr(cellE).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val h = Integer.bitCount(cells(r.getLong(0)) ^ cells(r.getLong(2)))
+      assert(h <= 1, s"candidate outside probed cells: hamming $h")
+    }
+    // the reason residual PQ exists: per-subvector spread around the
+    // quantization targets is tighter for residuals than raw vectors —
+    // total squared distance of vectors to their CELL centroid (what PQ
+    // must then encode) is strictly below the raw-vector energy around
+    // the global mean at any K>1 coarse split that separates signs
+    val q = Tables.embeddings(spark, sf).select($"vec_id",
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))").as("qv"),
+      expr(cellE).as("cell"))
+    val dimsByCell = q.select($"cell", posexplode($"qv"))
+      .groupBy($"cell", $"pos")
+      .agg(sum($"col").as("s"), count(lit(1)).as("n"),
+        sum($"col" * $"col").as("ss"))
+    // Σ(x-mean)² = Σx² - (Σx)²/n, per (cell, dim) vs per dim alone
+    val resEnergy = dimsByCell
+      .agg(sum($"ss" - ($"s" * $"s").cast("double") / $"n")).head.getDouble(0)
+    val rawEnergy = q.select(posexplode($"qv"))
+      .groupBy($"pos")
+      .agg(sum($"col").as("s"), count(lit(1)).as("n"),
+        sum($"col" * $"col").as("ss"))
+      .agg(sum($"ss" - ($"s" * $"s").cast("double") / $"n")).head.getDouble(0)
+    assert(resEnergy < rawEnergy,
+      f"residual energy $resEnergy%.3e must undercut raw $rawEnergy%.3e")
+  }
 }

@@ -171,4 +171,25 @@ class StreamIOSpec extends SparkSpec {
         s"matched click must emit once, unmatched never: ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("session close: event-time timers close exactly the sessions behind batch-1's watermark") {
+    import org.apache.spark.sql.functions._
+    val got = StreamIO.streamSessionClose(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin of the two-batch schedule: all events land in batch 1,
+    // so each user holds ONE open session (n = count, last = max ts);
+    // the sentinel batch fires timers with expiry <= wm = global max ms
+    val perUser = graft.Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), expr("unix_millis(max(ts))").as("last_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wm = perUser.map(_._3).max
+    val want = perUser.filter { case (_, _, last) => last + 1800000L <= wm }.toSet
+    assert(got == want, s"closed-session set mismatch: ${got.size} vs ${want.size}")
+    // SELECTIVE, not total: the stream tail (incl. the watermark-setting
+    // user) must stay open — a result equal to a plain group-by would
+    // mean the timer path degenerated (the no-data-batch bug class)
+    assert(got.nonEmpty && got.size < perUser.length,
+      s"expected 0 < closed < ${perUser.length}, got ${got.size}")
+  }
 }
