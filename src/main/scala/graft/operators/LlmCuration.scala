@@ -145,6 +145,82 @@ object LlmCuration extends OpModule {
         col("reason"))
   }
 
+  /** TRAINED quality classifier (r11) — the model-based filtering step
+    * every production corpus runs beside the hard gates (fastText-style
+    * linear classifiers filter CommonCrawl for CCNet/GPT-3/Llama): a
+    * linear model over HASHED bag-of-words features distills the
+    * heuristic teacher (`llm_quality_filter`'s keep gate supplies the
+    * weak labels — exactly how such classifiers are bootstrapped when
+    * no human labels exist). Training is the FULL-BATCH perceptron, the
+    * one linear-classifier update that is exact-integer end to end (no
+    * sigmoid/exp, so no cross-engine float drift): per round, every doc
+    * with y·(w·x) ≤ 0 contributes y·x to the weight update, computed as
+    * ONE doc-keyed margin aggregate plus ONE fid-keyed delta aggregate
+    * over the shared sparse feature table. w₀ = 0 makes round 1 the
+    * closed-form class-mean direction Σy·x.
+    *
+    * At 100 TB: features build once (one scan → ≤65 (doc, fid) rows per
+    * doc, localCheckpoint'd for the 2T+1 reads); each round touches the
+    * compact feature table twice with the 65-row weight table BROADCAST
+    * — the standard distributed full-batch training shape (rounds are
+    * barriers, never driver loops over rows). Inference is one
+    * broadcast-join pass — the property that makes a linear filter
+    * affordable where an LLM judge is not. All arithmetic BIGINT-exact:
+    * counts × weights stay < 2⁶³ (|w| ≤ T·Σcnt ≈ 4·10⁶ at any SF here;
+    * web-scale would rescale to per-mille token frequencies first).
+    * Output: per-doc teacher label, final margin, prediction, agreement
+    * — the audit a pipeline reads before trusting the cheap model. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val D = 64; val T = 4
+    val labels = qualityFilter(s, d).select(col("doc_id"),
+      when(col("keep"), lit(1L)).otherwise(lit(-1L)).as("y"))
+    // poly-31 word hash mod 1e9+7 (the simhash/shingle char fold) → D
+    // hashed dims + a bias feature fid=D with cnt=1 per doc
+    val wordHash =
+      "aggregate(split(w, ''), 0L, (h, c) -> (h * 31 + ascii(c)) % 1000000007)"
+    val termFeats = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), (expr(wordHash) % D).cast("int").as("fid"))
+      .groupBy(col("doc_id"), col("fid"))
+      .agg(count(lit(1)).as("cnt"))
+    val bias = Tables.documents(s, d)
+      .select(col("doc_id"), lit(D).as("fid"), lit(1L).as("cnt"))
+    // multi-reader (T margin passes + T delta passes + final scoring) —
+    // the lineage-cut rule; labels ride along so rounds need no re-join
+    val feats = MemoUtil.scratch(termFeats.unionAll(bias)
+      .join(labels, "doc_id").localCheckpoint())
+    def margins(wts: DataFrame): DataFrame =
+      feats.join(broadcast(wts), Seq("fid"), "left")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
+    // batch perceptron round: w' = w + Σ_{y·margin ≤ 0} y·x — the mis
+    // set is doc-keyed (equi-join back to features), the delta is a
+    // ≤65-row aggregate, the merge a 65×65 full join; localCheckpoint
+    // keeps round plans flat instead of T-deep
+    def step(wts: DataFrame): DataFrame = {
+      val mis = margins(wts).where(col("y") * col("margin") <= 0L)
+        .select(col("doc_id"))
+      val delta = feats.join(mis, "doc_id")
+        .groupBy(col("fid")).agg(sum(col("y") * col("cnt")).as("dw"))
+      val merged = wts.withColumnRenamed("w", "w0")
+        .join(delta, Seq("fid"), "full")
+        .select(col("fid"),
+          (coalesce(col("w0"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
+        .localCheckpoint()
+      MemoUtil.dropCheckpoint(wts)
+      merged
+    }
+    val w0 = feats.select(col("fid")).distinct()
+      .select(col("fid"), lit(0L).as("w")).localCheckpoint()
+    val wT = (1 to T).foldLeft(w0)((w, _) => step(w))
+    val out = margins(wT)
+      .select(col("doc_id"), col("y").as("label"), col("margin"),
+        (col("margin") > 0L).as("pred"),
+        ((col("margin") > 0L) === (col("y") === 1L)).as("agree"))
+    MemoUtil.scratch(wT)
+    out
+  }
+
   /** Deterministic stratified sampling to a per-language cap (the target-
     * mix step: downsample over-represented languages, keep the rest).
     * The keep decision is a HASH GATE, not rand(): a row is kept iff
@@ -931,6 +1007,7 @@ object LlmCuration extends OpModule {
     "llm_dedup_phash_cluster" -> dedupPhashCluster _,
     "llm_chunk" -> chunk _,
     "llm_pii_scrub" -> piiScrub _,
+    "llm_quality_classifier" -> qualityClassifier _,
     "llm_quality_filter" -> qualityFilter _,
     "llm_sample_stratified" -> sampleStratified _,
     "llm_embed_quantize" -> embedQuantize _,
@@ -968,7 +1045,57 @@ object LlmCuration extends OpModule {
       |       reason IS NULL AS keep, reason
       |FROM r""".stripMargin
 
+  /** One perceptron round in the classifier oracle: margins under w_t,
+    * then w_{t+1} = w_t + Σ_{y·margin ≤ 0} y·x. MATERIALIZED per round —
+    * DuckDB inlines plain CTEs per reference, and w_{t+1} references w_t
+    * twice (the kcore-peel lesson). */
+  private def clfRoundCtes(t: Int): String =
+    s"""m$t AS MATERIALIZED (
+       |  SELECT f.doc_id, f.y,
+       |    CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS margin
+       |  FROM feats f LEFT JOIN w$t w USING (fid) GROUP BY 1, 2),
+       |w${t + 1} AS MATERIALIZED (
+       |  SELECT coalesce(w.fid, d.fid) AS fid,
+       |    coalesce(w.w, 0) + coalesce(d.dw, 0) AS w
+       |  FROM w$t w FULL JOIN (
+       |    SELECT f.fid, CAST(sum(f.y * f.cnt) AS BIGINT) AS dw
+       |    FROM feats f JOIN m$t m USING (doc_id)
+       |    WHERE m.y * m.margin <= 0 GROUP BY 1) d ON d.fid = w.fid)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "llm_quality_classifier" ->
+      (s"""WITH teach AS MATERIALIZED (
+          |$qualityFilterSql
+          |),
+          |labs AS MATERIALIZED (
+          |  SELECT doc_id,
+          |    CASE WHEN keep THEN 1::BIGINT ELSE -1::BIGINT END AS y
+          |  FROM teach),
+          |feats AS MATERIALIZED (
+          |  SELECT f.doc_id, f.fid, f.cnt, l.y FROM (
+          |    SELECT doc_id, fid, CAST(count(*) AS BIGINT) AS cnt FROM (
+          |      SELECT doc_id,
+          |        list_reduce(list_prepend(0::BIGINT,
+          |          [ascii(c)::BIGINT for c in string_split(w, '')]),
+          |          (h, c) -> (h * 31 + c) % 1000000007) % 64 AS fid
+          |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |            FROM documents))
+          |    GROUP BY 1, 2
+          |    UNION ALL SELECT doc_id, 64 AS fid, 1::BIGINT FROM documents) f
+          |  JOIN labs l USING (doc_id)),
+          |w1 AS MATERIALIZED (
+          |  SELECT fid, CAST(sum(y * cnt) AS BIGINT) AS w
+          |  FROM feats GROUP BY 1),
+          |""".stripMargin
+        + clfRoundCtes(1) + ",\n" + clfRoundCtes(2) + ",\n" + clfRoundCtes(3)
+        + """,
+          |mf AS (
+          |  SELECT f.doc_id, f.y,
+          |    CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS margin
+          |  FROM feats f LEFT JOIN w4 w USING (fid) GROUP BY 1, 2)
+          |SELECT doc_id, y AS label, margin, margin > 0 AS pred,
+          |       (margin > 0) = (y = 1) AS agree
+          |FROM mf""".stripMargin),
     "llm_ngram_novelty" ->
       """WITH g AS (
         |  SELECT doc_id,
