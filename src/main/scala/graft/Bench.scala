@@ -110,6 +110,7 @@ object Bench {
       graft.operators.Analytics.resetGraphMemo()
       graft.operators.LlmOps.resetNearMemo()
       graft.operators.Retrieval.resetFusedMemo()
+      graft.operators.LlmCuration.resetClfMemo()
       // intra-op lineage-cut checkpoints registered during the pass:
       // nothing is in flight between passes, so their blocks free now
       graft.operators.MemoUtil.dropScratch()
@@ -139,7 +140,7 @@ object Bench {
     // floors IN the artifact lets env inflation be machine-flagged —
     // a query > 1.5x its floor (+0.1 s slack) on unchanged code is VM
     // noise/contention, not a regression (r9/r10 advice, now closed).
-    val records: Map[String, Double] = {
+    val (records: Map[String, Double], recordRound: String) = {
       val p = java.nio.file.Paths.get("bench_records.json")
       if (java.nio.file.Files.exists(p)) {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -147,13 +148,35 @@ object Bench {
         // sf0.1 round-of-record would flag everything
         val sfOk = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt)
           .exists(_.group(1) == sfDir)
-        if (!sfOk) Map.empty
+        // round-of-record label travels with the file, never hardcoded
+        // (ADVICE r11: a stale literal mislabeled which round the floors
+        // came from)
+        val round = """"round":\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("unknown")
+        if (!sfOk) (Map.empty[String, Double], round)
         else {
-          val body = txt.substring(txt.indexOf("\"queries\""))
-          """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // anchor to the queries OBJECT: scan from its '{' to the
+          // matching '}' so numeric fields placed after it (or a
+          // reordered file) can't sweep into the floor set (ADVICE r11)
+          val kIdx = txt.indexOf("\"queries\"")
+          val open = txt.indexOf('{', kIdx)
+          var depth = 0; var i = open; var close = -1
+          while (i < txt.length && close < 0) {
+            txt.charAt(i) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1; if (depth == 0) close = i
+              case _ =>
+            }
+            i += 1
+          }
+          val body =
+            if (kIdx >= 0 && open >= 0 && close > open)
+              txt.substring(open, close + 1)
+            else ""
+          (""""([A-Za-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap, round)
         }
-      } else Map.empty
+      } else (Map.empty[String, Double], "none")
     }
     val recordMeta: String = if (records.nonEmpty) {
       val shared = results.keySet & records.keySet
@@ -162,7 +185,7 @@ object Bench {
       val inflated = shared.filter(n =>
         results(n) > records(n) * 1.5 + 0.1).toSeq.sortBy(n => -results(n))
       val names = inflated.take(5).map(n => s""""$n"""").mkString("[", ",", "]")
-      s""","record":{"round":"r10","shared":${shared.size},"record_total":${fmt(recTotal)},"shared_total":${fmt(curTotal)},"ratio":${fmt(if (recTotal > 0) curTotal / recTotal else 0.0)},"inflated_n":${inflated.size},"inflated_top":$names}"""
+      s""","record":{"round":"$recordRound","shared":${shared.size},"record_total":${fmt(recTotal)},"shared_total":${fmt(curTotal)},"ratio":${fmt(if (recTotal > 0) curTotal / recTotal else 0.0)},"inflated_n":${inflated.size},"inflated_top":$names}"""
     } else ""
     val sorted = results.toSeq.sortBy(-_._2)
     // 1300, not 1500: the record block spends ~250 chars of the ~2000-

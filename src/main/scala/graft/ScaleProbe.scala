@@ -112,7 +112,12 @@ object ScaleProbe {
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/supplier.parquet")
 
-    val probes = Seq(
+    val probes = (
+      // pair-quadratic-by-construction op: gated OUT at ≥30× (output
+      // pairs grow ×copies² on the clone corpus; 1×/10× are the
+      // documented tiers — see the llm_lsh_autorewrite comment below)
+      (if (copies < 30) Seq("llm_lsh_autorewrite") else Seq.empty)
+    ) ++ Seq(
       // incremental shard-vs-index dedup: cost must track the NEW side
       // (B·collisions) — the clone corpus inflates index collisions per
       // new doc ~10×, runtime must follow verified matches, not corpus²
@@ -300,14 +305,37 @@ object ScaleProbe {
       // ×copies UNCHANGED, so same-cell output pairs grow ×copies² BY
       // CONSTRUCTION (they are all true cos=1 dups) — the probe checks
       // runtime tracks that output mass, like llm_dedup_near's clone
-      // families; skip at 30× (the 45×-pair tier is the documented
-      // regime)
-      "llm_lsh_autorewrite",
+      // families; ENFORCED skip at ≥30× below (ADVICE r11: the comment
+      // alone didn't gate it — an unfiltered 30× run executed the
+      // 45×-pair query)
       // residual IVFPQ: training is two corpus passes over residual
       // subvectors + broadcast codebooks; search is 10 queries ×
       // nprobe·(N/cells) candidates — growth must track the corpus
       // passes like llm_ann_pq, never a pair space
       "llm_ann_pq_residual",
+      // residual-PQ recall (r12): rides the memoized IVFADC top-3; the
+      // added cost is the 10-query broadcast brute pass — linear in N
+      "llm_ann_pq_residual_recall",
+      // trained quality classifier (r12 SURVEY row): feature build is
+      // one token scan → ≤65 rows/doc; each of the 4 rounds touches the
+      // checkpointed feature table twice against a 65-row broadcast —
+      // growth must be corpus-linear, flat-ish per pass
+      "llm_quality_classifier",
+      // classifier-as-gate + hold-out eval (r12): both ride the memoized
+      // (features, weights) — marginal cost is one margin pass + a
+      // |langs|-row (resp. 1-row) aggregate / one train-split retrain
+      "llm_quality_gate", "llm_quality_holdout",
+      // phash binaryFile front door (r12): the staged slice is fixed at
+      // 50 files per tier dir, so the probe checks the scan+hash path
+      // stays flat (the corpus-growth story lives in llm_dedup_phash)
+      "llm_dedup_phash_frontdoor",
+      // brute top-k rescued into the IVF probe form (r12): candidates
+      // per query are nprobe·(N/cells) — linear in N, top-3 output fixed
+      "llm_lsh_autorewrite_topk",
+      // the staged-topic batch pipeline (VERDICT r11 task 6): the r11
+      // StageUtil fix made clone-tier part-file staging real — probe it
+      // under tiers to confirm growth tracks the cloned topic rows
+      "pipeline_curation",
       // rendition closure over the phash pairs: StarContraction rounds
       // over pair edges — growth must track the pair mass (the clone
       // families), like llm_dedup_cluster over the LSH pairs

@@ -170,35 +170,67 @@ object LlmCuration extends OpModule {
     * web-scale would rescale to per-mille token frequencies first).
     * Output: per-doc teacher label, final margin, prediction, agreement
     * — the audit a pipeline reads before trusting the cheap model. */
-  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
-    val D = 64; val T = 4
-    val labels = qualityFilter(s, d).select(col("doc_id"),
-      when(col("keep"), lit(1L)).otherwise(lit(-1L)).as("y"))
+  private val ClfD = 64
+  private val ClfT = 4
+
+  /** Memoized (feature table, full-corpus trained weights) — shared by
+    * llm_quality_classifier (audit) and llm_quality_gate (funnel):
+    * whichever runs first pays the feature build + the 2T training
+    * passes once per (session, sf-dir); Bench resets this with the
+    * Lloyd memo between timing passes (the lloyd/pq memo pattern). The
+    * feature table also carries the masked-Knuth split bucket so
+    * llm_quality_holdout derives its train/val sides from the same
+    * checkpoint without a rebuild. */
+  private val clfMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  def resetClfMemo(): Unit = {
+    clfMemo.values.foreach { case (f, w) =>
+      MemoUtil.dropCheckpoint(f); MemoUtil.dropCheckpoint(w)
+    }
+    clfMemo.clear()
+  }
+
+  /** The shared sparse feature table (doc_id, fid, cnt, y, b): hashed
+    * bag-of-words dims + bias, teacher label y, split bucket b — one
+    * scan, ≤65 rows per doc, localCheckpoint'd for the 2T+1 reads. */
+  private def clfFeatsBuild(s: SparkSession, d: String): DataFrame = {
     // poly-31 word hash mod 1e9+7 (the simhash/shingle char fold) → D
     // hashed dims + a bias feature fid=D with cnt=1 per doc
     val wordHash =
       "aggregate(split(w, ''), 0L, (h, c) -> (h * 31 + ascii(c)) % 1000000007)"
+    val labels = qualityFilter(s, d).select(col("doc_id"),
+      when(col("keep"), lit(1L)).otherwise(lit(-1L)).as("y"))
     val termFeats = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), (expr(wordHash) % D).cast("int").as("fid"))
+      .select(col("doc_id"), (expr(wordHash) % ClfD).cast("int").as("fid"))
       .groupBy(col("doc_id"), col("fid"))
       .agg(count(lit(1)).as("cnt"))
     val bias = Tables.documents(s, d)
-      .select(col("doc_id"), lit(D).as("fid"), lit(1L).as("cnt"))
-    // multi-reader (T margin passes + T delta passes + final scoring) —
-    // the lineage-cut rule; labels ride along so rounds need no re-join
-    val feats = MemoUtil.scratch(termFeats.unionAll(bias)
-      .join(labels, "doc_id").localCheckpoint())
-    def margins(wts: DataFrame): DataFrame =
-      feats.join(broadcast(wts), Seq("fid"), "left")
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
-    // batch perceptron round: w' = w + Σ_{y·margin ≤ 0} y·x — the mis
-    // set is doc-keyed (equi-join back to features), the delta is a
-    // ≤65-row aggregate, the merge a 65×65 full join; localCheckpoint
-    // keeps round plans flat instead of T-deep
+      .select(col("doc_id"), lit(ClfD).as("fid"), lit(1L).as("cnt"))
+    termFeats.unionAll(bias)
+      .join(labels, "doc_id")
+      .withColumn("h", knuth32(col("doc_id")))
+      .withColumn("b", expr("(h * 20) div 4294967296"))
+      .drop("h")
+      .localCheckpoint()
+  }
+
+  /** Per-doc margins of `feats` under broadcast weights `wts`. */
+  private def clfMargins(feats: DataFrame, wts: DataFrame): DataFrame =
+    feats.join(broadcast(wts), Seq("fid"), "left")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
+
+  /** Full-batch perceptron over `feats` (T rounds from w₀ = 0) — the
+    * exact-integer training loop shared by the three classifier ops.
+    * Each round: w' = w + Σ_{y·margin ≤ 0} y·x — the mis set is
+    * doc-keyed (equi-join back to features), the delta a ≤65-row
+    * aggregate, the merge a 65×65 full join; localCheckpoint keeps
+    * round plans flat instead of T-deep. Returns checkpointed wT; the
+    * caller owns its lifecycle (memo or per-query scratch). */
+  private def perceptron(feats: DataFrame, T: Int): DataFrame = {
     def step(wts: DataFrame): DataFrame = {
-      val mis = margins(wts).where(col("y") * col("margin") <= 0L)
+      val mis = clfMargins(feats, wts).where(col("y") * col("margin") <= 0L)
         .select(col("doc_id"))
       val delta = feats.join(mis, "doc_id")
         .groupBy(col("fid")).agg(sum(col("y") * col("cnt")).as("dw"))
@@ -212,12 +244,90 @@ object LlmCuration extends OpModule {
     }
     val w0 = feats.select(col("fid")).distinct()
       .select(col("fid"), lit(0L).as("w")).localCheckpoint()
-    val wT = (1 to T).foldLeft(w0)((w, _) => step(w))
-    val out = margins(wT)
+    (1 to T).foldLeft(w0)((w, _) => step(w))
+  }
+
+  private def clfTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    MemoUtil.memoize(clfMemo, (s, d)) {
+      val feats = clfFeatsBuild(s, d)
+      (feats, perceptron(feats, ClfT))
+    }
+
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val (feats, wT) = clfTrained(s, d)
+    clfMargins(feats, wT)
       .select(col("doc_id"), col("y").as("label"), col("margin"),
         (col("margin") > 0L).as("pred"),
         ((col("margin") > 0L) === (col("y") === 1L)).as("agree"))
-    MemoUtil.scratch(wT)
+  }
+
+  /** The classifier AS A CURATION GATE (VERDICT r11 task 4):
+    * llm_quality_classifier trains and audits against its own labels —
+    * the production step is INFERENCE feeding the keep/drop funnel.
+    * Per language: doc count, rule-gate keeps, model-gate keeps, the
+    * agreement split (both-keep / rule-only / model-only), the first
+    * disagreeing doc id (the review queue's entry point), and the
+    * disagreement share in exact basis points — the audit a team reads
+    * before swapping the hard-rule gate for the cheap model. At 100 TB:
+    * scoring is the one broadcast-join margin pass over the memoized
+    * feature table (no re-training — the trained weight table is the
+    * shared 65-row broadcast), the funnel a |langs|-row aggregate. */
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    val (feats, wT) = clfTrained(s, d)
+    val scored = clfMargins(feats, wT)
+      .select(col("doc_id"), (col("y") === 1L).as("rule_keep"),
+        (col("margin") > 0L).as("model_keep"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(scored, "doc_id")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rule_keep"), 1L).otherwise(0L)).as("n_rule_keep"),
+        sum(when(col("model_keep"), 1L).otherwise(0L)).as("n_model_keep"),
+        sum(when(col("rule_keep") && col("model_keep"), 1L).otherwise(0L))
+          .as("n_both_keep"),
+        sum(when(col("rule_keep") && !col("model_keep"), 1L).otherwise(0L))
+          .as("n_rule_only"),
+        sum(when(!col("rule_keep") && col("model_keep"), 1L).otherwise(0L))
+          .as("n_model_only"),
+        min(when(col("rule_keep") =!= col("model_keep"), col("doc_id")))
+          .as("example_disagree"))
+      .select(col("lang"), col("n_docs"), col("n_rule_keep"),
+        col("n_model_keep"), col("n_both_keep"), col("n_rule_only"),
+        col("n_model_only"), col("example_disagree"),
+        expr("(n_rule_only + n_model_only) * 10000 div n_docs")
+          .as("disagree_bp"))
+  }
+
+  /** HOLD-OUT evaluation for the classifier (VERDICT r11 task 5): the
+    * classifier op scores the documents it trained on — the blind spot
+    * every eval pipeline closes with a held-out split. Training runs
+    * ONLY on the masked-Knuth train buckets (b < 18, llm_split_holdout's
+    * gate — leakage-free by construction), the val bucket (b = 18)
+    * scores under the frozen weights, and the readout is the confusion
+    * matrix plus precision/recall/agreement in exact basis points
+    * (teacher labels as ground truth; -1 sentinel when a denominator is
+    * empty). Same economics as the classifier — the split tag is a
+    * column of the shared checkpointed feature table, so train/val are
+    * filters, not rebuilds. */
+  def qualityHoldout(s: SparkSession, d: String): DataFrame = {
+    val (feats, _) = clfTrained(s, d)
+    val wTrain = perceptron(feats.where(col("b") < 18), ClfT)
+    val scored = clfMargins(feats.where(col("b") === 18), wTrain)
+      .select(col("y"), (col("margin") > 0L).as("pred"))
+    val out = scored.agg(
+        count(lit(1)).as("n_val"),
+        sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && col("y") === -1L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && col("y") === -1L, 1L).otherwise(0L)).as("tn"))
+      .select(col("n_val"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN CAST(-1 AS BIGINT) " +
+          "ELSE tp * 10000 div (tp + fp) END").as("precision_bp"),
+        expr("CASE WHEN tp + fn = 0 THEN CAST(-1 AS BIGINT) " +
+          "ELSE tp * 10000 div (tp + fn) END").as("recall_bp"),
+        expr("(tp + tn) * 10000 div n_val").as("agree_bp"))
+    MemoUtil.scratch(wTrain)
     out
   }
 
@@ -1008,6 +1118,8 @@ object LlmCuration extends OpModule {
     "llm_chunk" -> chunk _,
     "llm_pii_scrub" -> piiScrub _,
     "llm_quality_classifier" -> qualityClassifier _,
+    "llm_quality_gate" -> qualityGate _,
+    "llm_quality_holdout" -> qualityHoldout _,
     "llm_quality_filter" -> qualityFilter _,
     "llm_sample_stratified" -> sampleStratified _,
     "llm_embed_quantize" -> embedQuantize _,
@@ -1045,45 +1157,53 @@ object LlmCuration extends OpModule {
       |       reason IS NULL AS keep, reason
       |FROM r""".stripMargin
 
-  /** One perceptron round in the classifier oracle: margins under w_t,
+  /** One perceptron round in the classifier oracles: margins under w_t,
     * then w_{t+1} = w_t + Σ_{y·margin ≤ 0} y·x. MATERIALIZED per round —
     * DuckDB inlines plain CTEs per reference, and w_{t+1} references w_t
-    * twice (the kcore-peel lesson). */
-  private def clfRoundCtes(t: Int): String =
+    * twice (the kcore-peel lesson). `rel` is the training feature
+    * relation — `feats` for the full-corpus ops, `tfeats` for the
+    * hold-out's train-bucket side. */
+  private def clfRoundCtes(t: Int, rel: String = "feats"): String =
     s"""m$t AS MATERIALIZED (
        |  SELECT f.doc_id, f.y,
        |    CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS margin
-       |  FROM feats f LEFT JOIN w$t w USING (fid) GROUP BY 1, 2),
+       |  FROM $rel f LEFT JOIN w$t w USING (fid) GROUP BY 1, 2),
        |w${t + 1} AS MATERIALIZED (
        |  SELECT coalesce(w.fid, d.fid) AS fid,
        |    coalesce(w.w, 0) + coalesce(d.dw, 0) AS w
        |  FROM w$t w FULL JOIN (
        |    SELECT f.fid, CAST(sum(f.y * f.cnt) AS BIGINT) AS dw
-       |    FROM feats f JOIN m$t m USING (doc_id)
+       |    FROM $rel f JOIN m$t m USING (doc_id)
        |    WHERE m.y * m.margin <= 0 GROUP BY 1) d ON d.fid = w.fid)""".stripMargin
+
+  /** teach → labels → hashed-BoW features: the shared head of the
+    * three classifier oracles (classifier / gate / holdout). */
+  private lazy val clfFeatsCtes: String =
+    s"""WITH teach AS MATERIALIZED (
+       |$qualityFilterSql
+       |),
+       |labs AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN keep THEN 1::BIGINT ELSE -1::BIGINT END AS y
+       |  FROM teach),
+       |feats AS MATERIALIZED (
+       |  SELECT f.doc_id, f.fid, f.cnt, l.y FROM (
+       |    SELECT doc_id, fid, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |      SELECT doc_id,
+       |        list_reduce(list_prepend(0::BIGINT,
+       |          [ascii(c)::BIGINT for c in string_split(w, '')]),
+       |          (h, c) -> (h * 31 + c) % 1000000007) % 64 AS fid
+       |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |            FROM documents))
+       |    GROUP BY 1, 2
+       |    UNION ALL SELECT doc_id, 64 AS fid, 1::BIGINT FROM documents) f
+       |  JOIN labs l USING (doc_id)),
+       |""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "llm_quality_classifier" ->
-      (s"""WITH teach AS MATERIALIZED (
-          |$qualityFilterSql
-          |),
-          |labs AS MATERIALIZED (
-          |  SELECT doc_id,
-          |    CASE WHEN keep THEN 1::BIGINT ELSE -1::BIGINT END AS y
-          |  FROM teach),
-          |feats AS MATERIALIZED (
-          |  SELECT f.doc_id, f.fid, f.cnt, l.y FROM (
-          |    SELECT doc_id, fid, CAST(count(*) AS BIGINT) AS cnt FROM (
-          |      SELECT doc_id,
-          |        list_reduce(list_prepend(0::BIGINT,
-          |          [ascii(c)::BIGINT for c in string_split(w, '')]),
-          |          (h, c) -> (h * 31 + c) % 1000000007) % 64 AS fid
-          |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-          |            FROM documents))
-          |    GROUP BY 1, 2
-          |    UNION ALL SELECT doc_id, 64 AS fid, 1::BIGINT FROM documents) f
-          |  JOIN labs l USING (doc_id)),
-          |w1 AS MATERIALIZED (
+      (clfFeatsCtes +
+        """w1 AS MATERIALIZED (
           |  SELECT fid, CAST(sum(y * cnt) AS BIGINT) AS w
           |  FROM feats GROUP BY 1),
           |""".stripMargin
@@ -1096,6 +1216,89 @@ object LlmCuration extends OpModule {
           |SELECT doc_id, y AS label, margin, margin > 0 AS pred,
           |       (margin > 0) = (y = 1) AS agree
           |FROM mf""".stripMargin),
+    // the same perceptron CTE chain feeding the per-language funnel:
+    // rule gate (teacher label) vs model gate (final-margin sign)
+    "llm_quality_gate" ->
+      (clfFeatsCtes +
+        """w1 AS MATERIALIZED (
+          |  SELECT fid, CAST(sum(y * cnt) AS BIGINT) AS w
+          |  FROM feats GROUP BY 1),
+          |""".stripMargin
+        + clfRoundCtes(1) + ",\n" + clfRoundCtes(2) + ",\n" + clfRoundCtes(3)
+        + """,
+          |mf AS MATERIALIZED (
+          |  SELECT f.doc_id, f.y,
+          |    CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS margin
+          |  FROM feats f LEFT JOIN w4 w USING (fid) GROUP BY 1, 2),
+          |tag AS (
+          |  SELECT d.lang, m.doc_id, m.y = 1 AS rule_keep,
+          |         m.margin > 0 AS model_keep
+          |  FROM mf m JOIN documents d USING (doc_id)),
+          |fun AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_rule_keep,
+          |    CAST(sum(CASE WHEN model_keep THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_model_keep,
+          |    CAST(sum(CASE WHEN rule_keep AND model_keep THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_both_keep,
+          |    CAST(sum(CASE WHEN rule_keep AND NOT model_keep THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_rule_only,
+          |    CAST(sum(CASE WHEN NOT rule_keep AND model_keep THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_model_only,
+          |    min(CASE WHEN rule_keep != model_keep THEN doc_id END)
+          |      AS example_disagree
+          |  FROM tag GROUP BY 1)
+          |SELECT lang, n_docs, n_rule_keep, n_model_keep, n_both_keep,
+          |  n_rule_only, n_model_only, example_disagree,
+          |  (n_rule_only + n_model_only) * 10000 // n_docs AS disagree_bp
+          |FROM fun""".stripMargin),
+    // hold-out: train ONLY on the masked-Knuth train buckets (b < 18,
+    // llm_split_holdout's gate), score the val bucket (b = 18) under
+    // the frozen w4 — the same round CTEs over the tfeats relation
+    "llm_quality_holdout" ->
+      (clfFeatsCtes +
+        """splitb AS MATERIALIZED (
+          |  SELECT doc_id,
+          |    ((((doc_id & 65535) * 2654435761)
+          |      + ((((doc_id >> 16) & 65535) * 2654435761) % 65536)
+          |        * 65536) % 4294967296 * 20) // 4294967296 AS b
+          |  FROM documents),
+          |tfeats AS MATERIALIZED (
+          |  SELECT f.doc_id, f.fid, f.cnt, f.y
+          |  FROM feats f JOIN splitb s USING (doc_id) WHERE s.b < 18),
+          |vfeats AS MATERIALIZED (
+          |  SELECT f.doc_id, f.fid, f.cnt, f.y
+          |  FROM feats f JOIN splitb s USING (doc_id) WHERE s.b = 18),
+          |w1 AS MATERIALIZED (
+          |  SELECT fid, CAST(sum(y * cnt) AS BIGINT) AS w
+          |  FROM tfeats GROUP BY 1),
+          |""".stripMargin
+        + clfRoundCtes(1, "tfeats") + ",\n" + clfRoundCtes(2, "tfeats")
+        + ",\n" + clfRoundCtes(3, "tfeats")
+        + """,
+          |vm AS (
+          |  SELECT f.doc_id, f.y,
+          |    CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS margin
+          |  FROM vfeats f LEFT JOIN w4 w USING (fid) GROUP BY 1, 2),
+          |cm AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_val,
+          |    CAST(sum(CASE WHEN margin > 0 AND y = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS tp,
+          |    CAST(sum(CASE WHEN margin > 0 AND y = -1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS fp,
+          |    CAST(sum(CASE WHEN margin <= 0 AND y = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS fn,
+          |    CAST(sum(CASE WHEN margin <= 0 AND y = -1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS tn
+          |  FROM vm)
+          |SELECT n_val, tp, fp, fn, tn,
+          |  CASE WHEN tp + fp = 0 THEN CAST(-1 AS BIGINT)
+          |       ELSE tp * 10000 // (tp + fp) END AS precision_bp,
+          |  CASE WHEN tp + fn = 0 THEN CAST(-1 AS BIGINT)
+          |       ELSE tp * 10000 // (tp + fn) END AS recall_bp,
+          |  (tp + tn) * 10000 // n_val AS agree_bp
+          |FROM cm""".stripMargin),
     "llm_ngram_novelty" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -253,6 +253,44 @@ object LlmExtended extends OpModule {
       .where(col("hamming") <= 3)
   }
 
+  /** The binaryFile FRONT DOOR for the perceptual hash (VERDICT r11
+    * task 3): llm_dedup_phash synthesizes its blobs in-plane from
+    * `documents`; this registers the full media path a production
+    * pipeline runs — stage (fixture-only) → DISTRIBUTED binaryFile scan
+    * (one row per file, splittable across executors) → codegen'd
+    * dhash72 over the raw `content` bytes → the 4×16-bit block LSH
+    * keys. Output is the per-file index state (doc_id, byte length,
+    * fingerprint halves, block, block value) rather than pairs: the
+    * 50-file fixture slice has no planted renditions, and the LSH block
+    * table IS what a 100 TB ingest writes before the bucket join. The
+    * oracle never sees the staged files — it replays the round trip
+    * from `documents` itself (the scan_binaryfile contract), then the
+    * identical integer dhash from hex digits, so the CORRECTNESS row
+    * spans stage → binary scan → hash → LSH end to end. */
+  def dedupPhashFrontdoor(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val files = s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(Scans.stagedBinDir(s, d))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        col("length"), col("content"))
+      .where(col("length") >= 72) // dhash contract: 9×8 needs ≥72 bytes
+      .select(col("doc_id"), col("length"), expr("dhash72(content)").as("ph"))
+      .select(col("doc_id"), col("length"),
+        element_at(col("ph"), 1).as("ph_hi"),
+        element_at(col("ph"), 2).as("ph_lo"))
+    files
+      .select(col("doc_id"), col("length"), col("ph_hi"), col("ph_lo"),
+        posexplode(array(
+          (0 until 4).map { j =>
+            val half = if (j < 2) col("ph_hi") else col("ph_lo")
+            shiftright(half, 16 * (j % 2)).bitwiseAND(lit(65535))
+          }: _*)))
+      .select(col("doc_id"), col("length"), col("ph_hi"), col("ph_lo"),
+        col("pos").cast("int").as("blk"), col("col").as("bv"))
+  }
+
   /** Exact n-gram (word 4-shingle) Jaccard similarity join at τ=0.5 —
     * the exhaustive exact path (vs MinHash's approximate-then-verify),
     * implemented as an SSJoin-style prefix-filtered equi-join: only
@@ -558,6 +596,38 @@ object LlmExtended extends OpModule {
         round(expr("cosine_sim(ea, eb)"), 4).as("cos"))
   }
 
+  /** llm_ann_ivf written the way a USER writes it — brute-force cosine
+    * TOP-K: a keyless query×corpus join ranked per query by
+    * `row_number() OVER (PARTITION BY qid ORDER BY cos DESC)` and cut at
+    * k=3 — and rescued by CosineLshRewrite's SECOND shape (VERDICT r11
+    * task 2): with the opt-in flag the optimizer injects the probe=cell
+    * equi key into the keyless join (query side explodes its 9 probes,
+    * candidate side keeps its own cell), leaving the window + rank
+    * filter untouched, so the registered plan is EXACTLY the IVF probe
+    * form annIvf hand-writes — same candidates, same rounding, same
+    * (cos DESC, cid ASC) tie-break — and the oracle is llm_ann_ivf's
+    * verbatim. Derived session for the same isolation reason as
+    * lshAutoRewrite. */
+  def lshAutoRewriteTopk(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    graft.GraftExtensions.register(s)
+    graft.GraftExtensions.installOptimizations(s)
+    s.conf.set(graft.plans.CosineLshRewrite.Flag, "true")
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    q.join(c, col("cid") =!= col("qid")) // keyless: would plan BNLJ
+      .select(col("qid"), col("cid"),
+        (round(expr("cosine_sim(qe, ce)"), 4) + lit(0.0)).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+  }
+
   /** IVF-style approximate nearest neighbor: coarse cells from the sign
     * bits of the first 8 dimensions (deterministic stand-in for k-means
     * centroids), probe = own cell + its 8 hamming-1 neighbors, exact
@@ -753,7 +823,9 @@ object LlmExtended extends OpModule {
     "udtf_ngrams" -> udtfNgrams _,
     "llm_dedup_simhash" -> dedupSimhash _,
     "llm_dedup_phash" -> dedupPhash _,
+    "llm_dedup_phash_frontdoor" -> dedupPhashFrontdoor _,
     "llm_dedup_ngram" -> dedupNgram _,
+    "llm_lsh_autorewrite_topk" -> lshAutoRewriteTopk _,
     // dedupNgramHash is NOT registered (r9): rarest-first is the one
     // canonical ordering (measured: 159 vs 5,000 max posting, 23k vs 75M
     // candidate mass on the skewed-vocabulary tier — SCALE.md); the
@@ -798,6 +870,78 @@ object LlmExtended extends OpModule {
        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
        |       list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |       (p, x) -> p + x))))""".stripMargin
+
+  /** dHash replay from hex digits (base → bytes → 72-segment pixel
+    * means → difference hash halves → 4×16-bit LSH block keys) over a
+    * preceding `corpus(doc_id, text)` CTE — shared verbatim between the
+    * in-plane pair op (llm_dedup_phash) and the binaryFile front door
+    * (llm_dedup_phash_frontdoor): the hash formula is ONE text, the two
+    * ops differ only in corpus and final projection. */
+  private val phashReplayCtes: String =
+    """base AS (
+      |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+      |         octet_length(encode(text)) AS len
+      |  FROM corpus WHERE octet_length(encode(text)) >= 72),
+      |bt AS (
+      |  SELECT doc_id, len,
+      |    [strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) * 16
+      |     + strpos('0123456789ABCDEF', substring(hx, 2 * i, 1)) - 17
+      |     for i in range(1, len + 1)] AS bytes
+      |  FROM base),
+      |pxt AS (
+      |  SELECT doc_id,
+      |    [list_reduce(list_prepend(0::BIGINT,
+      |        list_slice(bytes, (g * len) // 72 + 1, ((g + 1) * len) // 72)),
+      |      (a, x) -> a + x) * 10000
+      |     // (((g + 1) * len) // 72 - (g * len) // 72)
+      |     for g in range(0, 72)] AS px
+      |  FROM bt),
+      |ph AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      [CASE WHEN px[(b // 8) * 9 + (b % 8) + 2] >
+      |                 px[(b // 8) * 9 + (b % 8) + 1]
+      |            THEN (1::BIGINT << b) ELSE 0::BIGINT END
+      |       for b in range(0, 32)]), (a, x) -> a + x) AS ph_hi,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      [CASE WHEN px[(b // 8 + 4) * 9 + (b % 8) + 2] >
+      |                 px[(b // 8 + 4) * 9 + (b % 8) + 1]
+      |            THEN (1::BIGINT << b) ELSE 0::BIGINT END
+      |       for b in range(0, 32)]), (a, x) -> a + x) AS ph_lo
+      |  FROM pxt),
+      |blk AS (
+      |  SELECT doc_id, ph_hi, ph_lo, unnest([0, 1, 2, 3]) AS b
+      |  FROM ph),
+      |blkv AS (
+      |  SELECT doc_id, ph_hi, ph_lo, b,
+      |    CASE b WHEN 0 THEN ph_hi % 65536 WHEN 1 THEN ph_hi // 65536
+      |           WHEN 2 THEN ph_lo % 65536 ELSE ph_lo // 65536 END AS bv
+      |  FROM blk)""".stripMargin
+
+  /** IVF probe replay — shared verbatim by llm_ann_ivf (the hand-
+    * written probe form) and llm_lsh_autorewrite_topk (the brute top-k
+    * spelling the optimizer rewrites INTO that form). */
+  private lazy val annIvfOracleSql: String =
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+       |            ELSE 0 END for i in range(0, 8)]),
+       |      (a, x) -> a + x) AS cell
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS qid, embedding AS qe,
+       |    unnest(list_distinct(list_prepend(cell,
+       |      [xor(cell, 1::BIGINT << j) for j in range(0, 8)]))) AS probe
+       |  FROM cells WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.qid, c.vec_id AS cid,
+       |    0.0 + round(${duckCos("p.qe", "c.embedding")}, 4) AS cos
+       |  FROM probes p JOIN cells c ON c.cell = p.probe
+       |  WHERE c.vec_id != p.qid)
+       |SELECT qid, cid, cos,
+       |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |FROM scored QUALIFY rn <= 3""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "llm_dedup_containment" ->
@@ -883,84 +1027,39 @@ object LlmExtended extends OpModule {
     // pigeonholes one identical block, so the LSH block join is
     // lossless for the accepted radius (the simhash argument)
     "llm_dedup_phash" ->
-      """WITH corpus AS (
+      ("""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 10000000,
         |    array_to_string([chr(ord(c) + 1)
         |                     for c in string_split(text, '')], '')
         |  FROM documents WHERE doc_id < 500),
-        |base AS (
-        |  SELECT doc_id, upper(hex(encode(text))) AS hx,
-        |         octet_length(encode(text)) AS len
-        |  FROM corpus WHERE octet_length(encode(text)) >= 72),
-        |bt AS (
-        |  SELECT doc_id, len,
-        |    [strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) * 16
-        |     + strpos('0123456789ABCDEF', substring(hx, 2 * i, 1)) - 17
-        |     for i in range(1, len + 1)] AS bytes
-        |  FROM base),
-        |pxt AS (
-        |  SELECT doc_id,
-        |    [list_reduce(list_prepend(0::BIGINT,
-        |        list_slice(bytes, (g * len) // 72 + 1, ((g + 1) * len) // 72)),
-        |      (a, x) -> a + x) * 10000
-        |     // (((g + 1) * len) // 72 - (g * len) // 72)
-        |     for g in range(0, 72)] AS px
-        |  FROM bt),
-        |ph AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      [CASE WHEN px[(b // 8) * 9 + (b % 8) + 2] >
-        |                 px[(b // 8) * 9 + (b % 8) + 1]
-        |            THEN (1::BIGINT << b) ELSE 0::BIGINT END
-        |       for b in range(0, 32)]), (a, x) -> a + x) AS ph_hi,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      [CASE WHEN px[(b // 8 + 4) * 9 + (b % 8) + 2] >
-        |                 px[(b // 8 + 4) * 9 + (b % 8) + 1]
-        |            THEN (1::BIGINT << b) ELSE 0::BIGINT END
-        |       for b in range(0, 32)]), (a, x) -> a + x) AS ph_lo
-        |  FROM pxt),
-        |blk AS (
-        |  SELECT doc_id, ph_hi, ph_lo, unnest([0, 1, 2, 3]) AS b
-        |  FROM ph),
-        |blkv AS (
-        |  SELECT doc_id, ph_hi, ph_lo, b,
-        |    CASE b WHEN 0 THEN ph_hi % 65536 WHEN 1 THEN ph_hi // 65536
-        |           WHEN 2 THEN ph_lo % 65536 ELSE ph_lo // 65536 END AS bv
-        |  FROM blk)
+        |""".stripMargin + phashReplayCtes + """
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |  CAST(bit_count(xor(x.ph_hi, y.ph_hi)::BIT)
         |     + bit_count(xor(x.ph_lo, y.ph_lo)::BIT) AS BIGINT) AS hamming
         |FROM blkv x JOIN blkv y
         |  ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.ph_hi, y.ph_hi)::BIT)
-        |    + bit_count(xor(x.ph_lo, y.ph_lo)::BIT) <= 3""".stripMargin,
+        |    + bit_count(xor(x.ph_lo, y.ph_lo)::BIT) <= 3""".stripMargin),
+    // front door: the oracle replays the staged slice from `documents`
+    // itself (doc_id < 50, the scan_binaryfile fixture contract) through
+    // the IDENTICAL hash replay, emitting the per-file LSH index rows
+    "llm_dedup_phash_frontdoor" ->
+      ("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |""".stripMargin + phashReplayCtes + """
+        |SELECT v.doc_id, CAST(b0.len AS BIGINT) AS length,
+        |       v.ph_hi, v.ph_lo, CAST(v.b AS INTEGER) AS blk, v.bv
+        |FROM blkv v JOIN base b0 USING (doc_id)""".stripMargin),
     "llm_dedup_embed" -> dedupEmbedOracleSql,
     // the rewrite rule PRODUCES the bucketed algorithm, so the rewritten
     // brute-force spelling shares llm_dedup_embed's oracle verbatim
     "llm_lsh_autorewrite" -> dedupEmbedOracleSql,
-    "llm_ann_ivf" ->
-      (s"""WITH cells AS (
-          |  SELECT vec_id, embedding,
-          |    list_reduce(list_prepend(0::BIGINT,
-          |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
-          |            ELSE 0 END for i in range(0, 8)]),
-          |      (a, x) -> a + x) AS cell
-          |  FROM embeddings),
-          |probes AS (
-          |  SELECT vec_id AS qid, embedding AS qe,
-          |    unnest(list_distinct(list_prepend(cell,
-          |      [xor(cell, 1::BIGINT << j) for j in range(0, 8)]))) AS probe
-          |  FROM cells WHERE vec_id < 10),
-          |scored AS (
-          |  SELECT p.qid, c.vec_id AS cid,
-          |    0.0 + round(${duckCos("p.qe", "c.embedding")}, 4) AS cos
-          |  FROM probes p JOIN cells c ON c.cell = p.probe
-          |  WHERE c.vec_id != p.qid)
-          |SELECT qid, cid, cos,
-          |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
-          |FROM scored QUALIFY rn <= 3""".stripMargin),
+    "llm_ann_ivf" -> annIvfOracleSql,
+    // the top-k rewrite PRODUCES the IVF probe algorithm, so the brute
+    // rank-per-query spelling shares llm_ann_ivf's oracle verbatim
+    "llm_lsh_autorewrite_topk" -> annIvfOracleSql,
     "llm_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks

@@ -260,6 +260,8 @@ object LlmScale extends OpModule {
     lloydMemo.clear()
     pqMemo.values.foreach(MemoUtil.dropCheckpoint)
     pqMemo.clear()
+    pqResidualMemo.values.foreach(MemoUtil.dropCheckpoint)
+    pqResidualMemo.clear()
   }
 
   /** Memoized PQ ADC top-3 (qid, rank, cand_id, adist) — the shared
@@ -268,6 +270,12 @@ object LlmScale extends OpModule {
     * codebook train + encode + ADC ranking once per (session, sf-dir);
     * Bench resets this with the Lloyd memo between timing passes. */
   private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized residual-IVFPQ ADC top-3 — the shared expensive subtree
+    * of llm_ann_pq_residual and llm_ann_pq_residual_recall (the pqMemo
+    * pattern applied to the IVFADC construction). */
+  private val pqResidualMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
   /** Shared Lloyd pipeline (quantized vectors + per-dimension form +
@@ -1598,17 +1606,25 @@ object LlmScale extends OpModule {
     * is (dist ASC, id ASC); centroid means floor like the PQ recenter.
     * The oracle replays coarse cells → residuals → the SHARED
     * pqTrainCtes → per-cell distance tables → ADC top-3. */
-  def annPqResidual(s: SparkSession, d: String): DataFrame = {
-    graft.GraftExtensions.register(s)
-    val M = 8
+  /** Quantized-vector + coarse-cell base table for the residual
+    * pipeline — cheap one-scan derivation, rebuilt per consumer (the
+    * expensive construction below is what memoizes). */
+  private def pqResidualBase(s: SparkSession, d: String): DataFrame = {
     val cellE =
       """aggregate(transform(sequence(0, 7),
         |  i -> IF(element_at(embedding, i + 1) > 0, shiftleft(1, i), 0)),
         |0, (a, x) -> a + x)""".stripMargin
-    val base = Tables.embeddings(s, d).select(col("vec_id"),
+    Tables.embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
         .as("qv"),
       expr(cellE).as("cell"))
+  }
+
+  private def pqResidualTop3(s: SparkSession, d: String): DataFrame =
+    MemoUtil.memoize(pqResidualMemo, (s, d)) {
+    graft.GraftExtensions.register(s)
+    val M = 8
+    val base = pqResidualBase(s, d)
     // per-cell integer centroid (floor mean per dim, the PQ recenter
     // discipline) — |cells| ≤ 256 rows of 64 longs → broadcast
     val cent = base.select(col("cell"), posexplode(col("qv")))
@@ -1671,7 +1687,7 @@ object LlmScale extends OpModule {
         expr("squared_distance(rq, cv)").as("dt"))
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("adist").asc, col("cand_id").asc)
-    val top = codes.select(col("vec_id").as("cand_id"), col("m"), col("code"))
+    codes.select(col("vec_id").as("cand_id"), col("m"), col("code"))
       .join(base.select(col("vec_id").as("cand_id"), col("cell").as("ccell")),
         "cand_id")
       .join(broadcast(dtab),
@@ -1682,13 +1698,52 @@ object LlmScale extends OpModule {
       .agg(sum(col("dt")).as("adist"))
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= 3)
+      .localCheckpoint()
+    }
+
+  def annPqResidual(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val base = pqResidualBase(s, d)
     // exact original-space distance beside the estimate (30-row side)
-    top.join(base.select(col("vec_id").as("qid"), col("qv").as("qq2")), "qid")
+    pqResidualTop3(s, d)
+      .join(base.select(col("vec_id").as("qid"), col("qv").as("qq2")), "qid")
       .join(base.select(col("vec_id").as("cand_id"), col("qv").as("cq2")),
         "cand_id")
       .select(col("qid"), col("rank"), col("cand_id"),
         col("adist").cast("long").as("adist"),
         expr("squared_distance(qq2, cq2)").as("exact_dist"))
+  }
+
+  /** Residual-PQ recall@3 (VERDICT r11 task 8 — every approximate
+    * index in the repo ships with its measured recall): the IVFADC
+    * top-3 vs the exact brute top-3 in the ORIGINAL quantized space —
+    * so the readout charges the index for BOTH loss sources, the
+    * residual-PQ distance approximation and coarse-cell misses (a true
+    * neighbor living outside the 9 probed cells can never be found —
+    * the honesty llm_ann_recall established for the IVF index). Same
+    * brute shape as llm_ann_pq_recall: 10 broadcast query vectors over
+    * one corpus pass; rides the memoized IVFADC construction. */
+  def annPqResidualRecall(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val r3 = pqResidualTop3(s, d).select(col("qid"), col("cand_id"))
+    val base = pqResidualBase(s, d).select(col("vec_id"), col("qv"))
+    val q = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val exact3 = base.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wExact))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    exact3
+      .join(r3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
   }
 
 
@@ -1744,6 +1799,7 @@ object LlmScale extends OpModule {
     "llm_ann_pq" -> annPq _,
     "llm_ann_pq_recall" -> annPqRecall _,
     "llm_ann_pq_residual" -> annPqResidual _,
+    "llm_ann_pq_residual_recall" -> annPqResidualRecall _,
     "llm_cooccur" -> cooccur _,
     "llm_inverted_index" -> invertedIndex _,
     "llm_domain_mix" -> domainMix _,
@@ -1924,6 +1980,62 @@ object LlmScale extends OpModule {
       |  SELECT vec_id, m, j AS code FROM (
       |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
       |      ORDER BY dist ASC, j ASC) AS rn FROM d2) WHERE rn = 1)""".stripMargin
+
+  /** Residual-IVFPQ replay through the ADC top-3 (`rt3`) — coarse sign
+    * cells → per-cell floor-mean centroid → residual dims → the SHARED
+    * pqTrainCtes (identical training text) → per-(query, probed-cell)
+    * distance tables → top-3 over candidates in probed cells only.
+    * Shared verbatim by llm_ann_pq_residual (exact-space re-rank tail)
+    * and llm_ann_pq_residual_recall (brute-top-3 recall tail). */
+  private lazy val pqResidualCtes: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+      |            ELSE 0 END for i in range(0, 8)]),
+      |      (a, x) -> a + x) AS cell
+      |  FROM embeddings),
+      |dims0 AS MATERIALIZED (
+      |  SELECT e.vec_id, i - 1 AS dim, (i - 1) // 8 AS m,
+      |    CAST(round(e.embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q,
+      |    c.cell
+      |  FROM embeddings e JOIN cells c USING (vec_id), range(1, 65) r(i)),
+      |cent AS MATERIALIZED (
+      |  SELECT cell, dim,
+      |    CAST(floor(sum(q)::DOUBLE / count(*)) AS BIGINT) AS c
+      |  FROM dims0 GROUP BY 1, 2),
+      |dims AS MATERIALIZED (
+      |  SELECT d.vec_id, d.dim, d.m, d.q - ct.c AS q
+      |  FROM dims0 d JOIN cent ct ON ct.cell = d.cell AND ct.dim = d.dim),
+      |""".stripMargin + pqTrainCtes + """,
+      |probes AS (
+      |  SELECT vec_id AS qid,
+      |    unnest(list_distinct(list_prepend(cell,
+      |      [xor(cell, 1::BIGINT << jj) for jj in range(0, 8)]))) AS pcell
+      |  FROM cells WHERE vec_id < 10),
+      |qres AS MATERIALIZED (
+      |  SELECT p.qid, p.pcell, d.dim, d.m, d.q - ct.c AS rq
+      |  FROM probes p
+      |  JOIN dims0 d ON d.vec_id = p.qid
+      |  JOIN cent ct ON ct.cell = p.pcell AND ct.dim = d.dim),
+      |rdtab AS MATERIALIZED (
+      |  SELECT q.qid, q.pcell, q.m, c.j,
+      |    sum((q.rq - c.c) * (q.rq - c.c)) AS dt
+      |  FROM qres q JOIN c1 c ON c.m = q.m AND c.dim = q.dim
+      |  GROUP BY 1, 2, 3, 4),
+      |rad AS (
+      |  SELECT t.qid, k.vec_id AS cand_id, CAST(sum(t.dt) AS BIGINT) AS adist
+      |  FROM codes k
+      |  JOIN cells kc ON kc.vec_id = k.vec_id
+      |  JOIN rdtab t ON t.m = k.m AND t.j = k.code AND t.pcell = kc.cell
+      |  WHERE k.vec_id != t.qid
+      |  GROUP BY 1, 2),
+      |rt3 AS MATERIALIZED (
+      |  SELECT qid, cand_id, adist, rank FROM (
+      |    SELECT qid, cand_id, adist,
+      |      CAST(row_number() OVER (PARTITION BY qid
+      |        ORDER BY adist ASC, cand_id ASC) AS INTEGER) AS rank
+      |    FROM rad) WHERE rank <= 3)""".stripMargin
 
   private val pqCtes: String =
     """WITH dims AS MATERIALIZED (
@@ -2197,54 +2309,7 @@ object LlmScale extends OpModule {
     // text) → per-(query, probed-cell) distance tables → ADC top-3
     // over candidates in probed cells only → exact-space re-rank col
     "llm_ann_pq_residual" ->
-      ("""WITH cells AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_reduce(list_prepend(0::BIGINT,
-         |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
-         |            ELSE 0 END for i in range(0, 8)]),
-         |      (a, x) -> a + x) AS cell
-         |  FROM embeddings),
-         |dims0 AS MATERIALIZED (
-         |  SELECT e.vec_id, i - 1 AS dim, (i - 1) // 8 AS m,
-         |    CAST(round(e.embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q,
-         |    c.cell
-         |  FROM embeddings e JOIN cells c USING (vec_id), range(1, 65) r(i)),
-         |cent AS MATERIALIZED (
-         |  SELECT cell, dim,
-         |    CAST(floor(sum(q)::DOUBLE / count(*)) AS BIGINT) AS c
-         |  FROM dims0 GROUP BY 1, 2),
-         |dims AS MATERIALIZED (
-         |  SELECT d.vec_id, d.dim, d.m, d.q - ct.c AS q
-         |  FROM dims0 d JOIN cent ct ON ct.cell = d.cell AND ct.dim = d.dim),
-         |""".stripMargin + pqTrainCtes + """,
-         |probes AS (
-         |  SELECT vec_id AS qid,
-         |    unnest(list_distinct(list_prepend(cell,
-         |      [xor(cell, 1::BIGINT << jj) for jj in range(0, 8)]))) AS pcell
-         |  FROM cells WHERE vec_id < 10),
-         |qres AS MATERIALIZED (
-         |  SELECT p.qid, p.pcell, d.dim, d.m, d.q - ct.c AS rq
-         |  FROM probes p
-         |  JOIN dims0 d ON d.vec_id = p.qid
-         |  JOIN cent ct ON ct.cell = p.pcell AND ct.dim = d.dim),
-         |rdtab AS MATERIALIZED (
-         |  SELECT q.qid, q.pcell, q.m, c.j,
-         |    sum((q.rq - c.c) * (q.rq - c.c)) AS dt
-         |  FROM qres q JOIN c1 c ON c.m = q.m AND c.dim = q.dim
-         |  GROUP BY 1, 2, 3, 4),
-         |rad AS (
-         |  SELECT t.qid, k.vec_id AS cand_id, CAST(sum(t.dt) AS BIGINT) AS adist
-         |  FROM codes k
-         |  JOIN cells kc ON kc.vec_id = k.vec_id
-         |  JOIN rdtab t ON t.m = k.m AND t.j = k.code AND t.pcell = kc.cell
-         |  WHERE k.vec_id != t.qid
-         |  GROUP BY 1, 2),
-         |rt3 AS (
-         |  SELECT qid, cand_id, adist, rank FROM (
-         |    SELECT qid, cand_id, adist,
-         |      CAST(row_number() OVER (PARTITION BY qid
-         |        ORDER BY adist ASC, cand_id ASC) AS INTEGER) AS rank
-         |    FROM rad) WHERE rank <= 3),
+      (pqResidualCtes + """,
          |rex AS (
          |  SELECT t.qid, t.cand_id,
          |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS exact_dist
@@ -2255,6 +2320,27 @@ object LlmScale extends OpModule {
          |SELECT t.qid, t.rank, t.cand_id, t.adist, e.exact_dist
          |FROM rt3 t JOIN rex e
          |  ON e.qid = t.qid AND e.cand_id = t.cand_id""".stripMargin),
+    // residual-PQ recall@3 vs the exact brute top-3 in the ORIGINAL
+    // space (dims0) — charges both ADC error and coarse-cell misses
+    "llm_ann_pq_residual_recall" ->
+      (pqResidualCtes + """,
+         |bex AS (
+         |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+         |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+         |  FROM dims0 dq
+         |  JOIN dims0 dc ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+         |  WHERE dq.vec_id < 10
+         |  GROUP BY 1, 2),
+         |bex3 AS (
+         |  SELECT qid, cand_id FROM (
+         |    SELECT qid, cand_id,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY dist ASC, cand_id ASC) AS rn
+         |    FROM bex) WHERE rn <= 3)
+         |SELECT e.qid, CAST(count(t.cand_id) AS BIGINT) AS n_hit,
+         |       round(count(t.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+         |FROM bex3 e LEFT JOIN rt3 t USING (qid, cand_id)
+         |GROUP BY e.qid""".stripMargin),
     // PQ recall@3 vs the exact brute top-3 — same PQ CTE chain, same
     // brute shape as llm_ann_recall's IVF side
     "llm_ann_pq_recall" ->

@@ -17,8 +17,12 @@ private[operators] object StageUtil {
     * directory — the silent-empty-topic failure mode this exists for. */
   def parquetParts(src: java.nio.file.Path): Seq[java.nio.file.Path] =
     if (java.nio.file.Files.isDirectory(src)) {
-      val ps = java.nio.file.Files.list(src).iterator.asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      // Files.list holds a directory handle until closed (ADVICE r11:
+      // leaked one handle per staging call) — materialize then close
+      val ps = scala.util.Using.resource(java.nio.file.Files.list(src)) { s =>
+        s.iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      }
       require(ps.nonEmpty, s"no parquet part files under $src")
       ps
     } else Seq(src)

@@ -157,8 +157,7 @@ object StreamIO extends OpModule {
           -1L, "sentinel", 0.0))
         .toDF("event_id", "ts", "user_id", "event_type", "value")
         .coalesce(1).write.parquet(sentinelSrc.toString)
-      val part = java.nio.file.Files.list(sentinelSrc).iterator.asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val part = StageUtil.parquetParts(sentinelSrc).head
       val dst = target.resolve("zz_sentinel.parquet")
       java.nio.file.Files.copy(part, dst)
       // mtime split: event parts old, sentinel new (source orders by
@@ -166,10 +165,13 @@ object StreamIO extends OpModule {
       val t0 = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
       val t1 = java.nio.file.attribute.FileTime.fromMillis(1000000060000L)
       var n = 0
-      java.nio.file.Files.list(target).iterator.asScala.foreach { p =>
-        if (p.getFileName.toString.startsWith("events")) {
-          java.nio.file.Files.setLastModifiedTime(p, t0); n += 1
-        } else java.nio.file.Files.setLastModifiedTime(p, t1)
+      // close the directory stream (ADVICE r11 handle-leak class)
+      scala.util.Using.resource(java.nio.file.Files.list(target)) { st =>
+        st.iterator.asScala.foreach { p =>
+          if (p.getFileName.toString.startsWith("events")) {
+            java.nio.file.Files.setLastModifiedTime(p, t0); n += 1
+          } else java.nio.file.Files.setLastModifiedTime(p, t1)
+        }
       }
       (target.toString, n)
     })

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Generate, Join, LogicalPlan, Project}
+  Filter, Generate, Join, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -119,7 +119,7 @@ object CosineLshRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(Flag, "false") != "true") return plan
-    plan.transform {
+    val thresholdRescued = plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if cosineFindable(j) =>
         val cs = conjuncts(cond)
@@ -137,6 +137,121 @@ object CosineLshRewrite extends Rule[LogicalPlan] {
         val newCond = And(EqualTo(probeAttr, cellAlias.toAttribute), cond)
         Project(j.output, Join(gen, proj, Inner, Some(newCond), hint))
     }
+    // second shape (SURVEY §4.3's "brute-force cosine TOP-K", VERDICT
+    // r11 task 2): Filter(rank ≤ k) over a per-query row_number window
+    // ordered by cosine DESC whose input is a keyless cross/inner join —
+    // the rank-per-query spelling of ANN. Rescued into the IVF probe
+    // form llm_ann_ivf hand-writes: the join gains the probe=cell equi
+    // key, everything above (window, rank filter) is untouched, so the
+    // window ranks only same-probe candidates instead of the corpus².
+    thresholdRescued.transform {
+      case f: Filter => topkRewrite(f).getOrElse(f)
+    }
+  }
+
+  /** Descend from a Window's child to the underlying Join, collecting
+    * the intermediate Projects (alias maps for attribute resolution).
+    * WindowGroupLimit (inserted by InferWindowGroupLimit before this
+    * rule runs) is transparent. Any other node kills the match — a
+    * fan-out/agg between window and join would change the semantics
+    * the rescue argument relies on. */
+  private def pathToJoin(p: LogicalPlan, acc: List[Project])
+      : Option[(List[Project], Join)] = p match {
+    case j: Join => Some((acc, j))
+    case pr: Project => pathToJoin(pr.child, acc :+ pr)
+    case wg: WindowGroupLimit => pathToJoin(wg.child, acc)
+    case _ => None
+  }
+
+  /** Substitute project aliases top-down so `e` (written against the
+    * top project's output) re-expresses over the Join's output. */
+  private def resolveThrough(e: Expression, projs: List[Project]): Expression =
+    projs.foldLeft(e) { (expr, pr) =>
+      val aliasMap = pr.projectList.collect {
+        case a: Alias => a.toAttribute.exprId -> a.child
+      }.toMap
+      expr.transformUp {
+        case ar: AttributeReference => aliasMap.getOrElse(ar.exprId, ar)
+      }
+    }
+
+  /** Rank-bounding conjunct: rank ≤ k / rank < k / k ≥ rank / rank = 1
+    * over one of the window's rank-like output attributes. */
+  private def boundsRank(cond: Expression, rankAttrs: Seq[Attribute]): Boolean = {
+    def isRank(e: Expression) = e match {
+      case a: Attribute => rankAttrs.exists(_.semanticEquals(a))
+      case _ => false
+    }
+    conjuncts(cond).exists {
+      case LessThanOrEqual(a, Literal(_, _)) => isRank(a)
+      case LessThan(a, Literal(_, _)) => isRank(a)
+      case GreaterThanOrEqual(Literal(_, _), a) => isRank(a)
+      case GreaterThan(Literal(_, _), a) => isRank(a)
+      case EqualTo(a, Literal(_, _)) => isRank(a)
+      case _ => false
+    }
+  }
+
+  private def topkRewrite(f: Filter): Option[LogicalPlan] = {
+    // Filter(rank ≤ k) directly over the Window (projects in between
+    // would carry the rank attr — accept those too)
+    def findWindow(p: LogicalPlan): Option[Window] = p match {
+      case w: Window => Some(w)
+      case pr: Project => findWindow(pr.child)
+      case _ => None
+    }
+    val w = findWindow(f.child).getOrElse(return None)
+    val rankAttrs = w.windowExpressions.collect {
+      case a @ Alias(WindowExpression(_: RowNumber | _: Rank | _: DenseRank,
+        _), _) => a.toAttribute
+    }
+    if (rankAttrs.isEmpty || !boundsRank(f.condition, rankAttrs)) return None
+    // the window must rank per query (nonempty partition) by cosine DESC
+    if (w.partitionSpec.isEmpty || w.orderSpec.isEmpty) return None
+    val SortOrder(ordE, direction, _, _) = w.orderSpec.head
+    if (direction != Descending) return None
+    val (projs, j) = pathToJoin(w.child, Nil).getOrElse(return None)
+    val Join(left, right, jt, cond, hint) = j
+    if (jt != Inner && jt != Cross) return None
+    if (cond.exists(c => hasEquiKey(conjuncts(c), left, right))) return None
+    // ordering key contains a cross-side cosine once re-expressed over
+    // the join output
+    val ordResolved = resolveThrough(ordE, projs)
+    val cos = ordResolved.collectFirst { case cs: CosineSimilarity => cs }
+      .getOrElse(return None)
+    val (lv, rv) = {
+      val a = cos.left; val b = cos.right
+      if (a.references.nonEmpty && b.references.nonEmpty &&
+          a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)) (a, b)
+      else if (b.references.nonEmpty && a.references.nonEmpty &&
+               b.references.subsetOf(left.outputSet) &&
+               a.references.subsetOf(right.outputSet)) (b, a)
+      else return None
+    }
+    // the probe side is the QUERY side — the one the window partitions
+    // by (each query's candidate set is its 9 probed cells)
+    val partRefs = AttributeSet(
+      w.partitionSpec.map(resolveThrough(_, projs)).flatMap(_.references))
+    if (partRefs.isEmpty) return None
+    val qIsLeft =
+      if (partRefs.subsetOf(left.outputSet)) true
+      else if (partRefs.subsetOf(right.outputSet)) false
+      else return None
+    val (qPlan, qVec, cPlan, cVec) =
+      if (qIsLeft) (left, lv, right, rv) else (right, rv, left, lv)
+    val explode = Explode(probes(signCell(qVec)))
+    val probeAttr = AttributeReference("__lsh_probe", IntegerType,
+      nullable = false)()
+    val gen = Generate(explode, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(probeAttr), child = qPlan)
+    val cellAlias = Alias(signCell(cVec), "__lsh_cell")()
+    val proj = Project(cPlan.output :+ cellAlias, cPlan)
+    val eq = EqualTo(probeAttr, cellAlias.toAttribute)
+    val newCond = cond.map(And(eq, _)).getOrElse(eq)
+    val (nl, nr) = if (qIsLeft) (gen, proj) else (proj, gen)
+    val replacement = Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+    Some(f.transformUp { case jj: Join if jj eq j => replacement })
   }
 
   private def cosineFindable(j: Join): Boolean = j match {

@@ -448,6 +448,65 @@ class CustomSurfaceSpec extends SparkSpec {
       s"rewritten τ=-1 result must be the hamming≤1 pair set (${rewritten.size} vs ${expect.size})")
   }
 
+  test("CosineLshRewrite top-k: brute rank-per-query becomes the IVF probe form") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec,
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    GraftExtensions.register(spark)
+    GraftExtensions.installOptimizations(spark)
+    // the brute top-k spelling (the llm_lsh_autorewrite_topk body, on
+    // the plain suite session so the flag state is ours to control)
+    def brute(s: org.apache.spark.sql.SparkSession) = {
+      val emb = Tables.embeddings(s, sf)
+      val q = emb.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val c = emb.select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      q.join(c, $"cid" =!= $"qid")
+        .select($"qid", $"cid",
+          (round(expr("cosine_sim(qe, ce)"), 4) + lit(0.0)).as("cos"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .where($"rn" <= 3)
+    }
+    // flag OFF: the keyless join plans the quadratic shape
+    val off = brute(spark).queryExecution.sparkPlan
+    assert(off.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.nonEmpty, s"flag off must keep the quadratic join:\n$off")
+    // the registered op (derived session, flag on): equi-join, no
+    // quadratic node
+    val on = operators.LlmExtended.lshAutoRewriteTopk(spark, sf)
+    val plan = on.queryExecution.sparkPlan
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, s"rewrite must remove the quadratic join:\n$plan")
+    assert(plan.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }.nonEmpty, s"rewrite must plan an equi-join on the cell key:\n$plan")
+    // idempotence on the analyzed top-k shape
+    spark.conf.set(graft.plans.CosineLshRewrite.Flag, "true")
+    try {
+      val analyzed = brute(spark).queryExecution.optimizedPlan
+      val once = graft.plans.CosineLshRewrite(analyzed)
+      val twice = graft.plans.CosineLshRewrite(once)
+      assert(once.fastEquals(twice), "top-k rewrite must be a fixed point")
+    } finally spark.conf.unset(graft.plans.CosineLshRewrite.Flag)
+    // the rewrite IS the hand-written IVF probe algorithm: row-identical
+    // to llm_ann_ivf (same probes, same rounding, same tie-break)
+    def k(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val want = k(operators.LlmExtended.annIvf(spark, sf))
+    val got = k(on)
+    assert(got.nonEmpty && got == want,
+      s"rewritten top-k must equal llm_ann_ivf (${got.size} vs ${want.size})")
+  }
+
   test("extension class wires cosine_sim via withExtensions") {
     // the production path: a fresh session built with the extension sees
     // the function without runtime registration

@@ -173,6 +173,41 @@ class LlmExtendedSpec extends SparkSpec {
     assert(fromFiles.values.flatten.nonEmpty)
   }
 
+  test("phash frontdoor: plan scans binaryFile, LSH rows replay in-plane") {
+    // the REGISTERED front-door op (r12): its physical plan must read
+    // through the binaryFile source (the distributed media scan), and
+    // its LSH index rows must equal the in-plane derivation from the
+    // same staged slice — stage → binary scan → hash → LSH end to end
+    GraftExtensions.register(spark)
+    val out = LlmExtended.dedupPhashFrontdoor(spark, sf)
+    val scans = out.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scans.toLowerCase.contains("binaryfile"),
+      s"front door must scan through the binaryFile source:\n$scans")
+    def k(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5))).toSet
+    val got = k(out.select($"doc_id", $"length", $"ph_hi", $"ph_lo",
+      $"blk", $"bv"))
+    assert(got.nonEmpty)
+    val inPlane = k(Tables.documents(spark, sf)
+      .where($"doc_id" < 50)
+      .selectExpr("doc_id",
+        "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS length",
+        "dhash72(encode(text, 'UTF-8')) AS ph")
+      .where($"ph".isNotNull)
+      .selectExpr("doc_id", "length",
+        "element_at(ph, 1) AS ph_hi", "element_at(ph, 2) AS ph_lo",
+        "explode(sequence(0, 3)) AS blk")
+      .selectExpr("doc_id", "length", "ph_hi", "ph_lo", "blk",
+        """CASE blk WHEN 0 THEN ph_hi & 65535
+          |     WHEN 1 THEN shiftright(ph_hi, 16) & 65535
+          |     WHEN 2 THEN ph_lo & 65535
+          |     ELSE shiftright(ph_lo, 16) & 65535 END AS bv""".stripMargin))
+    assert(got == inPlane,
+      s"front-door LSH rows must equal the in-plane replay (${got.size} vs ${inPlane.size})")
+  }
+
   test("dedup_embed: bucketed equi-join plan, equals brute force in-bucket") {
     import org.apache.spark.sql.functions.expr
     graft.GraftExtensions.register(spark)

@@ -50,7 +50,11 @@ class PlanLintSpec extends SparkSpec {
     // BOUNDED probe/codebook sets (10 broadcast queries, K-row
     // centroid/supercell tables — constant in corpus size)
     "llm_similarity_topk", "llm_hard_negatives", "llm_ann_recall",
-    "llm_ann_pq_recall", "llm_ann_ivf_kmeans", "llm_kmeans_twolevel", "llm_ann_recall_sweep"
+    "llm_ann_pq_recall", "llm_ann_ivf_kmeans", "llm_kmeans_twolevel",
+    "llm_ann_recall_sweep",
+    // residual-PQ recall (r12): same 10-query broadcast brute side as
+    // llm_ann_pq_recall
+    "llm_ann_pq_residual_recall"
   )
 
   // ops whose KEYLESS window (empty partition spec → ONE task sorts the
@@ -84,13 +88,24 @@ class PlanLintSpec extends SparkSpec {
           case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
         }
         // a keyless window is structurally bounded when a limit sits
-        // beneath it (TakeOrderedAndProject / GlobalLimit): the window
-        // then ranks ≤ k rows, not the corpus
-        val unbounded = keyless.filterNot(_.children.exists(_.collectFirst {
-          case _: TakeOrderedAndProjectExec => ()
-          case _: GlobalLimitExec => ()
-          case _: LocalLimitExec => ()
-        }.isDefined))
+        // beneath it through CARDINALITY-PRESERVING nodes only
+        // (project/filter/exchange/sort): a limit below a fan-out join
+        // or explode does NOT bound the window's input (ADVICE r11 —
+        // the old any-descendant collectFirst accepted exactly that)
+        import org.apache.spark.sql.execution.{ProjectExec, FilterExec,
+          SortExec, InputAdapter, WholeStageCodegenExec}
+        import org.apache.spark.sql.execution.exchange.Exchange
+        def boundedBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p match {
+            case _: TakeOrderedAndProjectExec => true
+            case _: GlobalLimitExec => true
+            case _: LocalLimitExec => true
+            case _: ProjectExec | _: FilterExec | _: SortExec |
+                 _: Exchange | _: InputAdapter | _: WholeStageCodegenExec =>
+              p.children.exists(boundedBelow)
+            case _ => false // join/explode/agg/scan: stop — no bound proven
+          }
+        val unbounded = keyless.filterNot(_.children.exists(boundedBelow))
         if (unbounded.nonEmpty) {
           census += name
           if (!keylessWindowAllowed(name)) offenders += name
