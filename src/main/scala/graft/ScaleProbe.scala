@@ -325,6 +325,10 @@ object ScaleProbe {
       // (features, weights) — marginal cost is one margin pass + a
       // |langs|-row (resp. 1-row) aggregate / one train-split retrain
       "llm_quality_gate", "llm_quality_holdout",
+      // URL-canonicalization dedup (r12): per-row codegen'd string fold
+      // + ONE map-side-combined hash aggregate on the canonical key —
+      // must be scan-bound at any N (the exact-dedup economics)
+      "llm_dedup_url",
       // phash binaryFile front door (r12): the staged slice is fixed at
       // 50 files per tier dir, so the probe checks the scan+hash path
       // stays flat (the corpus-growth story lives in llm_dedup_phash)

@@ -291,6 +291,65 @@ object LlmExtended extends OpModule {
         col("pos").cast("int").as("blk"), col("col").as("bv"))
   }
 
+  /** URL-canonicalization dedup (r12) — the crawl-index dedup every
+    * web-corpus pipeline runs BEFORE content dedup: the same page
+    * arrives under syntactic URL variants (scheme/host case, default
+    * ports, trailing slashes, tracking params, fragments), and folding
+    * them costs one per-row string pass where content dedup costs a
+    * shingle index. The fixture has no URL column, so each doc derives
+    * a deterministic raw URL with planted variant noise (4 variants per
+    * group of 4 doc_ids: clean / upper-case+:443+trailing-slash /
+    * utm-param / http+:80+utm+fragment — the first three MUST fold to
+    * one canonical https URL, the http one must stay distinct: scheme
+    * is identity, not noise). Canonicalization = strip fragment,
+    * lowercase scheme+authority, strip default port per scheme, strip
+    * the trailing path slash (non-root), drop utm_* params, SORT the
+    * surviving query params (order is transport noise). Output per
+    * canonical URL: doc count, min-id survivor, exact id checksum,
+    * merged flag.
+    *
+    * At 100 TB: canonicalization is fully codegen'd per-row string
+    * work fused with the scan; the dedup is ONE hash aggregate on the
+    * canonical key (map-side combined — variant groups collapse before
+    * the shuffle, the exact-dedup economics). The oracle replays the
+    * identical derivation and folding rules. */
+  def dedupUrl(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "doc_id div 4 AS g", "pmod(doc_id, 4) AS v")
+      .selectExpr("doc_id",
+        """CASE v
+          | WHEN 0 THEN concat('https://example.org/articles/', g, '?id=', g)
+          | WHEN 1 THEN concat('HTTPS://EXAMPLE.ORG:443/articles/', g, '/?id=', g)
+          | WHEN 2 THEN concat('https://example.org/articles/', g,
+          |                    '?utm_source=feed&id=', g)
+          | ELSE concat('http://example.org:80/articles/', g, '?id=', g,
+          |             '&utm_campaign=x#frag')
+          |END AS url""".stripMargin)
+      .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("pfx",
+        lower(regexp_extract(col("nofrag"), "^((?i)https?://[^/?#]*)", 1)))
+      .withColumn("rest", expr("substring(nofrag, length(pfx) + 1)"))
+      .withColumn("pfx2", expr(
+        """CASE WHEN startswith(pfx, 'https://') AND endswith(pfx, ':443')
+          |       THEN left(pfx, length(pfx) - 4)
+          |     WHEN startswith(pfx, 'http://') AND endswith(pfx, ':80')
+          |       THEN left(pfx, length(pfx) - 3)
+          |     ELSE pfx END""".stripMargin))
+      .withColumn("path", expr("regexp_extract(rest, '^[^?]*', 0)"))
+      .withColumn("q", expr(
+        "CASE WHEN instr(rest, '?') > 0 THEN substring(rest, instr(rest, '?') + 1) ELSE '' END"))
+      .withColumn("q2", expr(
+        "array_join(array_sort(filter(split(q, '&'), x -> NOT startswith(x, 'utm_') AND x != '')), '&')"))
+      .withColumn("canonical_url", expr(
+        """concat(pfx2,
+          |  CASE WHEN length(path) > 1 AND endswith(path, '/')
+          |       THEN left(path, length(path) - 1) ELSE path END,
+          |  CASE WHEN q2 = '' THEN '' ELSE concat('?', q2) END)""".stripMargin))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("survivor_id"),
+        sum(col("doc_id")).as("id_sum"))
+      .withColumn("is_merged", col("n_docs") > 1)
+
   /** Exact n-gram (word 4-shingle) Jaccard similarity join at τ=0.5 —
     * the exhaustive exact path (vs MinHash's approximate-then-verify),
     * implemented as an SSJoin-style prefix-filtered equi-join: only
@@ -825,6 +884,7 @@ object LlmExtended extends OpModule {
     "llm_dedup_phash" -> dedupPhash _,
     "llm_dedup_phash_frontdoor" -> dedupPhashFrontdoor _,
     "llm_dedup_ngram" -> dedupNgram _,
+    "llm_dedup_url" -> dedupUrl _,
     "llm_lsh_autorewrite_topk" -> lshAutoRewriteTopk _,
     // dedupNgramHash is NOT registered (r9): rarest-first is the one
     // canonical ordering (measured: 159 vs 5,000 max posting, 23k vs 75M
@@ -1052,6 +1112,57 @@ object LlmExtended extends OpModule {
         |SELECT v.doc_id, CAST(b0.len AS BIGINT) AS length,
         |       v.ph_hi, v.ph_lo, CAST(v.b AS INTEGER) AS blk, v.bv
         |FROM blkv v JOIN base b0 USING (doc_id)""".stripMargin),
+    // identical URL derivation + canonicalization rules; DuckDB idioms
+    // for the same ops (starts_with/ends_with/strpos, list_* HOFs);
+    // COALESCE('') because array_to_string over the emptied param list
+    // is NULL in DuckDB where Spark's array_join gives ''
+    "llm_dedup_url" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+        |u AS (
+        |  SELECT doc_id, CASE v
+        |    WHEN 0 THEN 'https://example.org/articles/' || g || '?id=' || g
+        |    WHEN 1 THEN 'HTTPS://EXAMPLE.ORG:443/articles/' || g || '/?id=' || g
+        |    WHEN 2 THEN 'https://example.org/articles/' || g
+        |                || '?utm_source=feed&id=' || g
+        |    ELSE 'http://example.org:80/articles/' || g || '?id=' || g
+        |         || '&utm_campaign=x#frag' END AS url
+        |  FROM d),
+        |n AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |p AS (
+        |  SELECT doc_id, nofrag,
+        |    lower(regexp_extract(nofrag, '^((?i)https?://[^/?#]*)', 1)) AS pfx
+        |  FROM n),
+        |r AS (
+        |  SELECT doc_id, pfx, substring(nofrag, length(pfx) + 1) AS rest
+        |  FROM p),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN starts_with(pfx, 'https://') AND ends_with(pfx, ':443')
+        |           THEN left(pfx, length(pfx) - 4)
+        |         WHEN starts_with(pfx, 'http://') AND ends_with(pfx, ':80')
+        |           THEN left(pfx, length(pfx) - 3)
+        |         ELSE pfx END AS pfx2,
+        |    regexp_extract(rest, '^[^?]*', 0) AS path,
+        |    CASE WHEN strpos(rest, '?') > 0
+        |         THEN substring(rest, strpos(rest, '?') + 1) ELSE '' END AS q
+        |  FROM r),
+        |c AS (
+        |  SELECT doc_id, pfx2
+        |    || (CASE WHEN length(path) > 1 AND ends_with(path, '/')
+        |             THEN left(path, length(path) - 1) ELSE path END)
+        |    || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canonical_url
+        |  FROM (
+        |    SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+        |      string_split(q, '&'),
+        |      x -> NOT starts_with(x, 'utm_') AND x != '')), '&'), '') AS q2
+        |    FROM s))
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS survivor_id,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       count(*) > 1 AS is_merged
+        |FROM c GROUP BY 1""".stripMargin,
     "llm_dedup_embed" -> dedupEmbedOracleSql,
     // the rewrite rule PRODUCES the bucketed algorithm, so the rewritten
     // brute-force spelling shares llm_dedup_embed's oracle verbatim

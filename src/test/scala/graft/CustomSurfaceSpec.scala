@@ -505,6 +505,30 @@ class CustomSurfaceSpec extends SparkSpec {
     val got = k(on)
     assert(got.nonEmpty && got == want,
       s"rewritten top-k must equal llm_ann_ivf (${got.size} vs ${want.size})")
+    // MIRRORED orientation: queries on the RIGHT side of the join — the
+    // rule must probe the side the window partitions by, whichever side
+    // of the join it sits on, and produce the identical rows
+    spark.conf.set(graft.plans.CosineLshRewrite.Flag, "true")
+    try {
+      val emb = Tables.embeddings(spark, sf)
+      val q = emb.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val c = emb.select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      val mirrored = c.join(q, $"cid" =!= $"qid") // corpus LEFT, queries RIGHT
+        .select($"qid", $"cid",
+          (round(expr("cosine_sim(qe, ce)"), 4) + lit(0.0)).as("cos"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .where($"rn" <= 3)
+      val mplan = mirrored.queryExecution.sparkPlan
+      assert(mplan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }.isEmpty, s"mirrored orientation must also rewrite:\n$mplan")
+      assert(k(mirrored) == want,
+        "mirrored orientation must produce the identical top-k rows")
+    } finally spark.conf.unset(graft.plans.CosineLshRewrite.Flag)
   }
 
   test("extension class wires cosine_sim via withExtensions") {

@@ -208,6 +208,28 @@ class LlmExtendedSpec extends SparkSpec {
       s"front-door LSH rows must equal the in-plane replay (${got.size} vs ${inPlane.size})")
   }
 
+  test("dedup_url: variant groups fold to one https canonical, scheme stays identity") {
+    val rows = LlmExtended.dedupUrl(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val byUrl = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    // group 0 = doc_ids 0..3: the three https variants (clean,
+    // CASE+:443+slash, utm) fold to ONE canonical keyed by doc 0; the
+    // http variant (doc 3) keeps its own identity
+    assert(byUrl("https://example.org/articles/0?id=0") == ((3L, 0L)),
+      s"https variants must fold: ${rows.filter(_._1.contains("/0?"))}")
+    assert(byUrl("http://example.org/articles/0?id=0") == ((1L, 3L)),
+      "http is identity, not noise — must stay its own canonical")
+    // no canonical carries residue the folding rules should have removed
+    assert(rows.forall { case (u, _, _) =>
+      !u.contains("utm_") && !u.contains("#") && !u.contains(":443") &&
+        !u.contains(":80") && u == u.replaceAll("^HTTPS", "https")
+    }, "canonical URLs must be fully folded")
+    // every doc is accounted for exactly once across canonicals
+    val total = rows.map(_._2).sum
+    assert(total == Tables.documents(spark, sf).count(),
+      s"dedup must partition the corpus: $total")
+  }
+
   test("dedup_embed: bucketed equi-join plan, equals brute force in-bucket") {
     import org.apache.spark.sql.functions.expr
     graft.GraftExtensions.register(spark)
