@@ -325,6 +325,11 @@ object ScaleProbe {
       // (features, weights) — marginal cost is one margin pass + a
       // |langs|-row (resp. 1-row) aggregate / one train-split retrain
       "llm_quality_gate", "llm_quality_holdout",
+      // semantic decontamination (r12): train side shuffles once on the
+      // cell key, the ~N/20 eval probe side broadcasts — growth must
+      // track probed-cell candidate mass (clone families inflate shared
+      // cells), never eval×corpus
+      "llm_decontaminate_semantic",
       // URL-canonicalization dedup (r12): per-row codegen'd string fold
       // + ONE map-side-combined hash aggregate on the canonical key —
       // must be scan-bound at any N (the exact-dedup economics)

@@ -626,6 +626,57 @@ object LlmExtended extends OpModule {
       .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))
   }
 
+  /** SEMANTIC decontamination (r12) — the embedding-space twin of
+    * llm_decontaminate: n-gram containment only catches verbatim/near-
+    * verbatim benchmark leaks, but a paraphrased eval item leaks
+    * through an embedding neighborhood (the Phi/GSM8k-style
+    * contamination audits run exactly this check). Eval set = vec_id ≡
+    * 7 mod 20 (the llm_decontaminate split convention on the vector
+    * table); every eval vector probes its sign cell + the 8 hamming-1
+    * flips, candidates restrict to probed-cell train vectors, exact
+    * codegen'd cosine at τ=0.35 flags semantic overlap (τ is the
+    * benchmark-specific knob — measured here: the random-pair bulk
+    * sits near 0.21 at p90, so 0.35 separates structure from noise).
+    * Output: one row PER EVAL VECTOR (zero-hit rows included — the
+    * release gate needs the clean set too): hit count, max cosine,
+    * best train id ((cos DESC, tid ASC) argmax), contaminated flag.
+    *
+    * At 100 TB: the train side shuffles once on the cell key; the eval
+    * side is tiny (eval sets are thousands of rows) and BROADCASTS its
+    * 9-probe explosion — per-eval work is probed-cell candidates, the
+    * same economics as llm_decontaminate's broadcast-eval semi-join,
+    * never eval×corpus. */
+  def decontaminateSemantic(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val cellExpr =
+      """aggregate(transform(sequence(0, 7),
+        |  i -> IF(element_at(embedding, i + 1) > 0, shiftleft(1, i), 0)),
+        |0, (a, x) -> a + x)""".stripMargin
+    val emb = Tables.embeddings(s, d).withColumn("cell", expr(cellExpr))
+    val isEval = pmod(col("vec_id"), lit(20)) === 7
+    val evalProbes = emb.where(isEval)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(expr(
+          "array_union(array(cell), transform(sequence(0, 7), j -> int(cell ^ shiftleft(1, j))))"))
+          .as("probe"))
+    val train = emb.where(!isEval)
+      .select(col("vec_id").as("tid"), col("embedding").as("te"), col("cell"))
+    val hits = train.join(broadcast(evalProbes), col("cell") === col("probe"))
+      .select(col("qid"), col("tid"),
+        (round(expr("cosine_sim(qe, te)"), 4) + lit(0.0)).as("cos"))
+      .where(col("cos") >= 0.35)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"),
+        min(struct((-col("cos")).as("nc"), col("tid"))).as("bm"))
+      .select(col("qid"), col("n_hits"), col("max_cos"),
+        col("bm.tid").as("best_train_id"))
+    emb.where(isEval).select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_cos"), col("best_train_id"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** llm_dedup_embed written the way a USER writes it — a brute-force
     * cosine-threshold self-join with no join key — and rescued by the
     * CosineLshRewrite optimizer rule (plans/CosineLshRewrite.scala, the
@@ -885,6 +936,7 @@ object LlmExtended extends OpModule {
     "llm_dedup_phash_frontdoor" -> dedupPhashFrontdoor _,
     "llm_dedup_ngram" -> dedupNgram _,
     "llm_dedup_url" -> dedupUrl _,
+    "llm_decontaminate_semantic" -> decontaminateSemantic _,
     "llm_lsh_autorewrite_topk" -> lshAutoRewriteTopk _,
     // dedupNgramHash is NOT registered (r9): rarest-first is the one
     // canonical ordering (measured: 159 vs 5,000 max posting, 23k vs 75M
@@ -1168,6 +1220,44 @@ object LlmExtended extends OpModule {
     // brute-force spelling shares llm_dedup_embed's oracle verbatim
     "llm_lsh_autorewrite" -> dedupEmbedOracleSql,
     "llm_ann_ivf" -> annIvfOracleSql,
+    // same sign-cell bucketing as the IVF/dedup_embed replays; every
+    // eval vector keeps its row (LEFT joins), argmax by (cos DESC, tid)
+    "llm_decontaminate_semantic" ->
+      (s"""WITH cells AS (
+          |  SELECT vec_id, embedding,
+          |    list_reduce(list_prepend(0::BIGINT,
+          |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+          |            ELSE 0 END for i in range(0, 8)]),
+          |      (a, x) -> a + x) AS cell
+          |  FROM embeddings),
+          |pr AS (
+          |  SELECT vec_id AS qid, embedding AS qe,
+          |    unnest(list_distinct(list_prepend(cell,
+          |      [xor(cell, 1::BIGINT << j) for j in range(0, 8)]))) AS probe
+          |  FROM cells WHERE vec_id % 20 = 7),
+          |h AS (
+          |  SELECT * FROM (
+          |    SELECT p.qid, t.vec_id AS tid,
+          |      0.0 + round(${duckCos("p.qe", "t.embedding")}, 4) AS cos
+          |    FROM pr p JOIN cells t
+          |      ON t.cell = p.probe AND t.vec_id % 20 != 7)
+          |  WHERE cos >= 0.35),
+          |agg AS (
+          |  SELECT qid, CAST(count(*) AS BIGINT) AS n_hits,
+          |         max(cos) AS max_cos
+          |  FROM h GROUP BY 1),
+          |best AS (
+          |  SELECT qid, tid FROM (
+          |    SELECT qid, tid, row_number() OVER (PARTITION BY qid
+          |      ORDER BY cos DESC, tid ASC) AS rn FROM h) WHERE rn = 1)
+          |SELECT c.vec_id AS qid,
+          |  COALESCE(a.n_hits, 0::BIGINT) AS n_hits, a.max_cos,
+          |  b.tid AS best_train_id,
+          |  COALESCE(a.n_hits, 0) > 0 AS contaminated
+          |FROM cells c
+          |LEFT JOIN agg a ON a.qid = c.vec_id
+          |LEFT JOIN best b ON b.qid = c.vec_id
+          |WHERE c.vec_id % 20 = 7""".stripMargin),
     // the top-k rewrite PRODUCES the IVF probe algorithm, so the brute
     // rank-per-query spelling shares llm_ann_ivf's oracle verbatim
     "llm_lsh_autorewrite_topk" -> annIvfOracleSql,

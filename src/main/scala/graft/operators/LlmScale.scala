@@ -262,6 +262,8 @@ object LlmScale extends OpModule {
     pqMemo.clear()
     pqResidualMemo.values.foreach(MemoUtil.dropCheckpoint)
     pqResidualMemo.clear()
+    exactTop3Memo.values.foreach(MemoUtil.dropCheckpoint)
+    exactTop3Memo.clear()
   }
 
   /** Memoized PQ ADC top-3 (qid, rank, cand_id, adist) — the shared
@@ -277,6 +279,36 @@ object LlmScale extends OpModule {
     * pattern applied to the IVFADC construction). */
   private val pqResidualMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized EXACT brute top-3 on the 10⁶ quantized lattice (qid <
+    * 10, squared distance, (dist, cand_id) total order) — the ground
+    * truth BOTH recall evals compare against (llm_ann_pq_recall and
+    * llm_ann_pq_residual_recall rank the same original-space lattice),
+    * so the 10-query × corpus brute pass runs once per (session,
+    * sf-dir) instead of once per eval. */
+  private val exactTop3Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def exactQTop3(s: SparkSession, d: String): DataFrame =
+    MemoUtil.memoize(exactTop3Memo, (s, d)) {
+      graft.GraftExtensions.register(s)
+      val qvec = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
+          .as("qv"))
+      val q = qvec.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      val wExact = Window.partitionBy(col("qid"))
+        .orderBy(col("dist").asc, col("cand_id").asc)
+      qvec.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          expr("squared_distance(qv, qq)").as("dist"))
+        .withColumn("rn", row_number().over(wExact))
+        .where(col("rn") <= 3)
+        .select(col("qid"), col("cand_id"))
+        .localCheckpoint()
+    }
 
   /** Shared Lloyd pipeline (quantized vectors + per-dimension form +
     * round-2 assignment + round-2 centroids) for llm_kmeans /
@@ -1566,22 +1598,7 @@ object LlmScale extends OpModule {
   def annPqRecall(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     val pq3 = pqTop3(s, d).select(col("qid"), col("cand_id"))
-    val qvec = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
-        .as("qv"))
-    val q = qvec.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("qv").as("qq"))
-    val wExact = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("cand_id").asc)
-    val exact3 = qvec.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cand_id"),
-        expr("squared_distance(qv, qq)").as("dist"))
-      .withColumn("rn", row_number().over(wExact))
-      .where(col("rn") <= 3)
-      .select(col("qid"), col("cand_id"))
-    exact3
+    exactQTop3(s, d)
       .join(pq3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
@@ -1726,19 +1743,7 @@ object LlmScale extends OpModule {
   def annPqResidualRecall(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     val r3 = pqResidualTop3(s, d).select(col("qid"), col("cand_id"))
-    val base = pqResidualBase(s, d).select(col("vec_id"), col("qv"))
-    val q = base.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("qv").as("qq"))
-    val wExact = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("cand_id").asc)
-    val exact3 = base.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cand_id"),
-        expr("squared_distance(qv, qq)").as("dist"))
-      .withColumn("rn", row_number().over(wExact))
-      .where(col("rn") <= 3)
-      .select(col("qid"), col("cand_id"))
-    exact3
+    exactQTop3(s, d)
       .join(r3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
