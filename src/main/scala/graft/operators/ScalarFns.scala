@@ -313,6 +313,32 @@ object ScalarFns extends OpModule {
         |  USING 30""".stripMargin)
   }
 
+  /** Declarative SQL UDF (Spark 4 `CREATE FUNCTION … RETURN expr`) —
+    * the governed way to share business logic on this engine: unlike a
+    * Scala/Python UDF (an opaque black box Catalyst cannot see into),
+    * a SQL UDF INLINES its body into the calling plan, so codegen,
+    * constant folding, and pushdown all apply as if the analyst had
+    * written the expression by hand — ScalarFnsSpec asserts the plan
+    * contains no UDF invocation node. The function computes exact
+    * integer discounted value (cents × discount-complement percent —
+    * the price-arithmetic discipline every money oracle here uses), and
+    * the query is the q1-style per-flag rollup a shared metric
+    * definition exists for. TEMPORARY scope: session-local, no catalog
+    * pollution, OR REPLACE idempotent per session. */
+  def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_udf_li")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_cp(p DOUBLE, disc DOUBLE)
+        |RETURNS BIGINT
+        |RETURN CAST(round(p * 100) AS BIGINT)
+        |       * CAST(round((1.0 - disc) * 100) AS BIGINT)""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(graft_disc_cp(l_extendedprice, l_discount)) AS BIGINT)
+        |    AS net_cp
+        |FROM graft_udf_li GROUP BY l_returnflag""".stripMargin)
+  }
+
   /** Named-parameter SQL (spark.sql(text, args) — the :param marker
     * API): the safe bind-variable path for programmatic SQL. Markers
     * are typed literals at plan time, so constant folding and filter
@@ -499,6 +525,7 @@ object ScalarFns extends OpModule {
     "fn_datetime_advanced" -> fnDatetimeAdvanced _,
     "fn_binary_codec" -> fnBinaryCodec _,
     "sql_exec_immediate" -> sqlExecImmediate _,
+    "sql_udf" -> sqlUdf _,
     "sql_parameterized" -> sqlParameterized _,
     "sql_scripting" -> sqlScripting _,
     "fn_aes" -> fnAes _,
@@ -510,6 +537,13 @@ object ScalarFns extends OpModule {
       """SELECT l_returnflag, count(*) AS n_lines,
         |  CAST(round(sum(l_quantity)) AS BIGINT) AS qty
         |FROM lineitem WHERE l_quantity >= 30 GROUP BY l_returnflag""".stripMargin,
+    // the SQL UDF body, inlined — the point of the feature
+    "sql_udf" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(round((1.0 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS net_cp
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "sql_parameterized" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(round(sum(o_totalprice)) AS BIGINT) AS gross

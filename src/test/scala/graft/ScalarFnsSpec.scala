@@ -203,6 +203,31 @@ class ScalarFnsSpec extends SparkSpec {
     assert(pp.nonEmpty)
   }
 
+  test("sql_udf: declarative function INLINES (no UDF node), equals hand-written expr") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.ScalarFns.sqlUdf(spark, sf)
+    // the point of the feature: Catalyst sees the body, so the plan has
+    // no opaque invocation node and stays in whole-stage codegen
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython")
+      && !plan.contains("Invoke"),
+      s"SQL UDF must inline, not invoke:\n$plan")
+    // the inline evidence: the body's arithmetic appears EXPANDED inside
+    // the aggregate (Catalyst saw through the function boundary)
+    assert(plan.contains("round(") && plan.contains("* 100.0"),
+      s"the function body must appear inlined in the plan:\n$plan")
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long"),
+        expr("""cast(sum(cast(round(l_extendedprice * 100) as bigint)
+               |         * cast(round((1.0 - l_discount) * 100) as bigint))
+               |    as bigint)""".stripMargin))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("fn_aes: roundtrip, PKCS7 sizing, ECB determinism") {
     val rows = graft.operators.ScalarFns.fnAes(spark, sf).collect()
     assert(rows.nonEmpty)
