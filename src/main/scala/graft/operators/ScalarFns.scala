@@ -339,6 +339,47 @@ object ScalarFns extends OpModule {
         |FROM graft_udf_li GROUP BY l_returnflag""".stripMargin)
   }
 
+  /** Declarative SQL TABLE function (Spark 4 `CREATE FUNCTION …
+    * RETURNS TABLE … RETURN SELECT`) — the governed twin of a
+    * parameterized view: per-customer top-2 orders exposed as a named
+    * relation and consumed through correlated LATERAL. The body
+    * inlines like the scalar sql_udf, and the correlated rank
+    * DECORRELATES to the window + equi-join plan the hand-written
+    * join_lateral op gets — a named function costs nothing over
+    * inline SQL.
+    *
+    * ENGINE PITFALL (measured on Spark 4.1.2, pinned in
+    * ScalarFnsSpec): the NATURAL body — `… ORDER BY price DESC
+    * LIMIT 2` — applies the LIMIT GLOBALLY after decorrelation when
+    * the function is invoked with a correlated LATERAL argument: the
+    * call returns the global top-k across ALL correlation keys
+    * instead of top-k per key, silently (keys outside the global
+    * top-k get zero rows, no error — a plain LATERAL subquery with
+    * the same LIMIT decorrelates correctly; only the SQL-function
+    * inlining path mis-scopes it). The row_number-in-body form below
+    * is semantically identical and decorrelates correctly — use it
+    * until the upstream bug is fixed; the spec asserts BOTH facts so
+    * an engine upgrade that fixes the LIMIT path surfaces as a
+    * conscious spec update. */
+  def sqlUdtf(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_tf_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_tf_cust")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_top_orders(ck BIGINT)
+        |RETURNS TABLE(o_orderkey BIGINT, cents BIGINT)
+        |RETURN SELECT o_orderkey, cents FROM (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+        |           AS rn
+        |  FROM graft_tf_orders WHERE o_custkey = ck)
+        |WHERE rn <= 2""".stripMargin)
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.cents
+        |FROM graft_tf_cust c, LATERAL graft_top_orders(c.c_custkey) t
+        |WHERE c.c_custkey < 500""".stripMargin)
+  }
+
   /** Named-parameter SQL (spark.sql(text, args) — the :param marker
     * API): the safe bind-variable path for programmatic SQL. Markers
     * are typed literals at plan time, so constant folding and filter
@@ -526,6 +567,7 @@ object ScalarFns extends OpModule {
     "fn_binary_codec" -> fnBinaryCodec _,
     "sql_exec_immediate" -> sqlExecImmediate _,
     "sql_udf" -> sqlUdf _,
+    "sql_udtf" -> sqlUdtf _,
     "sql_parameterized" -> sqlParameterized _,
     "sql_scripting" -> sqlScripting _,
     "fn_aes" -> fnAes _,
@@ -544,6 +586,18 @@ object ScalarFns extends OpModule {
         |           * CAST(round((1.0 - l_discount) * 100) AS BIGINT))
         |    AS BIGINT) AS net_cp
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // the table-function body inlined + decorrelated: per-customer
+    // top-2 by (price DESC, key ASC) — DuckDB replays with QUALIFY
+    "sql_udtf" ->
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |FROM customer c JOIN (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) o
+        |  ON o.o_custkey = c.c_custkey AND o.rn <= 2
+        |WHERE c.c_custkey < 500""".stripMargin,
     "sql_parameterized" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(round(sum(o_totalprice)) AS BIGINT) AS gross

@@ -228,6 +228,47 @@ class ScalarFnsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("sql_udtf: correlated table fn decorrelates; LIMIT-body bug stays pinned") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.ScalarFns.sqlUdtf(spark, sf)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.Tables.customer(spark, sf).where(col("c_custkey") < 500)
+      .select(col("c_custkey"))
+      .join(graft.Tables.orders(spark, sf)
+        .withColumn("rn", expr(
+          "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"))
+        .where(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty,
+      s"decorrelated table fn must equal the window formulation (${got.size} vs ${want.size})")
+    // the ENGINE BUG witness (Spark 4.1.2): the same function written
+    // with ORDER BY … LIMIT applies the LIMIT GLOBALLY after
+    // decorrelation — the call returns the global top-k rows across
+    // ALL correlation keys instead of top-k per key, silently (a key
+    // whose orders fall outside the global top-k gets zero rows, no
+    // error). Pinned so an upgrade that fixes the inlining path fails
+    // HERE and the op's docstring gets updated consciously.
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_top_lim(ck BIGINT)
+        |RETURNS TABLE(o_orderkey BIGINT)
+        |RETURN SELECT o_orderkey FROM graft_tf_orders
+        |WHERE o_custkey = ck
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 2""".stripMargin)
+    val buggy = spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey
+        |FROM graft_tf_cust c, LATERAL graft_top_lim(c.c_custkey) t
+        |WHERE c.c_custkey < 500""".stripMargin).count()
+    assert(buggy <= 2L && buggy < want.size,
+      s"Spark fixed the correlated LIMIT-body UDTF path (got $buggy rows, " +
+        s"correct is ${want.size}) — switch sql_udtf's body back to the " +
+        "natural LIMIT form")
+  }
+
   test("fn_aes: roundtrip, PKCS7 sizing, ECB determinism") {
     val rows = graft.operators.ScalarFns.fnAes(spark, sf).collect()
     assert(rows.nonEmpty)
