@@ -293,7 +293,8 @@ object ScaleProbe {
       // — a bitmap agg, three SQL-surface demos over orders/lineitem,
       // per-row AES, TakeOrdered-with-offset, two join-matrix rows
       "agg_bitmap", "sql_exec_immediate", "sql_parameterized",
-      "sql_scripting", "sql_sugar", "sql_udf", "sql_udtf", "fn_aes",
+      "sql_scripting", "sql_sugar", "sql_udf", "sql_udtf",
+      "sql_identifier", "scan_cached", "fn_aes",
       "sort_offset",
       "join_nullsafe", "join_lateral",
       // r11 newcomers: phash rides one codegen'd scan + the 16-bit

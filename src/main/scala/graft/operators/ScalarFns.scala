@@ -395,6 +395,26 @@ object ScalarFns extends OpModule {
       Map("lo" -> 1000.0, "hi" -> 200000.0))
   }
 
+  /** IDENTIFIER() templating (Spark 4) — the injection-safe DYNAMIC
+    * NAME surface completing the parameter family: sql_parameterized
+    * binds VALUES, this binds the table AND the grouping column from
+    * parameters (`FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:col)`),
+    * the shape every multi-tenant / per-snapshot job template needs
+    * (same vetted SQL text, different physical table per run — string
+    * splicing is how SQL injection happens; IDENTIFIER resolves the
+    * name through the parser as a single identifier, nothing else).
+    * Names resolve at plan time, so the final plan is byte-identical
+    * to the static query. */
+  def sqlIdentifier(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_idf_orders")
+    s.sql(
+      """SELECT IDENTIFIER(:col) AS grp, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(round(sum(o_totalprice)) AS BIGINT) AS gross
+        |FROM IDENTIFIER(:tbl)
+        |GROUP BY IDENTIFIER(:col)""".stripMargin,
+      Map("tbl" -> "graft_idf_orders", "col" -> "o_orderpriority"))
+  }
+
   /** SQL SCRIPTING (Spark 4 BEGIN…END with session variables): a
     * multi-statement block DECLAREs a variable, derives the cutoff with
     * arithmetic SET statements, and the final SELECT — the block's
@@ -568,6 +588,7 @@ object ScalarFns extends OpModule {
     "sql_exec_immediate" -> sqlExecImmediate _,
     "sql_udf" -> sqlUdf _,
     "sql_udtf" -> sqlUdtf _,
+    "sql_identifier" -> sqlIdentifier _,
     "sql_parameterized" -> sqlParameterized _,
     "sql_scripting" -> sqlScripting _,
     "fn_aes" -> fnAes _,
@@ -598,6 +619,11 @@ object ScalarFns extends OpModule {
         |  FROM orders) o
         |  ON o.o_custkey = c.c_custkey AND o.rn <= 2
         |WHERE c.c_custkey < 500""".stripMargin,
+    // names resolved → the static query
+    "sql_identifier" ->
+      """SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(round(sum(o_totalprice)) AS BIGINT) AS gross
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "sql_parameterized" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(round(sum(o_totalprice)) AS BIGINT) AS gross

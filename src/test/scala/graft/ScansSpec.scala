@@ -268,6 +268,33 @@ class ScansSpec extends SparkSpec {
     }
   }
 
+  test("scan_cached: reads the in-memory columnar relation with the pruned schema") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = graft.operators.Scans.scanCached(spark, sf)
+    val scans = collectFinal(df) { case s: InMemoryTableScanExec => s }
+    assert(scans.nonEmpty, "query must read through InMemoryTableScan")
+    // the CACHED relation is the curated 3-column projection, not the
+    // 16-column table — caching raw wide tables is the memory mistake
+    // the op's docstring warns about
+    val cachedCols = scans.head.relation.output.map(_.name).toSet
+    assert(cachedCols == Set("l_orderkey", "l_quantity", "l_returnflag"),
+      s"cached projection must be the 3 curated columns: $cachedCols")
+    // caching is result-invisible
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.Tables.lineitem(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.expr(
+          "cast(round(sum(l_quantity)) as bigint)"),
+        org.apache.spark.sql.functions.expr(
+          "cast(count(distinct l_orderkey) as bigint)"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("scan_metadata_cols: path-derived partition values match restored columns") {
     val rows = graft.operators.Scans.scanMetadataCols(spark, sf).collect()
     assert(rows.map(_.getAs[String]("o_orderpriority")).distinct.length == rows.length)
