@@ -327,6 +327,9 @@ object ScaleProbe {
       // (features, weights) — marginal cost is one margin pass + a
       // |langs|-row (resp. 1-row) aggregate / one train-split retrain
       "llm_quality_gate", "llm_quality_holdout",
+      // temperature mix (r12): one map-side-combined source aggregate +
+      // a broadcast 1-row total — scan-bound like llm_domain_mix
+      "llm_mix_temperature",
       // semantic decontamination (r12): train side shuffles once on the
       // cell key, the ~N/20 eval probe side broadcasts — growth must
       // track probed-cell candidate mass (clone families inflate shared

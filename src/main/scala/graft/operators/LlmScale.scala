@@ -1404,6 +1404,41 @@ object LlmScale extends OpModule {
         (col("n_tokens") > col("target")).as("over_represented"))
   }
 
+  /** TEMPERATURE-scaled sampling mix (r12) — the multilingual
+    * rebalancing formula (XLM-R/mT5 lineage): q_i ∝ p_i^α with α=1/2,
+    * boosting low-resource sources without drowning high-resource ones
+    * (llm_domain_mix's uniform target is the α→0 extreme; α=1 is
+    * proportional). α=1/2 is deliberately the one exponent whose pow
+    * is IEEE-correctly-rounded on both engines (sqrt) — and even that
+    * double touches exactly ONE per-row scalar: sqrt(n_i) quantizes to
+    * 10⁶ fixed point immediately, so the normalization sum, both share
+    * computations, the up/down-sample weight, and the token budget
+    * re-allocation are exact integers (the div-of-divs rounding IS the
+    * spec, replayed identically by the oracle). weight_bp > 10⁴ ⇒
+    * upsample. One aggregate + a broadcast 1-row total → |sources|
+    * rows; at 100 TB this is free beside the corpus scan it shares
+    * with domain_mix. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+      .withColumn("s_fp",
+        expr("CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("s_fp")).as("total_s"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 10000) div total_tokens").as("p_bp"),
+        expr("(s_fp * 10000) div total_s").as("q_bp"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("p_bp"), col("q_bp"),
+        expr("CASE WHEN p_bp = 0 THEN CAST(-1 AS BIGINT) " +
+          "ELSE (q_bp * 10000) div p_bp END").as("weight_bp"),
+        (col("q_bp") > col("p_bp")).as("upsampled"))
+  }
+
   // ── llm_cooccur ───────────────────────────────────────────────────────
 
   /** Token co-occurrence PMI: the top-20 token pairs most over-represented
@@ -1808,6 +1843,7 @@ object LlmScale extends OpModule {
     "llm_cooccur" -> cooccur _,
     "llm_inverted_index" -> invertedIndex _,
     "llm_domain_mix" -> domainMix _,
+    "llm_mix_temperature" -> mixTemperature _,
     "llm_perplexity_proxy" -> perplexityProxy _,
     "llm_decontaminate" -> decontaminate _,
     "llm_decontaminate_bloom" -> decontaminateBloom _,
@@ -2740,6 +2776,28 @@ object LlmScale extends OpModule {
         |    AS weight_fp,
         |  ps.n_tokens > (t.total_tokens // t.n_sources) AS over_represented
         |FROM ps, t""".stripMargin,
+    // sqrt is IEEE-correctly-rounded on both engines; everything after
+    // the one per-row quantize is exact integer div-of-divs
+    "llm_mix_temperature" ->
+      """WITH ps AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT *, CAST(round(sqrt(n_tokens::DOUBLE) * 1e6) AS BIGINT)
+        |    AS s_fp FROM ps),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |             CAST(sum(s_fp) AS BIGINT) AS total_s FROM q),
+        |b AS (
+        |  SELECT q.source, q.n_docs, q.n_tokens,
+        |    (q.n_tokens * 10000) // t.total_tokens AS p_bp,
+        |    (q.s_fp * 10000) // t.total_s AS q_bp
+        |  FROM q, t)
+        |SELECT source, n_docs, n_tokens, p_bp, q_bp,
+        |  CASE WHEN p_bp = 0 THEN CAST(-1 AS BIGINT)
+        |       ELSE (q_bp * 10000) // p_bp END AS weight_bp,
+        |  q_bp > p_bp AS upsampled
+        |FROM b""".stripMargin,
     "llm_perplexity_proxy" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
