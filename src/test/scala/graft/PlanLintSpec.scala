@@ -45,7 +45,8 @@ class PlanLintSpec extends SparkSpec {
     "graph_label_propagation", "llm_bm25", "llm_cooccur",
     "llm_curriculum", "llm_dataset_card", "llm_domain_mix",
     "llm_epoch_plan", "llm_keyword_extract", "llm_lineage_audit",
-    "llm_ngram_lm", "llm_perplexity_proxy", "llm_sample_importance",
+    "llm_ngram_lm", "llm_mix_temperature", "llm_perplexity_proxy",
+    "llm_sample_importance",
     "llm_shard_layout", "llm_tfidf", "llm_cross_split_leakage",
     // BOUNDED probe/codebook sets (10 broadcast queries, K-row
     // centroid/supercell tables — constant in corpus size)
