@@ -353,7 +353,87 @@ object Aggregates extends OpModule {
         |GROUP BY b.o_orderstatus""".stripMargin)
   }
 
+  /** Exact heavy hitters over an open vocabulary — the two-pass pattern
+    * that finds every token with frequency ≥ total/K WITHOUT shuffling
+    * the long tail: a full `GROUP BY tok` ships every distinct token
+    * (at 100 TB: billions of singletons) across the wire to count items
+    * that mostly lose; here pass 1 runs a bounded Misra-Gries summary
+    * (2K counters) inside each partition and emits only its surviving
+    * candidates, and pass 2 recounts exactly — restricted to the
+    * broadcast candidate set, so only candidate tokens shuffle.
+    *
+    * The output is EXACT (hash-checkable against the naive oracle), not
+    * approximate, because the candidate pass is a guaranteed superset:
+    * if C(x) ≥ N/K then some partition p has c_p(x)/n_p ≥ C(x)/N ≥ 1/K
+    * (the maximum ratio is ≥ the weighted mean), and Misra-Gries with
+    * m = 2K counters retains every item with local frequency
+    * > n_p/(m+1) = n_p/(2K+1) < n_p/K — so x survives in p regardless
+    * of how the data is partitioned. Candidate-set CONTENT varies with
+    * partitioning; the final filtered output does not.
+    *
+    * Per-partition state is ≤ 2K map entries (constant in corpus size);
+    * the decrement sweep amortizes O(1) per input token (each sweep
+    * removes ≥1 entry and entries enter with count 1). mapPartitions is
+    * the honest mechanism here — the whole point is imperative bounded
+    * state that a declarative groupBy cannot express. */
+  private val HhK = 200
+
+  def aggHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')"))
+        .as("tok"))
+    heavyHitters(toks, HhK)
+  }
+
+  /** Core two-pass heavy hitters over a single-column `tok` frame;
+    * factored so the spec can assert partitioning-invariance (the
+    * superset guarantee) under adversarial repartitionings. */
+  private[graft] def heavyHitters(toks: DataFrame, k: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val m = 2 * k
+    // Pass 1: per-partition Misra-Gries candidates, plus one sentinel
+    // row per partition carrying its token count (so the global total
+    // rides the same scan instead of paying a second pass).
+    val pass1 = toks.as[String].mapPartitions { it =>
+      val counts = new java.util.HashMap[String, java.lang.Long](m * 2)
+      var n = 0L
+      it.foreach { t =>
+        n += 1
+        val c = counts.get(t)
+        if (c ne null) counts.put(t, c + 1L)
+        else if (counts.size < m) counts.put(t, 1L)
+        else { // decrement-all sweep; the new item is not inserted
+          val iter = counts.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            if (e.getValue == 1L) iter.remove()
+            else e.setValue(e.getValue - 1)
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      counts.keySet().forEach(k => out += ((k, -1L)))
+      out += ((null, n))
+      out.iterator
+    }.toDF("tok", "n")
+    // one scan feeds both readers; blocks freed at the harness safe point
+    val cached = MemoUtil.scratch(pass1.localCheckpoint())
+    val total = cached.where(col("tok").isNull)
+      .agg(sum(col("n")).as("total"))
+    val cands = cached.where(col("tok").isNotNull)
+      .select(col("tok")).distinct()
+    val out = toks.join(broadcast(cands), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .where(col("cnt") * k >= col("total"))
+      .select(col("tok"), col("cnt"), col("total"))
+      .orderBy(col("cnt").desc, col("tok"))
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_heavy_hitters" -> aggHeavyHitters _,
     "agg_bitmap" -> aggBitmap _,
     "agg_every_any" -> aggEveryAny _,
     "agg_histogram" -> aggHistogram _,
@@ -377,6 +457,17 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // the naive exact formulation — our two-pass plan must equal it
+    // because the Misra-Gries candidate pass is a guaranteed superset
+    "agg_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT tok FROM tk WHERE tok != ''),
+        |n AS (SELECT count(*) AS total FROM t),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+        |SELECT c.tok, c.cnt, n.total FROM c CROSS JOIN n
+        |WHERE c.cnt * 200 >= n.total
+        |ORDER BY cnt DESC, tok ASC""".stripMargin,
     // bitmap distinct == exact distinct by construction; bucket count =
     // Spark buckets
     // positives as (k-1) div 32768 + 1 and non-positives as k div 32768

@@ -80,4 +80,33 @@ class AggregatesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_buckets") >= 1)
     }
   }
+
+  test("heavy hitters: exact under adversarial partitionings (MG superset)") {
+    import org.apache.spark.sql.functions._
+    // Zipf-ish skew: token i repeats (50-i)^2 times, i=0..49, plus a
+    // long tail of 4000 singletons that must NOT reach the shuffle in
+    // pass 2 and must never displace a true heavy hitter in pass 1.
+    val heavy = (0 until 50).flatMap(i => Seq.fill((50 - i) * (50 - i))(s"h$i"))
+    val tail = (0 until 4000).map(i => s"t$i")
+    val all = heavy ++ tail
+    val exact = {
+      val n = all.size
+      all.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * 20 >= n }
+        .toSeq.sortBy { case (t, c) => (-c, t) }
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      // sort so one partition concentrates the tail — the worst case
+      // for counter eviction — and also try hash-scattered order
+      val sorted = all.sorted.toDF("tok").repartition(parts)
+      val scattered = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(42)).shuffle(all).toDF("tok")
+        .repartition(parts)
+      for (toks <- Seq(sorted, scattered)) {
+        val got = graft.operators.Aggregates.heavyHitters(toks, 20)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(got == exact, s"parts=$parts")
+      }
+    }
+  }
 }

@@ -40,7 +40,7 @@ class PlanLintSpec extends SparkSpec {
     // — corpus statistics, cutoffs, high-water marks, totals): the
     // build side is exactly one row at any data size
     "filter_subquery", "dim_scd2_incremental", "mv_incremental",
-    "llm_cluster_topics",
+    "llm_cluster_topics", "agg_heavy_hitters",
     "dq_constraints", "dq_drift", "dq_freshness", "dq_skew",
     "graph_label_propagation", "llm_bm25", "llm_cooccur",
     "llm_curriculum", "llm_dataset_card", "llm_domain_mix",
