@@ -353,7 +353,12 @@ object ScaleProbe {
       // rendition closure over the phash pairs: StarContraction rounds
       // over pair edges — growth must track the pair mass (the clone
       // families), like llm_dedup_cluster over the LSH pairs
-      "llm_dedup_phash_cluster")
+      "llm_dedup_phash_cluster",
+      // exact heavy hitters (r12): pass 1 is bounded Misra-Gries state
+      // (2K counters/partition, constant in N); pass 2 recounts only the
+      // broadcast candidates — growth must be scan-bound, two linear
+      // passes, with the singleton tail never reaching a shuffle
+      "agg_heavy_hitters")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
