@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DHash72, DotProductLong, MinHashSig,
-  NGrams, PolyShingles, PolyShinglesSeq, SimHash32, SortedIntersectCount,
-  SquaredDistanceLong, XxNGramHashes}
+import graft.functions.{BitmapAnd, CosineSimilarity, DHash72, DotProductLong,
+  JaccardSim, MinHashSig, NGrams, PolyShingles, PolyShinglesSeq, SimHash32,
+  SortedIntersectCount, SquaredDistanceLong, XxNGramHashes}
 
 /** Engine extension wiring (SURVEY.md §4.3).
   *
@@ -34,9 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
+    ext.injectFunction(GraftExtensions.jaccardSimDescriptor)
+    ext.injectFunction(GraftExtensions.bitmapAndDescriptor)
     // inert unless spark.graft.lsh.rewrite.enabled=true (approximation
-    // opt-in — see CosineLshRewrite)
+    // opt-in — see CosineLshRewrite / JaccardLshRewrite)
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardLshRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -199,12 +202,32 @@ object GraftExtensions {
     }
   )
 
+  private val bitmapAndDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bitmap_and"),
+    new ExpressionInfo(classOf[BitmapAnd].getName, "bitmap_and"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "bitmap_and expects 2 binary args")
+      BitmapAnd(children.head, children(1))
+    }
+  )
+
+  private val jaccardSimDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaccard_sim"),
+    new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "jaccard_sim expects 2 array<bigint> args")
+      JaccardSim(children.head, children(1))
+    }
+  )
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, ngramsDescriptor, simhashDescriptor,
       sortedIntersectDescriptor, squaredDistanceDescriptor,
       dotLongDescriptor, polyShinglesDescriptor, polyShinglesSeqDescriptor,
-      xxNGramDescriptor,
+      xxNGramDescriptor, jaccardSimDescriptor, bitmapAndDescriptor,
       minhashSigDescriptor, dhash72Descriptor, bloomAggDescriptor,
       bloomMightContainDescriptor).foreach {
       case (id, info, builder) =>
@@ -215,7 +238,8 @@ object GraftExtensions {
     * twin of `injectOptimizerRule`; the rules themselves are idempotent,
     * and so is this — already-installed rules are not re-added). */
   def installOptimizations(spark: SparkSession): Unit = {
-    val rules = Seq(graft.plans.LevenshteinGuard, graft.plans.CosineLshRewrite)
+    val rules = Seq(graft.plans.LevenshteinGuard, graft.plans.CosineLshRewrite,
+      graft.plans.JaccardLshRewrite)
     val current = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       current ++ rules.filterNot(current.contains)

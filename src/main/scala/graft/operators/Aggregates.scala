@@ -353,6 +353,38 @@ object Aggregates extends OpModule {
         |GROUP BY b.o_orderstatus""".stripMargin)
   }
 
+  /** Exact distinct-key INTERSECTION across segments via bitmap AND —
+    * the audience-overlap primitive (customers active in BOTH order
+    * statuses): each (segment, 32768-key bucket) folds to a 4 KB bitmap
+    * partial with `bitmap_construct_agg` (map-side combinable, the same
+    * anchoring as agg_bitmap), segments then equi-join on the bucket
+    * number and intersect with the custom `bitmap_and` kernel (Spark
+    * ships build/union/cardinality but no intersection — the half that
+    * makes per-segment bitmaps USEFUL), and `bitmap_count` sums exact
+    * overlap cardinalities. At 100 TB this replaces a count-distinct
+    * self-join over raw keys (shuffle ∝ rows) with a bucket-aligned
+    * join over fixed 4 KB partials (shuffle ∝ keyspace/32768 per
+    * segment) — and the partials are reusable across every pair. HAVING
+    * > 0 aligns with the oracle, which only emits pairs sharing ≥ 1
+    * key (a shared bucket with disjoint bits is not an overlap). */
+  def aggBitmapIntersect(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_bi_orders")
+    spark.sql(
+      """WITH b AS (
+        |  SELECT o_orderstatus AS st,
+        |    bitmap_bucket_number(o_custkey) AS bkt,
+        |    bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+        |  FROM graft_bi_orders
+        |  GROUP BY o_orderstatus, bitmap_bucket_number(o_custkey))
+        |SELECT x.st AS status_a, y.st AS status_b,
+        |  CAST(sum(bitmap_count(bitmap_and(x.bm, y.bm))) AS BIGINT)
+        |    AS n_overlap
+        |FROM b x JOIN b y ON x.bkt = y.bkt AND x.st < y.st
+        |GROUP BY x.st, y.st
+        |HAVING sum(bitmap_count(bitmap_and(x.bm, y.bm))) > 0""".stripMargin)
+  }
+
   /** Exact heavy hitters over an open vocabulary — the two-pass pattern
     * that finds every token with frequency ≥ total/K WITHOUT shuffling
     * the long tail: a full `GROUP BY tok` ships every distinct token
@@ -432,7 +464,61 @@ object Aggregates extends OpModule {
     out
   }
 
+  /** Count-Min sketch point-frequency estimates — the MERGEABLE
+    * frequency summary that answers "how often does token x occur"
+    * without ever materializing the vocabulary: d=4 hash rows × w=1024
+    * buckets, each occurrence increments one bucket per row, and a
+    * point estimate is the MIN over its d buckets (always ≥ the true
+    * count; over by at most N/w in expectation per row, and the min
+    * drives the slack down). The sketch build is ONE scan folding into
+    * a ≤ d·w-cell aggregate — map-side combinable, constant-size
+    * partials that merge associatively across partitions, shards, or
+    * streaming micro-batches, which is why CMS is the standard
+    * distributed-frequency structure at 100 TB (the exact twin
+    * `agg_heavy_hitters` shuffles candidate tokens; this shuffles
+    * NOTHING but 4096 cells).
+    *
+    * Hashes are the repo's cross-engine poly-31 char fold (the
+    * llm_fingerprint contract, code-point-wise in both engines) pushed
+    * through d fixed affine maps mod P — fully deterministic integer
+    * arithmetic, so the DuckDB oracle replays the sketch EXACTLY and the
+    * driver hash-checks estimates, not just shapes. Probes here are the
+    * exact top-20 tokens (computed only to VERIFY the overestimate
+    * invariant; production probes a given dictionary against the
+    * broadcast cells). a_j·h < 9.3e8·1e9 < 2⁶³ — no overflow. The
+    * per-occurrence char fold is an interpreted HOF: per-token cost is
+    * O(len) on a scan-bound map (a native kernel like poly_shingles is
+    * the upgrade path if this ever dominates a profile). */
+  private val CmsP = 1000000007L
+  private val CmsW = 1024L
+  private val CmsA = Seq(920419823L, 658812311L, 500000003L, 193877777L)
+  private val CmsB = Seq(7L, 13L, 31L, 71L)
+
+  def aggCmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val polyFold =
+      "aggregate(split(tok, ''), 0L, (h, c) -> (h * 31 + ascii(c)) % 1000000007)"
+    def buckets = array(CmsA.indices.map(j =>
+      ((col("h") * lit(CmsA(j)) + lit(CmsB(j))) % lit(CmsP)) % lit(CmsW)): _*)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')"))
+        .as("tok"))
+    val hashed = toks.withColumn("h", expr(polyFold))
+    val cells = hashed
+      .select(posexplode(buckets).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    exact.withColumn("h", expr(polyFold))
+      .select(col("tok"), col("exact_cnt"),
+        posexplode(buckets).as(Seq("j", "bucket")))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("c")).as("est_cnt"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_intersect" -> aggBitmapIntersect _,
+    "agg_cms_freq" -> aggCmsFreq _,
     "agg_heavy_hitters" -> aggHeavyHitters _,
     "agg_bitmap" -> aggBitmap _,
     "agg_every_any" -> aggEveryAny _,
@@ -457,6 +543,49 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // bitmap AND == exact distinct intersection by construction
+    "agg_bitmap_intersect" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_orderstatus AS st, o_custkey AS k FROM orders)
+        |SELECT a.st AS status_a, b.st AS status_b,
+        |  CAST(count(*) AS BIGINT) AS n_overlap
+        |FROM d a JOIN d b ON a.k = b.k AND a.st < b.st
+        |GROUP BY a.st, b.st""".stripMargin,
+    // exact sketch replay: identical poly-31 fold + affine bucket maps,
+    // so estimates (not just shapes) hash-match across engines
+    "agg_cms_freq" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT tok FROM tk WHERE tok != ''),
+        |hv AS (
+        |  SELECT tok, list_reduce(list_prepend(0::BIGINT,
+        |      [ascii(c)::BIGINT for c in string_split(tok, '')]),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS h
+        |  FROM t),
+        |cells AS (
+        |  SELECT j,
+        |    (([920419823,658812311,500000003,193877777][j+1]::BIGINT * h
+        |      + [7,13,31,71][j+1]::BIGINT) % 1000000007) % 1024 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM hv, (SELECT unnest([0,1,2,3]) AS j) js
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM t GROUP BY tok
+        |  ORDER BY exact_cnt DESC, tok LIMIT 20),
+        |eh AS (
+        |  SELECT tok, exact_cnt, list_reduce(list_prepend(0::BIGINT,
+        |      [ascii(c)::BIGINT for c in string_split(tok, '')]),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS h
+        |  FROM ex),
+        |pe AS (
+        |  SELECT tok, exact_cnt, j,
+        |    (([920419823,658812311,500000003,193877777][j+1]::BIGINT * h
+        |      + [7,13,31,71][j+1]::BIGINT) % 1000000007) % 1024 AS bucket
+        |  FROM eh, (SELECT unnest([0,1,2,3]) AS j) js)
+        |SELECT pe.tok, pe.exact_cnt, CAST(min(cells.c) AS BIGINT) AS est_cnt
+        |FROM pe JOIN cells ON cells.j = pe.j AND cells.bucket = pe.bucket
+        |GROUP BY pe.tok, pe.exact_cnt""".stripMargin,
     // the naive exact formulation — our two-pass plan must equal it
     // because the Misra-Gries candidate pass is a guaranteed superset
     "agg_heavy_hitters" ->

@@ -65,8 +65,8 @@ object CosineLshRewrite extends Rule[LogicalPlan] {
     CreateArray(cell +: (0 until 8).map(j =>
       BitwiseXor(cell, Literal(1 << j)): Expression))
 
-  /** Top-level conjuncts of a condition. */
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
+  /** Top-level conjuncts of a condition (shared with JaccardLshRewrite). */
+  private[plans] def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other     => Seq(other)
   }
@@ -96,8 +96,9 @@ object CosineLshRewrite extends Rule[LogicalPlan] {
   }
 
   /** True when some conjunct already equi-joins the two sides — Spark
-    * will plan a hash/sort-merge join; nothing to rescue. */
-  private def hasEquiKey(cs: Seq[Expression], left: LogicalPlan,
+    * will plan a hash/sort-merge join; nothing to rescue. (Shared with
+    * JaccardLshRewrite.) */
+  private[plans] def hasEquiKey(cs: Seq[Expression], left: LogicalPlan,
                          right: LogicalPlan): Boolean =
     cs.exists {
       case EqualTo(a, b) =>

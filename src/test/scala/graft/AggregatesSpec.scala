@@ -81,6 +81,47 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("bitmap_and kernel + exact segment overlap vs distinct-intersect witness") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    // kernel truth: byte-wise AND, result = min length, null propagates
+    val r = spark.sql("SELECT bitmap_and(X'F0FF03', X'0FF0') AS x")
+      .collect().head.getAs[Array[Byte]]("x")
+    assert(r.toSeq == Seq(0x00.toByte, 0xF0.toByte), r.toSeq.toString)
+    assert(spark.sql("SELECT bitmap_and(CAST(NULL AS BINARY), X'00') AS x")
+      .collect().head.isNullAt(0))
+    // the op equals the exact distinct-intersection computed in-plane
+    val got = graft.operators.Aggregates.aggBitmapIntersect(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val d = Tables.orders(spark, sf)
+      .select(col("o_orderstatus").as("st"), col("o_custkey").as("k"))
+      .distinct()
+    val want = d.as("a").join(d.as("b"),
+        col("a.k") === col("b.k") && col("a.st") < col("b.st"))
+      .groupBy(col("a.st"), col("b.st")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got == want, s"$got vs $want")
+  }
+
+  test("count-min sketch: estimates dominate exact counts within the CMS bound") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Aggregates.aggCmsFreq(spark, sf).collect()
+    assert(rows.length == 20)
+    val total = Tables.documents(spark, sf)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .count()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("est_cnt")
+      // CMS guarantee: never under; Markov slack per row is N/w in
+      // expectation and the min over d=4 rows lands far below 16× that
+      // (P[all 4 rows ≥ 16·N/w] ≲ 16⁻⁴ per probe — deterministic here)
+      assert(est >= exact, s"CMS must never underestimate: $r")
+      assert(est - exact <= total / 64,
+        s"overestimate ${est - exact} beyond 16·N/w bound (N=$total): $r")
+    }
+  }
+
   test("heavy hitters: exact under adversarial partitionings (MG superset)") {
     import org.apache.spark.sql.functions._
     // Zipf-ish skew: token i repeats (50-i)^2 times, i=0..49, plus a

@@ -531,6 +531,88 @@ class CustomSurfaceSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.CosineLshRewrite.Flag)
   }
 
+  test("jaccard_sim: exact set semantics vs the HOF witness") {
+    // unsorted, duplicate-carrying, empty — the arbitrary user inputs
+    // sorted_intersect_count's precondition excludes
+    GraftExtensions.register(spark)
+    val rows = Seq(
+      (Seq(3L, 1L, 2L, 3L, 1L), Seq(2L, 2L, 4L, 1L)),   // dups both sides
+      (Seq(5L, 5L, 5L), Seq(5L)),                        // J = 1 via dedup
+      (Seq(1L, 2L), Seq(3L, 4L)),                        // disjoint → 0
+      (Seq.empty[Long], Seq(1L)),                        // one empty → 0
+      (Seq.empty[Long], Seq.empty[Long]))                // both empty → 0
+      .toDF("a", "b")
+    val got = rows.select(expr("jaccard_sim(a, b)")).collect().map(_.getDouble(0))
+    val want = rows.select(
+      expr("""CASE WHEN size(array_union(a, b)) = 0 THEN 0.0D ELSE
+              |size(array_intersect(a, b)) / size(array_union(a, b)) END"""
+        .stripMargin)).collect().map(_.getDouble(0))
+    assert(got.toSeq == want.toSeq, s"${got.toSeq} vs ${want.toSeq}")
+    // null propagation
+    val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(expr("jaccard_sim(a, b)")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("JaccardLshRewrite: brute Jaccard join becomes the MinHash band equi-join, matches llm_dedup_near") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec,
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    GraftExtensions.register(spark)
+    GraftExtensions.installOptimizations(spark)
+    def brute(s: org.apache.spark.sql.SparkSession) = {
+      val base = Tables.documents(s, sf)
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id",
+          expr("array_distinct(xx_ngram_hashes(toks, 3))").as("hs"))
+      val a = base.select($"doc_id".as("doc_a"), $"hs".as("sa"))
+      val b = base.select($"doc_id".as("doc_b"), $"hs".as("sb"))
+      a.join(b, $"doc_a" < $"doc_b" && expr("jaccard_sim(sa, sb)") >= 0.8)
+        .select($"doc_a", $"doc_b",
+          round(expr("jaccard_sim(sa, sb)"), 4).as("jaccard"))
+    }
+    // flag OFF: the keyless join plans the quadratic shape
+    val off = brute(spark).queryExecution.sparkPlan
+    assert(off.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.nonEmpty, s"flag off must keep the quadratic join:\n$off")
+    // the registered op (derived session, flag on): band equi-join only
+    val on = operators.LlmExtended.lshAutoRewriteJaccard(spark, sf)
+    val plan = on.queryExecution.sparkPlan
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, s"rewrite must remove the quadratic join:\n$plan")
+    assert(plan.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }.nonEmpty, s"rewrite must plan an equi-join on the band key:\n$plan")
+    // EXACTLY-ONCE multiplicity: the first-matching-band conjunct must
+    // stand in for the pipeline's dropDuplicates — a near-dup pair
+    // collides in MANY of the 16 bands (clones share most signature
+    // entries), so a missing conjunct shows up as duplicate rows here
+    val gotRows = on.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotRows.size == gotRows.toSet.size,
+      "each verified pair must appear exactly once (first-match band)")
+    // the rescue verifies exactly, so rows equal the hand-written op
+    val want = operators.LlmOps.dedupNear(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotRows.nonEmpty && gotRows.toSet == want,
+      s"rewritten result must equal llm_dedup_near (${gotRows.size} vs ${want.size} pairs)")
+    // idempotence on the analyzed brute shape
+    spark.conf.set(graft.plans.CosineLshRewrite.Flag, "true")
+    try {
+      val analyzed = brute(spark).queryExecution.analyzed
+      val once = graft.plans.JaccardLshRewrite(analyzed)
+      assert(!once.fastEquals(analyzed), "rule must fire on the brute join")
+      val twice = graft.plans.JaccardLshRewrite(once)
+      assert(once.fastEquals(twice), "rule must be a fixed point")
+    } finally spark.conf.unset(graft.plans.CosineLshRewrite.Flag)
+  }
+
   test("extension class wires cosine_sim via withExtensions") {
     // the production path: a fresh session built with the extension sees
     // the function without runtime registration
