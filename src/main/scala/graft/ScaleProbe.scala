@@ -116,7 +116,13 @@ object ScaleProbe {
       // pair-quadratic-by-construction op: gated OUT at ≥30× (output
       // pairs grow ×copies² on the clone corpus; 1×/10× are the
       // documented tiers — see the llm_lsh_autorewrite comment below)
-      (if (copies < 30) Seq("llm_lsh_autorewrite") else Seq.empty)
+      (if (copies < 30) Seq("llm_lsh_autorewrite",
+        // same gate for the TEXT-side rescue (r12): clone families are
+        // true near-dups (J≈0.93), so verified pairs grow ×copies² by
+        // construction — and unlike dedupNear the generic rewrite ships
+        // the shingle arrays through the ×16 band explode (the
+        // documented safety-net-vs-engineered-pipeline trade)
+        "llm_lsh_autorewrite_jaccard") else Seq.empty)
     ) ++ Seq(
       // incremental shard-vs-index dedup: cost must track the NEW side
       // (B·collisions) — the clone corpus inflates index collisions per
@@ -358,7 +364,17 @@ object ScaleProbe {
       // (2K counters/partition, constant in N); pass 2 recounts only the
       // broadcast candidates — growth must be scan-bound, two linear
       // passes, with the singleton tail never reaching a shuffle
-      "agg_heavy_hitters")
+      "agg_heavy_hitters",
+      // Count-Min sketch (r12): every occurrence folds into ≤4096
+      // map-side-combined cells + a broadcast 80-row probe join —
+      // growth must be scan-bound (the per-token char fold is the
+      // only per-row cost that grows)
+      "agg_cms_freq",
+      // bitmap intersection (r12): partials are 4 KB per (status,
+      // bucket); clone custkeys spread disjoint ranges so bucket count
+      // grows ~linearly — the bucket-aligned join must track partial
+      // mass, never raw order rows
+      "agg_bitmap_intersect")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
