@@ -304,6 +304,63 @@ object Joins extends OpModule {
     * 8 shuffle partitions instead of 1. AQE's skew-join split covers
     * sort-merge joins automatically; explicit salting is the portable
     * fallback (works for any keyed op, incl. streaming state). */
+  /** AQE runtime skew-join split — the AUTOMATIC half of the skew story
+    * joinSalted hand-writes: a planted hot key (orderkey 1 replicated
+    * ×20 000 in-plane via sequence-explode — no join, so the lint's
+    * Cartesian gate is untouched) concentrates one shuffle partition;
+    * with skew-join enabled and fixture-scale thresholds the AQE
+    * re-planner SPLITS that partition across tasks at runtime
+    * (OptimizeSkewedJoin marks the sort-merge join isSkewJoin=true —
+    * spec-asserted on the executed adaptive plan) while the other side's
+    * matching partition is duplicated. Results are identical with the
+    * optimization on or off — that's the point: at 100 TB a hot key
+    * melts ONE task, and AQE absorbs it with zero query changes.
+    * Thresholds are session-scoped (derived session): production keeps
+    * the 256 MB default; the fixture's hot partition is ~1-14 MB, so the
+    * demo lowers them to make the same machinery fire. Broadcast is
+    * disabled (both thresholds) because a broadcast join would dissolve
+    * the shuffle the split acts on. sum(l_quantity) is integer-valued
+    * double → exact in 64-bit float, CAST to BIGINT on both engines. */
+  def joinSkewAqe(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "65536")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+    // the replica index rides as a DISTINCT payload: skew detection
+    // reads COMPRESSED map-output sizes, and 20 000 identical rows
+    // lz4-collapse below any threshold — a varying column keeps the hot
+    // partition's bytes honest (and sums deterministically on both
+    // engines: Σ i·1000003 mod p is plain integer arithmetic)
+    val hot = li.where(col("l_orderkey") === 1)
+      .withColumn("__i", explode(expr("sequence(1, 20000)")))
+      .withColumn("pay", col("__i") * lit(1000003L) % lit(1000000007L))
+      .drop("__i")
+      // the skew split regroups MAP outputs: a reduce partition fed by
+      // ONE map task cannot split (measured — the single-task explode
+      // left createSkewPartitionSpecs with nothing to regroup). At
+      // 100 TB a hot key's rows arrive from thousands of maps; the
+      // round-robin spread reproduces that shape at fixture scale
+      .repartition(32)
+    val fact = li.where(col("l_orderkey") =!= 1)
+      .withColumn("pay", lit(0L)).unionByName(hot)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    fact.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+        sum(col("pay")).as("sum_pay"))
+  }
+
   def joinSalted(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val salts = 8
@@ -680,6 +737,7 @@ object Joins extends OpModule {
     "join_fuzzy" -> joinFuzzy _,
     "join_dpp" -> joinDpp _,
     "join_salted" -> joinSalted _,
+    "join_skew_aqe" -> joinSkewAqe _,
     "join_bucketed" -> joinBucketed _,
     "join_asof" -> joinAsof _,
     "join_inner_hash" -> joinInnerHash _,
@@ -919,6 +977,23 @@ object Joins extends OpModule {
         |       round(sum(value * weight), 4) AS weighted_value
         |FROM ev JOIN dim ON event_type = etype
         |GROUP BY event_type""".stripMargin,
+    // the AQE skew split changes the PLAN, never the rows: the oracle
+    // replays the planted ×20000 hot-key replication and the plain join
+    "join_skew_aqe" ->
+      """WITH r AS (SELECT unnest(range(1, 20001)) AS i),
+        |hot AS (
+        |  SELECT l.l_orderkey, l.l_quantity,
+        |    (r.i * 1000003) % 1000000007 AS pay
+        |  FROM lineitem l, r WHERE l.l_orderkey = 1),
+        |f AS (
+        |  SELECT l_orderkey, l_quantity, 0::BIGINT AS pay
+        |  FROM lineitem WHERE l_orderkey != 1
+        |  UNION ALL SELECT * FROM hot)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(pay) AS BIGINT) AS sum_pay
+        |FROM f JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         | round(sum(l_extendedprice), 4) AS sum_price

@@ -268,4 +268,43 @@ class JoinsSpec extends SparkSpec {
     }
     assert(bnlj.isEmpty, "lateral subquery must decorrelate, not nested-loop")
   }
+
+  test("join_skew_aqe: the runtime skew split fires and results are split-invariant") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Joins.joinSkewAqe(spark, sf)
+    // executed adaptive plan must carry the skew-marked sort-merge join
+    val skewed = collectFinal(df) {
+      case j: SortMergeJoinExec if j.isSkewJoin => j
+    }
+    assert(skewed.nonEmpty,
+      "OptimizeSkewedJoin must mark the SMJ isSkewJoin on the planted hot key")
+    // results are identical with the optimization OFF (the point of the
+    // demo: the split is a pure runtime re-plan, never a semantics change)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val li = graft.Tables.lineitem(s2, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val hot = li.where(col("l_orderkey") === 1)
+      .withColumn("__i", explode(expr("sequence(1, 20000)")))
+      .withColumn("pay", col("__i") * lit(1000003L) % lit(1000000007L))
+      .drop("__i")
+    val fact = li.where(col("l_orderkey") =!= 1)
+      .withColumn("pay", lit(0L)).unionByName(hot)
+    val want = fact.join(
+        graft.Tables.orders(s2, sf).select(col("o_orderkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+        sum(col("pay")).as("sum_pay"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty && got == want, s"$got vs $want")
+  }
 }
