@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{BitmapAnd, CosineSimilarity, DHash72, DotProductLong,
   JaccardSim, MinHashSig, NGrams, PolyShingles, PolyShinglesSeq, SimHash32,
-  SortedIntersectCount, SquaredDistanceLong, XxNGramHashes}
+  SortedIntersectCount, SquaredDistanceLong, UnicodeNormalize, XxNGramHashes}
 
 /** Engine extension wiring (SURVEY.md §4.3).
   *
@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     ext.injectFunction(GraftExtensions.jaccardSimDescriptor)
     ext.injectFunction(GraftExtensions.bitmapAndDescriptor)
+    ext.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
     // inert unless spark.graft.lsh.rewrite.enabled=true (approximation
     // opt-in — see CosineLshRewrite / JaccardLshRewrite)
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
@@ -202,6 +203,17 @@ object GraftExtensions {
     }
   )
 
+  private val unicodeNormalizeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("unicode_normalize"),
+    new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "unicode_normalize expects (string, const form)")
+      UnicodeNormalize(children.head, children(1))
+    }
+  )
+
   private val bitmapAndDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("bitmap_and"),
@@ -228,6 +240,7 @@ object GraftExtensions {
       sortedIntersectDescriptor, squaredDistanceDescriptor,
       dotLongDescriptor, polyShinglesDescriptor, polyShinglesSeqDescriptor,
       xxNGramDescriptor, jaccardSimDescriptor, bitmapAndDescriptor,
+      unicodeNormalizeDescriptor,
       minhashSigDescriptor, dhash72Descriptor, bloomAggDescriptor,
       bloomMightContainDescriptor).foreach {
       case (id, info, builder) =>

@@ -1212,6 +1212,27 @@ object Analytics extends OpModule {
     * Scale shape: the raw log collapses to the hourly (type, hour)
     * series FIRST (one shuffle, map-side combine); the window runs over
     * |types|·|hours| rows, never raw events — the ts_gapfill rule. */
+  /** Exact rolling MEDIAN over the hourly series — the robust smoother
+    * ts_ewma's linear fold is not: a single corrupt spike moves a mean
+    * by its full magnitude but a 10-bucket median by at most one rank
+    * step. `percentile(vc, 0.5)` runs as a window aggregate over a
+    * bounded 10-row frame (per-row cost O(frame) with bounded state —
+    * no global sort beyond the per-key window order), and Spark's
+    * interpolating percentile ≡ DuckDB's quantile_cont (the dq_skew
+    * precedent), so the .5-interpolated even-count medians hash-match.
+    * Scale shape: identical to ts_ewma — one raw-event shuffle to
+    * hourly buckets, then per-key windows over ~|keys|·|hours| rows. */
+  def tsRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 100, 0).cast("long").as("vc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-9, 0)
+    hourly.select(col("event_type"), col("h"), col("n"), col("vc"),
+      round(expr("percentile(vc, 0.5)").over(w), 4).as("med"))
+  }
+
   def tsEwma(s: SparkSession, d: String): DataFrame = {
     val T = 8
     val wts = Array.tabulate(T)(j =>
@@ -1932,6 +1953,7 @@ object Analytics extends OpModule {
     "dq_completeness" -> dqCompleteness _,
     "graph_bfs" -> graphBfs _,
     "ts_ewma" -> tsEwma _,
+    "ts_rolling_median" -> tsRollingMedian _,
     "ts_changepoint" -> tsChangepoint _,
     "ts_sessionize" -> tsSessionize _,
     "dim_scd2_incremental" -> dimScd2Incremental _,
@@ -2318,6 +2340,18 @@ object Analytics extends OpModule {
         |       nn_props * 10000 // n FROM base""".stripMargin),
     // weights 3^j·4^(7-j) cleared to the 4^8 denominator; ragged heads
     // renormalize over present taps; floor(num/den) on exact integers
+    "ts_rolling_median" -> (evCte +
+      """,
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(round(sum(value) * 100) AS BIGINT) AS vc
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT event_type, h, n, vc,
+        |  round(quantile_cont(vc, 0.5) OVER (
+        |    PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS med
+        |FROM hourly""".stripMargin),
     "ts_ewma" -> (evCte +
       """,
         |hourly AS (

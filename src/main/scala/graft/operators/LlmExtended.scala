@@ -862,6 +862,32 @@ object LlmExtended extends OpModule {
         col("n_tok"), round(col("ttr"), 4).as("ttr"),
         round(col("alpha_ratio"), 4).as("alpha_ratio"))
 
+  /** Canonical text normalization — the step that runs BEFORE every
+    * hash in a real pipeline, because "café" composed (U+00E9) and
+    * decomposed (e + U+0301) are different bytes to every dedup
+    * signature, join key, and exact-match gate in the engine: NFD →
+    * strip combining marks (\p{Mn}) → NFC → lowercase → collapse
+    * whitespace runs → trim. Unicode normalization is the custom
+    * `unicode_normalize` Expression (Spark has NO builtin for it; the
+    * JDK normalizer short-circuits on already-normalized input, so the
+    * ASCII hot path allocates nothing). Pure per-row map — zero
+    * shuffle, scan-bound at any corpus size. Cross-engine contract:
+    * the fixture is ASCII where every step is identity-or-lower, and
+    * the oracle's nfc_normalize/strip_accents reduce to the same; the
+    * non-ASCII semantics (JDK vs DuckDB-ICU, both UAX #15) are pinned
+    * against JDK-computed goldens in LlmExtendedSpec instead. */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    Tables.documents(s, d)
+      .withColumn("nfd", expr("unicode_normalize(text, 'NFD')"))
+      .withColumn("stripped", regexp_replace(col("nfd"), "\\p{Mn}", ""))
+      .withColumn("nfc", expr("unicode_normalize(stripped, 'NFC')"))
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("nfc")), "\\s+", " ")))
+      .select(col("doc_id"), col("norm"),
+        (col("norm") =!= col("text")).as("changed"))
+  }
+
   /** Token counting three ways: whitespace split, regex word tokens, and
     * a chars/4 subword estimate (the BPE rule of thumb). */
   def tokenCount(s: SparkSession, d: String): DataFrame =
@@ -974,6 +1000,7 @@ object LlmExtended extends OpModule {
     "llm_decontaminate_semantic" -> decontaminateSemantic _,
     "llm_lsh_autorewrite_topk" -> lshAutoRewriteTopk _,
     "llm_lsh_autorewrite_jaccard" -> lshAutoRewriteJaccard _,
+    "llm_text_normalize" -> textNormalize _,
     // dedupNgramHash is NOT registered (r9): rarest-first is the one
     // canonical ordering (measured: 159 vs 5,000 max posting, 23k vs 75M
     // candidate mass on the skewed-vocabulary tier — SCALE.md); the
@@ -1300,6 +1327,15 @@ object LlmExtended extends OpModule {
     // the Jaccard rescue verifies exactly, so the brute threshold
     // spelling shares llm_dedup_near's all-pairs oracle verbatim
     "llm_lsh_autorewrite_jaccard" -> LlmOps.oracle("llm_dedup_near"),
+    // ASCII fixture: both engines' unicode steps reduce to
+    // lower+collapse; non-ASCII pinned in LlmExtendedSpec goldens
+    "llm_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(nfc_normalize(strip_accents(text))),
+        |         '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, norm, (norm != text) AS changed FROM n""".stripMargin,
     "llm_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks

@@ -50,6 +50,45 @@ object Streaming extends OpModule {
 
   // ── transforms (batch ≡ streaming) ────────────────────────────────────
 
+  /** Count-Min sketch over the LIVE stream (the streaming face of
+    * agg_cms_freq): every event folds into one of d=4 × w=1024 cells
+    * keyed by the affine-hashed user id, and because cell counts are
+    * ADDITIVE the same groupBy is a valid streaming aggregation — cells
+    * merge across micro-batches exactly as they merge across partitions
+    * (StreamingSpec drives the real multi-batch stream and asserts the
+    * final cells equal the batch cells over the union; that equality IS
+    * the mergeability property that makes CMS the standard streaming
+    * frequency summary: state is ≤4096 rows forever, never
+    * O(distinct users)). The registered query adds the point-estimate
+    * probe over the top-20 exact users — verification only; a
+    * production consumer probes arbitrary ids against the live cells. */
+  private val CmsP = 1000000007L
+  private val CmsW = 1024L
+  private val CmsA = Seq(920419823L, 658812311L, 500000003L, 193877777L)
+  private val CmsB = Seq(7L, 13L, 31L, 71L)
+
+  private def cmsBuckets(h: org.apache.spark.sql.Column) =
+    array(CmsA.indices.map(j =>
+      (((h % lit(CmsP)) * lit(CmsA(j)) + lit(CmsB(j))) % lit(CmsP))
+        % lit(CmsW)): _*)
+
+  /** The streaming-executable half: cells only (pure additive agg). */
+  def cmsCells(ev: DataFrame): DataFrame =
+    ev.select(posexplode(cmsBuckets(col("user_id"))).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** Cells + the verification probe (batch; runs on the final cells). */
+  def cmsEstimates(ev: DataFrame): DataFrame = {
+    val cells = cmsCells(ev)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
+    exact.select(col("user_id"), col("exact_cnt"),
+        posexplode(cmsBuckets(col("user_id"))).as(Seq("j", "bucket")))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("user_id"), col("exact_cnt"))
+      .agg(min(col("c")).as("est_cnt"))
+  }
+
   /** 1-hour tumbling windows per event type. */
   def tumbling(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -416,6 +455,7 @@ object Streaming extends OpModule {
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cms" -> ((s, d) => cmsEstimates(ev(s, d))),
     "stream_tumbling" -> ((s, d) => tumbling(ev(s, d))),
     "stream_sliding" -> ((s, d) => sliding(ev(s, d))),
     "stream_session" -> ((s, d) => session(ev(s, d))),
@@ -436,6 +476,31 @@ object Streaming extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // exact sketch replay (same affine arithmetic), like agg_cms_freq
+    "stream_cms" -> (evCte +
+      """,
+        |hv AS (SELECT user_id, user_id % 1000000007 AS h FROM ev),
+        |cells AS (
+        |  SELECT j,
+        |    ((h * [920419823,658812311,500000003,193877777][j+1]::BIGINT
+        |      + [7,13,31,71][j+1]::BIGINT) % 1000000007) % 1024 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM hv, (SELECT unnest([0,1,2,3]) AS j) js
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM ev GROUP BY user_id
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 20),
+        |pe AS (
+        |  SELECT user_id, exact_cnt, j,
+        |    (((user_id % 1000000007)
+        |      * [920419823,658812311,500000003,193877777][j+1]::BIGINT
+        |      + [7,13,31,71][j+1]::BIGINT) % 1000000007) % 1024 AS bucket
+        |  FROM ex, (SELECT unnest([0,1,2,3]) AS j) js)
+        |SELECT pe.user_id, pe.exact_cnt,
+        |  CAST(min(cells.c) AS BIGINT) AS est_cnt
+        |FROM pe JOIN cells ON cells.j = pe.j AND cells.bucket = pe.bucket
+        |GROUP BY pe.user_id, pe.exact_cnt""".stripMargin),
     "stream_tumbling" -> (evCte +
       """
         |SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -254,4 +254,34 @@ class LlmExtendedSpec extends SparkSpec {
     assert(out.count() == exact,
       "bucketed result must equal the in-bucket brute force")
   }
+
+  test("unicode_normalize: composed/decomposed unify; normalize chain goldens") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    // the SAME visual string in composed (U+00E9/U+00C9) and decomposed
+    // (base + U+0301) encodings — different bytes, one canonical form
+    val composed = "Café  du \tMondÉ"
+    val decomposed = "Café  du \tMondÉ"
+    val df = Seq(composed, decomposed).toDF("text")
+      .withColumn("nfd", expr("unicode_normalize(text, 'NFD')"))
+      .withColumn("stripped", regexp_replace(col("nfd"), "\\p{Mn}", ""))
+      .withColumn("nfc", expr("unicode_normalize(stripped, 'NFC')"))
+      .withColumn("norm", trim(regexp_replace(lower(col("nfc")), "\\s+", " ")))
+    val norms = df.select(col("norm")).collect().map(_.getString(0))
+    assert(norms.toSet == Set("cafe du monde"), norms.toSeq.toString)
+    // NFC equality of the two raw encodings (before stripping)
+    val nfcs = df.select(expr("unicode_normalize(lower(text), 'NFC')"))
+      .collect().map(_.getString(0))
+    assert(nfcs(0) == nfcs(1), "NFC must unify composed and decomposed")
+    // ASCII fast path: identity (same UTF8String value)
+    val id = Seq("plain ascii").toDF("t")
+      .select(expr("unicode_normalize(t, 'NFKC')")).collect().head.getString(0)
+    assert(id == "plain ascii")
+    // null propagation + constant-form enforcement
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(expr("unicode_normalize(t, 'NFC')")).collect().head.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("t").select(expr("unicode_normalize(t, 'BOGUS')")).collect()
+    }
+  }
 }

@@ -302,4 +302,24 @@ class ScansSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("n_rows")).sum
     assert(total == graft.Tables.orders(spark, sf).count())
   }
+
+  test("scan_rowgroup_prune: sorted layout lets min/max stats skip row groups") {
+    val df = graft.operators.Scans.scanRowgroupPrune(spark, sf)
+    val total = graft.Tables.lineitem(spark, sf).count()
+    val matches = graft.Tables.lineitem(spark, sf)
+      .where(col("l_orderkey").between(100, 300)).count()
+    val scans = collectFinal(df) { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a parquet scan over the staged layout")
+    // the range predicate reaches the scan
+    assert(scans.head.metadata("PushedFilters")
+      .contains("GreaterThanOrEqual(l_orderkey,100)"),
+      scans.head.metadata("PushedFilters"))
+    // row-group granularity: the scan returns at least the true matches
+    // but far fewer rows than the table — the skipped groups were never
+    // read (the whole point of sort-on-write clustering)
+    val scanned = scans.head.metrics("numOutputRows").value
+    assert(scanned >= matches, s"scan returned $scanned < $matches matches")
+    assert(scanned <= total / 2,
+      s"pruning must skip most row groups: read $scanned of $total rows")
+  }
 }

@@ -373,4 +373,33 @@ class StreamingSpec extends SparkSpec {
     assert((last.getAs[Double]("top1"), last.getAs[Double]("top2"),
       last.getAs[Double]("top3")) == ((9.0, 8.0, 7.0)))
   }
+
+  test("stream_cms: cells merge across micro-batches exactly (additive state)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // a hot user (uid 7, 6 events) + scattered singletons, split so the
+    // hot user's counts arrive across THREE batches — the merged cells
+    // must equal the batch cells over the union, bit for bit
+    val data = (1 to 6).map(i => ev(i, i * 5, 7, "click", 1.0)) ++
+      (7 to 14).map(i => ev(i, i * 5, 100 + i, "view", 1.0))
+    val q = Streaming.cmsCells(input.toDF())
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    try {
+      run(q, input, Seq(data.take(3), data.slice(3, 9), data.drop(9)))
+      val streamed = spark.table("cms_cells").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Streaming.cmsCells(data.toDF()).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, "streamed cells must equal batch cells")
+      // bounded state: never more than d*w cells regardless of stream
+      assert(streamed.size <= 4 * 1024)
+      // the estimates built on those cells never underestimate
+      val est = Streaming.cmsEstimates(data.toDF()).collect()
+      assert(est.nonEmpty)
+      est.foreach { r =>
+        assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"), r.toString)
+      }
+    } finally q.stop()
+  }
 }
