@@ -374,7 +374,26 @@ object ScaleProbe {
       // bucket); clone custkeys spread disjoint ranges so bucket count
       // grows ~linearly — the bucket-aligned join must track partial
       // mass, never raw order rows
-      "agg_bitmap_intersect")
+      "agg_bitmap_intersect",
+      // AQE skew split (r12): the planted hot key's ×20000 replication
+      // is FIXED while the scan grows with the clones — wall must be
+      // scan-bound, and the split keeps the hot partition off the
+      // critical path at every tier
+      "join_skew_aqe",
+      // sorted-layout pruning (r12): stages the tier's OWN sorted copy
+      // (keyed by dir) then reads the fixed [100,300] slice — staging
+      // is the linear cost, the pruned read stays near-flat
+      "scan_rowgroup_prune",
+      // rolling median (r12): one raw-event shuffle to hourly buckets,
+      // then |types|×|hours| window rows with a bounded 10-row frame —
+      // scan-bound like ts_ewma
+      "ts_rolling_median",
+      // text normalization (r12): zero-shuffle per-row map with the
+      // ASCII isNormalized fast path — pure scan bound
+      "llm_text_normalize",
+      // streaming CMS face (r12): cells ≤4096 at any tier; the probe's
+      // exact top-20 is the only vocabulary-sized aggregate
+      "stream_cms")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
