@@ -393,7 +393,14 @@ object ScaleProbe {
       "llm_text_normalize",
       // streaming CMS face (r12): cells ≤4096 at any tier; the probe's
       // exact top-20 is the only vocabulary-sized aggregate
-      "stream_cms")
+      "stream_cms",
+      // matryoshka recall (r12): rides the memoized exact top-3; the
+      // marginal cost is the truncated brute pass — 10 broadcast
+      // queries × one corpus scan over 8-long slices, linear in N
+      "llm_ann_matryoshka",
+      // gate ablation (r12): three gate scans + doc-keyed equi-joins +
+      // one global fold — scan-bound, output fixed at 4 rows
+      "llm_gate_ablation")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -568,6 +568,41 @@ object Analytics extends OpModule {
           count(lit(1)).as("deg"))
         .localCheckpoint())
 
+  /** Deterministic random walks over the co-supply graph — the sampling
+    * primitive under node2vec/DeepWalk-style graph embeddings and
+    * neighborhood audits: from the 20 smallest node ids, 3 steps, each
+    * step choosing the neighbor that minimizes the integer hash
+    * ((cur·1000003 + nbr)·31 + step) mod 1e9+7 (ties by nbr ASC). The
+    * hash replaces RNG state: walks are REPRODUCIBLE across runs,
+    * partitionings, and engines — the property that makes sampled graph
+    * features auditable — while still scattering pseudo-randomly. Each
+    * step is one keyed equi-join against the map-side-exploded shared
+    * adjacency + a per-walker min(struct) argmin: k steps = k
+    * broadcast-able joins, the iterative-join shape walks take at any
+    * scale (never a per-walker driver loop). The symmetric w≥2 graph
+    * has no dead ends (every node in the edge set has a neighbor). */
+  def graphWalk(s: SparkSession, d: String): DataFrame = {
+    val adj = coSupplyAdjacency(s, d)
+    val edges = adj.select(col("id").as("src"), explode(col("nbrs")).as("dst"))
+    val seeds = adj.select(col("id")).orderBy(col("id")).limit(20)
+    var w = seeds.select(col("id").as("seed"), col("id").as("cur"))
+    var carried = Seq.empty[String]
+    (1 to 3).foreach { i =>
+      val h = ((col("cur") * lit(1000003L) + col("dst")) * lit(31L)
+        + lit(i.toLong)) % lit(1000000007L)
+      val keys = (Seq("seed") ++ carried).map(col)
+      w = w.join(edges, col("cur") === col("src"))
+        .withColumn("h", h)
+        .groupBy(keys: _*)
+        .agg(min(struct(col("h"), col("dst"))).as("m"))
+        .withColumn(s"n$i", col("m.dst"))
+        .withColumn("cur", col("m.dst"))
+        .drop("m")
+      carried = carried :+ s"n$i"
+    }
+    w.select(col("seed"), col("n1"), col("n2"), col("n3"))
+  }
+
   /** Exact triangle counting + local clustering coefficient over the
     * co-supply graph, via SORTED-ADJACENCY INTERSECTION: for node n,
     * Σ_{a∈N(n)} |N(a)∩N(n)| counts every triangle at n exactly twice
@@ -1979,7 +2014,8 @@ object Analytics extends OpModule {
     "merge_upsert" -> mergeUpsert _,
     "retention" -> retention _,
     "dim_scd2" -> dimScd2 _,
-    "graph_pagerank" -> graphPagerank _
+    "graph_pagerank" -> graphPagerank _,
+    "graph_walk" -> graphWalk _
   )
 
   private val evCte =
@@ -2904,6 +2940,33 @@ object Analytics extends OpModule {
         |  UNION ALL
         |  SELECT 'referential_custkey', n_orphans::DOUBLE, n_orphans = 0
         |) u""".stripMargin,
+    // deterministic hash-chosen walks: replay the argmin per step
+    "graph_walk" -> (symCte + """,
+        |seeds AS (
+        |  SELECT src AS seed, src AS cur FROM sym GROUP BY src
+        |  ORDER BY src LIMIT 20),
+        |s1 AS (
+        |  SELECT seed, n1, n1 AS cur FROM (
+        |    SELECT w.seed, e.dst AS n1, row_number() OVER (
+        |      PARTITION BY w.seed
+        |      ORDER BY ((w.cur * 1000003 + e.dst) * 31 + 1) % 1000000007,
+        |               e.dst) AS rn
+        |    FROM seeds w JOIN sym e ON e.src = w.cur) WHERE rn = 1),
+        |s2 AS (
+        |  SELECT seed, n1, n2, n2 AS cur FROM (
+        |    SELECT w.seed, w.n1, e.dst AS n2, row_number() OVER (
+        |      PARTITION BY w.seed
+        |      ORDER BY ((w.cur * 1000003 + e.dst) * 31 + 2) % 1000000007,
+        |               e.dst) AS rn
+        |    FROM s1 w JOIN sym e ON e.src = w.cur) WHERE rn = 1),
+        |s3 AS (
+        |  SELECT seed, n1, n2, n3 FROM (
+        |    SELECT w.seed, w.n1, w.n2, e.dst AS n3, row_number() OVER (
+        |      PARTITION BY w.seed
+        |      ORDER BY ((w.cur * 1000003 + e.dst) * 31 + 3) % 1000000007,
+        |               e.dst) AS rn
+        |    FROM s2 w JOIN sym e ON e.src = w.cur) WHERE rn = 1)
+        |SELECT seed, n1, n2, n3 FROM s3""".stripMargin),
     "graph_pagerank" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (

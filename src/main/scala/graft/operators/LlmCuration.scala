@@ -621,6 +621,60 @@ object LlmCuration extends OpModule {
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"))
   }
 
+  /** Gate ABLATION — the attribution table a curation team reads before
+    * touching any filter: for each hard gate (quality rules, repetition,
+    * safety lexicon), how many documents it drops IN TOTAL and how many
+    * it drops UNIQUELY (kept by both other gates — the marginal value a
+    * gate would lose if removed; a gate with near-zero unique drops is
+    * redundant with its peers, one with huge unique drops deserves a
+    * manual audit before anyone tunes it). Plus the 'any' row (docs
+    * dropped at all / dropped by exactly one gate) and the global
+    * survivor count. Pure composition: the three registered gates'
+    * keep/action columns joined doc-keyed, one global aggregate, a
+    * 4-row unpivot — the per-doc flags never leave the executors.
+    * Docs a gate never scored (safety skips token-less docs) count as
+    * dropped by it — a gate that cannot score a doc cannot vouch for
+    * it. */
+  def gateAblation(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val q = qualityFilter(s, d).select(col("doc_id"), col("keep").as("qk"))
+    val r = LlmScale.repetitionFilter(s, d)
+      .select(col("doc_id"), col("keep").as("rk"))
+    val sa = Retrieval.safetyFilter(s, d)
+      .select(col("doc_id"), (col("action") =!= lit("drop")).as("sk"))
+    val f = docs.join(q, Seq("doc_id"), "left")
+      .join(r, Seq("doc_id"), "left")
+      .join(sa, Seq("doc_id"), "left")
+      .select(coalesce(col("qk"), lit(false)).as("q"),
+        coalesce(col("rk"), lit(false)).as("r"),
+        coalesce(col("sk"), lit(false)).as("s"))
+    val agg = f.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(!col("q"), 1)).as("dq"),
+      count(when(!col("r"), 1)).as("dr"),
+      count(when(!col("s"), 1)).as("ds"),
+      count(when(!col("q") && col("r") && col("s"), 1)).as("uq"),
+      count(when(col("q") && !col("r") && col("s"), 1)).as("ur"),
+      count(when(col("q") && col("r") && !col("s"), 1)).as("us"),
+      count(when(!(col("q") && col("r") && col("s")), 1)).as("dany"),
+      count(when((!col("q")).cast("int") + (!col("r")).cast("int")
+        + (!col("s")).cast("int") === 1, 1)).as("uany"),
+      count(when(col("q") && col("r") && col("s"), 1)).as("pass"))
+    agg.select(explode(array(
+        struct(lit("quality").as("gate"), col("dq").as("n_drop"),
+          col("uq").as("n_drop_unique")),
+        struct(lit("repetition").as("gate"), col("dr").as("n_drop"),
+          col("ur").as("n_drop_unique")),
+        struct(lit("safety").as("gate"), col("ds").as("n_drop"),
+          col("us").as("n_drop_unique")),
+        struct(lit("any").as("gate"), col("dany").as("n_drop"),
+          col("uany").as("n_drop_unique")))).as("x"),
+        col("n_docs"), col("pass").as("n_pass_all"))
+      .select(col("x.gate").as("gate"), col("x.n_drop").as("n_drop"),
+        col("x.n_drop_unique").as("n_drop_unique"),
+        col("n_docs"), col("n_pass_all"))
+  }
+
   /** Corpus snapshot diff — the dataset-versioning audit every managed
     * training corpus runs between releases: one full-outer join on
     * doc_id classifies every document as added / removed / modified /
@@ -1112,6 +1166,7 @@ object LlmCuration extends OpModule {
     "llm_shard_layout" -> shardLayout _,
     "llm_sample_importance" -> sampleImportance _,
     "curation_e2e" -> curationE2e _,
+    "llm_gate_ablation" -> gateAblation _,
     "llm_dataset_diff" -> datasetDiff _,
     "llm_dedup_cluster" -> dedupCluster _,
     "llm_dedup_phash_cluster" -> dedupPhashCluster _,
@@ -1740,6 +1795,41 @@ object LlmCuration extends OpModule {
         |    '\+\d-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
         |FROM p""".stripMargin,
     "llm_quality_filter" -> qualityFilterSql,
+    // the three gate oracles replayed verbatim as derived tables, then
+    // the same flag fold — composition must equal the composed parts
+    "llm_gate_ablation" ->
+      (s"""WITH qf AS (SELECT * FROM ($qualityFilterSql)),
+        |rf AS (SELECT * FROM (${LlmScale.oracle("llm_repetition_filter")})),
+        |sf AS (SELECT * FROM (${Retrieval.oracle("llm_safety_filter")})),
+        |f AS (
+        |  SELECT coalesce(qf.keep, false) AS q,
+        |         coalesce(rf.keep, false) AS r,
+        |         coalesce(sf.action != 'drop', false) AS s
+        |  FROM documents d
+        |  LEFT JOIN qf ON qf.doc_id = d.doc_id
+        |  LEFT JOIN rf ON rf.doc_id = d.doc_id
+        |  LEFT JOIN sf ON sf.doc_id = d.doc_id),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(*) FILTER (WHERE NOT q) AS BIGINT) AS dq,
+        |    CAST(count(*) FILTER (WHERE NOT r) AS BIGINT) AS dr,
+        |    CAST(count(*) FILTER (WHERE NOT s) AS BIGINT) AS ds,
+        |    CAST(count(*) FILTER (WHERE NOT q AND r AND s) AS BIGINT) AS uq,
+        |    CAST(count(*) FILTER (WHERE q AND NOT r AND s) AS BIGINT) AS ur,
+        |    CAST(count(*) FILTER (WHERE q AND r AND NOT s) AS BIGINT) AS us,
+        |    CAST(count(*) FILTER (WHERE NOT (q AND r AND s)) AS BIGINT) AS dany,
+        |    CAST(count(*) FILTER (WHERE (NOT q)::INT + (NOT r)::INT
+        |      + (NOT s)::INT = 1) AS BIGINT) AS uany,
+        |    CAST(count(*) FILTER (WHERE q AND r AND s) AS BIGINT) AS pass
+        |  FROM f)
+        |SELECT 'quality' AS gate, dq AS n_drop, uq AS n_drop_unique,
+        |       n_docs, pass AS n_pass_all FROM c
+        |UNION ALL
+        |SELECT 'repetition', dr, ur, n_docs, pass FROM c
+        |UNION ALL
+        |SELECT 'safety', ds, us, n_docs, pass FROM c
+        |UNION ALL
+        |SELECT 'any', dany, uany, n_docs, pass FROM c""".stripMargin),
     "llm_sample_stratified" ->
       s"""WITH c AS (
         |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),

@@ -1641,6 +1641,44 @@ object LlmScale extends OpModule {
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
   }
 
+  /** Matryoshka (MRL-style) truncated-dimension retrieval eval: rank by
+    * squared distance over ONLY the first 8 of 64 dimensions and score
+    * recall@3 against the full-dimension exact top-3 (the shared
+    * `exactQTop3` ground truth every recall eval in the family uses).
+    * This is the measurement behind the embedding-truncation trade
+    * every large retrieval deployment makes — 8× less vector I/O,
+    * memory, and dot-product work per candidate IF the head dimensions
+    * carry the ranking signal — in the same harness as the PQ/IVF
+    * recall rows, so the accuracy-per-byte options sit side by side.
+    * The truncated pass is the SAME bounded shape as the exact one
+    * (10 broadcast queries × one corpus scan over 8-long slices);
+    * arithmetic on the 10⁶-quantized integer lattice, (dist, cand_id)
+    * total order — deterministic, oracle-replayed. */
+  def annMatryoshka(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val tvec = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(slice(embedding, 1, 8), x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
+        .as("tv"))
+    val q = tvec.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("tv").as("tq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val trunc3 = tvec.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(tv, tq)").as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    exactQTop3(s, d)
+      .join(trunc3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
   /** RESIDUAL IVFPQ (the full FAISS IVFADC shape, r11 — closing the ANN
     * family after flat PQ): a coarse quantizer (the deterministic 8-bit
     * sign cells, llm_ann_ivf's stand-in for trained coarse centroids)
@@ -1838,6 +1876,7 @@ object LlmScale extends OpModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_pq" -> annPq _,
     "llm_ann_pq_recall" -> annPqRecall _,
+    "llm_ann_matryoshka" -> annMatryoshka _,
     "llm_ann_pq_residual" -> annPqResidual _,
     "llm_ann_pq_residual_recall" -> annPqResidualRecall _,
     "llm_cooccur" -> cooccur _,
@@ -2384,6 +2423,43 @@ object LlmScale extends OpModule {
          |GROUP BY e.qid""".stripMargin),
     // PQ recall@3 vs the exact brute top-3 — same PQ CTE chain, same
     // brute shape as llm_ann_recall's IVF side
+    // truncated-dim recall vs the full-dim exact top-3 — both brute
+    // passes replayed on the shared 10⁶ lattice
+    "llm_ann_matryoshka" ->
+      """WITH dims AS MATERIALIZED (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |ex AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq
+        |  JOIN dims dc ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10
+        |  GROUP BY 1, 2),
+        |ex3 AS (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM ex) WHERE rn <= 3),
+        |tr AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq
+        |  JOIN dims dc ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10 AND dq.dim < 8
+        |  GROUP BY 1, 2),
+        |tr3 AS (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM tr) WHERE rn <= 3)
+        |SELECT e.qid, CAST(count(t.cand_id) AS BIGINT) AS n_hit,
+        |       round(count(t.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+        |FROM ex3 e LEFT JOIN tr3 t USING (qid, cand_id)
+        |GROUP BY e.qid""".stripMargin,
     "llm_ann_pq_recall" ->
       (pqCtes + """,
         |ex AS (

@@ -55,7 +55,10 @@ class PlanLintSpec extends SparkSpec {
     "llm_ann_recall_sweep",
     // residual-PQ recall (r12): same 10-query broadcast brute side as
     // llm_ann_pq_recall
-    "llm_ann_pq_residual_recall"
+    "llm_ann_pq_residual_recall",
+    // matryoshka recall (r12): the truncated-dim brute pass carries the
+    // same bounded 10-query broadcast side
+    "llm_ann_matryoshka"
   )
 
   // ops whose KEYLESS window (empty partition spec → ONE task sorts the
