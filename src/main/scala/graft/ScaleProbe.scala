@@ -400,7 +400,11 @@ object ScaleProbe {
       "llm_ann_matryoshka",
       // gate ablation (r12): three gate scans + doc-keyed equi-joins +
       // one global fold — scan-bound, output fixed at 4 rows
-      "llm_gate_ablation")
+      "llm_gate_ablation",
+      // deterministic walks (r12): rides the memoized adjacency; the
+      // marginal cost is 3 keyed joins from 20 walkers — near-flat
+      // beyond the shared adjacency build
+      "graph_walk")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
