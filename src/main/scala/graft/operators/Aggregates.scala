@@ -516,8 +516,51 @@ object Aggregates extends OpModule {
       .agg(min(col("c")).as("est_cnt"))
   }
 
+  /** EXACT distributed quantiles by two-phase bucket refinement — the
+    * shape that survives 100 TB where the single-pass `percentile()`
+    * (agg_percentile) does not: that builtin buffers EVERY value in one
+    * aggregation state, so its memory is O(N) on the final reducer;
+    * here pass 1 folds the corpus into a 1024-bucket histogram
+    * (map-side combinable, fixed size), the driver locates the bucket
+    * holding each target rank from the ≤1024-row histogram (bounded
+    * collect — the K-row-centroid precedent) plus the 1-row
+    * (count, min, max) stats, and pass 2 sorts ONLY inside the target
+    * bucket (~N/1024 rows) via TakeOrdered to extract the exact order
+    * statistic. Rank convention: k(q) = floor(q·(n−1)) + 1 (1-based) ≡
+    * DuckDB's quantile_disc, so the oracle is one builtin call while
+    * the engine side proves the scalable plan. Production note: a
+    * bucket still too large to TakeOrdered re-buckets recursively —
+    * one extra round per 1024× reduction. Equal values across the
+    * bucket boundary are fine: ranks count VALUES, and the kth value
+    * is unique regardless of tie order. */
+  def aggQuantileBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("v"))
+    val Array(stats) = v.agg(count(lit(1)), min(col("v")), max(col("v")))
+      .collect()
+    val (n, lo, hi) = (stats.getLong(0), stats.getDouble(1), stats.getDouble(2))
+    val width = (hi - lo) / 1024.0
+    val bucketCol = least(floor((col("v") - lit(lo)) / lit(width)), lit(1023L))
+      .cast("long")
+    val hist = v.groupBy(bucketCol.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cum = hist.scanLeft((-1L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .drop(1)
+    def kth(q: Double): Double = {
+      val k = math.floor(q * (n - 1)).toLong + 1
+      val (tb, cumAt) = cum.find(_._2 >= k).get
+      val before = cum.takeWhile(_._1 < tb).lastOption.map(_._2).getOrElse(0L)
+      val r = (k - before).toInt
+      v.where(bucketCol === tb).orderBy(col("v")).limit(r)
+        .orderBy(col("v").desc).limit(1).as[Double].head()
+    }
+    Seq((n, kth(0.5), kth(0.9)))
+      .toDF("n_rows", "median", "p90")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_bitmap_intersect" -> aggBitmapIntersect _,
+    "agg_quantile_bucketed" -> aggQuantileBucketed _,
     "agg_cms_freq" -> aggCmsFreq _,
     "agg_heavy_hitters" -> aggHeavyHitters _,
     "agg_bitmap" -> aggBitmap _,
@@ -543,6 +586,12 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // k(q) = floor(q·(n−1))+1 is exactly quantile_disc's rank
+    "agg_quantile_bucketed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  quantile_disc(l_extendedprice, 0.5) AS median,
+        |  quantile_disc(l_extendedprice, 0.9) AS p90
+        |FROM lineitem""".stripMargin,
     // bitmap AND == exact distinct intersection by construction
     "agg_bitmap_intersect" ->
       """WITH d AS (

@@ -122,6 +122,19 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("two-phase bucketed quantile equals the single-pass exact percentile") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Aggregates.aggQuantileBucketed(spark, sf)
+      .collect().head
+    // ground truth: full sort, k(q) = floor(q(n-1))+1, 1-based
+    val vals = Tables.lineitem(spark, sf).select(col("l_extendedprice"))
+      .collect().map(_.getDouble(0)).sorted
+    def kth(q: Double) = vals(math.floor(q * (vals.length - 1)).toInt)
+    assert(got.getLong(0) == vals.length)
+    assert(got.getDouble(1) == kth(0.5), s"median ${got.getDouble(1)} != ${kth(0.5)}")
+    assert(got.getDouble(2) == kth(0.9), s"p90 ${got.getDouble(2)} != ${kth(0.9)}")
+  }
+
   test("heavy hitters: exact under adversarial partitionings (MG superset)") {
     import org.apache.spark.sql.functions._
     // Zipf-ish skew: token i repeats (50-i)^2 times, i=0..49, plus a
