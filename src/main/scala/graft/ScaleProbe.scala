@@ -404,7 +404,29 @@ object ScaleProbe {
       // deterministic walks (r12): rides the memoized adjacency; the
       // marginal cost is 3 keyed joins from 20 walkers — near-flat
       // beyond the shared adjacency build
-      "graph_walk")
+      "graph_walk",
+      // exact two-phase quantiles (r12): pass 1 is a 1024-cell map-side-
+      // combined histogram (fixed size at any N), pass 2 TakeOrders only
+      // inside the target buckets (~N/1024 rows each) — growth must be
+      // the two scans, with the rank-extraction sort never exceeding a
+      // bucket; the single-pass percentile() it replaces buffers O(N)
+      // in one reducer state
+      "agg_quantile_bucketed",
+      // bloom point lookups (r12): staging the scattered+bloom layout is
+      // the linear cost; the probed read must stay near-flat — row
+      // groups read track the 5 probe keys, never the table
+      "scan_bloom_prune",
+      // fixed-K reservoir (r12): WindowGroupLimit keeps K per map task
+      // before the shuffle, so the exchange carries K·partitions rows
+      // per stratum at any N — wall must be scan-bound
+      "llm_sample_reservoir",
+      // LSH recall eval (r12): the audit sample is FIXED (128 docs + 32
+      // renditions) — only the TakeOrdered doc selection touches the
+      // growing corpus, so wall must stay near-flat at any tier
+      "llm_dedup_near_recall",
+      // packing ablation (r12): the four cap rows ride ONE scan+shuffle
+      // — wall must track llm_pack_sequences' scan-bound growth, not 4×
+      "llm_pack_sweep")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -372,6 +372,31 @@ object LlmCuration extends OpModule {
         sum(col("doc_id")).as("id_sum"))
   }
 
+  /** Deterministic fixed-K per-stratum sample — the "reservoir" shape
+    * (exactly K rows per language for eval sets / human review / prompt
+    * seeds), where llm_sample_stratified's RATE gate yields a binomial
+    * count. rand()-based reservoirs are irreproducible and order-
+    * dependent; here the reservoir is "the K smallest [[knuth32]] hash
+    * values per stratum" — a uniform without-replacement draw that any
+    * engine (and any retry) reselects byte-identically, and that needs
+    * no sequential pass. The rank filter plans as WindowGroupLimit
+    * (Spark 4's top-k window rewrite, asserted in LlmCurationSpec):
+    * each map task keeps only its local top-K BEFORE the shuffle, so
+    * the exchange carries ≤ K·partitions rows per stratum, never the
+    * corpus — the same economics as win_topk_pergroup. At 100 TB the
+    * hash becomes xxhash64 (same shape; Knuth here for the DuckDB
+    * twin), and K·|strata| output rows are a driver-safe audit set. */
+  private val ResK = 20
+  def sampleReservoir(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("h", knuth32(col("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= ResK)
+      .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+  }
+
   /** int8 embedding quantization (min/max affine per vector) — 4× memory
     * cut for ANN serving. Output is the quantization params + an exact
     * integer checksum of the quantized codes (the gate can't hash array
@@ -1177,6 +1202,7 @@ object LlmCuration extends OpModule {
     "llm_quality_holdout" -> qualityHoldout _,
     "llm_quality_filter" -> qualityFilter _,
     "llm_sample_stratified" -> sampleStratified _,
+    "llm_sample_reservoir" -> sampleReservoir _,
     "llm_embed_quantize" -> embedQuantize _,
     "llm_embedding_drift" -> embeddingDrift _,
     "llm_split_holdout" -> splitHoldout _,
@@ -1830,6 +1856,20 @@ object LlmCuration extends OpModule {
         |SELECT 'safety', ds, us, n_docs, pass FROM c
         |UNION ALL
         |SELECT 'any', dany, uany, n_docs, pass FROM c""".stripMargin),
+    // same split-multiply Knuth gate (overflow-safe on both engines)
+    "llm_sample_reservoir" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    (((doc_id & 65535) * 2654435761)
+        |     + ((((doc_id >> 16) & 65535) * 2654435761) % 65536)
+        |       * 65536) % 4294967296 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        |  FROM h)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
+        |FROM r WHERE rk <= 20""".stripMargin,
     "llm_sample_stratified" ->
       s"""WITH c AS (
         |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),

@@ -110,6 +110,64 @@ object LlmOps extends OpModule {
   def dedupNear(s: SparkSession, d: String): DataFrame =
     MemoUtil.memoize(nearMemo, (s, d))(dedupNearBuild(s, d).localCheckpoint())
 
+  /** Empirical MinHash/LSH RECALL evaluation — the text-side twin of
+    * llm_ann_recall: before trusting a banding configuration at 100 TB,
+    * measure its collision curve on a bounded audit sample. The sample
+    * is the 128 lowest-id docs (≥10 tokens) plus 32 planted RENDITIONS
+    * (doc k truncated to its first (nt·(32+k)) div 64 tokens, k=0..31 —
+    * exact integer math both engines replay), which sweeps true Jaccard
+    * across the mid-range the fixture's organic pairs don't populate.
+    * Every pair gets: exact J over distinct token-3-gram poly-31 hashes
+    * (the CMS fold — DuckDB-replayable, unlike production xxhash64),
+    * a 16-perm MinHash signature (affine perms (2i+3)·h + (5i+7) mod p),
+    * and a 4-band × 4-row LSH collision bit. Output per J-decile:
+    * pair count, band-hit count (empirical recall ≈ 1−(1−J⁴)⁴ — the
+    * S-curve the banding design picks), and the summed signature
+    * matches (estimator bias readout: E[matches] = 16·J). At scale the
+    * audit sample stays FIXED (like the 10-query ANN probes) — cost is
+    * O(sample²) with sample ≪ corpus, never corpus²; the bounded
+    * 160-row broadcast side is the pinned-BNLJ precedent. */
+  def dedupNearRecall(s: SparkSession, d: String): DataFrame = {
+    val P = 1000000007L
+    val base = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .where(size(col("t")) >= 10)
+      .orderBy(col("doc_id")).limit(128)
+      .select(col("doc_id"), col("t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val rend = base.orderBy(col("doc_id")).limit(32)
+      .withColumn("k", row_number().over(w) - 1)
+      .withColumn("nt", size(col("t")))
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        expr("slice(t, 1, greatest(3, CAST((nt * (32 + k)) DIV 64 AS INT)))")
+          .as("t"))
+    val grams = base.unionByName(rend).withColumn("gh", expr(
+      s"""sort_array(array_distinct(transform(
+         |  sequence(1, size(t) - 2),
+         |  i -> aggregate(
+         |    split(concat(element_at(t, i), ' ', element_at(t, i + 1), ' ',
+         |                 element_at(t, i + 2)), ''),
+         |    0L, (h, c) -> (h * 31 + ascii(c)) % ${P}L))))""".stripMargin))
+    val sigs = grams.withColumn("sig", array((0 until 16).map(i =>
+        expr(s"aggregate(gh, ${P}L, (m, h) -> " +
+          s"least(m, (h * ${2 * i + 3}L + ${5 * i + 7}L) % ${P}L))")): _*))
+      .select(col("doc_id"), col("gh"), col("sig"))
+    sigs.as("a").crossJoin(broadcast(sigs.as("b")))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("i", size(array_intersect(col("a.gh"), col("b.gh"))))
+      .withColumn("u", size(col("a.gh")) + size(col("b.gh")) - col("i"))
+      .withColumn("m", expr("zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0))"))
+      .withColumn("band_hit", expr(
+        """IF(exists(sequence(0, 3),
+          |   j -> aggregate(slice(m, 4 * j + 1, 4), 0,
+          |        (acc, x) -> acc + x) = 4), 1, 0)""".stripMargin))
+      .groupBy(expr("CAST((i * 10) DIV u AS INT)").as("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("band_hit")).cast("bigint").as("n_band_hits"),
+        sum(expr("aggregate(m, 0, (acc, x) -> acc + x)")).cast("bigint")
+          .as("sum_sig_matches"))
+  }
+
   private def dedupNearBuild(s: SparkSession, d: String): DataFrame = {
     val tau = 0.8
     graft.GraftExtensions.register(s)
@@ -508,6 +566,7 @@ object LlmOps extends OpModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact _,
     "llm_dedup_near" -> dedupNear _,
+    "llm_dedup_near_recall" -> dedupNearRecall _,
     "llm_dedup_incremental" -> dedupIncremental _,
     "llm_cluster_incremental" -> clusterIncremental _,
     "llm_cluster_compact" -> clusterCompact _,
@@ -546,6 +605,55 @@ object LlmOps extends OpModule {
     // exact all-pairs Jaccard via shingle equi-join (the oracle is the
     // exhaustive computation the LSH path approximates-with-verify)
     "llm_dedup_near" -> oracleNearPairs,
+    // identical poly-31 gram fold, affine perms, and integer bucket math
+    // — the whole recall curve replays exactly
+    "llm_dedup_near_recall" ->
+      """WITH raw AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10
+        |  ORDER BY doc_id LIMIT 128),
+        |rk AS (
+        |  SELECT doc_id, t, row_number() OVER (ORDER BY doc_id) - 1 AS k
+        |  FROM (SELECT * FROM raw ORDER BY doc_id LIMIT 32)),
+        |rend AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    t[1:greatest(3, (len(t) * (32 + k)) // 64)] AS t
+        |  FROM rk),
+        |alld AS (
+        |  SELECT doc_id, t FROM raw
+        |  UNION ALL SELECT doc_id, t FROM rend),
+        |g AS (
+        |  SELECT doc_id, list_sort(list_distinct([
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        [ascii(c)::BIGINT for c in
+        |         string_split(t[i] || ' ' || t[i+1] || ' ' || t[i+2], '')]),
+        |        (h, c) -> (h * 31 + c) % 1000000007)
+        |      for i in range(1, len(t) - 1)])) AS gh
+        |  FROM alld),
+        |sg AS (
+        |  SELECT doc_id, gh,
+        |    [list_min(list_transform(gh,
+        |       h -> (h * (2*i + 3) + (5*i + 7)) % 1000000007))
+        |     for i in range(0, 16)] AS sig
+        |  FROM g),
+        |p AS (
+        |  SELECT len(list_intersect(a.gh, b.gh)) AS i,
+        |    len(a.gh) + len(b.gh) - len(list_intersect(a.gh, b.gh)) AS u,
+        |    [CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+        |     for i in range(1, 17)] AS m
+        |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id),
+        |q AS (
+        |  SELECT (i * 10) // u AS j_bucket, list_sum(m) AS matches,
+        |    CASE WHEN list_max([
+        |      CASE WHEN m[4*j+1] + m[4*j+2] + m[4*j+3] + m[4*j+4] = 4
+        |           THEN 1 ELSE 0 END for j in range(0, 4)]) = 1
+        |      THEN 1 ELSE 0 END AS band_hit
+        |  FROM p)
+        |SELECT CAST(j_bucket AS INT) AS j_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(band_hit) AS BIGINT) AS n_band_hits,
+        |  CAST(sum(matches) AS BIGINT) AS sum_sig_matches
+        |FROM q GROUP BY j_bucket""".stripMargin,
     // the FULL batch closure over all pairs, every doc output — the
     // strongest statement an incremental construction can make: the
     // composed (staged labels + delta + quotient contraction) state

@@ -189,6 +189,39 @@ object LlmScale extends OpModule {
         round(col("total_tokens").cast("double") / (col("n_bins") * C), 4))
   }
 
+  /** Context-length packing ABLATION — llm_pack_sequences' audit swept
+    * across the candidate training windows C ∈ {64, 128, 256, 512}: the
+    * fill-rate / overflow / waste trade IS how a training team picks a
+    * context length (short contexts waste less slack but overflow more
+    * document boundaries; long contexts invert it). One corpus scan
+    * explodes each doc into the four cap rows BEFORE the window, so the
+    * whole sweep is a single shuffle carrying |caps|× rows instead of
+    * four sequential jobs — at 100 TB the scan dominates and the
+    * ablation rides it ~free. Same exclusive-cumsum div C bin math as
+    * the base op (recurrence-free, parallel per (lang, cap) partition);
+    * fill rate reported in exact integer basis points. */
+  def packSweep(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("cap")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = Tables.documents(s, d)
+      .withColumn("ntoks", size(split(col("text"), " ")))
+      .withColumn("cap", explode(array(Seq(64, 128, 256, 512).map(lit): _*)))
+      .withColumn("nt", least(col("ntoks"), col("cap")))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("nt")).cast("double") / col("cap")).cast("long"))
+      .groupBy(col("cap"), col("lang"), col("bin"))
+      .agg(sum(col("nt")).as("tok"))
+    bins.groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("tok")).cast("bigint").as("total_tokens"),
+        count(when(col("tok") > col("cap"), 1)).as("n_overflow_bins"),
+        sum(when(col("tok") < col("cap"), col("cap") - col("tok"))
+          .otherwise(lit(0L))).cast("bigint").as("total_waste"))
+      .withColumn("fill_rate_bp",
+        expr("CAST((total_tokens * 10000) DIV (n_bins * cap) AS BIGINT)"))
+  }
+
   // ── llm_kmeans ────────────────────────────────────────────────────────
 
   /** Deterministic k-means (2 unrolled Lloyd iterations) over embeddings
@@ -1887,6 +1920,7 @@ object LlmScale extends OpModule {
     "llm_decontaminate" -> decontaminate _,
     "llm_decontaminate_bloom" -> decontaminateBloom _,
     "llm_pack_sequences" -> packSequences _,
+    "llm_pack_sweep" -> packSweep _,
     "llm_kmeans" -> kmeans _,
     "llm_cluster_topics" -> clusterTopics _,
     "llm_kmeans_twolevel" -> kmeansTwoLevel _,
@@ -2939,6 +2973,33 @@ object LlmScale extends OpModule {
         |    AS total_waste,
         |  round(sum(tok)::DOUBLE / (count(*) * $C), 4) AS fill_rate
         |FROM bins GROUP BY lang""".stripMargin,
+    // same exclusive-cumsum bin math per (lang, cap); integer bp fill
+    "llm_pack_sweep" ->
+      """WITH caps AS (SELECT unnest([64, 128, 256, 512]) AS cap),
+        |d AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS ntoks
+        |  FROM documents),
+        |e AS (
+        |  SELECT caps.cap, d.lang, d.doc_id, least(d.ntoks, caps.cap) AS nt
+        |  FROM d CROSS JOIN caps),
+        |b AS (
+        |  SELECT cap, lang, nt,
+        |    CAST(floor((sum(nt) OVER (PARTITION BY lang, cap ORDER BY doc_id
+        |                 ROWS UNBOUNDED PRECEDING) - nt)::DOUBLE / cap)
+        |         AS BIGINT) AS bin
+        |  FROM e),
+        |bins AS (
+        |  SELECT cap, lang, bin, CAST(sum(nt) AS BIGINT) AS tok
+        |  FROM b GROUP BY cap, lang, bin)
+        |SELECT cap, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) FILTER (WHERE tok > cap) AS BIGINT)
+        |    AS n_overflow_bins,
+        |  CAST(sum(CASE WHEN tok < cap THEN cap - tok ELSE 0 END) AS BIGINT)
+        |    AS total_waste,
+        |  CAST((sum(tok) * 10000) // (count(*) * cap) AS BIGINT)
+        |    AS fill_rate_bp
+        |FROM bins GROUP BY cap""".stripMargin,
     "llm_kmeans" ->
       (lloydCtes + """,
         |c2 AS MATERIALIZED (

@@ -173,6 +173,54 @@ object Scans extends OpModule {
         sum(col("l_quantity")).cast("bigint").as("sum_qty"),
         round(sum(col("l_extendedprice")), 4).as("sum_price"))
 
+  /** Orders staged hash-scattered on o_orderkey with a parquet BLOOM
+    * FILTER on o_custkey — the layout where sort-clustering (and so
+    * min/max pruning, scan_rowgroup_prune's lever) is spent on a
+    * DIFFERENT key and a point lookup on the secondary key would
+    * otherwise read everything. Dictionary encoding is disabled for the
+    * column: parquet's dictionary-page row-group filter would prune the
+    * same lookups at fixture scale and mask whether the bloom path
+    * works — at 100 TB a row group's custkey set exceeds any dictionary
+    * page, so bloom is the only file-level secondary index available.
+    * `spec` stages the no-bloom control beside it (same layout, blooms
+    * off) so the pruning delta is attributable to the bloom alone. */
+  private[graft] def stagedBloomDir(s: SparkSession, d: String,
+                                    bloom: Boolean = true): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val tag = if (bloom) "b1" else "b0"
+    val dir = new java.io.File(s"$ioDir/bloom_ord_${tag}_$sfx")
+    ioLock.synchronized {
+      if (!dir.exists()) {
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(16, col("o_orderkey"))
+          .write
+          .option("parquet.bloom.filter.enabled#o_orderkey", bloom.toString)
+          .option("parquet.bloom.filter.expected.ndv#o_orderkey", "65536")
+          .option("parquet.enable.dictionary#o_orderkey", "false")
+          .option("parquet.block.size", "65536")
+          .mode("overwrite").parquet(dir.toString)
+      }
+    }
+    dir.toString
+  }
+
+  /** Point lookups through the bloom sidecar: the IN predicate reaches
+    * the scan as pushed Eq filters (≤ the in-filter threshold, so
+    * parquet sees an OR of equalities its bloom row-group filter
+    * understands) and row groups whose bloom provably excludes every
+    * probe key are never read. ScansSpec measures the scan's
+    * numOutputRows against the no-bloom control layout. The oracle
+    * replays the lookup on the raw fixture: an index prunes I/O, never
+    * results — and a bloom's false POSITIVES only admit extra row
+    * groups, its no-false-NEGATIVE guarantee is what makes the pruned
+    * answer exact. */
+  def scanBloomPrune(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(stagedBloomDir(s, d))
+      .where(col("o_orderkey").isin(7L, 611L, 1021L, 1223L, 1379L))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 4).as("price"))
+
   def scanBinaryFile(s: SparkSession, d: String): DataFrame = {
     // pathGlobFilter, not a glob-in-path: the sink-metadata probe warns
     // (with a full stack) on a glob path that matches nothing yet
@@ -530,6 +578,7 @@ object Scans extends OpModule {
     "scan_parquet" -> scanParquet _,
     "scan_projected" -> scanProjected _,
     "scan_rowgroup_prune" -> scanRowgroupPrune _,
+    "scan_bloom_prune" -> scanBloomPrune _,
     "scan_csv" -> scanCsv _,
     "scan_binaryfile" -> scanBinaryFile _,
     "scan_text" -> scanText _,
@@ -550,6 +599,11 @@ object Scans extends OpModule {
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |  round(sum(l_extendedprice), 4) AS sum_price
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 300""".stripMargin,
+    // an index prunes I/O, never results: same lookup on the raw fixture
+    "scan_bloom_prune" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (7, 611, 1021, 1223, 1379)""".stripMargin,
     // caching must be result-invisible: the oracle is the plain query
     "scan_cached" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,

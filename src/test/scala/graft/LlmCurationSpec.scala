@@ -210,6 +210,42 @@ class LlmCurationSpec extends SparkSpec {
     assert(bhj.nonEmpty, "stratum counts must broadcast, not shuffle the corpus")
   }
 
+  test("sample_reservoir: exactly K per stratum, min-hash draw, map-side group limit") {
+    val df = LlmCuration.sampleReservoir(spark, sf)
+    val rows = df.collect()
+    val strata = Tables.documents(spark, sf).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exactly K rows per stratum (min(K, stratum size))
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.keySet == strata.keySet)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == math.min(20L, strata(lang)).toInt, lang)
+      // ranks are 1..K and ordered by (hash, doc_id)
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to rs.length))
+      val keys = sorted.map(r => (r.getAs[Long]("h"), r.getAs[Long]("doc_id")))
+      assert(keys.sameElements(keys.sortBy(identity)), s"$lang: not min-hash order")
+    }
+    // the reservoir really is the K smallest hashes: nothing outside the
+    // sample may hash below a sampled row of the same stratum
+    val maxSampled = rows.groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("h")).max }
+    val viol = Tables.documents(spark, sf)
+      .withColumn("h", LlmCuration.knuth32(col("doc_id")))
+      .collect().count { r =>
+        val (l, h) = (r.getAs[String]("lang"), r.getAs[Long]("h"))
+        h < maxSampled(l) &&
+          !rows.exists(s => s.getString(0) == l && s.getAs[Long]("doc_id") == r.getAs[Long]("doc_id"))
+      }
+    assert(viol == 0, s"$viol rows hash below the reservoir but were not drawn")
+    // scale shape: the rank filter must plan the WindowGroupLimit rewrite
+    // (map-side per-group top-K before the shuffle)
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val wgl = collectFinal(df) { case w: WindowGroupLimitExec => w }
+    assert(wgl.nonEmpty, "expected WindowGroupLimitExec (top-k window rewrite)")
+  }
+
   test("sample_importance: per-doc copies bounded by floor(w)/floor(w)+1, deterministic") {
     val out = LlmCuration.sampleImportance(spark, sf).collect()
     val nSources = Tables.documents(spark, sf)

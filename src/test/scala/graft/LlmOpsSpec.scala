@@ -172,6 +172,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dedup_near_recall: buckets partition the pair space, S-curve shows") {
+    val rows = graft.operators.LlmOps.dedupNearRecall(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 128 base + 32 renditions → every unordered pair lands in one bucket
+    assert(rows.values.map(_._1).sum == 160L * 159 / 2)
+    // band hits can never exceed pairs, matches never exceed 16·pairs
+    rows.foreach { case (b, (n, hits, m)) =>
+      assert(hits <= n && m <= 16 * n, s"bucket $b")
+    }
+    // the S-curve: unrelated pairs (J < 0.1) almost never collide; the
+    // 4×4 banding's theoretical recall at J ≥ 0.9 is 1−(1−0.9⁴)⁴ ≈ 0.985
+    val (n0, h0, _) = rows(0)
+    assert(h0 * 100 <= n0, s"low-J false-positive rate too high: $h0/$n0")
+    val hi = rows.filterKeys(_ >= 8).values
+    val (nHi, hHi) = (hi.map(_._1).sum, hi.map(_._2).sum)
+    assert(nHi > 0, "planted renditions must populate the high-J buckets")
+    assert(hHi * 10 >= nHi * 8, s"high-J recall too low: $hHi/$nHi")
+    // estimator bias readout: mean sig matches in the high buckets must
+    // sit near 16·J ≥ 12.8
+    val mHi = hi.map(_._3).sum
+    assert(mHi >= 12 * nHi, s"sig estimator underscores high-J pairs: $mHi/${16 * nHi}")
+  }
+
   test("text_stats arithmetic on a literal doc") {
     writeDocs(Seq((1L, "aa bb aa", "en", "s0", 8L)))
     val r = LlmOps.textStats(spark, dir).collect().head

@@ -108,6 +108,33 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("pack_sweep: one row per cap, conservation at every cap, waste falls as caps shrink") {
+    val out = LlmScale.packSweep(spark, sf).collect()
+      .map(r => r.getAs[Int]("cap") -> r).toMap
+    assert(out.keySet == Set(64, 128, 256, 512))
+    val nDocs = Tables.documents(spark, sf).count()
+    out.foreach { case (cap, r) =>
+      val (bins, tok, waste, bp) = (r.getAs[Long]("n_bins"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("total_waste"),
+        r.getAs[Long]("fill_rate_bp"))
+      // truncation cap binds per doc: total tokens exactly equals the
+      // per-cap truncated corpus mass
+      val expected = Tables.documents(spark, sf)
+        .agg(sum(least(size(split($"text", " ")), lit(cap))))
+        .as[Long].head()
+      assert(tok == expected, s"cap $cap: token mass drifted")
+      assert(tok + waste >= bins * cap, s"cap $cap: slack accounting broken")
+      assert(bp == tok * 10000 / (bins * cap), s"cap $cap: bp math")
+      assert(bins <= nDocs, s"cap $cap: more bins than docs")
+    }
+    // the C=128 row must reconcile with the base op's per-lang audit
+    val base = LlmScale.packSequences(spark, sf).collect()
+    assert(out(128).getAs[Long]("total_tokens")
+      == base.map(_.getAs[Long]("total_tokens")).sum)
+    assert(out(128).getAs[Long]("n_bins")
+      == base.map(_.getAs[Long]("n_bins")).sum)
+  }
+
   test("kmeans: partition of all vectors, deterministic across runs") {
     val run1 = LlmScale.kmeans(spark, sf).collect()
       .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_members"),

@@ -58,7 +58,11 @@ class PlanLintSpec extends SparkSpec {
     "llm_ann_pq_residual_recall",
     // matryoshka recall (r12): the truncated-dim brute pass carries the
     // same bounded 10-query broadcast side
-    "llm_ann_matryoshka"
+    "llm_ann_matryoshka",
+    // LSH recall eval (r12): both sides are the FIXED 160-row audit
+    // sample (128 lowest-id docs + 32 planted renditions) — the pair
+    // space is sample², constant in corpus size like the ANN probes
+    "llm_dedup_near_recall"
   )
 
   // ops whose KEYLESS window (empty partition spec → ONE task sorts the

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 class ScansSpec extends SparkSpec {
 
@@ -321,5 +321,41 @@ class ScansSpec extends SparkSpec {
     assert(scanned >= matches, s"scan returned $scanned < $matches matches")
     assert(scanned <= total / 2,
       s"pruning must skip most row groups: read $scanned of $total rows")
+  }
+
+  test("scan_bloom_prune: bloom filter prunes row groups where min/max cannot") {
+    def scannedRows(dir: String): Long = {
+      val df = spark.read.parquet(dir)
+        .where(col("o_orderkey").isin(7L, 611L, 1021L, 1223L, 1379L))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      val scans = collectFinal(df) { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, "expected a parquet scan")
+      // the point lookup reaches the scan as pushed equality filters
+      assert(scans.head.metadata("PushedFilters").contains("In(o_orderkey"),
+        scans.head.metadata("PushedFilters"))
+      scans.head.metrics("numOutputRows").value
+    }
+    val withBloom = scannedRows(
+      graft.operators.Scans.stagedBloomDir(spark, sf, bloom = true))
+    val control = scannedRows(
+      graft.operators.Scans.stagedBloomDir(spark, sf, bloom = false))
+    // identical layout (hash-scattered on o_orderkey, dictionary off) —
+    // the control can't prune: every row group's key min/max spans the
+    // keyspace, so it reads the whole table; the bloom side must skip
+    // most groups (false positives only ever ADD groups)
+    val total = graft.Tables.orders(spark, sf).count()
+    assert(control >= total,
+      s"control layout unexpectedly pruned: read $control of $total")
+    assert(withBloom <= control / 2,
+      s"bloom must prune most row groups: read $withBloom vs control $control")
+    // and pruning never changes the answer
+    val got = graft.operators.Scans.scanBloomPrune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.Tables.orders(spark, sf)
+      .where(col("o_orderkey").isin(7L, 611L, 1021L, 1223L, 1379L))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.size == 5, "all five probe keys exist in the fixture")
   }
 }
