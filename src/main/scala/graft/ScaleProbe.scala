@@ -426,7 +426,16 @@ object ScaleProbe {
       "llm_dedup_near_recall",
       // packing ablation (r12): the four cap rows ride ONE scan+shuffle
       // — wall must track llm_pack_sequences' scan-bound growth, not 4×
-      "llm_pack_sweep")
+      "llm_pack_sweep",
+      // streaming-quantile face (r12): cells fixed at ≤512 rows at any
+      // tier (additive histogram); rank location reads the cell domain
+      "stream_quantile",
+      // fertility audit (r12): zero-shuffle per-doc fold + |langs|-row
+      // aggregate — pure scan bound
+      "llm_tokenizer_fertility",
+      // streaming reservoir (r12): K-slot ListState per type at any N;
+      // each row folds in O(K) — wall must be the event scan
+      "stream_reservoir")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -898,6 +898,32 @@ object LlmExtended extends OpModule {
       ceil(length(col("text")).cast("double") / 4).cast("long")
         .as("subword_est"))
 
+  /** Tokenizer FERTILITY by language — the multilingual-bias audit a
+    * tokenizer ships with (fertility = subword tokens per whitespace
+    * word; a language whose fertility runs 2× pays 2× the context
+    * budget and 2× the inference cost for the same content — the
+    * standard argument for rebalancing vocab or training data): one
+    * zero-shuffle scan folds each doc to (lang, words, regex tokens,
+    * chars), a |langs|-row aggregate closes it. Ratios in exact integer
+    * basis points (the llm_token_count regex stands in for the BPE
+    * tokenizer at fixture scale; the real tokenizer slots into the same
+    * per-row fold). */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).as("ws"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).as("re"),
+        length(col("text")).as("ch"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).cast("bigint").as("ws_tokens"),
+        sum(col("re")).cast("bigint").as("re_tokens"),
+        sum(col("ch")).cast("bigint").as("n_chars"))
+      .withColumn("fertility_bp",
+        expr("CAST((re_tokens * 10000) DIV ws_tokens AS BIGINT)"))
+      .withColumn("chars_per_tok_bp",
+        expr("CAST((n_chars * 10000) DIV re_tokens AS BIGINT)"))
+
   /** Rolling-hash document fingerprint: min poly-hash over word
     * 3-shingles (winnowing with window = whole doc). Identical docs share
     * fingerprints; n_same_fp surfaces collision clusters. */
@@ -1015,6 +1041,7 @@ object LlmExtended extends OpModule {
     "llm_lang_id" -> langId _,
     "llm_quality_score" -> qualityScore _,
     "llm_token_count" -> tokenCount _,
+    "llm_tokenizer_fertility" -> tokenizerFertility _,
     "llm_fingerprint" -> fingerprint _,
     "llm_media_decode" -> mediaDecode _
   )
@@ -1387,6 +1414,24 @@ object LlmExtended extends OpModule {
         | len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
         | CAST(ceil(length(text)::DOUBLE / 4) AS BIGINT) AS subword_est
         |FROM documents""".stripMargin,
+    // same per-doc fold as llm_token_count, closed per language in bp
+    "llm_tokenizer_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' ')) AS ws,
+        |    len(regexp_extract_all(text, '[a-z0-9]+')) AS re,
+        |    length(text) AS ch
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |    CAST(sum(re) AS BIGINT) AS re_tokens,
+        |    CAST(sum(ch) AS BIGINT) AS n_chars
+        |  FROM d GROUP BY lang)
+        |SELECT lang, n_docs, ws_tokens, re_tokens, n_chars,
+        |  CAST((re_tokens * 10000) // ws_tokens AS BIGINT) AS fertility_bp,
+        |  CAST((n_chars * 10000) // re_tokens AS BIGINT) AS chars_per_tok_bp
+        |FROM g""".stripMargin,
     "llm_fingerprint" -> (shCte +
       s"""
          |, fps AS (

@@ -89,6 +89,44 @@ object Streaming extends OpModule {
       .agg(min(col("c")).as("est_cnt"))
   }
 
+  /** Streaming quantiles under BOUNDED state — the streaming face of
+    * agg_quantile_bucketed, as stream_cms is of agg_cms_freq: exact
+    * order statistics need the data (the batch op's pass 2 re-reads the
+    * target bucket), which a stream cannot re-read, so the streaming
+    * answer is the bucket-resolution estimate from a fixed 512-cell
+    * histogram (bounds fixed A PRIORI — a stream cannot pre-scan for
+    * min/max; values clamp into the edge cells). The histogram is a
+    * pure additive aggregate: micro-batch partials merge exactly
+    * (complete-mode parity with the batch build is spec-asserted), and
+    * state is ≤512 rows no matter how many events pass — the property
+    * that makes a p99-latency dashboard safe to leave running for
+    * months. Rank convention matches agg_quantile_bucketed
+    * (k = floor(q·(n−1)) + 1), so the located cell brackets the exact
+    * discrete quantile: v(k) ∈ [bucket, bucket+1). */
+  def quantileCells(ev: DataFrame): DataFrame =
+    ev.groupBy(least(greatest(floor(col("value")), lit(0.0)), lit(511.0))
+        .cast("int").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Cells + rank location (batch; runs on the final cells). The
+    * cumulative window is keyless but its input is the ≤512-row bucket
+    * DOMAIN, never the stream (lint-allowlisted); the 1-row total rides
+    * the standard global-aggregate broadcast. */
+  def quantileEstimates(ev: DataFrame): DataFrame = {
+    val cells = quantileCells(ev)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cells.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(cells.agg(sum(col("c")).cast("long").as("n"))))
+      .withColumn("q_pct", explode(array(lit(50), lit(90), lit(99))))
+      .withColumn("k_rank",
+        expr("CAST((q_pct * (n - 1)) DIV 100 + 1 AS BIGINT)"))
+      .where(col("cum") >= col("k_rank"))
+      .groupBy(col("q_pct"), col("n"), col("k_rank"))
+      .agg(min(col("b")).as("bucket"))
+  }
+
   /** 1-hour tumbling windows per event type. */
   def tumbling(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -300,6 +338,88 @@ object Streaming extends OpModule {
     }
   }
 
+  /** Streaming min-hash reservoir — the streaming face of
+    * llm_sample_reservoir, and the third bounded-state face beside
+    * stream_cms (frequency) and stream_quantile (rank): sample exactly
+    * K events per type from an unbounded firehose, reproducibly. The
+    * reservoir invariant is "the K smallest knuth32(event_id) seen so
+    * far" — set-algebraic, so it merges across micro-batches and across
+    * engines: any retry, replay order, or batch split converges to the
+    * SAME K rows (a rand()-based reservoir guarantees none of that).
+    * State is a K-entry ListState per key FOREVER; each incoming row
+    * folds in O(K) with no sort of the batch. Each emission carries
+    * n_seen so the final reservoir is the max-n_seen row set per key.
+    * Upstream exactly-once (stream_dedup) keeps event_ids unique —
+    * a replayed id would occupy two slots. */
+  case class ReservoirRow(event_type: String, n_seen: Long, rk: Int,
+                          event_id: Long, h: Long)
+
+  class ReservoirProcessor(k: Int = 10)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, ReservoirRow] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var res: ListState[(Long, Long)] = _ // (h, event_id)
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      res = getHandle.getListState[(Long, Long)]("res",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** (id·2654435761) mod 2³² via 16-bit split — LlmCuration.knuth32's
+      * arithmetic exactly, so the oracle's SQL twin replays it. */
+    private def knuth(id: Long): Long = {
+      val K = 2654435761L
+      val lo = (id & 65535L) * K
+      val hi = ((id >> 16) & 65535L) * K % 65536L
+      Math.floorMod(lo + hi * 65536L, 4294967296L)
+    }
+
+    override def handleInputRows(
+        key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[ReservoirRow] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      if (res.exists()) buf ++= res.get()
+      val ord = Ordering[(Long, Long)]
+      rows.foreach { e =>
+        n += 1
+        val hv = (knuth(e.event_id), e.event_id)
+        if (buf.size < k) buf += hv
+        else {
+          // bounded O(K) offer: replace the current worst if hv beats it
+          var wi = 0
+          var i = 1
+          while (i < buf.size) { if (ord.gt(buf(i), buf(wi))) wi = i; i += 1 }
+          if (ord.lt(hv, buf(wi))) buf(wi) = hv
+        }
+      }
+      val sorted = buf.sorted(ord).take(k)
+      res.put(sorted.toArray)
+      seen.update(n)
+      sorted.iterator.zipWithIndex.map { case ((h, id), i) =>
+        ReservoirRow(key, n, i + 1, id, h)
+      }
+    }
+  }
+
+  def streamReservoir(spark: SparkSession, ev: DataFrame): DataFrame = {
+    ensureStateStoreCoordinator(spark)
+    import spark.implicits._
+    ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.event_type)
+      .transformWithState(new ReservoirProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   def statefulTop3(spark: SparkSession, ev: DataFrame): DataFrame = {
     ensureStateStoreCoordinator(spark)
     import spark.implicits._
@@ -456,6 +576,8 @@ object Streaming extends OpModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_cms" -> ((s, d) => cmsEstimates(ev(s, d))),
+    "stream_quantile" -> ((s, d) => quantileEstimates(ev(s, d))),
+    "stream_reservoir" -> ((s, d) => streamReservoir(s, ev(s, d))),
     "stream_tumbling" -> ((s, d) => tumbling(ev(s, d))),
     "stream_sliding" -> ((s, d) => sliding(ev(s, d))),
     "stream_session" -> ((s, d) => session(ev(s, d))),
@@ -476,6 +598,43 @@ object Streaming extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the reservoir invariant IS a SQL query: the K smallest split-
+    // multiply Knuth hashes per type (identical gate arithmetic)
+    "stream_reservoir" -> (evCte +
+      """,
+        |h AS (
+        |  SELECT event_type, event_id,
+        |    (((event_id & 65535) * 2654435761)
+        |     + ((((event_id >> 16) & 65535) * 2654435761) % 65536)
+        |       * 65536) % 4294967296 AS h,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_seen
+        |  FROM ev),
+        |r AS (
+        |  SELECT event_type, n_seen, event_id, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id)
+        |      AS rk
+        |  FROM h)
+        |SELECT event_type, n_seen, CAST(rk AS INT) AS rk, event_id, h
+        |FROM r WHERE rk <= 10""".stripMargin),
+    // identical clamp/bucket/rank integer math on the fixed 512-cell grid
+    "stream_quantile" -> (evCte +
+      """,
+        |cells AS (
+        |  SELECT least(greatest(CAST(floor(value) AS BIGINT), 0), 511) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |cum AS (
+        |  SELECT b, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM cells),
+        |t AS (SELECT unnest([50, 90, 99]) AS q_pct),
+        |k AS (
+        |  SELECT t.q_pct, n.n, (t.q_pct * (n.n - 1)) // 100 + 1 AS k_rank
+        |  FROM t CROSS JOIN n)
+        |SELECT k.q_pct, k.n, CAST(k.k_rank AS BIGINT) AS k_rank,
+        |  CAST(min(c2.b) AS BIGINT) AS bucket
+        |FROM k JOIN cum c2 ON c2.cum >= k.k_rank
+        |GROUP BY k.q_pct, k.n, k.k_rank""".stripMargin),
     // exact sketch replay (same affine arithmetic), like agg_cms_freq
     "stream_cms" -> (evCte +
       """,

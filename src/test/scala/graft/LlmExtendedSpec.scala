@@ -117,6 +117,27 @@ class LlmExtendedSpec extends SparkSpec {
     assert(r == 0)
   }
 
+  test("tokenizer_fertility: reconciles with per-doc token counts, bp math exact") {
+    val out = LlmExtended.tokenizerFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"doc_id", $"text").collect()
+    assert(out.keySet == docs.map(_.getString(0)).toSet)
+    val byLang = docs.groupBy(_.getString(0))
+    out.foreach { case (lang, r) =>
+      assert(r.getAs[Long]("n_docs") == byLang(lang).length.toLong)
+      val chars = byLang(lang).map(_.getString(2).length.toLong).sum
+      assert(r.getAs[Long]("n_chars") == chars, s"$lang: char mass")
+      val (ws, re) = (r.getAs[Long]("ws_tokens"), r.getAs[Long]("re_tokens"))
+      assert(r.getAs[Long]("fertility_bp") == re * 10000 / ws)
+      assert(r.getAs[Long]("chars_per_tok_bp") == chars * 10000 / re)
+      // fixture text is space-joined [a-z0-9] words → fertility ≈ 1.0
+      // for latin langs; the zh marker docs may diverge
+      if (lang != "zh")
+        assert(r.getAs[Long]("fertility_bp") == 10000, s"$lang fertility")
+    }
+  }
+
   test("fingerprint clusters exact duplicates") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     writeDocs(Seq(

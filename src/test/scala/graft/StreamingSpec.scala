@@ -374,6 +374,71 @@ class StreamingSpec extends SparkSpec {
       last.getAs[Double]("top3")) == ((9.0, 8.0, 7.0)))
   }
 
+  test("stream_reservoir: K-slot state converges to the K min hashes across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 30 events of one type split across three batches in id order —
+    // the final reservoir must equal the global K-min-hash set, which a
+    // per-batch sample could not produce (late small hashes displace)
+    val data = (1 to 30).map(i => ev(i, i, i % 5, "click", 1.0))
+    val q = Streaming.streamReservoir(spark, input.toDF())
+      .writeStream.format("memory").queryName("res_stream")
+      .outputMode("append").start()
+    try {
+      run(q, input, Seq(data.take(10), data.slice(10, 20), data.drop(20)))
+      val all = spark.table("res_stream").collect()
+      val last = all.filter(_.getAs[Long]("n_seen") == 30L)
+      assert(last.length == 10, "final emission carries exactly K rows")
+      // the streamed reservoir equals a local replay of the invariant
+      def knuth(id: Long): Long = {
+        val K = 2654435761L
+        Math.floorMod((id & 65535L) * K
+          + ((id >> 16 & 65535L) * K % 65536L) * 65536L, 4294967296L)
+      }
+      val want = data.map(e => (knuth(e.event_id), e.event_id))
+        .sorted.take(10).zipWithIndex
+        .map { case ((h, id), i) => (i + 1, id, h) }.toSet
+      val got = last.map(r => (r.getAs[Int]("rk"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("h"))).toSet
+      assert(got == want, "streamed reservoir must equal the global K-min set")
+      // displacement happened: at least one final member arrived after
+      // batch 1 (otherwise the test proves nothing about merging)
+      assert(last.exists(_.getAs[Long]("event_id") > 10),
+        "fixture must exercise cross-batch displacement")
+    } finally q.stop()
+  }
+
+  test("stream_quantile: histogram merges across micro-batches, bounded at 512 cells") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // values sweep the grid (incl. one beyond the clamp) across THREE
+    // batches — merged cells must equal the batch histogram bit for bit
+    val data = (1 to 40).map(i =>
+      ev(i, i * 3, i % 7, "click", (i * 37.3) % 490)) :+
+      ev(41, 123, 3, "click", 900.5) // clamps into cell 511
+    val q = Streaming.quantileCells(input.toDF())
+      .writeStream.format("memory").queryName("q_cells")
+      .outputMode("complete").start()
+    try {
+      run(q, input, Seq(data.take(15), data.slice(15, 30), data.drop(30)))
+      val streamed = spark.table("q_cells").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      val batch = Streaming.quantileCells(data.toDF()).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(streamed == batch, "streamed cells must equal batch cells")
+      assert(streamed.size <= 512, "state must stay within the fixed grid")
+      assert(streamed.exists(_._1 == 511), "clamped outlier lands in the edge cell")
+      // each located cell brackets the exact discrete quantile
+      val vals = data.map(_.value).sorted
+      Streaming.quantileEstimates(data.toDF()).collect().foreach { r =>
+        val (qp, b) = (r.getAs[Int]("q_pct"), r.getAs[Int]("bucket"))
+        assert(r.getAs[Long]("n") == data.length)
+        val v = vals((qp * (vals.length - 1)) / 100) // k_rank − 1, 0-based
+        assert(v >= b && v < b + 1, s"q$qp: $v outside [$b, ${b + 1})")
+      }
+    } finally q.stop()
+  }
+
   test("stream_cms: cells merge across micro-batches exactly (additive state)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Event]
