@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in — see CosineLshRewrite / JaccardLshRewrite)
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
     ext.injectOptimizerRule(_ => graft.plans.JaccardLshRewrite)
+    // inert unless spark.graft.range.rewrite.enabled=true (EXACT rescue
+    // of point-in-interval joins — see RangeBucketRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBucketRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -252,7 +255,7 @@ object GraftExtensions {
     * and so is this — already-installed rules are not re-added). */
   def installOptimizations(spark: SparkSession): Unit = {
     val rules = Seq(graft.plans.LevenshteinGuard, graft.plans.CosineLshRewrite,
-      graft.plans.JaccardLshRewrite)
+      graft.plans.JaccardLshRewrite, graft.plans.RangeBucketRewrite)
     val current = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       current ++ rules.filterNot(current.contains)

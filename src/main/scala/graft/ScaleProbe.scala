@@ -435,7 +435,21 @@ object ScaleProbe {
       "llm_tokenizer_fertility",
       // streaming reservoir (r12): K-slot ListState per type at any N;
       // each row folds in O(K) — wall must be the event scan
-      "stream_reservoir")
+      "stream_reservoir",
+      // range rescue (r12): rewritten plan = the bucketed equi-join;
+      // clone events grow the point side ~linearly while intervals stay
+      // the fixture's 1 % order slice — wall must track matched pairs
+      // (each interval's fixed 400-id window), never points×intervals
+      "join_range_autorewrite",
+      // manifest pruning (r12): staging + the one read-back manifest
+      // pass are the linear cost; the planned slice reads only the
+      // overlapping files — near-flat like the other layout probes
+      "scan_manifest_prune",
+      // personalized pagerank (r12): rides the memoized adjacency; each
+      // round is one node-sized join+aggregate like graph_pagerank, but
+      // the rank table starts seed-sized and grows with the walk
+      // frontier — wall must track the reached neighborhood
+      "graph_ppr")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -292,6 +292,45 @@ object Analytics extends OpModule {
       round(col("r").cast("double") / Scale, 6).as("rank"))
   }
 
+  /** PERSONALIZED PageRank — relevance from a seed set's point of view
+    * (the recommendation/expansion primitive: "suppliers like these
+    * five", random-walk-with-restart): graph_pagerank's exact-integer
+    * power rounds with the teleport vector concentrated on the 5
+    * lowest-id seeds instead of uniform. r₀ puts the whole unit mass
+    * on the seeds; each round keeps the pagerank recurrence
+    * r(v) = restart(v) + (17·Σ r(u)/deg(u)) div 20, where restart is
+    * 3/20 · Scale/5 on seeds and 0 elsewhere — a |contrib|∪|seeds|
+    * full-outer per round (seeds with no in-mass must persist; the
+    * contrib side can't broadcast under full-outer, and at 100 TB
+    * it's node-sized anyway, exactly pagerank's per-round shuffle).
+    * Rows with zero mass (nodes the walk never reaches in 3 rounds)
+    * drop: output size tracks the seeds' 3-hop neighborhood, not the
+    * graph — the locality that makes PPR the affordable per-user
+    * variant. Same 10¹² fixed-point lattice, engine-exact. */
+  def graphPpr(s: SparkSession, d: String): DataFrame = {
+    val Scale = 1000000000000L
+    val adj = coSupplyAdjacency(s, d)
+    val edges = adj.select(col("id").as("src"), col("deg"),
+      explode(col("nbrs")).as("dst"))
+    val seeds = adj.select(col("id")).orderBy(col("id")).limit(5)
+      .select(col("id"), lit(3L * Scale / 100L).as("restart"))
+    var ranks: DataFrame = seeds.select(col("id"), lit(Scale / 5L).as("r"))
+    (1 to 3).foreach { _ =>
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      ranks = contrib.select(col("dst").as("id"), col("csum"))
+        .join(seeds, Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(col("restart"), lit(0L))
+            + expr("(17 * coalesce(csum, 0L)) div 20")).as("r"))
+    }
+    ranks.where(col("r") > 0)
+      .select(col("id").as("s_suppkey"), col("r").as("rank_fp"),
+        round(col("r").cast("double") / Scale, 6).as("rank"))
+  }
+
   /** Declarative data-quality constraint suite (the Deequ pattern): each
     * constraint is ONE aggregate over the table — completeness,
     * uniqueness, range conformance, referential integrity — emitted as
@@ -2015,6 +2054,7 @@ object Analytics extends OpModule {
     "retention" -> retention _,
     "dim_scd2" -> dimScd2 _,
     "graph_pagerank" -> graphPagerank _,
+    "graph_ppr" -> graphPpr _,
     "graph_walk" -> graphWalk _
   )
 
@@ -2967,6 +3007,42 @@ object Analytics extends OpModule {
         |               e.dst) AS rn
         |    FROM s2 w JOIN sym e ON e.src = w.cur) WHERE rn = 1)
         |SELECT seed, n1, n2, n3 FROM s3""".stripMargin),
+    // pagerank's integer lattice with the teleport mass on the 5 seeds
+    "graph_ppr" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |sd AS (SELECT src AS id, 30000000000 AS restart
+        |       FROM deg ORDER BY src LIMIT 5),
+        |r0 AS (SELECT id, 1000000000000 // 5 AS r FROM sd),
+        |c1 AS (SELECT e.dst, sum(r0.r // deg.deg) AS csum
+        |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT coalesce(c1.dst, sd.id) AS id,
+        |         coalesce(sd.restart, 0) + (17 * coalesce(c1.csum, 0)) // 20
+        |           AS r
+        |       FROM c1 FULL JOIN sd ON c1.dst = sd.id),
+        |c2 AS (SELECT e.dst, sum(r1.r // deg.deg) AS csum
+        |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT coalesce(c2.dst, sd.id) AS id,
+        |         coalesce(sd.restart, 0) + (17 * coalesce(c2.csum, 0)) // 20
+        |           AS r
+        |       FROM c2 FULL JOIN sd ON c2.dst = sd.id),
+        |c3 AS (SELECT e.dst, sum(r2.r // deg.deg) AS csum
+        |       FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT coalesce(c3.dst, sd.id) AS id,
+        |         coalesce(sd.restart, 0) + (17 * coalesce(c3.csum, 0)) // 20
+        |           AS r
+        |       FROM c3 FULL JOIN sd ON c3.dst = sd.id)
+        |SELECT id AS s_suppkey, CAST(r AS BIGINT) AS rank_fp,
+        |       round(CAST(r AS BIGINT)::DOUBLE / 1000000000000, 6) AS rank
+        |FROM r3 WHERE r > 0""".stripMargin,
     "graph_pagerank" ->
       """WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |e AS (

@@ -724,7 +724,42 @@ object Joins extends OpModule {
         sum(round(col("attr_price") * 100, 0).cast("long")).as("attr_cents"))
   }
 
+  /** A point-in-interval join written the way a USER writes it — plain
+    * BETWEEN, no bucketing discipline — and rescued by
+    * [[graft.plans.RangeBucketRewrite]] (the exact sibling of the LSH
+    * rescues): with the opt-in flag the optimizer explodes the interval
+    * side into its covered bucket ids and injects the `x div W = bucket`
+    * equi key, keeping the original range predicate as the residual
+    * filter, so the registered plan is the bucketed equi-join
+    * join_interval_overlap hand-writes — same rows, exactly (the
+    * rewrite loses nothing: truncating division is monotone, so every
+    * qualifying pair meets in the bucket containing x). Intervals are a
+    * ~1 % order slice carrying a 400-wide id window each; points are
+    * the event ids. Derived session for the same isolation reason as
+    * lshAutoRewrite (the flag + rule must not leak into other ops'
+    * plans). CustomSurfaceSpec asserts the rescued plan (equi-join +
+    * explode, no BNLJ) and flag-on/flag-off row equivalence. */
+  def joinRangeAutorewrite(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    graft.GraftExtensions.installOptimizations(s)
+    s.conf.set(graft.plans.RangeBucketRewrite.Flag, "true")
+    s.conf.set(graft.plans.RangeBucketRewrite.WidthConf, "256")
+    val pts = Tables.events(s, d).select(col("event_id"), col("user_id"))
+    val iv = Tables.orders(s, d).where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"),
+        (col("o_orderkey") * 3 % 9000).as("lo"),
+        (col("o_orderkey") * 3 % 9000 + 400).as("hi"))
+    pts.join(iv,
+        col("event_id") >= col("lo") && col("event_id") <= col("hi"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("bigint").as("id_sum"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_range_autorewrite" -> joinRangeAutorewrite _,
     "join_pit" -> joinPit _,
     "join_runtime_filter" -> joinRuntimeFilter _,
     "q5_star_join" -> q5StarJoin _,
@@ -756,6 +791,20 @@ object Joins extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // the rewrite reshapes cost, never results: the oracle is the naive
+    // range join itself (DuckDB plans it as its native IEJoin)
+    "join_range_autorewrite" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |    (o_orderkey * 3) % 9000 AS lo,
+        |    (o_orderkey * 3) % 9000 + 400 AS hi
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT iv.o_orderkey,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(e.event_id) AS BIGINT) AS id_sum
+        |FROM events e JOIN iv
+        |  ON e.event_id >= iv.lo AND e.event_id <= iv.hi
+        |GROUP BY iv.o_orderkey""".stripMargin,
     // same window build as dim_scd2, then the equi+interval join and an
     // exact-integer audit
     "join_pit" ->

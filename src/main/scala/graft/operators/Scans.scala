@@ -205,6 +205,57 @@ object Scans extends OpModule {
     dir.toString
   }
 
+  /** Staged 16-way range-clustered lineitem slice plus a MANIFEST — a
+    * sidecar parquet recording per data file its key min/max and row
+    * count (one read-back pass grouped on input_file_name). This is the
+    * table-format seam (Iceberg/Delta manifests): at 100 TB the
+    * bottleneck ABOVE row groups is planning — listing a million files
+    * and reading a million footers — and a manifest answers both with
+    * one small scan. Keyed by data dir like every staged layout. */
+  private[graft] def stagedManifestDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = new java.io.File(s"$ioDir/manifest_li_$sfx")
+    ioLock.synchronized {
+      if (!dir.exists()) {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .write.mode("overwrite").parquet(s"$dir/data")
+        s.read.parquet(s"$dir/data")
+          .groupBy(input_file_name().as("path"))
+          .agg(min(col("l_orderkey")).as("k_min"),
+            max(col("l_orderkey")).as("k_max"),
+            count(lit(1)).as("n_rows"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/manifest")
+      }
+    }
+    dir.toString
+  }
+
+  /** Keyed slice planned FROM THE MANIFEST: the driver reads the
+    * |files|-row sidecar (bounded by layout — the planner-metadata
+    * precedent), keeps only files whose [min, max] overlaps the
+    * predicate range, and hands Spark exactly those paths — excluded
+    * files are never listed, footer-read, or scanned. scan_rowgroup_
+    * prune skips WITHIN files via footer stats; this skips the FILES
+    * themselves via external stats, which is what survives when "the
+    * table" is a million objects. The oracle replays the slice on the
+    * raw fixture: metadata pruning changes planning I/O, never results
+    * (min/max make file exclusion exact — no false negatives). */
+  def scanManifestPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedManifestDir(s, d)
+    val files = s.read.parquet(s"$dir/manifest")
+      .where(col("k_max") >= 200 && col("k_min") <= 450)
+      .select(col("path")).collect().map(_.getString(0))
+    s.read.parquet(files.toIndexedSeq: _*)
+      .where(col("l_orderkey").between(200, 450))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+  }
+
   /** Point lookups through the bloom sidecar: the IN predicate reaches
     * the scan as pushed Eq filters (≤ the in-filter threshold, so
     * parquet sees an OR of equalities its bloom row-group filter
@@ -579,6 +630,7 @@ object Scans extends OpModule {
     "scan_projected" -> scanProjected _,
     "scan_rowgroup_prune" -> scanRowgroupPrune _,
     "scan_bloom_prune" -> scanBloomPrune _,
+    "scan_manifest_prune" -> scanManifestPrune _,
     "scan_csv" -> scanCsv _,
     "scan_binaryfile" -> scanBinaryFile _,
     "scan_text" -> scanText _,
@@ -599,6 +651,12 @@ object Scans extends OpModule {
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |  round(sum(l_extendedprice), 4) AS sum_price
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 300""".stripMargin,
+    // metadata pruning changes planning I/O, never results
+    "scan_manifest_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 200 AND 450""".stripMargin,
     // an index prunes I/O, never results: same lookup on the raw fixture
     "scan_bloom_prune" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price

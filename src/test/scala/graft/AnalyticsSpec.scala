@@ -573,6 +573,34 @@ class AnalyticsSpec extends SparkSpec {
       "integer pagerank must be deterministic")
   }
 
+  test("ppr: mass stays on the seed neighborhood, seeds dominate, deterministic") {
+    val Scale = 1000000000000L
+    val out = Analytics.graphPpr(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nConnected = Analytics.graphPagerank(spark, sf).count()
+    // locality: the 3-round walk reaches a subset of the graph, and
+    // never more nodes than pagerank ranks
+    assert(out.nonEmpty && out.size <= nConnected.toInt)
+    // restart mass pins every seed: each of the 5 lowest connected ids
+    // holds at least its teleport share 3/20 · Scale/5
+    val seeds = Analytics.graphPagerank(spark, sf)
+      .select($"s_suppkey").orderBy($"s_suppkey").limit(5)
+      .collect().map(_.getLong(0))
+    seeds.foreach { id =>
+      assert(out.getOrElse(id, 0L) >= 3L * Scale / 100L, s"seed $id mass")
+    }
+    // seed mass dominates any non-seed (3 damped hops can't overtake
+    // the restart anchor on this fixture)
+    val minSeed = seeds.map(out).min
+    val maxOther = (out -- seeds).values.foldLeft(0L)(math.max)
+    assert(minSeed > maxOther, s"seed floor $minSeed vs non-seed $maxOther")
+    // total mass bounded by the unit of mass injected
+    assert(out.values.sum <= Scale)
+    val again = Analytics.graphPpr(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out, "integer PPR must be deterministic")
+  }
+
   test("graph plan guard: wedge materialization cannot silently return") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{

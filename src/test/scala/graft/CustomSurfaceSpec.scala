@@ -631,4 +631,58 @@ class CustomSurfaceSpec extends SparkSpec {
     } finally ()
     // do not stop s2: it shares the SparkContext with the suite session
   }
+
+  test("RangeBucketRewrite: brute BETWEEN join becomes bucketed equi-join, exactly") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec,
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    GraftExtensions.installOptimizations(spark)
+    def brute(s: org.apache.spark.sql.SparkSession) = {
+      val pts = Tables.events(s, sf).select($"event_id", $"user_id")
+      val iv = Tables.orders(s, sf).where($"o_orderkey" % 97 === 0)
+        .select($"o_orderkey",
+          ($"o_orderkey" * 3 % 9000).as("lo"),
+          ($"o_orderkey" * 3 % 9000 + 400).as("hi"))
+      pts.join(iv, $"event_id" >= $"lo" && $"event_id" <= $"hi")
+    }
+    // flag OFF: the naive spelling plans the nested-loop shape
+    val off = brute(spark).queryExecution.sparkPlan
+    assert(off.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.nonEmpty, s"flag off must keep the nested-loop join:\n$off")
+    // flag ON (the registered op's derived session): equi-join, no
+    // nested-loop node anywhere
+    val on = graft.operators.Joins.joinRangeAutorewrite(spark, sf)
+    val plan = on.queryExecution.sparkPlan
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, s"rewrite must remove the nested-loop join:\n$plan")
+    assert(plan.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }.nonEmpty, s"rewrite must plan an equi-join on the bucket key:\n$plan")
+    // EXACT rescue: flag-on aggregate equals a flag-off local replay
+    val want = brute(spark).groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"event_id").cast("bigint").as("id_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = on.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"rewritten rows must equal the naive join's " +
+      s"(got ${got.size} vs ${want.size} groups)")
+    assert(got.nonEmpty, "fixture must produce at least one populated interval")
+    // idempotent: the injected x div W = bucket conjunct reads as an
+    // equi key, so a second application is a fixed point
+    spark.conf.set(graft.plans.RangeBucketRewrite.Flag, "true")
+    try {
+      val analyzed = brute(spark).queryExecution.analyzed
+      val once = graft.plans.RangeBucketRewrite(analyzed)
+      assert(!once.fastEquals(analyzed), "rule must fire on the brute join")
+      val twice = graft.plans.RangeBucketRewrite(once)
+      assert(once.fastEquals(twice), "rule must be a fixed point")
+    } finally spark.conf.unset(graft.plans.RangeBucketRewrite.Flag)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum}
 
 class ScansSpec extends SparkSpec {
 
@@ -321,6 +321,36 @@ class ScansSpec extends SparkSpec {
     assert(scanned >= matches, s"scan returned $scanned < $matches matches")
     assert(scanned <= total / 2,
       s"pruning must skip most row groups: read $scanned of $total rows")
+  }
+
+  test("scan_manifest_prune: sidecar stats skip files; results match the raw slice") {
+    val dir = graft.operators.Scans.stagedManifestDir(spark, sf)
+    val manifest = spark.read.parquet(s"$dir/manifest").collect()
+    assert(manifest.length == 16, "one manifest row per data file")
+    // manifest row counts reconcile with the table
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum
+      == graft.Tables.lineitem(spark, sf).count())
+    // the range-clustered layout makes per-file ranges selective: the
+    // [200, 450] slice must exclude most files
+    val hit = manifest.count(r =>
+      r.getAs[Long]("k_max") >= 200 && r.getAs[Long]("k_min") <= 450)
+    assert(hit >= 1 && hit <= 4, s"expected a few overlapping files, got $hit")
+    // and the pruned plan reads only those files
+    val df = graft.operators.Scans.scanManifestPrune(spark, sf)
+    val scans = collectFinal(df) { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.metrics("numFiles").value == hit.toLong,
+      s"scan must read exactly the $hit manifest-selected files")
+    // metadata pruning never changes the answer
+    val got = df.collect().head
+    val want = graft.Tables.lineitem(spark, sf)
+      .where(col("l_orderkey").between(200, 450))
+      .agg(count(lit(1)), countDistinct(col("l_suppkey")),
+        sum(col("l_quantity")).cast("bigint")).collect().head
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1))
+    assert(got.getLong(2) == want.getLong(2))
+    assert(got.getLong(0) > 0, "slice must be nonempty")
   }
 
   test("scan_bloom_prune: bloom filter prunes row groups where min/max cannot") {
