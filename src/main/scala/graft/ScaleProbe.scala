@@ -449,7 +449,14 @@ object ScaleProbe {
       // round is one node-sized join+aggregate like graph_pagerank, but
       // the rank table starts seed-sized and grows with the walk
       // frontier — wall must track the reached neighborhood
-      "graph_ppr")
+      "graph_ppr",
+      // grouped quantiles (r12): two scans + one target-bucket slice
+      // pass regardless of group count — growth must be the scans, with
+      // the |groups|·1024 histogram collect flat planner metadata
+      "agg_quantile_grouped",
+      // gate-uniformity audit (r12): one scan into ≤16·|langs| cells —
+      // pure scan bound
+      "dq_hash_uniformity")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -526,8 +526,9 @@ object Aggregates extends OpModule {
     * collect — the K-row-centroid precedent) plus the 1-row
     * (count, min, max) stats, and pass 2 sorts ONLY inside the target
     * bucket (~N/1024 rows) via TakeOrdered to extract the exact order
-    * statistic. Rank convention: k(q) = floor(q·(n−1)) + 1 (1-based) ≡
-    * DuckDB's quantile_disc, so the oracle is one builtin call while
+    * statistic. Rank convention: k(q) = ceil(q·n) (1-based — the smallest
+    * v with cume_dist(v) ≥ q) ≡ DuckDB's quantile_disc, so the oracle
+    * is one builtin call while
     * the engine side proves the scalable plan. Production note: a
     * bucket still too large to TakeOrdered re-buckets recursively —
     * one extra round per 1024× reduction. Equal values across the
@@ -546,19 +547,75 @@ object Aggregates extends OpModule {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val cum = hist.scanLeft((-1L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
       .drop(1)
-    def kth(q: Double): Double = {
-      val k = math.floor(q * (n - 1)).toLong + 1
-      val (tb, cumAt) = cum.find(_._2 >= k).get
+    // rank k(q) = ceil(q·n), 1-based — DuckDB quantile_disc's rule (the
+    // smallest v with cume_dist(v) ≥ q), in exact integer arithmetic
+    // (q = q10/10; float ceil near .5 boundaries would misround).
+    // floor(q·(n−1))+1 coincides at the median but sits one rank LOW at
+    // p90 whenever ⌈9n/10⌉ ≠ ⌊9(n−1)/10⌋+1 — masked on this column by
+    // boundary duplicates, caught by the grouped op's oracle (r12)
+    def kth(q10: Long): Double = {
+      val k = (q10 * n + 9) / 10
+      val (tb, _) = cum.find(_._2 >= k).get
       val before = cum.takeWhile(_._1 < tb).lastOption.map(_._2).getOrElse(0L)
       val r = (k - before).toInt
       v.where(bucketCol === tb).orderBy(col("v")).limit(r)
         .orderBy(col("v").desc).limit(1).as[Double].head()
     }
-    Seq((n, kth(0.5), kth(0.9)))
+    Seq((n, kth(5), kth(9)))
       .toDF("n_rows", "median", "p90")
   }
 
+  /** GROUPED exact quantiles — agg_quantile_bucketed per group, in the
+    * shape that stays one distributed job when groups are many: pass 0/1
+    * collect the per-group (count, min, max) and the per-group
+    * 1024-cell histograms (bounded: \|groups\|·1024 rows — planner
+    * metadata, same class as the global op's histogram); the driver
+    * locates each (group, q) target bucket and in-bucket rank, then
+    * pass 2 broadcasts that 2·\|groups\|-row target table and extracts
+    * ALL order statistics in ONE pass: rows filter to their group's
+    * target bucket (~n_g/1024 rows each), rank inside the (group, q)
+    * window partition, keep rank == r. No per-group driver loop — the
+    * per-group work is a keyed window over bucket-sized slices, so
+    * 10⁶ groups cost the same two scans + one slice pass as 3 groups.
+    * Rank k = ceil(q·n) per group (cume_dist rule) ≡ DuckDB
+    * quantile_disc. */
+  def aggQuantileGrouped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val stats = v.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val withB = v.join(broadcast(stats), "g")
+      .withColumn("b", least(floor((col("v") - col("lo"))
+        / ((col("hi") - col("lo")) / 1024.0)), lit(1023L)).cast("long"))
+      .select(col("g"), col("v"), col("b"))
+    val hist = withB.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    val ns = stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = (for {
+      (g, cells) <- hist.toSeq
+      cum = cells.scanLeft((-1L, 0L)) { case ((_, a), (b, c)) => (b, a + c) }.drop(1)
+      q <- Seq(50, 90)
+    } yield {
+      val n = ns(g)
+      val k = (q * n + 99) / 100 // ceil(q·n/100): quantile_disc's rank
+      val (tb, _) = cum.find(_._2 >= k).get
+      val before = cum.takeWhile(_._1 < tb).lastOption.map(_._2).getOrElse(0L)
+      (g, q, tb, (k - before), n)
+    }).toDF("g", "q_pct", "tb", "r", "n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"), col("q_pct")).orderBy(col("v"))
+    withB.join(broadcast(targets), Seq("g"))
+      .where(col("b") === col("tb"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === col("r"))
+      .select(col("g").as("l_returnflag"), col("q_pct"), col("n"),
+        col("v").as("quantile"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_quantile_grouped" -> aggQuantileGrouped _,
     "agg_bitmap_intersect" -> aggBitmapIntersect _,
     "agg_quantile_bucketed" -> aggQuantileBucketed _,
     "agg_cms_freq" -> aggCmsFreq _,
@@ -586,7 +643,18 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
-    // k(q) = floor(q·(n−1))+1 is exactly quantile_disc's rank
+    // per-group quantile_disc: same rank convention as the global op
+    "agg_quantile_grouped" ->
+      """SELECT l_returnflag, 50 AS q_pct,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  quantile_disc(l_extendedprice, 0.5) AS quantile
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, 90 AS q_pct,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  quantile_disc(l_extendedprice, 0.9) AS quantile
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // k(q) = ceil(q·n) is exactly quantile_disc's rank
     "agg_quantile_bucketed" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  quantile_disc(l_extendedprice, 0.5) AS median,

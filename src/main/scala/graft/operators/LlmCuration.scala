@@ -397,6 +397,35 @@ object LlmCuration extends OpModule {
       .select(col("lang"), col("rk"), col("doc_id"), col("h"))
   }
 
+  /** Pre-flight uniformity audit of the [[knuth32]] sampling gate — the
+    * check a team runs BEFORE trusting a deterministic hash gate with a
+    * 100 TB keep/drop decision: a multiplicative hash over a structured
+    * id space (sequential, strided, sharded-with-gaps) can alias, and a
+    * biased gate silently skews every downstream sample, split, and
+    * shard. One scan folds each doc into its 16-way hash bucket
+    * (top 4 bits of the 2³² gate value); per language the audit reports
+    * the bucket min/max and the max absolute deviation from the uniform
+    * expectation in exact basis points (dev·160000 div n, since the
+    * expected cell is n/16). Deviation scales like √(16/n) under a fair
+    * gate, so thresholds belong to the caller; the spec pins the
+    * fixture's gate within a loose envelope and proves a PLANTED biased
+    * gate (id mod 16 on sequential ids) maxes the readout. */
+  def dqHashUniformity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bkt", shiftright(knuth32(col("doc_id")), 28))
+      .groupBy(col("lang"), col("bkt")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).cast("bigint").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        min(col("c")).cast("bigint").as("c_min"),
+        max(col("c")).cast("bigint").as("c_max"))
+      // an EMPTY bucket never reaches the groupBy — when fewer than 16
+      // buckets appear, the worst cell is 0, not c_min
+      .withColumn("dev_bp", expr(
+        "CAST(greatest(c_max * 16 - n_docs, " +
+          "n_docs - IF(n_buckets = 16, c_min, 0L) * 16) " +
+          "* 10000 DIV n_docs AS BIGINT)"))
+
   /** int8 embedding quantization (min/max affine per vector) — 4× memory
     * cut for ANN serving. Output is the quantization params + an exact
     * integer checksum of the quantized codes (the gate can't hash array
@@ -1203,6 +1232,7 @@ object LlmCuration extends OpModule {
     "llm_quality_filter" -> qualityFilter _,
     "llm_sample_stratified" -> sampleStratified _,
     "llm_sample_reservoir" -> sampleReservoir _,
+    "dq_hash_uniformity" -> dqHashUniformity _,
     "llm_embed_quantize" -> embedQuantize _,
     "llm_embedding_drift" -> embeddingDrift _,
     "llm_split_holdout" -> splitHoldout _,
@@ -1856,6 +1886,28 @@ object LlmCuration extends OpModule {
         |SELECT 'safety', ds, us, n_docs, pass FROM c
         |UNION ALL
         |SELECT 'any', dany, uany, n_docs, pass FROM c""".stripMargin),
+    // same gate hash, 16-way top-bit buckets, exact-integer deviation
+    "dq_hash_uniformity" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    ((((doc_id & 65535) * 2654435761)
+        |      + ((((doc_id >> 16) & 65535) * 2654435761) % 65536)
+        |        * 65536) % 4294967296) // 268435456 AS bkt
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, bkt, CAST(count(*) AS BIGINT) AS c
+        |  FROM h GROUP BY lang, bkt),
+        |g AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(min(c) AS BIGINT) AS c_min,
+        |    CAST(max(c) AS BIGINT) AS c_max
+        |  FROM b GROUP BY lang)
+        |SELECT lang, n_docs, n_buckets, c_min, c_max,
+        |  CAST(greatest(c_max * 16 - n_docs,
+        |    n_docs - (CASE WHEN n_buckets = 16 THEN c_min ELSE 0 END) * 16)
+        |    * 10000 // n_docs AS BIGINT) AS dev_bp
+        |FROM g""".stripMargin,
     // same split-multiply Knuth gate (overflow-safe on both engines)
     "llm_sample_reservoir" ->
       """WITH h AS (

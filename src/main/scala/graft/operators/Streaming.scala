@@ -101,8 +101,9 @@ object Streaming extends OpModule {
     * state is ≤512 rows no matter how many events pass — the property
     * that makes a p99-latency dashboard safe to leave running for
     * months. Rank convention matches agg_quantile_bucketed
-    * (k = floor(q·(n−1)) + 1), so the located cell brackets the exact
-    * discrete quantile: v(k) ∈ [bucket, bucket+1). */
+    * (k = ceil(q·n), quantile_disc's cume_dist rule), so the located
+    * cell brackets the exact discrete quantile: v(k) ∈ [bucket,
+    * bucket+1). */
   def quantileCells(ev: DataFrame): DataFrame =
     ev.groupBy(least(greatest(floor(col("value")), lit(0.0)), lit(511.0))
         .cast("int").as("b"))
@@ -121,7 +122,7 @@ object Streaming extends OpModule {
       .crossJoin(broadcast(cells.agg(sum(col("c")).cast("long").as("n"))))
       .withColumn("q_pct", explode(array(lit(50), lit(90), lit(99))))
       .withColumn("k_rank",
-        expr("CAST((q_pct * (n - 1)) DIV 100 + 1 AS BIGINT)"))
+        expr("CAST((q_pct * n + 99) DIV 100 AS BIGINT)"))
       .where(col("cum") >= col("k_rank"))
       .groupBy(col("q_pct"), col("n"), col("k_rank"))
       .agg(min(col("b")).as("bucket"))
@@ -629,7 +630,7 @@ object Streaming extends OpModule {
         |  FROM cells),
         |t AS (SELECT unnest([50, 90, 99]) AS q_pct),
         |k AS (
-        |  SELECT t.q_pct, n.n, (t.q_pct * (n.n - 1)) // 100 + 1 AS k_rank
+        |  SELECT t.q_pct, n.n, (t.q_pct * n.n + 99) // 100 AS k_rank
         |  FROM t CROSS JOIN n)
         |SELECT k.q_pct, k.n, CAST(k.k_rank AS BIGINT) AS k_rank,
         |  CAST(min(c2.b) AS BIGINT) AS bucket

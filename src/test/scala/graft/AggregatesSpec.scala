@@ -126,13 +126,33 @@ class AggregatesSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val got = graft.operators.Aggregates.aggQuantileBucketed(spark, sf)
       .collect().head
-    // ground truth: full sort, k(q) = floor(q(n-1))+1, 1-based
+    // ground truth: full sort, k(q) = ceil(q·n) (quantile_disc's
+    // cume_dist rank), 1-based → 0-based index ceil(q·n) − 1
     val vals = Tables.lineitem(spark, sf).select(col("l_extendedprice"))
       .collect().map(_.getDouble(0)).sorted
-    def kth(q: Double) = vals(math.floor(q * (vals.length - 1)).toInt)
+    def kth(q10: Int) = vals((q10 * vals.length + 9) / 10 - 1)
     assert(got.getLong(0) == vals.length)
-    assert(got.getDouble(1) == kth(0.5), s"median ${got.getDouble(1)} != ${kth(0.5)}")
-    assert(got.getDouble(2) == kth(0.9), s"p90 ${got.getDouble(2)} != ${kth(0.9)}")
+    assert(got.getDouble(1) == kth(5), s"median ${got.getDouble(1)} != ${kth(5)}")
+    assert(got.getDouble(2) == kth(9), s"p90 ${got.getDouble(2)} != ${kth(9)}")
+  }
+
+  test("grouped bucketed quantile equals a per-group full-sort ground truth") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Aggregates.aggQuantileGrouped(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("quantile"))).toMap
+    val byG = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(1)).sorted }
+    assert(got.keySet == byG.keySet.flatMap(g => Seq((g, 50), (g, 90))))
+    byG.foreach { case (g, vals) =>
+      // ceil(q·n) − 1, 0-based: quantile_disc's cume_dist rank
+      def kth(q: Int) = vals((q * vals.length + 99) / 100 - 1)
+      assert(got((g, 50)) == ((vals.length.toLong, kth(50))), s"$g p50")
+      assert(got((g, 90)) == ((vals.length.toLong, kth(90))), s"$g p90")
+    }
   }
 
   test("heavy hitters: exact under adversarial partitionings (MG superset)") {

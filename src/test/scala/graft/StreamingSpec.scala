@@ -433,8 +433,10 @@ class StreamingSpec extends SparkSpec {
       Streaming.quantileEstimates(data.toDF()).collect().foreach { r =>
         val (qp, b) = (r.getAs[Int]("q_pct"), r.getAs[Int]("bucket"))
         assert(r.getAs[Long]("n") == data.length)
-        val v = vals((qp * (vals.length - 1)) / 100) // k_rank − 1, 0-based
-        assert(v >= b && v < b + 1, s"q$qp: $v outside [$b, ${b + 1})")
+        val v = vals((qp * vals.length + 99) / 100 - 1) // k_rank − 1, 0-based
+        // edge cells clamp, so cell 511 brackets one-sidedly ("≥ 511")
+        if (b == 511) assert(v >= b, s"q$qp: $v below the clamp cell")
+        else assert(v >= b && v < b + 1, s"q$qp: $v outside [$b, ${b + 1})")
       }
     } finally q.stop()
   }
