@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{BitmapAnd, CosineSimilarity, DHash72, DotProductLong,
-  JaccardSim, MinHashSig, NGrams, PolyShingles, PolyShinglesSeq, SimHash32,
-  SortedIntersectCount, SquaredDistanceLong, UnicodeNormalize, XxNGramHashes}
+  Fwht64, JaccardSim, MaxSim8, MinHashSig, NGrams, PolyShingles,
+  PolyShinglesSeq, SimHash32, SortedIntersectCount, SquaredDistanceLong,
+  UnicodeNormalize, XxNGramHashes}
 
 /** Engine extension wiring (SURVEY.md §4.3).
   *
@@ -237,6 +238,26 @@ object GraftExtensions {
     }
   )
 
+  private val fwht64Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fwht64"),
+    new ExpressionInfo(classOf[Fwht64].getName, "fwht64"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "fwht64 expects 1 array<bigint> arg")
+      Fwht64(children.head)
+    }
+  )
+
+  private val maxsim8Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("maxsim8"),
+    new ExpressionInfo(classOf[MaxSim8].getName, "maxsim8"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "maxsim8 expects 2 array<bigint> args")
+      MaxSim8(children.head, children(1))
+    }
+  )
+
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, ngramsDescriptor, simhashDescriptor,
@@ -245,7 +266,8 @@ object GraftExtensions {
       xxNGramDescriptor, jaccardSimDescriptor, bitmapAndDescriptor,
       unicodeNormalizeDescriptor,
       minhashSigDescriptor, dhash72Descriptor, bloomAggDescriptor,
-      bloomMightContainDescriptor).foreach {
+      bloomMightContainDescriptor, fwht64Descriptor,
+      maxsim8Descriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

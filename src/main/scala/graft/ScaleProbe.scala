@@ -122,7 +122,13 @@ object ScaleProbe {
         // construction — and unlike dedupNear the generic rewrite ships
         // the shingle arrays through the ×16 band explode (the
         // documented safety-net-vs-engineered-pipeline trade)
-        "llm_lsh_autorewrite_jaccard") else Seq.empty)
+        "llm_lsh_autorewrite_jaccard",
+        // spatial radius join (r12): clones scatter uniformly into the
+        // SAME 10⁴×10⁴ area (density ×copies, area fixed), so close
+        // pairs grow ×copies² BY CONSTRUCTION — the 1×/10× tiers
+        // document that output-mass growth; 30× would aggregate ~250 M
+        // directed pairs for a 450 k-row readout
+        "join_spatial_radius") else Seq.empty)
     ) ++ Seq(
       // incremental shard-vs-index dedup: cost must track the NEW side
       // (B·collisions) — the clone corpus inflates index collisions per
@@ -398,6 +404,35 @@ object ScaleProbe {
       // marginal cost is the truncated brute pass — 10 broadcast
       // queries × one corpus scan over 8-long slices, linear in N
       "llm_ann_matryoshka",
+      // OPQ rotation ablation (r12): each vector's rotation is the
+      // codegen'd fwht64 butterfly inside one zero-shuffle map, then a
+      // 16-row grid-error aggregate — growth must be pure scan-bound
+      "llm_ann_opq",
+      // SQ8 recall (r12): one 64-row min/max aggregate + a zero-shuffle
+      // reconstruct map + the 10-query broadcast brute pass — linear in
+      // N like every recall row
+      "llm_ann_sq8",
+      // late-interaction MaxSim (r12): 10 broadcast queries × one
+      // corpus scan with the codegen'd maxsim8 fold fused per row —
+      // per-candidate work is a fixed 512 multiply-adds, output top-3
+      "llm_colbert_maxsim",
+      // uncertainty sampling (r12): rides the memoized (features,
+      // weights) margin pass; the per-lang bottom-5 is WindowGroupLimit
+      // (K per map task pre-shuffle) — scan-bound, output ≤ 5·|langs|
+      "llm_uncertainty_sample",
+      // equi-depth histogram (r12): two histogram passes (1024-cell
+      // planner metadata) + one keyed-window boundary extraction over
+      // ~n/1024-row bucket slices + one bucketing aggregate — three
+      // scan-bound passes, output fixed at 8 rows
+      "agg_histogram_equidepth",
+      // Benford audit (r12): one scan map-side combined to 9 digit
+      // rows + broadcast lookups — pure scan bound
+      "dq_benford",
+      // cumulative distinct curve (r12): ONE (type, user)→min(day)
+      // map-side-combinable shuffle, then a |types|×|days| window —
+      // the clone tiers multiply users ×copies, so the first-seen
+      // table grows linearly and the series stays bounded
+      "ts_cume_distinct",
       // gate ablation (r12): three gate scans + doc-keyed equi-joins +
       // one global fold — scan-bound, output fixed at 4 rows
       "llm_gate_ablation",

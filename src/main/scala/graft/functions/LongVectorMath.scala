@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native integer-vector kernels over `array<bigint>` columns — the exact
@@ -132,5 +132,159 @@ case class DotProductLong(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Unnormalized fast Walsh-Hadamard transform of a 64-long bigint
+  * array: y = H·x with H[j][k] = (−1)^popcount(j&k), computed by the
+  * 6-stage butterfly (64·6 adds) instead of the 64×64 matrix fold
+  * (4096 multiply-adds) — and codegen'd, because the SQL-HOF spelling
+  * of even the naive fold measured ~285 s at the 10× probe tier
+  * (interpreted lambdas, boxed elements) where this loop is a scan-cost
+  * rounding error. Unnormalized keeps every coordinate an exact BIGINT
+  * (‖y‖² = 64·‖x‖² — callers divide energy readouts by 64 once, on
+  * positive totals). Overflow: |y_i| ≤ 64·max|x| — callers' lattice
+  * bounds (≤ ~10⁹ here) stay far inside Long. */
+case class Fwht64(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "fwht64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fwht64 expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != 64)
+      throw new IllegalArgumentException(
+        s"fwht64: expected 64 elements, got ${x.numElements()}")
+    val v = new Array[Long](64)
+    var i = 0
+    while (i < 64) { v(i) = x.getLong(i); i += 1 }
+    var h = 1
+    while (h < 64) {
+      var base = 0
+      while (base < 64) {
+        var j = base
+        while (j < base + h) {
+          val a0 = v(j); val b0 = v(j + h)
+          v(j) = a0 + b0; v(j + h) = a0 - b0
+          j += 1
+        }
+        base += 2 * h
+      }
+      h *= 2
+    }
+    new GenericArrayData(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v")
+      val h = ctx.freshName("h")
+      val base = ctx.freshName("base")
+      val j = ctx.freshName("j")
+      val a0 = ctx.freshName("a0")
+      val b0 = ctx.freshName("b0")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($a.numElements() != 64) {
+         |  throw new IllegalArgumentException(
+         |    "fwht64: expected 64 elements, got " + $a.numElements());
+         |}
+         |long[] $v = new long[64];
+         |for (int $i = 0; $i < 64; $i++) { $v[$i] = $a.getLong($i); }
+         |for (int $h = 1; $h < 64; $h *= 2) {
+         |  for (int $base = 0; $base < 64; $base += 2 * $h) {
+         |    for (int $j = $base; $j < $base + $h; $j++) {
+         |      long $a0 = $v[$j]; long $b0 = $v[$j + $h];
+         |      $v[$j] = $a0 + $b0; $v[$j + $h] = $a0 - $b0;
+         |    }
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($v);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fwht64 =
+    copy(child = newChild)
+}
+
+/** ColBERT-style MaxSim over two 64-long bigint arrays viewed as 8
+  * token vectors × 8 dims (contiguous slices): Σ_{i<8} max_{j<8}
+  * ⟨q[8i..), d[8j..)⟩ — 512 multiply-adds fused in one codegen'd loop
+  * (the SQL-HOF spelling interprets three nested lambdas per row).
+  * Overflow: each 8-dim lattice dot ≤ 8·(2·10⁶)² ≈ 3.2·10¹³, the sum
+  * of 8 maxima ≤ 2.6·10¹⁴ — far inside Long. */
+case class MaxSim8(left: Expression, right: Expression)
+    extends LongVectorKernel {
+
+  override def prettyName: String = "maxsim8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != 64 || y.numElements() != 64)
+      throw new IllegalArgumentException(
+        s"maxsim8: expected 64 elements, got " +
+          s"(${x.numElements()}, ${y.numElements()})")
+    var total = 0L
+    var i = 0
+    while (i < 8) {
+      var best = Long.MinValue
+      var j = 0
+      while (j < 8) {
+        var dot = 0L
+        var k = 0
+        while (k < 8) {
+          dot += x.getLong(i * 8 + k) * y.getLong(j * 8 + k)
+          k += 1
+        }
+        if (dot > best) best = dot
+        j += 1
+      }
+      total += best
+      i += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val total = ctx.freshName("total")
+      val best = ctx.freshName("best")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      s"""
+         |if ($a.numElements() != 64 || $b.numElements() != 64) {
+         |  throw new IllegalArgumentException(
+         |    "maxsim8: expected 64 elements, got (" + $a.numElements()
+         |      + ", " + $b.numElements() + ")");
+         |}
+         |long $total = 0L;
+         |for (int $i = 0; $i < 8; $i++) {
+         |  long $best = Long.MIN_VALUE;
+         |  for (int $j = 0; $j < 8; $j++) {
+         |    long $dot = 0L;
+         |    for (int $k = 0; $k < 8; $k++) {
+         |      $dot += $a.getLong($i * 8 + $k) * $b.getLong($j * 8 + $k);
+         |    }
+         |    if ($dot > $best) $best = $dot;
+         |  }
+         |  $total += $best;
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaxSim8 =
     copy(left = newLeft, right = newRight)
 }

@@ -614,7 +614,61 @@ object Aggregates extends OpModule {
         col("v").as("quantile"))
   }
 
+  /** Exact EQUI-DEPTH histogram — the CBO statistics artifact beside
+    * the equi-width one (agg_histogram): equal ROW mass per bucket, so
+    * selectivity estimates stay accurate on skewed columns where
+    * equi-width piles everything into a few cells (the reason
+    * warehouse ANALYZE writes equi-depth). B = 8 boundaries at ranks
+    * ⌈i·n/8⌉ (the cume_dist rule shared with the quantile ops — and
+    * since 8 is a power of two, i·n/8 is exact in a double, so DuckDB's
+    * float quantile_disc rank agrees with this exact-integer k at any
+    * n). Extraction generalizes agg_quantile_bucketed: one 1024-cell
+    * histogram (bounded planner metadata), then ALL 7 order statistics
+    * in ONE keyed-window pass over the broadcast (i, bucket, in-bucket
+    * rank) target table — never a per-quantile job. Rows then bucket by
+    * "count of boundaries strictly below v" against the broadcast
+    * 7-value array (ties sit with their boundary's bucket, so duplicate-
+    * heavy columns legitimately produce uneven depths — the readout a
+    * CBO wants, not a bug) and ONE map-side-combined aggregate emits
+    * (bucket, n, lo, hi). Three scans total at any N. */
+  def aggHistogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("v"))
+    val Array(stats) = v.agg(count(lit(1)), min(col("v")), max(col("v")))
+      .collect()
+    val (n, lo, hi) = (stats.getLong(0), stats.getDouble(1), stats.getDouble(2))
+    val width = (hi - lo) / 1024.0
+    val bucketCol = least(floor((col("v") - lit(lo)) / lit(width)), lit(1023L))
+      .cast("long")
+    val hist = v.groupBy(bucketCol.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cum = hist.scanLeft((-1L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .drop(1)
+    import spark.implicits._
+    val targets = (1 to 7).map { i =>
+      val k = (i.toLong * n + 7) / 8 // ceil(i·n/8), 1-based rank
+      val (tb, _) = cum.find(_._2 >= k).get
+      val before = cum.takeWhile(_._1 < tb).lastOption.map(_._2).getOrElse(0L)
+      (i, tb, k - before)
+    }.toDF("i", "tb", "r")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("i")).orderBy(col("v"))
+    val bounds = v.withColumn("b", bucketCol)
+      .join(broadcast(targets), col("b") === col("tb"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === col("r"))
+      .select(col("i"), col("v"))
+      .groupBy().agg(expr("array_sort(collect_list(struct(i, v)))").as("bs"))
+    v.crossJoin(broadcast(bounds))
+      .select(expr(
+        "aggregate(bs, 0, (acc, b) -> acc + IF(b.v < v, 1, 0))").as("bucket"),
+        col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 4).as("lo"), round(max(col("v")), 4).as("hi"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram_equidepth" -> aggHistogramEquidepth _,
     "agg_quantile_grouped" -> aggQuantileGrouped _,
     "agg_bitmap_intersect" -> aggBitmapIntersect _,
     "agg_quantile_bucketed" -> aggQuantileBucketed _,
@@ -654,6 +708,17 @@ object Aggregates extends OpModule {
         |  CAST(count(*) AS BIGINT) AS n,
         |  quantile_disc(l_extendedprice, 0.9) AS quantile
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // equi-depth boundaries = quantile_disc at i/8 (power-of-two q:
+    // i·n/8 is exact in a double, so the float rank ≡ the exact-integer
+    // ceil); bucket = count of boundaries strictly below v
+    "agg_histogram_equidepth" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+        |b AS (SELECT quantile_disc(v,
+        |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs FROM v)
+        |SELECT len(list_filter(b.bs, x -> x < v.v)) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(v.v), 4) AS lo, round(max(v.v), 4) AS hi
+        |FROM v, b GROUP BY 1""".stripMargin,
     // k(q) = ceil(q·n) is exactly quantile_disc's rank
     "agg_quantile_bucketed" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

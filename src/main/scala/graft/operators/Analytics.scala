@@ -377,6 +377,63 @@ object Analytics extends OpModule {
     * and the max/mean skew ratio the salting heuristic thresholds on.
     * The frequency table is the only shuffle; the audit is a 1-row
     * fold over |keys| rows. */
+  /** Cumulative DISTINCT-user growth curve per event type — the
+    * "cumulative unique users" chart every product dashboard draws,
+    * and the classic window-function trap: count(DISTINCT) OVER a
+    * growing frame is unsupported/quadratic in most engines. The
+    * scale-right spelling is first-seen decomposition: distinct users
+    * through day D = Σ_{d ≤ D} (users whose FIRST event was on d) —
+    * so ONE map-side-combinable (type, user)→min(day) aggregate (the
+    * only row-mass shuffle), a |types|×|days|-bounded daily rollup,
+    * and a running sum over that tiny series. Exactly equivalent to
+    * the quadratic spelling, one linear pass at any N. */
+  def tsCumeDistinct(s: SparkSession, d: String): DataFrame = {
+    val first = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    first.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cume_distinct_users",
+        sum(col("new_users")).over(w).cast("bigint"))
+  }
+
+  /** Benford first-digit audit — the classic fabricated-data /
+    * corrupted-feed detector for naturally-scaled amounts (invoices,
+    * populations, file sizes): genuine multiplicative data puts ~30.1 %
+    * of first significant digits at 1, falling to 4.6 % at 9; uniform
+    * or hand-typed figures don't. The digit extracts EXACTLY — first
+    * character of the BIGINT cents' decimal form, no log10 float — and
+    * the expected shares are the standard Benford table pinned as
+    * integer basis points in BOTH engines (log10(1+1/d) is irrational;
+    * hardcoding kills cross-libm drift). Per digit: count, observed bp
+    * (exact n·10⁴ div N), expected bp, |deviation| bp, plus the
+    * χ²-style Σ dev²/exp statistic repeated per row (exact integer) —
+    * the alert threshold a DQ monitor tracks. One scan, map-side
+    * combined to 9 rows, a broadcast 9-row lookup: scan-bound at any N. */
+  def dqBenford(s: SparkSession, d: String): DataFrame = {
+    val exp = Seq(1 -> 3010L, 2 -> 1761L, 3 -> 1249L, 4 -> 969L,
+      5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+    import s.implicits._
+    val expDf = exp.toDF("digit", "exp_bp")
+    val obs = Tables.orders(s, d)
+      .select(expr(
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = obs.groupBy().agg(sum(col("n")).as("total"))
+    val rows = obs.join(broadcast(expDf), "digit")
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_bp", expr("n * 10000 DIV total"))
+      .withColumn("dev_bp", expr("abs(obs_bp - exp_bp)"))
+    val chi = rows.groupBy().agg(
+      sum(expr("dev_bp * dev_bp DIV exp_bp")).as("chi2_bp"))
+    rows.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n"), col("obs_bp"), col("exp_bp"),
+        col("dev_bp"), col("chi2_bp"))
+  }
+
   def dqSkew(s: SparkSession, d: String): DataFrame = {
     val freq = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("f"))
@@ -2036,6 +2093,8 @@ object Analytics extends OpModule {
     "dq_constraints" -> dqConstraints _,
     "dq_observe" -> dqObserve _,
     "dq_skew" -> dqSkew _,
+    "dq_benford" -> dqBenford _,
+    "ts_cume_distinct" -> tsCumeDistinct _,
     "dq_k_anonymity" -> dqKAnonymity _,
     "dq_dp_release" -> dqDpRelease _,
     "win_pattern" -> winPattern _,
@@ -2885,6 +2944,41 @@ object Analytics extends OpModule {
         |FROM f GROUP BY grp""".stripMargin,
     // per-key frequency table, deterministic hottest key (min among max
     // ties), quantile_cont ≡ Spark's interpolating percentile()
+    // first-seen decomposition replayed verbatim: distinct-through-D =
+    // running sum of first-event-day counts
+    "ts_cume_distinct" -> (evCte + """,
+        |f AS (
+        |  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM ev GROUP BY 1, 2),
+        |dl AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS BIGINT) AS cume_distinct_users
+        |FROM dl""".stripMargin),
+    // first digit from the BIGINT cents' decimal string (no log10
+    // float); expected shares pinned as the same literal bp table
+    "dq_benford" ->
+      """WITH e AS (
+        |  SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249),
+        |    (4, 969), (5, 792), (6, 669), (7, 580), (8, 512),
+        |    (9, 458)) t(digit, exp_bp)),
+        |o AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT o.digit, o.n,
+        |    o.n * 10000 // (SELECT CAST(sum(n) AS BIGINT) FROM o) AS obs_bp,
+        |    CAST(e.exp_bp AS BIGINT) AS exp_bp
+        |  FROM o JOIN e USING (digit)),
+        |d AS (SELECT *, abs(obs_bp - exp_bp) AS dev_bp FROM r)
+        |SELECT digit, n, obs_bp, exp_bp, dev_bp,
+        |  (SELECT CAST(sum(dev_bp * dev_bp // exp_bp) AS BIGINT) FROM d)
+        |    AS chi2_bp
+        |FROM d""".stripMargin,
     "dq_skew" ->
       """WITH f AS (
         |  SELECT l_suppkey, count(*) AS f FROM lineitem GROUP BY 1),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -758,7 +758,64 @@ object Joins extends OpModule {
         sum(col("event_id")).cast("bigint").as("id_sum"))
   }
 
+  /** Grid-bucketed SPATIAL radius self-join — the distributed spatial
+    * primitive (geo neighbor search, embedding-2D-projection blocking,
+    * collision detection): all point pairs within distance R, found by
+    * cell binning instead of the O(N²) distance cross join. Points live
+    * on a deterministic 10⁴×10⁴ integer lattice derived from customer
+    * keys (two coprime multipliers mod 10⁴ — replayable in any engine,
+    * no trig/floats anywhere); cell = (x div R, y div R), so any pair
+    * within R is at most one cell apart per axis. The LEFT side
+    * explodes each point into its 3×3 cell neighborhood, the RIGHT side
+    * keys on its OWN cell — every qualifying pair meets exactly once
+    * (the right point's cell is unique), so no dedup step exists; the
+    * exact dx²+dy² ≤ R² residual filters inside the equi-join. This is
+    * the standard spatial-bin join every distributed geo engine
+    * (Sedona/PostGIS-on-Spark) plans: shuffle is keyed on cells (~9×
+    * point mass, never pairs), per-cell work is local density², and a
+    * skewed hot cell would AQE-split like any hash join. Output: per
+    * point its neighbor count and exact squared-distance checksum —
+    * bounded by point count. */
+  def joinSpatialRadius(s: SparkSession, d: String): DataFrame = {
+    val R = 200
+    // salted multiply-xor-shift mix (murmur-style finalizer, exact in
+    // BIGINT: 2³²·1540483477 < 2⁶³) — a plain LCG-mod lattice is NOT
+    // uniform enough here (its short lattice vectors cluster points on
+    // lines and inflate close pairs ~100×, measured); coordinates must
+    // scatter for the cell-density argument below to hold
+    def coord(salt: Int): Column = {
+      val h0 = s"(c_custkey * 2654435761 + $salt) % 4294967296"
+      val h1 = s"(($h0) ^ shiftright($h0, 16))"
+      val h2 = s"(($h1) * 1540483477) % 4294967296"
+      expr(s"(($h2) ^ shiftright($h2, 13)) % 10000")
+    }
+    val pts = Tables.customer(s, d).select(
+      col("c_custkey").as("id"), coord(17).as("x"), coord(91).as("y"))
+    val right = pts.select(
+      col("id").as("rid"), col("x").as("rx"), col("y").as("ry"),
+      concat_ws(":", expr(s"x DIV $R"), expr(s"y DIV $R")).as("cell"))
+    val left9 = pts
+      .withColumn("dxy", explode(lit((for (dx <- -1 to 1; dy <- -1 to 1)
+        yield s"$dx:$dy").toArray)))
+      .select(col("id"), col("x"), col("y"),
+        concat_ws(":",
+          expr(s"x DIV $R") + split(col("dxy"), ":")(0).cast("long"),
+          expr(s"y DIV $R") + split(col("dxy"), ":")(1).cast("long"))
+          .as("cell"))
+    left9.join(right, "cell")
+      .where(col("id") =!= col("rid") &&
+        (col("x") - col("rx")) * (col("x") - col("rx"))
+          + (col("y") - col("ry")) * (col("y") - col("ry")) <= lit(R * R))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_nb"),
+        sum((col("x") - col("rx")) * (col("x") - col("rx"))
+          + (col("y") - col("ry")) * (col("y") - col("ry")))
+          .cast("bigint").as("sum_d2"),
+        min(col("rid")).cast("bigint").as("min_nb_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_spatial_radius" -> joinSpatialRadius _,
     "join_range_autorewrite" -> joinRangeAutorewrite _,
     "join_pit" -> joinPit _,
     "join_runtime_filter" -> joinRuntimeFilter _,
@@ -791,6 +848,37 @@ object Joins extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // the binning reshapes cost, never results: the oracle is the naive
+    // distance predicate itself (DuckDB plans the cell-band condition
+    // as its native IEJoin); integer lattice, no floats
+    "join_spatial_radius" ->
+      """WITH h0 AS (
+        |  SELECT c_custkey AS id,
+        |    (c_custkey * 2654435761 + 17) % 4294967296 AS hx,
+        |    (c_custkey * 2654435761 + 91) % 4294967296 AS hy
+        |  FROM customer),
+        |h1 AS (
+        |  SELECT id, xor(hx, hx >> 16) AS hx, xor(hy, hy >> 16) AS hy
+        |  FROM h0),
+        |h2 AS (
+        |  SELECT id, (hx * 1540483477) % 4294967296 AS hx,
+        |    (hy * 1540483477) % 4294967296 AS hy
+        |  FROM h1),
+        |pts AS (
+        |  SELECT id, xor(hx, hx >> 13) % 10000 AS x,
+        |    xor(hy, hy >> 13) % 10000 AS y
+        |  FROM h2)
+        |SELECT a.id, CAST(count(*) AS BIGINT) AS n_nb,
+        |  CAST(sum((a.x - b.x) * (a.x - b.x)
+        |         + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS sum_d2,
+        |  CAST(min(b.id) AS BIGINT) AS min_nb_id
+        |FROM pts a JOIN pts b
+        |  ON b.x BETWEEN a.x - 200 AND a.x + 200
+        | AND b.y BETWEEN a.y - 200 AND a.y + 200
+        | AND a.id != b.id
+        | AND (a.x - b.x) * (a.x - b.x)
+        |   + (a.y - b.y) * (a.y - b.y) <= 40000
+        |GROUP BY a.id""".stripMargin,
     // the rewrite reshapes cost, never results: the oracle is the naive
     // range join itself (DuckDB plans it as its native IEJoin)
     "join_range_autorewrite" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -297,6 +298,33 @@ object LlmCuration extends OpModule {
         col("n_model_only"), col("example_disagree"),
         expr("(n_rule_only + n_model_only) * 10000 div n_docs")
           .as("disagree_bp"))
+  }
+
+  /** UNCERTAINTY SAMPLING off the trained classifier — the active-
+    * learning selection every labeling budget runs on: the docs nearest
+    * the decision boundary (smallest |margin|) are where the model is
+    * least sure and a human label is worth most, so the next annotation
+    * batch is the bottom-K by |margin| per language (stratified — an
+    * unstratified pick drains the budget into the dominant language).
+    * Output per (lang, rank): doc id, signed margin, teacher label,
+    * model prediction — the batch handed to annotators plus the
+    * disagreement context reviewers want beside it. At 100 TB: scoring
+    * rides the memoized (features, weights) broadcast-join pass, and
+    * the per-lang bottom-K is a rank-≤-K window — Spark's
+    * WindowGroupLimit keeps K rows per map task BEFORE the shuffle, so
+    * the exchange carries ≤ K·partitions rows per language, never the
+    * corpus (the llm_sample_reservoir economics). Ties break on doc_id
+    * for engine-agnostic determinism. */
+  def uncertaintySample(s: SparkSession, d: String): DataFrame = {
+    val (feats, wT) = clfTrained(s, d)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(abs(col("margin")).asc, col("doc_id").asc)
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(clfMargins(feats, wT), "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("doc_id"), col("margin"),
+        col("y").as("label"), (col("margin") > 0L).as("pred"))
   }
 
   /** HOLD-OUT evaluation for the classifier (VERDICT r11 task 5): the
@@ -1229,6 +1257,7 @@ object LlmCuration extends OpModule {
     "llm_quality_classifier" -> qualityClassifier _,
     "llm_quality_gate" -> qualityGate _,
     "llm_quality_holdout" -> qualityHoldout _,
+    "llm_uncertainty_sample" -> uncertaintySample _,
     "llm_quality_filter" -> qualityFilter _,
     "llm_sample_stratified" -> sampleStratified _,
     "llm_sample_reservoir" -> sampleReservoir _,
@@ -1364,6 +1393,28 @@ object LlmCuration extends OpModule {
           |  n_rule_only, n_model_only, example_disagree,
           |  (n_rule_only + n_model_only) * 10000 // n_docs AS disagree_bp
           |FROM fun""".stripMargin),
+    // uncertainty sampling: the same verbatim training chain to the
+    // final margins, then bottom-5 |margin| per language
+    "llm_uncertainty_sample" ->
+      (clfFeatsCtes +
+        """w1 AS MATERIALIZED (
+          |  SELECT fid, CAST(sum(y * cnt) AS BIGINT) AS w
+          |  FROM feats GROUP BY 1),
+          |""".stripMargin
+        + clfRoundCtes(1) + ",\n" + clfRoundCtes(2) + ",\n" + clfRoundCtes(3)
+        + """,
+          |mf AS MATERIALIZED (
+          |  SELECT f.doc_id, f.y,
+          |    CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS margin
+          |  FROM feats f LEFT JOIN w4 w USING (fid) GROUP BY 1, 2),
+          |rk AS (
+          |  SELECT d.lang, m.doc_id, m.margin, m.y,
+          |    row_number() OVER (PARTITION BY d.lang
+          |      ORDER BY abs(m.margin) ASC, m.doc_id ASC) AS rank
+          |  FROM mf m JOIN documents d USING (doc_id))
+          |SELECT lang, rank, doc_id, margin, y AS label,
+          |  margin > 0 AS pred
+          |FROM rk WHERE rank <= 5""".stripMargin),
     // hold-out: train ONLY on the masked-Knuth train buckets (b < 18,
     // llm_split_holdout's gate), score the val bucket (b = 18) under
     // the frozen w4 — the same round CTEs over the tfeats relation

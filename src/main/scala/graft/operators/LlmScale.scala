@@ -1539,6 +1539,67 @@ object LlmScale extends OpModule {
       .select(col("tok"), col("df"), col("total_tf"), col("postings"))
   }
 
+  /** OPQ-style ROTATION ablation for product quantization — the r11
+    * stretch item: PQ's error is dominated by its hottest subspace, and
+    * OPQ's fix is an orthogonal rotation that balances energy across
+    * subspaces before quantizing. The learned-rotation half is a PCA
+    * problem; the STRUCTURED half — used as OPQ's initializer and as
+    * the standard fast rotation in practice — is the Hadamard
+    * transform, which is exactly replayable in integer arithmetic:
+    * H[j][k] = (−1)^popcount(j&k), applied WITHOUT the 1/8
+    * normalization so every rotated coordinate stays an exact BIGINT
+    * (energies scale by 64; the cross-variant error comparison divides
+    * the rotated totals by 64 once, on positive values, where trunc
+    * and floor division agree). The input is the fixture embedding on
+    * a 10³ lattice with a DETERMINISTIC anisotropic scaling (dim j
+    * × (8+j)/8, floor) — the energy-decay profile real (PCA-ordered)
+    * embeddings exhibit and the profile that makes plain PQ's
+    * subspace 7 ~60× hotter than subspace 0. Per (variant, subspace):
+    * min/max, exact energy, and the quantization error of a uniform
+    * 256-level per-subspace grid (the fixed-bit-budget stand-in for a
+    * codebook — same bits, same adaptivity granularity as PQ's
+    * per-subspace codebooks). The readout: rotation flattens the
+    * subspace energy profile and cuts the normalized total grid error
+    * — the OPQ premise, measured. One zero-shuffle map over the corpus
+    * (each vector's rotation is the codegen'd `fwht64` 6-stage
+    * butterfly — 64·6 adds, not the 64×64 matrix fold) + a 16-row
+    * aggregate; scan-bound at any N. */
+  def annOpq(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val base = Tables.embeddings(s, d).select(col("vec_id"), expr(
+      """transform(sequence(0, 63), j ->
+        |  cast(round(cast(element_at(embedding, j + 1) as double)
+        |             * 100.0, 0) as bigint) * (8 + j))"""
+        .stripMargin).as("v"))
+    // fwht64 (custom codegen'd Expression): the 6-stage butterfly. The
+    // SQL-HOF matrix spelling (64×64 interpreted multiply-adds per row)
+    // measured ~285 s at the 10× probe tier; the kernel computes the
+    // identical H[j][k] = (−1)^popcount(j&k) product at scan cost.
+    val had = base.select(col("vec_id"), expr("fwht64(v)").as("v"))
+    val both = base.select(lit("plain").as("variant"), col("v"))
+      .unionByName(had.select(lit("hadamard").as("variant"), col("v")))
+    val dims = both
+      .select(col("variant"), posexplode(col("v")).as(Seq("j", "x")))
+      .withColumn("m", expr("CAST(j DIV 8 AS INT)"))
+    val stats = dims.groupBy(col("variant"), col("m"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        sum(expr("x * x")).as("energy"))
+    dims.join(broadcast(stats), Seq("variant", "m"))
+      .withColumn("step", greatest(lit(1L), expr("(mx - mn) DIV 255")))
+      .withColumn("q", least(lit(255L), expr("(x - mn) DIV step")))
+      .withColumn("recon", expr("mn + q * step + step DIV 2"))
+      .groupBy(col("variant"), col("m"), col("mn"), col("mx"),
+        col("energy"))
+      .agg(sum(expr("(x - recon) * (x - recon)")).as("grid_err"))
+      // rotated coordinates carry 64× the energy (unnormalized H):
+      // normalize once, on positive totals, for cross-variant reads
+      .select(col("variant"), col("m"), col("mn"), col("mx"),
+        expr("CAST(IF(variant = 'hadamard', energy DIV 64, energy) AS BIGINT)")
+          .as("energy_n"),
+        expr("CAST(IF(variant = 'hadamard', grid_err DIV 64, grid_err) AS BIGINT)")
+          .as("grid_err_n"))
+  }
+
   // ── llm_ann_pq ────────────────────────────────────────────────────────
 
   /** Product-quantization ANN with asymmetric distance computation — the
@@ -1710,6 +1771,106 @@ object LlmScale extends OpModule {
       .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
       .select(col("qid"), col("n_hit"),
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
+  /** Per-dimension SCALAR quantization (SQ8) retrieval eval — the third
+    * leg of the accuracy-per-byte trio beside truncation
+    * (llm_ann_matryoshka) and codebooks (llm_ann_pq_recall): compress
+    * each dimension independently to 8 bits on a uniform [min, max]
+    * grid learned from ONE 64-row corpus aggregate (the FAISS
+    * ScalarQuantizer / Lucene int8 HNSW trade — 4× smaller vectors, no
+    * codebook training, distances decompress-free). Search is
+    * ASYMMETRIC like ADC: the query stays exact, candidates rank by
+    * their reconstructed (dequantized) lattice points; recall@3 scores
+    * against the shared `exactQTop3` full-precision ground truth. The
+    * grid math is the same max(1, range div 255) integer step as
+    * llm_ann_opq's ablation grid, so the two rows read together: OPQ
+    * measures WHERE the grid error concentrates, SQ8 measures what that
+    * error costs in ranking. One 64-row min/max aggregate (map-side
+    * combined) broadcast back as a sorted struct array, one zero-shuffle
+    * reconstruct map, then the bounded 10-query broadcast brute pass
+    * every recall row uses — corpus-linear, never a pair space. */
+  def annSq8(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val qv = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
+        .as("qv"))
+    val rng = qv
+      .select(posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .select(col("dim"), col("mn"),
+        greatest(lit(1L), expr("(mx - mn) DIV 255")).as("step"))
+      .groupBy()
+      .agg(expr("array_sort(collect_list(struct(dim, mn, step)))").as("r"))
+    // reconstruct: mn + min(255, (x - mn) div step)·step + step div 2 —
+    // x ≥ mn so every division operand is nonnegative (trunc ≡ floor)
+    val recon = qv.crossJoin(broadcast(rng))
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), i ->
+          |  element_at(r, i + 1).mn
+          |  + least(255L, (element_at(qv, i + 1) - element_at(r, i + 1).mn)
+          |                DIV element_at(r, i + 1).step)
+          |    * element_at(r, i + 1).step
+          |  + element_at(r, i + 1).step DIV 2)""".stripMargin).as("rv"))
+    val q = qv.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val sq3 = recon.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(rv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    exactQTop3(s, d)
+      .join(sq3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
+  /** ColBERT-style LATE-INTERACTION retrieval (MaxSim) — the scoring
+    * family between single-vector ANN (one dot per candidate, loses
+    * token locality) and cross-encoders (a model call per pair,
+    * unaffordable as a first stage): every vector is viewed as 8 token
+    * vectors of 8 dims (contiguous slices of the 64-dim lattice — the
+    * multi-vector layout ColBERT/PLAID store), and
+    * score(q, d) = Σ_i max_j ⟨q_tok_i, d_tok_j⟩ — each query token
+    * matches its best document token independently, which is what lets
+    * late interaction reward partial/aligned matches a pooled vector
+    * averages away. Top-3 candidates per query by (score DESC, id ASC),
+    * exact BIGINT lattice dots (8-dim dot ≤ 8·(2·10⁶)² < 2⁶³). Shape:
+    * 10 broadcast queries × ONE corpus scan with the 8×8 dot/max/sum
+    * fold fused per row (512 mults, zero shuffle before the bounded
+    * top-3 window) — per-candidate work is 8× a plain dot, the
+    * documented MaxSim cost, never a token-pair shuffle (exploding
+    * tokens would shuffle 64 rows per (q, d) pair for the same fold).
+    * In production the first-stage ANN rows prune candidates and this
+    * op is the re-rank pass over their union. */
+  def colbertMaxsim(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val qv = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
+        .as("qv"))
+    val q = qv.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("maxsim").desc, col("cand_id").asc)
+    qv.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      // maxsim8 (custom codegen'd Expression): the 8×8×8 dot/max/sum
+      // fold fused in one native loop — the three-deep SQL-HOF spelling
+      // interprets boxed lambdas per element
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("maxsim8(qq, qv)").as("maxsim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cand_id"), col("maxsim"))
   }
 
   /** RESIDUAL IVFPQ (the full FAISS IVFADC shape, r11 — closing the ANN
@@ -1910,6 +2071,8 @@ object LlmScale extends OpModule {
     "llm_ann_pq" -> annPq _,
     "llm_ann_pq_recall" -> annPqRecall _,
     "llm_ann_matryoshka" -> annMatryoshka _,
+    "llm_ann_sq8" -> annSq8 _,
+    "llm_colbert_maxsim" -> colbertMaxsim _,
     "llm_ann_pq_residual" -> annPqResidual _,
     "llm_ann_pq_residual_recall" -> annPqResidualRecall _,
     "llm_cooccur" -> cooccur _,
@@ -1921,6 +2084,7 @@ object LlmScale extends OpModule {
     "llm_decontaminate_bloom" -> decontaminateBloom _,
     "llm_pack_sequences" -> packSequences _,
     "llm_pack_sweep" -> packSweep _,
+    "llm_ann_opq" -> annOpq _,
     "llm_kmeans" -> kmeans _,
     "llm_cluster_topics" -> clusterTopics _,
     "llm_kmeans_twolevel" -> kmeansTwoLevel _,
@@ -2494,6 +2658,78 @@ object LlmScale extends OpModule {
         |       round(count(t.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
         |FROM ex3 e LEFT JOIN tr3 t USING (qid, cand_id)
         |GROUP BY e.qid""".stripMargin,
+    // per-dim SQ8 recall vs the full-precision exact top-3 — same grid
+    // math as llm_ann_opq (max(1, range // 255) step), asymmetric rank
+    "llm_ann_sq8" ->
+      """WITH dims AS MATERIALIZED (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |rng AS MATERIALIZED (
+        |  SELECT dim, min(q) AS mn,
+        |    greatest(1, (max(q) - min(q)) // 255) AS step
+        |  FROM dims GROUP BY 1),
+        |rec AS MATERIALIZED (
+        |  SELECT d.vec_id, d.dim,
+        |    r.mn + least(255, (d.q - r.mn) // r.step) * r.step
+        |         + r.step // 2 AS rq
+        |  FROM dims d JOIN rng r USING (dim)),
+        |ex AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq
+        |  JOIN dims dc ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10
+        |  GROUP BY 1, 2),
+        |ex3 AS (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM ex) WHERE rn <= 3),
+        |sq AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.rq) * (dq.q - dc.rq)) AS dist
+        |  FROM dims dq
+        |  JOIN rec dc ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10
+        |  GROUP BY 1, 2),
+        |sq3 AS (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM sq) WHERE rn <= 3)
+        |SELECT e.qid, CAST(count(t.cand_id) AS BIGINT) AS n_hit,
+        |       round(count(t.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+        |FROM ex3 e LEFT JOIN sq3 t USING (qid, cand_id)
+        |GROUP BY e.qid""".stripMargin,
+    // MaxSim: token t of vector v = dims [8t, 8t+8); per (q, cand,
+    // qtok, dtok) dot via the k-aligned join, max over dtok, sum over
+    // qtok — the same fold the Spark HOF fuses per row
+    "llm_colbert_maxsim" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT vec_id, (i - 1) // 8 AS tok, (i - 1) % 8 AS k,
+        |    CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |dots AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    dq.tok AS qi, dc.tok AS dj, sum(dq.q * dc.q) AS dot
+        |  FROM toks dq
+        |  JOIN toks dc ON dq.k = dc.k AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10
+        |  GROUP BY 1, 2, 3, 4),
+        |mx AS (
+        |  SELECT qid, cand_id, qi, max(dot) AS m
+        |  FROM dots GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT qid, cand_id, CAST(sum(m) AS BIGINT) AS maxsim
+        |  FROM mx GROUP BY 1, 2)
+        |SELECT qid, rank, cand_id, maxsim FROM (
+        |  SELECT qid, cand_id, maxsim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY maxsim DESC, cand_id ASC) AS BIGINT) AS rank
+        |  FROM sc) WHERE rank <= 3""".stripMargin,
     "llm_ann_pq_recall" ->
       (pqCtes + """,
         |ex AS (
@@ -2973,6 +3209,46 @@ object LlmScale extends OpModule {
         |    AS total_waste,
         |  round(sum(tok)::DOUBLE / (count(*) * $C), 4) AS fill_rate
         |FROM bins GROUP BY lang""".stripMargin,
+    // identical lattice, H[j][k] = (−1)^popcount(j&k), same grid math
+    "llm_ann_opq" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    [CAST(round(embedding[j + 1] * 100.0, 0) AS BIGINT)
+        |      * (8 + j) for j in range(0, 64)] AS v
+        |  FROM embeddings),
+        |had AS (
+        |  SELECT vec_id,
+        |    [CAST(list_sum([v[j + 1] * (CASE WHEN
+        |        bit_count(CAST(j AS BIGINT) & CAST(k AS BIGINT)) % 2 = 0
+        |        THEN 1 ELSE -1 END) for j in range(0, 64)]) AS BIGINT)
+        |     for k in range(0, 64)] AS v
+        |  FROM base),
+        |b2 AS (
+        |  SELECT 'plain' AS variant, v FROM base
+        |  UNION ALL SELECT 'hadamard', v FROM had),
+        |dims AS (
+        |  SELECT variant, CAST((t.j - 1) // 8 AS INT) AS m, v[t.j] AS x
+        |  FROM b2 CROSS JOIN range(1, 65) t(j)),
+        |stats AS (
+        |  SELECT variant, m, min(x) AS mn, max(x) AS mx,
+        |    CAST(sum(x * x) AS BIGINT) AS energy
+        |  FROM dims GROUP BY variant, m),
+        |e AS (
+        |  SELECT d.variant, d.m, s.mn, s.mx, s.energy,
+        |    greatest(1, (s.mx - s.mn) // 255) AS step, d.x
+        |  FROM dims d JOIN stats s ON d.variant = s.variant AND d.m = s.m),
+        |r AS (
+        |  SELECT variant, m, mn, mx, energy, x,
+        |    mn + least(255, (x - mn) // step) * step + step // 2 AS recon
+        |  FROM e)
+        |SELECT variant, m, mn, mx,
+        |  CAST(CASE WHEN variant = 'hadamard' THEN energy // 64
+        |       ELSE energy END AS BIGINT) AS energy_n,
+        |  CAST(CASE WHEN variant = 'hadamard'
+        |       THEN sum((x - recon) * (x - recon)) // 64
+        |       ELSE sum((x - recon) * (x - recon)) END AS BIGINT)
+        |    AS grid_err_n
+        |FROM r GROUP BY variant, m, mn, mx, energy""".stripMargin,
     // same exclusive-cumsum bin math per (lang, cap); integer bp fill
     "llm_pack_sweep" ->
       """WITH caps AS (SELECT unnest([64, 128, 256, 512]) AS cap),

@@ -183,4 +183,33 @@ class AggregatesSpec extends SparkSpec {
       }
     }
   }
+
+  test("agg_histogram_equidepth: matches the sorted local replay, depths near-balanced") {
+    val got = graft.operators.Aggregates.aggHistogramEquidepth(spark, sf)
+      .collect()
+      .map(r => r.getAs[Int]("bucket").toLong ->
+        (r.getAs[Long]("n"), r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .toMap
+    // local replay: exact order statistics at rank ceil(i·n/8)
+    val vs = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_extendedprice"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vs.length
+    val bounds = (1 to 7).map(i => vs(((i.toLong * n + 7) / 8).toInt - 1))
+    def rnd(x: Double) = math.round(x * 10000.0) / 10000.0
+    val want = vs.groupBy(v => bounds.count(_ < v).toLong)
+      .map { case (b, xs) => b -> (xs.length.toLong, rnd(xs.min), rnd(xs.max)) }
+    assert(got == want, s"equi-depth diverges from replay")
+    assert(got.values.map(_._1).sum == n)
+    // boundaries partition the VALUE axis: bucket hi ≤ next bucket lo
+    val ord = got.toSeq.sortBy(_._1).map(_._2)
+    ord.zip(ord.tail).foreach { case ((_, _, hi), (_, lo, _)) =>
+      assert(hi <= lo, "buckets must not overlap on the value axis")
+    }
+    // near-balanced on a mostly-distinct column: each depth within 2×
+    // of the ideal n/8 (duplicates may legitimately skew; the fixture
+    // price column is fine-grained enough not to)
+    got.values.map(_._1).foreach(c =>
+      assert(c <= 2 * n / 8 && c >= n / 16, s"depth $c vs ideal ${n / 8}"))
+  }
 }

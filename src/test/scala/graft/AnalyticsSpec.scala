@@ -1028,4 +1028,60 @@ class AnalyticsSpec extends SparkSpec {
       .agg((count(lit(1)) - 1).as("t")).agg(sum($"t")).as[Long].head()
     assert(out.map(_.getAs[Long]("n")).sum == want)
   }
+
+  test("dq_benford: exact digit shares vs local replay, chi2 consistent") {
+    val rows = Analytics.dqBenford(spark, sf).collect()
+      .map(r => r.getAs[Int]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("obs_bp"), r.getAs[Long]("exp_bp"),
+          r.getAs[Long]("dev_bp"), r.getAs[Long]("chi2_bp")))
+      .toMap
+    assert(rows.keySet.subsetOf((1 to 9).toSet) && rows.nonEmpty)
+    // local replay of the exact first-digit extraction
+    val cents = Tables.orders(spark, sf).select($"o_totalprice")
+      .collect().map(r => math.round(r.getDouble(0) * 100))
+    val byDigit = cents.groupBy(_.toString.head.asDigit)
+      .view.mapValues(_.length.toLong).toMap
+    val total = cents.length.toLong
+    assert(rows.view.mapValues(_._1).toMap == byDigit)
+    rows.foreach { case (d, (nd, obs, exp, dev, _)) =>
+      assert(obs == nd * 10000L / total)
+      assert(dev == math.abs(obs - exp))
+    }
+    // single chi2 value repeated per row, equal to the fold over rows
+    val chis = rows.values.map(_._5).toSet
+    assert(chis.size == 1)
+    val want = rows.values.map(t => t._4 * t._4 / t._3).sum
+    assert(chis.head == want)
+  }
+
+  test("ts_cume_distinct: equals the quadratic distinct-through-day spelling") {
+    val got = Analytics.tsCumeDistinct(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("new_users"), r.getAs[Long]("cume_distinct_users")))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").cast("string").as("day"), $"user_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // the emitted series is SPARSE (only days a first-timer appears —
+    // zero-new days add nothing to the curve); ground truth is the
+    // quadratic distinct-through-day spelling on those days
+    val firstDays = ev.groupBy(e => (e._1, e._3)).view
+      .mapValues(_.map(_._2).min).toSeq
+      .map { case ((tpe, _), d) => (tpe, d) }.distinct
+    val want = firstDays.map { case (tpe, d) =>
+      val through = ev.filter(e => e._1 == tpe && e._2 <= d)
+        .map(_._3).distinct.size.toLong
+      val before = ev.filter(e => e._1 == tpe && e._2 < d)
+        .map(_._3).distinct.size.toLong
+      (tpe, d) -> (through - before, through)
+    }.toMap
+    assert(got == want, s"${got.size} vs ${want.size} series points")
+    // and every zero-new day the sparse series omits is curve-constant:
+    // total distinct per type equals the last cumulative point
+    got.groupBy(_._1._1).foreach { case (tpe, pts) =>
+      val last = pts.maxBy(_._1._2)._2._2
+      val totalDistinct = ev.filter(_._1 == tpe).map(_._3).distinct.size.toLong
+      assert(last == totalDistinct, s"$tpe curve must end at total distinct")
+    }
+  }
 }

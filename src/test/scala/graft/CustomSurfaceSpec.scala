@@ -685,4 +685,78 @@ class CustomSurfaceSpec extends SparkSpec {
       assert(once.fastEquals(twice), "rule must be a fixed point")
     } finally spark.conf.unset(graft.plans.RangeBucketRewrite.Flag)
   }
+
+  test("fwht64: equals the explicit (-1)^popcount(j&k) matrix, involutive up to 64, codegen agrees") {
+    GraftExtensions.register(spark)
+    val vecs = Tables.embeddings(spark, sf).limit(20)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v")
+    val df = vecs.selectExpr("vec_id", "v", "fwht64(v) AS h")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val v = r.getSeq[Long](1)
+      val h = r.getSeq[Long](2)
+      // the explicit Hadamard product the butterfly must equal
+      val want = (0 until 64).map(k =>
+        (0 until 64).map(j =>
+          v(j) * (if (java.lang.Long.bitCount(j & k) % 2 == 0) 1L else -1L))
+          .sum)
+      assert(h == want, s"butterfly != matrix for vec ${r.getLong(0)}")
+    }
+    // H·H = 64·I (unnormalized involution)
+    val inv = vecs.selectExpr("v", "fwht64(fwht64(v)) AS hh").collect()
+    inv.foreach { r =>
+      val v = r.getSeq[Long](0); val hh = r.getSeq[Long](1)
+      assert(hh == v.map(_ * 64L), "H(H(v)) must equal 64·v")
+    }
+    // interpreted eval must agree with codegen bit-for-bit
+    val codegen = rows.map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+      assert(codegen == interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("maxsim8: equals the local token-fold replay, >= pooled dot/8 bound sanity, codegen agrees") {
+    GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, sf).limit(12)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v")
+    val df = emb.as("x").crossJoin(emb.as("y"))
+      .selectExpr("x.vec_id AS a", "y.vec_id AS b",
+        "x.v AS xv", "y.v AS yv", "maxsim8(x.v, y.v) AS ms")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val xv = r.getSeq[Long](2); val yv = r.getSeq[Long](3)
+      val want = (0 until 8).map { i =>
+        (0 until 8).map { j =>
+          (0 until 8).map(k => xv(i * 8 + k) * yv(j * 8 + k)).sum
+        }.max
+      }.sum
+      assert(r.getLong(4) == want,
+        s"maxsim8 != replay for (${r.getLong(0)}, ${r.getLong(1)})")
+      // each query token's best match is >= its aligned-token dot, so
+      // maxsim >= the full pooled dot (sum of aligned dots)
+      val pooled = (0 until 64).map(k => xv(k) * yv(k)).sum
+      assert(r.getLong(4) >= pooled, "maxsim must dominate the aligned dot")
+    }
+    val codegen = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+      assert(codegen == interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }

@@ -307,4 +307,43 @@ class JoinsSpec extends SparkSpec {
       .toSet
     assert(got.nonEmpty && got == want, s"$got vs $want")
   }
+
+  test("join_spatial_radius: cell-binned join equals the brute O(N²) local replay, plans an equi-join") {
+    val got = graft.operators.Joins.joinSpatialRadius(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute replay over the same deterministic lattice
+    def mix(i: Long, salt: Long): Long = {
+      val m = 4294967296L
+      var h = (i * 2654435761L + salt) % m
+      h ^= h >> 16
+      h = (h * 1540483477L) % m
+      h ^= h >> 13
+      h % 10000L
+    }
+    val pts = graft.Tables.customer(spark, sf)
+      .select(org.apache.spark.sql.functions.col("c_custkey")).collect().map(_.getLong(0))
+      .map(id => (id, mix(id, 17L), mix(id, 91L)))
+    val want = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia != ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= 40000L
+    } yield (ia, ib, d2))
+      .groupBy(_._1)
+      .map { case (id, nbs) =>
+        id -> (nbs.size.toLong, nbs.map(_._3).sum, nbs.map(_._2).min)
+      }
+    assert(want.nonEmpty, "fixture must have at least one close pair")
+    assert(got == want, s"cell join diverges from brute: " +
+      s"${got.size} vs ${want.size} points with neighbors")
+    // the plan must be the cell equi-join — never a distance cross join
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val bad = collectFinal(graft.operators.Joins.joinSpatialRadius(spark, sf)) {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bad.isEmpty, "spatial join must bin, not cross")
+  }
 }

@@ -568,4 +568,44 @@ class LlmCurationSpec extends SparkSpec {
       case e: ShuffleExchangeExec => e }
     assert(sc.isEmpty, s"span_corruption must be shuffle-free, got ${sc.size}")
   }
+
+  test("uncertainty_sample: bottom-5 |margin| per lang, consistent with the classifier's margins") {
+    val out = LlmCuration.uncertaintySample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    // per-lang: ranks are 1..min(5, n), |margin| non-decreasing by rank
+    out.groupBy(_._1).foreach { case (lang, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1 to rs.length), s"ranks broken for $lang: $ranks")
+      assert(rs.length <= 5)
+      val m = rs.sortBy(_._2).map(t => math.abs(t._4))
+      assert(m.zip(m.tail).forall { case (a, b) => a <= b },
+        s"|margin| must be non-decreasing by rank for $lang")
+    }
+    // the sampled margins/labels/preds must match the classifier audit
+    val clf = LlmCuration.qualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1), r.getBoolean(3)))
+      .toMap
+    out.foreach { case (_, _, docId, margin, label, pred) =>
+      val (cm, cl, cp) = clf(docId)
+      assert(cm == margin && cl == label && cp == pred,
+        s"doc $docId diverges from the classifier audit")
+    }
+    // the pick is GLOBAL-per-lang: no unsampled doc of that lang may
+    // have a strictly smaller |margin| than its lang's rank-max
+    val langOf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val worstPicked = out.groupBy(_._1)
+      .map { case (l, rs) => l -> rs.map(t => math.abs(t._4)).max }
+    val picked = out.map(_._3).toSet
+    clf.foreach { case (docId, (m, _, _)) =>
+      if (!picked.contains(docId))
+        worstPicked.get(langOf(docId)).foreach { w =>
+          assert(math.abs(m) >= w,
+            s"doc $docId (|m|=${math.abs(m)}) beats a sampled doc (max $w)")
+        }
+    }
+  }
 }

@@ -694,6 +694,58 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("ann_opq: Hadamard rotation balances subspace energy and cuts grid error") {
+    val rows = LlmScale.annOpq(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("energy_n"), r.getAs[Long]("grid_err_n"))).toMap
+    assert(rows.keySet == (for (v <- Seq("plain", "hadamard"); m <- 0 to 7)
+      yield (v, m)).toSet)
+    def profile(v: String) = (0 to 7).map(m => rows((v, m)))
+    val (pe, he) = (profile("plain").map(_._1), profile("hadamard").map(_._1))
+    // the anisotropic input makes plain subspaces badly unbalanced; the
+    // rotation flattens them (measured ~32× → ~1.03× at sf0.001)
+    assert(pe.max > 10 * pe.min, s"plain profile unexpectedly flat: $pe")
+    assert(he.max < 2 * he.min, s"rotation failed to balance: $he")
+    // rotation preserves total energy (Parseval, exactly — up to the
+    // //64 normalization's truncation)
+    assert(math.abs(pe.sum - he.sum) <= 64L * 8,
+      s"energy not conserved: ${pe.sum} vs ${he.sum}")
+    // and the balanced profile quantizes better on the same bit budget
+    val (pg, hg) = (profile("plain").map(_._2).sum,
+      profile("hadamard").map(_._2).sum)
+    assert(hg < pg, s"rotated grid error $hg must undercut plain $pg")
+  }
+
+  test("ann_sq8: 10 query rows, recall in [0,1], grid reconstruction near-lossless on the lattice") {
+    val rows = LlmScale.annSq8(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.keySet == (0L until 10L).toSet)
+    rows.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    // 8 bits per dim on the fixture's per-dim ranges leaves grid cells
+    // far smaller than typical inter-point gaps — SQ8's selling point is
+    // near-exact ranking at 4× compression, so mean recall must be high
+    val mean = rows.values.sum / rows.size
+    assert(mean >= 0.8, s"SQ8 recall collapsed: $rows")
+  }
+
+  test("colbert_maxsim: top-3 per query, scores ordered, dominates the pooled aligned dot") {
+    val out = LlmScale.colbertMaxsim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 30, s"10 queries × top-3, got ${out.length}")
+    out.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1, 2, 3))
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"scores must be non-increasing by rank for qid $qid")
+      // ties broken by cand_id: equal scores must order ascending
+      rs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) if a._4 == b._4 =>
+          assert(a._3 < b._3, s"tie must break on cand_id for qid $qid")
+        case _ => ()
+      }
+    }
+  }
+
   test("llm_pca_power: matches a dense local replay, rayleigh climbs per round") {
     import spark.implicits._
     val out = LlmScale.pcaPower(spark, sf).collect()

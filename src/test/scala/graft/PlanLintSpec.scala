@@ -62,7 +62,15 @@ class PlanLintSpec extends SparkSpec {
     // LSH recall eval (r12): both sides are the FIXED 160-row audit
     // sample (128 lowest-id docs + 32 planted renditions) — the pair
     // space is sample², constant in corpus size like the ANN probes
-    "llm_dedup_near_recall"
+    "llm_dedup_near_recall",
+    // SQ8 recall (r12): the 10-query broadcast brute side (like every
+    // recall row) plus the 1-row broadcast of the 64-entry grid table
+    "llm_ann_sq8",
+    // MaxSim re-rank (r12): the same bounded 10-query broadcast side
+    "llm_colbert_maxsim",
+    // 1-row broadcasts: total-count join (benford), the 1-row boundary
+    // array + 1-row stats (equi-depth histogram) — constant build sides
+    "dq_benford", "agg_histogram_equidepth"
   )
 
   // ops whose KEYLESS window (empty partition spec → ONE task sorts the
