@@ -128,7 +128,11 @@ object ScaleProbe {
         // pairs grow ×copies² BY CONSTRUCTION — the 1×/10× tiers
         // document that output-mass growth; 30× would aggregate ~250 M
         // directed pairs for a 450 k-row readout
-        "join_spatial_radius") else Seq.empty)
+        "join_spatial_radius",
+        // spatial kNN (r12): same ×copies² candidate-pair generation as
+        // the radius join (the WindowGroupLimit prunes post-shuffle
+        // mass, not the pair-filter work), so same 30× gate
+        "join_spatial_knn") else Seq.empty)
     ) ++ Seq(
       // incremental shard-vs-index dedup: cost must track the NEW side
       // (B·collisions) — the clone corpus inflates index collisions per
@@ -412,6 +416,10 @@ object ScaleProbe {
       // reconstruct map + the 10-query broadcast brute pass — linear in
       // N like every recall row
       "llm_ann_sq8",
+      // OPQ end-to-end recall (r12): TWO full PQ trainings (each two
+      // corpus passes vs broadcast ≤16-row codebooks) + one brute pass
+      // — 5 corpus-linear passes total, growth must track llm_ann_pq ×2
+      "llm_ann_opq_recall",
       // late-interaction MaxSim (r12): 10 broadcast queries × one
       // corpus scan with the codegen'd maxsim8 fold fused per row —
       // per-candidate work is a fixed 512 multiply-adds, output top-3

@@ -776,7 +776,10 @@ object Joins extends OpModule {
     * skewed hot cell would AQE-split like any hash join. Output: per
     * point its neighbor count and exact squared-distance checksum —
     * bounded by point count. */
-  def joinSpatialRadius(s: SparkSession, d: String): DataFrame = {
+  /** Shared (id, rid, d2) within-R candidate pairs for the spatial
+    * family (radius audit + kNN): the 3×3 cell-neighborhood explode
+    * keying an equi-join, exact residual inside. */
+  private def spatialPairs(s: SparkSession, d: String): DataFrame = {
     val R = 200
     // salted multiply-xor-shift mix (murmur-style finalizer, exact in
     // BIGINT: 2³²·1540483477 < 2⁶³) — a plain LCG-mod lattice is NOT
@@ -806,16 +809,40 @@ object Joins extends OpModule {
       .where(col("id") =!= col("rid") &&
         (col("x") - col("rx")) * (col("x") - col("rx"))
           + (col("y") - col("ry")) * (col("y") - col("ry")) <= lit(R * R))
+      .select(col("id"), col("rid"),
+        ((col("x") - col("rx")) * (col("x") - col("rx"))
+          + (col("y") - col("ry")) * (col("y") - col("ry"))).as("d2"))
+  }
+
+  def joinSpatialRadius(s: SparkSession, d: String): DataFrame =
+    spatialPairs(s, d)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_nb"),
-        sum((col("x") - col("rx")) * (col("x") - col("rx"))
-          + (col("y") - col("ry")) * (col("y") - col("ry")))
-          .cast("bigint").as("sum_d2"),
+        sum(col("d2")).cast("bigint").as("sum_d2"),
         min(col("rid")).cast("bigint").as("min_nb_id"))
+
+  /** k-NEAREST-NEIGHBORS within radius R per point — the retrieval face
+    * of the spatial family (nearest stores/sensors/neighbors queries):
+    * rank the cell-binned candidate pairs per point by (distance, id)
+    * and keep the top 3. The rank-≤-k window over the id-partitioned
+    * pair set plans as WindowGroupLimit (k rows kept per map task
+    * BEFORE the shuffle), so the exchange carries ≤ k·partitions rows
+    * per point — candidate generation stays the radius join's
+    * cell-density-bounded equi-join, never an all-pairs kNN. Points
+    * with no neighbor inside R simply emit no rows (production pairs
+    * this with an expanding-ring retry for isolated points). */
+  def joinSpatialKnn(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("d2").asc, col("rid").asc)
+    spatialPairs(s, d)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("id"), col("rank"), col("rid").as("nb_id"), col("d2"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_spatial_radius" -> joinSpatialRadius _,
+    "join_spatial_knn" -> joinSpatialKnn _,
     "join_range_autorewrite" -> joinRangeAutorewrite _,
     "join_pit" -> joinPit _,
     "join_runtime_filter" -> joinRuntimeFilter _,
@@ -848,6 +875,38 @@ object Joins extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // same naive-predicate replay, ranked per point by (d2, id)
+    "join_spatial_knn" ->
+      """WITH h0 AS (
+        |  SELECT c_custkey AS id,
+        |    (c_custkey * 2654435761 + 17) % 4294967296 AS hx,
+        |    (c_custkey * 2654435761 + 91) % 4294967296 AS hy
+        |  FROM customer),
+        |h1 AS (
+        |  SELECT id, xor(hx, hx >> 16) AS hx, xor(hy, hy >> 16) AS hy
+        |  FROM h0),
+        |h2 AS (
+        |  SELECT id, (hx * 1540483477) % 4294967296 AS hx,
+        |    (hy * 1540483477) % 4294967296 AS hy
+        |  FROM h1),
+        |pts AS (
+        |  SELECT id, xor(hx, hx >> 13) % 10000 AS x,
+        |    xor(hy, hy >> 13) % 10000 AS y
+        |  FROM h2),
+        |pr AS (
+        |  SELECT a.id, b.id AS nb_id,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |  FROM pts a JOIN pts b
+        |    ON b.x BETWEEN a.x - 200 AND a.x + 200
+        |   AND b.y BETWEEN a.y - 200 AND a.y + 200
+        |   AND a.id != b.id
+        |   AND (a.x - b.x) * (a.x - b.x)
+        |     + (a.y - b.y) * (a.y - b.y) <= 40000)
+        |SELECT id, rank, nb_id, d2 FROM (
+        |  SELECT id, nb_id, d2,
+        |    row_number() OVER (PARTITION BY id
+        |      ORDER BY d2 ASC, nb_id ASC) AS rank
+        |  FROM pr) WHERE rank <= 3""".stripMargin,
     // the binning reshapes cost, never results: the oracle is the naive
     // distance predicate itself (DuckDB plans the cell-band condition
     // as its native IEJoin); integer lattice, no floats

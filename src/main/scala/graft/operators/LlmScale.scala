@@ -1564,13 +1564,20 @@ object LlmScale extends OpModule {
     * (each vector's rotation is the codegen'd `fwht64` 6-stage
     * butterfly — 64·6 adds, not the 64×64 matrix fold) + a 16-row
     * aggregate; scan-bound at any N. */
-  def annOpq(s: SparkSession, d: String): DataFrame = {
-    graft.GraftExtensions.register(s)
-    val base = Tables.embeddings(s, d).select(col("vec_id"), expr(
+  /** The anisotropic lattice shared by llm_ann_opq and
+    * llm_ann_opq_recall: 10²-quantized embedding with dim j scaled by
+    * (8+j) — the PCA-ordered energy-decay profile that makes plain PQ's
+    * last subspace ~60× hotter than its first. */
+  private def opqBase(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), expr(
       """transform(sequence(0, 63), j ->
         |  cast(round(cast(element_at(embedding, j + 1) as double)
         |             * 100.0, 0) as bigint) * (8 + j))"""
         .stripMargin).as("v"))
+
+  def annOpq(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val base = opqBase(s, d)
     // fwht64 (custom codegen'd Expression): the 6-stage butterfly. The
     // SQL-HOF matrix spelling (64×64 interpreted multiply-adds per row)
     // measured ~285 s at the 10× probe tier; the kernel computes the
@@ -1598,6 +1605,56 @@ object LlmScale extends OpModule {
           .as("energy_n"),
         expr("CAST(IF(variant = 'hadamard', grid_err DIV 64, grid_err) AS BIGINT)")
           .as("grid_err_n"))
+  }
+
+  /** OPQ recall — the END-TO-END eval for llm_ann_opq's ablation: train
+    * the FULL PQ index (the shared `pqTop3From` construction — 2 Lloyd
+    * rounds per subspace, encode, ADC rank) TWICE on the same
+    * anisotropic lattice, once raw ('plain') and once Hadamard-rotated
+    * ('hadamard', the codegen'd fwht64), and score both against the
+    * exact brute top-3 in the plain space. The rotation is orthogonal
+    * (H·Hᵀ = 64·I scales every distance uniformly), so exact ranking is
+    * IDENTICAL in both spaces and one ground truth judges both indexes
+    * — the measured question is whether balancing subspace energy lets
+    * the same 8×16-codeword budget rank better. MEASURED ANSWER on this
+    * fixture: a wash (7/30 hits both variants at sf0.001 AND sf0.01,
+    * with genuinely different per-query splits) — TRAINED per-subspace
+    * codebooks already absorb a pure per-dimension SCALE anisotropy
+    * (each subspace gets its 16 codewords regardless of energy), unlike
+    * llm_ann_opq's fixed uniform grids, where the same rotation cuts
+    * error. That spread — rotation fixes fixed-grid quantizers and
+    * correlated/rank-deficient subspaces, not scale-only anisotropy
+    * under adaptive codebooks — is exactly the published OPQ boundary,
+    * and an eval that can't report a null result can't be trusted when
+    * it reports a win. Same bounded shapes as every recall row; the
+    * oracle replays BOTH train chains via the prefix-parameterized
+    * `pqTrainCtesFor` and the rotation via the explicit H matrix. */
+  def annOpqRecall(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val base = MemoUtil.scratch(opqBase(s, d)
+      .withColumnRenamed("v", "qv").localCheckpoint())
+    val rot = base.select(col("vec_id"), expr("fwht64(qv)").as("qv"))
+    val q = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val exact3 = base.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wExact))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+      .localCheckpoint()
+    def recallOf(qvec: DataFrame, label: String): DataFrame =
+      exact3
+        .join(pqTop3From(qvec).select(col("qid"), col("cand_id"))
+          .withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+        .select(lit(label).as("variant"), col("qid"), col("n_hit"),
+          round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+    recallOf(base, "plain").unionByName(recallOf(rot, "hadamard"))
   }
 
   // ── llm_ann_pq ────────────────────────────────────────────────────────
@@ -1643,14 +1700,22 @@ object LlmScale extends OpModule {
     * timing passes. */
   private def pqTop3(s: SparkSession, d: String): DataFrame =
     MemoUtil.memoize(pqMemo, (s, d)) {
+      // quantized vector form — single reader (the subvector derivation;
+      // the exact re-rank lives in annPq now), so no lineage cut needed
+      pqTop3From(Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
+          .as("qv")))
+        .localCheckpoint()
+    }
+
+  /** The full PQ construction (train 2 rounds → encode → per-query ADC
+    * tables → top-3) over ANY (vec_id, qv[64]) lattice table — shared
+    * by the 10⁶-lattice index (pqTop3/llm_ann_pq*) and the OPQ recall
+    * variants (llm_ann_opq_recall trains it on the anisotropic lattice
+    * and its Hadamard rotation). Caller owns checkpoint/memo lifecycle. */
+  private def pqTop3From(qvec: DataFrame): DataFrame = {
     val M = 8; val Kc = 16
-    val emb = Tables.embeddings(s, d)
-    // quantized vector form — single reader (the subvector derivation;
-    // the exact re-rank lives in annPq now), so no lineage cut needed
-    val qvec = emb
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 1e6, 0) as bigint))")
-        .as("qv"))
     // subvector form (vec_id, m, sv[8]); readers: seeds, assign, recenter,
     // encode, distance tables — the multi-reader lineage-cut rule
     val sub = MemoUtil.scratch(qvec
@@ -1658,7 +1723,7 @@ object LlmScale extends OpModule {
         expr(s"transform(sequence(0, ${M - 1}), m -> slice(qv, m * 8 + 1, 8))")))
       .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
       .localCheckpoint())
-    val seeds = emb.where(col("vec_id") < Kc)
+    val seeds = qvec.where(col("vec_id") < Kc)
       .select(col("vec_id"),
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("j"))
     val c0 = sub.join(broadcast(seeds), "vec_id")
@@ -1698,8 +1763,7 @@ object LlmScale extends OpModule {
       .agg(sum(col("dt")).as("adist"))
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= 3)
-      .localCheckpoint()
-    }
+  }
 
   def annPq(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
@@ -2085,6 +2149,7 @@ object LlmScale extends OpModule {
     "llm_pack_sequences" -> packSequences _,
     "llm_pack_sweep" -> packSweep _,
     "llm_ann_opq" -> annOpq _,
+    "llm_ann_opq_recall" -> annOpqRecall _,
     "llm_kmeans" -> kmeans _,
     "llm_cluster_topics" -> clusterTopics _,
     "llm_kmeans_twolevel" -> kmeansTwoLevel _,
@@ -2230,34 +2295,41 @@ object LlmScale extends OpModule {
     * the residual pipeline (llm_ann_pq_residual, dims = coarse-cell
     * residuals): the training math is identical, only the vector space
     * differs. */
-  private val pqTrainCtes: String =
-    """seeds AS (
-      |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS j
-      |  FROM (SELECT DISTINCT vec_id FROM dims WHERE vec_id < 16)),
-      |c0 AS MATERIALIZED (
-      |  SELECT s.j, d.m, d.dim, d.q AS c
-      |  FROM dims d JOIN seeds s USING (vec_id)),
-      |d1 AS (
-      |  SELECT d.vec_id, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dist
-      |  FROM dims d JOIN c0 c ON c.m = d.m AND c.dim = d.dim
-      |  GROUP BY 1, 2, 3),
-      |a1 AS MATERIALIZED (
-      |  SELECT vec_id, m, j FROM (
-      |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
-      |      ORDER BY dist ASC, j ASC) AS rn FROM d1) WHERE rn = 1),
-      |c1 AS MATERIALIZED (
-      |  SELECT a.m, a.j, d.dim,
-      |    CAST(floor(sum(d.q)::DOUBLE / count(*)) AS BIGINT) AS c
-      |  FROM dims d JOIN a1 a ON a.vec_id = d.vec_id AND a.m = d.m
-      |  GROUP BY 1, 2, 3),
-      |d2 AS (
-      |  SELECT d.vec_id, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dist
-      |  FROM dims d JOIN c1 c ON c.m = d.m AND c.dim = d.dim
-      |  GROUP BY 1, 2, 3),
-      |codes AS MATERIALIZED (
-      |  SELECT vec_id, m, j AS code FROM (
-      |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
-      |      ORDER BY dist ASC, j ASC) AS rn FROM d2) WHERE rn = 1)""".stripMargin
+  /** The PQ training replay (seed → assign → recenter → re-encode) over
+    * an arbitrary dims relation, CTE names prefixed so two independent
+    * trainings can live in one WITH (llm_ann_opq_recall trains plain +
+    * rotated side by side). The un-prefixed `pqTrainCtes` below is the
+    * verbatim text the pq/residual oracle chains have shared since r8. */
+  private def pqTrainCtesFor(p: String, dims: String): String =
+    s"""${p}seeds AS (
+       |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS j
+       |  FROM (SELECT DISTINCT vec_id FROM $dims WHERE vec_id < 16)),
+       |${p}c0 AS MATERIALIZED (
+       |  SELECT s.j, d.m, d.dim, d.q AS c
+       |  FROM $dims d JOIN ${p}seeds s USING (vec_id)),
+       |${p}d1 AS (
+       |  SELECT d.vec_id, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dist
+       |  FROM $dims d JOIN ${p}c0 c ON c.m = d.m AND c.dim = d.dim
+       |  GROUP BY 1, 2, 3),
+       |${p}a1 AS MATERIALIZED (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist ASC, j ASC) AS rn FROM ${p}d1) WHERE rn = 1),
+       |${p}c1 AS MATERIALIZED (
+       |  SELECT a.m, a.j, d.dim,
+       |    CAST(floor(sum(d.q)::DOUBLE / count(*)) AS BIGINT) AS c
+       |  FROM $dims d JOIN ${p}a1 a ON a.vec_id = d.vec_id AND a.m = d.m
+       |  GROUP BY 1, 2, 3),
+       |${p}d2 AS (
+       |  SELECT d.vec_id, d.m, c.j, sum((d.q - c.c) * (d.q - c.c)) AS dist
+       |  FROM $dims d JOIN ${p}c1 c ON c.m = d.m AND c.dim = d.dim
+       |  GROUP BY 1, 2, 3),
+       |${p}codes AS MATERIALIZED (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist ASC, j ASC) AS rn FROM ${p}d2) WHERE rn = 1)""".stripMargin
+
+  private val pqTrainCtes: String = pqTrainCtesFor("", "dims")
 
   /** Residual-IVFPQ replay through the ADC top-3 (`rt3`) — coarse sign
     * cells → per-cell floor-mean centroid → residual dims → the SHARED
@@ -3210,6 +3282,80 @@ object LlmScale extends OpModule {
         |  round(sum(tok)::DOUBLE / (count(*) * $C), 4) AS fill_rate
         |FROM bins GROUP BY lang""".stripMargin,
     // identical lattice, H[j][k] = (−1)^popcount(j&k), same grid math
+    // both train chains replayed via the prefix-parameterized CTEs over
+    // the shared anisotropic lattice; the rotation is the explicit
+    // H[j][k] = (−1)^popcount(j&k) matrix; one plain-space ground truth
+    // judges both (orthogonality: H scales every distance by 64)
+    "llm_ann_opq_recall" ->
+      ("""WITH base AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    [CAST(round(embedding[j + 1] * 100.0, 0) AS BIGINT)
+        |      * (8 + j) for j in range(0, 64)] AS v
+        |  FROM embeddings),
+        |rotv AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    [CAST(list_sum([v[j + 1] * (CASE WHEN
+        |        bit_count(CAST(j AS BIGINT) & CAST(k AS BIGINT)) % 2 = 0
+        |        THEN 1 ELSE -1 END) for j in range(0, 64)]) AS BIGINT)
+        |     for k in range(0, 64)] AS v
+        |  FROM base),
+        |dims AS MATERIALIZED (
+        |  SELECT vec_id, i - 1 AS dim, (i - 1) // 8 AS m, v[i] AS q
+        |  FROM base, range(1, 65) r(i)),
+        |rdims AS MATERIALIZED (
+        |  SELECT vec_id, i - 1 AS dim, (i - 1) // 8 AS m, v[i] AS q
+        |  FROM rotv, range(1, 65) r(i)),
+        |""".stripMargin
+        + pqTrainCtesFor("", "dims") + ",\n"
+        + pqTrainCtesFor("r_", "rdims") + """,
+        |ex AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq
+        |  JOIN dims dc ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10
+        |  GROUP BY 1, 2),
+        |ex3 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM ex) WHERE rn <= 3),
+        |dtab AS (
+        |  SELECT d.vec_id AS qid, d.m, c.j,
+        |    sum((d.q - c.c) * (d.q - c.c)) AS dt
+        |  FROM dims d JOIN c1 c ON c.m = d.m AND c.dim = d.dim
+        |  WHERE d.vec_id < 10 GROUP BY 1, 2, 3),
+        |pt3 AS (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT t.qid, k.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY t.qid
+        |        ORDER BY sum(t.dt) ASC, k.vec_id ASC) AS rn
+        |    FROM codes k JOIN dtab t ON t.m = k.m AND t.j = k.code
+        |    WHERE k.vec_id != t.qid
+        |    GROUP BY t.qid, k.vec_id) WHERE rn <= 3),
+        |rdtab AS (
+        |  SELECT d.vec_id AS qid, d.m, c.j,
+        |    sum((d.q - c.c) * (d.q - c.c)) AS dt
+        |  FROM rdims d JOIN r_c1 c ON c.m = d.m AND c.dim = d.dim
+        |  WHERE d.vec_id < 10 GROUP BY 1, 2, 3),
+        |rt3 AS (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT t.qid, k.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY t.qid
+        |        ORDER BY sum(t.dt) ASC, k.vec_id ASC) AS rn
+        |    FROM r_codes k JOIN rdtab t ON t.m = k.m AND t.j = k.code
+        |    WHERE k.vec_id != t.qid
+        |    GROUP BY t.qid, k.vec_id) WHERE rn <= 3)
+        |SELECT 'plain' AS variant, e.qid,
+        |  CAST(count(t.cand_id) AS BIGINT) AS n_hit,
+        |  round(count(t.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+        |FROM ex3 e LEFT JOIN pt3 t USING (qid, cand_id) GROUP BY e.qid
+        |UNION ALL
+        |SELECT 'hadamard', e.qid, CAST(count(t.cand_id) AS BIGINT),
+        |  round(count(t.cand_id) / count(*)::DOUBLE, 4)
+        |FROM ex3 e LEFT JOIN rt3 t USING (qid, cand_id)
+        |GROUP BY e.qid""".stripMargin),
     "llm_ann_opq" ->
       """WITH base AS (
         |  SELECT vec_id,

@@ -346,4 +346,36 @@ class JoinsSpec extends SparkSpec {
     }
     assert(bad.isEmpty, "spatial join must bin, not cross")
   }
+
+  test("join_spatial_knn: top-3 within R equals the brute ranked replay") {
+    val got = graft.operators.Joins.joinSpatialKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def mix(i: Long, salt: Long): Long = {
+      val m = 4294967296L
+      var h = (i * 2654435761L + salt) % m
+      h ^= h >> 16
+      h = (h * 1540483477L) % m
+      h ^= h >> 13
+      h % 10000L
+    }
+    val pts = graft.Tables.customer(spark, sf)
+      .select(org.apache.spark.sql.functions.col("c_custkey"))
+      .collect().map(_.getLong(0))
+      .map(id => (id, mix(id, 17L), mix(id, 91L)))
+    val want = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia != ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= 40000L
+    } yield (ia, ib, d2))
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (id, nbs) =>
+        nbs.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+          .map { case ((_, rid, d2), i) => (id, i + 1) -> (rid, d2) }
+      }.toMap
+    assert(want.nonEmpty && got == want,
+      s"knn diverges: ${got.size} vs ${want.size} ranked rows")
+  }
 }

@@ -716,6 +716,27 @@ class LlmScaleSpec extends SparkSpec {
     assert(hg < pg, s"rotated grid error $hg must undercut plain $pg")
   }
 
+  test("ann_opq_recall: two live indexes, one ground truth, independent per-query splits") {
+    val rows = LlmScale.annOpqRecall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == (for (v <- Seq("plain", "hadamard"); q <- 0L until 10L)
+      yield (v, q)).toSet, "2 variants × 10 queries")
+    rows.values.foreach { case (nh, rec) =>
+      assert(nh >= 0 && nh <= 3 && rec >= 0.0 && rec <= 1.0)
+    }
+    def hits(v: String) = (0L until 10L).map(q => rows((v, q))._1)
+    val (p, h) = (hits("plain"), hits("hadamard"))
+    // both indexes are functional (a broken chain reads 0 everywhere)
+    assert(p.sum >= 3, s"plain index dead: $p")
+    assert(h.sum >= 3, s"rotated index dead: $h")
+    // and genuinely independent: the per-query splits must differ even
+    // when the totals tie (the documented null result) — identical
+    // vectors would mean the rotation never reached the trained chain
+    assert(p != h, "variants must train independent codebooks")
+  }
+
   test("ann_sq8: 10 query rows, recall in [0,1], grid reconstruction near-lossless on the lattice") {
     val rows = LlmScale.annSq8(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap

@@ -66,6 +66,8 @@ class PlanLintSpec extends SparkSpec {
     // SQ8 recall (r12): the 10-query broadcast brute side (like every
     // recall row) plus the 1-row broadcast of the 64-entry grid table
     "llm_ann_sq8",
+    // OPQ recall (r12): the same bounded 10-query broadcast brute side
+    "llm_ann_opq_recall",
     // MaxSim re-rank (r12): the same bounded 10-query broadcast side
     "llm_colbert_maxsim",
     // 1-row broadcasts: total-count join (benford), the 1-row boundary
@@ -87,7 +89,11 @@ class PlanLintSpec extends SparkSpec {
     // K-row supercell/centroid numbering (K = n/128 driver-bounded)
     "llm_kmeans_twolevel",
     // |sources|-row Bradley–Terry rating table (bounded label domain)
-    "llm_winrate_bt"
+    "llm_winrate_bt",
+    // PQ seed numbering: row_number over the vec_id < 16 slice (≤16
+    // rows by the filter — the same window pqTop3 runs, visible here
+    // because the recall op consumes the un-checkpointed builder twice)
+    "llm_ann_opq_recall"
   )
 
   test("no keyless WindowExec over unbounded input (single-task sort gate)") {
