@@ -441,6 +441,18 @@ object ScaleProbe {
       // the clone tiers multiply users ×copies, so the first-seen
       // table grows linearly and the series stays bounded
       "ts_cume_distinct",
+      // dynamic partition overwrite (r12): the probe's first call pays
+      // the one-time two-write staging (full table + delta — linear in
+      // rows); the registered read-back aggregate is scan-bound
+      "sink_dynamic_overwrite",
+      // OLS trend forecast (r12): one hourly shuffle (map-side
+      // combined) + a |types|-row sufficient-stats fold — scan-bound
+      "ts_forecast_linear",
+      // DAU/WAU stickiness (r12): one (user, day) dedup shuffle + a
+      // ≤7× bounded support explode + a second keyed dedup — clone
+      // users are disjoint so activity rows grow ×copies, both dedups
+      // stay linear; the quadratic sliding-distinct never appears
+      "ts_active_users",
       // gate ablation (r12): three gate scans + doc-keyed equi-joins +
       // one global fold — scan-bound, output fixed at 4 rows
       "llm_gate_ablation",

@@ -399,6 +399,38 @@ object Analytics extends OpModule {
         sum(col("new_users")).over(w).cast("bigint"))
   }
 
+  /** DAU / WAU active-user curve with the stickiness ratio — the
+    * product-health metric every events pipeline serves, and the other
+    * classic sliding-DISTINCT trap (count(DISTINCT user) OVER a 7-day
+    * moving frame is unsupported/quadratic, and approximating with
+    * summed DAUs double-counts returning users). Scale-right spelling:
+    * dedup activity to (user, day) once (the only row-mass shuffle,
+    * map-side combinable), then let each activity row SUPPORT the ≤7
+    * trailing days it falls inside via a bounded explode — WAU(d) =
+    * distinct (user) among supports of d, computed by a second
+    * (day, user)-keyed dedup whose input is ≤7× the activity table
+    * regardless of N. Emitted per day: DAU, WAU, stickiness DAU/WAU in
+    * exact basis points (the DAU/MAU-style engagement readout). Days
+    * with no activity emit nothing (ts_gapfill composes for dense
+    * calendars). */
+  def tsActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("aday"))
+      .distinct()
+    val dau = act.groupBy(col("aday").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("user_id"),
+        explode(expr("sequence(aday, date_add(aday, 6))")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    // WAU days extend past the last activity day; the curve reports
+    // only days with activity (join on dau's days)
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 10000 DIV wau").as("stickiness_bp"))
+  }
+
   /** Benford first-digit audit — the classic fabricated-data /
     * corrupted-feed detector for naturally-scaled amounts (invoices,
     * populations, file sizes): genuine multiplicative data puts ~30.1 %
@@ -1108,6 +1140,46 @@ object Analytics extends OpModule {
         when(col("n_forecasts") > col("n_zero_actual"),
           expr("pe_mass div (n_forecasts - n_zero_actual)")).as("mape_bp"),
         col("n_zero_actual"))
+  }
+
+  /** Ordinary-least-squares TREND forecast per event type — the
+    * dashboard trend line and the one-liner capacity forecast
+    * ("value/hour is growing b cents/hour; next hour reads ŷ"), sitting
+    * beside ts_backtest (which evals a seasonal-naive model) as the
+    * other classic baseline. All sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx²) are EXACT BIGINT over the hourly cents series with x =
+    * epoch-hours offset from the per-type min hour (bounded by the
+    * fixture's day span, so every product stays far inside Long); the
+    * final slope/forecast combination runs in doubles LITERAL-FOR-
+    * LITERAL on both engines and rounds once (the Pearson/assortativity
+    * discipline — integer cross-products of clone-probe magnitude would
+    * overflow, and both engines' IEEE doubles agree bit-for-bit on the
+    * same expression text). Forecast is point-slope around the mean
+    * (ȳ + b·(x_next − x̄)) so no separately-rounded intercept feeds it.
+    * One hourly shuffle + a per-type fold: scan-bound at any N. */
+  def tsForecastLinear(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("y"))
+      .withColumn("eh", expr("unix_timestamp(h) DIV 3600"))
+    val x0 = hourly.groupBy(col("event_type"))
+      .agg(min(col("eh")).as("eh0"))
+    hourly.join(broadcast(x0), "event_type")
+      .withColumn("x", col("eh") - col("eh0"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), max(col("x")).as("mx"))
+      .select(col("event_type"), col("n"), col("sy"),
+        expr("""round(CAST(n * sxy - sx * sy AS DOUBLE)
+                |      / CAST(n * sxx - sx * sx AS DOUBLE), 6)"""
+          .stripMargin).as("slope_cph"),
+        expr(
+          """round(CAST(sy AS DOUBLE) / n
+            |  + (CAST(n * sxy - sx * sy AS DOUBLE)
+            |     / CAST(n * sxx - sx * sx AS DOUBLE))
+            |    * ((mx + 1) - CAST(sx AS DOUBLE) / n), 4)""".stripMargin)
+          .as("fc_next_cents"))
   }
 
   /** IQR-fence outlier detection per order priority on EXACT rank-based
@@ -2095,6 +2167,7 @@ object Analytics extends OpModule {
     "dq_skew" -> dqSkew _,
     "dq_benford" -> dqBenford _,
     "ts_cume_distinct" -> tsCumeDistinct _,
+    "ts_active_users" -> tsActiveUsers _,
     "dq_k_anonymity" -> dqKAnonymity _,
     "dq_dp_release" -> dqDpRelease _,
     "win_pattern" -> winPattern _,
@@ -2105,6 +2178,7 @@ object Analytics extends OpModule {
     "ts_interpolate" -> tsInterpolate _,
     "ts_seasonal" -> tsSeasonal _,
     "ts_backtest" -> tsBacktest _,
+    "ts_forecast_linear" -> tsForecastLinear _,
     "ts_lttb" -> tsLttb _,
     "anomaly_iqr" -> anomalyIqr _,
     "ts_gapfill" -> tsGapfill _,
@@ -2729,6 +2803,34 @@ object Analytics extends OpModule {
         |                               ORDER BY area2 DESC, h) AS rn
         |  FROM scored)
         |WHERE rn = 1""".stripMargin),
+    // identical sufficient statistics; the slope/forecast doubles are
+    // the same expression text on both engines (round once at the end)
+    "ts_forecast_linear" -> (evCte + """,
+        |hr AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(round(sum(value) * 100, 0) AS BIGINT) AS y
+        |  FROM ev GROUP BY 1, 2),
+        |hx AS (
+        |  SELECT event_type, y,
+        |    CAST(epoch(h) AS BIGINT) // 3600 AS eh
+        |  FROM hr),
+        |x0 AS (SELECT event_type, min(eh) AS eh0 FROM hx GROUP BY 1),
+        |st AS (
+        |  SELECT h.event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(h.eh - x.eh0) AS BIGINT) AS sx,
+        |    CAST(sum(h.y) AS BIGINT) AS sy,
+        |    CAST(sum((h.eh - x.eh0) * h.y) AS BIGINT) AS sxy,
+        |    CAST(sum((h.eh - x.eh0) * (h.eh - x.eh0)) AS BIGINT) AS sxx,
+        |    CAST(max(h.eh - x.eh0) AS BIGINT) AS mx
+        |  FROM hx h JOIN x0 x USING (event_type) GROUP BY 1)
+        |SELECT event_type, n, sy,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cph,
+        |  round(CAST(sy AS DOUBLE) / n
+        |    + (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * ((mx + 1) - CAST(sx AS DOUBLE) / n), 4) AS fc_next_cents
+        |FROM st""".stripMargin),
     "ts_backtest" -> (evCte +
       """,
         |hourly AS (
@@ -2944,6 +3046,22 @@ object Analytics extends OpModule {
         |FROM f GROUP BY grp""".stripMargin,
     // per-key frequency table, deterministic hottest key (min among max
     // ties), quantile_cont ≡ Spark's interpolating percentile()
+    // activity → ≤7-day support explode → keyed dedup, replayed
+    "ts_active_users" -> (evCte + """,
+        |act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS aday FROM ev),
+        |dau AS (
+        |  SELECT aday AS day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM act GROUP BY 1),
+        |sup AS (
+        |  SELECT DISTINCT user_id, aday + CAST(r.i AS INTEGER) AS day
+        |  FROM act, range(0, 7) r(i)),
+        |wau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS wau
+        |  FROM sup GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |  d.dau * 10000 // w.wau AS stickiness_bp
+        |FROM dau d JOIN wau w USING (day)""".stripMargin),
     // first-seen decomposition replayed verbatim: distinct-through-D =
     // running sum of first-event-day counts
     "ts_cume_distinct" -> (evCte + """,

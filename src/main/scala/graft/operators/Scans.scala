@@ -395,6 +395,62 @@ object Scans extends OpModule {
     s.read.parquet(path).orderBy(col("o_orderstatus"))
   }
 
+  /** DYNAMIC partition overwrite — the production incremental-writer
+    * surface: a nightly job rewrites ONLY the partitions its delta
+    * touches, leaving every other partition's files untouched (STATIC
+    * mode — Spark's default — would wipe the whole table first; the
+    * mode mix-up is a classic data-loss incident). Staged here as two
+    * writes: the full `orders` table partitioned by priority, then a
+    * delta (orders past the date cutoff, totalprice doubled — a
+    * late-arriving correction) written with
+    * `partitionOverwriteMode=dynamic` + SaveMode.Overwrite. Correct
+    * final state: touched priorities hold ONLY corrected delta rows,
+    * untouched priorities keep their originals — exactly what the
+    * oracle expresses over `orders` alone, so the check spans write →
+    * selective replace → distributed read-back. At 100 TB the delta
+    * write costs O(delta) and the read side sees atomic per-partition
+    * swaps; the audit aggregate is per-priority (n, exact cents, id
+    * checksum). */
+  def sinkDynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val path = s"$ioDir/sink_dynamic_overwrite"
+    val cutoff = "1997-01-01"
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+          .write.partitionBy("o_orderpriority")
+          .mode(SaveMode.Overwrite).parquet(path)
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          // the delta touches ONLY the urgent/high partitions — the
+          // other three must come through with their original files
+          // (under STATIC mode this write would wipe them: the classic
+          // data-loss mix-up this op pins)
+          Tables.orders(s, d)
+            .where(col("o_orderdate") >= lit(cutoff) &&
+              col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .select(col("o_orderkey"),
+              (col("o_totalprice") * 2).as("o_totalprice"),
+              col("o_orderdate"), col("o_orderpriority"))
+            .write.partitionBy("o_orderpriority")
+            .mode(SaveMode.Overwrite).parquet(path)
+        } finally prev match {
+          case Some(v) =>
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+    }
+    s.read.parquet(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+  }
+
   /** ORC roundtrip on `supplier` — the second first-class columnar
     * format. Unlike the CSV roundtrip, binary floating point survives
     * exactly, so a double column is included deliberately. At scale ORC
@@ -641,7 +697,8 @@ object Scans extends OpModule {
     "scan_malformed" -> scanMalformed _,
     "scan_evolving" -> scanEvolving _,
     "maintenance_compact" -> maintenanceCompact _,
-    "sink_parquet" -> sinkParquet _
+    "sink_parquet" -> sinkParquet _,
+    "sink_dynamic_overwrite" -> sinkDynamicOverwrite _
   )
 
   def oracle: Map[String, String] = Map(
@@ -784,6 +841,26 @@ object Scans extends OpModule {
     "sink_parquet" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         | round(sum(o_totalprice), 4) AS sum_price
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the expected post-overwrite state, expressed over orders alone:
+    // touched priorities hold ONLY the doubled delta rows, untouched
+    // priorities keep every original row
+    "sink_dynamic_overwrite" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(CAST(round((o_totalprice * 2) * 100) AS BIGINT))
+        |    AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_orderdate >= DATE '1997-01-01'
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -1029,6 +1029,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n")).sum == want)
   }
 
+  test("ts_active_users: WAU equals the quadratic trailing-window distinct") {
+    val got = Analytics.tsActiveUsers(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date](0).toLocalDate ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val act = Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+    val days = act.map(_._2).distinct
+    val want = days.map { d =>
+      val dau = act.count(_._2 == d).toLong
+      val wau = act.filter { case (_, ad) =>
+        !ad.isAfter(d) && !ad.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+      d -> (dau, wau, dau * 10000L / wau)
+    }.toMap
+    assert(got == want, s"${got.size} vs ${want.size} curve days")
+    // stickiness is a ratio in (0, 10000]; WAU dominates DAU
+    got.values.foreach { case (dau, wau, bp) =>
+      assert(wau >= dau && bp > 0 && bp <= 10000)
+    }
+  }
+
+  test("ts_forecast_linear: matches the exact-integer local OLS replay") {
+    val got = Analytics.tsForecastLinear(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val hourly = Tables.events(spark, sf)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(round(sum($"value") * 100, 0).cast("long").as("y"))
+      .withColumn("eh", expr("unix_timestamp(h) DIV 3600"))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(2)))
+    val want = hourly.groupBy(_._1).map { case (tpe, rows) =>
+      val eh0 = rows.map(_._2).min
+      val xy = rows.map(t => (t._2 - eh0, t._3))
+      val n = xy.length.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(t => t._1 * t._2).sum
+      val sxx = xy.map(t => t._1 * t._1).sum
+      val mx = xy.map(_._1).max
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val fc = sy.toDouble / n + slope * ((mx + 1) - sx.toDouble / n)
+      tpe -> (n, sy, r6(slope), r4(fc))
+    }
+    assert(got == want, s"OLS diverges from replay:\n$got\nvs\n$want")
+    // sanity: the fixture series are non-degenerate (real slopes exist)
+    assert(got.values.exists(_._3 != 0.0))
+  }
+
   test("dq_benford: exact digit shares vs local replay, chi2 consistent") {
     val rows = Analytics.dqBenford(spark, sf).collect()
       .map(r => r.getAs[Int]("digit") ->

@@ -388,4 +388,30 @@ class ScansSpec extends SparkSpec {
     assert(got == want)
     assert(got.size == 5, "all five probe keys exist in the fixture")
   }
+
+  test("sink_dynamic_overwrite: delta replaces only its partitions, others keep originals") {
+    val got = graft.operators.Scans.sinkDynamicOverwrite(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val src = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val touched = Set("1-URGENT", "2-HIGH")
+    val want = src.groupBy(_._1).map { case (pr, rows) =>
+      val kept =
+        if (touched(pr))
+          rows.filter(_._4 >= "1997-01-01").map(t => (t._2, t._3 * 2))
+        else rows.map(t => (t._2, t._3))
+      pr -> (kept.length.toLong,
+        kept.map(t => math.round(t._2 * 100)).sum,
+        kept.map(_._1).sum)
+    }
+    assert(got == want,
+      s"dynamic overwrite state wrong: ${got.keySet} vs ${want.keySet}")
+    // the untouched partitions must really be untouched: every priority
+    // is present (a static-mode wipe would have deleted the other three)
+    assert(got.keySet.size == 5 && (got.keySet -- touched).size == 3)
+  }
 }
