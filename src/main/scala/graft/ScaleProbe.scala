@@ -453,6 +453,11 @@ object ScaleProbe {
       // users are disjoint so activity rows grow ×copies, both dedups
       // stay linear; the quadratic sliding-distinct never appears
       "ts_active_users",
+      // as-of with tolerance (r12): the same single ordered union+window
+      // pass as join_asof (user-keyed, per-entity history fixed under
+      // clones) — the tolerance is a post-match filter, never a range
+      // join predicate, so growth must match join_asof's linear shape
+      "join_asof_tolerance",
       // gate ablation (r12): three gate scans + doc-keyed equi-joins +
       // one global fold — scan-bound, output fixed at 4 rows
       "llm_gate_ablation",

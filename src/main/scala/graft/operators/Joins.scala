@@ -222,6 +222,48 @@ object Joins extends OpModule {
         col("matched_purchase"), col("purchase_value"))
   }
 
+  /** As-of join WITH TOLERANCE — the production variant of join_asof
+    * (pandas `merge_asof(tolerance=...)`, kdb `wj`): a match older than
+    * the window is WORSE than no match (sensor fusion joining a reading
+    * from last week, attribution crediting a month-old touchpoint), so
+    * each click keeps its most-recent preceding purchase ONLY if it
+    * landed within 24 h, else reports unmatched. Same single ordered
+    * union+window pass as join_asof (no per-row probe, no range BNLJ —
+    * the tolerance is a post-match filter on the exact µs gap, NOT a
+    * join predicate, so the plan is untouched); exact integer µs
+    * arithmetic, stale matches null out but the row survives (LEFT
+    * semantics — the unmatched count is the metric attribution teams
+    * watch). */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 86400000000L // 24 h in µs
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(1).as("is_left"),
+      col("event_id"),
+      lit(null).cast("long").as("p_event"),
+      lit(null).cast("timestamp").as("p_ts"))
+    val purchases = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(0).as("is_left"),
+      col("event_id"),
+      col("event_id").as("p_event"),
+      col("ts").as("p_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .select(
+        col("user_id"), col("ts"), col("is_left"), col("event_id"),
+        last(col("p_event"), ignoreNulls = true).over(w).as("mp"),
+        last(col("p_ts"), ignoreNulls = true).over(w).as("mts"))
+      .where(col("is_left") === 1)
+      .withColumn("gap_us",
+        expr("unix_micros(ts) - unix_micros(mts)"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("gap_us") <= tolUs, col("mp")).as("matched_purchase"),
+        when(col("gap_us") <= tolUs, col("gap_us")).as("gap_us"),
+        coalesce(col("gap_us") <= tolUs, lit(false)).as("within_tol"))
+  }
+
   /** Bucketed co-located join: both tables pre-bucketed on the join key
     * into the same bucket count, so the join needs NO exchange on either
     * side — each task reads matching buckets and merges. This is THE
@@ -859,6 +901,7 @@ object Joins extends OpModule {
     "join_skew_aqe" -> joinSkewAqe _,
     "join_bucketed" -> joinBucketed _,
     "join_asof" -> joinAsof _,
+    "join_asof_tolerance" -> joinAsofTolerance _,
     "join_inner_hash" -> joinInnerHash _,
     "join_broadcast" -> joinBroadcast _,
     "join_sort_merge" -> joinSortMerge _,
@@ -1207,6 +1250,29 @@ object Joins extends OpModule {
         |       p.value AS purchase_value
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    // DuckDB's native ASOF join + the exact µs gap filter — a stale
+    // match nulls out but the click row survives (LEFT semantics)
+    "join_asof_tolerance" ->
+      """WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         user_id, event_type, value
+        |  FROM events),
+        |c AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT c.user_id, c.event_id, c.ts,
+        |         p.event_id AS mp, p.ts AS mts
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |g AS (
+        |  SELECT *, CAST(epoch_us(ts) - epoch_us(mts) AS BIGINT) AS gap,
+        |    (epoch_us(ts) - epoch_us(mts)) <= 86400000000 AS ok
+        |  FROM m)
+        |SELECT user_id, event_id, ts,
+        |  CASE WHEN ok THEN mp END AS matched_purchase,
+        |  CASE WHEN ok THEN gap END AS gap_us,
+        |  coalesce(ok, false) AS within_tol
+        |FROM g""".stripMargin,
     "join_inner_hash" ->
       """SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,

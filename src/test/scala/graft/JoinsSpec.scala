@@ -347,6 +347,38 @@ class JoinsSpec extends SparkSpec {
     assert(bad.isEmpty, "spatial join must bin, not cross")
   }
 
+  test("join_asof_tolerance: stale matches null out, fresh ones keep the exact gap") {
+    import org.apache.spark.sql.functions.{col => c}
+    val got = graft.operators.Joins.joinAsofTolerance(spark, sf).collect()
+      .map(r => r.getLong(1) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      .toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(c("user_id"), c("event_id"), c("event_type"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val tol = 86400000000L
+    val clicks = ev.filter(_._3 == "click")
+    val purch = ev.filter(_._3 == "purchase")
+    val want = clicks.map { case (u, eid, _, us) =>
+      val prior = purch.filter(p => p._1 == u && p._4 <= us)
+      // most recent purchase; ties (same µs) break on higher event_id
+      // (the window orders by (ts, is_left, event_id) and takes last)
+      val best = prior.sortBy(p => (p._4, p._2)).lastOption
+      best match {
+        case Some(p) if us - p._4 <= tol =>
+          eid -> (Some(p._2), Some(us - p._4), true)
+        case _ => eid -> (None, None, false)
+      }
+    }.toMap
+    assert(got == want, s"${got.size} vs ${want.size} clicks")
+    // the tolerance must actually bite on the fixture: some clicks have
+    // a preceding purchase that is too old, and some match fresh
+    assert(got.values.exists(_._3) && got.values.exists(v =>
+      !v._3 && clicks.nonEmpty), "fixture must exercise both branches")
+  }
+
   test("join_spatial_knn: top-3 within R equals the brute ranked replay") {
     val got = graft.operators.Joins.joinSpatialKnn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
