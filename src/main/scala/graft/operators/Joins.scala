@@ -1251,7 +1251,11 @@ object Joins extends OpModule {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     // DuckDB's native ASOF join + the exact µs gap filter — a stale
-    // match nulls out but the click row survives (LEFT semantics)
+    // match nulls out but the click row survives (LEFT semantics).
+    // ASOF pins the matched TIMESTAMP deterministically but its row
+    // pick among same-µs purchases is implementation-arbitrary, so the
+    // matched EVENT re-derives as max(event_id) at that timestamp —
+    // the Spark window's (ts, is_left, event_id)-ordered last() rule
     "join_asof_tolerance" ->
       """WITH ev AS (
         |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
@@ -1259,11 +1263,16 @@ object Joins extends OpModule {
         |  FROM events),
         |c AS (SELECT * FROM ev WHERE event_type = 'click'),
         |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
-        |m AS (
-        |  SELECT c.user_id, c.event_id, c.ts,
-        |         p.event_id AS mp, p.ts AS mts
+        |m0 AS (
+        |  SELECT c.user_id, c.event_id, c.ts, p.ts AS mts
         |  FROM c ASOF LEFT JOIN p
         |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |m AS (
+        |  SELECT m0.user_id, m0.event_id, m0.ts, m0.mts,
+        |         max(p2.event_id) AS mp
+        |  FROM m0 LEFT JOIN p p2
+        |    ON p2.user_id = m0.user_id AND p2.ts = m0.mts
+        |  GROUP BY m0.user_id, m0.event_id, m0.ts, m0.mts),
         |g AS (
         |  SELECT *, CAST(epoch_us(ts) - epoch_us(mts) AS BIGINT) AS gap,
         |    (epoch_us(ts) - epoch_us(mts)) <= 86400000000 AS ok

@@ -1551,8 +1551,8 @@ object LlmScale extends OpModule {
     * (energies scale by 64; the cross-variant error comparison divides
     * the rotated totals by 64 once, on positive values, where trunc
     * and floor division agree). The input is the fixture embedding on
-    * a 10³ lattice with a DETERMINISTIC anisotropic scaling (dim j
-    * × (8+j)/8, floor) — the energy-decay profile real (PCA-ordered)
+    * a 10² lattice with a DETERMINISTIC anisotropic scaling (dim j
+    * × (8+j), exact integers) — the energy-decay profile real (PCA-ordered)
     * embeddings exhibit and the profile that makes plain PQ's
     * subspace 7 ~60× hotter than subspace 0. Per (variant, subspace):
     * min/max, exact energy, and the quantization error of a uniform
@@ -1638,14 +1638,14 @@ object LlmScale extends OpModule {
       .select(col("vec_id").as("qid"), col("qv").as("qq"))
     val wExact = Window.partitionBy(col("qid"))
       .orderBy(col("dist").asc, col("cand_id").asc)
-    val exact3 = base.crossJoin(broadcast(q))
+    val exact3 = MemoUtil.scratch(base.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
         expr("squared_distance(qv, qq)").as("dist"))
       .withColumn("rn", row_number().over(wExact))
       .where(col("rn") <= 3)
       .select(col("qid"), col("cand_id"))
-      .localCheckpoint()
+      .localCheckpoint())
     def recallOf(qvec: DataFrame, label: String): DataFrame =
       exact3
         .join(pqTop3From(qvec).select(col("qid"), col("cand_id"))

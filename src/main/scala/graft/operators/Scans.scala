@@ -412,10 +412,26 @@ object Scans extends OpModule {
     * swaps; the audit aggregate is per-priority (n, exact cents, id
     * checksum). */
   def sinkDynamicOverwrite(s: SparkSession, d: String): DataFrame = {
-    val path = s"$ioDir/sink_dynamic_overwrite"
+    // d-keyed like every staged path (stagedBinDir's rule): a second
+    // call with a different data dir must stage ITS dataset, never
+    // silently read back the first one's
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val path = s"$ioDir/sink_dynamic_overwrite_$sfx"
     val cutoff = "1997-01-01"
+    // the gate is a COMPLETION marker written after BOTH writes commit
+    // (underscore-prefixed → invisible to the parquet reader): gating on
+    // the directory's existence would latch after the FIRST write, and a
+    // failed delta write would then serve uncorrected data forever
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_STAGED")
     ioLock.synchronized {
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      if (!java.nio.file.Files.exists(marker)) {
+        val dir = new java.io.File(path)
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dir)
+        }
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_totalprice"),
             col("o_orderdate"), col("o_orderpriority"))
@@ -442,6 +458,7 @@ object Scans extends OpModule {
           case None =>
             s.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
+        java.nio.file.Files.createFile(marker)
       }
     }
     s.read.parquet(path)
