@@ -468,6 +468,47 @@ object Scans extends OpModule {
         sum(col("o_orderkey")).cast("bigint").as("key_sum"))
   }
 
+  /** CSV with EMBEDDED NEWLINES in quoted fields — the multiLine read
+    * surface and its documented scale trade: `multiLine=true` makes a
+    * CSV file NON-SPLITTABLE (a record boundary can no longer be found
+    * by seeking to a newline, so one task parses the whole file —
+    * ingestion parallelism drops from block-level to file-level), which
+    * is why production pipelines either keep records newline-free or
+    * land parquet. Staged once per (JVM, data dir): a `part` projection
+    * whose addr field embeds a real '\n' (Spark's CSV writer quotes
+    * it), read back through the multiLine parser; the oracle replays
+    * the concatenation from `part` itself, so the check spans write →
+    * quoted-field parse → decode. ScansSpec additionally shows the
+    * DEFAULT (splittable) reader misparses this file — the reason the
+    * option exists. */
+  /** Staged embedded-newline CSV dir (package-private: the spec also
+    * reads it through the DEFAULT line-split parser to demonstrate the
+    * misparse multiLine exists to fix). */
+  private[graft] def stagedMultilineDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val path = s"$ioDir/part_csv_multiline_$sfx"
+    ioLock.synchronized {
+      // _SUCCESS is the committer's own completion marker — staging is
+      // re-done unless the one write fully committed
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            concat(col("p_name"), lit("\n"), col("p_brand")).as("addr"),
+            col("p_size"))
+          .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      }
+    }
+    path
+  }
+
+  def scanCsvMultiline(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("addr", StringType),
+      StructField("p_size", IntegerType)))
+    s.read.option("header", "true").option("multiLine", "true")
+      .schema(schema).csv(stagedMultilineDir(s, d))
+  }
+
   /** ORC roundtrip on `supplier` — the second first-class columnar
     * format. Unlike the CSV roundtrip, binary floating point survives
     * exactly, so a double column is included deliberately. At scale ORC
@@ -715,7 +756,8 @@ object Scans extends OpModule {
     "scan_evolving" -> scanEvolving _,
     "maintenance_compact" -> maintenanceCompact _,
     "sink_parquet" -> sinkParquet _,
-    "sink_dynamic_overwrite" -> sinkDynamicOverwrite _
+    "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
+    "scan_csv_multiline" -> scanCsvMultiline _
   )
 
   def oracle: Map[String, String] = Map(
@@ -859,6 +901,11 @@ object Scans extends OpModule {
       """SELECT o_orderstatus, count(*) AS n_orders,
         | round(sum(o_totalprice), 4) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the staged concatenation replayed from part itself — string
+    // equality includes the embedded newline
+    "scan_csv_multiline" ->
+      """SELECT p_partkey, p_name || chr(10) || p_brand AS addr, p_size
+        |FROM part""".stripMargin,
     // the expected post-overwrite state, expressed over orders alone:
     // touched priorities hold ONLY the doubled delta rows, untouched
     // priorities keep every original row

@@ -389,6 +389,28 @@ class ScansSpec extends SparkSpec {
     assert(got.size == 5, "all five probe keys exist in the fixture")
   }
 
+  test("scan_csv_multiline: quoted embedded newlines round-trip; the default reader misparses") {
+    val got = graft.operators.Scans.scanCsvMultiline(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val want = graft.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1) + "\n" + r.getString(2), r.getInt(3)))
+      .toMap
+    assert(got == want, s"${got.size} vs ${want.size} rows")
+    assert(got.values.forall(_._1.contains("\n")),
+      "every addr must carry the embedded newline through the round trip")
+    // and the option matters: the DEFAULT (splittable, line-oriented)
+    // reader treats the quoted newline as a record boundary — row count
+    // inflates, which is exactly the misparse multiLine exists to fix
+    val naive = spark.read.option("header", "true")
+      .schema(graft.operators.Scans.scanCsvMultiline(spark, sf).schema)
+      .csv(graft.operators.Scans.stagedMultilineDir(spark, sf))
+    assert(naive.count() > want.size,
+      "default line-split read must see more (broken) records")
+  }
+
   test("sink_dynamic_overwrite: delta replaces only its partitions, others keep originals") {
     val got = graft.operators.Scans.sinkDynamicOverwrite(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
