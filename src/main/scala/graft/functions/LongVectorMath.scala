@@ -40,6 +40,28 @@ private[graft] trait LongVectorKernel extends BinaryExpression {
   protected def lengthError(nx: Int, ny: Int): Nothing =
     throw new IllegalArgumentException(
       s"$prettyName: array lengths differ ($nx vs $ny)")
+
+  /** Whether the STATIC type admits null elements. ArrayData.getLong
+    * silently returns garbage for a null slot, so every kernel guards —
+    * but only when the type says a null can exist: parquet/transform
+    * arrays are routinely containsNull=true even when no value ever is,
+    * and the check must cost nothing on provably-non-null inputs. */
+  protected def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  }
+
+  protected def nullElemError(): Nothing =
+    throw new IllegalArgumentException(s"$prettyName: null array element")
+
+  /** Codegen fragment guarding element `i` of array variable `a` (empty
+    * when the static type already forbids null elements). */
+  protected def nullGuard(nullable: Boolean, a: String, i: String): String =
+    if (!nullable) ""
+    else
+      s"""if ($a.isNullAt($i)) {
+         |  throw new IllegalArgumentException("$prettyName: null array element");
+         |}""".stripMargin
 }
 
 /** Σ (a_i − b_i)² over two equal-length bigint arrays. */
@@ -55,6 +77,7 @@ case class SquaredDistanceLong(left: Expression, right: Expression)
     if (nx != ny) lengthError(nx, ny)
     var i = 0; var s = 0L
     while (i < nx) {
+      if (x.isNullAt(i) || y.isNullAt(i)) nullElemError()
       val d = x.getLong(i) - y.getLong(i)
       s += d * d
       i += 1
@@ -78,6 +101,8 @@ case class SquaredDistanceLong(left: Expression, right: Expression)
          |}
          |long $s = 0L;
          |for (int $i = 0; $i < $nx; $i++) {
+         |  ${nullGuard(elemsNullable(left), a, i)}
+         |  ${nullGuard(elemsNullable(right), b, i)}
          |  long $dd = $a.getLong($i) - $b.getLong($i);
          |  $s += $dd * $dd;
          |}
@@ -103,6 +128,7 @@ case class DotProductLong(left: Expression, right: Expression)
     if (nx != ny) lengthError(nx, ny)
     var i = 0; var s = 0L
     while (i < nx) {
+      if (x.isNullAt(i) || y.isNullAt(i)) nullElemError()
       s += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -124,6 +150,8 @@ case class DotProductLong(left: Expression, right: Expression)
          |}
          |long $s = 0L;
          |for (int $i = 0; $i < $nx; $i++) {
+         |  ${nullGuard(elemsNullable(left), a, i)}
+         |  ${nullGuard(elemsNullable(right), b, i)}
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $s;
@@ -164,7 +192,11 @@ case class Fwht64(child: Expression) extends UnaryExpression {
         s"fwht64: expected 64 elements, got ${x.numElements()}")
     val v = new Array[Long](64)
     var i = 0
-    while (i < 64) { v(i) = x.getLong(i); i += 1 }
+    while (i < 64) {
+      if (x.isNullAt(i))
+        throw new IllegalArgumentException("fwht64: null array element")
+      v(i) = x.getLong(i); i += 1
+    }
     var h = 1
     while (h < 64) {
       var base = 0
@@ -197,7 +229,14 @@ case class Fwht64(child: Expression) extends UnaryExpression {
          |    "fwht64: expected 64 elements, got " + $a.numElements());
          |}
          |long[] $v = new long[64];
-         |for (int $i = 0; $i < 64; $i++) { $v[$i] = $a.getLong($i); }
+         |for (int $i = 0; $i < 64; $i++) {
+         |  ${if (child.dataType.asInstanceOf[ArrayType].containsNull)
+              s"""if ($a.isNullAt($i)) {
+                 |  throw new IllegalArgumentException("fwht64: null array element");
+                 |}""".stripMargin
+            else ""}
+         |  $v[$i] = $a.getLong($i);
+         |}
          |for (int $h = 1; $h < 64; $h *= 2) {
          |  for (int $base = 0; $base < 64; $base += 2 * $h) {
          |    for (int $j = $base; $j < $base + $h; $j++) {
@@ -233,6 +272,11 @@ case class MaxSim8(left: Expression, right: Expression)
       throw new IllegalArgumentException(
         s"maxsim8: expected 64 elements, got " +
           s"(${x.numElements()}, ${y.numElements()})")
+    var p = 0
+    while (p < 64) {
+      if (x.isNullAt(p) || y.isNullAt(p)) nullElemError()
+      p += 1
+    }
     var total = 0L
     var i = 0
     while (i < 8) {
@@ -262,12 +306,22 @@ case class MaxSim8(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val k = ctx.freshName("k")
+      val p = ctx.freshName("p")
+      val guards = (elemsNullable(left), elemsNullable(right)) match {
+        case (false, false) => ""
+        case (ln, rn) =>
+          s"""for (int $p = 0; $p < 64; $p++) {
+             |  ${nullGuard(ln, a, p)}
+             |  ${nullGuard(rn, b, p)}
+             |}""".stripMargin
+      }
       s"""
          |if ($a.numElements() != 64 || $b.numElements() != 64) {
          |  throw new IllegalArgumentException(
          |    "maxsim8: expected 64 elements, got (" + $a.numElements()
          |      + ", " + $b.numElements() + ")");
          |}
+         |$guards
          |long $total = 0L;
          |for (int $i = 0; $i < 8; $i++) {
          |  long $best = Long.MIN_VALUE;

@@ -1171,13 +1171,18 @@ object Analytics extends OpModule {
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"), max(col("x")).as("mx"))
       .select(col("event_type"), col("n"), col("sy"),
+        // nullif-guarded denominator: a DEGENERATE group (all points in
+        // one hour → n·sxx − sx² = 0) has no defined slope; a bare 0/0
+        // is NaN in Spark while DuckDB's divide-by-zero differs by
+        // config, so the oracle would DRIFT instead of failing cleanly.
+        // NULL/NULL propagates identically through both engines
         expr("""round(CAST(n * sxy - sx * sy AS DOUBLE)
-                |      / CAST(n * sxx - sx * sx AS DOUBLE), 6)"""
+                |  / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6)"""
           .stripMargin).as("slope_cph"),
         expr(
           """round(CAST(sy AS DOUBLE) / n
             |  + (CAST(n * sxy - sx * sy AS DOUBLE)
-            |     / CAST(n * sxx - sx * sx AS DOUBLE))
+            |     / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0))
             |    * ((mx + 1) - CAST(sx AS DOUBLE) / n), 4)""".stripMargin)
           .as("fc_next_cents"))
   }
@@ -2804,7 +2809,8 @@ object Analytics extends OpModule {
         |  FROM scored)
         |WHERE rn = 1""".stripMargin),
     // identical sufficient statistics; the slope/forecast doubles are
-    // the same expression text on both engines (round once at the end)
+    // the same expression text on both engines (round once at the end);
+    // the nullif guards the degenerate one-hour group identically
     "ts_forecast_linear" -> (evCte + """,
         |hr AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,
@@ -2825,10 +2831,10 @@ object Analytics extends OpModule {
         |  FROM hx h JOIN x0 x USING (event_type) GROUP BY 1)
         |SELECT event_type, n, sy,
         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cph,
+        |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6) AS slope_cph,
         |  round(CAST(sy AS DOUBLE) / n
         |    + (CAST(n * sxy - sx * sy AS DOUBLE)
-        |       / CAST(n * sxx - sx * sx AS DOUBLE))
+        |       / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0))
         |      * ((mx + 1) - CAST(sx AS DOUBLE) / n), 4) AS fc_next_cents
         |FROM st""".stripMargin),
     "ts_backtest" -> (evCte +

@@ -53,5 +53,18 @@ private[graft] object MemoUtil {
   def dropScratch(): Unit = synchronized {
     scratchRefs.foreach(dropCheckpoint)
     scratchRefs.clear()
+    drainHooks.foreach(f => f())
+    drainHooks.clear()
   }
+
+  /** One-shot cleanup hooks run at the same safe points as scratch
+    * frees (Verify after each query's parquet lands, Bench after each
+    * query's toRdd drains): an op whose RESULT still references session
+    * state it wants released — scan_cached's eager `CACHE TABLE`, which
+    * cannot uncache inline because the returned DataFrame executes
+    * lazily — registers the release here instead of leaving it squatting
+    * on executor memory under every subsequent query (ADVICE r12). */
+  private val drainHooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  def onDrain(f: () => Unit): Unit = synchronized { drainHooks += f }
 }

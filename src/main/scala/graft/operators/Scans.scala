@@ -147,7 +147,11 @@ object Scans extends OpModule {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
     val dir = new java.io.File(s"$ioDir/sorted_li_$sfx")
     ioLock.synchronized {
-      if (!dir.exists()) {
+      // gate on the committer's _SUCCESS, not the dir: the dir exists the
+      // moment the write STARTS, so an interrupted run would latch a
+      // half-staged layout for the rest of the JVM (the
+      // sink_dynamic_overwrite marker discipline)
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
           .repartitionByRange(4, col("l_orderkey"))
@@ -173,15 +177,17 @@ object Scans extends OpModule {
         sum(col("l_quantity")).cast("bigint").as("sum_qty"),
         round(sum(col("l_extendedprice")), 4).as("sum_price"))
 
-  /** Orders staged hash-scattered on o_orderkey with a parquet BLOOM
-    * FILTER on o_custkey — the layout where sort-clustering (and so
-    * min/max pruning, scan_rowgroup_prune's lever) is spent on a
-    * DIFFERENT key and a point lookup on the secondary key would
-    * otherwise read everything. Dictionary encoding is disabled for the
-    * column: parquet's dictionary-page row-group filter would prune the
-    * same lookups at fixture scale and mask whether the bloom path
-    * works — at 100 TB a row group's custkey set exceeds any dictionary
-    * page, so bloom is the only file-level secondary index available.
+  /** Orders staged HASH-SCATTERED on o_orderkey (repartition, not
+    * range — so every row group spans nearly the full key domain and
+    * min/max footer stats can prune nothing) with a parquet BLOOM
+    * FILTER on that same o_orderkey: the layout where sort-clustering
+    * (scan_rowgroup_prune's lever) is unavailable and a point lookup
+    * would otherwise read everything. Dictionary encoding is disabled
+    * for the column: parquet's dictionary-page row-group filter would
+    * prune the same lookups at fixture scale and mask whether the bloom
+    * path works — at 100 TB a row group's key set exceeds any
+    * dictionary page, so bloom is the only file-level secondary index
+    * available.
     * `spec` stages the no-bloom control beside it (same layout, blooms
     * off) so the pruning delta is attributable to the bloom alone. */
   private[graft] def stagedBloomDir(s: SparkSession, d: String,
@@ -190,7 +196,9 @@ object Scans extends OpModule {
     val tag = if (bloom) "b1" else "b0"
     val dir = new java.io.File(s"$ioDir/bloom_ord_${tag}_$sfx")
     ioLock.synchronized {
-      if (!dir.exists()) {
+      // completion-marker gate (the committer's own _SUCCESS), not
+      // dir.exists(): the existence latch flips when the write STARTS
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .repartition(16, col("o_orderkey"))
@@ -216,7 +224,11 @@ object Scans extends OpModule {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
     val dir = new java.io.File(s"$ioDir/manifest_li_$sfx")
     ioLock.synchronized {
-      if (!dir.exists()) {
+      // TWO writes stage here (data, then manifest) — the gate is the
+      // LAST write's _SUCCESS: gating on dir.exists() would latch after
+      // the first write begins, and an interrupted run would serve a
+      // manifest-less layout forever (ADVICE r12)
+      if (!new java.io.File(s"$dir/manifest/_SUCCESS").exists()) {
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
           .repartitionByRange(16, col("l_orderkey"))
@@ -726,6 +738,15 @@ object Scans extends OpModule {
       .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
       .createOrReplaceTempView("graft_cached_li")
     s.sql("CACHE TABLE graft_cached_li")
+    // release AT THE DRAIN POINT, not inline: the returned DataFrame
+    // executes lazily, so an inline uncache would time the op against a
+    // cold source — but leaving the cache standing rides a few-MB (at
+    // 100 TB: executor-memory-sized) relation under every SUBSEQUENT
+    // query's timing. Harness drains run after the result is consumed.
+    MemoUtil.onDrain { () =>
+      s.sql("UNCACHE TABLE IF EXISTS graft_cached_li")
+      s.catalog.dropTempView("graft_cached_li"); ()
+    }
     s.sql(
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(round(sum(l_quantity)) AS BIGINT) AS qty,

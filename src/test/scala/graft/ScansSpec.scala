@@ -293,6 +293,13 @@ class ScansSpec extends SparkSpec {
       .collect().map(r =>
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == want)
+    // hygiene: the op registers its uncache as a drain hook — after the
+    // harness's per-query epilogue the cached relation must NOT still be
+    // squatting in the session cache under later queries (ADVICE r12)
+    assert(spark.catalog.tableExists("graft_cached_li"))
+    graft.operators.MemoUtil.dropScratch()
+    assert(!spark.catalog.tableExists("graft_cached_li"),
+      "drain hook must drop the ephemeral cached view")
   }
 
   test("scan_metadata_cols: path-derived partition values match restored columns") {
