@@ -480,6 +480,268 @@ object Scans extends OpModule {
         sum(col("o_orderkey")).cast("bigint").as("key_sum"))
   }
 
+  /** Copy-on-write MERGE INTO (upsert) — the row-level write surface
+    * every lakehouse table format (Delta/Iceberg/Hudi) exists to
+    * provide, and the one every production pipeline feeding the
+    * dedup/curation ops runs nightly: apply a source of
+    * matched-UPDATEs, matched-DELETEs, and not-matched-INSERTs to a
+    * partitioned target by REWRITING ONLY THE TOUCHED PARTITIONS.
+    *
+    * The mechanics mirror what a COW engine does under MERGE INTO:
+    *  1. plan: the touched-partition set comes from the source's
+    *     distinct partition values (driver metadata, bounded by the
+    *     partition count — the manifest-read every lakehouse driver
+    *     does);
+    *  2. rewrite: target rows OF TOUCHED PARTITIONS ONLY (the read is
+    *     partition-pruned — untouched partitions are never scanned,
+    *     let alone rewritten) left-join the keyed source: 'D' rows
+    *     drop, 'U' rows take the source's values, everything else
+    *     passes through; 'I' rows append. Cost is O(touched), the COW
+    *     economics claim — ScansSpec proves the untouched partition's
+    *     files are byte-identical after the merge;
+    *  3. commit: new files land in a staging dir (a COW engine writes
+    *     new files too — it then flips a manifest pointer; with plain
+    *     parquet dirs the atomic-ish equivalent is a dynamic partition
+    *     overwrite of exactly the touched partitions). The staging
+    *     read-back also sidesteps Spark's (correct) refusal to
+    *     overwrite a path its own query reads from.
+    *
+    * Caveat pinned here deliberately: dynamic overwrite only replaces
+    * partitions PRESENT in the written data, so a merge that deletes a
+    * partition's every row needs the manifest commit path
+    * (scan_time_travel) — this source always leaves survivors.
+    *
+    * Source derivation is deterministic from `orders` (updates double
+    * the price on key%10=3, deletes key%10=7, inserts shift key by 10⁸
+    * on key%100=1 — all restricted to the URGENT/HIGH partitions), so
+    * the oracle replays the merge relationally: FULL OUTER JOIN target
+    * to source + CASE on the action. The readback is the per-partition
+    * audit (n, exact cents, key checksum) over the WHOLE table —
+    * touched partitions must show the merged state, untouched ones
+    * their originals. */
+  private[graft] def mergeCowSource(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val upd = base.where(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        (col("o_totalprice") * 2).as("o_totalprice"), col("o_orderpriority"))
+    val del = base.where(col("o_orderkey") % 10 === 7)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("double").as("o_totalprice"), col("o_orderpriority"))
+    val ins = base.where(col("o_orderkey") % 100 === 1)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("I").as("op"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        col("o_orderpriority"))
+    upd.unionByName(del).unionByName(ins)
+  }
+
+  private[graft] def mergeCowStageTarget(s: SparkSession, d: String,
+                                         path: String): Unit =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.partitionBy("o_orderpriority")
+      .mode(SaveMode.Overwrite).parquet(path)
+
+  private[graft] def mergeCowApply(s: SparkSession, d: String,
+                                   path: String): Unit = {
+    val src = mergeCowSource(s, d)
+    // the lakehouse driver's manifest read: |partitions|-bounded
+    val touched = src.select(col("o_orderpriority")).distinct()
+      .collect().map(_.getString(0)).sorted
+    // partition-pruned target read — the predicate on the partition
+    // column eliminates untouched directories at planning time
+    val tgtTouched = s.read.parquet(path)
+      .where(col("o_orderpriority").isin(touched.toIndexedSeq: _*))
+    val keyed = src.where(col("op").isin("U", "D"))
+      .select(col("o_orderkey"), col("op"),
+        col("o_totalprice").as("new_price"))
+    // delta ≪ target is the COW common case — broadcast by intent; a
+    // genuinely large delta drops the hint and shuffles both sides on
+    // the key like any equi-join
+    val merged = tgtTouched
+      .join(broadcast(keyed), Seq("o_orderkey"), "left")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("o_orderkey"),
+        when(col("op") === "U", col("new_price"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"))
+      .unionByName(src.where(col("op") === "I")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")))
+    // COW writes NEW files (O(touched partitions)); the commit swaps
+    // them in via dynamic overwrite — reading the staged files back
+    // rather than the live plan keeps the write independent of the
+    // target path it replaces
+    val stage = s"${path}_stage"
+    merged.write.partitionBy("o_orderpriority")
+      .mode(SaveMode.Overwrite).parquet(stage)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      s.read.parquet(stage).write.partitionBy("o_orderpriority")
+        .mode(SaveMode.Overwrite).parquet(path)
+    finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  def sinkMergeCow(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val path = s"$ioDir/merge_cow_$sfx"
+    // completion marker AFTER the merge commits (the dynamic-overwrite
+    // staging discipline): an interrupted run restages from scratch
+    // instead of serving a half-merged table forever
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_MERGED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val dir = new java.io.File(path)
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dir)
+        }
+        mergeCowStageTarget(s, d, path)
+        mergeCowApply(s, d, path)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    s.read.parquet(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+  }
+
+  /** Versioned manifests: SNAPSHOT READS, TIME TRAVEL, and
+    * CDC-between-versions — the property set that makes a 100 TB table
+    * trustworthy under concurrent writers, extended from
+    * scan_manifest_prune's stats sidecar (which stops at pruning).
+    *
+    * The storage contract is the Iceberg/Delta one: data files are
+    * IMMUTABLE; a version is a MANIFEST (a small parquet listing member
+    * file paths + per-file key stats); a write commits by publishing a
+    * new manifest, never by mutating or deleting data files a live
+    * snapshot references.
+    *
+    *  - v1: orders (key, price) range-clustered into 8 files + manifest
+    *    m1 (one read-back stats pass, the stagedManifestDir pattern).
+    *  - v2: a copy-on-write UPDATE localized to the key range
+    *    [100, 400] — the manifest says which files overlap (driver
+    *    metadata, |files|-bounded), ONLY those are read and rewritten
+    *    as NEW files; m2 = (m1's non-overlapping entries) ∪ (new file
+    *    stats). The replaced v1 files stay on disk: that is snapshot
+    *    isolation — a reader holding m1 still resolves v1 exactly
+    *    (ScansSpec proves v1's readout is unchanged after the v2
+    *    commit; a vacuum would drop them only once v1 expires).
+    *  - CDC between versions reads ONLY the differing files (m1∖m2 on
+    *    the old side, m2∖m1 on the new side) and joins on the key —
+    *    never the two full snapshots; unchanged files cannot contain
+    *    changed rows BY CONSTRUCTION, which is what makes
+    *    manifest-diff CDC exact.
+    *
+    * The registered readout is both snapshot summaries (n, exact
+    * cents, key checksum — the v1 row read AFTER v2 exists is the
+    * time-travel claim) plus the CDC row (changed-row count, cents
+    * delta, changed-key checksum). The oracle replays all three from
+    * `orders` alone: versioning changes file lifecycle, never results. */
+  private[graft] def timeTravelDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/time_travel_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_COMMITTED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val f = new java.io.File(dir)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+        timeTravelWriteV1(s, d, dir)
+        timeTravelWriteV2(s, dir)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  /** Per-file (path, k_min, k_max, n_rows) stats — one distributed
+    * read-back pass grouped on input_file_name, coalesced to the single
+    * small sidecar file a manifest is. */
+  private def manifestStats(s: SparkSession, dataGlob: String): DataFrame =
+    s.read.parquet(dataGlob)
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col("o_orderkey")).as("k_min"),
+        max(col("o_orderkey")).as("k_max"),
+        count(lit(1)).as("n_rows"))
+
+  private[graft] def timeTravelWriteV1(s: SparkSession, d: String,
+                                       dir: String): Unit = {
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/d1")
+    manifestStats(s, s"$dir/d1").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/m1")
+  }
+
+  private[graft] def timeTravelWriteV2(s: SparkSession, dir: String): Unit = {
+    val m1 = s.read.parquet(s"$dir/m1")
+    val hit = col("k_max") >= 100 && col("k_min") <= 400
+    // |files|-bounded driver metadata: the lakehouse planner's read
+    val oldPaths = m1.where(hit).select(col("path"))
+      .collect().map(_.getString(0))
+    // COW: only overlapping files are read; updated content lands as
+    // NEW files — d1's replaced files are never touched
+    s.read.parquet(oldPaths.toIndexedSeq: _*)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey").between(100, 400), col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/d2")
+    m1.where(!hit)
+      .unionByName(manifestStats(s, s"$dir/d2"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/m2")
+  }
+
+  /** All rows a manifest resolves — the snapshot read. */
+  private[graft] def snapshotPaths(s: SparkSession, mDir: String): Seq[String] =
+    s.read.parquet(mDir).select(col("path"))
+      .collect().map(_.getString(0)).toIndexedSeq.sorted
+
+  def scanTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = timeTravelDir(s, d)
+    val p1 = snapshotPaths(s, s"$dir/m1")
+    val p2 = snapshotPaths(s, s"$dir/m2")
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    def summary(tag: String, paths: Seq[String]): DataFrame =
+      s.read.parquet(paths: _*)
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+        .select(lit(tag).as("snapshot"), col("n_rows"), col("cents"),
+          col("key_sum"))
+    // manifest-diff CDC: changed rows live ONLY in files the two
+    // manifests disagree on — the diff read is O(changed files)
+    val oldSide = s.read.parquet((p1.toSet -- p2.toSet).toSeq.sorted: _*)
+      .select(col("o_orderkey"), cents.as("c1"))
+    val newSide = s.read.parquet((p2.toSet -- p1.toSet).toSeq.sorted: _*)
+      .select(col("o_orderkey"), cents.as("c2"))
+    val cdc = oldSide.join(newSide, "o_orderkey")
+      .where(col("c1") =!= col("c2"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c2") - col("c1")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+      .select(lit("cdc").as("snapshot"), col("n_rows"), col("cents"),
+        col("key_sum"))
+    summary("v1", p1).unionByName(summary("v2", p2)).unionByName(cdc)
+  }
+
   /** CSV with EMBEDDED NEWLINES in quoted fields — the multiLine read
     * surface and its documented scale trade: `multiLine=true` makes a
     * CSV file NON-SPLITTABLE (a record boundary can no longer be found
@@ -778,6 +1040,8 @@ object Scans extends OpModule {
     "maintenance_compact" -> maintenanceCompact _,
     "sink_parquet" -> sinkParquet _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
+    "sink_merge_cow" -> sinkMergeCow _,
+    "scan_time_travel" -> scanTimeTravel _,
     "scan_csv_multiline" -> scanCsvMultiline _
   )
 
@@ -946,6 +1210,55 @@ object Scans extends OpModule {
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |  AND o_orderdate >= DATE '1997-01-01'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // the merge replayed RELATIONALLY: FULL OUTER JOIN target to the
+    // deterministic source, CASE on the action — what MERGE INTO means,
+    // independent of the copy-on-write mechanics under test
+    "sink_merge_cow" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price,
+        |         o_orderpriority AS pri
+        |  FROM orders),
+        |src AS (
+        |  SELECT k, 'U' AS op, price * 2 AS sprice, pri FROM tgt
+        |  WHERE k % 10 = 3 AND pri IN ('1-URGENT', '2-HIGH')
+        |  UNION ALL
+        |  SELECT k, 'D', NULL, pri FROM tgt
+        |  WHERE k % 10 = 7 AND pri IN ('1-URGENT', '2-HIGH')
+        |  UNION ALL
+        |  SELECT k + 100000000, 'I', price + 1000.0, pri FROM tgt
+        |  WHERE k % 100 = 1 AND pri IN ('1-URGENT', '2-HIGH')),
+        |merged AS (
+        |  SELECT coalesce(t.k, s.k) AS k,
+        |    CASE WHEN s.op IN ('U', 'I') THEN s.sprice
+        |         ELSE t.price END AS price,
+        |    coalesce(t.pri, s.pri) AS pri
+        |  FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
+        |  WHERE s.op IS NULL OR s.op <> 'D')
+        |SELECT pri AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY pri""".stripMargin,
+    // versioning changes file lifecycle, never results: v1 is the raw
+    // table, v2 the deterministic update, cdc their keyed difference
+    "scan_time_travel" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c1,
+        |    CAST(round(CASE WHEN o_orderkey BETWEEN 100 AND 400
+        |                    THEN o_totalprice * 2
+        |                    ELSE o_totalprice END * 100) AS BIGINT) AS c2
+        |  FROM orders)
+        |SELECT 'v1' AS snapshot, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c1) AS BIGINT) AS cents, CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM t
+        |UNION ALL
+        |SELECT 'v2', CAST(count(*) AS BIGINT), CAST(sum(c2) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT)
+        |FROM t
+        |UNION ALL
+        |SELECT 'cdc', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c2 - c1) AS BIGINT), CAST(sum(k) AS BIGINT)
+        |FROM t WHERE c1 <> c2""".stripMargin
   )
 }

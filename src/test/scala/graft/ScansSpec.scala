@@ -302,6 +302,101 @@ class ScansSpec extends SparkSpec {
       "drain hook must drop the ephemeral cached view")
   }
 
+  test("sink_merge_cow: untouched partitions byte-identical; merge semantics exact") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("merge_cow_spec").toString
+    val path = s"$root/target"
+    graft.operators.Scans.mergeCowStageTarget(spark, sf, path)
+    // content fingerprint of a partition dir: (name, size, sha-256) per
+    // data file — byte identity, not just row equality
+    def snap(pri: String): Set[(String, Long, String)] = {
+      val dir = new java.io.File(path, s"o_orderpriority=$pri")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = Files.readAllBytes(f.toPath)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).map("%02x".format(_)).mkString
+        (f.getName, f.length(), sha)
+      }.toSet
+    }
+    val lowBefore = snap("5-LOW")
+    val urgentBefore = snap("1-URGENT")
+    graft.operators.Scans.mergeCowApply(spark, sf, path)
+    // the COW economics claim: partitions the source never names are
+    // not rewritten — same files, same bytes
+    assert(snap("5-LOW") == lowBefore,
+      "untouched partition must keep byte-identical files")
+    assert(snap("1-URGENT") != urgentBefore,
+      "touched partition must be rewritten")
+    // row-level merge semantics on the touched partitions
+    val after = spark.read.parquet(path)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val before = graft.Tables.orders(spark, sf)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    before.foreach { case (k, p) =>
+      if (k % 10 == 7) assert(!after.contains(k), s"key $k must be deleted")
+      else if (k % 10 == 3) assert(after(k) == p * 2, s"key $k must be updated")
+      else assert(after(k) == p, s"key $k must pass through")
+    }
+    before.keys.filter(_ % 100 == 1).foreach { k =>
+      assert(after(k + 100000000L) == before(k) + 1000.0,
+        s"key $k must gain its insert twin")
+    }
+    // no stray keys beyond the three actions
+    assert(after.keySet ==
+      before.keySet.filter(_ % 10 != 7) ++
+        before.keySet.filter(_ % 100 == 1).map(_ + 100000000L))
+    // registered readback agrees with the spec's own replay at n-level
+    val viaOp = graft.operators.Scans.sinkMergeCow(spark, sf)
+      .where(col("o_orderpriority") === "1-URGENT").collect().head
+    assert(viaOp.getAs[Long]("n") == after.size)
+  }
+
+  test("scan_time_travel: v1 resolves unchanged after the v2 commit; replaced files persist") {
+    import org.apache.spark.sql.functions.{expr, sum => fsum}
+    val dir = java.nio.file.Files.createTempDirectory("tt_spec").toString
+    graft.operators.Scans.timeTravelWriteV1(spark, sf, dir)
+    def readout(mSub: String): (Long, Long, Long) = {
+      val paths = graft.operators.Scans.snapshotPaths(spark, s"$dir/$mSub")
+      val r = spark.read.parquet(paths: _*)
+        .agg(count(lit(1)), fsum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+          fsum(col("o_orderkey")))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val p1 = graft.operators.Scans.snapshotPaths(spark, s"$dir/m1").toSet
+    val v1Before = readout("m1")
+    graft.operators.Scans.timeTravelWriteV2(spark, dir)
+    // SNAPSHOT ISOLATION: a reader holding m1 sees v1 exactly, after
+    // the concurrent writer committed v2
+    assert(readout("m1") == v1Before,
+      "v1 snapshot must be byte-stable across the v2 commit")
+    val p2 = graft.operators.Scans.snapshotPaths(spark, s"$dir/m2").toSet
+    // the COW commit shares every non-overlapping file with v1...
+    assert((p1 & p2).nonEmpty, "manifests must share untouched files")
+    assert(p1 != p2, "v2 must differ from v1")
+    // ...and the files it replaced are still on disk (m1 resolves them;
+    // only a vacuum past v1's expiry may delete)
+    (p1 -- p2).foreach { p =>
+      assert(new java.io.File(new java.net.URI(p)).exists(),
+        s"replaced v1 file must persist: $p")
+    }
+    // exactly the [100,400]-overlapping files were replaced
+    val m1 = spark.read.parquet(s"$dir/m1")
+    val hitPaths = m1.where(col("k_max") >= 100 && col("k_min") <= 400)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert((p1 -- p2) == hitPaths,
+      "replaced set must be exactly the stats-overlap set")
+    // v2 reflects the update: cents grow by the updated range's mass
+    val v2 = readout("m2")
+    assert(v2._1 == v1Before._1 && v2._3 == v1Before._3,
+      "update changes no row count or key")
+    assert(v2._2 > v1Before._2, "doubled range must raise the cents mass")
+  }
+
   test("scan_metadata_cols: path-derived partition values match restored columns") {
     val rows = graft.operators.Scans.scanMetadataCols(spark, sf).collect()
     assert(rows.map(_.getAs[String]("o_orderpriority")).distinct.length == rows.length)
