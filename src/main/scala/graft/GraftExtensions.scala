@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inert unless spark.graft.range.rewrite.enabled=true (EXACT rescue
     // of point-in-interval joins — see RangeBucketRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBucketRewrite)
+    // inert unless spark.graft.spatial.rewrite.enabled=true (EXACT
+    // rescue of 2-D radius theta joins — see SpatialGridRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.SpatialGridRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -277,7 +280,8 @@ object GraftExtensions {
     * and so is this — already-installed rules are not re-added). */
   def installOptimizations(spark: SparkSession): Unit = {
     val rules = Seq(graft.plans.LevenshteinGuard, graft.plans.CosineLshRewrite,
-      graft.plans.JaccardLshRewrite, graft.plans.RangeBucketRewrite)
+      graft.plans.JaccardLshRewrite, graft.plans.RangeBucketRewrite,
+      graft.plans.SpatialGridRewrite)
     val current = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       current ++ rules.filterNot(current.contains)

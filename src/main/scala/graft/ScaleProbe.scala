@@ -132,7 +132,11 @@ object ScaleProbe {
         // spatial kNN (r12): same ×copies² candidate-pair generation as
         // the radius join (the WindowGroupLimit prunes post-shuffle
         // mass, not the pair-filter work), so same 30× gate
-        "join_spatial_knn") else Seq.empty)
+        "join_spatial_knn",
+        // optimizer-rescued naive radius join (r13): the rewritten plan
+        // IS join_spatial_radius's cell equi-join, so the same
+        // ×copies²-output gate applies
+        "join_spatial_autorewrite") else Seq.empty)
     ) ++ Seq(
       // incremental shard-vs-index dedup: cost must track the NEW side
       // (B·collisions) — the clone corpus inflates index collisions per

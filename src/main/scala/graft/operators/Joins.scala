@@ -821,21 +821,27 @@ object Joins extends OpModule {
   /** Shared (id, rid, d2) within-R candidate pairs for the spatial
     * family (radius audit + kNN): the 3×3 cell-neighborhood explode
     * keying an equi-join, exact residual inside. */
-  private def spatialPairs(s: SparkSession, d: String): DataFrame = {
-    val R = 200
-    // salted multiply-xor-shift mix (murmur-style finalizer, exact in
-    // BIGINT: 2³²·1540483477 < 2⁶³) — a plain LCG-mod lattice is NOT
-    // uniform enough here (its short lattice vectors cluster points on
-    // lines and inflate close pairs ~100×, measured); coordinates must
-    // scatter for the cell-density argument below to hold
+  /** The deterministic 10⁴×10⁴ integer point lattice shared by the
+    * spatial family: salted multiply-xor-shift mix (murmur-style
+    * finalizer, exact in BIGINT: 2³²·1540483477 < 2⁶³) — a plain
+    * LCG-mod lattice is NOT uniform enough here (its short lattice
+    * vectors cluster points on lines and inflate close pairs ~100×,
+    * measured); coordinates must scatter for the cell-density argument
+    * to hold. */
+  private def spatialPoints(s: SparkSession, d: String): DataFrame = {
     def coord(salt: Int): Column = {
       val h0 = s"(c_custkey * 2654435761 + $salt) % 4294967296"
       val h1 = s"(($h0) ^ shiftright($h0, 16))"
       val h2 = s"(($h1) * 1540483477) % 4294967296"
       expr(s"(($h2) ^ shiftright($h2, 13)) % 10000")
     }
-    val pts = Tables.customer(s, d).select(
+    Tables.customer(s, d).select(
       col("c_custkey").as("id"), coord(17).as("x"), coord(91).as("y"))
+  }
+
+  private def spatialPairs(s: SparkSession, d: String): DataFrame = {
+    val R = 200
+    val pts = spatialPoints(s, d)
     val right = pts.select(
       col("id").as("rid"), col("x").as("rx"), col("y").as("ry"),
       concat_ws(":", expr(s"x DIV $R"), expr(s"y DIV $R")).as("cell"))
@@ -882,8 +888,37 @@ object Joins extends OpModule {
       .select(col("id"), col("rank"), col("rid").as("nb_id"), col("d2"))
   }
 
+  /** The NAIVE spelling of the radius join — a theta self-join on the
+    * squared-distance predicate, exactly what a user writes before
+    * learning grid binning — rescued by [[graft.plans.SpatialGridRewrite]]
+    * into the 3×3 cell equi-join `joinSpatialRadius` hand-writes. The
+    * rewrite is EXACT (floor-division cells + the original predicate as
+    * residual), so this registers against the same naive-predicate
+    * oracle; CustomSurfaceSpec asserts the rewritten plan carries no
+    * CartesianProduct/BNLJ and row-matches the hand-written op. Runs on
+    * a derived session so the opt-in flag never leaks to other ops. */
+  def joinSpatialAutorewrite(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    graft.GraftExtensions.installOptimizations(s)
+    s.conf.set(graft.plans.SpatialGridRewrite.Flag, "true")
+    val pts = spatialPoints(s, d)
+    val b = pts.select(col("id").as("rid"), col("x").as("rx"),
+      col("y").as("ry"))
+    val d2 = (col("x") - col("rx")) * (col("x") - col("rx")) +
+      (col("y") - col("ry")) * (col("y") - col("ry"))
+    pts.join(b, col("id") =!= col("rid") && d2 <= lit(40000L))
+      .select(col("id"), col("rid"), d2.as("d2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_nb"),
+        sum(col("d2")).cast("bigint").as("sum_d2"),
+        min(col("rid")).cast("bigint").as("min_nb_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_spatial_radius" -> joinSpatialRadius _,
+    "join_spatial_autorewrite" -> joinSpatialAutorewrite _,
     "join_spatial_knn" -> joinSpatialKnn _,
     "join_range_autorewrite" -> joinRangeAutorewrite _,
     "join_pit" -> joinPit _,
@@ -916,6 +951,38 @@ object Joins extends OpModule {
     "join_cross" -> joinCross _,
     "join_range" -> joinRange _
   )
+
+  /** Shared by join_spatial_radius and its autorewrite rescue: both
+    * compute the identical result, one by hand-written binning, one by
+    * the optimizer rule over the naive spelling. */
+  private val spatialRadiusOracleSql: String =
+    """WITH h0 AS (
+      |  SELECT c_custkey AS id,
+      |    (c_custkey * 2654435761 + 17) % 4294967296 AS hx,
+      |    (c_custkey * 2654435761 + 91) % 4294967296 AS hy
+      |  FROM customer),
+      |h1 AS (
+      |  SELECT id, xor(hx, hx >> 16) AS hx, xor(hy, hy >> 16) AS hy
+      |  FROM h0),
+      |h2 AS (
+      |  SELECT id, (hx * 1540483477) % 4294967296 AS hx,
+      |    (hy * 1540483477) % 4294967296 AS hy
+      |  FROM h1),
+      |pts AS (
+      |  SELECT id, xor(hx, hx >> 13) % 10000 AS x,
+      |    xor(hy, hy >> 13) % 10000 AS y
+      |  FROM h2)
+      |SELECT a.id, CAST(count(*) AS BIGINT) AS n_nb,
+      |  CAST(sum((a.x - b.x) * (a.x - b.x)
+      |         + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS sum_d2,
+      |  CAST(min(b.id) AS BIGINT) AS min_nb_id
+      |FROM pts a JOIN pts b
+      |  ON b.x BETWEEN a.x - 200 AND a.x + 200
+      | AND b.y BETWEEN a.y - 200 AND a.y + 200
+      | AND a.id != b.id
+      | AND (a.x - b.x) * (a.x - b.x)
+      |   + (a.y - b.y) * (a.y - b.y) <= 40000
+      |GROUP BY a.id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // same naive-predicate replay, ranked per point by (d2, id)
@@ -950,37 +1017,13 @@ object Joins extends OpModule {
         |    row_number() OVER (PARTITION BY id
         |      ORDER BY d2 ASC, nb_id ASC) AS rank
         |  FROM pr) WHERE rank <= 3""".stripMargin,
+    // the grid rescue is exact: same naive-predicate oracle as the
+    // hand-written binned op it rewrites into
+    "join_spatial_autorewrite" -> spatialRadiusOracleSql,
     // the binning reshapes cost, never results: the oracle is the naive
     // distance predicate itself (DuckDB plans the cell-band condition
     // as its native IEJoin); integer lattice, no floats
-    "join_spatial_radius" ->
-      """WITH h0 AS (
-        |  SELECT c_custkey AS id,
-        |    (c_custkey * 2654435761 + 17) % 4294967296 AS hx,
-        |    (c_custkey * 2654435761 + 91) % 4294967296 AS hy
-        |  FROM customer),
-        |h1 AS (
-        |  SELECT id, xor(hx, hx >> 16) AS hx, xor(hy, hy >> 16) AS hy
-        |  FROM h0),
-        |h2 AS (
-        |  SELECT id, (hx * 1540483477) % 4294967296 AS hx,
-        |    (hy * 1540483477) % 4294967296 AS hy
-        |  FROM h1),
-        |pts AS (
-        |  SELECT id, xor(hx, hx >> 13) % 10000 AS x,
-        |    xor(hy, hy >> 13) % 10000 AS y
-        |  FROM h2)
-        |SELECT a.id, CAST(count(*) AS BIGINT) AS n_nb,
-        |  CAST(sum((a.x - b.x) * (a.x - b.x)
-        |         + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS sum_d2,
-        |  CAST(min(b.id) AS BIGINT) AS min_nb_id
-        |FROM pts a JOIN pts b
-        |  ON b.x BETWEEN a.x - 200 AND a.x + 200
-        | AND b.y BETWEEN a.y - 200 AND a.y + 200
-        | AND a.id != b.id
-        | AND (a.x - b.x) * (a.x - b.x)
-        |   + (a.y - b.y) * (a.y - b.y) <= 40000
-        |GROUP BY a.id""".stripMargin,
+    "join_spatial_radius" -> spatialRadiusOracleSql,
     // the rewrite reshapes cost, never results: the oracle is the naive
     // range join itself (DuckDB plans it as its native IEJoin)
     "join_range_autorewrite" ->

@@ -686,6 +686,83 @@ class CustomSurfaceSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.RangeBucketRewrite.Flag)
   }
 
+  test("SpatialGridRewrite: naive radius theta-join becomes the 3x3 cell equi-join, exactly") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec,
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    GraftExtensions.installOptimizations(spark)
+    // flag OFF: the naive squared-distance self-join plans nested-loop
+    def naivePts(s: org.apache.spark.sql.SparkSession) = {
+      val pts = Tables.customer(s, sf).select($"c_custkey".as("id"),
+        ($"c_custkey" * 7 % 1000).as("x"), ($"c_custkey" * 13 % 1000).as("y"))
+      val b = pts.select($"id".as("rid"), $"x".as("rx"), $"y".as("ry"))
+      pts.join(b, $"id" =!= $"rid" &&
+        ($"x" - $"rx") * ($"x" - $"rx") +
+          ($"y" - $"ry") * ($"y" - $"ry") <= lit(900L))
+    }
+    val off = naivePts(spark).queryExecution.sparkPlan
+    assert(off.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.nonEmpty, s"flag off must keep the nested-loop join:\n$off")
+    // flag ON (the registered op's derived session): cell equi-join
+    val on = graft.operators.Joins.joinSpatialAutorewrite(spark, sf)
+    val plan = on.queryExecution.sparkPlan
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, s"rewrite must remove the nested-loop join:\n$plan")
+    assert(plan.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }.nonEmpty, s"rewrite must plan an equi-join on the cell keys:\n$plan")
+    // EXACT rescue: rewritten aggregate row-matches the hand-written
+    // grid op (independent code path, same semantics)
+    val want = graft.operators.Joins.joinSpatialRadius(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = on.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want,
+      s"rewritten rows must equal join_spatial_radius (${got.size} vs ${want.size})")
+    // NEGATIVE coordinates: the floor-division cell must keep the
+    // one-cell-apart invariant across zero (truncating division's
+    // double-width cell 0 is the bug this guards)
+    spark.conf.set(graft.plans.SpatialGridRewrite.Flag, "true")
+    try {
+      import spark.implicits._
+      val neg = (-30L to 30L).map(i => (i, i * 17 % 250, i * 23 % 250))
+        .toDF("id", "x", "y") // Scala % keeps sign: coords in (-250, 250)
+      neg.createOrReplaceTempView("neg_pts")
+      val b = neg.select($"id".as("rid"), $"x".as("rx"), $"y".as("ry"))
+      val joined = neg.join(b, $"id" =!= $"rid" &&
+          ($"x" - $"rx") * ($"x" - $"rx") +
+            ($"y" - $"ry") * ($"y" - $"ry") <= lit(10000L))
+        .select($"id", $"rid")
+      val gotN = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // local replay of the naive predicate
+      val rows = (-30L to 30L).map(i => (i, i * 17 % 250, i * 23 % 250))
+      val wantN = (for {
+        (i, x, y) <- rows; (j, rx, ry) <- rows
+        if i != j && (x - rx) * (x - rx) + (y - ry) * (y - ry) <= 10000L
+      } yield (i, j)).toSet
+      assert(gotN == wantN, "floor-division cells must be exact for negatives")
+      val negPlan = joined.queryExecution.sparkPlan
+      assert(negPlan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }.isEmpty, "the negative-coordinate join must also be rescued")
+      // idempotent: the injected cell equalities read as equi keys
+      val analyzed = naivePts(spark).queryExecution.analyzed
+      val once = graft.plans.SpatialGridRewrite(analyzed)
+      assert(!once.fastEquals(analyzed), "rule must fire on the naive join")
+      val twice = graft.plans.SpatialGridRewrite(once)
+      assert(once.fastEquals(twice), "rule must be a fixed point")
+    } finally spark.conf.unset(graft.plans.SpatialGridRewrite.Flag)
+  }
+
   test("fwht64: equals the explicit (-1)^popcount(j&k) matrix, involutive up to 64, codegen agrees") {
     GraftExtensions.register(spark)
     val vecs = Tables.embeddings(spark, sf).limit(20)
