@@ -424,6 +424,12 @@ object ScaleProbe {
       // corpus passes vs broadcast ≤16-row codebooks) + one brute pass
       // — 5 corpus-linear passes total, growth must track llm_ann_pq ×2
       "llm_ann_opq_recall",
+      // graph-traversal ANN (r13): build is the lloyd lattice + ~128·N
+      // cell-pair distances + the ±8 curve window (linear in N, like
+      // llm_semdedup's pair space); the SEARCH is the point — ≤ 16 +
+      // 6·8·22 distance evals per query at ANY corpus size, so growth
+      // beyond the shared build must be near-flat
+      "llm_ann_graph",
       // late-interaction MaxSim (r12): 10 broadcast queries × one
       // corpus scan with the codegen'd maxsim8 fold fused per row —
       // per-candidate work is a fixed 512 multiply-adds, output top-3

@@ -1837,6 +1837,174 @@ object LlmScale extends OpModule {
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
   }
 
+  /** GRAPH-TRAVERSAL ANN (the HNSW/NSW family's representative): a
+    * deterministic bounded-degree neighbor graph + fixed-width beam
+    * search, scored recall@3 against the shared exact brute top-3 like
+    * every other index in the family. The state-of-the-art serving
+    * indexes (HNSW, DiskANN/Vamana, NSG) all share this skeleton —
+    * precompute a navigable sparse graph, answer queries by greedy/beam
+    * walk — and unlike IVF/PQ the per-query DISTANCE-EVAL work is
+    * bounded by beam·degree·hops, never N or N/cells.
+    *
+    * Construction (exact-integer, (dist, id) tie-broken — the house
+    * style, so DuckDB replays the identical graph):
+    *  - PROXIMITY edges: candidates are same-Lloyd-cell pairs (the
+    *    memoized shared lattice — cells are genuine 64-dim proximity,
+    *    |cell| ≈ 128 so candidate mass is ~128·N like llm_semdedup)
+    *    UNION pairs within ±8 ranks of a deterministic 1-D curve (sum
+    *    of the first 4 lattice dims; the value-bucketed equi-join on
+    *    rank div 8 with a ±1 bucket explode — catches neighbors the
+    *    cell boundary splits). Per node: top-4 by exact distance,
+    *    symmetrized, re-capped at 8.
+    *  - NAVIGATION edges, the HNSW-long-link ingredient: the curve
+    *    successor both ways (connectivity by construction — the graph
+    *    contains a Hamiltonian path) and geometric FINGERS at rank
+    *    offsets ±{16, 64, 256, 1024, 4096, 16384} (Kleinberg
+    *    small-world links at every scale, so greedy descent crosses
+    *    the corpus in O(log N) hops). Out-degree ≤ 8 + 2 + 12 = 22.
+    *  - the global curve rank is computed the DISTRIBUTED way:
+    *    range-repartition on (proj, id), per-partition row_number
+    *    (keyed window), plus broadcast per-partition prefix offsets —
+    *    never one global window partition.
+    *
+    * Search: entry = the best-of-16 RANK-SPREAD nodes per query (ranks
+    * 1, 1+⌈N/16⌉, … — a fixed sample covering the curve), then 6 beam
+    * hops: expand the beam's out-edges, score ONLY the expanded
+    * candidates (≤ beam·degree new evals per hop), keep the best 8 of
+    * beam ∪ expansion — monotone, so the final beam dominates the
+    * entry. Per query: ≤ 16 + 6·8·22 ≈ 1100 distance evals at ANY
+    * corpus size — the bounded-work property the tier row shows
+    * (IVF's per-query candidates are nprobe·N/cells ∝ N/√N-ish; the
+    * graph's are constant). In Spark each hop is one hash join of the
+    * tiny (qid, node) frontier against the checkpointed lattice (a
+    * production server replaces that scan with point lookups into its
+    * vector store; the eval COUNT is the portable claim). Recall@3 is
+    * scored against the memoized exact ground truth. */
+  def annGraph(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (adj, entries, qv) = annGraphAdjacency(s, d)
+    val q = qv.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(qv, cands("node") === qv("vec_id"))
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("node"),
+          expr("squared_distance(qv, qq)").as("dist"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("node").asc)
+    // beam0: the rank-spread entry sample, scored and capped at 8
+    var beam = MemoUtil.scratch(score(
+        entries.select(col("vec_id").as("node"))
+          .crossJoin(broadcast(q.select(col("qid"))))
+          .where(col("node") =!= col("qid")))
+      .withColumn("c", row_number().over(wq)).where(col("c") <= 8)
+      .drop("c").localCheckpoint())
+    for (_ <- 1 to 6) {
+      val expanded = beam.select(col("qid"), col("node"))
+        .join(adj, col("node") === col("src"))
+        .select(col("qid"), col("dst").as("node"))
+        .where(col("node") =!= col("qid")).distinct()
+      beam = MemoUtil.scratch(
+        beam.unionByName(score(expanded)).distinct()
+          .withColumn("c", row_number().over(wq)).where(col("c") <= 8)
+          .drop("c").localCheckpoint())
+    }
+    val pred = beam.withColumn("c", row_number().over(wq))
+      .where(col("c") <= 3).select(col("qid"), col("node").as("cand_id"))
+    exactQTop3(s, d)
+      .join(pred.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
+  /** The (adjacency, entry sample, quantized lattice) behind
+    * llm_ann_graph — package-private so LlmScaleSpec asserts the
+    * bounded-degree, connectivity, and entry invariants on the graph
+    * itself. Checkpointed scratch (multi-reader: 6 beam hops + spec). */
+  private[graft] def annGraphAdjacency(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    graft.GraftExtensions.register(s)
+    val (qv, _, a2, _) = lloyd(s, d)
+    val pj = qv.select(col("vec_id"),
+      expr("qv[0] + qv[1] + qv[2] + qv[3]").as("proj"))
+    // distributed global rank: range-partition the total order, rank
+    // within partitions (keyed window), add broadcast prefix offsets —
+    // |partitions|-row driver metadata, no single global window
+    val parted = pj.repartitionByRange(32, col("proj"), col("vec_id"))
+      .withColumn("pid", spark_partition_id())
+    val partedCk = MemoUtil.scratch(parted.localCheckpoint())
+    val counts = partedCk.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = (pid, acc); acc += n; o
+    }.toSeq
+    val total = acc
+    import s.implicits._
+    val offDf = broadcast(offsets.toDF("pid", "off"))
+    val wp = Window.partitionBy(col("pid"))
+      .orderBy(col("proj").asc, col("vec_id").asc)
+    val rk = MemoUtil.scratch(partedCk
+      .withColumn("lrn", row_number().over(wp))
+      .join(offDf, "pid")
+      .select(col("vec_id"), (col("lrn") + col("off")).as("rn"))
+      .localCheckpoint())
+    // proximity candidates: same Lloyd cell ∪ ±8 curve ranks (the
+    // bucketed equi-join — every qualifying pair meets exactly once)
+    val cellPairs = a2.select(col("vec_id").as("src"), col("cluster"))
+      .join(a2.select(col("vec_id").as("dst"), col("cluster")), "cluster")
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val right = rk.select(col("vec_id").as("dst"), col("rn").as("drn"),
+      expr("rn DIV 8").as("bk"))
+    val winPairs = rk
+      .withColumn("bo", explode(lit(Array(-1, 0, 1))))
+      .select(col("vec_id").as("src"), col("rn").as("srn"),
+        (expr("rn DIV 8") + col("bo")).as("bk"))
+      .join(right, "bk")
+      .where(col("src") =!= col("dst") &&
+        abs(col("srn") - col("drn")) <= 8)
+      .select(col("src"), col("dst"))
+    val pairs = cellPairs.unionByName(winPairs).distinct()
+      .join(qv.select(col("vec_id").as("src"), col("qv").as("sv")), "src")
+      .join(qv.select(col("vec_id").as("dst"), col("qv").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        expr("squared_distance(sv, dv)").as("dist"))
+    val wsrc = Window.partitionBy(col("src"))
+      .orderBy(col("dist").asc, col("dst").asc)
+    val knn4 = pairs.withColumn("c", row_number().over(wsrc))
+      .where(col("c") <= 4).select(col("src"), col("dst"), col("dist"))
+    val sym = knn4.unionByName(
+      knn4.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+      .distinct()
+    val capped = sym.withColumn("c", row_number().over(wsrc))
+      .where(col("c") <= 8).select(col("src"), col("dst"))
+    // navigation: curve successor (connectivity) + geometric fingers
+    val succ = rk.as("a").join(rk.as("b"),
+        col("b.rn") === col("a.rn") + 1)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val fingersFwd = rk
+      .withColumn("st", explode(lit(Array(16L, 64L, 256L, 1024L, 4096L,
+        16384L))))
+      .select(col("vec_id").as("src"), (col("rn") + col("st")).as("trn"))
+      .join(rk.select(col("vec_id").as("dst"), col("rn").as("trn")), "trn")
+      .select(col("src"), col("dst"))
+    def bothWays(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = MemoUtil.scratch(
+      capped.unionByName(bothWays(succ)).unionByName(bothWays(fingersFwd))
+        .distinct().localCheckpoint())
+    // fixed entry sample: ranks 1, 1+⌈N/16⌉, … — ≤16 nodes spread
+    // across the curve, so no query starts more than N/32 ranks from
+    // its region before the fingers shortcut the rest
+    val stride = math.max(1L, (total + 15L) / 16L)
+    val entries = rk.where((col("rn") - 1) % stride === 0)
+      .select(col("vec_id"))
+    (adj, entries, qv)
+  }
+
   /** Per-dimension SCALAR quantization (SQ8) retrieval eval — the third
     * leg of the accuracy-per-byte trio beside truncation
     * (llm_ann_matryoshka) and codebooks (llm_ann_pq_recall): compress
@@ -2167,7 +2335,8 @@ object LlmScale extends OpModule {
     "llm_gram_matrix" -> gramMatrix _,
     "llm_dedup_substring" -> dedupSubstring _,
     "llm_ann_recall" -> annRecall _,
-    "llm_ann_recall_sweep" -> annRecallSweep _
+    "llm_ann_recall_sweep" -> annRecallSweep _,
+    "llm_ann_graph" -> annGraph _
   )
 
   /** Hierarchical-assign CTE block, prefix `p`: per-dim centroid table
@@ -2540,7 +2709,129 @@ object LlmScale extends OpModule {
         |SELECT i AS dim, v AS v_fp, (abs(v) * 10000) // t AS share_bp
         |FROM pv3, tot""".stripMargin
 
+  /** llm_ann_graph replayed line-for-line over the SAME lloyd lattice
+    * CTEs the kmeans-family oracles use: cell ∪ ±8-curve candidates →
+    * top-4 + symmetrize + cap-8 + curve/finger navigation edges →
+    * the rank-spread 16-entry sample → 6 unrolled beam hops (AS
+    * MATERIALIZED — the iterative-CTE discipline) → recall vs the
+    * exact brute top-3. */
+  private val annGraphOracleSql: String = {
+    val prefix = lloydCtes +
+      """,
+        |pj AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dim < 4 THEN q ELSE 0 END) AS BIGINT) AS proj
+        |  FROM dims GROUP BY 1),
+        |rk AS MATERIALIZED (
+        |  SELECT vec_id, row_number() OVER (ORDER BY proj, vec_id) AS rn
+        |  FROM pj),
+        |cnd AS MATERIALIZED (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM a2 a JOIN a2 b
+        |    ON b.cluster = a.cluster AND a.vec_id != b.vec_id
+        |  UNION
+        |  SELECT a.vec_id, b.vec_id
+        |  FROM rk a JOIN rk b
+        |    ON b.rn BETWEEN a.rn - 8 AND a.rn + 8 AND a.vec_id != b.vec_id),
+        |pdist AS MATERIALIZED (
+        |  SELECT p.src, p.dst,
+        |    CAST(sum((da.q - db.q) * (da.q - db.q)) AS BIGINT) AS dist
+        |  FROM cnd p
+        |  JOIN dims da ON da.vec_id = p.src
+        |  JOIN dims db ON db.vec_id = p.dst AND db.dim = da.dim
+        |  GROUP BY 1, 2),
+        |knn AS MATERIALIZED (
+        |  SELECT src, dst, dist FROM (
+        |    SELECT src, dst, dist,
+        |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS c
+        |    FROM pdist) WHERE c <= 4),
+        |sym AS (
+        |  SELECT src, dst, dist FROM knn
+        |  UNION
+        |  SELECT dst, src, dist FROM knn),
+        |cap AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS c
+        |    FROM sym) WHERE c <= 8),
+        |succ AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM rk a JOIN rk b ON b.rn = a.rn + 1),
+        |fing AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM rk a
+        |  CROSS JOIN (VALUES (16), (64), (256), (1024), (4096),
+        |              (16384)) f(st)
+        |  JOIN rk b ON b.rn = a.rn + f.st),
+        |adj AS MATERIALIZED (
+        |  SELECT src, dst FROM cap
+        |  UNION SELECT src, dst FROM succ
+        |  UNION SELECT dst, src FROM succ
+        |  UNION SELECT src, dst FROM fing
+        |  UNION SELECT dst, src FROM fing),
+        |qdim AS MATERIALIZED (
+        |  SELECT vec_id, dim, q FROM dims WHERE vec_id < 10),
+        |ent AS (
+        |  SELECT vec_id FROM rk
+        |  WHERE (rn - 1) % (SELECT (count(*) + 15) // 16 FROM pj) = 0),
+        |b0 AS MATERIALIZED (
+        |  SELECT qid, node, dist FROM (
+        |    SELECT qid, node, dist,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS c
+        |    FROM (
+        |      SELECT dq.vec_id AS qid, e.vec_id AS node,
+        |        CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+        |      FROM ent e
+        |      JOIN dims dc ON dc.vec_id = e.vec_id
+        |      JOIN qdim dq ON dq.dim = dc.dim AND dq.vec_id != e.vec_id
+        |      GROUP BY 1, 2)) WHERE c <= 8),
+        |""".stripMargin
+    val hops = (1 to 6).map { h =>
+      s"""e$h AS MATERIALIZED (
+         |  SELECT DISTINCT b.qid, a.dst AS node
+         |  FROM b${h - 1} b JOIN adj a ON a.src = b.node
+         |  WHERE a.dst != b.qid),
+         |s$h AS MATERIALIZED (
+         |  SELECT e.qid, e.node,
+         |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+         |  FROM e$h e
+         |  JOIN qdim dq ON dq.vec_id = e.qid
+         |  JOIN dims dc ON dc.vec_id = e.node AND dc.dim = dq.dim
+         |  GROUP BY 1, 2),
+         |b$h AS MATERIALIZED (
+         |  SELECT qid, node, dist FROM (
+         |    SELECT qid, node, dist,
+         |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS c
+         |    FROM (SELECT qid, node, dist FROM b${h - 1}
+         |          UNION SELECT qid, node, dist FROM s$h)) WHERE c <= 8),
+         |""".stripMargin
+    }.mkString
+    val suffix =
+      """pred AS (
+        |  SELECT qid, node AS cand_id FROM (
+        |    SELECT qid, node,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS c
+        |    FROM b6) WHERE c <= 3),
+        |exd AS MATERIALIZED (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM qdim dq JOIN dims dc
+        |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  GROUP BY 1, 2),
+        |ex3 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM exd) WHERE rn <= 3)
+        |SELECT e.qid, CAST(count(p.cand_id) AS BIGINT) AS n_hit,
+        |  round(count(p.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+        |FROM ex3 e LEFT JOIN pred p USING (qid, cand_id)
+        |GROUP BY e.qid""".stripMargin
+    prefix + hops + suffix
+  }
+
   def oracle: Map[String, String] = Map(
+    "llm_ann_graph" -> annGraphOracleSql,
     "llm_cluster_topics" ->
       (lloydCtes + """,
         |dt AS (
