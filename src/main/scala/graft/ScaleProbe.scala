@@ -323,6 +323,11 @@ object ScaleProbe {
       // renditions); session close is a real two-batch micro-batch run
       // whose state is one (n, last) pair per user clone
       "llm_dedup_phash", "stream_session_close",
+      // chained dedup→window (r13): ONE query, TWO watermark-bounded
+      // stores — dedup state ≤ delay-window keys, window state ≤ open
+      // windows; growth through the doubled+sentinel topic must be
+      // ~linear in rows like the single-operator streaming twins
+      "stream_chained_stateful",
       // lsh_autorewrite over clones: every vector is duplicated
       // ×copies UNCHANGED, so same-cell output pairs grow ×copies² BY
       // CONSTRUCTION (they are all true cos=1 dups) — the probe checks

@@ -254,6 +254,59 @@ object StreamIO extends OpModule {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Staged topic for the CHAINED multi-stateful query: every event
+    * twice (the dupEventsDir layout) PLUS one far-future sentinel row.
+    * The sentinel's role is the append-mode flush: after the single
+    * AvailableNow data batch the watermark lands at sentinel time −
+    * delay, which is past every REAL window's end, so the trailing
+    * no-data micro-batch finalizes and emits all real windows; the
+    * sentinel's own window stays above the watermark and never emits
+    * (and the readout filters its type defensively). */
+  private val chainDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def chainEventsDir(s: SparkSession, d: String): String =
+    chainDirs.computeIfAbsent(d, { dir =>
+      val target = java.nio.file.Paths.get(fresh("events_chain"))
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      StageUtil.stageTopic(src, target, "events_a")
+      StageUtil.stageTopic(src, target, "events_b")
+      val ev = graft.Tables.events(s, dir)
+      val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
+      ev.limit(1)
+        .select(lit(-1L).as("event_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 7200000L)).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("zzz_sentinel").as("event_type"),
+          lit(0.0).as("value"))
+        .coalesce(1)
+        .write.mode("append").parquet(target.toString)
+      target.toString
+    })
+
+  /** The chained dedup→window query (Streaming.chainedStateful) driven
+    * through a real micro-batch run over the doubled+sentinel topic —
+    * VERDICT r12 task 4. One query, one checkpoint, TWO stateful
+    * operators; the oracle replays distinct → hourly aggregate from the
+    * source table (both topic copies share each event's time — always
+    * inside the delay — so the within-watermark dedup is exact). */
+  def streamChainedStateful(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val name = s"chain_${UUID.randomUUID().toString.replace("-", "")}"
+    val src = chainEventsDir(s, d)
+    val schema = schemaCache.computeIfAbsent(src,
+      p => s.read.parquet(p).schema)
+    val q = Streaming.chainedStateful(graft.Tables.normalizeTs(
+        s.readStream.schema(schema).parquet(src))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name).where(col("event_type") =!= "zzz_sentinel")
+  }
+
   /** Directory-watch ingestion: stream the events table through a real
     * micro-batch file source into a memory sink, then aggregate. */
   def sourceFileStream(s0: SparkSession, d: String): DataFrame = {
@@ -582,7 +635,8 @@ object StreamIO extends OpModule {
     "source_custom_stream" -> sourceCustomStream _,
     "join_stream_static" -> joinStreamStatic _,
     "stream_dedup_within_wm" -> streamDedupWithinWm _,
-    "stream_session_close" -> streamSessionClose _
+    "stream_session_close" -> streamSessionClose _,
+    "stream_chained_stateful" -> streamChainedStateful _
   )
 
   private val evCte =
@@ -592,6 +646,16 @@ object StreamIO extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the chain replayed relationally: the doubled topic collapses to
+    // distinct events (both copies share each event's time — inside the
+    // delay, dedup exact), then the hourly aggregate; the sentinel only
+    // drives the append-mode flush and is filtered from the readout
+    "stream_chained_stateful" -> (evCte +
+      """
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM ev GROUP BY 1, 2""".stripMargin),
     // the staged topic delivers every event twice with one shared event
     // time — always inside the delay — so within-watermark dedup is
     // exact here and the oracle is the plain distinct count

@@ -153,6 +153,31 @@ object Streaming extends OpModule {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** CHAINED multi-stateful query (Spark 4): watermarked
+    * dropDuplicatesWithinWatermark feeding a tumbling window aggregation
+    * in ONE streaming query — one checkpoint, two state stores. This is
+    * the real 100 TB topology shape (dedup → sessionize/window → enrich
+    * in a single query) that pre-Spark-3.5 engines forced into separate
+    * queries glued by an intermediate topic, paying a full
+    * serialize/replay per stage. Both operators' state is
+    * watermark-bounded: the dedup store evicts keys once the watermark
+    * passes event time + delay, the window store evicts finalized
+    * windows — StreamingSpec asserts BOTH stores report bounded
+    * numRowsTotal across batches. Only composable on a STREAMING frame
+    * (Spark rejects dropDuplicatesWithinWatermark in batch), so the
+    * correctness gate replays distinct → window in the oracle instead
+    * of a batch twin. Cents are exact BIGINT (the dedup must be
+    * result-invisible to the sum — a float fold could mask a lost or
+    * doubled event in rounding). */
+  def chainedStateful(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("cents"))
+
   /** Exactly-once by key: duplicates (here: a replayed copy of the whole
     * stream) collapse to one row per event_id. */
   def dedup(ev: DataFrame): DataFrame =

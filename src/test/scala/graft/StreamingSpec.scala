@@ -335,6 +335,62 @@ class StreamingSpec extends SparkSpec {
     } finally qB.stop()
   }
 
+  test("chained multi-stateful: dedup->window in one query, both stores bounded, exact emissions") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.chainedStateful(in.toDF())
+      .writeStream.format("memory").queryName("chain_obs")
+      .outputMode("append").start()
+    try {
+      run(q, in, Seq(
+        // batch 1: e1 delivered twice IN-batch (dedup suppresses the
+        // copy), e2 same hour, e3 next hour
+        Seq(ev(1, 5, 1, "c", 1.0), ev(1, 5, 1, "c", 1.0),
+          ev(2, 20, 1, "c", 2.0), ev(3, 65, 2, "c", 3.0)),
+        // batch 2: a CROSS-batch duplicate of e3 while its key is still
+        // inside the watermark delay (suppressed — the guarantee plain
+        // dropDuplicates can't give with bounded state), plus e4, and
+        // e5 advancing the watermark
+        Seq(ev(3, 65, 2, "c", 3.0), ev(4, 70, 2, "c", 4.0),
+          ev(5, 125, 1, "c", 5.0)),
+        // batch 3: far-future sentinel — the watermark passes every
+        // real window, the no-data batch flushes them all
+        Seq(ev(99, 500, 9, "zzz", 0.0))))
+      // EXACT emissions through BOTH operators: dedup removed the two
+      // copies, the window agg counted exactly the distinct events
+      val got = spark.table("chain_obs")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000 % 1440,
+          r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val h = 60L
+      assert(got == Set(
+        (0L, "c", 2L, 300L),       // hour 0: e1 (once!) + e2
+        (h, "c", 2L, 700L),        // hour 1: e3 (once!) + e4
+        (2 * h, "c", 1L, 500L)),   // hour 2: e5; sentinel never emits
+        s"chained emissions wrong: $got")
+      // STATE OBSERVABILITY for both operators: every batch reports TWO
+      // state stores (the chained topology), each watermark-bounded
+      val prog = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(prog.nonEmpty, "chained query must report stateOperators")
+      prog.foreach { p =>
+        assert(p.stateOperators.length == 2,
+          s"batch ${p.batchId} must run BOTH stateful operators: " +
+            p.stateOperators.map(_.operatorName).mkString(","))
+      }
+      val names = prog.flatMap(_.stateOperators.map(_.operatorName)).toSet
+      assert(names.size == 2, s"two distinct stateful operators: $names")
+      // dedup keys + open windows stay small and EVICT: by the last
+      // batch the watermark (sentinel-10min) has expired every real
+      // dedup key and flushed every real window
+      val byBatch = prog.map(p => p.batchId ->
+        p.stateOperators.map(_.numRowsTotal).sum).sortBy(_._1)
+      assert(byBatch.map(_._2).max <= 12,
+        s"state must stay bounded by keys+windows, got $byBatch")
+      val last = byBatch.last._2
+      assert(last < byBatch.map(_._2).max && last <= 2,
+        s"watermark must evict both stores' state (got $byBatch)")
+    } finally q.stop()
+  }
+
   test("batch twin of stateful summary equals plain aggregation") {
     val data = Seq(
       ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "view", 2.0),
