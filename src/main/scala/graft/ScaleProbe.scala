@@ -604,6 +604,26 @@ object ScaleProbe {
         .write.mode(SaveMode.Overwrite).parquet(s"$outU/documents.parquet")
       probe("llm_sample_importance", outU, "importance_upsample")
     }
+    // HOT-KEY heavy-hitter tier (r13, VERDICT task 8): every document
+    // gains a run of one boilerplate token sized to its own length, so
+    // ~half of ALL token occurrences are a single key — the worst skew
+    // an aggregate shuffle can face. agg_heavy_hitters must stay
+    // scan-bound here because its recount collapses the hot key
+    // MAP-SIDE (partial aggregation): the shuffle carries
+    // ≤ cands×partitions rows whatever the distribution (the measured
+    // spec twin lives in AggregatesSpec).
+    if (only.forall(_.contains("hh_hotkey"))) {
+      val outH =
+        java.nio.file.Files.createTempDirectory("graft_probe_h").toString
+      spark.read.parquet(s"$out/documents.parquet")
+        .withColumn("text",
+          concat(col("text"), lit(" "), expr(
+            "array_join(transform(sequence(1, greatest(1, " +
+              "size(filter(split(text, ' '), x -> x != '')))), " +
+              "i -> 'thehotkey'), ' ')")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outH/documents.parquet")
+      probe("agg_heavy_hitters", outH, "hh_hotkey")
+    }
     if (only.forall(_.exists(_.startsWith("ngram_skew")))) {
       val outS =
         java.nio.file.Files.createTempDirectory("graft_probe_s").toString

@@ -184,6 +184,39 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters: hot-key skew never reaches the shuffle (partial-agg immunity)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    // plant one key carrying HALF of a 400k-token stream — the shape
+    // that melts a skew-naive groupBy (one reducer owns the hot key's
+    // raw rows). The recount is skew-immune BY partial aggregation:
+    // each map task collapses the hot key to ONE partial count before
+    // the exchange, so the shuffle carries ≤ |cands|·partitions rows
+    // whatever the key distribution (VERDICT r12 task 8 — the
+    // aggregate-side twin of join_skew_aqe's AQE split)
+    val hot = Seq.fill(200000)("hotkey")
+    val rest = (0 until 200000).map(i => s"k${i % 997}")
+    val toks = (hot ++ rest).toDF("tok").repartition(32)
+    val df = graft.operators.Aggregates.heavyHitters(toks, 20)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("hotkey") == 200000L, s"hot key count exact: $rows")
+    // measured: the partial (pre-shuffle) aggregate emitted at most
+    // cands×partitions rows — 400k input rows never crossed the wire
+    val partials = collectFinal(df) {
+      case h: HashAggregateExec
+          if h.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) &&
+            h.aggregateExpressions.exists(_.aggregateFunction.prettyName
+              == "count") => h
+    }
+    assert(partials.nonEmpty, "recount must plan a partial hash aggregate")
+    val emitted = partials.map(_.metrics("numOutputRows").value).min
+    assert(emitted <= 401L * 32,
+      s"partial agg must collapse the hot key map-side, emitted $emitted")
+    assert(emitted < 400000L / 10,
+      s"shuffle mass must be candidate-bounded, not row-bounded: $emitted")
+  }
+
   test("agg_histogram_equidepth: matches the sorted local replay, depths near-balanced") {
     val got = graft.operators.Aggregates.aggHistogramEquidepth(spark, sf)
       .collect()
