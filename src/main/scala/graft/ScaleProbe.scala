@@ -460,6 +460,18 @@ object ScaleProbe {
       // the one-time two-write staging (full table + delta — linear in
       // rows); the registered read-back aggregate is scan-bound
       "sink_dynamic_overwrite",
+      // COW merge (r13): first call pays target staging (linear) + the
+      // touched-partition rewrite (O(touched) — the delta hits 2/5
+      // partitions at every tier); the read-back audit is scan-bound
+      "sink_merge_cow",
+      // MOR merge (r13): the commit is O(delta) appends at any tier;
+      // the registered read pays the anti-join reconstruction — both
+      // sides scan-bound, base never rewritten
+      "sink_merge_mor",
+      // versioned manifests (r13): v1/v2 staging is linear; the two
+      // snapshot summaries are scans and the CDC read touches only the
+      // differing files (fixed [100,400] range → near-flat diff side)
+      "scan_time_travel",
       // OLS trend forecast (r12): one hourly shuffle (map-side
       // combined) + a |types|-row sufficient-stats fold — scan-bound
       "ts_forecast_linear",

@@ -617,6 +617,85 @@ object Scans extends OpModule {
         sum(col("o_orderkey")).cast("bigint").as("key_sum"))
   }
 
+  /** MERGE-ON-READ (MOR) — the other half of the lakehouse upsert
+    * trade, beside sink_merge_cow's copy-on-write: the SAME merge
+    * (same deterministic source, same final state, same oracle), but
+    * the write commits O(delta) bytes — an equality-DELETE sidecar
+    * (the Iceberg v2 delete-file / Hudi MOR log analogue: deleted and
+    * superseded keys) plus an upsert delta file — and the BASE FILES
+    * ARE NEVER TOUCHED (ScansSpec proves every base partition
+    * byte-identical, not just the untouched ones). The read side pays
+    * instead: base ANTI-JOIN deletes, then UNION the delta — exactly
+    * the reconstruction a MOR reader runs per query until compaction
+    * folds the log back into base files (maintenance_compact is that
+    * job's shape). COW optimizes reads and pays partition-rewrite
+    * writes; MOR optimizes writes and pays a per-read join — shipping
+    * both against one oracle pins that they are COST choices, not
+    * semantic ones. The delete sidecar is key-level (equality deletes):
+    * position deletes need stable row ordinals, which plain parquet
+    * only has per-file — the manifest seam (scan_time_travel) is where
+    * those would live. */
+  private[graft] def mergeMorStageBase(s: SparkSession, d: String,
+                                       path: String): Unit =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.partitionBy("o_orderpriority")
+      .mode(SaveMode.Overwrite).parquet(s"$path/base")
+
+  /** The MOR merge COMMIT: only the delete sidecar and the upsert delta
+    * are written — O(delta) bytes, zero base-file I/O (the write-side
+    * economics the spec measures). */
+  private[graft] def mergeMorCommit(s: SparkSession, d: String,
+                                    path: String): Unit = {
+    val src = mergeCowSource(s, d)
+    // the delete sidecar: keys whose BASE row must vanish on read —
+    // deleted keys and updated keys (the update's new image lives in
+    // the delta file; latest-wins is expressed as delete-old + append)
+    src.where(col("op").isin("U", "D"))
+      .select(col("o_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/deletes")
+    // the upsert delta: update images + inserts — plain appends
+    src.where(col("op").isin("U", "I"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/delta")
+  }
+
+  /** The MOR read path: base ⟕ anti-join the delete sidecar, union the
+    * delta — the per-query reconstruction. */
+  private[graft] def mergeMorRead(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/base")
+      .join(broadcast(s.read.parquet(s"$path/deletes")),
+        Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .unionByName(s.read.parquet(s"$path/delta")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")))
+
+  def sinkMergeMor(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val path = s"$ioDir/merge_mor_$sfx"
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_MERGED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val dir = new java.io.File(path)
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dir)
+        }
+        mergeMorStageBase(s, d, path)
+        mergeMorCommit(s, d, path)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    mergeMorRead(s, path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+  }
+
   /** Versioned manifests: SNAPSHOT READS, TIME TRAVEL, and
     * CDC-between-versions — the property set that makes a 100 TB table
     * trustworthy under concurrent writers, extended from
@@ -1041,6 +1120,7 @@ object Scans extends OpModule {
     "sink_parquet" -> sinkParquet _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_merge_cow" -> sinkMergeCow _,
+    "sink_merge_mor" -> sinkMergeMor _,
     "scan_time_travel" -> scanTimeTravel _,
     "scan_csv_multiline" -> scanCsvMultiline _
   )
@@ -1213,32 +1293,11 @@ object Scans extends OpModule {
         |GROUP BY 1""".stripMargin,
     // the merge replayed RELATIONALLY: FULL OUTER JOIN target to the
     // deterministic source, CASE on the action — what MERGE INTO means,
-    // independent of the copy-on-write mechanics under test
-    "sink_merge_cow" ->
-      """WITH tgt AS (
-        |  SELECT o_orderkey AS k, o_totalprice AS price,
-        |         o_orderpriority AS pri
-        |  FROM orders),
-        |src AS (
-        |  SELECT k, 'U' AS op, price * 2 AS sprice, pri FROM tgt
-        |  WHERE k % 10 = 3 AND pri IN ('1-URGENT', '2-HIGH')
-        |  UNION ALL
-        |  SELECT k, 'D', NULL, pri FROM tgt
-        |  WHERE k % 10 = 7 AND pri IN ('1-URGENT', '2-HIGH')
-        |  UNION ALL
-        |  SELECT k + 100000000, 'I', price + 1000.0, pri FROM tgt
-        |  WHERE k % 100 = 1 AND pri IN ('1-URGENT', '2-HIGH')),
-        |merged AS (
-        |  SELECT coalesce(t.k, s.k) AS k,
-        |    CASE WHEN s.op IN ('U', 'I') THEN s.sprice
-        |         ELSE t.price END AS price,
-        |    coalesce(t.pri, s.pri) AS pri
-        |  FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
-        |  WHERE s.op IS NULL OR s.op <> 'D')
-        |SELECT pri AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents,
-        |  CAST(sum(k) AS BIGINT) AS key_sum
-        |FROM merged GROUP BY pri""".stripMargin,
+    // independent of the write mechanics under test. COW and MOR share
+    // it verbatim: they are COST choices (rewrite partitions vs append
+    // a delete sidecar + delta), never semantic ones
+    "sink_merge_mor" -> mergeOracleSql,
+    "sink_merge_cow" -> mergeOracleSql,
     // versioning changes file lifecycle, never results: v1 is the raw
     // table, v2 the deterministic update, cdc their keyed difference
     "scan_time_travel" ->
@@ -1261,4 +1320,30 @@ object Scans extends OpModule {
         |  CAST(sum(c2 - c1) AS BIGINT), CAST(sum(k) AS BIGINT)
         |FROM t WHERE c1 <> c2""".stripMargin
   )
+
+  private val mergeOracleSql: String =
+    """WITH tgt AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS price,
+      |         o_orderpriority AS pri
+      |  FROM orders),
+      |src AS (
+      |  SELECT k, 'U' AS op, price * 2 AS sprice, pri FROM tgt
+      |  WHERE k % 10 = 3 AND pri IN ('1-URGENT', '2-HIGH')
+      |  UNION ALL
+      |  SELECT k, 'D', NULL, pri FROM tgt
+      |  WHERE k % 10 = 7 AND pri IN ('1-URGENT', '2-HIGH')
+      |  UNION ALL
+      |  SELECT k + 100000000, 'I', price + 1000.0, pri FROM tgt
+      |  WHERE k % 100 = 1 AND pri IN ('1-URGENT', '2-HIGH')),
+      |merged AS (
+      |  SELECT coalesce(t.k, s.k) AS k,
+      |    CASE WHEN s.op IN ('U', 'I') THEN s.sprice
+      |         ELSE t.price END AS price,
+      |    coalesce(t.pri, s.pri) AS pri
+      |  FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
+      |  WHERE s.op IS NULL OR s.op <> 'D')
+      |SELECT pri AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  CAST(sum(k) AS BIGINT) AS key_sum
+      |FROM merged GROUP BY pri""".stripMargin
 }

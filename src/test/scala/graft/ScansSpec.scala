@@ -355,6 +355,49 @@ class ScansSpec extends SparkSpec {
     assert(viaOp.getAs[Long]("n") == after.size)
   }
 
+  test("sink_merge_mor: zero base-file I/O, O(delta) commit, read equals the COW merge") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("merge_mor_spec").toString
+    val path = s"$root/target"
+    graft.operators.Scans.mergeMorStageBase(spark, sf, path)
+    def snapAll(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/base"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val baseBefore = snapAll()
+    val baseBytes = baseBefore.values.map(_._1).sum
+    graft.operators.Scans.mergeMorCommit(spark, sf, path)
+    // the MOR write-side claim: the merge touches ZERO base files (COW
+    // rewrote the touched partitions; MOR rewrites nothing) ...
+    assert(snapAll() == baseBefore,
+      "MOR merge must not touch any base file")
+    // ... and commits O(delta) bytes — the sidecar + delta are a small
+    // fraction of the base (the source touches ~20% of 2/5 partitions)
+    def dirBytes(sub: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else f.length()
+      walk(new java.io.File(s"$path/$sub"))
+    }
+    val logBytes = dirBytes("deletes") + dirBytes("delta")
+    assert(logBytes < baseBytes / 2,
+      s"MOR commit must be delta-sized: log $logBytes vs base $baseBytes")
+    // read-side reconstruction equals the SAME merge executed COW-style
+    // (one semantics, two write strategies)
+    val mor = graft.operators.Scans.sinkMergeMor(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val cow = graft.operators.Scans.sinkMergeCow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(mor == cow, s"MOR read must equal the COW merge state")
+  }
+
   test("scan_time_travel: v1 resolves unchanged after the v2 commit; replaced files persist") {
     import org.apache.spark.sql.functions.{expr, sum => fsum}
     val dir = java.nio.file.Files.createTempDirectory("tt_spec").toString
