@@ -214,6 +214,9 @@ object ScaleProbe {
       // (skew's frequency table is key-sized; stats' multi-distinct
       // expands map-side; the split is one map-side hash)
       "dq_skew", "maintenance_stats", "llm_split_holdout",
+      // the flagship hash aggregate (r13, for the 100× tier): pure
+      // map-side-combined groupBy — the canonical scan-bound row
+      "agg_hash",
       // round-9 retrieval/curriculum family over the clone corpus: bm25
       // is two token aggregates + a broadcast 5-term query (scan-bound);
       // vocab coverage is one (lang, tok) aggregate + a 500-row
