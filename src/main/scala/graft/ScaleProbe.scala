@@ -475,6 +475,10 @@ object ScaleProbe {
       // snapshot summaries are scans and the CDC read touches only the
       // differing files (fixed [100,400] range → near-flat diff side)
       "scan_time_travel",
+      // snapshot expiry + GC (r13): staging linear; the vacuum itself
+      // is |expired files| driver deletes planned from the manifest
+      // DIFF (never a directory listing) — flat; readout is one scan
+      "maintenance_vacuum",
       // OLS trend forecast (r12): one hourly shuffle (map-side
       // combined) + a |types|-row sufficient-stats fold — scan-bound
       "ts_forecast_linear",

@@ -794,6 +794,91 @@ object Scans extends OpModule {
     s.read.parquet(mDir).select(col("path"))
       .collect().map(_.getString(0)).toIndexedSeq.sorted
 
+  /** Snapshot EXPIRY + file GC — the maintenance job that closes the
+    * versioned-manifest lifecycle (Iceberg `expireSnapshots` + orphan
+    * cleanup / Delta VACUUM): scan_time_travel's isolation guarantee
+    * holds BECAUSE replaced files persist, and this op is the only
+    * sanctioned way they ever stop persisting — delete exactly the
+    * files referenced by EXPIRED manifests and no live one
+    * (m1 ∖ m2 here), then drop the expired manifest itself. Order
+    * matters and is pinned: retention decided from MANIFEST diffs
+    * (never directory listings — a listing race with an in-flight
+    * writer is how vacuums eat live data), files first, manifest last
+    * (an interrupted vacuum must leave m1 present and some files gone
+    * — a retryable state — never a manifest pointing at deleted
+    * files... which m1 briefly is mid-vacuum, which is exactly why
+    * expiry REMOVES m1: a reader must never plan from an expiring
+    * manifest). Runs on its OWN staged copy of the v1→v2 history — a
+    * vacuum that shared scan_time_travel's fixture would destroy the
+    * very snapshot that op proves stable. Readout: the v2 summary
+    * (must be untouched by GC) + the two lifecycle booleans the spec
+    * also asserts (expired files gone, every live file intact). */
+  def maintenanceVacuum(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/vacuum_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_VACUUMED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val f = new java.io.File(dir)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+        timeTravelWriteV1(s, d, dir)
+        timeTravelWriteV2(s, dir)
+        vacuumExpire(s, dir)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    val p2 = snapshotPaths(s, s"$dir/m2")
+    val expiredGone = vacuumExpiredPaths(s, dir)
+      .forall(p => !new java.io.File(new java.net.URI(p)).exists())
+    val liveIntact =
+      p2.forall(p => new java.io.File(new java.net.URI(p)).exists())
+    s.read.parquet(p2: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+      .select(col("n_rows"), col("cents"), col("key_sum"),
+        lit(expiredGone).as("expired_gone"), lit(liveIntact).as("live_intact"))
+  }
+
+  /** The expired-file set (v1-only paths), recorded as a sidecar AT
+    * EXPIRY TIME so post-vacuum readers (the readout above, the spec)
+    * can audit what was deleted after m1 itself is gone. */
+  private[graft] def vacuumExpiredPaths(s: SparkSession,
+                                        dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_EXPIRED")
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    }
+  }
+
+  private[graft] def vacuumExpire(s: SparkSession, dir: String): Unit = {
+    // retry-safe: a prior vacuum already dropped the expired manifest —
+    // nothing left to expire
+    if (!new java.io.File(s"$dir/m1").exists()) return
+    val p1 = snapshotPaths(s, s"$dir/m1")
+    val p2 = snapshotPaths(s, s"$dir/m2").toSet
+    val expired = p1.filterNot(p2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_EXPIRED"),
+      expired.mkString("\n").getBytes("UTF-8"))
+    // files first, manifest last (retryable mid-states only)
+    expired.foreach { p =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(new java.net.URI(p))); ()
+    }
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/m1"))
+  }
+
   def scanTimeTravel(s: SparkSession, d: String): DataFrame = {
     val dir = timeTravelDir(s, d)
     val p1 = snapshotPaths(s, s"$dir/m1")
@@ -1122,6 +1207,7 @@ object Scans extends OpModule {
     "sink_merge_cow" -> sinkMergeCow _,
     "sink_merge_mor" -> sinkMergeMor _,
     "scan_time_travel" -> scanTimeTravel _,
+    "maintenance_vacuum" -> maintenanceVacuum _,
     "scan_csv_multiline" -> scanCsvMultiline _
   )
 
@@ -1298,6 +1384,18 @@ object Scans extends OpModule {
     // a delete sidecar + delta), never semantic ones
     "sink_merge_mor" -> mergeOracleSql,
     "sink_merge_cow" -> mergeOracleSql,
+    // GC changes file lifecycle, never live results: the v2 summary is
+    // the deterministic update over orders; the lifecycle booleans are
+    // the invariants the vacuum must establish
+    "maintenance_vacuum" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(CASE WHEN o_orderkey BETWEEN 100 AND 400
+        |                           THEN o_totalprice * 2
+        |                           ELSE o_totalprice END * 100) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  TRUE AS expired_gone, TRUE AS live_intact
+        |FROM orders""".stripMargin,
     // versioning changes file lifecycle, never results: v1 is the raw
     // table, v2 the deterministic update, cdc their keyed difference
     "scan_time_travel" ->

@@ -440,6 +440,35 @@ class ScansSpec extends SparkSpec {
     assert(v2._2 > v1Before._2, "doubled range must raise the cents mass")
   }
 
+  test("maintenance_vacuum: expires exactly the v1-only files, v2 byte-stable, retry-safe order") {
+    val dir = java.nio.file.Files.createTempDirectory("vac_spec").toString
+    graft.operators.Scans.timeTravelWriteV1(spark, sf, dir)
+    graft.operators.Scans.timeTravelWriteV2(spark, dir)
+    val p1 = graft.operators.Scans.snapshotPaths(spark, s"$dir/m1").toSet
+    val p2 = graft.operators.Scans.snapshotPaths(spark, s"$dir/m2")
+    def v2Readout(): Seq[(Long, Double)] =
+      spark.read.parquet(p2: _*)
+        .select(col("o_orderkey"), col("o_totalprice")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val before = v2Readout()
+    graft.operators.Scans.vacuumExpire(spark, dir)
+    // exactly the v1-only files are gone; every live (m2) file intact
+    val expired = graft.operators.Scans.vacuumExpiredPaths(spark, dir)
+    assert(expired.toSet == p1 -- p2.toSet, "expired set must be m1 minus m2")
+    expired.foreach(p => assert(
+      !new java.io.File(new java.net.URI(p)).exists(), s"must be GC'd: $p"))
+    p2.foreach(p => assert(
+      new java.io.File(new java.net.URI(p)).exists(), s"live file GC'd: $p"))
+    // the expired manifest is gone WITH its files — no reader can plan
+    // from a manifest whose members were deleted
+    assert(!new java.io.File(s"$dir/m1").exists(), "m1 must be dropped")
+    // GC is invisible to the live snapshot
+    assert(v2Readout() == before, "v2 must be byte-stable across vacuum")
+    // idempotent retry: a second vacuum is a no-op (nothing to expire)
+    graft.operators.Scans.vacuumExpire(spark, dir)
+    assert(v2Readout() == before)
+  }
+
   test("scan_metadata_cols: path-derived partition values match restored columns") {
     val rows = graft.operators.Scans.scanMetadataCols(spark, sf).collect()
     assert(rows.map(_.getAs[String]("o_orderpriority")).distinct.length == rows.length)
