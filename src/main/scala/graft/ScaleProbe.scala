@@ -438,6 +438,9 @@ object ScaleProbe {
       // 6·8·22 distance evals per query at ANY corpus size, so growth
       // beyond the shared build must be near-flat
       "llm_ann_graph",
+      // beam sweep (r13): three chains over ONE shared graph build —
+      // the marginal cost per width is the flat bounded search
+      "llm_ann_graph_sweep",
       // late-interaction MaxSim (r12): 10 broadcast queries × one
       // corpus scan with the codegen'd maxsim8 fold fused per row —
       // per-candidate work is a fixed 512 multiply-adds, output top-3

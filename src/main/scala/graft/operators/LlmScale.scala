@@ -1883,6 +1883,44 @@ object LlmScale extends OpModule {
   def annGraph(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     val (adj, entries, qv) = annGraphAdjacency(s, d)
+    val pred = annGraphSearch(adj, entries, qv, 8)
+    exactQTop3(s, d)
+      .join(pred.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
+  /** BEAM-WIDTH ablation for the graph index — the sibling of
+    * llm_ann_recall_sweep's nprobe curve: the SAME graph, the SAME 6
+    * hops, beams 2/4/8, each scored against the shared exact top-3.
+    * A graph index's accuracy knob is the beam (HNSW's efSearch), and
+    * its cost is EXACTLY proportional: per query ≤ 16 + 6·beam·22
+    * distance evals (the evals_bound column — a literal function of
+    * the knob, unlike IVF where cost depends on data-dependent cell
+    * sizes). The measured curve is what a deployment reads to pick
+    * its latency/recall point. */
+  def annGraphSweep(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (adj, entries, qv) = annGraphAdjacency(s, d)
+    val ex = exactQTop3(s, d)
+    Seq(2, 4, 8).map { b =>
+      ex.join(annGraphSearch(adj, entries, qv, b)
+          .withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+        .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+        .select(lit(b).as("beam"),
+          lit(16 + 6 * b * 22).as("evals_bound"), col("n_hit"),
+          round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The 6-hop beam search over a prebuilt graph, width-parameterized
+    * (shared by llm_ann_graph at width 8 and the sweep): monotone —
+    * each hop keeps the best `width` of beam ∪ expansion, so the final
+    * beam dominates the entry sample. Returns (qid, cand_id) top-3. */
+  private def annGraphSearch(adj: DataFrame, entries: DataFrame,
+                             qv: DataFrame, width: Int): DataFrame = {
     val q = qv.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qq"))
     def score(cands: DataFrame): DataFrame =
@@ -1892,12 +1930,12 @@ object LlmScale extends OpModule {
           expr("squared_distance(qv, qq)").as("dist"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("dist").asc, col("node").asc)
-    // beam0: the rank-spread entry sample, scored and capped at 8
+    // beam0: the rank-spread entry sample, scored and width-capped
     var beam = MemoUtil.scratch(score(
         entries.select(col("vec_id").as("node"))
           .crossJoin(broadcast(q.select(col("qid"))))
           .where(col("node") =!= col("qid")))
-      .withColumn("c", row_number().over(wq)).where(col("c") <= 8)
+      .withColumn("c", row_number().over(wq)).where(col("c") <= width)
       .drop("c").localCheckpoint())
     for (_ <- 1 to 6) {
       val expanded = beam.select(col("qid"), col("node"))
@@ -1906,17 +1944,11 @@ object LlmScale extends OpModule {
         .where(col("node") =!= col("qid")).distinct()
       beam = MemoUtil.scratch(
         beam.unionByName(score(expanded)).distinct()
-          .withColumn("c", row_number().over(wq)).where(col("c") <= 8)
+          .withColumn("c", row_number().over(wq)).where(col("c") <= width)
           .drop("c").localCheckpoint())
     }
-    val pred = beam.withColumn("c", row_number().over(wq))
+    beam.withColumn("c", row_number().over(wq))
       .where(col("c") <= 3).select(col("qid"), col("node").as("cand_id"))
-    exactQTop3(s, d)
-      .join(pred.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
-      .select(col("qid"), col("n_hit"),
-        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
   }
 
   /** The (adjacency, entry sample, quantized lattice) behind
@@ -2336,7 +2368,8 @@ object LlmScale extends OpModule {
     "llm_dedup_substring" -> dedupSubstring _,
     "llm_ann_recall" -> annRecall _,
     "llm_ann_recall_sweep" -> annRecallSweep _,
-    "llm_ann_graph" -> annGraph _
+    "llm_ann_graph" -> annGraph _,
+    "llm_ann_graph_sweep" -> annGraphSweep _
   )
 
   /** Hierarchical-assign CTE block, prefix `p`: per-dim centroid table
@@ -2715,7 +2748,7 @@ object LlmScale extends OpModule {
     * the rank-spread 16-entry sample → 6 unrolled beam hops (AS
     * MATERIALIZED — the iterative-CTE discipline) → recall vs the
     * exact brute top-3. */
-  private val annGraphOracleSql: String = {
+  private val annGraphBuildCtes: String = {
     val prefix = lloydCtes +
       """,
         |pj AS MATERIALIZED (
@@ -2774,64 +2807,108 @@ object LlmScale extends OpModule {
         |ent AS (
         |  SELECT vec_id FROM rk
         |  WHERE (rn - 1) % (SELECT (count(*) + 15) // 16 FROM pj) = 0),
-        |b0 AS MATERIALIZED (
-        |  SELECT qid, node, dist FROM (
-        |    SELECT qid, node, dist,
-        |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS c
-        |    FROM (
-        |      SELECT dq.vec_id AS qid, e.vec_id AS node,
-        |        CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
-        |      FROM ent e
-        |      JOIN dims dc ON dc.vec_id = e.vec_id
-        |      JOIN qdim dq ON dq.dim = dc.dim AND dq.vec_id != e.vec_id
-        |      GROUP BY 1, 2)) WHERE c <= 8),
         |""".stripMargin
-    val hops = (1 to 6).map { h =>
-      s"""e$h AS MATERIALIZED (
-         |  SELECT DISTINCT b.qid, a.dst AS node
-         |  FROM b${h - 1} b JOIN adj a ON a.src = b.node
-         |  WHERE a.dst != b.qid),
-         |s$h AS MATERIALIZED (
-         |  SELECT e.qid, e.node,
-         |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
-         |  FROM e$h e
-         |  JOIN qdim dq ON dq.vec_id = e.qid
-         |  JOIN dims dc ON dc.vec_id = e.node AND dc.dim = dq.dim
-         |  GROUP BY 1, 2),
-         |b$h AS MATERIALIZED (
+    prefix
+  }
+
+  /** One width-`w` beam chain, CTE names prefixed `p`: entry b0 capped
+    * at w, then 6 expand→score→re-cap hops. */
+  private def annGraphChainCtes(p: String, w: Int): String = {
+    val b0 =
+      s"""${p}b0 AS MATERIALIZED (
          |  SELECT qid, node, dist FROM (
          |    SELECT qid, node, dist,
          |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS c
-         |    FROM (SELECT qid, node, dist FROM b${h - 1}
-         |          UNION SELECT qid, node, dist FROM s$h)) WHERE c <= 8),
+         |    FROM (
+         |      SELECT dq.vec_id AS qid, e.vec_id AS node,
+         |        CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+         |      FROM ent e
+         |      JOIN dims dc ON dc.vec_id = e.vec_id
+         |      JOIN qdim dq ON dq.dim = dc.dim AND dq.vec_id != e.vec_id
+         |      GROUP BY 1, 2)) WHERE c <= $w),
+         |""".stripMargin
+    val hops = (1 to 6).map { h =>
+      s"""${p}e$h AS MATERIALIZED (
+         |  SELECT DISTINCT b.qid, a.dst AS node
+         |  FROM ${p}b${h - 1} b JOIN adj a ON a.src = b.node
+         |  WHERE a.dst != b.qid),
+         |${p}s$h AS MATERIALIZED (
+         |  SELECT e.qid, e.node,
+         |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+         |  FROM ${p}e$h e
+         |  JOIN qdim dq ON dq.vec_id = e.qid
+         |  JOIN dims dc ON dc.vec_id = e.node AND dc.dim = dq.dim
+         |  GROUP BY 1, 2),
+         |${p}b$h AS MATERIALIZED (
+         |  SELECT qid, node, dist FROM (
+         |    SELECT qid, node, dist,
+         |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS c
+         |    FROM (SELECT qid, node, dist FROM ${p}b${h - 1}
+         |          UNION SELECT qid, node, dist FROM ${p}s$h))
+         |  WHERE c <= $w),
          |""".stripMargin
     }.mkString
-    val suffix =
+    b0 + hops
+  }
+
+  private val annGraphExactCtes: String =
+    """exd AS MATERIALIZED (
+      |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+      |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+      |  FROM qdim dq JOIN dims dc
+      |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+      |  GROUP BY 1, 2),
+      |ex3 AS MATERIALIZED (
+      |  SELECT qid, cand_id FROM (
+      |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY dist ASC, cand_id ASC) AS rn
+      |    FROM exd) WHERE rn <= 3)
+      |""".stripMargin
+
+  private lazy val annGraphOracleFull: String =
+    annGraphBuildCtes + annGraphChainCtes("", 8) +
       """pred AS (
         |  SELECT qid, node AS cand_id FROM (
         |    SELECT qid, node,
         |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS c
         |    FROM b6) WHERE c <= 3),
-        |exd AS MATERIALIZED (
-        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
-        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
-        |  FROM qdim dq JOIN dims dc
-        |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
-        |  GROUP BY 1, 2),
-        |ex3 AS MATERIALIZED (
-        |  SELECT qid, cand_id FROM (
-        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
-        |      ORDER BY dist ASC, cand_id ASC) AS rn
-        |    FROM exd) WHERE rn <= 3)
-        |SELECT e.qid, CAST(count(p.cand_id) AS BIGINT) AS n_hit,
+        |""".stripMargin + annGraphExactCtes +
+      """SELECT e.qid, CAST(count(p.cand_id) AS BIGINT) AS n_hit,
         |  round(count(p.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
         |FROM ex3 e LEFT JOIN pred p USING (qid, cand_id)
         |GROUP BY e.qid""".stripMargin
-    prefix + hops + suffix
-  }
+
+  /** The sweep: three chains over ONE shared graph build + ground
+    * truth, scored per width. */
+  private lazy val annGraphSweepOracle: String =
+    annGraphBuildCtes +
+      annGraphChainCtes("w2", 2) + annGraphChainCtes("w4", 4) +
+      annGraphChainCtes("w8", 8) +
+      """preds AS (
+        |  SELECT 2 AS beam, qid, node FROM (
+        |    SELECT qid, node, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist, node) AS c FROM w2b6) WHERE c <= 3
+        |  UNION ALL
+        |  SELECT 4, qid, node FROM (
+        |    SELECT qid, node, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist, node) AS c FROM w4b6) WHERE c <= 3
+        |  UNION ALL
+        |  SELECT 8, qid, node FROM (
+        |    SELECT qid, node, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist, node) AS c FROM w8b6) WHERE c <= 3),
+        |""".stripMargin + annGraphExactCtes +
+      """SELECT b.beam, 16 + 6 * b.beam * 22 AS evals_bound,
+        |  CAST(count(p.node) AS BIGINT) AS n_hit,
+        |  round(count(p.node) / count(*)::DOUBLE, 4) AS recall_at_3
+        |FROM (VALUES (2), (4), (8)) b(beam)
+        |CROSS JOIN ex3 e
+        |LEFT JOIN preds p
+        |  ON p.beam = b.beam AND p.qid = e.qid AND p.node = e.cand_id
+        |GROUP BY b.beam""".stripMargin
 
   def oracle: Map[String, String] = Map(
-    "llm_ann_graph" -> annGraphOracleSql,
+    "llm_ann_graph" -> annGraphOracleFull,
+    "llm_ann_graph_sweep" -> annGraphSweepOracle,
     "llm_cluster_topics" ->
       (lloydCtes + """,
         |dt AS (

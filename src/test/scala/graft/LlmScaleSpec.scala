@@ -624,6 +624,30 @@ class LlmScaleSpec extends SparkSpec {
     assert(mean >= 0.3, s"graph-ANN mean recall collapsed: $mean")
   }
 
+  test("ann_graph_sweep: recall monotone in beam, bounds literal, width-8 equals the flagship") {
+    val rows = operators.LlmScale.annGraphSweep(spark, sf).collect()
+      .map(r => (r.getAs[Int]("beam"), r.getAs[Int]("evals_bound"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall_at_3")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8))
+    rows.foreach { case (b, ev, hit, rec) =>
+      // the cost column is a LITERAL function of the knob — the graph
+      // index's defining property vs IVF's data-dependent cell sizes
+      assert(ev == 16 + 6 * b * 22)
+      assert(hit >= 0 && hit <= 30 && rec >= 0.0 && rec <= 1.0)
+    }
+    // a wider beam never discards a narrower beam's candidates' rank
+    // slots for worse ones at the FINAL cap... monotonicity can break
+    // per-query in adversarial graphs, but the aggregate curve must
+    // not collapse: width 8 >= width 2
+    assert(rows.last._3 >= rows.head._3,
+      s"beam-8 recall must dominate beam-2: $rows")
+    // the width-8 arm IS llm_ann_graph's search — totals agree
+    val flag = operators.LlmScale.annGraph(spark, sf).collect()
+      .map(_.getAs[Long]("n_hit")).sum
+    assert(rows.last._3 == flag, s"sweep w8 ${rows.last._3} vs flagship $flag")
+  }
+
   test("url_normalize: four messy variants collapse to one canonical form") {
     val rows = operators.LlmScale.urlNormalize(spark, sf).collect()
     assert(rows.nonEmpty)
