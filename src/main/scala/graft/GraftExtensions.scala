@@ -48,6 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inert unless spark.graft.spatial.rewrite.enabled=true (EXACT
     // rescue of 2-D radius theta joins — see SpatialGridRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SpatialGridRewrite)
+    // inert unless spark.graft.mv.rewrite.enabled=true (EXACT rollup
+    // rewrite of aggregates onto a registered MV — see MvRollupRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.MvRollupRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -281,7 +284,7 @@ object GraftExtensions {
   def installOptimizations(spark: SparkSession): Unit = {
     val rules = Seq(graft.plans.LevenshteinGuard, graft.plans.CosineLshRewrite,
       graft.plans.JaccardLshRewrite, graft.plans.RangeBucketRewrite,
-      graft.plans.SpatialGridRewrite)
+      graft.plans.SpatialGridRewrite, graft.plans.MvRollupRewrite)
     val current = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       current ++ rules.filterNot(current.contains)

@@ -667,7 +667,79 @@ object Aggregates extends OpModule {
         round(min(col("v")), 4).as("lo"), round(max(col("v")), 4).as("hi"))
   }
 
+  // ── agg_mv_autorewrite ──────────────────────────────────────────────
+
+  /** Per-JVM scratch for the staged MV (the Scans ioDir discipline:
+    * concurrent Verify/Bench runs must not share roundtrip paths). */
+  private lazy val mvIoDir: String =
+    java.nio.file.Files.createTempDirectory("graft_mv").toString
+  private val mvLock = new Object
+
+  /** Staged materialized view: lineitem pre-aggregated by
+    * (l_returnflag, l_linestatus, l_linenumber) — 3·2·7 = 42 rows at any
+    * SF — carrying the decomposable partials (sum/min/max of l_quantity
+    * plus the group count). Completion gated on the committer's own
+    * _SUCCESS, never dir.exists() (the existence latch flips when the
+    * write STARTS — ADVICE r12's staging discipline). */
+  private[graft] def stagedMvDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = new java.io.File(s"$mvIoDir/mv_li_$sfx")
+    mvLock.synchronized {
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            col("l_linenumber"))
+          .agg(sum(col("l_quantity")).as("mv_sum_qty"),
+            min(col("l_quantity")).as("mv_min_qty"),
+            max(col("l_quantity")).as("mv_max_qty"),
+            count(lit(1)).as("mv_cnt"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(dir.toString)
+      }
+    }
+    dir.toString
+  }
+
+  /** The NAIVE rollup aggregate — a plain groupBy over the base table,
+    * exactly what a user writes with no idea an MV exists — rescued by
+    * [[graft.plans.MvRollupRewrite]] onto the 42-row staged MV: the
+    * rewrite re-aggregates partials (sum of sums, sum of counts, min of
+    * mins, max of maxs) over the residual key, so the base table is
+    * never scanned. EXACT here by more than the rollup identity:
+    * l_quantity is integral-valued, so double sums re-associate without
+    * drift (the oracle replays the plain aggregate on the raw fixture).
+    * Runs on a derived session so the opt-in flag and MV registration
+    * never leak to other ops. At 100 TB this is the difference between
+    * a corpus scan and a metadata read — the rewrite that makes BI-style
+    * dashboards affordable over the raw fact table. CustomSurfaceSpec
+    * asserts the rewritten plan's only file scan IS the MV, that a
+    * filtered or avg-bearing query is NOT rewritten, and idempotence. */
+  def aggMvAutorewrite(s0: SparkSession, d: String): DataFrame = {
+    import graft.plans.MvRollupRewrite
+    val mv = stagedMvDir(s0, d)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    graft.GraftExtensions.installOptimizations(s)
+    s.conf.set(MvRollupRewrite.Flag, "true")
+    s.conf.set(MvRollupRewrite.PathConf, mv)
+    s.conf.set(MvRollupRewrite.BaseConf, "/lineitem.parquet")
+    s.conf.set(MvRollupRewrite.KeysConf,
+      "l_returnflag,l_linestatus,l_linenumber")
+    s.conf.set(MvRollupRewrite.MeasuresConf,
+      "sum:l_quantity=mv_sum_qty,min:l_quantity=mv_min_qty," +
+        "max:l_quantity=mv_max_qty,count=mv_cnt")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        round(min(col("l_quantity")), 4).as("min_qty"),
+        round(max(col("l_quantity")), 4).as("max_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mv_autorewrite" -> aggMvAutorewrite _,
     "agg_histogram_equidepth" -> aggHistogramEquidepth _,
     "agg_quantile_grouped" -> aggQuantileGrouped _,
     "agg_bitmap_intersect" -> aggBitmapIntersect _,
@@ -697,6 +769,17 @@ object Aggregates extends OpModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // the MV rewrite changes plan shape, never results: the oracle is
+    // the plain rollup aggregate on the raw fixture
+    "agg_mv_autorewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | count(*) AS n_rows,
+        | round(min(l_quantity), 4) AS min_qty,
+        | round(max(l_quantity), 4) AS max_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // per-group quantile_disc: same rank convention as the global op
     "agg_quantile_grouped" ->
       """SELECT l_returnflag, 50 AS q_pct,

@@ -836,4 +836,86 @@ class CustomSurfaceSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("MvRollupRewrite: rollup aggregate re-targets the MV, exactly; guarded bails hold") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.plans.MvRollupRewrite
+    def leafPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    // the registered op: its ONLY file scan must be the MV, never the base
+    val op = graft.operators.Aggregates.aggMvAutorewrite(spark, sf)
+    val paths = leafPaths(op)
+    assert(paths.nonEmpty && paths.forall(_.contains("mv_li")),
+      s"rewritten plan must scan only the MV, got: $paths")
+    // EXACT: rewritten result row-matches the plain aggregate (flag off)
+    val want = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        round(min($"l_quantity"), 4).as("min_qty"),
+        round(max($"l_quantity"), 4).as("max_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus").collect().toSeq
+    assert(op.collect().toSeq == want,
+      "MV rollup must equal the base-scan aggregate exactly")
+    // full-key grouping (no residual rollup) also re-targets and matches
+    GraftExtensions.installOptimizations(spark)
+    val mv = graft.operators.Aggregates.stagedMvDir(spark, sf)
+    spark.conf.set(MvRollupRewrite.Flag, "true")
+    spark.conf.set(MvRollupRewrite.PathConf, mv)
+    spark.conf.set(MvRollupRewrite.BaseConf, "/lineitem.parquet")
+    spark.conf.set(MvRollupRewrite.KeysConf,
+      "l_returnflag,l_linestatus,l_linenumber")
+    spark.conf.set(MvRollupRewrite.MeasuresConf,
+      "sum:l_quantity=mv_sum_qty,min:l_quantity=mv_min_qty," +
+        "max:l_quantity=mv_max_qty,count=mv_cnt")
+    try {
+      def threeKey = Tables.lineitem(spark, sf)
+        .groupBy($"l_returnflag", $"l_linestatus", $"l_linenumber")
+        .agg(round(sum($"l_quantity"), 4).as("sq"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus", $"l_linenumber")
+      assert(leafPaths(threeKey).forall(_.contains("mv_li")),
+        "equal-key grouping must also re-target the MV")
+      val gotFull = threeKey.collect().toSeq
+      spark.conf.set(MvRollupRewrite.Flag, "false")
+      val wantFull = threeKey.collect().toSeq
+      spark.conf.set(MvRollupRewrite.Flag, "true")
+      assert(gotFull == wantFull, "equal-key rewrite must be exact")
+      // guarded bails: a residual filter, a non-decomposable aggregate,
+      // and an off-MV key must each keep the base scan
+      val filtered = Tables.lineitem(spark, sf)
+        .where($"l_quantity" < 10)
+        .groupBy($"l_returnflag").agg(sum($"l_quantity").as("s"))
+      assert(leafPaths(filtered).forall(_.contains("lineitem")),
+        "a filtered aggregate must NOT be rewritten")
+      val avgd = Tables.lineitem(spark, sf)
+        .groupBy($"l_returnflag").agg(avg($"l_quantity").as("a"))
+      assert(leafPaths(avgd).forall(_.contains("lineitem")),
+        "an avg aggregate must NOT be rewritten (not re-aggregable)")
+      val offKey = Tables.lineitem(spark, sf)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+      assert(leafPaths(offKey).forall(_.contains("lineitem")),
+        "an off-MV grouping key must NOT be rewritten")
+      // idempotent: the rewritten aggregate scans the MV, whose path
+      // lacks the base marker — a second pass is a no-op
+      val analyzed = Tables.lineitem(spark, sf)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").as("s"), count(lit(1)).as("n"))
+        .queryExecution.analyzed
+      val once = MvRollupRewrite(analyzed)
+      assert(!once.fastEquals(analyzed), "rule must fire on the naive plan")
+      val twice = MvRollupRewrite(once)
+      assert(once.fastEquals(twice), "rule must be a fixed point")
+    } finally {
+      Seq(MvRollupRewrite.Flag, MvRollupRewrite.PathConf,
+        MvRollupRewrite.BaseConf, MvRollupRewrite.KeysConf,
+        MvRollupRewrite.MeasuresConf).foreach(spark.conf.unset)
+    }
+  }
 }
