@@ -736,6 +736,97 @@ object LlmScale extends OpModule {
     }.reduce(_.union(_))
   }
 
+  // ── llm_ann_filtered ──────────────────────────────────────────────────
+
+  /** FILTERED ANN — top-k under a metadata predicate (label = 3, ~10 %
+    * selective), the production retrieval shape every vector store must
+    * answer ("nearest docs IN this language / tenant / date range").
+    * Both standard strategies run against ONE shared candidate pass and
+    * are scored against the exact FILTERED brute top-3:
+    *
+    *  - `prefilter`: the predicate pushes BELOW the rank — top-3 among
+    *    the probed cells' label-3 candidates. Recall tracks the
+    *    unfiltered index (the filtered truth lives in the same cells);
+    *    cost is the same cell scan with a cheap residual predicate.
+    *  - `postfilter`: rank first (3× overfetch, top-9 unfiltered),
+    *    filter after — what a filter-blind index forces. At 10 %
+    *    selectivity the expected filtered yield of 9 candidates is ~1,
+    *    so the strategy returns SHORT lists and recall collapses; the
+    *    overfetch needed to fix it (~k/selectivity) is the measured
+    *    argument for filter-aware indexes at 100 TB.
+    *
+    * Per (strategy, qid): returned count, hits vs filtered truth, truth
+    * size, recall in exact basis points. Provable per-qid invariants
+    * (spec-pinned): postfilter's returned set is a PREFIX of
+    * prefilter's (same order key, subset pool), so pre n_hit ≥ post
+    * n_hit and pre n_ret ≥ post n_ret. Cells, distances, ranks and
+    * tie-breaks are the shared exact-integer Lloyd lattice, so DuckDB
+    * replays the whole comparison. */
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val (qvec, _, a2, c2) = lloyd(s, d)
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val cent = centroidArrays(c2).select(col("cid").as("cluster"), col("cv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+    val probes = qvec.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      .crossJoin(broadcast(cent))
+      .select(col("qid"), col("qq"), col("cluster"),
+        expr("squared_distance(qq, cv)").as("cdist"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= 2)
+      .select(col("qid"), col("qq"), col("cluster"))
+    // one candidate pass over the probed cells, label attached — both
+    // strategies re-rank these materialized rows
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val cand = MemoUtil.scratch(qvec.join(a2, "vec_id")
+      .join(labels, "vec_id")
+      .join(broadcast(probes), "cluster")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"), col("label"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .localCheckpoint())
+    val pre = cand.where(col("label") === 3)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(lit("prefilter").as("strategy"), col("qid"), col("cand_id"))
+    val post = cand
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 9 && col("label") === 3)
+      .withColumn("rn2", row_number().over(w))
+      .where(col("rn2") <= 3)
+      .select(lit("postfilter").as("strategy"), col("qid"), col("cand_id"))
+    // exact FILTERED brute truth: 10 broadcast queries × one corpus pass
+    val q = qvec.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val ex3 = qvec.join(labels, "vec_id").where(col("label") === 3)
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    val truth = ex3.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+    val hits = pre.unionByName(post)
+      .join(ex3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("strategy"), col("qid"))
+      .agg(count(lit(1)).as("n_ret"), count(col("hit")).as("n_hit"))
+    // left join from strategy × truth: a strategy returning ZERO rows
+    // for a qid must still report (n_ret 0, recall 0), not vanish
+    Seq("prefilter", "postfilter").toDF("strategy")
+      .crossJoin(broadcast(truth))
+      .join(hits, Seq("strategy", "qid"), "left")
+      .select(col("strategy"), col("qid"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_truth"))
+      .withColumn("recall_bp", expr("n_hit * 10000L div n_truth"))
+  }
+
   // ── llm_kmeans_twolevel ───────────────────────────────────────────────
 
   /** Two-level coarse quantizer AGREEMENT EVALUATION. Since round 7 the
@@ -2367,6 +2458,7 @@ object LlmScale extends OpModule {
     "llm_gram_matrix" -> gramMatrix _,
     "llm_dedup_substring" -> dedupSubstring _,
     "llm_ann_recall" -> annRecall _,
+    "llm_ann_filtered" -> annFiltered _,
     "llm_ann_recall_sweep" -> annRecallSweep _,
     "llm_ann_graph" -> annGraph _,
     "llm_ann_graph_sweep" -> annGraphSweep _
@@ -3270,6 +3362,64 @@ object LlmScale extends OpModule {
         |       round(count(i.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
         |FROM ex3 e LEFT JOIN iv i USING (qid, cand_id)
         |GROUP BY e.qid""".stripMargin),
+    // filtered ANN: the shared cd candidates carry labels; both
+    // strategies and the FILTERED brute truth replay exactly
+    "llm_ann_filtered" ->
+      (lloydCtes + annIvfCtes + """,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |cf AS MATERIALIZED (
+        |  SELECT c.qid, c.cand_id, c.dist, l.label
+        |  FROM cd c JOIN lab l ON l.vec_id = c.cand_id),
+        |pre AS (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM cf WHERE label = 3) WHERE rn <= 3),
+        |post AS (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn2
+        |    FROM (
+        |      SELECT qid, cand_id, dist, label,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY dist ASC, cand_id ASC) AS rn
+        |      FROM cf)
+        |    WHERE rn <= 9 AND label = 3) WHERE rn2 <= 3),
+        |exf AS MATERIALIZED (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq
+        |  JOIN dims dc ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10
+        |    AND dc.vec_id IN (SELECT vec_id FROM lab WHERE label = 3)
+        |  GROUP BY 1, 2),
+        |ex3f AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM exf) WHERE rn <= 3),
+        |truth AS (
+        |  SELECT qid, CAST(count(*) AS BIGINT) AS n_truth
+        |  FROM ex3f GROUP BY 1),
+        |appr AS (
+        |  SELECT 'prefilter' AS strategy, qid, cand_id FROM pre
+        |  UNION ALL
+        |  SELECT 'postfilter' AS strategy, qid, cand_id FROM post),
+        |hits AS (
+        |  SELECT a.strategy, a.qid, CAST(count(*) AS BIGINT) AS n_ret,
+        |    CAST(count(e.cand_id) AS BIGINT) AS n_hit
+        |  FROM appr a LEFT JOIN ex3f e
+        |    ON e.qid = a.qid AND e.cand_id = a.cand_id
+        |  GROUP BY 1, 2)
+        |SELECT s.strategy, t.qid,
+        |  CAST(coalesce(h.n_ret, 0) AS BIGINT) AS n_ret,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  t.n_truth,
+        |  CAST(coalesce(h.n_hit, 0) * 10000 // t.n_truth AS BIGINT)
+        |    AS recall_bp
+        |FROM (VALUES ('prefilter'), ('postfilter')) s(strategy)
+        |CROSS JOIN truth t
+        |LEFT JOIN hits h ON h.strategy = s.strategy AND h.qid = t.qid""".stripMargin),
     "llm_repetition_filter" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')

@@ -1007,4 +1007,36 @@ class LlmScaleSpec extends SparkSpec {
     assert(resEnergy < rawEnergy,
       f"residual energy $resEnergy%.3e must undercut raw $rawEnergy%.3e")
   }
+
+  test("ann_filtered: prefilter dominates postfilter per query, postfilter returns short lists") {
+    val rows = graft.operators.LlmScale.annFiltered(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 20, "2 strategies x 10 queries")
+    rows.foreach { case (st, qid, nRet, nHit, nTruth, bp) =>
+      assert(nTruth == 3, s"$st qid=$qid: filtered truth must be top-3")
+      assert(nHit <= nRet && nRet <= 3, s"$st qid=$qid: 0<=hit<=ret<=3")
+      assert(bp == nHit * 10000 / 3, s"$st qid=$qid: exact bp recall")
+    }
+    val byQid = rows.groupBy(_._2)
+    byQid.foreach { case (qid, rs) =>
+      val pre = rs.find(_._1 == "prefilter").get
+      val post = rs.find(_._1 == "postfilter").get
+      // postfilter's returned set is a PREFIX of prefilter's (same
+      // order key over a subset pool) — counts must dominate
+      assert(pre._3 >= post._3, s"qid=$qid: pre n_ret >= post n_ret")
+      assert(pre._4 >= post._4, s"qid=$qid: pre n_hit >= post n_hit")
+    }
+    val preRet = rows.filter(_._1 == "prefilter").map(_._3).sum
+    val postRet = rows.filter(_._1 == "postfilter").map(_._3).sum
+    val preHit = rows.filter(_._1 == "prefilter").map(_._4).sum
+    val postHit = rows.filter(_._1 == "postfilter").map(_._4).sum
+    // the measured phenomenon the op exists to show: at ~10 %
+    // selectivity a 3x overfetch cannot fill k=3 — postfilter returns
+    // short lists and loses recall, prefilter fills every list
+    assert(preRet == 30, s"prefilter must fill every top-3 (got $preRet)")
+    assert(postRet < 30, s"postfilter must return short lists (got $postRet)")
+    assert(preHit > postHit,
+      s"prefilter recall must exceed postfilter ($preHit vs $postHit)")
+  }
 }
