@@ -544,11 +544,21 @@ object Scans extends OpModule {
       .mode(SaveMode.Overwrite).parquet(path)
 
   private[graft] def mergeCowApply(s: SparkSession, d: String,
-                                   path: String): Unit = {
-    val src = mergeCowSource(s, d)
+                                   path: String): Unit =
+    applyChangeBatch(s, mergeCowSource(s, d), path)
+
+  /** One COW merge application of a change batch (o_orderkey, op ∈
+    * U/D/I, o_totalprice, o_orderpriority) against a priority-partitioned
+    * target — the unit both sink_merge_cow (one batch) and
+    * sink_stream_upsert (one call per micro-batch, in source order)
+    * share. U rewrites the row's price, D drops it, I appends; only the
+    * batch's TOUCHED partitions are read or rewritten. */
+  private[graft] def applyChangeBatch(s: SparkSession, src: DataFrame,
+                                          path: String): Unit = {
     // the lakehouse driver's manifest read: |partitions|-bounded
     val touched = src.select(col("o_orderpriority")).distinct()
       .collect().map(_.getString(0)).sorted
+    if (touched.isEmpty) return
     // partition-pruned target read — the predicate on the partition
     // column eliminates untouched directories at planning time
     val tgtTouched = s.read.parquet(path)
@@ -587,6 +597,51 @@ object Scans extends OpModule {
       case None =>
         s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  /** The two-batch CDC feed for sink_stream_upsert — deterministic from
+    * `orders` like mergeCowSource, with CROSS-BATCH DEPENDENCIES that
+    * make apply ORDER observable (the property a streaming upsert must
+    * preserve and a batch merge never tests):
+    *
+    *  - batch 1: U ×2 price on key%10=3, D on key%10=7, I key+10⁸ on
+    *    key%100=1 (price+1000);
+    *  - batch 2: U ×3 price on key%20=3 — a SUBSET of batch 1's update
+    *    keys, so those rows must end at ×3, not ×2 (swapped order would
+    *    leave ×2); U price+1007 on the keys batch 1 INSERTED (visible
+    *    only if batch 1 committed first); D on key%10=9; I key+2·10⁸ on
+    *    key%100=41 (price+2000).
+    *
+    * All new prices are absolute functions of the ORIGINAL base price,
+    * so the final state is closed-form and the DuckDB oracle replays it
+    * without sequencing. Restricted to the URGENT/HIGH partitions —
+    * the other three prove partition pruning end to end. */
+  private[graft] def streamUpsertBatches(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val scope = Tables.orders(s, d)
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    def ev(df: DataFrame, op: String, key: org.apache.spark.sql.Column,
+           price: org.apache.spark.sql.Column): DataFrame =
+      df.select(key.as("o_orderkey"), lit(op).as("op"),
+        price.as("o_totalprice"), col("o_orderpriority"))
+    val b1 =
+      ev(scope.where(col("o_orderkey") % 10 === 3), "U",
+        col("o_orderkey"), col("o_totalprice") * 2)
+      .unionByName(ev(scope.where(col("o_orderkey") % 10 === 7), "D",
+        col("o_orderkey"), lit(null).cast("double")))
+      .unionByName(ev(scope.where(col("o_orderkey") % 100 === 1), "I",
+        col("o_orderkey") + 100000000L, col("o_totalprice") + 1000.0))
+    val b2 =
+      ev(scope.where(col("o_orderkey") % 20 === 3), "U",
+        col("o_orderkey"), col("o_totalprice") * 3)
+      .unionByName(ev(scope.where(col("o_orderkey") % 100 === 1), "U",
+        col("o_orderkey") + 100000000L, col("o_totalprice") + 1007.0))
+      .unionByName(ev(scope.where(col("o_orderkey") % 10 === 9), "D",
+        col("o_orderkey"), lit(null).cast("double")))
+      .unionByName(ev(scope.where(col("o_orderkey") % 100 === 41), "I",
+        col("o_orderkey") + 200000000L, col("o_totalprice") + 2000.0))
+    (b1, b2)
   }
 
   def sinkMergeCow(s: SparkSession, d: String): DataFrame = {

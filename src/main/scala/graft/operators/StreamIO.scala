@@ -620,7 +620,85 @@ object StreamIO extends OpModule {
     s.read.parquet(out).select(col("event_id"), col("user_id"), col("value"))
   }
 
+  /** STREAMING UPSERT — continuous CDC apply into the lakehouse table,
+    * the topology that feeds every MERGE-maintained 100 TB table: a
+    * change topic (two parquet files staged with ordered mtimes — the
+    * file-source processes oldest-first, and `maxFilesPerTrigger=1`
+    * pins one file per micro-batch) drives foreachBatch, and each batch
+    * applies as the SAME partition-pruned copy-on-write merge
+    * sink_merge_cow runs once (Scans.applyChangeBatch): read touched
+    * partitions, broadcast the keyed delta, rewrite, dynamic-overwrite.
+    * The feed's cross-batch dependencies (Scans.streamUpsertBatches:
+    * batch 2 re-updates batch 1's update keys ×3 and updates rows batch
+    * 1 INSERTED) make apply ORDER observable — the readback audit is
+    * wrong under any other sequencing, so the oracle checks ordering,
+    * not just the row algebra. StreamIOSpec additionally proves the
+    * three untouched partitions' files are byte-identical through both
+    * batches (the COW pruning claim, now per-trigger).
+    *
+    * Exactly-once note, pinned honestly: U/D replays are idempotent
+    * here (absolute prices), but an I replay would duplicate — a
+    * production apply pairs foreachBatch with a transactional commit
+    * (the scan_time_travel manifest flip) or batchId-conditional
+    * writes; this demonstrator relies on AvailableNow's run-to-
+    * completion within one JVM. */
+  def sinkStreamUpsert(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val tablePath = s"$scratch/upsert_tbl_$sfx"
+    val marker = java.nio.file.Paths.get(tablePath, "_GRAFT_MERGED")
+    upsertLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(tablePath))
+        graft.Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.partitionBy("o_orderpriority")
+          .mode("overwrite").parquet(tablePath)
+        // stage the 2-file topic; mtimes 60 s apart fix the batch order
+        val (b1, b2) = Scans.streamUpsertBatches(s, d)
+        val topic = java.nio.file.Paths.get(s"$scratch/upsert_topic_$sfx")
+        rm(topic.toFile)
+        val t0 = java.nio.file.attribute.FileTime.fromMillis(1717200000000L)
+        val t1 = java.nio.file.attribute.FileTime.fromMillis(1717200060000L)
+        Seq((b1, "b1", t0), (b2, "b2", t1)).foreach { case (df, tag, t) =>
+          val tmp = fresh(s"upsert_$tag")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          StageUtil.stageTopic(java.nio.file.Paths.get(tmp), topic, tag)
+          scala.util.Using.resource(
+            java.nio.file.Files.list(topic)) { st =>
+            st.iterator.asScala
+              .filter(_.getFileName.toString.startsWith(tag))
+              .foreach(java.nio.file.Files.setLastModifiedTime(_, t))
+          }
+        }
+        val schema = s.read.parquet(topic.toString).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(topic.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Scans.applyChangeBatch(batch.sparkSession, batch, tablePath)
+          }
+          .option("checkpointLocation", fresh("ckpt"))
+          .trigger(Trigger.AvailableNow()).start()
+        runToEnd(q)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    s.read.parquet(tablePath)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+  }
+  private val upsertLock = new Object
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_stream_upsert" -> sinkStreamUpsert _,
     "sink_foreach_batch" -> sinkForeachBatch _,
     "source_file_stream" -> sourceFileStream _,
     "source_memory" -> sourceMemory _,
@@ -646,6 +724,42 @@ object StreamIO extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the streaming upsert replayed in closed form: every new price is
+    // an absolute function of the ORIGINAL base price, so the two-batch
+    // sequence collapses to CASE precedence (batch 2's %20=3 update
+    // overrides batch 1's %10=3; batch 1's inserts end at the batch-2
+    // updated price) — the oracle is wrong under any other apply order
+    "sink_stream_upsert" ->
+      """WITH scope AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |kept AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 20 = 3 THEN o_totalprice * 3
+        |         WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM scope
+        |  WHERE o_orderkey % 10 != 7 AND o_orderkey % 10 != 9),
+        |ins1 AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey,
+        |    o_totalprice + 1007.0 AS o_totalprice, o_orderpriority
+        |  FROM scope WHERE o_orderkey % 100 = 1),
+        |ins2 AS (
+        |  SELECT o_orderkey + 200000000 AS o_orderkey,
+        |    o_totalprice + 2000.0 AS o_totalprice, o_orderpriority
+        |  FROM scope WHERE o_orderkey % 100 = 41),
+        |untouched AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')),
+        |fin AS (
+        |  SELECT * FROM kept UNION ALL SELECT * FROM ins1
+        |  UNION ALL SELECT * FROM ins2 UNION ALL SELECT * FROM untouched)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM fin GROUP BY 1""".stripMargin,
     // the chain replayed relationally: the doubled topic collapses to
     // distinct events (both copies share each event's time — inside the
     // delay, dedup exact), then the hourly aggregate; the sentinel only

@@ -192,4 +192,60 @@ class StreamIOSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < perUser.length,
       s"expected 0 < closed < ${perUser.length}, got ${got.size}")
   }
+
+  test("sink_stream_upsert: per-trigger COW pruning holds, apply order observable, stream equals sequential replay") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("stream_upsert_spec").toString
+    def stage(path: String): Unit =
+      graft.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.partitionBy("o_orderpriority")
+        .mode("overwrite").parquet(path)
+    def snap(path: String, pri: String): Set[(String, Long, String)] = {
+      val dir = new java.io.File(path, s"o_orderpriority=$pri")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(Files.readAllBytes(f.toPath)).map("%02x".format(_))
+          .mkString
+        (f.getName, f.length(), sha)
+      }.toSet
+    }
+    def audit(path: String): Map[String, (Long, Long, Long)] =
+      spark.read.parquet(path).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+    val (b1, b2) = graft.operators.Scans.streamUpsertBatches(spark, sf)
+    // sequential replay b1 → b2: the semantics of the streaming apply
+    val seqPath = s"$root/seq"
+    stage(seqPath)
+    val lowBefore = snap(seqPath, "5-LOW")
+    graft.operators.Scans.applyChangeBatch(spark, b1, seqPath)
+    graft.operators.Scans.applyChangeBatch(spark, b2, seqPath)
+    // the COW pruning claim holds PER TRIGGER: a partition neither
+    // batch names keeps byte-identical files through both applies
+    assert(snap(seqPath, "5-LOW") == lowBefore,
+      "untouched partition must survive both triggers byte-identical")
+    val seqAudit = audit(seqPath)
+    // apply order is OBSERVABLE: the reversed order lands elsewhere
+    // (%20=3 keys end x2 instead of x3; b2's update of b1's inserts
+    // hits nothing)
+    val revPath = s"$root/rev"
+    stage(revPath)
+    graft.operators.Scans.applyChangeBatch(spark, b2, revPath)
+    graft.operators.Scans.applyChangeBatch(spark, b1, revPath)
+    assert(audit(revPath) != seqAudit,
+      "reversed batch order must change the audit — else the op proves nothing")
+    // the registered streaming op equals the in-order sequential replay
+    val got = StreamIO.sinkStreamUpsert(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == seqAudit,
+      s"streaming apply must equal sequential b1->b2 replay\n$got\nvs\n$seqAudit")
+  }
 }
