@@ -599,6 +599,74 @@ object Scans extends OpModule {
     }
   }
 
+  /** Ingest-time-clustered events + manifest — the 100 TB time-series
+    * layout (facts land ordered by event time; every file covers a
+    * narrow ts band). Same sidecar discipline as stagedManifestDir:
+    * per-file (ts_min, ts_max, n_rows), completion gated on the LAST
+    * write's _SUCCESS. */
+  private[graft] def stagedTsManifestDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = new java.io.File(s"$ioDir/manifest_ev_$sfx")
+    ioLock.synchronized {
+      if (!new java.io.File(s"$dir/manifest/_SUCCESS").exists()) {
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          .repartitionByRange(16, col("ts"))
+          .sortWithinPartitions(col("ts"))
+          .write.mode("overwrite").parquet(s"$dir/data")
+        s.read.parquet(s"$dir/data")
+          .groupBy(input_file_name().as("path"))
+          .agg(min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"),
+            count(lit(1)).as("n_rows"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/manifest")
+      }
+    }
+    dir.toString
+  }
+
+  /** DYNAMIC file pruning — scan_manifest_prune's literal range becomes
+    * a RUNTIME-derived predicate, the "incident investigation" shape: a
+    * small monitoring query finds the top-2 error hours (2-row driver
+    * metadata, deterministic (count desc, hour asc) tie-break), and the
+    * detail read then plans FROM THE MANIFEST exactly the files whose
+    * [ts_min, ts_max] band overlaps those hours — on the ingest-
+    * clustered layout that is 1-2 of 16 files; at 100 TB, a handful of
+    * a million. This is the pruning class static planning cannot do
+    * (the hot hours are data, not literals) and partition-level DPP
+    * only approximates (join_dpp prunes directories; this prunes FILES
+    * within the flat layout via external stats). The residual hour
+    * filter stays on the scan — min/max overlap is necessary, not
+    * sufficient. Layout never changes results: the oracle replays both
+    * the monitoring query and the hour slice on the raw fixture.
+    * ScansSpec asserts ≤ 4 of the 16 files survive pruning and that
+    * the pruned read row-matches the full-scan replay. */
+  def scanManifestDpp(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedTsManifestDir(s, d)
+    val hot = Tables.events(s, d)
+      .where(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("hr").asc)
+      .limit(2)
+      .select(col("hr")).collect().map(_.getTimestamp(0))
+    def hourEnd(h: java.sql.Timestamp) =
+      new java.sql.Timestamp(h.getTime + 3600000L)
+    val man = s.read.parquet(s"$dir/manifest")
+    val overlap = hot.map(h =>
+      col("ts_max") >= lit(h) && col("ts_min") < lit(hourEnd(h)))
+      .reduce(_ || _)
+    val files = man.where(overlap)
+      .select(col("path")).collect().map(_.getString(0))
+    val inHot = hot.map(h =>
+      col("ts") >= lit(h) && col("ts") < lit(hourEnd(h))).reduce(_ || _)
+    s.read.parquet(files.toIndexedSeq: _*)
+      .where(inHot)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+  }
+
   /** The two-batch CDC feed for sink_stream_upsert — deterministic from
     * `orders` like mergeCowSource, with CROSS-BATCH DEPENDENCIES that
     * make apply ORDER observable (the property a streaming upsert must
@@ -1247,6 +1315,7 @@ object Scans extends OpModule {
     "scan_rowgroup_prune" -> scanRowgroupPrune _,
     "scan_bloom_prune" -> scanBloomPrune _,
     "scan_manifest_prune" -> scanManifestPrune _,
+    "scan_manifest_dpp" -> scanManifestDpp _,
     "scan_csv" -> scanCsv _,
     "scan_binaryfile" -> scanBinaryFile _,
     "scan_text" -> scanText _,
@@ -1279,6 +1348,21 @@ object Scans extends OpModule {
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 200 AND 450""".stripMargin,
+    // runtime-derived pruning changes planning I/O, never results: the
+    // oracle replays the monitoring query AND the hour slice on the raw
+    // fixture (same (count desc, hour asc) tie-break)
+    "scan_manifest_dpp" ->
+      """WITH hrs AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hr, count(*) AS n
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY 1 ORDER BY n DESC, hr ASC LIMIT 2)
+        |SELECT date_trunc('hour', e.ts)::TIMESTAMP AS hr, e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events e
+        |JOIN hrs h ON date_trunc('hour', e.ts)::TIMESTAMP = h.hr
+        |GROUP BY 1, 2""".stripMargin,
     // an index prunes I/O, never results: same lookup on the raw fixture
     "scan_bloom_prune" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum}
+import org.apache.spark.sql.functions.{col, count, countDistinct, date_trunc, expr, lit, sum}
 
 class ScansSpec extends SparkSpec {
 
@@ -525,6 +525,42 @@ class ScansSpec extends SparkSpec {
     assert(got.getLong(1) == want.getLong(1))
     assert(got.getLong(2) == want.getLong(2))
     assert(got.getLong(0) > 0, "slice must be nonempty")
+  }
+
+  test("scan_manifest_dpp: runtime-derived hot hours prune the ts-clustered files; results match the full scan") {
+    val dir = graft.operators.Scans.stagedTsManifestDir(spark, sf)
+    val manifest = spark.read.parquet(s"$dir/manifest").collect()
+    assert(manifest.length == 16, "one manifest row per data file")
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum
+      == graft.Tables.events(spark, sf).count())
+    val df = graft.operators.Scans.scanManifestDpp(spark, sf)
+    val rows = df.collect()
+    // the ingest-clustered layout makes two hot hours land in few files
+    val scans = collectFinal(df) { case f: FileSourceScanExec => f }
+    val nFiles = scans.map(_.metrics("numFiles").value).max
+    assert(nFiles >= 1 && nFiles <= 4,
+      s"two hot hours must prune to a few of 16 ts-banded files, read $nFiles")
+    // pruning never changes the answer: replay on the raw fixture
+    val ev = graft.Tables.events(spark, sf)
+    val hot = ev.where(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("hr").asc).limit(2)
+      .select(col("hr")).collect().map(_.getTimestamp(0))
+    val inHot = hot.map(h => col("ts") >= lit(h) &&
+      col("ts") < lit(new java.sql.Timestamp(h.getTime + 3600000L)))
+      .reduce(_ || _)
+    val want = ev.where(inHot)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSet == want,
+      "pruned read must equal the full-scan replay")
+    assert(rows.nonEmpty, "hot hours must be nonempty")
   }
 
   test("scan_bloom_prune: bloom filter prunes row groups where min/max cannot") {
