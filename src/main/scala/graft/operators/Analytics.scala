@@ -1627,6 +1627,57 @@ object Analytics extends OpModule {
       .agg(count(lit(1)).as("n_nodes"), sum(col("id")).cast("long").as("id_sum"))
   }
 
+  /** WEIGHTED single-source (multi-seed) shortest paths — the routing/
+    * influence-distance face of the graph family, where graph_bfs
+    * counts hops: co-supply edges weighted by partnership strength
+    * (w = ⌈1000 / shared-order-count⌉ in pure integer division, so two
+    * strong edges can undercut one weak one — real path structure, not
+    * hop counting), relaxed from the 5 smallest supplier ids by SIX
+    * Bellman-Ford rounds: dist_{k+1} = min(dist_k, min over in-edges of
+    * dist_k(src) + w). Each round is one join + one min-aggregate —
+    * the frontier-as-dataset shape that scales as rounds × edge scans
+    * (Pregel's economics without per-node state); the round count is a
+    * FIXED contract (diameter-bounded; the fixture graphs are dense, so
+    * 6 ≫ diameter — AnalyticsSpec asserts round 7 is a fixed point and
+    * replays sf0.001 against a driver-side Dijkstra). Unreachable
+    * nodes report -1. The DuckDB oracle unrolls the identical six
+    * rounds as MATERIALIZED CTEs — exact integer distances end to end. */
+  def graphSssp(s: SparkSession, d: String): DataFrame = {
+    val os = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val edges = os.as("a").join(os.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= 2)
+      .select(col("src"), col("dst"),
+        expr("CAST((1000 + n_co - 1) DIV n_co AS BIGINT)").as("w"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var dist = nodes.orderBy(col("id")).limit(5)
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    cps += dist
+    (1 to 6).foreach { _ =>
+      val nd = dist.unionByName(
+          dist.join(edges, dist("id") === edges("src"))
+            .select(col("dst").as("id"), (col("dist") + col("w")).as("dist")))
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      cps += nd
+      dist = nd
+    }
+    val keep = dist
+    cps.filter(_ ne keep).foreach(MemoUtil.dropCheckpoint)
+    // edges is still read by the returned plan (nodes derives from it)
+    // — freed at the harness drain point, not inline
+    MemoUtil.scratch(edges)
+    MemoUtil.scratch(keep)
+    nodes.join(keep, Seq("id"), "left")
+      .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
   /** MAD-based robust anomaly detection over the hourly value series —
     * the outlier detector that survives the outliers it hunts (mean/
     * stddev gates move with the anomaly; median/MAD don't — the reason
@@ -2160,6 +2211,7 @@ object Analytics extends OpModule {
     "graph_2hop" -> graph2hop _,
     "dq_completeness" -> dqCompleteness _,
     "graph_bfs" -> graphBfs _,
+    "graph_sssp" -> graphSssp _,
     "ts_ewma" -> tsEwma _,
     "ts_rolling_median" -> tsRollingMedian _,
     "ts_changepoint" -> tsChangepoint _,
@@ -2922,6 +2974,33 @@ object Analytics extends OpModule {
     // UNION-recursive walk over (id, hop) pairs, bounded at 64 hops (the
     // Spark loop's cap) — min(hop) per node is the BFS distance; nodes
     // outside the walk report -1
+    // six Bellman-Ford rounds unrolled as MATERIALIZED CTEs (the kcore
+    // discipline — plain CTEs re-expand per reference), identical round
+    // count and integer arithmetic to the Spark op
+    "graph_sssp" ->
+      ("""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |sym AS MATERIALIZED (
+        |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+        |    CAST((1000 + count(*) - 1) // count(*) AS BIGINT) AS w
+        |  FROM os a JOIN os b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |d0 AS MATERIALIZED (
+        |  SELECT id, CAST(0 AS BIGINT) AS dist
+        |  FROM (SELECT id FROM nodes ORDER BY id LIMIT 5))""".stripMargin +
+        (1 to 6).map { k =>
+          s""",
+             |d$k AS MATERIALIZED (
+             |  SELECT id, min(dist) AS dist FROM (
+             |    SELECT id, dist FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS id, d.dist + e.w AS dist
+             |    FROM d${k - 1} d JOIN sym e ON e.src = d.id)
+             |  GROUP BY id)""".stripMargin
+        }.mkString + """
+        |SELECT n.id, coalesce(d.dist, -1) AS dist
+        |FROM nodes n LEFT JOIN d6 d USING (id)""".stripMargin),
     "graph_bfs" ->
       """WITH RECURSIVE os AS (
         |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),

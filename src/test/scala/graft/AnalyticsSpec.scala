@@ -1139,4 +1139,56 @@ class AnalyticsSpec extends SparkSpec {
       assert(last == totalDistinct, s"$tpe curve must end at total distinct")
     }
   }
+
+  test("graph_sssp: matches a driver-side Dijkstra, 6 rounds are a fixed point, weights shape real paths") {
+    val got = Analytics.graphSssp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent exact replay: collect the sf0.001 co-supply graph
+    // (90 edges) and run a reference Dijkstra on the driver
+    val os = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val edges = os.as("a").join(os.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (1000L + r.getLong(2) - 1) / r.getLong(2)))
+    val nodes = edges.map(_._1).distinct.sorted
+    val seeds = nodes.take(5)
+    val adj = edges.groupBy(_._1).map { case (k, es) =>
+      k -> es.map(e => (e._2, e._3))
+    }
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    val pq = scala.collection.mutable.PriorityQueue(
+      seeds.map(s0 => (0L, s0)): _*)(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (dv, v) = pq.dequeue()
+      if (dist(v) == dv) adj.getOrElse(v, Array.empty[(Long, Long)])
+        .foreach { case (u, w) =>
+          if (dist.getOrElse(u, Long.MaxValue) > dv + w) {
+            dist(u) = dv + w; pq.enqueue((dv + w, u))
+          }
+        }
+    }
+    val want = nodes.map(n => n -> dist.getOrElse(n, -1L)).toMap
+    assert(got == want, s"SSSP must equal the reference Dijkstra\n$got\nvs\n$want")
+    // the fixed 6-round contract covers the fixture diameter: one more
+    // relaxation over the final distances changes nothing
+    val more = edges.flatMap { case (s0, d0, w) =>
+      want.get(s0).filter(_ >= 0).map(ds => d0 -> (ds + w))
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    more.foreach { case (n, relaxed) =>
+      assert(want(n) >= 0 && want(n) <= relaxed,
+        s"node $n: round 7 would still relax ($relaxed < ${want(n)})")
+    }
+    // weights matter: at least one node's weighted distance is NOT a
+    // multiple of 500 (pure hop-counting would make them all w=500
+    // only if every pair co-supplied exactly twice — the fixture
+    // co-supply counts vary, so some shortest path uses a strong edge)
+    assert(got.values.exists(v => v > 0 && v % 500 != 0),
+      "some shortest path must use a non-default-weight edge")
+  }
 }
