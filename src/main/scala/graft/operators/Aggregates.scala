@@ -667,6 +667,39 @@ object Aggregates extends OpModule {
         round(min(col("v")), 4).as("lo"), round(max(col("v")), 4).as("hi"))
   }
 
+  // ── agg_sample_block ────────────────────────────────────────────────
+
+  /** Approximate query processing by DETERMINISTIC hash-stratum
+    * sampling — the 1/8 stratum `l_orderkey % 8 = 3` stands in for
+    * TABLESAMPLE with a sample the oracle can replay bit-for-bit (no
+    * RNG): per group, the scaled estimates (×8) beside the exact
+    * values, with the estimation error measured in exact basis points —
+    * the number an AQP dashboard quotes next to every approximate
+    * answer. Sums stay exact (l_quantity is integral-valued; counts are
+    * integers), so est, exact, and err_bp are all integer arithmetic.
+    * At 100 TB the stratum is physical: a table bucketed by the key
+    * hash serves `key % 8 = 3` from 1/8 of its buckets' files, so the
+    * estimate costs 1/8 of the scan — on the flat fixture the filter
+    * reads everything (results identical, the layout only changes I/O).
+    * The exact side exists to MEASURE the error; a production AQP
+    * query runs only the sample side. */
+  def aggSampleBlock(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(col("l_quantity")).cast("bigint").as("qty_exact"))
+    val est = li.where(col("l_orderkey") % 8 === 3)
+      .groupBy(col("l_returnflag"))
+      .agg((count(lit(1)) * 8).as("n_est"),
+        (sum(col("l_quantity")).cast("bigint") * 8).as("qty_est"))
+    exact.join(est, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_exact"), col("n_est"),
+        expr("abs(n_est - n_exact) * 10000L div n_exact").as("n_err_bp"),
+        col("qty_exact"), col("qty_est"),
+        expr("abs(qty_est - qty_exact) * 10000L div qty_exact")
+          .as("qty_err_bp"))
+  }
+
   // ── agg_mv_autorewrite ──────────────────────────────────────────────
 
   /** Per-JVM scratch for the staged MV (the Scans ioDir discipline:
@@ -740,6 +773,7 @@ object Aggregates extends OpModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_mv_autorewrite" -> aggMvAutorewrite _,
+    "agg_sample_block" -> aggSampleBlock _,
     "agg_histogram_equidepth" -> aggHistogramEquidepth _,
     "agg_quantile_grouped" -> aggQuantileGrouped _,
     "agg_bitmap_intersect" -> aggBitmapIntersect _,
@@ -780,6 +814,23 @@ object Aggregates extends OpModule {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the deterministic stratum replays exactly — no RNG anywhere
+    "agg_sample_block" ->
+      """WITH exact AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty_exact
+        |  FROM lineitem GROUP BY 1),
+        |est AS (
+        |  SELECT l_returnflag, CAST(count(*) * 8 AS BIGINT) AS n_est,
+        |    CAST(sum(l_quantity) * 8 AS BIGINT) AS qty_est
+        |  FROM lineitem WHERE l_orderkey % 8 = 3 GROUP BY 1)
+        |SELECT e.l_returnflag, e.n_exact, s.n_est,
+        |  CAST(abs(s.n_est - e.n_exact) * 10000 // e.n_exact AS BIGINT)
+        |    AS n_err_bp,
+        |  e.qty_exact, s.qty_est,
+        |  CAST(abs(s.qty_est - e.qty_exact) * 10000 // e.qty_exact
+        |    AS BIGINT) AS qty_err_bp
+        |FROM exact e JOIN est s USING (l_returnflag)""".stripMargin,
     // per-group quantile_disc: same rank convention as the global op
     "agg_quantile_grouped" ->
       """SELECT l_returnflag, 50 AS q_pct,

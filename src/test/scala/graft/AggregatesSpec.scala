@@ -245,4 +245,21 @@ class AggregatesSpec extends SparkSpec {
     got.values.map(_._1).foreach(c =>
       assert(c <= 2 * n / 8 && c >= n / 16, s"depth $c vs ideal ${n / 8}"))
   }
+
+  test("agg_sample_block: 1/8 stratum estimates land within sampling error, arithmetic identities hold") {
+    val rows = graft.operators.Aggregates.aggSampleBlock(spark, sf).collect()
+    assert(rows.length == 3, "one row per returnflag")
+    rows.foreach { r =>
+      val (nEx, nEst, nErr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (qEx, qEst, qErr) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nEst % 8 == 0, "count estimate is 8x an integer sample count")
+      assert(nErr == math.abs(nEst - nEx) * 10000 / nEx, "exact bp identity")
+      assert(qErr == math.abs(qEst - qEx) * 10000 / qEx, "exact bp identity")
+      // ~250-row per-group samples: 1/sqrt(n) noise is ~600 bp; 1500 is
+      // a 2.5-sigma bound on the FIXED stratum (deterministic, not flaky)
+      assert(nErr < 1500 && qErr < 1500,
+        s"estimate drifted beyond sampling error: $r")
+      assert(nEst > 0 && qEst > 0, "stratum must be populated per group")
+    }
+  }
 }
