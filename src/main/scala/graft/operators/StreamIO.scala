@@ -307,6 +307,64 @@ object StreamIO extends OpModule {
     s.table(name).where(col("event_type") =!= "zzz_sentinel")
   }
 
+  /** Staged topic for the JOIN→AGG chain: events once plus TWO
+    * far-future sentinels — one click (user −1), one purchase (user
+    * −2). Both watermark nodes (c_ts, p_ts) must advance past every
+    * real window for the append-mode agg to flush, and a single-typed
+    * sentinel would leave the other side's watermark at its last real
+    * event; the mismatched user ids keep the sentinels out of the join
+    * output entirely (they die at the join, so the readout needs no
+    * filter — no pair, no window row). */
+  private val joinChainDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def joinChainEventsDir(s: SparkSession, d: String): String =
+    joinChainDirs.computeIfAbsent(d, { dir =>
+      val target = java.nio.file.Paths.get(fresh("events_jchain"))
+      StageUtil.stageTopic(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), target, "events")
+      val ev = graft.Tables.events(s, dir)
+      val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 7200000L)
+      def sentinel(id: Long, tpe: String) = ev.limit(1)
+        .select(lit(id).as("event_id"), lit(far).as("ts"),
+          lit(id).as("user_id"), lit(tpe).as("event_type"),
+          lit(0.0).as("value"))
+      sentinel(-1L, "click").unionByName(sentinel(-2L, "purchase"))
+        .coalesce(1)
+        .write.mode("append").parquet(target.toString)
+      target.toString
+    })
+
+  /** CHAINED stream-stream join → windowed aggregation in ONE streaming
+    * query (one checkpoint, THREE stateful stores: two join sides + the
+    * window state) — the other Spark-4 multi-stateful topology beside
+    * stream_chained_stateful's dedup→window: attribute purchases to
+    * clicks (30-minute band, per user, both sides watermarked), then
+    * roll the joined pairs into hourly conversion totals without
+    * landing the join anywhere. At 100 TB this is the
+    * enrich-then-aggregate funnel in one checkpointed job instead of
+    * two jobs + an intermediate topic. Event time rides the click's ts
+    * through the join into the window; the watermark the agg closes on
+    * is the join's output watermark (min of both sides, delayed by the
+    * band), so the flush sentinels must advance BOTH inputs. The oracle
+    * replays join + hourly rollup relationally. */
+  def streamChainedJoinAgg(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val src = joinChainEventsDir(s, d)
+    val schema = schemaCache.computeIfAbsent(src,
+      p => s.read.parquet(p).schema)
+    val ev = graft.Tables.normalizeTs(
+      s.readStream.schema(schema).parquet(src))
+    val name = s"jchain_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = Streaming.chainedJoinAgg(ev)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.table(name)
+  }
+
   /** Directory-watch ingestion: stream the events table through a real
     * micro-batch file source into a memory sink, then aggregate. */
   def sourceFileStream(s0: SparkSession, d: String): DataFrame = {
@@ -714,7 +772,8 @@ object StreamIO extends OpModule {
     "join_stream_static" -> joinStreamStatic _,
     "stream_dedup_within_wm" -> streamDedupWithinWm _,
     "stream_session_close" -> streamSessionClose _,
-    "stream_chained_stateful" -> streamChainedStateful _
+    "stream_chained_stateful" -> streamChainedStateful _,
+    "stream_chained_join_agg" -> streamChainedJoinAgg _
   )
 
   private val evCte =
@@ -724,6 +783,25 @@ object StreamIO extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // join + hourly rollup replayed relationally; the sentinels never
+    // pair (mismatched users), so no filter is needed on the readout
+    "stream_chained_join_agg" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS c_ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts AS p_ts, value AS p_value FROM events
+        |  WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.c_ts, p.p_value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.p_ts >= c.c_ts - INTERVAL 30 MINUTE
+        |    AND p.p_ts <= c.c_ts)
+        |SELECT date_trunc('hour', c_ts)::TIMESTAMP AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CAST(round(p_value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM j GROUP BY 1""".stripMargin,
     // the streaming upsert replayed in closed form: every new price is
     // an absolute function of the ORIGINAL base price, so the two-batch
     // sequence collapses to CASE precedence (batch 2's %20=3 update

@@ -178,6 +178,31 @@ object Streaming extends OpModule {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("cents"))
 
+  /** The join→agg chain topology (shared by StreamIO's registered op
+    * and the StreamingSpec observability run): stream-stream inner join
+    * (purchases within 30 minutes before each click, per user, both
+    * sides watermarked) rolled into hourly pair counts + cents — three
+    * state stores (two join sides + window state) in one query. */
+  def chainedJoinAgg(ev: DataFrame): DataFrame = {
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("c_ts"))
+      .groupBy(window(col("c_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(round(p_value * 100) AS BIGINT)")).as("cents"))
+      .select(col("window.start").as("window_start"), col("n_pairs"),
+        col("cents"))
+  }
+
   /** Exactly-once by key: duplicates (here: a replayed copy of the whole
     * stream) collapse to one row per event_id. */
   def dedup(ev: DataFrame): DataFrame =

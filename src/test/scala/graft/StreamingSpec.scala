@@ -335,6 +335,50 @@ class StreamingSpec extends SparkSpec {
     } finally qB.stop()
   }
 
+  test("chained join->agg: stream-stream join into a window in one query, cross-batch join state, exact emissions") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.chainedJoinAgg(in.toDF())
+      .writeStream.format("memory").queryName("jchain_obs")
+      .outputMode("append").start()
+    try {
+      run(q, in, Seq(
+        // batch 1: u1's purchase@10 pairs with u1's click@20 (hour 0);
+        // u2's click@35 waits in join state (its purchase comes later).
+        // Watermark after this batch = 35 − 10 = minute 25.
+        Seq(ev(1, 20, 1, "click", 0.0), ev(2, 10, 1, "purchase", 1.0),
+          ev(3, 35, 2, "click", 0.0)),
+        // batch 2: u2's purchase@30 arrives a batch late but ABOVE the
+        // watermark (30 > 25) and pairs with the click@35 still held in
+        // join state — the cross-batch property; u3's purchase@35 has
+        // no click and never emits; a second pair lands in hour 2
+        Seq(ev(4, 30, 2, "purchase", 4.0), ev(5, 35, 3, "purchase", 8.0),
+          ev(6, 140, 1, "click", 0.0), ev(7, 120, 1, "purchase", 16.0)),
+        // batch 3: sentinels on BOTH sides (mismatched users — they die
+        // at the join); both watermarks pass every real window
+        Seq(ev(-1, 500, -1, "click", 0.0),
+          ev(-2, 500, -2, "purchase", 0.0))))
+      val got = spark.table("jchain_obs").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000 % 1440,
+          r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(
+        (0L, 2L, 500L),    // hour 0: (c20,p10) + the cross-batch (c35,p30)
+        (120L, 1L, 1600L)),// hour 2: (c140,p120); u3's orphan never emits
+        s"chained join->agg emissions wrong: $got")
+      // both stateful operators (symmetric hash join + window agg)
+      // report state on every stateful batch
+      val prog = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(prog.nonEmpty, "chained query must report stateOperators")
+      prog.foreach { p =>
+        assert(p.stateOperators.length == 2,
+          s"batch ${p.batchId} must run join AND agg: " +
+            p.stateOperators.map(_.operatorName).mkString(","))
+      }
+      val names = prog.flatMap(_.stateOperators.map(_.operatorName)).toSet
+      assert(names.size == 2, s"two distinct stateful operators: $names")
+    } finally q.stop()
+  }
+
   test("chained multi-stateful: dedup->window in one query, both stores bounded, exact emissions") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
