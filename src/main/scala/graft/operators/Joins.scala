@@ -916,7 +916,56 @@ object Joins extends OpModule {
         min(col("rid")).cast("bigint").as("min_nb_id"))
   }
 
+  /** COST-BASED join reordering — the optimizer decision the whole
+    * stats machinery exists to feed: the query is WRITTEN in the worst
+    * order (fact ⋈ fact first: lineitem ⋈ orders builds the big-big
+    * intermediate, then meets the 99-customer dimension), and with the
+    * tables ANALYZEd (row counts + column min/max/NDV in the catalog)
+    * and `spark.sql.cbo.joinReorder.enabled=true` Catalyst re-derives
+    * the star order — filtered customers first, pruning orders to ~1 %
+    * before the fact table is touched. Syntactic order is what users
+    * write; at 100 TB the difference is a corpus-sized shuffle vs a
+    * broadcast. Catalog tables are EXTERNAL (LOCATION = the read-only
+    * fixture parquet; stats live in the in-memory catalog, no FS
+    * writes), staged once per (dir) under a lock. CustomSurfaceSpec
+    * asserts the innermost join with CBO on is orders ⋈ customer (and
+    * lineitem ⋈ orders with it off) with identical rows either way.
+    * Reorder changes plan shape, never results: plain-SQL oracle. */
+  def joinCboReorder(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val (li, ord, cust) =
+      (s"graft_cbo_li_$sfx", s"graft_cbo_ord_$sfx", s"graft_cbo_cust_$sfx")
+    // the catalog is SharedState-wide: stage once per (JVM, dir)
+    cboLock.synchronized {
+      if (!s.catalog.tableExists(li)) {
+        s.sql(s"CREATE TABLE $li USING parquet LOCATION '$d/lineitem.parquet'")
+        s.sql(s"CREATE TABLE $ord USING parquet LOCATION '$d/orders.parquet'")
+        s.sql(
+          s"CREATE TABLE $cust USING parquet LOCATION '$d/customer.parquet'")
+        s.sql(s"ANALYZE TABLE $li COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+        s.sql(s"ANALYZE TABLE $ord COMPUTE STATISTICS " +
+          "FOR COLUMNS o_orderkey, o_custkey")
+        s.sql(s"ANALYZE TABLE $cust COMPUTE STATISTICS FOR COLUMNS c_custkey")
+      }
+    }
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s.sql(
+      s"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(l.l_extendedprice), 4) AS revenue
+         |FROM $li l
+         |JOIN $ord o ON l.l_orderkey = o.o_orderkey
+         |JOIN $cust c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_custkey < 100
+         |GROUP BY o.o_orderpriority""".stripMargin)
+  }
+  private val cboLock = new Object
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_cbo_reorder" -> joinCboReorder _,
     "join_spatial_radius" -> joinSpatialRadius _,
     "join_spatial_autorewrite" -> joinSpatialAutorewrite _,
     "join_spatial_knn" -> joinSpatialKnn _,
@@ -985,6 +1034,15 @@ object Joins extends OpModule {
       |GROUP BY a.id""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // reorder changes plan shape, never results
+    "join_cbo_reorder" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l.l_extendedprice), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey < 100
+        |GROUP BY o.o_orderpriority""".stripMargin,
     // same naive-predicate replay, ranked per point by (d2, id)
     "join_spatial_knn" ->
       """WITH h0 AS (

@@ -837,6 +837,51 @@ class CustomSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("join_cbo_reorder: catalog stats flip the syntactic join order; rows unchanged") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def leafTables(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Set[String] =
+      p.collectLeaves().flatMap {
+        case lr: LogicalRelation =>
+          lr.catalogTable.map(_.identifier.table)
+        case _ => None
+      }.toSet
+    val df = graft.operators.Joins.joinCboReorder(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // the deepest join under CBO must be the star order: orders ⋈
+    // customer, with the fact table nowhere beneath it
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.length == 2, s"expected 2 joins, got ${joins.length}")
+    val inner = joins.last
+    val innerTables = leafTables(inner)
+    assert(innerTables.exists(_.startsWith("graft_cbo_ord")) &&
+      innerTables.exists(_.startsWith("graft_cbo_cust")) &&
+      !innerTables.exists(_.startsWith("graft_cbo_li")),
+      s"CBO must join orders to the filtered dimension first: $innerTables")
+    // same SQL, CBO off (the parent session has no cbo flags): the
+    // syntactic big-big order survives
+    val sfx = sf.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(sf.hashCode)
+    val raw = spark.sql(
+      s"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(l.l_extendedprice), 4) AS revenue
+         |FROM graft_cbo_li_$sfx l
+         |JOIN graft_cbo_ord_$sfx o ON l.l_orderkey = o.o_orderkey
+         |JOIN graft_cbo_cust_$sfx c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_custkey < 100
+         |GROUP BY o.o_orderpriority""".stripMargin)
+    val offJoins = raw.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val offInner = leafTables(offJoins.last)
+    assert(offInner.exists(_.startsWith("graft_cbo_li")) &&
+      offInner.exists(_.startsWith("graft_cbo_ord")),
+      s"without CBO the written fact-first order must survive: $offInner")
+    // reorder changes plan shape, never results
+    val want = raw.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, "reordered rows must equal the syntactic order's")
+  }
+
   test("MvRollupRewrite: rollup aggregate re-targets the MV, exactly; guarded bails hold") {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     import graft.plans.MvRollupRewrite

@@ -59,6 +59,10 @@ class PlanLintSpec extends SparkSpec {
     // matryoshka recall (r12): the truncated-dim brute pass carries the
     // same bounded 10-query broadcast side
     "llm_ann_matryoshka",
+    // filtered ANN (r13): same bounded sides as llm_ann_recall — the
+    // 10-query broadcast probes/truth plus a 2-row strategy × 10-row
+    // truth-count cross (constant in corpus size)
+    "llm_ann_filtered",
     // LSH recall eval (r12): both sides are the FIXED 160-row audit
     // sample (128 lowest-id docs + 32 planted renditions) — the pair
     // space is sample², constant in corpus size like the ANN probes
