@@ -553,7 +553,44 @@ object ScaleProbe {
       "agg_quantile_grouped",
       // gate-uniformity audit (r12): one scan into ≤16·|langs| cells —
       // pure scan bound
-      "dq_hash_uniformity")
+      "dq_hash_uniformity",
+      // AQP stratum estimates (r13): two map-side-combined aggregates
+      // over one table — pure scan bound at any N
+      "agg_sample_block",
+      // MV rollup rescue (r13): the first call pays the 42-row MV
+      // staging (one corpus scan); the REWRITTEN query then reads 42
+      // rows at any tier — the one op whose query cost must be
+      // near-ZERO beyond staging (that is the entire point of the MV)
+      "agg_mv_autorewrite",
+      // weighted shortest paths (r13): edge build is the co-supply
+      // self-join (tracks pair mass like the graph family); the 6
+      // relax rounds are edge-sized join+min-agg each — growth must be
+      // ~linear in edges; seeds live in clone 0, the other clones'
+      // nodes all report -1 without costing extra rounds
+      "graph_sssp",
+      // filtered ANN (r13): one probed-cell candidate pass with labels
+      // + the 10-query FILTERED brute truth — both corpus-linear like
+      // llm_ann_recall; the strategy re-ranks touch ≤ 9 rows/query
+      "llm_ann_filtered",
+      // dynamic file pruning (r13): tier staging (range-cluster by ts
+      // + manifest) is the linear cost, the monitoring aggregate is
+      // scan-bound, and the pruned detail read must stay near-flat —
+      // the hot hours cover a FIXED time slice of a growing corpus
+      "scan_manifest_dpp",
+      // CBO reorder (r13): first call pays CREATE+ANALYZE over the
+      // cloned catalog tables (linear scans); the reordered join's
+      // intermediate is dimension-pruned at any tier — wall must track
+      // the fact scan, never the big-big intermediate
+      "join_cbo_reorder",
+      // chained join→agg (r13): one streaming query, three stores —
+      // join state is O(window × rate) per side, window state ≤ open
+      // hours; growth through the sentineled topic must be ~linear in
+      // rows like join_stream_stream
+      "stream_chained_join_agg",
+      // streaming CDC apply (r13): first call pays base staging
+      // (linear) + two COW triggers (each O(touched partitions)); the
+      // read-back audit is scan-bound
+      "sink_stream_upsert")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
