@@ -590,7 +590,11 @@ object ScaleProbe {
       // streaming CDC apply (r13): first call pays base staging
       // (linear) + two COW triggers (each O(touched partitions)); the
       // read-back audit is scan-bound
-      "sink_stream_upsert")
+      "sink_stream_upsert",
+      // partition-spec evolution (r13): the two epoch writes are the
+      // linear staging cost; the straddling query reads 2 dirs per
+      // epoch at any tier — near-flat like the other layout probes
+      "scan_partition_evolution")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

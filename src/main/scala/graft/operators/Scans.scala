@@ -667,6 +667,79 @@ object Scans extends OpModule {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
   }
 
+  /** PARTITION-SPEC EVOLUTION — the lakehouse property that a table's
+    * physical partitioning can change mid-life without rewriting
+    * history (Iceberg's headline feature; plain Hive layouts force a
+    * full rewrite): epoch 1 (orders before 1998) lands partitioned by
+    * `o_orderpriority` — the original spec — and epoch 2 (1998+) by
+    * order month, the spec the access pattern actually wants. A spec
+    * SIDECAR (epoch → path + partition column, the manifest-file role)
+    * is what makes the union readable: the reader dispatches each
+    * epoch's pruning from ITS OWN spec. Completion gated on the LAST
+    * write's _SUCCESS. */
+  private[graft] def stagedEvolvedPartsDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = new java.io.File(s"$ioDir/evolve_parts_$sfx")
+    ioLock.synchronized {
+      if (!new java.io.File(s"$dir/spec/_SUCCESS").exists()) {
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+        ord.where(col("o_orderdate") < lit("1998-01-01"))
+          .write.partitionBy("o_orderpriority")
+          .mode("overwrite").parquet(s"$dir/epoch1")
+        ord.where(col("o_orderdate") >= lit("1998-01-01"))
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.partitionBy("o_month")
+          .mode("overwrite").parquet(s"$dir/epoch2")
+        import s.implicits._
+        Seq(("epoch1", "o_orderpriority"), ("epoch2", "o_month"))
+          .toDF("epoch", "part_col")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/spec")
+      }
+    }
+    dir.toString
+  }
+
+  /** Query across the evolved specs: a winter slice (1997-11 .. 1998-02,
+    * straddling the spec change) of the URGENT/HIGH priorities. Each
+    * epoch prunes ON ITS OWN partition column — epoch 1 eliminates 3/5
+    * priority directories at planning time and applies the date range
+    * as a data filter; epoch 2 eliminates all but 2 month directories
+    * and applies the priority predicate as a data filter. At 100 TB
+    * this is why spec evolution matters: the historical epoch keeps its
+    * pruning while new data gets the better layout, and NOTHING is
+    * rewritten. The spec sidecar drives the dispatch (2-row driver
+    * metadata); layout never changes results — the oracle replays the
+    * slice on the raw fixture. ScansSpec asserts each epoch's scan
+    * carries a partitionFilter on ITS spec's column. */
+  def scanPartitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedEvolvedPartsDir(s, d)
+    val spec = s.read.parquet(s"$dir/spec").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val prios = Seq("1-URGENT", "2-HIGH")
+    def epochRead(epoch: String): DataFrame = {
+      val df = s.read.parquet(s"$dir/$epoch")
+      spec(epoch) match {
+        case "o_orderpriority" =>
+          df.where(col("o_orderpriority").isin(prios: _*))   // partition
+            .where(col("o_orderdate") >= lit("1997-11-01") &&
+              col("o_orderdate") < lit("1998-03-01"))        // data filter
+        case "o_month" =>
+          df.where(col("o_month").isin("1998-01", "1998-02")) // partition
+            .where(col("o_orderpriority").isin(prios: _*))    // data filter
+      }
+    }
+    epochRead("epoch1")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .unionByName(epochRead("epoch2")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+  }
+
   /** The two-batch CDC feed for sink_stream_upsert — deterministic from
     * `orders` like mergeCowSource, with CROSS-BATCH DEPENDENCIES that
     * make apply ORDER observable (the property a streaming upsert must
@@ -1316,6 +1389,7 @@ object Scans extends OpModule {
     "scan_bloom_prune" -> scanBloomPrune _,
     "scan_manifest_prune" -> scanManifestPrune _,
     "scan_manifest_dpp" -> scanManifestDpp _,
+    "scan_partition_evolution" -> scanPartitionEvolution _,
     "scan_csv" -> scanCsv _,
     "scan_binaryfile" -> scanBinaryFile _,
     "scan_text" -> scanText _,
@@ -1363,6 +1437,17 @@ object Scans extends OpModule {
         |FROM events e
         |JOIN hrs h ON date_trunc('hour', e.ts)::TIMESTAMP = h.hr
         |GROUP BY 1, 2""".stripMargin,
+    // spec evolution changes layout epoch by epoch, never results: the
+    // month partitions equal the date range by construction
+    "scan_partition_evolution" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-11-01'
+        |  AND o_orderdate < TIMESTAMP '1998-03-01'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1""".stripMargin,
     // an index prunes I/O, never results: same lookup on the raw fixture
     "scan_bloom_prune" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price

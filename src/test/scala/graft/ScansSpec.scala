@@ -563,6 +563,50 @@ class ScansSpec extends SparkSpec {
     assert(rows.nonEmpty, "hot hours must be nonempty")
   }
 
+  test("scan_partition_evolution: each epoch prunes on its OWN spec's column; results match the raw slice") {
+    val df = graft.operators.Scans.scanPartitionEvolution(spark, sf)
+    val rows = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val scans = collectFinal(df) { case f: FileSourceScanExec => f }
+    assert(scans.size == 2, s"one scan per epoch, got ${scans.size}")
+    val byCol = scans.map(f => f.partitionFilters.mkString(" ")).sorted
+    assert(byCol.exists(_.contains("o_orderpriority")) &&
+      byCol.exists(_.contains("o_month")),
+      s"each epoch must carry a partition filter on ITS spec: $byCol")
+    // the priority epoch must NOT partition-filter on month or vice
+    // versa (the cross predicate is a data filter there)
+    scans.foreach { f =>
+      val part = f.partitionFilters.mkString(" ")
+      val data = f.dataFilters.mkString(" ")
+      if (part.contains("o_orderpriority"))
+        assert(data.contains("o_orderdate"),
+          "epoch 1 must apply the date range as a data filter")
+      if (part.contains("o_month"))
+        assert(data.contains("o_orderpriority"),
+          "epoch 2 must apply the priority predicate as a data filter")
+    }
+    // pruning actually bites: epoch 1 reads 2 of 5 priority dirs,
+    // epoch 2 reads 2 month dirs (the scan metric counts partitions
+    // actually READ — the location itself still lists every dir)
+    scans.foreach { f =>
+      val read = f.metrics("numPartitions").value
+      assert(read == 2,
+        s"partition pruning must leave 2 directories, read $read " +
+          s"(filters: ${f.partitionFilters.mkString(" ")})")
+    }
+    // layout evolution never changes results
+    val want = graft.Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= lit("1997-11-01") &&
+        col("o_orderdate") < lit("1998-03-01") &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == want, s"evolved-layout read must equal the raw slice")
+    assert(rows.nonEmpty && rows.values.forall(_._1 > 0))
+  }
+
   test("scan_bloom_prune: bloom filter prunes row groups where min/max cannot") {
     def scannedRows(dir: String): Long = {
       val df = spark.read.parquet(dir)
