@@ -594,7 +594,11 @@ object ScaleProbe {
       // partition-spec evolution (r13): the two epoch writes are the
       // linear staging cost; the straddling query reads 2 dirs per
       // epoch at any tier — near-flat like the other layout probes
-      "scan_partition_evolution")
+      "scan_partition_evolution",
+      // stale-MV compensation (r13): the MV staging is the one-time
+      // 80%-scan; the registered read is the 6-row MV + the ~20% delta
+      // aggregate — growth must track the delta slice, never the corpus
+      "agg_mv_stale_compensate")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -700,6 +700,48 @@ object Aggregates extends OpModule {
           .as("qty_err_bp"))
   }
 
+  // ── agg_mv_stale_compensate ─────────────────────────────────────────
+
+  /** The FRESHNESS half of the MV story (agg_mv_autorewrite's rewrite
+    * assumes the MV is current; real MVs lag): answer the CURRENT
+    * rollup from a STALE MV plus a delta compensation — the lambda-MV
+    * read path every warehouse serves between refreshes. The staged MV
+    * snapshots the first 80 % of lineitem by orderkey (high-water mark
+    * = max(l_orderkey)·4 div 5, a 1-row planner aggregate); the
+    * registered read merges the 6-row MV with an aggregate over ONLY
+    * the delta (keys ≥ HW — a pushed scan filter, so at 100 TB the
+    * query touches 20 % of the corpus however stale the view, and a
+    * nightly refresh shrinks that to the day's ingest). Exact by the
+    * same decomposability as the rewrite: sum of partials, sum of
+    * counts. AggregatesSpec asserts the delta scan's pushed filter and
+    * full-table equality; the oracle is the plain full-table rollup. */
+  def aggMvStaleCompensate(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(dir.hashCode)
+    val mvDir = new java.io.File(s"$mvIoDir/mv_stale_$sfx")
+    val li = Tables.lineitem(spark, dir)
+    val hw = li.agg(expr("max(l_orderkey) * 4 div 5")).head.getLong(0)
+    mvLock.synchronized {
+      if (!new java.io.File(mvDir, "_SUCCESS").exists()) {
+        li.where(col("l_orderkey") < hw)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("mv_sum_qty"),
+            count(lit(1)).as("mv_cnt"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(mvDir.toString)
+      }
+    }
+    val mv = spark.read.parquet(mvDir.toString)
+    val delta = li.where(col("l_orderkey") >= hw)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("mv_sum_qty"),
+        count(lit(1)).as("mv_cnt"))
+    mv.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("mv_sum_qty")), 4).as("sum_qty"),
+        sum(col("mv_cnt")).cast("bigint").as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   // ── agg_mv_autorewrite ──────────────────────────────────────────────
 
   /** Per-JVM scratch for the staged MV (the Scans ioDir discipline:
@@ -773,6 +815,7 @@ object Aggregates extends OpModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_mv_autorewrite" -> aggMvAutorewrite _,
+    "agg_mv_stale_compensate" -> aggMvStaleCompensate _,
     "agg_sample_block" -> aggSampleBlock _,
     "agg_histogram_equidepth" -> aggHistogramEquidepth _,
     "agg_quantile_grouped" -> aggQuantileGrouped _,
@@ -811,6 +854,14 @@ object Aggregates extends OpModule {
         | count(*) AS n_rows,
         | round(min(l_quantity), 4) AS min_qty,
         | round(max(l_quantity), 4) AS max_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // staleness compensation changes what is scanned, never results
+    "agg_mv_stale_compensate" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
