@@ -1376,6 +1376,339 @@ object Scans extends OpModule {
         |FROM graft_cached_li GROUP BY l_returnflag""".stripMargin)
   }
 
+  /** MOR LOG COMPACTION — the maintenance job sink_merge_mor defers to
+    * ("the read side pays the reconstruction ... until a compaction
+    * folds the log back"): materialize the merge into new base files
+    * for ONLY the partitions the log touches, commit by pointer flip,
+    * then GC the log. After it, reads are plain scans again — the job
+    * that keeps a MOR table's read amplification bounded at 100 TB
+    * (Hudi compaction / Iceberg rewrite-data-files + remove-deletes).
+    *
+    * Two details carry the correctness story:
+    *  - the delete sidecar here is PARTITION-SCOPED (o_orderkey +
+    *    o_orderpriority) — the Iceberg v2 convention — which is what
+    *    makes compaction partition-pruned: the touched set is the
+    *    log's distinct partitions (driver metadata), untouched base
+    *    partitions are never read, let alone rewritten (ScansSpec
+    *    proves them byte-identical across the compaction);
+    *  - the commit is a POINTER FLIP, not in-place: merged files land
+    *    in `base2/` (touched partitions only), then the `_COMPACTED`
+    *    marker (listing the touched set) is written, then the log dirs
+    *    drop as post-commit GC. Every interrupted state reads
+    *    consistently — before the marker the MOR reconstruction still
+    *    holds (base + full log intact); after it the reader dispatches
+    *    to base(untouched) ∪ base2 and the log is dead weight. An
+    *    in-place overwrite would instead expose a window where the
+    *    delete log re-applies against already-merged files and
+    *    duplicates inserts — the hazard real formats close with
+    *    sequence numbers, closed here by the flip.
+    *
+    * Same deterministic merge as sink_merge_cow/_mor, so the shared
+    * FULL OUTER JOIN + CASE oracle replays it: compaction changes file
+    * lifecycle and read cost, never results. */
+  private[graft] def morCompactStage(s: SparkSession, d: String,
+                                     path: String): Unit = {
+    mergeMorStageBase(s, d, path)
+    val src = mergeCowSource(s, d)
+    // partition-scoped equality deletes (key + partition): scope is
+    // what lets the compactor prune; the read-side anti-join still
+    // keys on o_orderkey alone (keys are globally unique)
+    src.where(col("op").isin("U", "D"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/deletes")
+    src.where(col("op").isin("U", "I"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/delta")
+  }
+
+  /** The compactor: merged files for the touched partitions → base2,
+    * marker flip, log GC. */
+  private[graft] def morCompactRun(s: SparkSession, path: String): Unit = {
+    val touched = s.read.parquet(s"$path/deletes")
+      .select(col("o_orderpriority"))
+      .unionByName(s.read.parquet(s"$path/delta")
+        .select(col("o_orderpriority")))
+      .distinct().collect().map(_.getString(0)).sorted
+    // the reconstruction, restricted to the log's partition scope —
+    // identical to the per-query MOR read it retires, run once
+    s.read.parquet(s"$path/base")
+      .where(col("o_orderpriority").isin(touched.toIndexedSeq: _*))
+      .join(broadcast(s.read.parquet(s"$path/deletes")
+        .select(col("o_orderkey"))), Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .unionByName(s.read.parquet(s"$path/delta")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")))
+      .write.partitionBy("o_orderpriority")
+      .mode(SaveMode.Overwrite).parquet(s"$path/base2")
+    // pointer flip = the atomic commit; the marker records the touched
+    // set because post-GC readers can no longer derive it from the log
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_COMPACTED"),
+      touched.mkString("\n").getBytes("UTF-8"))
+    // post-commit GC: the log is superseded by the marker
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    rm(new java.io.File(s"$path/deletes"))
+    rm(new java.io.File(s"$path/delta"))
+  }
+
+  /** The generation-dispatched read: post-compaction it is two
+    * partition-pruned plain scans (zero joins — the compaction's whole
+    * point); pre-compaction it is the MOR reconstruction. */
+  private[graft] def morCompactRead(s: SparkSession, path: String): DataFrame = {
+    val marker = java.nio.file.Paths.get(path, "_COMPACTED")
+    if (java.nio.file.Files.exists(marker)) {
+      import scala.jdk.CollectionConverters._
+      val touched = java.nio.file.Files.readAllLines(marker)
+        .asScala.toSeq.filter(_.nonEmpty)
+      s.read.parquet(s"$path/base")
+        .where(!col("o_orderpriority").isin(touched: _*))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .unionByName(s.read.parquet(s"$path/base2")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority")))
+    } else mergeMorRead(s, path)
+  }
+
+  def maintenanceMorCompact(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val path = s"$ioDir/mor_compact_$sfx"
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_DONE")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val dir = new java.io.File(path)
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dir)
+        }
+        morCompactStage(s, d, path)
+        morCompactRun(s, path)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    morCompactRead(s, path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+  }
+
+  /** WRITE-AUDIT-PUBLISH — the staged-commit pattern (Iceberg WAP /
+    * Delta "blind staging + constraint check") that keeps a bad batch
+    * from ever becoming readable at 100 TB: a writer lands its files
+    * and manifest on a BRANCH (invisible — nothing references it), an
+    * AUDIT query runs against the branch snapshot, and only a passing
+    * audit flips the table's HEAD pointer to the branch manifest. A
+    * failing audit leaves HEAD untouched — the branch's files sit
+    * orphaned for the vacuum, and no reader ever saw them.
+    *
+    * Staged here as the full three-act story on one table:
+    *  - v1: 8 range-clustered files + manifest m1, HEAD → m1;
+    *  - good branch: the [100,400] ×2 COW update (scan_time_travel's
+    *    write) lands as m2; the audit — row-count conservation vs the
+    *    CURRENT HEAD snapshot, key uniqueness, no negative prices —
+    *    passes; HEAD → m2 (the publish: one tiny pointer write, the
+    *    atomic visibility point);
+    *  - bad branch: a buggy writer rewrites the [500,900]-overlapping
+    *    files but DROPS every key%100==0 row (the silent-data-loss
+    *    class audits exist to catch); its manifest m3 is written, the
+    *    conservation audit fails, HEAD stays m2.
+    *
+    * The registered readout reads THROUGH HEAD — it must resolve the
+    * good v2 — plus the lifecycle facts (which manifest is published;
+    * that the bad branch exists yet is unpublished), all derived from
+    * disk, not literals. Oracle: the v2 summary over `orders` + the
+    * expected lifecycle constants. ScansSpec additionally proves m1
+    * still resolves v1 exactly (branches never mutate a live
+    * snapshot) and that the bad branch's data is reachable from m3
+    * (orphaned, not lost — vacuum's jurisdiction). */
+  private[graft] def wapDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/wap_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_WAP_DONE")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val f = new java.io.File(dir)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+        timeTravelWriteV1(s, d, dir)
+        wapSetHead(dir, "m1")
+        // good branch: write → audit → publish
+        timeTravelWriteV2(s, dir)
+        if (wapAudit(s, dir, "m2")) wapSetHead(dir, "m2")
+        // bad branch: write → audit → (no publish)
+        wapWriteBadBranch(s, dir)
+        if (wapAudit(s, dir, "m3")) wapSetHead(dir, "m3")
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  private[graft] def wapSetHead(dir: String, m: String): Unit = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "HEAD"),
+      m.getBytes("UTF-8")); ()
+  }
+
+  private[graft] def wapHead(dir: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "HEAD")), "UTF-8").trim
+
+  /** The buggy writer: a COW rewrite of the [500,900]-overlapping files
+    * that silently drops every key%100==0 row, committed as branch
+    * manifest m3. Built from the HEAD snapshot (m2) like a real
+    * follow-on batch would be. */
+  private[graft] def wapWriteBadBranch(s: SparkSession, dir: String): Unit = {
+    val head = s.read.parquet(s"$dir/${wapHead(dir)}")
+    val hit = col("k_max") >= 500 && col("k_min") <= 900
+    val oldPaths = head.where(hit).select(col("path"))
+      .collect().map(_.getString(0))
+    s.read.parquet(oldPaths.toIndexedSeq: _*)
+      .where(col("o_orderkey") % 100 =!= 0) // the bug under audit
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/d3")
+    head.where(!hit)
+      .unionByName(manifestStats(s, s"$dir/d3"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/m3")
+  }
+
+  /** The audit gate, run against the BRANCH snapshot before any reader
+    * can see it: row-count conservation vs the current HEAD (updates
+    * must not create or destroy rows), key uniqueness, no negative
+    * prices. One small aggregate over the branch — at 100 TB audits are
+    * why WAP costs one extra scan and saves the quarter. */
+  private[graft] def wapAudit(s: SparkSession, dir: String,
+                              branch: String): Boolean = {
+    val headN = s.read.parquet(
+        snapshotPaths(s, s"$dir/${wapHead(dir)}"): _*).count()
+    val row = s.read.parquet(snapshotPaths(s, s"$dir/$branch"): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("o_orderkey")).as("nk"),
+        min(col("o_totalprice")).as("pmin"))
+      .collect().head
+    row.getLong(0) == headN && row.getLong(1) == row.getLong(0) &&
+      row.getDouble(2) >= 0.0
+  }
+
+  def sinkWap(s: SparkSession, d: String): DataFrame = {
+    val dir = wapDir(s, d)
+    val head = wapHead(dir)
+    val badUnpublished =
+      new java.io.File(s"$dir/m3").exists() && head != "m3"
+    s.read.parquet(snapshotPaths(s, s"$dir/$head"): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+      .select(col("n_rows"), col("cents"), col("key_sum"),
+        lit(head).as("published"),
+        lit(badUnpublished).as("bad_branch_unpublished"))
+  }
+
+  /** COLUMN MAPPING — rename (and drop) columns WITHOUT rewriting a
+    * byte of data (Delta column-mapping / Iceberg field-IDs): data
+    * files carry stable PHYSICAL names (c_1, c_2, c_3 — stand-ins for
+    * field IDs), and a tiny mapping sidecar per schema version binds
+    * physical → logical. v1 exposes (o_orderkey, o_totalprice,
+    * o_orderpriority); v2 renames o_totalprice → price_usd and DROPS
+    * o_orderpriority — both metadata-only commits (ScansSpec proves the
+    * data files byte-identical across the v2 commit, and that the v2
+    * read's pushed ReadSchema excludes the dropped physical column —
+    * the drop costs nothing AND scans less). At 100 TB this is the
+    * difference between a rename being a catalog update and being a
+    * week-long table rewrite; without stable physical names, parquet
+    * name-based resolution silently reads NULLs after a rename — the
+    * failure mode field IDs exist to prevent.
+    *
+    * Readout: both versions' reads side by side — per version, the
+    * LOGICAL schema it exposes (the rename made observable to the hash
+    * gate) and the same summary (a rename never changes data). Oracle:
+    * two literal-schema rows over `orders`. */
+  private[graft] def colMapDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/colmap_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_MAPPED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val f = new java.io.File(dir)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+        colMapWriteData(s, d, dir)
+        colMapWriteV1(s, dir)
+        colMapWriteV2(s, dir)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  private[graft] def colMapWriteData(s: SparkSession, d: String,
+                                     dir: String): Unit =
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("c_1"),
+        col("o_totalprice").as("c_2"),
+        col("o_orderpriority").as("c_3"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+
+  private[graft] def colMapWriteV1(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    Seq((1, "c_1", "o_orderkey"), (2, "c_2", "o_totalprice"),
+      (3, "c_3", "o_orderpriority"))
+      .toDF("fid", "phys", "logical")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/map_v1")
+  }
+
+  /** The rename + drop commit is THIS WRITE ALONE — a sidecar swap;
+    * the data dir is never touched (ScansSpec snapshots it across this
+    * call). */
+  private[graft] def colMapWriteV2(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    Seq((1, "c_1", "o_orderkey"), (2, "c_2", "price_usd"))
+      .toDF("fid", "phys", "logical")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/map_v2")
+  }
+
+  /** Read the data through a mapping version: select ONLY the mapped
+    * physical columns (the dropped column is pruned at the scan),
+    * aliased to that version's logical names. The mapping is ≤3-row
+    * driver metadata — the catalog read every table format does. */
+  private[graft] def colMapRead(s: SparkSession, dir: String,
+                                ver: String): DataFrame = {
+    val m = s.read.parquet(s"$dir/map_$ver")
+      .orderBy(col("fid")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    s.read.parquet(s"$dir/data")
+      .select(m.map { case (p, l) => col(p).as(l) }.toIndexedSeq: _*)
+  }
+
+  def scanColumnMapping(s: SparkSession, d: String): DataFrame = {
+    val dir = colMapDir(s, d)
+    def summarize(ver: String): DataFrame = {
+      val df = colMapRead(s, dir, ver)
+      val priceCol = df.columns.find(c => c == "o_totalprice" ||
+        c == "price_usd").get
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(expr(s"CAST(round($priceCol * 100) AS BIGINT)")).as("cents"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+        .select(lit(ver).as("version"),
+          lit(df.columns.mkString(",")).as("cols"),
+          col("n_rows"), col("cents"), col("key_sum"))
+    }
+    summarize("v1").unionByName(summarize("v2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_cached" -> scanCached _,
     "scan_custom_source" -> scanCustomSource _,
@@ -1406,6 +1739,9 @@ object Scans extends OpModule {
     "sink_merge_mor" -> sinkMergeMor _,
     "scan_time_travel" -> scanTimeTravel _,
     "maintenance_vacuum" -> maintenanceVacuum _,
+    "maintenance_mor_compact" -> maintenanceMorCompact _,
+    "sink_wap" -> sinkWap _,
+    "scan_column_mapping" -> scanColumnMapping _,
     "scan_csv_multiline" -> scanCsvMultiline _
   )
 
@@ -1608,6 +1944,37 @@ object Scans extends OpModule {
     // a delete sidecar + delta), never semantic ones
     "sink_merge_mor" -> mergeOracleSql,
     "sink_merge_cow" -> mergeOracleSql,
+    // compaction changes file lifecycle and read cost, never results:
+    // the COW/MOR merge oracle verbatim (third write strategy, same
+    // semantics)
+    "maintenance_mor_compact" -> mergeOracleSql,
+    // WAP publishes the audited v2 and never the dropped-rows branch:
+    // the readout through HEAD is the v2 summary; the lifecycle facts
+    // are the invariants the gate must establish
+    "sink_wap" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(CASE WHEN o_orderkey BETWEEN 100 AND 400
+        |                           THEN o_totalprice * 2
+        |                           ELSE o_totalprice END * 100) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  'm2' AS published, TRUE AS bad_branch_unpublished
+        |FROM orders""".stripMargin,
+    // a mapping commit is metadata-only: both versions summarize the
+    // same bytes; only the exposed logical schema differs
+    "scan_column_mapping" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |  FROM orders)
+        |SELECT 'v1' AS version,
+        |  'o_orderkey,o_totalprice,o_orderpriority' AS cols,
+        |  n_rows, cents, key_sum FROM s
+        |UNION ALL
+        |SELECT 'v2', 'o_orderkey,price_usd', n_rows, cents, key_sum
+        |FROM s""".stripMargin,
     // GC changes file lifecycle, never live results: the v2 summary is
     // the deterministic update over orders; the lifecycle booleans are
     // the invariants the vacuum must establish

@@ -690,4 +690,133 @@ class ScansSpec extends SparkSpec {
     // is present (a static-mode wipe would have deleted the other three)
     assert(got.keySet.size == 5 && (got.keySet -- touched).size == 3)
   }
+
+  test("maintenance_mor_compact: pruned rewrite, log GC'd, read join-free and unchanged") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("mor_compact_spec").toString
+    val path = s"$root/target"
+    graft.operators.Scans.morCompactStage(spark, sf, path)
+    def snap(pri: String): Set[(String, Long, String)] = {
+      val dir = new java.io.File(s"$path/base", s"o_orderpriority=$pri")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(Files.readAllBytes(f.toPath)).map("%02x".format(_))
+          .mkString
+        (f.getName, f.length(), sha)
+      }.toSet
+    }
+    val lowBefore = snap("5-LOW")
+    def readSet() = graft.operators.Scans.morCompactRead(spark, path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSet
+    val pre = readSet() // the MOR reconstruction (no marker yet)
+    graft.operators.Scans.morCompactRun(spark, path)
+    // the commit lifecycle: marker present, log GONE (post-commit GC)
+    assert(new java.io.File(s"$path/_COMPACTED").exists())
+    assert(!new java.io.File(s"$path/deletes").exists() &&
+      !new java.io.File(s"$path/delta").exists(),
+      "compaction must GC the retired log")
+    // partition-pruned economics: untouched base partition byte-identical,
+    // base2 holds ONLY the log's partitions
+    assert(snap("5-LOW") == lowBefore,
+      "untouched partition must keep byte-identical files")
+    val base2Parts = new java.io.File(s"$path/base2").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(base2Parts == Set("o_orderpriority=1-URGENT",
+      "o_orderpriority=2-HIGH"), s"base2 over-wrote: $base2Parts")
+    // the whole point: the post-compaction read is the same rows with
+    // ZERO joins (reconstruction retired)
+    assert(readSet() == pre, "compaction must not change results")
+    val joins = graft.operators.Scans.morCompactRead(spark, path)
+      .queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+    assert(joins.isEmpty, "post-compaction read must be join-free")
+    // registered readout ≡ the COW merge state (third write strategy,
+    // same semantics)
+    val viaOp = graft.operators.Scans.maintenanceMorCompact(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val cow = graft.operators.Scans.sinkMergeCow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(viaOp == cow)
+  }
+
+  test("sink_wap: audit gates the pointer flip; branches never mutate live snapshots") {
+    val dir = graft.operators.Scans.wapDir(spark, sf)
+    // the good branch published, the bad one exists but never did
+    assert(graft.operators.Scans.wapHead(dir) == "m2")
+    assert(new java.io.File(s"$dir/m3").exists(),
+      "failed branch's manifest must exist (orphaned, vacuum's job)")
+    // audit verdicts, replayed directly against each branch
+    assert(graft.operators.Scans.wapAudit(spark, dir, "m2"))
+    assert(!graft.operators.Scans.wapAudit(spark, dir, "m3"),
+      "dropped-rows branch must fail the conservation audit")
+    // v1 must still resolve EXACTLY after two branch writes: branch
+    // commits add files and manifests, never touch a live snapshot
+    val p1 = graft.operators.Scans.snapshotPaths(spark, s"$dir/m1")
+    val v1 = spark.read.parquet(p1: _*)
+      .agg(count(lit(1)), sum(expr(
+        "CAST(round(o_totalprice * 100) AS BIGINT)")))
+      .collect().head
+    val raw = graft.Tables.orders(spark, sf)
+      .agg(count(lit(1)), sum(expr(
+        "CAST(round(o_totalprice * 100) AS BIGINT)")))
+      .collect().head
+    assert(v1 == raw, "v1 snapshot must stay byte-stable under branches")
+    // the bad branch's data is reachable from m3 (orphaned, not lost) —
+    // and is exactly the head minus the 5 dropped keys
+    val p3 = graft.operators.Scans.snapshotPaths(spark, s"$dir/m3")
+    val p2 = graft.operators.Scans.snapshotPaths(spark, s"$dir/m2")
+    val n3 = spark.read.parquet(p3: _*).count()
+    val n2 = spark.read.parquet(p2: _*).count()
+    assert(n3 < n2, s"bad branch must have dropped rows ($n3 vs $n2)")
+    // registered readout resolves THROUGH head
+    val row = graft.operators.Scans.sinkWap(spark, sf).collect().head
+    assert(row.getAs[String]("published") == "m2")
+    assert(row.getAs[Boolean]("bad_branch_unpublished"))
+    assert(row.getAs[Long]("n_rows") == n2)
+  }
+
+  test("scan_column_mapping: rename+drop are metadata-only; dropped column pruned at scan") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("colmap_spec").toString
+    graft.operators.Scans.colMapWriteData(spark, sf, dir)
+    graft.operators.Scans.colMapWriteV1(spark, dir)
+    def snapData(): Set[(String, Long, String)] =
+      new java.io.File(s"$dir/data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(Files.readAllBytes(f.toPath)).map("%02x".format(_))
+            .mkString
+          (f.getName, f.length(), sha)
+        }.toSet
+    val before = snapData()
+    graft.operators.Scans.colMapWriteV2(spark, dir)
+    // the metadata-only claim: the rename + drop commit touches zero
+    // data bytes
+    assert(snapData() == before,
+      "a mapping commit must not rewrite data files")
+    // physical schema stays stable field-id names
+    assert(spark.read.parquet(s"$dir/data").columns.toSeq ==
+      Seq("c_1", "c_2", "c_3"))
+    // each version exposes ITS logical schema over the same bytes
+    val v1 = graft.operators.Scans.colMapRead(spark, dir, "v1")
+    val v2 = graft.operators.Scans.colMapRead(spark, dir, "v2")
+    assert(v1.columns.toSeq ==
+      Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
+    assert(v2.columns.toSeq == Seq("o_orderkey", "price_usd"))
+    // the DROP costs nothing AND scans less: v2's parquet read schema
+    // must exclude the dropped physical column
+    val v2Read = v2.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSet
+    }.head
+    assert(v2Read == Set("c_1", "c_2"), s"v2 must prune c_3: $v2Read")
+    // a rename never changes data
+    val s1 = v1.agg(count(lit(1)), sum(col("o_totalprice"))).collect().head
+    val s2 = v2.agg(count(lit(1)), sum(col("price_usd"))).collect().head
+    assert(s1 == s2)
+  }
 }
