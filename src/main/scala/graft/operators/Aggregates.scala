@@ -19,6 +19,30 @@ import graft.Tables
   */
 object Aggregates extends OpModule {
 
+  /** AQE PARTITION COALESCING — the runtime re-plan that fixes the
+    * other static-partitioning failure (join_skew_aqe fixes the too-BIG
+    * partition; this fixes the too-MANY): the error slice of `events`
+    * is a tiny fraction of the table, but a static
+    * spark.sql.shuffle.partitions sizes the post-shuffle stage for the
+    * full corpus — most reducers get a few KB and their task overhead
+    * dominates. With AQE on (the session default), the coalescer reads
+    * the ACTUAL map-output sizes at the stage boundary and merges
+    * neighbors up to the advisory size, so reducer count tracks data,
+    * not config. At 100 TB one global shuffle-partition number cannot
+    * fit both the corpus-wide joins (need thousands) and the filtered
+    * rollups like this one (need a handful) — AQE is what lets a single
+    * setting serve both. AggregatesSpec asserts the executed plan's
+    * AQEShuffleRead is `coalesced` with fewer partitions than the
+    * static setting; results are config-invariant (the oracle is the
+    * plain rollup). */
+  def aggAqeCoalesce(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_errors"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+
   /** Flagship: TPC-H Q1-shaped scan→filter→hash-agg→sort. */
   def aggHash(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -835,6 +859,7 @@ object Aggregates extends OpModule {
     "agg_summary" -> aggSummary _,
     "agg_custom_typed" -> aggCustomTyped _,
     "agg_hash" -> aggHash _,
+    "agg_aqe_coalesce" -> aggAqeCoalesce _,
     "agg_global" -> aggGlobal _,
     "agg_distinct" -> aggDistinct _,
     "agg_approx_distinct" -> aggApproxDistinct _,
@@ -1049,6 +1074,14 @@ object Aggregates extends OpModule {
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i""".stripMargin,
     "agg_hash" -> aggHashSql,
+    // coalescing changes reducer COUNT, never rows: the plain rollup
+    "agg_aqe_coalesce" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hr,
+        |  CAST(count(*) AS BIGINT) AS n_errors,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY 1""".stripMargin,
     "agg_global" ->
       """SELECT round(sum(l_quantity), 4) AS sum_qty,
         | round(min(l_extendedprice), 4) AS min_price,

@@ -403,6 +403,36 @@ object Joins extends OpModule {
         sum(col("pay")).as("sum_pay"))
   }
 
+  /** EXCHANGE REUSE — the physical-plan dedup that makes DAG-shaped
+    * queries affordable: two segment branches (frequent buyers by
+    * order count, big spenders by lifetime cents) both read the SAME
+    * per-customer aggregate, and Spark's ReuseExchange rule plans the
+    * underlying shuffle ONCE — the second branch consumes the first's
+    * materialized map outputs as a `ReusedExchange` (under AQE, a
+    * reused query stage). At 100 TB the aggregate below the fork is a
+    * corpus scan + corpus shuffle; without reuse every additional
+    * segment re-pays both, with it each marginal segment costs only
+    * its filter. This is the optimizer-given half of what
+    * agg_mv_autorewrite buys across queries — WITHIN one query, reuse
+    * is free and automatic, PROVIDED the branches are plan-identical
+    * (a single flipped column order below the fork forfeits it, which
+    * is why the spec pins the plan shape, not just the rows).
+    * JoinsSpec asserts exactly one real shuffle materializes beneath
+    * the union and the other side is a reuse node. */
+  def joinExchangeReuse(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val frequent = t.where(col("n") >= 10)
+      .select(col("o_custkey"), lit("frequent").as("segment"),
+        col("n"), col("cents"))
+    val big = t.where(col("cents") >= 500000000L)
+      .select(col("o_custkey"), lit("big").as("segment"),
+        col("n"), col("cents"))
+    frequent.unionByName(big)
+  }
+
   def joinSalted(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val salts = 8
@@ -983,6 +1013,7 @@ object Joins extends OpModule {
     "join_dpp" -> joinDpp _,
     "join_salted" -> joinSalted _,
     "join_skew_aqe" -> joinSkewAqe _,
+    "join_exchange_reuse" -> joinExchangeReuse _,
     "join_bucketed" -> joinBucketed _,
     "join_asof" -> joinAsof _,
     "join_asof_tolerance" -> joinAsofTolerance _,
@@ -1334,6 +1365,19 @@ object Joins extends OpModule {
         |  CAST(sum(pay) AS BIGINT) AS sum_pay
         |FROM f JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+    // exchange reuse changes the PLAN (one shuffle, two consumers),
+    // never the rows: the oracle replays both segment branches plainly
+    "join_exchange_reuse" ->
+      """WITH t AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, 'frequent' AS segment, n, cents FROM t
+        |WHERE n >= 10
+        |UNION ALL
+        |SELECT o_custkey, 'big', n, cents FROM t
+        |WHERE cents >= 500000000""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         | round(sum(l_extendedprice), 4) AS sum_price

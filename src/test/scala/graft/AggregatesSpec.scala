@@ -301,4 +301,27 @@ class AggregatesSpec extends SparkSpec {
       assert(nEst > 0 && qEst > 0, "stratum must be populated per group")
     }
   }
+
+  test("agg_aqe_coalesce: runtime coalescing merges reducers below the static count") {
+    val df = graft.operators.Aggregates.aggAqeCoalesce(spark, sf)
+    val static = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val reads = collectFinal(df) {
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+    }
+    assert(reads.nonEmpty, "final plan must carry an AQE shuffle read")
+    assert(reads.exists(r => r.partitionSpecs.length < static),
+      s"coalescer must merge below the static $static: " +
+        reads.map(_.partitionSpecs.length).mkString(","))
+    // coalescing must be result-invisible: replay with AQE off
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    val want = graft.operators.Aggregates.aggAqeCoalesce(s2, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = df.collect().map(r => (r.getTimestamp(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }

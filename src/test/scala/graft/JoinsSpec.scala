@@ -410,4 +410,36 @@ class JoinsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want,
       s"knn diverges: ${got.size} vs ${want.size} ranked rows")
   }
+
+  test("join_exchange_reuse: one shuffle materializes, the second branch reuses it") {
+    val df = graft.operators.Joins.joinExchangeReuse(spark, sf)
+    // the reuse claim: the per-customer aggregate's exchange is planned
+    // once; the second segment branch consumes it as a reuse node
+    val reused = collectFinal(df) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty, "second branch must be a ReusedExchange")
+    val shuffles = collectFinal(df) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size == 1,
+      s"exactly one real shuffle must materialize, saw ${shuffles.size}")
+    // and exactly one scan of orders feeds it (reuse starts at the scan)
+    val scans = collectFinal(df) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"one scan must serve both branches: ${scans.size}")
+    // row semantics vs a local replay of both segments
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    val t = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = t.filter(_._2 >= 10).map(x => (x._1, "frequent", x._2, x._3)) ++
+      t.filter(_._3 >= 500000000L).map(x => (x._1, "big", x._2, x._3))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+  }
 }
