@@ -396,6 +396,65 @@ object Retrieval extends OpModule {
         col("r_sem"), col("r_lex"), col("cos"), col("lex_fp"))
   }
 
+  /** RETRIEVAL QUALITY METRICS — the eval loop every retrieval system
+    * ships with: MRR, hits@k, and nDCG@k of a RANKER against a graded
+    * TRUTH set, here the fused hybrid ranking (llm_hybrid_rrf's
+    * memoized top-5) scored against the exact semantic top-3 (the same
+    * rounded-cosine (cos desc, id) total order the semantic arm ranks
+    * by, computed over the FULL universe — a truth doc the fusion
+    * dropped below rank 5 must count against it, which is why the
+    * truth pass cannot reuse the fused rows). The readout measures how
+    * much of the exact semantic relevance the rank fusion retains
+    * after the lexical arm perturbs it — the ablation a hybrid-search
+    * rollout reads before flipping the fusion on.
+    *
+    * Determinism: reciprocal rank is exact fixed-point (10⁶ div rank —
+    * ranks are small integers, floor-div agrees across engines);
+    * nDCG@5's ≤5-term 1/log₂(rank+1) sum and the constant IDCG₃ are
+    * computed from the same literal expressions on both engines and
+    * rounded to 6 decimals after the division. first_rel_rank is 0
+    * when no truth doc appears in the top-5 (both engines).
+    *
+    * Scale shape: the ranker side is the memoized 50-row fused table;
+    * the truth side is one broadcast-10-query codegen'd cosine pass
+    * with a per-query top-3 window — the recall-eval shape every ANN
+    * op here shares (bounded by |queries| · corpus, one pass). At
+    * 100 TB the eval runs on a sampled query panel exactly like this
+    * 10-query one; the metric algebra is size-independent. */
+  def retrievalMetrics(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val fused = hybridRrf(s, d).select(col("qid"), col("rank"), col("id"))
+    val uni = Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("id"), col("embedding"))
+    val qs = uni.where(col("id") < 10)
+      .select(col("id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    val truth = uni.select(col("id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(qs))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (round(expr("cosine_sim(qe, ce)"), 4) + lit(0.0)).as("cos"))
+      .withColumn("rt", row_number().over(w))
+      .where(col("rt") <= 3)
+      .select(col("qid"), col("id"), lit(1).as("rel"))
+    fused.join(truth, Seq("qid", "id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(coalesce(col("rel"), lit(0))).cast("bigint").as("hits"),
+        min(when(col("rel") === 1, col("rank"))).as("fr"),
+        sum(when(col("rel") === 1,
+          lit(1.0) / log2(col("rank").cast("double") + 1.0))).as("dcg"))
+      .select(col("qid"), col("n_ranked"), col("hits"),
+        coalesce(col("fr"), lit(0)).cast("bigint").as("first_rel_rank"),
+        coalesce(expr("CAST(1000000 AS BIGINT) div fr"), lit(0L))
+          .as("rr_fp"),
+        round(coalesce(col("dcg"), lit(0.0)) /
+          expr("1.0/log2(2.0D) + 1.0/log2(3.0D) + 1.0/log2(4.0D)"), 6)
+          .as("ndcg3"))
+  }
+
   /** Budgeted context packing over the fused retrieval — the last step
     * of a RAG pipeline: given each query's fused ranking
     * (llm_hybrid_rrf's memoized top-5), admit documents in rank order
@@ -595,6 +654,7 @@ object Retrieval extends OpModule {
     "llm_keyword_extract" -> keywordExtract _,
     "llm_hard_negatives" -> hardNegatives _,
     "llm_hybrid_rrf" -> hybridRrf _,
+    "llm_retrieval_metrics" -> retrievalMetrics _,
     "llm_rag_pack" -> ragPack _,
     "llm_dedup_cdc" -> dedupCdc _,
     "llm_bm25" -> bm25 _,
@@ -689,6 +749,40 @@ object Retrieval extends OpModule {
 
   def oracle: Map[String, String] = Map(
     "llm_hybrid_rrf" -> hybridSql,
+    // the fused chain replayed as a CTE + the full-universe semantic
+    // truth + the metric algebra, literal-for-literal
+    "llm_retrieval_metrics" ->
+      (s"""WITH fused5 AS MATERIALIZED (
+         |${hybridSql}
+         |),
+         |uni2 AS (
+         |  SELECT doc_id AS id, embedding
+         |  FROM documents JOIN embeddings ON doc_id = vec_id),
+         |q2 AS (SELECT id AS qid, embedding AS qe FROM uni2 WHERE id < 10),
+         |truth AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q2.qid, u.id,
+         |      row_number() OVER (PARTITION BY q2.qid
+         |        ORDER BY (0.0 + ${duckCos("q2.qe", "u.embedding")}) DESC,
+         |                 u.id) AS rt
+         |    FROM q2 CROSS JOIN uni2 u WHERE u.id != q2.qid)
+         |  WHERE rt <= 3),
+         |""".stripMargin +
+       """j AS (
+         |  SELECT f.qid, f.rank,
+         |    CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM fused5 f
+         |  LEFT JOIN truth t ON f.qid = t.qid AND f.id = t.id)
+         |SELECT qid, CAST(count(*) AS BIGINT) AS n_ranked,
+         |  CAST(sum(rel) AS BIGINT) AS hits,
+         |  CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), 0) AS BIGINT)
+         |    AS first_rel_rank,
+         |  CAST(coalesce(1000000 // min(CASE WHEN rel = 1 THEN rank END), 0)
+         |    AS BIGINT) AS rr_fp,
+         |  round(coalesce(sum(CASE WHEN rel = 1
+         |                          THEN 1.0/log2(rank + 1.0) END), 0.0)
+         |    / (1.0/log2(2.0) + 1.0/log2(3.0) + 1.0/log2(4.0)), 6) AS ndcg3
+         |FROM j GROUP BY qid""".stripMargin),
     "llm_rag_pack" ->
       (s"""WITH fused5 AS MATERIALIZED (
          |${hybridSql}

@@ -1498,6 +1498,97 @@ object Scans extends OpModule {
         sum(col("o_orderkey")).cast("bigint").as("key_sum"))
   }
 
+  /** POSITION-DELETE MERGE-ON-READ — the third lakehouse upsert
+    * strategy, closing the seam sink_merge_mor pinned ("position
+    * deletes need stable row ordinals"): instead of equality deletes
+    * (logical keys, applied by a key anti-join), the commit records
+    * (file_path, row_position) pairs — Iceberg v2 position delete
+    * files / Delta deletion vectors. The stable ordinal Spark exposes
+    * is `_metadata.row_index` (the row's position within its parquet
+    * file — stable because data files are immutable, the same contract
+    * the versioned manifests rely on).
+    *
+    * The trade vs equality deletes, and why both exist:
+    *  - the WRITER pays more: finding positions needs one
+    *    partition-pruned scan of the touched files at commit time
+    *    (equality deletes write blind);
+    *  - the READER pays less: deletes apply by file + ordinal during
+    *    the scan — no join on the logical key, no hashing, no
+    *    knowledge of the schema's key columns at all (a deletion
+    *    vector is a per-file bitmap skip). Here the application is
+    *    spelled as an anti-join on (file, pos) so the plan is
+    *    inspectable, but the join key is scan metadata, not data —
+    *    ScansSpec proves the delete application never reads the key
+    *    column from the base files.
+    *
+    * Same deterministic merge, same FULL OUTER JOIN + CASE oracle:
+    * COW, equality-MOR, and position-MOR are three write strategies
+    * for one semantics. Spec also proves zero base-file I/O and that
+    * every recorded position is a valid ordinal of its file. */
+  private[graft] def mergePosCommit(s: SparkSession, d: String,
+                                    path: String): Unit = {
+    val src = mergeCowSource(s, d)
+    val keyed = src.where(col("op").isin("U", "D"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val touched = keyed.select(col("o_orderpriority")).distinct()
+      .collect().map(_.getString(0)).sorted
+    // the writer's position-finding pass: partition-pruned scan of the
+    // touched files with the metadata ordinal riding along
+    s.read.parquet(s"$path/base")
+      .where(col("o_orderpriority").isin(touched.toIndexedSeq: _*))
+      .select(col("o_orderkey"),
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .join(broadcast(keyed.select(col("o_orderkey"))), Seq("o_orderkey"),
+        "left_semi")
+      .select(col("file_path"), col("pos"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/pos_deletes")
+    src.where(col("op").isin("U", "I"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/delta")
+  }
+
+  /** The position-delete read: base rows survive unless their
+    * (file, ordinal) is recorded — the logical key never participates
+    * in the delete application. */
+  private[graft] def mergePosRead(s: SparkSession, path: String): DataFrame = {
+    val base = s.read.parquet(s"$path/base")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    base.join(broadcast(s.read.parquet(s"$path/pos_deletes")),
+        Seq("file_path", "pos"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .unionByName(s.read.parquet(s"$path/delta")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")))
+  }
+
+  def sinkMergePositional(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val path = s"$ioDir/merge_pos_$sfx"
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_MERGED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val dir = new java.io.File(path)
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dir)
+        }
+        mergeMorStageBase(s, d, path)
+        mergePosCommit(s, d, path)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    mergePosRead(s, path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+  }
+
   /** WRITE-AUDIT-PUBLISH — the staged-commit pattern (Iceberg WAP /
     * Delta "blind staging + constraint check") that keeps a bad batch
     * from ever becoming readable at 100 TB: a writer lands its files
@@ -1737,6 +1828,7 @@ object Scans extends OpModule {
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_merge_cow" -> sinkMergeCow _,
     "sink_merge_mor" -> sinkMergeMor _,
+    "sink_merge_positional" -> sinkMergePositional _,
     "scan_time_travel" -> scanTimeTravel _,
     "maintenance_vacuum" -> maintenanceVacuum _,
     "maintenance_mor_compact" -> maintenanceMorCompact _,
@@ -1944,6 +2036,8 @@ object Scans extends OpModule {
     // a delete sidecar + delta), never semantic ones
     "sink_merge_mor" -> mergeOracleSql,
     "sink_merge_cow" -> mergeOracleSql,
+    // position deletes are the third write strategy for the same merge
+    "sink_merge_positional" -> mergeOracleSql,
     // compaction changes file lifecycle and read cost, never results:
     // the COW/MOR merge oracle verbatim (third write strategy, same
     // semantics)

@@ -296,4 +296,55 @@ class RetrievalSpec extends SparkSpec {
     assert(got.getAs[Double]("cos") == best._1 ||
       math.abs(got.getAs[Double]("cos") - best._1) < 1.1e-4)
   }
+
+  test("llm_retrieval_metrics: metric algebra replays from fused ranks and local truth") {
+    val out = Retrieval.retrievalMetrics(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("n_ranked"), r.getAs[Long]("hits"),
+          r.getAs[Long]("first_rel_rank"), r.getAs[Long]("rr_fp"),
+          r.getAs[Double]("ndcg3"))).toMap
+    assert(out.size == 10 && out.keySet == (0L until 10L).toSet)
+    // local truth: exact cosine top-3 over the doc∩embedding universe
+    val ids = Tables.documents(spark, sf).select($"doc_id").distinct()
+      .as[Long].collect().toSet
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .filter(e => ids.contains(e._1))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val truth: Map[Long, Set[Long]] = (0L until 10L).map { qid =>
+      val qe = emb.find(_._1 == qid).get._2
+      qid -> emb.filter(_._1 != qid)
+        .map(e => (-cos(qe, e._2), e._1)).sorted.take(3).map(_._2).toSet
+    }.toMap
+    val fused = Retrieval.hybridRrf(spark, sf)
+      .select($"qid", $"rank", $"id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1)
+    val idcg = 1.0 / (math.log(2) / math.log(2)) +
+      1.0 / (math.log(3) / math.log(2)) + 1.0 / (math.log(4) / math.log(2))
+    (0L until 10L).foreach { qid =>
+      val ranked = fused(qid).sortBy(_._2)
+      val relRanks = ranked.filter(t => truth(qid).contains(t._3)).map(_._2)
+      val (n, hits, first, rrFp, ndcg) = out(qid)
+      assert(n == 5L, s"qid $qid must rank 5")
+      assert(hits == relRanks.length.toLong, s"qid $qid hits")
+      assert(first == relRanks.headOption.getOrElse(0).toLong,
+        s"qid $qid first_rel_rank")
+      assert(rrFp ==
+        relRanks.headOption.map(r => 1000000L / r).getOrElse(0L),
+        s"qid $qid rr_fp")
+      val dcg = relRanks.map(r => 1.0 / (math.log(r + 1.0) / math.log(2)))
+        .sum
+      assert(math.abs(ndcg - dcg / idcg) < 1e-5, s"qid $qid ndcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+    }
+    // the metric must be non-degenerate on the fixture: fusion retains
+    // SOME semantic truth overall
+    assert(out.values.map(_._2).sum > 0, "no relevant doc ranked at all")
+  }
 }

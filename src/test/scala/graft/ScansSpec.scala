@@ -780,6 +780,75 @@ class ScansSpec extends SparkSpec {
     assert(row.getAs[Long]("n_rows") == n2)
   }
 
+  test("sink_merge_positional: zero base I/O, valid ordinals, schema-free delete application") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("merge_pos_spec").toString
+    val path = s"$root/target"
+    graft.operators.Scans.mergeMorStageBase(spark, sf, path)
+    def snapAll(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/base"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val baseBefore = snapAll()
+    graft.operators.Scans.mergePosCommit(spark, sf, path)
+    // position-MOR writes only the sidecar + delta: zero base-file I/O
+    assert(snapAll() == baseBefore,
+      "position-delete commit must not touch any base file")
+    // every recorded position is a valid ordinal of its file, and every
+    // referenced file belongs to a TOUCHED partition (the commit scan
+    // was partition-pruned)
+    val dels = spark.read.parquet(s"$path/pos_deletes")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dels.nonEmpty)
+    assert(dels.forall { case (f, _) =>
+      f.contains("o_orderpriority=1-URGENT") ||
+        f.contains("o_orderpriority=2-HIGH")
+    }, "deletes must reference only touched partitions' files")
+    val perFile = spark.read.parquet(s"$path/base")
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dels.forall { case (f, p) => p >= 0 && p < perFile(f) },
+      "every position must be a valid row ordinal of its file")
+    // the deletion-vector property: applying deletes needs NO data
+    // column — the application plan's parquet ReadSchema is empty
+    // (metadata-only scan)
+    val applyOnly = spark.read.parquet(s"$path/base")
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(s"$path/pos_deletes")),
+        Seq("file_path", "pos"), "left_anti")
+    val survivors = applyOnly.count()
+    val baseScanSchemas = collectFinal(applyOnly) {
+      case sc: FileSourceScanExec
+        if sc.relation.location.rootPaths.exists(
+          _.toString.contains("/base")) =>
+        sc.requiredSchema.fieldNames.toSet
+    }
+    // (Spark surfaces row_index through an internal _tmp_metadata_*
+    // column in the reader — metadata plumbing, not table data)
+    val dataCols = Set("o_orderkey", "o_totalprice", "o_orderpriority")
+    assert(baseScanSchemas.nonEmpty &&
+      baseScanSchemas.forall(_.intersect(dataCols).isEmpty),
+      s"delete application must read zero data columns: $baseScanSchemas")
+    assert(survivors ==
+      spark.read.parquet(s"$path/base").count() - dels.length)
+    // read-side reconstruction equals the SAME merge executed COW-style
+    val pos = graft.operators.Scans.sinkMergePositional(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val cow = graft.operators.Scans.sinkMergeCow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(pos == cow, "position-MOR read must equal the COW merge state")
+  }
+
   test("scan_column_mapping: rename+drop are metadata-only; dropped column pruned at scan") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("colmap_spec").toString
