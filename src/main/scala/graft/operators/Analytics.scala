@@ -1391,6 +1391,54 @@ object Analytics extends OpModule {
         (col("psi_fp") > 100000000000L).as("is_drift"))
   }
 
+  /** SCHEMA DRIFT audit — the ingestion-gate check that catches a
+    * producer changing its output shape before the change corrupts a
+    * 100 TB table: two staged generations of the same feed (gen2 type-
+    * changes o_totalprice to string — the classic "producer started
+    * quoting numbers" bug — adds o_month, and drops o_orderpriority),
+    * diffed by a FULL OUTER JOIN on column name into
+    * added / removed / type_changed / unchanged verdicts. The schemas
+    * come from parquet FOOTERS (driver metadata — `spark.read`'s
+    * schema resolution), so the audit costs two footer reads no matter
+    * the table size; at 100 TB this runs per ingestion batch and gates
+    * the merge (sink_wap's audit slot is where it plugs in). The
+    * verdict table is what a schema registry's compatibility check
+    * (Avro/Protobuf CONFORMS queries) computes — here from the files
+    * themselves, so it also catches producers that bypass the
+    * registry. */
+  private val schemaDriftDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def dqSchemaDrift(s: SparkSession, d: String): DataFrame = {
+    val base = schemaDriftDirs.computeIfAbsent(d, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_schema_drift").toString
+      val src = Tables.orders(s, d).where(col("o_orderkey") < 100)
+      src.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$p/gen1")
+      src.select(col("o_orderkey"),
+          col("o_totalprice").cast("string").as("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+        .write.mode("overwrite").parquet(s"$p/gen2")
+      p
+    })
+    import s.implicits._
+    val g1 = s.read.parquet(s"$base/gen1").schema.fields
+      .map(f => (f.name, f.dataType.simpleString)).toSeq
+      .toDF("col_name", "t1")
+    val g2 = s.read.parquet(s"$base/gen2").schema.fields
+      .map(f => (f.name, f.dataType.simpleString)).toSeq
+      .toDF("col_name", "t2")
+    g1.join(g2, Seq("col_name"), "full")
+      .select(col("col_name"),
+        coalesce(col("t1"), lit("-")).as("gen1_type"),
+        coalesce(col("t2"), lit("-")).as("gen2_type"),
+        when(col("t1").isNull, "added")
+          .when(col("t2").isNull, "removed")
+          .when(col("t1") =!= col("t2"), "type_changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   def dqDrift(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"), col("ts"),
       round(col("value") * 100, 0).cast("long").as("vc"))
@@ -2218,6 +2266,7 @@ object Analytics extends OpModule {
     "ts_sessionize" -> tsSessionize _,
     "dim_scd2_incremental" -> dimScd2Incremental _,
     "dq_drift" -> dqDrift _,
+    "dq_schema_drift" -> dqSchemaDrift _,
     "mv_incremental" -> mvIncremental _,
     "dq_constraints" -> dqConstraints _,
     "dq_observe" -> dqObserve _,
@@ -2718,6 +2767,15 @@ object Analytics extends OpModule {
         |       (max(tus) - min(tus)) // 1000000 AS duration_sec,
         |       sum(vc) / 100.0 AS sum_value
         |FROM sid GROUP BY 1, 2""".stripMargin),
+    // the drift verdicts are closed-form: the two generations' shapes
+    // are fixed by the staging projections
+    "dq_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('o_orderkey', 'bigint', 'bigint', 'unchanged'),
+        |  ('o_totalprice', 'double', 'string', 'type_changed'),
+        |  ('o_orderpriority', 'string', '-', 'removed'),
+        |  ('o_month', '-', 'string', 'added'))
+        |AS t(col_name, gen1_type, gen2_type, status)""".stripMargin,
     "dq_drift" -> (evCte +
       """,
         |v AS (

@@ -403,6 +403,46 @@ object Joins extends OpModule {
         sum(col("pay")).as("sum_pay"))
   }
 
+  /** AQE RUNTIME JOIN DEMOTION — the third leg of the adaptive trio
+    * (join_skew_aqe splits the too-big partition, agg_aqe_coalesce
+    * merges the too-many): a join planned sort-merge from STATIC
+    * estimates is re-planned to broadcast-hash at RUNTIME once the
+    * build side's actual materialized size comes in under the
+    * threshold. The build side here is an AGGREGATE of customer — its
+    * pre-aggregation stats look join-sized, and with ordinary
+    * broadcast estimation disabled for the demo (autoBroadcastJoinThreshold
+    * = -1, the "planner guessed wrong" stand-in) the static plan is a
+    * shuffle join; AQE's adaptive threshold then reads the REAL
+    * map-output bytes (a few KB of per-nation rows) and demotes. At
+    * 100 TB this is the difference between shuffling a petabyte fact
+    * table because a dimension's pre-filter stats were stale, and
+    * broadcasting the actual 2 MB that materialized — stats go stale
+    * weekly, runtime sizes never do. JoinsSpec asserts static-off plan
+    * = SMJ, adaptive final plan = BroadcastHashJoin, rows identical. */
+  def joinBroadcastAqe(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    // the stale-stats stand-in: static planning must NOT broadcast...
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // ...while the runtime re-planner may, from actual sizes
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    val custByNation = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(custByNation, "c_nationkey")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("n_cust")).as("n_cust"),
+        max(col("bal_cents")).as("bal_cents"))
+  }
+
   /** EXCHANGE REUSE — the physical-plan dedup that makes DAG-shaped
     * queries affordable: two segment branches (frequent buyers by
     * order count, big spenders by lifetime cents) both read the SAME
@@ -1014,6 +1054,7 @@ object Joins extends OpModule {
     "join_salted" -> joinSalted _,
     "join_skew_aqe" -> joinSkewAqe _,
     "join_exchange_reuse" -> joinExchangeReuse _,
+    "join_broadcast_aqe" -> joinBroadcastAqe _,
     "join_bucketed" -> joinBucketed _,
     "join_asof" -> joinAsof _,
     "join_asof_tolerance" -> joinAsofTolerance _,
@@ -1365,6 +1406,21 @@ object Joins extends OpModule {
         |  CAST(sum(pay) AS BIGINT) AS sum_pay
         |FROM f JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+    // runtime demotion changes the PLAN, never the rows: the plain
+    // three-way join + rollup
+    "join_broadcast_aqe" ->
+      """WITH cbn AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |      AS bal_cents
+        |  FROM customer GROUP BY 1)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(max(cbn.n_cust) AS BIGINT) AS n_cust,
+        |  CAST(max(cbn.bal_cents) AS BIGINT) AS bal_cents
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN cbn ON c.c_nationkey = cbn.c_nationkey
+        |GROUP BY 1""".stripMargin,
     // exchange reuse changes the PLAN (one shuffle, two consumers),
     // never the rows: the oracle replays both segment branches plainly
     "join_exchange_reuse" ->

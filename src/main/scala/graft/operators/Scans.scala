@@ -1498,6 +1498,110 @@ object Scans extends OpModule {
         sum(col("o_orderkey")).cast("bigint").as("key_sum"))
   }
 
+  /** ROW LINEAGE — stable row identities that survive rewrites (Delta
+    * row tracking / Iceberg row lineage), the property key-based CDC
+    * cannot fake: a `row_id` is assigned at FIRST commit and carried
+    * through every subsequent file rewrite, so a change to the
+    * BUSINESS KEY itself is still one UPDATE. Staged as the worst case
+    * for key CDC — a key migration: v2 rewrites the files overlapping
+    * business keys [100,400] and shifts those keys by +5·10⁸ (price
+    * untouched, row_id carried). Key-based CDC over the same file diff
+    * necessarily reads this as |changed| deletes + |changed| inserts
+    * (the old keys vanish, unknown keys appear — lineage severed);
+    * row-id CDC joins the diff on row_id and sees |changed| UPDATES
+    * with prices provably stable. Both verdicts ship in the readout so
+    * the gap IS the result. At 100 TB row lineage is what keeps
+    * incremental consumers (downstream MVs, replication, audit) intact
+    * across schema/key migrations, backfills, and compactions — all of
+    * which rewrite files without changing row identity; it also needs
+    * no real estate beyond a carried column plus the manifest-diff
+    * machinery scan_time_travel already established. ScansSpec pins
+    * rowid-sum invariance across the commit, update classification,
+    * price stability under row-id CDC, and the delete+insert illusion
+    * under key CDC. */
+  private[graft] def rowLineageDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/row_lineage_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_COMMITTED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val f = new java.io.File(dir)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+        // v1: row_id assigned at first commit (any unique deterministic
+        // value works; after this instant it is IDENTITY, not data —
+        // the business key may drift, row_id never does)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (col("o_orderkey") + 1000000000L).as("row_id"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/d1")
+        manifestStats(s, s"$dir/d1").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/m1")
+        // v2: the key migration — a COW rewrite of the overlapping
+        // files; row_id rides through untouched
+        val m1 = s.read.parquet(s"$dir/m1")
+        val hit = col("k_max") >= 100 && col("k_min") <= 400
+        val oldPaths = m1.where(hit).select(col("path"))
+          .collect().map(_.getString(0))
+        s.read.parquet(oldPaths.toIndexedSeq: _*)
+          .withColumn("o_orderkey",
+            when(col("o_orderkey").between(100, 400),
+              col("o_orderkey") + 500000000L)
+              .otherwise(col("o_orderkey")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/d2")
+        m1.where(!hit)
+          .unionByName(manifestStats(s, s"$dir/d2"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/m2")
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  def scanRowLineage(s: SparkSession, d: String): DataFrame = {
+    val dir = rowLineageDir(s, d)
+    val p1 = snapshotPaths(s, s"$dir/m1")
+    val p2 = snapshotPaths(s, s"$dir/m2")
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val v1 = s.read.parquet(p1: _*)
+    val v2 = s.read.parquet(p2: _*)
+    // manifest-diff CDC inputs: only files the versions disagree on
+    val oldSide = s.read.parquet((p1.toSet -- p2.toSet).toSeq.sorted: _*)
+      .select(col("row_id"), col("o_orderkey").as("k_old"),
+        cents.as("c_old"))
+    val newSide = s.read.parquet((p2.toSet -- p1.toSet).toSeq.sorted: _*)
+      .select(col("row_id"), col("o_orderkey").as("k_new"),
+        cents.as("c_new"))
+    // row-id CDC: the migration is UPDATES with stable prices
+    val rowCdc = oldSide.join(newSide, "row_id")
+      .where(col("k_old") =!= col("k_new"))
+      .agg(count(lit(1)).as("row_updates"),
+        sum(when(col("c_old") === col("c_new"), 1L).otherwise(0L))
+          .as("price_stable"))
+    // key CDC over the SAME diff: lineage severed — deletes + inserts
+    val keyDel = oldSide.join(newSide,
+      col("k_old") === col("k_new"), "left_anti")
+      .agg(count(lit(1)).as("key_deletes"))
+    val keyIns = newSide.join(oldSide,
+      col("k_new") === col("k_old"), "left_anti")
+      .agg(count(lit(1)).as("key_inserts"))
+    v2.agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"),
+        sum(col("row_id")).as("rowid_sum_v2"))
+      .crossJoin(v1.agg(sum(col("row_id")).as("rowid_sum_v1")))
+      .crossJoin(rowCdc).crossJoin(keyDel).crossJoin(keyIns)
+      .select(col("n_rows"), col("cents"),
+        col("rowid_sum_v1"), col("rowid_sum_v2"),
+        col("row_updates"), col("price_stable"),
+        col("key_deletes"), col("key_inserts"))
+  }
+
   /** POSITION-DELETE MERGE-ON-READ — the third lakehouse upsert
     * strategy, closing the seam sink_merge_mor pinned ("position
     * deletes need stable row ordinals"): instead of equality deletes
@@ -1834,6 +1938,7 @@ object Scans extends OpModule {
     "maintenance_mor_compact" -> maintenanceMorCompact _,
     "sink_wap" -> sinkWap _,
     "scan_column_mapping" -> scanColumnMapping _,
+    "scan_row_lineage" -> scanRowLineage _,
     "scan_csv_multiline" -> scanCsvMultiline _
   )
 
@@ -2054,6 +2159,24 @@ object Scans extends OpModule {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  'm2' AS published, TRUE AS bad_branch_unpublished
         |FROM orders""".stripMargin,
+    // row identity is invariant by construction; the two CDC verdicts
+    // are closed-form over the changed-key range
+    "scan_row_lineage" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+        |    o_orderkey + 1000000000 AS rid
+        |  FROM orders),
+        |ch AS (SELECT count(*) AS nch FROM t WHERE k BETWEEN 100 AND 400)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS cents,
+        |  CAST(sum(rid) AS BIGINT) AS rowid_sum_v1,
+        |  CAST(sum(rid) AS BIGINT) AS rowid_sum_v2,
+        |  (SELECT CAST(nch AS BIGINT) FROM ch) AS row_updates,
+        |  (SELECT CAST(nch AS BIGINT) FROM ch) AS price_stable,
+        |  (SELECT CAST(nch AS BIGINT) FROM ch) AS key_deletes,
+        |  (SELECT CAST(nch AS BIGINT) FROM ch) AS key_inserts
+        |FROM t""".stripMargin,
     // a mapping commit is metadata-only: both versions summarize the
     // same bytes; only the exposed logical schema differs
     "scan_column_mapping" ->

@@ -90,6 +90,34 @@ object Windows extends OpModule {
       count(lit(1)).over(w).as("n_7d"))
   }
 
+  /** INTERVAL range frame — the time-native spelling of the trailing
+    * window (win_frame_range casts ts to epoch seconds and frames in
+    * numbers; production SQL frames in `INTERVAL`): per event, the
+    * count and value-mass of the SAME USER's events in the trailing
+    * hour, `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`
+    * ordered by the raw timestamp — microsecond-exact on both engines
+    * (no epoch truncation: a cast-to-seconds frame misplaces events on
+    * the same second's boundary, the subtle drift this op exists to
+    * avoid). Restricting users BEFORE the window is safe (frames never
+    * cross partitions) and keeps the readout bounded. At 100 TB this
+    * is the per-entity sliding feature every realtime feature store
+    * materializes; the shuffle is one hash-partition on user_id and
+    * each partition sorts once — WindowExec reuses the sort across
+    * both aggregates. */
+  def winFrameInterval(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .where(col("user_id") < 100)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("""count(*) OVER (PARTITION BY user_id ORDER BY ts
+               |RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               |""".stripMargin).as("n_1h"),
+        expr("""sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               |PARTITION BY user_id ORDER BY ts
+               |RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               |""".stripMargin).as("cents_1h"))
+      .drop("ts")
+  }
+
   /** Top-k per group: 3 biggest orders per customer — the canonical
     * window-filter composition (also the final stage of similarity top-k). */
   def winTopkPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -170,10 +198,26 @@ object Windows extends OpModule {
     "win_analytic" -> winAnalytic _,
     "win_frame_rows" -> winFrameRows _,
     "win_frame_range" -> winFrameRange _,
+    "win_frame_interval" -> winFrameInterval _,
     "win_topk_pergroup" -> winTopkPerGroup _
   )
 
   def oracle: Map[String, String] = Map(
+    // the identical INTERVAL frame; ts normalized to microseconds the
+    // same way the fixture reader does
+    "win_frame_interval" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 100)
+        |SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
     // DuckDB spells the modifier inside the window function call
     // (lag(x, 1 IGNORE NULLS)); same fill/prev/first semantics
     "win_ignore_nulls" -> (

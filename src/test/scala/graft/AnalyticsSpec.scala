@@ -1191,4 +1191,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.exists(v => v > 0 && v % 500 != 0),
       "some shortest path must use a non-default-weight edge")
   }
+
+  test("dq_schema_drift: verdicts classify added/removed/type-changed from footers alone") {
+    val got = graft.operators.Analytics.dqSchemaDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      ("o_orderkey", "bigint", "bigint", "unchanged"),
+      ("o_totalprice", "double", "string", "type_changed"),
+      ("o_orderpriority", "string", "-", "removed"),
+      ("o_month", "-", "string", "added")))
+  }
 }

@@ -442,4 +442,47 @@ class JoinsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.sorted.toSeq == want.sorted.toSeq)
   }
+
+  test("join_broadcast_aqe: runtime sizes demote the static shuffle join to broadcast") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, sum}
+    val df = graft.operators.Joins.joinBroadcastAqe(spark, sf)
+    val bhj = collectFinal(df) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      "AQE must demote at least one join to broadcast from runtime sizes")
+    // the control: same query, adaptive off — the static planner (with
+    // broadcast estimation disabled, the stale-stats stand-in) must
+    // keep shuffle joins
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val custByNation = graft.Tables.customer(s2, sf)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+    val ctrl = graft.Tables.orders(s2, sf)
+      .join(graft.Tables.customer(s2, sf)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(custByNation, "c_nationkey")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("n_cust")).as("n_cust"),
+        max(col("bal_cents")).as("bal_cents"))
+    val ctrlJoins = ctrl.queryExecution.executedPlan.collect {
+      case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(ctrlJoins.nonEmpty &&
+      !ctrlJoins.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "static planner with estimation off must not broadcast")
+    // demotion must be result-invisible
+    def key(r: org.apache.spark.sql.Row) =
+      (r.get(0).asInstanceOf[Number].longValue, r.getLong(1),
+        r.getLong(2), r.getLong(3))
+    assert(df.collect().map(key).toSet == ctrl.collect().map(key).toSet)
+  }
 }

@@ -888,4 +888,29 @@ class ScansSpec extends SparkSpec {
     val s2 = v2.agg(count(lit(1)), sum(col("price_usd"))).collect().head
     assert(s1 == s2)
   }
+
+  test("scan_row_lineage: identity survives a key migration; key CDC sees the illusion") {
+    val row = graft.operators.Scans.scanRowLineage(spark, sf).collect().head
+    // row identity is invariant across the rewrite
+    assert(row.getAs[Long]("rowid_sum_v1") == row.getAs[Long]("rowid_sum_v2"),
+      "rowid mass must be invariant across the key migration")
+    // the migration is |changed keys| UPDATES under row-id CDC, with
+    // every price provably stable
+    val nCh = graft.Tables.orders(spark, sf)
+      .where(col("o_orderkey").between(100, 400)).count()
+    assert(row.getAs[Long]("row_updates") == nCh)
+    assert(row.getAs[Long]("price_stable") == nCh,
+      "row-id CDC must see stable prices on every update")
+    // the same file diff under key CDC: lineage severed — the
+    // delete+insert illusion, one of each per migrated key
+    assert(row.getAs[Long]("key_deletes") == nCh)
+    assert(row.getAs[Long]("key_inserts") == nCh)
+    // untouched files are SHARED between the manifests (the rewrite was
+    // localized — the lineage carry never forced a full rewrite)
+    val dir = graft.operators.Scans.rowLineageDir(spark, sf)
+    val p1 = graft.operators.Scans.snapshotPaths(spark, s"$dir/m1").toSet
+    val p2 = graft.operators.Scans.snapshotPaths(spark, s"$dir/m2").toSet
+    assert((p1 & p2).nonEmpty, "untouched files must be shared, not copied")
+    assert(p1 != p2, "the migration must have rewritten something")
+  }
 }

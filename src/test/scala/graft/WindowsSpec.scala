@@ -72,4 +72,32 @@ class WindowsSpec extends SparkSpec {
       }
     }
   }
+
+  test("win_frame_interval: trailing-hour frame replays microsecond-exact per user") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.Windows.winFrameInterval(spark, sf)
+      .where(col("user_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .where(col("user_id") < 5)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 +
+          (r.getTimestamp(2).getNanos / 1000) % 1000, r.getLong(3)))
+    assert(ev.nonEmpty && got.size == ev.length)
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      rows.foreach { case (u, eid, tUs, _) =>
+        val inFrame = rows.filter(r =>
+          r._3 <= tUs && r._3 >= tUs - 3600000000L)
+        val (n, cents) = got((u, eid))
+        assert(n == inFrame.length.toLong,
+          s"user $u event $eid frame count")
+        assert(cents == inFrame.map(_._4).sum, s"user $u event $eid mass")
+      }
+    }
+  }
 }
