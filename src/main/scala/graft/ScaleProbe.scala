@@ -598,7 +598,60 @@ object ScaleProbe {
       // stale-MV compensation (r13): the MV staging is the one-time
       // 80%-scan; the registered read is the 6-row MV + the ~20% delta
       // aggregate — growth must track the delta slice, never the corpus
-      "agg_mv_stale_compensate")
+      "agg_mv_stale_compensate",
+      // MOR log compaction (r13): staging linear; the compactor reads
+      // ONLY the log's partitions (2/5 at any tier) and the post-
+      // compaction read is two pruned plain scans, zero joins — both
+      // scan-bound with the log gone
+      "maintenance_mor_compact",
+      // write-audit-publish (r13): v1 + two branch writes are the
+      // linear staging; each audit is one aggregate over its branch;
+      // the published readout is a scan — all scan-bound
+      "sink_wap",
+      // position-delete MOR (r13): the commit pays the partition-pruned
+      // position-finding scan (the writer-side trade), the read the
+      // (file,pos) anti-join — both scan-bound, base never rewritten
+      "sink_merge_positional",
+      // column mapping (r13): data staged once; a mapping version is a
+      // ≤3-row sidecar, both reads are scans (v2 reads one column
+      // FEWER — the drop is negative marginal cost)
+      "scan_column_mapping",
+      // row lineage (r13): v1/v2 staging linear; the CDC reads only the
+      // manifest-diff files (fixed [100,400] key range → near-flat
+      // diff side at any tier, like scan_time_travel)
+      "scan_row_lineage",
+      // exchange reuse (r13): ONE customer-agg shuffle feeds both
+      // segment branches — wall must track one aggregate, not two
+      // (the reuse claim, plan-pinned in JoinsSpec)
+      "join_exchange_reuse",
+      // AQE coalesce (r13): the filtered rollup is scan-bound; the
+      // coalescer only merges post-shuffle partitions (less task
+      // overhead, same work)
+      "agg_aqe_coalesce",
+      // AQE broadcast demotion (r13): wall must track the fact scan —
+      // the runtime broadcast keeps the corpus-sized shuffle off the
+      // plan at every tier
+      "join_broadcast_aqe",
+      // schema drift audit (r13): staging is a FIXED <100-key slice at
+      // any tier; the audit is two footer reads — near-flat (the
+      // footer-metadata claim, measured)
+      "dq_schema_drift",
+      // interval range frame (r13): clone users are disjoint, so the
+      // user_id<100 readout slice is fixed while the scan+filter grows
+      // linearly — wall must be scan-bound with flat window input
+      "win_frame_interval",
+      // retrieval metrics (r13): rides the memoized fused table; the
+      // marginal cost is the 10-query broadcast truth pass — corpus-
+      // linear like every recall/eval row
+      "llm_retrieval_metrics",
+      // secondary index (r13): the build pass is the linear staging
+      // cost; the lookup reads the small index + the posting files
+      // (5 keys × ≤16 postings at any tier) — near-flat beyond staging
+      "scan_secondary_index",
+      // backfill planner (r13): staging + the T2 cycle are linear; the
+      // registered readout re-reads the |months|-partition target —
+      // the planner itself is two fingerprint aggregates (scan-bound)
+      "pipeline_backfill")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -913,4 +913,78 @@ class ScansSpec extends SparkSpec {
     assert((p1 & p2).nonEmpty, "untouched files must be shared, not copied")
     assert(p1 != p2, "the migration must have rewritten something")
   }
+
+  test("scan_secondary_index: postings bound the data read; lookup replays exactly") {
+    val dir = graft.operators.Scans.secondaryIndexDir(spark, sf)
+    // the index accounts for every row exactly once
+    val idxMass = spark.read.parquet(s"$dir/index")
+      .agg(sum(col("n_rows"))).collect().head.getLong(0)
+    assert(idxMass == graft.Tables.orders(spark, sf).count())
+    // the lookup's posting set prunes the scattered layout: fewer files
+    // than the 16-file table (the scattered key means zonemaps can't)
+    val keys = graft.operators.Scans.secIndexProbeKeys
+    val postings = spark.read.parquet(s"$dir/index")
+      .where(col("o_custkey").isin(keys: _*))
+      .select(col("file_path")).distinct().count()
+    assert(postings > 0 && postings < 16,
+      s"posting set must prune the 16-file layout: $postings")
+    // exact row replay vs the raw fixture
+    val got = graft.operators.Scans.scanSecondaryIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = graft.Tables.orders(spark, sf)
+      .where(col("o_custkey").isin(keys: _*))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)),
+        expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"),
+        expr("CAST(sum(o_orderkey) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("pipeline_backfill: fingerprint diff finds exactly the stale months; rebuild is pruned") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("backfill_spec").toString
+    graft.operators.Scans.backfillBuild(spark,
+      graft.operators.Scans.backfillT1(spark, sf), dir,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    def snap(month: String): Set[(String, Long, String)] = {
+      val f = new java.io.File(s"$dir/target", s"o_month=$month")
+      f.listFiles().filter(_.getName.endsWith(".parquet")).map { x =>
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(Files.readAllBytes(x.toPath)).map("%02x".format(_))
+          .mkString
+        (x.getName, x.length(), sha)
+      }.toSet
+    }
+    val freshBefore = snap("1995-03")
+    val stale = graft.operators.Scans.backfillRun(spark, sf, dir)
+    // exactly the late-data month + the withheld tail
+    assert(stale.contains("1996-06"))
+    assert(stale.filter(_ != "1996-06").forall(_ >= "2001-01"),
+      s"unexpected stale months: $stale")
+    assert(stale.count(_ >= "2001-01") == 8)
+    // untouched months are never rebuilt (the backfill economics)
+    assert(snap("1995-03") == freshBefore,
+      "fresh month must keep byte-identical files")
+    // the planner is a fixed point after the backfill
+    assert(graft.operators.Scans.backfillRun(spark, sf, dir).isEmpty,
+      "second planner run must find nothing stale")
+    // post-backfill target equals the full rebuild
+    val got = spark.read.parquet(s"$dir/target")
+      .groupBy(col("o_month"))
+      .agg(sum(col("n")).cast("bigint"), sum(col("cents")).cast("bigint"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.Tables.orders(spark, sf)
+      .groupBy(date_trunc("month", col("o_orderdate")))
+      .agg(count(lit(1)),
+        expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"))
+      .collect()
+      .map(r => (new java.text.SimpleDateFormat("yyyy-MM")
+        .format(r.getTimestamp(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
 }
