@@ -1498,6 +1498,91 @@ object Scans extends OpModule {
         sum(col("o_orderkey")).cast("bigint").as("key_sum"))
   }
 
+  /** Z-ORDER PRUNING — the measured payoff of maintenance_zorder's
+    * interleave: a 2-D box predicate (customer range × date range)
+    * planned from per-file 2-D zonemaps over two stagings of the same
+    * data — Z-ORDERED (files sorted by the bit-interleaved zval) vs
+    * LINEAR (files sorted by custkey alone). Linear clustering makes
+    * one dimension's zonemaps tight and leaves the other spanning the
+    * whole domain; the z-curve bounds BOTH spans per file, so an
+    * aligned 64×64 box is a contiguous zval block touching 1-2 of 16
+    * files where the linear layout reads every custkey-overlapping
+    * file. ScansSpec asserts zorderFiles ≤ linearFiles and both reads
+    * row-equal the raw box. At 100 TB this is the difference between
+    * a dashboard's (tenant × week) slice reading gigabytes or the
+    * table; the file counts stay OUT of the registered readout because
+    * range-partitioner sampling makes file boundaries run-varying —
+    * layout changes I/O, never results. */
+  private[graft] def zorderPruneDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/zorder_prune_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_ZORDERED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val f = new java.io.File(dir)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+        val interleave =
+          """aggregate(sequence(0, 15), 0L, (acc, b) -> acc
+            |  + shiftleft((x >> b) & 1, 2 * b)
+            |  + shiftleft((y >> b) & 1, 2 * b + 1))""".stripMargin
+        val base = Tables.orders(s, d)
+          .withColumn("x", col("o_custkey").bitwiseAND(lit(65535L)))
+          .withColumn("y",
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long")
+              .bitwiseAND(lit(65535L)))
+          .select(col("o_orderkey"), col("o_totalprice"), col("x"),
+            col("y"), expr(interleave).as("zval"))
+        def stage(df: DataFrame, sortCol: String, sub: String): Unit = {
+          df.repartitionByRange(16, col(sortCol))
+            .sortWithinPartitions(col(sortCol))
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/$sub/data")
+          // the 2-D zonemap: per file, min/max of BOTH dimensions
+          s.read.parquet(s"$dir/$sub/data")
+            .groupBy(input_file_name().as("path"))
+            .agg(min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+              min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+            .coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/$sub/manifest")
+        }
+        stage(base, "zval", "zorder")
+        stage(base, "x", "linear")
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  /** The aligned 64×64 box (custkey 64..127 × epoch-days 9216..9279 —
+    * spring 1995): one contiguous z-block. */
+  private[graft] val zBox = (64L, 127L, 9216L, 9279L)
+
+  /** Manifest-planned box read over one staging: paths whose 2-D
+    * zonemap overlaps the box, with the exact box filter residual. */
+  private[graft] def zorderBoxRead(s: SparkSession, dir: String,
+                                   sub: String): DataFrame = {
+    val (x0, x1, y0, y1) = zBox
+    val paths = s.read.parquet(s"$dir/$sub/manifest")
+      .where(col("x_max") >= x0 && col("x_min") <= x1 &&
+        col("y_max") >= y0 && col("y_min") <= y1)
+      .select(col("path")).collect().map(_.getString(0)).sorted
+    s.read.parquet(paths.toIndexedSeq: _*)
+      .where(col("x").between(x0, x1) && col("y").between(y0, y1))
+  }
+
+  def scanZorderPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = zorderPruneDir(s, d)
+    zorderBoxRead(s, dir, "zorder")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+  }
+
   /** SECONDARY INDEX — an inverted FILE index for point lookups on a
     * key the layout does NOT cluster (Hudi's record-level index /
     * the external index every serious lakehouse bolts on): orders are
@@ -2113,6 +2198,7 @@ object Scans extends OpModule {
     "scan_column_mapping" -> scanColumnMapping _,
     "scan_row_lineage" -> scanRowLineage _,
     "scan_secondary_index" -> scanSecondaryIndex _,
+    "scan_zorder_prune" -> scanZorderPrune _,
     "pipeline_backfill" -> pipelineBackfill _,
     "scan_csv_multiline" -> scanCsvMultiline _
   )
@@ -2334,6 +2420,16 @@ object Scans extends OpModule {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  'm2' AS published, TRUE AS bad_branch_unpublished
         |FROM orders""".stripMargin,
+    // clustering prunes I/O, never results: same box on the raw fixture
+    "scan_zorder_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE (o_custkey & 65535) BETWEEN 64 AND 127
+        |  AND (date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+        |       & 65535) BETWEEN 9216 AND 9279""".stripMargin,
     // an index prunes I/O, never results: same lookup on the raw fixture
     "scan_secondary_index" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

@@ -987,4 +987,32 @@ class ScansSpec extends SparkSpec {
         .format(r.getTimestamp(0)), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("scan_zorder_prune: z-curve bounds both dims — fewer files than linear clustering") {
+    val dir = graft.operators.Scans.zorderPruneDir(spark, sf)
+    val (x0, x1, y0, y1) = graft.operators.Scans.zBox
+    def overlap(sub: String): Long =
+      spark.read.parquet(s"$dir/$sub/manifest")
+        .where(col("x_max") >= x0 && col("x_min") <= x1 &&
+          col("y_max") >= y0 && col("y_min") <= y1).count()
+    val zFiles = overlap("zorder")
+    val linFiles = overlap("linear")
+    assert(zFiles <= linFiles,
+      s"z-order must not read more files than linear: $zFiles vs $linFiles")
+    assert(zFiles < 16, s"the box must prune the 16-file layout: $zFiles")
+    // both layouts answer the box identically, and equal the raw table
+    def boxSet(sub: String) =
+      graft.operators.Scans.zorderBoxRead(spark, dir, sub)
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val zs = boxSet("zorder")
+    assert(zs == boxSet("linear") && zs.nonEmpty)
+    val want = graft.Tables.orders(spark, sf)
+      .where((col("o_custkey").bitwiseAND(lit(65535L))).between(x0, x1))
+      .where(org.apache.spark.sql.functions.datediff(
+          col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long")
+        .bitwiseAND(lit(65535L)).between(y0, y1))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(zs == want)
+  }
 }
