@@ -651,7 +651,19 @@ object ScaleProbe {
       // backfill planner (r13): staging + the T2 cycle are linear; the
       // registered readout re-reads the |months|-partition target —
       // the planner itself is two fingerprint aggregates (scan-bound)
-      "pipeline_backfill")
+      "pipeline_backfill",
+      // z-order pruning (r13): dual-layout staging is the linear cost;
+      // the box read touches the zonemap-overlapping files only —
+      // near-flat like the other layout probes
+      "scan_zorder_prune",
+      // watermark detection (r13): zero-shuffle per-doc HOF scoring +
+      // a 2-row aggregate — pure scan-bound (the llm_repetition_filter
+      // shape with a pair-hash fold)
+      "llm_watermark_detect",
+      // Mann-Kendall (r13): raw events collapse to the hourly series
+      // FIRST, so the O(series²) pair join is bounded by the time
+      // range (~260k sign evals per type) at ANY corpus size
+      "ts_trend_test")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

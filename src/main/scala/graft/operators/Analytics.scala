@@ -1391,6 +1391,36 @@ object Analytics extends OpModule {
         (col("psi_fp") > 100000000000L).as("is_drift"))
   }
 
+  /** MANN-KENDALL trend test — the NONPARAMETRIC trend verdict the
+    * parametric ts_forecast_linear can't give when the series is
+    * non-normal or stepped: S = Σ_{i<j} sign(vⱼ − vᵢ) over the hourly
+    * value series per event type — exact integer arithmetic end to
+    * end (no ranks, no variance approximation), with the effect size
+    * reported as |τ|·10⁴ = |S|·10⁴ div pairs (sign carried separately
+    * because trunc-vs-floor division diverges on negatives across
+    * engines). The raw events collapse to the bounded hourly series
+    * FIRST (the ts_gapfill rule), so the O(|series|²) pair join is
+    * bounded by the time range — ~720 hours → ~260k sign evaluations
+    * per type — at ANY corpus size; at 100 TB the quadratic term never
+    * sees row counts, only hours. */
+  def tsTrendTest(s: SparkSession, d: String): DataFrame = {
+    val series = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("v"))
+    val later = series
+      .select(col("event_type").as("et2"), col("hr").as("h2"),
+        col("v").as("v2"))
+    series.join(later,
+        col("event_type") === col("et2") && col("hr") < col("h2"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(sign(v2 - v) AS BIGINT)")).as("s_stat"))
+      .withColumn("trend",
+        when(col("s_stat") > 0, "up").when(col("s_stat") < 0, "down")
+          .otherwise("flat"))
+      .withColumn("abs_tau_bp", expr("abs(s_stat) * 10000 div n_pairs"))
+  }
+
   /** SCHEMA DRIFT audit — the ingestion-gate check that catches a
     * producer changing its output shape before the change corrupts a
     * 100 TB table: two staged generations of the same feed (gen2 type-
@@ -2267,6 +2297,7 @@ object Analytics extends OpModule {
     "dim_scd2_incremental" -> dimScd2Incremental _,
     "dq_drift" -> dqDrift _,
     "dq_schema_drift" -> dqSchemaDrift _,
+    "ts_trend_test" -> tsTrendTest _,
     "mv_incremental" -> mvIncremental _,
     "dq_constraints" -> dqConstraints _,
     "dq_observe" -> dqObserve _,
@@ -2767,6 +2798,24 @@ object Analytics extends OpModule {
         |       (max(tus) - min(tus)) // 1000000 AS duration_sec,
         |       sum(vc) / 100.0 AS sum_value
         |FROM sid GROUP BY 1, 2""".stripMargin),
+    // identical pair algebra; ts normalized like every events oracle
+    "ts_trend_test" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000))
+        |      ::TIMESTAMP AS hr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(sign(b.v - a.v)) AS BIGINT) AS s_stat,
+        |  CASE WHEN CAST(sum(sign(b.v - a.v)) AS BIGINT) > 0 THEN 'up'
+        |       WHEN CAST(sum(sign(b.v - a.v)) AS BIGINT) < 0 THEN 'down'
+        |       ELSE 'flat' END AS trend,
+        |  abs(CAST(sum(sign(b.v - a.v)) AS BIGINT)) * 10000 // count(*)
+        |    AS abs_tau_bp
+        |FROM s a JOIN s b
+        |  ON a.event_type = b.event_type AND a.hr < b.hr
+        |GROUP BY 1""".stripMargin,
     // the drift verdicts are closed-form: the two generations' shapes
     // are fixed by the staging projections
     "dq_schema_drift" ->

@@ -1237,7 +1237,71 @@ object LlmCuration extends OpModule {
         expr("n_novel * 10000 div n_grams").as("novelty_bp"))
   }
 
+  /** WATERMARK DETECTION — the filter a modern pretraining pipeline
+    * runs to keep WATERMARKED LLM OUTPUT out of the training mix
+    * (Kirchenbauer-style greenlist watermarks: the generator biases
+    * each next token toward a "green" half of the vocabulary seeded by
+    * the previous token's hash, so watermarked text shows a green-pair
+    * fraction far above the ~50% a natural text produces). Detection
+    * is hash-only — no model: per document, the fraction of adjacent
+    * token pairs whose pair hash lands green, flagged at ≥ 90% with a
+    * ≥ 33-token minimum (real detectors also need length; here it also
+    * bounds the deterministic false-flag rate — a 32-pair natural doc
+    * needs 29+ green pairs to flag, p ≈ 10⁻⁶).
+    *
+    * The corpus under test plants genuinely watermarked text: every
+    * doc_id % 50 == 0 document's text is replaced by a 64-token
+    * sequence GENERATED under the same greenlist rule (driver-side,
+    * deterministic — each step takes the first vocab word whose pair
+    * is green), so the op detects real watermark structure, not a
+    * label. Hashes are the house poly-31 word fold mod 1e9+7 and the
+    * Knuth multiplier pair-mix mod 2³² — both engines replay them
+    * literally (no engine-hash coupling). One zero-shuffle scan per
+    * doc + a 2-row aggregate: scan-bound at any corpus size. */
+  private[graft] lazy val watermarkPlanted: String = {
+    def ph(w: String): Long =
+      w.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    def green(a: Long, b: Long): Boolean =
+      ((a * 2654435761L + b) % 4294967296L) % 2 == 0
+    val vocab = (0 until 16).map(i => s"wm$i")
+    val out = scala.collection.mutable.ArrayBuffer("wm0")
+    while (out.length < 64) {
+      val prev = ph(out.last)
+      out += vocab.find(w => green(prev, ph(w))).getOrElse(
+        // 16 candidates all red has p = 2^-16 per step; the generator
+        // is deterministic, so this branch either never fires or the
+        // planted bp is still ≥ 9843 — the 9000 flag threshold holds
+        vocab.head)
+    }
+    out.mkString(" ")
+  }
+
+  def watermarkDetect(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, lit(watermarkPlanted))
+          .otherwise(col("text")).as("text"))
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .where(size(col("toks")) >= 33)
+      .withColumn("hs", expr(
+        """transform(toks, w -> aggregate(split(w, ''), 0L,
+          |  (h, c) -> (h * 31 + ascii(c)) % 1000000007))""".stripMargin))
+      .withColumn("n_pairs", (size(col("hs")) - 1).cast("long"))
+      .withColumn("n_green", expr(
+        """size(filter(sequence(1, size(hs) - 1),
+          |  i -> ((hs[i-1] * 2654435761 + hs[i]) % 4294967296) % 2 = 0))"""
+          .stripMargin).cast("long"))
+      .withColumn("green_bp", expr("n_green * 10000 div n_pairs"))
+      .withColumn("flagged", col("green_bp") >= 9000)
+    scored.groupBy(col("flagged"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("bigint").as("docid_sum"),
+        min(col("green_bp")).as("min_bp"),
+        max(col("green_bp")).as("max_bp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_watermark_detect" -> watermarkDetect _,
     "llm_span_corruption" -> spanCorruption _,
     "llm_ngram_novelty" -> ngramNovelty _,
     "llm_chat_format" -> chatFormat _,
@@ -1341,6 +1405,39 @@ object LlmCuration extends OpModule {
        |""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // full detection replay: same planted literal, same poly-31 word
+    // fold, same Knuth pair mix — 1-based list indexing mirrors the
+    // Spark side's 0-based subscripts pair-for-pair
+    "llm_watermark_detect" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 0 THEN '$watermarkPlanted'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id,
+         |    [w for w in string_split(text, ' ') if w != ''] AS toks
+         |  FROM t),
+         |ph AS (
+         |  SELECT doc_id, list_transform(toks, w ->
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [ascii(c)::BIGINT for c in string_split(w, '')]),
+         |      (h, c) -> (h * 31 + c) % 1000000007)) AS hs
+         |  FROM tok WHERE len(toks) >= 33),
+         |g AS (
+         |  SELECT doc_id, CAST(len(hs) - 1 AS BIGINT) AS n_pairs,
+         |    CAST(len([i for i in range(2, len(hs) + 1)
+         |              if ((hs[i-1] * 2654435761 + hs[i]) % 4294967296)
+         |                 % 2 = 0]) AS BIGINT) AS n_green
+         |  FROM ph),
+         |b AS (
+         |  SELECT doc_id, n_green * 10000 // n_pairs AS green_bp FROM g)
+         |SELECT green_bp >= 9000 AS flagged,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS docid_sum,
+         |  CAST(min(green_bp) AS BIGINT) AS min_bp,
+         |  CAST(max(green_bp) AS BIGINT) AS max_bp
+         |FROM b GROUP BY 1""".stripMargin,
     "llm_quality_classifier" ->
       (clfFeatsCtes +
         """w1 AS MATERIALIZED (

@@ -1202,4 +1202,31 @@ class AnalyticsSpec extends SparkSpec {
       ("o_orderpriority", "string", "-", "removed"),
       ("o_month", "-", "string", "added")))
   }
+
+  test("ts_trend_test: S statistic replays pair-for-pair from the hourly series") {
+    val got = graft.operators.Analytics.tsTrendTest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    val series = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        org.apache.spark.sql.functions.date_trunc("hour", col("ts"))
+          .as("hr"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(value * 100) AS BIGINT)")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .groupBy(_._1)
+    series.foreach { case (et, rows) =>
+      val vs = rows.sortBy(_._2).map(_._3)
+      val pairs = for (i <- vs.indices; j <- i + 1 until vs.length)
+        yield math.signum((vs(j) - vs(i)).toDouble).toLong
+      val (nPairs, sStat, trend, tauBp) = got(et)
+      assert(nPairs == pairs.length.toLong, s"$et pair count")
+      assert(sStat == pairs.sum, s"$et S statistic")
+      assert(trend ==
+        (if (sStat > 0) "up" else if (sStat < 0) "down" else "flat"))
+      assert(tauBp == math.abs(sStat) * 10000 / pairs.length)
+    }
+  }
 }

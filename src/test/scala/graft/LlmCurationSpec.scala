@@ -608,4 +608,33 @@ class LlmCurationSpec extends SparkSpec {
         }
     }
   }
+
+  test("llm_watermark_detect: planted greenlist text flags; natural text never does") {
+    // the generator must have achieved the all-green property it aims
+    // for (16 candidates per step; failure would still flag at 9843 bp)
+    def ph(w: String): Long =
+      w.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    val toks = graft.operators.LlmCuration.watermarkPlanted.split(" ")
+    assert(toks.length == 64)
+    val allGreen = toks.sliding(2).forall { p =>
+      ((ph(p(0)) * 2654435761L + ph(p(1))) % 4294967296L) % 2 == 0
+    }
+    assert(allGreen, "planted sequence must be fully green")
+    val rows = graft.operators.LlmCuration.watermarkDetect(spark, sf)
+      .collect().map(r => r.getBoolean(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the flagged group is EXACTLY the planted docs: right count, right
+    // id mass, and a perfect 10000 bp green fraction
+    val planted = Tables.documents(spark, sf)
+      .where(col("doc_id") % 50 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val (nf, idSum, minBp, maxBp) = rows(true)
+    assert(nf == planted.length.toLong, s"flagged $nf of ${planted.length}")
+    assert(idSum == planted.sum)
+    assert(minBp == 10000L && maxBp == 10000L)
+    // natural text sits near 50% green — far under the 90% flag line
+    val (_, _, nminBp, nmaxBp) = rows(false)
+    assert(nmaxBp < 9000L, s"natural doc too green: $nmaxBp bp")
+    assert(nminBp >= 0L)
+  }
 }

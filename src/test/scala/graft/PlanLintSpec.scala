@@ -76,7 +76,14 @@ class PlanLintSpec extends SparkSpec {
     "llm_colbert_maxsim",
     // 1-row broadcasts: total-count join (benford), the 1-row boundary
     // array + 1-row stats (equi-depth histogram) — constant build sides
-    "dq_benford", "agg_histogram_equidepth"
+    "dq_benford", "agg_histogram_equidepth",
+    // retrieval metrics (r13): the truth pass carries the same bounded
+    // 10-query broadcast side as every recall row
+    "llm_retrieval_metrics",
+    // row lineage (r13): the readout assembles FOUR 1-row aggregates
+    // (v2 summary × v1 rowid mass × row-CDC verdict × key-CDC counts)
+    // via crossJoin — every side is exactly one row at any data size
+    "scan_row_lineage"
   )
 
   // ops whose KEYLESS window (empty partition spec → ONE task sorts the
