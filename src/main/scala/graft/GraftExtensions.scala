@@ -284,7 +284,8 @@ object GraftExtensions {
   def installOptimizations(spark: SparkSession): Unit = {
     val rules = Seq(graft.plans.LevenshteinGuard, graft.plans.CosineLshRewrite,
       graft.plans.JaccardLshRewrite, graft.plans.RangeBucketRewrite,
-      graft.plans.SpatialGridRewrite, graft.plans.MvRollupRewrite)
+      graft.plans.SpatialGridRewrite, graft.plans.MvRollupRewrite,
+      graft.plans.JoinEliminationRewrite)
     val current = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       current ++ rules.filterNot(current.contains)

@@ -663,7 +663,11 @@ object ScaleProbe {
       // Mann-Kendall (r13): raw events collapse to the hourly series
       // FIRST, so the O(series²) pair join is bounded by the time
       // range (~260k sign evals per type) at ANY corpus size
-      "ts_trend_test")
+      "ts_trend_test",
+      // PK-FK join elimination (r13): the rewritten plan is ONE fact
+      // scan + filter — wall must track the fact scan and sit UNDER
+      // the joined control at every tier
+      "join_eliminate_autorewrite")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -443,6 +443,41 @@ object Joins extends OpModule {
         max(col("bal_cents")).as("bal_cents"))
   }
 
+  /** PK-FK JOIN ELIMINATION demonstrator — the query shape every BI
+    * tool / semantic layer / view stack generates: the fact table
+    * joined to a dimension the final projection never reads (here the
+    * join rides in from a reusable view definition; the aggregate only
+    * wants fact columns). With the constraint pair declared (c_custkey
+    * unique, o_custkey referential — the `RELY` contract, spec-verified
+    * to hold in the data), `plans/JoinEliminationRewrite` removes the
+    * join and injects `IsNotNull(o_custkey)` to preserve inner-join
+    * null semantics: the plan drops from scan+scan+join to ONE scan.
+    * At 100 TB that is a corpus-sized broadcast probe (or shuffle)
+    * bought for nothing on every dashboard refresh. Exactness is
+    * gate-proven: the oracle REPLAYS THE JOIN. CustomSurfaceSpec pins
+    * plan shape (no join, one scan), rule-off row equality, the
+    * dim-column-referenced bail, and idempotence. */
+  def joinEliminateAutorewrite(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    graft.GraftExtensions.installOptimizations(s)
+    s.conf.set(graft.plans.JoinEliminationRewrite.Flag, "true")
+    s.conf.set(graft.plans.JoinEliminationRewrite.DimConf, "customer.parquet")
+    s.conf.set(graft.plans.JoinEliminationRewrite.PkConf, "c_custkey")
+    joinEliminateQuery(s, d)
+  }
+
+  /** The naive spelling, on whatever session it is given (the spec
+    * runs it rule-off for the control). */
+  private[graft] def joinEliminateQuery(s: SparkSession,
+                                        d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+
   /** EXCHANGE REUSE — the physical-plan dedup that makes DAG-shaped
     * queries affordable: two segment branches (frequent buyers by
     * order count, big spenders by lifetime cents) both read the SAME
@@ -1055,6 +1090,7 @@ object Joins extends OpModule {
     "join_skew_aqe" -> joinSkewAqe _,
     "join_exchange_reuse" -> joinExchangeReuse _,
     "join_broadcast_aqe" -> joinBroadcastAqe _,
+    "join_eliminate_autorewrite" -> joinEliminateAutorewrite _,
     "join_bucketed" -> joinBucketed _,
     "join_asof" -> joinAsof _,
     "join_asof_tolerance" -> joinAsofTolerance _,
@@ -1406,6 +1442,14 @@ object Joins extends OpModule {
         |  CAST(sum(pay) AS BIGINT) AS sum_pay
         |FROM f JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+    // elimination is exact under the declared (and here actual)
+    // constraints — the oracle REPLAYS THE JOIN the rule removed
+    "join_eliminate_autorewrite" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     // runtime demotion changes the PLAN, never the rows: the plain
     // three-way join + rollup
     "join_broadcast_aqe" ->

@@ -963,4 +963,66 @@ class CustomSurfaceSpec extends SparkSpec {
         MvRollupRewrite.MeasuresConf).foreach(spark.conf.unset)
     }
   }
+
+  test("JoinEliminationRewrite: unused PK-FK join drops to one scan, exactly; bails hold") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, sum}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    GraftExtensions.installOptimizations(s)
+    s.conf.set(graft.plans.JoinEliminationRewrite.Flag, "true")
+    s.conf.set(graft.plans.JoinEliminationRewrite.DimConf, "customer.parquet")
+    s.conf.set(graft.plans.JoinEliminationRewrite.PkConf, "c_custkey")
+    // the declared RELY constraints actually hold in the data — the
+    // contract the rule trusts
+    val ok = graft.Tables.orders(s, sf).alias("o")
+      .join(graft.Tables.customer(s, sf).alias("c"),
+        col("o.o_custkey") === col("c.c_custkey"), "left_anti").count()
+    assert(ok == 0L, "referential integrity must hold in the fixture")
+    assert(graft.Tables.customer(s, sf).groupBy(col("c_custkey"))
+      .count().where(col("count") > 1).isEmpty, "pk must be unique")
+
+    val df = graft.operators.Joins.joinEliminateQuery(s, sf)
+    // plan shape: the join is GONE, exactly one file scan remains, and
+    // the injected null guard survives
+    val joins = collectFinal(df) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, "the PK-FK join must be eliminated")
+    val scans = collectFinal(df) {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.size == 1 &&
+      scans.head.relation.location.rootPaths.exists(
+        _.toString.contains("orders")),
+      "only the fact scan may remain")
+    assert(df.queryExecution.optimizedPlan.toString.contains("isnotnull") ||
+      scans.head.dataFilters.mkString.contains("isnotnull"),
+      "the inner-join null semantics guard must be injected")
+    // elimination is result-invisible: rule-off control on a plain
+    // session replays the join
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    val got = df.collect().map(key).toSet
+    val ctrl = graft.operators.Joins.joinEliminateQuery(spark, sf)
+      .collect().map(key).toSet
+    assert(got == ctrl && got.nonEmpty)
+    // registered demonstrator agrees
+    assert(graft.operators.Joins.joinEliminateAutorewrite(spark, sf)
+      .collect().map(key).toSet == ctrl)
+    // bail: a query that READS a dim column keeps its join
+    val reads = graft.Tables.orders(s, sf)
+      .join(graft.Tables.customer(s, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("c_acctbal")).as("m"))
+    val joins2 = collectFinal(reads) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins2.nonEmpty, "a referenced dimension must keep its join")
+    // idempotence: re-optimizing the eliminated plan is a fixed point
+    val once = df.queryExecution.optimizedPlan
+    val twice = graft.plans.JoinEliminationRewrite(once)
+    assert(twice.fastEquals(once), "rule must be a fixed point")
+  }
 }
