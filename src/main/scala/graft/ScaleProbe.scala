@@ -667,7 +667,10 @@ object ScaleProbe {
       // PK-FK join elimination (r13): the rewritten plan is ONE fact
       // scan + filter — wall must track the fact scan and sit UNDER
       // the joined control at every tier
-      "join_eliminate_autorewrite")
+      "join_eliminate_autorewrite",
+      // distinct elimination (r13): the rewritten plan is a bare pruned
+      // scan — zero shuffles at any tier
+      "agg_distinct_autorewrite")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

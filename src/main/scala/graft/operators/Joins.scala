@@ -468,6 +468,29 @@ object Joins extends OpModule {
     joinEliminateQuery(s, d)
   }
 
+  /** DISTINCT ELIMINATION demonstrator — the uniqueness declaration's
+    * other payoff: `SELECT DISTINCT c_custkey, c_nationkey FROM
+    * customer` is duplicate-free BY CONSTRAINT (c_custkey unique), so
+    * the de-duplicating aggregate — a full shuffle of the projection —
+    * is dropped to a plain pruned scan. BI tools emit this shape for
+    * every dimension picker / filter dropdown; at 100 TB each is a
+    * needless table-wide exchange. Same conf surface, same RELY trust
+    * model, oracle replays the DISTINCT verbatim. */
+  def aggDistinctAutorewrite(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    graft.GraftExtensions.installOptimizations(s)
+    s.conf.set(graft.plans.JoinEliminationRewrite.Flag, "true")
+    s.conf.set(graft.plans.JoinEliminationRewrite.DimConf, "customer.parquet")
+    s.conf.set(graft.plans.JoinEliminationRewrite.PkConf, "c_custkey")
+    aggDistinctQuery(s, d)
+  }
+
+  private[graft] def aggDistinctQuery(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey")).distinct()
+
   /** The naive spelling, on whatever session it is given (the spec
     * runs it rule-off for the control). */
   private[graft] def joinEliminateQuery(s: SparkSession,
@@ -1091,6 +1114,7 @@ object Joins extends OpModule {
     "join_exchange_reuse" -> joinExchangeReuse _,
     "join_broadcast_aqe" -> joinBroadcastAqe _,
     "join_eliminate_autorewrite" -> joinEliminateAutorewrite _,
+    "agg_distinct_autorewrite" -> aggDistinctAutorewrite _,
     "join_bucketed" -> joinBucketed _,
     "join_asof" -> joinAsof _,
     "join_asof_tolerance" -> joinAsofTolerance _,
@@ -1442,6 +1466,10 @@ object Joins extends OpModule {
         |  CAST(sum(pay) AS BIGINT) AS sum_pay
         |FROM f JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+    // the de-dup the rule drops was a no-op by constraint — the oracle
+    // replays the DISTINCT verbatim
+    "agg_distinct_autorewrite" ->
+      "SELECT DISTINCT c_custkey, c_nationkey FROM customer",
     // elimination is exact under the declared (and here actual)
     // constraints — the oracle REPLAYS THE JOIN the rule removed
     "join_eliminate_autorewrite" ->

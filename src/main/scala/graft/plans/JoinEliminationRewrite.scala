@@ -118,6 +118,25 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
         eliminate(j, AttributeSet((gs ++ aggs).flatMap(_.references)),
           mark, pk)
           .map(f => agg.copy(child = f)).getOrElse(agg)
+      // DISTINCT ELIMINATION — the same declaration's other classic
+      // payoff: `SELECT DISTINCT cols FROM dim` where cols INCLUDE the
+      // declared-unique key is already duplicate-free, and the
+      // de-duplicating Aggregate (what the optimizer rewrites Distinct
+      // into: grouping == output, all plain attributes) is a full
+      // shuffle bought for nothing. Requires the child to be the pure
+      // pruning path to the declared relation — any Filter/Join below
+      // could not create duplicates either, but stays out of scope to
+      // keep the proof obligation exactly "the scan's rows are unique
+      // on pk".
+      case agg @ Aggregate(gs, aggs, child, _)
+          if gs.nonEmpty && gs.length == aggs.length &&
+            gs.forall(_.isInstanceOf[AttributeReference]) &&
+            aggs.forall(_.isInstanceOf[AttributeReference]) &&
+            gs.map(_.asInstanceOf[AttributeReference].exprId).toSet ==
+              aggs.map(_.asInstanceOf[AttributeReference].exprId).toSet &&
+            gs.exists(_.asInstanceOf[AttributeReference].name == pk) &&
+            dimScan(child, mark, pk) =>
+        Project(aggs.map(_.asInstanceOf[AttributeReference]), child)
     }
   }
 }

@@ -1025,4 +1025,43 @@ class CustomSurfaceSpec extends SparkSpec {
     val twice = graft.plans.JoinEliminationRewrite(once)
     assert(twice.fastEquals(once), "rule must be a fixed point")
   }
+
+  test("JoinEliminationRewrite distinct: unique-key DISTINCT drops its shuffle, exactly") {
+    import org.apache.spark.sql.functions.col
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    GraftExtensions.installOptimizations(s)
+    s.conf.set(graft.plans.JoinEliminationRewrite.Flag, "true")
+    s.conf.set(graft.plans.JoinEliminationRewrite.DimConf, "customer.parquet")
+    s.conf.set(graft.plans.JoinEliminationRewrite.PkConf, "c_custkey")
+    val df = graft.operators.Joins.aggDistinctQuery(s, sf)
+    // the de-duplicating aggregate AND its exchange are gone
+    val aggs = collectFinal(df) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.isEmpty, "unique-key DISTINCT must drop its aggregate")
+    val exchanges = collectFinal(df) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "no shuffle may remain")
+    // result-invisible vs the rule-off control
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue))
+      .toSet
+    val ctrl = graft.operators.Joins.aggDistinctQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue))
+      .toSet
+    assert(got == ctrl && got.size == ctrl.size && got.nonEmpty)
+    // bail: a DISTINCT that EXCLUDES the unique key keeps its aggregate
+    // (c_nationkey alone genuinely has duplicates)
+    val bail = graft.Tables.customer(s, sf).select(col("c_nationkey"))
+      .distinct()
+    val bailAggs = collectFinal(bail) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(bailAggs.nonEmpty, "keyless DISTINCT must keep its aggregate")
+    assert(bail.count() < graft.Tables.customer(s, sf).count())
+  }
 }
