@@ -670,7 +670,11 @@ object ScaleProbe {
       "join_eliminate_autorewrite",
       // distinct elimination (r13): the rewritten plan is a bare pruned
       // scan — zero shuffles at any tier
-      "agg_distinct_autorewrite")
+      "agg_distinct_autorewrite",
+      // parquet encryption (r13): the encrypted+control staging writes
+      // are the linear cost; the registered decrypt read is the same
+      // vectorized scan plus per-page AES-GCM — scan-bound
+      "scan_encrypted")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -1498,6 +1498,79 @@ object Scans extends OpModule {
         sum(col("o_orderkey")).cast("bigint").as("key_sum"))
   }
 
+  /** PARQUET MODULAR ENCRYPTION — the at-rest security seam a 100 TB
+    * multi-tenant lake cannot ship without: column-level AES-GCM
+    * encryption with FOOTER encryption, keyed through the standard
+    * `KmsClient` interface (graft.sources.InMemoryKms — local-wrap
+    * mode, so the KMS sees one master-key request per task, never per
+    * file). Two keys split the trust domain the way deployments do:
+    * the sensitive columns (o_totalprice, o_orderpriority) under a
+    * column key — o_orderkey deliberately stays PLAINTEXT (column
+    * granularity is the point: non-sensitive columns pay no crypto on
+    * scan) — and the footer (with it the schema + stats) under
+    * another:
+    * a reader holding neither cannot even LIST the columns (the file
+    * magic becomes PARE), one holding only the footer key can read the
+    * non-sensitive columns while o_totalprice stays opaque per-column.
+    * Encryption is a WRITE OPTION, not a format fork: the same
+    * vectorized reader, pushdown, and pruning apply on decrypt.
+    * ScansSpec proves the ciphertext property (a plaintext priority
+    * string greps in the control file, never in the encrypted one),
+    * that a keyless read FAILS (no silent downgrade), and the exact
+    * roundtrip. The oracle replays the slice from `orders` — crypto
+    * changes bytes at rest, never results. */
+  private[graft] def encryptedDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/encrypted_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_ENCRYPTED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val f = new java.io.File(dir)
+        if (f.exists()) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+        encryptionConf(s)
+        val src = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        src.write
+          .option("parquet.encryption.column.keys",
+            "kdata:o_totalprice,o_orderpriority")
+          .option("parquet.encryption.footer.key", "kfooter")
+          .mode(SaveMode.Overwrite).parquet(s"$dir/enc")
+        // the unencrypted control the spec greps for plaintext
+        src.write.mode(SaveMode.Overwrite).parquet(s"$dir/plain")
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  /** The crypto factory + KMS client wiring (hadoop-conf global, but
+    * INERT on any write without key options and any read of an
+    * unencrypted file — the standard deployment shape). */
+  private[graft] def encryptionConf(s: SparkSession): Unit = {
+    val hc = s.sparkContext.hadoopConfiguration
+    hc.set("parquet.crypto.factory.class",
+      "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory")
+    hc.set("parquet.encryption.kms.client.class",
+      "graft.sources.InMemoryKms")
+  }
+
+  def scanEncrypted(s: SparkSession, d: String): DataFrame = {
+    val dir = encryptedDir(s, d)
+    encryptionConf(s)
+    s.read.parquet(s"$dir/enc")
+      .where(col("o_orderkey") < 500)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+  }
+
   /** Z-ORDER PRUNING — the measured payoff of maintenance_zorder's
     * interleave: a 2-D box predicate (customer range × date range)
     * planned from per-file 2-D zonemaps over two stagings of the same
@@ -2199,6 +2272,7 @@ object Scans extends OpModule {
     "scan_row_lineage" -> scanRowLineage _,
     "scan_secondary_index" -> scanSecondaryIndex _,
     "scan_zorder_prune" -> scanZorderPrune _,
+    "scan_encrypted" -> scanEncrypted _,
     "pipeline_backfill" -> pipelineBackfill _,
     "scan_csv_multiline" -> scanCsvMultiline _
   )
@@ -2420,6 +2494,14 @@ object Scans extends OpModule {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  'm2' AS published, TRUE AS bad_branch_unpublished
         |FROM orders""".stripMargin,
+    // crypto changes bytes at rest, never results: same slice raw
+    "scan_encrypted" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey < 500
+        |GROUP BY 1""".stripMargin,
     // clustering prunes I/O, never results: same box on the raw fixture
     "scan_zorder_prune" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

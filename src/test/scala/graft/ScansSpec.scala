@@ -1015,4 +1015,52 @@ class ScansSpec extends SparkSpec {
       .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
     assert(zs == want)
   }
+
+  test("scan_encrypted: ciphertext at rest, keyless reads fail, roundtrip exact") {
+    import java.nio.file.Files
+    val dir = graft.operators.Scans.encryptedDir(spark, sf)
+    def fileBytes(sub: String): Array[Byte] = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.readAllBytes(f.toPath)
+    }
+    // the ciphertext property: a plaintext partition value greps in the
+    // control file and NEVER in the encrypted one; the encrypted file
+    // carries the PARE (encrypted-footer) magic
+    val needle = "1-URGENT".getBytes("UTF-8")
+    def contains(hay: Array[Byte]): Boolean =
+      hay.indices.exists(i => i + needle.length <= hay.length &&
+        needle.indices.forall(j => hay(i + j) == needle(j)))
+    assert(contains(fileBytes("plain")),
+      "control file must carry plaintext (else the grep proves nothing)")
+    val enc = fileBytes("enc")
+    assert(!contains(enc), "encrypted file must never leak plaintext")
+    assert(new String(enc.take(4), "ISO-8859-1") == "PARE",
+      "footer encryption must flip the file magic")
+    // a keyless reader FAILS — no silent downgrade (factory removed,
+    // restored in finally; the conf is global to the test JVM)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val factory = hc.get("parquet.crypto.factory.class")
+    hc.unset("parquet.crypto.factory.class")
+    try {
+      val ex = intercept[Exception] {
+        spark.read.parquet(s"$dir/enc").count()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getClass.getName +: chain(t.getCause)
+      assert(chain(ex).exists(_.contains("Crypto")) ||
+        ex.getMessage != null, s"keyless read must fail, got: $ex")
+    } finally hc.set("parquet.crypto.factory.class", factory)
+    // exact roundtrip through decrypt
+    graft.operators.Scans.encryptionConf(spark)
+    val got = spark.read.parquet(s"$dir/enc")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSet
+    val want = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSet
+    assert(got == want)
+  }
 }
