@@ -674,7 +674,11 @@ object ScaleProbe {
       // parquet encryption (r13): the encrypted+control staging writes
       // are the linear cost; the registered decrypt read is the same
       // vectorized scan plus per-page AES-GCM — scan-bound
-      "scan_encrypted")
+      "scan_encrypted",
+      // forward as-of (r13): the same single ordered union+window pass
+      // as join_asof with the frame flipped — linear in rows, flat
+      // per-user state under the disjoint entity clones
+      "join_asof_forward")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

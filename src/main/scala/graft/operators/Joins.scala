@@ -222,6 +222,43 @@ object Joins extends OpModule {
         col("matched_purchase"), col("purchase_value"))
   }
 
+  /** FORWARD as-of join — the other time direction (pandas
+    * merge_asof(direction='forward')): each click matched to the NEXT
+    * purchase at-or-after it — the time-to-conversion / next-reading
+    * shape backward as-of cannot express. Same single ordered
+    * union+window pass (no per-row probe, no range join): the frame
+    * flips to (currentRow, unboundedFollowing) with first() instead of
+    * last(), and the tiebreak flips with it (clicks sort BEFORE
+    * purchases at equal ts so a same-instant purchase is inside the
+    * following frame — the at-or-after contract). At 100 TB this is
+    * one shuffle on user_id and one sort, identical to join_asof. */
+  def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(1).as("is_left"),
+      col("event_id"),
+      lit(null).cast("long").as("p_event"),
+      lit(null).cast("double").as("p_value"))
+    val purchases = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(0).as("is_left"),
+      col("event_id"),
+      col("event_id").as("p_event"),
+      col("value").as("p_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left").desc, col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.union(purchases)
+      .select(
+        col("user_id"), col("ts"), col("is_left"), col("event_id"),
+        first(col("p_event"), ignoreNulls = true).over(w)
+          .as("next_purchase"),
+        first(col("p_value"), ignoreNulls = true).over(w)
+          .as("next_value"))
+      .where(col("is_left") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("next_purchase"), col("next_value"))
+  }
+
   /** As-of join WITH TOLERANCE — the production variant of join_asof
     * (pandas `merge_asof(tolerance=...)`, kdb `wj`): a match older than
     * the window is WORSE than no match (sensor fusion joining a reading
@@ -1117,6 +1154,7 @@ object Joins extends OpModule {
     "agg_distinct_autorewrite" -> aggDistinctAutorewrite _,
     "join_bucketed" -> joinBucketed _,
     "join_asof" -> joinAsof _,
+    "join_asof_forward" -> joinAsofForward _,
     "join_asof_tolerance" -> joinAsofTolerance _,
     "join_inner_hash" -> joinInnerHash _,
     "join_broadcast" -> joinBroadcast _,
@@ -1523,6 +1561,20 @@ object Joins extends OpModule {
         |       p.value AS purchase_value
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    // DuckDB's native ASOF with the inequality flipped — smallest
+    // p.ts ≥ c.ts, the forward direction
+    "join_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         user_id, event_type, value
+        |  FROM events),
+        |c AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, c.ts,
+        |       p.event_id AS next_purchase,
+        |       p.value AS next_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
     // DuckDB's native ASOF join + the exact µs gap filter — a stale
     // match nulls out but the click row survives (LEFT semantics).
     // ASOF pins the matched TIMESTAMP deterministically but its row

@@ -485,4 +485,33 @@ class JoinsSpec extends SparkSpec {
         r.getLong(2), r.getLong(3))
     assert(df.collect().map(key).toSet == ctrl.collect().map(key).toSet)
   }
+
+  test("join_asof_forward: each click gets the NEXT purchase at-or-after, per user") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.Joins.joinAsofForward(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    var checked = 0
+    byUser.foreach { case (u, rows) =>
+      val purchases = rows.filter(_._3 == "purchase").sortBy(r => (r._4, r._2))
+      rows.filter(_._3 == "click").foreach { case (_, eid, _, t) =>
+        val want = purchases.find(_._4 >= t).map(_._2).getOrElse(-1L)
+        assert(got((u, eid)) == want, s"user $u click $eid")
+        checked += 1
+      }
+    }
+    assert(checked > 100, s"too few clicks checked: $checked")
+    // forward and backward disagree somewhere (distinct semantics)
+    val back = graft.operators.Joins.joinAsof(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got != back, "forward must differ from backward on this data")
+  }
 }
