@@ -502,6 +502,7 @@ object Joins extends OpModule {
     s.conf.set(graft.plans.JoinEliminationRewrite.Flag, "true")
     s.conf.set(graft.plans.JoinEliminationRewrite.DimConf, "customer.parquet")
     s.conf.set(graft.plans.JoinEliminationRewrite.PkConf, "c_custkey")
+    s.conf.set(graft.plans.JoinEliminationRewrite.FkConf, "o_custkey")
     joinEliminateQuery(s, d)
   }
 
@@ -521,6 +522,7 @@ object Joins extends OpModule {
     s.conf.set(graft.plans.JoinEliminationRewrite.Flag, "true")
     s.conf.set(graft.plans.JoinEliminationRewrite.DimConf, "customer.parquet")
     s.conf.set(graft.plans.JoinEliminationRewrite.PkConf, "c_custkey")
+    s.conf.set(graft.plans.JoinEliminationRewrite.FkConf, "o_custkey")
     aggDistinctQuery(s, d)
   }
 
@@ -1562,19 +1564,29 @@ object Joins extends OpModule {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     // DuckDB's native ASOF with the inequality flipped — smallest
-    // p.ts ≥ c.ts, the forward direction
+    // p.ts ≥ c.ts, the forward direction. ASOF pins the matched
+    // TIMESTAMP deterministically but its row pick among same-µs
+    // purchases is implementation-arbitrary (the join_asof_tolerance
+    // precedent), so the matched event re-derives as MIN(event_id) at
+    // that timestamp — the Spark following-frame first() rule (the
+    // backward ops pin max; the forward tiebreak is ascending)
     "join_asof_forward" ->
       """WITH ev AS (
         |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
         |         user_id, event_type, value
         |  FROM events),
         |c AS (SELECT * FROM ev WHERE event_type = 'click'),
-        |p AS (SELECT * FROM ev WHERE event_type = 'purchase')
-        |SELECT c.user_id, c.event_id, c.ts,
-        |       p.event_id AS next_purchase,
-        |       p.value AS next_value
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
+        |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |m0 AS (
+        |  SELECT c.user_id, c.event_id, c.ts, p.ts AS mts
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT m0.user_id, m0.event_id, m0.ts,
+        |       min(p2.event_id) AS next_purchase,
+        |       min_by(p2.value, p2.event_id) AS next_value
+        |FROM m0 LEFT JOIN p p2
+        |  ON p2.user_id = m0.user_id AND p2.ts = m0.mts
+        |GROUP BY m0.user_id, m0.event_id, m0.ts""".stripMargin,
     // DuckDB's native ASOF join + the exact µs gap filter — a stale
     // match nulls out but the click row survives (LEFT semantics).
     // ASOF pins the matched TIMESTAMP deterministically but its row

@@ -437,13 +437,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(path, "_GRAFT_STAGED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val dir = new java.io.File(path)
-        if (dir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(dir)
-        }
+        wipeDir(path)
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_totalprice"),
             col("o_orderdate"), col("o_orderpriority"))
@@ -794,13 +788,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(path, "_GRAFT_MERGED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val dir = new java.io.File(path)
-        if (dir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(dir)
-        }
+        wipeDir(path)
         mergeCowStageTarget(s, d, path)
         mergeCowApply(s, d, path)
         java.nio.file.Files.createFile(marker)
@@ -873,13 +861,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(path, "_GRAFT_MERGED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val dir = new java.io.File(path)
-        if (dir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(dir)
-        }
+        wipeDir(path)
         mergeMorStageBase(s, d, path)
         mergeMorCommit(s, d, path)
         java.nio.file.Files.createFile(marker)
@@ -930,13 +912,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_COMMITTED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val f = new java.io.File(dir)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
+        wipeDir(dir)
         timeTravelWriteV1(s, d, dir)
         timeTravelWriteV2(s, dir)
         java.nio.file.Files.createFile(marker)
@@ -1015,13 +991,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_VACUUMED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val f = new java.io.File(dir)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
+        wipeDir(dir)
         timeTravelWriteV1(s, d, dir)
         timeTravelWriteV2(s, dir)
         vacuumExpire(s, dir)
@@ -1069,10 +1039,7 @@ object Scans extends OpModule {
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(new java.net.URI(p))); ()
     }
-    def rm(x: java.io.File): Unit = {
-      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-    }
-    rm(new java.io.File(s"$dir/m1"))
+    wipeDir(s"$dir/m1")
   }
 
   def scanTimeTravel(s: SparkSession, d: String): DataFrame = {
@@ -1376,6 +1343,32 @@ object Scans extends OpModule {
         |FROM graft_cached_li GROUP BY l_returnflag""".stripMargin)
   }
 
+
+
+  /** Recursive delete of a staging dir if present (every staged op's
+    * wipe-before-restage step — one definition, not one per op). */
+  private[graft] def wipeDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val d = new java.io.File(path)
+    if (d.exists()) rm(d)
+  }
+
+  /** Atomic small-file publish (the pointer-flip contract): write to a
+    * temp sibling, then ATOMIC_MOVE over the target — a reader can
+    * never observe a torn/partial pointer, and a crash leaves either
+    * the old state or the new, nothing between. */
+  private[graft] def atomicWrite(path: java.nio.file.Path,
+                                 content: String): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** MOR LOG COMPACTION — the maintenance job sink_merge_mor defers to
     * ("the read side pays the reconstruction ... until a compaction
     * folds the log back"): materialize the merge into new base files
@@ -1443,15 +1436,12 @@ object Scans extends OpModule {
       .mode(SaveMode.Overwrite).parquet(s"$path/base2")
     // pointer flip = the atomic commit; the marker records the touched
     // set because post-GC readers can no longer derive it from the log
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_COMPACTED"),
-      touched.mkString("\n").getBytes("UTF-8"))
+    // (temp + ATOMIC_MOVE — a torn marker would duplicate partitions)
+    atomicWrite(java.nio.file.Paths.get(path, "_COMPACTED"),
+      touched.mkString("\n"))
     // post-commit GC: the log is superseded by the marker
-    def rm(x: java.io.File): Unit = {
-      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-    }
-    rm(new java.io.File(s"$path/deletes"))
-    rm(new java.io.File(s"$path/delta"))
+    wipeDir(s"$path/deletes")
+    wipeDir(s"$path/delta")
   }
 
   /** The generation-dispatched read: post-compaction it is two
@@ -1479,13 +1469,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(path, "_GRAFT_DONE")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val dir = new java.io.File(path)
-        if (dir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(dir)
-        }
+        wipeDir(path)
         morCompactStage(s, d, path)
         morCompactRun(s, path)
         java.nio.file.Files.createFile(marker)
@@ -1525,13 +1509,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_ENCRYPTED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val f = new java.io.File(dir)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
+        wipeDir(dir)
         encryptionConf(s)
         val src = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_totalprice"),
@@ -1592,13 +1570,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_ZORDERED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val f = new java.io.File(dir)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
+        wipeDir(dir)
         val interleave =
           """aggregate(sequence(0, 15), 0L, (acc, b) -> acc
             |  + shiftleft((x >> b) & 1, 2 * b)
@@ -1680,13 +1652,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_INDEXED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val f = new java.io.File(dir)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
+        wipeDir(dir)
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .repartition(16, col("o_orderkey"))
@@ -1742,13 +1708,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_BACKFILLED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val f = new java.io.File(dir)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
+        wipeDir(dir)
         backfillBuild(s, backfillT1(s, d), dir, SaveMode.Overwrite)
         // T2: the full source has arrived; the planner must now find
         // exactly {1996-06} ∪ {2001-01..} stale and rebuild only those
@@ -1791,7 +1751,15 @@ object Scans extends OpModule {
   }
 
   /** One planner+backfill cycle: fingerprint diff → stale months →
-    * partition-pruned rebuild. Returns the stale set. */
+    * partition-pruned rebuild. Returns the stale set. The diff is a
+    * FULL outer comparison: a month the source grew or reopened is
+    * stale (fresh ≠ watermark), and a month whose source rows VANISHED
+    * entirely (retraction / GDPR delete — the symmetric case) is
+    * detected from the watermark side and its target + watermark
+    * partitions are dropped outright — dynamic overwrite cannot delete
+    * a partition it writes zero rows into (the documented
+    * sink_dynamic_overwrite caveat), so vanished months take the
+    * file-GC path instead. */
   private[graft] def backfillRun(s: SparkSession, d: String,
                                  dir: String): Seq[String] = {
     val cur = Tables.orders(s, d)
@@ -1800,27 +1768,41 @@ object Scans extends OpModule {
       .agg(count(lit(1)).as("n_now"))
     val wm = s.read.parquet(s"$dir/watermark")
       .select(col("o_month"), col("n_src"))
-    val stale = fresh.join(wm, Seq("o_month"), "left")
-      .where(col("n_src").isNull || col("n_src") =!= col("n_now"))
-      .select(col("o_month")).collect().map(_.getString(0)).sorted
+    val diff = fresh.join(wm, Seq("o_month"), "full")
+      .select(col("o_month"), col("n_now"), col("n_src")).collect()
+    val vanished = diff.filter(r => r.isNullAt(1)).map(_.getString(0)).sorted
+    val stale = diff
+      .filter(r => !r.isNullAt(1) &&
+        (r.isNullAt(2) || r.getLong(1) != r.getLong(2)))
+      .map(_.getString(0)).sorted
+    vanished.foreach { m =>
+      wipeDir(s"$dir/target/o_month=$m")
+      wipeDir(s"$dir/watermark/o_month=$m")
+    }
     if (stale.nonEmpty) {
       backfillBuild(s,
         cur.where(col("o_month").isin(stale.toIndexedSeq: _*)),
         dir, SaveMode.Overwrite)
-      // the backfill audit, recorded while the stale set is knowable
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, "_BACKFILLED"),
-        stale.mkString("\n").getBytes("UTF-8"))
     }
-    stale.toIndexedSeq
+    if (stale.nonEmpty || vanished.nonEmpty) {
+      // the backfill audit, recorded while the stale set is knowable
+      atomicWrite(java.nio.file.Paths.get(dir, "_BACKFILLED"),
+        (stale ++ vanished).mkString("\n"))
+    }
+    (stale ++ vanished).toIndexedSeq
   }
 
   def pipelineBackfill(s: SparkSession, d: String): DataFrame = {
     val dir = backfillDir(s, d)
     import scala.jdk.CollectionConverters._
-    val backfilled = java.nio.file.Files
-      .readAllLines(java.nio.file.Paths.get(dir, "_BACKFILLED"))
-      .asScala.toSeq.filter(_.nonEmpty).toSet
+    val auditPath = java.nio.file.Paths.get(dir, "_BACKFILLED")
+    // a history where T2 changed nothing writes no audit — the absence
+    // IS the (empty) answer, not an error
+    val backfilled =
+      if (java.nio.file.Files.exists(auditPath))
+        java.nio.file.Files.readAllLines(auditPath)
+          .asScala.toSeq.filter(_.nonEmpty).toSet
+      else Set.empty[String]
     s.read.parquet(s"$dir/target")
       .groupBy(col("o_month"))
       .agg(sum(col("n")).cast("bigint").as("n"),
@@ -1856,13 +1838,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_COMMITTED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val f = new java.io.File(dir)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
+        wipeDir(dir)
         // v1: row_id assigned at first commit (any unique deterministic
         // value works; after this instant it is IDENTITY, not data —
         // the business key may drift, row_id never does)
@@ -2005,13 +1981,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(path, "_GRAFT_MERGED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val dir = new java.io.File(path)
-        if (dir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(dir)
-        }
+        wipeDir(path)
         mergeMorStageBase(s, d, path)
         mergePosCommit(s, d, path)
         java.nio.file.Files.createFile(marker)
@@ -2059,13 +2029,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_WAP_DONE")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val f = new java.io.File(dir)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
+        wipeDir(dir)
         timeTravelWriteV1(s, d, dir)
         wapSetHead(dir, "m1")
         // good branch: write → audit → publish
@@ -2080,10 +2044,9 @@ object Scans extends OpModule {
     dir
   }
 
-  private[graft] def wapSetHead(dir: String, m: String): Unit = {
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "HEAD"),
-      m.getBytes("UTF-8")); ()
-  }
+  private[graft] def wapSetHead(dir: String, m: String): Unit =
+    // the publish IS this write — torn HEADs must be impossible
+    atomicWrite(java.nio.file.Paths.get(dir, "HEAD"), m)
 
   private[graft] def wapHead(dir: String): String =
     new String(java.nio.file.Files.readAllBytes(
@@ -2164,13 +2127,7 @@ object Scans extends OpModule {
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_MAPPED")
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
-        val f = new java.io.File(dir)
-        if (f.exists()) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-          }
-          rm(f)
-        }
+        wipeDir(dir)
         colMapWriteData(s, d, dir)
         colMapWriteV1(s, dir)
         colMapWriteV2(s, dir)

@@ -35,7 +35,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *  - `spark.graft.joinelim.enabled` — opt-in flag;
   *  - `spark.graft.joinelim.dim` — path marker identifying the
   *    dimension relation (file-source root must contain it);
-  *  - `spark.graft.joinelim.pk` — the declared-unique join key column.
+  *  - `spark.graft.joinelim.pk` — the declared-unique join key column;
+  *  - `spark.graft.joinelim.fk` — the fact column referential
+  *    integrity is declared FOR (a join on any other fact column is a
+  *    genuine filter and must keep its join).
   *
   * Bail conditions (each keeps the original plan): non-inner joins
   * (outer/semi carry different semantics — semi is already cheap),
@@ -51,6 +54,7 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
   val Flag = "spark.graft.joinelim.enabled"
   val DimConf = "spark.graft.joinelim.dim"
   val PkConf = "spark.graft.joinelim.pk"
+  val FkConf = "spark.graft.joinelim.fk"
 
   /** Pure column-pruning path down to a file-source scan of the
     * declared dimension (the MvRollupRewrite.baseScan discipline). One
@@ -83,9 +87,14 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
   }
 
   /** If the join qualifies and `used` touches no dimension attribute,
-    * the replacement fact-side child (with the null guard injected). */
-  private def eliminate(j: Join, used: AttributeSet,
-                        mark: String, pk: String): Option[LogicalPlan] =
+    * the replacement fact-side child (with the null guard injected).
+    * The fact column must be the DECLARED foreign key: referential
+    * integrity was promised for that column alone — any other fact
+    * column equi-joined to the pk (orders.o_orderkey = c_custkey, say)
+    * is a genuine filter whose elimination would resurrect unmatched
+    * rows. */
+  private def eliminate(j: Join, used: AttributeSet, mark: String,
+                        pk: String, fkName: String): Option[LogicalPlan] =
     j match {
       case Join(left, right, Inner,
           Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
@@ -93,6 +102,7 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
         Seq((left, right, a, b), (right, left, b, a)).collectFirst {
           case (fact, dim, fk, dpk)
               if dimScan(dim, mark, pk) && dpk.name == pk &&
+                fk.name == fkName &&
                 dim.outputSet.contains(dpk) &&
                 fact.outputSet.contains(fk) &&
                 used.subsetOf(fact.outputSet) =>
@@ -105,18 +115,20 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
     if (conf.getConfString(Flag, "false") != "true") return plan
     val mark = conf.getConfString(DimConf, "")
     val pk = conf.getConfString(PkConf, "")
-    if (mark.isEmpty || pk.isEmpty) return plan
+    val fkName = conf.getConfString(FkConf, "")
+    if (mark.isEmpty || pk.isEmpty || fkName.isEmpty) return plan
     // the consumer whose expressions prove "nothing reads dim columns"
     // is the node DIRECTLY above the join — the two shapes generated
     // SQL leaves after column pruning are Project-over-Join and
     // Aggregate-over-Join
     plan.transform {
       case p @ Project(pl, j: Join) =>
-        eliminate(j, AttributeSet(pl.flatMap(_.references)), mark, pk)
+        eliminate(j, AttributeSet(pl.flatMap(_.references)), mark, pk,
+          fkName)
           .map(f => Project(pl, f)).getOrElse(p)
       case agg @ Aggregate(gs, aggs, j: Join, _) =>
         eliminate(j, AttributeSet((gs ++ aggs).flatMap(_.references)),
-          mark, pk)
+          mark, pk, fkName)
           .map(f => agg.copy(child = f)).getOrElse(agg)
       // DISTINCT ELIMINATION — the same declaration's other classic
       // payoff: `SELECT DISTINCT cols FROM dim` where cols INCLUDE the

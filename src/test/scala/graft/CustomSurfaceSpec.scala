@@ -973,6 +973,7 @@ class CustomSurfaceSpec extends SparkSpec {
     s.conf.set(graft.plans.JoinEliminationRewrite.Flag, "true")
     s.conf.set(graft.plans.JoinEliminationRewrite.DimConf, "customer.parquet")
     s.conf.set(graft.plans.JoinEliminationRewrite.PkConf, "c_custkey")
+    s.conf.set(graft.plans.JoinEliminationRewrite.FkConf, "o_custkey")
     // the declared RELY constraints actually hold in the data — the
     // contract the rule trusts
     val ok = graft.Tables.orders(s, sf).alias("o")
@@ -1020,6 +1021,19 @@ class CustomSurfaceSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
     assert(joins2.nonEmpty, "a referenced dimension must keep its join")
+    // bail: a join on a NON-declared fact column (o_orderkey = pk) is a
+    // genuine filter — referential integrity was promised for o_custkey
+    // alone, so the join must survive (the unsound-elimination case the
+    // FkConf declaration exists to close)
+    val nonFk = graft.Tables.orders(s, sf)
+      .join(graft.Tables.customer(s, sf),
+        col("o_orderkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val joins3 = collectFinal(nonFk) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins3.nonEmpty, "a non-FK equi-join must keep its join")
     // idempotence: re-optimizing the eliminated plan is a fixed point
     val once = df.queryExecution.optimizedPlan
     val twice = graft.plans.JoinEliminationRewrite(once)
@@ -1035,6 +1049,7 @@ class CustomSurfaceSpec extends SparkSpec {
     s.conf.set(graft.plans.JoinEliminationRewrite.Flag, "true")
     s.conf.set(graft.plans.JoinEliminationRewrite.DimConf, "customer.parquet")
     s.conf.set(graft.plans.JoinEliminationRewrite.PkConf, "c_custkey")
+    s.conf.set(graft.plans.JoinEliminationRewrite.FkConf, "o_custkey")
     val df = graft.operators.Joins.aggDistinctQuery(s, sf)
     // the de-duplicating aggregate AND its exchange are gone
     val aggs = collectFinal(df) {

@@ -972,6 +972,28 @@ class ScansSpec extends SparkSpec {
     // the planner is a fixed point after the backfill
     assert(graft.operators.Scans.backfillRun(spark, sf, dir).isEmpty,
       "second planner run must find nothing stale")
+    // the symmetric staleness class: a month whose source rows VANISH
+    // is detected from the watermark side and its target partition is
+    // dropped (dynamic overwrite cannot delete an empty partition —
+    // the planner takes the file-GC path)
+    val wmDir = new java.io.File(s"$dir/watermark/o_month=1995-07")
+    assert(wmDir.exists(), "fixture month must exist before the test")
+    import org.apache.spark.sql.functions.lit
+    graft.operators.Scans.backfillBuild(spark,
+      graft.Tables.orders(spark, sf)
+        .withColumn("o_month",
+          org.apache.spark.sql.functions.date_format(
+            col("o_orderdate"), "yyyy-MM"))
+        .where(col("o_month") === "1995-07")
+        .withColumn("o_month", lit("2077-01")),
+      dir, org.apache.spark.sql.SaveMode.Overwrite)
+    // 2077-01 now exists in the TARGET+WATERMARK but not in the source
+    val stale2 = graft.operators.Scans.backfillRun(spark, sf, dir)
+    assert(stale2 == Seq("2077-01"), s"vanished month must surface: $stale2")
+    assert(!new java.io.File(s"$dir/target/o_month=2077-01").exists(),
+      "vanished month's target partition must be dropped")
+    assert(graft.operators.Scans.backfillRun(spark, sf, dir).isEmpty,
+      "planner must be a fixed point after the drop")
     // post-backfill target equals the full rebuild
     val got = spark.read.parquet(s"$dir/target")
       .groupBy(col("o_month"))
