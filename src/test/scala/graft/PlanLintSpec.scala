@@ -63,6 +63,14 @@ class PlanLintSpec extends SparkSpec {
     // 10-query broadcast probes/truth plus a 2-row strategy × 10-row
     // truth-count cross (constant in corpus size)
     "llm_ann_filtered",
+    // filtered graph ANN (r14): the walk itself is memo-checkpointed at
+    // construction; the returned plan's only cross is the 2-row
+    // strategy literal × the 10-row broadcast truth counts
+    "llm_ann_graph_filtered",
+    // incremental IVF (r14): the delta assignment broadcasts the K-row
+    // persisted centroid table — the same K-row bound every IVF op
+    // carries (K = N/128 driver-bounded, broadcast by contract)
+    "llm_ann_ivf_incremental",
     // LSH recall eval (r12): both sides are the FIXED 160-row audit
     // sample (128 lowest-id docs + 32 planted renditions) — the pair
     // space is sample², constant in corpus size like the ANN probes
