@@ -104,8 +104,7 @@ object Bench {
     // reported total without any query actually regressing. For the
     // cold->warm transition specifically, expect at least a 2x drop.
     val all = scala.collection.mutable.ArrayBuffer(first)
-    var nextEstimate = firstWall / 2.0
-    while (all.size < passes && elapsed + nextEstimate < budgetSec) {
+    def resetMemos(): Unit = {
       graft.operators.LlmScale.resetLloydMemo()
       graft.operators.Analytics.resetGraphMemo()
       graft.operators.LlmOps.resetNearMemo()
@@ -114,15 +113,18 @@ object Bench {
       // intra-op lineage-cut checkpoints registered during the pass:
       // nothing is in flight between passes, so their blocks free now
       graft.operators.MemoUtil.dropScratch()
+    }
+    var nextEstimate = firstWall / 2.0
+    while (all.size < passes && elapsed + nextEstimate < budgetSec) {
+      resetMemos()
       val (r, wall) = timedPass()
       all += r
       nextEstimate = wall
       System.err.println(
         s"[bench] pass ${all.size}: ${fmt0(wall)} s wall, elapsed ${fmt0(elapsed)} s")
     }
-    val results: Map[String, Double] =
+    val minOfPasses: Map[String, Double] =
       first.keys.map(n => n -> all.map(_(n)).min).toMap
-    val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // Locale.ROOT: f"" uses the JVM default locale — a comma decimal
     // separator (e.g. de_DE) would make the JSON line unparseable.
@@ -178,6 +180,46 @@ object Bench {
         }
       } else (Map.empty[String, Double], "none")
     }
+    // Targeted anti-trough reruns (VERDICT r13 task 5): a degraded VM
+    // window can inflate a whole cold pass past budget/2, silently
+    // collapsing min-of-3 to ONE trough reading (r13: 124 queries at
+    // 2.02x their floors, total 392 s vs 227 s the same session). The
+    // full-pass rerun gate can't recover that — rerunning everything is
+    // unaffordable — but rerunning ONLY the >2x-floor outliers is cheap
+    // (their floor mass is a fraction of the pass), so the min-of-N
+    // signal survives the trough. Memos reset once first (a pass
+    // boundary: whichever family member reruns first re-pays its shared
+    // computation, same accounting as a full pass). Worst absolute
+    // inflation reruns first so a budget cutoff drops the least-inflated
+    // tail. The cold pass total stays in the artifact as "cold_total".
+    val rerun = scala.collection.mutable.Map.empty[String, Double]
+    var rerunCand = 0
+    if (records.nonEmpty) {
+      val inflated = minOfPasses.toSeq
+        .filter { case (n, v) => records.get(n).exists(f => v > f * 2.0 + 0.1) }
+        .sortBy { case (n, v) => -(v - records(n)) }
+      rerunCand = inflated.size
+      if (inflated.nonEmpty && elapsed < budgetSec) {
+        System.err.println(s"[bench] ${inflated.size} queries read >2x " +
+          s"their floor — targeted reruns while budget lasts")
+        resetMemos()
+        inflated.foreach { case (name, _) =>
+          if (elapsed < budgetSec) {
+            val t0 = System.nanoTime()
+            try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+            catch { case _: Throwable => () }
+            graft.operators.MemoUtil.dropScratch()
+            rerun(name) = (System.nanoTime() - t0) / 1e9
+          }
+        }
+        System.err.println(s"[bench] reran ${rerun.size}/${inflated.size}, " +
+          s"elapsed ${fmt0(elapsed)} s")
+      }
+    }
+    val results: Map[String, Double] =
+      minOfPasses.map { case (n, v) => n -> math.min(v, rerun.getOrElse(n, v)) }
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val coldTotal = first.values.sum
     val recordMeta: String = if (records.nonEmpty) {
       val shared = results.keySet & records.keySet
       val recTotal = shared.toSeq.map(records).sum
@@ -185,7 +227,7 @@ object Bench {
       val inflated = shared.filter(n =>
         results(n) > records(n) * 1.5 + 0.1).toSeq.sortBy(n => -results(n))
       val names = inflated.take(5).map(n => s""""$n"""").mkString("[", ",", "]")
-      s""","record":{"round":"$recordRound","shared":${shared.size},"record_total":${fmt(recTotal)},"shared_total":${fmt(curTotal)},"ratio":${fmt(if (recTotal > 0) curTotal / recTotal else 0.0)},"inflated_n":${inflated.size},"inflated_top":$names}"""
+      s""","record":{"round":"$recordRound","shared":${shared.size},"record_total":${fmt(recTotal)},"shared_total":${fmt(curTotal)},"ratio":${fmt(if (recTotal > 0) curTotal / recTotal else 0.0)},"inflated_n":${inflated.size},"rerun_n":${rerun.size},"rerun_cand":$rerunCand,"inflated_top":$names}"""
     } else ""
     val sorted = results.toSeq.sortBy(-_._2)
     // 1300, not 1500: the record block spends ~250 chars of the ~2000-
@@ -204,12 +246,12 @@ object Bench {
     val qs = qEntries.mkString("{", ",", "}")
     val contended = math.max(contendedAtStart, foreignJvms())
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"contended":$contended$recordMeta,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"cold_total":${fmt(coldTotal)},"contended":$contended$recordMeta,"queries":$qs,"sf":"$sfDir"}"""
 
     val fullQs = sorted.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended$recordMeta,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"contended":$contended$recordMeta,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
       full.getBytes("UTF-8"))

@@ -1436,12 +1436,9 @@ object Analytics extends OpModule {
     * (Avro/Protobuf CONFORMS queries) computes — here from the files
     * themselves, so it also catches producers that bypass the
     * registry. */
-  private val schemaDriftDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   def dqSchemaDrift(s: SparkSession, d: String): DataFrame = {
-    val base = schemaDriftDirs.computeIfAbsent(d, { _ =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_schema_drift").toString
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val base = StageUtil.staged(s"schema_drift_$sfx") { p =>
       val src = Tables.orders(s, d).where(col("o_orderkey") < 100)
       src.select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority"))
@@ -1450,8 +1447,7 @@ object Analytics extends OpModule {
           col("o_totalprice").cast("string").as("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
         .write.mode("overwrite").parquet(s"$p/gen2")
-      p
-    })
+    }
     import s.implicits._
     val g1 = s.read.parquet(s"$base/gen1").schema.fields
       .map(f => (f.name, f.dataType.simpleString)).toSeq

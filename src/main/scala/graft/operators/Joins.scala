@@ -503,6 +503,7 @@ object Joins extends OpModule {
     s.conf.set(graft.plans.JoinEliminationRewrite.DimConf, "customer.parquet")
     s.conf.set(graft.plans.JoinEliminationRewrite.PkConf, "c_custkey")
     s.conf.set(graft.plans.JoinEliminationRewrite.FkConf, "o_custkey")
+    s.conf.set(graft.plans.JoinEliminationRewrite.FactConf, "orders.parquet")
     joinEliminateQuery(s, d)
   }
 
@@ -523,6 +524,7 @@ object Joins extends OpModule {
     s.conf.set(graft.plans.JoinEliminationRewrite.DimConf, "customer.parquet")
     s.conf.set(graft.plans.JoinEliminationRewrite.PkConf, "c_custkey")
     s.conf.set(graft.plans.JoinEliminationRewrite.FkConf, "o_custkey")
+    s.conf.set(graft.plans.JoinEliminationRewrite.FactConf, "orders.parquet")
     aggDistinctQuery(s, d)
   }
 

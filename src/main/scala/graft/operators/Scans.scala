@@ -1405,9 +1405,17 @@ object Scans extends OpModule {
     val src = mergeCowSource(s, d)
     // partition-scoped equality deletes (key + partition): scope is
     // what lets the compactor prune; the read-side anti-join still
-    // keys on o_orderkey alone (keys are globally unique)
+    // keys on o_orderkey alone (keys are globally unique). The
+    // partition column is taken from the BASE row of each deleted key,
+    // not the source row (ADVICE r13): an update that moves a row
+    // across partitions must put the OLD partition in the touched set,
+    // or the stale base row would survive compaction and duplicate the
+    // key. (mergeCowSource happens not to move priorities today — the
+    // base join makes that a non-assumption rather than a latent bug.)
     src.where(col("op").isin("U", "D"))
-      .select(col("o_orderkey"), col("o_orderpriority"))
+      .select(col("o_orderkey"))
+      .join(s.read.parquet(s"$path/base")
+        .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/deletes")
     src.where(col("op").isin("U", "I"))
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
@@ -1510,11 +1518,11 @@ object Scans extends OpModule {
     ioLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {
         wipeDir(dir)
-        encryptionConf(s)
         val src = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_totalprice"),
             col("o_orderpriority"))
         src.write
+          .options(cryptoOpts)
           .option("parquet.encryption.column.keys",
             "kdata:o_totalprice,o_orderpriority")
           .option("parquet.encryption.footer.key", "kfooter")
@@ -1527,21 +1535,22 @@ object Scans extends OpModule {
     dir
   }
 
-  /** The crypto factory + KMS client wiring (hadoop-conf global, but
-    * INERT on any write without key options and any read of an
-    * unencrypted file — the standard deployment shape). */
-  private[graft] def encryptionConf(s: SparkSession): Unit = {
-    val hc = s.sparkContext.hadoopConfiguration
-    hc.set("parquet.crypto.factory.class",
-      "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory")
-    hc.set("parquet.encryption.kms.client.class",
-      "graft.sources.InMemoryKms")
-  }
+  /** The crypto factory + KMS client wiring, scoped PER read/write via
+    * datasource options (Spark merges them into that relation's Hadoop
+    * conf only) instead of mutating the process-global SparkContext
+    * conf (ADVICE r13: the global set routed every subsequent parquet
+    * read in the JVM through the crypto-factory code path — inert, but
+    * a cross-op coupling — and was never restored). A reader without
+    * these options sees plain ciphertext and fails, which is also the
+    * no-silent-downgrade property the spec asserts. */
+  private[graft] val cryptoOpts: Map[String, String] = Map(
+    "parquet.crypto.factory.class" ->
+      "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory",
+    "parquet.encryption.kms.client.class" -> "graft.sources.InMemoryKms")
 
   def scanEncrypted(s: SparkSession, d: String): DataFrame = {
     val dir = encryptedDir(s, d)
-    encryptionConf(s)
-    s.read.parquet(s"$dir/enc")
+    s.read.options(cryptoOpts).parquet(s"$dir/enc")
       .where(col("o_orderkey") < 500)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
@@ -1603,6 +1612,17 @@ object Scans extends OpModule {
     dir
   }
 
+  /** Varargs parquet read that tolerates an empty planned-file set: a
+    * probe whose keys match no postings/zonemaps must return an EMPTY
+    * relation with the staging's schema, not throw AnalysisException on
+    * the empty varargs read (ADVICE r13). The schema comes from the
+    * staging dir read under a false filter — constant-folded to an
+    * empty LocalRelation, no data scanned. */
+  private def plannedRead(s: SparkSession, schemaDir: String,
+                          paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) s.read.parquet(schemaDir).where(lit(false))
+    else s.read.parquet(paths: _*)
+
   /** The aligned 64×64 box (custkey 64..127 × epoch-days 9216..9279 —
     * spring 1995): one contiguous z-block. */
   private[graft] val zBox = (64L, 127L, 9216L, 9279L)
@@ -1616,7 +1636,7 @@ object Scans extends OpModule {
       .where(col("x_max") >= x0 && col("x_min") <= x1 &&
         col("y_max") >= y0 && col("y_min") <= y1)
       .select(col("path")).collect().map(_.getString(0)).sorted
-    s.read.parquet(paths.toIndexedSeq: _*)
+    plannedRead(s, s"$dir/$sub/data", paths.toIndexedSeq)
       .where(col("x").between(x0, x1) && col("y").between(y0, y1))
   }
 
@@ -1670,15 +1690,22 @@ object Scans extends OpModule {
 
   private[graft] val secIndexProbeKeys = Seq(7L, 23L, 61L, 102L, 137L)
 
-  def scanSecondaryIndex(s: SparkSession, d: String): DataFrame = {
-    val dir = secondaryIndexDir(s, d)
+  def scanSecondaryIndex(s: SparkSession, d: String): DataFrame =
+    secIndexLookup(s, secondaryIndexDir(s, d), secIndexProbeKeys)
+
+  /** The index-planned lookup for an arbitrary key set (package-private
+    * so the spec can probe ABSENT keys: the planned file set is then
+    * empty and the read must return an empty typed result, not throw —
+    * ADVICE r13). */
+  private[graft] def secIndexLookup(s: SparkSession, dir: String,
+                                    keys: Seq[Long]): DataFrame = {
     // index read: small pruned scan → |keys|·|postings| driver metadata
     val paths = s.read.parquet(s"$dir/index")
-      .where(col("o_custkey").isin(secIndexProbeKeys: _*))
+      .where(col("o_custkey").isin(keys: _*))
       .select(col("file_path")).distinct()
       .collect().map(_.getString(0)).sorted
-    s.read.parquet(paths.toIndexedSeq: _*)
-      .where(col("o_custkey").isin(secIndexProbeKeys: _*))
+    plannedRead(s, s"$dir/data", paths.toIndexedSeq)
+      .where(col("o_custkey").isin(keys: _*))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),

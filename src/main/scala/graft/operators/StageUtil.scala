@@ -36,4 +36,33 @@ private[operators] object StageUtil {
       java.nio.file.Files.copy(p, target.resolve(f"${prefix}_$i%03d.parquet"))
     }
   }
+
+  /** One per-JVM root for marker-gated stagings (the Scans ioDir
+    * discipline, shared): `staged(name)(build)` runs `build` at most
+    * once per name per JVM under a plain lock — never inside a hash-map
+    * bin lock (ADVICE r13: dqSchemaDrift ran Spark write jobs while
+    * holding its ConcurrentHashMap bin) — and a crash between build and
+    * marker leaves no half-staged dir behind: the next caller wipes and
+    * rebuilds. */
+  private lazy val stageRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_stage")
+  private val stageLock = new Object
+
+  def staged(name: String)(build: String => Unit): String =
+    stageLock.synchronized {
+      val dir = stageRoot.resolve(name)
+      val marker = dir.resolve("_GRAFT_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        if (java.nio.file.Files.exists(dir)) {
+          scala.util.Using.resource(java.nio.file.Files.walk(dir)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator.asScala.foreach(java.nio.file.Files.delete)
+          }
+        }
+        java.nio.file.Files.createDirectories(dir)
+        build(dir.toString)
+        java.nio.file.Files.createFile(marker)
+      }
+      dir.toString
+    }
 }

@@ -38,7 +38,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *  - `spark.graft.joinelim.pk` — the declared-unique join key column;
   *  - `spark.graft.joinelim.fk` — the fact column referential
   *    integrity is declared FOR (a join on any other fact column is a
-  *    genuine filter and must keep its join).
+  *    genuine filter and must keep its join);
+  *  - `spark.graft.joinelim.fact` — optional path marker for the FACT
+  *    relation: when set, the fk attribute must trace by exprId to a
+  *    file-source scan of that relation through RI-preserving nodes
+  *    (see riLineage) — the declaration names a (table, column) pair,
+  *    not a column name.
   *
   * Bail conditions (each keeps the original plan): non-inner joins
   * (outer/semi carry different semantics — semi is already cheap),
@@ -55,6 +60,33 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
   val DimConf = "spark.graft.joinelim.dim"
   val PkConf = "spark.graft.joinelim.pk"
   val FkConf = "spark.graft.joinelim.fk"
+  val FactConf = "spark.graft.joinelim.fact"
+
+  /** RI-preserving lineage (ADVICE r13): the fk ATTRIBUTE — by exprId,
+    * never name alone — must originate from a file-source scan of the
+    * declared fact relation, reached only through nodes that can drop,
+    * duplicate, or NULL rows (project/filter/join) but never mint fk
+    * VALUES outside the scanned column's domain. A withColumn-derived
+    * column has a fresh Alias exprId (no scan carries it → bail); a
+    * Union reuses its first child's exprIds but can inject foreign
+    * values through the other children (the default case bails on any
+    * non-listed node, Union included). Outer joins may NULL the fk on
+    * the way up — exactly what the injected IsNotNull guard absorbs. */
+  private def riLineage(p: LogicalPlan, fk: ExprId,
+                        factMark: String): Boolean =
+    p match {
+      case lr: LogicalRelation =>
+        lr.output.exists(_.exprId == fk) && (lr.relation match {
+          case fs: HadoopFsRelation =>
+            factMark.isEmpty ||
+              fs.location.rootPaths.exists(_.toString.contains(factMark))
+          case _ => false
+        })
+      case Project(_, c) => riLineage(c, fk, factMark)
+      case Filter(_, c) => riLineage(c, fk, factMark)
+      case j: Join => j.children.exists(riLineage(_, fk, factMark))
+      case _ => false
+    }
 
   /** Pure column-pruning path down to a file-source scan of the
     * declared dimension (the MvRollupRewrite.baseScan discipline). One
@@ -94,7 +126,8 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
     * is a genuine filter whose elimination would resurrect unmatched
     * rows. */
   private def eliminate(j: Join, used: AttributeSet, mark: String,
-                        pk: String, fkName: String): Option[LogicalPlan] =
+                        pk: String, fkName: String,
+                        factMark: String): Option[LogicalPlan] =
     j match {
       case Join(left, right, Inner,
           Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
@@ -105,6 +138,7 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
                 fk.name == fkName &&
                 dim.outputSet.contains(dpk) &&
                 fact.outputSet.contains(fk) &&
+                riLineage(fact, fk.exprId, factMark) &&
                 used.subsetOf(fact.outputSet) =>
             Filter(IsNotNull(fk), fact)
         }
@@ -116,6 +150,7 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
     val mark = conf.getConfString(DimConf, "")
     val pk = conf.getConfString(PkConf, "")
     val fkName = conf.getConfString(FkConf, "")
+    val factMark = conf.getConfString(FactConf, "")
     if (mark.isEmpty || pk.isEmpty || fkName.isEmpty) return plan
     // the consumer whose expressions prove "nothing reads dim columns"
     // is the node DIRECTLY above the join — the two shapes generated
@@ -124,11 +159,11 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
     plan.transform {
       case p @ Project(pl, j: Join) =>
         eliminate(j, AttributeSet(pl.flatMap(_.references)), mark, pk,
-          fkName)
+          fkName, factMark)
           .map(f => Project(pl, f)).getOrElse(p)
       case agg @ Aggregate(gs, aggs, j: Join, _) =>
         eliminate(j, AttributeSet((gs ++ aggs).flatMap(_.references)),
-          mark, pk, fkName)
+          mark, pk, fkName, factMark)
           .map(f => agg.copy(child = f)).getOrElse(agg)
       // DISTINCT ELIMINATION — the same declaration's other classic
       // payoff: `SELECT DISTINCT cols FROM dim` where cols INCLUDE the

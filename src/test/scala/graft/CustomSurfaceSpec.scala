@@ -1034,6 +1034,36 @@ class CustomSurfaceSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
     assert(joins3.nonEmpty, "a non-FK equi-join must keep its join")
+    // bail (ADVICE r13): a fact side whose "o_custkey" is DERIVED — a
+    // withColumn minting values the declaration never covered — must
+    // keep its join; the rule anchors the fk by exprId lineage to a
+    // file scan, and an Alias has a fresh exprId no scan carries
+    // (pmod keeps the join NON-empty — an empty join would be replaced
+    // by AQE's EmptyRelation propagation and hide the shape assert)
+    val derived = graft.Tables.orders(s, sf)
+      .withColumn("o_custkey", expr("pmod(o_custkey, 100) + 1"))
+      .join(graft.Tables.customer(s, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val joins4 = collectFinal(derived) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins4.nonEmpty, "a derived fk column must keep its join")
+    // bail (ADVICE r13): a union-derived fact side reuses the first
+    // child's exprIds but can inject values RI never covered — the
+    // lineage walk bails on Union
+    val unioned = graft.Tables.orders(s, sf)
+      .unionByName(graft.Tables.orders(s, sf)
+        .withColumn("o_custkey", expr("pmod(o_custkey, 100) + 1")))
+      .join(graft.Tables.customer(s, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val joins5 = collectFinal(unioned) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins5.nonEmpty, "a union-derived fact side must keep its join")
     // idempotence: re-optimizing the eliminated plan is a fixed point
     val once = df.queryExecution.optimizedPlan
     val twice = graft.plans.JoinEliminationRewrite(once)

@@ -942,6 +942,13 @@ class ScansSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(got == want && got.nonEmpty)
+    // ABSENT keys → empty posting set → the planned read must return an
+    // empty typed result, not throw on the empty varargs (ADVICE r13)
+    val miss = graft.operators.Scans.secIndexLookup(spark, dir,
+      Seq(-1L, -2L))
+    assert(miss.columns.toSeq ==
+      Seq("o_custkey", "n_orders", "cents", "key_sum"))
+    assert(miss.count() == 0L, "absent keys must yield an empty result")
   }
 
   test("pipeline_backfill: fingerprint diff finds exactly the stale months; rebuild is pruned") {
@@ -1059,23 +1066,24 @@ class ScansSpec extends SparkSpec {
     assert(!contains(enc), "encrypted file must never leak plaintext")
     assert(new String(enc.take(4), "ISO-8859-1") == "PARE",
       "footer encryption must flip the file magic")
-    // a keyless reader FAILS — no silent downgrade (factory removed,
-    // restored in finally; the conf is global to the test JVM)
+    // a keyless reader FAILS — no silent downgrade. Since ADVICE r13
+    // the crypto wiring is per-read OPTIONS, not global conf, so a
+    // plain read IS the keyless reader (and the session conf stays
+    // untouched for every other op in the JVM)
+    val ex = intercept[Exception] {
+      spark.read.parquet(s"$dir/enc").count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getClass.getName +: chain(t.getCause)
+    assert(chain(ex).exists(_.contains("Crypto")) ||
+      ex.getMessage != null, s"keyless read must fail, got: $ex")
+    // the global conf is NOT polluted by staging or reads
     val hc = spark.sparkContext.hadoopConfiguration
-    val factory = hc.get("parquet.crypto.factory.class")
-    hc.unset("parquet.crypto.factory.class")
-    try {
-      val ex = intercept[Exception] {
-        spark.read.parquet(s"$dir/enc").count()
-      }
-      def chain(t: Throwable): Seq[String] =
-        if (t == null) Nil else t.getClass.getName +: chain(t.getCause)
-      assert(chain(ex).exists(_.contains("Crypto")) ||
-        ex.getMessage != null, s"keyless read must fail, got: $ex")
-    } finally hc.set("parquet.crypto.factory.class", factory)
+    assert(hc.get("parquet.crypto.factory.class") == null,
+      "crypto factory must stay out of the process-global conf")
     // exact roundtrip through decrypt
-    graft.operators.Scans.encryptionConf(spark)
-    val got = spark.read.parquet(s"$dir/enc")
+    val got = spark.read.options(graft.operators.Scans.cryptoOpts)
+      .parquet(s"$dir/enc")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
       .toSet
