@@ -469,6 +469,90 @@ class ScansSpec extends SparkSpec {
     assert(v2Readout() == before)
   }
 
+  test("maintenance_vacuum_orphans: sweeps exactly the unpublished branch; published history byte-stable") {
+    val dir = java.nio.file.Files.createTempDirectory("vac_wap_spec").toString
+    val S = graft.operators.Scans
+    S.timeTravelWriteV1(spark, sf, dir)
+    S.wapSetHead(dir, "m1"); S.wapLogAppend(dir, "published", "m1")
+    S.wapLogAppend(dir, "refs", "m2")
+    S.timeTravelWriteV2(spark, dir)
+    S.wapSetHead(dir, "m2"); S.wapLogAppend(dir, "published", "m2")
+    S.wapLogAppend(dir, "refs", "m3")
+    S.wapWriteBadBranch(spark, dir)
+    val p1 = S.snapshotPaths(spark, s"$dir/m1").toSet
+    val p2 = S.snapshotPaths(spark, s"$dir/m2").toSet
+    val p3 = S.snapshotPaths(spark, s"$dir/m3").toSet
+    def publishedReadout(): (Seq[(Long, Double)], Seq[(Long, Double)]) = (
+      spark.read.parquet(p1.toSeq.sorted: _*)
+        .select(col("o_orderkey"), col("o_totalprice")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq,
+      spark.read.parquet(p2.toSeq.sorted: _*)
+        .select(col("o_orderkey"), col("o_totalprice")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq)
+    val before = publishedReadout()
+    S.wapOrphanSweep(spark, dir)
+    // swept set = exactly the branch-only files (m3 minus every
+    // published snapshot's members)
+    val swept = S.wapSweptPaths(dir).toSet
+    assert(swept == p3 -- p1 -- p2,
+      "orphan set must be exactly the unpublished branch's own files")
+    assert(swept.nonEmpty, "the bad branch must have had files to sweep")
+    swept.foreach(p => assert(
+      !new java.io.File(new java.net.URI(p)).exists(), s"must be GC'd: $p"))
+    (p1 ++ p2).foreach(p => assert(
+      new java.io.File(new java.net.URI(p)).exists(), s"live file GC'd: $p"))
+    // the branch manifest is gone with its files; the registry keeps
+    // only published refs
+    assert(!new java.io.File(s"$dir/m3").exists(), "m3 must be dropped")
+    assert(S.wapLogRead(dir, "refs") == Seq("m2"))
+    // both published snapshots resolve byte-stable through the sweep
+    assert(publishedReadout() == before,
+      "published history must be byte-stable across the orphan sweep")
+    // idempotent retry: a second sweep is a no-op
+    S.wapOrphanSweep(spark, dir)
+    assert(publishedReadout() == before)
+  }
+
+  test("scan_index_refresh: stale postings drop, shared postings carry over untouched, lookup serves post-merge rows") {
+    val S = graft.operators.Scans
+    val dir = S.indexRefreshDir(spark, sf)
+    val p1 = S.snapshotPaths(spark, s"$dir/m1").toSet
+    val p2 = S.snapshotPaths(spark, s"$dir/m2").toSet
+    val idx1 = spark.read.parquet(s"$dir/index1")
+    val idx2 = spark.read.parquet(s"$dir/index2")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // no posting in the refreshed index points at a replaced file, and
+    // every posting's file is a member of the live (m2) snapshot
+    val idx2Paths = idx2.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(idx2Paths.intersect(p1 -- p2).isEmpty,
+      "stale postings must be dropped")
+    assert(idx2Paths.subsetOf(p2), "refreshed postings must live in m2")
+    // shared-file postings carry over row-identical (never recomputed
+    // rows differ) — the O(rewritten files) refresh claim
+    val shared = (p1 intersect p2)
+    val s1 = rows(idx1.where(col("file_path").isin(shared.toSeq.sorted: _*)))
+    val s2 = rows(idx2.where(col("file_path").isin(shared.toSeq.sorted: _*)))
+    assert(s1 == s2 && s1.nonEmpty,
+      "shared postings must be identical across the refresh")
+    // the lookup through the refreshed index equals the direct
+    // post-merge snapshot recompute
+    val got = S.scanIndexRefresh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = spark.read.parquet(p2.toSeq.sorted: _*)
+      .where(col("o_custkey").isin(S.secIndexProbeKeys: _*))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)),
+        expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"),
+        expr("CAST(sum(o_orderkey) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("scan_metadata_cols: path-derived partition values match restored columns") {
     val rows = graft.operators.Scans.scanMetadataCols(spark, sf).collect()
     assert(rows.map(_.getAs[String]("o_orderpriority")).distinct.length == rows.length)

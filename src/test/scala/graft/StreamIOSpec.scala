@@ -49,6 +49,57 @@ class StreamIOSpec extends SparkSpec {
       "every generated row must arrive exactly once across batches")
   }
 
+  test("manifest-CDC source: version offsets checkpoint — a restart emits only the new commit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("man_cdc_spec").toString
+    graft.operators.Scans.timeTravelWriteV1(spark, sf, dir)
+    graft.operators.Scans.timeTravelWriteV2(spark, dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("man_cdc_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("man_cdc_out").toString
+    // parquet sink: the memory sink refuses checkpoint recovery — the
+    // file sink is the exactly-once restartable surface
+    def drain(): org.apache.spark.sql.DataFrame = {
+      val q = spark.readStream.format("graft-manifest-cdc")
+        .option("path", dir).load()
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir)
+    }
+    val first = drain()
+    val vs1 = first.select("version").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(vs1 == Set(2L), s"first drain must emit exactly the v2 step: $vs1")
+    // signed cancellation: a COW rewrite's net row mass is zero (every
+    // old row has a new twin)
+    assert(first.agg(sum(col("sign"))).head.getLong(0) == 0L)
+    // the ± pairs recover exactly the commit's changed keys
+    val changed = first.groupBy(col("o_orderkey"))
+      .agg(sum(col("sign") *
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("delta"))
+      .where(col("delta") =!= 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val want = graft.Tables.orders(spark, sf)
+      .where(col("o_orderkey").between(100, 400))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(changed == want, "changed keys must be exactly the COW range")
+    // a new commit lands; a RESTARTED query on the same checkpoint must
+    // resume from the committed version offset — v2 never re-emits
+    val v2Rows = first.where(col("version") === 2L).count()
+    graft.operators.Scans.timeTravelWriteV3(spark, dir)
+    val second = drain()
+    val vs2 = second.select("version").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(vs2 == Set(2L, 3L),
+      s"restart must append only the new v3 step: $vs2")
+    assert(second.where(col("version") === 2L).count() == v2Rows,
+      "the restart must not re-emit v2 (exactly-once across restarts)")
+    assert(second.where(col("version") === 3L).count() > 0)
+  }
+
   test("left-outer stream-stream join: matches + watermark-expired null rows") {
     import org.apache.spark.sql.functions._
     val out = StreamIO.joinStreamOuter(spark, sf).cache()
