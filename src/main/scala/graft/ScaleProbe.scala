@@ -678,7 +678,42 @@ object ScaleProbe {
       // forward as-of (r13): the same single ordered union+window pass
       // as join_asof with the frame flipped — linear in rows, flat
       // per-user state under the disjoint entity clones
-      "join_asof_forward")
+      "join_asof_forward",
+      // incremental IVF (r14): rides the shared lloyd build; the
+      // registered delta pass is O(|delta|·K) broadcast folds + one
+      // map-side cell count — must track the lloyd family's growth,
+      // with the marginal (post-memo) cost near-linear in |delta|
+      "llm_ann_ivf_incremental",
+      // filtered graph ANN (r14): rides the memoized graph walk; the
+      // marginal cost is two ≤1100-row/query re-ranks + the
+      // label-filtered brute truth pass — corpus-linear
+      "llm_ann_graph_filtered",
+      // streaming manifest-CDC consumer (r14): staging (3 commits) is
+      // the linear cost; the drain reads ONLY the two commits' changed
+      // files across two micro-batches — the O(changed files) claim
+      "source_manifest_stream",
+      // WAP orphan sweep (r14): staging linear; the sweep is |branch
+      // files| driver deletes planned from the refs/published diff —
+      // flat; readout one scan
+      "maintenance_vacuum_orphans",
+      // index refresh (r14): staging + the COW commit are the linear
+      // cost; the refresh scans ONLY rewritten files and the lookup
+      // reads ≤ |keys|·|postings| planned files — near-flat beyond
+      // staging
+      "scan_index_refresh",
+      // graph graft (r14): rides the memoized graph build; the shard's
+      // beam walks are |delta| independent bounded searches (≤ 16 +
+      // 6·8·22 evals each), so marginal growth must track |delta| —
+      // per-insert work flat in corpus size like llm_ann_graph's search
+      "llm_ann_graph_incremental",
+      // AS OF resolution (r14): |commits|-row driver lookup + three
+      // snapshot scans — scan-bound like scan_time_travel
+      "scan_time_travel_asof",
+      // CDC-driven MV (r14): bootstrap is one snapshot aggregate; each
+      // drained commit folds O(changed files' rows) map-side into a
+      // |buckets|-row merge — maintenance must track the commits, never
+      // re-scan the table
+      "sink_cdc_mv")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
@@ -712,6 +747,20 @@ object ScaleProbe {
       }
     }
     probes.foreach(n => probe(n, out, n))
+    // RocksDB state tier (r14, VERDICT r13 task 7): the chained
+    // multi-stateful topologies re-run with the RocksDB provider —
+    // the at-scale state backend (off-heap, incremental checkpoints)
+    // the suite's HDFS-provider default documents it would flip to.
+    // Healthy = same correctness rows, growth still ~linear in rows
+    // through the batch schedule, with a flat per-store open overhead
+    // (the measured RocksDB boot cost the streamSession doc cites).
+    Seq("stream_chained_stateful", "stream_chained_join_agg").foreach { n =>
+      if (only.forall(f => f.contains(n) || f.contains(s"${n}_rocksdb"))) {
+        spark.conf.set("spark.graft.stream.rocksdb", "true")
+        try probe(n, out, s"${n}_rocksdb")
+        finally spark.conf.unset("spark.graft.stream.rocksdb")
+      }
+    }
     // exact distance-eval accounting for the hierarchical assign claim:
     // tl = N·K₁ + Σ|chosen cell| (must grow ~N·√K), brute = N·K (the
     // retired quadratic). Printed per tier so SCALE.md's 1×/10×/30×

@@ -2233,6 +2233,76 @@ object LlmScale extends OpModule {
     (beam, visited.distinct())
   }
 
+  // ── llm_ann_graph_incremental ─────────────────────────────────────────
+
+  /** INCREMENTAL GRAPH-INDEX MAINTENANCE — the graft half of the
+    * vector-ingest story (llm_ann_ivf_incremental routes a delta shard
+    * into IVF cells; this op attaches the same shard to the navigable
+    * GRAPH — the HNSW insert shape): each new vector runs the standard
+    * width-8 beam search against the FROZEN persisted graph
+    * (efConstruction > M, the HNSW construction rule) and attaches to
+    * its beam's 4 nearest nodes — the edges a server would add (plus
+    * symmetric back-edges) to serve the new vector. The whole shard
+    * searches the SAME frozen snapshot (batch grafting), which is what
+    * makes the op deterministic and oracle-replayable: every search is
+    * independent, so DuckDB replays the identical chain with the delta
+    * dims as the query relation. Per new vector the work is the
+    * bounded beam (≤ 16 + 6·8·22 distance evals — constant in corpus
+    * size, the graph family's defining property), so ingest cost is
+    * O(|delta|), never a rebuild; index × index work never re-runs
+    * (the adjacency rides graphMemo). Output: the attachment edge
+    * list (new_id, rank 1..4, dst, exact dist). */
+  def annGraphIncremental(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (adj, entries, qv) = annGraphAdjacency(s, d)
+    val delta = qv.where(col("vec_id") % 17 === 3)
+      .select((col("vec_id") + lit(1000000L)).as("qid"),
+        expr("transform(qv, (x, i) -> x + IF(i = 0, 1000L, 0L))").as("qq"))
+    val beam = annGraphSearchBatch(adj, entries, qv, delta, 8)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("node").asc)
+    beam.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 4)
+      .select(col("qid").as("new_id"), col("rank"),
+        col("node").as("dst"), col("dist"))
+  }
+
+  /** The width-`width` beam walk for an ARBITRARY query set (qid, qq)
+    * — the shard-sized twin of annGraphSearchFull (whose query side is
+    * the 10 eval vectors): the entry cross carries the ≤16-row entry
+    * sample as its broadcast side (the query side SCALES with the
+    * shard and streams), and the per-hop score joins are plain
+    * equi-joins with no broadcast pin, so Spark shuffles them once the
+    * shard outgrows a broadcast. Returns the final beam. */
+  private def annGraphSearchBatch(adj: DataFrame, entries: DataFrame,
+                                  qv: DataFrame, queries: DataFrame,
+                                  width: Int): DataFrame = {
+    def score(cands: DataFrame): DataFrame =
+      cands.join(qv, cands("node") === qv("vec_id"))
+        .join(queries, "qid")
+        .select(col("qid"), col("node"),
+          expr("squared_distance(qv, qq)").as("dist"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("node").asc)
+    var beam = MemoUtil.scratch(score(
+        queries.select(col("qid"))
+          .crossJoin(broadcast(entries.select(col("vec_id").as("node"))))
+          .where(col("node") =!= col("qid")))
+      .withColumn("c", row_number().over(wq)).where(col("c") <= width)
+      .drop("c").localCheckpoint())
+    for (_ <- 1 to 6) {
+      val expanded = beam.select(col("qid"), col("node"))
+        .join(adj, col("node") === col("src"))
+        .select(col("qid"), col("dst").as("node"))
+        .where(col("node") =!= col("qid")).distinct()
+      beam = MemoUtil.scratch(
+        beam.unionByName(score(expanded)).distinct()
+          .withColumn("c", row_number().over(wq)).where(col("c") <= width)
+          .drop("c").localCheckpoint())
+    }
+    beam
+  }
+
   /** The (adjacency, entry sample, quantized lattice) behind
     * llm_ann_graph — package-private so LlmScaleSpec asserts the
     * bounded-degree, connectivity, and entry invariants on the graph
@@ -2661,7 +2731,8 @@ object LlmScale extends OpModule {
     "llm_ann_recall_sweep" -> annRecallSweep _,
     "llm_ann_graph" -> annGraph _,
     "llm_ann_graph_sweep" -> annGraphSweep _,
-    "llm_ann_graph_filtered" -> annGraphFiltered _
+    "llm_ann_graph_filtered" -> annGraphFiltered _,
+    "llm_ann_graph_incremental" -> annGraphIncremental _
   )
 
   /** Hierarchical-assign CTE block, prefix `p`: per-dim centroid table
@@ -3104,8 +3175,11 @@ object LlmScale extends OpModule {
   }
 
   /** One width-`w` beam chain, CTE names prefixed `p`: entry b0 capped
-    * at w, then 6 expand→score→re-cap hops. */
-  private def annGraphChainCtes(p: String, w: Int): String = {
+    * at w, then 6 expand→score→re-cap hops. `qdim` names the query-side
+    * per-dim relation — `qdim` (the 10 eval queries) for the recall
+    * rows, the synthesized delta dims for the incremental graft. */
+  private def annGraphChainCtes(p: String, w: Int,
+                                qdim: String = "qdim"): String = {
     val b0 =
       s"""${p}b0 AS MATERIALIZED (
          |  SELECT qid, node, dist FROM (
@@ -3116,7 +3190,7 @@ object LlmScale extends OpModule {
          |        CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
          |      FROM ent e
          |      JOIN dims dc ON dc.vec_id = e.vec_id
-         |      JOIN qdim dq ON dq.dim = dc.dim AND dq.vec_id != e.vec_id
+         |      JOIN $qdim dq ON dq.dim = dc.dim AND dq.vec_id != e.vec_id
          |      GROUP BY 1, 2)) WHERE c <= $w),
          |""".stripMargin
     val hops = (1 to 6).map { h =>
@@ -3128,7 +3202,7 @@ object LlmScale extends OpModule {
          |  SELECT e.qid, e.node,
          |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
          |  FROM ${p}e$h e
-         |  JOIN qdim dq ON dq.vec_id = e.qid
+         |  JOIN $qdim dq ON dq.vec_id = e.qid
          |  JOIN dims dc ON dc.vec_id = e.node AND dc.dim = dq.dim
          |  GROUP BY 1, 2),
          |${p}b$h AS MATERIALIZED (
@@ -3272,6 +3346,23 @@ object LlmScale extends OpModule {
     "llm_ann_graph" -> annGraphOracleFull,
     "llm_ann_graph_sweep" -> annGraphSweepOracle,
     "llm_ann_graph_filtered" -> annGraphFilteredOracle,
+    // the graft replay: the same build CTEs, the chain parameterized on
+    // the delta dims (every insert searches the FROZEN graph, so the
+    // batch is one independent chain), top-4 attachments per new node
+    "llm_ann_graph_incremental" ->
+      (annGraphBuildCtes +
+        """ddim AS MATERIALIZED (
+          |  SELECT vec_id + 1000000 AS vec_id, dim,
+          |    q + CASE WHEN dim = 0 THEN 1000 ELSE 0 END AS q
+          |  FROM dims WHERE vec_id % 17 = 3),
+          |""".stripMargin + annGraphChainCtes("g", 8, "ddim") +
+        """att AS (
+          |  SELECT qid AS new_id, node AS dst, dist,
+          |    row_number() OVER (PARTITION BY qid
+          |      ORDER BY dist, node) AS rank
+          |  FROM gb6)
+          |SELECT new_id, CAST(rank AS INT) AS rank, dst, dist
+          |FROM att WHERE rank <= 4""".stripMargin),
     "llm_cluster_topics" ->
       (lloydCtes + """,
         |dt AS (

@@ -994,10 +994,49 @@ object Scans extends OpModule {
         timeTravelWriteV1(s, d, dir)
         timeTravelWriteV2(s, dir)
         timeTravelWriteV3(s, dir)
+        // the commit log sidecar (version → commit timestamp): what AS
+        // OF <timestamp> resolves against. Fixed deterministic stamps —
+        // a lakehouse stores the wall-clock of each commit; the fixture
+        // pins them so the oracle can replay the resolution
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "commits"),
+          Seq("1 2024-01-01T00:00:00Z", "2 2024-02-01T00:00:00Z",
+            "3 2024-03-01T00:00:00Z").mkString("\n").getBytes("UTF-8"))
         java.nio.file.Files.createFile(marker)
       }
     }
     dir
+  }
+
+  /** TIME TRAVEL `AS OF <timestamp>` — the calendar face of
+    * scan_time_travel's version reads (Iceberg/Delta's
+    * `TIMESTAMP AS OF`): the commit-log sidecar maps each manifest
+    * version to its commit wall-clock; an AS OF probe resolves to the
+    * LARGEST version committed at-or-before the probe instant (a probe
+    * before the first commit is an error in real engines — not staged
+    * here), then reads through that manifest exactly like any snapshot
+    * read. Three probes land mid-epoch between the staged commits, so
+    * each resolves a DIFFERENT version — the readout is (asof,
+    * version, summary) per probe, every number replayed relationally
+    * by the oracle. At 100 TB the resolution is a |commits|-row driver
+    * lookup; the read cost is the snapshot's, unchanged. */
+  def scanTimeTravelAsof(s: SparkSession, d: String): DataFrame = {
+    val dir = manifestStreamDir(s, d)
+    val commits = wapLogRead(dir, "commits").map { line =>
+      val Array(v, ts) = line.split(" ")
+      (v.toLong, java.time.Instant.parse(ts))
+    }.sortBy(_._1)
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    Seq("2024-01-15T00:00:00Z", "2024-02-15T00:00:00Z",
+        "2024-03-15T00:00:00Z").map { probe =>
+      val at = java.time.Instant.parse(probe)
+      val v = commits.filter(!_._2.isAfter(at)).map(_._1).max
+      s.read.parquet(snapshotPaths(s, s"$dir/m$v"): _*)
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+        .select(lit(probe).as("asof"), lit(v).as("version"),
+          col("n_rows"), col("cents"), col("key_sum"))
+    }.reduce(_ unionByName _)
   }
 
   /** All rows a manifest resolves — the snapshot read. */
@@ -2478,6 +2517,7 @@ object Scans extends OpModule {
     "sink_merge_mor" -> sinkMergeMor _,
     "sink_merge_positional" -> sinkMergePositional _,
     "scan_time_travel" -> scanTimeTravel _,
+    "scan_time_travel_asof" -> scanTimeTravelAsof _,
     "maintenance_vacuum" -> maintenanceVacuum _,
     "maintenance_vacuum_orphans" -> maintenanceVacuumOrphans _,
     "maintenance_mor_compact" -> maintenanceMorCompact _,
@@ -2784,6 +2824,36 @@ object Scans extends OpModule {
     // GC changes file lifecycle, never live results: the v2 summary is
     // the deterministic update over orders; the lifecycle booleans are
     // the invariants the vacuum must establish
+    // AS OF resolution replayed: each probe's resolved version is a
+    // constant of the pinned commit log; the summaries are the CASE
+    // replays of the cumulative COW updates at that version
+    "scan_time_travel_asof" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c1,
+        |    CAST(round(CASE WHEN o_orderkey BETWEEN 100 AND 400
+        |                    THEN o_totalprice * 2
+        |                    ELSE o_totalprice END * 100) AS BIGINT) AS c2,
+        |    CAST(round(CASE WHEN o_orderkey BETWEEN 100 AND 400
+        |                    THEN o_totalprice * 2
+        |                    WHEN o_orderkey BETWEEN 500 AND 700
+        |                    THEN o_totalprice * 3
+        |                    ELSE o_totalprice END * 100) AS BIGINT) AS c3
+        |  FROM orders)
+        |SELECT '2024-01-15T00:00:00Z' AS asof, CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(c1) AS BIGINT)
+        |    AS cents, CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM t
+        |UNION ALL
+        |SELECT '2024-02-15T00:00:00Z', CAST(2 AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(sum(c2) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT)
+        |FROM t
+        |UNION ALL
+        |SELECT '2024-03-15T00:00:00Z', CAST(3 AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(sum(c3) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT)
+        |FROM t""".stripMargin,
     // the orphan sweep must leave published history byte-stable: the
     // readout is the v2 snapshot through HEAD + disk-derived lifecycle
     // booleans (all true after a completed sweep)

@@ -56,9 +56,17 @@ object StreamIO extends OpModule {
     // needing RocksDB column families), and the per-store open cost of
     // RocksDB dominates at fixture-sized state: the HDFS-backed provider
     // keeps the windowed-agg / stream-join state in heap maps. A
-    // production job with state larger than heap flips this back.
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    // production job with state larger than heap flips this back —
+    // setting `spark.graft.stream.rocksdb=true` on the PARENT session
+    // does exactly that (the ScaleProbe rocksdb tier runs the chained
+    // topologies through it so the 100 TB keyed-state claim is a
+    // measurement, not an argument — VERDICT r13 task 7).
+    val provider =
+      if (s.conf.getOption("spark.graft.stream.rocksdb").contains("true"))
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      else
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     // Per-batch fixed-cost levers (r9, DevProbe stream_floor2: the full
     // outer join's 3.3 s probe floor → 2.2 s with all four, ~equal
     // contributions). These AvailableNow queries live 1-3 s, so the
@@ -599,6 +607,74 @@ object StreamIO extends OpModule {
         sum(col("o_orderkey")).cast("bigint").as("key_sum"))
   }
 
+  /** CDC-DRIVEN INCREMENTAL MV MAINTENANCE — the use case the
+    * manifest-CDC source exists for (the r13 verdict's "the
+    * incremental-consumer half that MVs would subscribe to"): a
+    * key-range rollup MV bootstraps from the v1 snapshot, then a
+    * foreachBatch consumer of `graft-manifest-cdc` folds each commit's
+    * SIGNED changelog into it — per batch, one delta aggregate
+    * (Σsign, Σsign·cents per bucket — rows a rewrite carried unchanged
+    * cancel before they ever touch the MV) full-outer-merged into the
+    * |buckets|-row MV, committed as a new MV generation with an atomic
+    * pointer flip. Generations are BATCH-ID-KEYED, so a replayed batch
+    * finds its generation already committed and skips — idempotent
+    * under restart, the sink_foreach_batch recipe. The drained MV must
+    * equal the direct aggregate over the FINAL snapshot (the classic
+    * incremental-view-maintenance invariant), which is exactly what
+    * the oracle replays from `orders`. At 100 TB: the delta aggregate
+    * is O(changed files' rows) map-side-combined; the MV merge is
+    * |buckets| rows; the base table is never re-scanned — maintenance
+    * cost tracks the commit, not the table. */
+  def sinkCdcMv(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val src = Scans.manifestStreamDir(s, d)
+    val mvDir = fresh("cdc_mv")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(mvDir))
+    val bucket = expr("o_orderkey DIV 100").as("bucket")
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    // bootstrap: one aggregate over the v1 snapshot
+    s.read.parquet(Scans.snapshotPaths(s, s"$src/m1"): _*)
+      .groupBy(bucket)
+      .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"))
+      .write.mode("overwrite").parquet(s"$mvDir/gen_boot")
+    java.nio.file.Files.write(java.nio.file.Paths.get(mvDir, "_HEAD"),
+      "gen_boot".getBytes("UTF-8"))
+    def head(): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mvDir, "_HEAD")), "UTF-8").trim
+    val q = s.readStream.format("graft-manifest-cdc")
+      .option("path", src).load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val gen = s"gen_$id"
+        val done = java.nio.file.Paths.get(mvDir, gen, "_SUCCESS")
+        if (!java.nio.file.Files.exists(done) && !batch.isEmpty) {
+          val delta = batch.groupBy(expr("o_orderkey DIV 100").as("bucket"))
+            .agg(sum(col("sign")).cast("bigint").as("dn"),
+              sum(col("sign") *
+                expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("dc"))
+          s.read.parquet(s"$mvDir/${head()}")
+            .join(delta, Seq("bucket"), "full_outer")
+            .select(col("bucket"),
+              (coalesce(col("n_rows"), lit(0L)) +
+                coalesce(col("dn"), lit(0L))).as("n_rows"),
+              (coalesce(col("cents"), lit(0L)) +
+                coalesce(col("dc"), lit(0L))).as("cents"))
+            .where(col("n_rows") > 0)
+            .write.mode("overwrite").parquet(s"$mvDir/$gen")
+          // the pointer flip is the commit (atomic rename like the
+          // lakehouse HEADs); a replayed batch sees its _SUCCESS and
+          // skips — idempotent
+          java.nio.file.Files.write(java.nio.file.Paths.get(mvDir, "_HEAD"),
+            gen.getBytes("UTF-8"))
+        }
+        ()
+      }
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.read.parquet(s"$mvDir/${head()}")
+  }
+
   /** LEFT-SEMI stream-stream join — the streaming EXISTS: each click
     * emits (once) as soon as ANY purchase lands in its look-back
     * window; extra matches emit nothing and unmatched clicks emit
@@ -814,6 +890,7 @@ object StreamIO extends OpModule {
     "join_stream_full" -> joinStreamFull _,
     "source_custom_stream" -> sourceCustomStream _,
     "source_manifest_stream" -> sourceManifestStream _,
+    "sink_cdc_mv" -> sinkCdcMv _,
     "join_stream_static" -> joinStreamStatic _,
     "stream_dedup_within_wm" -> streamDedupWithinWm _,
     "stream_session_close" -> streamSessionClose _,
@@ -856,6 +933,19 @@ object StreamIO extends OpModule {
         |    AND CAST(round(o_totalprice * 3 * 100) AS BIGINT)
         |      != CAST(round(o_totalprice * 100) AS BIGINT))
         |SELECT * FROM s2 UNION ALL SELECT * FROM s3""".stripMargin,
+    // the incremental-view-maintenance invariant: the drained MV equals
+    // the direct rollup over the FINAL snapshot (both COW updates
+    // applied) — replayed from `orders` in closed form
+    "sink_cdc_mv" ->
+      """SELECT o_orderkey // 100 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(CASE WHEN o_orderkey BETWEEN 100 AND 400
+        |                           THEN o_totalprice * 2
+        |                           WHEN o_orderkey BETWEEN 500 AND 700
+        |                           THEN o_totalprice * 3
+        |                           ELSE o_totalprice END * 100) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders GROUP BY 1""".stripMargin,
     // join + hourly rollup replayed relationally; the sentinels never
     // pair (mismatched users), so no filter is needed on the readout
     "stream_chained_join_agg" ->

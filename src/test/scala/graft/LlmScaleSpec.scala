@@ -1095,6 +1095,43 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("ann_graph_incremental: 4 real attachments per new node, never worse than a direct entry hop") {
+    import org.apache.spark.sql.functions.col
+    val (_, _, qv) = operators.LlmScale.annGraphAdjacency(spark, sf)
+    val baseIds = qv.select("vec_id").collect().map(_.getLong(0)).toSet
+    val rows = operators.LlmScale.annGraphIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val nDelta = baseIds.count(_ % 17 == 3)
+    assert(rows.length == 4 * nDelta && nDelta > 0,
+      s"every delta node must attach with exactly 4 edges: ${rows.length}")
+    rows.groupBy(_._1).foreach { case (id, es) =>
+      // ranks dense 1..4, distances monotone under the (dist, dst) order
+      assert(es.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4), s"id=$id ranks")
+      val ord = es.sortBy(_._2).map(e => (e._4, e._3)).toSeq
+      assert(ord == ord.sorted, s"id=$id: attachment order must follow dist")
+      // attachments are existing graph nodes, never other delta nodes
+      es.foreach(e => assert(baseIds.contains(e._3), s"id=$id dst=${e._3}"))
+    }
+    // the walk's monotonicity: every rank-1 attachment is at least as
+    // close as the best RAW ENTRY node (the beam starts at the entry
+    // sample and only improves)
+    val entryIds = operators.LlmScale.annGraphAdjacency(spark, sf)._2
+      .collect().map(_.getLong(0)).toSet
+    val vecs = qv.collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Long]]("qv").toArray).toMap
+    def sq(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var acc = 0L
+      while (i < a.length) { val dl = a(i) - b(i); acc += dl * dl; i += 1 }
+      acc
+    }
+    rows.filter(_._2 == 1).foreach { case (id, _, _, dist) =>
+      val dv = vecs(id - 1000000L).clone(); dv(0) += 1000L
+      val bestEntry = entryIds.map(e => sq(dv, vecs(e))).min
+      assert(dist <= bestEntry,
+        s"id=$id: beam result $dist must dominate the entry sample $bestEntry")
+    }
+  }
+
   test("ann_graph_filtered: aware dominates postfilter, postfilter returns short lists") {
     val rows = graft.operators.LlmScale.annGraphFiltered(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

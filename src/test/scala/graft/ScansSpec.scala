@@ -553,6 +553,22 @@ class ScansSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("scan_time_travel_asof: probes resolve at-or-before versions; rows conserved across snapshots") {
+    val rows = graft.operators.Scans.scanTimeTravelAsof(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(1L, 2L, 3L),
+      "mid-epoch probes must resolve v1, v2, v3 in order")
+    // COW updates conserve rows and keys: every snapshot's count and
+    // key checksum are identical; only cents move, monotonically (both
+    // updates multiply positive prices)
+    assert(rows.map(_._3).distinct.length == 1, "row counts must agree")
+    val cents = graft.operators.Scans.scanTimeTravelAsof(spark, sf)
+      .collect().sortBy(_.getLong(1)).map(_.getLong(3))
+    assert(cents(0) < cents(1) && cents(1) < cents(2),
+      "each commit's update must raise the cents mass")
+  }
+
   test("scan_metadata_cols: path-derived partition values match restored columns") {
     val rows = graft.operators.Scans.scanMetadataCols(spark, sf).collect()
     assert(rows.map(_.getAs[String]("o_orderpriority")).distinct.length == rows.length)

@@ -100,6 +100,22 @@ class StreamIOSpec extends SparkSpec {
     assert(second.where(col("version") === 3L).count() > 0)
   }
 
+  test("cdc-driven MV equals the direct rollup over the final snapshot") {
+    import org.apache.spark.sql.functions._
+    val mv = StreamIO.sinkCdcMv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = graft.operators.Scans.manifestStreamDir(spark, sf)
+    val want = spark.read.parquet(
+        graft.operators.Scans.snapshotPaths(spark, s"$dir/m3"): _*)
+      .groupBy(expr("o_orderkey DIV 100").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the IVM invariant: incrementally-folded changelog == recompute
+    assert(mv == want && mv.nonEmpty,
+      "incrementally maintained MV must equal the final-snapshot rollup")
+  }
+
   test("left-outer stream-stream join: matches + watermark-expired null rows") {
     import org.apache.spark.sql.functions._
     val out = StreamIO.joinStreamOuter(spark, sf).cache()
