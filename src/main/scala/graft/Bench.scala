@@ -69,7 +69,9 @@ object Bench {
     // shared computation identically.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    val budgetSec = 540.0
+    val budgetSec = 620.0 // r14: a degraded-VM cold pass alone reads ~430 s;
+    // 540 cut the targeted reruns at 97/183 — the extra 80 s is rerun
+    // headroom, not extra passes (the driver accepted r13's 392 s run)
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     def fmt0(v: Double): String =
@@ -195,13 +197,17 @@ object Bench {
     val rerun = scala.collection.mutable.Map.empty[String, Double]
     var rerunCand = 0
     if (records.nonEmpty) {
+      // same 1.5x+0.1 criterion the record block flags with (r14: the
+      // first cut used 2x and left 145 of 357 shared queries still
+      // reading inflated after reruns — the 79 reruns it did pick cost
+      // only 69 s, so the tighter net is affordable)
       val inflated = minOfPasses.toSeq
-        .filter { case (n, v) => records.get(n).exists(f => v > f * 2.0 + 0.1) }
+        .filter { case (n, v) => records.get(n).exists(f => v > f * 1.5 + 0.1) }
         .sortBy { case (n, v) => -(v - records(n)) }
       rerunCand = inflated.size
       if (inflated.nonEmpty && elapsed < budgetSec) {
-        System.err.println(s"[bench] ${inflated.size} queries read >2x " +
-          s"their floor — targeted reruns while budget lasts")
+        System.err.println(s"[bench] ${inflated.size} queries read over " +
+          s"their 1.5x-floor bound — targeted reruns while budget lasts")
         resetMemos()
         inflated.foreach { case (name, _) =>
           if (elapsed < budgetSec) {
