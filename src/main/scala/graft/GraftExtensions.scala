@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inert unless spark.graft.mv.rewrite.enabled=true (EXACT rollup
     // rewrite of aggregates onto a registered MV — see MvRollupRewrite)
     ext.injectOptimizerRule(_ => graft.plans.MvRollupRewrite)
+    // inert unless spark.graft.aggpush.enabled=true (EXACT eager
+    // aggregation — partial-aggregate pushdown below inner equi-joins)
+    ext.injectOptimizerRule(_ => graft.plans.AggPushdownRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -285,7 +288,7 @@ object GraftExtensions {
     val rules = Seq(graft.plans.LevenshteinGuard, graft.plans.CosineLshRewrite,
       graft.plans.JaccardLshRewrite, graft.plans.RangeBucketRewrite,
       graft.plans.SpatialGridRewrite, graft.plans.MvRollupRewrite,
-      graft.plans.JoinEliminationRewrite)
+      graft.plans.JoinEliminationRewrite, graft.plans.AggPushdownRewrite)
     val current = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       current ++ rules.filterNot(current.contains)

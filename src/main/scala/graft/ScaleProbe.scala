@@ -713,7 +713,11 @@ object ScaleProbe {
       // drained commit folds O(changed files' rows) map-side into a
       // |buckets|-row merge — maintenance must track the commits, never
       // re-scan the table
-      "sink_cdc_mv")
+      "sink_cdc_mv",
+      // eager aggregation (r14): the rewritten join probes |customers|
+      // fk partials instead of |orders| facts — wall must track the
+      // fact scan + map-side partial, with the join side key-spaced
+      "join_aggpush_autorewrite")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

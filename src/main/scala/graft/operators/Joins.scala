@@ -532,6 +532,42 @@ object Joins extends OpModule {
     Tables.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey")).distinct()
 
+  /** EAGER AGGREGATION demonstrator — partial-aggregate pushdown below
+    * the join (plans/AggPushdownRewrite; Yan–Larson group-by pushdown):
+    * revenue-by-nation spelled the naive way — join every order to its
+    * customer, then collapse — re-plans with the fact side
+    * pre-aggregated by o_custkey, so the join probes |customers|
+    * partial rows instead of |orders| facts (~10× here, often 1000× on
+    * clickstream→user shapes; at 100 TB the difference between
+    * shuffling the corpus and shuffling its key space). Sound
+    * unconditionally for sum/count/min/max on any inner equi-join — no
+    * RELY declaration needed, unlike the elimination twin. The spec
+    * pins the plan shape (an aggregate BELOW the join) and
+    * rule-off-equal results; the oracle replays the naive join. */
+  def joinAggpushAutorewrite(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
+    graft.GraftExtensions.installOptimizations(s)
+    s.conf.set(graft.plans.AggPushdownRewrite.Flag, "true")
+    joinAggpushQuery(s, d)
+  }
+
+  /** The naive spelling (the spec runs it rule-off for the control):
+    * the cents projection sits below the join so the aggregate inputs
+    * are plain fact-side attributes. */
+  private[graft] def joinAggpushQuery(s: SparkSession,
+                                      d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_sum"),
+        min(col("cents")).as("cents_min"), max(col("cents")).as("cents_max"))
+
   /** The naive spelling, on whatever session it is given (the spec
     * runs it rule-off for the control). */
   private[graft] def joinEliminateQuery(s: SparkSession,
@@ -1135,6 +1171,7 @@ object Joins extends OpModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_cbo_reorder" -> joinCboReorder _,
+    "join_aggpush_autorewrite" -> joinAggpushAutorewrite _,
     "join_spatial_radius" -> joinSpatialRadius _,
     "join_spatial_autorewrite" -> joinSpatialAutorewrite _,
     "join_spatial_knn" -> joinSpatialKnn _,
@@ -1209,6 +1246,16 @@ object Joins extends OpModule {
 
   def oracle: Map[String, String] = Map(
     // reorder changes plan shape, never results
+    "join_aggpush_autorewrite" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_min,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_max
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
     "join_cbo_reorder" ->
       """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(l.l_extendedprice), 4) AS revenue

@@ -1070,6 +1070,84 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(twice.fastEquals(once), "rule must be a fixed point")
   }
 
+  test("AggPushdownRewrite: partial aggregate lands below the join, results rule-off equal, bails hold") {
+    import org.apache.spark.sql.functions.{avg, col, count, expr, lit, sum}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    GraftExtensions.installOptimizations(s)
+    s.conf.set(graft.plans.AggPushdownRewrite.Flag, "true")
+    val df = graft.operators.Joins.joinAggpushQuery(s, sf)
+    val opt = df.queryExecution.optimizedPlan
+    // shape: an aggregate sits BELOW the join (the pushed partial),
+    // keyed on the fact join key, and the outer aggregate survives
+    val joins = opt.collect { case j: LJoin => j }
+    assert(joins.size == 1, s"expected one join, got ${joins.size}")
+    val partial = joins.head.children.flatMap(_.collect {
+      case a: LAgg => a
+    })
+    assert(partial.nonEmpty, "the partial aggregate must sit below the join")
+    assert(partial.head.groupingExpressions.map(_.asInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.AttributeReference].name) ==
+      Seq("o_custkey"), "partial keyed on the fact join key")
+    assert(opt.collect { case a: LAgg => a }.size >= 2,
+      "outer aggregate + pushed partial")
+    // idempotence: re-applying the rule is a fixed point
+    assert(graft.plans.AggPushdownRewrite(opt).fastEquals(opt))
+    // the join probes |customers| partials, not |orders| facts
+    df.collect()
+    val aggs = collectFinal(df) {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    val nCust = graft.Tables.customer(s, sf).count()
+    val nOrders = graft.Tables.orders(s, sf).count()
+    val partialRows = aggs.map(_.metrics("numOutputRows").value)
+      .filter(v => v > 0 && v <= nCust * 2)
+    assert(partialRows.nonEmpty && partialRows.min < nOrders / 2,
+      s"join input must shrink toward the key space: $partialRows vs $nOrders")
+    // results are rule-off equal
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val got = df.collect().map(key).toSet
+    val ctrl = graft.operators.Joins.joinAggpushQuery(spark, sf)
+      .collect().map(key).toSet
+    assert(got == ctrl && got.nonEmpty)
+    // registered demonstrator agrees
+    assert(graft.operators.Joins.joinAggpushAutorewrite(spark, sf)
+      .collect().map(key).toSet == ctrl)
+    // bail: avg is not decomposable this way — the plan keeps the
+    // single aggregate above the join (no partial below)
+    val avgQ = graft.Tables.orders(s, sf)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(graft.Tables.customer(s, sf)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(avg(col("o_totalprice")).as("m"))
+    val avgJoins = avgQ.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j
+    }
+    assert(avgJoins.nonEmpty &&
+      avgJoins.head.children.flatMap(_.collect { case a: LAgg => a }).isEmpty,
+      "avg must bail — no partial below the join")
+    // bail: a fact-side grouping key that is not the fk keeps the plan
+    val factKeyQ = graft.Tables.orders(s, sf)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(graft.Tables.customer(s, sf)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("cents")).as("cs"), count(lit(1)).as("n"))
+    val fkJoins = factKeyQ.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j
+    }
+    assert(fkJoins.nonEmpty &&
+      fkJoins.head.children.flatMap(_.collect { case a: LAgg => a }).isEmpty,
+      "a non-fk fact grouping key must bail")
+  }
+
   test("JoinEliminationRewrite distinct: unique-key DISTINCT drops its shuffle, exactly") {
     import org.apache.spark.sql.functions.col
     val s = spark.newSession()
