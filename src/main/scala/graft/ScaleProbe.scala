@@ -717,7 +717,12 @@ object ScaleProbe {
       // eager aggregation (r14): the rewritten join probes |customers|
       // fk partials instead of |orders| facts — wall must track the
       // fact scan + map-side partial, with the join side key-spaced
-      "join_aggpush_autorewrite")
+      "join_aggpush_autorewrite",
+      // IVF rebalance (r14): candidates from a |K|-row size aggregate;
+      // each split touches only its own cell's members (two broadcast-
+      // seed passes over ~|cell| rows) — cost is the split cells' mass,
+      // never the index
+      "llm_ann_ivf_rebalance")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -720,6 +720,73 @@ object LlmScale extends OpModule {
         col("n_base"), col("n_cell_delta"))
   }
 
+  // ── llm_ann_ivf_rebalance ─────────────────────────────────────────────
+
+  /** IVF CELL-SPLIT REBALANCE — the third leg of the vector-index
+    * maintenance triad (incremental ASSIGN routes new vectors into
+    * cells; the graph op GRAFTS; this op handles the consequence:
+    * cells that grow hot under ingest serve ever-larger candidate
+    * lists, eroding the nprobe·(N/K) bound — FAISS/Milvus rebalance by
+    * splitting them). The heaviest 3 cells of the POST-INGEST
+    * assignment (base inverted file ∪ the incremental shard's
+    * assignments, (size desc, cid) total order) each split by a
+    * deterministic local 2-means seeding: seed A = the cell's min
+    * vec_id, seed B = the member farthest from A ((dist desc, id)
+    * argmax — the classic farthest-point heuristic), members route to
+    * the nearer seed (ties to A). All distances exact BIGINT on the
+    * shared lattice, so DuckDB replays the identical split. Output:
+    * per (cell, subcell) membership audit (n, key checksum, parent
+    * size) — the artifact a rebalance job commits beside the updated
+    * centroids.
+    *
+    * At 100 TB: candidate cells come from a |K|-row size aggregate
+    * (driver-bounded); each split touches ONLY its own cell's members
+    * (two broadcast-seed distance passes over ~|cell| rows) — the
+    * rebalance cost is O(split cells' mass), never an index rebuild,
+    * and the lloyd/ingest work rides the memo. */
+  def annIvfRebalance(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (qv, _, a2, _) = lloyd(s, d)
+    val deltaVec = qv.where(col("vec_id") % 17 === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(qv, (x, i) -> x + IF(i = 0, 1000L, 0L))").as("qv"))
+    val allVec = qv.unionByName(deltaVec)
+    val members = a2.select(col("vec_id"), col("cluster"))
+      .unionByName(annIvfIncremental(s, d)
+        .select(col("new_id").as("vec_id"), col("cluster")))
+    val top3 = members.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_parent"))
+      .orderBy(col("n_parent").desc, col("cluster").asc).limit(3)
+    val tm = MemoUtil.scratch(members.join(broadcast(top3), "cluster")
+      .join(allVec, "vec_id")
+      .select(col("cluster"), col("vec_id"), col("qv"), col("n_parent"))
+      .localCheckpoint())
+    val seedA = tm.groupBy(col("cluster")).agg(min(col("vec_id")).as("a_id"))
+    val dA = MemoUtil.scratch(tm.join(broadcast(seedA), "cluster")
+      .join(allVec.select(col("vec_id").as("a_id"), col("qv").as("av")),
+        "a_id")
+      .select(col("cluster"), col("vec_id"), col("qv"), col("n_parent"),
+        expr("squared_distance(qv, av)").as("d_a"))
+      .localCheckpoint())
+    val wB = Window.partitionBy(col("cluster"))
+      .orderBy(col("d_a").desc, col("vec_id").asc)
+    val seedB = dA.withColumn("rn", row_number().over(wB))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col("vec_id").as("b_id"))
+    dA.join(broadcast(seedB), "cluster")
+      .join(allVec.select(col("vec_id").as("b_id"), col("qv").as("bv")),
+        "b_id")
+      .select(col("cluster"), col("vec_id"), col("n_parent"), col("d_a"),
+        expr("squared_distance(qv, bv)").as("d_b"))
+      .withColumn("subcell",
+        when(col("d_a") <= col("d_b"), lit(0)).otherwise(lit(1)))
+      .groupBy(col("cluster"), col("subcell"), col("n_parent"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id")).cast("bigint").as("key_sum"))
+      .select(col("cluster"), col("subcell"), col("n_members"),
+        col("key_sum"), col("n_parent"))
+  }
+
   // ── llm_ann_recall ────────────────────────────────────────────────────
 
   /** ANN quality evaluation as a first-class operator: recall@3 of the
@@ -2724,6 +2791,7 @@ object LlmScale extends OpModule {
     "llm_tfidf" -> tfidf _,
     "llm_ann_ivf_kmeans" -> annIvfKmeans _,
     "llm_ann_ivf_incremental" -> annIvfIncremental _,
+    "llm_ann_ivf_rebalance" -> annIvfRebalance _,
     "llm_gram_matrix" -> gramMatrix _,
     "llm_dedup_substring" -> dedupSubstring _,
     "llm_ann_recall" -> annRecall _,
@@ -3673,6 +3741,66 @@ object LlmScale extends OpModule {
         |  CAST(count(*) OVER (PARTITION BY a.cluster) AS BIGINT)
         |    AS n_cell_delta
         |FROM asg a JOIN nb USING (cluster)""".stripMargin),
+    "llm_ann_ivf_rebalance" ->
+      (lloydCtes + annIvfCtes + """,
+        |delta AS MATERIALIZED (
+        |  SELECT vec_id + 1000000 AS new_id, dim,
+        |    q + CASE WHEN dim = 0 THEN 1000 ELSE 0 END AS q
+        |  FROM dims WHERE vec_id % 17 = 3),
+        |dcent AS (
+        |  SELECT delta.new_id, c2.cluster,
+        |    CAST(sum((delta.q - c2.c) * (delta.q - c2.c)) AS BIGINT)
+        |      AS cdist
+        |  FROM delta JOIN c2 USING (dim) GROUP BY 1, 2),
+        |asg AS MATERIALIZED (
+        |  SELECT new_id, cluster FROM (
+        |    SELECT new_id, cluster, row_number() OVER (
+        |      PARTITION BY new_id ORDER BY cdist ASC, cluster ASC) AS rn
+        |    FROM dcent) WHERE rn = 1),
+        |mem AS MATERIALIZED (
+        |  SELECT vec_id, cluster FROM a2
+        |  UNION ALL SELECT new_id, cluster FROM asg),
+        |szs AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_parent
+        |  FROM mem GROUP BY 1),
+        |top3 AS (
+        |  SELECT cluster, n_parent FROM (
+        |    SELECT cluster, n_parent, row_number() OVER (
+        |      ORDER BY n_parent DESC, cluster ASC) AS rn
+        |    FROM szs) WHERE rn <= 3),
+        |alldim AS MATERIALIZED (
+        |  SELECT vec_id, dim, q FROM dims
+        |  UNION ALL SELECT new_id, dim, q FROM delta),
+        |tm AS MATERIALIZED (
+        |  SELECT m.vec_id, m.cluster, t.n_parent
+        |  FROM mem m JOIN top3 t USING (cluster)),
+        |sa AS (SELECT cluster, min(vec_id) AS a_id FROM tm GROUP BY 1),
+        |da AS MATERIALIZED (
+        |  SELECT t.cluster, t.vec_id,
+        |    CAST(sum((x.q - a.q) * (x.q - a.q)) AS BIGINT) AS d_a
+        |  FROM tm t JOIN sa s USING (cluster)
+        |  JOIN alldim x ON x.vec_id = t.vec_id
+        |  JOIN alldim a ON a.vec_id = s.a_id AND a.dim = x.dim
+        |  GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT cluster, vec_id AS b_id FROM (
+        |    SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY d_a DESC, vec_id ASC) AS rn FROM da) WHERE rn = 1),
+        |db AS MATERIALIZED (
+        |  SELECT t.cluster, t.vec_id,
+        |    CAST(sum((x.q - b.q) * (x.q - b.q)) AS BIGINT) AS d_b
+        |  FROM tm t JOIN sb s USING (cluster)
+        |  JOIN alldim x ON x.vec_id = t.vec_id
+        |  JOIN alldim b ON b.vec_id = s.b_id AND b.dim = x.dim
+        |  GROUP BY 1, 2)
+        |SELECT t.cluster,
+        |  CASE WHEN da.d_a <= db.d_b THEN 0 ELSE 1 END AS subcell,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(t.vec_id) AS BIGINT) AS key_sum, t.n_parent
+        |FROM tm t
+        |JOIN da ON da.cluster = t.cluster AND da.vec_id = t.vec_id
+        |JOIN db ON db.cluster = t.cluster AND db.vec_id = t.vec_id
+        |GROUP BY 1, 2, 5""".stripMargin),
     "llm_ann_recall_sweep" ->
       (lloydCtes + annIvfCtes + """,
         |prk AS (

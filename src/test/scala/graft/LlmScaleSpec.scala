@@ -1095,6 +1095,35 @@ class LlmScaleSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_rebalance: top-3 post-ingest cells split completely into two non-empty subcells") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.LlmScale.annIvfRebalance(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byCluster = rows.groupBy(_._1)
+    assert(byCluster.size == 3, s"exactly 3 cells split: ${byCluster.keys}")
+    byCluster.foreach { case (c, rs) =>
+      // both subcells present and non-empty; membership conserved
+      assert(rs.map(_._2).sorted.toSeq == Seq(0, 1), s"cell $c subcells")
+      assert(rs.map(_._3).sum == rs.head._5,
+        s"cell $c: subcell sizes must sum to the parent size")
+      assert(rs.forall(_._3 > 0), s"cell $c: no empty subcell")
+    }
+    // the chosen cells are the POST-INGEST heaviest three ((size desc,
+    // cid) order) — recomputed locally from the base + delta assignment
+    val (_, _, a2, _) = operators.LlmScale.lloyd(spark, sf)
+    val base = a2.groupBy(col("cluster")).count().collect()
+      .map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("count")).toMap
+    val delta = operators.LlmScale.annIvfIncremental(spark, sf)
+      .groupBy(col("cluster")).count().collect()
+      .map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("count")).toMap
+    val sizes = (base.keySet ++ delta.keySet).map(c =>
+      c -> (base.getOrElse(c, 0L) + delta.getOrElse(c, 0L))).toSeq
+    val want = sizes.sortBy { case (c, n) => (-n, c) }.take(3).map(_._1).toSet
+    assert(byCluster.keySet == want,
+      s"split set ${byCluster.keySet} must be the heaviest three $want")
+  }
+
   test("ann_graph_incremental: 4 real attachments per new node, never worse than a direct entry hop") {
     import org.apache.spark.sql.functions.col
     val (_, _, qv) = operators.LlmScale.annGraphAdjacency(spark, sf)
