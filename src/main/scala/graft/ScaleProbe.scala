@@ -722,7 +722,11 @@ object ScaleProbe {
       // each split touches only its own cell's members (two broadcast-
       // seed passes over ~|cell| rows) — cost is the split cells' mass,
       // never the index
-      "llm_ann_ivf_rebalance")
+      "llm_ann_ivf_rebalance",
+      // calibration (r14): rides the memoized (features, weights);
+      // marginal cost is one margin pass + a 16-row bin aggregate —
+      // corpus-linear like the classifier family
+      "llm_quality_calibration")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

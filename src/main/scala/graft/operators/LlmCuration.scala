@@ -273,6 +273,35 @@ object LlmCuration extends OpModule {
     * scoring is the one broadcast-join margin pass over the memoized
     * feature table (no re-training — the trained weight table is the
     * shared 65-row broadcast), the funnel a |langs|-row aggregate. */
+  /** CLASSIFIER CALIBRATION — the reliability table a model gate ships
+    * with (the sklearn calibration_curve / reliability-diagram audit):
+    * per score bin, how often does the teacher rule actually keep? A
+    * well-ordered model shows keep-rate rising with margin; a flat
+    * curve means the gate's threshold is arbitrary. Binning is
+    * SCALE-FREE and sign-safe: margins shift by the corpus minimum
+    * (non-negative, so truncating and flooring division agree — the
+    * Spark-div-vs-DuckDB-// trap), then split into 16 equal-width
+    * integer bins from a 1-row (min, width) broadcast. Rides the
+    * memoized (features, weights); marginal cost is one margin pass +
+    * a ≤16-row aggregate. Output: (bin, n_docs, n_keep, keep_bp,
+    * lo/hi margin bounds). */
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    val (feats, wT) = clfTrained(s, d)
+    val mf = clfMargins(feats, wT)
+    val bs = mf.agg(min(col("margin")).as("mn"), max(col("margin")).as("mx"))
+      .select(col("mn"),
+        expr("greatest(1L, (mx - mn) DIV 16 + 1)").as("bw"))
+    mf.crossJoin(broadcast(bs))
+      .select(col("y"), col("margin"),
+        least(lit(15L), expr("(margin - mn) DIV bw")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_keep"),
+        min(col("margin")).as("margin_lo"),
+        max(col("margin")).as("margin_hi"))
+      .withColumn("keep_bp", expr("n_keep * 10000L div n_docs"))
+  }
+
   def qualityGate(s: SparkSession, d: String): DataFrame = {
     val (feats, wT) = clfTrained(s, d)
     val scored = clfMargins(feats, wT)
@@ -1319,6 +1348,7 @@ object LlmCuration extends OpModule {
     "llm_chunk" -> chunk _,
     "llm_pii_scrub" -> piiScrub _,
     "llm_quality_classifier" -> qualityClassifier _,
+    "llm_quality_calibration" -> qualityCalibration _,
     "llm_quality_gate" -> qualityGate _,
     "llm_quality_holdout" -> qualityHoldout _,
     "llm_uncertainty_sample" -> uncertaintySample _,
@@ -1438,6 +1468,35 @@ object LlmCuration extends OpModule {
          |  CAST(min(green_bp) AS BIGINT) AS min_bp,
          |  CAST(max(green_bp) AS BIGINT) AS max_bp
          |FROM b GROUP BY 1""".stripMargin,
+    "llm_quality_calibration" ->
+      (clfFeatsCtes +
+        """w1 AS MATERIALIZED (
+          |  SELECT fid, CAST(sum(y * cnt) AS BIGINT) AS w
+          |  FROM feats GROUP BY 1),
+          |""".stripMargin
+        + clfRoundCtes(1) + ",\n" + clfRoundCtes(2) + ",\n" + clfRoundCtes(3)
+        + """,
+          |mf AS MATERIALIZED (
+          |  SELECT f.doc_id, f.y,
+          |    CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS margin
+          |  FROM feats f LEFT JOIN w4 w USING (fid) GROUP BY 1, 2),
+          |bs AS (
+          |  SELECT min(margin) AS mn,
+          |    greatest(1, (max(margin) - min(margin)) // 16 + 1) AS bw
+          |  FROM mf),
+          |binned AS (
+          |  SELECT least(15, (m.margin - b.mn) // b.bw) AS bin,
+          |    m.y, m.margin
+          |  FROM mf m CROSS JOIN bs b)
+          |SELECT CAST(bin AS BIGINT) AS bin,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_keep,
+          |  CAST(min(margin) AS BIGINT) AS margin_lo,
+          |  CAST(max(margin) AS BIGINT) AS margin_hi,
+          |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+          |    AS BIGINT) AS keep_bp
+          |FROM binned GROUP BY 1""".stripMargin),
     "llm_quality_classifier" ->
       (clfFeatsCtes +
         """w1 AS MATERIALIZED (

@@ -609,6 +609,32 @@ class LlmCurationSpec extends SparkSpec {
     }
   }
 
+  test("quality_calibration: bins partition the corpus, keep rate rises from bottom to top") {
+    import org.apache.spark.sql.functions.col
+    val rows = LlmCuration.qualityCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 <= 15))
+    // every doc lands in exactly one bin
+    val nDocs = LlmCuration.qualityClassifier(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs, "bins must partition the corpus")
+    rows.foreach { case (_, n, k, lo, hi, bp) =>
+      assert(k <= n && bp == k * 10000 / n, "exact bp rate per bin")
+      assert(lo <= hi, "margin bounds ordered")
+    }
+    // bin margin ranges are disjoint and ordered
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4,
+        s"bin ${a._1} hi ${a._5} must sit below bin ${b._1} lo ${b._4}")
+      case _ =>
+    }
+    // the reliability property: the top-margin bin keeps more often
+    // than the bottom one (a flat curve would mean the gate's margin
+    // carries no signal)
+    assert(rows.last._6 > rows.head._6,
+      s"keep rate must rise with margin: ${rows.head._6} .. ${rows.last._6}")
+  }
+
   test("llm_watermark_detect: planted greenlist text flags; natural text never does") {
     // the generator must have achieved the all-green property it aims
     // for (16 candidates per step; failure would still flag at 9843 bp)

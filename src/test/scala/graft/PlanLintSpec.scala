@@ -88,6 +88,9 @@ class PlanLintSpec extends SparkSpec {
     // retrieval metrics (r13): the truth pass carries the same bounded
     // 10-query broadcast side as every recall row
     "llm_retrieval_metrics",
+    // calibration (r14): the (min, width) bin statistic is a 1-row
+    // broadcast over the margin table — constant at any corpus size
+    "llm_quality_calibration",
     // row lineage (r13): the readout assembles FOUR 1-row aggregates
     // (v2 summary × v1 rowid mass × row-CDC verdict × key-CDC counts)
     // via crossJoin — every side is exactly one row at any data size
