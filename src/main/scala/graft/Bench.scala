@@ -105,45 +105,6 @@ object Bench {
     // moment the suite's cold time crossed budget/2 — tripling the
     // reported total without any query actually regressing. For the
     // cold->warm transition specifically, expect at least a 2x drop.
-    val all = scala.collection.mutable.ArrayBuffer(first)
-    def resetMemos(): Unit = {
-      graft.operators.LlmScale.resetLloydMemo()
-      graft.operators.Analytics.resetGraphMemo()
-      graft.operators.LlmOps.resetNearMemo()
-      graft.operators.Retrieval.resetFusedMemo()
-      graft.operators.LlmCuration.resetClfMemo()
-      // intra-op lineage-cut checkpoints registered during the pass:
-      // nothing is in flight between passes, so their blocks free now
-      graft.operators.MemoUtil.dropScratch()
-    }
-    var nextEstimate = firstWall / 2.0
-    while (all.size < passes && elapsed + nextEstimate < budgetSec) {
-      resetMemos()
-      val (r, wall) = timedPass()
-      all += r
-      nextEstimate = wall
-      System.err.println(
-        s"[bench] pass ${all.size}: ${fmt0(wall)} s wall, elapsed ${fmt0(elapsed)} s")
-    }
-    val minOfPasses: Map[String, Double] =
-      first.keys.map(n => n -> all.map(_(n)).min).toMap
-
-    // Locale.ROOT: f"" uses the JVM default locale — a comma decimal
-    // separator (e.g. de_DE) would make the JSON line unparseable.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // The harness records only the LAST ~2000 chars of stdout, and sbt
-    // appends a "[success] ..." line after us — so the single JSON metric
-    // line must stay well under that window or its head gets truncated
-    // and never parses. List the slowest queries until the budget fills
-    // and roll the remainder into "other"; the complete per-query map
-    // goes to a local file instead.
-    // Round-of-record floors (bench_records.json, committed): the
-    // per-query MINs of the best clean run recorded so far. SCALE.md
-    // names the comparable figure in prose each round; carrying the
-    // floors IN the artifact lets env inflation be machine-flagged —
-    // a query > 1.5x its floor (+0.1 s slack) on unchanged code is VM
-    // noise/contention, not a regression (r9/r10 advice, now closed).
     val (records: Map[String, Double], recordRound: String) = {
       val p = java.nio.file.Paths.get("bench_records.json")
       if (java.nio.file.Files.exists(p)) {
@@ -182,6 +143,61 @@ object Bench {
         }
       } else (Map.empty[String, Double], "none")
     }
+
+    val all = scala.collection.mutable.ArrayBuffer(first)
+    def resetMemos(): Unit = {
+      graft.operators.LlmScale.resetLloydMemo()
+      graft.operators.Analytics.resetGraphMemo()
+      graft.operators.LlmOps.resetNearMemo()
+      graft.operators.Retrieval.resetFusedMemo()
+      graft.operators.LlmCuration.resetClfMemo()
+      // intra-op lineage-cut checkpoints registered during the pass:
+      // nothing is in flight between passes, so their blocks free now
+      graft.operators.MemoUtil.dropScratch()
+    }
+    var nextEstimate = firstWall / 2.0
+    // In a degraded window a full warm pass costs ~90% of cold and
+    // recovers little (r14: 386 s cold + 358 s pass-2 left no budget for
+    // the targeted reruns, which fix the same queries at ~1 s each).
+    // When the cold pass reads heavily inflated vs the floors, skip the
+    // full-pass repeats and let the rerun stage spend the budget.
+    val coldShared = first.keySet & records.keySet
+    val coldInflated = records.nonEmpty && coldShared.nonEmpty && {
+      val r = coldShared.toSeq.map(first).sum /
+        math.max(1e-9, coldShared.toSeq.map(records).sum)
+      r > 1.3
+    }
+    if (coldInflated)
+      System.err.println("[bench] cold pass reads >1.3x the floors — " +
+        "skipping full repeats in favor of targeted reruns")
+    while (all.size < passes && elapsed + nextEstimate < budgetSec &&
+        !coldInflated) {
+      resetMemos()
+      val (r, wall) = timedPass()
+      all += r
+      nextEstimate = wall
+      System.err.println(
+        s"[bench] pass ${all.size}: ${fmt0(wall)} s wall, elapsed ${fmt0(elapsed)} s")
+    }
+    val minOfPasses: Map[String, Double] =
+      first.keys.map(n => n -> all.map(_(n)).min).toMap
+
+    // Locale.ROOT: f"" uses the JVM default locale — a comma decimal
+    // separator (e.g. de_DE) would make the JSON line unparseable.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // The harness records only the LAST ~2000 chars of stdout, and sbt
+    // appends a "[success] ..." line after us — so the single JSON metric
+    // line must stay well under that window or its head gets truncated
+    // and never parses. List the slowest queries until the budget fills
+    // and roll the remainder into "other"; the complete per-query map
+    // goes to a local file instead.
+    // Round-of-record floors (bench_records.json, committed): the
+    // per-query MINs of the best clean run recorded so far. SCALE.md
+    // names the comparable figure in prose each round; carrying the
+    // floors IN the artifact lets env inflation be machine-flagged —
+    // a query > 1.5x its floor (+0.1 s slack) on unchanged code is VM
+    // noise/contention, not a regression (r9/r10 advice, now closed).
     // Targeted anti-trough reruns (VERDICT r13 task 5): a degraded VM
     // window can inflate a whole cold pass past budget/2, silently
     // collapsing min-of-3 to ONE trough reading (r13: 124 queries at
