@@ -637,8 +637,7 @@ object StreamIO extends OpModule {
       .groupBy(bucket)
       .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"))
       .write.mode("overwrite").parquet(s"$mvDir/gen_boot")
-    java.nio.file.Files.write(java.nio.file.Paths.get(mvDir, "_HEAD"),
-      "gen_boot".getBytes("UTF-8"))
+    Scans.atomicWrite(java.nio.file.Paths.get(mvDir, "_HEAD"), "gen_boot")
     def head(): String = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(mvDir, "_HEAD")), "UTF-8").trim
     val q = s.readStream.format("graft-manifest-cdc")
@@ -661,11 +660,10 @@ object StreamIO extends OpModule {
                 coalesce(col("dc"), lit(0L))).as("cents"))
             .where(col("n_rows") > 0)
             .write.mode("overwrite").parquet(s"$mvDir/$gen")
-          // the pointer flip is the commit (atomic rename like the
-          // lakehouse HEADs); a replayed batch sees its _SUCCESS and
-          // skips — idempotent
-          java.nio.file.Files.write(java.nio.file.Paths.get(mvDir, "_HEAD"),
-            gen.getBytes("UTF-8"))
+          // the pointer flip is the commit (tmp + ATOMIC_MOVE like the
+          // lakehouse HEADs — a torn pointer must be impossible); a
+          // replayed batch sees its _SUCCESS and skips — idempotent
+          Scans.atomicWrite(java.nio.file.Paths.get(mvDir, "_HEAD"), gen)
         }
         ()
       }
