@@ -217,24 +217,53 @@ object Bench {
       // first cut used 2x and left 145 of 357 shared queries still
       // reading inflated after reruns — the 79 reruns it did pick cost
       // only 69 s, so the tighter net is affordable)
-      val inflated = minOfPasses.toSeq
-        .filter { case (n, v) => records.get(n).exists(f => v > f * 1.5 + 0.1) }
-        .sortBy { case (n, v) => -(v - records(n)) }
-      rerunCand = inflated.size
-      if (inflated.nonEmpty && elapsed < budgetSec) {
-        System.err.println(s"[bench] ${inflated.size} queries read over " +
-          s"their 1.5x-floor bound — targeted reruns while budget lasts")
+      def curVal(n: String, v: Double) = math.min(v, rerun.getOrElse(n, v))
+      def stillInflated = minOfPasses.toSeq.filter { case (n, v) =>
+        records.get(n).exists(f => curVal(n, v) > f * 1.5 + 0.1)
+      }
+      var candidates = stillInflated
+      rerunCand = candidates.size
+      // up to TWO waves (VERDICT r14 task 8): a first wave interrupted
+      // by a transient stall leaves recoverable inflation on the table;
+      // the second wave re-picks only what is STILL over its bound.
+      // Within a wave, order by (wall - floor) / floor — recovery per
+      // floor-second of rerun cost — so a budget cutoff keeps the
+      // highest-yield reruns, not merely the largest absolute ones
+      // (a 30 s query 2x its floor costs 30 s to recover 30 s; ten 1 s
+      // queries at 10x their floors recover 90 s for the same spend).
+      var wave = 0
+      while (wave < 2 && candidates.nonEmpty && elapsed < budgetSec) {
+        val order = candidates.sortBy { case (n, v) =>
+          -((curVal(n, v) - records(n)) / math.max(records(n), 0.05))
+        }
+        System.err.println(s"[bench] wave ${wave + 1}: ${order.size} " +
+          "queries read over their 1.5x-floor bound — targeted reruns " +
+          "while budget lasts")
         resetMemos()
-        inflated.foreach { case (name, _) =>
+        order.foreach { case (name, _) =>
           if (elapsed < budgetSec) {
             val t0 = System.nanoTime()
-            try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-            catch { case _: Throwable => () }
+            // record ONLY completed reruns (ADVICE r14): a fast-failing
+            // query would otherwise log a spuriously small wall that can
+            // undercut its floor and corrupt the artifact
+            val completed =
+              try {
+                SparkEntry.queries(name)(spark, sfDir)
+                  .queryExecution.toRdd.count(); true
+              } catch { case _: Throwable => false }
             graft.operators.MemoUtil.dropScratch()
-            rerun(name) = (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (completed)
+              rerun(name) = math.min(rerun.getOrElse(name, Double.MaxValue), dt)
+            else
+              System.err.println(s"[bench] rerun of $name FAILED after " +
+                s"${fmt0(dt)} s — not recorded")
           }
         }
-        System.err.println(s"[bench] reran ${rerun.size}/${inflated.size}, " +
+        wave += 1
+        candidates = stillInflated
+        System.err.println(s"[bench] after wave $wave: ${rerun.size} " +
+          s"recorded, ${candidates.size} still inflated, " +
           s"elapsed ${fmt0(elapsed)} s")
       }
     }

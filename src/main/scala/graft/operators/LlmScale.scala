@@ -693,28 +693,53 @@ object LlmScale extends OpModule {
     * here carries), the growth audit is one map-side-combined count
     * over the persisted assignment; nothing rescans or reshuffles the
     * indexed corpus. */
-  def annIvfIncremental(s: SparkSession, d: String): DataFrame = {
-    graft.GraftExtensions.register(s)
-    val (qv, _, a2, c2) = lloyd(s, d)
-    // the persisted artifact: K centroid arrays (checkpointed on the
-    // memo lifecycle — the "index on disk") + the inverted file
-    val (cent, invFile) = MemoUtil.memoize(ivfIndexMemo, (s, d))(
+  /** The persisted IVF artifact: K centroid arrays (checkpointed on
+    * the memo lifecycle — the "index on disk") + the inverted file.
+    * Shared by every maintenance/serving op so the index is built
+    * once per session. */
+  private def ivfIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val (_, _, a2, c2) = lloyd(s, d)
+    MemoUtil.memoize(ivfIndexMemo, (s, d))(
       (centroidArrays(c2).select(col("cid").as("cluster"), col("cv"))
         .localCheckpoint(), a2))
-    val delta = qv.where(col("vec_id") % 17 === 3)
+  }
+
+  /** The deterministic synthetic delta shard every maintenance op
+    * ingests (DuckDB replays it): vec_id ≡ 3 (mod 17) re-arrives as
+    * id + 10⁶ nudged +1000 lattice units on dim 0 — near its source
+    * but not identical, so the routing is real. */
+  private def ivfDeltaShard(qv: DataFrame): DataFrame =
+    qv.where(col("vec_id") % 17 === 3)
       .select((col("vec_id") + lit(1000000L)).as("new_id"),
         expr("transform(qv, (x, i) -> x + IF(i = 0, 1000L, 0L))").as("dv"))
+
+  /** One O(|delta|·K) broadcast assignment of a delta shard against
+    * the persisted centroids — the no-retrain ingest pass. */
+  private def ivfDeltaAssign(delta: DataFrame,
+                             cent: DataFrame): DataFrame = {
     val wA = Window.partitionBy(col("new_id"))
       .orderBy(col("cdist").asc, col("cluster").asc)
-    val asg = delta.crossJoin(broadcast(cent))
+    delta.crossJoin(broadcast(cent))
       .select(col("new_id"), col("cluster"),
         expr("squared_distance(dv, cv)").as("cdist"))
       .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
       .select(col("new_id"), col("cluster"), col("cdist"))
+  }
+
+  def annIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (qv, _, _, _) = lloyd(s, d)
+    val (cent, invFile) = ivfIndex(s, d)
+    val asg = ivfDeltaAssign(ivfDeltaShard(qv), cent)
     val base = invFile.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_base"))
     val grown = Window.partitionBy(col("cluster"))
-    asg.join(base, "cluster")
+    // LEFT join + coalesce (ADVICE r14): a delta vector routed to a
+    // cluster with zero base members must still appear in the ingest
+    // audit (n_base 0), not silently vanish from it
+    asg.join(base, Seq("cluster"), "left")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
       .withColumn("n_cell_delta", count(lit(1)).over(grown))
       .select(col("new_id"), col("cluster"), col("cdist"),
         col("n_base"), col("n_cell_delta"))
@@ -744,12 +769,21 @@ object LlmScale extends OpModule {
     * (two broadcast-seed distance passes over ~|cell| rows) — the
     * rebalance cost is O(split cells' mass), never an index rebuild,
     * and the lloyd/ingest work rides the memo. */
-  def annIvfRebalance(s: SparkSession, d: String): DataFrame = {
+  /** The shared split machinery behind the rebalance pair: grown
+    * corpus + membership (base ∪ incremental shard), the 3 heaviest
+    * post-ingest cells, their farthest-point 2-means seeds, and every
+    * split member ROUTED to its nearer seed. Returns
+    * (allVec(vec_id, qv), members(vec_id, cluster),
+    *  seeds(cluster, a_id, b_id),
+    *  routed(cluster, vec_id, n_parent, subcell)) — routed and seeds
+    * checkpointed (multi-reader: the audit aggregate AND the
+    * post-split serving probe read them). */
+  private def ivfSplit(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.GraftExtensions.register(s)
     val (qv, _, a2, _) = lloyd(s, d)
-    val deltaVec = qv.where(col("vec_id") % 17 === 3)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
-        expr("transform(qv, (x, i) -> x + IF(i = 0, 1000L, 0L))").as("qv"))
+    val deltaVec = ivfDeltaShard(qv)
+      .select(col("new_id").as("vec_id"), col("dv").as("qv"))
     val allVec = qv.unionByName(deltaVec)
     val members = a2.select(col("vec_id"), col("cluster"))
       .unionByName(annIvfIncremental(s, d)
@@ -773,18 +807,268 @@ object LlmScale extends OpModule {
     val seedB = dA.withColumn("rn", row_number().over(wB))
       .where(col("rn") === 1)
       .select(col("cluster"), col("vec_id").as("b_id"))
-    dA.join(broadcast(seedB), "cluster")
+    val seeds = MemoUtil.scratch(seedA.join(seedB, "cluster")
+      .localCheckpoint())
+    val routed = MemoUtil.scratch(dA.join(broadcast(seedB), "cluster")
       .join(allVec.select(col("vec_id").as("b_id"), col("qv").as("bv")),
         "b_id")
       .select(col("cluster"), col("vec_id"), col("n_parent"), col("d_a"),
         expr("squared_distance(qv, bv)").as("d_b"))
       .withColumn("subcell",
         when(col("d_a") <= col("d_b"), lit(0)).otherwise(lit(1)))
+      .select(col("cluster"), col("vec_id"), col("n_parent"),
+        col("subcell"))
+      .localCheckpoint())
+    (allVec, members, seeds, routed)
+  }
+
+  def annIvfRebalance(s: SparkSession, d: String): DataFrame = {
+    val (_, _, _, routed) = ivfSplit(s, d)
+    routed
       .groupBy(col("cluster"), col("subcell"), col("n_parent"))
       .agg(count(lit(1)).as("n_members"),
         sum(col("vec_id")).cast("bigint").as("key_sum"))
       .select(col("cluster"), col("subcell"), col("n_members"),
         col("key_sum"), col("n_parent"))
+  }
+
+  // ── llm_ann_ivf_incremental_recall ────────────────────────────────────
+
+  /** SERVING QUALITY OF THE MAINTAINED INDEX (VERDICT r14 task 1): the
+    * incremental-ingest op proves the ROUTE is cheap; this row proves
+    * the routed index still SERVES — the one claim a production vector
+    * store must measure after every ingest wave. The GROWN inverted
+    * file (base assignments ∪ the delta shard's no-retrain
+    * assignments) is probed nprobe=2 over the post-ingest cells for a
+    * mixed query set — 5 base vectors (vec_id < 5) AND 6 delta vectors
+    * (the shard members with source id < 100) — and recall@3 is scored
+    * against the exact brute top-3 over the grown corpus. Delta
+    * vectors therefore face retrieval in BOTH directions: as queries
+    * (a freshly ingested vector must find its neighborhood) and as
+    * neighbors (the nudged source/copy pair sit ~10¹² apart on a
+    * lattice whose typical inter-vector distance is ~6·10¹², so each
+    * is the other's nearest neighbor — `twin_in_top3` audits exactly
+    * that retrievability, NULL for queries with no twin). At 100 TB:
+    * probes broadcast (11 queries × K centroids), candidates are an
+    * equi-join on cell id against the grown inverted file
+    * (nprobe·(N/K) per query), and the brute truth side is the
+    * per-query-linear spot-check every recall row pays. */
+  def annIvfIncrementalRecall(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (qv, _, a2, _) = lloyd(s, d)
+    val (cent, _) = ivfIndex(s, d)
+    val delta = ivfDeltaShard(qv)
+    val asg = ivfDeltaAssign(delta, cent)
+    // grown corpus + grown inverted file (two readers each → one
+    // checkpoint; qv itself is lloyd's checkpointed lattice)
+    val gvec = MemoUtil.scratch(qv.select(col("vec_id"), col("qv"))
+      .unionByName(delta.select(col("new_id").as("vec_id"),
+        col("dv").as("qv")))
+      .localCheckpoint())
+    val ginv = a2.select(col("vec_id"), col("cluster"))
+      .unionByName(asg.select(col("new_id").as("vec_id"), col("cluster")))
+    val isQ = col("vec_id") < 5 ||
+      (col("vec_id") >= 1000000L && col("vec_id") < 1000100L)
+    val q = gvec.where(isQ)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wP = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qq"), col("cluster"),
+        expr("squared_distance(qq, cv)").as("cdist"))
+      .withColumn("pr", row_number().over(wP)).where(col("pr") <= 2)
+      .select(col("qid"), col("qq"), col("cluster"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val ivf3 = MemoUtil.scratch(gvec.join(ginv, "vec_id")
+      .join(broadcast(probes), "cluster")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wR)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+      .localCheckpoint())
+    val ex3 = gvec.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wR)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    // twin audit: the delta copy of a base query / the source of a
+    // delta query, served or not (NULL when the query has no twin)
+    val twinOf = when(col("qid") >= 1000000L, col("qid") - 1000000L)
+      .when(col("qid") % 17 === 3, col("qid") + 1000000L)
+    val tw = ivf3.groupBy(col("qid"))
+      .agg(max(when(col("cand_id") === twinOf, 1).otherwise(0))
+        .cast("int").as("tw_raw"))
+    ex3.join(ivf3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .join(tw, "qid")
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"),
+        when(twinOf.isNotNull, col("tw_raw")).as("twin_in_top3"))
+  }
+
+  // ── llm_ann_ivf_rebalance_recall ──────────────────────────────────────
+
+  /** POST-REBALANCE ROUTING (VERDICT r14 task 1, second half): after
+    * the heaviest-3 cells split, their members must still be FOUND —
+    * through the new sub-cells, under the same nprobe=2 budget. The
+    * post-split index replaces each split cell with two seed-centered
+    * sub-cells (coarse centroid = the 2-means seed vector; unsplit
+    * cells keep their trained centroid; cell keys are
+    * cluster·4 / cluster·4+1+subcell so the probe tie-break stays a
+    * total order) and re-homes the membership accordingly. Queries are
+    * the min-id member of EACH sub-cell — split-cell residents by
+    * construction, the exact ids a broken split would orphan — scored
+    * recall@3 against the brute truth over the grown corpus. At 100 TB
+    * the probe set stays K+3 broadcast rows and candidates stay an
+    * equi-join on cell id; the query side is the ≤6-row audit sample a
+    * rebalance job re-checks before committing its new centroids. */
+  def annIvfRebalanceRecall(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (allVecRaw, members, seeds, routed) = ivfSplit(s, d)
+    val allVec = MemoUtil.scratch(allVecRaw.localCheckpoint())
+    val (_, _, _, c2) = lloyd(s, d)
+    val splitC = routed.select(col("cluster")).distinct()
+    val unsplitCells = centroidArrays(c2)
+      .select(col("cid").as("cluster"), col("cv"))
+      .join(splitC, Seq("cluster"), "left_anti")
+      .select((col("cluster").cast("long") * 4).as("cell"), col("cv"))
+    val seedCells = seeds
+      .select(col("cluster"), col("a_id").as("sid"), lit(0).as("subcell"))
+      .unionByName(seeds.select(col("cluster"), col("b_id").as("sid"),
+        lit(1).as("subcell")))
+      .join(allVec.select(col("vec_id").as("sid"), col("qv").as("cv")),
+        "sid")
+      .select((col("cluster").cast("long") * 4 + 1 +
+        col("subcell").cast("long")).as("cell"), col("cv"))
+    val cells = MemoUtil.scratch(
+      unsplitCells.unionByName(seedCells).localCheckpoint())
+    val unsplitMem = members.join(splitC, Seq("cluster"), "left_anti")
+      .select(col("vec_id"), (col("cluster").cast("long") * 4).as("cell"))
+    val splitMem = routed.select(col("vec_id"),
+      (col("cluster").cast("long") * 4 + 1 +
+        col("subcell").cast("long")).as("cell"))
+    val memAll = unsplitMem.unionByName(splitMem)
+    val q = MemoUtil.scratch(routed.groupBy(col("cluster"), col("subcell"))
+      .agg(min(col("vec_id")).as("qid"))
+      .join(allVec.select(col("vec_id").as("qid"), col("qv").as("qq")),
+        "qid")
+      .select(col("qid"), col("qq"), col("cluster").as("parent_cluster"),
+        col("subcell"))
+      .localCheckpoint())
+    val wP = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probes = q.select(col("qid"), col("qq"))
+      .crossJoin(broadcast(cells))
+      .select(col("qid"), col("qq"), col("cell"),
+        expr("squared_distance(qq, cv)").as("cdist"))
+      .withColumn("pr", row_number().over(wP)).where(col("pr") <= 2)
+      .select(col("qid"), col("qq"), col("cell"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val ivf3 = allVec.join(memAll, "vec_id")
+      .join(broadcast(probes), "cell")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wR)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    val ex3 = allVec
+      .crossJoin(broadcast(q.select(col("qid"), col("qq"))))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wR)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    ex3.join(ivf3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .join(q.select(col("qid"), col("parent_cluster"), col("subcell")),
+        "qid")
+      .select(col("qid"), col("parent_cluster"), col("subcell"),
+        col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
+  // ── llm_ann_ivf_delete ────────────────────────────────────────────────
+
+  /** VECTOR DELETE — the missing fourth leg of the maintenance family
+    * (VERDICT r14 task 2, the GDPR/unlearning shape): a deterministic
+    * key slice (vec_id ≡ 5 mod 23) is TOMBSTONED, not rewritten — the
+    * inverted file keeps its postings and searches anti-join the
+    * delete sidecar at serving time, exactly the lakehouse
+    * equality-delete discipline (sink_merge_mor's MOR read path,
+    * applied to vector postings). Centroids do NOT move (a tombstone
+    * never retrains the quantizer — the physical sweep belongs to the
+    * next rebalance/compaction, spec-pinned: folding the sidecar
+    * empties it and re-filtering removes zero rows). Output per query:
+    * recall@3 against the brute truth over SURVIVORS, plus
+    * `n_excluded` — the tombstoned postings the probed cells would
+    * have served, the rows the anti-join suppressed. Deleted ids
+    * provably never surface (spec-asserted over every top-k). At
+    * 100 TB: the sidecar is a key-slice broadcast; the serving
+    * anti-join rides the existing cell-keyed candidate join; nothing
+    * rescans or rewrites the index between sweeps. */
+  /** The serving pieces behind llm_ann_ivf_delete — package-private so
+    * the spec asserts tombstone absence on the actual SERVED lists:
+    * (served top-3 (qid, cand_id), per-query excluded-posting audit). */
+  private[graft] def ivfDeleteParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    graft.GraftExtensions.register(s)
+    val (qvec, _, _, _) = lloyd(s, d)
+    val (cent, invFile) = ivfIndex(s, d)
+    val q = qvec.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wP = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qq"), col("cluster"),
+        expr("squared_distance(qq, cv)").as("cdist"))
+      .withColumn("pr", row_number().over(wP)).where(col("pr") <= 2)
+      .select(col("qid"), col("qq"), col("cluster"))
+    val surv = invFile.where(col("vec_id") % 23 =!= 5)
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val d3 = qvec.join(surv.select(col("vec_id"), col("cluster")),
+        "vec_id")
+      .join(broadcast(probes), "cluster")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wR)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    val excl = invFile.where(col("vec_id") % 23 === 5)
+      .join(broadcast(probes.select(col("qid"), col("cluster"))),
+        "cluster")
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_excluded"))
+    (d3, excl)
+  }
+
+  def annIvfDelete(s: SparkSession, d: String): DataFrame = {
+    val (d3, excl) = ivfDeleteParts(s, d)
+    val (qvec, _, _, _) = lloyd(s, d)
+    val q = qvec.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val ex3 = qvec.where(col("vec_id") % 23 =!= 5)
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wR)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    ex3.join(d3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .join(excl, Seq("qid"), "left")
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"),
+        coalesce(col("n_excluded"), lit(0L)).as("n_excluded"))
   }
 
   // ── llm_ann_recall ────────────────────────────────────────────────────
@@ -2334,6 +2618,59 @@ object LlmScale extends OpModule {
         col("node").as("dst"), col("dist"))
   }
 
+  // ── llm_ann_graph_delete ──────────────────────────────────────────────
+
+  /** GRAPH-NODE RETIREMENT — the delete leg of the graph index
+    * (VERDICT r14 task 2's adjacency half; llm_ann_ivf_delete is the
+    * postings half): the same tombstone slice (vec_id ≡ 5 mod 23)
+    * retires its nodes from the FROZEN graph — every adjacency edge
+    * touching a tombstone is dropped and tombstoned entry points are
+    * skipped, which is exactly the logical view a server holds between
+    * compactions (HNSW deletions mark nodes and filter them from
+    * traversal; the physical edge rewrite waits for the sweep,
+    * spec-pinned to empty the sidecar). The width-8 walk then runs on
+    * the RETIRED graph — tombstones can never be visited, so they can
+    * never be served (spec-asserted over the beam) — and recall@3 is
+    * scored against the brute truth over SURVIVORS. Retirement costs
+    * the walk nothing structurally: the curve successors and fingers
+    * provide alternate routes around retired nodes (recall stays near
+    * the base row's — measured, not assumed). At 100 TB the retired
+    * adjacency is the same O(N·degree) edge list filtered by a
+    * broadcast key slice; per-query work stays the family's constant
+    * ≤ 16 + 6·8·22 evals. */
+  /** The retired-graph served top-3 — package-private so the spec
+    * asserts tombstone absence on the actual prediction lists. */
+  private[graft] def annGraphDeletePred(s: SparkSession,
+                                        d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (adj, entries, qv) = annGraphAdjacency(s, d)
+    val adjd = adj.where(col("src") % 23 =!= 5 && col("dst") % 23 =!= 5)
+    val entd = entries.where(col("vec_id") % 23 =!= 5)
+    beamTop3(annGraphSearchFull(adjd, entd, qv, 8)._1)
+  }
+
+  def annGraphDelete(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (_, _, qv) = annGraphAdjacency(s, d)
+    val pred = annGraphDeletePred(s, d)
+    val q = qv.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val ex3 = qv.where(col("vec_id") % 23 =!= 5)
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wc)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    ex3.join(pred.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
   /** The width-`width` beam walk for an ARBITRARY query set (qid, qq)
     * — the shard-sized twin of annGraphSearchFull (whose query side is
     * the 10 eval vectors): the entry cross carries the ≤16-row entry
@@ -2791,7 +3128,10 @@ object LlmScale extends OpModule {
     "llm_tfidf" -> tfidf _,
     "llm_ann_ivf_kmeans" -> annIvfKmeans _,
     "llm_ann_ivf_incremental" -> annIvfIncremental _,
+    "llm_ann_ivf_incremental_recall" -> annIvfIncrementalRecall _,
     "llm_ann_ivf_rebalance" -> annIvfRebalance _,
+    "llm_ann_ivf_rebalance_recall" -> annIvfRebalanceRecall _,
+    "llm_ann_ivf_delete" -> annIvfDelete _,
     "llm_gram_matrix" -> gramMatrix _,
     "llm_dedup_substring" -> dedupSubstring _,
     "llm_ann_recall" -> annRecall _,
@@ -2800,7 +3140,8 @@ object LlmScale extends OpModule {
     "llm_ann_graph" -> annGraph _,
     "llm_ann_graph_sweep" -> annGraphSweep _,
     "llm_ann_graph_filtered" -> annGraphFiltered _,
-    "llm_ann_graph_incremental" -> annGraphIncremental _
+    "llm_ann_graph_incremental" -> annGraphIncremental _,
+    "llm_ann_graph_delete" -> annGraphDelete _
   )
 
   /** Hierarchical-assign CTE block, prefix `p`: per-dim centroid table
@@ -3247,7 +3588,9 @@ object LlmScale extends OpModule {
     * per-dim relation — `qdim` (the 10 eval queries) for the recall
     * rows, the synthesized delta dims for the incremental graft. */
   private def annGraphChainCtes(p: String, w: Int,
-                                qdim: String = "qdim"): String = {
+                                qdim: String = "qdim",
+                                adjT: String = "adj",
+                                entT: String = "ent"): String = {
     val b0 =
       s"""${p}b0 AS MATERIALIZED (
          |  SELECT qid, node, dist FROM (
@@ -3256,7 +3599,7 @@ object LlmScale extends OpModule {
          |    FROM (
          |      SELECT dq.vec_id AS qid, e.vec_id AS node,
          |        CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
-         |      FROM ent e
+         |      FROM $entT e
          |      JOIN dims dc ON dc.vec_id = e.vec_id
          |      JOIN $qdim dq ON dq.dim = dc.dim AND dq.vec_id != e.vec_id
          |      GROUP BY 1, 2)) WHERE c <= $w),
@@ -3264,7 +3607,7 @@ object LlmScale extends OpModule {
     val hops = (1 to 6).map { h =>
       s"""${p}e$h AS MATERIALIZED (
          |  SELECT DISTINCT b.qid, a.dst AS node
-         |  FROM ${p}b${h - 1} b JOIN adj a ON a.src = b.node
+         |  FROM ${p}b${h - 1} b JOIN $adjT a ON a.src = b.node
          |  WHERE a.dst != b.qid),
          |${p}s$h AS MATERIALIZED (
          |  SELECT e.qid, e.node,
@@ -3431,6 +3774,37 @@ object LlmScale extends OpModule {
           |  FROM gb6)
           |SELECT new_id, CAST(rank AS INT) AS rank, dst, dist
           |FROM att WHERE rank <= 4""".stripMargin),
+    // node retirement: the same build, the walk re-chained over the
+    // tombstone-filtered adjacency/entries, truth over survivors
+    "llm_ann_graph_delete" ->
+      (annGraphBuildCtes +
+        """adjd AS MATERIALIZED (
+          |  SELECT src, dst FROM adj
+          |  WHERE src % 23 != 5 AND dst % 23 != 5),
+          |entd AS (SELECT vec_id FROM ent WHERE vec_id % 23 != 5),
+          |""".stripMargin +
+        annGraphChainCtes("t", 8, "qdim", "adjd", "entd") +
+        """pred AS (
+          |  SELECT qid, node AS cand_id FROM (
+          |    SELECT qid, node,
+          |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS c
+          |    FROM tb6) WHERE c <= 3),
+          |exd AS MATERIALIZED (
+          |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+          |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+          |  FROM qdim dq JOIN dims dc
+          |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+          |  WHERE dc.vec_id % 23 != 5
+          |  GROUP BY 1, 2),
+          |ex3 AS MATERIALIZED (
+          |  SELECT qid, cand_id FROM (
+          |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+          |      ORDER BY dist ASC, cand_id ASC) AS rn
+          |    FROM exd) WHERE rn <= 3)
+          |SELECT e.qid, CAST(count(p.cand_id) AS BIGINT) AS n_hit,
+          |  round(count(p.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+          |FROM ex3 e LEFT JOIN pred p USING (qid, cand_id)
+          |GROUP BY e.qid""".stripMargin),
     "llm_cluster_topics" ->
       (lloydCtes + """,
         |dt AS (
@@ -3737,10 +4111,126 @@ object LlmScale extends OpModule {
         |nb AS (
         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_base
         |  FROM a2 GROUP BY 1)
-        |SELECT a.new_id, a.cluster, a.cdist, nb.n_base,
+        |SELECT a.new_id, a.cluster, a.cdist,
+        |  coalesce(nb.n_base, 0) AS n_base,
         |  CAST(count(*) OVER (PARTITION BY a.cluster) AS BIGINT)
         |    AS n_cell_delta
-        |FROM asg a JOIN nb USING (cluster)""".stripMargin),
+        |FROM asg a LEFT JOIN nb USING (cluster)""".stripMargin),
+    "llm_ann_ivf_incremental_recall" ->
+      (lloydCtes + annIvfCtes + """,
+        |delta AS MATERIALIZED (
+        |  SELECT vec_id + 1000000 AS new_id, dim,
+        |    q + CASE WHEN dim = 0 THEN 1000 ELSE 0 END AS q
+        |  FROM dims WHERE vec_id % 17 = 3),
+        |dcent AS (
+        |  SELECT delta.new_id, c2.cluster,
+        |    CAST(sum((delta.q - c2.c) * (delta.q - c2.c)) AS BIGINT)
+        |      AS cdist
+        |  FROM delta JOIN c2 USING (dim) GROUP BY 1, 2),
+        |asg AS MATERIALIZED (
+        |  SELECT new_id, cluster FROM (
+        |    SELECT new_id, cluster, row_number() OVER (
+        |      PARTITION BY new_id ORDER BY cdist ASC, cluster ASC) AS rn
+        |    FROM dcent) WHERE rn = 1),
+        |gdims AS MATERIALIZED (
+        |  SELECT vec_id, dim, q FROM dims
+        |  UNION ALL SELECT new_id, dim, q FROM delta),
+        |ginv AS MATERIALIZED (
+        |  SELECT vec_id, cluster FROM a2
+        |  UNION ALL SELECT new_id AS vec_id, cluster FROM asg),
+        |qids AS (
+        |  SELECT DISTINCT vec_id AS qid FROM gdims
+        |  WHERE vec_id < 5 OR (vec_id >= 1000000 AND vec_id < 1000100)),
+        |qdg AS (
+        |  SELECT g.vec_id AS qid, c2.cluster,
+        |    sum((g.q - c2.c) * (g.q - c2.c)) AS cdist
+        |  FROM gdims g JOIN c2 USING (dim)
+        |  WHERE g.vec_id IN (SELECT qid FROM qids)
+        |  GROUP BY 1, 2),
+        |prg AS (
+        |  SELECT qid, cluster FROM (
+        |    SELECT qid, cluster, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cdist ASC, cluster ASC) AS rn
+        |    FROM qdg) WHERE rn <= 2),
+        |cdg AS (
+        |  SELECT p.qid, gi.vec_id AS cand_id,
+        |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+        |  FROM prg p
+        |  JOIN ginv gi ON gi.cluster = p.cluster AND gi.vec_id != p.qid
+        |  JOIN gdims dq ON dq.vec_id = p.qid
+        |  JOIN gdims dc ON dc.vec_id = gi.vec_id AND dc.dim = dq.dim
+        |  GROUP BY 1, 2),
+        |i3 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM cdg) WHERE rn <= 3),
+        |exg AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM gdims dq JOIN gdims dc
+        |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id IN (SELECT qid FROM qids)
+        |  GROUP BY 1, 2),
+        |e3 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn
+        |    FROM exg) WHERE rn <= 3),
+        |tw AS (
+        |  SELECT qid, CAST(max(CASE WHEN cand_id =
+        |      CASE WHEN qid >= 1000000 THEN qid - 1000000
+        |           WHEN qid % 17 = 3 THEN qid + 1000000 END
+        |    THEN 1 ELSE 0 END) AS INT) AS tw_raw
+        |  FROM i3 GROUP BY 1)
+        |SELECT e.qid, CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+        |  round(count(i.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3,
+        |  CASE WHEN e.qid >= 1000000 OR e.qid % 17 = 3
+        |       THEN tw.tw_raw END AS twin_in_top3
+        |FROM e3 e JOIN tw USING (qid)
+        |LEFT JOIN i3 i USING (qid, cand_id)
+        |GROUP BY e.qid, tw.tw_raw""".stripMargin),
+    "llm_ann_ivf_delete" ->
+      (lloydCtes + annIvfCtes + """,
+        |survq AS MATERIALIZED (
+        |  SELECT vec_id, cluster FROM a2 WHERE vec_id % 23 != 5),
+        |cdd AS (
+        |  SELECT pr.qid, s.vec_id AS cand_id,
+        |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+        |  FROM pr
+        |  JOIN survq s ON s.cluster = pr.cluster AND s.vec_id != pr.qid
+        |  JOIN dims dq ON dq.vec_id = pr.qid
+        |  JOIN dims dc ON dc.vec_id = s.vec_id AND dc.dim = dq.dim
+        |  GROUP BY 1, 2),
+        |d3 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM cdd)
+        |  WHERE rn <= 3),
+        |excl AS (
+        |  SELECT pr.qid, CAST(count(*) AS BIGINT) AS n_excluded
+        |  FROM pr JOIN a2 ON a2.cluster = pr.cluster AND a2.vec_id != pr.qid
+        |  WHERE a2.vec_id % 23 = 5
+        |  GROUP BY 1),
+        |exs AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq JOIN dims dc
+        |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10 AND dc.vec_id % 23 != 5
+        |  GROUP BY 1, 2),
+        |e3 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM exs)
+        |  WHERE rn <= 3)
+        |SELECT e.qid, CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+        |  round(count(i.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3,
+        |  coalesce(x.n_excluded, 0) AS n_excluded
+        |FROM e3 e
+        |LEFT JOIN d3 i ON i.qid = e.qid AND i.cand_id = e.cand_id
+        |LEFT JOIN excl x ON x.qid = e.qid
+        |GROUP BY e.qid, x.n_excluded""".stripMargin),
     "llm_ann_ivf_rebalance" ->
       (lloydCtes + annIvfCtes + """,
         |delta AS MATERIALIZED (
@@ -3801,6 +4291,123 @@ object LlmScale extends OpModule {
         |JOIN da ON da.cluster = t.cluster AND da.vec_id = t.vec_id
         |JOIN db ON db.cluster = t.cluster AND db.vec_id = t.vec_id
         |GROUP BY 1, 2, 5""".stripMargin),
+    "llm_ann_ivf_rebalance_recall" ->
+      (lloydCtes + annIvfCtes + """,
+        |delta AS MATERIALIZED (
+        |  SELECT vec_id + 1000000 AS new_id, dim,
+        |    q + CASE WHEN dim = 0 THEN 1000 ELSE 0 END AS q
+        |  FROM dims WHERE vec_id % 17 = 3),
+        |dcent AS (
+        |  SELECT delta.new_id, c2.cluster,
+        |    CAST(sum((delta.q - c2.c) * (delta.q - c2.c)) AS BIGINT)
+        |      AS cdist
+        |  FROM delta JOIN c2 USING (dim) GROUP BY 1, 2),
+        |asg AS MATERIALIZED (
+        |  SELECT new_id, cluster FROM (
+        |    SELECT new_id, cluster, row_number() OVER (
+        |      PARTITION BY new_id ORDER BY cdist ASC, cluster ASC) AS rn
+        |    FROM dcent) WHERE rn = 1),
+        |mem AS MATERIALIZED (
+        |  SELECT vec_id, cluster FROM a2
+        |  UNION ALL SELECT new_id, cluster FROM asg),
+        |szs AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_parent
+        |  FROM mem GROUP BY 1),
+        |top3 AS (
+        |  SELECT cluster, n_parent FROM (
+        |    SELECT cluster, n_parent, row_number() OVER (
+        |      ORDER BY n_parent DESC, cluster ASC) AS rn
+        |    FROM szs) WHERE rn <= 3),
+        |alldim AS MATERIALIZED (
+        |  SELECT vec_id, dim, q FROM dims
+        |  UNION ALL SELECT new_id, dim, q FROM delta),
+        |tm AS MATERIALIZED (
+        |  SELECT m.vec_id, m.cluster, t.n_parent
+        |  FROM mem m JOIN top3 t USING (cluster)),
+        |sa AS (SELECT cluster, min(vec_id) AS a_id FROM tm GROUP BY 1),
+        |da AS MATERIALIZED (
+        |  SELECT t.cluster, t.vec_id,
+        |    CAST(sum((x.q - a.q) * (x.q - a.q)) AS BIGINT) AS d_a
+        |  FROM tm t JOIN sa s USING (cluster)
+        |  JOIN alldim x ON x.vec_id = t.vec_id
+        |  JOIN alldim a ON a.vec_id = s.a_id AND a.dim = x.dim
+        |  GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT cluster, vec_id AS b_id FROM (
+        |    SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY d_a DESC, vec_id ASC) AS rn FROM da) WHERE rn = 1),
+        |db AS MATERIALIZED (
+        |  SELECT t.cluster, t.vec_id,
+        |    CAST(sum((x.q - b.q) * (x.q - b.q)) AS BIGINT) AS d_b
+        |  FROM tm t JOIN sb s USING (cluster)
+        |  JOIN alldim x ON x.vec_id = t.vec_id
+        |  JOIN alldim b ON b.vec_id = s.b_id AND b.dim = x.dim
+        |  GROUP BY 1, 2),
+        |routed AS MATERIALIZED (
+        |  SELECT t.cluster, t.vec_id,
+        |    CASE WHEN da.d_a <= db.d_b THEN 0 ELSE 1 END AS subcell
+        |  FROM tm t
+        |  JOIN da ON da.cluster = t.cluster AND da.vec_id = t.vec_id
+        |  JOIN db ON db.cluster = t.cluster AND db.vec_id = t.vec_id),
+        |cellsdim AS MATERIALIZED (
+        |  SELECT CAST(c2.cluster AS BIGINT) * 4 AS cell, c2.dim, c2.c
+        |  FROM c2 WHERE c2.cluster NOT IN (SELECT cluster FROM top3)
+        |  UNION ALL
+        |  SELECT CAST(s.cluster AS BIGINT) * 4 + 1, a.dim, a.q
+        |  FROM sa s JOIN alldim a ON a.vec_id = s.a_id
+        |  UNION ALL
+        |  SELECT CAST(s.cluster AS BIGINT) * 4 + 2, b.dim, b.q
+        |  FROM sb s JOIN alldim b ON b.vec_id = s.b_id),
+        |memall AS MATERIALIZED (
+        |  SELECT vec_id, CAST(cluster AS BIGINT) * 4 AS cell FROM mem
+        |  WHERE cluster NOT IN (SELECT cluster FROM top3)
+        |  UNION ALL
+        |  SELECT vec_id, CAST(cluster AS BIGINT) * 4 + 1 + subcell
+        |  FROM routed),
+        |qs AS MATERIALIZED (
+        |  SELECT cluster AS parent_cluster, subcell, min(vec_id) AS qid
+        |  FROM routed GROUP BY 1, 2),
+        |pdq AS (
+        |  SELECT q.qid, cd.cell, sum((a.q - cd.c) * (a.q - cd.c)) AS cdist
+        |  FROM qs q
+        |  JOIN alldim a ON a.vec_id = q.qid
+        |  JOIN cellsdim cd ON cd.dim = a.dim
+        |  GROUP BY 1, 2),
+        |prb AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT qid, cell, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cdist ASC, cell ASC) AS rn FROM pdq) WHERE rn <= 2),
+        |cnd2 AS (
+        |  SELECT p.qid, m.vec_id AS cand_id,
+        |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+        |  FROM prb p JOIN memall m ON m.cell = p.cell AND m.vec_id != p.qid
+        |  JOIN alldim dq ON dq.vec_id = p.qid
+        |  JOIN alldim dc ON dc.vec_id = m.vec_id AND dc.dim = dq.dim
+        |  GROUP BY 1, 2),
+        |i3 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM cnd2)
+        |  WHERE rn <= 3),
+        |exr AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM alldim dq JOIN alldim dc
+        |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id IN (SELECT qid FROM qs)
+        |  GROUP BY 1, 2),
+        |e3 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM exr)
+        |  WHERE rn <= 3)
+        |SELECT e.qid, q.parent_cluster, q.subcell,
+        |  CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+        |  round(count(i.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+        |FROM e3 e
+        |JOIN qs q ON q.qid = e.qid
+        |LEFT JOIN i3 i ON i.qid = e.qid AND i.cand_id = e.cand_id
+        |GROUP BY 1, 2, 3""".stripMargin),
     "llm_ann_recall_sweep" ->
       (lloydCtes + annIvfCtes + """,
         |prk AS (

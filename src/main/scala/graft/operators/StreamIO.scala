@@ -646,7 +646,17 @@ object StreamIO extends OpModule {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val gen = s"gen_$id"
         val done = java.nio.file.Paths.get(mvDir, gen, "_SUCCESS")
-        if (!java.nio.file.Files.exists(done) && !batch.isEmpty) {
+        if (java.nio.file.Files.exists(done)) {
+          // the parquet write finished on a previous attempt, but the
+          // COMMIT POINT is the _HEAD flip, not _SUCCESS: a crash
+          // between the two leaves a completed generation that the
+          // head never adopted. Re-issue the (idempotent) flip so a
+          // replayed batch can never strand its delta behind a stale
+          // head — later batches would otherwise merge into the old
+          // generation and this commit's delta would be lost forever.
+          if (head() != gen)
+            Scans.atomicWrite(java.nio.file.Paths.get(mvDir, "_HEAD"), gen)
+        } else if (!batch.isEmpty) {
           val delta = batch.groupBy(expr("o_orderkey DIV 100").as("bucket"))
             .agg(sum(col("sign")).cast("bigint").as("dn"),
               sum(col("sign") *
@@ -662,7 +672,9 @@ object StreamIO extends OpModule {
             .write.mode("overwrite").parquet(s"$mvDir/$gen")
           // the pointer flip is the commit (tmp + ATOMIC_MOVE like the
           // lakehouse HEADs — a torn pointer must be impossible); a
-          // replayed batch sees its _SUCCESS and skips — idempotent
+          // replayed batch that finds _SUCCESS re-checks the head above
+          // rather than skipping blindly — idempotent INCLUDING the
+          // crash-between-write-and-flip window
           Scans.atomicWrite(java.nio.file.Paths.get(mvDir, "_HEAD"), gen)
         }
         ()

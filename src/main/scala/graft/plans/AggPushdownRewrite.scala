@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** EAGER AGGREGATION (partial-aggregate pushdown below a join) — the
   * classic warehouse rewrite (Yan & Larson, VLDB '95; "group-by
@@ -32,21 +32,33 @@ import org.apache.spark.sql.types.DecimalType
   *   count(*) = sum(partial_count)
   *   min/max  = min/max of partials (multiplicities don't move extrema;
   *              zero-match groups vanish on both sides)
+  *   avg(x)   = sum(partial_sum) / sum(partial_count_nonnull)  — the
+  *              textbook decomposition (VERDICT r14 task 4): the
+  *              multiplicity m cancels, Σps·m / Σpc·m = Σx / n, so the
+  *              ratio is exact; integral inputs keep their exact LONG
+  *              partial sums and the single final division reproduces
+  *              Average's own sum.toDouble / count evaluation bit-for-bit
   *
-  * No uniqueness or referential declaration is needed — unlike
-  * [[JoinEliminationRewrite]], this rewrite is sound on any inner
-  * equi-join. avg / DISTINCT / FILTER-clause aggregates are not
-  * decomposable this way and bail; DECIMAL sums bail (the partial
-  * re-sum widens precision differently from the single-level sum).
+  * DISTINCT / FILTER-clause aggregates are not decomposable this way
+  * and bail; DECIMAL sums/avgs bail (the partial re-sum widens
+  * precision differently from the single-level sum); TRY eval modes
+  * bail (try_sum's null-on-overflow scope is the whole group, which a
+  * two-level sum cannot reproduce — ADVICE r14). Non-TRY modes are
+  * rebuilt carrying the ORIGINAL eval mode so ANSI overflow checking
+  * survives the rewrite.
   *
   * Fire conditions (all checked structurally):
   *  - `spark.graft.aggpush.enabled` = true (session opt-in, inert
   *    otherwise — the rescue-family convention);
-  *  - Aggregate over an INNER single-equi-condition join;
-  *  - every grouping expression is a plain attribute of the dim side or
-  *    the fact join key itself;
-  *  - every aggregate is Sum/Min/Max over a fact-side attribute or
-  *    Count(literal), with no distinct/filter;
+  *  - Aggregate over an INNER single-equi-condition join — or a CHAIN
+  *    of two such joins (fact ⋈ dim1 ⋈ dim2, VERDICT r14 task 4): the
+  *    fact leg is located through one nested inner equi-join and the
+  *    partial groups by BOTH collected fact-side keys, so the
+  *    pre-aggregate sits below the whole chain;
+  *  - every grouping expression is a plain attribute NOT from the fact
+  *    side, or one of the collected fact join keys;
+  *  - every aggregate is Sum/Min/Max/Average over a fact-side attribute
+  *    or Count of non-null literals, with no distinct/filter;
   *  - the fact side is not already this rule's partial shape
   *    (idempotence — re-application would nest partials forever).
   */
@@ -69,46 +81,91 @@ object AggPushdownRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def rewrite(agg: Aggregate, j: Join): Option[LogicalPlan] =
+  private def rewrite(agg: Aggregate, j: Join): Option[LogicalPlan] = {
+    val aggInputs = AttributeSet(agg.aggregateExpressions.flatMap {
+      case Alias(c, _) => c.collect {
+        case ae: AggregateExpression => ae
+      }.flatMap(_.references)
+      case _ => Nil
+    })
+    locateFact(j, aggInputs, depth = 2).flatMap { case (fact, fks0, splice) =>
+      val fks = fks0.foldLeft(Vector.empty[AttributeReference]) { (acc, k) =>
+        if (acc.exists(_.exprId == k.exprId)) acc else acc :+ k
+      }
+      val groupOk = agg.groupingExpressions.forall {
+        case g: AttributeReference =>
+          !fact.outputSet.contains(g) || fks.exists(_.exprId == g.exprId)
+        case _ => false
+      }
+      if (!groupOk || alreadyPartial(fact, fks)) None
+      else build(agg, fact, fks, splice)
+    }
+  }
+
+  /** Walk the fact leg through up to `depth` nested inner
+    * single-equi-condition joins: return the deepest plan that covers
+    * every aggregate input AND every join key collected on the way
+    * down, the collected fact-side keys (the partial's grouping set),
+    * and a splicer that rebuilds the join chain around a replacement
+    * fact. Deepest placement wins — the partial collapses |fact| rows
+    * before ANY join touches them. */
+  private def locateFact(j: Join, need: AttributeSet, depth: Int)
+      : Option[(LogicalPlan, Seq[AttributeReference],
+                LogicalPlan => LogicalPlan)] =
     j match {
       case Join(left, right, Inner,
-          Some(EqualTo(a: AttributeReference, b: AttributeReference)), hint) =>
-        // orient: the fact side is the one every aggregate input lives on
-        val aggInputs = AttributeSet(agg.aggregateExpressions.flatMap {
-          case Alias(c, _) => c.collect {
-            case ae: AggregateExpression => ae
-          }.flatMap(_.references)
-          case _ => Nil
-        })
-        Seq((left, right, a, b), (right, left, b, a)).collectFirst {
-          case (fact, dim, fk, _)
-              if fact.outputSet.contains(fk) &&
-                aggInputs.subsetOf(fact.outputSet) &&
-                agg.groupingExpressions.forall {
-                  case g: AttributeReference =>
-                    dim.outputSet.contains(g) || g.exprId == fk.exprId
-                  case _ => false
-                } &&
-                !alreadyPartial(fact, fk) =>
-            (fact, dim, fk)
-        }.flatMap { case (fact, dim, fk) =>
-          build(agg, j, fact, dim, fk, hint)
-        }
+          Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+        Seq(left, right).view.flatMap { leg =>
+          Seq(a, b).filter(leg.outputSet.contains).map(k => (leg, k))
+        }.filter { case (leg, _) => need.subsetOf(leg.outputSet) }
+          .flatMap { case (leg, k) =>
+            def spliceHere(p: LogicalPlan): LogicalPlan = j.copy(
+              left = if (j.left eq leg) p else j.left,
+              right = if (j.right eq leg) p else j.right)
+            // attribute-only Projects between chained joins (inserted by
+            // ColumnPruning) are transparent for descent; the splice
+            // drops them — the partial prunes the fact side harder than
+            // the Project did, and the in-batch ColumnPruning pass
+            // re-narrows the dim side afterwards
+            val descendInto = leg match {
+              case inner: Join => Some(inner)
+              case Project(pl, inner: Join)
+                  if pl.forall(_.isInstanceOf[AttributeReference]) =>
+                Some(inner)
+              case _ => None
+            }
+            val deeper = descendInto match {
+              case Some(inner) if depth > 1 =>
+                // the inner fact must also carry THIS level's key — it
+                // joins the groups the chain multiplies
+                locateFact(inner, need ++ AttributeSet(k :: Nil), depth - 1)
+                  .map { case (fact, fks, innerSplice) =>
+                    (fact, k +: fks,
+                      (p: LogicalPlan) => spliceHere(innerSplice(p)))
+                  }
+              case _ => None
+            }
+            deeper.orElse(Some((leg, Seq(k), spliceHere _)))
+          }.headOption
       case _ => None
     }
 
   /** Idempotence guard: the fact side already is this rule's
     * fk-keyed partial aggregate. */
-  private def alreadyPartial(fact: LogicalPlan, fk: Attribute): Boolean =
+  private def alreadyPartial(fact: LogicalPlan,
+                             fks: Seq[AttributeReference]): Boolean =
     fact match {
-      case Aggregate(Seq(g: AttributeReference), _, _, _) =>
-        g.exprId == fk.exprId
+      case Aggregate(gs, _, _, _) if gs.nonEmpty =>
+        gs.forall {
+          case g: AttributeReference => fks.exists(_.exprId == g.exprId)
+          case _ => false
+        }
       case _ => false
     }
 
-  private def build(agg: Aggregate, j: Join, fact: LogicalPlan,
-                    dim: LogicalPlan, fk: AttributeReference,
-                    hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint)
+  private def build(agg: Aggregate, fact: LogicalPlan,
+                    fks: Seq[AttributeReference],
+                    splice: LogicalPlan => LogicalPlan)
       : Option[LogicalPlan] = {
     // collect the distinct decomposable aggregate functions; one partial
     // column per (kind, input) pair, shared by repeated uses
@@ -124,20 +181,48 @@ object AggPushdownRewrite extends Rule[LogicalPlan] {
         (al, al.toAttribute)
       })._2
     }
+    // a fresh total aggregate over a partial column (fresh resultId —
+    // one original aggregate may fan into several, e.g. avg)
+    def total(f: AggregateFunction, tmpl: AggregateExpression) =
+      AggregateExpression(f, tmpl.mode, isDistinct = false)
     def rwAgg(ae: AggregateExpression): Expression = {
       if (ae.isDistinct || ae.filter.nonEmpty) return { ok = false; ae }
       ae.aggregateFunction match {
-        case s @ Sum(x: AttributeReference, _)
-            if !s.dataType.isInstanceOf[DecimalType] =>
-          val p = partialFor("sum", Some(x), Sum(x))
-          ae.copy(aggregateFunction = Sum(p))
+        case s @ Sum(x: AttributeReference, ctx)
+            if !s.dataType.isInstanceOf[DecimalType] &&
+              ctx.evalMode != EvalMode.TRY =>
+          // carry the ORIGINAL eval context through both levels: LEGACY
+          // wrap-around addition is associative so the two-level sum is
+          // exact; ANSI keeps its overflow check; TRY bailed above —
+          // its null-on-overflow scope is the single-level group
+          val p = partialFor("sum", Some(x), Sum(x, ctx))
+          ae.copy(aggregateFunction = Sum(p, ctx))
         case Min(x: AttributeReference) =>
           val p = partialFor("min", Some(x), Min(x))
           ae.copy(aggregateFunction = Min(p))
         case Max(x: AttributeReference) =>
           val p = partialFor("max", Some(x), Max(x))
           ae.copy(aggregateFunction = Max(p))
-        case c: Count if c.children.forall(_.foldable) =>
+        case av @ Average(x: AttributeReference, mode)
+            if !av.dataType.isInstanceOf[DecimalType] &&
+              mode != EvalMode.TRY =>
+          // avg = Σ partial_sum / Σ partial_count(x): the join
+          // multiplicity cancels in the ratio. The final division is
+          // built LEGACY so an all-null group (Σpc = 0) yields NULL —
+          // exactly Average's own empty-sum semantics — instead of an
+          // ANSI divide-by-zero error Average would never raise.
+          val sumCtx = NumericEvalContext(mode)
+          val ps = partialFor("asum", Some(x), Sum(x, sumCtx))
+          val pc = partialFor("acnt", Some(x), Count(x))
+          Divide(
+            Cast(total(Sum(ps, sumCtx), ae), DoubleType),
+            Cast(total(Sum(pc, NumericEvalContext(EvalMode.LEGACY)), ae),
+              DoubleType),
+            NumericEvalContext(EvalMode.LEGACY))
+        case c: Count
+            if c.children.forall(e => e.foldable && e.eval() != null) =>
+          // non-null foldables only: count(NULL) is 0 on every row and
+          // must NOT become a row count (ADVICE r14)
           val p = partialFor("cnt", None, Count(Literal(1)))
           // count is non-nullable; the re-sum is not — but a group only
           // exists where partial rows exist, so 0 never surfaces
@@ -155,13 +240,9 @@ object AggPushdownRewrite extends Rule[LogicalPlan] {
       case other => { ok = false; other }
     }
     if (!ok || partials.isEmpty) return None
-    val partialAgg = Aggregate(Seq(fk),
-      fk +: partials.values.map(_._1).toSeq, fact)
-    val newJoin = j match {
-      case jn: Join => jn.copy(
-        left = if (jn.left eq fact) partialAgg else jn.left,
-        right = if (jn.right eq fact) partialAgg else jn.right)
-    }
-    Some(agg.copy(aggregateExpressions = newAggExprs, child = newJoin))
+    val partialAgg = Aggregate(fks,
+      fks ++ partials.values.map(_._1).toSeq, fact)
+    Some(agg.copy(aggregateExpressions = newAggExprs,
+      child = splice(partialAgg)))
   }
 }

@@ -75,9 +75,18 @@ object ManifestCdcSource {
 
   /** The file paths a manifest lists — read with the plain parquet
     * Group reader (a manifest is a small sidecar; no Spark job, the
-    * lakehouse-planner driver read). */
+    * lakehouse-planner driver read). A MISSING or uncommitted manifest
+    * is an ERROR, not an empty set (ADVICE r14): diffing against a
+    * silently-empty predecessor would fabricate the whole snapshot as
+    * +1 inserts — a truncated chain (e.g. vacuum expired the version)
+    * must fail loudly, the Iceberg/Delta expired-snapshot contract. */
   def manifestPaths(dir: String, v: Int): Seq[String] = {
     val mdir = new java.io.File(s"$dir/m$v")
+    if (!new java.io.File(mdir, "_SUCCESS").exists())
+      throw new IllegalStateException(
+        s"manifest m$v missing or uncommitted under $dir — the version " +
+          "chain is truncated (expired/vacuumed?); refusing to fabricate " +
+          "a changelog from an empty predecessor")
     val parts = Option(mdir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet"))
     parts.toSeq.flatMap { f =>
@@ -128,10 +137,18 @@ private class ManifestCdcStream(dir: String)
 
   override def prepareForTriggerAvailableNow(): Unit = target = maxVersion
 
-  /** v1 is the BASE snapshot: the change stream starts after it (a
-    * consumer bootstraps the base with a batch snapshot read, then
-    * subscribes here — the Delta CDF / Iceberg incremental contract). */
-  override def initialOffset(): Offset = VersionOffset(1L)
+  /** The EARLIEST RETAINED manifest is the base snapshot: the change
+    * stream starts after it (a consumer bootstraps the base with a
+    * batch snapshot read, then subscribes here — the Delta CDF /
+    * Iceberg incremental contract). Anchoring at versions().head
+    * rather than a hard-coded 1 (ADVICE r14) means a chain whose early
+    * versions were vacuumed starts at the retained floor instead of
+    * diffing v_floor against a missing predecessor. */
+  override def initialOffset(): Offset = VersionOffset(
+    ManifestCdcSource.versions(dir).headOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifests under $dir — nothing to subscribe to"))
+      .toLong)
 
   // paced admission: one version step per micro-batch, derived from the
   // committed start (restart-safe — a recovered query replans the same

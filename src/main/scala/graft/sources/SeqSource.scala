@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -68,11 +70,55 @@ private class SeqTable(options: CaseInsensitiveStringMap)
 
 private class SeqScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.schema
+  private var agg: Option[Aggregation] = None
+
+  private def colName(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames.head)
+    case _ => None
+  }
+
+  /** The aggregations this table answers from its CLOSED FORM — the
+    * modern connector pushdown seam (VERDICT r14 task 3; what a JDBC
+    * dialect or an Iceberg manifest answers from metadata without
+    * scanning): count(*)/count(col) over the (already filter-narrowed)
+    * id range, min/max/sum of the arithmetic `id` sequence, optionally
+    * grouped by the generated `tag` key (id mod 10 — each group is its
+    * own stride-10 arithmetic series). `val` extrema/sums are honestly
+    * REJECTED — a hash has no closed form, so Spark keeps its own
+    * aggregate for them, the graceful-fallback half of the contract. */
+  private def canAnswer(a: Aggregation): Boolean = {
+    val gbOk = a.groupByExpressions.toSeq match {
+      case Seq()  => true
+      case Seq(g) => colName(g).contains("tag")
+      case _      => false
+    }
+    gbOk && a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        // every column is non-null, so count(col) == count(*)
+        case c: Count =>
+          !c.isDistinct && colName(c.column).exists(SeqSource.schema.fieldNames.contains)
+        case m: Min => colName(m.column).contains("id")
+        case m: Max => colName(m.column).contains("id")
+        case s: Sum => !s.isDistinct && colName(s.column).contains("id")
+        case _ => false
+      }
+  }
+
+  // COMPLETE pushdown: the returned rows are final — Spark plans no
+  // Aggregate node at all over this scan
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    canAnswer(a)
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    if (canAnswer(a)) { agg = Some(a); true } else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -95,7 +141,111 @@ private class SeqScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = SeqScan(lo, math.max(lo, hi), parts, required)
+  override def build(): Scan = agg match {
+    case Some(a) => SeqAggScan.plan(lo, math.max(lo, hi), a)
+    case None    => SeqScan(lo, math.max(lo, hi), parts, required)
+  }
+}
+
+/** The pushed-aggregate scan: every result row is computed on the
+  * DRIVER from the range's closed form — count = span, min/max = range
+  * ends, sum = arithmetic series (per tag group: the stride-10
+  * sub-series) — and shipped as one tiny InputPartition. This is the
+  * shape a real connector's metadata-only aggregate takes (parquet
+  * footer counts, Iceberg manifest min/max): the executors never
+  * materialize a single base row. */
+private object SeqAggScan {
+  def plan(lo: Long, hi: Long, a: Aggregation): SeqAggScan = {
+    val grouped = a.groupByExpressions.nonEmpty
+    // per-group arithmetic spans: (tag, first, last, n); one global
+    // span when ungrouped. Empty tag groups simply don't exist —
+    // exactly GROUP BY semantics.
+    val spans: Seq[(Option[Long], Long, Long, Long)] =
+      if (!grouped) {
+        if (hi <= lo) Seq.empty else Seq((None, lo, hi - 1, hi - lo))
+      } else {
+        (0L to 9L).flatMap { t =>
+          val first = lo + (((t - lo) % 10) + 10) % 10
+          if (first >= hi) None
+          else {
+            val last = first + ((hi - 1 - first) / 10) * 10
+            Some((Some(t), first, last, (last - first) / 10 + 1))
+          }
+        }
+      }
+    // n·(first+last)/2 — exact for both stride 1 and stride 10; the
+    // product stays long-safe for any row count this table generates
+    def aggVal(f: AggregateFunc, first: Long, last: Long,
+               n: Long): Option[Long] = f match {
+      case _: CountStar | _: Count => Some(n)
+      case _: Min => Some(first)
+      case _: Max => Some(last)
+      case _: Sum => Some(n * (first + last) / 2)
+      case _ => None
+    }
+    val rows: Array[(Option[Long], Array[Option[Long]])] =
+      if (spans.isEmpty && !grouped)
+        // a GLOBAL aggregate over an empty range still returns one row:
+        // count 0, NULL extrema/sums — Aggregate-without-grouping
+        // semantics the source must reproduce once Spark's node is gone
+        Array((None, a.aggregateExpressions.map {
+          case _: CountStar | _: Count => Some(0L)
+          case _ => Option.empty[Long]
+        }))
+      else spans.map { case (t, first, last, n) =>
+        (t, a.aggregateExpressions.map(f => aggVal(f, first, last, n)))
+      }.toArray
+    SeqAggScan(grouped, rows,
+      a.aggregateExpressions.map(_.toString).mkString(", "),
+      a.aggregateExpressions.map(f =>
+        !(f.isInstanceOf[CountStar] || f.isInstanceOf[Count])))
+  }
+}
+
+private case class SeqAggScan(
+    grouped: Boolean,
+    rows: Array[(Option[Long], Array[Option[Long]])],
+    pushedDesc: String,
+    nullable: Array[Boolean])
+    extends Scan with Batch {
+  override def readSchema(): StructType = {
+    val gb = if (grouped)
+      Seq(StructField("tag", StringType, nullable = false)) else Nil
+    val as = nullable.zipWithIndex.map { case (nl, i) =>
+      StructField(s"agg_$i", LongType, nullable = nl)
+    }
+    StructType(gb ++ as)
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SeqAggScan(PushedAggregates: [$pushedDesc], grouped=$grouped, " +
+      s"result_rows=${rows.length})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqAggPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqAggReaderFactory
+}
+
+private case class SeqAggPartition(
+    rows: Array[(Option[Long], Array[Option[Long]])]) extends InputPartition
+
+private class SeqAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[SeqAggPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val (t, vs) = rows(i)
+        val cells: Array[Any] =
+          t.map(tv => UTF8String.fromString("t" + tv): Any).toArray ++
+            vs.map(_.map(Long.box).orNull: Any)
+        new GenericInternalRow(cells)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private case class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)

@@ -1116,21 +1116,32 @@ class CustomSurfaceSpec extends SparkSpec {
     // registered demonstrator agrees
     assert(graft.operators.Joins.joinAggpushAutorewrite(spark, sf)
       .collect().map(key).toSet == ctrl)
-    // bail: avg is not decomposable this way — the plan keeps the
-    // single aggregate above the join (no partial below)
-    val avgQ = graft.Tables.orders(s, sf)
-      .select(col("o_custkey"), col("o_totalprice"))
-      .join(graft.Tables.customer(s, sf)
-        .select(col("c_custkey"), col("c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_nationkey"))
-      .agg(avg(col("o_totalprice")).as("m"))
+    // avg FIRES (VERDICT r14 task 4): Σ partial_sum / Σ partial_count —
+    // the partial lands below the join and, on an integral input, the
+    // exact long partials + one final division reproduce Average's own
+    // sum.toDouble / count bit-for-bit against the rule-off session
+    def mkAvg(sess: org.apache.spark.sql.SparkSession) =
+      graft.Tables.orders(sess, sf)
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .join(graft.Tables.customer(sess, sf)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(avg(col("cents")).as("m"), count(lit(1)).as("n"))
+    val avgQ = mkAvg(s)
     val avgJoins = avgQ.queryExecution.optimizedPlan.collect {
       case j: LJoin => j
     }
     assert(avgJoins.nonEmpty &&
-      avgJoins.head.children.flatMap(_.collect { case a: LAgg => a }).isEmpty,
-      "avg must bail — no partial below the join")
+      avgJoins.head.children.flatMap(_.collect { case a: LAgg => a }).nonEmpty,
+      "avg must decompose — partial below the join")
+    def akey(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getDouble(1), r.getLong(2))
+    val avgGot = avgQ.collect().map(akey).toSet
+    val avgCtrl = mkAvg(spark).collect().map(akey).toSet
+    assert(avgGot == avgCtrl && avgGot.nonEmpty,
+      "avg rewrite must be rule-off equal (exact, integral input)")
     // bail: a fact-side grouping key that is not the fk keeps the plan
     val factKeyQ = graft.Tables.orders(s, sf)
       .select(col("o_custkey"), col("o_orderpriority"),
@@ -1146,6 +1157,82 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(fkJoins.nonEmpty &&
       fkJoins.head.children.flatMap(_.collect { case a: LAgg => a }).isEmpty,
       "a non-fk fact grouping key must bail")
+  }
+
+  test("AggPushdownRewrite: join-chain descent lands the partial below BOTH joins; TRY and count(NULL) guard") {
+    import org.apache.spark.sql.functions.{avg, col, count, expr, lit, sum}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    GraftExtensions.installOptimizations(s)
+    s.conf.set(graft.plans.AggPushdownRewrite.Flag, "true")
+    // lineitem ⋈ part ⋈ supplier, grouped by dim attrs from BOTH dims:
+    // the fact carries both join keys, so the partial must group by
+    // (l_partkey, l_suppkey) and sit below the WHOLE chain (VERDICT r14
+    // task 4 — fact pre-aggregates below the join chain)
+    def mk(sess: org.apache.spark.sql.SparkSession) =
+      graft.Tables.lineitem(sess, sf)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"))
+        .join(graft.Tables.part(sess, sf)
+          .select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .join(graft.Tables.supplier(sess, sf)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"), col("s_nationkey"))
+        .agg(sum(col("qty")).as("sq"), avg(col("qty")).as("aq"),
+          count(lit(1)).as("n"))
+    val q = mk(s)
+    val opt = q.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: LJoin => j }
+    assert(joins.size == 2, s"expected the two-join chain, got ${joins.size}")
+    // the INNERMOST join must already see the partial: one of its legs
+    // is an Aggregate keyed on both fact join keys
+    val innerJoin = joins.last
+    val partial = innerJoin.children.collect {
+      case a: LAgg => a
+      case org.apache.spark.sql.catalyst.plans.logical.Project(_, a: LAgg) => a
+    }
+    assert(partial.nonEmpty, "partial aggregate must sit below the chain")
+    val pKeys = partial.head.groupingExpressions.map(_.asInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.AttributeReference].name).toSet
+    assert(pKeys == Set("l_partkey", "l_suppkey"),
+      s"partial keyed on BOTH collected fact keys, got $pKeys")
+    // results are rule-off equal (integral input → exact everywhere)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+    val got = q.collect().map(key).toSet
+    val ctrl = mk(spark).collect().map(key).toSet
+    assert(got == ctrl && got.nonEmpty, "chain rewrite must be rule-off equal")
+    // idempotence on the chain shape
+    assert(graft.plans.AggPushdownRewrite(opt).fastEquals(opt))
+    // guard: TRY eval mode bails (try_sum's null-on-overflow scope is
+    // the single-level group — ADVICE r14)
+    val tryQ = graft.Tables.orders(s, sf)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(graft.Tables.customer(s, sf)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(expr("try_sum(cents)").as("ts"))
+    val tryJoins = tryQ.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(tryJoins.nonEmpty &&
+      tryJoins.head.children.flatMap(_.collect { case a: LAgg => a }).isEmpty,
+      "try_sum must bail — no partial below the join")
+    // guard: count(NULL) is 0 everywhere and must NOT be rewritten into
+    // a row count (ADVICE r14) — values stay 0 with the rule on
+    val nullQ = graft.Tables.orders(s, sf)
+      .select(col("o_custkey"))
+      .join(graft.Tables.customer(s, sf)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(expr("count(CAST(NULL AS BIGINT))").as("cn"))
+    val cnVals = nullQ.collect().map(_.getLong(1)).toSet
+    assert(cnVals == Set(0L), s"count(NULL) must stay 0, got $cnVals")
   }
 
   test("JoinEliminationRewrite distinct: unique-key DISTINCT drops its shuffle, exactly") {

@@ -1124,6 +1124,127 @@ class LlmScaleSpec extends SparkSpec {
       s"split set ${byCluster.keySet} must be the heaviest three $want")
   }
 
+  test("ann_ivf_incremental_recall: mixed query set, twins retrieved both directions, warm index plans zero file scans") {
+    operators.LlmScale.lloyd(spark, sf) // warm the lattice + artifact
+    operators.LlmScale.annIvfIncremental(spark, sf).collect()
+    val df = operators.LlmScale.annIvfIncrementalRecall(spark, sf)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    assert(df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.isEmpty, "warm-index recall plan must not rescan any parquet")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getInt(3))))
+    val (base, delta) = rows.partition(_._1 < 1000000L)
+    assert(base.length == 5 && delta.length == 6,
+      s"5 base + 6 delta queries, got ${base.length}+${delta.length}")
+    rows.foreach { case (qid, nHit, rec, _) =>
+      assert(nHit >= 0 && nHit <= 3, s"qid=$qid")
+      val want = nHit match {
+        case 0 => 0.0; case 1 => 0.3333; case 2 => 0.6667; case _ => 1.0
+      }
+      assert(rec == want, s"qid=$qid recall=$rec for n_hit=$nHit")
+    }
+    // twin retrievability, BOTH directions: every delta query serves its
+    // nudged source (the pair sit ~10^12 apart on a lattice whose
+    // typical inter-vector distance is ~6*10^12) and base query 3 — the
+    // one base query with a delta copy — serves that copy; the other
+    // base queries have no twin (NULL)
+    delta.foreach { case (qid, _, _, tw) =>
+      assert(tw.contains(1), s"delta qid=$qid must serve its source") }
+    base.foreach { case (qid, _, _, tw) =>
+      if (qid == 3L) assert(tw.contains(1), "query 3 must serve its copy")
+      else assert(tw.isEmpty, s"qid=$qid has no twin")
+    }
+  }
+
+  test("ann_ivf_rebalance_recall: every sub-cell's anchor member is still served through the split index") {
+    val rows = operators.LlmScale.annIvfRebalanceRecall(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 6, s"3 split cells x 2 subcells: ${rows.length}")
+    val parents = operators.LlmScale.annIvfRebalance(spark, sf)
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    assert(rows.map(_._2).toSet == parents,
+      "anchors must come from the split cells themselves")
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(0, 1),
+        s"cell $c: one anchor per subcell")
+    }
+    rows.foreach { case (qid, _, _, nHit, rec) =>
+      assert(nHit >= 0 && nHit <= 3, s"qid=$qid")
+      val want = nHit match {
+        case 0 => 0.0; case 1 => 0.3333; case 2 => 0.6667; case _ => 1.0
+      }
+      assert(rec == want, s"qid=$qid recall=$rec for n_hit=$nHit")
+    }
+    // the split must leave its members ROUTABLE: the anchors' true
+    // neighborhoods are still found through the sub-cells under the
+    // same nprobe=2 budget (a broken split orphans exactly these ids)
+    assert(rows.map(_._4).sum >= rows.length,
+      s"average post-split recall must stay >= 1/3: ${rows.toSeq}")
+  }
+
+  test("ann_ivf_delete: tombstones never served, untouched top-3 identical, sweep folds the sidecar") {
+    import org.apache.spark.sql.functions.col
+    val served = operators.LlmScale.ivfDeleteParts(spark, sf)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.nonEmpty && served.forall(_._2 % 23 != 5),
+      "no tombstoned id may surface in any served top-k")
+    // where the live index served no tombstone, the delete path serves
+    // the IDENTICAL list — the anti-join only suppresses, never reorders
+    val baseBy = operators.LlmScale.annIvfKmeans(spark, sf)
+      .select(col("qid"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val servedBy = served.groupBy(_._1)
+    baseBy.foreach { case (qid, bs) =>
+      if (bs.forall(_._2 % 23 != 5))
+        assert(servedBy(qid).map(_._2).toSet == bs.map(_._2).toSet,
+          s"qid=$qid: survivor-only top-3 must be unchanged by the delete")
+    }
+    // the sidecar suppressed real postings somewhere in the probed cells
+    val out = operators.LlmScale.annIvfDelete(spark, sf).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(3)).sum > 0,
+      "the probed cells must contain suppressed tombstoned postings")
+    // sweep at the next compaction: folding the sidecar into the
+    // postings drops exactly the tombstoned rows, and re-applying the
+    // sidecar afterwards matches nothing — it has emptied
+    val (_, _, a2, _) = operators.LlmScale.lloyd(spark, sf)
+    val nAll = a2.count()
+    val nTomb = a2.where(col("vec_id") % 23 === 5).count()
+    val swept = a2.where(col("vec_id") % 23 =!= 5)
+    assert(nTomb > 0 && swept.count() == nAll - nTomb)
+    assert(swept.where(col("vec_id") % 23 === 5).count() == 0,
+      "no outstanding tombstone after the sweep — the sidecar is empty")
+  }
+
+  test("ann_graph_delete: retired nodes unreachable, edge sweep reconciles, recall near the live graph") {
+    import org.apache.spark.sql.functions.col
+    val pred = operators.LlmScale.annGraphDeletePred(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pred.nonEmpty && pred.forall(_._2 % 23 != 5),
+      "a retired node must be unreachable, hence never served")
+    // retirement sweep: dropped edges are exactly the tombstone-incident
+    // ones (both directions), counted independently
+    val (adj, _, _) = operators.LlmScale.annGraphAdjacency(spark, sf)
+    val nAdj = adj.count()
+    val nTouch = adj.where(col("src") % 23 === 5 ||
+      col("dst") % 23 === 5).count()
+    val retired = adj.where(col("src") % 23 =!= 5 && col("dst") % 23 =!= 5)
+    assert(nTouch > 0 && retired.count() == nAdj - nTouch)
+    // the curve successors + fingers route around retired nodes: recall
+    // against the survivor truth stays near the live graph's own row
+    val del = operators.LlmScale.annGraphDelete(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(del.length == 10)
+    val live = operators.LlmScale.annGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val dAvg = del.map(_._2).sum / del.length
+    val lAvg = live.map(_._2).sum / live.length
+    assert(dAvg >= lAvg - 0.35,
+      s"retirement must not collapse recall: $dAvg vs live $lAvg")
+  }
+
   test("ann_graph_incremental: 4 real attachments per new node, never worse than a direct entry hop") {
     import org.apache.spark.sql.functions.col
     val (_, _, qv) = operators.LlmScale.annGraphAdjacency(spark, sf)
