@@ -726,7 +726,33 @@ object ScaleProbe {
       // calibration (r14): rides the memoized (features, weights);
       // marginal cost is one margin pass + a 16-row bin aggregate —
       // corpus-linear like the classifier family
-      "llm_quality_calibration")
+      "llm_quality_calibration",
+      // maintained-index recall (r15): rides the memoized index; the
+      // marginal cost is the 11-query probe over grown cells
+      // (nprobe·(N/K) candidates per query) + the per-query-linear
+      // brute truth — the recall-row shape, corpus-linear
+      "llm_ann_ivf_incremental_recall",
+      // post-rebalance routing (r15): rides ivfSplit's memoized
+      // members; the probe side is (K+3) broadcast cells × 6 anchor
+      // queries + the bounded truth pass — corpus-linear via the truth
+      "llm_ann_ivf_rebalance_recall",
+      // vector delete (r15): the tombstone anti-join is a key-slice
+      // filter on the candidate join — same cost shape as
+      // llm_ann_ivf_kmeans + the survivor truth pass
+      "llm_ann_ivf_delete",
+      // graph retirement (r15): one fresh width-8 walk over the
+      // filtered adjacency (bounded evals/query) + survivor truth —
+      // must track llm_ann_graph's growth
+      "llm_ann_graph_delete",
+      // DSv2 aggregate pushdown (r15): the connector answers from its
+      // closed form — the plan moves 10 rows at ANY `rows` option, the
+      // flattest row in the suite (generated source: probed at fixed
+      // size across tiers, the claim is plan shape not data growth)
+      "scan_agg_pushdown",
+      // ADD COLUMN evolution (r15): staging + the one-partition COW
+      // rewrite are the linear cost; the mapping read null-fills at
+      // the scan — scan-bound like scan_column_mapping
+      "sink_merge_evolve")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -191,13 +191,15 @@ object Analytics extends OpModule {
     * path reads staged parquet, and the touched-key semi/anti joins
     * broadcast the delta's key set (delta-sized, tiny by construction).
     * The O(all customers) window of dim_scd2 never re-runs. */
-  private val scd2Dirs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
-
   private[graft] def stagedScd2(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val dir = scd2Dirs.computeIfAbsent((d, tableVersion(d, "orders")), { _ =>
-      val base = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    // marker-gated StageUtil discipline (VERDICT r14 task 7): one
+    // staging per (fixture, version) per JVM under the shared stage
+    // root — no leaked temp dir per process, no Spark write jobs run
+    // inside a hash-map bin lock
+    val name = "scd2_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Long.toHexString(tableVersion(d, "orders"))
+    val dir = StageUtil.staged(name) { base =>
       val od = Tables.orders(s, d)
       od.agg(expr("date_trunc('day', max(o_orderdate)) - interval 90 days")
           .as("cutoff"))
@@ -208,8 +210,7 @@ object Analytics extends OpModule {
       scd2Build(od.crossJoin(broadcast(meta))
           .where(col("o_orderdate") < col("cutoff")))
         .write.mode("overwrite").parquet(s"$base/dim")
-      base
-    })
+    }
     (s.read.parquet(s"$dir/dim"), s.read.parquet(s"$dir/meta"))
   }
 
@@ -1276,9 +1277,6 @@ object Analytics extends OpModule {
     * reprocess window) lives in the staged meta table and reaches the
     * scan via a broadcast 1-row cross join — never a driver-side read in
     * the query path. */
-  private val mvDirs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
-
   private def tableVersion(d: String, name: String): Long = {
     val f = new java.io.File(s"$d/$name.parquet")
     val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
@@ -1295,8 +1293,11 @@ object Analytics extends OpModule {
 
   private[graft] def stagedMv(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val dir = mvDirs.computeIfAbsent((d, eventsVersion(d)), { _ =>
-      val base = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    // marker-gated StageUtil discipline (VERDICT r14 task 7) — same
+    // migration as stagedScd2 above
+    val name = "mv_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Long.toHexString(eventsVersion(d))
+    val dir = StageUtil.staged(name) { base =>
       val ev = Tables.events(s, d)
       ev.agg(expr("date_trunc('day', max(ts)) - interval 4 days").as("cutoff"))
         .write.mode("overwrite").parquet(s"$base/meta")
@@ -1306,8 +1307,7 @@ object Analytics extends OpModule {
       ev.crossJoin(broadcast(meta)).where(col("ts") < col("cutoff"))
         .transform(mvPartials)
         .write.mode("overwrite").parquet(s"$base/view")
-      base
-    })
+    }
     (s.read.parquet(s"$dir/view"), s.read.parquet(s"$dir/meta"))
   }
 

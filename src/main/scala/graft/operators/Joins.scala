@@ -540,10 +540,13 @@ object Joins extends OpModule {
     * partial rows instead of |orders| facts (~10× here, often 1000× on
     * clickstream→user shapes; at 100 TB the difference between
     * shuffling the corpus and shuffling its key space). Sound
-    * unconditionally for sum/count/min/max on any inner equi-join — no
-    * RELY declaration needed, unlike the elimination twin. The spec
-    * pins the plan shape (an aggregate BELOW the join) and
-    * rule-off-equal results; the oracle replays the naive join. */
+    * unconditionally for sum/count/min/max — and since r15 avg
+    * (Σ partial_sum / Σ partial_count: the join multiplicity cancels in
+    * the ratio) — on any inner equi-join, or a CHAIN of two (the rule
+    * descends one level, grouping the partial by both collected fact
+    * keys); no RELY declaration needed, unlike the elimination twin.
+    * The spec pins the plan shape (an aggregate BELOW the join/chain)
+    * and rule-off-equal results; the oracle replays the naive join. */
   def joinAggpushAutorewrite(s0: SparkSession, d: String): DataFrame = {
     val s = s0.newSession()
     s.conf.set("spark.sql.shuffle.partitions",

@@ -1464,6 +1464,29 @@ object Scans extends OpModule {
       .groupBy(col("tag"))
       .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
 
+  /** DSv2 AGGREGATE PUSHDOWN (VERDICT r14 task 3) — the modern
+    * warehouse-connector seam the filter/column pushdowns stop short
+    * of: the same generated table queried with aggregates the
+    * connector answers from its CLOSED FORM
+    * (SupportsPushDownAggregates, COMPLETE pushdown — count/min/max/
+    * sum over the filter-narrowed id range, grouped by the generated
+    * tag key). The executed plan carries NO Aggregate over the scan:
+    * the scan node itself returns the 10 final rows, computed on the
+    * driver like a parquet footer count or an Iceberg manifest
+    * min/max — CustomSurfaceSpec pins the plan shape, the
+    * graceful-fallback path (a `val` aggregate is rejected and Spark
+    * keeps its own Aggregate), and pushdown-on/off row equality. At
+    * 100 TB this is a JDBC dialect shipping the GROUP BY to the
+    * database: the difference between moving a corpus and moving 10
+    * rows. */
+  def scanAggPushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-seq")
+      .option("rows", "100000").option("parts", "8").load()
+      .where(col("id") >= 1000 && col("id") < 50000)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+
   /** Write through the custom DSv2 sink (graft.sources.AuditSink) and
     * read back THROUGH ITS COMMIT MANIFEST: the task writers stream part
     * files, the driver's commit publishes the manifest, and the
@@ -1940,10 +1963,17 @@ object Scans extends OpModule {
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/m1")
         indexPostings(s.read.parquet(s"$dir/d1"))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/index1")
-        // the COW commit (timeTravel write contract: d2 + m2)
+        // publish v1: ONE pointer names the (manifest, postings) PAIR —
+        // the atomic cross-artifact commit (VERDICT r14 task 6): a
+        // reader resolves snapshot AND index from a single atomic read,
+        // so no interleaving can pair a new HEAD with stale postings
+        atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"), "m1 index1")
+        // the COW commit (timeTravel write contract: d2 + m2) — staged,
+        // NOT yet visible: readers still resolve (m1, index1)
         timeTravelWriteV2(s, dir)
         // the refresh: drop stale postings, build new-file postings,
-        // share the rest — O(rewritten files)
+        // share the rest — O(rewritten files); staged beside the live
+        // index, invisible until the flip
         val p1 = snapshotPaths(s, s"$dir/m1").toSet
         val p2 = snapshotPaths(s, s"$dir/m2").toSet
         val stale = (p1 -- p2).toSeq.sorted
@@ -1952,6 +1982,8 @@ object Scans extends OpModule {
           .where(!col("file_path").isin(stale: _*))
           .unionByName(indexPostings(s.read.parquet(freshPaths: _*)))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/index2")
+        // the commit: flip snapshot and postings TOGETHER
+        atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"), "m2 index2")
         java.nio.file.Files.createFile(marker)
       }
     }
@@ -1964,11 +1996,22 @@ object Scans extends OpModule {
     data.groupBy(col("o_custkey"), input_file_name().as("file_path"))
       .agg(count(lit(1)).as("n_rows"))
 
+  /** Resolve the (manifest, postings) pair the index table currently
+    * serves — ONE atomic pointer read, so snapshot and index can never
+    * be observed mismatched. */
+  private[graft] def indexHead(dir: String): (String, String) = {
+    val Array(m, idx) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8").trim.split(' ')
+    (m, idx)
+  }
+
   def scanIndexRefresh(s: SparkSession, d: String): DataFrame = {
     val dir = indexRefreshDir(s, d)
-    // lookup THROUGH the refreshed index: postings → planned files →
-    // key-filtered read (the scanSecondaryIndex shape, post-merge)
-    val paths = s.read.parquet(s"$dir/index2")
+    // lookup THROUGH the head-resolved index: one atomic pointer read
+    // names the (snapshot, postings) pair, then postings → planned
+    // files → key-filtered read (the scanSecondaryIndex shape)
+    val (_, idx) = indexHead(dir)
+    val paths = s.read.parquet(s"$dir/$idx")
       .where(col("o_custkey").isin(secIndexProbeKeys: _*))
       .select(col("file_path")).distinct()
       .collect().map(_.getString(0)).sorted
@@ -2487,9 +2530,121 @@ object Scans extends OpModule {
     summarize("v1").unionByName(summarize("v2"))
   }
 
+  /** SCHEMA EVOLUTION THROUGH THE WRITE PATH (VERDICT r14 task 5) —
+    * the ALTER TABLE ADD COLUMN + backfill shape every long-lived
+    * table hits, which scan_evolving (mergeSchema on read) and
+    * scan_column_mapping (rename/drop, sidecar-only) both stop short
+    * of: a COW merge commit ADDS a column mid-life.
+    *  - v1: orders staged as physical (c_1, c_2, c_3), partitioned by
+    *    priority, with the field-id mapping sidecar map_v1 binding
+    *    them to (o_orderkey, o_totalprice, o_orderpriority);
+    *  - the evolving commit: ONLY the 1-URGENT partition's files are
+    *    COW-rewritten carrying the NEW physical column c_4
+    *    (= o_orderkey % 3) and the sidecar gains the v2 binding
+    *    (fid 4 → o_flag). Every other partition's files are BYTE-
+    *    UNTOUCHED (ScansSpec hashes them across the commit) — at
+    *    100 TB an ADD COLUMN that rewrote the table would be a
+    *    non-starter; rewriting only the partitions a merge touches is
+    *    the real cost model;
+    *  - the read resolves the mapping sidecar (driver metadata),
+    *    requests the v2 physical schema, and pre-evolution files
+    *    NULL-FILL the missing column at the scan — no mergeSchema
+    *    footer sweep, the field-id discipline every table format uses.
+    * The oracle replays the null-fill as a literal CASE over `orders`
+    * (flagged exactly where the commit rewrote). ScansSpec additionally
+    * pins that a query over pre-evolution columns PRUNES c_4 from the
+    * read schema. */
+  private[graft] def evolveDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/evolve_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_EVOLVED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        wipeDir(dir)
+        evolveStage(s, d, dir)
+        evolveCommit(s, d, dir)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  private[graft] def evolveStage(s: SparkSession, d: String,
+                                 dir: String): Unit = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("c_1"), col("o_totalprice").as("c_2"),
+        col("o_orderpriority").as("c_3"), col("o_orderpriority").as("pr"))
+      .write.partitionBy("pr").mode(SaveMode.Overwrite)
+      .parquet(s"$dir/data")
+    Seq((1, "c_1", "o_orderkey", "BIGINT"),
+      (2, "c_2", "o_totalprice", "DOUBLE"),
+      (3, "c_3", "o_orderpriority", "STRING"))
+      .toDF("fid", "phys", "logical", "dtype")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/map_v1")
+  }
+
+  /** The ADD COLUMN merge commit: dynamic-overwrite ONLY the urgent
+    * partition with files that carry the new physical column, then
+    * publish the widened mapping. */
+  private[graft] def evolveCommit(s: SparkSession, d: String,
+                                  dir: String): Unit = {
+    import s.implicits._
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("c_1"),
+          col("o_totalprice").as("c_2"),
+          col("o_orderpriority").as("c_3"),
+          (col("o_orderkey") % 3).as("c_4"),
+          col("o_orderpriority").as("pr"))
+        .write.partitionBy("pr").mode(SaveMode.Overwrite)
+        .parquet(s"$dir/data")
+    } finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    Seq((1, "c_1", "o_orderkey", "BIGINT"),
+      (2, "c_2", "o_totalprice", "DOUBLE"),
+      (3, "c_3", "o_orderpriority", "STRING"),
+      (4, "c_4", "o_flag", "BIGINT"))
+      .toDF("fid", "phys", "logical", "dtype")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/map_v2")
+  }
+
+  /** Read through a mapping version: the sidecar (≤4-row driver
+    * metadata) supplies the requested PHYSICAL schema — files missing
+    * a physical column null-fill it at the scan — aliased to the
+    * version's logical names. */
+  private[graft] def evolveRead(s: SparkSession, dir: String,
+                                ver: String): DataFrame = {
+    val m = s.read.parquet(s"$dir/map_$ver")
+      .orderBy(col("fid")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val ddl = (m.map { case (p, _, t) => s"$p $t" } :+ "pr STRING")
+      .mkString(", ")
+    s.read.schema(ddl).parquet(s"$dir/data")
+      .select(m.map { case (p, l, _) => col(p).as(l) }.toIndexedSeq: _*)
+  }
+
+  def sinkMergeEvolve(s: SparkSession, d: String): DataFrame = {
+    val dir = evolveDir(s, d)
+    evolveRead(s, dir, "v2")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_flag")).as("n_flagged"),
+        sum(col("o_flag")).cast("bigint").as("flag_sum"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_cached" -> scanCached _,
+    "sink_merge_evolve" -> sinkMergeEvolve _,
     "scan_custom_source" -> scanCustomSource _,
+    "scan_agg_pushdown" -> scanAggPushdown _,
     "sink_custom" -> sinkCustom _,
     "maintenance_zorder" -> maintenanceZorder _,
     "scan_partitioned" -> scanPartitioned _,
@@ -2663,6 +2818,24 @@ object Scans extends OpModule {
         |FROM range(0, 100000) t(i)
         |WHERE i >= 1000 AND i < 50000
         |GROUP BY 1""".stripMargin,
+    "scan_agg_pushdown" ->
+      """SELECT 't' || (i % 10) AS tag, count(*) AS n,
+        |       min(i) AS min_id, max(i) AS max_id,
+        |       CAST(sum(i) AS BIGINT) AS sum_id
+        |FROM range(0, 100000) t(i)
+        |WHERE i >= 1000 AND i < 50000
+        |GROUP BY 1""".stripMargin,
+    // the ADD COLUMN commit replayed relationally: flagged exactly
+    // where the COW rewrite landed (the 1-URGENT partition), NULL
+    // elsewhere — the null-fill the mapping read performs
+    "sink_merge_evolve" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT'
+        |             THEN o_orderkey % 3 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |           THEN o_orderkey % 3 END) AS BIGINT) AS flag_sum,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin,
     "scan_projected" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_quantity < 10""".stripMargin,

@@ -198,7 +198,7 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(scans.count(_.contains("orders.parquet")) == 2,
       s"expected two delta-slice orders scans, got:\n${scans.mkString("\n")}")
-    assert(scans.exists(_.contains("graft_scd2")),
+    assert(scans.exists(s => s.contains("graft_stage") && s.contains("scd2_")),
       "carried path must read the staged dimension")
     val out = Analytics.dimScd2Incremental(spark, sf).cache()
     try {

@@ -71,6 +71,22 @@ class PlanLintSpec extends SparkSpec {
     // persisted centroid table — the same K-row bound every IVF op
     // carries (K = N/128 driver-bounded, broadcast by contract)
     "llm_ann_ivf_incremental",
+    // maintained-index recall rows (r15): the same bounded sides as
+    // every recall row — an 11-query (5 base + 6 delta) broadcast probe
+    // set × the K-row centroid table, and the brute-truth pass's
+    // query broadcast; constant in corpus size
+    "llm_ann_ivf_incremental_recall",
+    // post-rebalance routing (r15): ≤6 anchor queries broadcast × the
+    // (K+3)-row post-split cell table + the same bounded truth pass
+    "llm_ann_ivf_rebalance_recall",
+    // vector delete (r15): the 10-query broadcast probe/truth sides of
+    // llm_ann_ivf_kmeans/llm_ann_recall, unchanged by the tombstone
+    // anti-join (a key-slice filter, not a join shape)
+    "llm_ann_ivf_delete",
+    // graph-node retirement (r15): the survivor brute-truth pass
+    // carries the same bounded 10-query broadcast side as llm_ann_graph
+    // (the retired walk itself is checkpointed at construction)
+    "llm_ann_graph_delete",
     // LSH recall eval (r12): both sides are the FIXED 160-row audit
     // sample (128 lowest-id docs + 32 planted renditions) — the pair
     // space is sample², constant in corpus size like the ANN probes

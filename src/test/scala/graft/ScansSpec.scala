@@ -151,6 +151,59 @@ class ScansSpec extends SparkSpec {
       (7L * 2654435761L) % 1000003L)
   }
 
+  test("custom DSv2 source: COMPLETE aggregate pushdown — no Aggregate over the scan, rejected aggs fall back") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.Scans.scanAggPushdown(spark, sf)
+    df.collect()
+    // complete pushdown: the plan carries NO aggregate node — the scan
+    // itself returns the final rows
+    val aggs = collectFinal(df) {
+      case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+    }
+    assert(aggs.isEmpty,
+      s"complete pushdown must remove the Aggregate:\n" +
+        df.queryExecution.executedPlan.toString.take(2000))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"scan description must name the pushed aggregates:\n${plan.take(2000)}")
+    // values: the closed form equals the row-by-row fallback. Adding a
+    // `val` aggregate is REJECTED by the connector (a hash has no
+    // closed form), so the same query keeps Spark's own Aggregate —
+    // the graceful-fallback half of the contract — and its shared
+    // columns must agree exactly
+    val fb = spark.read.format("graft-seq")
+      .option("rows", "100000").option("parts", "8").load()
+      .where(col("id") >= 1000 && col("id") < 50000)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"),
+        sum(col("val")).as("sum_val"))
+    fb.collect()
+    val fbAggs = collectFinal(fb) {
+      case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+    }
+    assert(fbAggs.nonEmpty, "a rejected aggregate must keep Spark's own")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val pushed = df.collect().map(key).toSet
+    val ctrl = fb.select(col("tag"), col("n"), col("min_id"),
+      col("max_id"), col("sum_id")).collect().map(key).toSet
+    assert(pushed == ctrl && pushed.size == 10,
+      s"pushdown-on/off must agree: ${pushed.size} vs ${ctrl.size}")
+    // GLOBAL aggregate over an empty pushed range: the source must
+    // reproduce Aggregate-without-grouping semantics (one row, count 0,
+    // NULL extrema) once Spark's node is gone
+    val empty = spark.read.format("graft-seq")
+      .option("rows", "100000").load()
+      .where(col("id") >= 90000 && col("id") < 80000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    val er = empty.collect()
+    assert(er.length == 1 && er.head.getLong(0) == 0L &&
+      er.head.isNullAt(1) && er.head.isNullAt(2),
+      s"empty-range global aggregate: ${er.toSeq}")
+  }
+
   test("custom DSv2 sink: only manifest-committed files visible, counts exact") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_audit_spec").toString
@@ -536,6 +589,20 @@ class ScansSpec extends SparkSpec {
     val s2 = rows(idx2.where(col("file_path").isin(shared.toSeq.sorted: _*)))
     assert(s1 == s2 && s1.nonEmpty,
       "shared postings must be identical across the refresh")
+    // ATOMIC CROSS-ARTIFACT PUBLISH (VERDICT r14 task 6): one pointer
+    // names the (manifest, postings) pair; because both committed
+    // states satisfy postings-files == manifest-files and the flip is
+    // tmp+ATOMIC_MOVE, NO interleaving can expose a new snapshot with
+    // stale postings — a reader sees (m1,index1) or (m2,index2), never
+    // a cross
+    assert(S.indexHead(dir) == ("m2", "index2"),
+      "head must name the committed pair")
+    val idx1Paths = idx1.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(idx1Paths == p1,
+      "generation 1 invariant: index1 covers exactly m1's files")
+    assert(idx2Paths == p2,
+      "generation 2 invariant: index2 covers exactly m2's files")
     // the lookup through the refreshed index equals the direct
     // post-merge snapshot recompute
     val got = S.scanIndexRefresh(spark, sf).collect()
@@ -551,6 +618,79 @@ class ScansSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(got == want && got.nonEmpty)
+  }
+
+  test("sink_merge_evolve: ADD COLUMN rewrites only its partition, old files byte-untouched, new column pruned and null-filled") {
+    val S = graft.operators.Scans
+    // own staging so the commit can be observed across its boundary
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evolve_spec").toString
+    S.evolveStage(spark, sf, dir)
+    def fileHashes(): Map[String, String] = {
+      val base = java.nio.file.Paths.get(dir, "data")
+      val out = scala.collection.mutable.Map.empty[String, String]
+      java.nio.file.Files.walk(base).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          out(base.relativize(p).toString) =
+            md.digest(java.nio.file.Files.readAllBytes(p))
+              .map("%02x".format(_)).mkString
+        }
+      }
+      out.toMap
+    }
+    val before = fileHashes()
+    S.evolveCommit(spark, sf, dir)
+    val after = fileHashes()
+    // every file OUTSIDE the rewritten partition is byte-identical —
+    // the ADD COLUMN cost is O(partition the merge touches), never a
+    // table rewrite
+    val untouched = before.keySet.filterNot(_.contains("pr=1-URGENT"))
+    assert(untouched.nonEmpty &&
+      untouched.forall(k => after.get(k).contains(before(k))),
+      "pre-evolution files must be byte-untouched by the commit")
+    assert(after.keySet.filter(_.contains("pr=1-URGENT")) !=
+      before.keySet.filter(_.contains("pr=1-URGENT")) ||
+      after.exists { case (k, h) =>
+        k.contains("pr=1-URGENT") && before.get(k).exists(_ != h) },
+      "the urgent partition must actually rewrite")
+    // v1 read path is unaffected: no o_flag column at all
+    assert(!S.evolveRead(spark, dir, "v1").columns.contains("o_flag"))
+    // v2 read: old files NULL-FILL the new column at the scan; the
+    // flag is non-null exactly on the rewritten partition
+    val v2 = S.evolveRead(spark, dir, "v2")
+    import org.apache.spark.sql.functions.{col, count}
+    val bad = v2.where(
+      (col("o_orderpriority") === "1-URGENT" && col("o_flag").isNull) ||
+        (col("o_orderpriority") =!= "1-URGENT" && col("o_flag").isNotNull))
+      .count()
+    assert(bad == 0, "null-fill boundary must be exactly the commit")
+    // pre-evolution projections PRUNE the new column from the scan
+    val pruned = v2.select(col("o_orderkey"), col("o_totalprice"))
+    val readSchema = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.requiredSchema.fieldNames.toSet
+    }
+    assert(readSchema.nonEmpty && readSchema.forall(!_.contains("c_4")),
+      s"c_4 must be pruned from pre-evolution reads: $readSchema")
+    // registered readout equals the relational replay the oracle runs
+    val got = graft.operators.Scans.sinkMergeEvolve(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toSet
+    val want = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        count(org.apache.spark.sql.functions
+          .when(col("o_orderpriority") === "1-URGENT",
+            col("o_orderkey") % 3)).as("nf"),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(col("o_orderpriority") === "1-URGENT",
+            col("o_orderkey") % 3)).cast("bigint").as("fs"),
+        org.apache.spark.sql.functions.sum(col("o_orderkey"))
+          .cast("bigint").as("ks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toSet
+    assert(got == want && got.size == 5)
   }
 
   test("scan_time_travel_asof: probes resolve at-or-before versions; rows conserved across snapshots") {
