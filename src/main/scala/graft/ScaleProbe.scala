@@ -752,7 +752,12 @@ object ScaleProbe {
       // ADD COLUMN evolution (r15): staging + the one-partition COW
       // rewrite are the linear cost; the mapping read null-fills at
       // the scan — scan-bound like scan_column_mapping
-      "sink_merge_evolve")
+      "sink_merge_evolve",
+      // persisted index store (r15): the build + delta + sweep writes
+      // are the linear cost; each serving phase is the cell-keyed
+      // candidate equi-join over disk postings + the bounded truth —
+      // the llm_ann_ivf_kmeans economics read from parquet
+      "llm_ann_index_persisted")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

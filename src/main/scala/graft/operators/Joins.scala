@@ -569,7 +569,11 @@ object Joins extends OpModule {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_sum"),
-        min(col("cents")).as("cents_min"), max(col("cents")).as("cents_max"))
+        min(col("cents")).as("cents_min"), max(col("cents")).as("cents_max"),
+        // avg decomposes as Σpartial_sum/Σpartial_count (r15) — exact on
+        // the integral cents, so the oracle's sum/count division
+        // hash-matches the rewritten ratio bit-for-bit
+        avg(col("cents")).as("cents_avg"))
 
   /** The naive spelling, on whatever session it is given (the spec
     * runs it rule-off for the control). */
@@ -1256,7 +1260,9 @@ object Joins extends OpModule {
         |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS cents_min,
         |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |    AS cents_max
+        |    AS cents_max,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE
+        |    / count(*)::DOUBLE AS cents_avg
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey""".stripMargin,
     "join_cbo_reorder" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -309,7 +309,18 @@ object LlmScale extends OpModule {
       MemoUtil.dropCheckpoint(cent); MemoUtil.dropCheckpoint(asg)
     }
     ivfIndexMemo.clear()
+    ivfSplitMemo.values.foreach { case (_, _, seeds, routed) =>
+      MemoUtil.dropCheckpoint(seeds); MemoUtil.dropCheckpoint(routed)
+    }
+    ivfSplitMemo.clear()
   }
+
+  /** Memoized split machinery (grown corpus/members, seeds, routing) —
+    * shared by llm_ann_ivf_rebalance and its _recall row so the
+    * 2-means seeding runs once per (session, sf-dir). */
+  private val ivfSplitMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame, DataFrame)]
 
   /** Memoized navigable-graph index (adjacency, entry sample, lattice) —
     * the shared expensive subtree of llm_ann_graph, llm_ann_graph_sweep
@@ -779,6 +790,10 @@ object LlmScale extends OpModule {
     * checkpointed (multi-reader: the audit aggregate AND the
     * post-split serving probe read them). */
   private def ivfSplit(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    MemoUtil.memoize(ivfSplitMemo, (s, d))(ivfSplitBuild(s, d))
+
+  private def ivfSplitBuild(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.GraftExtensions.register(s)
     val (qv, _, a2, _) = lloyd(s, d)
@@ -807,9 +822,11 @@ object LlmScale extends OpModule {
     val seedB = dA.withColumn("rn", row_number().over(wB))
       .where(col("rn") === 1)
       .select(col("cluster"), col("vec_id").as("b_id"))
-    val seeds = MemoUtil.scratch(seedA.join(seedB, "cluster")
-      .localCheckpoint())
-    val routed = MemoUtil.scratch(dA.join(broadcast(seedB), "cluster")
+    // seeds/routed live on the MEMO lifecycle (dropped in
+    // resetLloydMemo, like beam8Memo) — NOT per-query scratch, which
+    // would unpersist them between the two ops that share this build
+    val seeds = seedA.join(seedB, "cluster").localCheckpoint()
+    val routed = dA.join(broadcast(seedB), "cluster")
       .join(allVec.select(col("vec_id").as("b_id"), col("qv").as("bv")),
         "b_id")
       .select(col("cluster"), col("vec_id"), col("n_parent"), col("d_a"),
@@ -818,7 +835,7 @@ object LlmScale extends OpModule {
         when(col("d_a") <= col("d_b"), lit(0)).otherwise(lit(1)))
       .select(col("cluster"), col("vec_id"), col("n_parent"),
         col("subcell"))
-      .localCheckpoint())
+      .localCheckpoint()
     (allVec, members, seeds, routed)
   }
 
@@ -1069,6 +1086,163 @@ object LlmScale extends OpModule {
       .select(col("qid"), col("n_hit"),
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"),
         coalesce(col("n_excluded"), lit(0L)).as("n_excluded"))
+  }
+
+  // ── llm_ann_index_persisted ───────────────────────────────────────────
+
+  /** THE VECTOR INDEX AS A TABLE — the whole maintenance story
+    * persisted to DISK under the repo's lakehouse commit discipline
+    * (r15; closes the "the index artifact is memoized in-JVM" gap): a
+    * versioned index STORE whose `_HEAD` pointer (tmp + ATOMIC_MOVE)
+    * names the posting dirs and delete sidecars a reader serves from —
+    * exactly how Milvus/Lance/an Iceberg-backed vector table commits.
+    *
+    *   v1  centroids/ + postings/ + vectors/        (the trained build)
+    *   v2  + postings_d1/ + vectors_d1/             (the delta commit —
+    *        no-retrain assignments, appended, never rewriting v1 files)
+    *   v3  + deletes/                               (the tombstone
+    *        commit — a SIDECAR, postings untouched)
+    *   v4  postings2/ (= (postings ∪ d1) ∖ deletes) (the compaction
+    *        SWEEP — sidecar folded, flip drops the delete dirs)
+    *
+    * The op SERVES twice — against the pre-sweep head (anti-joining the
+    * sidecar at read time, the MOR shape) and against the post-sweep
+    * head (plain scans, the COW result) — and emits both phases:
+    * row-identical output IS the sweep-correctness proof, and the
+    * DuckDB oracle replays one serving and expects it twice. Queries
+    * and candidate vectors come from the STORE's own vector files (a
+    * real store owns its vectors), never the source parquet. At
+    * 100 TB: every commit is an append or a sidecar plus one atomic
+    * pointer flip; the sweep cost is one pass over live postings;
+    * serving reads are cell-keyed equi-joins against disk postings —
+    * the serving economics of llm_ann_ivf_kmeans unchanged. */
+  private[graft] def ivfStoreDir(s: SparkSession, d: String): String = {
+    graft.GraftExtensions.register(s)
+    StageUtil.staged("ivfstore_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + math.abs(d.hashCode)) { base =>
+      val (qv, _, a2, c2) = lloyd(s, d)
+      // v1: the trained artifact
+      c2.write.parquet(s"$base/centroids")
+      a2.select(col("vec_id"), col("cluster"))
+        .write.parquet(s"$base/postings")
+      qv.select(col("vec_id"), col("qv")).write.parquet(s"$base/vectors")
+      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
+        "postings;vectors;")
+      // v2: the delta commit — appended dirs, v1 files untouched
+      val (cent, _) = ivfIndex(s, d)
+      val delta = ivfDeltaShard(qv)
+      ivfDeltaAssign(delta, cent)
+        .select(col("new_id").as("vec_id"), col("cluster"))
+        .write.parquet(s"$base/postings_d1")
+      delta.select(col("new_id").as("vec_id"), col("dv").as("qv"))
+        .write.parquet(s"$base/vectors_d1")
+      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
+        "postings,postings_d1;vectors,vectors_d1;")
+      // v3: the tombstone commit — a sidecar, postings untouched
+      a2.select(col("vec_id")).where(col("vec_id") % 23 === 5)
+        .write.parquet(s"$base/deletes")
+      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
+        "postings,postings_d1;vectors,vectors_d1;deletes")
+    }
+  }
+
+  /** head = "postDirs;vecDirs;delDirs" (comma-separated each). */
+  private[graft] def ivfStoreHead(dir: String)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val parts = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8").trim.split(';')
+    def seg(i: Int): Seq[String] =
+      if (parts.length > i && parts(i).nonEmpty)
+        parts(i).split(',').toSeq.filter(_.nonEmpty)
+      else Seq.empty
+    (seg(0), seg(1), seg(2))
+  }
+
+  /** The compaction sweep: fold live postings minus tombstones into
+    * postings2/, flip the head to drop the sidecar. Idempotent — an
+    * already-swept head (no delete dirs) is a no-op. */
+  private[graft] def ivfStoreSweep(s: SparkSession, dir: String): Unit = {
+    val (posts, vecs, dels) = ivfStoreHead(dir)
+    if (dels.nonEmpty) {
+      val live = posts.map(p => s.read.parquet(s"$dir/$p"))
+        .reduce(_ unionByName _)
+      val tomb = dels.map(p => s.read.parquet(s"$dir/$p"))
+        .reduce(_ unionByName _)
+      live.join(tomb, Seq("vec_id"), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings2")
+      Scans.atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"),
+        s"postings2;${vecs.mkString(",")};")
+    }
+  }
+
+  /** One head-resolved serving pass: probes nprobe=2 against the disk
+    * centroids, candidates from the head's postings anti-joined with
+    * its delete sidecars, recall@3 vs exact truth over the live
+    * vectors. Everything reads THE STORE — no source parquet. */
+  private def ivfStoreServe(s: SparkSession, dir: String): DataFrame = {
+    val (posts, vecDirs, dels) = ivfStoreHead(dir)
+    val inv0 = posts.map(p => s.read.parquet(s"$dir/$p"))
+      .reduce(_ unionByName _)
+    val inv = if (dels.isEmpty) inv0
+      else inv0.join(dels.map(p => s.read.parquet(s"$dir/$p"))
+        .reduce(_ unionByName _), Seq("vec_id"), "left_anti")
+    val vecsAll = vecDirs.map(p => s.read.parquet(s"$dir/$p"))
+      .reduce(_ unionByName _)
+    // live vectors: a store's vector files are swept lazily — liveness
+    // is defined by the postings, so truth anti-joins the same sidecar
+    val live = if (dels.isEmpty)
+        vecsAll.join(inv0.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      else vecsAll.join(inv.select(col("vec_id")), Seq("vec_id"),
+        "left_semi")
+    val cents = centroidArrays(s.read.parquet(s"$dir/centroids"))
+      .select(col("cid").as("cluster"), col("cv"))
+    val q = vecsAll.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wP = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qq"), col("cluster"),
+        expr("squared_distance(qq, cv)").as("cdist"))
+      .withColumn("pr", row_number().over(wP)).where(col("pr") <= 2)
+      .select(col("qid"), col("qq"), col("cluster"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val ivf3 = vecsAll.join(inv, "vec_id")
+      .join(broadcast(probes), "cluster")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wR)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    val ex3 = live.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wR)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    ex3.join(ivf3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
+  def annIndexPersisted(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val dir = ivfStoreDir(s, d)
+    // serve BEFORE the sweep (MOR read: sidecar anti-joined), then
+    // sweep, then serve the swept head (plain scans) — equal rows are
+    // the sweep-correctness proof (on a replayed invocation the store
+    // is already swept and both phases read the same — still equal)
+    val pre = ivfStoreServe(s, dir)
+      .select(lit("pre_sweep").as("phase"), col("qid"), col("n_hit"),
+        col("recall_at_3"))
+      .localCheckpoint()
+    ivfStoreSweep(s, dir)
+    val post = ivfStoreServe(s, dir)
+      .select(lit("post_sweep").as("phase"), col("qid"), col("n_hit"),
+        col("recall_at_3"))
+    pre.unionByName(post)
   }
 
   // ── llm_ann_recall ────────────────────────────────────────────────────
@@ -3132,6 +3306,7 @@ object LlmScale extends OpModule {
     "llm_ann_ivf_rebalance" -> annIvfRebalance _,
     "llm_ann_ivf_rebalance_recall" -> annIvfRebalanceRecall _,
     "llm_ann_ivf_delete" -> annIvfDelete _,
+    "llm_ann_index_persisted" -> annIndexPersisted _,
     "llm_gram_matrix" -> gramMatrix _,
     "llm_dedup_substring" -> dedupSubstring _,
     "llm_ann_recall" -> annRecall _,
@@ -4190,6 +4365,77 @@ object LlmScale extends OpModule {
         |FROM e3 e JOIN tw USING (qid)
         |LEFT JOIN i3 i USING (qid, cand_id)
         |GROUP BY e.qid, tw.tw_raw""".stripMargin),
+    "llm_ann_index_persisted" ->
+      (lloydCtes + annIvfCtes + """,
+        |delta AS MATERIALIZED (
+        |  SELECT vec_id + 1000000 AS new_id, dim,
+        |    q + CASE WHEN dim = 0 THEN 1000 ELSE 0 END AS q
+        |  FROM dims WHERE vec_id % 17 = 3),
+        |dcent AS (
+        |  SELECT delta.new_id, c2.cluster,
+        |    CAST(sum((delta.q - c2.c) * (delta.q - c2.c)) AS BIGINT)
+        |      AS cdist
+        |  FROM delta JOIN c2 USING (dim) GROUP BY 1, 2),
+        |asg AS MATERIALIZED (
+        |  SELECT new_id, cluster FROM (
+        |    SELECT new_id, cluster, row_number() OVER (
+        |      PARTITION BY new_id ORDER BY cdist ASC, cluster ASC) AS rn
+        |    FROM dcent) WHERE rn = 1),
+        |gdims AS MATERIALIZED (
+        |  SELECT vec_id, dim, q FROM dims
+        |  UNION ALL SELECT new_id, dim, q FROM delta),
+        |ginv AS MATERIALIZED (
+        |  SELECT vec_id, cluster FROM a2
+        |  UNION ALL SELECT new_id AS vec_id, cluster FROM asg),
+        |gd AS MATERIALIZED (
+        |  SELECT vec_id, dim, q FROM gdims
+        |  WHERE NOT (vec_id % 23 = 5 AND vec_id < 1000000)),
+        |gid AS MATERIALIZED (
+        |  SELECT vec_id, cluster FROM ginv
+        |  WHERE NOT (vec_id % 23 = 5 AND vec_id < 1000000)),
+        |qp AS (
+        |  SELECT g.vec_id AS qid, c2.cluster,
+        |    sum((g.q - c2.c) * (g.q - c2.c)) AS cdist
+        |  FROM gdims g JOIN c2 USING (dim)
+        |  WHERE g.vec_id < 10 GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT qid, cluster FROM (
+        |    SELECT qid, cluster, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cdist ASC, cluster ASC) AS rn FROM qp)
+        |  WHERE rn <= 2),
+        |cnd AS (
+        |  SELECT p.qid, gi.vec_id AS cand_id,
+        |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+        |  FROM pp p
+        |  JOIN gid gi ON gi.cluster = p.cluster AND gi.vec_id != p.qid
+        |  JOIN gdims dq ON dq.vec_id = p.qid
+        |  JOIN gdims dc ON dc.vec_id = gi.vec_id AND dc.dim = dq.dim
+        |  GROUP BY 1, 2),
+        |i3 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM cnd)
+        |  WHERE rn <= 3),
+        |ext AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM gdims dq JOIN gd dc
+        |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10
+        |  GROUP BY 1, 2),
+        |e3 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM ext)
+        |  WHERE rn <= 3),
+        |one AS MATERIALIZED (
+        |  SELECT e.qid, CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+        |    round(count(i.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+        |  FROM e3 e LEFT JOIN i3 i USING (qid, cand_id)
+        |  GROUP BY e.qid)
+        |SELECT 'pre_sweep' AS phase, qid, n_hit, recall_at_3 FROM one
+        |UNION ALL
+        |SELECT 'post_sweep', qid, n_hit, recall_at_3 FROM one""".stripMargin),
     "llm_ann_ivf_delete" ->
       (lloydCtes + annIvfCtes + """,
         |survq AS MATERIALIZED (

@@ -1106,9 +1106,11 @@ class CustomSurfaceSpec extends SparkSpec {
       .filter(v => v > 0 && v <= nCust * 2)
     assert(partialRows.nonEmpty && partialRows.min < nOrders / 2,
       s"join input must shrink toward the key space: $partialRows vs $nOrders")
-    // results are rule-off equal
+    // results are rule-off equal (cents_avg included — the avg
+    // decomposition is exact on the integral cents)
     def key(r: org.apache.spark.sql.Row) =
-      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))
     val got = df.collect().map(key).toSet
     val ctrl = graft.operators.Joins.joinAggpushQuery(spark, sf)
       .collect().map(key).toSet

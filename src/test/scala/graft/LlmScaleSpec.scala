@@ -1218,6 +1218,45 @@ class LlmScaleSpec extends SparkSpec {
       "no outstanding tombstone after the sweep — the sidecar is empty")
   }
 
+  test("ann_index_persisted: disk store commits by pointer flip, sweep folds sidecar, phases serve identically") {
+    import org.apache.spark.sql.functions.col
+    val dir = operators.LlmScale.ivfStoreDir(spark, sf)
+    // build left the store at v3: postings + delta postings + sidecar
+    // (a replayed session may already be swept — then the head is v4
+    // and the sweep below is a no-op; both states must serve equally)
+    val (posts0, vecs0, dels0) = operators.LlmScale.ivfStoreHead(dir)
+    assert(vecs0 == Seq("vectors", "vectors_d1"))
+    val out = operators.LlmScale.annIndexPersisted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // the op ran the sweep: head now names the folded postings only
+    val (posts1, _, dels1) = operators.LlmScale.ivfStoreHead(dir)
+    assert(posts1 == Seq("postings2") && dels1.isEmpty,
+      s"sweep must fold the sidecar and drop it from the head: $posts1/$dels1")
+    // swept postings = (postings ∪ d1) minus tombstones, exactly
+    val liveN = spark.read.parquet(s"$dir/postings")
+      .unionByName(spark.read.parquet(s"$dir/postings_d1"))
+      .where(!(col("vec_id") % 23 === 5 && col("vec_id") < 1000000L))
+      .count()
+    assert(spark.read.parquet(s"$dir/postings2").count() == liveN)
+    assert(spark.read.parquet(s"$dir/postings2")
+      .where(col("vec_id") % 23 === 5 && col("vec_id") < 1000000L)
+      .count() == 0, "no tombstone survives the sweep")
+    // the two phases serve ROW-IDENTICAL results — the sweep proof
+    val (pre, post) = out.partition(_._1 == "pre_sweep")
+    assert(pre.length == 10 && post.length == 10)
+    assert(pre.map(t => (t._2, t._3, t._4)).toSet ==
+      post.map(t => (t._2, t._3, t._4)).toSet,
+      "pre- and post-sweep serving must be identical")
+    // idempotence: a second sweep is a no-op, a second op run equal
+    operators.LlmScale.ivfStoreSweep(spark, dir)
+    assert(operators.LlmScale.ivfStoreHead(dir)._1 == Seq("postings2"))
+    val again = operators.LlmScale.annIndexPersisted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(again == out.toSet, "replayed serving must be unchanged")
+  }
+
   test("ann_graph_delete: retired nodes unreachable, edge sweep reconciles, recall near the live graph") {
     import org.apache.spark.sql.functions.col
     val pred = operators.LlmScale.annGraphDeletePred(spark, sf)

@@ -87,6 +87,10 @@ class PlanLintSpec extends SparkSpec {
     // carries the same bounded 10-query broadcast side as llm_ann_graph
     // (the retired walk itself is checkpointed at construction)
     "llm_ann_graph_delete",
+    // persisted index store (r15): both serving phases carry the
+    // 10-query broadcast probe/truth sides over the disk store —
+    // the K-row centroid crossJoin and the bounded query broadcast
+    "llm_ann_index_persisted",
     // LSH recall eval (r12): both sides are the FIXED 160-row audit
     // sample (128 lowest-id docs + 32 planted renditions) — the pair
     // space is sample², constant in corpus size like the ANN probes
