@@ -1234,10 +1234,13 @@ object LlmScale extends OpModule {
     // sweep, then serve the swept head (plain scans) — equal rows are
     // the sweep-correctness proof (on a replayed invocation the store
     // is already swept and both phases read the same — still equal)
-    val pre = ivfStoreServe(s, dir)
+    // materialized BEFORE the sweep flips the head — the pre phase must
+    // genuinely read the sidecar'd artifacts (scratch: consumed within
+    // this op's output, freed at the next per-query drop)
+    val pre = MemoUtil.scratch(ivfStoreServe(s, dir)
       .select(lit("pre_sweep").as("phase"), col("qid"), col("n_hit"),
         col("recall_at_3"))
-      .localCheckpoint()
+      .localCheckpoint())
     ivfStoreSweep(s, dir)
     val post = ivfStoreServe(s, dir)
       .select(lit("post_sweep").as("phase"), col("qid"), col("n_hit"),

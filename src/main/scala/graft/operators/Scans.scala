@@ -1485,7 +1485,8 @@ object Scans extends OpModule {
       .where(col("id") >= 1000 && col("id") < 50000)
       .groupBy(col("tag"))
       .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
-        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"),
+        avg(col("id")).as("avg_id"))
 
   /** Write through the custom DSv2 sink (graft.sources.AuditSink) and
     * read back THROUGH ITS COMMIT MANIFEST: the task writers stream part
@@ -2821,7 +2822,8 @@ object Scans extends OpModule {
     "scan_agg_pushdown" ->
       """SELECT 't' || (i % 10) AS tag, count(*) AS n,
         |       min(i) AS min_id, max(i) AS max_id,
-        |       CAST(sum(i) AS BIGINT) AS sum_id
+        |       CAST(sum(i) AS BIGINT) AS sum_id,
+        |       avg(i) AS avg_id
         |FROM range(0, 100000) t(i)
         |WHERE i >= 1000 AND i < 50000
         |GROUP BY 1""".stripMargin,

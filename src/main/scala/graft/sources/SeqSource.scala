@@ -9,11 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{NamedReference, Expression => V2Expression}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -108,6 +108,10 @@ private class SeqScanBuilder(rows: Long, parts: Int)
         case m: Min => colName(m.column).contains("id")
         case m: Max => colName(m.column).contains("id")
         case s: Sum => !s.isDistinct && colName(s.column).contains("id")
+        // avg of the arithmetic series is (first+last)/2 exactly — a
+        // multiple of 0.5, representable, and identical to Spark's own
+        // sum/count double division on the same exact integers
+        case a: Avg => !a.isDistinct && colName(a.column).contains("id")
         case _ => false
       }
   }
@@ -174,23 +178,26 @@ private object SeqAggScan {
         }
       }
     // n·(first+last)/2 — exact for both stride 1 and stride 10; the
-    // product stays long-safe for any row count this table generates
+    // product stays long-safe for any row count this table generates.
+    // avg = (first+last)/2 exactly (a multiple of 0.5 — equals Spark's
+    // own sum/count division on the same exact integers).
     def aggVal(f: AggregateFunc, first: Long, last: Long,
-               n: Long): Option[Long] = f match {
+               n: Long): Option[Any] = f match {
       case _: CountStar | _: Count => Some(n)
       case _: Min => Some(first)
       case _: Max => Some(last)
       case _: Sum => Some(n * (first + last) / 2)
+      case _: Avg => Some((first + last) / 2.0)
       case _ => None
     }
-    val rows: Array[(Option[Long], Array[Option[Long]])] =
+    val rows: Array[(Option[Long], Array[Option[Any]])] =
       if (spans.isEmpty && !grouped)
         // a GLOBAL aggregate over an empty range still returns one row:
-        // count 0, NULL extrema/sums — Aggregate-without-grouping
+        // count 0, NULL extrema/sums/avg — Aggregate-without-grouping
         // semantics the source must reproduce once Spark's node is gone
         Array((None, a.aggregateExpressions.map {
-          case _: CountStar | _: Count => Some(0L)
-          case _ => Option.empty[Long]
+          case _: CountStar | _: Count => Some(0L): Option[Any]
+          case _ => Option.empty[Any]
         }))
       else spans.map { case (t, first, last, n) =>
         (t, a.aggregateExpressions.map(f => aggVal(f, first, last, n)))
@@ -198,21 +205,24 @@ private object SeqAggScan {
     SeqAggScan(grouped, rows,
       a.aggregateExpressions.map(_.toString).mkString(", "),
       a.aggregateExpressions.map(f =>
-        !(f.isInstanceOf[CountStar] || f.isInstanceOf[Count])))
+        !(f.isInstanceOf[CountStar] || f.isInstanceOf[Count])),
+      a.aggregateExpressions.map(_.isInstanceOf[Avg]))
   }
 }
 
 private case class SeqAggScan(
     grouped: Boolean,
-    rows: Array[(Option[Long], Array[Option[Long]])],
+    rows: Array[(Option[Long], Array[Option[Any]])],
     pushedDesc: String,
-    nullable: Array[Boolean])
+    nullable: Array[Boolean],
+    isDouble: Array[Boolean])
     extends Scan with Batch {
   override def readSchema(): StructType = {
     val gb = if (grouped)
       Seq(StructField("tag", StringType, nullable = false)) else Nil
     val as = nullable.zipWithIndex.map { case (nl, i) =>
-      StructField(s"agg_$i", LongType, nullable = nl)
+      StructField(s"agg_$i",
+        if (isDouble(i)) DoubleType else LongType, nullable = nl)
     }
     StructType(gb ++ as)
   }
@@ -227,7 +237,7 @@ private case class SeqAggScan(
 }
 
 private case class SeqAggPartition(
-    rows: Array[(Option[Long], Array[Option[Long]])]) extends InputPartition
+    rows: Array[(Option[Long], Array[Option[Any]])]) extends InputPartition
 
 private class SeqAggReaderFactory extends PartitionReaderFactory {
   override def createReader(
@@ -240,7 +250,7 @@ private class SeqAggReaderFactory extends PartitionReaderFactory {
         val (t, vs) = rows(i)
         val cells: Array[Any] =
           t.map(tv => UTF8String.fromString("t" + tv): Any).toArray ++
-            vs.map(_.map(Long.box).orNull: Any)
+            vs.map(_.getOrElse(null): Any)
         new GenericInternalRow(cells)
       }
       override def close(): Unit = ()

@@ -177,17 +177,18 @@ class ScansSpec extends SparkSpec {
       .groupBy(col("tag"))
       .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
         max(col("id")).as("max_id"), sum(col("id")).as("sum_id"),
-        sum(col("val")).as("sum_val"))
+        avg(col("id")).as("avg_id"), sum(col("val")).as("sum_val"))
     fb.collect()
     val fbAggs = collectFinal(fb) {
       case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
     }
     assert(fbAggs.nonEmpty, "a rejected aggregate must keep Spark's own")
     def key(r: org.apache.spark.sql.Row) =
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
     val pushed = df.collect().map(key).toSet
     val ctrl = fb.select(col("tag"), col("n"), col("min_id"),
-      col("max_id"), col("sum_id")).collect().map(key).toSet
+      col("max_id"), col("sum_id"), col("avg_id")).collect().map(key).toSet
     assert(pushed == ctrl && pushed.size == 10,
       s"pushdown-on/off must agree: ${pushed.size} vs ${ctrl.size}")
     // GLOBAL aggregate over an empty pushed range: the source must
