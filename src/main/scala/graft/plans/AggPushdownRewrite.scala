@@ -88,34 +88,40 @@ object AggPushdownRewrite extends Rule[LogicalPlan] {
       }.flatMap(_.references)
       case _ => Nil
     })
-    locateFact(j, aggInputs, depth = 2).flatMap { case (fact, fks0, splice) =>
-      val fks = fks0.foldLeft(Vector.empty[AttributeReference]) { (acc, k) =>
-        if (acc.exists(_.exprId == k.exprId)) acc else acc :+ k
-      }
-      val groupOk = agg.groupingExpressions.forall {
-        case g: AttributeReference =>
-          !fact.outputSet.contains(g) || fks.exists(_.exprId == g.exprId)
-        case _ => false
-      }
-      if (!groupOk || alreadyPartial(fact, fks)) None
-      else build(agg, fact, fks, splice)
-    }
+    // lazily try every candidate fact placement (deepest-first per leg,
+    // left orientation before right) until one passes the grouping and
+    // idempotence checks — rejecting the first leg must still let the
+    // OTHER orientation fire (a count(*)-only aggregate covers both)
+    candidates(j, aggInputs, depth = 2).view.flatMap {
+      case (fact, fks0, splice) =>
+        val fks = fks0.foldLeft(Vector.empty[AttributeReference]) {
+          (acc, k) =>
+            if (acc.exists(_.exprId == k.exprId)) acc else acc :+ k
+        }
+        val groupOk = agg.groupingExpressions.forall {
+          case g: AttributeReference =>
+            !fact.outputSet.contains(g) || fks.exists(_.exprId == g.exprId)
+          case _ => false
+        }
+        if (!groupOk || alreadyPartial(fact, fks)) None
+        else build(agg, fact, fks, splice)
+    }.headOption
   }
 
-  /** Walk the fact leg through up to `depth` nested inner
-    * single-equi-condition joins: return the deepest plan that covers
-    * every aggregate input AND every join key collected on the way
-    * down, the collected fact-side keys (the partial's grouping set),
-    * and a splicer that rebuilds the join chain around a replacement
-    * fact. Deepest placement wins — the partial collapses |fact| rows
-    * before ANY join touches them. */
-  private def locateFact(j: Join, need: AttributeSet, depth: Int)
-      : Option[(LogicalPlan, Seq[AttributeReference],
-                LogicalPlan => LogicalPlan)] =
+  /** Every fact-leg placement reachable through up to `depth` nested
+    * inner single-equi-condition joins: each candidate carries the plan
+    * covering every aggregate input AND every join key collected on the
+    * way down, the collected fact-side keys (the partial's grouping
+    * set), and a splicer that rebuilds the join chain around a
+    * replacement fact. Deeper placements come first — the partial
+    * collapses |fact| rows before ANY join touches them. */
+  private def candidates(j: Join, need: AttributeSet, depth: Int)
+      : Seq[(LogicalPlan, Seq[AttributeReference],
+             LogicalPlan => LogicalPlan)] =
     j match {
       case Join(left, right, Inner,
           Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
-        Seq(left, right).view.flatMap { leg =>
+        Seq(left, right).flatMap { leg =>
           Seq(a, b).filter(leg.outputSet.contains).map(k => (leg, k))
         }.filter { case (leg, _) => need.subsetOf(leg.outputSet) }
           .flatMap { case (leg, k) =>
@@ -138,16 +144,16 @@ object AggPushdownRewrite extends Rule[LogicalPlan] {
               case Some(inner) if depth > 1 =>
                 // the inner fact must also carry THIS level's key — it
                 // joins the groups the chain multiplies
-                locateFact(inner, need ++ AttributeSet(k :: Nil), depth - 1)
+                candidates(inner, need ++ AttributeSet(k :: Nil), depth - 1)
                   .map { case (fact, fks, innerSplice) =>
                     (fact, k +: fks,
                       (p: LogicalPlan) => spliceHere(innerSplice(p)))
                   }
-              case _ => None
+              case _ => Nil
             }
-            deeper.orElse(Some((leg, Seq(k), spliceHere _)))
-          }.headOption
-      case _ => None
+            deeper :+ ((leg, Seq(k), spliceHere _))
+          }
+      case _ => Nil
     }
 
   /** Idempotence guard: the fact side already is this rule's

@@ -1224,6 +1224,27 @@ class CustomSurfaceSpec extends SparkSpec {
     assert(tryJoins.nonEmpty &&
       tryJoins.head.children.flatMap(_.collect { case a: LAgg => a }).isEmpty,
       "try_sum must bail — no partial below the join")
+    // orientation: the fact may sit on EITHER side — a count(*)-only
+    // aggregate covers both legs, and rejecting the dim-side candidate
+    // (grouping key lives there) must rotate to the fact side, not
+    // abandon the rewrite (r15 self-review)
+    def mkFlip(sess: org.apache.spark.sql.SparkSession) =
+      graft.Tables.customer(sess, sf)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(graft.Tables.orders(sess, sf).select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+    val flipped = mkFlip(s)
+    val fJoins = flipped.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j
+    }
+    assert(fJoins.nonEmpty && fJoins.head.children.flatMap(_.collect {
+      case a: LAgg => a
+    }).nonEmpty,
+      "dim-on-the-left count(*) must still push the partial below the join")
+    assert(flipped.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      mkFlip(spark).collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
     // guard: count(NULL) is 0 everywhere and must NOT be rewritten into
     // a row count (ADVICE r14) — values stay 0 with the rule on
     val nullQ = graft.Tables.orders(s, sf)
