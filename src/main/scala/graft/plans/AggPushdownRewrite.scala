@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, NumericType}
 
 /** EAGER AGGREGATION (partial-aggregate pushdown below a join) — the
   * classic warehouse rewrite (Yan & Larson, VLDB '95; "group-by
@@ -34,10 +34,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *              zero-match groups vanish on both sides)
   *   avg(x)   = sum(partial_sum) / sum(partial_count_nonnull)  — the
   *              textbook decomposition (VERDICT r14 task 4): the
-  *              multiplicity m cancels, Σps·m / Σpc·m = Σx / n, so the
-  *              ratio is exact; integral inputs keep their exact LONG
-  *              partial sums and the single final division reproduces
-  *              Average's own sum.toDouble / count evaluation bit-for-bit
+  *              multiplicity m cancels, Σps·m / Σpc·m = Σx / n. The
+  *              partial sums accumulate in DoubleType (ADVICE r15:
+  *              Average's own accumulator is a double even for integral
+  *              inputs, so an exact-LONG partial would diverge past 2^53
+  *              and could raise an ANSI overflow Average never raises);
+  *              the final division then mirrors Average's sum / count
+  *              evaluation on the same accumulator type
   *
   * DISTINCT / FILTER-clause aggregates are not decomposable this way
   * and bail; DECIMAL sums/avgs bail (the partial re-sum widens
@@ -121,8 +124,16 @@ object AggPushdownRewrite extends Rule[LogicalPlan] {
     j match {
       case Join(left, right, Inner,
           Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
-        Seq(left, right).flatMap { leg =>
-          Seq(a, b).filter(leg.outputSet.contains).map(k => (leg, k))
+        // a (leg, k) candidate is only valid when the OTHER key of the
+        // EqualTo resolves to the OPPOSITE leg (ADVICE r15): a degenerate
+        // condition referencing two attributes of the same leg would let
+        // the partial prune the companion key and leave the rebuilt join
+        // condition dangling on a dropped attribute
+        Seq((left, right), (right, left)).flatMap { case (leg, other) =>
+          Seq((a, b), (b, a)).collect {
+            case (k, ok) if leg.outputSet.contains(k) &&
+                other.outputSet.contains(ok) => (leg, k)
+          }
         }.filter { case (leg, _) => need.subsetOf(leg.outputSet) }
           .flatMap { case (leg, k) =>
             def spliceHere(p: LogicalPlan): LogicalPlan = j.copy(
@@ -195,8 +206,12 @@ object AggPushdownRewrite extends Rule[LogicalPlan] {
       if (ae.isDistinct || ae.filter.nonEmpty) return { ok = false; ae }
       ae.aggregateFunction match {
         case s @ Sum(x: AttributeReference, ctx)
-            if !s.dataType.isInstanceOf[DecimalType] &&
+            if x.dataType.isInstanceOf[NumericType] &&
+              !s.dataType.isInstanceOf[DecimalType] &&
               ctx.evalMode != EvalMode.TRY =>
+          // NumericType only (ADVICE r15): ANSI interval sums are not
+          // DecimalType yet re-summing their partials would change the
+          // result type story — they bail like DISTINCT/FILTER do
           // carry the ORIGINAL eval context through both levels: LEGACY
           // wrap-around addition is associative so the two-level sum is
           // exact; ANSI keeps its overflow check; TRY bailed above —
@@ -210,21 +225,28 @@ object AggPushdownRewrite extends Rule[LogicalPlan] {
           val p = partialFor("max", Some(x), Max(x))
           ae.copy(aggregateFunction = Max(p))
         case av @ Average(x: AttributeReference, mode)
-            if !av.dataType.isInstanceOf[DecimalType] &&
+            if x.dataType.isInstanceOf[NumericType] &&
+              av.dataType == DoubleType &&
               mode != EvalMode.TRY =>
-          // avg = Σ partial_sum / Σ partial_count(x): the join
-          // multiplicity cancels in the ratio. The final division is
-          // built LEGACY so an all-null group (Σpc = 0) yields NULL —
-          // exactly Average's own empty-sum semantics — instead of an
-          // ANSI divide-by-zero error Average would never raise.
-          val sumCtx = NumericEvalContext(mode)
-          val ps = partialFor("asum", Some(x), Sum(x, sumCtx))
+          // NumericType input producing a double (ADVICE r15): interval
+          // avgs (whose dataType is an interval, not Decimal) and
+          // decimal avgs both bail. avg = Σ partial_sum / Σ
+          // partial_count(x): the join multiplicity cancels in the
+          // ratio. The partials sum Cast(x, DOUBLE) — Average's own
+          // accumulator type, so no ANSI overflow the original would
+          // not raise and no >2^53 exact-long divergence (ADVICE r15).
+          // The final division is built LEGACY so an all-null group
+          // (Σpc = 0) yields NULL — exactly Average's own empty-sum
+          // semantics — instead of an ANSI divide-by-zero error Average
+          // would never raise.
+          val legacy = NumericEvalContext(EvalMode.LEGACY)
+          val ps = partialFor("asum", Some(x),
+            Sum(Cast(x, DoubleType), legacy))
           val pc = partialFor("acnt", Some(x), Count(x))
           Divide(
-            Cast(total(Sum(ps, sumCtx), ae), DoubleType),
-            Cast(total(Sum(pc, NumericEvalContext(EvalMode.LEGACY)), ae),
-              DoubleType),
-            NumericEvalContext(EvalMode.LEGACY))
+            Cast(total(Sum(ps, legacy), ae), DoubleType),
+            Cast(total(Sum(pc, legacy), ae), DoubleType),
+            legacy)
         case c: Count
             if c.children.forall(e => e.foldable && e.eval() != null) =>
           // non-null foldables only: count(NULL) is 0 on every row and

@@ -107,7 +107,13 @@ private class SeqScanBuilder(rows: Long, parts: Int)
           !c.isDistinct && colName(c.column).exists(SeqSource.schema.fieldNames.contains)
         case m: Min => colName(m.column).contains("id")
         case m: Max => colName(m.column).contains("id")
-        case s: Sum => !s.isDistinct && colName(s.column).contains("id")
+        // sum's closed form n·(first+last)/2 must stay long-exact: for
+        // spans past ~3e9 rows the true sum can exceed 2^62 and the
+        // intermediate product would silently wrap (ADVICE r15), so the
+        // source honestly REJECTS the pushdown there and Spark keeps its
+        // own aggregate — graceful fallback, never a wrong answer
+        case s: Sum => !s.isDistinct && colName(s.column).contains("id") &&
+          rows <= 3000000000L
         // avg of the arithmetic series is (first+last)/2 exactly — a
         // multiple of 0.5, representable, and identical to Spark's own
         // sum/count double division on the same exact integers
@@ -177,16 +183,23 @@ private object SeqAggScan {
           }
         }
       }
-    // n·(first+last)/2 — exact for both stride 1 and stride 10; the
-    // product stays long-safe for any row count this table generates.
-    // avg = (first+last)/2 exactly (a multiple of 0.5 — equals Spark's
-    // own sum/count division on the same exact integers).
+    // n·(first+last)/2 — exact for both stride 1 and stride 10. The
+    // even factor divides FIRST (ADVICE r15: the doubled-sum
+    // intermediate would overflow once the true sum passes 2^62); when
+    // n is odd, first+last is provably even for both strides (stride 1:
+    // 2·first+n−1 with n−1 even; stride 10: 2·first+10(n−1)), so both
+    // branches stay exact. canAnswer additionally rejects spans whose
+    // true sum could exceed Long range. avg = (first+last)/2 exactly (a
+    // multiple of 0.5 — equals Spark's own sum/count division on the
+    // same exact integers).
     def aggVal(f: AggregateFunc, first: Long, last: Long,
                n: Long): Option[Any] = f match {
       case _: CountStar | _: Count => Some(n)
       case _: Min => Some(first)
       case _: Max => Some(last)
-      case _: Sum => Some(n * (first + last) / 2)
+      case _: Sum =>
+        Some(if (n % 2 == 0) n / 2 * (first + last)
+             else n * ((first + last) / 2))
       case _: Avg => Some((first + last) / 2.0)
       case _ => None
     }
