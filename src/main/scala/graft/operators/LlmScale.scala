@@ -313,6 +313,8 @@ object LlmScale extends OpModule {
       MemoUtil.dropCheckpoint(seeds); MemoUtil.dropCheckpoint(routed)
     }
     ivfSplitMemo.clear()
+    deleteWalkMemo.values.foreach(MemoUtil.dropCheckpoint)
+    deleteWalkMemo.clear()
   }
 
   /** Memoized split machinery (grown corpus/members, seeds, routing) —
@@ -336,6 +338,18 @@ object LlmScale extends OpModule {
     * walk instead of re-running the same 6 hops. */
   private val beam8Memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Memoized RETIRED-graph walk, keyed on the tombstone slice (VERDICT
+    * r15 task 7): llm_ann_graph_delete's fresh build + width-8 walk over
+    * the tombstone-filtered adjacency is paid once per (session, dir,
+    * slice) instead of per call. */
+  private val deleteWalkMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  /** Build-count telemetry: how many times the Lloyd pipeline actually
+    * ran in this JVM — the zero-rebuild assert for disk-served indexes
+    * (a store serve that re-trains would tick this). */
+  private[graft] val lloydBuilds = new java.util.concurrent.atomic.AtomicLong
 
   /** Memoized persisted IVF index (centroids, assignments) — the
     * "trained artifact" llm_ann_ivf_incremental ingests a delta against;
@@ -401,6 +415,7 @@ object LlmScale extends OpModule {
 
   private def lloydBuild(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    lloydBuilds.incrementAndGet()
     graft.GraftExtensions.register(s)
     val emb = Tables.embeddings(s, d)
     val k = kFor(emb.count())
@@ -2780,12 +2795,19 @@ object LlmScale extends OpModule {
     * O(|delta|), never a rebuild; index × index work never re-runs
     * (the adjacency rides graphMemo). Output: the attachment edge
     * list (new_id, rank 1..4, dst, exact dist). */
+  /** The synthesized ingest shard shared by the incremental graft and
+    * the persisted store's v2 commit: every 17th base vector, nudged
+    * +1000 on dim 0, re-keyed +10⁶ — the same shard the IVF ingest
+    * family routes. */
+  private def graphDelta(qv: DataFrame): DataFrame =
+    qv.where(col("vec_id") % 17 === 3)
+      .select((col("vec_id") + lit(1000000L)).as("qid"),
+        expr("transform(qv, (x, i) -> x + IF(i = 0, 1000L, 0L))").as("qq"))
+
   def annGraphIncremental(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     val (adj, entries, qv) = annGraphAdjacency(s, d)
-    val delta = qv.where(col("vec_id") % 17 === 3)
-      .select((col("vec_id") + lit(1000000L)).as("qid"),
-        expr("transform(qv, (x, i) -> x + IF(i = 0, 1000L, 0L))").as("qq"))
+    val delta = graphDelta(qv)
     val beam = annGraphSearchBatch(adj, entries, qv, delta, 8)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dist").asc, col("node").asc)
@@ -2818,13 +2840,19 @@ object LlmScale extends OpModule {
   /** The retired-graph served top-3 — package-private so the spec
     * asserts tombstone absence on the actual prediction lists. */
   private[graft] def annGraphDeletePred(s: SparkSession,
-                                        d: String): DataFrame = {
-    graft.GraftExtensions.register(s)
-    val (adj, entries, qv) = annGraphAdjacency(s, d)
-    val adjd = adj.where(col("src") % 23 =!= 5 && col("dst") % 23 =!= 5)
-    val entd = entries.where(col("vec_id") % 23 =!= 5)
-    beamTop3(annGraphSearchFull(adjd, entd, qv, 8)._1)
-  }
+                                        d: String): DataFrame =
+    // memo keyed on the tombstone slice (VERDICT r15 task 7): the
+    // retired walk legitimately cannot ride beam8Memo — the graph
+    // changed — but it IS deterministic per (session, dir, slice), so
+    // later delete-family consumers (and a replayed bench pass) pay
+    // the fresh build + walk once, not per call
+    MemoUtil.memoize(deleteWalkMemo, (s, d, "mod23eq5")) {
+      graft.GraftExtensions.register(s)
+      val (adj, entries, qv) = annGraphAdjacency(s, d)
+      val adjd = adj.where(col("src") % 23 =!= 5 && col("dst") % 23 =!= 5)
+      val entd = entries.where(col("vec_id") % 23 =!= 5)
+      beamTop3(annGraphSearchFull(adjd, entd, qv, 8)._1).localCheckpoint()
+    }
 
   def annGraphDelete(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
@@ -2846,6 +2874,176 @@ object LlmScale extends OpModule {
       .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
       .select(col("qid"), col("n_hit"),
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
+  // ── llm_ann_graph_persisted ───────────────────────────────────────────
+
+  /** THE GRAPH INDEX AS A TABLE — the versioned-disk-store discipline
+    * llm_ann_index_persisted gave the IVF family (VERDICT r15 task 1:
+    * "the graph store is the missing second tenant"), applied to the
+    * navigable graph: adjacency, entry lists, vectors, and the
+    * retirement sidecar live as parquet dirs named by an atomic `_HEAD`
+    * pointer (tmp + ATOMIC_MOVE), so a server restart loses NOTHING —
+    * the width-8 walk serves straight from disk with zero rebuild
+    * (spec-asserted via the Lloyd build counter).
+    *
+    *   v1  adjacency/ + entries/ + vectors/        (the built graph)
+    *   v2  + adjacency_d1/ + vectors_d1/           (the graft commit —
+    *        the incremental shard's attachment edges, both directions,
+    *        APPENDED; v1 files never rewritten)
+    *   v3  + tombstones/                           (retirement — a
+    *        SIDECAR; adjacency untouched)
+    *   v4  adjacency2/ + entries2/                 (the edge-sweep
+    *        compaction: tombstone-incident edges dropped, entries
+    *        filtered, flip drops the sidecar)
+    *
+    * Serving resolves the head and walks width-8 over the head's edge
+    * set — pre-sweep with the sidecar anti-joined on BOTH edge ends
+    * (the MOR read: retired nodes are unreachable by construction of
+    * the walk), post-sweep over the folded adjacency2 (the COW read).
+    * Liveness for the truth pass is GRAPH-defined (a vector is live iff
+    * the head's edge set still routes to it — `distinct src`), the
+    * graph analogue of the IVF store's postings-defined liveness, so
+    * the two phases are row-identical by construction: that equality IS
+    * the sweep-correctness proof, and the DuckDB oracle replays one
+    * serving and expects it twice. Vectors sweep lazily (the IVF-store
+    * convention — vector files are the big immutable payload; liveness
+    * never reads them as truth). At 100 TB: every commit is an append
+    * or a sidecar plus one pointer flip; the sweep is one pass over the
+    * edge list (O(N·degree)); per-query serving work stays the family's
+    * constant ≤ 16 + 6·8·22 distance evals against point lookups. */
+  private[graft] def graphStoreDir(s: SparkSession, d: String): String = {
+    graft.GraftExtensions.register(s)
+    StageUtil.staged("graphstore_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + math.abs(d.hashCode)) { base =>
+      val (adj, entries, qv) = annGraphAdjacency(s, d)
+      // v1: the built graph
+      adj.write.parquet(s"$base/adjacency")
+      entries.write.parquet(s"$base/entries")
+      qv.select(col("vec_id"), col("qv")).write.parquet(s"$base/vectors")
+      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
+        "adjacency;entries;vectors;")
+      // v2: the graft commit — the incremental shard's attachment
+      // edges (forward + symmetric back-edges) and its vectors,
+      // appended as new dirs
+      val att = annGraphIncremental(s, d)
+      att.select(col("new_id").as("src"), col("dst"))
+        .unionByName(att.select(col("dst").as("src"),
+          col("new_id").as("dst")))
+        .write.parquet(s"$base/adjacency_d1")
+      graphDelta(qv).select(col("qid").as("vec_id"), col("qq").as("qv"))
+        .write.parquet(s"$base/vectors_d1")
+      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
+        "adjacency,adjacency_d1;entries;vectors,vectors_d1;")
+      // v3: the retirement commit — a sidecar, adjacency untouched
+      qv.select(col("vec_id")).where(col("vec_id") % 23 === 5)
+        .write.parquet(s"$base/tombstones")
+      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
+        "adjacency,adjacency_d1;entries;vectors,vectors_d1;tombstones")
+    }
+  }
+
+  /** head = "adjDirs;entryDirs;vecDirs;delDirs" (comma-separated each). */
+  private[graft] def graphStoreHead(dir: String)
+      : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
+    val parts = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8").trim.split(';')
+    def seg(i: Int): Seq[String] =
+      if (parts.length > i && parts(i).nonEmpty)
+        parts(i).split(',').toSeq.filter(_.nonEmpty)
+      else Seq.empty
+    (seg(0), seg(1), seg(2), seg(3))
+  }
+
+  private def graphStoreRead(s: SparkSession, dir: String,
+                             ps: Seq[String]): DataFrame =
+    ps.map(p => s.read.parquet(s"$dir/$p")).reduce(_ unionByName _)
+
+  /** The edge-sweep compaction: drop every tombstone-incident edge
+    * (both directions), filter the entry sample, flip the head to drop
+    * the sidecar. Idempotent — an already-swept head is a no-op. */
+  private[graft] def graphStoreSweep(s: SparkSession, dir: String): Unit = {
+    val (adjs, ents, vecs, dels) = graphStoreHead(dir)
+    if (dels.nonEmpty) {
+      val tomb = graphStoreRead(s, dir, dels)
+      graphStoreRead(s, dir, adjs)
+        .join(tomb.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+        .join(tomb.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/adjacency2")
+      graphStoreRead(s, dir, ents)
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/entries2")
+      Scans.atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"),
+        s"adjacency2;entries2;${vecs.mkString(",")};")
+    }
+  }
+
+  /** One head-resolved serving pass: the width-8 walk over the head's
+    * (sidecar-filtered) edge set and entry sample, recall@3 vs exact
+    * truth over the GRAPH-live vectors. Everything reads THE STORE — no
+    * source parquet, no lattice rebuild. */
+  private[graft] def graphStoreServe(s: SparkSession,
+                                     dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (adjs, ents, vecDirs, dels) = graphStoreHead(dir)
+    val adj0 = graphStoreRead(s, dir, adjs)
+    val ent0 = graphStoreRead(s, dir, ents)
+    val vecsAll = MemoUtil.scratch(
+      graphStoreRead(s, dir, vecDirs).localCheckpoint())
+    val (adjF, entF) =
+      if (dels.isEmpty) (adj0, ent0)
+      else {
+        val tomb = graphStoreRead(s, dir, dels)
+        (adj0
+          .join(tomb.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+          .join(tomb.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")),
+          ent0.join(tomb, Seq("vec_id"), "left_anti"))
+      }
+    // checkpoint the head-resolved edge set once: the walk joins it on
+    // every hop, and the liveness set reads it again
+    val adj = MemoUtil.scratch(adjF.localCheckpoint())
+    val ent = MemoUtil.scratch(entF.localCheckpoint())
+    val pred = beamTop3(annGraphSearchFull(adj, ent, vecsAll, 8)._1)
+    // graph-defined liveness: a vector is live iff the head's edge set
+    // still routes to it (the IVF store's postings-defined liveness,
+    // translated) — identical pre- and post-sweep by construction
+    val live = vecsAll.join(
+      adj.select(col("src").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_semi")
+    val q = vecsAll.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val ex3 = live.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wc)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    ex3.join(pred.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
+  def annGraphPersisted(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val dir = graphStoreDir(s, d)
+    // serve BEFORE the sweep (MOR read: sidecar anti-joined on both
+    // edge ends), materialized before the head flips, then sweep and
+    // serve the folded head (COW read) — equal rows are the proof
+    val pre = MemoUtil.scratch(graphStoreServe(s, dir)
+      .select(lit("pre_sweep").as("phase"), col("qid"), col("n_hit"),
+        col("recall_at_3"))
+      .localCheckpoint())
+    graphStoreSweep(s, dir)
+    val post = graphStoreServe(s, dir)
+      .select(lit("post_sweep").as("phase"), col("qid"), col("n_hit"),
+        col("recall_at_3"))
+    pre.unionByName(post)
   }
 
   /** The width-`width` beam walk for an ARBITRARY query set (qid, qq)
@@ -3319,7 +3517,8 @@ object LlmScale extends OpModule {
     "llm_ann_graph_sweep" -> annGraphSweep _,
     "llm_ann_graph_filtered" -> annGraphFiltered _,
     "llm_ann_graph_incremental" -> annGraphIncremental _,
-    "llm_ann_graph_delete" -> annGraphDelete _
+    "llm_ann_graph_delete" -> annGraphDelete _,
+    "llm_ann_graph_persisted" -> annGraphPersisted _
   )
 
   /** Hierarchical-assign CTE block, prefix `p`: per-dim centroid table
@@ -3768,7 +3967,8 @@ object LlmScale extends OpModule {
   private def annGraphChainCtes(p: String, w: Int,
                                 qdim: String = "qdim",
                                 adjT: String = "adj",
-                                entT: String = "ent"): String = {
+                                entT: String = "ent",
+                                cdim: String = "dims"): String = {
     val b0 =
       s"""${p}b0 AS MATERIALIZED (
          |  SELECT qid, node, dist FROM (
@@ -3778,7 +3978,7 @@ object LlmScale extends OpModule {
          |      SELECT dq.vec_id AS qid, e.vec_id AS node,
          |        CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
          |      FROM $entT e
-         |      JOIN dims dc ON dc.vec_id = e.vec_id
+         |      JOIN $cdim dc ON dc.vec_id = e.vec_id
          |      JOIN $qdim dq ON dq.dim = dc.dim AND dq.vec_id != e.vec_id
          |      GROUP BY 1, 2)) WHERE c <= $w),
          |""".stripMargin
@@ -3792,7 +3992,7 @@ object LlmScale extends OpModule {
          |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
          |  FROM ${p}e$h e
          |  JOIN $qdim dq ON dq.vec_id = e.qid
-         |  JOIN dims dc ON dc.vec_id = e.node AND dc.dim = dq.dim
+         |  JOIN $cdim dc ON dc.vec_id = e.node AND dc.dim = dq.dim
          |  GROUP BY 1, 2),
          |${p}b$h AS MATERIALIZED (
          |  SELECT qid, node, dist FROM (
@@ -3983,6 +4183,65 @@ object LlmScale extends OpModule {
           |  round(count(p.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
           |FROM ex3 e LEFT JOIN pred p USING (qid, cand_id)
           |GROUP BY e.qid""".stripMargin),
+    // the persisted store's serving replay: frozen-graph graft chain →
+    // attachment edges (v2), tombstone-filtered union adjacency (v3 MOR
+    // view ≡ v4 swept adjacency2), the width-8 walk re-chained over it
+    // with store dims (base ∪ delta) as the candidate relation, truth
+    // over the GRAPH-live vectors; both phases read the same rows
+    "llm_ann_graph_persisted" ->
+      (annGraphBuildCtes +
+        """ddim AS MATERIALIZED (
+          |  SELECT vec_id + 1000000 AS vec_id, dim,
+          |    q + CASE WHEN dim = 0 THEN 1000 ELSE 0 END AS q
+          |  FROM dims WHERE vec_id % 17 = 3),
+          |""".stripMargin + annGraphChainCtes("g", 8, "ddim") +
+        """att AS MATERIALIZED (
+          |  SELECT qid AS new_id, node AS dst FROM (
+          |    SELECT qid, node,
+          |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS c
+          |    FROM gb6) WHERE c <= 4),
+          |tomb AS (SELECT vec_id FROM pj WHERE vec_id % 23 = 5),
+          |adj2 AS MATERIALIZED (
+          |  SELECT src, dst FROM (
+          |    SELECT src, dst FROM adj
+          |    UNION SELECT new_id, dst FROM att
+          |    UNION SELECT dst, new_id FROM att)
+          |  WHERE src NOT IN (SELECT vec_id FROM tomb)
+          |    AND dst NOT IN (SELECT vec_id FROM tomb)),
+          |entd2 AS (
+          |  SELECT vec_id FROM ent
+          |  WHERE vec_id NOT IN (SELECT vec_id FROM tomb)),
+          |sdim AS MATERIALIZED (
+          |  SELECT vec_id, dim, q FROM dims
+          |  UNION ALL SELECT vec_id, dim, q FROM ddim),
+          |""".stripMargin +
+        annGraphChainCtes("v", 8, "qdim", "adj2", "entd2", "sdim") +
+        """pred AS (
+          |  SELECT qid, node AS cand_id FROM (
+          |    SELECT qid, node,
+          |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS c
+          |    FROM vb6) WHERE c <= 3),
+          |lsrc AS MATERIALIZED (SELECT DISTINCT src AS vec_id FROM adj2),
+          |exd AS MATERIALIZED (
+          |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+          |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+          |  FROM qdim dq JOIN sdim dc
+          |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+          |  WHERE dc.vec_id IN (SELECT vec_id FROM lsrc)
+          |  GROUP BY 1, 2),
+          |ex3 AS MATERIALIZED (
+          |  SELECT qid, cand_id FROM (
+          |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+          |      ORDER BY dist ASC, cand_id ASC) AS rn
+          |    FROM exd) WHERE rn <= 3),
+          |one AS MATERIALIZED (
+          |  SELECT e.qid, CAST(count(p.cand_id) AS BIGINT) AS n_hit,
+          |    round(count(p.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+          |  FROM ex3 e LEFT JOIN pred p USING (qid, cand_id)
+          |  GROUP BY e.qid)
+          |SELECT 'pre_sweep' AS phase, qid, n_hit, recall_at_3 FROM one
+          |UNION ALL
+          |SELECT 'post_sweep', qid, n_hit, recall_at_3 FROM one""".stripMargin),
     "llm_cluster_topics" ->
       (lloydCtes + """,
         |dt AS (

@@ -1284,6 +1284,59 @@ class LlmScaleSpec extends SparkSpec {
       s"retirement must not collapse recall: $dAvg vs live $lAvg")
   }
 
+  test("ann_graph_persisted: versioned disk store, pointer-flip commits, sweep serve ≡ MOR serve, zero-rebuild cold serving") {
+    import org.apache.spark.sql.functions.col
+    val dir = operators.LlmScale.graphStoreDir(spark, sf)
+    // the build leaves the store at v3 (a replayed session may already
+    // be swept — then the op's sweep below is a no-op; both must serve
+    // equally); the vector dirs never change across the sweep
+    val (_, _, vecs0, _) = operators.LlmScale.graphStoreHead(dir)
+    assert(vecs0 == Seq("vectors", "vectors_d1"))
+    val out = operators.LlmScale.annGraphPersisted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // the op ran the sweep: head names the folded dirs, sidecar gone
+    val (adjs1, ents1, _, dels1) = operators.LlmScale.graphStoreHead(dir)
+    assert(adjs1 == Seq("adjacency2") && ents1 == Seq("entries2") &&
+      dels1.isEmpty, s"swept head: $adjs1/$ents1/$dels1")
+    // swept edges = (adjacency ∪ d1) minus tombstone-incident, exactly —
+    // recomputed here from the raw store files, independently of the op
+    val tomb = spark.read.parquet(s"$dir/tombstones").collect()
+      .map(_.getLong(0)).toSet
+    assert(tomb.nonEmpty && tomb.forall(_ % 23 == 5))
+    val union = spark.read.parquet(s"$dir/adjacency")
+      .unionByName(spark.read.parquet(s"$dir/adjacency_d1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = union.filter { case (a, b) => !tomb(a) && !tomb(b) }.toSet
+    val swept = spark.read.parquet(s"$dir/adjacency2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(swept == want,
+      "adjacency2 must be exactly the tombstone-swept edge union")
+    // the v2 graft is genuinely in the served graph: attachment edges
+    // survive in both directions
+    assert(swept.exists(_._1 >= 1000000L) && swept.exists(_._2 >= 1000000L),
+      "delta attachment edges must survive the sweep both ways")
+    assert(swept.forall { case (a, b) => !tomb(a) && !tomb(b) })
+    // the two phases serve ROW-IDENTICAL results — the sweep proof
+    val (pre, post) = out.partition(_._1 == "pre_sweep")
+    assert(pre.length == 10 && post.length == 10)
+    assert(pre.map(t => (t._2, t._3, t._4)).toSet ==
+      post.map(t => (t._2, t._3, t._4)).toSet,
+      "pre- and post-sweep serving must be identical")
+    // ZERO-REBUILD serving: drop every in-JVM memo (the fresh-session
+    // state), then serve again from the disk store alone — rows
+    // unchanged and the Lloyd pipeline never re-runs (the build counter
+    // is the rebuild detector)
+    operators.LlmScale.resetLloydMemo()
+    val builds0 = operators.LlmScale.lloydBuilds.get()
+    val cold = operators.LlmScale.graphStoreServe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(operators.LlmScale.lloydBuilds.get() == builds0,
+      "serving from the persisted store must not rebuild the lattice")
+    assert(cold == post.map(t => (t._2, t._3, t._4)).toSet,
+      "a memo-cold session must serve the identical rows from disk")
+  }
+
   test("ann_graph_incremental: 4 real attachments per new node, never worse than a direct entry hop") {
     import org.apache.spark.sql.functions.col
     val (_, _, qv) = operators.LlmScale.annGraphAdjacency(spark, sf)

@@ -91,6 +91,10 @@ class PlanLintSpec extends SparkSpec {
     // 10-query broadcast probe/truth sides over the disk store —
     // the K-row centroid crossJoin and the bounded query broadcast
     "llm_ann_index_persisted",
+    // persisted graph store (r16): the serve's entry cross (≤16-node
+    // sample × 10 broadcast queries) and the graph-live brute-truth
+    // pass — the same bounded shapes as llm_ann_graph, read from disk
+    "llm_ann_graph_persisted",
     // LSH recall eval (r12): both sides are the FIXED 160-row audit
     // sample (128 lowest-id docs + 32 planted renditions) — the pair
     // space is sample², constant in corpus size like the ANN probes
