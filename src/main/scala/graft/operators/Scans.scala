@@ -1044,6 +1044,140 @@ object Scans extends OpModule {
     s.read.parquet(mDir).select(col("path"))
       .collect().map(_.getString(0)).toIndexedSeq.sorted
 
+  /** OPTIMISTIC CONCURRENCY CONTROL — the two-writer commit protocol
+    * (VERDICT r15 task 2): every pointer flip in this repo is atomic,
+    * but atomicity alone only serializes the FLIP — it cannot stop a
+    * writer whose PLAN went stale from publishing a manifest that
+    * silently drops an intervening commit (the lost update). This op
+    * models the missing half, the Iceberg/Delta commit loop:
+    *
+    *  - a writer captures the table's base version at PLAN time, reads
+    *    that manifest, rewrites only its touched files (the COW
+    *    discipline of scan_time_travel), and stages the new data files;
+    *  - at PUBLISH it re-reads `_HEAD` under the commit lock. Unmoved →
+    *    fast path: flip to base+1. Moved → compare its touched file set
+    *    against the files REPLACED by the intervening commits (base
+    *    manifest entries absent from the head manifest — a |files|-row
+    *    driver diff). Disjoint → REBASE: rebuild the new manifest from
+    *    the CURRENT head (which still carries the writer's untouched
+    *    originals) and flip; overlapping → ABORT with an error — the
+    *    conflict surfaces, never silent data loss.
+    *
+    * The staged interleaving is the textbook one: writers A and B BOTH
+    * plan against v1 (A rewrites the low key range [100, 400] ×2, B the
+    * top-of-table range [max−300, max] ×3 — disjoint files under the
+    * range clustering); A publishes first (fast path → v2), B second
+    * (head moved, file sets disjoint → rebased onto m2 → v3, BOTH
+    * deltas applied exactly once); then writer C plans against the
+    * now-stale v1 and rewrites inside A's range — its touched files
+    * were replaced by v2, so the protocol refuses and the head stays
+    * put (C's staged files become orphans for maintenance_vacuum's
+    * collector). The readout serves each writer's post-commit snapshot
+    * summary through the retained manifests; the oracle replays all
+    * three states from `orders` alone — concurrency changes commit
+    * ORDER, never results. At 100 TB: plan-time work is one manifest
+    * read, publish-time work is a |files|-bounded set diff under a
+    * lock held for two driver metadata operations — no data I/O inside
+    * the critical section, which is what lets thousand-writer fleets
+    * share one table. */
+  private[graft] def occHead(dir: String): Long =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8").trim.toLong
+
+  /** Stage one writer's COW rewrite against its base manifest: returns
+    * the touched original paths (the writer's replace set). */
+  private def occStage(s: SparkSession, dir: String, baseV: Long,
+                       lo: Long, hi: Long, mult: Double,
+                       dataDir: String): Seq[String] = {
+    val m = s.read.parquet(s"$dir/m$baseV")
+    val touched = m.where(col("k_max") >= lo && col("k_min") <= hi)
+      .select(col("path")).collect().map(_.getString(0)).toSeq.sorted
+    s.read.parquet(touched: _*)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey").between(lo, hi), col("o_totalprice") * mult)
+          .otherwise(col("o_totalprice")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$dataDir")
+    touched
+  }
+
+  /** The publish step. Returns (new head version, outcome); throws on
+    * an unrebasable conflict — the caller must surface it, and `_HEAD`
+    * is untouched (abort leaves no trace but orphan data files). */
+  private[graft] def occCommit(s: SparkSession, dir: String, baseV: Long,
+                               touched: Seq[String], dataDir: String)
+      : (Long, String) = ioLock.synchronized {
+    val head = occHead(dir)
+    val (mBase, outcome) =
+      if (head == baseV) (s.read.parquet(s"$dir/m$head"), "committed")
+      else {
+        val basePaths = snapshotPaths(s, s"$dir/m$baseV").toSet
+        val headPaths = snapshotPaths(s, s"$dir/m$head").toSet
+        val replaced = basePaths -- headPaths
+        val clash = touched.toSet.intersect(replaced)
+        if (clash.nonEmpty) throw new IllegalStateException(
+          s"occ conflict: base v$baseV is stale and commits up to " +
+            s"v$head replaced ${clash.size} file(s) this writer also " +
+            "rewrote — rebase impossible, aborting")
+        (s.read.parquet(s"$dir/m$head"), "rebased")
+      }
+    val newV = head + 1
+    mBase.where(!col("path").isin(touched: _*))
+      .unionByName(manifestStats(s, s"$dir/$dataDir")).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/m$newV")
+    atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"), newV.toString)
+    (newV, outcome)
+  }
+
+  private[graft] def occDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/merge_occ_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_COMMITTED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        wipeDir(dir)
+        timeTravelWriteV1(s, d, dir)
+        atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"), "1")
+        val maxKey = s.read.parquet(s"$dir/d1")
+          .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        // BOTH writers plan against v1 before either publishes — the
+        // interleaving OCC exists for
+        val aBase = occHead(dir)
+        val aTouched = occStage(s, dir, aBase, 100L, 400L, 2.0, "d2")
+        val bBase = occHead(dir)
+        val bTouched =
+          occStage(s, dir, bBase, maxKey - 300L, maxKey, 3.0, "d3")
+        val (av, aOut) = occCommit(s, dir, aBase, aTouched, "d2")
+        val (bv, bOut) = occCommit(s, dir, bBase, bTouched, "d3")
+        // C: stale plan whose touched files v2 replaced — must abort,
+        // and the head must not move
+        val cTouched = occStage(s, dir, 1L, 150L, 350L, 10.0, "d4")
+        val (cv, cOut) =
+          try occCommit(s, dir, 1L, cTouched, "d4")
+          catch { case _: IllegalStateException => (occHead(dir), "aborted") }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "outcomes"),
+          Seq(s"A $aOut $av", s"B $bOut $bv", s"C $cOut $cv")
+            .mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  def sinkMergeOcc(s: SparkSession, d: String): DataFrame = {
+    val dir = occDir(s, d)
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    wapLogRead(dir, "outcomes").map { line =>
+      val Array(w, o, v) = line.split(" ")
+      s.read.parquet(snapshotPaths(s, s"$dir/m$v"): _*)
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+        .select(lit(w).as("writer"), lit(o).as("outcome"),
+          lit(v.toLong).as("version"), col("n_rows"), col("cents"),
+          col("key_sum"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Snapshot EXPIRY + file GC — the maintenance job that closes the
     * versioned-manifest lifecycle (Iceberg `expireSnapshots` + orphan
     * cleanup / Delta VACUUM): scan_time_travel's isolation guarantee
@@ -2671,6 +2805,7 @@ object Scans extends OpModule {
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_merge_cow" -> sinkMergeCow _,
     "sink_merge_mor" -> sinkMergeMor _,
+    "sink_merge_occ" -> sinkMergeOcc _,
     "sink_merge_positional" -> sinkMergePositional _,
     "scan_time_travel" -> scanTimeTravel _,
     "scan_time_travel_asof" -> scanTimeTravelAsof _,
@@ -3083,7 +3218,40 @@ object Scans extends OpModule {
         |UNION ALL
         |SELECT 'cdc', CAST(count(*) AS BIGINT),
         |  CAST(sum(c2 - c1) AS BIGINT), CAST(sum(k) AS BIGINT)
-        |FROM t WHERE c1 <> c2""".stripMargin
+        |FROM t WHERE c1 <> c2""".stripMargin,
+    // concurrency changes commit ORDER, never results: A's snapshot is
+    // the low-range update, B's rebased snapshot both updates, C's
+    // abort leaves B's state — all three replayed from orders alone
+    "sink_merge_occ" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k BETWEEN 100 AND 400 THEN p * 2 ELSE p END
+        |    AS p
+        |  FROM t),
+        |v3 AS (
+        |  SELECT k,
+        |    CASE WHEN k BETWEEN mk - 300 AND mk THEN p * 3 ELSE p END AS p
+        |  FROM v2, mx),
+        |s2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(k) AS BIGINT) AS key_sum
+        |  FROM v2),
+        |s3 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(k) AS BIGINT) AS key_sum
+        |  FROM v3)
+        |SELECT 'A' AS writer, 'committed' AS outcome,
+        |  CAST(2 AS BIGINT) AS version, n_rows, cents, key_sum FROM s2
+        |UNION ALL
+        |SELECT 'B', 'rebased', CAST(3 AS BIGINT), n_rows, cents, key_sum
+        |FROM s3
+        |UNION ALL
+        |SELECT 'C', 'aborted', CAST(3 AS BIGINT), n_rows, cents, key_sum
+        |FROM s3""".stripMargin
   )
 
   private val mergeOracleSql: String =

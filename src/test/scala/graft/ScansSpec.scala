@@ -494,6 +494,53 @@ class ScansSpec extends SparkSpec {
     assert(v2._2 > v1Before._2, "doubled range must raise the cents mass")
   }
 
+  test("sink_merge_occ: rebase keeps both deltas, stale overlapping writer aborts, head immovable on abort") {
+    val dir = graft.operators.Scans.occDir(spark, sf)
+    assert(graft.operators.Scans.occHead(dir) == 3L)
+    assert(graft.operators.Scans.wapLogRead(dir, "outcomes") ==
+      Seq("A committed 2", "B rebased 3", "C aborted 3"))
+    // NO LOST UPDATE: the rebased head manifest carries BOTH writers'
+    // new files, and neither writer's replaced originals
+    val m3 = graft.operators.Scans.snapshotPaths(spark, s"$dir/m3").toSet
+    assert(m3.exists(_.contains("/d2/")) && m3.exists(_.contains("/d3/")),
+      "the rebased manifest must keep A's commit and add B's")
+    val m1 = spark.read.parquet(s"$dir/m1")
+    val aTouched = m1.where(col("k_max") >= 100 && col("k_min") <= 400)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(aTouched.nonEmpty && (m3 & aTouched).isEmpty,
+      "replaced originals must not leak back through the rebase")
+    // both deltas applied exactly ONCE: every final row matches the
+    // closed form against the base table
+    val base = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val mk = base.agg(org.apache.spark.sql.functions.max(col("k")))
+      .collect()(0).getLong(0)
+    val fin = spark.read
+      .parquet(graft.operators.Scans.snapshotPaths(spark, s"$dir/m3"): _*)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("fp"))
+    val joined = fin.join(base, "k").collect()
+    assert(joined.length.toLong == base.count(), "row set conserved")
+    joined.foreach { r =>
+      val k = r.getLong(0); val fp = r.getDouble(1); val p = r.getDouble(2)
+      val want =
+        if (k >= 100 && k <= 400) p * 2
+        else if (k >= mk - 300) p * 3
+        else p
+      assert(fp == want, s"k=$k: $fp != $want")
+    }
+    // the conflict interleaving CANNOT commit: replaying C's stale
+    // publish throws, the head does not move, no manifest appears
+    val cTouched = m1.where(col("k_max") >= 150 && col("k_min") <= 350)
+      .select("path").collect().map(_.getString(0)).toSeq
+    intercept[IllegalStateException] {
+      graft.operators.Scans.occCommit(spark, dir, 1L, cTouched, "d4")
+    }
+    assert(graft.operators.Scans.occHead(dir) == 3L,
+      "an aborted commit must leave the head untouched")
+    assert(!new java.io.File(s"$dir/m4").exists(),
+      "an aborted commit must publish no manifest")
+  }
+
   test("maintenance_vacuum: expires exactly the v1-only files, v2 byte-stable, retry-safe order") {
     val dir = java.nio.file.Files.createTempDirectory("vac_spec").toString
     graft.operators.Scans.timeTravelWriteV1(spark, sf, dir)
