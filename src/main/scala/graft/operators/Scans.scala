@@ -1622,6 +1622,66 @@ object Scans extends OpModule {
         max(col("id")).as("max_id"), sum(col("id")).as("sum_id"),
         avg(col("id")).as("avg_id"))
 
+  /** DSv2 REPORTED PARTITIONING + ORDERING (VERDICT r15 task 3): the
+    * connector's `layout=tag` face plans one InputPartition per tag
+    * value, each carrying its partition key, and the scan reports
+    * KeyGroupedPartitioning over `tag` — so this groupBy(tag) plans
+    * with NO ShuffleExchange at all (ScansSpec pins zero exchanges with
+    * the report on, one with it off, rows identical; and no SortExec
+    * for a per-partition id sort — the ordering report). The `val`
+    * aggregate is deliberately in the mix: it is exactly the aggregate
+    * the closed-form pushdown REJECTS, so this row proves the
+    * key-grouped seam carries a REAL Spark aggregate, not a
+    * metadata answer. At 100 TB this seam is the storage-partitioned
+    * join/agg every Iceberg-bucket or JDBC-shard deployment leans on:
+    * the exchange Spark skips here is the corpus-sized shuffle. */
+  def scanKeygrouped(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.read.format("graft-seq")
+      .option("rows", "100000").option("layout", "tag").load()
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+  }
+
+  /** DSv2 LIMIT + TopN pushdown (VERDICT r15 task 4): the `limit` leg
+    * is FULLY pushed (the deterministic span answers it exactly — the
+    * plan keeps no global limit over full partitions, one 7-row
+    * partition is generated); the `topn` leg pushes the sort boundary
+    * (the scan narrows to the top-5 id window) and keeps Spark's
+    * re-rank — the partially-pushed half of the contract. ScansSpec
+    * pins both plan shapes via the scan description and the absence of
+    * a GlobalLimit over the limit leg. */
+  def scanLimitPushdown(s: SparkSession, d: String): DataFrame = {
+    val t = s.read.format("graft-seq")
+      .option("rows", "100000").option("parts", "8").load()
+    val lim = t.where(col("id") >= 5).limit(7)
+      .select(lit("limit").as("leg"), col("id"), col("val"))
+    val top = t.orderBy(col("id").desc).limit(5)
+      .select(lit("topn").as("leg"), col("id"), col("val"))
+    lim.unionByName(top)
+  }
+
+  /** DSv2 RUNTIME FILTERING (VERDICT r15 task 4's DPP half): a
+    * selective dim join prunes the connector's partitions AT RUNTIME —
+    * Spark materializes the broadcast side, feeds the join keys to
+    * `SupportsRuntimeFiltering.filter`, and the source re-plans to
+    * only the ranges holding probed keys (4 of 32 partitions here —
+    * ScansSpec counts them and pins rows identical with DPP off). The
+    * same shape join_dpp proves for file sources, pushed through the
+    * connector seam — at 100 TB the skipped partitions are the scan. */
+  def scanRuntimeFilter(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "false")
+    val fact = s.read.format("graft-seq")
+      .option("rows", "100000").option("parts", "32").load()
+    val dim = s.range(0, 8).select((col("id") * 12500L).as("id"),
+      (col("id") % 2).as("par"))
+      .where(col("par") === 0)
+    fact.join(dim, "id")
+      .select(col("id"), col("val"), col("tag"))
+  }
+
   /** Write through the custom DSv2 sink (graft.sources.AuditSink) and
     * read back THROUGH ITS COMMIT MANIFEST: the task writers stream part
     * files, the driver's commit publishes the manifest, and the
@@ -2780,6 +2840,9 @@ object Scans extends OpModule {
     "sink_merge_evolve" -> sinkMergeEvolve _,
     "scan_custom_source" -> scanCustomSource _,
     "scan_agg_pushdown" -> scanAggPushdown _,
+    "scan_keygrouped" -> scanKeygrouped _,
+    "scan_limit_pushdown" -> scanLimitPushdown _,
+    "scan_runtime_filter" -> scanRuntimeFilter _,
     "sink_custom" -> sinkCustom _,
     "maintenance_zorder" -> maintenanceZorder _,
     "scan_partitioned" -> scanPartitioned _,
@@ -2962,6 +3025,24 @@ object Scans extends OpModule {
         |FROM range(0, 100000) t(i)
         |WHERE i >= 1000 AND i < 50000
         |GROUP BY 1""".stripMargin,
+    "scan_keygrouped" ->
+      """SELECT 't' || (i % 10) AS tag, count(*) AS n,
+        |       CAST(sum((i * 2654435761) % 1000003) AS BIGINT) AS sum_val,
+        |       min(i) AS min_id, max(i) AS max_id
+        |FROM range(0, 100000) t(i)
+        |GROUP BY 1""".stripMargin,
+    "scan_limit_pushdown" ->
+      """SELECT 'limit' AS leg, i AS id,
+        |       (i * 2654435761) % 1000003 AS val
+        |FROM range(5, 12) t(i)
+        |UNION ALL
+        |SELECT 'topn', i, (i * 2654435761) % 1000003
+        |FROM range(99995, 100000) t(i)""".stripMargin,
+    "scan_runtime_filter" ->
+      """SELECT i * 12500 AS id,
+        |       ((i * 12500) * 2654435761) % 1000003 AS val,
+        |       't' || ((i * 12500) % 10) AS tag
+        |FROM range(0, 8) t(i) WHERE i % 2 = 0""".stripMargin,
     // the ADD COLUMN commit replayed relationally: flagged exactly
     // where the COW rewrite landed (the 1-URGENT partition), NULL
     // elsewhere — the null-fill the mapping read performs

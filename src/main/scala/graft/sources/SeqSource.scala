@@ -8,11 +8,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.{NamedReference, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, Expression => V2Expression, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Avg, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -58,6 +59,7 @@ private class SeqTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private val rows = options.getLong("rows", 100000L)
   private val parts = options.getInt("parts", 8)
+  private val layout = options.getOrDefault("layout", "range")
 
   override def name(): String = s"graft_seq($rows)"
   override def schema(): StructType = SeqSource.schema
@@ -65,18 +67,21 @@ private class SeqTable(options: CaseInsensitiveStringMap)
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, parts)
+    new SeqScanBuilder(rows, parts, layout)
 }
 
-private class SeqScanBuilder(rows: Long, parts: Int)
+private class SeqScanBuilder(rows: Long, parts: Int, layout: String)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var lo = 0L
   private var hi = rows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SeqSource.schema
   private var agg: Option[Aggregation] = None
+  private var limit: Option[Int] = None
+  private var topn: Option[(Boolean, Int)] = None // (ascending, n)
 
   private def colName(e: V2Expression): Option[String] = e match {
     case r: NamedReference if r.fieldNames.length == 1 =>
@@ -151,9 +156,52 @@ private class SeqScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = agg match {
-    case Some(a) => SeqAggScan.plan(lo, math.max(lo, hi), a)
-    case None    => SeqScan(lo, math.max(lo, hi), parts, required)
+  /** LIMIT pushdown (VERDICT r15 task 4): the generated span is
+    * deterministic, so a pushed limit is answered EXACTLY — one
+    * partition of the first n surviving ids — and reported fully
+    * pushed (isPartiallyPushed=false), so Spark drops its own global
+    * limit instead of draining full partitions to keep 7 rows. */
+  override def pushLimit(n: Int): Boolean =
+    if (layout != "range" || agg.nonEmpty || topn.nonEmpty) false
+    else { limit = Some(n); true }
+
+  /** TopN pushdown: accepted for a single sort on the arithmetic `id`
+    * (either direction — the span's ends are closed-form); anything
+    * else falls back to Spark's TakeOrderedAndProject. Reported
+    * PARTIALLY pushed: the source narrows the scan to the n boundary
+    * ids and Spark re-ranks the tiny remainder — the safe half of the
+    * contract. */
+  override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean = {
+    if (layout != "range" || agg.nonEmpty || limit.nonEmpty) return false
+    orders match {
+      case Array(o) if colName(o.expression()).contains("id") =>
+        topn = Some((o.direction() == SortDirection.ASCENDING, n)); true
+      case _ => false
+    }
+  }
+
+  // one override serves both limit and topN: a plain limit is answered
+  // exactly (fully pushed); a topN keeps Spark's re-rank
+  override def isPartiallyPushed(): Boolean = topn.nonEmpty
+
+  override def build(): Scan = {
+    val hiC = math.max(lo, hi)
+    agg match {
+      case Some(a) => SeqAggScan.plan(lo, hiC, a)
+      case None => (limit, topn) match {
+        case (Some(n), _) =>
+          SeqScan(lo, math.min(hiC, lo + n), 1, required,
+            s", PushedLimit: $n")
+        case (_, Some((true, n))) =>
+          SeqScan(lo, math.min(hiC, lo + n), 1, required,
+            s", PushedTopN: id ASC LIMIT $n")
+        case (_, Some((false, n))) =>
+          SeqScan(math.max(lo, hiC - n), hiC, 1, required,
+            s", PushedTopN: id DESC LIMIT $n")
+        case _ if layout == "tag" => SeqTagScan(lo, hiC, required)
+        case _ => SeqScan(lo, hiC, parts, required)
+      }
+    }
   }
 }
 
@@ -271,25 +319,126 @@ private class SeqAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
-private case class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
-    extends Scan with Batch {
+private case class SeqScan(lo: Long, hi: Long, parts: Int,
+                           required: StructType, pushedOps: String = "")
+    extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportOrdering {
+  // runtime-filter state (SupportsRuntimeFiltering, VERDICT r15 task
+  // 4): Spark calls filter() with the DPP subquery's key values after
+  // the build side materializes, BEFORE planInputPartitions — the
+  // DSv2 path join_dpp exercises for file sources. Mutable by API
+  // contract; excluded from the case-class identity by being a body
+  // member.
+  private var runtimeIds: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      runtimeIds = Some(vs.collect { case l: Long => l }.toSet)
+    case EqualTo("id", v: Long) => runtimeIds = Some(Set(v))
+    case _ => () // runtime filters are advisory — unhandled is safe
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"SeqScan(lo=$lo, hi=$hi, parts=$parts, cols=${required.fieldNames.mkString(",")})"
+    s"SeqScan(lo=$lo, hi=$hi, parts=$parts, " +
+      s"cols=${required.fieldNames.mkString(",")}$pushedOps)"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = hi - lo
-    (0 until parts).map { p =>
+    val all = (0 until parts).map { p =>
       SeqPartition(lo + n * p / parts, lo + n * (p + 1) / parts)
-    }.filter(sp => sp.end > sp.start).toArray[InputPartition]
+    }.filter(sp => sp.end > sp.start)
+    // a runtime-filtered scan keeps only partitions whose range holds
+    // at least one probed key — over-inclusion is safe (the join still
+    // applies), omission never happens
+    runtimeIds.fold(all) { ids =>
+      all.filter(sp => ids.exists(i => i >= sp.start && i < sp.end))
+    }.toArray[InputPartition]
   }
+
+  /** Each generated partition emits ids ascending — reported so a
+    * downstream per-partition sort on `id` plans no SortExec
+    * (SupportsReportOrdering; only claimable when `id` survives
+    * pruning). */
+  override def outputOrdering(): Array[V2SortOrder] =
+    if (required.fieldNames.contains("id"))
+      Array(Expressions.sort(Expressions.column("id"),
+        SortDirection.ASCENDING))
+    else Array.empty
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SeqMicroBatchStream(lo, hi, parts, required.fieldNames)
+}
+
+/** The KEY-GROUPED layout (`layout=tag`): one InputPartition per tag
+  * value, each carrying its partition key (HasPartitionKey), the scan
+  * reporting KeyGroupedPartitioning over `tag`
+  * (SupportsReportPartitioning — VERDICT r15 task 3). With
+  * `spark.sql.sources.v2.bucketing.enabled` a groupBy/join on `tag`
+  * plans with NO ShuffleExchange: the source's physical layout IS the
+  * required distribution, the storage-partitioned seam every modern
+  * connector (Iceberg bucket partitions, JDBC hash shards) uses to
+  * kill exchanges. Rows within a partition still ascend by id, so the
+  * ordering report holds here too. */
+private case class SeqTagScan(lo: Long, hi: Long, required: StructType)
+    extends Scan with Batch
+    with SupportsReportPartitioning with SupportsReportOrdering {
+  private def tags: Seq[Long] = (0L to 9L).filter { t =>
+    val first = lo + (((t - lo) % 10) + 10) % 10
+    first < hi
+  }
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SeqTagScan(lo=$lo, hi=$hi, keyGrouped=tag, " +
+      s"cols=${required.fieldNames.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    tags.map(t => SeqTagPartition(t, lo, hi)).toArray[InputPartition]
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array[V2Expression](Expressions.identity("tag")), tags.size)
+  override def outputOrdering(): Array[V2SortOrder] =
+    if (required.fieldNames.contains("id"))
+      Array(Expressions.sort(Expressions.column("id"),
+        SortDirection.ASCENDING))
+    else Array.empty
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqTagReaderFactory(required.fieldNames)
+}
+
+private case class SeqTagPartition(tag: Long, lo: Long, hi: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString("t" + tag)))
+}
+
+private class SeqTagReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqTagPartition]
+    val first = p.lo + (((p.tag - p.lo) % 10) + 10) % 10
+    new PartitionReader[InternalRow] {
+      private var id = first - 10
+      override def next(): Boolean = { id += 10; id < p.hi }
+      override def get(): InternalRow = {
+        val vals = cols.map {
+          case "id"  => java.lang.Long.valueOf(id)
+          case "val" => java.lang.Long.valueOf(SeqSource.valOf(id))
+          case "tag" => SeqSource.tagOf(id)
+        }
+        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Streaming face of the same table — the "topic" seam proper: offsets

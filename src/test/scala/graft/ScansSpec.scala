@@ -205,6 +205,113 @@ class ScansSpec extends SparkSpec {
       s"empty-range global aggregate: ${er.toSeq}")
   }
 
+  test("scan_keygrouped: reported partitioning kills the exchange, reported ordering kills the sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val df = graft.operators.Scans.scanKeygrouped(spark, sf)
+    df.collect()
+    // the report ON: zero exchanges — the source's layout IS the
+    // distribution the aggregate requires
+    val sh = collectFinal(df) { case e: ShuffleExchangeLike => e }
+    assert(sh.isEmpty, "key-grouped scan must plan ZERO exchanges:\n" +
+      df.queryExecution.executedPlan.toString.take(2000))
+    // and it is a REAL Spark aggregate (sum(val) is exactly what the
+    // closed-form pushdown rejects), not a metadata answer
+    assert(collectFinal(df) {
+      case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+    }.nonEmpty, "the key-grouped row must carry Spark's own aggregate")
+    // the report OFF (range layout): same rows, one exchange
+    val off = spark.read.format("graft-seq")
+      .option("rows", "100000").load()
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+        fmin(col("id")).as("min_id"), fmax(col("id")).as("max_id"))
+    off.collect()
+    assert(collectFinal(off) { case e: ShuffleExchangeLike => e }.nonEmpty,
+      "the range layout must pay the shuffle the report removes")
+    assert(df.collect().map(_.toSeq).toSet == off.collect().map(_.toSeq).toSet,
+      "report on/off must agree row-for-row")
+    // reported ORDERING: a per-partition sort on id is redundant and
+    // planned away; on a column the source does not order by, it stays
+    val t = spark.read.format("graft-seq")
+      .option("rows", "100000").option("layout", "tag").load()
+    val sortedId = t.sortWithinPartitions("id")
+    sortedId.collect()
+    assert(collectFinal(sortedId) { case s: SortExec => s }.isEmpty,
+      "reported id-ordering must remove the redundant SortExec")
+    val sortedVal = t.sortWithinPartitions("val")
+    sortedVal.collect()
+    assert(collectFinal(sortedVal) { case s: SortExec => s }.nonEmpty,
+      "a sort the report does not cover must stay")
+  }
+
+  test("scan_limit_pushdown: fully-pushed limit reads 7 rows from one partition, topN narrows to the boundary window") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = graft.operators.Scans.scanLimitPushdown(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 12)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"),
+      s"scan description must name the pushed limit:\n${plan.take(2000)}")
+    assert(plan.contains("PushedTopN: id DESC LIMIT 5"),
+      s"scan description must name the pushed topN:\n${plan.take(2000)}")
+    // the limit leg alone: the scan GENERATES exactly 7 rows in one
+    // partition — no full partitions are drained for a LIMIT 7
+    val lim = spark.read.format("graft-seq")
+      .option("rows", "100000").option("parts", "8").load()
+      .where(col("id") >= 5).limit(7)
+    lim.collect()
+    val scans = collectFinal(lim) { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.inputRDD.getNumPartitions == 1,
+      "pushed limit must plan a single boundary partition")
+    assert(scans.head.metrics("numOutputRows").value == 7L,
+      "the scan itself must emit exactly the limited rows")
+    assert(lim.collect().map(_.getLong(0)).sorted.toSeq == (5L to 11L),
+      "filter + limit compose: ids 5..11")
+    // topN leg: the source narrows to the top window; Spark's re-rank
+    // keeps the order contract (partially pushed)
+    val top = spark.read.format("graft-seq")
+      .option("rows", "100000").option("parts", "8").load()
+      .orderBy(col("id").desc).limit(5)
+    assert(top.collect().map(_.getLong(0)).toSeq ==
+      (99999L to 99995L by -1L), "topN must serve the true top-5")
+    val topScans = collectFinal(top) { case b: BatchScanExec => b }
+    assert(topScans.head.metrics("numOutputRows").value == 5L,
+      "the topN scan must generate only the boundary window")
+  }
+
+  test("scan_runtime_filter: DPP reaches the connector — partitions pruned at runtime, rows stable with it off") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = graft.operators.Scans.scanRuntimeFilter(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows.map(_._1) == Set(0L, 25000L, 50000L, 75000L))
+    val factScan = collectFinal(df) { case b: BatchScanExec => b }
+      .find(_.schema.fieldNames.contains("val")).get
+    assert(factScan.runtimeFilters.nonEmpty,
+      "the DPP subquery must attach to the connector scan:\n" +
+        df.queryExecution.executedPlan.toString.take(2000))
+    assert(factScan.inputRDD.getNumPartitions == 4,
+      s"runtime filter must prune 32 -> 4 partitions, " +
+        s"got ${factScan.inputRDD.getNumPartitions}")
+    // with DPP off the connector scans every range — same rows
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val off = graft.operators.Scans.scanRuntimeFilter(spark, sf)
+      val offRows = off.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(offRows == rows, "pruning must never change results")
+      val offScan = collectFinal(off) { case b: BatchScanExec => b }
+        .find(_.schema.fieldNames.contains("val")).get
+      assert(offScan.inputRDD.getNumPartitions == 32,
+        "without DPP every range partition is scanned")
+    } finally spark.conf.set(key, old)
+  }
+
   test("custom DSv2 sink: only manifest-committed files visible, counts exact") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_audit_spec").toString
