@@ -1263,6 +1263,171 @@ object LlmScale extends OpModule {
     pre.unionByName(post)
   }
 
+  // ── sink_stream_vector (helpers; the op registers in StreamIO) ───────
+
+  /** STREAMING MAINTENANCE OF THE PERSISTED VECTOR STORE (VERDICT r15
+    * task 5 — "the streaming and vector-store stories don't compose"):
+    * a foreachBatch consumer folds each micro-batch of new embeddings
+    * into the `_HEAD`-versioned IVF store as a DELTA COMMIT — the
+    * continuous-ingest shape every production vector DB runs. Per
+    * batch: assignment against the PERSISTED centroids (the
+    * no-retrain ivfDeltaAssign pass, O(|batch|·K) broadcast folds),
+    * vectors_sN + postings_sN appended (v1 files never rewritten),
+    * one atomic head flip. Replay-idempotent by the sink_cdc_mv
+    * discipline: the batch-id-keyed generation short-circuits, and the
+    * head RE-CHECK closes the crash-between-write-and-flip window
+    * (vectors land before postings, postings' _SUCCESS is the
+    * replay marker, so a marker always implies complete data). The
+    * drained store must serve the same top-3 as a batch rebuild of the
+    * same corpus — exactly what the DuckDB oracle replays. */
+  private[graft] def streamVectorStoreInit(s: SparkSession, d: String,
+                                           dir: String): Unit = {
+    graft.GraftExtensions.register(s)
+    val (qv, _, a2, c2) = lloyd(s, d)
+    c2.write.parquet(s"$dir/centroids")
+    a2.select(col("vec_id"), col("cluster"))
+      .write.parquet(s"$dir/postings")
+    qv.select(col("vec_id"), col("qv")).write.parquet(s"$dir/vectors")
+    Scans.atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"),
+      "postings;vectors;")
+  }
+
+  /** The ingest topic: the deterministic delta shard split into two
+    * parity files — two REAL offset-tracked micro-batches under
+    * maxFilesPerTrigger=1. Staged once per JVM. */
+  private[graft] def streamVectorTopic(s: SparkSession, d: String): String = {
+    graft.GraftExtensions.register(s)
+    StageUtil.staged("vecstream_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + math.abs(d.hashCode)) { base =>
+      val (qv, _, _, _) = lloyd(s, d)
+      val delta = ivfDeltaShard(qv)
+      delta.where(col("new_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$base/b0")
+      delta.where(col("new_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$base/b1")
+      StageUtil.stageTopic(java.nio.file.Paths.get(base, "b0"),
+        java.nio.file.Paths.get(base, "topic"), "d0")
+      StageUtil.stageTopic(java.nio.file.Paths.get(base, "b1"),
+        java.nio.file.Paths.get(base, "topic"), "d1")
+    } + "/topic"
+  }
+
+  /** One micro-batch's delta commit into the store at `dir`. */
+  private[graft] def streamVectorCommit(s: SparkSession, dir: String,
+                                        batch: DataFrame, id: Long): Unit = {
+    val pGen = s"postings_s$id"
+    val vGen = s"vectors_s$id"
+    def flip(): Unit = {
+      val (posts, vecs, _) = ivfStoreHead(dir)
+      if (!posts.contains(pGen))
+        Scans.atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"),
+          s"${(posts :+ pGen).mkString(",")};" +
+            s"${(vecs :+ vGen).mkString(",")};")
+    }
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, pGen, "_SUCCESS"))) {
+      // the write finished on a prior attempt but the COMMIT POINT is
+      // the head flip: re-issue it idempotently (the sinkCdcMv
+      // head-recheck) so a replayed batch can never strand its delta
+      flip()
+    } else if (!batch.isEmpty) {
+      val cents = centroidArrays(s.read.parquet(s"$dir/centroids"))
+        .select(col("cid").as("cluster"), col("cv"))
+      val delta = batch.select(col("new_id"), col("dv"))
+      // vectors FIRST, postings second: postings' _SUCCESS is the
+      // replay marker, so its existence implies the vectors landed
+      delta.select(col("new_id").as("vec_id"), col("dv").as("qv"))
+        .write.parquet(s"$dir/$vGen")
+      ivfDeltaAssign(delta, cents)
+        .select(col("new_id").as("vec_id"), col("cluster"))
+        .write.parquet(s"$dir/$pGen")
+      flip()
+    }
+  }
+
+  /** Head-resolved top-3 serving over the drained store: nprobe=2
+    * against the disk centroids, candidates from the union postings —
+    * the readout the oracle replays as a batch rebuild. */
+  private[graft] def streamVectorServe(s: SparkSession,
+                                       dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val (posts, vecDirs, _) = ivfStoreHead(dir)
+    val inv = posts.map(p => s.read.parquet(s"$dir/$p"))
+      .reduce(_ unionByName _)
+    val vecsAll = MemoUtil.scratch(vecDirs
+      .map(p => s.read.parquet(s"$dir/$p"))
+      .reduce(_ unionByName _).localCheckpoint())
+    val cents = centroidArrays(s.read.parquet(s"$dir/centroids"))
+      .select(col("cid").as("cluster"), col("cv"))
+    val q = vecsAll.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wP = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qq"), col("cluster"),
+        expr("squared_distance(qq, cv)").as("cdist"))
+      .withColumn("pr", row_number().over(wP)).where(col("pr") <= 2)
+      .select(col("qid"), col("qq"), col("cluster"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    vecsAll.join(inv, "vec_id")
+      .join(broadcast(probes), "cluster")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rank", row_number().over(wR)).where(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cand_id"))
+  }
+
+  /** The batch-rebuild replay of the streamed store (referenced from
+    * StreamIO's oracle map): base inverted file ∪ the delta assigned
+    * against the SAME centroids, nprobe=2 serving, top-3 — streaming
+    * ingestion changes commit granularity, never serving results. */
+  private[graft] lazy val streamVectorOracle: String =
+    lloydCtes + annIvfCtes + """,
+      |delta AS MATERIALIZED (
+      |  SELECT vec_id + 1000000 AS new_id, dim,
+      |    q + CASE WHEN dim = 0 THEN 1000 ELSE 0 END AS q
+      |  FROM dims WHERE vec_id % 17 = 3),
+      |dcent AS (
+      |  SELECT delta.new_id, c2.cluster,
+      |    CAST(sum((delta.q - c2.c) * (delta.q - c2.c)) AS BIGINT)
+      |      AS cdist
+      |  FROM delta JOIN c2 USING (dim) GROUP BY 1, 2),
+      |asg AS MATERIALIZED (
+      |  SELECT new_id, cluster FROM (
+      |    SELECT new_id, cluster, row_number() OVER (
+      |      PARTITION BY new_id ORDER BY cdist ASC, cluster ASC) AS rn
+      |    FROM dcent) WHERE rn = 1),
+      |gdims AS MATERIALIZED (
+      |  SELECT vec_id, dim, q FROM dims
+      |  UNION ALL SELECT new_id, dim, q FROM delta),
+      |ginv AS MATERIALIZED (
+      |  SELECT vec_id, cluster FROM a2
+      |  UNION ALL SELECT new_id AS vec_id, cluster FROM asg),
+      |qp AS (
+      |  SELECT g.vec_id AS qid, c2.cluster,
+      |    sum((g.q - c2.c) * (g.q - c2.c)) AS cdist
+      |  FROM gdims g JOIN c2 USING (dim)
+      |  WHERE g.vec_id < 10 GROUP BY 1, 2),
+      |pp AS (
+      |  SELECT qid, cluster FROM (
+      |    SELECT qid, cluster, row_number() OVER (PARTITION BY qid
+      |      ORDER BY cdist ASC, cluster ASC) AS rn FROM qp)
+      |  WHERE rn <= 2),
+      |cnd AS (
+      |  SELECT p.qid, gi.vec_id AS cand_id,
+      |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+      |  FROM pp p
+      |  JOIN ginv gi ON gi.cluster = p.cluster AND gi.vec_id != p.qid
+      |  JOIN gdims dq ON dq.vec_id = p.qid
+      |  JOIN gdims dc ON dc.vec_id = gi.vec_id AND dc.dim = dq.dim
+      |  GROUP BY 1, 2)
+      |SELECT qid, CAST(rn AS INT) AS rank, cand_id FROM (
+      |  SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+      |    ORDER BY dist ASC, cand_id ASC) AS rn FROM cnd)
+      |WHERE rn <= 3""".stripMargin
+
   // ── llm_ann_recall ────────────────────────────────────────────────────
 
   /** ANN quality evaluation as a first-class operator: recall@3 of the

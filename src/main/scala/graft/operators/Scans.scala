@@ -1008,6 +1008,60 @@ object Scans extends OpModule {
     dir
   }
 
+  /** Staged v1→v2→v3 chain whose data files CARRY ROW LINEAGE (VERDICT
+    * r15 task 6): `row_id` is assigned at v1 ingest and IMMUTABLE
+    * thereafter — the Iceberg row-lineage / Delta row-tracking id that
+    * survives rewrites. v2 is an ordinary price update (×2 on keys
+    * [100, 400], ids carried); v3 is a KEY MIGRATION — o_orderkey
+    * moves (+5·10⁸ on keys [500, 700]) while the row ids stay put —
+    * the commit class a key-joining CDC consumer misreads as
+    * delete+insert and only a row-id-joining one classifies as UPDATE.
+    * The streaming CDC source reads this chain in lineage mode. */
+  private[graft] def lineageStreamDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/lineage_stream_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_COMMITTED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        wipeDir(dir)
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("row_id"), col("o_orderkey"),
+            col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/d1")
+        manifestStats(s, s"$dir/d1").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/m1")
+        // v2: COW price update — row ids carried through the rewrite
+        val m1 = s.read.parquet(s"$dir/m1")
+        val hit2 = col("k_max") >= 100 && col("k_min") <= 400
+        val p2 = m1.where(hit2).select(col("path"))
+          .collect().map(_.getString(0))
+        s.read.parquet(p2.toIndexedSeq: _*)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey").between(100, 400),
+              col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/d2")
+        m1.where(!hit2).unionByName(manifestStats(s, s"$dir/d2"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/m2")
+        // v3: KEY MIGRATION — the key changes, the row id does not
+        val m2 = s.read.parquet(s"$dir/m2")
+        val hit3 = col("k_max") >= 500 && col("k_min") <= 700
+        val p3 = m2.where(hit3).select(col("path"))
+          .collect().map(_.getString(0))
+        s.read.parquet(p3.toIndexedSeq: _*)
+          .withColumn("o_orderkey",
+            when(col("o_orderkey").between(500, 700),
+              col("o_orderkey") + 500000000L).otherwise(col("o_orderkey")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/d3")
+        m2.where(!hit3).unionByName(manifestStats(s, s"$dir/d3"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/m3")
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
   /** TIME TRAVEL `AS OF <timestamp>` — the calendar face of
     * scan_time_travel's version reads (Iceberg/Delta's
     * `TIMESTAMP AS OF`): the commit-log sidecar maps each manifest

@@ -607,6 +607,61 @@ object StreamIO extends OpModule {
         sum(col("o_orderkey")).cast("bigint").as("key_sum"))
   }
 
+  /** UPDATE CLASSIFICATION in the streaming CDC source (VERDICT r15
+    * task 6): the lineage-mode source surfaces the chain's immutable
+    * `row_id` (graft-manifest-cdc `lineage=true` over
+    * Scans.lineageStreamDir), and the consumer pairs each commit's ±
+    * rows BY ROW ID into op ∈ {I, U, D} with pre/post images — the
+    * changelog shape a downstream MERGE consumer needs. The staged v3
+    * commit is a KEY MIGRATION (o_orderkey moves, row ids stay): a
+    * key-joining consumer sees only the delete+insert illusion there
+    * (StreamIOSpec pins exactly that), while this row-id pairing
+    * classifies every migrated row as an UPDATE whose pre/post images
+    * show the key movement. Rows a rewrite carried unchanged pair into
+    * identical images and drop out — never counted as churn. The
+    * readout is the per-version I/U/D census with exact cents and
+    * key-shift deltas, replayed by the oracle from `orders` alone. At
+    * 100 TB: the pairing is an equi-join keyed (version, row_id) over
+    * O(changed files' rows) — commit-sized, never table-sized. */
+  def sourceCdcUpdates(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val dir = Scans.lineageStreamDir(s, d)
+    val name = s"cdc_upd_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("graft-manifest-cdc")
+      .option("path", dir).option("lineage", "true").load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    val t = MemoUtil.scratch(s.table(name).localCheckpoint())
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val pre = t.where(col("sign") === -1)
+      .select(col("version"), col("row_id"),
+        col("o_orderkey").as("k_pre"), cents.as("c_pre"))
+    val post = t.where(col("sign") === 1)
+      .select(col("version"), col("row_id"),
+        col("o_orderkey").as("k_post"), cents.as("c_post"))
+    pre.join(post, Seq("version", "row_id"), "full_outer")
+      .withColumn("op",
+        when(col("k_pre").isNull, lit("I"))
+          .when(col("k_post").isNull, lit("D"))
+          .otherwise(lit("U")))
+      .where(col("op") =!= "U" || col("k_pre") =!= col("k_post") ||
+        col("c_pre") =!= col("c_post"))
+      .groupBy(col("version"))
+      .agg(
+        count(when(col("op") === "I", 1)).as("n_ins"),
+        count(when(col("op") === "D", 1)).as("n_del"),
+        count(when(col("op") === "U", 1)).as("n_upd"),
+        count(when(col("op") === "U" &&
+          col("k_pre") =!= col("k_post"), 1)).as("n_key_mig"),
+        sum(when(col("op") === "U", col("c_post") - col("c_pre")))
+          .cast("bigint").as("cents_delta"),
+        sum(when(col("op") === "U", col("k_post") - col("k_pre")))
+          .cast("bigint").as("key_shift_sum"))
+  }
+
   /** CDC-DRIVEN INCREMENTAL MV MAINTENANCE — the use case the
     * manifest-CDC source exists for (the r13 verdict's "the
     * incremental-consumer half that MVs would subscribe to"): a
@@ -683,6 +738,39 @@ object StreamIO extends OpModule {
       .trigger(Trigger.AvailableNow()).start()
     runToEnd(q)
     s.read.parquet(s"$mvDir/${head()}")
+  }
+
+  /** STREAMING MAINTENANCE OF THE PERSISTED VECTOR STORE (VERDICT r15
+    * task 5): a foreachBatch consumer folds each micro-batch of new
+    * embeddings into the `_HEAD`-versioned IVF store as a delta commit
+    * — assignment against the PERSISTED centroids, postings/vectors
+    * appended, one atomic pointer flip per batch, idempotent under
+    * replay via the sink_cdc_mv head-recheck. The commit protocol and
+    * serving live in LlmScale (streamVectorCommit/Serve — the store
+    * discipline is the vector family's); this op wires them to a real
+    * two-micro-batch ingest stream and serves the drained store. The
+    * oracle replays the BATCH REBUILD of the same corpus — streaming
+    * ingestion changes commit granularity, never serving results. */
+  def sinkStreamVector(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val dir = fresh("vec_store")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    LlmScale.streamVectorStoreInit(s, d, dir)
+    val topic = LlmScale.streamVectorTopic(s, d)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("new_id", org.apache.spark.sql.types.LongType)
+      .add("dv", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(topic)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        LlmScale.streamVectorCommit(s, dir, batch, id)
+      }
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    LlmScale.streamVectorServe(s, dir)
   }
 
   /** LEFT-SEMI stream-stream join — the streaming EXISTS: each click
@@ -900,7 +988,9 @@ object StreamIO extends OpModule {
     "join_stream_full" -> joinStreamFull _,
     "source_custom_stream" -> sourceCustomStream _,
     "source_manifest_stream" -> sourceManifestStream _,
+    "source_cdc_updates" -> sourceCdcUpdates _,
     "sink_cdc_mv" -> sinkCdcMv _,
+    "sink_stream_vector" -> sinkStreamVector _,
     "join_stream_static" -> joinStreamStatic _,
     "stream_dedup_within_wm" -> streamDedupWithinWm _,
     "stream_session_close" -> streamSessionClose _,
@@ -915,6 +1005,30 @@ object StreamIO extends OpModule {
       |  FROM events)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the streamed store must serve exactly the batch rebuild of the
+    // same corpus (LlmScale.streamVectorOracle replays it)
+    "sink_stream_vector" -> LlmScale.streamVectorOracle,
+    // the row-id-paired changelog in closed form: v2 is a pure price
+    // update (every [100,400] row a U, no key movement), v3 a pure key
+    // migration (every [500,700] row a U whose key shifts +5e8, cents
+    // unchanged) — carried-unchanged rows never count
+    "source_cdc_updates" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT CAST(2 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n_ins,
+        |  CAST(0 AS BIGINT) AS n_del, CAST(count(*) AS BIGINT) AS n_upd,
+        |  CAST(0 AS BIGINT) AS n_key_mig,
+        |  CAST(sum(CAST(round(p * 2 * 100) AS BIGINT) - c) AS BIGINT)
+        |    AS cents_delta,
+        |  CAST(0 AS BIGINT) AS key_shift_sum
+        |FROM b WHERE k BETWEEN 100 AND 400
+        |UNION ALL
+        |SELECT 3, 0, 0, CAST(count(*) AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(count(*) * 500000000 AS BIGINT)
+        |FROM b WHERE k BETWEEN 500 AND 700""".stripMargin,
     // the manifest-CDC consumer replayed in closed form: step v2 is the
     // COW x2 on keys [100,400], step v3 the x3 on [500,700] (disjoint
     // ranges, so each step's before-price is the original) — the

@@ -46,7 +46,8 @@ class ManifestCdcSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest-cdc"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestCdcSource.schema
+    if (options.getBoolean("lineage", false)) ManifestCdcSource.lineageSchema
+    else ManifestCdcSource.schema
 
   override def getTable(
       schema: StructType,
@@ -59,6 +60,18 @@ object ManifestCdcSource {
   val schema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("sign", IntegerType, nullable = false),
+    StructField("o_orderkey", LongType, nullable = false),
+    StructField("o_totalprice", DoubleType, nullable = false)))
+
+  /** Lineage mode (`lineage=true`, VERDICT r15 task 6): the chain's
+    * data files carry an immutable `row_id` (Scans.lineageStreamDir);
+    * surfacing it lets a downstream consumer pair ± rows into
+    * I/U/D with pre/post images — including across KEY migrations,
+    * where a key join sees only the delete+insert illusion. */
+  val lineageSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("sign", IntegerType, nullable = false),
+    StructField("row_id", LongType, nullable = false),
     StructField("o_orderkey", LongType, nullable = false),
     StructField("o_totalprice", DoubleType, nullable = false)))
 
@@ -106,20 +119,25 @@ object ManifestCdcSource {
 private class ManifestCdcTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private val dir = options.get("path")
+  private val lineage = options.getBoolean("lineage", false)
   require(dir != null && dir.nonEmpty, "graft-manifest-cdc requires `path`")
 
   override def name(): String = s"graft_manifest_cdc($dir)"
-  override def schema(): StructType = ManifestCdcSource.schema
+  override def schema(): StructType =
+    if (lineage) ManifestCdcSource.lineageSchema else ManifestCdcSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = ManifestCdcSource.schema
-        override def description(): String = s"ManifestCdcScan($dir)"
+        override def readSchema(): StructType =
+          if (lineage) ManifestCdcSource.lineageSchema
+          else ManifestCdcSource.schema
+        override def description(): String =
+          s"ManifestCdcScan($dir, lineage=$lineage)"
         override def toMicroBatchStream(ckpt: String): MicroBatchStream =
-          new ManifestCdcStream(dir)
+          new ManifestCdcStream(dir, lineage)
       }
     }
 }
@@ -129,7 +147,7 @@ private case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-private class ManifestCdcStream(dir: String)
+private class ManifestCdcStream(dir: String, lineage: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private def maxVersion: Long =
     ManifestCdcSource.versions(dir).lastOption.getOrElse(1).toLong
@@ -172,8 +190,10 @@ private class ManifestCdcStream(dir: String)
     ((s + 1) to e).flatMap { v =>
       val prev = ManifestCdcSource.manifestPaths(dir, (v - 1).toInt).toSet
       val cur = ManifestCdcSource.manifestPaths(dir, v.toInt).toSet
-      (prev -- cur).toSeq.sorted.map(p => CdcFilePartition(v, p, -1)) ++
-        (cur -- prev).toSeq.sorted.map(p => CdcFilePartition(v, p, 1))
+      (prev -- cur).toSeq.sorted.map(p =>
+        CdcFilePartition(v, p, -1, lineage)) ++
+        (cur -- prev).toSeq.sorted.map(p =>
+          CdcFilePartition(v, p, 1, lineage))
     }.toArray[InputPartition]
   }
 
@@ -184,7 +204,8 @@ private class ManifestCdcStream(dir: String)
   override def stop(): Unit = ()
 }
 
-private case class CdcFilePartition(version: Long, path: String, sign: Int)
+private case class CdcFilePartition(version: Long, path: String, sign: Int,
+                                    lineage: Boolean = false)
     extends InputPartition
 
 private class CdcReaderFactory extends PartitionReaderFactory {
@@ -200,10 +221,17 @@ private class CdcReaderFactory extends PartitionReaderFactory {
       private var cur: org.apache.parquet.example.data.Group = _
       override def next(): Boolean = { cur = reader.read(); cur != null }
       override def get(): InternalRow =
-        new GenericInternalRow(Array[Any](
-          p.version, p.sign,
-          cur.getLong("o_orderkey", 0),
-          cur.getDouble("o_totalprice", 0)))
+        if (p.lineage)
+          new GenericInternalRow(Array[Any](
+            p.version, p.sign,
+            cur.getLong("row_id", 0),
+            cur.getLong("o_orderkey", 0),
+            cur.getDouble("o_totalprice", 0)))
+        else
+          new GenericInternalRow(Array[Any](
+            p.version, p.sign,
+            cur.getLong("o_orderkey", 0),
+            cur.getDouble("o_totalprice", 0)))
       override def close(): Unit = reader.close()
     }
   }

@@ -315,4 +315,91 @@ class StreamIOSpec extends SparkSpec {
     assert(got == seqAudit,
       s"streaming apply must equal sequential b1->b2 replay\n$got\nvs\n$seqAudit")
   }
+
+  test("source_cdc_updates: row-id pairing classifies key migrations as UPDATEs; a key join sees only the illusion") {
+    import org.apache.spark.sql.functions.col
+    val out = StreamIO.sourceCdcUpdates(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet == Set(2L, 3L), s"one census row per commit: $out")
+    val (i2, d2, u2, m2, cd2, ks2) = out(2L)
+    assert(i2 == 0 && d2 == 0 && u2 > 0 && m2 == 0 && ks2 == 0 && cd2 > 0,
+      s"v2 is a pure price update: $out")
+    val (i3, d3, u3, m3, cd3, ks3) = out(3L)
+    assert(i3 == 0 && d3 == 0 && u3 > 0,
+      s"v3 migrations must classify as UPDATEs, not delete+insert: $out")
+    assert(m3 == u3 && cd3 == 0 && ks3 == u3 * 500000000L,
+      s"v3 is a pure key migration: $out")
+    // the streamed U-count equals the BATCH row-id CDC over the same
+    // chain (m2 vs m3 snapshots joined on row_id)
+    val dir = graft.operators.Scans.lineageStreamDir(spark, sf)
+    def snap(v: Int) = spark.read.parquet(
+      graft.operators.Scans.snapshotPaths(spark, s"$dir/m$v"): _*)
+    val batchU3 = snap(2).select(col("row_id"), col("o_orderkey").as("k2"))
+      .join(snap(3).select(col("row_id"), col("o_orderkey").as("k3")),
+        "row_id")
+      .where(col("k2") =!= col("k3")).count()
+    assert(batchU3 == u3,
+      s"streamed U-count $u3 must equal the batch row-id CDC's $batchU3")
+    // the delete+insert ILLUSION a key-joining consumer is left with:
+    // the old keys vanish from v3 and reappear shifted — no key ever
+    // pairs across the commit
+    val oldKeys = snap(2).where(col("o_orderkey").between(500, 700))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(oldKeys.nonEmpty)
+    val k3set = snap(3).select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    assert(oldKeys.forall(k =>
+      !k3set.contains(k) && k3set.contains(k + 500000000L)),
+      "key-level view must show old keys gone and shifted keys new")
+  }
+
+  test("sink_stream_vector: per-batch delta commits, idempotent replay, crash-window recheck, serve equals one-shot rebuild") {
+    import graft.operators.LlmScale
+    val dir = java.nio.file.Files.createTempDirectory("vecstore_spec")
+      .toString
+    LlmScale.streamVectorStoreInit(spark, sf, dir)
+    val topic = LlmScale.streamVectorTopic(spark, sf)
+    val files = new java.io.File(topic).listFiles()
+      .map(_.getPath).filter(_.endsWith(".parquet")).sorted
+    assert(files.length == 2, "two staged micro-batch files")
+    val b0 = spark.read.parquet(files(0))
+    val b1 = spark.read.parquet(files(1))
+    assert(b0.count() > 0 && b1.count() > 0, "both batches carry rows")
+    LlmScale.streamVectorCommit(spark, dir, b0, 0L)
+    LlmScale.streamVectorCommit(spark, dir, b1, 1L)
+    def head() = LlmScale.ivfStoreHead(dir)
+    assert(head()._1 == Seq("postings", "postings_s0", "postings_s1") &&
+      head()._2 == Seq("vectors", "vectors_s0", "vectors_s1"),
+      s"two delta generations committed: ${head()}")
+    // idempotent replay: re-running a committed batch changes nothing
+    LlmScale.streamVectorCommit(spark, dir, b0, 0L)
+    assert(head()._1 == Seq("postings", "postings_s0", "postings_s1"))
+    // crash-between-write-and-flip window: stale head + finished files
+    // → the head-recheck re-issues the flip instead of stranding s1
+    graft.operators.Scans.atomicWrite(
+      java.nio.file.Paths.get(dir, "_HEAD"),
+      "postings,postings_s0;vectors,vectors_s0;")
+    LlmScale.streamVectorCommit(spark, dir, b1, 1L)
+    assert(head()._1 == Seq("postings", "postings_s0", "postings_s1"),
+      "the recheck must adopt the stranded generation")
+    // the incrementally committed store serves EXACTLY what a one-shot
+    // commit of the full shard serves — ingest granularity is invisible
+    val served = LlmScale.streamVectorServe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dir2 = java.nio.file.Files.createTempDirectory("vecstore_spec2")
+      .toString
+    LlmScale.streamVectorStoreInit(spark, sf, dir2)
+    LlmScale.streamVectorCommit(spark, dir2, b0.unionByName(b1), 0L)
+    val oneShot = LlmScale.streamVectorServe(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == oneShot,
+      "batch granularity must not change serving results")
+    assert(served.map(_._1).size == 30 || served.size == 30,
+      s"10 queries x top-3: ${served.size}")
+    // the registered op end-to-end (a REAL two-micro-batch stream)
+    val op = StreamIO.sinkStreamVector(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(op == served, "the streamed op must serve the same rows")
+  }
 }
