@@ -757,7 +757,35 @@ object ScaleProbe {
       // are the linear cost; each serving phase is the cell-keyed
       // candidate equi-join over disk postings + the bounded truth —
       // the llm_ann_ivf_kmeans economics read from parquet
-      "llm_ann_index_persisted")
+      "llm_ann_index_persisted",
+      // persisted GRAPH store (r16): graph build + graft + store writes
+      // are the linear cost; each serving phase is the bounded width-8
+      // walk (≤ 16 + 6·8·22 evals/query) + the graph-live truth pass,
+      // read from disk — must track llm_ann_graph's growth
+      "llm_ann_graph_persisted",
+      // optimistic concurrency (r16): staging + three COW rewrites are
+      // the linear cost; each publish is a |files|-row driver set-diff
+      // under the lock — commit-time work flat in table size
+      "sink_merge_occ",
+      // key-grouped DSv2 scan (r16): generated source probed at fixed
+      // size — the claim is plan shape (zero exchanges), wall flat
+      "scan_keygrouped",
+      // limit/topN pushdown (r16): 12 rows move at ANY `rows` option —
+      // flat by construction like scan_agg_pushdown
+      "scan_limit_pushdown",
+      // runtime filtering (r16): the DPP-filtered scan reads only the
+      // ranges holding probed keys — flat candidate mass on the fixed
+      // generated table, the claim is the pruned partition count
+      "scan_runtime_filter",
+      // streaming vector-store maintenance (r16): store init (lloyd +
+      // v1 writes) is the linear cost; each micro-batch commit is
+      // O(|batch|·K) broadcast folds + an append + a pointer flip, and
+      // the drained serve is the IVF family's probe shape
+      "sink_stream_vector",
+      // row-id CDC classification (r16): staging (3 commits) linear;
+      // the drain reads ONLY changed files and the I/U/D pairing is a
+      // commit-sized (version, row_id) equi-join — never table-sized
+      "source_cdc_updates")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is
