@@ -231,8 +231,23 @@ object Bench {
       // highest-yield reruns, not merely the largest absolute ones
       // (a 30 s query 2x its floor costs 30 s to recover 30 s; ten 1 s
       // queries at 10x their floors recover 90 s for the same spend).
+      // A THIRD opportunistic wave (VERDICT r15 task 8) fires only when
+      // a degraded window left the artifact over the honesty target
+      // (inflated_n ≥ 15 AND shared ratio > 1.40) and budget remains —
+      // a recovering host often clears the tail on one more sweep.
+      def curRatio: Double = {
+        val shared = minOfPasses.keySet & records.keySet
+        if (shared.isEmpty) return 0.0
+        val cur = shared.toSeq
+          .map(n => math.min(minOfPasses(n),
+            rerun.getOrElse(n, Double.MaxValue))).sum
+        val rec = shared.toSeq.map(records).sum
+        if (rec > 0) cur / rec else 0.0
+      }
       var wave = 0
-      while (wave < 2 && candidates.nonEmpty && elapsed < budgetSec) {
+      while (candidates.nonEmpty && elapsed < budgetSec &&
+          (wave < 2 ||
+            (wave < 3 && candidates.size >= 15 && curRatio > 1.40))) {
         val order = candidates.sortBy { case (n, v) =>
           -((curVal(n, v) - records(n)) / math.max(records(n), 0.05))
         }
