@@ -782,10 +782,19 @@ object ScaleProbe {
       // O(|batch|·K) broadcast folds + an append + a pointer flip, and
       // the drained serve is the IVF family's probe shape
       "sink_stream_vector",
-      // row-id CDC classification (r16): staging (3 commits) linear;
-      // the drain reads ONLY changed files and the I/U/D pairing is a
-      // commit-sized (version, row_id) equi-join — never table-sized
-      "source_cdc_updates")
+      // row-id CDC classification (r16): staging (now 4 commits)
+      // linear; the drain reads ONLY changed files and the I/U/D
+      // pairing is a commit-sized (version, row_id) equi-join — never
+      // table-sized
+      "source_cdc_updates",
+      // store time travel (r16): rides the staged store; four serves,
+      // each the cell-keyed equi-join + bounded truth of the persisted
+      // family — must track llm_ann_index_persisted's growth
+      "llm_ann_store_asof",
+      // row-id MERGE apply (r16): bootstrap + per-commit merges are
+      // |table|-row generations keyed on the lineage id; the changed
+      // side is commit-sized — growth must track the snapshot scans
+      "sink_cdc_apply")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

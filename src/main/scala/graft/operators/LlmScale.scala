@@ -1141,8 +1141,7 @@ object LlmScale extends OpModule {
       a2.select(col("vec_id"), col("cluster"))
         .write.parquet(s"$base/postings")
       qv.select(col("vec_id"), col("qv")).write.parquet(s"$base/vectors")
-      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
-        "postings;vectors;")
+      ivfStoreCommit(base, "postings;vectors;")
       // v2: the delta commit — appended dirs, v1 files untouched
       val (cent, _) = ivfIndex(s, d)
       val delta = ivfDeltaShard(qv)
@@ -1151,27 +1150,58 @@ object LlmScale extends OpModule {
         .write.parquet(s"$base/postings_d1")
       delta.select(col("new_id").as("vec_id"), col("dv").as("qv"))
         .write.parquet(s"$base/vectors_d1")
-      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
-        "postings,postings_d1;vectors,vectors_d1;")
+      ivfStoreCommit(base, "postings,postings_d1;vectors,vectors_d1;")
       // v3: the tombstone commit — a sidecar, postings untouched
       a2.select(col("vec_id")).where(col("vec_id") % 23 === 5)
         .write.parquet(s"$base/deletes")
-      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
-        "postings,postings_d1;vectors,vectors_d1;deletes")
+      ivfStoreCommit(base, "postings,postings_d1;vectors,vectors_d1;deletes")
     }
   }
 
-  /** head = "postDirs;vecDirs;delDirs" (comma-separated each). */
-  private[graft] def ivfStoreHead(dir: String)
+  /** One store commit (r16): append the new head to the commit LOG —
+    * the `version → head` sidecar AS OF resolves against, exactly
+    * scan_time_travel's versions discipline applied to the index store
+    * — then flip `_HEAD` atomically. Log first, pointer second: a crash
+    * between the two leaves a logged-but-unadopted version (harmless —
+    * `_HEAD` defines current), never an adopted version the log cannot
+    * resolve. */
+  private[graft] def ivfStoreCommit(dir: String, head: String): Unit = {
+    val log = java.nio.file.Paths.get(dir, "_LOG")
+    val n = if (java.nio.file.Files.exists(log))
+      java.nio.file.Files.readAllLines(log).size else 0
+    java.nio.file.Files.write(log, s"v${n + 1} $head\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    Scans.atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"), head)
+    ()
+  }
+
+  /** The commit log's (version, head) pairs, ascending. */
+  private[graft] def ivfStoreLog(dir: String): Seq[(Int, String)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_LOG")).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(v, h) = line.split(" ", 2)
+        (v.drop(1).toInt, h)
+      }.sortBy(_._1)
+  }
+
+  private[graft] def ivfHeadParse(head: String)
       : (Seq[String], Seq[String], Seq[String]) = {
-    val parts = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8").trim.split(';')
+    val parts = head.trim.split(';')
     def seg(i: Int): Seq[String] =
       if (parts.length > i && parts(i).nonEmpty)
         parts(i).split(',').toSeq.filter(_.nonEmpty)
       else Seq.empty
     (seg(0), seg(1), seg(2))
   }
+
+  /** head = "postDirs;vecDirs;delDirs" (comma-separated each). */
+  private[graft] def ivfStoreHead(dir: String)
+      : (Seq[String], Seq[String], Seq[String]) =
+    ivfHeadParse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8"))
 
   /** The compaction sweep: fold live postings minus tombstones into
     * postings2/, flip the head to drop the sidecar. Idempotent — an
@@ -1185,8 +1215,7 @@ object LlmScale extends OpModule {
         .reduce(_ unionByName _)
       live.join(tomb, Seq("vec_id"), "left_anti")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings2")
-      Scans.atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"),
-        s"postings2;${vecs.mkString(",")};")
+      ivfStoreCommit(dir, s"postings2;${vecs.mkString(",")};")
     }
   }
 
@@ -1194,8 +1223,12 @@ object LlmScale extends OpModule {
     * centroids, candidates from the head's postings anti-joined with
     * its delete sidecars, recall@3 vs exact truth over the live
     * vectors. Everything reads THE STORE — no source parquet. */
-  private def ivfStoreServe(s: SparkSession, dir: String): DataFrame = {
-    val (posts, vecDirs, dels) = ivfStoreHead(dir)
+  private def ivfStoreServe(s: SparkSession, dir: String): DataFrame =
+    ivfStoreServeHead(s, dir, ivfStoreHead(dir))
+
+  private def ivfStoreServeHead(s: SparkSession, dir: String,
+      head: (Seq[String], Seq[String], Seq[String])): DataFrame = {
+    val (posts, vecDirs, dels) = head
     val inv0 = posts.map(p => s.read.parquet(s"$dir/$p"))
       .reduce(_ unionByName _)
     val inv = if (dels.isEmpty) inv0
@@ -1240,6 +1273,32 @@ object LlmScale extends OpModule {
       .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
       .select(col("qid"), col("n_hit"),
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+  }
+
+  /** TIME TRAVEL over the index store (r16; closes the r15 nit "the
+    * store keeps no commit LOG, so it cannot answer 'serve as of
+    * v2'"): every store commit now appends its head to a `_LOG`
+    * sidecar before the pointer flip — scan_time_travel's versions
+    * discipline applied to the vector index — and this op serves the
+    * SAME query set through EVERY logged version: v1 the trained base
+    * (delta vectors absent from the corpus and the truth), v2 the
+    * grown index, v3 the MOR view (sidecar anti-joined), v4 the swept
+    * head. v3 ≡ v4 row-for-row is the sweep proof replayed through the
+    * log; v1 vs v2 makes the ingest VISIBLE in history. At 100 TB the
+    * resolution is a |commits|-row driver read; each serve keeps the
+    * store's cell-keyed economics — old versions cost the same to
+    * serve as the head, which is the point of immutable commits. */
+  def annStoreAsof(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val dir = ivfStoreDir(s, d)
+    ivfStoreSweep(s, dir) // idempotent: ensures the v4 entry is logged
+    ivfStoreLog(dir).map { case (v, head) =>
+      MemoUtil.scratch(
+        ivfStoreServeHead(s, dir, ivfHeadParse(head))
+          .select(lit(v).as("version"), col("qid"), col("n_hit"),
+            col("recall_at_3"))
+          .localCheckpoint())
+    }.reduce(_ unionByName _)
   }
 
   def annIndexPersisted(s: SparkSession, d: String): DataFrame = {
@@ -3086,8 +3145,7 @@ object LlmScale extends OpModule {
       adj.write.parquet(s"$base/adjacency")
       entries.write.parquet(s"$base/entries")
       qv.select(col("vec_id"), col("qv")).write.parquet(s"$base/vectors")
-      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
-        "adjacency;entries;vectors;")
+      ivfStoreCommit(base, "adjacency;entries;vectors;")
       // v2: the graft commit — the incremental shard's attachment
       // edges (forward + symmetric back-edges) and its vectors,
       // appended as new dirs
@@ -3098,12 +3156,12 @@ object LlmScale extends OpModule {
         .write.parquet(s"$base/adjacency_d1")
       graphDelta(qv).select(col("qid").as("vec_id"), col("qq").as("qv"))
         .write.parquet(s"$base/vectors_d1")
-      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
+      ivfStoreCommit(base,
         "adjacency,adjacency_d1;entries;vectors,vectors_d1;")
       // v3: the retirement commit — a sidecar, adjacency untouched
       qv.select(col("vec_id")).where(col("vec_id") % 23 === 5)
         .write.parquet(s"$base/tombstones")
-      Scans.atomicWrite(java.nio.file.Paths.get(base, "_HEAD"),
+      ivfStoreCommit(base,
         "adjacency,adjacency_d1;entries;vectors,vectors_d1;tombstones")
     }
   }
@@ -3139,8 +3197,7 @@ object LlmScale extends OpModule {
       graphStoreRead(s, dir, ents)
         .join(tomb, Seq("vec_id"), "left_anti")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/entries2")
-      Scans.atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"),
-        s"adjacency2;entries2;${vecs.mkString(",")};")
+      ivfStoreCommit(dir, s"adjacency2;entries2;${vecs.mkString(",")};")
     }
   }
 
@@ -3673,6 +3730,7 @@ object LlmScale extends OpModule {
     "llm_ann_ivf_rebalance_recall" -> annIvfRebalanceRecall _,
     "llm_ann_ivf_delete" -> annIvfDelete _,
     "llm_ann_index_persisted" -> annIndexPersisted _,
+    "llm_ann_store_asof" -> annStoreAsof _,
     "llm_gram_matrix" -> gramMatrix _,
     "llm_dedup_substring" -> dedupSubstring _,
     "llm_ann_recall" -> annRecall _,
@@ -4863,6 +4921,130 @@ object LlmScale extends OpModule {
         |SELECT 'pre_sweep' AS phase, qid, n_hit, recall_at_3 FROM one
         |UNION ALL
         |SELECT 'post_sweep', qid, n_hit, recall_at_3 FROM one""".stripMargin),
+    // time travel through the store's commit log: v1 serves the base
+    // index (delta absent from corpus AND truth), v2 the grown index,
+    // v3 the MOR view, v4 the swept head ≡ v3 — each version replayed
+    // as its own serve over the shared probe ranks (`pr`)
+    "llm_ann_store_asof" ->
+      (lloydCtes + annIvfCtes + """,
+        |delta AS MATERIALIZED (
+        |  SELECT vec_id + 1000000 AS new_id, dim,
+        |    q + CASE WHEN dim = 0 THEN 1000 ELSE 0 END AS q
+        |  FROM dims WHERE vec_id % 17 = 3),
+        |dcent AS (
+        |  SELECT delta.new_id, c2.cluster,
+        |    CAST(sum((delta.q - c2.c) * (delta.q - c2.c)) AS BIGINT)
+        |      AS cdist
+        |  FROM delta JOIN c2 USING (dim) GROUP BY 1, 2),
+        |asg AS MATERIALIZED (
+        |  SELECT new_id, cluster FROM (
+        |    SELECT new_id, cluster, row_number() OVER (
+        |      PARTITION BY new_id ORDER BY cdist ASC, cluster ASC) AS rn
+        |    FROM dcent) WHERE rn = 1),
+        |gdims AS MATERIALIZED (
+        |  SELECT vec_id, dim, q FROM dims
+        |  UNION ALL SELECT new_id, dim, q FROM delta),
+        |ginv AS MATERIALIZED (
+        |  SELECT vec_id, cluster FROM a2
+        |  UNION ALL SELECT new_id AS vec_id, cluster FROM asg),
+        |gd AS MATERIALIZED (
+        |  SELECT vec_id, dim, q FROM gdims
+        |  WHERE NOT (vec_id % 23 = 5 AND vec_id < 1000000)),
+        |gid AS MATERIALIZED (
+        |  SELECT vec_id, cluster FROM ginv
+        |  WHERE NOT (vec_id % 23 = 5 AND vec_id < 1000000)),
+        |cnd1 AS (
+        |  SELECT p.qid, gi.vec_id AS cand_id,
+        |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+        |  FROM pr p
+        |  JOIN a2 gi ON gi.cluster = p.cluster AND gi.vec_id != p.qid
+        |  JOIN dims dq ON dq.vec_id = p.qid
+        |  JOIN dims dc ON dc.vec_id = gi.vec_id AND dc.dim = dq.dim
+        |  GROUP BY 1, 2),
+        |i31 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM cnd1)
+        |  WHERE rn <= 3),
+        |ex1 AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq JOIN dims dc
+        |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10 GROUP BY 1, 2),
+        |e31 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM ex1)
+        |  WHERE rn <= 3),
+        |one1 AS MATERIALIZED (
+        |  SELECT e.qid, CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+        |    round(count(i.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+        |  FROM e31 e LEFT JOIN i31 i USING (qid, cand_id)
+        |  GROUP BY e.qid),
+        |cnd2 AS (
+        |  SELECT p.qid, gi.vec_id AS cand_id,
+        |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+        |  FROM pr p
+        |  JOIN ginv gi ON gi.cluster = p.cluster AND gi.vec_id != p.qid
+        |  JOIN dims dq ON dq.vec_id = p.qid
+        |  JOIN gdims dc ON dc.vec_id = gi.vec_id AND dc.dim = dq.dim
+        |  GROUP BY 1, 2),
+        |i32 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM cnd2)
+        |  WHERE rn <= 3),
+        |ex2 AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq JOIN gdims dc
+        |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10 GROUP BY 1, 2),
+        |e32 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM ex2)
+        |  WHERE rn <= 3),
+        |one2 AS MATERIALIZED (
+        |  SELECT e.qid, CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+        |    round(count(i.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+        |  FROM e32 e LEFT JOIN i32 i USING (qid, cand_id)
+        |  GROUP BY e.qid),
+        |cnd3 AS (
+        |  SELECT p.qid, gi.vec_id AS cand_id,
+        |    CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+        |  FROM pr p
+        |  JOIN gid gi ON gi.cluster = p.cluster AND gi.vec_id != p.qid
+        |  JOIN dims dq ON dq.vec_id = p.qid
+        |  JOIN gdims dc ON dc.vec_id = gi.vec_id AND dc.dim = dq.dim
+        |  GROUP BY 1, 2),
+        |i33 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM cnd3)
+        |  WHERE rn <= 3),
+        |ex3a AS (
+        |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+        |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+        |  FROM dims dq JOIN gd dc
+        |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+        |  WHERE dq.vec_id < 10 GROUP BY 1, 2),
+        |e33 AS MATERIALIZED (
+        |  SELECT qid, cand_id FROM (
+        |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dist ASC, cand_id ASC) AS rn FROM ex3a)
+        |  WHERE rn <= 3),
+        |one3 AS MATERIALIZED (
+        |  SELECT e.qid, CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+        |    round(count(i.cand_id) / count(*)::DOUBLE, 4) AS recall_at_3
+        |  FROM e33 e LEFT JOIN i33 i USING (qid, cand_id)
+        |  GROUP BY e.qid)
+        |SELECT CAST(1 AS INT) AS version, qid, n_hit, recall_at_3
+        |FROM one1
+        |UNION ALL SELECT 2, qid, n_hit, recall_at_3 FROM one2
+        |UNION ALL SELECT 3, qid, n_hit, recall_at_3 FROM one3
+        |UNION ALL SELECT 4, qid, n_hit, recall_at_3 FROM one3""".stripMargin),
     "llm_ann_ivf_delete" ->
       (lloydCtes + annIvfCtes + """,
         |survq AS MATERIALIZED (

@@ -1008,15 +1008,18 @@ object Scans extends OpModule {
     dir
   }
 
-  /** Staged v1→v2→v3 chain whose data files CARRY ROW LINEAGE (VERDICT
-    * r15 task 6): `row_id` is assigned at v1 ingest and IMMUTABLE
-    * thereafter — the Iceberg row-lineage / Delta row-tracking id that
-    * survives rewrites. v2 is an ordinary price update (×2 on keys
-    * [100, 400], ids carried); v3 is a KEY MIGRATION — o_orderkey
-    * moves (+5·10⁸ on keys [500, 700]) while the row ids stay put —
-    * the commit class a key-joining CDC consumer misreads as
-    * delete+insert and only a row-id-joining one classifies as UPDATE.
-    * The streaming CDC source reads this chain in lineage mode. */
+  /** Staged v1→v2→v3→v4 chain whose data files CARRY ROW LINEAGE
+    * (VERDICT r15 task 6): `row_id` is assigned at v1 ingest and
+    * IMMUTABLE thereafter — the Iceberg row-lineage / Delta
+    * row-tracking id that survives rewrites. v2 is an ordinary price
+    * update (×2 on keys [100, 400], ids carried); v3 is a KEY
+    * MIGRATION — o_orderkey moves (+5·10⁸ on keys [500, 700]) while
+    * the row ids stay put — the commit class a key-joining CDC
+    * consumer misreads as delete+insert and only a row-id-joining one
+    * classifies as UPDATE; v4 is a REAL delete+insert (odd keys in
+    * [800, 900] dropped, fresh rows with NEW ids appended) — the
+    * commit class that must classify as D and I, never U. The
+    * streaming CDC source reads this chain in lineage mode. */
   private[graft] def lineageStreamDir(s: SparkSession, d: String): String = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
     val dir = s"$ioDir/lineage_stream_$sfx"
@@ -1056,6 +1059,27 @@ object Scans extends OpModule {
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/d3")
         m2.where(!hit3).unionByName(manifestStats(s, s"$dir/d3"))
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/m3")
+        // v4: DELETE + INSERT through one COW rewrite (r16) — the
+        // files overlapping keys [800, 900] drop their odd keys and
+        // gain one NEW row per even key (fresh row ids and keys offset
+        // +7·10⁸, price +500) — the commit classes a changelog consumer
+        // must see as D and I, never as U
+        val m3 = s.read.parquet(s"$dir/m3")
+        val hit4 = col("k_max") >= 800 && col("k_min") <= 900
+        val p4 = m3.where(hit4).select(col("path"))
+          .collect().map(_.getString(0))
+        val base4 = s.read.parquet(p4.toIndexedSeq: _*)
+        base4.where(!(col("o_orderkey").between(800, 900) &&
+            col("o_orderkey") % 2 === 1))
+          .unionByName(base4
+            .where(col("o_orderkey").between(800, 900) &&
+              col("o_orderkey") % 2 === 0)
+            .select((col("row_id") + 700000000L).as("row_id"),
+              (col("o_orderkey") + 700000000L).as("o_orderkey"),
+              (col("o_totalprice") + 500.0).as("o_totalprice")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/d4")
+        m3.where(!hit4).unionByName(manifestStats(s, s"$dir/d4"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/m4")
         java.nio.file.Files.createFile(marker)
       }
     }

@@ -617,12 +617,14 @@ object StreamIO extends OpModule {
     * key-joining consumer sees only the delete+insert illusion there
     * (StreamIOSpec pins exactly that), while this row-id pairing
     * classifies every migrated row as an UPDATE whose pre/post images
-    * show the key movement. Rows a rewrite carried unchanged pair into
-    * identical images and drop out — never counted as churn. The
-    * readout is the per-version I/U/D census with exact cents and
-    * key-shift deltas, replayed by the oracle from `orders` alone. At
-    * 100 TB: the pairing is an equi-join keyed (version, row_id) over
-    * O(changed files' rows) — commit-sized, never table-sized. */
+    * show the key movement — while the v4 commit is a REAL
+    * delete+insert (fresh row ids) and must census as D and I, never
+    * U. Rows a rewrite carried unchanged pair into identical images
+    * and drop out — never counted as churn. The readout is the
+    * per-version I/U/D census with exact cents and key-shift deltas,
+    * replayed by the oracle from `orders` alone. At 100 TB: the
+    * pairing is an equi-join keyed (version, row_id) over O(changed
+    * files' rows) — commit-sized, never table-sized. */
   def sourceCdcUpdates(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val dir = Scans.lineageStreamDir(s, d)
@@ -660,6 +662,75 @@ object StreamIO extends OpModule {
           .cast("bigint").as("cents_delta"),
         sum(when(col("op") === "U", col("k_post") - col("k_pre")))
           .cast("bigint").as("key_shift_sum"))
+  }
+
+  /** The MERGE CONSUMER the row-id changelog exists for (r16; closes
+    * source_cdc_updates' loop): a maintained table bootstraps from the
+    * lineage chain's v1 snapshot, then a foreachBatch consumer applies
+    * each commit's ± rows BY ROW ID — post image wins (U and I, the
+    * key-migration U applied correctly where a key-based upsert would
+    * duplicate the row), pre-only ids vanish (D) — committed as
+    * batch-id-keyed generations with the atomic flip + head-recheck
+    * idempotence (the sink_cdc_mv discipline). The drained table must
+    * equal the FINAL v4 snapshot row-for-row (spec joins them on
+    * row_id); the registered readout buckets it base / migrated /
+    * inserted with exact cents and key checksums, all replayed by the
+    * oracle from `orders` alone. At 100 TB: per batch one commit-sized
+    * pairing + one |table|-row merge keyed on the lineage id — the
+    * MERGE INTO economics, driven by the changelog instead of a full
+    * source diff. */
+  def sinkCdcApply(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val src = Scans.lineageStreamDir(s, d)
+    val tblDir = fresh("cdc_apply")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tblDir))
+    s.read.parquet(Scans.snapshotPaths(s, s"$src/m1"): _*)
+      .write.mode("overwrite").parquet(s"$tblDir/gen_boot")
+    Scans.atomicWrite(java.nio.file.Paths.get(tblDir, "_HEAD"), "gen_boot")
+    def head(): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tblDir, "_HEAD")), "UTF-8").trim
+    val q = s.readStream.format("graft-manifest-cdc")
+      .option("path", src).option("lineage", "true").load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val gen = s"gen_$id"
+        val done = java.nio.file.Paths.get(tblDir, gen, "_SUCCESS")
+        if (java.nio.file.Files.exists(done)) {
+          if (head() != gen)
+            Scans.atomicWrite(java.nio.file.Paths.get(tblDir, "_HEAD"), gen)
+        } else if (!batch.isEmpty) {
+          // the ± pivot reads the batch twice — checkpoint it once
+          val b = MemoUtil.scratch(batch.localCheckpoint())
+          val pre = b.where(col("sign") === -1)
+            .select(col("row_id"), lit(1).as("was"))
+          val post = b.where(col("sign") === 1)
+            .select(col("row_id"), col("o_orderkey").as("k_post"),
+              col("o_totalprice").as("p_post"))
+          s.read.parquet(s"$tblDir/${head()}")
+            .join(pre.join(post, Seq("row_id"), "full_outer"),
+              Seq("row_id"), "full_outer")
+            // a pre-only id is a DELETE; any post image wins (U or I);
+            // untouched rows carry — MERGE INTO, keyed on lineage
+            .where(col("was").isNull || col("k_post").isNotNull)
+            .select(col("row_id"),
+              coalesce(col("k_post"), col("o_orderkey")).as("o_orderkey"),
+              coalesce(col("p_post"), col("o_totalprice"))
+                .as("o_totalprice"))
+            .write.mode("overwrite").parquet(s"$tblDir/$gen")
+          Scans.atomicWrite(java.nio.file.Paths.get(tblDir, "_HEAD"), gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    s.read.parquet(s"$tblDir/${head()}")
+      .groupBy(when(col("o_orderkey") >= 700000000L, "inserted")
+        .when(col("o_orderkey") >= 500000000L, "migrated")
+        .otherwise("base").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
   }
 
   /** CDC-DRIVEN INCREMENTAL MV MAINTENANCE — the use case the
@@ -989,6 +1060,7 @@ object StreamIO extends OpModule {
     "source_custom_stream" -> sourceCustomStream _,
     "source_manifest_stream" -> sourceManifestStream _,
     "source_cdc_updates" -> sourceCdcUpdates _,
+    "sink_cdc_apply" -> sinkCdcApply _,
     "sink_cdc_mv" -> sinkCdcMv _,
     "sink_stream_vector" -> sinkStreamVector _,
     "join_stream_static" -> joinStreamStatic _,
@@ -1028,7 +1100,37 @@ object StreamIO extends OpModule {
         |SELECT 3, 0, 0, CAST(count(*) AS BIGINT),
         |  CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
         |  CAST(count(*) * 500000000 AS BIGINT)
-        |FROM b WHERE k BETWEEN 500 AND 700""".stripMargin,
+        |FROM b WHERE k BETWEEN 500 AND 700
+        |UNION ALL
+        |SELECT 4,
+        |  CAST(count(CASE WHEN k % 2 = 0 THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN k % 2 = 1 THEN 1 END) AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM b WHERE k BETWEEN 800 AND 900""".stripMargin,
+    // the drained merge target equals the final v4 snapshot: x2 prices
+    // on [100,400], keys +5e8 on [500,700], odd [800,900] rows gone,
+    // one inserted row per even [800,900] key — all from orders alone
+    "sink_cdc_apply" ->
+      """WITH v4 AS (
+        |  SELECT o_orderkey + CASE WHEN o_orderkey BETWEEN 500 AND 700
+        |      THEN 500000000 ELSE 0 END AS k,
+        |    CASE WHEN o_orderkey BETWEEN 100 AND 400
+        |      THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE NOT (o_orderkey BETWEEN 800 AND 900
+        |             AND o_orderkey % 2 = 1)
+        |  UNION ALL
+        |  SELECT o_orderkey + 700000000, o_totalprice + 500.0
+        |  FROM orders
+        |  WHERE o_orderkey BETWEEN 800 AND 900 AND o_orderkey % 2 = 0)
+        |SELECT CASE WHEN k >= 700000000 THEN 'inserted'
+        |            WHEN k >= 500000000 THEN 'migrated'
+        |            ELSE 'base' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM v4 GROUP BY 1""".stripMargin,
     // the manifest-CDC consumer replayed in closed form: step v2 is the
     // COW x2 on keys [100,400], step v3 the x3 on [500,700] (disjoint
     // ranges, so each step's before-price is the original) — the

@@ -1257,6 +1257,43 @@ class LlmScaleSpec extends SparkSpec {
     assert(again == out.toSet, "replayed serving must be unchanged")
   }
 
+  test("ann_store_asof: the commit log resolves every version, the sweep proof replays through it, replay stable") {
+    val dir = operators.LlmScale.ivfStoreDir(spark, sf)
+    operators.LlmScale.ivfStoreSweep(spark, dir)
+    val log = operators.LlmScale.ivfStoreLog(dir)
+    assert(log.map(_._1) == Seq(1, 2, 3, 4), s"four logged commits: $log")
+    // the log's last entry IS the current head — AS OF latest ≡ the
+    // plain head read
+    assert(operators.LlmScale.ivfHeadParse(log.last._2) ==
+      operators.LlmScale.ivfStoreHead(dir))
+    // intermediate heads resolve dirs that still exist on disk —
+    // immutable commits, nothing a later version deleted
+    log.foreach { case (_, h) =>
+      val (p, v, dl) = operators.LlmScale.ivfHeadParse(h)
+      (p ++ v ++ dl).foreach(sub => assert(
+        new java.io.File(s"$dir/$sub").isDirectory, s"missing $sub"))
+    }
+    val out = operators.LlmScale.annStoreAsof(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byV = out.groupBy(_._1)
+    assert(byV.keySet == Set(1, 2, 3, 4) &&
+      byV.values.forall(_.length == 10), s"4 versions x 10 queries")
+    def rows(v: Int) = byV(v).map(t => (t._2, t._3, t._4)).toSet
+    assert(rows(3) == rows(4),
+      "v3 (MOR) and v4 (swept) must serve identically through the log")
+    out.foreach { case (v, qid, nHit, rec) =>
+      val want = nHit match {
+        case 0 => 0.0; case 1 => 0.3333; case 2 => 0.6667; case _ => 1.0
+      }
+      assert(nHit >= 0 && nHit <= 3 && rec == want, s"v$v qid=$qid")
+    }
+    // a second resolution serves the identical history
+    val again = operators.LlmScale.annStoreAsof(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(again == out.toSet, "time travel must be replay-stable")
+  }
+
   test("ann_graph_delete: retired nodes unreachable, edge sweep reconciles, recall near the live graph") {
     import org.apache.spark.sql.functions.col
     val pred = operators.LlmScale.annGraphDeletePred(spark, sf)
@@ -1323,6 +1360,19 @@ class LlmScaleSpec extends SparkSpec {
     assert(pre.map(t => (t._2, t._3, t._4)).toSet ==
       post.map(t => (t._2, t._3, t._4)).toSet,
       "pre- and post-sweep serving must be identical")
+    // the graph store shares the commit-LOG discipline (r16): four
+    // logged versions, last entry ≡ the current head, every logged
+    // head's dirs still on disk — immutable commits, time-travel-ready
+    val log = operators.LlmScale.ivfStoreLog(dir)
+    assert(log.map(_._1) == Seq(1, 2, 3, 4), s"graph store log: $log")
+    assert(log.last._2.trim ==
+      "adjacency2;entries2;vectors,vectors_d1;",
+      s"log tail must be the swept head: ${log.last}")
+    log.foreach { case (_, h) =>
+      h.split(';').flatMap(_.split(',')).filter(_.nonEmpty).foreach(sub =>
+        assert(new java.io.File(s"$dir/$sub").isDirectory,
+          s"logged dir must persist: $sub"))
+    }
     // ZERO-REBUILD serving: drop every in-JVM memo (the fresh-session
     // state), then serve again from the disk store alone — rows
     // unchanged and the Lloyd pipeline never re-runs (the build counter

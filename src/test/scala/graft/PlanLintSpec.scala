@@ -95,6 +95,10 @@ class PlanLintSpec extends SparkSpec {
     // sample × 10 broadcast queries) and the graph-live brute-truth
     // pass — the same bounded shapes as llm_ann_graph, read from disk
     "llm_ann_graph_persisted",
+    // store time travel (r16): four llm_ann_index_persisted-shaped
+    // serves, one per logged version — each carries the same bounded
+    // 10-query broadcast probe/truth sides over the disk store
+    "llm_ann_store_asof",
     // LSH recall eval (r12): both sides are the FIXED 160-row audit
     // sample (128 lowest-id docs + 32 planted renditions) — the pair
     // space is sample², constant in corpus size like the ANN probes
