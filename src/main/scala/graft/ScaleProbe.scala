@@ -794,7 +794,11 @@ object ScaleProbe {
       // row-id MERGE apply (r16): bootstrap + per-commit merges are
       // |table|-row generations keyed on the lineage id; the changed
       // side is commit-sized — growth must track the snapshot scans
-      "sink_cdc_apply")
+      "sink_cdc_apply",
+      // reported statistics (r16): the claim is the static plan (the
+      // 50-row connector slice is the broadcast BUILD side); wall must
+      // track the events scan — the dim side is constant
+      "scan_stats_report")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

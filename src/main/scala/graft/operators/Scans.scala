@@ -1740,6 +1740,28 @@ object Scans extends OpModule {
     lim.unionByName(top)
   }
 
+  /** DSv2 REPORTED STATISTICS (SupportsReportStatistics — the last
+    * read-side connector seam): the source reports the
+    * filter-narrowed span's exact row count and byte size, so the
+    * PLANNER picks a static BroadcastHashJoin for this 50-row slice —
+    * no AQE rescue needed, no shuffle of the fact side ever planned.
+    * Without the report (`report_stats=false`) the unknown source
+    * defaults to "huge" and the same query statically plans a
+    * sort-merge join (ScansSpec pins both initial plans and row
+    * equality). At 100 TB this is the seam that keeps a dimension
+    * slice from dragging the fact table through an exchange. */
+  def scanStatsReport(s: SparkSession, d: String): DataFrame = {
+    val dim = s.read.format("graft-seq")
+      .option("rows", "100000").load()
+      .where(col("id") < 50).select(col("id"), col("tag"))
+    Tables.events(s, d)
+      .select((col("user_id") % 50).as("id"), col("value"))
+      .join(dim, "id")
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+  }
+
   /** DSv2 RUNTIME FILTERING (VERDICT r15 task 4's DPP half): a
     * selective dim join prunes the connector's partitions AT RUNTIME —
     * Spark materializes the broadcast side, feeds the join keys to
@@ -2921,6 +2943,7 @@ object Scans extends OpModule {
     "scan_keygrouped" -> scanKeygrouped _,
     "scan_limit_pushdown" -> scanLimitPushdown _,
     "scan_runtime_filter" -> scanRuntimeFilter _,
+    "scan_stats_report" -> scanStatsReport _,
     "sink_custom" -> sinkCustom _,
     "maintenance_zorder" -> maintenanceZorder _,
     "scan_partitioned" -> scanPartitioned _,
@@ -3121,6 +3144,14 @@ object Scans extends OpModule {
         |       ((i * 12500) * 2654435761) % 1000003 AS val,
         |       't' || ((i * 12500) % 10) AS tag
         |FROM range(0, 8) t(i) WHERE i % 2 = 0""".stripMargin,
+    // every user_id % 50 value matches exactly one dim id, so the join
+    // is total and the readout is a pure function of events
+    "scan_stats_report" ->
+      """SELECT 't' || ((user_id % 50) % 10) AS tag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events GROUP BY 1""".stripMargin,
     // the ADD COLUMN commit replayed relationally: flagged exactly
     // where the COW rewrite landed (the 1-URGENT partition), NULL
     // elsewhere — the null-fill the mapping read performs

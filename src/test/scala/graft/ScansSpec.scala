@@ -282,6 +282,46 @@ class ScansSpec extends SparkSpec {
       "the topN scan must generate only the boundary window")
   }
 
+  test("scan_stats_report: reported stats make the connector the broadcast build side; suppressed stats read as huge") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    def seqIsBuild(b: BroadcastHashJoinExec): Boolean =
+      (if (b.buildSide == BuildLeft) b.left else b.right)
+        .collect { case s: BatchScanExec => s }.nonEmpty
+    // INITIAL (pre-AQE) plan: the 50-row reported slice is the BUILD
+    // side of a static broadcast join
+    val df = graft.operators.Scans.scanStatsReport(spark, sf)
+    val planned = df.queryExecution.sparkPlan
+    val bhj = planned.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty && seqIsBuild(bhj.head),
+      s"reported stats must make the connector the build side:\n" +
+        planned.toString.take(1500))
+    // control: stats suppressed — the source reads as HUGE, so the
+    // static plan either sort-merges or broadcasts the OTHER side
+    // (the tiny spec-fixture fact table); the connector can never be
+    // the build side without its stats
+    val dimOff = spark.read.format("graft-seq")
+      .option("rows", "100000").option("report_stats", "false").load()
+      .where(col("id") < 50).select(col("id"), col("tag"))
+    val off = graft.Tables.events(spark, sf)
+      .select((col("user_id") % 50).as("id"), col("value"))
+      .join(dimOff, "id")
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val offPlan = off.queryExecution.sparkPlan
+    val offBhj = offPlan.collect { case b: BroadcastHashJoinExec => b }
+    val offSmj = offPlan.collect { case m: SortMergeJoinExec => m }
+    assert(offSmj.nonEmpty || (offBhj.nonEmpty &&
+      !offBhj.exists(seqIsBuild)),
+      "without the report the connector must read as huge:\n" +
+        offPlan.toString.take(1500))
+    // plan choice never changes results
+    assert(df.collect().map(_.toSeq).toSet ==
+      off.collect().map(_.toSeq).toSet)
+  }
+
   test("scan_runtime_filter: DPP reaches the connector — partitions pruned at runtime, rows stable with it off") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val df = graft.operators.Scans.scanRuntimeFilter(spark, sf)
