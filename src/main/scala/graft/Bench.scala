@@ -69,9 +69,6 @@ object Bench {
     // shared computation identically.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    val budgetSec = 620.0 // r14: a degraded-VM cold pass alone reads ~430 s;
-    // 540 cut the targeted reruns at 97/183 — the extra 80 s is rerun
-    // headroom, not extra passes (the driver accepted r13's 392 s run)
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     def fmt0(v: Double): String =
@@ -97,6 +94,22 @@ object Bench {
     val (first, firstWall) = timedPass()
     System.err.println(
       s"[bench] pass 1 (cold): ${fmt0(firstWall)} s wall, elapsed ${fmt0(elapsed)} s")
+    // Budget is set AFTER the cold pass, never before (VERDICT r16
+    // task 1): a fixed 620 s ceiling made the self-correction net
+    // structurally dead in the worst degraded-VM windows — r16's
+    // driver cold pass ALONE took 807 s, so the rerun loop's
+    // `elapsed < budgetSec` guard failed before a single targeted
+    // rerun fired and the committed artifact read ratio 3.364 with
+    // rerun_n 0 at inflated_n 326. max(620, cold x 1.25) reserves a
+    // rerun tranche proportional to however bad the window is: the
+    // >=25% of cold-wall headroom always covers the highest-yield
+    // outliers first (the wave orders by recovery per floor-second),
+    // so even a partial wave recovers the worst of the inflation.
+    val budgetSec = math.max(620.0, firstWall * 1.25)
+    if (budgetSec > 620.0)
+      System.err.println(s"[bench] cold pass blew the 620 s floor — " +
+        s"budget extended to ${fmt0(budgetSec)} s to keep the rerun " +
+        "tranche alive")
     // Estimate the NEXT pass from the most recent pass's measured wall
     // time, not the cold pass's: pass 1 pays one-time staging (bucketed
     // tables, persisted index artifacts) and first-touch codegen, so warm

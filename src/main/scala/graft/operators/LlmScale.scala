@@ -1394,12 +1394,17 @@ object LlmScale extends OpModule {
         .select(col("cid").as("cluster"), col("cv"))
       val delta = batch.select(col("new_id"), col("dv"))
       // vectors FIRST, postings second: postings' _SUCCESS is the
-      // replay marker, so its existence implies the vectors landed
+      // replay marker, so its existence implies the vectors landed.
+      // Overwrite, not ErrorIfExists (ADVICE r16): a crash after the
+      // vectors write starts but before postings' _SUCCESS lands
+      // leaves a partial vectors_sN dir with no marker — the replayed
+      // batch takes this branch again and must be able to REDO the
+      // generation, not fail permanently on 'path already exists'
       delta.select(col("new_id").as("vec_id"), col("dv").as("qv"))
-        .write.parquet(s"$dir/$vGen")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$vGen")
       ivfDeltaAssign(delta, cents)
         .select(col("new_id").as("vec_id"), col("cluster"))
-        .write.parquet(s"$dir/$pGen")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$pGen")
       flip()
     }
   }

@@ -1713,7 +1713,26 @@ object Scans extends OpModule {
     * metadata answer. At 100 TB this seam is the storage-partitioned
     * join/agg every Iceberg-bucket or JDBC-shard deployment leans on:
     * the exchange Spark skips here is the corpus-sized shuffle. */
-  def scanKeygrouped(s: SparkSession, d: String): DataFrame = {
+  /** A conf-isolated twin of `s0` (ADVICE r16): ops that must hold a
+    * planner knob at EXECUTION time (the returned DataFrame plans
+    * lazily, so a set/restore around construction would un-set it
+    * before planning) build their frame on this clone instead of
+    * mutating the shared session — later ops' plan shapes stay
+    * order-independent. newSession() starts from the builder's
+    * SparkConf, so the caller's RUNTIME conf.set's are copied over
+    * (a spec toggling e.g. DPP on the parent must see the toggle
+    * honored here). Shares the SparkContext and caches. */
+  private[graft] def confClone(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    s0.conf.getAll.foreach { case (k, v) =>
+      if (s.conf.isModifiable(k))
+        try s.conf.set(k, v) catch { case _: Exception => () }
+    }
+    s
+  }
+
+  def scanKeygrouped(s0: SparkSession, d: String): DataFrame = {
+    val s = confClone(s0)
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     s.read.format("graft-seq")
       .option("rows", "100000").option("layout", "tag").load()
@@ -1770,7 +1789,10 @@ object Scans extends OpModule {
     * ScansSpec counts them and pins rows identical with DPP off). The
     * same shape join_dpp proves for file sources, pushed through the
     * connector seam — at 100 TB the skipped partitions are the scan. */
-  def scanRuntimeFilter(s: SparkSession, d: String): DataFrame = {
+  def scanRuntimeFilter(s0: SparkSession, d: String): DataFrame = {
+    // conf clone for the same reason as scanKeygrouped: the DPP stats
+    // knob must be live when THIS frame plans, and only then
+    val s = confClone(s0)
     s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats",
       "false")
     val fact = s.read.format("graft-seq")

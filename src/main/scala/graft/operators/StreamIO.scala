@@ -701,6 +701,17 @@ object StreamIO extends OpModule {
         } else if (!batch.isEmpty) {
           // the ± pivot reads the batch twice — checkpoint it once
           val b = MemoUtil.scratch(batch.localCheckpoint())
+          // the row_id pairing below is only correct because
+          // ManifestCdcStream admits exactly ONE manifest version per
+          // micro-batch — rows touched in consecutive commits would
+          // cross-join into duplicate pre/post images. Guard the
+          // implicit coupling (ADVICE r16): if batch pacing ever
+          // changes (e.g. honoring ReadLimit to drain several
+          // versions), fail loudly instead of corrupting the target.
+          val nVersions = b.select(col("version")).distinct().count()
+          require(nVersions == 1L,
+            s"cdc batch $id spans $nVersions manifest versions; the " +
+              "row_id pairing assumes one commit per micro-batch")
           val pre = b.where(col("sign") === -1)
             .select(col("row_id"), lit(1).as("was"))
           val post = b.where(col("sign") === 1)
