@@ -1256,6 +1256,419 @@ object Scans extends OpModule {
     }.reduce(_ unionByName _)
   }
 
+  /** WRITER-vs-COMPACTOR OPTIMISTIC CONCURRENCY (VERDICT r16 task 2):
+    * sink_merge_occ proves writer-vs-writer OCC; this op races the
+    * MAINTENANCE job against live writers — the RewriteFiles-vs-
+    * RowDelta conflict class (Iceberg's names) a real 100 TB table
+    * hits daily, because compaction is always running somewhere.
+    *
+    * Table state at version v = a base-file manifest `m{v}` (the
+    * scan_time_travel contract) PLUS a delta log `log{v}` — ordered
+    * `seq dir` lines naming post-image parquet dirs (o_orderkey,
+    * o_totalprice). A read at v is merge-on-read: base overlaid with
+    * the log's latest post-image per key. Three commit kinds:
+    *
+    *  - ROW DELTA (writer appends a log entry): base untouched, so it
+    *    is valid against ANY head — publish rebases by carrying the
+    *    current head's base manifest and appending to its log.
+    *  - COW REWRITE (writer rewrites base files): sink_merge_occ's
+    *    occCommit semantics + the log carried through unchanged.
+    *  - COMPACTION (the maintenance fold): captures base m{v} + the
+    *    log entries at plan time, folds those entries into new base
+    *    files, and at publish must detect intervening commits — if
+    *    they replaced any base file the compactor also read, ABORT
+    *    (the fold is stale); otherwise REBASE: the new manifest is the
+    *    head's base minus the compactor's inputs plus the folded
+    *    files, and the new log is the HEAD's log minus exactly the
+    *    folded seqs — an entry leaves the log precisely once, when its
+    *    content enters the base (no duplicated log re-application),
+    *    and entries committed while the fold ran stay pending (no lost
+    *    update).
+    *
+    * Both interleavings are staged: (A) writer-first — a row delta
+    * lands mid-fold, the compactor rebases and the readout proves the
+    * compacted version is LOGICALLY IDENTICAL to the pre-compaction
+    * one (v2 ≡ v3 ≡ v4 summaries below); (B) compactor-first — a COW
+    * writer planned against the pre-fold base finds every file it
+    * touched replaced by the fold, aborts with the head untouched,
+    * re-plans against the compacted head, and succeeds. At 100 TB the
+    * critical section is the sink_merge_occ one: a |files|-row set
+    * diff plus a |log|-line filter under the lock, no data I/O. */
+  private def compactOccLogEntries(dir: String, v: Long): Seq[(Long, String)] =
+    wapLogRead(dir, s"log$v").map { line =>
+      val Array(seq, e) = line.split(" ")
+      (seq.toLong, e)
+    }
+
+  /** Merge-on-read at version v: base overlaid with the log's latest
+    * post-image per key (seq order — last writer wins). */
+  private[graft] def compactOccRead(s: SparkSession, dir: String,
+                                    v: Long): DataFrame = {
+    val base = s.read.parquet(snapshotPaths(s, s"$dir/m$v"): _*)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val entries = compactOccLogEntries(dir, v)
+    if (entries.isEmpty) base
+    else {
+      val posts = entries.map { case (seq, e) =>
+        s.read.parquet(s"$dir/$e")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            lit(seq).as("seq"))
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("seq").desc)
+      val latest = posts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_orderkey"), col("o_totalprice").as("p_post"))
+      base.join(latest, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("p_post"), col("o_totalprice")).as("o_totalprice"))
+    }
+  }
+
+  /** ROW DELTA publish: append a post-image log entry. Key-addressed,
+    * so it is valid against any base — always rebases onto the head. */
+  private def compactOccRowDelta(s: SparkSession, dir: String,
+                                 seq: Long, entry: String): Long =
+    ioLock.synchronized {
+      val head = occHead(dir)
+      val newV = head + 1
+      s.read.parquet(s"$dir/m$head").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/m$newV")
+      val lines = wapLogRead(dir, s"log$head") :+ s"$seq $entry"
+      atomicWrite(java.nio.file.Paths.get(dir, s"log$newV"),
+        lines.mkString("\n"))
+      atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"), newV.toString)
+      newV
+    }
+
+  /** COW publish with the log carried through — occCommit's conflict
+    * rules (abort iff an intervening commit replaced a touched file),
+    * plus the head's pending log entries survive unchanged. */
+  private def compactOccCowCommit(s: SparkSession, dir: String,
+                                  baseV: Long, touched: Seq[String],
+                                  dataDir: String): (Long, String) =
+    ioLock.synchronized {
+      val head = occHead(dir)
+      val (mBase, outcome) =
+        if (head == baseV) (s.read.parquet(s"$dir/m$head"), "committed")
+        else {
+          val replaced = snapshotPaths(s, s"$dir/m$baseV").toSet --
+            snapshotPaths(s, s"$dir/m$head").toSet
+          val clash = touched.toSet.intersect(replaced)
+          if (clash.nonEmpty) throw new IllegalStateException(
+            s"occ conflict: commits up to v$head replaced " +
+              s"${clash.size} file(s) this writer also rewrote")
+          (s.read.parquet(s"$dir/m$head"), "rebased")
+        }
+      val newV = head + 1
+      mBase.where(!col("path").isin(touched: _*))
+        .unionByName(manifestStats(s, s"$dir/$dataDir")).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/m$newV")
+      val lines = wapLogRead(dir, s"log$head")
+      if (lines.nonEmpty)
+        atomicWrite(java.nio.file.Paths.get(dir, s"log$newV"),
+          lines.mkString("\n"))
+      atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"), newV.toString)
+      (newV, outcome)
+    }
+
+  /** COMPACTION publish: REBASE onto the head when no intervening
+    * commit replaced a folded base file (new manifest = head's base ∖
+    * inputs ∪ folded files; new log = head's log ∖ folded seqs);
+    * ABORT otherwise — the fold read files that no longer exist. */
+  private def compactOccCompactCommit(s: SparkSession, dir: String,
+                                      baseV: Long, foldedSeqs: Set[Long],
+                                      inputPaths: Seq[String],
+                                      cbDir: String): (Long, String) =
+    ioLock.synchronized {
+      val head = occHead(dir)
+      val outcome =
+        if (head == baseV) "committed"
+        else {
+          val replaced = snapshotPaths(s, s"$dir/m$baseV").toSet --
+            snapshotPaths(s, s"$dir/m$head").toSet
+          val clash = inputPaths.toSet.intersect(replaced)
+          if (clash.nonEmpty) throw new IllegalStateException(
+            s"compaction conflict: commits up to v$head replaced " +
+              s"${clash.size} file(s) the fold read — stale fold")
+          "rebased"
+        }
+      val newV = head + 1
+      s.read.parquet(s"$dir/m$head")
+        .where(!col("path").isin(inputPaths: _*))
+        .unionByName(manifestStats(s, s"$dir/$cbDir")).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/m$newV")
+      val keep = wapLogRead(dir, s"log$head").filter { l =>
+        !foldedSeqs.contains(l.split(" ")(0).toLong)
+      }
+      if (keep.nonEmpty)
+        atomicWrite(java.nio.file.Paths.get(dir, s"log$newV"),
+          keep.mkString("\n"))
+      atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"), newV.toString)
+      (newV, outcome)
+    }
+
+  /** Stage a post-image log entry: keys matching `o_orderkey % 10 ==
+    * rem` at snapshot v, price × mult. */
+  private def compactOccStageDelta(s: SparkSession, dir: String, v: Long,
+                                   rem: Int, mult: Double,
+                                   entry: String): Unit = {
+    compactOccRead(s, dir, v)
+      .where(col("o_orderkey") % 10 === rem)
+      .withColumn("o_totalprice", col("o_totalprice") * mult)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$entry")
+    ()
+  }
+
+  /** The compactor's plan+fold: capture base paths and log seqs at v,
+    * materialize the MOR view into fresh range-clustered base files. */
+  private def compactOccFold(s: SparkSession, dir: String, v: Long,
+                             cbDir: String): (Set[Long], Seq[String]) = {
+    val inputs = snapshotPaths(s, s"$dir/m$v")
+    val seqs = compactOccLogEntries(dir, v).map(_._1).toSet
+    compactOccRead(s, dir, v)
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$cbDir")
+    (seqs, inputs)
+  }
+
+  private[graft] def compactOccDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/compact_occ_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_COMMITTED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        wipeDir(dir)
+        timeTravelWriteV1(s, d, dir)
+        atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"), "1")
+        // v1 ships with one pending log entry so the fold has real work
+        compactOccStageDelta(s, dir, 1L, 3, 2.0, "e1")
+        atomicWrite(java.nio.file.Paths.get(dir, "log1"), "1 e1")
+        // ── interleaving A: writer lands mid-fold, compactor rebases ──
+        val (foldSeqs, foldIn) = compactOccFold(s, dir, 1L, "cb2")
+        compactOccStageDelta(s, dir, 1L, 7, 3.0, "e2")
+        val v2 = compactOccRowDelta(s, dir, 2L, "e2") // writer first
+        val (v3, c1Out) =
+          compactOccCompactCommit(s, dir, 1L, foldSeqs, foldIn, "cb2")
+        // ── interleaving B: compactor first, stale COW writer aborts ──
+        val w2Base = occHead(dir) // = v3
+        val w2Touched = {
+          val m = s.read.parquet(s"$dir/m$w2Base")
+          m.where(col("k_max") >= 100 && col("k_min") <= 400)
+            .select(col("path")).collect().map(_.getString(0)).toSeq.sorted
+        }
+        val (foldSeqs2, foldIn2) = compactOccFold(s, dir, w2Base, "cb4")
+        occStage(s, dir, w2Base, 100L, 400L, 2.0, "d5")
+        val (v4, c2Out) =
+          compactOccCompactCommit(s, dir, w2Base, foldSeqs2, foldIn2, "cb4")
+        val w2First =
+          try { compactOccCowCommit(s, dir, w2Base, w2Touched, "d5"); "lost" }
+          catch { case _: IllegalStateException => "aborted" }
+        // the abort surfaces; the writer re-plans against the fold
+        val retryBase = occHead(dir) // = v4
+        val retryTouched =
+          occStage(s, dir, retryBase, 100L, 400L, 2.0, "d6")
+        val (v5, w2Out) =
+          compactOccCowCommit(s, dir, retryBase, retryTouched, "d6")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "outcomes"),
+          Seq(s"v2_writer_first committed $v2",
+            s"v3_compact_rebased $c1Out $v3",
+            s"v4_compact_committed $c2Out $v4",
+            s"w2_stale $w2First ${occHead(dir) min v4}",
+            s"v5_writer_retry $w2Out $v5")
+            .mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  /** READ-SET VALIDATION — serializable-flavor OCC (VERDICT r16 task
+    * 3): occCommit validates only the WRITE set (snapshot isolation),
+    * so WRITE SKEW is representable — two writers each read the
+    * other's key range, write disjoint files, and both publish; the
+    * final state matches NO serial order because the second writer's
+    * values derive from a read the first writer's commit invalidated.
+    * This op stages exactly that anomaly twice from one shared v1
+    * (same base files, two manifest chains) and publishes under both
+    * isolation levels:
+    *
+    *  - writer A rewrites [100, 400] ×2 (commits first, fast path);
+    *  - writer B DECLARES its read predicate — the key range
+    *    [100, 400] it scanned to compute `cnt` (how many rows there
+    *    exceed 100 000.00) — and writes the DISJOINT top-of-table
+    *    range as p×3 + (cnt mod 97) cents: the written value depends
+    *    on the read.
+    *
+    * Snapshot-isolation branch: B's write set is disjoint from A's
+    * replaced files, so B rebases and commits — carrying a `cnt`
+    * computed against the pre-A snapshot (the anomaly, visible in the
+    * data). Serializable branch: at publish B additionally checks the
+    * files ADDED by intervening commits against its declared read
+    * range via their manifest key stats — A's new files cover
+    * [100, 400], the ranges overlap, and B ABORTS even though the
+    * write sets are disjoint (the write-skew guard). B then re-plans
+    * against A's head, recomputes `cnt` from the post-A snapshot, and
+    * commits the serial A→B result. At 100 TB the added cost over
+    * snapshot isolation is one |files|-row predicate over the head
+    * manifest's (k_min, k_max) — the same stats the scan planner
+    * already maintains; declared read predicates are how Serializable
+    * Snapshot Isolation ships in real lakehouse engines. */
+  private[graft] def serOccCommit(s: SparkSession, dir: String,
+                                  baseV: Long, touched: Seq[String],
+                                  dataDir: String, readLo: Long,
+                                  readHi: Long, serializable: Boolean)
+      : (Long, String) = ioLock.synchronized {
+    val head = occHead(dir)
+    val (mBase, outcome) =
+      if (head == baseV) (s.read.parquet(s"$dir/m$head"), "committed")
+      else {
+        val basePaths = snapshotPaths(s, s"$dir/m$baseV").toSet
+        val headPaths = snapshotPaths(s, s"$dir/m$head").toSet
+        val clash = (basePaths -- headPaths).intersect(touched.toSet)
+        if (clash.nonEmpty) throw new IllegalStateException(
+          s"occ conflict: commits up to v$head replaced ${clash.size} " +
+            "file(s) this writer also rewrote")
+        if (serializable) {
+          // read-set validation: any file an intervening commit ADDED
+          // whose key stats overlap this writer's declared read range
+          // invalidates the read — |files|-row driver predicate
+          val overlap = s.read.parquet(s"$dir/m$head")
+            .where(!col("path").isin(basePaths.toSeq: _*))
+            .where(col("k_max") >= readLo && col("k_min") <= readHi)
+            .count()
+          if (overlap > 0) throw new IllegalStateException(
+            s"serializable conflict: $overlap intervening file(s) " +
+              s"overlap the declared read range [$readLo, $readHi] — " +
+              "write skew; re-plan against the current head")
+        }
+        (s.read.parquet(s"$dir/m$head"), "rebased")
+      }
+    val newV = head + 1
+    mBase.where(!col("path").isin(touched: _*))
+      .unionByName(manifestStats(s, s"$dir/$dataDir")).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/m$newV")
+    atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"), newV.toString)
+    (newV, outcome)
+  }
+
+  /** B's read: rows in [100, 400] above 100 000.00, counted through
+    * the manifest-pruned snapshot at `v` — the value its write edits
+    * depend on. */
+  private def serOccReadCount(s: SparkSession, dir: String,
+                              v: Long): Long = {
+    val m = s.read.parquet(s"$dir/m$v")
+    val paths = m.where(col("k_max") >= 100 && col("k_min") <= 400)
+      .select(col("path")).collect().map(_.getString(0)).toSeq
+    if (paths.isEmpty) 0L
+    else s.read.parquet(paths: _*)
+      .where(col("o_orderkey").between(100, 400) &&
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)") > 10000000L)
+      .count()
+  }
+
+  /** Stage B's value-dependent rewrite: top-of-table range ×3 plus
+    * (cnt mod 97) cents, where cnt came from the declared read. */
+  private def serOccStageB(s: SparkSession, dir: String, baseV: Long,
+                           lo: Long, hi: Long, cnt: Long,
+                           dataDir: String): Seq[String] = {
+    val m = s.read.parquet(s"$dir/m$baseV")
+    val touched = m.where(col("k_max") >= lo && col("k_min") <= hi)
+      .select(col("path")).collect().map(_.getString(0)).toSeq.sorted
+    s.read.parquet(touched: _*)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey").between(lo, hi),
+          col("o_totalprice") * 3 + lit((cnt % 97) / 100.0))
+          .otherwise(col("o_totalprice")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$dataDir")
+    touched
+  }
+
+  private[graft] def serOccDir(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val dir = s"$ioDir/ser_occ_$sfx"
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_COMMITTED")
+    ioLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        wipeDir(dir)
+        timeTravelWriteV1(s, d, dir)
+        val maxKey = s.read.parquet(s"$dir/d1")
+          .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        val (bLo, bHi) = (maxKey - 300L, maxKey)
+        // one base staging, two manifest chains: the anomaly needs the
+        // same v1 under both isolation levels
+        Seq("si", "ser").foreach { br =>
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(dir, br))
+          s.read.parquet(s"$dir/m1").coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/$br/m1")
+          atomicWrite(java.nio.file.Paths.get(dir, br, "_HEAD"), "1")
+        }
+        def runBranch(br: String, serializable: Boolean): Seq[String] = {
+          val bd = s"$dir/$br"
+          // BOTH writers plan against v1 — B's cnt reads pre-A prices
+          val aTouched = occStage(s, bd, 1L, 100L, 400L, 2.0, "d2")
+          val cnt1 = serOccReadCount(s, bd, 1L)
+          val bTouched = serOccStageB(s, bd, 1L, bLo, bHi, cnt1, "d3")
+          val (av, _) = serOccCommit(s, bd, 1L, aTouched, "d2",
+            bLo, bHi, serializable)
+          try {
+            val (bv, bOut) = serOccCommit(s, bd, 1L, bTouched, "d3",
+              100L, 400L, serializable)
+            Seq(s"$br A committed $av", s"$br B $bOut $bv")
+          } catch {
+            case _: IllegalStateException =>
+              // serializable abort: re-plan against the head, re-read,
+              // restage with the post-A count, publish the serial result
+              val head = occHead(bd)
+              val cnt2 = serOccReadCount(s, bd, head)
+              val retry = serOccStageB(s, bd, head, bLo, bHi, cnt2, "d4")
+              val (bv, _) = serOccCommit(s, bd, head, retry, "d4",
+                100L, 400L, serializable)
+              Seq(s"$br A committed $av", s"$br B aborted_retry $bv")
+          }
+        }
+        val lines = runBranch("si", serializable = false) ++
+          runBranch("ser", serializable = true)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "outcomes"),
+          lines.mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    dir
+  }
+
+  def sinkMergeOccSerializable(s: SparkSession, d: String): DataFrame = {
+    val dir = serOccDir(s, d)
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    wapLogRead(dir, "outcomes").map { line =>
+      val Array(br, w, o, v) = line.split(" ")
+      s.read.parquet(snapshotPaths(s, s"$dir/$br/m$v"): _*)
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+        .select(lit(br).as("mode"), lit(w).as("writer"),
+          lit(o).as("outcome"), lit(v.toLong).as("version"),
+          col("n_rows"), col("cents"), col("key_sum"))
+    }.reduce(_ unionByName _)
+  }
+
+  def maintenanceCompactOcc(s: SparkSession, d: String): DataFrame = {
+    val dir = compactOccDir(s, d)
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    wapLogRead(dir, "outcomes").map { line =>
+      val Array(label, o, v) = line.split(" ")
+      compactOccRead(s, dir, v.toLong)
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+        .select(lit(label).as("label"), lit(o).as("outcome"),
+          lit(v.toLong).as("version"), col("n_rows"), col("cents"),
+          col("key_sum"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Snapshot EXPIRY + file GC — the maintenance job that closes the
     * versioned-manifest lifecycle (Iceberg `expireSnapshots` + orphan
     * cleanup / Delta VACUUM): scan_time_travel's isolation guarantee
@@ -2992,6 +3405,8 @@ object Scans extends OpModule {
     "sink_merge_cow" -> sinkMergeCow _,
     "sink_merge_mor" -> sinkMergeMor _,
     "sink_merge_occ" -> sinkMergeOcc _,
+    "maintenance_compact_occ" -> maintenanceCompactOcc _,
+    "sink_merge_occ_serializable" -> sinkMergeOccSerializable _,
     "sink_merge_positional" -> sinkMergePositional _,
     "scan_time_travel" -> scanTimeTravel _,
     "scan_time_travel_asof" -> scanTimeTravelAsof _,
@@ -3463,7 +3878,99 @@ object Scans extends OpModule {
         |FROM s3
         |UNION ALL
         |SELECT 'C', 'aborted', CAST(3 AS BIGINT), n_rows, cents, key_sum
-        |FROM s3""".stripMargin
+        |FROM s3""".stripMargin,
+    // compaction changes LAYOUT, never content: v2 (pre-fold MOR), v3
+    // (rebased fold + carried delta) and v4 (second fold) summarize
+    // identically; v5 applies the retried COW writer's range update on
+    // top — all replayed from orders alone
+    "maintenance_compact_occ" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |c12 AS (
+        |  SELECT k, CASE WHEN k % 10 = 3 THEN p * 2
+        |                 WHEN k % 10 = 7 THEN p * 3 ELSE p END AS p
+        |  FROM t),
+        |v5 AS (
+        |  SELECT k, CASE WHEN k BETWEEN 100 AND 400 THEN p * 2 ELSE p END
+        |    AS p
+        |  FROM c12),
+        |s12 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(k) AS BIGINT) AS key_sum
+        |  FROM c12),
+        |s5 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(k) AS BIGINT) AS key_sum
+        |  FROM v5)
+        |SELECT 'v2_writer_first' AS label, 'committed' AS outcome,
+        |  CAST(2 AS BIGINT) AS version, n_rows, cents, key_sum FROM s12
+        |UNION ALL
+        |SELECT 'v3_compact_rebased', 'rebased', CAST(3 AS BIGINT),
+        |  n_rows, cents, key_sum FROM s12
+        |UNION ALL
+        |SELECT 'v4_compact_committed', 'committed', CAST(4 AS BIGINT),
+        |  n_rows, cents, key_sum FROM s12
+        |UNION ALL
+        |SELECT 'w2_stale', 'aborted', CAST(4 AS BIGINT),
+        |  n_rows, cents, key_sum FROM s12
+        |UNION ALL
+        |SELECT 'v5_writer_retry', 'committed', CAST(5 AS BIGINT),
+        |  n_rows, cents, key_sum FROM s5""".stripMargin,
+    // write skew replayed from orders: under SI writer B's addend uses
+    // the PRE-A count (c1); under serializable B aborts, re-reads, and
+    // lands the serial A→B result with the post-A count (c2)
+    "sink_merge_occ_serializable" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |c1 AS (
+        |  SELECT count(*) AS c FROM t
+        |  WHERE k BETWEEN 100 AND 400
+        |    AND CAST(round(p * 100) AS BIGINT) > 10000000),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k BETWEEN 100 AND 400 THEN p * 2 ELSE p END
+        |    AS p
+        |  FROM t),
+        |c2 AS (
+        |  SELECT count(*) AS c FROM v2
+        |  WHERE k BETWEEN 100 AND 400
+        |    AND CAST(round(p * 100) AS BIGINT) > 10000000),
+        |v3si AS (
+        |  SELECT k, CASE WHEN k BETWEEN mk - 300 AND mk
+        |    THEN p * 3 + (c1.c % 97) / 100.0 ELSE p END AS p
+        |  FROM v2, mx, c1),
+        |v3ser AS (
+        |  SELECT k, CASE WHEN k BETWEEN mk - 300 AND mk
+        |    THEN p * 3 + (c2.c % 97) / 100.0 ELSE p END AS p
+        |  FROM v2, mx, c2),
+        |s2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(k) AS BIGINT) AS key_sum
+        |  FROM v2),
+        |s3si AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(k) AS BIGINT) AS key_sum
+        |  FROM v3si),
+        |s3ser AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(k) AS BIGINT) AS key_sum
+        |  FROM v3ser)
+        |SELECT 'si' AS mode, 'A' AS writer, 'committed' AS outcome,
+        |  CAST(2 AS BIGINT) AS version, n_rows, cents, key_sum FROM s2
+        |UNION ALL
+        |SELECT 'si', 'B', 'rebased', CAST(3 AS BIGINT),
+        |  n_rows, cents, key_sum FROM s3si
+        |UNION ALL
+        |SELECT 'ser', 'A', 'committed', CAST(2 AS BIGINT),
+        |  n_rows, cents, key_sum FROM s2
+        |UNION ALL
+        |SELECT 'ser', 'B', 'aborted_retry', CAST(3 AS BIGINT),
+        |  n_rows, cents, key_sum FROM s3ser""".stripMargin
   )
 
   private val mergeOracleSql: String =

@@ -688,6 +688,101 @@ class ScansSpec extends SparkSpec {
       "an aborted commit must publish no manifest")
   }
 
+  test("maintenance_compact_occ: both interleavings — rebase preserves content exactly, stale COW writer aborts against the fold") {
+    val S = graft.operators.Scans
+    val dir = S.compactOccDir(spark, sf)
+    assert(S.occHead(dir) == 5L)
+    assert(S.wapLogRead(dir, "outcomes") == Seq(
+      "v2_writer_first committed 2",
+      "v3_compact_rebased rebased 3",
+      "v4_compact_committed committed 4",
+      "w2_stale aborted 4",
+      "v5_writer_retry committed 5"))
+    def rows(v: Long): Map[Long, Double] =
+      S.compactOccRead(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // interleaving A, the invariant pair: the rebased fold (v3) is
+    // LOGICALLY IDENTICAL to the pre-fold MOR view (v2) row-for-row —
+    // the mid-fold delta survived (no lost update) and the folded
+    // entry left the log exactly once (no double application)
+    val v2 = rows(2); val v3 = rows(3)
+    assert(v2 == v3, "compaction must never change logical content")
+    // the folded seq really left the log, the carried one really stayed
+    assert(S.wapLogRead(dir, "log3").map(_.split(" ")(0)) == Seq("2"),
+      "log3 must hold exactly the mid-fold delta")
+    // interleaving B: v4 (second fold, writer not yet landed) ≡ v3
+    assert(rows(4) == v3, "the second fold is content-preserving too")
+    // the stale COW writer CANNOT commit over the fold: its touched
+    // files were all replaced — replay the publish, head immovable
+    val m3 = spark.read.parquet(s"$dir/m3")
+    val w2Touched = m3.where(col("k_max") >= 100 && col("k_min") <= 400)
+      .select("path").collect().map(_.getString(0)).toSeq
+    intercept[IllegalStateException] {
+      // the same private publish path w2 used, replayed via the public
+      // occCommit twin (identical conflict rule) against the live head
+      S.occCommit(spark, dir, 3L, w2Touched, "d5")
+    }
+    assert(S.occHead(dir) == 5L, "aborts must leave the head untouched")
+    // the retry landed on the folded head: v5 differs from v4 exactly
+    // on the [100, 400] range, by exactly ×2
+    val v5 = rows(5)
+    assert(v5.keySet == v3.keySet, "row set conserved through the race")
+    v5.foreach { case (k, p) =>
+      val want = if (k >= 100 && k <= 400) v3(k) * 2 else v3(k)
+      assert(p == want, s"k=$k: $p != $want")
+    }
+  }
+
+  test("sink_merge_occ_serializable: SI admits the write-skew, the read-range check aborts it, the retry lands the serial result") {
+    val S = graft.operators.Scans
+    val dir = S.serOccDir(spark, sf)
+    val lines = S.wapLogRead(dir, "outcomes")
+    // the abort is pinned: disjoint write sets pass under SI (rebased)
+    // and fail the read-set validation under serializable
+    assert(lines == Seq("si A committed 2", "si B rebased 3",
+      "ser A committed 2", "ser B aborted_retry 3"))
+    // replaying the skewed publish under serializable still aborts
+    val m1 = spark.read.parquet(s"$dir/ser/m1")
+    val mk = spark.read.parquet(s"$dir/d1")
+      .agg(org.apache.spark.sql.functions.max(col("o_orderkey")))
+      .collect()(0).getLong(0)
+    val bTouched = m1
+      .where(col("k_max") >= mk - 300 && col("k_min") <= mk)
+      .select("path").collect().map(_.getString(0)).toSeq
+    intercept[IllegalStateException] {
+      S.serOccCommit(spark, s"$dir/ser", 1L, bTouched, "d3",
+        100L, 400L, serializable = true)
+    }
+    // ...and the identical publish under SI would NOT have (the write
+    // sets really are disjoint — this is write skew, not a lost update)
+    assert(S.occHead(s"$dir/ser") == 3L)
+    def snap(br: String, v: Long): Map[Long, Double] =
+      spark.read.parquet(S.snapshotPaths(spark, s"$dir/$br/m$v"): _*)
+        .collect().map(r => (r.getAs[Long]("o_orderkey"),
+          r.getAs[Double]("o_totalprice"))).toMap
+    // the serializable final state IS the serial A→B execution: every
+    // top-range row carries the post-A count's addend
+    val base = snap("ser", 1)
+    val cnt2 = base.count { case (k, p) =>
+      val post = if (k >= 100 && k <= 400) p * 2 else p
+      k >= 100 && k <= 400 && math.round(post * 100) > 10000000L
+    }
+    val serB = snap("ser", 3)
+    serB.foreach { case (k, p) =>
+      val a = if (k >= 100 && k <= 400) base(k) * 2 else base(k)
+      val want = if (k >= mk - 300) a * 3 + (cnt2 % 97) / 100.0 else a
+      assert(p == want, s"ser k=$k: $p != $want")
+    }
+    // when the two reads genuinely disagree, the SI branch's committed
+    // state matches NO serial order — the anomaly is in the data
+    val cnt1 = base.count { case (k, p) =>
+      k >= 100 && k <= 400 && math.round(p * 100) > 10000000L
+    }
+    if (cnt1 != cnt2)
+      assert(snap("si", 3) != serB,
+        "SI must have committed the skewed (non-serial) state")
+  }
+
   test("maintenance_vacuum: expires exactly the v1-only files, v2 byte-stable, retry-safe order") {
     val dir = java.nio.file.Files.createTempDirectory("vac_spec").toString
     graft.operators.Scans.timeTravelWriteV1(spark, sf, dir)
