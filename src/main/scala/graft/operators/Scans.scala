@@ -2252,6 +2252,58 @@ object Scans extends OpModule {
         sum(col("cents")).as("sum_cents"))
   }
 
+  /** CLUSTERED + SORTED write through the DSv2 sink seam
+    * (`RequiresDistributionAndOrdering`, VERDICT r16 task 4): the SINK
+    * declares an OrderedDistribution + sort on o_orderkey and pins 4
+    * write partitions, Spark plans the range exchange + sort on the
+    * WRITE side (ScansSpec captures the executed write plan and pins
+    * both operators), and the committed `_RANGES` sidecar — each task's
+    * key min/max, recorded at commit — proves non-overlapping file key
+    * ranges from metadata alone. This is scan_rowgroup_prune's layout
+    * made a property of the TABLE: at 100 TB every writer fleet member
+    * produces prunable files because the sink demands it, instead of
+    * each job remembering to repartitionByRange before save. The
+    * readout carries the metadata-derived booleans plus the exact
+    * roundtrip aggregate the oracle replays from orders. */
+  def sinkClusteredWrite(s: SparkSession, d: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_clustered_sink_${java.lang.ProcessHandle.current().pid()}")
+    if (out.exists())
+      java.nio.file.Files.walk(out.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .write.format("graft-audit").mode("append")
+      .option("path", out.toString)
+      .option("ordered_by", "o_orderkey")
+      .option("write_parts", "4").save()
+    // zone-map audit from the commit metadata alone (driver-side, a
+    // |files|-line sidecar read): ascending key ranges must not overlap
+    val ranges = graft.sources.AuditManifest
+      .lines(new java.io.File(out, "_RANGES"))
+      .map { l =>
+        val Array(_, _, kmin, kmax) = l.split(",")
+        (kmin.toLong, kmax.toLong)
+      }.sortBy(_._1)
+    val nonOverlapping = ranges.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax < bMin
+      case _ => true
+    }
+    val files = graft.sources.AuditManifest.files(
+      new java.io.File(out, "_MANIFEST"))
+    s.read.schema("o_orderkey long, status string, cents long")
+      .option("escape", "\"").csv(files: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("n_rows"), col("n_keys"), col("sum_cents"),
+        lit(nonOverlapping).as("non_overlapping"),
+        lit(ranges.size >= 2).as("multi_file"))
+  }
+
   /** Spark's columnar CACHE surface (r12) — the hot-dim/hot-projection
     * pattern at 100 TB: cache the CURATED projection (3 columns, not
     * the table — a cached projection is what repeated interactive
@@ -3380,6 +3432,7 @@ object Scans extends OpModule {
     "scan_runtime_filter" -> scanRuntimeFilter _,
     "scan_stats_report" -> scanStatsReport _,
     "sink_custom" -> sinkCustom _,
+    "sink_clustered_write" -> sinkClusteredWrite _,
     "maintenance_zorder" -> maintenanceZorder _,
     "scan_partitioned" -> scanPartitioned _,
     "scan_metadata_cols" -> scanMetadataCols _,
@@ -3543,6 +3596,13 @@ object Scans extends OpModule {
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
     "scan_parquet" -> "SELECT * FROM orders",
+    "sink_clustered_write" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT o_orderkey) AS n_keys,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       TRUE AS non_overlapping, TRUE AS multi_file
+        |FROM orders""".stripMargin,
     "sink_custom" ->
       """SELECT count(*) AS n_rows,
         |       count(DISTINCT o_orderkey) AS n_keys,

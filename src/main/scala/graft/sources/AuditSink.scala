@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,9 +56,11 @@ class AuditSink extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new AuditTable(schema,
-      new CaseInsensitiveStringMap(properties).get("path"))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new AuditTable(schema, opts.get("path"),
+      Option(opts.get("ordered_by")), opts.getInt("write_parts", 0))
+  }
 }
 
 private[graft] object AuditManifest {
@@ -82,7 +85,20 @@ private[graft] object AuditManifest {
     }
 }
 
-private class AuditTable(writeSchema: StructType, path: String)
+/** `ordered_by=<col>` requests a CLUSTERED + SORTED write through
+  * `RequiresDistributionAndOrdering` (VERDICT r16 task 4 — the
+  * sink-side half of scan_rowgroup_prune's layout story): the sink
+  * declares an OrderedDistribution on the named long column (Spark
+  * plans the range exchange — globally non-overlapping partition key
+  * ranges, the property a hash clustering cannot give) plus a
+  * within-partition sort, optionally pinned to `write_parts`
+  * partitions. Each task writer records its file's key min/max into a
+  * `_RANGES` sidecar at commit, so a reader can PROVE the clustering
+  * landed from manifest metadata alone — exactly how Iceberg's
+  * SortOrder tables make zone-map pruning a property of the sink, not
+  * a courtesy of whoever wrote the DataFrame. */
+private class AuditTable(writeSchema: StructType, path: String,
+    orderedBy: Option[String], writeParts: Int)
     extends Table with SupportsWrite {
   override def name(): String = s"graft_audit($path)"
   override def schema(): StructType = writeSchema
@@ -93,17 +109,34 @@ private class AuditTable(writeSchema: StructType, path: String)
     new WriteBuilder with SupportsTruncate {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new AuditBatchWrite(info.schema(), path, replace)
+      override def build(): Write = orderedBy match {
+        case Some(key) =>
+          val idx = info.schema().fieldIndex(key)
+          require(info.schema().fields(idx).dataType == LongType,
+            s"ordered_by column $key must be bigint")
+          new Write with RequiresDistributionAndOrdering {
+            private val order = Array[V2SortOrder](Expressions.sort(
+              Expressions.column(key), SortDirection.ASCENDING))
+            override def requiredDistribution(): Distribution =
+              Distributions.ordered(order)
+            override def requiredOrdering(): Array[V2SortOrder] = order
+            override def requiredNumPartitions(): Int = writeParts
+            override def toBatch: BatchWrite =
+              new AuditBatchWrite(info.schema(), path, replace, Some(idx))
+          }
+        case None => new Write {
+          override def toBatch: BatchWrite =
+            new AuditBatchWrite(info.schema(), path, replace, None)
+        }
       }
     }
 }
 
 private class AuditBatchWrite(schema: StructType, path: String,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, rangeCol: Option[Int]) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AuditWriterFactory(schema.fields.map(_.dataType.typeName), path)
+    new AuditWriterFactory(schema.fields.map(_.dataType.typeName), path,
+      rangeCol)
 
   // the atomic visibility point: only files named here are committed.
   // Append merges into the prior manifest; truncate (mode=overwrite)
@@ -128,16 +161,38 @@ private class AuditBatchWrite(schema: StructType, path: String,
     java.nio.file.Files.move(tmp.toPath, manifest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // clustered writes additionally publish the per-file key ranges —
+    // `part,rows,kmin,kmax` — the zone-map metadata readers prune by
+    if (rangeCol.isDefined) {
+      val ranges = new File(path, "_RANGES")
+      val priorR =
+        if (truncate) Seq.empty else AuditManifest.lines(ranges)
+      val tmpR = new File(path, "_RANGES.tmp")
+      val wr = new BufferedWriter(new FileWriter(tmpR))
+      try {
+        priorR.foreach { l => wr.write(l); wr.newLine() }
+        messages.foreach { case m: AuditCommit =>
+          if (m.rows > 0) {
+            wr.write(s"${m.part},${m.rows},${m.kMin},${m.kMax}")
+            wr.newLine()
+          }
+        }
+      } finally wr.close()
+      java.nio.file.Files.move(tmpR.toPath, ranges.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case AuditCommit(_, file, _) => new File(file).delete(); ()
+      case m: AuditCommit => new File(m.file).delete(); ()
       case _ => ()
     }
 }
 
-private class AuditWriterFactory(types: Array[String], path: String)
+private class AuditWriterFactory(types: Array[String], path: String,
+    rangeCol: Option[Int] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     new File(path).mkdirs()
@@ -145,6 +200,8 @@ private class AuditWriterFactory(types: Array[String], path: String)
     new DataWriter[InternalRow] {
       private val out = new BufferedWriter(new FileWriter(file))
       private var rows = 0L
+      private var kMin = Long.MaxValue
+      private var kMax = Long.MinValue
 
       // RFC-4180: quote a cell iff it contains delimiter/quote/newline;
       // embedded quotes double — exactly what Spark's csv reader expects
@@ -161,12 +218,17 @@ private class AuditWriterFactory(types: Array[String], path: String)
             s"graft-audit supports bigint/string columns, got $t at $i")
         }
         out.write(cells.mkString(",")); out.newLine()
+        rangeCol.foreach { i =>
+          val k = r.getLong(i)
+          if (k < kMin) kMin = k
+          if (k > kMax) kMax = k
+        }
         rows += 1
       }
 
       override def commit(): WriterCommitMessage = {
         out.close()
-        AuditCommit(partitionId, file.getAbsolutePath, rows)
+        AuditCommit(partitionId, file.getAbsolutePath, rows, kMin, kMax)
       }
 
       override def abort(): Unit = { out.close(); file.delete(); () }
@@ -175,5 +237,6 @@ private class AuditWriterFactory(types: Array[String], path: String)
   }
 }
 
-private case class AuditCommit(part: Int, file: String, rows: Long)
+private[graft] case class AuditCommit(part: Int, file: String, rows: Long,
+    kMin: Long = Long.MaxValue, kMax: Long = Long.MinValue)
     extends WriterCommitMessage

@@ -352,6 +352,93 @@ class ScansSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("sink_clustered_write: the sink's declared distribution/ordering plans the range exchange + sort; file key ranges land non-overlapping") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    // capture the EXECUTED WRITE plan — a save() returns no DataFrame,
+    // so the listener is the only window onto the plan the sink forced
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = {
+        plans.add(qe.executedPlan); ()
+      }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val row = graft.operators.Scans.sinkClusteredWrite(spark, sf)
+        .collect().head
+      assert(row.getAs[Boolean]("non_overlapping") &&
+        row.getAs[Boolean]("multi_file"))
+      // the listener fires asynchronously — poll until the write's
+      // execution surfaces (bounded; the bus drains in well under this)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      // the write plan the sink's contract forced: one range exchange
+      // (OrderedDistribution) and one sort over it
+      def deepCollect[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T])
+          : Seq[T] = {
+        val kids = p.children ++ p.subqueries ++ (p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => Seq(q.plan)
+          case _ => Seq.empty
+        })
+        (if (f.isDefinedAt(p)) Seq(f(p)) else Seq.empty) ++
+          kids.flatMap(deepCollect(_)(f))
+      }
+      def findWithSort(): Seq[SparkPlan] =
+        plans.toArray.map(_.asInstanceOf[SparkPlan]).toSeq.filter { p =>
+          deepCollect(p) { case s: SortExec => s }.exists(
+            _.sortOrder.exists(_.child.toString.contains("o_orderkey"))) &&
+          deepCollect(p) { case e: ShuffleExchangeLike => e }.exists(
+            _.outputPartitioning.toString.toLowerCase.contains("range"))
+        }
+      var withSort = findWithSort()
+      while (withSort.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); withSort = findWithSort()
+      }
+      assert(withSort.nonEmpty,
+        "the clustered write must plan a range exchange + key sort:\n" +
+          plans.toArray.map(_.toString.take(600)).mkString("\n---\n"))
+      // physical proof, file by file: each committed part is internally
+      // sorted and the per-file ranges tile without overlap
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_clustered_sink_${java.lang.ProcessHandle.current().pid()}")
+      val ranges = graft.sources.AuditManifest
+        .lines(new java.io.File(out, "_RANGES"))
+        .map { l =>
+          val Array(_, _, kmin, kmax) = l.split(",")
+          (kmin.toLong, kmax.toLong)
+        }.sortBy(_._1)
+      assert(ranges.size >= 2)
+      ranges.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax < bMin, s"overlap: $ranges")
+        case _ => ()
+      }
+      val files = graft.sources.AuditManifest.files(
+        new java.io.File(out, "_MANIFEST"))
+      files.foreach { f =>
+        val keys = scala.io.Source.fromFile(f).getLines()
+          .filter(_.nonEmpty).map(_.split(",")(0).toLong).toSeq
+        assert(keys == keys.sorted, s"file $f not internally sorted")
+      }
+      // the plain (unordered) sink publishes no ranges sidecar — the
+      // contract is opt-in, not a default plan tax
+      graft.operators.Scans.sinkCustom(spark, sf).collect()
+      val plainOut = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_audit_sink_${java.lang.ProcessHandle.current().pid()}")
+      assert(!new java.io.File(plainOut, "_RANGES").exists())
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("custom DSv2 sink: only manifest-committed files visible, counts exact") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_audit_spec").toString
