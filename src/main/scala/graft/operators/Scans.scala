@@ -2194,6 +2194,50 @@ object Scans extends OpModule {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
   }
 
+  /** COLUMN STATISTICS driving CBO JOIN REORDER through the connector
+    * seam (VERDICT r16 task 7): the query is WRITTEN worst-first —
+    * fact ⋈ fact on `id` (a 100k × 100k 1:1 join), THEN the 50-row
+    * filter-narrowed dimension — and the cost-based reorderer re-derives
+    * dim-first from the CONNECTOR's numbers alone: the pushed `id < 50`
+    * narrows the scan, whose reported row count AND per-column NDV
+    * (distinctCount(id) = 50, exact from the closed form) feed
+    * JoinEstimation's cardinality math — fact ⋈ dim estimates 50 rows
+    * vs fact ⋈ fact's 100k, so the DP planner flips the order. With
+    * `report_stats=false` the same query keeps its syntactic order
+    * (no row counts → reorder ineligible); ScansSpec pins both shapes,
+    * row equality, and that the dim relation's catalyst attributeStats
+    * really carry the connector NDV. join_cbo_reorder proves this for
+    * ANALYZEd catalog tables; this row proves the DSv2 seam a
+    * JDBC/Iceberg connector ships catalog stats through — at 100 TB
+    * the flipped order is the difference between a corpus-sized
+    * intermediate and a 50-row one. */
+  private[graft] def scanColstatsJoin(s: SparkSession,
+                                      report: Boolean): DataFrame = {
+    def t(rows: Long) = s.read.format("graft-seq")
+      .option("rows", rows.toString)
+      .option("parts", "8").option("report_stats", report.toString).load()
+    // facts join on `val` and the dim on `id` DELIBERATELY: with one
+    // shared equi-key Catalyst's constraint propagation would push the
+    // dim's selectivity into a fact scan and rescue the bad order
+    // without any stats — distinct keys force the decision onto the
+    // CBO, which has only the connector's numbers to go on
+    val a = t(100000).select(col("id"), col("val").as("va"))
+    val b = t(100000).select(col("id").as("idb"), col("val").as("vb"))
+    val dim = t(50).select(col("id"), col("tag"))
+    a.join(b, col("va") === col("vb")).join(dim, "id")
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("va") + col("vb")).as("sum_vals"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+  }
+
+  def scanColstatsCbo(s0: SparkSession, d: String): DataFrame = {
+    val s = confClone(s0)
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    scanColstatsJoin(s, report = true)
+  }
+
   /** DSv2 RUNTIME FILTERING (VERDICT r15 task 4's DPP half): a
     * selective dim join prunes the connector's partitions AT RUNTIME —
     * Spark materializes the broadcast side, feeds the join keys to
@@ -3431,6 +3475,7 @@ object Scans extends OpModule {
     "scan_limit_pushdown" -> scanLimitPushdown _,
     "scan_runtime_filter" -> scanRuntimeFilter _,
     "scan_stats_report" -> scanStatsReport _,
+    "scan_colstats_cbo" -> scanColstatsCbo _,
     "sink_custom" -> sinkCustom _,
     "sink_clustered_write" -> sinkClusteredWrite _,
     "maintenance_zorder" -> maintenanceZorder _,
@@ -3622,6 +3667,13 @@ object Scans extends OpModule {
         |       avg(i) AS avg_id
         |FROM range(0, 100000) t(i)
         |WHERE i >= 1000 AND i < 50000
+        |GROUP BY 1""".stripMargin,
+    "scan_colstats_cbo" ->
+      """SELECT 't' || (i % 10) AS tag, count(*) AS n,
+        |       CAST(sum(2 * ((i * 2654435761) % 1000003)) AS BIGINT)
+        |         AS sum_vals,
+        |       min(i) AS min_id, max(i) AS max_id
+        |FROM range(0, 50) t(i)
         |GROUP BY 1""".stripMargin,
     "scan_keygrouped" ->
       """SELECT 't' || (i % 10) AS tag, count(*) AS n,

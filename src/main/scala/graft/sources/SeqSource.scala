@@ -333,14 +333,70 @@ private case class SeqScan(lo: Long, hi: Long, parts: Int,
     * estimate — what lets the planner pick a STATIC broadcast join for
     * a small slice of this table instead of defaulting the unknown
     * source to "huge" and sort-merging (`report_stats=false` restores
-    * the default for the spec's control plan). */
+    * the default for the spec's control plan).
+    *
+    * COLUMN-level statistics (VERDICT r16 task 7 — the remaining
+    * read-side seam): per-column NDV/min/max/nullCount through the
+    * DSv2 `columnStats()` map, exact from the generator's closed form
+    * — `id` is the narrowed arithmetic span (NDV = span, ends = the
+    * range bounds), `val` a modular hash (NDV capped at the modulus,
+    * no usable order stats), `tag` the 10 residues. Spark's
+    * transformV2Stats folds these into the relation's catalyst
+    * attributeStats, which is what CostBasedJoinReorder's cardinality
+    * estimation keys join-size math on — scan_colstats_cbo registers
+    * the query whose join order provably flips on exactly this map
+    * (a JDBC/Iceberg connector shipping catalog NDVs uses this seam
+    * verbatim). */
   override def estimateStatistics(): Statistics = new Statistics {
+    private val span = math.max(0L, hi - lo)
     override def sizeInBytes(): java.util.OptionalLong =
-      if (reportStats) java.util.OptionalLong.of(math.max(0L, hi - lo) * 24L)
+      if (reportStats) java.util.OptionalLong.of(span * 24L)
       else java.util.OptionalLong.empty()
     override def numRows(): java.util.OptionalLong =
-      if (reportStats) java.util.OptionalLong.of(math.max(0L, hi - lo))
+      if (reportStats) java.util.OptionalLong.of(span)
       else java.util.OptionalLong.empty()
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (!reportStats) return m
+      def stat(ndv: Long, mn: Option[Long], mx: Option[Long], len: Long)
+          : org.apache.spark.sql.connector.read.colstats.ColumnStatistics =
+        new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(ndv)
+          override def min(): java.util.Optional[Object] =
+            mn.map(v => java.util.Optional.of(
+              java.lang.Long.valueOf(v): Object))
+              .getOrElse(java.util.Optional.empty[Object]())
+          override def max(): java.util.Optional[Object] =
+            mx.map(v => java.util.Optional.of(
+              java.lang.Long.valueOf(v): Object))
+              .getOrElse(java.util.Optional.empty[Object]())
+          override def nullCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(0L)
+          override def avgLen(): java.util.OptionalLong =
+            java.util.OptionalLong.of(len)
+          override def maxLen(): java.util.OptionalLong =
+            java.util.OptionalLong.of(len)
+        }
+      val cols = required.fieldNames.toSet
+      if (cols.contains("id") && span > 0)
+        m.put(Expressions.column("id"),
+          stat(span, Some(lo), Some(hi - 1), 8L))
+      // val's bounds are the hash codomain — conservative (stats
+      // bounds must only be a superset), and REQUIRED: a numeric join
+      // key with NDV but no range makes JoinEstimation's interval
+      // intersection empty, which scores any join on it as cardinality
+      // 0 (measured r17 — the fact⋈fact join then always looks free)
+      if (cols.contains("val") && span > 0)
+        m.put(Expressions.column("val"),
+          stat(math.min(span, 1000003L), Some(0L), Some(1000002L), 8L))
+      if (cols.contains("tag") && span > 0)
+        m.put(Expressions.column("tag"),
+          stat(math.min(span, 10L), None, None, 2L))
+      m
+    }
   }
   // runtime-filter state (SupportsRuntimeFiltering, VERDICT r15 task
   // 4): Spark calls filter() with the DPP subquery's key values after
@@ -350,8 +406,14 @@ private case class SeqScan(lo: Long, hi: Long, parts: Int,
   // member.
   private var runtimeIds: Option[Set[Long]] = None
 
+  // only claimable while `id` survives pruning: DPP resolves the
+  // claimed refs against the scan's OUTPUT schema and a pruned-away
+  // column is an AnalysisException at plan time (caught r17 by the
+  // colstats join, whose second fact keeps only `val`)
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("id"))
+    if (required.fieldNames.contains("id"))
+      Array(Expressions.column("id"))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("id", vs) =>

@@ -322,6 +322,51 @@ class ScansSpec extends SparkSpec {
       off.collect().map(_.toSeq).toSet)
   }
 
+  test("scan_colstats_cbo: connector NDV reaches catalyst stats and flips the join order; syntactic order kept with stats off") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val on = graft.operators.Scans.scanColstatsCbo(spark, sf)
+    val onRows = on.collect().map(_.toSeq).toSet
+    // the connector's column stats really land in catalyst: the
+    // narrowed dim relation reports rowCount 50 AND distinctCount 50
+    // on `id` — the number JoinEstimation keys its cardinality math on
+    val opt = on.queryExecution.optimizedPlan
+    val dimRel = opt.collect { case r: DataSourceV2ScanRelation => r }
+      .find(_.computeStats().rowCount.contains(BigInt(50)))
+    assert(dimRel.isDefined, s"no 50-row scan relation in:\n$opt")
+    val idStat = dimRel.get.computeStats().attributeStats
+      .find(_._1.name == "id").map(_._2)
+    assert(idStat.exists(_.distinctCount.contains(BigInt(50))),
+      s"connector NDV must reach attributeStats, got: $idStat")
+    // CBO flips the syntactic fact ⋈ fact ⋈ dim into dim-innermost:
+    // the DEEPEST join must have the 50-row relation as a direct leg
+    def deepestJoin(p: LogicalPlan): Join = {
+      val js = p.collect { case j: Join => j }
+      js.last // collect is pre-order: last = innermost of the chain
+    }
+    // the dim is the only scan producing (id, tag) — a discriminator
+    // that works with the stats report on AND off
+    def legIsDim(leg: LogicalPlan): Boolean = leg.collect {
+      case r: DataSourceV2ScanRelation
+          if r.scan.description().contains("cols=id,tag") => r
+    }.nonEmpty
+    val onDeep = deepestJoin(opt)
+    assert(legIsDim(onDeep.left) || legIsDim(onDeep.right),
+      s"CBO must join the 50-row dim innermost:\n$opt")
+    // control: stats off (same cbo confs) — reorder ineligible, the
+    // syntactic fact ⋈ fact (on val) stays innermost; rows identical
+    val s2 = graft.operators.Scans.confClone(spark)
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val off = graft.operators.Scans.scanColstatsJoin(s2, report = false)
+    assert(off.collect().map(_.toSeq).toSet == onRows,
+      "reorder must never change results")
+    val offDeep = deepestJoin(off.queryExecution.optimizedPlan)
+    assert(!legIsDim(offDeep.left) && !legIsDim(offDeep.right),
+      "without reported stats the syntactic fact-first order must stay:\n" +
+        off.queryExecution.optimizedPlan.toString)
+  }
+
   test("scan_runtime_filter: DPP reaches the connector — partitions pruned at runtime, rows stable with it off") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val df = graft.operators.Scans.scanRuntimeFilter(spark, sf)
