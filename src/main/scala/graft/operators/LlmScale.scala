@@ -3256,6 +3256,107 @@ object LlmScale extends OpModule {
         round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
   }
 
+  /** FILTERED serve from the persisted store (VERDICT r16 task 6 —
+    * "the metadata-filtered walk still runs against the in-memory
+    * family"): llm_ann_graph_filtered's production strategy — the
+    * plain width-8 walk with the result re-ranked from the VISITED set
+    * under `label = 3` — run entirely against the `_HEAD` disk store,
+    * pre- and post-sweep. The walk, frontier, and visited set are the
+    * store family's (head-resolved edge set, sidecar anti-joined
+    * pre-sweep); only the OUTPUT is label-filtered, so non-matching
+    * hubs still route. Truth is the label-filtered brute top-3 over
+    * the GRAPH-live vectors (the store's liveness rule), so pre ≡ post
+    * row-for-row — serving parity between the MOR and COW reads for
+    * the filtered path, which closes the last memo-vs-disk serving
+    * asymmetry. Delta nodes carry no label row and drop from the
+    * filtered output by the same inner join the oracle replays. Cost
+    * over the unfiltered serve: one ≤16+6·8·22-row/query re-rank plus
+    * the filtered truth pass. */
+  /** (aware prediction list, filtered exact truth) over the current
+    * head — split out so the spec can assert label/tombstone/delta
+    * absence on the actual served candidates. */
+  private def graphStoreFilteredParts(s: SparkSession, d: String,
+                                      dir: String)
+      : (DataFrame, DataFrame) = {
+    graft.GraftExtensions.register(s)
+    val (adjs, ents, vecDirs, dels) = graphStoreHead(dir)
+    val adj0 = graphStoreRead(s, dir, adjs)
+    val ent0 = graphStoreRead(s, dir, ents)
+    val vecsAll = MemoUtil.scratch(
+      graphStoreRead(s, dir, vecDirs).localCheckpoint())
+    val (adjF, entF) =
+      if (dels.isEmpty) (adj0, ent0)
+      else {
+        val tomb = graphStoreRead(s, dir, dels)
+        (adj0
+          .join(tomb.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+          .join(tomb.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")),
+          ent0.join(tomb, Seq("vec_id"), "left_anti"))
+      }
+    val adj = MemoUtil.scratch(adjF.localCheckpoint())
+    val ent = MemoUtil.scratch(entF.localCheckpoint())
+    val (_, visited) = annGraphSearchFull(adj, ent, vecsAll, 8)
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val aware = visited
+      .join(labels, visited("node") === labels("vec_id"))
+      .where(col("label") === 3)
+      .select(col("qid"), col("node").as("cand_id"), col("dist"))
+      .withColumn("rn", row_number().over(wc)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+    val live = vecsAll.join(
+      adj.select(col("src").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_semi")
+    val q = vecsAll.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val ex3 = MemoUtil.scratch(live.join(labels, "vec_id")
+      .where(col("label") === 3)
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("squared_distance(qv, qq)").as("dist"))
+      .withColumn("rn", row_number().over(wc)).where(col("rn") <= 3)
+      .select(col("qid"), col("cand_id"))
+      .localCheckpoint())
+    (aware, ex3)
+  }
+
+  private[graft] def graphStoreServeFilteredPred(s: SparkSession,
+      d: String, dir: String): DataFrame =
+    graphStoreFilteredParts(s, d, dir)._1
+
+  private[graft] def graphStoreServeFiltered(s: SparkSession, d: String,
+                                             dir: String): DataFrame = {
+    val (aware, ex3) = graphStoreFilteredParts(s, d, dir)
+    val truth = ex3.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+    val hits = aware
+      .join(ex3.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_ret"), count(col("hit")).as("n_hit"))
+    truth.join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_truth"))
+      .withColumn("recall_bp", expr("n_hit * 10000L div n_truth"))
+  }
+
+  def annGraphPersistedFiltered(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val dir = graphStoreDir(s, d)
+    val pre = MemoUtil.scratch(graphStoreServeFiltered(s, d, dir)
+      .select(lit("pre_sweep").as("phase"), col("qid"), col("n_ret"),
+        col("n_hit"), col("n_truth"), col("recall_bp"))
+      .localCheckpoint())
+    graphStoreSweep(s, dir)
+    val post = graphStoreServeFiltered(s, d, dir)
+      .select(lit("post_sweep").as("phase"), col("qid"), col("n_ret"),
+        col("n_hit"), col("n_truth"), col("recall_bp"))
+    pre.unionByName(post)
+  }
+
   def annGraphPersisted(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     val dir = graphStoreDir(s, d)
@@ -3746,7 +3847,8 @@ object LlmScale extends OpModule {
     "llm_ann_graph_filtered" -> annGraphFiltered _,
     "llm_ann_graph_incremental" -> annGraphIncremental _,
     "llm_ann_graph_delete" -> annGraphDelete _,
-    "llm_ann_graph_persisted" -> annGraphPersisted _
+    "llm_ann_graph_persisted" -> annGraphPersisted _,
+    "llm_ann_graph_persisted_filtered" -> annGraphPersistedFiltered _
   )
 
   /** Hierarchical-assign CTE block, prefix `p`: per-dim centroid table
@@ -4470,6 +4572,96 @@ object LlmScale extends OpModule {
           |SELECT 'pre_sweep' AS phase, qid, n_hit, recall_at_3 FROM one
           |UNION ALL
           |SELECT 'post_sweep', qid, n_hit, recall_at_3 FROM one""".stripMargin),
+    // filtered serve from the store: the same store chain (grafted +
+    // tombstone-filtered adjacency, store dims), visited set re-ranked
+    // under label = 3, truth = label-filtered brute over GRAPH-live
+    // vectors; pre ≡ post by the sweep-equivalence construction
+    "llm_ann_graph_persisted_filtered" ->
+      (annGraphBuildCtes +
+        """ddim AS MATERIALIZED (
+          |  SELECT vec_id + 1000000 AS vec_id, dim,
+          |    q + CASE WHEN dim = 0 THEN 1000 ELSE 0 END AS q
+          |  FROM dims WHERE vec_id % 17 = 3),
+          |""".stripMargin + annGraphChainCtes("g", 8, "ddim") +
+        """att AS MATERIALIZED (
+          |  SELECT qid AS new_id, node AS dst FROM (
+          |    SELECT qid, node,
+          |      row_number() OVER (PARTITION BY qid ORDER BY dist, node) AS c
+          |    FROM gb6) WHERE c <= 4),
+          |tomb AS (SELECT vec_id FROM pj WHERE vec_id % 23 = 5),
+          |adj2 AS MATERIALIZED (
+          |  SELECT src, dst FROM (
+          |    SELECT src, dst FROM adj
+          |    UNION SELECT new_id, dst FROM att
+          |    UNION SELECT dst, new_id FROM att)
+          |  WHERE src NOT IN (SELECT vec_id FROM tomb)
+          |    AND dst NOT IN (SELECT vec_id FROM tomb)),
+          |entd2 AS (
+          |  SELECT vec_id FROM ent
+          |  WHERE vec_id NOT IN (SELECT vec_id FROM tomb)),
+          |sdim AS MATERIALIZED (
+          |  SELECT vec_id, dim, q FROM dims
+          |  UNION ALL SELECT vec_id, dim, q FROM ddim),
+          |""".stripMargin +
+        annGraphChainCtes("v", 8, "qdim", "adj2", "entd2", "sdim") +
+        """vvis AS MATERIALIZED (
+          |  SELECT qid, node, dist FROM (
+          |    SELECT dq.vec_id AS qid, e.vec_id AS node,
+          |      CAST(sum((dq.q - dc.q) * (dq.q - dc.q)) AS BIGINT) AS dist
+          |    FROM entd2 e
+          |    JOIN sdim dc ON dc.vec_id = e.vec_id
+          |    JOIN qdim dq ON dq.dim = dc.dim AND dq.vec_id != e.vec_id
+          |    GROUP BY 1, 2)
+          |  UNION SELECT qid, node, dist FROM vs1
+          |  UNION SELECT qid, node, dist FROM vs2
+          |  UNION SELECT qid, node, dist FROM vs3
+          |  UNION SELECT qid, node, dist FROM vs4
+          |  UNION SELECT qid, node, dist FROM vs5
+          |  UNION SELECT qid, node, dist FROM vs6),
+          |lab AS MATERIALIZED (SELECT vec_id, label FROM embeddings),
+          |aware AS (
+          |  SELECT qid, node AS cand_id FROM (
+          |    SELECT v.qid, v.node,
+          |      row_number() OVER (PARTITION BY v.qid
+          |        ORDER BY v.dist, v.node) AS c
+          |    FROM vvis v JOIN lab l ON l.vec_id = v.node
+          |    WHERE l.label = 3) WHERE c <= 3),
+          |lsrc AS MATERIALIZED (SELECT DISTINCT src AS vec_id FROM adj2),
+          |fexd AS MATERIALIZED (
+          |  SELECT dq.vec_id AS qid, dc.vec_id AS cand_id,
+          |    sum((dq.q - dc.q) * (dq.q - dc.q)) AS dist
+          |  FROM qdim dq JOIN sdim dc
+          |    ON dq.dim = dc.dim AND dc.vec_id != dq.vec_id
+          |  WHERE dc.vec_id IN (SELECT vec_id FROM lsrc)
+          |    AND dc.vec_id IN (SELECT vec_id FROM lab WHERE label = 3)
+          |  GROUP BY 1, 2),
+          |fex3 AS MATERIALIZED (
+          |  SELECT qid, cand_id FROM (
+          |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+          |      ORDER BY dist ASC, cand_id ASC) AS rn
+          |    FROM fexd) WHERE rn <= 3),
+          |ftruth AS (
+          |  SELECT qid, CAST(count(*) AS BIGINT) AS n_truth
+          |  FROM fex3 GROUP BY 1),
+          |fhits AS (
+          |  SELECT a.qid, CAST(count(*) AS BIGINT) AS n_ret,
+          |    CAST(count(e.cand_id) AS BIGINT) AS n_hit
+          |  FROM aware a LEFT JOIN fex3 e
+          |    ON e.qid = a.qid AND e.cand_id = a.cand_id
+          |  GROUP BY 1),
+          |one AS MATERIALIZED (
+          |  SELECT t.qid,
+          |    CAST(coalesce(h.n_ret, 0) AS BIGINT) AS n_ret,
+          |    CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+          |    t.n_truth,
+          |    CAST(coalesce(h.n_hit, 0) * 10000 // t.n_truth AS BIGINT)
+          |      AS recall_bp
+          |  FROM ftruth t LEFT JOIN fhits h ON h.qid = t.qid)
+          |SELECT 'pre_sweep' AS phase, qid, n_ret, n_hit, n_truth,
+          |  recall_bp FROM one
+          |UNION ALL
+          |SELECT 'post_sweep', qid, n_ret, n_hit, n_truth, recall_bp
+          |FROM one""".stripMargin),
     "llm_cluster_topics" ->
       (lloydCtes + """,
         |dt AS (

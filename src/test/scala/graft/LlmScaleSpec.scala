@@ -1387,6 +1387,40 @@ class LlmScaleSpec extends SparkSpec {
       "a memo-cold session must serve the identical rows from disk")
   }
 
+  test("ann_graph_persisted_filtered: label-filtered serve from the disk store, pre ≡ post, tombstones and unlabeled delta nodes never served") {
+    import org.apache.spark.sql.functions.col
+    val dir = operators.LlmScale.graphStoreDir(spark, sf)
+    val out = operators.LlmScale.annGraphPersistedFiltered(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val (pre, post) = out.partition(_._1 == "pre_sweep")
+    assert(pre.nonEmpty && pre.length == post.length)
+    assert(pre.map(t => (t._2, t._3, t._4, t._5, t._6)).toSet ==
+      post.map(t => (t._2, t._3, t._4, t._5, t._6)).toSet,
+      "filtered serving must be identical across the sweep")
+    // the served candidate lists themselves: only label-3 nodes, never
+    // a tombstone, never an unlabeled delta node — checked on the
+    // actual predictions, not the recall readout
+    val served = operators.LlmScale
+      .graphStoreServeFilteredPred(spark, sf, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val tombs = spark.read.parquet(s"$dir/tombstones").collect()
+      .map(_.getLong(0)).toSet
+    served.foreach { case (_, cand) =>
+      assert(!tombs(cand), s"tombstoned candidate served: $cand")
+      assert(labels.get(cand).contains(3),
+        s"candidate $cand must carry label 3")
+      assert(cand < 1000000L,
+        s"unlabeled delta node served: $cand (delta nodes must drop)")
+    }
+    // at most 3 served per query, n_ret in the readout matches
+    served.groupBy(_._1).foreach { case (_, cs) => assert(cs.length <= 3) }
+  }
+
   test("ann_graph_incremental: 4 real attachments per new node, never worse than a direct entry hop") {
     import org.apache.spark.sql.functions.col
     val (_, _, qv) = operators.LlmScale.annGraphAdjacency(spark, sf)
