@@ -855,6 +855,33 @@ object StreamIO extends OpModule {
     LlmScale.streamVectorServe(s, dir)
   }
 
+  /** Streaming maintenance of the persisted GRAPH store (VERDICT r16
+    * task 5; helpers + full Scaladoc in LlmScale.streamGraphCommit):
+    * two real offset-tracked micro-batches of new vectors graft into
+    * the `_HEAD` graph store, then the drained store serves through
+    * the standard head-resolved walk. */
+  def sinkStreamGraph(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val dir = fresh("graph_store")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    LlmScale.streamGraphStoreInit(s, d, dir)
+    val topic = LlmScale.streamGraphTopic(s, d)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("new_id", org.apache.spark.sql.types.LongType)
+      .add("dv", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(topic)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        LlmScale.streamGraphCommit(s, dir, batch, id)
+      }
+      .option("checkpointLocation", fresh("ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    runToEnd(q)
+    LlmScale.graphStoreServe(s, dir)
+  }
+
   /** LEFT-SEMI stream-stream join — the streaming EXISTS: each click
     * emits (once) as soon as ANY purchase lands in its look-back
     * window; extra matches emit nothing and unmatched clicks emit
@@ -1074,6 +1101,7 @@ object StreamIO extends OpModule {
     "sink_cdc_apply" -> sinkCdcApply _,
     "sink_cdc_mv" -> sinkCdcMv _,
     "sink_stream_vector" -> sinkStreamVector _,
+    "sink_stream_graph" -> sinkStreamGraph _,
     "join_stream_static" -> joinStreamStatic _,
     "stream_dedup_within_wm" -> streamDedupWithinWm _,
     "stream_session_close" -> streamSessionClose _,
@@ -1091,6 +1119,7 @@ object StreamIO extends OpModule {
     // the streamed store must serve exactly the batch rebuild of the
     // same corpus (LlmScale.streamVectorOracle replays it)
     "sink_stream_vector" -> LlmScale.streamVectorOracle,
+    "sink_stream_graph" -> LlmScale.streamGraphOracle,
     // the row-id-paired changelog in closed form: v2 is a pure price
     // update (every [100,400] row a U, no key movement), v3 a pure key
     // migration (every [500,700] row a U whose key shifts +5e8, cents

@@ -451,4 +451,62 @@ class StreamIOSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(op == served, "the streamed op must serve the same rows")
   }
+
+  test("sink_stream_graph: per-batch graft commits, idempotent replay, crash-window recheck, serve equals one-shot graft") {
+    import graft.operators.LlmScale
+    val dir = java.nio.file.Files.createTempDirectory("graphstore_spec")
+      .toString
+    LlmScale.streamGraphStoreInit(spark, sf, dir)
+    val topic = LlmScale.streamGraphTopic(spark, sf)
+    val files = new java.io.File(topic).listFiles()
+      .map(_.getPath).filter(_.endsWith(".parquet")).sorted
+    assert(files.length == 2, "two staged micro-batch files")
+    val b0 = spark.read.parquet(files(0))
+    val b1 = spark.read.parquet(files(1))
+    assert(b0.count() > 0 && b1.count() > 0, "both batches carry rows")
+    LlmScale.streamGraphCommit(spark, dir, b0, 0L)
+    LlmScale.streamGraphCommit(spark, dir, b1, 1L)
+    def head() = LlmScale.graphStoreHead(dir)
+    assert(head()._1 == Seq("adjacency", "adjacency_s0", "adjacency_s1") &&
+      head()._3 == Seq("vectors", "vectors_s0", "vectors_s1"),
+      s"two graft generations committed: ${head()}")
+    // every appended edge generation is symmetric and 4-per-new-node
+    Seq("adjacency_s0", "adjacency_s1").foreach { g =>
+      val es = spark.read.parquet(s"$dir/$g").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(es.nonEmpty && es.forall { case (a, b) => es((b, a)) },
+        s"$g must carry symmetric back-edges")
+      val perNew = es.filter(_._1 >= 1000000L).groupBy(_._1)
+      assert(perNew.nonEmpty && perNew.forall(_._2.size == 4),
+        s"$g: each new node attaches with exactly 4 forward edges")
+    }
+    // idempotent replay: re-running a committed batch changes nothing
+    LlmScale.streamGraphCommit(spark, dir, b0, 0L)
+    assert(head()._1 == Seq("adjacency", "adjacency_s0", "adjacency_s1"))
+    // crash-between-write-and-flip window: stale head + finished files
+    // → the head-recheck re-issues the flip instead of stranding s1
+    graft.operators.Scans.atomicWrite(
+      java.nio.file.Paths.get(dir, "_HEAD"),
+      "adjacency,adjacency_s0;entries;vectors,vectors_s0;")
+    LlmScale.streamGraphCommit(spark, dir, b1, 1L)
+    assert(head()._1 == Seq("adjacency", "adjacency_s0", "adjacency_s1"),
+      "the recheck must adopt the stranded generation")
+    // the incrementally grafted store serves EXACTLY what a one-shot
+    // graft of the full shard serves — ingest granularity is invisible
+    val served = LlmScale.graphStoreServe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir2 = java.nio.file.Files.createTempDirectory("graphstore_spec2")
+      .toString
+    LlmScale.streamGraphStoreInit(spark, sf, dir2)
+    LlmScale.streamGraphCommit(spark, dir2, b0.unionByName(b1), 0L)
+    val oneShot = LlmScale.graphStoreServe(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == oneShot,
+      "batch granularity must not change serving results")
+    assert(served.size == 10, s"10 eval queries served: ${served.size}")
+    // the registered op end-to-end (a REAL two-micro-batch stream)
+    val op = StreamIO.sinkStreamGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(op == served, "the streamed op must serve the same rows")
+  }
 }
