@@ -798,7 +798,34 @@ object ScaleProbe {
       // reported statistics (r16): the claim is the static plan (the
       // 50-row connector slice is the broadcast BUILD side); wall must
       // track the events scan — the dim side is constant
-      "scan_stats_report")
+      "scan_stats_report",
+      // writer-vs-compactor OCC (r17): staging (two folds + MOR reads
+      // + COW rewrites) is the linear cost; each publish is the same
+      // |files|-row set-diff plus a |log|-line filter under the lock —
+      // growth must track sink_merge_occ's
+      "maintenance_compact_occ",
+      // serializable OCC (r17): two branch stagings over one shared
+      // base write; the read-set validation adds one |files|-row
+      // manifest predicate per publish — commit-time work stays flat,
+      // growth tracks the doubled staging scans
+      "sink_merge_occ_serializable",
+      // clustered DSv2 write (r17): one range exchange + sort + write
+      // of the orders projection — must track sink_custom's growth;
+      // the ranges sidecar is |files| lines of driver metadata
+      "sink_clustered_write",
+      // connector-stats CBO reorder (r17): fixed generated tables at
+      // any tier (the claim is the flipped plan) — wall flat like
+      // scan_keygrouped
+      "scan_colstats_cbo",
+      // filtered store serve (r17): two graphStoreServe-shaped phases
+      // + the label-filtered re-rank (≤ 1100 rows/query) — must track
+      // llm_ann_graph_persisted's growth
+      "llm_ann_graph_persisted_filtered",
+      // streaming graph-store maintenance (r17): store init (graph
+      // build + v1 writes) is the linear cost; each micro-batch is
+      // O(|batch|) bounded beams + an append + a flip; the drained
+      // serve is the store walk — growth tracks sink_stream_vector's
+      "sink_stream_graph")
     // INTERLEAVED-id graph layout: same `copies` disjoint clones, but
     // clone k's node ids are s·copies+k, so every community's id range
     // spans the whole keyspace — the dense path's range-overlap prune is

@@ -99,6 +99,14 @@ class PlanLintSpec extends SparkSpec {
     // serves, one per logged version — each carries the same bounded
     // 10-query broadcast probe/truth sides over the disk store
     "llm_ann_store_asof",
+    // filtered store serve (r17): llm_ann_graph_persisted's bounded
+    // shapes (entry cross + graph-live truth, both ≤ 10-query
+    // broadcast sides) twice — once per sweep phase
+    "llm_ann_graph_persisted_filtered",
+    // streaming graph store (r17): the drained-store serve is
+    // graphStoreServe verbatim — the same bounded entry cross and
+    // brute-truth broadcast sides as llm_ann_graph_persisted
+    "sink_stream_graph",
     // LSH recall eval (r12): both sides are the FIXED 160-row audit
     // sample (128 lowest-id docs + 32 planted renditions) — the pair
     // space is sample², constant in corpus size like the ANN probes
