@@ -1717,12 +1717,21 @@ object Analytics extends OpModule {
     * nodes report -1. The DuckDB oracle unrolls the identical six
     * rounds as MATERIALIZED CTEs — exact integer distances end to end. */
   def graphSssp(s: SparkSession, d: String): DataFrame = {
-    val os = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val edges = os.as("a").join(os.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+    // weighted edge build in the coSupplyEdges 1-shuffle shape (r17,
+    // guide §2.4): ONE shuffle co-locates each order's suppliers, the
+    // ordered pairs explode map-side into the (src, dst) partial
+    // aggregate. The previous distinct + self-join form shuffled the
+    // (order, supplier) set three times (distinct, join re-key, pair
+    // count); n_co is identical by construction — each order
+    // contributes every distinct ordered supplier pair exactly once in
+    // both shapes.
+    val edges = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_distinct(collect_list(col("l_suppkey"))).as("sups"))
+      .select(explode(col("sups")).as("src"), col("sups"))
+      .select(col("src"), explode(col("sups")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n_co"))
       .where(col("n_co") >= 2)
       .select(col("src"), col("dst"),
@@ -1730,6 +1739,12 @@ object Analytics extends OpModule {
       .localCheckpoint()
     val nodes = edges.select(col("src").as("id")).distinct()
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // round checkpoints stay EAGER: each round's result feeds TWO
+    // sibling stages of the next round (the carry-union and the
+    // relax-join) — lazily checkpointed, those siblings race to compute
+    // the same partitions before the cache lands and duplicate the
+    // round's work (measured: the lazy form read ~0.4 s SLOWER here,
+    // unlike the beam walks whose per-hop consumers are sequential)
     var dist = nodes.orderBy(col("id")).limit(5)
       .select(col("id"), lit(0L).as("dist")).localCheckpoint()
     cps += dist

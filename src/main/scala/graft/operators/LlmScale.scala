@@ -315,7 +315,48 @@ object LlmScale extends OpModule {
     ivfSplitMemo.clear()
     deleteWalkMemo.values.foreach(MemoUtil.dropCheckpoint)
     deleteWalkMemo.clear()
+    storeHeadMemo.values.foreach { case (a, e, v, b, vis) =>
+      Seq(a, e, v, b, vis).foreach(MemoUtil.dropCheckpoint)
+    }
+    storeHeadMemo.clear()
+    storeServeMemo.values.foreach(MemoUtil.dropCheckpoint)
+    storeServeMemo.clear()
+    storeFilteredMemo.values.foreach { case (a, e) =>
+      MemoUtil.dropCheckpoint(a); MemoUtil.dropCheckpoint(e)
+    }
+    storeFilteredMemo.clear()
+    ivfServeMemo.values.foreach(MemoUtil.dropCheckpoint)
+    ivfServeMemo.clear()
   }
+
+  /** Head-resolved graph-store frames + the width-8 walk over them,
+    * memoized per (session, store dir, raw `_HEAD` string) — r17: the
+    * filtered and unfiltered disk serves (and the pre/post phases when
+    * the head is already swept) each re-read the head dirs and re-ran
+    * an identical 6-hop walk. The head string IS the edge-set version
+    * (every commit flips it), so keying on it is exactly as fresh as
+    * re-reading; a sweep changes the string and misses the memo by
+    * construction. Values are memo-lifecycle checkpoints, freed by
+    * resetLloydMemo like every other family memo. */
+  private val storeHeadMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String),
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]
+
+  /** Memoized unfiltered disk-serve RESULT per (session, dir, head). */
+  private val storeServeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  /** Memoized filtered-serve parts (aware preds, filtered truth) per
+    * (session, dir, head). */
+  private val storeFilteredMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), (DataFrame, DataFrame)]
+
+  /** Memoized IVF-store serve result per (session, dir, head) — r17:
+    * llm_ann_store_asof and llm_ann_index_persisted serve overlapping
+    * logged heads (asof's v3/v4 ARE persisted's pre/post phases), each
+    * previously recomputing the full probe + truth chain. */
+  private val ivfServeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
 
   /** Memoized split machinery (grown corpus/members, seeds, routing) —
     * shared by llm_ann_ivf_rebalance and its _recall row so the
@@ -1131,16 +1172,37 @@ object LlmScale extends OpModule {
     * pointer flip; the sweep cost is one pass over live postings;
     * serving reads are cell-keyed equi-joins against disk postings —
     * the serving economics of llm_ann_ivf_kmeans unchanged. */
-  private[graft] def ivfStoreDir(s: SparkSession, d: String): String = {
+  /** Once-per-JVM staged v1 IVF artifact (centroids / postings /
+    * vectors parquet dirs) — the template ivfStoreDir and every
+    * sink_stream_vector invocation file-copy instead of re-running the
+    * same three Spark writes (r17, the graphV1Template twin). */
+  private def ivfV1Template(s: SparkSession, d: String): String = {
     graft.GraftExtensions.register(s)
-    StageUtil.staged("ivfstore_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+    StageUtil.staged("ivfv1_" + d.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + math.abs(d.hashCode)) { base =>
       val (qv, _, a2, c2) = lloyd(s, d)
-      // v1: the trained artifact
       c2.write.parquet(s"$base/centroids")
       a2.select(col("vec_id"), col("cluster"))
         .write.parquet(s"$base/postings")
       qv.select(col("vec_id"), col("qv")).write.parquet(s"$base/vectors")
+    }
+  }
+
+  private def copyIvfV1(s: SparkSession, d: String, dst: String): Unit = {
+    val tpl = ivfV1Template(s, d)
+    Seq("centroids", "postings", "vectors").foreach { sub =>
+      StageUtil.copyDir(java.nio.file.Paths.get(tpl, sub),
+        java.nio.file.Paths.get(dst, sub))
+    }
+  }
+
+  private[graft] def ivfStoreDir(s: SparkSession, d: String): String = {
+    graft.GraftExtensions.register(s)
+    StageUtil.staged("ivfstore_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + math.abs(d.hashCode)) { base =>
+      val (qv, _, a2, _) = lloyd(s, d)
+      // v1: the trained artifact (file-copied from the per-JVM template)
+      copyIvfV1(s, d, base)
       ivfStoreCommit(base, "postings;vectors;")
       // v2: the delta commit — appended dirs, v1 files untouched
       val (cent, _) = ivfIndex(s, d)
@@ -1224,9 +1286,25 @@ object LlmScale extends OpModule {
     * its delete sidecars, recall@3 vs exact truth over the live
     * vectors. Everything reads THE STORE — no source parquet. */
   private def ivfStoreServe(s: SparkSession, dir: String): DataFrame =
-    ivfStoreServeHead(s, dir, ivfStoreHead(dir))
+    ivfStoreServeHead(s, dir,
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8").trim)
 
+  /** Head-resolved IVF serve, memoized per (session, dir, RAW head
+    * string) and eagerly checkpointed inside the build (r17): asof's
+    * logged v3/v4 serves and index_persisted's pre/post phases resolve
+    * overlapping heads — each distinct head now pays its probe + truth
+    * chain once per bench pass. The eager checkpoint also preserves the
+    * pre-sweep-reads-the-sidecar guarantee the per-call checkpoints
+    * used to provide. */
   private def ivfStoreServeHead(s: SparkSession, dir: String,
+      headRaw: String): DataFrame =
+      MemoUtil.memoize(ivfServeMemo, (s, dir, headRaw.trim)) {
+    ivfStoreServeHeadBuild(s, dir, ivfHeadParse(headRaw))
+      .localCheckpoint()
+  }
+
+  private def ivfStoreServeHeadBuild(s: SparkSession, dir: String,
       head: (Seq[String], Seq[String], Seq[String])): DataFrame = {
     val (posts, vecDirs, dels) = head
     val inv0 = posts.map(p => s.read.parquet(s"$dir/$p"))
@@ -1293,11 +1371,9 @@ object LlmScale extends OpModule {
     val dir = ivfStoreDir(s, d)
     ivfStoreSweep(s, dir) // idempotent: ensures the v4 entry is logged
     ivfStoreLog(dir).map { case (v, head) =>
-      MemoUtil.scratch(
-        ivfStoreServeHead(s, dir, ivfHeadParse(head))
-          .select(lit(v).as("version"), col("qid"), col("n_hit"),
-            col("recall_at_3"))
-          .localCheckpoint())
+      ivfStoreServeHead(s, dir, head)
+        .select(lit(v).as("version"), col("qid"), col("n_hit"),
+          col("recall_at_3"))
     }.reduce(_ unionByName _)
   }
 
@@ -1308,13 +1384,12 @@ object LlmScale extends OpModule {
     // sweep, then serve the swept head (plain scans) — equal rows are
     // the sweep-correctness proof (on a replayed invocation the store
     // is already swept and both phases read the same — still equal)
-    // materialized BEFORE the sweep flips the head — the pre phase must
-    // genuinely read the sidecar'd artifacts (scratch: consumed within
-    // this op's output, freed at the next per-query drop)
-    val pre = MemoUtil.scratch(ivfStoreServe(s, dir)
+    // materialized BEFORE the sweep flips the head (inside the
+    // head-keyed serve memo) — the pre phase genuinely reads the
+    // sidecar'd artifacts
+    val pre = ivfStoreServe(s, dir)
       .select(lit("pre_sweep").as("phase"), col("qid"), col("n_hit"),
         col("recall_at_3"))
-      .localCheckpoint())
     ivfStoreSweep(s, dir)
     val post = ivfStoreServe(s, dir)
       .select(lit("post_sweep").as("phase"), col("qid"), col("n_hit"),
@@ -1342,11 +1417,9 @@ object LlmScale extends OpModule {
   private[graft] def streamVectorStoreInit(s: SparkSession, d: String,
                                            dir: String): Unit = {
     graft.GraftExtensions.register(s)
-    val (qv, _, a2, c2) = lloyd(s, d)
-    c2.write.parquet(s"$dir/centroids")
-    a2.select(col("vec_id"), col("cluster"))
-      .write.parquet(s"$dir/postings")
-    qv.select(col("vec_id"), col("qv")).write.parquet(s"$dir/vectors")
+    // fresh store = file copy of the per-JVM v1 template (r17) — the
+    // identical artifact the three Spark writes produced per invocation
+    copyIvfV1(s, d, dir)
     Scans.atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"),
       "postings;vectors;")
   }
@@ -2980,27 +3053,38 @@ object LlmScale extends OpModule {
           expr("squared_distance(qv, qq)").as("dist"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("dist").asc, col("node").asc)
-    // beam0: the rank-spread entry sample, scored (pre-cap scores are
-    // the walk's first visited rows) and width-capped
+    // Intra-loop lineage cuts are LAZY checkpoints (r17, guide §1.2/§2.4):
+    // the eager form ran ~13 sequential barrier jobs per walk (2 per hop
+    // + entry), each materializing ≤ width·degree·|q| rows — pure
+    // job-launch overhead at any scale. Lazy localCheckpoint keeps the
+    // multi-reader reuse (each hop's RDD materializes once, both its
+    // consumers read the cached blocks) but defers everything to the
+    // consumer's single action: one job, ~3 stages per hop, no barriers
+    // between hops beyond the shuffles the algorithm itself needs.
     val entryScored = MemoUtil.scratch(score(
         entries.select(col("vec_id").as("node"))
           .crossJoin(broadcast(q.select(col("qid"))))
-          .where(col("node") =!= col("qid"))).localCheckpoint())
+          .where(col("node") =!= col("qid"))).localCheckpoint(false))
     var visited = entryScored
     var beam = MemoUtil.scratch(entryScored
       .withColumn("c", row_number().over(wq)).where(col("c") <= width)
-      .drop("c").localCheckpoint())
+      .drop("c").localCheckpoint(false))
     for (_ <- 1 to 6) {
+      // no per-hop distinct on the expansion (r17): duplicate (qid, node)
+      // candidates are bounded by beam·degree, cost one extra scored row
+      // each, and BOTH downstream consumers re-dedup anyway (the beam via
+      // its own distinct before the width cap, visited via the final
+      // distinct) — the distinct here only bought a shuffle per hop
       val expanded = beam.select(col("qid"), col("node"))
         .join(adj, col("node") === col("src"))
         .select(col("qid"), col("dst").as("node"))
-        .where(col("node") =!= col("qid")).distinct()
-      val sc = MemoUtil.scratch(score(expanded).localCheckpoint())
+        .where(col("node") =!= col("qid"))
+      val sc = MemoUtil.scratch(score(expanded).localCheckpoint(false))
       visited = visited.unionByName(sc)
       beam = MemoUtil.scratch(
         beam.unionByName(sc).distinct()
           .withColumn("c", row_number().over(wq)).where(col("c") <= width)
-          .drop("c").localCheckpoint())
+          .drop("c").localCheckpoint(false))
     }
     (beam, visited.distinct())
   }
@@ -3141,15 +3225,38 @@ object LlmScale extends OpModule {
     * or a sidecar plus one pointer flip; the sweep is one pass over the
     * edge list (O(N·degree)); per-query serving work stays the family's
     * constant ≤ 16 + 6·8·22 distance evals against point lookups. */
+  /** Once-per-JVM staged v1 graph artifact (adjacency / entries /
+    * vectors parquet dirs) — the TEMPLATE every fresh graph-store
+    * instantiation file-copies (r17): graphStoreDir and each
+    * sink_stream_graph invocation previously re-ran the same three
+    * Spark writes of the identical memoized frames; the write now runs
+    * once per JVM and instantiation is a flat file copy. */
+  private def graphV1Template(s: SparkSession, d: String): String = {
+    graft.GraftExtensions.register(s)
+    StageUtil.staged("graphv1_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + math.abs(d.hashCode)) { base =>
+      val (adj, entries, qv) = annGraphAdjacency(s, d)
+      adj.write.parquet(s"$base/adjacency")
+      entries.write.parquet(s"$base/entries")
+      qv.select(col("vec_id"), col("qv")).write.parquet(s"$base/vectors")
+    }
+  }
+
+  private def copyGraphV1(s: SparkSession, d: String, dst: String): Unit = {
+    val tpl = graphV1Template(s, d)
+    Seq("adjacency", "entries", "vectors").foreach { sub =>
+      StageUtil.copyDir(java.nio.file.Paths.get(tpl, sub),
+        java.nio.file.Paths.get(dst, sub))
+    }
+  }
+
   private[graft] def graphStoreDir(s: SparkSession, d: String): String = {
     graft.GraftExtensions.register(s)
     StageUtil.staged("graphstore_" + d.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + math.abs(d.hashCode)) { base =>
-      val (adj, entries, qv) = annGraphAdjacency(s, d)
-      // v1: the built graph
-      adj.write.parquet(s"$base/adjacency")
-      entries.write.parquet(s"$base/entries")
-      qv.select(col("vec_id"), col("qv")).write.parquet(s"$base/vectors")
+      val (_, _, qv) = annGraphAdjacency(s, d)
+      // v1: the built graph (file-copied from the per-JVM template)
+      copyGraphV1(s, d, base)
       ivfStoreCommit(base, "adjacency;entries;vectors;")
       // v2: the graft commit — the incremental shard's attachment
       // edges (forward + symmetric back-edges) and its vectors,
@@ -3173,14 +3280,56 @@ object LlmScale extends OpModule {
 
   /** head = "adjDirs;entryDirs;vecDirs;delDirs" (comma-separated each). */
   private[graft] def graphStoreHead(dir: String)
+      : (Seq[String], Seq[String], Seq[String], Seq[String]) =
+    graphHeadParse(graphStoreHeadRaw(dir))
+
+  private def graphStoreHeadRaw(dir: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8").trim
+
+  private def graphHeadParse(raw: String)
       : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
-    val parts = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8").trim.split(';')
+    val parts = raw.split(';')
     def seg(i: Int): Seq[String] =
       if (parts.length > i && parts(i).nonEmpty)
         parts(i).split(',').toSeq.filter(_.nonEmpty)
       else Seq.empty
     (seg(0), seg(1), seg(2), seg(3))
+  }
+
+  /** Resolve the current head ONCE into checkpointed frames + the
+    * width-8 walk over them (storeHeadMemo — see its doc): returns
+    * (adj sidecar-filtered, entries filtered, vecsAll, beam, visited),
+    * every frame an eager memo-lifecycle checkpoint, so each distinct
+    * head pays one head read + one walk per bench pass no matter how
+    * many serves (filtered, unfiltered, pre/post) consume it. */
+  private def graphStoreWalk(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    graft.GraftExtensions.register(s)
+    val raw = graphStoreHeadRaw(dir)
+    MemoUtil.memoize(storeHeadMemo, (s, dir, raw)) {
+      val (adjs, ents, vecDirs, dels) = graphHeadParse(raw)
+      val adj0 = graphStoreRead(s, dir, adjs)
+      val ent0 = graphStoreRead(s, dir, ents)
+      val vecsAll = graphStoreRead(s, dir, vecDirs).localCheckpoint()
+      val (adjF, entF) =
+        if (dels.isEmpty) (adj0, ent0)
+        else {
+          val tomb = graphStoreRead(s, dir, dels)
+          (adj0
+            .join(tomb.select(col("vec_id").as("src")), Seq("src"),
+              "left_anti")
+            .join(tomb.select(col("vec_id").as("dst")), Seq("dst"),
+              "left_anti")
+            .select(col("src"), col("dst")),
+            ent0.join(tomb, Seq("vec_id"), "left_anti"))
+        }
+      val adj = adjF.localCheckpoint()
+      val ent = entF.localCheckpoint()
+      val (beam, visited) = annGraphSearchFull(adj, ent, vecsAll, 8)
+      (adj, ent, vecsAll, beam.localCheckpoint(),
+        visited.localCheckpoint())
+    }
   }
 
   private def graphStoreRead(s: SparkSession, dir: String,
@@ -3213,47 +3362,38 @@ object LlmScale extends OpModule {
   private[graft] def graphStoreServe(s: SparkSession,
                                      dir: String): DataFrame = {
     graft.GraftExtensions.register(s)
-    val (adjs, ents, vecDirs, dels) = graphStoreHead(dir)
-    val adj0 = graphStoreRead(s, dir, adjs)
-    val ent0 = graphStoreRead(s, dir, ents)
-    val vecsAll = MemoUtil.scratch(
-      graphStoreRead(s, dir, vecDirs).localCheckpoint())
-    val (adjF, entF) =
-      if (dels.isEmpty) (adj0, ent0)
-      else {
-        val tomb = graphStoreRead(s, dir, dels)
-        (adj0
-          .join(tomb.select(col("vec_id").as("src")), Seq("src"), "left_anti")
-          .join(tomb.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
-          .select(col("src"), col("dst")),
-          ent0.join(tomb, Seq("vec_id"), "left_anti"))
-      }
-    // checkpoint the head-resolved edge set once: the walk joins it on
-    // every hop, and the liveness set reads it again
-    val adj = MemoUtil.scratch(adjF.localCheckpoint())
-    val ent = MemoUtil.scratch(entF.localCheckpoint())
-    val pred = beamTop3(annGraphSearchFull(adj, ent, vecsAll, 8)._1)
-    // graph-defined liveness: a vector is live iff the head's edge set
-    // still routes to it (the IVF store's postings-defined liveness,
-    // translated) — identical pre- and post-sweep by construction
-    val live = vecsAll.join(
-      adj.select(col("src").as("vec_id")).distinct(),
-      Seq("vec_id"), "left_semi")
-    val q = vecsAll.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("qv").as("qq"))
-    val wc = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("cand_id").asc)
-    val ex3 = live.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cand_id"),
-        expr("squared_distance(qv, qq)").as("dist"))
-      .withColumn("rn", row_number().over(wc)).where(col("rn") <= 3)
-      .select(col("qid"), col("cand_id"))
-    ex3.join(pred.withColumn("hit", lit(1)), Seq("qid", "cand_id"), "left")
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
-      .select(col("qid"), col("n_hit"),
-        round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+    // memoized per (session, dir, head) and eagerly checkpointed INSIDE
+    // the memo build — callers that sweep after a serve (the pre/post
+    // proof phases) rely on the pre read having physically happened
+    // against the sidecar'd head, exactly as the previous per-call
+    // localCheckpoint guaranteed
+    MemoUtil.memoize(storeServeMemo, (s, dir, graphStoreHeadRaw(dir))) {
+      val (adj, _, vecsAll, beam, _) = graphStoreWalk(s, dir)
+      val pred = beamTop3(beam)
+      // graph-defined liveness: a vector is live iff the head's edge set
+      // still routes to it (the IVF store's postings-defined liveness,
+      // translated) — identical pre- and post-sweep by construction
+      val live = vecsAll.join(
+        adj.select(col("src").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi")
+      val q = vecsAll.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      val wc = Window.partitionBy(col("qid"))
+        .orderBy(col("dist").asc, col("cand_id").asc)
+      val ex3 = live.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          expr("squared_distance(qv, qq)").as("dist"))
+        .withColumn("rn", row_number().over(wc)).where(col("rn") <= 3)
+        .select(col("qid"), col("cand_id"))
+      ex3.join(pred.withColumn("hit", lit(1)), Seq("qid", "cand_id"),
+          "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          round(col("n_hit") / col("k").cast("double"), 4).as("recall_at_3"))
+        .localCheckpoint()
+    }
   }
 
   /** FILTERED serve from the persisted store (VERDICT r16 task 6 —
@@ -3279,48 +3419,37 @@ object LlmScale extends OpModule {
                                       dir: String)
       : (DataFrame, DataFrame) = {
     graft.GraftExtensions.register(s)
-    val (adjs, ents, vecDirs, dels) = graphStoreHead(dir)
-    val adj0 = graphStoreRead(s, dir, adjs)
-    val ent0 = graphStoreRead(s, dir, ents)
-    val vecsAll = MemoUtil.scratch(
-      graphStoreRead(s, dir, vecDirs).localCheckpoint())
-    val (adjF, entF) =
-      if (dels.isEmpty) (adj0, ent0)
-      else {
-        val tomb = graphStoreRead(s, dir, dels)
-        (adj0
-          .join(tomb.select(col("vec_id").as("src")), Seq("src"), "left_anti")
-          .join(tomb.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
-          .select(col("src"), col("dst")),
-          ent0.join(tomb, Seq("vec_id"), "left_anti"))
-      }
-    val adj = MemoUtil.scratch(adjF.localCheckpoint())
-    val ent = MemoUtil.scratch(entF.localCheckpoint())
-    val (_, visited) = annGraphSearchFull(adj, ent, vecsAll, 8)
-    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-    val wc = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("cand_id").asc)
-    val aware = visited
-      .join(labels, visited("node") === labels("vec_id"))
-      .where(col("label") === 3)
-      .select(col("qid"), col("node").as("cand_id"), col("dist"))
-      .withColumn("rn", row_number().over(wc)).where(col("rn") <= 3)
-      .select(col("qid"), col("cand_id"))
-    val live = vecsAll.join(
-      adj.select(col("src").as("vec_id")).distinct(),
-      Seq("vec_id"), "left_semi")
-    val q = vecsAll.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("qv").as("qq"))
-    val ex3 = MemoUtil.scratch(live.join(labels, "vec_id")
-      .where(col("label") === 3)
-      .crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cand_id"),
-        expr("squared_distance(qv, qq)").as("dist"))
-      .withColumn("rn", row_number().over(wc)).where(col("rn") <= 3)
-      .select(col("qid"), col("cand_id"))
-      .localCheckpoint())
-    (aware, ex3)
+    // memoized per (session, dir, head), both parts eagerly checkpointed
+    // inside the build (the pre-sweep read must physically happen before
+    // a caller sweeps) — and the walk itself rides graphStoreWalk, so a
+    // head served by BOTH the filtered and unfiltered paths pays one
+    // walk, not two
+    MemoUtil.memoize(storeFilteredMemo, (s, dir, graphStoreHeadRaw(dir))) {
+      val (adj, _, vecsAll, _, visited) = graphStoreWalk(s, dir)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val wc = Window.partitionBy(col("qid"))
+        .orderBy(col("dist").asc, col("cand_id").asc)
+      val aware = visited
+        .join(labels, visited("node") === labels("vec_id"))
+        .where(col("label") === 3)
+        .select(col("qid"), col("node").as("cand_id"), col("dist"))
+        .withColumn("rn", row_number().over(wc)).where(col("rn") <= 3)
+        .select(col("qid"), col("cand_id"))
+      val live = vecsAll.join(
+        adj.select(col("src").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi")
+      val q = vecsAll.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      val ex3 = live.join(labels, "vec_id")
+        .where(col("label") === 3)
+        .crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          expr("squared_distance(qv, qq)").as("dist"))
+        .withColumn("rn", row_number().over(wc)).where(col("rn") <= 3)
+        .select(col("qid"), col("cand_id"))
+      (aware.localCheckpoint(), ex3.localCheckpoint())
+    }
   }
 
   private[graft] def graphStoreServeFilteredPred(s: SparkSession,
@@ -3346,10 +3475,12 @@ object LlmScale extends OpModule {
   def annGraphPersistedFiltered(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     val dir = graphStoreDir(s, d)
-    val pre = MemoUtil.scratch(graphStoreServeFiltered(s, d, dir)
+    // the filtered parts are materialized inside the head-keyed memo, so
+    // the pre phase has physically read the sidecar'd head before the
+    // sweep flips it — no extra per-call checkpoint needed
+    val pre = graphStoreServeFiltered(s, d, dir)
       .select(lit("pre_sweep").as("phase"), col("qid"), col("n_ret"),
         col("n_hit"), col("n_truth"), col("recall_bp"))
-      .localCheckpoint())
     graphStoreSweep(s, dir)
     val post = graphStoreServeFiltered(s, d, dir)
       .select(lit("post_sweep").as("phase"), col("qid"), col("n_ret"),
@@ -3361,12 +3492,12 @@ object LlmScale extends OpModule {
     graft.GraftExtensions.register(s)
     val dir = graphStoreDir(s, d)
     // serve BEFORE the sweep (MOR read: sidecar anti-joined on both
-    // edge ends), materialized before the head flips, then sweep and
-    // serve the folded head (COW read) — equal rows are the proof
-    val pre = MemoUtil.scratch(graphStoreServe(s, dir)
+    // edge ends) — the serve result is materialized inside the
+    // head-keyed memo before the head flips — then sweep and serve the
+    // folded head (COW read); equal rows are the proof
+    val pre = graphStoreServe(s, dir)
       .select(lit("pre_sweep").as("phase"), col("qid"), col("n_hit"),
         col("recall_at_3"))
-      .localCheckpoint())
     graphStoreSweep(s, dir)
     val post = graphStoreServe(s, dir)
       .select(lit("post_sweep").as("phase"), col("qid"), col("n_hit"),
@@ -3397,10 +3528,9 @@ object LlmScale extends OpModule {
   private[graft] def streamGraphStoreInit(s: SparkSession, d: String,
                                           dir: String): Unit = {
     graft.GraftExtensions.register(s)
-    val (adj, entries, qv) = annGraphAdjacency(s, d)
-    adj.write.parquet(s"$dir/adjacency")
-    entries.write.parquet(s"$dir/entries")
-    qv.select(col("vec_id"), col("qv")).write.parquet(s"$dir/vectors")
+    // fresh store = file copy of the per-JVM v1 template (r17) — the
+    // identical artifact the three Spark writes produced per invocation
+    copyGraphV1(s, d, dir)
     Scans.atomicWrite(java.nio.file.Paths.get(dir, "_HEAD"),
       "adjacency;entries;vectors;")
   }
@@ -3533,21 +3663,25 @@ object LlmScale extends OpModule {
           expr("squared_distance(qv, qq)").as("dist"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("dist").asc, col("node").asc)
+    // lazy intra-loop checkpoints + no per-hop expansion distinct — the
+    // same two walk-mechanics cuts as annGraphSearchFull (r17): the
+    // beam's own distinct re-dedups, and the consumer's single action
+    // materializes the whole 6-hop chain as one job
     var beam = MemoUtil.scratch(score(
         queries.select(col("qid"))
           .crossJoin(broadcast(entries.select(col("vec_id").as("node"))))
           .where(col("node") =!= col("qid")))
       .withColumn("c", row_number().over(wq)).where(col("c") <= width)
-      .drop("c").localCheckpoint())
+      .drop("c").localCheckpoint(false))
     for (_ <- 1 to 6) {
       val expanded = beam.select(col("qid"), col("node"))
         .join(adj, col("node") === col("src"))
         .select(col("qid"), col("dst").as("node"))
-        .where(col("node") =!= col("qid")).distinct()
+        .where(col("node") =!= col("qid"))
       beam = MemoUtil.scratch(
         beam.unionByName(score(expanded)).distinct()
           .withColumn("c", row_number().over(wq)).where(col("c") <= width)
-          .drop("c").localCheckpoint())
+          .drop("c").localCheckpoint(false))
     }
     beam
   }

@@ -37,6 +37,22 @@ private[operators] object StageUtil {
     }
   }
 
+  /** Flat file-copy of one parquet dataset dir (part files + _SUCCESS)
+    * into `dst` — the cheap way to instantiate a fresh store from a
+    * once-per-JVM staged template instead of re-running a Spark write
+    * per instantiation (r17: the streaming store inits re-wrote the
+    * identical v1 artifact on every invocation). */
+  def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dst)
+    scala.util.Using.resource(java.nio.file.Files.list(src)) { st =>
+      st.iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .foreach { p =>
+          java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
+        }
+    }
+  }
+
   /** One per-JVM root for marker-gated stagings (the Scans ioDir
     * discipline, shared): `staged(name)(build)` runs `build` at most
     * once per name per JVM under a plain lock — never inside a hash-map
