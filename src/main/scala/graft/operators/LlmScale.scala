@@ -3573,10 +3573,14 @@ object LlmScale extends OpModule {
     } else if (!batch.isEmpty) {
       graft.GraftExtensions.register(s)
       // the FROZEN base snapshot (v1 dirs are immutable): every batch
-      // searches the same graph, so stream ≡ one-shot graft
-      val adjBase = s.read.parquet(s"$dir/adjacency")
+      // searches the same graph, so stream ≡ one-shot graft. Checkpoint
+      // the base reads once per batch (r17) — the 6-hop walk otherwise
+      // re-scans the vector/adjacency parquet on every hop's score join
+      val adjBase = MemoUtil.scratch(
+        s.read.parquet(s"$dir/adjacency").localCheckpoint())
       val entBase = s.read.parquet(s"$dir/entries")
-      val vecBase = s.read.parquet(s"$dir/vectors")
+      val vecBase = MemoUtil.scratch(
+        s.read.parquet(s"$dir/vectors").localCheckpoint())
       // vectors FIRST, adjacency second: adjacency's _SUCCESS is the
       // replay marker, so its existence implies the vectors landed;
       // Overwrite lets a replayed batch redo a torn generation

@@ -684,8 +684,17 @@ object StreamIO extends OpModule {
     val src = Scans.lineageStreamDir(s, d)
     val tblDir = fresh("cdc_apply")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tblDir))
-    s.read.parquet(Scans.snapshotPaths(s, s"$src/m1"): _*)
-      .write.mode("overwrite").parquet(s"$tblDir/gen_boot")
+    // bootstrap = file copy of the v1 snapshot's data files (r17): the
+    // previous read-then-rewrite Spark job produced byte-equivalent
+    // content; the merge consumer reads the directory either way (it
+    // selects the 3 merge columns explicitly)
+    val bootDir = java.nio.file.Paths.get(tblDir, "gen_boot")
+    java.nio.file.Files.createDirectories(bootDir)
+    Scans.snapshotPaths(s, s"$src/m1").zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(java.net.URI.create(p)),
+        bootDir.resolve(f"boot_$i%03d.parquet"))
+    }
     Scans.atomicWrite(java.nio.file.Paths.get(tblDir, "_HEAD"), "gen_boot")
     def head(): String = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(tblDir, "_HEAD")), "UTF-8").trim
