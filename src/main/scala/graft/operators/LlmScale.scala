@@ -3327,6 +3327,10 @@ object LlmScale extends OpModule {
       val adj = adjF.localCheckpoint()
       val ent = entF.localCheckpoint()
       val (beam, visited) = annGraphSearchFull(adj, ent, vecsAll, 8)
+      // BOTH results eager: the memo outlives the building query, but
+      // the walk's intra-loop lazy checkpoints are per-query SCRATCH —
+      // a lazily-deferred memo value would reference hop RDDs whose
+      // blocks the harness drops at the next drain point
       (adj, ent, vecsAll, beam.localCheckpoint(),
         visited.localCheckpoint())
     }
