@@ -327,6 +327,45 @@ object LlmScale extends OpModule {
     storeFilteredMemo.clear()
     ivfServeMemo.values.foreach(MemoUtil.dropCheckpoint)
     ivfServeMemo.clear()
+    streamBaseMemo.values.foreach { case (a, _, v) =>
+      MemoUtil.dropCheckpoint(a); MemoUtil.dropCheckpoint(v)
+    }
+    streamBaseMemo.clear()
+  }
+
+  /** Frozen v1 base frames of a STREAMED graph store, checkpointed once
+    * per (session, store dir) instead of once per micro-batch (r17
+    * review): the base is immutable across the stream by construction. */
+  private val streamBaseMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
+  /** Drop every store memo keyed on `dir` — sink_stream_graph's store is
+    * fresh per invocation, so its walk/serve/base memo entries can never
+    * be reused once the invocation's result has drained; the caller
+    * registers this via MemoUtil.onDrain so the blocks free at the same
+    * safe point as per-query scratch. */
+  private[graft] def releaseFreshStoreMemos(dir: String): Unit = {
+    storeHeadMemo.filterInPlace { case ((_, d, _), v) =>
+      val keep = d != dir
+      if (!keep) { val (a, e, vv, b, vis) = v
+        Seq(a, e, vv, b, vis).foreach(MemoUtil.dropCheckpoint) }
+      keep
+    }
+    storeServeMemo.filterInPlace { case ((_, d, _), v) =>
+      val keep = d != dir
+      if (!keep) MemoUtil.dropCheckpoint(v)
+      keep
+    }
+    storeFilteredMemo.filterInPlace { case ((_, d, _), v) =>
+      val keep = d != dir
+      if (!keep) { MemoUtil.dropCheckpoint(v._1); MemoUtil.dropCheckpoint(v._2) }
+      keep
+    }
+    streamBaseMemo.filterInPlace { case ((_, d), v) =>
+      val keep = d != dir
+      if (!keep) { MemoUtil.dropCheckpoint(v._1); MemoUtil.dropCheckpoint(v._3) }
+      keep
+    }
   }
 
   /** Head-resolved graph-store frames + the width-8 walk over them,
@@ -1262,8 +1301,7 @@ object LlmScale extends OpModule {
   /** head = "postDirs;vecDirs;delDirs" (comma-separated each). */
   private[graft] def ivfStoreHead(dir: String)
       : (Seq[String], Seq[String], Seq[String]) =
-    ivfHeadParse(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8"))
+    ivfHeadParse(ivfStoreHeadRaw(dir))
 
   /** The compaction sweep: fold live postings minus tombstones into
     * postings2/, flip the head to drop the sidecar. Idempotent — an
@@ -1285,10 +1323,12 @@ object LlmScale extends OpModule {
     * centroids, candidates from the head's postings anti-joined with
     * its delete sidecars, recall@3 vs exact truth over the live
     * vectors. Everything reads THE STORE — no source parquet. */
+  private def ivfStoreHeadRaw(dir: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8").trim
+
   private def ivfStoreServe(s: SparkSession, dir: String): DataFrame =
-    ivfStoreServeHead(s, dir,
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(dir, "_HEAD")), "UTF-8").trim)
+    ivfStoreServeHead(s, dir, ivfStoreHeadRaw(dir))
 
   /** Head-resolved IVF serve, memoized per (session, dir, RAW head
     * string) and eagerly checkpointed inside the build (r17): asof's
@@ -3577,14 +3617,16 @@ object LlmScale extends OpModule {
     } else if (!batch.isEmpty) {
       graft.GraftExtensions.register(s)
       // the FROZEN base snapshot (v1 dirs are immutable): every batch
-      // searches the same graph, so stream ≡ one-shot graft. Checkpoint
-      // the base reads once per batch (r17) — the 6-hop walk otherwise
-      // re-scans the vector/adjacency parquet on every hop's score join
-      val adjBase = MemoUtil.scratch(
-        s.read.parquet(s"$dir/adjacency").localCheckpoint())
-      val entBase = s.read.parquet(s"$dir/entries")
-      val vecBase = MemoUtil.scratch(
-        s.read.parquet(s"$dir/vectors").localCheckpoint())
+      // searches the same graph, so stream ≡ one-shot graft. The base
+      // frames checkpoint ONCE per store (r17) — the 6-hop walk
+      // otherwise re-scanned the vector/adjacency parquet on every
+      // hop's score join, once per micro-batch
+      val (adjBase, entBase, vecBase) =
+        MemoUtil.memoize(streamBaseMemo, (s, dir)) {
+          (s.read.parquet(s"$dir/adjacency").localCheckpoint(),
+            s.read.parquet(s"$dir/entries"),
+            s.read.parquet(s"$dir/vectors").localCheckpoint())
+        }
       // vectors FIRST, adjacency second: adjacency's _SUCCESS is the
       // replay marker, so its existence implies the vectors landed;
       // Overwrite lets a replayed batch redo a torn generation

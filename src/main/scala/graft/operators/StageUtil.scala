@@ -44,13 +44,18 @@ private[operators] object StageUtil {
     * identical v1 artifact on every invocation). */
   def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     java.nio.file.Files.createDirectories(dst)
-    scala.util.Using.resource(java.nio.file.Files.list(src)) { st =>
-      st.iterator.asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .foreach { p =>
-          java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
-        }
-    }
+    val copied =
+      scala.util.Using.resource(java.nio.file.Files.list(src)) { st =>
+        st.iterator.asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map { p =>
+            java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
+          }.size
+      }
+    // same loud-failure rule as parquetParts: a template that went
+    // partitioned (subdirs) or empty must fail HERE, not as an empty
+    // store three operators downstream
+    require(copied > 0, s"no regular files to copy under $src")
   }
 
   /** One per-JVM root for marker-gated stagings (the Scans ioDir

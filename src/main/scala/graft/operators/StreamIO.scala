@@ -888,6 +888,9 @@ object StreamIO extends OpModule {
       .option("checkpointLocation", fresh("ckpt"))
       .trigger(Trigger.AvailableNow()).start()
     runToEnd(q)
+    // this store is fresh per invocation — its walk/serve/base memo
+    // entries can never hit again; free them once the result drains
+    MemoUtil.onDrain(() => LlmScale.releaseFreshStoreMemos(dir))
     LlmScale.graphStoreServe(s, dir)
   }
 
