@@ -26,10 +26,14 @@ object DevProbe {
     // dev-only A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies session
     // confs before probing, to measure a knob without touching Bench
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { kvs =>
-      kvs.split(';').filter(_.contains('=')).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      }
+      // a malformed '=v' entry passes a bare contains('=') filter and
+      // calls conf.set("", v) (ADVICE r17) — demand a non-empty key
+      kvs.split(';')
+        .filter(kv => kv.contains('=') && kv.takeWhile(_ != '=').trim.nonEmpty)
+        .foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          spark.conf.set(k.trim, v.trim)
+        }
     }
     // recursive-CTE depth probe (r11, VERDICT r10 task 8): a synthetic
     // countdown chain at fixed frontier WIDTH and growing DEPTH — each

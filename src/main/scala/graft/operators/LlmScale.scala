@@ -3343,10 +3343,14 @@ object LlmScale extends OpModule {
     * every frame an eager memo-lifecycle checkpoint, so each distinct
     * head pays one head read + one walk per bench pass no matter how
     * many serves (filtered, unfiltered, pre/post) consume it. */
-  private def graphStoreWalk(s: SparkSession, dir: String)
+  private def graphStoreWalk(s: SparkSession, dir: String,
+                             raw: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.GraftExtensions.register(s)
-    val raw = graphStoreHeadRaw(dir)
+    // `raw` is read ONCE by the caller and passed through (ADVICE r17:
+    // a head flip between the serve-memo read and a second read here
+    // would cache a new-head walk under the old head's key), mirroring
+    // ivfStoreServeHead's single-read shape
     MemoUtil.memoize(storeHeadMemo, (s, dir, raw)) {
       val (adjs, ents, vecDirs, dels) = graphHeadParse(raw)
       val adj0 = graphStoreRead(s, dir, adjs)
@@ -3411,8 +3415,9 @@ object LlmScale extends OpModule {
     // proof phases) rely on the pre read having physically happened
     // against the sidecar'd head, exactly as the previous per-call
     // localCheckpoint guaranteed
-    MemoUtil.memoize(storeServeMemo, (s, dir, graphStoreHeadRaw(dir))) {
-      val (adj, _, vecsAll, beam, _) = graphStoreWalk(s, dir)
+    val rawHead = graphStoreHeadRaw(dir)
+    MemoUtil.memoize(storeServeMemo, (s, dir, rawHead)) {
+      val (adj, _, vecsAll, beam, _) = graphStoreWalk(s, dir, rawHead)
       val pred = beamTop3(beam)
       // graph-defined liveness: a vector is live iff the head's edge set
       // still routes to it (the IVF store's postings-defined liveness,
@@ -3468,8 +3473,9 @@ object LlmScale extends OpModule {
     // a caller sweeps) — and the walk itself rides graphStoreWalk, so a
     // head served by BOTH the filtered and unfiltered paths pays one
     // walk, not two
-    MemoUtil.memoize(storeFilteredMemo, (s, dir, graphStoreHeadRaw(dir))) {
-      val (adj, _, vecsAll, _, visited) = graphStoreWalk(s, dir)
+    val rawHead = graphStoreHeadRaw(dir)
+    MemoUtil.memoize(storeFilteredMemo, (s, dir, rawHead)) {
+      val (adj, _, vecsAll, _, visited) = graphStoreWalk(s, dir, rawHead)
       val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
       val wc = Window.partitionBy(col("qid"))
         .orderBy(col("dist").asc, col("cand_id").asc)

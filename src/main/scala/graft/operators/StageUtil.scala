@@ -50,12 +50,15 @@ private[operators] object StageUtil {
           .filter(java.nio.file.Files.isRegularFile(_))
           .map { p =>
             java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
-          }.size
+          }.map(_.getFileName.toString).toSeq
       }
     // same loud-failure rule as parquetParts: a template that went
     // partitioned (subdirs) or empty must fail HERE, not as an empty
-    // store three operators downstream
-    require(copied > 0, s"no regular files to copy under $src")
+    // store three operators downstream. A partitioned template still
+    // leaves a top-level _SUCCESS regular file, so `copied > 0` alone
+    // passes on it (ADVICE r17) — demand actual parquet payload.
+    require(copied.exists(_.endsWith(".parquet")),
+      s"no parquet payload files to copy under $src (got: $copied)")
   }
 
   /** One per-JVM root for marker-gated stagings (the Scans ioDir

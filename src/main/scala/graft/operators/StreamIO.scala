@@ -691,8 +691,13 @@ object StreamIO extends OpModule {
     val bootDir = java.nio.file.Paths.get(tblDir, "gen_boot")
     java.nio.file.Files.createDirectories(bootDir)
     Scans.snapshotPaths(s, s"$src/m1").zipWithIndex.foreach { case (p, i) =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(java.net.URI.create(p)),
+      // manifest paths are file: URIs today (input_file_name()), but a
+      // scheme-less path would make URI.create-based resolution throw
+      // (ADVICE r17) — fall back to the plain filesystem path
+      val srcPath =
+        if (p.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(p))
+        else java.nio.file.Paths.get(p)
+      java.nio.file.Files.copy(srcPath,
         bootDir.resolve(f"boot_$i%03d.parquet"))
     }
     Scans.atomicWrite(java.nio.file.Paths.get(tblDir, "_HEAD"), "gen_boot")
