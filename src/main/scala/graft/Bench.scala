@@ -324,13 +324,49 @@ object Bench {
         (if (shown.size < results.size) Seq(s""""other":${fmt(otherSum)}""") else Nil)
     val qs = qEntries.mkString("{", ",", "}")
     val contended = math.max(contendedAtStart, foreignJvms())
+    // "cpus" names the core count this run ACTUALLY used (VERDICT r17
+    // task 1: the artifact must say what master/local[N] measured it,
+    // so the 8-vs-32 scaling comparison is self-describing)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"cold_total":${fmt(coldTotal)},"contended":$contended$recordMeta,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"cold_total":${fmt(coldTotal)},"contended":$contended,"cpus":$cpus$recordMeta,"queries":$qs,"sf":"$sfDir"}"""
 
     val fullQs = sorted.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
+    // memo families (VERDICT r17 task 6): queries in one family share a
+    // per-pass memoized build — whichever member runs FIRST in registry
+    // order absorbs the shared cost, so per-query round-over-round
+    // comparisons WITHIN a family are attribution-shifted, not
+    // regressions. Totals stay honest (each pass re-pays every family
+    // build exactly once; memos reset between passes). Static map,
+    // maintained next to the memos it names.
+    val memoFamilies: Map[String, Seq[String]] = Map(
+      "graph_adjacency" -> Seq("graph_pagerank", "graph_ppr",
+        "graph_triangles", "graph_jaccard", "graph_components",
+        "graph_bfs", "graph_walk", "graph_kcore", "graph_degree_dist",
+        "graph_2hop", "graph_assortativity", "graph_sssp",
+        "graph_label_propagation"),
+      "lloyd_lattice" -> Seq("llm_kmeans", "llm_kmeans_twolevel",
+        "llm_semdedup", "llm_ann_ivf", "llm_ann_ivf_kmeans",
+        "llm_ann_ivf_incremental", "llm_ann_ivf_incremental_recall",
+        "llm_ann_ivf_rebalance", "llm_ann_ivf_rebalance_recall",
+        "llm_ann_ivf_delete", "llm_ann_graph", "llm_ann_graph_sweep",
+        "llm_ann_graph_filtered", "llm_ann_graph_delete",
+        "llm_ann_graph_incremental"),
+      "classifier" -> Seq("llm_quality_classifier", "llm_quality_gate",
+        "llm_quality_calibration", "llm_quality_holdout",
+        "llm_uncertainty_sample"),
+      "lsh_pairs" -> Seq("llm_dedup_near", "llm_dedup_cluster",
+        "llm_dedup_near_recall", "llm_cross_split_leakage"),
+      "fused_retrieval" -> Seq("llm_hybrid_rrf", "llm_rag_pack",
+        "llm_retrieval_metrics"),
+      "persisted_stores" -> Seq("llm_ann_graph_persisted",
+        "llm_ann_graph_persisted_filtered", "llm_ann_index_persisted",
+        "llm_ann_store_asof", "sink_stream_vector", "sink_stream_graph"))
+    val famJson = memoFamilies.toSeq.sortBy(_._1).map { case (f, ms) =>
+      s""""$f":${ms.sorted.map(m => s""""$m"""").mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"contended":$contended$recordMeta,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"contended":$contended,"cpus":$cpus$recordMeta,"memo_families":$famJson,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
       full.getBytes("UTF-8"))

@@ -355,6 +355,123 @@ object DevProbe {
         "spark.sql.streaming.metricsEnabled" -> "false"))
       spark.stop(); return
     }
+    // sink_stream_graph phase bisection: times init-copy, the two graft
+    // commits (called directly on the topic's two parity files), and the
+    // drained serve OUTSIDE the stream; the full op's wall minus these
+    // is the AvailableNow stream mechanics
+    if (names == Seq("sgraph_parts")) {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      (1 to 3).foreach { i =>
+        operators.LlmScale.resetLloydMemo()
+        operators.MemoUtil.dropScratch()
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"sgraph_probe_$i").toString
+        val t0 = System.nanoTime()
+        operators.LlmScale.streamGraphStoreInit(ss, sfDir, dir)
+        val t1 = System.nanoTime()
+        val topic = operators.LlmScale.streamGraphTopic(ss, sfDir)
+        val t2 = System.nanoTime()
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(topic))
+          .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+        files.zipWithIndex.foreach { case (f, id) =>
+          operators.LlmScale.streamGraphCommit(ss, dir,
+            ss.read.parquet(f), id.toLong)
+        }
+        val t3 = System.nanoTime()
+        val n = operators.LlmScale.graphStoreServe(ss, dir)
+          .queryExecution.toRdd.count()
+        val t4 = System.nanoTime()
+        def sec(a: Long, b: Long) = (b - a) / 1e9
+        println(f"[sgraph] run$i: init ${sec(t0, t1)}%.2f topic " +
+          f"${sec(t1, t2)}%.2f commits ${sec(t2, t3)}%.2f " +
+          f"serve ${sec(t3, t4)}%.2f (rows=$n)")
+      }
+      spark.stop(); return
+    }
+    // one graft-commit bisection: base read/checkpoint, vector write,
+    // the 6-hop batch walk, and the attachment write timed separately
+    if (names == Seq("sgraph_commit_parts")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      graft.GraftExtensions.register(ss)
+      (1 to 3).foreach { i =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"sgraphc_probe_$i").toString
+        operators.LlmScale.streamGraphStoreInit(ss, sfDir, dir)
+        val topic = operators.LlmScale.streamGraphTopic(ss, sfDir)
+        val f0 = java.nio.file.Files.list(java.nio.file.Paths.get(topic))
+          .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted.head
+        val batch = ss.read.parquet(f0)
+        val t0 = System.nanoTime()
+        val adjBase = ss.read.parquet(s"$dir/adjacency").localCheckpoint()
+        val entBase = ss.read.parquet(s"$dir/entries")
+        val vecBase = ss.read.parquet(s"$dir/vectors").localCheckpoint()
+        val t1 = System.nanoTime()
+        batch.select(col("new_id").as("vec_id"), col("dv").as("qv"))
+          .write.mode("overwrite").parquet(s"$dir/vectors_probe")
+        val t2 = System.nanoTime()
+        val queries = batch.select(col("new_id").as("qid"),
+          col("dv").as("qq"))
+        // OLD hop shape (pre-r18), inlined for a same-JVM A/B against
+        // the fused annGraphSearchBatch
+        def oldWalk(qs: org.apache.spark.sql.DataFrame, width: Int)
+            : org.apache.spark.sql.DataFrame = {
+          val qvb = vecBase
+          def score(cands: org.apache.spark.sql.DataFrame) =
+            cands.join(qvb, cands("node") === qvb("vec_id"))
+              .join(qs, "qid")
+              .select(col("qid"), col("node"),
+                expr("squared_distance(qv, qq)").as("dist"))
+          val wq = Window.partitionBy(col("qid"))
+            .orderBy(col("dist").asc, col("node").asc)
+          var beam = operators.MemoUtil.scratch(score(
+              qs.select(col("qid"))
+                .crossJoin(broadcast(entBase.select(col("vec_id").as("node"))))
+                .where(col("node") =!= col("qid")))
+            .withColumn("c", row_number().over(wq)).where(col("c") <= width)
+            .drop("c").localCheckpoint(false))
+          for (_ <- 1 to 6) {
+            val expanded = beam.select(col("qid"), col("node"))
+              .join(adjBase, col("node") === col("src"))
+              .select(col("qid"), col("dst").as("node"))
+              .where(col("node") =!= col("qid"))
+            beam = operators.MemoUtil.scratch(
+              beam.unionByName(score(expanded)).distinct()
+                .withColumn("c", row_number().over(wq))
+                .where(col("c") <= width)
+                .drop("c").localCheckpoint(false))
+          }
+          beam
+        }
+        def att(beam: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy(col("qid"))
+            .orderBy(col("dist").asc, col("node").asc)
+          val a = beam.withColumn("rank", row_number().over(w))
+            .where(col("rank") <= 4)
+            .select(col("qid").as("new_id"), col("node").as("dst"))
+          a.select(col("new_id").as("src"), col("dst"))
+            .unionByName(a.select(col("dst").as("src"),
+              col("new_id").as("dst")))
+        }
+        att(operators.LlmScale.annGraphSearchBatch(
+            adjBase, entBase, vecBase, queries, 8))
+          .write.mode("overwrite").parquet(s"$dir/adjacency_probe")
+        val t3 = System.nanoTime()
+        operators.MemoUtil.dropScratch()
+        att(oldWalk(queries, 8))
+          .write.mode("overwrite").parquet(s"$dir/adjacency_probe_old")
+        val t4 = System.nanoTime()
+        def sec(a: Long, b: Long) = (b - a) / 1e9
+        println(f"[sgraphc] run$i: base ${sec(t0, t1)}%.2f vecwrite " +
+          f"${sec(t1, t2)}%.2f walk_new ${sec(t2, t3)}%.2f " +
+          f"walk_old ${sec(t3, t4)}%.2f")
+        operators.MemoUtil.dropScratch()
+      }
+      spark.stop(); return
+    }
     // graph_components stage bisection with memo resets between runs —
     // DevProbe's plain mode reuses the adjacency/cc memos, hiding where
     // the bench-visible (memo-paying) time goes

@@ -249,24 +249,45 @@ object Analytics extends OpModule {
     * co-occurrence weight ≥ 2), shared by graph_pagerank /
     * graph_triangles / graph_jaccard. NOT checkpointed here — each
     * caller decides its own lineage cut. */
-  private def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
-    // ONE shuffle to co-locate each order's suppliers, then the ordered
-    // pairs explode MAP-SIDE into the partial aggregate — the previous
-    // distinct + self-join form shuffled the (order, supplier) set three
-    // times (distinct, join re-key, pair count); this shuffles lineitem
-    // once and pairs once. Per-order supplier arrays are tiny (a handful
-    // of suppliers), so the generator carries no wide arrays.
-    Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(array_distinct(collect_list(col("l_suppkey"))).as("sups"))
-      .select(explode(col("sups")).as("src"), col("sups"))
-      .select(col("src"), explode(col("sups")).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w"))
-      .where(col("w") >= 2)
-      .select(col("src"), col("dst"))
-  }
+  private def coSupplyEdges(s: SparkSession, d: String): DataFrame =
+    coSupplyWeighted(s, d).select(col("src"), col("dst"))
+
+  /** The weighted co-supply pair table (src, dst, w = shared-order
+    * count, pruned to w ≥ 2) — the ONE lineitem aggregation the whole
+    * graph family derives from, now memoized + checkpointed so the
+    * unweighted adjacency consumers AND graph_sssp (which needs w for
+    * its edge weights) share a single build per (session, sf-dir)
+    * instead of each paying the corpus pass (r18, guide §1.2/§2.4:
+    * graph_sssp duplicated this aggregation verbatim minus the weight
+    * column). Bench resets this with the other graph memos. */
+  private val pairMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def coSupplyWeighted(s: SparkSession, d: String): DataFrame =
+    MemoUtil.memoize(pairMemo, (s, d)) {
+      // ONE shuffle to co-locate each order's suppliers, then the ordered
+      // pairs explode MAP-SIDE into the partial aggregate — the previous
+      // distinct + self-join form shuffled the (order, supplier) set three
+      // times (distinct, join re-key, pair count); this shuffles lineitem
+      // once and pairs once. SKEW BOUND (guide §2.5): the collect_list
+      // basket is quadratic in per-order supplier count, so a hot
+      // orderkey would blow the explode up — safe here because an order's
+      // distinct-supplier count is bounded by the order's line count
+      // (≤ 7 on TPC-H-shaped data; AnalyticsSpec pins the fixture bound).
+      // At a 100 TB shape with genuinely hot keys, cap or salt the basket
+      // BEFORE the explode — the w ≥ 2 prune downstream cannot save the
+      // pair fan-out itself.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(array_distinct(collect_list(col("l_suppkey"))).as("sups"))
+        .select(explode(col("sups")).as("src"), col("sups"))
+        .select(col("src"), explode(col("sups")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .localCheckpoint()
+    }
 
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
     val Scale = 1000000000000L
@@ -618,6 +639,8 @@ object Analytics extends OpModule {
     adjMemo.clear()
     ccMemo.values.foreach(MemoUtil.dropCheckpoint)
     ccMemo.clear()
+    pairMemo.values.foreach(MemoUtil.dropCheckpoint)
+    pairMemo.clear()
   }
 
   /** Connected components of the co-supply graph — (id, cc) with cc =
@@ -1717,53 +1740,39 @@ object Analytics extends OpModule {
     * nodes report -1. The DuckDB oracle unrolls the identical six
     * rounds as MATERIALIZED CTEs — exact integer distances end to end. */
   def graphSssp(s: SparkSession, d: String): DataFrame = {
-    // weighted edge build in the coSupplyEdges 1-shuffle shape (r17,
-    // guide §2.4): ONE shuffle co-locates each order's suppliers, the
-    // ordered pairs explode map-side into the (src, dst) partial
-    // aggregate. The previous distinct + self-join form shuffled the
-    // (order, supplier) set three times (distinct, join re-key, pair
-    // count); n_co is identical by construction — each order
-    // contributes every distinct ordered supplier pair exactly once in
-    // both shapes.
-    val edges = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(array_distinct(collect_list(col("l_suppkey"))).as("sups"))
-      .select(explode(col("sups")).as("src"), col("sups"))
-      .select(col("src"), explode(col("sups")).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("n_co"))
-      .where(col("n_co") >= 2)
+    // the weighted edge set rides the graph family's shared memoized
+    // pair build (r18, guide §1.2: the previous per-query twin of that
+    // aggregation was the op's dominant cost); the sssp weight is a
+    // map-side projection of the checkpointed (src, dst, w) table.
+    // n_co ≡ w by construction — same grouping, same ≥ 2 prune.
+    val edges = coSupplyWeighted(s, d)
       .select(col("src"), col("dst"),
-        expr("CAST((1000 + n_co - 1) DIV n_co AS BIGINT)").as("w"))
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("id")).distinct()
-    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // round checkpoints stay EAGER: each round's result feeds TWO
-    // sibling stages of the next round (the carry-union and the
-    // relax-join) — lazily checkpointed, those siblings race to compute
-    // the same partitions before the cache lands and duplicate the
-    // round's work (measured: the lazy form read ~0.4 s SLOWER here,
-    // unlike the beam walks whose per-hop consumers are sequential)
+        expr("CAST((1000 + w - 1) DIV w AS BIGINT)").as("w"))
+    // node set = the adjacency memo's id column (1 row/node, already
+    // checkpointed) instead of a distinct over the edge table — the id
+    // sets are identical (groupBy src ≡ distinct src)
+    val nodes = coSupplyAdjacency(s, d).select(col("id"))
+    // ZERO-WEIGHT SELF-LOOPS fold the carry-union into the relax join
+    // (r18, guide §2.4/§1.2): dist_{k+1}(v) = min over in-edges of
+    // dist_k(u) + w(u,v) with (v,v,0) ∈ E reproduces the old
+    // min(dist_k(v), relax) exactly — and dist_k now has ONE consumer
+    // per round (the relax join) instead of two siblings (carry + relax),
+    // so the round chain needs NO checkpoint barriers at all: the plan
+    // is a linear 6-round join+agg chain materialized by the final
+    // consumer as one job (the two-sibling shape that forced eager
+    // per-round checkpoints — and made lazy ones race — is gone).
+    val edgesPlus = edges.unionByName(
+      nodes.select(col("id").as("src"), col("id").as("dst"),
+        lit(0L).as("w")))
     var dist = nodes.orderBy(col("id")).limit(5)
-      .select(col("id"), lit(0L).as("dist")).localCheckpoint()
-    cps += dist
+      .select(col("id"), lit(0L).as("dist"))
     (1 to 6).foreach { _ =>
-      val nd = dist.unionByName(
-          dist.join(edges, dist("id") === edges("src"))
-            .select(col("dst").as("id"), (col("dist") + col("w")).as("dist")))
+      dist = dist.withColumnRenamed("id", "src")
+        .join(edgesPlus, "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
-      cps += nd
-      dist = nd
     }
-    val keep = dist
-    cps.filter(_ ne keep).foreach(MemoUtil.dropCheckpoint)
-    // edges is still read by the returned plan (nodes derives from it)
-    // — freed at the harness drain point, not inline
-    MemoUtil.scratch(edges)
-    MemoUtil.scratch(keep)
-    nodes.join(keep, Seq("id"), "left")
+    nodes.join(dist, Seq("id"), "left")
       .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 

@@ -3086,46 +3086,54 @@ object LlmScale extends OpModule {
       : (DataFrame, DataFrame) = {
     val q = qv.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qq"))
-    def score(cands: DataFrame): DataFrame =
+    // FUSED hop mechanics, the annGraphSearchBatch shape (r18, guide
+    // §2.4): the beam rides between hops as one row per query holding a
+    // sorted (dist, node) struct array — the per-hop `union + distinct()
+    // + row_number window` pair of shuffles collapses into a single
+    // groupBy(qid) whose sort_array → array_distinct → slice reproduces
+    // the window's (dist ASC, node ASC) top-`width` exactly, and qq
+    // rides the beam row so the per-hop broadcast(q) join disappears.
+    // Intra-loop lineage cuts stay LAZY (r17, guide §1.2/§2.4): each
+    // hop's beam and expansion feed two consumers, the consumer's single
+    // action materializes the whole chain as one job.
+    val topW = slice(array_distinct(sort_array(
+      collect_list(struct(col("dist"), col("node"))))), 1, width)
+    def scored(cands: DataFrame): DataFrame =
       cands.join(qv, cands("node") === qv("vec_id"))
-        .join(broadcast(q), "qid")
-        .select(col("qid"), col("node"),
+        .select(col("qid"), col("qq"), col("node"),
           expr("squared_distance(qv, qq)").as("dist"))
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("node").asc)
-    // Intra-loop lineage cuts are LAZY checkpoints (r17, guide §1.2/§2.4):
-    // the eager form ran ~13 sequential barrier jobs per walk (2 per hop
-    // + entry), each materializing ≤ width·degree·|q| rows — pure
-    // job-launch overhead at any scale. Lazy localCheckpoint keeps the
-    // multi-reader reuse (each hop's RDD materializes once, both its
-    // consumers read the cached blocks) but defers everything to the
-    // consumer's single action: one job, ~3 stages per hop, no barriers
-    // between hops beyond the shuffles the algorithm itself needs.
-    val entryScored = MemoUtil.scratch(score(
-        entries.select(col("vec_id").as("node"))
-          .crossJoin(broadcast(q.select(col("qid"))))
+    val entryScored = MemoUtil.scratch(scored(
+        q.crossJoin(broadcast(entries.select(col("vec_id").as("node"))))
           .where(col("node") =!= col("qid"))).localCheckpoint(false))
-    var visited = entryScored
-    var beam = MemoUtil.scratch(entryScored
-      .withColumn("c", row_number().over(wq)).where(col("c") <= width)
-      .drop("c").localCheckpoint(false))
+    var visited = entryScored.select(col("qid"), col("node"), col("dist"))
+    var beamA = MemoUtil.scratch(entryScored
+      .groupBy(col("qid"))
+      .agg(first(col("qq")).as("qq"), topW.as("beam"))
+      .localCheckpoint(false))
     for (_ <- 1 to 6) {
       // no per-hop distinct on the expansion (r17): duplicate (qid, node)
       // candidates are bounded by beam·degree, cost one extra scored row
-      // each, and BOTH downstream consumers re-dedup anyway (the beam via
-      // its own distinct before the width cap, visited via the final
-      // distinct) — the distinct here only bought a shuffle per hop
-      val expanded = beam.select(col("qid"), col("node"))
+      // each, and both downstream consumers re-dedup (the beam merge via
+      // array_distinct, visited via its final distinct)
+      val expanded = beamA
+        .select(col("qid"), col("qq"), explode(col("beam.node")).as("node"))
         .join(adj, col("node") === col("src"))
-        .select(col("qid"), col("dst").as("node"))
+        .select(col("qid"), col("qq"), col("dst").as("node"))
         .where(col("node") =!= col("qid"))
-      val sc = MemoUtil.scratch(score(expanded).localCheckpoint(false))
-      visited = visited.unionByName(sc)
-      beam = MemoUtil.scratch(
-        beam.unionByName(sc).distinct()
-          .withColumn("c", row_number().over(wq)).where(col("c") <= width)
-          .drop("c").localCheckpoint(false))
+      val sc = MemoUtil.scratch(scored(expanded).localCheckpoint(false))
+      visited = visited.unionByName(
+        sc.select(col("qid"), col("node"), col("dist")))
+      val carried = beamA
+        .select(col("qid"), col("qq"), explode(col("beam")).as("b"))
+        .select(col("qid"), col("qq"), col("b.node").as("node"),
+          col("b.dist").as("dist"))
+      beamA = MemoUtil.scratch(carried.unionByName(sc)
+        .groupBy(col("qid"))
+        .agg(first(col("qq")).as("qq"), topW.as("beam"))
+        .localCheckpoint(false))
     }
+    val beam = beamA.select(col("qid"), explode(col("beam")).as("b"))
+      .select(col("qid"), col("b.node").as("node"), col("b.dist").as("dist"))
     (beam, visited.distinct())
   }
 
@@ -3355,8 +3363,17 @@ object LlmScale extends OpModule {
       val (adjs, ents, vecDirs, dels) = graphHeadParse(raw)
       val adj0 = graphStoreRead(s, dir, adjs)
       val ent0 = graphStoreRead(s, dir, ents)
-      val vecsAll = graphStoreRead(s, dir, vecDirs).localCheckpoint()
-      val (adjF, entF) =
+      // checkpoint only COMPUTED frames (r18): a tombstone-free head's
+      // adjacency/entries/vectors are plain parquet unions over immutable
+      // store dirs — materializing those into the block manager is a
+      // copy job that buys nothing (the multi-hop readers re-scan tiny
+      // columnar files instead of cached blocks). The sidecar-filtered
+      // frames stay checkpointed: the anti-joins are real compute the
+      // walk would otherwise redo per hop.
+      val vecsAll =
+        if (vecDirs.size > 1) graphStoreRead(s, dir, vecDirs).localCheckpoint()
+        else graphStoreRead(s, dir, vecDirs)
+      val (adj, ent) =
         if (dels.isEmpty) (adj0, ent0)
         else {
           val tomb = graphStoreRead(s, dir, dels)
@@ -3365,11 +3382,9 @@ object LlmScale extends OpModule {
               "left_anti")
             .join(tomb.select(col("vec_id").as("dst")), Seq("dst"),
               "left_anti")
-            .select(col("src"), col("dst")),
-            ent0.join(tomb, Seq("vec_id"), "left_anti"))
+            .select(col("src"), col("dst")).localCheckpoint(),
+            ent0.join(tomb, Seq("vec_id"), "left_anti").localCheckpoint())
         }
-      val adj = adjF.localCheckpoint()
-      val ent = entF.localCheckpoint()
       val (beam, visited) = annGraphSearchFull(adj, ent, vecsAll, 8)
       // BOTH results eager: the memo outlives the building query, but
       // the walk's intra-loop lazy checkpoints are per-query SCRATCH —
@@ -3709,37 +3724,54 @@ object LlmScale extends OpModule {
     * shard and streams), and the per-hop score joins are plain
     * equi-joins with no broadcast pin, so Spark shuffles them once the
     * shard outgrows a broadcast. Returns the final beam. */
-  private def annGraphSearchBatch(adj: DataFrame, entries: DataFrame,
-                                  qv: DataFrame, queries: DataFrame,
-                                  width: Int): DataFrame = {
-    def score(cands: DataFrame): DataFrame =
+  private[graft] def annGraphSearchBatch(adj: DataFrame, entries: DataFrame,
+                                         qv: DataFrame, queries: DataFrame,
+                                         width: Int): DataFrame = {
+    // FUSED hop mechanics (r18, guide §2.4): the beam rides between hops
+    // as ONE ROW PER QUERY holding a sorted (dist, node) struct array —
+    // the per-hop `union + distinct() + row_number window` pair of
+    // shuffles collapses into a single groupBy(qid) whose
+    // sort_array → array_distinct → slice reproduces the window's
+    // (dist ASC, node ASC) top-`width` EXACTLY (struct sort is
+    // lexicographic by field order; equal (dist, node) pairs are the
+    // only duplicates possible since dist is a function of (qid, node)).
+    // The query vector qq rides the beam row, so the per-hop score join
+    // against `queries` disappears too. Per hop: explode, the adj
+    // equi-join, the qv score equi-join, ONE aggregate — no sorts, no
+    // distinct exchange, and the per-query state is width-bounded at
+    // any corpus size. Lazy checkpoints stay: each hop's beam feeds two
+    // consumers (expansion + merge-back) and the final action
+    // materializes the chain as one job (the r17 walk-mechanics cut).
+    val topW = slice(array_distinct(sort_array(
+      collect_list(struct(col("dist"), col("node"))))), 1, width)
+    def scored(cands: DataFrame): DataFrame =
       cands.join(qv, cands("node") === qv("vec_id"))
-        .join(queries, "qid")
-        .select(col("qid"), col("node"),
+        .select(col("qid"), col("qq"), col("node"),
           expr("squared_distance(qv, qq)").as("dist"))
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("node").asc)
-    // lazy intra-loop checkpoints + no per-hop expansion distinct — the
-    // same two walk-mechanics cuts as annGraphSearchFull (r17): the
-    // beam's own distinct re-dedups, and the consumer's single action
-    // materializes the whole 6-hop chain as one job
-    var beam = MemoUtil.scratch(score(
-        queries.select(col("qid"))
-          .crossJoin(broadcast(entries.select(col("vec_id").as("node"))))
-          .where(col("node") =!= col("qid")))
-      .withColumn("c", row_number().over(wq)).where(col("c") <= width)
-      .drop("c").localCheckpoint(false))
+    val entry = scored(queries
+        .crossJoin(broadcast(entries.select(col("vec_id").as("node"))))
+        .where(col("node") =!= col("qid")))
+    var beamA = MemoUtil.scratch(entry
+      .groupBy(col("qid"))
+      .agg(first(col("qq")).as("qq"), topW.as("beam"))
+      .localCheckpoint(false))
     for (_ <- 1 to 6) {
-      val expanded = beam.select(col("qid"), col("node"))
+      val expanded = beamA
+        .select(col("qid"), col("qq"), explode(col("beam.node")).as("node"))
         .join(adj, col("node") === col("src"))
-        .select(col("qid"), col("dst").as("node"))
+        .select(col("qid"), col("qq"), col("dst").as("node"))
         .where(col("node") =!= col("qid"))
-      beam = MemoUtil.scratch(
-        beam.unionByName(score(expanded)).distinct()
-          .withColumn("c", row_number().over(wq)).where(col("c") <= width)
-          .drop("c").localCheckpoint(false))
+      val carried = beamA
+        .select(col("qid"), col("qq"), explode(col("beam")).as("b"))
+        .select(col("qid"), col("qq"), col("b.node").as("node"),
+          col("b.dist").as("dist"))
+      beamA = MemoUtil.scratch(carried.unionByName(scored(expanded))
+        .groupBy(col("qid"))
+        .agg(first(col("qq")).as("qq"), topW.as("beam"))
+        .localCheckpoint(false))
     }
-    beam
+    beamA.select(col("qid"), explode(col("beam")).as("b"))
+      .select(col("qid"), col("b.node").as("node"), col("b.dist").as("dist"))
   }
 
   /** The (adjacency, entry sample, quantized lattice) behind

@@ -1192,6 +1192,21 @@ class AnalyticsSpec extends SparkSpec {
       "some shortest path must use a non-default-weight edge")
   }
 
+  test("co-supply basket bound: per-order supplier fan-out stays small (the collect_list skew guard)") {
+    // the shared weighted-pair build (coSupplyWeighted) explodes each
+    // order's distinct-supplier basket into ordered pairs MAP-SIDE —
+    // quadratic in basket width, so a hot orderkey would blow it up
+    // (guide §2.5). This pins the fixture's bound; if a data shape ever
+    // breaks it, cap or salt the basket before the explode.
+    val mx = graft.Tables.lineitem(spark, sf)
+      .groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("n"))
+      .agg(max($"n")).head().getLong(0)
+    assert(mx <= 8,
+      s"per-order supplier basket is $mx wide — the pair explode in " +
+        "coSupplyWeighted/graphSssp assumes a bounded basket")
+  }
+
   test("dq_schema_drift: verdicts classify added/removed/type-changed from footers alone") {
     val got = graft.operators.Analytics.dqSchemaDrift(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
