@@ -182,13 +182,15 @@ object LlmCuration extends OpModule {
     * feature table also carries the masked-Knuth split bucket so
     * llm_quality_holdout derives its train/val sides from the same
     * checkpoint without a rebuild. */
-  private val clfMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val clfFeatsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val clfWtMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
   def resetClfMemo(): Unit = {
-    clfMemo.values.foreach { case (f, w) =>
-      MemoUtil.dropCheckpoint(f); MemoUtil.dropCheckpoint(w)
-    }
-    clfMemo.clear()
+    clfFeatsMemo.values.foreach(MemoUtil.dropCheckpoint)
+    clfFeatsMemo.clear()
+    clfWtMemo.values.foreach(MemoUtil.dropCheckpoint)
+    clfWtMemo.clear()
   }
 
   /** The shared sparse feature table (doc_id, fid, cnt, y, b): hashed
@@ -248,11 +250,22 @@ object LlmCuration extends OpModule {
     (1 to T).foldLeft(w0)((w, _) => step(w))
   }
 
-  private def clfTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    MemoUtil.memoize(clfMemo, (s, d)) {
-      val feats = clfFeatsBuild(s, d)
-      (feats, perceptron(feats, ClfT))
-    }
+  /** Features and full-corpus weights memoize SEPARATELY (r18):
+    * llm_quality_holdout consumes only the feature table (it trains its
+    * own split-restricted weights) but ran FIRST of the family in
+    * registry order, so the tupled memo made it pay the full-corpus
+    * perceptron it then discarded — a whole training attributed to a
+    * query that never reads the result. The full weights now build when
+    * their first real consumer runs; per-pass family totals are
+    * unchanged (every pass still trains each of the two weight sets
+    * exactly once). */
+  private def clfFeats(s: SparkSession, d: String): DataFrame =
+    MemoUtil.memoize(clfFeatsMemo, (s, d))(clfFeatsBuild(s, d))
+
+  private def clfTrained(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val feats = clfFeats(s, d)
+    (feats, MemoUtil.memoize(clfWtMemo, (s, d))(perceptron(feats, ClfT)))
+  }
 
   def qualityClassifier(s: SparkSession, d: String): DataFrame = {
     val (feats, wT) = clfTrained(s, d)
@@ -368,7 +381,7 @@ object LlmCuration extends OpModule {
     * column of the shared checkpointed feature table, so train/val are
     * filters, not rebuilds. */
   def qualityHoldout(s: SparkSession, d: String): DataFrame = {
-    val (feats, _) = clfTrained(s, d)
+    val feats = clfFeats(s, d)
     val wTrain = perceptron(feats.where(col("b") < 18), ClfT)
     val scored = clfMargins(feats.where(col("b") === 18), wTrain)
       .select(col("y"), (col("margin") > 0L).as("pred"))

@@ -933,12 +933,31 @@ object Scans extends OpModule {
 
   private[graft] def timeTravelWriteV1(s: SparkSession, d: String,
                                        dir: String): Unit = {
-    Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .repartitionByRange(8, col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderkey"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/d1")
-    manifestStats(s, s"$dir/d1").coalesce(1)
+    // once-per-JVM v1 TEMPLATE (r18, guide §6 — the graph/IVF
+    // v1-template trick applied to the lakehouse stagings): eight-plus
+    // staging sites re-ran this identical orders range-write + stats
+    // pass per JVM. The write now runs once; instantiation is a flat
+    // file copy of d1 plus a filename-keyed manifest rewrite — the
+    // manifest stores absolute input_file_name URIs, so the copied
+    // files re-root onto `dir` (file names are preserved by copyDir,
+    // and input_file_name emits file://<abs-path>).
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_") + "_" + math.abs(d.hashCode)
+    val tpl = StageUtil.staged(s"ttv1_$sfx") { base =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/d1")
+      manifestStats(s, s"$base/d1").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/m1")
+    }
+    StageUtil.copyDir(java.nio.file.Paths.get(tpl, "d1"),
+      java.nio.file.Paths.get(dir, "d1"))
+    s.read.parquet(s"$tpl/m1")
+      .withColumn("path",
+        concat(lit(s"file://$dir/d1/"),
+          element_at(split(col("path"), "/"), -1)))
+      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/m1")
   }
 
